@@ -1,0 +1,133 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.util.zip.{GZIPInputStream, GZIPOutputStream}
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+
+import org.apache.spark.sql.types.{BinaryType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Gzip codec used by the trace pipeline.
+ *
+ * The reference engine decompresses each row's gzipped BLOB with an 8 KiB
+ * buffered loop (reference: util/GzipUtil.java:19-31) and decodes UTF-8
+ * (util/GzipUtil.java:33-35); compression for ingest lives in
+ * config/DataInitializer.java:81-92. Spark has no built-in gzip scalar
+ * function, so these are custom Catalyst expressions with real codegen
+ * (a static-method call keeps them inside whole-stage codegen — no
+ * CodegenFallback, no interpreted row boundary in the hot path).
+ *
+ * Static JVM methods so generated code can call them directly.
+ */
+object GzipCodec extends Serializable {
+  private final val BufferSize = 8192
+
+  def compress(plain: Array[Byte]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream(plain.length.max(64))
+    val gz = new GZIPOutputStream(bos, BufferSize)
+    try gz.write(plain)
+    finally gz.close()
+    bos.toByteArray
+  }
+
+  /** Throws UncheckedIOException-style RuntimeException on corrupt input —
+    * the reference's fail-the-export policy
+    * (service/ParquetConversionService.java:109-112). */
+  def decompress(gzipped: Array[Byte]): Array[Byte] = {
+    val in = new GZIPInputStream(new ByteArrayInputStream(gzipped), BufferSize)
+    try {
+      val out = new ByteArrayOutputStream(gzipped.length * 3 + 64)
+      val buf = new Array[Byte](BufferSize)
+      var n = in.read(buf)
+      while (n >= 0) {
+        if (n > 0) out.write(buf, 0, n)
+        n = in.read(buf)
+      }
+      out.toByteArray
+    } finally in.close()
+  }
+
+  /** Lenient variant: corrupt input → null (engine-level option the
+    * reference lacks; useful for dirty data at scale). */
+  def decompressOrNull(gzipped: Array[Byte]): Array[Byte] =
+    try decompress(gzipped)
+    catch { case _: java.io.IOException | _: RuntimeException => null }
+
+  def decompressToString(gzipped: Array[Byte]): UTF8String =
+    UTF8String.fromBytes(decompress(gzipped))
+
+  def decompressToStringOrNull(gzipped: Array[Byte]): UTF8String = {
+    val b = decompressOrNull(gzipped)
+    if (b == null) null else UTF8String.fromBytes(b)
+  }
+
+  def compressString(s: UTF8String): Array[Byte] = compress(s.getBytes)
+}
+
+/** Base for the unary byte-codec expressions: null-safe, codegen via a
+  * static call into [[GzipCodec]]. */
+abstract class GzipUnaryExpression extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  /** fully-qualified static method on GzipCodec the codegen calls */
+  protected def staticMethod: String
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GzipCodec.$staticMethod($c)")
+}
+
+/** gzip-decompress: binary → binary. failOnError=true mirrors the
+  * reference's abort-on-corrupt-row semantics. */
+case class GzipDecompress(child: Expression, failOnError: Boolean = true)
+    extends GzipUnaryExpression {
+  override def dataType: DataType = BinaryType
+  override protected def staticMethod: String =
+    if (failOnError) "decompress" else "decompressOrNull"
+  override def nullable: Boolean = child.nullable || !failOnError
+  override protected def nullSafeEval(v: Any): Any = {
+    val r =
+      if (failOnError) GzipCodec.decompress(v.asInstanceOf[Array[Byte]])
+      else GzipCodec.decompressOrNull(v.asInstanceOf[Array[Byte]])
+    r
+  }
+  override def prettyName: String = "gunzip"
+  override protected def withNewChildInternal(c: Expression): GzipDecompress = copy(child = c)
+}
+
+/** gzip-decompress + UTF-8 decode in one expression: binary → string.
+  * Fuses the reference's T1+T2 (GzipUtil.gzipDecompString). */
+case class GzipDecompressToString(child: Expression, failOnError: Boolean = true)
+    extends GzipUnaryExpression {
+  override def dataType: DataType = StringType
+  override protected def staticMethod: String =
+    if (failOnError) "decompressToString" else "decompressToStringOrNull"
+  override def nullable: Boolean = child.nullable || !failOnError
+  override protected def nullSafeEval(v: Any): Any =
+    if (failOnError) GzipCodec.decompressToString(v.asInstanceOf[Array[Byte]])
+    else GzipCodec.decompressToStringOrNull(v.asInstanceOf[Array[Byte]])
+  override def prettyName: String = "gunzip_string"
+  override protected def withNewChildInternal(c: Expression): GzipDecompressToString = copy(child = c)
+}
+
+/** gzip-compress: binary → binary (ingest path, reference W1). */
+case class GzipCompress(child: Expression) extends GzipUnaryExpression {
+  override def dataType: DataType = BinaryType
+  override protected def staticMethod: String = "compress"
+  override protected def nullSafeEval(v: Any): Any =
+    GzipCodec.compress(v.asInstanceOf[Array[Byte]])
+  override def prettyName: String = "gzip"
+  override protected def withNewChildInternal(c: Expression): GzipCompress = copy(child = c)
+}
+
+/** gzip-compress a string column's UTF-8 bytes: string → binary. */
+case class GzipCompressString(child: Expression) extends GzipUnaryExpression {
+  override def dataType: DataType = BinaryType
+  override protected def staticMethod: String = "compressString"
+  override protected def nullSafeEval(v: Any): Any =
+    GzipCodec.compressString(v.asInstanceOf[UTF8String])
+  override def prettyName: String = "gzip_string"
+  override protected def withNewChildInternal(c: Expression): GzipCompressString = copy(child = c)
+}

@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.graftbridge.CatalystBridge
+
+/**
+ * Column-level function surface of the engine — the analog of
+ * `org.apache.spark.sql.functions` for graft's custom expressions.
+ */
+package object functions {
+
+  private[graft] def expr(c: Column): Expression = CatalystBridge.expression(c)
+  private[graft] def col(e: Expression): Column = CatalystBridge.column(e)
+
+  /** gzip-decompress a binary column (reference T1). */
+  def gunzip(c: Column, failOnError: Boolean = true): Column =
+    col(GzipDecompress(expr(c), failOnError))
+
+  /** gzip-decompress + UTF-8 decode (reference T1+T2 fused). */
+  def gunzip_string(c: Column, failOnError: Boolean = true): Column =
+    col(GzipDecompressToString(expr(c), failOnError))
+
+  /** gzip-compress a binary column (reference W1 ingest). */
+  def gzip(c: Column): Column = col(GzipCompress(expr(c)))
+
+  /** gzip-compress a string column's UTF-8 bytes. */
+  def gzip_string(c: Column): Column = col(GzipCompressString(expr(c)))
+}

@@ -1,0 +1,134 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.{gunzip_string, gzip_string}
+import graft.sources.Tables
+
+/**
+ * The flagship pipeline — the reference engine's single query, re-expressed
+ * as a declarative Spark plan.
+ *
+ * Reference chain (SURVEY.md §2.1): scan S1 → project S2 → IN-list filter F1
+ * ∧ time-range filter F2 (with empty-ids short-circuit F3) → two-key sort O1
+ * → per-row gzip decompress T1 + UTF-8 decode T2 → output projection T4 →
+ * parquet sink K1 (empty-result semantic K2). Reference sites:
+ * repository/ParameterDataRepository.java:53-78 (scan/filter/sort SQL),
+ * service/ParquetConversionService.java:60-113 (decompress + Avro-parquet
+ * write), controller/DataExportController.java:33-62 (param semantics).
+ *
+ * Scale notes (100 TB): unlike the reference — which `collectList()`s the
+ * whole result into one heap (ParquetConversionService.java:61, its
+ * documented OOM cliff) — this plan streams partition-wise: the isin/range
+ * filters push into the scan, the gzip expression runs inside whole-stage
+ * codegen, and the only shuffle is the range-exchange for the global sort.
+ * On a real cluster the output should usually NOT be globally sorted into
+ * one file; `export` keeps the reference's ORDER BY semantics, while
+ * `exportUnordered` is the scale-path variant (sortWithinPartitions gives
+ * per-file clustering without a global exchange).
+ */
+object TraceExport {
+
+  /** Output schema — Avro ParameterRecord analog (ParameterRecord.avsc:5-10):
+    * all four fields non-nullable, traceData is the decompressed JSON text. */
+  val outputSchema: StructType = StructType(Seq(
+    StructField("paramIndex", LongType, nullable = false),
+    StructField("startTime", TimestampNTZType, nullable = false),
+    StructField("endTime", TimestampNTZType, nullable = false),
+    StructField("traceData", StringType, nullable = false)))
+
+  /** Input (storage-table) schema — TD_FD_TRACE_PARAM analog
+    * (reference schema.sql:12-19): traceData is gzipped UTF-8 JSON. */
+  val storageSchema: StructType = StructType(Seq(
+    StructField("paramIndex", LongType, nullable = false),
+    StructField("startTime", TimestampNTZType, nullable = false),
+    StructField("endTime", TimestampNTZType, nullable = false),
+    StructField("traceData", BinaryType, nullable = false)))
+
+  /** Reference-faithful seed rows (config/DataInitializer.java:39-43):
+    * params 1..3 in January 2024 with ragged JSON payloads. */
+  def referenceSeed(spark: SparkSession): DataFrame = {
+    val rows = Seq(
+      (1L, "2024-01-10 10:00:00", "2024-01-10 10:05:00", """{"value": 100, "status": "OK"}"""),
+      (2L, "2024-01-15 14:30:00", "2024-01-15 14:35:00", """{"value": 250, "status": "WARN", "temp": 45.5}"""),
+      (3L, "2024-01-20 09:15:00", "2024-01-20 09:20:00", """{"value": 500, "status": "CRITICAL", "pressure": 1.5}"""))
+    import spark.implicits._
+    rows.toDF("paramIndex", "startTime", "endTime", "json")
+      .select(
+        col("paramIndex"),
+        col("startTime").cast(TimestampNTZType).as("startTime"),
+        col("endTime").cast(TimestampNTZType).as("endTime"),
+        gzip_string(col("json")).as("traceData"))
+  }
+
+  /** Ingest analog of reference W1 (DataInitializer.java:81-92) at fixture
+    * scale: derive a trace table from the `events` fixture — one trace per
+    * event, payload = gzip(props JSON). Deterministic, so the DuckDB oracle
+    * can reproduce the post-decompress result from `events` directly. */
+  def fromEvents(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir).select(
+      col("user_id").as("paramIndex"),
+      col("ts").as("startTime"),
+      (col("ts") + expr("INTERVAL 60 SECONDS")).as("endTime"),
+      gzip_string(col("props")).as("traceData"))
+
+  /** The reference query: ids IN-list + closed startTime interval (both ends
+    * inclusive, END_TIME unconstrained — ParameterDataRepository.java:65-67),
+    * ORDER BY paramIndex, startTime, decompress payload to text. */
+  def export(trace: DataFrame, ids: Seq[Long], start: Timestamp, end: Timestamp): DataFrame = {
+    if (ids.isEmpty) {
+      // F3: empty id list → empty result without scanning
+      // (ParameterDataRepository.java:54-56). Catalyst would also fold
+      // isin() on an empty list, but the explicit guard keeps the
+      // semantic visible and plan-free.
+      return trace.sparkSession.createDataFrame(
+        trace.sparkSession.sparkContext.emptyRDD[Row], outputSchema)
+    }
+    trace
+      .filter(col("paramIndex").isin(ids: _*))
+      .filter(col("startTime") >= lit(start).cast(TimestampNTZType)
+        && col("startTime") <= lit(end).cast(TimestampNTZType))
+      .orderBy(col("paramIndex").asc, col("startTime").asc)
+      .select(
+        col("paramIndex"),
+        col("startTime"),
+        col("endTime"),
+        gunzip_string(col("traceData")).as("traceData"))
+  }
+
+  /** Scale-path variant: no global sort (range exchange) — cluster within
+    * output partitions only. Preferred at 100 TB where a total order across
+    * files buys nothing. */
+  def exportUnordered(trace: DataFrame, ids: Seq[Long], start: Timestamp, end: Timestamp): DataFrame = {
+    if (ids.isEmpty)
+      return trace.sparkSession.createDataFrame(
+        trace.sparkSession.sparkContext.emptyRDD[Row], outputSchema)
+    trace
+      .filter(col("paramIndex").isin(ids: _*))
+      .filter(col("startTime") >= lit(start).cast(TimestampNTZType)
+        && col("startTime") <= lit(end).cast(TimestampNTZType))
+      .sortWithinPartitions(col("paramIndex"), col("startTime"))
+      .select(
+        col("paramIndex"),
+        col("startTime"),
+        col("endTime"),
+        gunzip_string(col("traceData")).as("traceData"))
+  }
+
+  /** K1 sink. The reference materializes one in-memory byte[]; files are the
+    * contract here. K2 (empty → sentinel/404) is surfaced as a boolean so a
+    * service layer can map it. Returns true iff rows were written. */
+  def exportToParquet(result: DataFrame, path: String): Boolean = {
+    result.write.mode("overwrite").parquet(path)
+    // cheap emptiness check on the written artifact (no double compute of
+    // the full plan — metadata-only count over parquet footers)
+    result.sparkSession.read.parquet(path).isEmpty match {
+      case true  => false
+      case false => true
+    }
+  }
+}

@@ -1,0 +1,61 @@
+package graft.functions
+
+import org.apache.spark.SparkException
+import org.apache.spark.sql.functions.col
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.SparkSpec
+
+class GzipSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("codec round-trip: decompress(compress(s)) == s (property, 100 samples)") {
+    val gen = Gen.stringOf(Gen.frequency(8 -> Gen.asciiPrintableChar, 2 -> Gen.alphaNumChar))
+    (0 until 100).foreach { i =>
+      val s = gen.pureApply(Gen.Parameters.default, Seed(i.toLong))
+      val bytes = s.getBytes("UTF-8")
+      assert(GzipCodec.decompress(GzipCodec.compress(bytes)).sameElements(bytes))
+    }
+  }
+
+  test("codec handles unicode and large payloads") {
+    val payloads = Seq("", "héllo wörld ✓ 센서", "x" * 1000000,
+      """{"value": 250, "status": "WARN", "temp": 45.5}""")
+    payloads.foreach { s =>
+      val rt = new String(GzipCodec.decompress(GzipCodec.compress(s.getBytes("UTF-8"))), "UTF-8")
+      assert(rt == s)
+    }
+  }
+
+  test("column round-trip through whole-stage codegen") {
+    val df = Seq("a", "bb", "{\"k\": 1}", "é✓").toDF("s")
+      .select(col("s"), gunzip_string(gzip_string(col("s"))).as("rt"))
+    assert(df.filter(col("s") =!= col("rt")).count() == 0)
+  }
+
+  test("null input → null output (null-intolerant expressions)") {
+    val df = Seq((1, Option.empty[String]), (2, Some("x"))).toDF("i", "s")
+      .select(gunzip_string(gzip_string(col("s"))).as("rt"))
+    val rows = df.collect().map(r => Option(r.getString(0)))
+    assert(rows.count(_.isEmpty) == 1 && rows.flatten.toSeq == Seq("x"))
+  }
+
+  test("corrupt gzip: failOnError=true aborts (reference policy), lenient mode yields null") {
+    val corrupt = Seq(Array[Byte](1, 2, 3, 4)).toDF("b")
+    intercept[Exception] { // ZipException locally, SparkException from tasks
+      corrupt.select(gunzip(col("b"))).collect()
+    }
+    val lenient = corrupt.select(gunzip(col("b"), failOnError = false)).collect()
+    assert(lenient.head.isNullAt(0))
+  }
+
+  test("gunzip stays inside WholeStageCodegen (no fallback in the hot path)") {
+    val df = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(gunzip_string(gzip_string(col("text"))).as("rt"))
+    val plan = df.queryExecution.executedPlan.toString
+    // "*(n)" prefix marks operators fused into a WholeStageCodegen stage
+    assert(plan.contains("*(1) Project [gunzip_string(gzip_string("))
+    assert(df.count() == 500)
+  }
+}

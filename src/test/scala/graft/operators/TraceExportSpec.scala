@@ -1,0 +1,56 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+
+class TraceExportSpec extends SparkSpec {
+
+  private val jan0 = Timestamp.valueOf("2024-01-01 00:00:00")
+  private val jan1 = Timestamp.valueOf("2024-01-31 23:59:59")
+
+  test("golden: README filter {1,2} over reference seed → exactly the 2 reference rows, in order") {
+    val out = TraceExport.export(TraceExport.referenceSeed(spark), Seq(1L, 2L), jan0, jan1)
+    val rows = out.collect()
+    assert(rows.length == 2)
+    assert(rows(0).getLong(0) == 1L && rows(1).getLong(0) == 2L)
+    assert(rows(0).getString(3) == """{"value": 100, "status": "OK"}""")
+    assert(rows(1).getString(3) == """{"value": 250, "status": "WARN", "temp": 45.5}""")
+    // names + types must match the Avro ParameterRecord analog
+    // (nullability is laxer in-flight: casts mark columns nullable)
+    assert(out.schema.map(f => (f.name, f.dataType)) ==
+      TraceExport.outputSchema.map(f => (f.name, f.dataType)))
+  }
+
+  test("F2 is closed on both ends and constrains startTime only") {
+    val seed = TraceExport.referenceSeed(spark)
+    // exact boundary: start == row 1's startTime, end == row 3's startTime
+    val out = TraceExport.export(seed, Seq(1L, 2L, 3L),
+      Timestamp.valueOf("2024-01-10 10:00:00"), Timestamp.valueOf("2024-01-20 09:15:00"))
+    assert(out.count() == 3)
+  }
+
+  test("F3: empty id list → empty result with the output schema, no scan") {
+    val out = TraceExport.export(TraceExport.referenceSeed(spark), Seq.empty, jan0, jan1)
+    assert(out.isEmpty && out.schema == TraceExport.outputSchema)
+  }
+
+  test("K1/K2: parquet sink round-trip; empty export reports no data") {
+    val dir = java.nio.file.Files.createTempDirectory("graft").toString
+    val seed = TraceExport.referenceSeed(spark)
+    assert(TraceExport.exportToParquet(
+      TraceExport.export(seed, Seq(1L, 2L), jan0, jan1), s"$dir/ok"))
+    val back = spark.read.parquet(s"$dir/ok")
+    assert(back.count() == 2)
+    assert(!TraceExport.exportToParquet(
+      TraceExport.export(seed, Seq(99L), jan0, jan1), s"$dir/empty"))
+  }
+
+  test("fromEvents trace table round-trips props through gzip") {
+    val out = TraceExport.export(TraceExport.fromEvents(spark, sfDir),
+      Seq(1L, 2L), jan0, jan1)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getString(3).startsWith("{")))
+  }
+}
