@@ -1,0 +1,63 @@
+package graft.queries
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.TraceExport
+
+/**
+ * Flagship / reference-pipeline family (SURVEY §2.1): the whole reference
+ * query S1→S2→F1∧F2(∧F3)→O1→T1/T2→T4 over a trace table derived from
+ * `events` (traceData = gzip(props)), so the DuckDB oracle can verify the
+ * gzip round-trip by projecting `props` directly; plus the golden
+ * reference-seed case and the empty-filter (K2) case.
+ */
+object TraceQueries extends QueryFamily {
+
+  private val traceIds = Seq(1L, 2L, 3L, 5L, 8L, 13L)
+  private val traceT0 = Timestamp.valueOf("2024-01-01 00:00:00")
+  private val traceT1 = Timestamp.valueOf("2024-01-31 23:59:59")
+
+  def traceExport(spark: SparkSession, dir: String): DataFrame =
+    TraceExport.export(TraceExport.fromEvents(spark, dir), traceIds, traceT0, traceT1)
+
+  def traceExportEmpty(spark: SparkSession, dir: String): DataFrame =
+    TraceExport.export(TraceExport.fromEvents(spark, dir), Seq.empty, traceT0, traceT1)
+
+  def traceSeedGolden(spark: SparkSession, dir: String): DataFrame =
+    TraceExport.export(TraceExport.referenceSeed(spark), Seq(1L, 2L),
+      Timestamp.valueOf("2024-01-01 00:00:00"),
+      Timestamp.valueOf("2024-01-31 23:59:59"))
+
+  val queries: Map[String, QueryFn] = Map(
+    "trace_export" -> (traceExport _),
+    "trace_export_empty" -> (traceExportEmpty _),
+    "trace_seed_golden" -> (traceSeedGolden _))
+
+  val oracles: Map[String, String] = Map(
+    "trace_export" ->
+      """SELECT user_id AS paramIndex,
+        |       ts AS startTime,
+        |       ts + INTERVAL 60 SECOND AS endTime,
+        |       props AS traceData
+        |FROM events
+        |WHERE user_id IN (1, 2, 3, 5, 8, 13)
+        |  AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+        |  AND ts <= TIMESTAMP '2024-01-31 23:59:59'
+        |ORDER BY paramIndex, startTime""".stripMargin,
+    "trace_export_empty" ->
+      """SELECT user_id AS paramIndex, ts AS startTime,
+        |       ts + INTERVAL 60 SECOND AS endTime, props AS traceData
+        |FROM events WHERE 1 = 0""".stripMargin,
+    "trace_seed_golden" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), TIMESTAMP '2024-01-10 10:00:00',
+        |   TIMESTAMP '2024-01-10 10:05:00',
+        |   '{"value": 100, "status": "OK"}'),
+        |  (CAST(2 AS BIGINT), TIMESTAMP '2024-01-15 14:30:00',
+        |   TIMESTAMP '2024-01-15 14:35:00',
+        |   '{"value": 250, "status": "WARN", "temp": 45.5}')
+        |) AS t(paramIndex, startTime, endTime, traceData)
+        |ORDER BY paramIndex""".stripMargin)
+}
