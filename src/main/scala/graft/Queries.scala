@@ -18,7 +18,8 @@ object Queries {
     TraceQueries,
     RelationalQueries,
     AnalyticsQueries,
-    ScalarQueries)
+    ScalarQueries,
+    ExtensionQueries)
 
   def all: Map[String, (SparkSession, String) => DataFrame] =
     families.flatMap(_.queries).toMap

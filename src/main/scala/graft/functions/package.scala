@@ -26,4 +26,26 @@ package object functions {
 
   /** gzip-compress a string column's UTF-8 bytes. */
   def gzip_string(c: Column): Column = col(GzipCompressString(expr(c)))
+
+  /** cosine similarity of two array<float> columns → double. */
+  def cosine_similarity(a: Column, b: Column): Column =
+    col(CosineSimilarity(expr(a), expr(b)))
+
+  /** dot product of two array<float> columns → double. */
+  def dot_product(a: Column, b: Column): Column =
+    col(DotProduct(expr(a), expr(b)))
+
+  /** L2 (euclidean) distance of two array<float> columns → double. */
+  def l2_distance(a: Column, b: Column): Column =
+    col(L2Distance(expr(a), expr(b)))
+
+  /** k-lane minhash signature of an array<string> shingle column. */
+  def minhash_signature(shingles: Column, k: Int = 64, seed: Long = 42L): Column =
+    col(MinHashSignature(expr(shingles), k, seed))
+
+  /** 64-bit simhash of an array<string> token column. */
+  def simhash64(tokens: Column): Column = col(SimHash64(expr(tokens)))
+
+  /** rolling-hash document fingerprint (case/whitespace-normalized). */
+  def doc_fingerprint(text: Column): Column = col(DocFingerprint(expr(text)))
 }

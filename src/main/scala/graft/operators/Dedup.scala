@@ -1,0 +1,183 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.{doc_fingerprint, minhash_signature, simhash64}
+
+/**
+ * Deduplication operators for document corpora (SURVEY §2.3; the
+ * training-data-pipeline extension surface).
+ *
+ * Scale design (100 TB):
+ *  - exact dedup is one hash-shuffle on the dedup key; a fingerprint
+ *    (64-bit) is shuffled instead of full text, so exchange volume is
+ *    bytes-per-row, not document size.
+ *  - minhash LSH shuffles (band, bandHash) pairs — b×rows keys, each a
+ *    16-byte tuple; candidate verification joins only within buckets, so
+ *    the quadratic blowup is confined to colliding buckets. Oversized
+ *    buckets (degenerate content) are capped to bound worst-case skew.
+ *  - simhash shuffles one long per (table, row); hamming verification is
+ *    banded the same way (4×16-bit chunks ⇒ any pair within hamming
+ *    distance 3 of 64 bits shares ≥1 exact chunk).
+ *  - no driver-side collection anywhere.
+ */
+object Dedup {
+
+  /** Tokenize: lowercase, split on non-alphanumerics, drop empties. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9]+"), t => length(t) > 0)
+
+  /** Word w-shingles of the token array (w consecutive tokens joined). */
+  def shingles(toks: Column, w: Int = 3): Column = {
+    val idxs = sequence(lit(1), greatest(size(toks) - lit(w - 1), lit(1)))
+    when(size(toks) < w, array(concat_ws(" ", toks)))
+      .otherwise(transform(idxs, i => concat_ws(" ", slice(toks, i, lit(w)))))
+  }
+
+  /**
+   * Exact dedup: deterministic keeper per duplicate group — the minimum id
+   * wins (dropDuplicates keeps an arbitrary row; min-id is reproducible
+   * and oracle-friendly). Returns the kept rows.
+   */
+  def exactByKey(df: DataFrame, keyCols: Seq[String], idCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(idCol).asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Exact content dedup via 64-bit fingerprint (case/space-folded) —
+    * the scale path: groups by a long, never shuffles document text. */
+  def exactByFingerprint(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val fp = df.withColumn("__fp", doc_fingerprint(col(textCol)))
+    exactByKey(fp, Seq("__fp"), idCol).drop("__fp")
+  }
+
+  /**
+   * MinHash-LSH near-duplicate candidate pairs.
+   *
+   * signature: k lanes (numHashes), banded into `bands` groups of k/bands
+   * rows each; docs sharing any band bucket become candidates; candidates
+   * are scored by estimated Jaccard = matching lanes / k. Pairs with
+   * estJaccard ≥ threshold are returned as (id_a < id_b, est_jaccard).
+   *
+   * maxBucket caps degenerate buckets (e.g. empty docs) — a bucket with
+   * more members than this is dropped (logged volume, bounded skew).
+   */
+  def minhashPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.7,
+      maxBucket: Int = 1000): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+
+    val sigs = df.select(
+      col(idCol).as("id"),
+      minhash_signature(shingles(tokens(col(textCol))), numHashes).as("sig"))
+
+    // explode into (band, bandHash, id); bandHash = hash of the band's lanes
+    val banded = sigs.select(
+      col("id"), col("sig"),
+      explode(expr(
+        s"transform(sequence(0, ${bands - 1}), " +
+          s"b -> named_struct('band', b, 'bh', xxhash64(slice(sig, b * $rowsPerBand + 1, $rowsPerBand))))"))
+        .as("bb"))
+      .select(col("id"), col("sig"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+
+    // cap pathological buckets, then pair within buckets
+    val withSize = banded.withColumn("__bucket_n",
+      count(lit(1)).over(Window.partitionBy(col("band"), col("bh"))))
+      .filter(col("__bucket_n") <= maxBucket)
+      .drop("__bucket_n")
+
+    val a = withSize.select(col("band"), col("bh"),
+      col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = withSize.select(col("band"), col("bh"),
+      col("id").as("id_b"), col("sig").as("sig_b"))
+
+    val pairs = a.join(b, Seq("band", "bh"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
+      .dropDuplicates("id_a", "id_b")
+
+    pairs
+      .withColumn("est_jaccard",
+        expr(s"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), m -> m)) / cast($numHashes as double)"))
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("est_jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Connected-component-free dedup from candidate pairs: every doc that
+    * appears as the larger id of a qualifying pair is dropped (min-id
+    * representative per near-dup set, computed distributively). */
+  def minhashDedup(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.7): DataFrame = {
+    val losers = minhashPairs(df, textCol, idCol, numHashes, bands, threshold)
+      .select(col("id_b").as("__loser")).distinct()
+    df.join(losers, df(idCol) === col("__loser"), "left_anti")
+  }
+
+  /**
+   * SimHash near-duplicate pairs: 64-bit signature, banded into 4×16-bit
+   * chunks; pairs sharing a chunk are verified by exact hamming distance.
+   */
+  def simhashPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      maxHamming: Int = 3,
+      maxBucket: Int = 1000): DataFrame = {
+    val sigs = df.select(col(idCol).as("id"), simhash64(tokens(col(textCol))).as("sh"))
+    val banded = sigs.select(col("id"), col("sh"),
+      explode(expr(
+        "transform(sequence(0, 3), b -> named_struct('band', b, 'chunk', (sh >> (b * 16)) & 65535))"))
+        .as("bb"))
+      .select(col("id"), col("sh"), col("bb.band").as("band"), col("bb.chunk").as("chunk"))
+      .withColumn("__bucket_n",
+        count(lit(1)).over(Window.partitionBy(col("band"), col("chunk"))))
+      .filter(col("__bucket_n") <= maxBucket)
+      .drop("__bucket_n")
+
+    val a = banded.select(col("band"), col("chunk"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = banded.select(col("band"), col("chunk"), col("id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("band", "chunk"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", expr("bit_count(sh_a ^ sh_b)"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Exact n-gram Jaccard between candidate pairs (verification-grade
+    * similarity, usually applied after LSH candidate generation). */
+  def ngramJaccard(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      pairs: DataFrame, // columns id_a, id_b
+      w: Int = 3): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+      array_distinct(shingles(tokens(col(textCol)), w)).as("sh"))
+    pairs
+      .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_x"), Seq("id_a"))
+      .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_y"), Seq("id_b"))
+      .withColumn("jaccard",
+        expr("size(array_intersect(sh_x, sh_y)) / cast(size(array_union(sh_x, sh_y)) as double)"))
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+}

@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{cosine_similarity, dot_product}
+
+/**
+ * Similarity search over embedding columns (`array<float>`; SURVEY §2.3).
+ *
+ * Two paths:
+ *  - [[bruteForceTopK]] — exact: broadcast the (small) query set against
+ *    the corpus, score with the codegen'd cosine kernel, take top-k per
+ *    query with the window-rank pattern. At 100 TB this is one corpus
+ *    scan, no corpus shuffle (queries are broadcast), and the only
+ *    exchange is the per-query top-k combine — the right baseline when
+ *    the query set is bounded.
+ *  - [[lshTopK]] — approximate: random-hyperplane LSH (sign of dot with
+ *    `nBits` fixed pseudo-random planes → bucket id). Corpus is scored
+ *    only within matching buckets (multi-probe = exact bucket here),
+ *    cutting compared pairs by ~2^nBits while keeping recall high for
+ *    near neighbors; re-ranking is exact cosine. The bucketing is
+ *    deterministic (seeded planes), so results are reproducible.
+ */
+object Similarity {
+
+  /** Deterministic pseudo-random unit-ish hyperplanes: plane p component i
+    * derived from splitmix64(seed, p, i), mapped to [-1, 1). Generated as
+    * a literal array — tiny (nBits × dim), shipped in the plan. */
+  private def planes(nBits: Int, dim: Int, seed: Long): Array[Array[Float]] =
+    Array.tabulate(nBits) { p =>
+      Array.tabulate(dim) { i =>
+        val h = graft.functions.TextHash.mix64(seed + p * 1000003L + i)
+        ((h >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0).toFloat
+      }
+    }
+
+  /** Exact top-k cosine neighbors for each query row.
+    * queries/corpus: (idCol, vecCol). Output: query_id, rank, neighbor_id,
+    * score. Excludes self-matches when ids collide. */
+  def bruteForceTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int = 10): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", cosine_similarity(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** LSH bucket id: sign bit per hyperplane, packed into a long. */
+  private def bucketCol(
+      vec: org.apache.spark.sql.Column,
+      planesCol: org.apache.spark.sql.Column,
+      nBits: Int): org.apache.spark.sql.Column =
+    aggregate(
+      zip_with(planesCol, sequence(lit(0), lit(nBits - 1)),
+        (plane, idx) => when(dot_product(vec, plane) >= 0d,
+          pow(lit(2.0), idx).cast("long")).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Approximate top-k via random-hyperplane LSH bucketing + exact
+    * re-rank inside the candidate buckets. Multi-probe: each query also
+    * probes every bucket within hamming distance `probeRadius` of its own
+    * (flip-one-bit probing — the standard recall lever that costs probe
+    * fan-out on the tiny query side instead of more corpus replication). */
+  def lshTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int = 10,
+      nBits: Int = 8,
+      dim: Int = 64,
+      seed: Long = 42L,
+      probeRadius: Int = 1): DataFrame = {
+    val ps = planes(nBits, dim, seed)
+    val planesCol = typedLit(ps.map(_.toSeq).toSeq)
+
+    val q0 = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("__b", bucketCol(col("qv"), planesCol, nBits))
+    val probeCols = if (probeRadius >= 1)
+      col("__b") +: (0 until nBits).map(b => col("__b").bitwiseXOR(lit(1L << b)))
+    else Seq(col("__b"))
+    val q = q0.withColumn("bucket", explode(array(probeCols: _*))).drop("__b")
+
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumn("bucket", bucketCol(col("cv"), planesCol, nBits))
+
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", cosine_similarity(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Embedding near-duplicate pairs: all (a < b) pairs with cosine above
+    * `threshold`, bucketed by LSH to avoid the full cross join. */
+  def embeddingNearDupPairs(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double = 0.95,
+      nBits: Int = 6,
+      dim: Int = 64,
+      seed: Long = 42L): DataFrame = {
+    val ps = planes(nBits, dim, seed)
+    val planesCol = typedLit(ps.map(_.toSeq).toSeq)
+    val v = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("bucket", bucketCol(col("v"), planesCol, nBits))
+    val a = v.select(col("bucket"), col("id").as("id_a"), col("v").as("va"))
+    val b = v.select(col("bucket"), col("id").as("id_b"), col("v").as("vb"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("score", cosine_similarity(col("va"), col("vb")))
+      .filter(col("score") >= threshold)
+      .select(col("id_a"), col("id_b"), col("score"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+}

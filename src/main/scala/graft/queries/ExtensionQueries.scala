@@ -1,0 +1,193 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Sessionize, Similarity, TextAnalysis}
+import graft.sources.Tables
+
+/**
+ * LLM-data-pipeline extension operators (SURVEY §2.3): dedup, similarity
+ * search, text analysis, sessionization — registered over the
+ * documents/embeddings/events fixtures.
+ *
+ * Oracle policy: SQL-expressible semantics get a DuckDB twin (exact dedup,
+ * quality metrics, token frequency, language ID, sessionization, and
+ * exact brute-force top-k restricted to integer outputs). Operators whose
+ * core is a custom hash kernel (minhash/simhash/fingerprint/LSH) are
+ * registered rows-only and verified by planted-duplicate ScalaTests
+ * instead (SURVEY §7.4: gzip-style non-SQL-expressible ops).
+ */
+object ExtensionQueries extends QueryFamily {
+
+  // --- dedup ---
+
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exactByKey(
+      Tables.documents(spark, dir).select("doc_id", "lang", "source"),
+      Seq("lang", "source"), "doc_id")
+      .orderBy(col("doc_id"))
+
+  def dedupFingerprint(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exactByFingerprint(Tables.documents(spark, dir), "text", "doc_id")
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+
+  def dedupMinhashPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashPairs(Tables.documents(spark, dir), "text", "doc_id",
+      numHashes = 64, bands = 16, threshold = 0.5)
+
+  def dedupSimhashPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(Tables.documents(spark, dir), "text", "doc_id",
+      maxHamming = 8)
+
+  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val candidates = Dedup.minhashPairs(docs, "text", "doc_id",
+      numHashes = 64, bands = 16, threshold = 0.3)
+      .select("id_a", "id_b")
+    Dedup.ngramJaccard(docs, "text", "doc_id", candidates)
+  }
+
+  // --- similarity search ---
+
+  def simTopkBrute(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < 5)
+    Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 10)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+  }
+
+  def simTopkLsh(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < 5)
+    Similarity.lshTopK(emb, queries, "vec_id", "embedding", k = 10, nBits = 4)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+  }
+
+  def simNearDup(spark: SparkSession, dir: String): DataFrame =
+    Similarity.embeddingNearDupPairs(
+      Tables.embeddings(spark, dir), "vec_id", "embedding", threshold = 0.4, nBits = 4)
+      .select(col("id_a"), col("id_b"))
+
+  // --- text analysis ---
+
+  def textQuality(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityMetrics(Tables.documents(spark, dir), "text")
+      .select(col("doc_id"), col("n_chars_m"), col("n_tokens"),
+        col("mean_word_len"), col("punct_ratio"), col("stopword_ratio"))
+      .orderBy(col("doc_id"))
+
+  def textTokensTop(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenFrequency(Tables.documents(spark, dir), "text", topN = 20)
+
+  def textLangId(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.langId(Tables.documents(spark, dir), "text")
+      .select(col("doc_id"), col("lang"), col("pred_lang"))
+      .orderBy(col("doc_id"))
+
+  def textFingerprint(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.fingerprint(Tables.documents(spark, dir), "text")
+      .select(col("doc_id"), col("fp"))
+      .orderBy(col("doc_id"))
+
+  // --- sessionization ---
+
+  def sessionAssign(spark: SparkSession, dir: String): DataFrame =
+    Sessionize.assign(Tables.events(spark, dir))
+      .select(col("user_id"), col("event_id"), col("ts"), col("session_seq"))
+      .orderBy(col("user_id"), col("event_id"))
+
+  def sessionStats(spark: SparkSession, dir: String): DataFrame =
+    Sessionize.sessionStats(Tables.events(spark, dir))
+
+  val queries: Map[String, QueryFn] = Map(
+    "dedup_exact" -> (dedupExact _),
+    "dedup_fingerprint" -> (dedupFingerprint _),
+    "dedup_minhash_pairs" -> (dedupMinhashPairs _),
+    "dedup_simhash_pairs" -> (dedupSimhashPairs _),
+    "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "sim_topk_brute" -> (simTopkBrute _),
+    "sim_topk_lsh" -> (simTopkLsh _),
+    "sim_neardup" -> (simNearDup _),
+    "text_quality" -> (textQuality _),
+    "text_tokens_top" -> (textTokensTop _),
+    "text_langid" -> (textLangId _),
+    "text_fingerprint" -> (textFingerprint _),
+    "session_assign" -> (sessionAssign _),
+    "session_stats" -> (sessionStats _))
+
+  private val tokensSql =
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)"
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT doc_id, lang, source FROM (
+        |  SELECT doc_id, lang, source,
+        |    ROW_NUMBER() OVER (PARTITION BY lang, source ORDER BY doc_id) AS rn
+        |  FROM documents
+        |) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "sim_topk_brute" ->
+      """SELECT query_id, rank, neighbor_id FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id) AS rank
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        |  WHERE q.vec_id < 5
+        |) WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "text_quality" ->
+      s"""SELECT doc_id,
+         |  CAST(LENGTH(text) AS BIGINT) AS n_chars_m,
+         |  CAST(LEN($tokensSql) AS BIGINT) AS n_tokens,
+         |  CASE WHEN LEN($tokensSql) > 0
+         |    THEN CAST(LIST_SUM(LIST_TRANSFORM($tokensSql, x -> LEN(x))) AS DOUBLE)
+         |         / LEN($tokensSql)
+         |    ELSE 0.0 END AS mean_word_len,
+         |  CASE WHEN LENGTH(text) > 0
+         |    THEN CAST(LENGTH(REGEXP_REPLACE(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+         |         / LENGTH(text)
+         |    ELSE 0.0 END AS punct_ratio,
+         |  CASE WHEN LEN($tokensSql) > 0
+         |    THEN CAST(LEN(LIST_FILTER($tokensSql,
+         |           x -> x IN ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
+         |         / LEN($tokensSql)
+         |    ELSE 0.0 END AS stopword_ratio
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_tokens_top" ->
+      s"""SELECT token, COUNT(1) AS n FROM (
+         |  SELECT UNNEST($tokensSql) AS token FROM documents
+         |) GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
+    "session_assign" ->
+      """SELECT user_id, event_id, ts,
+        |  SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |FROM (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN LAG(ts) OVER w IS NULL THEN 1
+        |         WHEN EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER w) > 30 * 60 * 1000000 THEN 1
+        |         ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |)
+        |ORDER BY user_id, event_id""".stripMargin,
+    "session_stats" ->
+      """WITH assigned AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |  FROM (
+        |    SELECT user_id, event_id, ts, value,
+        |      CASE WHEN LAG(ts) OVER w IS NULL THEN 1
+        |           WHEN EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER w) > 30 * 60 * 1000000 THEN 1
+        |           ELSE 0 END AS new_s
+        |    FROM events
+        |    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |  )
+        |)
+        |SELECT user_id, session_seq,
+        |  MIN(ts) AS session_start, MAX(ts) AS session_end,
+        |  COUNT(1) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM assigned GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_seq""".stripMargin)
+}

@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog and runs far away into the green forest tonight"
+  private def docs = Seq(
+    (1L, base),
+    (2L, base + " extra"), // near-dup of 1 (one token appended)
+    (3L, base.replace("quick", "slow")), // near-dup of 1 (one token changed)
+    (4L, "completely different content about database engines and query optimizers running at scale"),
+    (5L, "another unrelated document mentioning spark catalyst tungsten and whole stage code generation"),
+    (6L, base) // exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("exactByFingerprint: case/whitespace variants collapse, min id kept") {
+    val df = Seq(
+      (10L, "Hello  World"),
+      (11L, "hello world"), // same after case/space folding
+      (12L, "HELLO\tWORLD\n"), // same
+      (13L, "goodbye world")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.exactByFingerprint(df, "text", "doc_id")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(10L, 13L))
+  }
+
+  test("minhashPairs finds planted near-dups and not unrelated docs") {
+    val pairs = Dedup.minhashPairs(docs, "text", "doc_id",
+      numHashes = 64, bands = 16, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), "append-one-token near-dup missed")
+    assert(pairs.contains((1L, 6L)), "exact dup missed")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L && p._1 != 5L),
+      "unrelated doc matched")
+  }
+
+  test("minhashDedup keeps the min-id representative of each dup set") {
+    val kept = Dedup.minhashDedup(docs, "text", "doc_id",
+      numHashes = 64, bands = 16, threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.contains(1L) && !kept.contains(6L))
+    assert(kept.contains(4L) && kept.contains(5L))
+  }
+
+  test("simhashPairs: hamming distance small for near-dups, large for unrelated") {
+    val pairs = Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 8)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect()
+    val m = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(m.get((1L, 6L)).contains(0), "exact dup should have hamming 0")
+    assert(m.contains((1L, 2L)), "near-dup should be within hamming 8")
+    assert(!m.contains((4L, 5L)), "unrelated docs should exceed hamming 8")
+  }
+
+  test("ngramJaccard: exact dup = 1.0, near-dup high, ordering deterministic") {
+    val cands = Seq((1L, 2L), (1L, 6L), (4L, 5L)).toDF("id_a", "id_b")
+    val j = Dedup.ngramJaccard(docs, "text", "doc_id", cands)
+      .as[(Long, Long, Double)].collect()
+      .map(p => (p._1, p._2) -> p._3).toMap
+    assert(j((1L, 6L)) == 1.0)
+    assert(j((1L, 2L)) > 0.8)
+    assert(j((4L, 5L)) == 0.0)
+  }
+
+  test("shingles/tokens behave on short and empty inputs") {
+    val df = Seq((1L, "one two"), (2L, ""), (3L, "single")).toDF("id", "text")
+    val out = df.select(col("id"),
+      Dedup.shingles(Dedup.tokens(col("text")), 3).as("sh")).collect()
+    assert(out.length == 3) // no crash on degenerate docs
+  }
+}

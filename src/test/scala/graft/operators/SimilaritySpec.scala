@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.{cosine_similarity, dot_product, l2_distance}
+import graft.sources.Tables
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine/dot/l2 expressions match hand-computed values") {
+    val df = Seq((Seq(1f, 2f, 0f), Seq(2f, 3f, 0f))).toDF("a", "b")
+    val row = df.select(
+      cosine_similarity(col("a"), col("b")),
+      dot_product(col("a"), col("b")),
+      l2_distance(col("a"), col("b"))).head()
+    assert(math.abs(row.getDouble(0) - 8.0 / (math.sqrt(5) * math.sqrt(13))) < 1e-15)
+    assert(row.getDouble(1) == 8.0)
+    assert(math.abs(row.getDouble(2) - math.sqrt(2.0)) < 1e-15)
+  }
+
+  test("identical vector is every query's nearest neighbor (brute force)") {
+    val emb = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)),
+      (1L, Seq(1f, 0f, 0f, 0f)), // identical to 0
+      (2L, Seq(0f, 1f, 0f, 0f)),
+      (3L, Seq(0.9f, 0.1f, 0f, 0f)),
+      (4L, Seq(-1f, 0f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(emb, emb.filter($"vec_id" === 0), "vec_id", "embedding", k = 3)
+      .select("rank", "neighbor_id").as[(Long, Long)].collect().toMap
+    assert(top(1L) == 1L) // identical vector first
+    assert(top(2L) == 3L) // then the 0.9 one
+    assert(top(3L) == 2L) // orthogonal before antipodal
+  }
+
+  test("LSH top-k achieves high recall vs brute force on the fixture") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter($"vec_id" < 10)
+    val brute = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshTopK(emb, queries, "vec_id", "embedding", k = 5, nBits = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute intersect lsh).size.toDouble / brute.size
+    assert(recall >= 0.3, s"LSH recall too low: $recall") // 16 buckets ⇒ ~6% random baseline
+  }
+
+  test("near-dup pairs: planted duplicate vector found at high threshold") {
+    val emb = Seq(
+      (0L, Seq(1f, 0.5f, 0.25f, 0f)),
+      (1L, Seq(1f, 0.5f, 0.25f, 0f)), // exact dup
+      (2L, Seq(0f, -1f, 0.7f, 0.1f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Similarity.embeddingNearDupPairs(emb, "vec_id", "embedding",
+      threshold = 0.99, nBits = 2, dim = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+}
