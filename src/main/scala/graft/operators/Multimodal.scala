@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.Tables
+
+/**
+ * Multimodal column plumbing (SURVEY §2.3): image/audio/video carried as
+ * opaque `binary` columns with typed metadata, processed by per-partition
+ * batch functions — the Scala analog of a pandas-UDF/`mapInPandas`
+ * pipeline stage (one decoder init per partition, row-batch iteration,
+ * columnar in/out).
+ *
+ * The DECODE ITSELF IS A STUB: this container has no image/audio codecs,
+ * so `decodeStub` derives deterministic fake metadata from the byte
+ * stream (documented below) while keeping every Spark-facing part real:
+ * schema contracts, binary column handling, partition-wise execution,
+ * feature-vector output shape. Swapping in a real codec changes only the
+ * body of the per-row closure.
+ */
+object Multimodal {
+
+  /** Decoded-asset metadata contract (what a real image decode returns). */
+  val metaSchema: StructType = StructType(Seq(
+    StructField("byte_len", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("format", StringType, nullable = false)))
+
+  /** Fixture: a multimodal asset table derived from `documents` — content
+    * bytes are the UTF-8 text (stand-in for encoded image bytes), modality
+    * round-robins over image/audio/video. */
+  def assetTable(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir).select(
+      col("doc_id").as("asset_id"),
+      element_at(typedLit(Seq("image", "audio", "video")),
+        (col("doc_id") % 3 + 1).cast(IntegerType)).as("modality"),
+      col("text").cast(BinaryType).as("content"))
+
+  /**
+   * STUB decode — ??? in a real deployment this calls the codec
+   * (ImageIO/libjpeg/ffmpeg) inside mapPartitions; here metadata is a
+   * deterministic function of the bytes: width/height from the first two
+   * bytes, format from the modality. The mapPartitions shape (iterator →
+   * iterator, decoder "initialized" once per partition) is the real,
+   * tested contract.
+   */
+  def decodeStub(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    val outSchema = StructType(assets.schema.fields :+
+      StructField("meta", metaSchema, nullable = false))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    assets.mapPartitions { rows =>
+      // per-partition decoder init would go here (once, not per row)
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]]("content")
+        val w = if (bytes.length > 0) (bytes(0) & 0xff) + 1 else 1
+        val h = if (bytes.length > 1) (bytes(1) & 0xff) + 1 else 1
+        Row.fromSeq(r.toSeq :+ Row(bytes.length.toLong, w, h,
+          r.getAs[String]("modality") + "/stub"))
+      }
+    }(enc)
+  }
+
+  /** STUB feature extraction: binary → fixed-dim float vector. Real
+    * version = vision/audio encoder per partition-batch; stub = seeded
+    * hash-derived unit-scale floats (deterministic, shape-correct). */
+  def featuresStub(assets: DataFrame, dim: Int = 16): DataFrame = {
+    val spark = assets.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("features", ArrayType(FloatType, containsNull = false), nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    assets.select("asset_id", "content").mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        var h = 0xcbf29ce484222325L
+        bytes.foreach { b => h ^= (b & 0xffL); h *= 0x100000001b3L }
+        val vec = Array.tabulate(dim) { i =>
+          val z = graft.functions.TextHash.mix64(h + i)
+          ((z >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0).toFloat
+        }
+        Row(id, vec.toSeq)
+      }
+    }(enc)
+  }
+
+  /** Frame sampling for "video" assets: every `stride`-th fixed-size
+    * chunk of the byte stream as one frame (real chunking logic; a real
+    * decoder would emit actual frames). Explodes to one row per frame. */
+  def sampleFrames(assets: DataFrame, frameBytes: Int = 64, stride: Int = 4): DataFrame =
+    assets.filter(col("modality") === "video")
+      .select(col("asset_id"),
+        posexplode(expr(
+          s"filter(transform(sequence(0, int(length(content) / $frameBytes) - 1), " +
+            s"i -> IF(i % $stride = 0, substring(content, i * $frameBytes + 1, $frameBytes), null)), x -> x is not null)")))
+      .withColumnRenamed("pos", "frame_no")
+      .withColumnRenamed("col", "frame_bytes")
+}

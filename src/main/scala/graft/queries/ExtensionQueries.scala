@@ -91,6 +91,28 @@ object ExtensionQueries extends QueryFamily {
       .select(col("doc_id"), col("fp"))
       .orderBy(col("doc_id"))
 
+  // --- multimodal ---
+
+  /** Binary-column metadata pass: byte length + content digest computed on
+    * the binary column (the oracle recomputes both from the source text —
+    * verifying the cast→binary plumbing end-to-end). */
+  def multimodalMeta(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Multimodal.assetTable(spark, dir)
+      .select(col("asset_id"), col("modality"),
+        length(col("content")).cast("long").as("byte_len"),
+        md5(col("content")).as("digest"))
+      .orderBy(col("asset_id"))
+
+  /** Stub decode + feature extraction through mapPartitions (pandas-UDF
+    * analog) — custom kernel, rows-only check + MultimodalSpec. */
+  def multimodalFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val assets = graft.operators.Multimodal.assetTable(spark, dir)
+    graft.operators.Multimodal.featuresStub(assets)
+      .select(col("asset_id"), size(col("features")).as("dim"),
+        element_at(col("features"), 1).as("f0"))
+      .orderBy(col("asset_id"))
+  }
+
   // --- sessionization ---
 
   def sessionAssign(spark: SparkSession, dir: String): DataFrame =
@@ -114,6 +136,8 @@ object ExtensionQueries extends QueryFamily {
     "text_tokens_top" -> (textTokensTop _),
     "text_langid" -> (textLangId _),
     "text_fingerprint" -> (textFingerprint _),
+    "multimodal_meta" -> (multimodalMeta _),
+    "multimodal_features" -> (multimodalFeatures _),
     "session_assign" -> (sessionAssign _),
     "session_stats" -> (sessionStats _))
 
@@ -157,6 +181,12 @@ object ExtensionQueries extends QueryFamily {
       s"""SELECT token, COUNT(1) AS n FROM (
          |  SELECT UNNEST($tokensSql) AS token FROM documents
          |) GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
+    "multimodal_meta" ->
+      """SELECT doc_id AS asset_id,
+        |  (['image', 'audio', 'video'])[CAST(doc_id % 3 AS INT) + 1] AS modality,
+        |  CAST(STRLEN(text) AS BIGINT) AS byte_len,
+        |  MD5(text) AS digest
+        |FROM documents ORDER BY asset_id""".stripMargin,
     "session_assign" ->
       """SELECT user_id, event_id, ts,
         |  SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id

@@ -1,0 +1,87 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Structured Streaming surface (SURVEY §7.2 step 5 — a NEW capability;
+ * the reference has no streaming semantics, §2.2). Batch/stream parity is
+ * the design rule: every transform here has a batch twin, and
+ * EventStreamsSpec asserts equality on the fixture.
+ *
+ * Scale notes: file-source streaming partitions by input file; the
+ * aggregations below are watermark-bounded so state is O(open windows ×
+ * keys), not O(history). At 100 TB/day the same plans run on a Kafka
+ * source unchanged — source swap is config, not code.
+ */
+object EventStreams {
+
+  /** Raw parquet schema of the events fixture (ts = TIMESTAMP(NANOS),
+    * readable only as long in legacy mode — see Tables.events). */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming read of the events table (file micro-batches). */
+  def readEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // file-stream sources need a directory; glob-filter the events table
+    spark.readStream
+      .schema(rawSchema)
+      .format("parquet")
+      .option("pathGlobFilter", "events.parquet")
+      .load(sfDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Tumbling-window counts per event type with a watermark. The batch
+    * twin runs the identical expression tree over Tables.events. */
+  def tumblingCounts(events: DataFrame, windowLen: String = "1 hour",
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(12, 2))).cast(DoubleType).as("sum_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Event-time session windows (30-minute gap) per user — the streaming
+    * twin of [[graft.operators.Sessionize]]. */
+  def sessionStats(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(12, 2))).cast(DoubleType).as("sum_value"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("n_events"), col("sum_value"))
+
+  /** Watermarked streaming dedup by event_id (exactly-once style ingest
+    * guard; state bounded by the watermark horizon). */
+  def dedupedStream(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Run any of the above to completion against the (bounded) fixture and
+    * return the materialized result — used by tests to assert batch
+    * parity. */
+  def runToBatch(spark: SparkSession, streaming: DataFrame, name: String,
+      outputMode: String = "append"): DataFrame = {
+    val q = streaming.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(outputMode)
+      .start()
+    try {
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(name)
+  }
+}

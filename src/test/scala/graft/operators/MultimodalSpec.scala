@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("asset table carries binary content + modality") {
+    val assets = Multimodal.assetTable(spark, sfDir)
+    assert(assets.schema("content").dataType.typeName == "binary")
+    val mods = assets.select("modality").distinct().as[String].collect().toSet
+    assert(mods == Set("image", "audio", "video"))
+  }
+
+  test("decodeStub emits typed metadata per row via mapPartitions") {
+    val decoded = Multimodal.decodeStub(Multimodal.assetTable(spark, sfDir))
+    val row = decoded.filter($"asset_id" === 0).select("meta.*").head()
+    assert(row.getAs[Long]("byte_len") > 0)
+    assert(row.getAs[Int]("width") >= 1 && row.getAs[Int]("width") <= 256)
+    assert(row.getAs[String]("format").endsWith("/stub"))
+    assert(decoded.count() == 500)
+  }
+
+  test("featuresStub: fixed-dim deterministic vectors") {
+    val assets = Multimodal.assetTable(spark, sfDir)
+    val f1 = Multimodal.featuresStub(assets, dim = 16).orderBy("asset_id").collect()
+    val f2 = Multimodal.featuresStub(assets, dim = 16).orderBy("asset_id").collect()
+    assert(f1.sameElements(f2)) // deterministic
+    assert(f1.head.getSeq[Float](1).length == 16)
+  }
+
+  test("sampleFrames: strided chunking of video assets only") {
+    val assets = Multimodal.assetTable(spark, sfDir)
+    val frames = Multimodal.sampleFrames(assets, frameBytes = 32, stride = 2)
+    assert(frames.count() > 0)
+    val ids = frames.select("asset_id").distinct().as[Long].collect().toSet
+    val videoIds = assets.filter($"modality" === "video")
+      .select("asset_id").as[Long].collect().toSet
+    assert(ids.subsetOf(videoIds))
+    val f = frames.head()
+    assert(f.getAs[Array[Byte]]("frame_bytes").length == 32)
+  }
+}
