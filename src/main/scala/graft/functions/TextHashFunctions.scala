@@ -87,6 +87,138 @@ object TextHash extends Serializable {
 
   def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 
+  /** Tokenize raw text the way `Dedup.tokens` does (ASCII-lowercase, split
+    * on non-[a-z0-9]) directly over UTF-8 bytes, returning token slices as
+    * (start, end) offsets into the lowercased copy. Single allocation. */
+  private def tokenize(s: UTF8String): (Array[Byte], Array[Int], Int) = {
+    val src = s.getBytes
+    val buf = new Array[Byte](src.length)
+    // token boundaries: starts(i), ends(i) — packed into one array as pairs
+    val bounds = new Array[Int](src.length + 2)
+    var nTok = 0
+    var i = 0
+    var inTok = false
+    while (i < src.length) {
+      val c = src(i)
+      val lc: Byte = if (c >= 'A' && c <= 'Z') (c + 32).toByte else c
+      val isTok = (lc >= 'a' && lc <= 'z') || (lc >= '0' && lc <= '9')
+      buf(i) = lc
+      if (isTok && !inTok) { bounds(2 * nTok) = i; inTok = true }
+      if (!isTok && inTok) { bounds(2 * nTok + 1) = i; nTok += 1; inTok = false }
+      i += 1
+    }
+    if (inTok) { bounds(2 * nTok + 1) = src.length; nTok += 1 }
+    (buf, bounds, nTok)
+  }
+
+  /** FNV-1a over the bytes of tokens [from, until) joined by ' ' — equals
+    * baseHash(concat_ws(" ", tokens)) without building the string. */
+  @inline private def shingleHash(
+      buf: Array[Byte], bounds: Array[Int], from: Int, until: Int): Long = {
+    var h = 0xcbf29ce484222325L
+    var t = from
+    while (t < until) {
+      if (t > from) { h ^= ' '.toLong; h *= 0x100000001b3L }
+      var i = bounds(2 * t)
+      val end = bounds(2 * t + 1)
+      while (i < end) {
+        h ^= (buf(i) & 0xffL)
+        h *= 0x100000001b3L
+        i += 1
+      }
+      t += 1
+    }
+    h
+  }
+
+  /** Fused tokenize→w-shingle→k-lane minhash: one pass over the text, no
+    * token/shingle string materialization. Semantically identical to
+    * `minhash(shingles(tokens(text), w), k, seed)` for ASCII text (the
+    * HOF path lowercases non-ASCII too, but non-alnum bytes are token
+    * separators either way). This is the 100 TB hot path: the HOF chain
+    * is interpreted (no codegen) and allocates ~tokens×w string bytes per
+    * row; this kernel is codegen-called, allocation-free per shingle. */
+  def minhashText(s: UTF8String, w: Int, k: Int, seed: Long): ArrayData = {
+    val (buf, bounds, nTok) = tokenize(s)
+    val laneSeed = new Array[Long](k)
+    var i = 0
+    while (i < k) { laneSeed(i) = mix64(seed + i); i += 1 }
+    val sig = Array.fill(k)(Long.MaxValue)
+    val nShingles = if (nTok < w) 1 else nTok - w + 1
+    var j = 0
+    while (j < nShingles) {
+      val base = shingleHash(buf, bounds, j, math.min(j + w, nTok))
+      i = 0
+      while (i < k) {
+        val h = mix64(base ^ laneSeed(i))
+        if (h < sig(i)) sig(i) = h
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** Fused tokenize→w-shingle→distinct hash set, sorted ascending —
+    * the set representation for exact Jaccard verification. Hashing the
+    * shingles changes |A∩B|/|A∪B| only on 64-bit collisions (~2⁻⁶⁴),
+    * while shrinking the shuffled set payload from shingle strings
+    * (~w×word bytes each) to 8 bytes per element. */
+  def shingleHashSet(s: UTF8String, w: Int): ArrayData = {
+    val (buf, bounds, nTok) = tokenize(s)
+    val nShingles = if (nTok < w) 1 else nTok - w + 1
+    val hs = new Array[Long](nShingles)
+    var j = 0
+    while (j < nShingles) {
+      hs(j) = shingleHash(buf, bounds, j, math.min(j + w, nTok))
+      j += 1
+    }
+    java.util.Arrays.sort(hs)
+    var n = 0
+    var i = 0
+    while (i < nShingles) { // in-place dedup of the sorted array
+      if (i == 0 || hs(i) != hs(i - 1)) { hs(n) = hs(i); n += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(hs, n))
+  }
+
+  /** |A∩B| of two ascending-sorted long arrays (merge walk, O(n+m)). */
+  def sortedIntersectSize(a: ArrayData, b: ArrayData): Int = {
+    var i = 0; var j = 0; var n = 0
+    val na = a.numElements(); val nb = b.numElements()
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { n += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    n
+  }
+
+  /** Fused tokenize→simhash (same tokenization as [[minhashText]]). */
+  def simhashText(s: UTF8String): Long = {
+    val (buf, bounds, nTok) = tokenize(s)
+    val counts = new Array[Int](64)
+    var t = 0
+    while (t < nTok) {
+      val h = mix64(shingleHash(buf, bounds, t, t + 1))
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      t += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
   /** Polynomial rolling-hash fingerprint of whitespace-normalized text —
     * the document-fingerprint primitive (content-defined identity). */
   def fingerprint(s: UTF8String): Long = {
@@ -138,6 +270,59 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.simhash($c)")
   override def prettyName: String = "simhash64"
   override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
+}
+
+/** minhash_text(text, w, k, seed): string → array<long> — fused
+  * tokenize/shingle/minhash kernel (see [[TextHash.minhashText]]). */
+case class MinHashText(child: Expression, w: Int, k: Int, seed: Long)
+    extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    TextHash.minhashText(v.asInstanceOf[UTF8String], w, k, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.minhashText($c, $w, $k, ${seed}L)")
+  override def prettyName: String = "minhash_text"
+  override protected def withNewChildInternal(c: Expression): MinHashText = copy(child = c)
+}
+
+/** shingle_hash_set(text, w): string → array<long> — sorted distinct
+  * w-shingle hashes (for exact Jaccard verification joins). */
+case class ShingleHashSet(child: Expression, w: Int) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    TextHash.shingleHashSet(v.asInstanceOf[UTF8String], w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.shingleHashSet($c, $w)")
+  override def prettyName: String = "shingle_hash_set"
+  override protected def withNewChildInternal(c: Expression): ShingleHashSet = copy(child = c)
+}
+
+/** sorted_intersect_size(a, b): two sorted array<long> → int. */
+case class SortedIntersectSize(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = IntegerType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextHash.sortedIntersectSize(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.TextHash.sortedIntersectSize($a, $b)")
+  override def prettyName: String = "sorted_intersect_size"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedIntersectSize =
+    copy(left = l, right = r)
+}
+
+/** simhash_text(text): string → long — fused tokenize/simhash kernel. */
+case class SimHashText(child: Expression) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(v: Any): Any =
+    TextHash.simhashText(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.simhashText($c)")
+  override def prettyName: String = "simhash_text"
+  override protected def withNewChildInternal(c: Expression): SimHashText = copy(child = c)
 }
 
 /** doc_fingerprint(text): string → long (rolling hash, case/space-folded). */

@@ -46,6 +46,22 @@ package object functions {
   /** 64-bit simhash of an array<string> token column. */
   def simhash64(tokens: Column): Column = col(SimHash64(expr(tokens)))
 
+  /** Fused tokenize→w-shingle→k-lane minhash over raw text (the scale
+    * path: no token/shingle materialization; see TextHash.minhashText). */
+  def minhash_text(text: Column, w: Int = 3, k: Int = 64, seed: Long = 42L): Column =
+    col(MinHashText(expr(text), w, k, seed))
+
+  /** Fused tokenize→simhash over raw text. */
+  def simhash_text(text: Column): Column = col(SimHashText(expr(text)))
+
+  /** Sorted distinct w-shingle hash set of raw text (Jaccard verification). */
+  def shingle_hash_set(text: Column, w: Int = 3): Column =
+    col(ShingleHashSet(expr(text), w))
+
+  /** |a ∩ b| for two ascending-sorted array<long> columns. */
+  def sorted_intersect_size(a: Column, b: Column): Column =
+    col(SortedIntersectSize(expr(a), expr(b)))
+
   /** rolling-hash document fingerprint (case/whitespace-normalized). */
   def doc_fingerprint(text: Column): Column = col(DocFingerprint(expr(text)))
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.functions.{doc_fingerprint, minhash_signature, simhash64}
+import graft.functions.{doc_fingerprint, minhash_text, shingle_hash_set, simhash_text, sorted_intersect_size}
 
 /**
  * Deduplication operators for document corpora (SURVEY §2.3; the
@@ -80,7 +80,7 @@ object Dedup {
 
     val sigs = df.select(
       col(idCol).as("id"),
-      minhash_signature(shingles(tokens(col(textCol))), numHashes).as("sig"))
+      minhash_text(col(textCol), w = 3, k = numHashes).as("sig"))
 
     // explode into (band, bandHash, id); bandHash = hash of the band's lanes
     val banded = sigs.select(
@@ -91,27 +91,30 @@ object Dedup {
         .as("bb"))
       .select(col("id"), col("sig"), col("bb.band").as("band"), col("bb.bh").as("bh"))
 
-    // cap pathological buckets, then pair within buckets
-    val withSize = banded.withColumn("__bucket_n",
-      count(lit(1)).over(Window.partitionBy(col("band"), col("bh"))))
-      .filter(col("__bucket_n") <= maxBucket)
-      .drop("__bucket_n")
+    // ONE shuffle builds the buckets; singleton buckets (no pairs) and
+    // oversized buckets (degenerate content — the skew guard) drop with a
+    // plain filter on the aggregated size, no extra exchange. Pairs are
+    // then generated map-side within each bucket (double posexplode,
+    // bounded by maxBucket²) and scored before anything shuffles again —
+    // the pair-dedup exchange carries only 24-byte (id, id, est) rows.
+    val buckets = banded
+      .groupBy(col("band"), col("bh"))
+      .agg(collect_list(struct(col("id"), col("sig"))).as("items"))
+      .filter(size(col("items")).between(2, maxBucket))
 
-    val a = withSize.select(col("band"), col("bh"),
-      col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = withSize.select(col("band"), col("bh"),
-      col("id").as("id_b"), col("sig").as("sig_b"))
-
-    val pairs = a.join(b, Seq("band", "bh"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
-      .dropDuplicates("id_a", "id_b")
+    val pairs = buckets
+      .select(col("items"), posexplode(col("items")).as(Seq("pi", "a")))
+      .select(col("pi"), col("a"), posexplode(col("items")).as(Seq("pj", "b")))
+      .filter(col("pi") < col("pj"))
+      .select(
+        least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"),
+        expr(s"size(filter(zip_with(a.sig, b.sig, (x, y) -> x = y), m -> m)) / cast($numHashes as double)")
+          .as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
 
     pairs
-      .withColumn("est_jaccard",
-        expr(s"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), m -> m)) / cast($numHashes as double)"))
-      .filter(col("est_jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("est_jaccard"))
+      .dropDuplicates("id_a", "id_b")
       .orderBy(col("id_a"), col("id_b"))
   }
 
@@ -140,25 +143,29 @@ object Dedup {
       idCol: String,
       maxHamming: Int = 3,
       maxBucket: Int = 1000): DataFrame = {
-    val sigs = df.select(col(idCol).as("id"), simhash64(tokens(col(textCol))).as("sh"))
+    val sigs = df.select(col(idCol).as("id"), simhash_text(col(textCol)).as("sh"))
     val banded = sigs.select(col("id"), col("sh"),
       explode(expr(
         "transform(sequence(0, 3), b -> named_struct('band', b, 'chunk', (sh >> (b * 16)) & 65535))"))
         .as("bb"))
       .select(col("id"), col("sh"), col("bb.band").as("band"), col("bb.chunk").as("chunk"))
-      .withColumn("__bucket_n",
-        count(lit(1)).over(Window.partitionBy(col("band"), col("chunk"))))
-      .filter(col("__bucket_n") <= maxBucket)
-      .drop("__bucket_n")
 
-    val a = banded.select(col("band"), col("chunk"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = banded.select(col("band"), col("chunk"), col("id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("band", "chunk"))
-      .filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
-      .withColumn("hamming", expr("bit_count(sh_a ^ sh_b)"))
+    // same single-shuffle bucket shape as minhashPairs
+    val buckets = banded
+      .groupBy(col("band"), col("chunk"))
+      .agg(collect_list(struct(col("id"), col("sh"))).as("items"))
+      .filter(size(col("items")).between(2, maxBucket))
+
+    buckets
+      .select(col("items"), posexplode(col("items")).as(Seq("pi", "a")))
+      .select(col("pi"), col("a"), posexplode(col("items")).as(Seq("pj", "b")))
+      .filter(col("pi") < col("pj"))
+      .select(
+        least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"),
+        expr("bit_count(a.sh ^ b.sh)").as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .select(col("id_a"), col("id_b"), col("hamming"))
+      .dropDuplicates("id_a", "id_b")
       .orderBy(col("id_a"), col("id_b"))
   }
 
@@ -170,13 +177,27 @@ object Dedup {
       idCol: String,
       pairs: DataFrame, // columns id_a, id_b
       w: Int = 3): DataFrame = {
+    // The candidate set is evaluated ONCE (it is typically the output of
+    // LSH banding — an expensive DAG; naive double-join would recompute it
+    // per reference). Each pair explodes into two (id_a, id_b, id) rows
+    // which are broadcast — post-LSH candidates are orders of magnitude
+    // smaller than the corpus, so the corpus-side shingle sets stream
+    // map-side with no shuffle. Shingle sets are sorted distinct 64-bit
+    // hashes: 8 B/element payload and an O(n+m) merge-walk intersection
+    // instead of string-array intersect.
+    val side = pairs.select(col("id_a"), col("id_b"),
+      explode(array(col("id_a"), col("id_b"))).as("id"))
     val sh = df.select(col(idCol).as("id"),
-      array_distinct(shingles(tokens(col(textCol)), w)).as("sh"))
-    pairs
-      .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_x"), Seq("id_a"))
-      .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_y"), Seq("id_b"))
+      shingle_hash_set(col(textCol), w).as("sh"))
+    sh.join(broadcast(side), Seq("id"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(
+        first(when(col("id") === col("id_a"), col("sh")), ignoreNulls = true).as("sh_x"),
+        first(when(col("id") === col("id_b"), col("sh")), ignoreNulls = true).as("sh_y"))
+      .filter(col("sh_x").isNotNull && col("sh_y").isNotNull) // id absent from df ⇒ drop pair (inner-join semantics)
+      .withColumn("__inter", sorted_intersect_size(col("sh_x"), col("sh_y")))
       .withColumn("jaccard",
-        expr("size(array_intersect(sh_x, sh_y)) / cast(size(array_union(sh_x, sh_y)) as double)"))
+        col("__inter") / (size(col("sh_x")) + size(col("sh_y")) - col("__inter")).cast("double"))
       .select(col("id_a"), col("id_b"), col("jaccard"))
       .orderBy(col("id_a"), col("id_b"))
   }

@@ -32,9 +32,12 @@ object TextAnalysis {
     * stopword ratio, uppercase ratio — the usual pretraining filters. */
   def qualityMetrics(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)
-    val toks = filter(split(lower(t), "[^a-z0-9]+"), x => length(x) > 0)
+    // tokenize once into a column — inlining the (interpreted) HOF filter
+    // into every metric would rerun the regex split ~7× per row
+    val toks = col("__toks")
     val stopwords = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
-    df.withColumn("n_chars_m", length(t).cast(LongType))
+    df.withColumn("__toks", filter(split(lower(t), "[^a-z0-9]+"), x => length(x) > 0))
+      .withColumn("n_chars_m", length(t).cast(LongType))
       .withColumn("n_tokens", size(toks).cast(LongType))
       .withColumn("mean_word_len",
         when(size(toks) > 0,
@@ -50,6 +53,7 @@ object TextAnalysis {
           size(filter(toks, x => x.isin(stopwords.map(lit(_)): _*))).cast(DoubleType)
             / size(toks))
           .otherwise(lit(0.0)))
+      .drop("__toks")
   }
 
   /** Language ID: n-gram-free stopword-profile heuristic — score each
@@ -63,26 +67,26 @@ object TextAnalysis {
     "zh" -> Seq("的", "是", "和", "在", "了", "有", "我", "不"))
 
   def langId(df: DataFrame, textCol: String): DataFrame = {
-    val toks = filter(split(lower(col(textCol)), "[^\\p{L}0-9]+"), x => length(x) > 0)
-    val scored = langMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
-      struct(
-        size(filter(toks, x => x.isin(markers.map(lit(_)): _*))).as("hits"),
-        lit(lang).as("lang"))
-    }
-    // array_max on struct(hits, lang): max hits, ties → lexicographically
-    // LAST lang; invert by scoring with negative? keep deterministic:
-    // max on (hits, reverse-rank of lang) — encode rank so ties pick
-    // alphabetically-first language.
+    // Tokenize ONCE into a real column, then score each language over it —
+    // inlining the token expression into every marker filter would
+    // re-evaluate the regex split per language per reference (the HOF
+    // filters are interpreted, so Catalyst's codegen CSE can't rescue it).
+    // array_max on struct(hits, negrank, lang): max hits; ties pick the
+    // alphabetically-first language via the negated rank.
     val ranked = langMarkers.keys.toSeq.sorted.zipWithIndex.toMap
     val scoredRanked = langMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
       struct(
-        size(filter(toks, x => x.isin(markers.map(lit(_)): _*))).as("hits"),
+        size(filter(col("__toks"), x => x.isin(markers.map(lit(_)): _*))).as("hits"),
         lit(-ranked(lang)).as("negrank"),
         lit(lang).as("lang"))
     }
-    df.withColumn("pred_lang",
-      when(array_max(array(scoredRanked: _*)).getField("hits") <= 0, lit("und"))
-        .otherwise(array_max(array(scoredRanked: _*)).getField("lang")))
+    df.withColumn("__toks",
+      filter(split(lower(col(textCol)), "[^\\p{L}0-9]+"), x => length(x) > 0))
+      .withColumn("__best", array_max(array(scoredRanked: _*)))
+      .withColumn("pred_lang",
+        when(col("__best").getField("hits") <= 0, lit("und"))
+          .otherwise(col("__best").getField("lang")))
+      .drop("__toks", "__best")
   }
 
   /** 64-bit rolling-hash fingerprint column (custom expression). */

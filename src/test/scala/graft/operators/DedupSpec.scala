@@ -72,4 +72,19 @@ class DedupSpec extends SparkSpec {
       Dedup.shingles(Dedup.tokens(col("text")), 3).as("sh")).collect()
     assert(out.length == 3) // no crash on degenerate docs
   }
+
+  test("fused kernels equal the composed HOF path (minhash + simhash)") {
+    import graft.functions.{minhash_signature, minhash_text, simhash64, simhash_text}
+    val df = docs.union(Seq((7L, ""), (8L, "one two"), (9L, "Tabs\tAnd  SPACES!! 42"))
+      .toDF("doc_id", "text"))
+    val cmp = df.select(
+      minhash_signature(Dedup.shingles(Dedup.tokens(col("text")), 3), 64).as("slow_mh"),
+      minhash_text(col("text"), 3, 64).as("fast_mh"),
+      simhash64(Dedup.tokens(col("text"))).as("slow_sh"),
+      simhash_text(col("text")).as("fast_sh")).collect()
+    cmp.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1), "minhash mismatch")
+      assert(r.getLong(2) == r.getLong(3), "simhash mismatch")
+    }
+  }
 }
