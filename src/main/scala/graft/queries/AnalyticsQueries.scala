@@ -97,6 +97,33 @@ object AnalyticsQueries extends QueryFamily {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Approximate quantiles (GK/KLL-style sketch, mergeable across
+    * partitions — the 100 TB path for percentiles; exact percentile would
+    * need a global sort). Accuracy 1e6 makes the result exact at test SF,
+    * which is what lets DuckDB's quantile_disc serve as the oracle. */
+  def aggApproxQuantiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        percentile_approx(col("l_quantity"), lit(0.25), lit(1000000)).as("q25"),
+        percentile_approx(col("l_quantity"), lit(0.5), lit(1000000)).as("q50"),
+        percentile_approx(col("l_quantity"), lit(0.75), lit(1000000)).as("q75"),
+        percentile_approx(col("l_quantity"), lit(0.95), lit(1000000)).as("q95"))
+      .orderBy(col("l_returnflag"))
+
+  /** HLL++ approximate distinct count (fixed-size mergeable sketch — the
+    * 100 TB path for cardinality; exact COUNT(DISTINCT) shuffles every
+    * distinct value). Sketch internals differ across engines, so this is
+    * rows-only for the driver; the error bound is asserted in
+    * AnalyticsSpec against the exact count. */
+  def aggApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        approx_count_distinct(col("o_custkey"), 0.02).as("approx_customers"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderstatus"))
+
   /** row_number / rank / dense_rank over a per-customer price ordering;
     * top-3 per customer via the rank≤k pattern (no global sort). */
   def windowRank(spark: SparkSession, dir: String): DataFrame = {
@@ -148,6 +175,22 @@ object AnalyticsQueries extends QueryFamily {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
+  /** ntile / percent_rank / cume_dist / first-last frame values — the
+    * distribution-rank window family. */
+  def windowNtile(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    val wFrame = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        ntile(4).over(w).cast(LongType).as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cdist"),
+        first(col("o_orderkey")).over(wFrame).as("cheapest_order"),
+        last(col("o_orderkey")).over(wFrame).as("priciest_order"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "q1_agg" -> (q1Agg _),
     "agg_distinct" -> (aggDistinct _),
@@ -155,10 +198,13 @@ object AnalyticsQueries extends QueryFamily {
     "agg_cube" -> (aggCube _),
     "agg_grouping_sets" -> (aggGroupingSets _),
     "agg_stats" -> (aggStats _),
+    "agg_approx_quantiles" -> (aggApproxQuantiles _),
+    "agg_approx_distinct" -> (aggApproxDistinct _),
     "window_rank" -> (windowRank _),
     "window_lag_lead" -> (windowLagLead _),
     "window_running" -> (windowRunning _),
-    "window_moving" -> (windowMoving _))
+    "window_moving" -> (windowMoving _),
+    "window_ntile" -> (windowNtile _))
 
   val oracles: Map[String, String] = Map(
     "q1_agg" ->
@@ -206,6 +252,25 @@ object AnalyticsQueries extends QueryFamily {
         |    - (CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(1))
         |      * (CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(1)) AS var_qty
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_approx_quantiles" ->
+      """SELECT l_returnflag,
+        |  QUANTILE_DISC(l_quantity, 0.25) AS q25,
+        |  QUANTILE_DISC(l_quantity, 0.5) AS q50,
+        |  QUANTILE_DISC(l_quantity, 0.75) AS q75,
+        |  QUANTILE_DISC(l_quantity, 0.95) AS q95
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "window_ntile" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+        |  PERCENT_RANK() OVER w AS pct_rank,
+        |  CUME_DIST() OVER w AS cdist,
+        |  FIRST_VALUE(o_orderkey) OVER wf AS cheapest_order,
+        |  LAST_VALUE(o_orderkey) OVER wf AS priciest_order
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey),
+        |  wf AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "window_rank" ->
       """SELECT * FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,

@@ -1,0 +1,31 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class AnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("approx_count_distinct stays within the configured rsd bound") {
+    // 10k rows, exactly 1000 distinct keys, skewed repetition
+    val df = (1 to 10000).map(i => (i % 1000).toLong).toDF("k")
+    val Row = df.agg(
+      approx_count_distinct(col("k"), 0.02).as("approx"),
+      countDistinct(col("k")).as("exact")).collect()(0)
+    val (approx, exact) = (Row.getLong(0), Row.getLong(1))
+    assert(exact == 1000L)
+    // HLL++ rsd 0.02 ⇒ |err| < 3σ = 6% with overwhelming probability
+    assert(math.abs(approx - exact) <= 0.06 * exact,
+      s"approx=$approx exact=$exact")
+  }
+
+  test("percentile_approx at high accuracy returns exact discrete quantiles") {
+    val df = (1 to 999).map(_.toDouble).toDF("v")
+    val r = df.agg(
+      percentile_approx(col("v"), lit(0.5), lit(1000000)).as("q50"),
+      percentile_approx(col("v"), lit(0.25), lit(1000000)).as("q25")).collect()(0)
+    assert(r.getDouble(0) == 500.0)
+    assert(r.getDouble(1) == 250.0)
+  }
+}
