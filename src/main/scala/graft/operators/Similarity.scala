@@ -109,6 +109,68 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /**
+   * IVF-flat approximate top-k: the other classic ANN scale path.
+   *
+   * Coarse quantizer: `nCells` centroids picked deterministically from the
+   * corpus (rows with the smallest `mix64(id)` — reproducible reservoir
+   * analog; real IVF would k-means-refine, but cell *assignment* mechanics
+   * and probe routing are identical). Collecting the centroids to the
+   * driver is bounded model state (nCells × dim floats), not data — every
+   * IVF implementation ships its coarse quantizer to all workers.
+   *
+   * Index side: each corpus vector is assigned to its best cell by max
+   * inner product — one broadcast table scan, no shuffle. Query side: each
+   * query probes its `nProbe` best cells; exact cosine re-rank happens only
+   * inside probed cells, cutting compared pairs by ~nCells/nProbe.
+   */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int = 10,
+      nCells: Int = 16,
+      nProbe: Int = 4): DataFrame = {
+    val cents = corpus
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .orderBy(xxhash64(col("id")).asc, col("id").asc) // deterministic pseudo-random pick
+      .limit(nCells)
+      .collect()
+      .map(r => r.getSeq[Float](1))
+    require(cents.nonEmpty, "corpus is empty — cannot build IVF cells")
+    val centsCol = typedLit(cents.toSeq)
+    val nc = cents.length
+
+    // best = struct(score, cellIdx) with max score; ties → lowest cell idx
+    def bestCells(vec: org.apache.spark.sql.Column) =
+      sort_array(
+        zip_with(centsCol, sequence(lit(0), lit(nc - 1)),
+          (cent, idx) => struct(dot_product(vec, cent).as("s"), (-idx).cast("int").as("negidx"))),
+        asc = false)
+
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumn("cell", minus(element_at(bestCells(col("cv")), 1).getField("negidx")))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("cell",
+        explode(transform(slice(bestCells(col("qv")), 1, math.min(nProbe, nc)),
+          s => minus(s.getField("negidx")))))
+
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", cosine_similarity(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private def minus(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (c * -1).cast("int")
+
   /** Embedding near-duplicate pairs: all (a < b) pairs with cosine above
     * `threshold`, bucketed by LSH to avoid the full cross join. */
   def embeddingNearDupPairs(

@@ -80,6 +80,9 @@ object TraceExport {
     * inclusive, END_TIME unconstrained — ParameterDataRepository.java:65-67),
     * ORDER BY paramIndex, startTime, decompress payload to text. */
   def export(trace: DataFrame, ids: Seq[Long], start: Timestamp, end: Timestamp): DataFrame = {
+    // A1 semantic check (DataExportController.java:39-43): inverted range
+    // is a caller error, not an empty result.
+    require(!start.after(end), s"startTime must be before endTime: $start > $end")
     if (ids.isEmpty) {
       // F3: empty id list → empty result without scanning
       // (ParameterDataRepository.java:54-56). Catalyst would also fold
@@ -104,6 +107,7 @@ object TraceExport {
     * output partitions only. Preferred at 100 TB where a total order across
     * files buys nothing. */
   def exportUnordered(trace: DataFrame, ids: Seq[Long], start: Timestamp, end: Timestamp): DataFrame = {
+    require(!start.after(end), s"startTime must be before endTime: $start > $end")
     if (ids.isEmpty)
       return trace.sparkSession.createDataFrame(
         trace.sparkSession.sparkContext.emptyRDD[Row], outputSchema)

@@ -65,6 +65,13 @@ object ExtensionQueries extends QueryFamily {
       .select(col("query_id"), col("rank"), col("neighbor_id"))
   }
 
+  def simTopkIvf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < 5)
+    Similarity.ivfTopK(emb, queries, "vec_id", "embedding", k = 10, nCells = 16, nProbe = 4)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+  }
+
   def simNearDup(spark: SparkSession, dir: String): DataFrame =
     Similarity.embeddingNearDupPairs(
       Tables.embeddings(spark, dir), "vec_id", "embedding", threshold = 0.4, nBits = 4)
@@ -131,6 +138,7 @@ object ExtensionQueries extends QueryFamily {
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "sim_topk_brute" -> (simTopkBrute _),
     "sim_topk_lsh" -> (simTopkLsh _),
+    "sim_topk_ivf" -> (simTopkIvf _),
     "sim_neardup" -> (simNearDup _),
     "text_quality" -> (textQuality _),
     "text_tokens_top" -> (textTokensTop _),

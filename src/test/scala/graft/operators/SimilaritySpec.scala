@@ -46,6 +46,18 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.3, s"LSH recall too low: $recall") // 16 buckets ⇒ ~6% random baseline
   }
 
+  test("IVF top-k achieves high recall vs brute force on the fixture") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter($"vec_id" < 10)
+    val brute = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+      k = 5, nCells = 16, nProbe = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    assert(recall >= 0.3, s"IVF recall too low: $recall") // 4/16 cells probed ⇒ 25% random baseline
+  }
+
   test("near-dup pairs: planted duplicate vector found at high threshold") {
     val emb = Seq(
       (0L, Seq(1f, 0.5f, 0.25f, 0f)),

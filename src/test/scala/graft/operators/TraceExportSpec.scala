@@ -30,6 +30,13 @@ class TraceExportSpec extends SparkSpec {
     assert(out.count() == 3)
   }
 
+  test("A1: inverted time range is a caller error (reference 400 semantic)") {
+    val seed = TraceExport.referenceSeed(spark)
+    intercept[IllegalArgumentException] {
+      TraceExport.export(seed, Seq(1L), jan1, jan0)
+    }
+  }
+
   test("F3: empty id list → empty result with the output schema, no scan") {
     val out = TraceExport.export(TraceExport.referenceSeed(spark), Seq.empty, jan0, jan1)
     assert(out.isEmpty && out.schema == TraceExport.outputSchema)
