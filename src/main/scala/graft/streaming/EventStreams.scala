@@ -69,6 +69,31 @@ object EventStreams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Accumulated per-user state for [[runningTotals]]. */
+  case class UserTotals(user_id: Long, n_events: Long, sum_value: Double)
+
+  /** Custom streaming state via `mapGroupsWithState`: per-user running
+    * totals that survive across micro-batches (the escape hatch for
+    * state machines session_window can't express — per-key counters,
+    * CEP-ish logic, custom eviction). State size is O(distinct users);
+    * production would add a `GroupStateTimeout` eviction policy. */
+  def runningTotals(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    events.selectExpr("user_id", "value").as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[UserTotals, UserTotals](GroupStateTimeout.NoTimeout) {
+        (user, rows, state) =>
+          var n = state.getOption.map(_.n_events).getOrElse(0L)
+          var s = state.getOption.map(_.sum_value).getOrElse(0.0)
+          rows.foreach { case (_, v) => n += 1; s += v }
+          val out = UserTotals(user, n, s)
+          state.update(out)
+          out
+      }
+      .toDF()
+  }
+
   /** Run any of the above to completion against the (bounded) fixture and
     * return the materialized result — used by tests to assert batch
     * parity. */

@@ -46,4 +46,21 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed.count() == batchEvents.count()) // fixture has unique ids
     assert(streamed.select("event_id").distinct().count() == streamed.count())
   }
+
+  test("mapGroupsWithState running totals equal the batch groupBy") {
+    val streamed = EventStreams.runToBatch(spark,
+      EventStreams.runningTotals(spark, EventStreams.readEvents(spark, sfDir)),
+      "t_state", outputMode = "update")
+    val batch = batchEvents.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // update mode re-emits a row per user per micro-batch; keep the last
+    val last = streamed.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(last.size == batch.size)
+    last.foreach { case (u, (n, s)) =>
+      assert(n == batch(u)._1, s"user $u count")
+      assert(math.abs(s - batch(u)._2) < 1e-6, s"user $u sum") // double assoc.
+    }
+  }
 }
