@@ -1,0 +1,55 @@
+package graft.queries
+
+import graft.{SparkSpec, SparkEntry}
+
+/**
+ * Physical-plan assertions: lock in the plan shapes that make these
+ * queries scale — a regression here (lost pushdown, missed broadcast,
+ * resurrected global sort) is a 100 TB performance bug even when every
+ * correctness test stays green.
+ */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+
+  test("f2_timerange pushes both range predicates into the parquet scan") {
+    val p = plan("f2_timerange")
+    assert(p.contains("PushedFilters") && p.contains("GreaterThanOrEqual(l_shipdate") &&
+      p.contains("LessThanOrEqual(l_shipdate"), p)
+    // pruned read: only the 3 projected columns reach the scan
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_shipdate"), p)
+  }
+
+  test("trace_export pushes the IN-list into the scan") {
+    val p = plan("trace_export")
+    assert(p.contains("In(user_id"), p)
+  }
+
+  test("q5_multijoin broadcasts every dimension side (5 broadcast joins)") {
+    val p = plan("q5_multijoin")
+    // FormattedMode prints each node in tree + detail section; 5 joins ⇒ ≥5 hits
+    assert("\\+\\- BroadcastHashJoin".r.findAllIn(p).size == 5, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("topk_limit plans as TakeOrderedAndProject (no global sort, no shuffle)") {
+    val p = plan("topk_limit")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("window_rank top-3 uses WindowGroupLimit pushdown on both shuffle sides") {
+    val p = plan("window_rank")
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("q1_agg aggregates partially before the exchange (map-side combine)") {
+    val p = plan("q1_agg")
+    val aggIdx = p.indexOf("HashAggregate")
+    assert(aggIdx >= 0, p)
+    // partial-final pair: two HashAggregates with one Exchange between
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+}
