@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Temporal joins for time-series tables (the natural operator family for
+ * the reference's sensor-trace domain: "what was the last reading at the
+ * time of each event").
+ *
+ * [[asofJoin]] is the union-and-sweep formulation: tag both inputs, union
+ * them with each side's exclusive columns null on the other side, sort
+ * per key by (ts, side), and carry the most recent right-side values
+ * forward with `last(_, ignoreNulls)` over an unbounded-preceding frame.
+ * ONE shuffle (the per-key sort), no join node at all — the classic
+ * merge-free as-of that scales linearly in rows, where a naive
+ * `l.ts >= r.ts` range join explodes to O(|L|·|R|) per key. Spark has no
+ * native ASOF JOIN; DuckDB does, which makes it a perfect oracle.
+ */
+object Temporal {
+
+  /**
+   * For every left row, attach the latest right-side `valueCols` with
+   * `right.ts <= left.ts` on the same key (at-or-before match: a reading
+   * at exactly left.ts is visible). No match → nulls; left rows always
+   * survive. Left columns pass through unchanged; `valueCols` must not
+   * collide with left column names.
+   */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valueCols: Seq[String]): DataFrame = {
+    val collisions = valueCols.toSet.intersect(left.columns.toSet)
+    require(collisions.isEmpty, s"valueCols collide with left columns: $collisions")
+    val passthrough = left.columns.toSeq.filterNot(c => c == keyCol || c == tsCol)
+
+    // side 0 = right, 1 = left: at equal ts the right row sorts first
+    val taggedRight = right.select(
+      (col(keyCol) +: col(tsCol) +: lit(0).as("__side") +:
+        passthrough.map(c => lit(null).cast(left.schema(c).dataType).as(c))) ++
+        valueCols.map(c => col(c)): _*)
+    val taggedLeft = left.select(
+      (col(keyCol) +: col(tsCol) +: lit(1).as("__side") +:
+        passthrough.map(col)) ++
+        valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    taggedRight.unionByName(taggedLeft)
+      .select(
+        (col(keyCol) +: col(tsCol) +: col("__side") +: passthrough.map(col)) ++
+          valueCols.map(c => last(col(c), ignoreNulls = true).over(w).as(c)): _*)
+      .filter(col("__side") === 1)
+      .drop("__side")
+  }
+}

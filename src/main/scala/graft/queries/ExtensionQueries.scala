@@ -120,6 +120,24 @@ object ExtensionQueries extends QueryFamily {
       .orderBy(col("asset_id"))
   }
 
+  // --- temporal ---
+
+  /** As-of join: each click event picks up the user's latest purchase
+    * value at-or-before the click. Right side pre-aggregated per (user,
+    * ts) so the at-equal-ts match is deterministic. */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("user_id", "ts", "event_id")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("value")).as("purchase_value"))
+    graft.operators.Temporal.asofJoin(clicks, purchases, "user_id", "ts",
+      Seq("purchase_value"))
+      .select(col("user_id"), col("event_id"), col("ts"), col("purchase_value"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   // --- sessionization ---
 
   def sessionAssign(spark: SparkSession, dir: String): DataFrame =
@@ -146,6 +164,7 @@ object ExtensionQueries extends QueryFamily {
     "text_fingerprint" -> (textFingerprint _),
     "multimodal_meta" -> (multimodalMeta _),
     "multimodal_features" -> (multimodalFeatures _),
+    "asof_join" -> (asofJoin _),
     "session_assign" -> (sessionAssign _),
     "session_stats" -> (sessionStats _))
 
@@ -195,6 +214,14 @@ object ExtensionQueries extends QueryFamily {
         |  CAST(STRLEN(text) AS BIGINT) AS byte_len,
         |  MD5(text) AS digest
         |FROM documents ORDER BY asset_id""".stripMargin,
+    "asof_join" ->
+      """SELECT l.user_id, l.event_id, l.ts, r.purchase_value
+        |FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click') l
+        |ASOF LEFT JOIN (
+        |  SELECT user_id, ts, MAX(value) AS purchase_value
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+        |) r ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.user_id, l.event_id""".stripMargin,
     "session_assign" ->
       """SELECT user_id, event_id, ts,
         |  SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id

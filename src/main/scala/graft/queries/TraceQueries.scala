@@ -30,10 +30,25 @@ object TraceQueries extends QueryFamily {
       Timestamp.valueOf("2024-01-01 00:00:00"),
       Timestamp.valueOf("2024-01-31 23:59:59"))
 
+  /** Typed extension path (SURVEY §1.3): the reference carries the
+    * decompressed payload opaquely; here it continues into typed columns
+    * via from_json over the gunzipped text — the "what the reference
+    * would do next" query. */
+  def traceTyped(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    traceExport(spark, dir)
+      .select(
+        col("paramIndex"), col("startTime"),
+        from_json(col("traceData"), StructType(Seq(StructField("k", IntegerType))))
+          .getField("k").as("k"))
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "trace_export" -> (traceExport _),
     "trace_export_empty" -> (traceExportEmpty _),
-    "trace_seed_golden" -> (traceSeedGolden _))
+    "trace_seed_golden" -> (traceSeedGolden _),
+    "trace_typed" -> (traceTyped _))
 
   val oracles: Map[String, String] = Map(
     "trace_export" ->
@@ -50,6 +65,15 @@ object TraceQueries extends QueryFamily {
       """SELECT user_id AS paramIndex, ts AS startTime,
         |       ts + INTERVAL 60 SECOND AS endTime, props AS traceData
         |FROM events WHERE 1 = 0""".stripMargin,
+    "trace_typed" ->
+      """SELECT user_id AS paramIndex,
+        |       ts AS startTime,
+        |       CAST(JSON_EXTRACT(props, '$.k') AS INT) AS k
+        |FROM events
+        |WHERE user_id IN (1, 2, 3, 5, 8, 13)
+        |  AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+        |  AND ts <= TIMESTAMP '2024-01-31 23:59:59'
+        |ORDER BY paramIndex, startTime""".stripMargin,
     "trace_seed_golden" ->
       """SELECT * FROM (VALUES
         |  (CAST(1 AS BIGINT), TIMESTAMP '2024-01-10 10:00:00',

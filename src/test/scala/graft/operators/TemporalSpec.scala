@@ -1,0 +1,37 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+
+class TemporalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("asofJoin picks the latest right row at-or-before each left ts") {
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "a"),
+      (1L, ts("2024-01-01 12:00:00"), "b"),
+      (1L, ts("2024-01-01 09:00:00"), "early"), // before any reading
+      (2L, ts("2024-01-01 11:00:00"), "other-key")
+    ).toDF("k", "ts", "tag")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:30:00"), 10.0),
+      (1L, ts("2024-01-01 10:00:00"), 20.0), // exactly simultaneous with 'a'
+      (1L, ts("2024-01-01 11:30:00"), 30.0),
+      (3L, ts("2024-01-01 00:00:00"), 99.0) // key absent from left
+    ).toDF("k", "ts", "reading")
+
+    val out = Temporal.asofJoin(left, right, "k", "ts", Seq("reading"))
+      .select("k", "tag", "reading").collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+
+    assert(out((1L, "a")).contains(20.0)) // simultaneous reading visible
+    assert(out((1L, "b")).contains(30.0))
+    assert(out((1L, "early")).isEmpty)    // no reading yet → null
+    assert(out((2L, "other-key")).isEmpty)
+    assert(out.size == 4)                 // every left row survives
+  }
+}
