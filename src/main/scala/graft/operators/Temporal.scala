@@ -58,4 +58,43 @@ object Temporal {
       .filter(col("__side") === 1)
       .drop("__side")
   }
+
+  /**
+   * Interval-containment join WITHOUT an equi-key: every (interval, point)
+   * pair with `start <= ts <= end`, via time-grid bucketing.
+   *
+   * Naively this is a pure theta join — Spark plans it as a broadcast
+   * nested loop (O(|I|·|P|)), which dies at scale. Bucketing the time axis
+   * into `cellSeconds` cells makes it an equi-join on the cell id:
+   * intervals replicate to each cell they overlap (≤ len/cellSeconds + 1
+   * copies), points land in exactly one cell — so each qualifying pair
+   * meets in exactly one cell and needs no post-dedup. Pick `cellSeconds`
+   * ≈ the typical interval length: replication stays ~2× and each cell's
+   * candidate set stays local.
+   *
+   * Column names of the two inputs must be disjoint.
+   */
+  def intervalJoin(
+      intervals: DataFrame,
+      points: DataFrame,
+      startCol: String,
+      endCol: String,
+      tsCol: String,
+      cellSeconds: Long): DataFrame = {
+    require(cellSeconds > 0, "cellSeconds must be positive")
+    val collisions = intervals.columns.toSet.intersect(points.columns.toSet)
+    require(collisions.isEmpty, s"input column names collide: $collisions")
+    val cellUs = cellSeconds * 1000000L
+    // cast NTZ→LTZ first (UTC session ⇒ same wall clock); unix_micros
+    // accepts only TimestampType
+    def cellOf(c: org.apache.spark.sql.Column) =
+      floor(unix_micros(c.cast("timestamp")) / cellUs)
+
+    val i = intervals.withColumn("__cell",
+      explode(sequence(cellOf(col(startCol)), cellOf(col(endCol)))))
+    val p = points.withColumn("__cell", cellOf(col(tsCol)))
+    i.join(p, Seq("__cell"))
+      .filter(col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol))
+      .drop("__cell")
+  }
 }

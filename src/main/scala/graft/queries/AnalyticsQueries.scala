@@ -175,6 +175,30 @@ object AnalyticsQueries extends QueryFamily {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
+  /** Pivot: per-customer order counts spread across status columns.
+    * `pivot(col, values)` with explicit values keeps the plan a single
+    * hash aggregate (no extra distinct-values job) — the scale form. */
+  def aggPivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .select(col("o_custkey"), col("F").as("n_f"), col("O").as("n_o"), col("P").as("n_p"))
+      .orderBy(col("o_custkey"))
+
+  /** Unpivot (melt): wide per-lineitem rate columns → long (measure,
+    * value) pairs — the inverse reshape, one Expand node, no shuffle. */
+  def aggUnpivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_discount"), col("l_tax"))
+      .unpivot(
+        ids = Array(col("l_orderkey"), col("l_linenumber")),
+        values = Array(col("l_discount"), col("l_tax")),
+        variableColumnName = "measure",
+        valueColumnName = "rate")
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("measure"))
+
   /** ntile / percent_rank / cume_dist / first-last frame values — the
     * distribution-rank window family. */
   def windowNtile(spark: SparkSession, dir: String): DataFrame = {
@@ -200,6 +224,8 @@ object AnalyticsQueries extends QueryFamily {
     "agg_stats" -> (aggStats _),
     "agg_approx_quantiles" -> (aggApproxQuantiles _),
     "agg_approx_distinct" -> (aggApproxDistinct _),
+    "agg_pivot" -> (aggPivot _),
+    "agg_unpivot" -> (aggUnpivot _),
     "window_rank" -> (windowRank _),
     "window_lag_lead" -> (windowLagLead _),
     "window_running" -> (windowRunning _),
@@ -259,6 +285,18 @@ object AnalyticsQueries extends QueryFamily {
         |  QUANTILE_DISC(l_quantity, 0.75) AS q75,
         |  QUANTILE_DISC(l_quantity, 0.95) AS q95
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_pivot" ->
+      """SELECT o_custkey,
+        |  COUNT(1) FILTER (o_orderstatus = 'F') AS n_f,
+        |  COUNT(1) FILTER (o_orderstatus = 'O') AS n_o,
+        |  COUNT(1) FILTER (o_orderstatus = 'P') AS n_p
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "agg_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, measure, rate FROM (
+        |  SELECT l_orderkey, l_linenumber, 'l_discount' AS measure, l_discount AS rate FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+        |) ORDER BY l_orderkey, l_linenumber, measure""".stripMargin,
     "window_ntile" ->
       """SELECT o_custkey, o_orderkey, o_totalprice,
         |  CAST(NTILE(4) OVER w AS BIGINT) AS quartile,

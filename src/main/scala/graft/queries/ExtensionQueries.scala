@@ -138,6 +138,23 @@ object ExtensionQueries extends QueryFamily {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** Interval-containment join (no equi-key): clicks falling inside the
+    * 10-minute window after each purchase, grid-bucketed so the theta
+    * join becomes an equi-join on the time cell. */
+  def intervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val intervals = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("interval_id"),
+        col("ts").as("win_start"),
+        (col("ts") + expr("INTERVAL 10 MINUTES")).as("win_end"))
+    val points = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("point_id"), col("ts").as("click_ts"))
+    graft.operators.Temporal.intervalJoin(
+      intervals, points, "win_start", "win_end", "click_ts", cellSeconds = 600L)
+      .select(col("interval_id"), col("point_id"))
+      .orderBy(col("interval_id"), col("point_id"))
+  }
+
   // --- sessionization ---
 
   def sessionAssign(spark: SparkSession, dir: String): DataFrame =
@@ -165,6 +182,7 @@ object ExtensionQueries extends QueryFamily {
     "multimodal_meta" -> (multimodalMeta _),
     "multimodal_features" -> (multimodalFeatures _),
     "asof_join" -> (asofJoin _),
+    "interval_join" -> (intervalJoin _),
     "session_assign" -> (sessionAssign _),
     "session_stats" -> (sessionStats _))
 
@@ -222,6 +240,13 @@ object ExtensionQueries extends QueryFamily {
         |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
         |) r ON l.user_id = r.user_id AND l.ts >= r.ts
         |ORDER BY l.user_id, l.event_id""".stripMargin,
+    "interval_join" ->
+      """SELECT i.interval_id, p.point_id
+        |FROM (SELECT event_id AS interval_id, ts AS s, ts + INTERVAL 10 MINUTE AS e
+        |      FROM events WHERE event_type = 'purchase') i
+        |JOIN (SELECT event_id AS point_id, ts FROM events WHERE event_type = 'click') p
+        |  ON p.ts >= i.s AND p.ts <= i.e
+        |ORDER BY i.interval_id, p.point_id""".stripMargin,
     "session_assign" ->
       """SELECT user_id, event_id, ts,
         |  SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id

@@ -34,4 +34,24 @@ class TemporalSpec extends SparkSpec {
     assert(out((2L, "other-key")).isEmpty)
     assert(out.size == 4)                 // every left row survives
   }
+
+  test("intervalJoin equals the naive theta join, incl. cell-boundary spans") {
+    val intervals = Seq(
+      (10L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:20:00")), // spans 3 cells at 600s
+      (20L, ts("2024-01-01 10:05:00"), ts("2024-01-01 10:06:00")),
+      (30L, ts("2024-01-02 00:00:00"), ts("2024-01-02 00:01:00")) // no points
+    ).toDF("interval_id", "s", "e")
+    val points = Seq(
+      (1L, ts("2024-01-01 10:00:00")), // == start boundary
+      (2L, ts("2024-01-01 10:05:30")),
+      (3L, ts("2024-01-01 10:20:00")), // == end boundary
+      (4L, ts("2024-01-01 11:00:00"))  // outside everything
+    ).toDF("point_id", "p")
+    val grid = Temporal.intervalJoin(intervals, points, "s", "e", "p", cellSeconds = 600L)
+      .select("interval_id", "point_id").as[(Long, Long)].collect().toSet
+    val naive = intervals.join(points, $"p" >= $"s" && $"p" <= $"e")
+      .select("interval_id", "point_id").as[(Long, Long)].collect().toSet
+    assert(grid == naive)
+    assert(grid == Set((10L, 1L), (10L, 2L), (10L, 3L), (20L, 2L)))
+  }
 }
