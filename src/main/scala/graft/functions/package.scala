@@ -64,4 +64,10 @@ package object functions {
 
   /** rolling-hash document fingerprint (case/whitespace-normalized). */
   def doc_fingerprint(text: Column): Column = col(DocFingerprint(expr(text)))
+
+  /** Bounded top-k aggregate: per group, the k largest values descending
+    * (k-element min-heap buffer ⇒ partial agg ships k doubles per group
+    * per partition, unlike the shuffle-everything window-rank pattern). */
+  def topk_doubles(c: Column, k: Int): Column =
+    col(TopKDoubles(expr(c), k).toAggregateExpression())
 }

@@ -175,6 +175,20 @@ object AnalyticsQueries extends QueryFamily {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
+  /** Custom TypedImperativeAggregate: per-customer top-3 order values via
+    * a k-bounded min-heap buffer — partial aggregation ships ≤3 doubles
+    * per (customer, partition) where the window-rank pattern shuffles and
+    * sorts every order row. */
+  def aggTopkCustom(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(graft.functions.topk_doubles(col("o_totalprice"), 3).as("top"))
+      .select(col("o_custkey"),
+        try_element_at(col("top"), lit(1)).as("v1"),
+        try_element_at(col("top"), lit(2)).as("v2"),
+        try_element_at(col("top"), lit(3)).as("v3"))
+      .orderBy(col("o_custkey"))
+
   /** Pivot: per-customer order counts spread across status columns.
     * `pivot(col, values)` with explicit values keeps the plan a single
     * hash aggregate (no extra distinct-values job) — the scale form. */
@@ -226,6 +240,7 @@ object AnalyticsQueries extends QueryFamily {
     "agg_approx_distinct" -> (aggApproxDistinct _),
     "agg_pivot" -> (aggPivot _),
     "agg_unpivot" -> (aggUnpivot _),
+    "agg_topk_custom" -> (aggTopkCustom _),
     "window_rank" -> (windowRank _),
     "window_lag_lead" -> (windowLagLead _),
     "window_running" -> (windowRunning _),
@@ -285,6 +300,12 @@ object AnalyticsQueries extends QueryFamily {
         |  QUANTILE_DISC(l_quantity, 0.75) AS q75,
         |  QUANTILE_DISC(l_quantity, 0.95) AS q95
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_topk_custom" ->
+      """SELECT o_custkey,
+        |  (list_sort(list(o_totalprice), 'DESC'))[1] AS v1,
+        |  (list_sort(list(o_totalprice), 'DESC'))[2] AS v2,
+        |  (list_sort(list(o_totalprice), 'DESC'))[3] AS v3
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
     "agg_pivot" ->
       """SELECT o_custkey,
         |  COUNT(1) FILTER (o_orderstatus = 'F') AS n_f,

@@ -143,6 +143,32 @@ object RelationalQueries extends QueryFamily {
       .offset(100)
       .limit(50)
 
+  /** Correlated scalar subquery through the SQL entry point — Catalyst
+    * decorrelates it to an outer join + aggregate (integer count, so the
+    * oracle compare is exact). */
+  def subScalarCount(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("customer_sq")
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_sq")
+    spark.sql(
+      """SELECT c_custkey, c_name,
+        |  (SELECT COUNT(1) FROM orders_sq o
+        |   WHERE o.o_custkey = c.c_custkey
+        |     AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00') AS n_recent
+        |FROM customer_sq c ORDER BY c_custkey""".stripMargin)
+  }
+
+  /** NOT IN subquery (null-free key ⇒ plans as left-anti join). */
+  def subNotIn(spark: SparkSession, dir: String): DataFrame = {
+    Tables.part(spark, dir).createOrReplaceTempView("part_sq")
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem_sq")
+    spark.sql(
+      """SELECT p_partkey, p_name FROM part_sq
+        |WHERE p_partkey NOT IN (
+        |  SELECT l_partkey FROM lineitem_sq
+        |  WHERE l_shipdate >= TIMESTAMP '2001-06-01 00:00:00')
+        |ORDER BY p_partkey""".stripMargin)
+  }
+
   /** UNION ALL of two disjoint slices. */
   def setUnionAll(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
@@ -187,7 +213,9 @@ object RelationalQueries extends QueryFamily {
     "limit_offset" -> (limitOffset _),
     "set_union_all" -> (setUnionAll _),
     "set_intersect" -> (setIntersect _),
-    "set_except" -> (setExcept _))
+    "set_except" -> (setExcept _),
+    "sub_scalar_count" -> (subScalarCount _),
+    "sub_not_in" -> (subNotIn _))
 
   val oracles: Map[String, String] = Map(
     "s2_projection" ->
@@ -271,5 +299,17 @@ object RelationalQueries extends QueryFamily {
         |EXCEPT
         |SELECT o_custkey FROM orders
         |WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00' AND o_orderdate < TIMESTAMP '2001-01-01 00:00:00'
-        |ORDER BY o_custkey""".stripMargin)
+        |ORDER BY o_custkey""".stripMargin,
+    "sub_scalar_count" ->
+      """SELECT c_custkey, c_name,
+        |  (SELECT COUNT(1) FROM orders o
+        |   WHERE o.o_custkey = c.c_custkey
+        |     AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00') AS n_recent
+        |FROM customer c ORDER BY c_custkey""".stripMargin,
+    "sub_not_in" ->
+      """SELECT p_partkey, p_name FROM part
+        |WHERE p_partkey NOT IN (
+        |  SELECT l_partkey FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '2001-06-01 00:00:00')
+        |ORDER BY p_partkey""".stripMargin)
 }

@@ -20,6 +20,20 @@ class AnalyticsSpec extends SparkSpec {
       s"approx=$approx exact=$exact")
   }
 
+  test("topk_doubles equals sort-then-take across many partitions (merge path)") {
+    val rnd = new scala.util.Random(7)
+    val data = (1 to 5000).map(i => (i % 37L, rnd.nextDouble() * 1000))
+    val df = data.toDF("g", "v").repartition(16) // force partial-agg merges
+    val got = df.groupBy(col("g"))
+      .agg(graft.functions.topk_doubles(col("v"), 5).as("top"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val want = data.groupBy(_._1).map { case (g, vs) =>
+      g -> vs.map(_._2).sorted(Ordering[Double].reverse).take(5)
+    }
+    got.foreach { case (g, top) => assert(top == want(g), s"group $g") }
+    assert(got.keySet == want.keySet)
+  }
+
   test("percentile_approx at high accuracy returns exact discrete quantiles") {
     val df = (1 to 999).map(_.toDouble).toDF("v")
     val r = df.agg(
