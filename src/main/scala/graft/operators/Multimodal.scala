@@ -88,6 +88,37 @@ object Multimodal {
     }(enc)
   }
 
+  /** STUB resize: binary "image" → binary at a target byte budget. A real
+    * implementation decodes, scales to (w, h) and re-encodes inside the
+    * same per-partition batch loop; the stub's deterministic byte
+    * transform (strided sampling of the source bytes down to `targetBytes`)
+    * keeps the contract — output is a new, smaller binary column, metadata
+    * records the target dims — while the Spark plumbing stays real. */
+  def resizeStub(assets: DataFrame, targetW: Int = 64, targetH: Int = 64): DataFrame = {
+    val targetBytes = targetW * targetH / 16 // stand-in "encoded" size
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("resized", BinaryType, nullable = false),
+      StructField("target_w", IntegerType, nullable = false),
+      StructField("target_h", IntegerType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    assets.filter(col("modality") === "image")
+      .select("asset_id", "content").mapPartitions { rows =>
+        // per-partition codec init would go here
+        rows.map { r =>
+          val bytes = r.getAs[Array[Byte]](1)
+          val n = math.min(targetBytes, math.max(bytes.length, 1))
+          val out = new Array[Byte](n)
+          var i = 0
+          while (i < n) {
+            out(i) = if (bytes.isEmpty) 0 else bytes((i.toLong * bytes.length / n).toInt)
+            i += 1
+          }
+          Row(r.getLong(0), out, targetW, targetH)
+        }
+      }(enc)
+  }
+
   /** Frame sampling for "video" assets: every `stride`-th fixed-size
     * chunk of the byte stream as one frame (real chunking logic; a real
     * decoder would emit actual frames). Explodes to one row per frame. */

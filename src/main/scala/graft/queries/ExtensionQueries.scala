@@ -93,6 +93,15 @@ object ExtensionQueries extends QueryFamily {
       .select(col("doc_id"), col("lang"), col("pred_lang"))
       .orderBy(col("doc_id"))
 
+  /** Token counting: whitespace tokens + BPE-ish subword estimate
+    * (alphanumeric runs + punctuation marks each count once). */
+  def textTokenCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).as("ws_tokens"),
+      TextAnalysis.subwordCount(col("text")).as("subword_tokens"))
+      .orderBy(col("doc_id"))
+
   def textFingerprint(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.fingerprint(Tables.documents(spark, dir), "text")
       .select(col("doc_id"), col("fp"))
@@ -178,6 +187,7 @@ object ExtensionQueries extends QueryFamily {
     "text_quality" -> (textQuality _),
     "text_tokens_top" -> (textTokensTop _),
     "text_langid" -> (textLangId _),
+    "text_token_count" -> (textTokenCount _),
     "text_fingerprint" -> (textFingerprint _),
     "multimodal_meta" -> (multimodalMeta _),
     "multimodal_features" -> (multimodalFeatures _),
@@ -226,6 +236,12 @@ object ExtensionQueries extends QueryFamily {
       s"""SELECT token, COUNT(1) AS n FROM (
          |  SELECT UNNEST($tokensSql) AS token FROM documents
          |) GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
+    "text_token_count" ->
+      s"""SELECT doc_id,
+         |  CAST(LEN(LIST_FILTER(STRING_SPLIT_REGEX(text, '\\s+'), x -> LEN(x) > 0)) AS BIGINT) AS ws_tokens,
+         |  CAST(LEN($tokensSql) AS BIGINT)
+         |    + CAST(LENGTH(REGEXP_REPLACE(text, '[a-zA-Z0-9\\s]', '', 'g')) AS BIGINT) AS subword_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "multimodal_meta" ->
       """SELECT doc_id AS asset_id,
         |  (['image', 'audio', 'video'])[CAST(doc_id % 3 AS INT) + 1] AS modality,

@@ -31,6 +31,20 @@ class MultimodalSpec extends SparkSpec {
     assert(f1.head.getSeq[Float](1).length == 16)
   }
 
+  test("resizeStub: image assets only, bounded output size, deterministic") {
+    val assets = Multimodal.assetTable(spark, sfDir)
+    val resized = Multimodal.resizeStub(assets, targetW = 64, targetH = 64)
+    val imageIds = assets.filter($"modality" === "image")
+      .select("asset_id").as[Long].collect().toSet
+    val rows = resized.collect()
+    assert(rows.map(_.getLong(0)).toSet == imageIds)
+    assert(rows.forall(_.getAs[Array[Byte]]("resized").length <= 64 * 64 / 16))
+    assert(rows.forall(r => r.getInt(2) == 64 && r.getInt(3) == 64))
+    val again = Multimodal.resizeStub(assets, 64, 64).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("resized").toSeq).toMap
+    assert(rows.forall(r => again(r.getLong(0)) == r.getAs[Array[Byte]]("resized").toSeq))
+  }
+
   test("sampleFrames: strided chunking of video assets only") {
     val assets = Multimodal.assetTable(spark, sfDir)
     val frames = Multimodal.sampleFrames(assets, frameBytes = 32, stride = 2)
