@@ -135,4 +135,16 @@ object TraceExport {
       case false => true
     }
   }
+
+  /** A2 typed-error variant: the reference maps an empty export to
+    * NoDataFoundException → HTTP 404 (NoDataFoundException.java:9-14,
+    * DataExportController.java:50-52); this is the engine-level analog
+    * for callers that want the reference's service semantics. */
+  def exportToParquetStrict(result: DataFrame, path: String): Unit =
+    if (!exportToParquet(result, path))
+      throw new NoDataFoundException(s"no rows matched; nothing exported to $path")
 }
+
+/** Engine-level analog of the reference's 404 semantic
+  * (exception/NoDataFoundException.java:9-14). */
+class NoDataFoundException(msg: String) extends RuntimeException(msg)

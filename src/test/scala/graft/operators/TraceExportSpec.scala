@@ -51,6 +51,10 @@ class TraceExportSpec extends SparkSpec {
     assert(back.count() == 2)
     assert(!TraceExport.exportToParquet(
       TraceExport.export(seed, Seq(99L), jan0, jan1), s"$dir/empty"))
+    intercept[NoDataFoundException] { // A2: reference's 404 semantic
+      TraceExport.exportToParquetStrict(
+        TraceExport.export(seed, Seq(99L), jan0, jan1), s"$dir/empty2")
+    }
   }
 
   test("fromEvents trace table round-trips props through gzip") {
