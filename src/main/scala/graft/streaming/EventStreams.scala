@@ -15,7 +15,7 @@ import org.apache.spark.sql.types._
  * keys), not O(history). At 100 TB/day the same plans run on a Kafka
  * source unchanged — source swap is config, not code.
  */
-object EventStreams {
+object EventStreams extends Serializable {
 
   /** Raw parquet schema of the events fixture (ts = TIMESTAMP(NANOS),
     * readable only as long in legacy mode — see Tables.events). */
@@ -90,6 +90,84 @@ object EventStreams {
           val out = UserTotals(user, n, s)
           state.update(out)
           out
+      }
+      .toDF()
+  }
+
+  /** One closed session emitted by [[sessionsWithState]]. */
+  case class ClosedSession(
+      user_id: Long, session_start: java.time.Instant,
+      session_end: java.time.Instant, n_events: Long, sum_value: Double)
+
+  /** Internal state row (public: the state-store encoder's generated
+    * code must reach the accessors). Times in micros since epoch. */
+  case class OpenSession(startUs: Long, endUs: Long, nEvents: Long, sumValue: Double)
+
+  private def us(i: java.time.Instant): Long =
+    i.getEpochSecond * 1000000L + i.getNano / 1000L
+  private def instant(us: Long): java.time.Instant =
+    java.time.Instant.ofEpochSecond(
+      Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L)
+
+  /**
+   * Streaming session assembly via `flatMapGroupsWithState` with an
+   * event-time timeout — the full custom-state API: sessions that span
+   * micro-batches live in the state store; a session closes either when a
+   * later event in the same batch exceeds the gap (emitted immediately)
+   * or when the watermark passes its end + gap (emitted by the timeout
+   * callback). State per user is one open session — O(users), bounded.
+   * (session_window expresses this too; this is the escape hatch shape
+   * for semantics it can't, e.g. per-session early triggers or custom
+   * close conditions.)
+   */
+  def sessionsWithState(
+      spark: SparkSession,
+      events: DataFrame,
+      gapMinutes: Int = 30,
+      watermark: String = "2 hours"): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
+    val gapUs = gapMinutes * 60L * 1000000L
+
+    def close(s: OpenSession, user: Long): ClosedSession =
+      ClosedSession(user, instant(s.startUs), instant(s.endUs), s.nEvents, s.sumValue)
+
+    events
+      .withWatermark("ts", watermark)
+      // keep `ts` a timestamp column — converting it here would strip the
+      // watermark tag the stateful operator requires
+      .selectExpr("user_id", "ts", "value")
+      .as[(Long, java.time.Instant, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user, rows: Iterator[(Long, java.time.Instant, Double)], state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(close(_, user))
+            state.remove()
+            out.iterator
+          } else {
+            // fold this batch's rows (sorted by event time) into sessions
+            val sorted = rows.map { case (_, i, v) => (us(i), v) }.toSeq.sortBy(_._1)
+            var open = state.getOption
+            val closed = Seq.newBuilder[ClosedSession]
+            sorted.foreach { case (ts, v) =>
+              open match {
+                case Some(s) if ts - s.endUs <= gapUs =>
+                  open = Some(s.copy(endUs = math.max(s.endUs, ts), nEvents = s.nEvents + 1, sumValue = s.sumValue + v))
+                case Some(s) =>
+                  closed += close(s, user)
+                  open = Some(OpenSession(ts, ts, 1L, v))
+                case None =>
+                  open = Some(OpenSession(ts, ts, 1L, v))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp((s.endUs + gapUs) / 1000) // millis
+            }
+            closed.result().iterator
+          }
       }
       .toDF()
   }

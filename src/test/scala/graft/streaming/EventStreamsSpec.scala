@@ -47,6 +47,43 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed.select("event_id").distinct().count() == streamed.count())
   }
 
+  test("flatMapGroupsWithState sessions: cross-batch state + event-time timeout") {
+    // stream the fixture in 3 time-ordered micro-batches so sessions span
+    // batches and the watermark advances enough to fire timeouts
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val ev = batchEvents.orderBy(col("ts")).cache()
+    val n = ev.count()
+    val slices = ev.collect().grouped((n / 3 + 1).toInt).toSeq
+    slices.zipWithIndex.foreach { case (rows, i) =>
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toSeq), ev.schema)
+      df.coalesce(1).write.parquet(s"$dir/slice$i")
+      // distinct mtimes so the file source processes slices in time order
+      new java.io.File(s"$dir/slice$i").listFiles().foreach(_.setLastModified(1000000L * (i + 1)))
+    }
+    val streamIn = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/slice*")
+    val emitted = EventStreams.runToBatch(spark,
+      EventStreams.sessionsWithState(spark, streamIn, gapMinutes = 30, watermark = "1 minute"),
+      "t_fmgws", outputMode = "append")
+      .collect()
+    assert(emitted.nonEmpty, "no sessions emitted — timeouts never fired")
+    // every emitted session must exactly match a batch-computed session
+    val batch = graft.operators.Sessionize.sessionStats(ev)
+      .collect()
+      .map(r => (r.getLong(0), r.getAs[java.sql.Timestamp]("session_start")) ->
+        ((r.getAs[java.sql.Timestamp]("session_end"), r.getLong(4), r.getDouble(5))))
+      .toMap
+    emitted.foreach { r =>
+      val key = (r.getLong(0), r.getAs[java.sql.Timestamp]("session_start"))
+      val (bEnd, bN, bSum) = batch.getOrElse(key, fail(s"phantom session $key"))
+      assert(r.getAs[java.sql.Timestamp]("session_end") == bEnd, s"end mismatch $key")
+      assert(r.getLong(3) == bN, s"count mismatch $key")
+      assert(math.abs(r.getDouble(4) - bSum) < 1e-6, s"sum mismatch $key")
+    }
+  }
+
   test("mapGroupsWithState running totals equal the batch groupBy") {
     val streamed = EventStreams.runToBatch(spark,
       EventStreams.runningTotals(spark, EventStreams.readEvents(spark, sfDir)),
