@@ -51,6 +51,16 @@ object EventStreams extends Serializable {
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Sliding-window counts (window longer than slide ⇒ each event lands
+    * in windowLen/slide windows; state still watermark-bounded). */
+  def slidingCounts(events: DataFrame, windowLen: String = "1 hour",
+      slide: String = "30 minutes", watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("n"))
+
   /** Event-time session windows (30-minute gap) per user — the streaming
     * twin of [[graft.operators.Sessionize]]. */
   def sessionStats(events: DataFrame, gap: String = "30 minutes",

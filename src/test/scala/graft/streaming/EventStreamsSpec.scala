@@ -25,6 +25,20 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("streaming sliding-window counts equal the batch computation") {
+    val streamed = EventStreams.runToBatch(spark,
+      EventStreams.slidingCounts(EventStreams.readEvents(spark, sfDir)),
+      "t_sliding", outputMode = "complete")
+    val batch = batchEvents
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("n"))
+    assert(streamed.count() > batchEvents
+      .groupBy(window(col("ts"), "1 hour"), col("event_type")).count().count(),
+      "sliding should produce more windows than tumbling")
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("streaming session windows equal the batch session_window computation") {
     val streamed = EventStreams.runToBatch(spark,
       EventStreams.sessionStats(EventStreams.readEvents(spark, sfDir)),
