@@ -236,6 +236,25 @@ object ExtensionQueries extends QueryFamily {
       s"""SELECT token, COUNT(1) AS n FROM (
          |  SELECT UNNEST($tokensSql) AS token FROM documents
          |) GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
+    "text_langid" -> {
+      // generated from the SAME marker table the Spark operator uses, so
+      // the two can't drift; ties pick the alphabetically-first language,
+      // matching TextAnalysis.langId's negrank tie-break
+      val langs = graft.operators.TextAnalysis.langMarkers.toSeq.sortBy(_._1)
+      val tokCol =
+        """LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '[^\p{L}0-9]+'), x -> LEN(x) > 0)"""
+      val hitCols = langs.map { case (l, ms) =>
+        s"LEN(LIST_FILTER($tokCol, x -> x IN (${ms.map(m => s"'$m'").mkString(", ")}))) AS h_$l"
+      }.mkString(",\n  ")
+      val maxExpr = s"GREATEST(${langs.map(l => s"h_${l._1}").mkString(", ")})"
+      val pick = langs.map { case (l, _) => s"WHEN h_$l = $maxExpr THEN '$l'" }.mkString(" ")
+      s"""SELECT doc_id, lang,
+         |  CASE WHEN $maxExpr <= 0 THEN 'und' $pick END AS pred_lang
+         |FROM (SELECT doc_id, lang, text,
+         |  $hitCols
+         |  FROM documents)
+         |ORDER BY doc_id""".stripMargin
+    },
     "text_token_count" ->
       s"""SELECT doc_id,
          |  CAST(LEN(LIST_FILTER(STRING_SPLIT_REGEX(text, '\\s+'), x -> LEN(x) > 0)) AS BIGINT) AS ws_tokens,
