@@ -169,6 +169,23 @@ object RelationalQueries extends QueryFamily {
         |ORDER BY p_partkey""".stripMargin)
   }
 
+  /** TPC-H Q20-style nesting: IN-subquery containing another IN-subquery
+    * plus a grouped HAVING — two levels of decorrelation (count-based so
+    * the boundary comparison is exact across engines). */
+  def subNested(spark: SparkSession, dir: String): DataFrame = {
+    Tables.supplier(spark, dir).createOrReplaceTempView("supplier_sq")
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem_sq2")
+    Tables.part(spark, dir).createOrReplaceTempView("part_sq2")
+    spark.sql(
+      """SELECT s_suppkey, s_name FROM supplier_sq
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey FROM lineitem_sq2
+        |  WHERE l_partkey IN (SELECT p_partkey FROM part_sq2 WHERE p_size > 40)
+        |  GROUP BY l_suppkey
+        |  HAVING COUNT(1) > 130)
+        |ORDER BY s_suppkey""".stripMargin)
+  }
+
   /** UNION ALL of two disjoint slices. */
   def setUnionAll(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
@@ -215,7 +232,8 @@ object RelationalQueries extends QueryFamily {
     "set_intersect" -> (setIntersect _),
     "set_except" -> (setExcept _),
     "sub_scalar_count" -> (subScalarCount _),
-    "sub_not_in" -> (subNotIn _))
+    "sub_not_in" -> (subNotIn _),
+    "sub_nested" -> (subNested _))
 
   val oracles: Map[String, String] = Map(
     "s2_projection" ->
@@ -306,6 +324,14 @@ object RelationalQueries extends QueryFamily {
         |   WHERE o.o_custkey = c.c_custkey
         |     AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00') AS n_recent
         |FROM customer c ORDER BY c_custkey""".stripMargin,
+    "sub_nested" ->
+      """SELECT s_suppkey, s_name FROM supplier
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey FROM lineitem
+        |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size > 40)
+        |  GROUP BY l_suppkey
+        |  HAVING COUNT(1) > 130)
+        |ORDER BY s_suppkey""".stripMargin,
     "sub_not_in" ->
       """SELECT p_partkey, p_name FROM part
         |WHERE p_partkey NOT IN (

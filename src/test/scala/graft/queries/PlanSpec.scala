@@ -45,6 +45,32 @@ class PlanSpec extends SparkSpec {
     assert("WindowGroupLimit".r.findAllIn(p).size >= 2, p)
   }
 
+  test("runtime bloom filter prunes the fact side of a selective shuffle join") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.Tables
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      // production thresholds (10 MB / 10 GB) can't trigger at fixture
+      // scale — lower them so the rewrite itself is observable
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "1B",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val ord = Tables.orders(spark, sfDir)
+        .filter(col("o_totalprice") > 450000.0).select("o_orderkey")
+      val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity")
+      val j = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      val optimized = j.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("might_contain") && optimized.contains("bloom_filter_agg"),
+        s"runtime bloom filter not injected:\n$optimized")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("q1_agg aggregates partially before the exchange (map-side combine)") {
     val p = plan("q1_agg")
     val aggIdx = p.indexOf("HashAggregate")
