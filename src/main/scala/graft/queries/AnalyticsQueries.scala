@@ -175,6 +175,23 @@ object AnalyticsQueries extends QueryFamily {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
+  /** Apache DataSketches HLL: the sketch itself is the aggregate state —
+    * unlike approx_count_distinct (which only yields a number), the
+    * binary sketch is storable and union-able later, the building block
+    * of incremental 100 TB cardinality pipelines. Estimates differ from
+    * DuckDB's sketch library, so rows-only + AnalyticsSpec bounds. */
+  def aggHllSketch(spark: SparkSession, dir: String): DataFrame = {
+    val perStatus = Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(hll_sketch_agg(col("o_custkey"), lit(14)).as("sk"),
+        countDistinct(col("o_custkey")).as("exact"))
+    perStatus.select(
+      col("o_orderstatus"),
+      hll_sketch_estimate(col("sk")).as("approx"),
+      col("exact"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** Custom TypedImperativeAggregate: per-customer top-3 order values via
     * a k-bounded min-heap buffer — partial aggregation ships ≤3 doubles
     * per (customer, partition) where the window-rank pattern shuffles and
@@ -241,6 +258,7 @@ object AnalyticsQueries extends QueryFamily {
     "agg_pivot" -> (aggPivot _),
     "agg_unpivot" -> (aggUnpivot _),
     "agg_topk_custom" -> (aggTopkCustom _),
+    "agg_hll_sketch" -> (aggHllSketch _),
     "window_rank" -> (windowRank _),
     "window_lag_lead" -> (windowLagLead _),
     "window_running" -> (windowRunning _),

@@ -34,6 +34,15 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.keySet == want.keySet)
   }
 
+  test("HLL sketches union to the global cardinality (mergeable state)") {
+    val df = (1 to 20000).map(i => (i % 4, (i % 3000).toLong)).toDF("g", "k")
+    val sketches = df.groupBy(col("g")).agg(hll_sketch_agg(col("k"), lit(14)).as("sk"))
+    val unioned = sketches.agg(
+      hll_sketch_estimate(hll_union_agg(col("sk"))).as("est")).collect()(0).getLong(0)
+    // 4 group sketches, heavily overlapping keys; union must see 3000 once
+    assert(math.abs(unioned - 3000L) <= 0.03 * 3000, s"union estimate $unioned")
+  }
+
   test("percentile_approx at high accuracy returns exact discrete quantiles") {
     val df = (1 to 999).map(_.toDouble).toDF("v")
     val r = df.agg(

@@ -98,6 +98,31 @@ class EventStreamsSpec extends SparkSpec {
     }
   }
 
+  test("RocksDB state store: windowed agg matches the default provider's result") {
+    // the production state store for large state (spills to disk instead
+    // of executor heap) — same query, provider swapped by config
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val streamed = EventStreams.runToBatch(spark,
+        EventStreams.tumblingCounts(EventStreams.readEvents(spark, sfDir)),
+        "t_rocksdb", outputMode = "complete")
+      val batch = batchEvents
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(12, 2))).cast(DoubleType).as("sum_value"))
+        .select(col("window.start").as("win_start"), col("event_type"),
+          col("n"), col("sum_value"))
+      assert(streamed.count() > 0)
+      assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("mapGroupsWithState running totals equal the batch groupBy") {
     val streamed = EventStreams.runToBatch(spark,
       EventStreams.runningTotals(spark, EventStreams.readEvents(spark, sfDir)),
