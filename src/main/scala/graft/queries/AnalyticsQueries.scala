@@ -104,11 +104,16 @@ object AnalyticsQueries extends QueryFamily {
   def aggApproxQuantiles(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
-      .agg(
-        percentile_approx(col("l_quantity"), lit(0.25), lit(1000000)).as("q25"),
-        percentile_approx(col("l_quantity"), lit(0.5), lit(1000000)).as("q50"),
-        percentile_approx(col("l_quantity"), lit(0.75), lit(1000000)).as("q75"),
-        percentile_approx(col("l_quantity"), lit(0.95), lit(1000000)).as("q95"))
+      // ONE sketch per group answering all four percentiles — four separate
+      // percentile_approx calls would build (and merge, and shuffle) four
+      // identical sketches
+      .agg(percentile_approx(col("l_quantity"),
+        array(lit(0.25), lit(0.5), lit(0.75), lit(0.95)), lit(1000000)).as("qs"))
+      .select(col("l_returnflag"),
+        element_at(col("qs"), 1).as("q25"),
+        element_at(col("qs"), 2).as("q50"),
+        element_at(col("qs"), 3).as("q75"),
+        element_at(col("qs"), 4).as("q95"))
       .orderBy(col("l_returnflag"))
 
   /** HLL++ approximate distinct count (fixed-size mergeable sketch — the
