@@ -136,6 +136,24 @@ object TraceExport {
     }
   }
 
+  /** Typed output row — the ParameterRecord Avro analog as a case class
+    * (ParameterRecord.avsc:5-10); TimestampNTZ ⇔ LocalDateTime. */
+  case class ParameterRecord(
+      paramIndex: Long,
+      startTime: java.time.LocalDateTime,
+      endTime: java.time.LocalDateTime,
+      traceData: String)
+
+  /** Typed flagship variant: same plan, `Dataset[ParameterRecord]` out —
+    * compile-time field access for callers that post-process rows. */
+  def exportTyped(
+      trace: DataFrame,
+      ids: Seq[Long],
+      start: Timestamp,
+      end: Timestamp): org.apache.spark.sql.Dataset[ParameterRecord] =
+    export(trace, ids, start, end)
+      .as(org.apache.spark.sql.Encoders.product[ParameterRecord])
+
   /** A2 typed-error variant: the reference maps an empty export to
     * NoDataFoundException → HTTP 404 (NoDataFoundException.java:9-14,
     * DataExportController.java:50-52); this is the engine-level analog

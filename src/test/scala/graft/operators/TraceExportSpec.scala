@@ -30,6 +30,15 @@ class TraceExportSpec extends SparkSpec {
     assert(out.count() == 3)
   }
 
+  test("typed flagship: Dataset[ParameterRecord] fields match the untyped rows") {
+    val seed = TraceExport.referenceSeed(spark)
+    val typed = TraceExport.exportTyped(seed, Seq(1L, 2L), jan0, jan1).collect()
+    assert(typed.length == 2)
+    assert(typed(0).paramIndex == 1L && typed(1).paramIndex == 2L)
+    assert(typed(0).traceData == """{"value": 100, "status": "OK"}""")
+    assert(typed(0).startTime == java.time.LocalDateTime.parse("2024-01-10T10:00:00"))
+  }
+
   test("A1: inverted time range is a caller error (reference 400 semantic)") {
     val seed = TraceExport.referenceSeed(spark)
     intercept[IllegalArgumentException] {
