@@ -73,6 +73,17 @@ class DedupSpec extends SparkSpec {
     assert(out.length == 3) // no crash on degenerate docs
   }
 
+  test("null text rows are dropped from pair generation, not crashed on") {
+    val withNull = docs.union(Seq((100L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val pairs = Dedup.minhashPairs(withNull, "text", "doc_id", 64, 16, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 6L))) // real dups still found
+    assert(!pairs.exists(p => p._1 == 100L || p._2 == 100L))
+    val sim = Dedup.simhashPairs(withNull, "text", "doc_id", 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(!sim.exists(p => p._1 == 100L || p._2 == 100L))
+  }
+
   test("fused kernels equal the composed HOF path (minhash + simhash)") {
     import graft.functions.{minhash_signature, minhash_text, simhash64, simhash_text}
     val df = docs.union(Seq((7L, ""), (8L, "one two"), (9L, "Tabs\tAnd  SPACES!! 42"))

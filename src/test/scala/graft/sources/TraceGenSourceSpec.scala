@@ -49,6 +49,16 @@ class TraceGenSourceSpec extends SparkSpec {
     assert(row.getString(0).contains("\"status\""))
   }
 
+  test("volume: 500k generated rows stream through the full export") {
+    // ~0.5M gzip payloads decompressed through the whole pipeline — the
+    // fixture tables never exercise the flagship at this volume
+    val trace = gen(500000, nParams = 100, partitions = 32)
+    val out = TraceExport.exportUnordered(trace, (1L to 100L),
+      Timestamp.valueOf("2024-01-01 00:00:00"),
+      Timestamp.valueOf("2026-01-01 00:00:00"))
+    assert(out.count() == 500000)
+  }
+
   test("flagship pipeline runs end-to-end over the V2 source") {
     val trace = gen(10000, nParams = 64, partitions = 16)
     val out = TraceExport.export(trace, Seq(1L, 2L, 3L),
