@@ -63,10 +63,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     },
     "sorted_intersect_size" -> { args => SortedIntersectSize(args(0), args(1)) })
 
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     registry.foreach { case (name, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info(name, name), builder))
     }
+    ext.injectOptimizerRule(_ => graft.plans.EliminateGzipRoundTrip)
+  }
 }
 
 object GraftExtensions {

@@ -51,11 +51,20 @@ class GzipSpec extends SparkSpec {
   }
 
   test("gunzip stays inside WholeStageCodegen (no fallback in the hot path)") {
-    val df = spark.read.parquet(s"$sfDir/documents.parquet")
-      .select(gunzip_string(gzip_string(col("text"))).as("rt"))
+    import spark.implicits._
+    // pre-compress eagerly so EliminateGzipRoundTrip has nothing to fold —
+    // this test is about the DEcompress expression's codegen
+    val gzipped = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("text")).as[String].collect()
+      .map(t => graft.functions.GzipCodec.compress(t.getBytes("UTF-8")))
+    // parquet round-trip: a real scan, so ConvertToLocalRelation can't
+    // eagerly evaluate the projection away
+    val dir = java.nio.file.Files.createTempDirectory("graft-gz").toString
+    gzipped.toSeq.toDF("gz").write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir).select(gunzip_string(col("gz")).as("rt"))
     val plan = df.queryExecution.executedPlan.toString
     // "*(n)" prefix marks operators fused into a WholeStageCodegen stage
-    assert(plan.contains("*(1) Project [gunzip_string(gzip_string("))
+    assert(plan.contains("*(1) Project [gunzip_string("), plan)
     assert(df.count() == 500)
   }
 }

@@ -27,6 +27,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("In(user_id"), p)
   }
 
+  test("adjacent gzip round-trip is eliminated by the injected optimizer rule") {
+    import org.apache.spark.sql.functions.col
+    import graft.functions.{gunzip_string, gzip_string}
+    val df = graft.sources.Tables.documents(spark, sfDir)
+      .select(gunzip_string(gzip_string(col("text"))).as("rt"))
+    val p = df.queryExecution.optimizedPlan.toString
+    assert(!p.contains("gunzip") && !p.contains("gzip"),
+      s"gzip round-trip survived optimization:\n$p")
+    assert(df.count() == 500)
+    // Note: the flagship keeps gunzip ABOVE the sort exchange on purpose
+    // (the shuffle carries compressed bytes), so its gzip/gunzip are not
+    // adjacent and deliberately not folded.
+  }
+
   test("q5_multijoin broadcasts every dimension side (5 broadcast joins)") {
     val p = plan("q5_multijoin")
     // FormattedMode prints each node in tree + detail section; 5 joins ⇒ ≥5 hits
