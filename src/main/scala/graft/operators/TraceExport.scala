@@ -123,6 +123,26 @@ object TraceExport {
         gunzip_string(col("traceData")).as("traceData"))
   }
 
+  /** Streaming flagship: the same filter→decompress→project chain over an
+    * unbounded trace stream (`spark.readStream` on a landing directory, or
+    * any streaming DataFrame with the storage schema). No sort — a total
+    * order is undefined on an unbounded stream (and unsupported by
+    * Structured Streaming); downstream windows/sessions impose event-time
+    * order where needed. Continuous-export twin of the reference's
+    * request-triggered endpoint. */
+  def exportStream(trace: DataFrame, ids: Seq[Long], start: Timestamp, end: Timestamp): DataFrame = {
+    require(!start.after(end), s"startTime must be before endTime: $start > $end")
+    trace
+      .filter(col("paramIndex").isin(ids: _*))
+      .filter(col("startTime") >= lit(start).cast(TimestampNTZType)
+        && col("startTime") <= lit(end).cast(TimestampNTZType))
+      .select(
+        col("paramIndex"),
+        col("startTime"),
+        col("endTime"),
+        gunzip_string(col("traceData")).as("traceData"))
+  }
+
   /** K1 sink. The reference materializes one in-memory byte[]; files are the
     * contract here. K2 (empty → sentinel/404) is surfaced as a boolean so a
     * service layer can map it. Returns true iff rows were written. */

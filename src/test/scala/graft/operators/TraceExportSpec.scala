@@ -39,6 +39,22 @@ class TraceExportSpec extends SparkSpec {
     assert(typed(0).startTime == java.time.LocalDateTime.parse("2024-01-10T10:00:00"))
   }
 
+  test("streaming flagship equals the batch export, order aside") {
+    import graft.streaming.EventStreams
+    val dir = java.nio.file.Files.createTempDirectory("graft-trace-stream").toString
+    val trace = TraceExport.fromEvents(spark, sfDir)
+    trace.write.mode("overwrite").parquet(dir)
+    val ids = Seq(1L, 2L, 3L, 5L, 8L, 13L)
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    val t1 = Timestamp.valueOf("2024-01-31 23:59:59")
+    val streamedIn = spark.readStream.schema(trace.schema).parquet(dir)
+    val streamed = EventStreams.runToBatch(spark,
+      TraceExport.exportStream(streamedIn, ids, t0, t1), "t_trace_stream")
+    val batch = TraceExport.export(trace, ids, t0, t1)
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("A1: inverted time range is a caller error (reference 400 semantic)") {
     val seed = TraceExport.referenceSeed(spark)
     intercept[IllegalArgumentException] {
