@@ -41,6 +41,14 @@ object ExtensionQueries extends QueryFamily {
     Dedup.simhashPairs(Tables.documents(spark, dir), "text", "doc_id",
       maxHamming = 8)
 
+  /** End-to-end near-dup removal: min-id representative per duplicate set
+    * survives (the full dedup operator, not just candidate pairs). */
+  def dedupMinhashKeep(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashDedup(Tables.documents(spark, dir), "text", "doc_id",
+      numHashes = 64, bands = 16, threshold = 0.5)
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val candidates = Dedup.minhashPairs(docs, "text", "doc_id",
@@ -166,6 +174,14 @@ object ExtensionQueries extends QueryFamily {
 
   // --- sessionization ---
 
+  /** Strided frame sampling of video assets (explode to one row/frame). */
+  def multimodalFrames(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Multimodal.sampleFrames(
+      graft.operators.Multimodal.assetTable(spark, dir), frameBytes = 32, stride = 2)
+      .select(col("asset_id"), col("frame_no"),
+        length(col("frame_bytes")).as("frame_len"))
+      .orderBy(col("asset_id"), col("frame_no"))
+
   def sessionAssign(spark: SparkSession, dir: String): DataFrame =
     Sessionize.assign(Tables.events(spark, dir))
       .select(col("user_id"), col("event_id"), col("ts"), col("session_seq"))
@@ -180,6 +196,7 @@ object ExtensionQueries extends QueryFamily {
     "dedup_minhash_pairs" -> (dedupMinhashPairs _),
     "dedup_simhash_pairs" -> (dedupSimhashPairs _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "dedup_minhash_keep" -> (dedupMinhashKeep _),
     "sim_topk_brute" -> (simTopkBrute _),
     "sim_topk_lsh" -> (simTopkLsh _),
     "sim_topk_ivf" -> (simTopkIvf _),
@@ -191,6 +208,7 @@ object ExtensionQueries extends QueryFamily {
     "text_fingerprint" -> (textFingerprint _),
     "multimodal_meta" -> (multimodalMeta _),
     "multimodal_features" -> (multimodalFeatures _),
+    "multimodal_frames" -> (multimodalFrames _),
     "asof_join" -> (asofJoin _),
     "interval_join" -> (intervalJoin _),
     "session_assign" -> (sessionAssign _),
