@@ -24,7 +24,7 @@ import graft.functions._
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  private def info(name: String, usage: String): ExpressionInfo =
+  private def info(name: String): ExpressionInfo =
     new ExpressionInfo(classOf[GraftExtensions].getName, name)
 
   private def intArg(e: Expression, what: String): Int = e match {
@@ -65,7 +65,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     registry.foreach { case (name, builder) =>
-      ext.injectFunction((FunctionIdentifier(name), info(name, name), builder))
+      ext.injectFunction((FunctionIdentifier(name), info(name), builder))
     }
     ext.injectOptimizerRule(_ => graft.plans.EliminateGzipRoundTrip)
   }
@@ -78,7 +78,7 @@ object GraftExtensions {
     val ext = new GraftExtensions
     ext.registry.foreach { case (name, builder) =>
       org.apache.spark.sql.graftbridge.CatalystBridge.registerFunction(
-        spark, FunctionIdentifier(name), ext.info(name, name), builder)
+        spark, FunctionIdentifier(name), ext.info(name), builder)
     }
   }
 }

@@ -15,8 +15,11 @@ import org.apache.spark.sql.types._
  * number of users per partition, and AQE handles skewed users.
  *
  * The streaming twin (session_window + watermark) lives in
- * [[graft.streaming.EventStreams]]; batch and stream results are
- * equivalence-tested in SessionizeSpec.
+ * [[graft.streaming.EventStreams]]; its batch/stream equivalence is
+ * tested in EventStreamsSpec. Boundary note: this operator keeps an
+ * exactly-gap-sized silence in ONE session (strict `>` split, tested in
+ * SessionizeSpec), while Spark's `session_window` closes at `>=` gap —
+ * the two agree except for events landing exactly on the gap boundary.
  */
 object Sessionize {
 
