@@ -20,6 +20,38 @@ class ScaleSpec extends SparkSpec {
     assert(plain.size == 5002) // 5001 hot (even i, plus i=1) + 1 cold
   }
 
+  test("AQE splits a skewed shuffle-join partition at runtime") {
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      // production thresholds (256 MB) scaled down so fixture-size skew
+      // is visible to the optimizer
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val payload = "x" * 100
+      // one pathological key holds half the rows; the rest are uniform
+      val left = (1 to 100000).map(i => (if (i % 2 == 0) 0L else i.toLong, payload))
+        .toDF("k", "pad")
+      val right = (0 to 200).map(i => (i.toLong, s"r$i")).toDF("k", "name")
+      val joined = left.join(right, Seq("k"))
+      // execute THIS dataset so its own AdaptiveSparkPlan finalizes
+      // (count() would build a different query execution)
+      assert(joined.collect().length == 50000 + 100) // hot key + odd keys 1..199
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skewed"),
+        s"AQE did not mark/split the skewed partition:\n$finalPlan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("bucketed tables join with zero Exchange in the physical plan") {
     val a = (1 to 1000).map(i => (i.toLong, s"a$i")).toDF("k", "va")
     val b = (1 to 1000).map(i => (i.toLong, s"b$i")).toDF("k", "vb")
