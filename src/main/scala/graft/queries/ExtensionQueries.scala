@@ -137,6 +137,25 @@ object ExtensionQueries extends QueryFamily {
       .orderBy(col("asset_id"))
   }
 
+  /** The composed pretraining-corpus pipeline — the end-to-end story the
+    * individual operators serve: exact dedup (min-id keeper) → quality
+    * gates (length, punctuation, stopword presence) → language filter →
+    * clean corpus. Fully SQL-expressible (dedup here keys on text for
+    * oracle parity; the 100 TB variant keys on `doc_fingerprint` so the
+    * shuffle carries 8 bytes/doc instead of documents). */
+  def pipelineCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val deduped = Dedup.exactByKey(Tables.documents(spark, dir), Seq("text"), "doc_id")
+    val scored = TextAnalysis.langId(
+      TextAnalysis.qualityMetrics(deduped, "text"), "text")
+    scored
+      .filter(col("n_tokens") >= 10 &&
+        col("punct_ratio") < 0.25 &&
+        col("stopword_ratio") > 0.0 &&
+        col("pred_lang") === "en")
+      .select(col("doc_id"), col("n_tokens"), col("pred_lang"))
+      .orderBy(col("doc_id"))
+  }
+
   // --- temporal ---
 
   /** As-of join: each click event picks up the user's latest purchase
@@ -209,6 +228,7 @@ object ExtensionQueries extends QueryFamily {
     "multimodal_meta" -> (multimodalMeta _),
     "multimodal_features" -> (multimodalFeatures _),
     "multimodal_frames" -> (multimodalFrames _),
+    "pipeline_corpus" -> (pipelineCorpus _),
     "asof_join" -> (asofJoin _),
     "interval_join" -> (intervalJoin _),
     "session_assign" -> (sessionAssign _),
@@ -285,6 +305,40 @@ object ExtensionQueries extends QueryFamily {
         |  CAST(STRLEN(text) AS BIGINT) AS byte_len,
         |  MD5(text) AS digest
         |FROM documents ORDER BY asset_id""".stripMargin,
+    "pipeline_corpus" -> {
+      val langs = graft.operators.TextAnalysis.langMarkers.toSeq.sortBy(_._1)
+      val langTok =
+        """LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '[^\p{L}0-9]+'), x -> LEN(x) > 0)"""
+      val hitCols = langs.map { case (l, ms) =>
+        s"LEN(LIST_FILTER($langTok, x -> x IN (${ms.map(m => s"'$m'").mkString(", ")}))) AS h_$l"
+      }.mkString(",\n  ")
+      val maxExpr = s"GREATEST(${langs.map(l => s"h_${l._1}").mkString(", ")})"
+      val pick = langs.map { case (l, _) => s"WHEN h_$l = $maxExpr THEN '$l'" }.mkString(" ")
+      s"""WITH kept AS (
+         |  SELECT doc_id, text FROM (
+         |    SELECT doc_id, text,
+         |      ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+         |    FROM documents) WHERE rn = 1
+         |), scored AS (
+         |  SELECT doc_id,
+         |    CAST(LEN($tokensSql) AS BIGINT) AS n_tokens,
+         |    CASE WHEN LENGTH(text) > 0
+         |      THEN CAST(LENGTH(REGEXP_REPLACE(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+         |           / LENGTH(text) ELSE 0.0 END AS punct_ratio,
+         |    CASE WHEN LEN($tokensSql) > 0
+         |      THEN CAST(LEN(LIST_FILTER($tokensSql,
+         |             x -> x IN ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
+         |           / LEN($tokensSql) ELSE 0.0 END AS stopword_ratio,
+         |    $hitCols
+         |  FROM kept
+         |)
+         |SELECT doc_id, n_tokens,
+         |  CASE WHEN $maxExpr <= 0 THEN 'und' $pick END AS pred_lang
+         |FROM scored
+         |WHERE n_tokens >= 10 AND punct_ratio < 0.25 AND stopword_ratio > 0.0
+         |  AND CASE WHEN $maxExpr <= 0 THEN 'und' $pick END = 'en'
+         |ORDER BY doc_id""".stripMargin
+    },
     "asof_join" ->
       """SELECT l.user_id, l.event_id, l.ts, r.purchase_value
         |FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click') l
