@@ -49,6 +49,25 @@ object Dedup {
       .drop("__rn")
   }
 
+  /**
+   * Remove rows whose bucket key holds more than `maxBucket` members —
+   * BEFORE any collect_list/self-join touches them. The oversized-key set
+   * is tiny by definition (each key is huge), so it broadcasts; and the
+   * counting aggregate shuffles on the same keys as the downstream bucket
+   * aggregate, so the physical exchange is planned once and reused. This
+   * ordering matters at scale: filtering on size AFTER collect_list still
+   * materializes the degenerate bucket (all-empty-docs hash collisions →
+   * one multi-GB group) in the aggregation buffer first.
+   */
+  private def dropOversizedBuckets(
+      banded: DataFrame, keys: Seq[String], maxBucket: Int): DataFrame = {
+    val big = banded.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxBucket)
+      .select(keys.map(col): _*)
+    banded.join(broadcast(big), keys, "left_anti")
+  }
+
   /** Exact content dedup via 64-bit fingerprint (case/space-folded) —
     * the scale path: groups by a long, never shuffles document text. */
   def exactByFingerprint(df: DataFrame, textCol: String, idCol: String): DataFrame = {
@@ -91,16 +110,17 @@ object Dedup {
         .as("bb"))
       .select(col("id"), col("sig"), col("bb.band").as("band"), col("bb.bh").as("bh"))
 
-    // ONE shuffle builds the buckets; singleton buckets (no pairs) and
-    // oversized buckets (degenerate content — the skew guard) drop with a
-    // plain filter on the aggregated size, no extra exchange. Pairs are
-    // then generated map-side within each bucket (double posexplode,
-    // bounded by maxBucket²) and scored before anything shuffles again —
-    // the pair-dedup exchange carries only 24-byte (id, id, est) rows.
-    val buckets = banded
+    // Oversized buckets (degenerate content — the skew/OOM guard) are
+    // anti-joined out BEFORE aggregation (see dropOversizedBuckets); then
+    // ONE shuffle builds the buckets, singleton buckets (no pairs) drop
+    // with a plain size filter, and pairs are generated map-side within
+    // each bucket (double posexplode, bounded by maxBucket²) and scored
+    // before anything shuffles again — the pair-dedup exchange carries
+    // only 24-byte (id, id, est) rows.
+    val buckets = dropOversizedBuckets(banded, Seq("band", "bh"), maxBucket)
       .groupBy(col("band"), col("bh"))
       .agg(collect_list(struct(col("id"), col("sig"))).as("items"))
-      .filter(size(col("items")).between(2, maxBucket))
+      .filter(size(col("items")) >= 2)
 
     val pairs = buckets
       .select(col("items"), posexplode(col("items")).as(Seq("pi", "a")))
@@ -150,11 +170,11 @@ object Dedup {
         .as("bb"))
       .select(col("id"), col("sh"), col("bb.band").as("band"), col("bb.chunk").as("chunk"))
 
-    // same single-shuffle bucket shape as minhashPairs
-    val buckets = banded
+    // same guarded single-shuffle bucket shape as minhashPairs
+    val buckets = dropOversizedBuckets(banded, Seq("band", "chunk"), maxBucket)
       .groupBy(col("band"), col("chunk"))
       .agg(collect_list(struct(col("id"), col("sh"))).as("items"))
-      .filter(size(col("items")).between(2, maxBucket))
+      .filter(size(col("items")) >= 2)
 
     buckets
       .select(col("items"), posexplode(col("items")).as(Seq("pi", "a")))

@@ -180,11 +180,18 @@ object Similarity {
       threshold: Double = 0.95,
       nBits: Int = 6,
       dim: Int = 64,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      maxBucket: Int = 100000): DataFrame = {
     val ps = planes(nBits, dim, seed)
     val planesCol = typedLit(ps.map(_.toSeq).toSeq)
-    val v = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val v0 = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("bucket", bucketCol(col("v"), planesCol, nBits))
+    // skew/blowup guard: a degenerate bucket (e.g. all-zero vectors all
+    // hashing to one code) would self-join to maxBucket² pairs; the
+    // oversized-key set is tiny, so it broadcasts as an anti-join filter
+    val big = v0.groupBy(col("bucket")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxBucket).select(col("bucket"))
+    val v = v0.join(broadcast(big), Seq("bucket"), "left_anti")
     val a = v.select(col("bucket"), col("id").as("id_a"), col("v").as("va"))
     val b = v.select(col("bucket"), col("id").as("id_b"), col("v").as("vb"))
     a.join(b, Seq("bucket"))
