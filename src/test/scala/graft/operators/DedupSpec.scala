@@ -73,6 +73,17 @@ class DedupSpec extends SparkSpec {
     assert(out.length == 3) // no crash on degenerate docs
   }
 
+  test("oversized buckets are dropped whole (degenerate-content skew guard)") {
+    // 50 empty docs hash identically → every band bucket exceeds
+    // maxBucket=10 and is dropped; the planted real dup still pairs
+    val degenerate = (1 to 50).map(i => (i.toLong, ""))
+    val df = (degenerate ++ Seq((100L, base), (101L, base))).toDF("doc_id", "text")
+    val pairs = Dedup.minhashPairs(df, "text", "doc_id",
+      numHashes = 64, bands = 16, threshold = 0.5, maxBucket = 10)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((100L, 101L)), s"got $pairs")
+  }
+
   test("null text rows are dropped from pair generation, not crashed on") {
     val withNull = docs.union(Seq((100L, null.asInstanceOf[String])).toDF("doc_id", "text"))
     val pairs = Dedup.minhashPairs(withNull, "text", "doc_id", 64, 16, 0.5)
