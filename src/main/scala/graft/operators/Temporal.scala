@@ -26,24 +26,32 @@ object Temporal {
    * at exactly left.ts is visible). No match → nulls; left rows always
    * survive. Left columns pass through unchanged; `valueCols` must not
    * collide with left column names.
+   *
+   * `toleranceSeconds` bounds the lookback (pandas `merge_asof`
+   * semantics): a reading older than the tolerance yields nulls instead.
    */
   def asofJoin(
       left: DataFrame,
       right: DataFrame,
       keyCol: String,
       tsCol: String,
-      valueCols: Seq[String]): DataFrame = {
+      valueCols: Seq[String],
+      toleranceSeconds: Option[Long] = None): DataFrame = {
     val collisions = valueCols.toSet.intersect(left.columns.toSet)
     require(collisions.isEmpty, s"valueCols collide with left columns: $collisions")
     val passthrough = left.columns.toSeq.filterNot(c => c == keyCol || c == tsCol)
 
-    // side 0 = right, 1 = left: at equal ts the right row sorts first
+    // side 0 = right, 1 = left: at equal ts the right row sorts first.
+    // __rts carries the matched reading's own event time for the
+    // tolerance check (swept forward exactly like the values).
     val taggedRight = right.select(
       (col(keyCol) +: col(tsCol) +: lit(0).as("__side") +:
+        col(tsCol).as("__rts") +:
         passthrough.map(c => lit(null).cast(left.schema(c).dataType).as(c))) ++
         valueCols.map(c => col(c)): _*)
     val taggedLeft = left.select(
       (col(keyCol) +: col(tsCol) +: lit(1).as("__side") +:
+        lit(null).cast(right.schema(tsCol).dataType).as("__rts") +:
         passthrough.map(col)) ++
         valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
 
@@ -51,12 +59,25 @@ object Temporal {
       .orderBy(col(tsCol).asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    taggedRight.unionByName(taggedLeft)
+    val swept = taggedRight.unionByName(taggedLeft)
       .select(
-        (col(keyCol) +: col(tsCol) +: col("__side") +: passthrough.map(col)) ++
+        (col(keyCol) +: col(tsCol) +: col("__side") +:
+          last(col("__rts"), ignoreNulls = true).over(w).as("__rts") +:
+          passthrough.map(col)) ++
           valueCols.map(c => last(col(c), ignoreNulls = true).over(w).as(c)): _*)
       .filter(col("__side") === 1)
-      .drop("__side")
+
+    val bounded = toleranceSeconds match {
+      case None => swept
+      case Some(tol) =>
+        val stale = col("__rts").isNull ||
+          col(tsCol).cast("timestamp").cast("long") -
+            col("__rts").cast("timestamp").cast("long") > tol
+        valueCols.foldLeft(swept) { (df, c) =>
+          df.withColumn(c, when(stale, lit(null)).otherwise(col(c)))
+        }
+    }
+    bounded.drop("__side", "__rts")
   }
 
   /**

@@ -35,6 +35,20 @@ class TemporalSpec extends SparkSpec {
     assert(out.size == 4)                 // every left row survives
   }
 
+  test("asofJoin tolerance: stale readings beyond the lookback become null") {
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "fresh"),  // 30 min after reading
+      (1L, ts("2024-01-01 13:00:00"), "stale")   // 3.5 h after reading
+    ).toDF("k", "ts", "tag")
+    val right = Seq((1L, ts("2024-01-01 09:30:00"), 10.0)).toDF("k", "ts", "reading")
+    val out = Temporal.asofJoin(left, right, "k", "ts", Seq("reading"),
+      toleranceSeconds = Some(3600L))
+      .select("tag", "reading").collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(out("fresh").contains(10.0))
+    assert(out("stale").isEmpty)
+  }
+
   test("intervalJoin equals the naive theta join, incl. cell-boundary spans") {
     val intervals = Seq(
       (10L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:20:00")), // spans 3 cells at 600s
