@@ -21,9 +21,19 @@ object Queries {
     ScalarQueries,
     ExtensionQueries)
 
-  def all: Map[String, (SparkSession, String) => DataFrame] =
-    families.flatMap(_.queries).toMap
+  def all: Map[String, (SparkSession, String) => DataFrame] = {
+    val entries = families.flatMap(_.queries)
+    val dups = entries.groupBy(_._1).filter(_._2.size > 1).keys
+    require(dups.isEmpty,
+      s"duplicate query names across families (later would silently win): ${dups.mkString(", ")}")
+    entries.toMap
+  }
 
-  def oracles: Map[String, String] =
-    families.flatMap(_.oracles).toMap
+  def oracles: Map[String, String] = {
+    val entries = families.flatMap(_.oracles)
+    val unknown = entries.map(_._1).filterNot(all.keySet)
+    require(unknown.isEmpty,
+      s"oracle entries without a matching query: ${unknown.mkString(", ")}")
+    entries.toMap
+  }
 }
