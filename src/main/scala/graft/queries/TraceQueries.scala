@@ -44,8 +44,15 @@ object TraceQueries extends QueryFamily {
           .getField("k").as("k"))
   }
 
+  /** Scale-path variant: no global sort — per-partition clustering only
+    * (row order is partition-dependent, so this is a rows-only check; the
+    * sorted twin trace_export carries the oracle). */
+  def traceExportUnordered(spark: SparkSession, dir: String): DataFrame =
+    TraceExport.exportUnordered(TraceExport.fromEvents(spark, dir), traceIds, traceT0, traceT1)
+
   val queries: Map[String, QueryFn] = Map(
     "trace_export" -> (traceExport _),
+    "trace_export_unordered" -> (traceExportUnordered _),
     "trace_export_empty" -> (traceExportEmpty _),
     "trace_seed_golden" -> (traceSeedGolden _),
     "trace_typed" -> (traceTyped _))
