@@ -145,13 +145,15 @@ object ExtensionQueries extends QueryFamily {
     * shuffle carries 8 bytes/doc instead of documents). */
   def pipelineCorpus(spark: SparkSession, dir: String): DataFrame = {
     val deduped = Dedup.exactByKey(Tables.documents(spark, dir), Seq("text"), "doc_id")
-    val scored = TextAnalysis.langId(
-      TextAnalysis.qualityMetrics(deduped, "text"), "text")
-    scored
+    // quality gates first, language scoring only on survivors — the
+    // filters are conjunctive, so ordering is a pure cost decision (the
+    // 5-language marker scan is the most expensive stage)
+    val qualityPass = TextAnalysis.qualityMetrics(deduped, "text")
       .filter(col("n_tokens") >= 10 &&
         col("punct_ratio") < 0.25 &&
-        col("stopword_ratio") > 0.0 &&
-        col("pred_lang") === "en")
+        col("stopword_ratio") > 0.0)
+    TextAnalysis.langId(qualityPass, "text")
+      .filter(col("pred_lang") === "en")
       .select(col("doc_id"), col("n_tokens"), col("pred_lang"))
       .orderBy(col("doc_id"))
   }
