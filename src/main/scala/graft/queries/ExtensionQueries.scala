@@ -193,6 +193,38 @@ object ExtensionQueries extends QueryFamily {
       .orderBy(col("interval_id"), col("point_id"))
   }
 
+  // --- event analytics ---
+
+  /** Conversion funnel: users whose first purchase strictly follows their
+    * first signup (one conditional-aggregate pass, no self-join). */
+  def funnelSignupPurchase(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "signup", col("ts"))).as("first_signup"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("first_purchase"))
+      .filter(col("first_signup").isNotNull && col("first_purchase").isNotNull &&
+        col("first_purchase") > col("first_signup"))
+      .orderBy(col("user_id"))
+
+  /** Week-over-week cohort retention: distinct active users per week who
+    * are also active the following week (the events fixture spans one
+    * month, so weeks are the natural cohort grain). */
+  def retentionWeekly(spark: SparkSession, dir: String): DataFrame = {
+    val um = Tables.events(spark, dir)
+      .select(col("user_id"),
+        date_trunc("week", col("ts")).cast(org.apache.spark.sql.types.TimestampNTZType).as("m"))
+      .distinct()
+    um.as("a")
+      .join(um.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("b.m") === expr("a.m + INTERVAL 7 DAYS"))
+      .groupBy(col("a.m"))
+      .agg(count(lit(1)).as("retained"))
+      .select(col("m").as("cohort_month"), col("retained"))
+      .orderBy(col("cohort_month"))
+  }
+
   // --- sessionization ---
 
   /** Strided frame sampling of video assets (explode to one row/frame). */
@@ -231,6 +263,8 @@ object ExtensionQueries extends QueryFamily {
     "multimodal_features" -> (multimodalFeatures _),
     "multimodal_frames" -> (multimodalFrames _),
     "pipeline_corpus" -> (pipelineCorpus _),
+    "funnel_signup_purchase" -> (funnelSignupPurchase _),
+    "retention_weekly" -> (retentionWeekly _),
     "asof_join" -> (asofJoin _),
     "interval_join" -> (intervalJoin _),
     "session_assign" -> (sessionAssign _),
@@ -341,6 +375,21 @@ object ExtensionQueries extends QueryFamily {
          |  AND CASE WHEN $maxExpr <= 0 THEN 'und' $pick END = 'en'
          |ORDER BY doc_id""".stripMargin
     },
+    "funnel_signup_purchase" ->
+      """SELECT user_id, first_signup, first_purchase FROM (
+        |  SELECT user_id,
+        |    MIN(CASE WHEN event_type = 'signup' THEN ts END) AS first_signup,
+        |    MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+        |  FROM events GROUP BY user_id)
+        |WHERE first_signup IS NOT NULL AND first_purchase IS NOT NULL
+        |  AND first_purchase > first_signup
+        |ORDER BY user_id""".stripMargin,
+    "retention_weekly" ->
+      """WITH um AS (SELECT DISTINCT user_id, DATE_TRUNC('week', ts) AS m FROM events)
+        |SELECT a.m AS cohort_month, COUNT(1) AS retained
+        |FROM um a JOIN um b
+        |  ON a.user_id = b.user_id AND b.m = a.m + INTERVAL 7 DAY
+        |GROUP BY a.m ORDER BY a.m""".stripMargin,
     "asof_join" ->
       """SELECT l.user_id, l.event_id, l.ts, r.purchase_value
         |FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click') l
