@@ -81,6 +81,24 @@ object ScalarQueries extends QueryFamily {
         .getField("k").as("k_typed"))
       .orderBy(col("event_id"))
 
+  /** Map + struct construction and field extraction. The oracle verifies
+    * the round-trip values (construction → extraction is identity), so
+    * the map/struct machinery itself is what's exercised on the Spark
+    * side; DuckDB's MAP extraction returns lists, so its SQL states the
+    * expected identities directly. */
+  def scalarMapStruct(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .select(col("p_partkey"),
+        map(lit("brand"), col("p_brand"), lit("type"), col("p_type")).as("m"),
+        struct(col("p_brand").as("b"), col("p_size").as("s")).as("st"))
+      .select(col("p_partkey"),
+        element_at(col("m"), "brand").as("brand_v"),
+        concat_ws(",", map_keys(col("m"))).as("keys_csv"),
+        size(col("m")).as("m_size"),
+        col("st").getField("b").as("st_brand"),
+        col("st").getField("s").as("st_size"))
+      .orderBy(col("p_partkey"))
+
   /** Array functions over embeddings (no float arithmetic — exact values). */
   def scalarArray(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir).select(
@@ -96,7 +114,8 @@ object ScalarQueries extends QueryFamily {
     "scalar_math" -> (scalarMath _),
     "scalar_case" -> (scalarCase _),
     "scalar_json" -> (scalarJson _),
-    "scalar_array" -> (scalarArray _))
+    "scalar_array" -> (scalarArray _),
+    "scalar_map_struct" -> (scalarMapStruct _))
 
   val oracles: Map[String, String] = Map(
     "scalar_string" ->
@@ -109,6 +128,14 @@ object ScalarQueries extends QueryFamily {
         |  REGEXP_REPLACE(p_name, ' ', '_', 'g') AS snake_name,
         |  LPAD(p_brand, 12, '*') AS padded,
         |  (p_name LIKE '%widget%') AS is_widget
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "scalar_map_struct" ->
+      """SELECT p_partkey,
+        |  p_brand AS brand_v,
+        |  'brand,type' AS keys_csv,
+        |  CAST(2 AS INT) AS m_size,
+        |  p_brand AS st_brand,
+        |  p_size AS st_size
         |FROM part ORDER BY p_partkey""".stripMargin,
     "scalar_datetime" ->
       """SELECT o_orderkey,
