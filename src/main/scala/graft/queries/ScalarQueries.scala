@@ -99,6 +99,20 @@ object ScalarQueries extends QueryFamily {
         col("st").getField("s").as("st_size"))
       .orderBy(col("p_partkey"))
 
+  /** Higher-order array functions (transform/filter/aggregate lambdas)
+    * over exact integer sequences — the declarative-lambda surface,
+    * cross-checked against DuckDB's list comprehension functions. */
+  def scalarArrayHof(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .select(col("p_partkey"),
+        sequence(lit(1), col("p_size")).as("xs"))
+      .select(col("p_partkey"),
+        aggregate(transform(col("xs"), x => x * x), lit(0L), (acc, x) => acc + x)
+          .as("sum_sq"),
+        size(filter(col("xs"), x => x % 2 === 0)).as("n_even"),
+        element_at(reverse(col("xs")), 1).cast(LongType).as("last_x"))
+      .orderBy(col("p_partkey"))
+
   /** Array functions over embeddings (no float arithmetic — exact values). */
   def scalarArray(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir).select(
@@ -115,6 +129,7 @@ object ScalarQueries extends QueryFamily {
     "scalar_case" -> (scalarCase _),
     "scalar_json" -> (scalarJson _),
     "scalar_array" -> (scalarArray _),
+    "scalar_array_hof" -> (scalarArrayHof _),
     "scalar_map_struct" -> (scalarMapStruct _))
 
   val oracles: Map[String, String] = Map(
@@ -136,6 +151,12 @@ object ScalarQueries extends QueryFamily {
         |  CAST(2 AS INT) AS m_size,
         |  p_brand AS st_brand,
         |  p_size AS st_size
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "scalar_array_hof" ->
+      """SELECT p_partkey,
+        |  CAST(LIST_SUM(LIST_TRANSFORM(RANGE(1, p_size + 1), x -> x * x)) AS BIGINT) AS sum_sq,
+        |  CAST(LEN(LIST_FILTER(RANGE(1, p_size + 1), x -> x % 2 = 0)) AS INT) AS n_even,
+        |  CAST(p_size AS BIGINT) AS last_x
         |FROM part ORDER BY p_partkey""".stripMargin,
     "scalar_datetime" ->
       """SELECT o_orderkey,
