@@ -61,7 +61,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     "shingle_hash_set" -> { args =>
       ShingleHashSet(args.head, if (args.length > 1) intArg(args(1), "w") else 3)
     },
-    "sorted_intersect_size" -> { args => SortedIntersectSize(args(0), args(1)) })
+    "sorted_intersect_size" -> { args => SortedIntersectSize(args(0), args(1)) },
+    "lane_match_count" -> { args => LaneMatchCount(args(0), args(1)) })
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     registry.foreach { case (name, builder) =>

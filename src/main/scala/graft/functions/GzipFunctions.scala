@@ -4,7 +4,7 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 import java.util.zip.{GZIPInputStream, GZIPOutputStream}
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 
 import org.apache.spark.sql.types.{BinaryType, DataType, StringType}
@@ -69,14 +69,31 @@ object GzipCodec extends Serializable {
 }
 
 /** Base for the unary byte-codec expressions: null-safe, codegen via a
-  * static call into [[GzipCodec]]. */
-abstract class GzipUnaryExpression extends UnaryExpression {
+  * static call into [[GzipCodec]]. Declares input types so the analyzer
+  * casts or rejects mismatched arguments (SQL-registered functions would
+  * otherwise reach the kernels with arbitrary child types). */
+abstract class GzipUnaryExpression extends UnaryExpression with ImplicitCastInputTypes {
   override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[org.apache.spark.sql.graftbridge.CatalystBridge.AbstractType] = Seq(BinaryType)
   /** fully-qualified static method on GzipCodec the codegen calls */
   protected def staticMethod: String
+  /** true when `staticMethod` maps corrupt input to null (failOnError=false) */
+  protected def lenient: Boolean = false
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.GzipCodec.$staticMethod($c)")
+    if (!lenient) {
+      defineCodeGen(ctx, ev, c => s"graft.functions.GzipCodec.$staticMethod($c)")
+    } else {
+      // defineCodeGen never re-checks ev.isNull after the call, so a
+      // null-on-corrupt result would flow through whole-stage codegen as a
+      // non-null null (NPE in the consumer). The lenient variants must set
+      // isNull from the returned value explicitly.
+      nullSafeCodeGen(ctx, ev, c =>
+        s"""
+           |${ev.value} = graft.functions.GzipCodec.$staticMethod($c);
+           |${ev.isNull} = ${ev.value} == null;
+         """.stripMargin)
+    }
 }
 
 /** gzip-decompress: binary → binary. failOnError=true mirrors the
@@ -86,6 +103,7 @@ case class GzipDecompress(child: Expression, failOnError: Boolean = true)
   override def dataType: DataType = BinaryType
   override protected def staticMethod: String =
     if (failOnError) "decompress" else "decompressOrNull"
+  override protected def lenient: Boolean = !failOnError
   override def nullable: Boolean = child.nullable || !failOnError
   override protected def nullSafeEval(v: Any): Any = {
     val r =
@@ -104,6 +122,7 @@ case class GzipDecompressToString(child: Expression, failOnError: Boolean = true
   override def dataType: DataType = StringType
   override protected def staticMethod: String =
     if (failOnError) "decompressToString" else "decompressToStringOrNull"
+  override protected def lenient: Boolean = !failOnError
   override def nullable: Boolean = child.nullable || !failOnError
   override protected def nullSafeEval(v: Any): Any =
     if (failOnError) GzipCodec.decompressToString(v.asInstanceOf[Array[Byte]])
@@ -124,6 +143,7 @@ case class GzipCompress(child: Expression) extends GzipUnaryExpression {
 
 /** gzip-compress a string column's UTF-8 bytes: string → binary. */
 case class GzipCompressString(child: Expression) extends GzipUnaryExpression {
+  override def inputTypes: Seq[org.apache.spark.sql.graftbridge.CatalystBridge.AbstractType] = Seq(StringType)
   override def dataType: DataType = BinaryType
   override protected def staticMethod: String = "compressString"
   override protected def nullSafeEval(v: Any): Any =

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -196,6 +196,21 @@ object TextHash extends Serializable {
     n
   }
 
+  /** Number of positions i where a(i) == b(i) — minhash signature lane
+    * agreement. The estimated-Jaccard hot kernel: runs up to maxBucket²
+    * times per LSH bucket, so it must stay inside whole-stage codegen
+    * (the HOF formulation `size(filter(zip_with(...)))` is interpreted
+    * and allocates two arrays per pair — measured 35×-class slowdowns). */
+  def laneMatchCount(a: ArrayData, b: ArrayData): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var i = 0; var c = 0
+    while (i < n) {
+      if (a.getLong(i) == b.getLong(i)) c += 1
+      i += 1
+    }
+    c
+  }
+
   /** Fused tokenize→simhash (same tokenization as [[minhashText]]). */
   def simhashText(s: UTF8String): Long = {
     val (buf, bounds, nTok) = tokenize(s)
@@ -249,8 +264,9 @@ object TextHash extends Serializable {
 
 /** minhash_signature(shingles, k, seed): array<string> → array<long>. */
 case class MinHashSignature(child: Expression, k: Int, seed: Long)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
   override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[org.apache.spark.sql.graftbridge.CatalystBridge.AbstractType] = Seq(ArrayType(StringType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override protected def nullSafeEval(v: Any): Any =
     TextHash.minhash(v.asInstanceOf[ArrayData], k, seed)
@@ -261,8 +277,9 @@ case class MinHashSignature(child: Expression, k: Int, seed: Long)
 }
 
 /** simhash64(tokens): array<string> → long. */
-case class SimHash64(child: Expression) extends UnaryExpression {
+case class SimHash64(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
   override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[org.apache.spark.sql.graftbridge.CatalystBridge.AbstractType] = Seq(ArrayType(StringType))
   override def dataType: DataType = LongType
   override protected def nullSafeEval(v: Any): Any =
     TextHash.simhash(v.asInstanceOf[ArrayData])
@@ -275,8 +292,9 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 /** minhash_text(text, w, k, seed): string → array<long> — fused
   * tokenize/shingle/minhash kernel (see [[TextHash.minhashText]]). */
 case class MinHashText(child: Expression, w: Int, k: Int, seed: Long)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
   override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[org.apache.spark.sql.graftbridge.CatalystBridge.AbstractType] = Seq(StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override protected def nullSafeEval(v: Any): Any =
     TextHash.minhashText(v.asInstanceOf[UTF8String], w, k, seed)
@@ -288,8 +306,10 @@ case class MinHashText(child: Expression, w: Int, k: Int, seed: Long)
 
 /** shingle_hash_set(text, w): string → array<long> — sorted distinct
   * w-shingle hashes (for exact Jaccard verification joins). */
-case class ShingleHashSet(child: Expression, w: Int) extends UnaryExpression {
+case class ShingleHashSet(child: Expression, w: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
   override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[org.apache.spark.sql.graftbridge.CatalystBridge.AbstractType] = Seq(StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override protected def nullSafeEval(v: Any): Any =
     TextHash.shingleHashSet(v.asInstanceOf[UTF8String], w)
@@ -301,8 +321,11 @@ case class ShingleHashSet(child: Expression, w: Int) extends UnaryExpression {
 
 /** sorted_intersect_size(a, b): two sorted array<long> → int. */
 case class SortedIntersectSize(left: Expression, right: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with ImplicitCastInputTypes {
   override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[org.apache.spark.sql.graftbridge.CatalystBridge.AbstractType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
   override def dataType: DataType = IntegerType
   override protected def nullSafeEval(a: Any, b: Any): Any =
     TextHash.sortedIntersectSize(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
@@ -313,9 +336,27 @@ case class SortedIntersectSize(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
-/** simhash_text(text): string → long — fused tokenize/simhash kernel. */
-case class SimHashText(child: Expression) extends UnaryExpression {
+/** lane_match_count(a, b): two array<long> → int (positions that agree). */
+case class LaneMatchCount(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with ImplicitCastInputTypes {
   override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[org.apache.spark.sql.graftbridge.CatalystBridge.AbstractType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = IntegerType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextHash.laneMatchCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.TextHash.laneMatchCount($a, $b)")
+  override def prettyName: String = "lane_match_count"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): LaneMatchCount =
+    copy(left = l, right = r)
+}
+
+/** simhash_text(text): string → long — fused tokenize/simhash kernel. */
+case class SimHashText(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[org.apache.spark.sql.graftbridge.CatalystBridge.AbstractType] = Seq(StringType)
   override def dataType: DataType = LongType
   override protected def nullSafeEval(v: Any): Any =
     TextHash.simhashText(v.asInstanceOf[UTF8String])
@@ -326,8 +367,9 @@ case class SimHashText(child: Expression) extends UnaryExpression {
 }
 
 /** doc_fingerprint(text): string → long (rolling hash, case/space-folded). */
-case class DocFingerprint(child: Expression) extends UnaryExpression {
+case class DocFingerprint(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
   override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[org.apache.spark.sql.graftbridge.CatalystBridge.AbstractType] = Seq(StringType)
   override def dataType: DataType = LongType
   override protected def nullSafeEval(v: Any): Any =
     TextHash.fingerprint(v.asInstanceOf[UTF8String])

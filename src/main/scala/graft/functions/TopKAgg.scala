@@ -78,9 +78,16 @@ case class TopKDoubles(
 final class TopKBuffer(k: Int) {
   private val heap = new java.util.PriorityQueue[java.lang.Double](k)
 
-  def add(v: Double): Unit =
+  /** NaN inputs are skipped (SQL aggregate convention — MAX/MIN ignore
+    * them too): java.lang.Double ordering ranks NaN above every number,
+    * so an admitted NaN could never be displaced from the heap, while the
+    * `peek() < v` test would never admit one past capacity — asymmetric,
+    * order-dependent results. */
+  def add(v: Double): Unit = {
+    if (v.isNaN) return
     if (heap.size < k) heap.add(v)
     else if (heap.peek() < v) { heap.poll(); heap.add(v) }
+  }
 
   def mergeWith(other: TopKBuffer): Unit = {
     val it = other.heap.iterator()

@@ -1,9 +1,9 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType}
 
 /**
  * Vector similarity kernels over `ArrayType(FloatType)` embedding columns
@@ -58,9 +58,15 @@ object VectorOps extends Serializable {
   }
 }
 
-abstract class VectorBinaryExpression extends BinaryExpression {
+abstract class VectorBinaryExpression extends BinaryExpression with ImplicitCastInputTypes {
   override def nullIntolerant: Boolean = true
   override def dataType: DataType = DoubleType
+  // The kernels read 4-byte floats out of ArrayData; without a declared
+  // input type, SQL-side callers passing array(1.0, 2.0) — array<double>,
+  // 8-byte slots — would silently read garbage. Declaring ArrayType(FloatType)
+  // makes the analyzer insert the cast (or reject non-castable inputs).
+  override def inputTypes: Seq[org.apache.spark.sql.graftbridge.CatalystBridge.AbstractType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
   protected def staticMethod: String
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val m = staticMethod

@@ -62,6 +62,11 @@ package object functions {
   def sorted_intersect_size(a: Column, b: Column): Column =
     col(SortedIntersectSize(expr(a), expr(b)))
 
+  /** count of positions where two array<long> columns agree (minhash
+    * signature lane matches — codegen'd, unlike a zip_with/filter HOF). */
+  def lane_match_count(a: Column, b: Column): Column =
+    col(LaneMatchCount(expr(a), expr(b)))
+
   /** rolling-hash document fingerprint (case/whitespace-normalized). */
   def doc_fingerprint(text: Column): Column = col(DocFingerprint(expr(text)))
 

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.functions.{doc_fingerprint, minhash_text, shingle_hash_set, simhash_text, sorted_intersect_size}
+import graft.functions.{doc_fingerprint, lane_match_count, minhash_text, shingle_hash_set, simhash_text, sorted_intersect_size}
 
 /**
  * Deduplication operators for document corpora (SURVEY §2.3; the
@@ -20,8 +20,9 @@ import graft.functions.{doc_fingerprint, minhash_text, shingle_hash_set, simhash
  *    the quadratic blowup is confined to colliding buckets. Oversized
  *    buckets (degenerate content) are capped to bound worst-case skew.
  *  - simhash shuffles one long per (table, row); hamming verification is
- *    banded the same way (4×16-bit chunks ⇒ any pair within hamming
- *    distance 3 of 64 bits shares ≥1 exact chunk).
+ *    banded into maxHamming+1 chunks of the 64-bit signature ⇒ by
+ *    pigeonhole, any pair within the hamming budget shares ≥1 exact chunk
+ *    (no candidate is silently dropped at the requested distance).
  *  - no driver-side collection anywhere.
  */
 object Dedup {
@@ -51,21 +52,25 @@ object Dedup {
 
   /**
    * Remove rows whose bucket key holds more than `maxBucket` members —
-   * BEFORE any collect_list/self-join touches them. The oversized-key set
-   * is tiny by definition (each key is huge), so it broadcasts; and the
-   * counting aggregate shuffles on the same keys as the downstream bucket
-   * aggregate, so the physical exchange is planned once and reused. This
-   * ordering matters at scale: filtering on size AFTER collect_list still
-   * materializes the degenerate bucket (all-empty-docs hash collisions →
-   * one multi-GB group) in the aggregation buffer first.
+   * BEFORE any collect_list/self-join touches them. Implemented as a
+   * windowed count over the bucket keys, NOT a count-aggregate + anti-join:
+   * the window evaluates `banded` (and so the signature kernel feeding it)
+   * exactly ONCE, where the two-branch formulation re-executed the whole
+   * signature DAG per branch — in round 1 that doubled minhash cost. The
+   * window's sort/exchange on the bucket keys is exactly what the
+   * downstream `groupBy(keys)` needs, so EnsureRequirements plans ONE
+   * exchange for both. Degenerate buckets pass through the window's
+   * spillable row buffer and are filtered out here, so `collect_list`
+   * never materializes them in an aggregation buffer (the all-empty-docs
+   * hash collision → one multi-GB group failure mode at 100 TB).
    */
   private def dropOversizedBuckets(
       banded: DataFrame, keys: Seq[String], maxBucket: Int): DataFrame = {
-    val big = banded.groupBy(keys.map(col): _*)
-      .agg(count(lit(1)).as("__n"))
-      .filter(col("__n") > maxBucket)
-      .select(keys.map(col): _*)
-    banded.join(broadcast(big), keys, "left_anti")
+    val w = Window.partitionBy(keys.map(col): _*)
+    banded
+      .withColumn("__bn", count(lit(1)).over(w))
+      .filter(col("__bn") <= maxBucket)
+      .drop("__bn")
   }
 
   /** Exact content dedup via 64-bit fingerprint (case/space-folded) —
@@ -93,7 +98,24 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 16,
       threshold: Double = 0.7,
-      maxBucket: Int = 1000): DataFrame = {
+      maxBucket: Int = 1000): DataFrame =
+    minhashCandidates(df, textCol, idCol, numHashes, bands, threshold, maxBucket)
+      .dropDuplicates("id_a", "id_b")
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** Qualifying candidate pairs WITHOUT the edge sort/dedup — a pair that
+    * collides in several bands appears once per band. [[minhashPairs]] is
+    * the user-facing ordered/distinct view; [[minhashDedup]] consumes this
+    * raw form (its id_b-distinct makes pair-dedup redundant, and a global
+    * pair sort would be pure waste in that plan). */
+  private def minhashCandidates(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      numHashes: Int,
+      bands: Int,
+      threshold: Double,
+      maxBucket: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
 
@@ -129,18 +151,26 @@ object Dedup {
       .select(
         least(col("a.id"), col("b.id")).as("id_a"),
         greatest(col("a.id"), col("b.id")).as("id_b"),
-        expr(s"size(filter(zip_with(a.sig, b.sig, (x, y) -> x = y), m -> m)) / cast($numHashes as double)")
+        // codegen'd lane-agreement kernel — this runs up to maxBucket²
+        // times per bucket, so an interpreted zip_with/filter HOF here
+        // dominated the whole dedup family in round 1 (~52 s of 118 s)
+        (lane_match_count(col("a.sig"), col("b.sig")).cast("double") / numHashes)
           .as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
 
     pairs
-      .dropDuplicates("id_a", "id_b")
-      .orderBy(col("id_a"), col("id_b"))
   }
 
   /** Connected-component-free dedup from candidate pairs: every doc that
     * appears as the larger id of a qualifying pair is dropped (min-id
-    * representative per near-dup set, computed distributively). */
+    * representative per near-dup set, computed distributively).
+    *
+    * Plan shape: the signature/banding DAG runs ONCE (the oversized-bucket
+    * guard is a window, not a second aggregate branch), producing the tiny
+    * loser-id set; the only other work is a second — column-pruned — scan
+    * of `df` for the surviving rows' anti-join. Carrying full rows through
+    * the banding shuffle instead would replicate every document `bands`
+    * times through the exchange, which is the wrong trade at 100 TB. */
   def minhashDedup(
       df: DataFrame,
       textCol: String,
@@ -148,14 +178,25 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 16,
       threshold: Double = 0.7): DataFrame = {
-    val losers = minhashPairs(df, textCol, idCol, numHashes, bands, threshold)
-      .select(col("id_b").as("__loser")).distinct()
+    val losers =
+      minhashCandidates(df, textCol, idCol, numHashes, bands, threshold, maxBucket = 1000)
+        .select(col("id_b").as("__loser")).distinct()
     df.join(losers, df(idCol) === col("__loser"), "left_anti")
   }
 
   /**
-   * SimHash near-duplicate pairs: 64-bit signature, banded into 4×16-bit
-   * chunks; pairs sharing a chunk are verified by exact hamming distance.
+   * SimHash near-duplicate pairs: 64-bit signature, banded into
+   * `maxHamming + 1` chunks; pairs sharing any chunk are verified by exact
+   * hamming distance.
+   *
+   * The chunk count is DERIVED from maxHamming, not fixed: with c chunks,
+   * a pair differing in ≤ c-1 bits must (pigeonhole) agree on ≥1 whole
+   * chunk, so c = maxHamming+1 guarantees every qualifying pair becomes a
+   * candidate. Round 1 hard-coded 4×16-bit chunks, which only covers
+   * hamming ≤ 3 — a maxHamming=8 query silently dropped pairs at distance
+   * 4–8 whose flips touched all four chunks. Narrower chunks collide more
+   * (recall lever costs candidate fan-out), but verification is a single
+   * codegen'd bit_count, and the oversized-bucket guard still bounds skew.
    */
   def simhashPairs(
       df: DataFrame,
@@ -163,11 +204,19 @@ object Dedup {
       idCol: String,
       maxHamming: Int = 3,
       maxBucket: Int = 1000): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 32,
+      s"maxHamming must be in [0, 32): $maxHamming (chunks need ≥2 bits to prune)")
+    val nChunks = maxHamming + 1
+    val widths = Array.tabulate(nChunks)(i => 64 / nChunks + (if (i < 64 % nChunks) 1 else 0))
+    val starts = widths.scanLeft(0)(_ + _)
     val sigs = df.select(col(idCol).as("id"), simhash_text(col(textCol)).as("sh"))
+    val chunkStructs = (0 until nChunks).map { b =>
+      val mask = if (widths(b) == 64) -1L else (1L << widths(b)) - 1L
+      struct(lit(b).as("band"),
+        shiftrightunsigned(col("sh"), starts(b)).bitwiseAND(lit(mask)).as("chunk"))
+    }
     val banded = sigs.select(col("id"), col("sh"),
-      explode(expr(
-        "transform(sequence(0, 3), b -> named_struct('band', b, 'chunk', (sh >> (b * 16)) & 65535))"))
-        .as("bb"))
+      explode(array(chunkStructs: _*)).as("bb"))
       .select(col("id"), col("sh"), col("bb.band").as("band"), col("bb.chunk").as("chunk"))
 
     // same guarded single-shuffle bucket shape as minhashPairs

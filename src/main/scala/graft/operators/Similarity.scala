@@ -72,8 +72,9 @@ object Similarity {
   /** Approximate top-k via random-hyperplane LSH bucketing + exact
     * re-rank inside the candidate buckets. Multi-probe: each query also
     * probes every bucket within hamming distance `probeRadius` of its own
-    * (flip-one-bit probing — the standard recall lever that costs probe
-    * fan-out on the tiny query side instead of more corpus replication). */
+    * (all ≤-probeRadius-bit flips — the standard recall lever that costs
+    * probe fan-out on the tiny query side instead of more corpus
+    * replication; probeRadius=0 probes only the query's own bucket). */
   def lshTopK(
       corpus: DataFrame,
       queries: DataFrame,
@@ -87,11 +88,15 @@ object Similarity {
     val ps = planes(nBits, dim, seed)
     val planesCol = typedLit(ps.map(_.toSeq).toSeq)
 
+    require(nBits <= 20, s"nBits too large for probe enumeration: $nBits")
     val q0 = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("__b", bucketCol(col("qv"), planesCol, nBits))
-    val probeCols = if (probeRadius >= 1)
-      col("__b") +: (0 until nBits).map(b => col("__b").bitwiseXOR(lit(1L << b)))
-    else Seq(col("__b"))
+    // probe every bucket within hamming distance `probeRadius` of the
+    // query's own: all XOR masks of popcount ≤ probeRadius (sum of
+    // C(nBits, r) probes — the full contract, not just single-bit flips)
+    val flipMasks = (1L until (1L << nBits))
+      .filter(m => java.lang.Long.bitCount(m) <= probeRadius)
+    val probeCols = col("__b") +: flipMasks.map(m => col("__b").bitwiseXOR(lit(m)))
     val q = q0.withColumn("bucket", explode(array(probeCols: _*))).drop("__b")
 
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))

@@ -140,11 +140,15 @@ object ExtensionQueries extends QueryFamily {
   /** The composed pretraining-corpus pipeline — the end-to-end story the
     * individual operators serve: exact dedup (min-id keeper) → quality
     * gates (length, punctuation, stopword presence) → language filter →
-    * clean corpus. Fully SQL-expressible (dedup here keys on text for
-    * oracle parity; the 100 TB variant keys on `doc_fingerprint` so the
-    * shuffle carries 8 bytes/doc instead of documents). */
+    * clean corpus. Dedup keys on md5(text), not the text itself: the
+    * dedup exchange then hashes/sorts 16-byte digests instead of
+    * multi-KB documents (the round-1 scale-killer in this query), while
+    * staying oracle-expressible (DuckDB MD5 agrees bit-for-bit; a
+    * collision changing the result needs ~2⁶⁴ docs). */
   def pipelineCorpus(spark: SparkSession, dir: String): DataFrame = {
-    val deduped = Dedup.exactByKey(Tables.documents(spark, dir), Seq("text"), "doc_id")
+    val deduped = Dedup.exactByKey(
+      Tables.documents(spark, dir).withColumn("__k", md5(col("text"))),
+      Seq("__k"), "doc_id").drop("__k")
     // quality gates first, language scoring only on survivors — the
     // filters are conjunctive, so ordering is a pure cost decision (the
     // 5-language marker scan is the most expensive stage)
@@ -353,7 +357,7 @@ object ExtensionQueries extends QueryFamily {
       s"""WITH kept AS (
          |  SELECT doc_id, text FROM (
          |    SELECT doc_id, text,
-         |      ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+         |      ROW_NUMBER() OVER (PARTITION BY MD5(text) ORDER BY doc_id) AS rn
          |    FROM documents) WHERE rn = 1
          |), scored AS (
          |  SELECT doc_id,
@@ -405,10 +409,13 @@ object ExtensionQueries extends QueryFamily {
         |JOIN (SELECT event_id AS point_id, ts FROM events WHERE event_type = 'click') p
         |  ON p.ts >= i.s AND p.ts <= i.e
         |ORDER BY i.interval_id, p.point_id""".stripMargin,
+    // NOTE: DuckDB's windowed SUM over integers returns HUGEINT (int128);
+    // the driver hash compares typed values, so without the BIGINT cast the
+    // values match but the dtype (and therefore the hash) does not.
     "session_assign" ->
       """SELECT user_id, event_id, ts,
-        |  SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |  CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
         |FROM (
         |  SELECT user_id, event_id, ts,
         |    CASE WHEN LAG(ts) OVER w IS NULL THEN 1
@@ -421,8 +428,8 @@ object ExtensionQueries extends QueryFamily {
     "session_stats" ->
       """WITH assigned AS (
         |  SELECT user_id, event_id, ts, value,
-        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
         |  FROM (
         |    SELECT user_id, event_id, ts, value,
         |      CASE WHEN LAG(ts) OVER w IS NULL THEN 1

@@ -16,6 +16,12 @@ object CatalystBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** `org.apache.spark.sql.types.AbstractDataType` is `private[sql]`, but
+    * `ExpectsInputTypes.inputTypes` (the analyzer's type-coercion contract)
+    * is typed against it — this alias re-exports it so graft expressions
+    * can declare their input types from outside the sql package. */
+  type AbstractType = org.apache.spark.sql.types.AbstractDataType
+
   /** Register a function builder into an EXISTING session's registry
     * (builder-time `withExtensions` is the normal path; this serves
     * already-running sessions, e.g. shared test sessions or REPLs). */

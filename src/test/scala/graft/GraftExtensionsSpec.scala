@@ -24,4 +24,22 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.getBoolean(4))
     assert(r.getInt(5) == 2)
   }
+
+  test("vector kernels accept SQL double-literal arrays (analyzer casts to float)") {
+    GraftExtensions.register(spark)
+    // array(1.0D, ...) is array<double> — before the declared input types,
+    // the float kernel read 4-byte lanes out of 8-byte slots and returned
+    // garbage silently; now the analyzer inserts the array<float> cast
+    val r = spark.sql(
+      """SELECT
+        |  cosine_similarity(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS cos_self,
+        |  dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS dp,
+        |  l2_distance(array(0.0D, 3.0D), array(4.0D, 0.0D)) AS l2,
+        |  lane_match_count(array(1, 2, 5), array(1, 3, 5)) AS lanes
+        |""".stripMargin).collect()(0)
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-9)
+    assert(math.abs(r.getDouble(1) - 11.0) < 1e-6)
+    assert(math.abs(r.getDouble(2) - 5.0) < 1e-6)
+    assert(r.getInt(3) == 2)
+  }
 }

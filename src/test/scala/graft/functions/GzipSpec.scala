@@ -50,6 +50,27 @@ class GzipSpec extends SparkSpec {
     assert(lenient.head.isNullAt(0))
   }
 
+  test("lenient gunzip inside WholeStageCodegen: corrupt → null, not NPE") {
+    // LocalRelation inputs are folded by ConvertToLocalRelation and never
+    // exercise codegen — round 1's lenient-mode codegen bug (isNull never
+    // set from the null result) was invisible to the local-only test. A
+    // parquet round-trip forces a real scan + generated projection.
+    val dir = java.nio.file.Files.createTempDirectory("graft-gz-lenient").toString
+    val good = GzipCodec.compress("ok".getBytes("UTF-8"))
+    Seq(good, Array[Byte](1, 2, 3, 4)).toDF("gz").write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir)
+      .select(gunzip_string(col("gz"), failOnError = false).as("rt"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), plan)
+    val rows = df.collect().map(r => Option(r.getString(0)))
+    assert(rows.toSet == Set(Some("ok"), None))
+
+    val binDf = spark.read.parquet(dir)
+      .select(gunzip(col("gz"), failOnError = false).as("rt"))
+    val binRows = binDf.collect().map(r => Option(r.get(0)))
+    assert(binRows.count(_.isEmpty) == 1)
+  }
+
   test("gunzip stays inside WholeStageCodegen (no fallback in the hot path)") {
     import spark.implicits._
     // pre-compress eagerly so EliminateGzipRoundTrip has nothing to fold —

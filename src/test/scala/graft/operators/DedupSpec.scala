@@ -56,6 +56,49 @@ class DedupSpec extends SparkSpec {
     assert(!m.contains((4L, 5L)), "unrelated docs should exceed hamming 8")
   }
 
+  test("simhash banding covers the full requested hamming radius (pigeonhole)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // deterministic token-substitution variants of the base sentence; the
+    // interesting pairs are hamming 4..8 with flips touching ALL FOUR
+    // 16-bit chunks — exactly what round 1's fixed 4×16 banding silently
+    // dropped at maxHamming=8
+    val baseToks = base.split(" ")
+    val variants = (for {
+      p <- baseToks.indices; k <- 0 until 6
+    } yield baseToks.updated(p, s"w$k$p").mkString(" ")).distinct
+    val sigs = variants.map(t => graft.functions.TextHash.simhashText(UTF8String.fromString(t)))
+    val want = (for {
+      i <- sigs.indices.iterator
+      j <- ((i + 1) until sigs.length).iterator
+      x = sigs(i) ^ sigs(j)
+      hd = java.lang.Long.bitCount(x)
+      if hd >= 4 && hd <= 8
+      if (0 until 4).forall(c => ((x >>> (c * 16)) & 0xffffL) != 0L)
+    } yield (i.toLong, j.toLong)).toSeq
+    assert(want.nonEmpty, "fixture search found no qualifying pair — widen the variant generator")
+    val df = variants.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val found = Dedup.simhashPairs(df, "text", "doc_id", maxHamming = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    want.foreach { p =>
+      assert(found.contains(p), s"pair $p within hamming 8 missed by the banding")
+    }
+  }
+
+  test("lane_match_count equals the interpreted zip_with/filter HOF") {
+    import graft.functions.{lane_match_count, minhash_text}
+    val df = docs.select(
+      minhash_text(col("text"), 3, 64).as("a"),
+      minhash_text(reverse(col("text")), 3, 64).as("b"))
+    val cmp = df.select(
+      lane_match_count(col("a"), col("b")).as("fast"),
+      expr("size(filter(zip_with(a, b, (x, y) -> x = y), m -> m))").as("slow"),
+      lane_match_count(col("a"), col("a")).as("self")).collect()
+    cmp.foreach { r =>
+      assert(r.getInt(0) == r.getInt(1), "kernel disagrees with HOF reference")
+      assert(r.getInt(2) == 64)
+    }
+  }
+
   test("ngramJaccard: exact dup = 1.0, near-dup high, ordering deterministic") {
     val cands = Seq((1L, 2L), (1L, 6L), (4L, 5L)).toDF("id_a", "id_b")
     val j = Dedup.ngramJaccard(docs, "text", "doc_id", cands)

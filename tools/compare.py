@@ -35,7 +35,11 @@ def main():
         try:
             n1, c1, t1, h1, d1 = canon(con, f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')", "spark")
             n2, c2, t2, h2, d2 = canon(con, sql, "oracle")
-            ok = (n1 == n2) and (c1 == c2) and (h1 == h2)
+            # t1 == t2 matters: the driver hashes TYPED values, while the
+            # CSV normalization here collapses e.g. HUGEINT 1 vs BIGINT 1 —
+            # without the dtype check this script says OK where the driver
+            # says hash-FAIL (seen on session_assign in round 1).
+            ok = (n1 == n2) and (c1 == c2) and (t1 == t2) and (h1 == h2)
             status = "OK  " if ok else "FAIL"
             if not ok:
                 failures += 1
