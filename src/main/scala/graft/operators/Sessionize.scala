@@ -44,7 +44,11 @@ object Sessionize {
       .drop("__prev_ts", "__new_session")
   }
 
-  /** Per-session aggregates: bounds, event count, value sum. */
+  /** Per-session aggregates: bounds, event count, value sum. Unordered —
+    * a global ORDER BY is a range exchange every caller would pay whether
+    * or not they need it; ordering belongs at the query edge. The grouping
+    * needs no new shuffle: the window in [[assign]] already partitioned by
+    * user, and (user, session_seq) distribution is a refinement of it. */
   def sessionStats(
       events: DataFrame,
       userCol: String = "user_id",
@@ -59,5 +63,4 @@ object Sessionize {
         max(col(tsCol)).as("session_end"),
         count(lit(1)).as("n_events"),
         sum(col(valueCol).cast(DecimalType(12, 2))).cast(DoubleType).as("sum_value"))
-      .orderBy(col(userCol), col("session_seq"))
 }

@@ -36,34 +36,74 @@ object Temporal {
       keyCol: String,
       tsCol: String,
       valueCols: Seq[String],
+      toleranceSeconds: Option[Long] = None): DataFrame =
+    asofJoinKeys(left, right, Seq(keyCol), tsCol, valueCols, toleranceSeconds)
+
+  /**
+   * Hot-key-safe variant: [[asofJoin]] puts a key's ENTIRE row set on one
+   * reducer (the per-key window sort) — a pathological key (one sensor
+   * producing half the events) serializes on a single task. Salting splits
+   * each key into `salts` window partitions: every LEFT row gets one
+   * deterministic salt (content hash), the RIGHT side replicates to ALL
+   * salts, so each (key, salt) partition holds the key's full right-side
+   * history plus ~1/salts of its left rows — per-left-row results are
+   * identical to the unsalted join, wall clock divides by ~salts, and the
+   * cost is a bounded ×salts replication of the (usually much smaller)
+   * right side.
+   */
+  def asofJoinSalted(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valueCols: Seq[String],
+      salts: Int = 8,
       toleranceSeconds: Option[Long] = None): DataFrame = {
+    require(salts >= 1, s"salts must be positive: $salts")
+    require(!left.columns.contains("__salt") && !right.columns.contains("__salt"),
+      "__salt column name is reserved")
+    val l = left.withColumn("__salt",
+      pmod(xxhash64(left.columns.map(col): _*), lit(salts.toLong)).cast("int"))
+    val r = right.withColumn("__salt",
+      explode(array((0 until salts).map(i => lit(i)): _*)))
+    asofJoinKeys(l, r, Seq(keyCol, "__salt"), tsCol, valueCols, toleranceSeconds)
+      .drop("__salt")
+  }
+
+  private def asofJoinKeys(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      valueCols: Seq[String],
+      toleranceSeconds: Option[Long]): DataFrame = {
     val collisions = valueCols.toSet.intersect(left.columns.toSet)
     require(collisions.isEmpty, s"valueCols collide with left columns: $collisions")
-    val passthrough = left.columns.toSeq.filterNot(c => c == keyCol || c == tsCol)
+    val passthrough = left.columns.toSeq.filterNot(c => keyCols.contains(c) || c == tsCol)
 
     // side 0 = right, 1 = left: at equal ts the right row sorts first.
     // __rts carries the matched reading's own event time for the
     // tolerance check (swept forward exactly like the values).
     val taggedRight = right.select(
-      (col(keyCol) +: col(tsCol) +: lit(0).as("__side") +:
+      (keyCols.map(col) ++ (col(tsCol) +: lit(0).as("__side") +:
         col(tsCol).as("__rts") +:
-        passthrough.map(c => lit(null).cast(left.schema(c).dataType).as(c))) ++
+        passthrough.map(c => lit(null).cast(left.schema(c).dataType).as(c)))) ++
         valueCols.map(c => col(c)): _*)
     val taggedLeft = left.select(
-      (col(keyCol) +: col(tsCol) +: lit(1).as("__side") +:
+      (keyCols.map(col) ++ (col(tsCol) +: lit(1).as("__side") +:
         lit(null).cast(right.schema(tsCol).dataType).as("__rts") +:
-        passthrough.map(col)) ++
+        passthrough.map(col))) ++
         valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
 
-    val w = Window.partitionBy(col(keyCol))
+    val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col(tsCol).asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val swept = taggedRight.unionByName(taggedLeft)
       .select(
-        (col(keyCol) +: col(tsCol) +: col("__side") +:
+        (keyCols.map(col) ++ (col(tsCol) +: col("__side") +:
           last(col("__rts"), ignoreNulls = true).over(w).as("__rts") +:
-          passthrough.map(col)) ++
+          passthrough.map(col))) ++
           valueCols.map(c => last(col(c), ignoreNulls = true).over(w).as(c)): _*)
       .filter(col("__side") === 1)
 

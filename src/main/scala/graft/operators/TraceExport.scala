@@ -143,11 +143,18 @@ object TraceExport {
         gunzip_string(col("traceData")).as("traceData"))
   }
 
-  /** K1 sink. The reference materializes one in-memory byte[]; files are the
-    * contract here. K2 (empty → sentinel/404) is surfaced as a boolean so a
-    * service layer can map it. Returns true iff rows were written. */
-  def exportToParquet(result: DataFrame, path: String): Boolean = {
-    result.write.mode("overwrite").parquet(path)
+  /** K1 sink. The reference materializes ONE in-memory parquet byte[]
+    * (ParquetConversionService.java:60-85) consumed as a single file
+    * (README.md:123-128); `singleFile = true` reproduces that one-artifact
+    * contract via coalesce(1). It stays off by default: one output file
+    * means one writing task — correct for a service handing a file to a
+    * caller, wrong for a 100 TB export (where the multi-part directory is
+    * the scale contract). K2 (empty → sentinel/404) is surfaced as a
+    * boolean so a service layer can map it. Returns true iff rows were
+    * written. */
+  def exportToParquet(result: DataFrame, path: String, singleFile: Boolean = false): Boolean = {
+    val sink = if (singleFile) result.coalesce(1) else result
+    sink.write.mode("overwrite").parquet(path)
     // cheap emptiness check on the written artifact (no double compute of
     // the full plan — metadata-only count over parquet footers)
     result.sparkSession.read.parquet(path).isEmpty match {

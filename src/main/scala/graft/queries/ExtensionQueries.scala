@@ -180,6 +180,22 @@ object ExtensionQueries extends QueryFamily {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** Hot-key-safe as-of join (same semantics, salted window partitions —
+    * the 100×-scale path when one key dominates the event volume). Same
+    * oracle as asof_join: the salting must be invisible in the result. */
+  def asofJoinSalted(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("user_id", "ts", "event_id")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("value")).as("purchase_value"))
+    graft.operators.Temporal.asofJoinSalted(clicks, purchases, "user_id", "ts",
+      Seq("purchase_value"), salts = 4)
+      .select(col("user_id"), col("event_id"), col("ts"), col("purchase_value"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   /** Interval-containment join (no equi-key): clicks falling inside the
     * 10-minute window after each purchase, grid-bucketed so the theta
     * join becomes an equi-join on the time cell. */
@@ -213,17 +229,21 @@ object ExtensionQueries extends QueryFamily {
 
   /** Week-over-week cohort retention: distinct active users per week who
     * are also active the following week (the events fixture spans one
-    * month, so weeks are the natural cohort grain). */
+    * month, so weeks are the natural cohort grain). Formulated as
+    * lead()-over-window rather than a self-join: referencing the distinct
+    * user-week frame twice re-executes its whole DAG per reference; the
+    * window reads it once, and "active next week" ⇔ the user's next
+    * distinct active week is exactly m + 7 days. */
   def retentionWeekly(spark: SparkSession, dir: String): DataFrame = {
     val um = Tables.events(spark, dir)
       .select(col("user_id"),
         date_trunc("week", col("ts")).cast(org.apache.spark.sql.types.TimestampNTZType).as("m"))
       .distinct()
-    um.as("a")
-      .join(um.as("b"),
-        col("a.user_id") === col("b.user_id") &&
-          col("b.m") === expr("a.m + INTERVAL 7 DAYS"))
-      .groupBy(col("a.m"))
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("m").asc)
+    um.withColumn("__next", lead(col("m"), 1).over(byUser))
+      .filter(col("__next") === col("m") + expr("INTERVAL 7 DAYS"))
+      .groupBy(col("m"))
       .agg(count(lit(1)).as("retained"))
       .select(col("m").as("cohort_month"), col("retained"))
       .orderBy(col("cohort_month"))
@@ -246,6 +266,7 @@ object ExtensionQueries extends QueryFamily {
 
   def sessionStats(spark: SparkSession, dir: String): DataFrame =
     Sessionize.sessionStats(Tables.events(spark, dir))
+      .orderBy(col("user_id"), col("session_seq"))
 
   val queries: Map[String, QueryFn] = Map(
     "dedup_exact" -> (dedupExact _),
@@ -270,12 +291,23 @@ object ExtensionQueries extends QueryFamily {
     "funnel_signup_purchase" -> (funnelSignupPurchase _),
     "retention_weekly" -> (retentionWeekly _),
     "asof_join" -> (asofJoin _),
+    "asof_join_salted" -> (asofJoinSalted _),
     "interval_join" -> (intervalJoin _),
     "session_assign" -> (sessionAssign _),
     "session_stats" -> (sessionStats _))
 
   private val tokensSql =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)"
+
+  // shared by asof_join and asof_join_salted — salting must not change results
+  private val asofOracleSql =
+    """SELECT l.user_id, l.event_id, l.ts, r.purchase_value
+      |FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click') l
+      |ASOF LEFT JOIN (
+      |  SELECT user_id, ts, MAX(value) AS purchase_value
+      |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+      |) r ON l.user_id = r.user_id AND l.ts >= r.ts
+      |ORDER BY l.user_id, l.event_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
@@ -394,14 +426,8 @@ object ExtensionQueries extends QueryFamily {
         |FROM um a JOIN um b
         |  ON a.user_id = b.user_id AND b.m = a.m + INTERVAL 7 DAY
         |GROUP BY a.m ORDER BY a.m""".stripMargin,
-    "asof_join" ->
-      """SELECT l.user_id, l.event_id, l.ts, r.purchase_value
-        |FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click') l
-        |ASOF LEFT JOIN (
-        |  SELECT user_id, ts, MAX(value) AS purchase_value
-        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
-        |) r ON l.user_id = r.user_id AND l.ts >= r.ts
-        |ORDER BY l.user_id, l.event_id""".stripMargin,
+    "asof_join" -> asofOracleSql,
+    "asof_join_salted" -> asofOracleSql,
     "interval_join" ->
       """SELECT i.interval_id, p.point_id
         |FROM (SELECT event_id AS interval_id, ts AS s, ts + INTERVAL 10 MINUTE AS e

@@ -50,9 +50,25 @@ object TraceQueries extends QueryFamily {
   def traceExportUnordered(spark: SparkSession, dir: String): DataFrame =
     TraceExport.exportUnordered(TraceExport.fromEvents(spark, dir), traceIds, traceT0, traceT1)
 
+  /** Order-insensitive digest of the unordered scale-path export, so its
+    * VALUES are driver-verified too (the rows-only check above can't see
+    * content): count, key/time extrema and sums, payload cardinality —
+    * every column independent of row order, every one SQL-expressible. */
+  def traceExportUnorderedDigest(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    traceExportUnordered(spark, dir).agg(
+      count(lit(1)).as("n_rows"),
+      sum(col("paramIndex")).as("sum_param"),
+      min(col("startTime")).as("min_start"),
+      max(col("startTime")).as("max_start"),
+      sum(length(col("traceData"))).as("sum_chars"),
+      count_distinct(col("traceData")).as("n_payloads"))
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "trace_export" -> (traceExport _),
     "trace_export_unordered" -> (traceExportUnordered _),
+    "trace_export_unordered_digest" -> (traceExportUnorderedDigest _),
     "trace_export_empty" -> (traceExportEmpty _),
     "trace_seed_golden" -> (traceSeedGolden _),
     "trace_typed" -> (traceTyped _))
@@ -72,6 +88,17 @@ object TraceQueries extends QueryFamily {
       """SELECT user_id AS paramIndex, ts AS startTime,
         |       ts + INTERVAL 60 SECOND AS endTime, props AS traceData
         |FROM events WHERE 1 = 0""".stripMargin,
+    "trace_export_unordered_digest" ->
+      """SELECT CAST(COUNT(1) AS BIGINT) AS n_rows,
+        |       CAST(SUM(user_id) AS BIGINT) AS sum_param,
+        |       MIN(ts) AS min_start,
+        |       MAX(ts) AS max_start,
+        |       CAST(SUM(LENGTH(props)) AS BIGINT) AS sum_chars,
+        |       CAST(COUNT(DISTINCT props) AS BIGINT) AS n_payloads
+        |FROM events
+        |WHERE user_id IN (1, 2, 3, 5, 8, 13)
+        |  AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+        |  AND ts <= TIMESTAMP '2024-01-31 23:59:59'""".stripMargin,
     "trace_typed" ->
       """SELECT user_id AS paramIndex,
         |       ts AS startTime,

@@ -49,6 +49,38 @@ class TemporalSpec extends SparkSpec {
     assert(out("stale").isEmpty)
   }
 
+  test("asofJoinSalted equals asofJoin on a pathologically hot key") {
+    import org.apache.spark.sql.functions.col
+    // one key carries 2000 of 2010 rows — the unsalted window serializes it
+    // on one reducer; the salted variant must split it WITHOUT changing any
+    // per-row result (incl. tolerance nulls and the at-equal-ts match)
+    val left = ((0 until 2000).map(i =>
+      (1L, ts(f"2024-01-01 ${i / 120}%02d:${(i / 2) % 60}%02d:${(i * 7) % 60}%02d"), i.toLong)) ++
+      (0 until 10).map(i => (100L + i, ts(s"2024-01-01 12:00:0$i"), 9000L + i)))
+      .toDF("k", "ts", "row_id")
+    val right = ((0 until 48).map(i =>
+      (1L, ts(f"2024-01-01 ${i / 2}%02d:${(i % 2) * 30}%02d:00"), i.toDouble)) ++
+      Seq((105L, ts("2024-01-01 11:00:00"), 500.0)))
+      .toDF("k", "ts", "reading")
+
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "row_id", "reading").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+
+    val plain = canon(Temporal.asofJoin(left, right, "k", "ts", Seq("reading")))
+    val salted = canon(Temporal.asofJoinSalted(left, right, "k", "ts", Seq("reading"), salts = 7))
+    assert(salted.size == 2010 && salted == plain)
+
+    val plainTol = canon(Temporal.asofJoin(left, right, "k", "ts", Seq("reading"),
+      toleranceSeconds = Some(900L)))
+    val saltedTol = canon(Temporal.asofJoinSalted(left, right, "k", "ts", Seq("reading"),
+      salts = 7, toleranceSeconds = Some(900L)))
+    assert(saltedTol == plainTol)
+    assert(!Temporal.asofJoinSalted(left, right, "k", "ts", Seq("reading"), salts = 7)
+      .columns.contains("__salt"))
+  }
+
   test("intervalJoin equals the naive theta join, incl. cell-boundary spans") {
     val intervals = Seq(
       (10L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:20:00")), // spans 3 cells at 600s

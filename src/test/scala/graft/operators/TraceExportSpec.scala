@@ -82,6 +82,63 @@ class TraceExportSpec extends SparkSpec {
     }
   }
 
+  test("K1 single-file mode writes exactly one data file (reference one-artifact contract)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-single").toString
+    val seed = TraceExport.referenceSeed(spark)
+    assert(TraceExport.exportToParquet(
+      TraceExport.export(seed, Seq(1L, 2L, 3L), jan0, jan1), s"$dir/one", singleFile = true))
+    val dataFiles = new java.io.File(s"$dir/one").listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+    assert(dataFiles.length == 1, dataFiles.map(_.getName).toSeq)
+    // coalesce(1) concatenates range partitions in index order — the
+    // reference's global ORDER BY survives into the single artifact
+    val back = spark.read.parquet(s"$dir/one").collect()
+    assert(back.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("TIMESTAMP_MILLIS parity: physical schema matches the reference's Avro output") {
+    // The reference writes INT64 TIMESTAMP(MILLIS, UTC-adjusted)
+    // (ParameterRecord.avsc timestamp-millis; verified in its data.parquet).
+    // Parity mode: cast NTZ→LTZ (UTC session ⇒ same wall clock) and write
+    // with outputTimestampType=TIMESTAMP_MILLIS; assert the parquet footer.
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-millis").toString
+    val key = "spark.sql.parquet.outputTimestampType"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "TIMESTAMP_MILLIS")
+    try {
+      val out = TraceExport.export(TraceExport.referenceSeed(spark), Seq(1L, 2L, 3L), jan0, jan1)
+        .select(col("paramIndex"),
+          col("startTime").cast("timestamp").as("startTime"),
+          col("endTime").cast("timestamp").as("endTime"),
+          col("traceData"))
+      assert(TraceExport.exportToParquet(out, s"$dir/millis", singleFile = true))
+    } finally spark.conf.set(key, prev)
+
+    val file = new java.io.File(s"$dir/millis").listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).head
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(file.getPath),
+      spark.sparkContext.hadoopConfiguration)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    val schema =
+      try reader.getFooter.getFileMetaData.getSchema
+      finally reader.close()
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, PrimitiveType}
+    Seq("startTime", "endTime").foreach { f =>
+      val pt = schema.getType(Seq(f): _*).asPrimitiveType()
+      assert(pt.getPrimitiveTypeName == PrimitiveType.PrimitiveTypeName.INT64, f)
+      val ann = pt.getLogicalTypeAnnotation
+        .asInstanceOf[LogicalTypeAnnotation.TimestampLogicalTypeAnnotation]
+      assert(ann.getUnit == LogicalTypeAnnotation.TimeUnit.MILLIS, f)
+      assert(ann.isAdjustedToUTC, f)
+    }
+    // second-precision reference payloads survive the millis round-trip
+    val back = spark.read.parquet(s"$dir/millis")
+    assert(back.count() == 3)
+    assert(back.collect().map(_.getTimestamp(1).toString).sorted.head == "2024-01-10 10:00:00.0")
+  }
+
   test("fromEvents trace table round-trips props through gzip") {
     val out = TraceExport.export(TraceExport.fromEvents(spark, sfDir),
       Seq(1L, 2L), jan0, jan1)
