@@ -70,6 +70,16 @@ package object functions {
   /** rolling-hash document fingerprint (case/whitespace-normalized). */
   def doc_fingerprint(text: Column): Column = col(DocFingerprint(expr(text)))
 
+  /** one-pass text statistics struct (chars, ws/alnum tokens, token-length
+    * sum, punctuation chars, stopword hits) — the fused kernel behind the
+    * quality/token-count operators. */
+  def text_stats(text: Column, stopwords: Seq[String] = Seq.empty): Column =
+    col(TextStats(expr(text), stopwords))
+
+  /** language pick by marker-word profile (fused langId kernel). */
+  def lang_id_pick(text: Column, markers: Seq[(String, Seq[String])]): Column =
+    col(LangIdPick(expr(text), markers))
+
   /** Bounded top-k aggregate: per group, the k largest values descending
     * (k-element min-heap buffer ⇒ partial agg ships k doubles per group
     * per partition, unlike the shuffle-everything window-rank pattern). */

@@ -4,56 +4,61 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.functions.doc_fingerprint
+import graft.functions.{doc_fingerprint, lang_id_pick, text_stats}
 
 /**
  * Text analysis operators for document corpora (SURVEY §2.3: language ID,
  * quality scoring, token counting, fingerprinting).
  *
- * Everything here is built-in expressions (codegen'd, no UDFs) except the
- * rolling-hash fingerprint, which is a custom codegen'd expression. All
+ * The per-document metrics run on fused one-pass kernels
+ * ([[graft.functions.TextStats]] / [[graft.functions.LangIdPick]]): the
+ * HOF formulation (split → filter/aggregate/isin lambdas) they replace is
+ * interpreted in Spark and re-allocated the token array per metric —
+ * TextAnalysisSpec pins kernel ≡ HOF equivalence on the real fixture. All
  * operators are row-local (no shuffle) except the corpus-level token
  * frequency aggregate, which is one explode + hash-shuffle on token.
  */
 object TextAnalysis {
 
+  /** The quality-gate stopword list (also the TextStats kernel's hit set). */
+  val stopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
   /** Whitespace token count (the cheap "how long is this doc" measure). */
   def tokenCount(text: Column): Column =
-    size(filter(split(text, "\\s+"), t => length(t) > 0)).cast(LongType)
+    text_stats(text).getField("ws_tokens")
 
   /** BPE-ish subword count: alphanumeric runs + punctuation marks each
     * count as one token (approximates tokenizer length much better than
-    * whitespace for code/punctuated text). */
+    * whitespace for code/punctuated text). Both terms come from the same
+    * text_stats call — codegen subexpression elimination evaluates the
+    * kernel once per row even when tokenCount is selected alongside. */
   def subwordCount(text: Column): Column =
-    size(filter(split(lower(text), "[^a-z0-9]+"), t => length(t) > 0)).cast(LongType) +
-      length(regexp_replace(text, "[a-zA-Z0-9\\s]", "")).cast(LongType)
+    text_stats(text).getField("n_tokens") + text_stats(text).getField("punct_chars")
 
   /** Quality metrics: doc length, mean word length, punctuation ratio,
-    * stopword ratio, uppercase ratio — the usual pretraining filters. */
+    * stopword ratio — the usual pretraining filters. One kernel pass
+    * produces every count; the ratios are cheap arithmetic over the
+    * struct fields (ratio semantics — incl. the 0.0-on-empty guards —
+    * identical to the HOF originals, so the DuckDB oracles still match). */
   def qualityMetrics(df: DataFrame, textCol: String): DataFrame = {
-    val t = col(textCol)
-    // tokenize once into a column — inlining the (interpreted) HOF filter
-    // into every metric would rerun the regex split ~7× per row
-    val toks = col("__toks")
-    val stopwords = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
-    df.withColumn("__toks", filter(split(lower(t), "[^a-z0-9]+"), x => length(x) > 0))
-      .withColumn("n_chars_m", length(t).cast(LongType))
-      .withColumn("n_tokens", size(toks).cast(LongType))
+    val st = col("__st")
+    df.withColumn("__st", text_stats(col(textCol), stopwords))
+      .withColumn("n_chars_m", st.getField("n_chars"))
+      .withColumn("n_tokens", st.getField("n_tokens"))
       .withColumn("mean_word_len",
-        when(size(toks) > 0,
-          aggregate(toks, lit(0L), (acc, x) => acc + length(x)).cast(DoubleType)
-            / size(toks))
+        when(st.getField("n_tokens") > 0,
+          st.getField("sum_token_len").cast(DoubleType) / st.getField("n_tokens"))
           .otherwise(lit(0.0)))
       .withColumn("punct_ratio",
-        when(length(t) > 0,
-          length(regexp_replace(t, "[a-zA-Z0-9\\s]", "")).cast(DoubleType) / length(t))
+        when(st.getField("n_chars") > 0,
+          st.getField("punct_chars").cast(DoubleType) / st.getField("n_chars"))
           .otherwise(lit(0.0)))
       .withColumn("stopword_ratio",
-        when(size(toks) > 0,
-          size(filter(toks, x => x.isin(stopwords.map(lit(_)): _*))).cast(DoubleType)
-            / size(toks))
+        when(st.getField("n_tokens") > 0,
+          st.getField("stopword_hits").cast(DoubleType) / st.getField("n_tokens"))
           .otherwise(lit(0.0)))
-      .drop("__toks")
+      .drop("__st")
   }
 
   /** Language ID: n-gram-free stopword-profile heuristic — score each
@@ -66,28 +71,13 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "les", "est", "avec", "pour", "que", "dans"),
     "zh" -> Seq("的", "是", "和", "在", "了", "有", "我", "不"))
 
-  def langId(df: DataFrame, textCol: String): DataFrame = {
-    // Tokenize ONCE into a real column, then score each language over it —
-    // inlining the token expression into every marker filter would
-    // re-evaluate the regex split per language per reference (the HOF
-    // filters are interpreted, so Catalyst's codegen CSE can't rescue it).
-    // array_max on struct(hits, negrank, lang): max hits; ties pick the
-    // alphabetically-first language via the negated rank.
-    val ranked = langMarkers.keys.toSeq.sorted.zipWithIndex.toMap
-    val scoredRanked = langMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
-      struct(
-        size(filter(col("__toks"), x => x.isin(markers.map(lit(_)): _*))).as("hits"),
-        lit(-ranked(lang)).as("negrank"),
-        lit(lang).as("lang"))
-    }
-    df.withColumn("__toks",
-      filter(split(lower(col(textCol)), "[^\\p{L}0-9]+"), x => length(x) > 0))
-      .withColumn("__best", array_max(array(scoredRanked: _*)))
-      .withColumn("pred_lang",
-        when(col("__best").getField("hits") <= 0, lit("und"))
-          .otherwise(col("__best").getField("lang")))
-      .drop("__toks", "__best")
-  }
+  def langId(df: DataFrame, textCol: String): DataFrame =
+    // fused kernel: one Unicode-aware pass scores every language at once
+    // (the HOF formulation ran an interpreted marker-set filter per
+    // language per row); max hits wins, ties take the alphabetically-first
+    // language, zero hits → "und" — same pick rule the oracle generates
+    df.withColumn("pred_lang",
+      lang_id_pick(col(textCol), langMarkers.toSeq.sortBy(_._1)))
 
   /** 64-bit rolling-hash fingerprint column (custom expression). */
   def fingerprint(df: DataFrame, textCol: String): DataFrame =

@@ -44,6 +44,52 @@ class TextAnalysisSpec extends SparkSpec {
     assert(preds(4L) == "und")
   }
 
+  test("fused text_stats/lang_id kernels equal the composed HOF path on the fixture") {
+    // the HOF formulations the kernels replaced, re-built inline as the
+    // semantic reference — run over the REAL multilingual fixture plus
+    // adversarial edge rows, then field-by-field compared
+    val stopwords = TextAnalysis.stopwords
+    val edge = Seq((9001L, ""), (9002L, "   "), (9003L, "一二三 的 foo!!"),
+      (9004L, "Üben FÜR größer"), (9005L, "a\tb\ncd\fe\rf"),
+      (9006L, "123 το 456"))
+      .toDF("doc_id", "text")
+    val df = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text")).union(edge)
+
+    val toks = filter(split(lower(col("text")), "[^a-z0-9]+"), x => length(x) > 0)
+    val hof = df.select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars"),
+      size(filter(split(col("text"), "\\s+"), t => length(t) > 0)).cast("long").as("ws_tokens"),
+      size(toks).cast("long").as("n_tokens"),
+      aggregate(toks, lit(0L), (acc, x) => acc + length(x)).as("sum_token_len"),
+      length(regexp_replace(col("text"), "[a-zA-Z0-9\\s]", "")).cast("long").as("punct_chars"),
+      size(filter(toks, x => x.isin(stopwords.map(lit(_)): _*))).cast("long").as("stopword_hits"))
+    val fused = df.select(col("doc_id"),
+      graft.functions.text_stats(col("text"), stopwords).as("st"))
+      .select(col("doc_id"), col("st.*"))
+    assert(fused.exceptAll(hof).isEmpty && hof.exceptAll(fused).isEmpty,
+      fused.exceptAll(hof).limit(3).collect().mkString("; "))
+
+    val ranked = TextAnalysis.langMarkers.keys.toSeq.sorted.zipWithIndex.toMap
+    val scoredRanked = TextAnalysis.langMarkers.toSeq.sortBy(_._1).map { case (lang, ms) =>
+      struct(
+        size(filter(col("__ltoks"), x => x.isin(ms.map(lit(_)): _*))).as("hits"),
+        lit(-ranked(lang)).as("negrank"),
+        lit(lang).as("lang"))
+    }
+    val hofLang = df
+      .withColumn("__ltoks",
+        filter(split(lower(col("text")), "[^\\p{L}0-9]+"), x => length(x) > 0))
+      .withColumn("__best", array_max(array(scoredRanked: _*)))
+      .select(col("doc_id"),
+        when(col("__best").getField("hits") <= 0, lit("und"))
+          .otherwise(col("__best").getField("lang")).as("pred_lang"))
+    val fusedLang = TextAnalysis.langId(df, "text").select("doc_id", "pred_lang")
+    assert(fusedLang.exceptAll(hofLang).isEmpty && hofLang.exceptAll(fusedLang).isEmpty,
+      fusedLang.exceptAll(hofLang).limit(3).collect().mkString("; "))
+  }
+
   test("fingerprint is case/whitespace invariant, content sensitive") {
     val df = Seq(
       (1L, "Hello  World"), (2L, "hello world"), (3L, "hello worlds"))
