@@ -197,6 +197,19 @@ object AnalyticsQueries extends QueryFamily {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** The mergeable-state half of the HLL story: per-group binary sketches
+    * are UNIONED into a global cardinality without rescanning rows — the
+    * incremental 100 TB pattern (store per-day/partition sketches, merge
+    * at query time). Registered rows-only; AnalyticsSpec asserts the
+    * merged estimate tracks the exact global distinct count. */
+  def aggHllUnion(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(hll_sketch_agg(col("o_custkey"), lit(14)).as("sk"))
+      .agg(
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("merged_approx"),
+        count(lit(1)).as("n_sketches"))
+
   /** Custom TypedImperativeAggregate: per-customer top-3 order values via
     * a k-bounded min-heap buffer — partial aggregation ships ≤3 doubles
     * per (customer, partition) where the window-rank pattern shuffles and
@@ -264,6 +277,7 @@ object AnalyticsQueries extends QueryFamily {
     "agg_unpivot" -> (aggUnpivot _),
     "agg_topk_custom" -> (aggTopkCustom _),
     "agg_hll_sketch" -> (aggHllSketch _),
+    "agg_hll_union" -> (aggHllUnion _),
     "window_rank" -> (windowRank _),
     "window_lag_lead" -> (windowLagLead _),
     "window_running" -> (windowRunning _),

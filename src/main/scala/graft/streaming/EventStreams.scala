@@ -182,6 +182,27 @@ object EventStreams extends Serializable {
       .toDF()
   }
 
+  /** RocksDB state-store provider — the 100 TB streaming-state config.
+    * The default provider keeps every key's state in executor heap
+    * (state size caps at memory); RocksDB spills state to local disk with
+    * changelog checkpointing, so state scales with disk, not heap. Same
+    * query code — the provider is pure session config. */
+  val RocksDBProvider: String =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** Run `body` with the RocksDB state-store provider active (restores the
+    * previous provider after). Applies to queries STARTED inside. */
+  def withRocksDBState[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, RocksDBProvider)
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** Run any of the above to completion against the (bounded) fixture and
     * return the materialized result — used by tests to assert batch
     * parity. */

@@ -52,6 +52,42 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("runtime bloom filter prunes the probe side of a selective shuffle join") {
+    // Spark's InjectRuntimeFilter: a selective filter on the build side of
+    // a shuffle join becomes a bloom filter applied to the probe side's
+    // scan — at 100 TB this skips most of the big table's rows before the
+    // exchange. Thresholds are production-scale (10 GB probe side), so
+    // they're lowered to make the fixture eligible; the assertion is the
+    // injected might_contain, plus result parity with the filter disabled.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    def run() = {
+      val orders = graft.sources.Tables.orders(spark, sfDir)
+        .filter(col("o_totalprice") > 400000.0)
+        .select("o_orderkey", "o_totalprice")
+      val li = graft.sources.Tables.lineitem(spark, sfDir)
+        .select("l_orderkey", "l_quantity")
+      li.join(orders, li("l_orderkey") === orders("o_orderkey"))
+    }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val joined = run()
+      val optimized = joined.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("might_contain"),
+        s"no runtime bloom filter injected:\n$optimized")
+      val withFilter = joined.count()
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+      assert(run().count() == withFilter, "bloom filter changed the result")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("bucketed tables join with zero Exchange in the physical plan") {
     val a = (1 to 1000).map(i => (i.toLong, s"a$i")).toDF("k", "va")
     val b = (1 to 1000).map(i => (i.toLong, s"b$i")).toDF("k", "vb")

@@ -53,6 +53,25 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("RocksDB state store: stateful session windows produce identical results") {
+    // same query, state spilled to local-disk RocksDB instead of executor
+    // heap (the 100 TB state config) — results must be bit-identical
+    val rocks = EventStreams.withRocksDBState(spark) {
+      EventStreams.runToBatch(spark,
+        EventStreams.sessionStats(EventStreams.readEvents(spark, sfDir)),
+        "t_sessions_rocksdb", outputMode = "complete")
+        .collect()
+    }
+    assert(spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      .forall(_ != EventStreams.RocksDBProvider), "provider conf not restored")
+    val heap = EventStreams.runToBatch(spark,
+      EventStreams.sessionStats(EventStreams.readEvents(spark, sfDir)),
+      "t_sessions_heap", outputMode = "complete")
+      .collect()
+    assert(rocks.nonEmpty)
+    assert(rocks.map(_.toSeq).toSet == heap.map(_.toSeq).toSet)
+  }
+
   test("streaming dedup passes each event_id once") {
     val streamed = EventStreams.runToBatch(spark,
       EventStreams.dedupedStream(EventStreams.readEvents(spark, sfDir)),
