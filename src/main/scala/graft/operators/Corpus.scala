@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.text_stats
+
+/**
+ * Corpus-preparation operators — the steps between "clean documents" and
+ * "training shards" in a pretraining data pipeline (SURVEY §2.3 extension
+ * surface): deterministic splits, reproducible shuffles, token-budget
+ * sequence packing, and PII redaction.
+ *
+ * Everything here is content-deterministic (md5-derived, never
+ * partitioning- or time-dependent), so results are reproducible across
+ * cluster sizes and each operator carries a DuckDB oracle.
+ */
+object Corpus {
+
+  /**
+   * Deterministic train/validation split by content hash: the first hex
+   * digit of md5(text) buckets each doc into 16ths — `valSixteenths = 2`
+   * ⇒ a 12.5% validation split. Hash-derived (not random) so the split is
+   * stable under re-runs, insertions, and repartitioning — the property
+   * that stops train/val leakage when the corpus is rebuilt. Row-local,
+   * no shuffle.
+   */
+  def trainValSplit(
+      df: DataFrame,
+      textCol: String,
+      valSixteenths: Int = 2,
+      splitCol: String = "split"): DataFrame = {
+    require(valSixteenths >= 0 && valSixteenths <= 16,
+      s"valSixteenths must be in [0, 16]: $valSixteenths")
+    val valDigits = (0 until valSixteenths).map(i => f"$i%x")
+    df.withColumn(splitCol,
+      when(substring(md5(col(textCol)), 1, 1).isin(valDigits: _*), lit("val"))
+        .otherwise(lit("train")))
+  }
+
+  /**
+   * Reproducible corpus shuffle: global order by md5(seed # id) — the
+   * "shuffle the corpus before sharding" step, identical on every run and
+   * cluster size (a `rand()` sort is neither). One range exchange (the
+   * sort), exactly what a real shuffled-shard write pays.
+   */
+  def deterministicShuffle(df: DataFrame, idCol: String, seed: String = "42"): DataFrame =
+    df.orderBy(
+      md5(concat_ws("#", lit(seed), col(idCol).cast("string"))),
+      col(idCol))
+
+  /**
+   * Token-budget sequence packing: greedy, order-preserving assignment of
+   * docs to chunks of ≤ `budgetTokens` (the packing step that turns
+   * documents into fixed-budget training sequences). Chunk id =
+   * floor(exclusive-running-token-sum / budget) within each shard.
+   *
+   * Packing is per-`shardCol` (window partition), NOT global: a single
+   * global running sum would serialize 100 TB through one reducer; with a
+   * shard key the windows parallelize and production picks shards ≈
+   * output files. Token counts come from the fused text_stats kernel.
+   */
+  def packSequences(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      budgetTokens: Long,
+      shardCol: Column): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be positive: $budgetTokens")
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("shard", shardCol)
+      .withColumn("n_tokens", text_stats(col(textCol)).getField("n_tokens"))
+      .withColumn("chunk_id",
+        floor((sum(col("n_tokens")).over(w) - col("n_tokens"))
+          / lit(budgetTokens.toDouble)).cast("long"))
+  }
+
+  /** Email-address pattern — kept to syntax both Java regex (Spark) and
+    * RE2 (DuckDB oracle) compile identically. */
+  val emailPattern = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+
+  /** US-style phone pattern (NNN-NNN-NNNN with -, . or space). */
+  val phonePattern = "[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
+
+  /**
+   * PII redaction: replace emails/phones with typed placeholder tags and
+   * count the replacements (the audit trail a compliance pass needs).
+   * Row-local regex — no shuffle, stays in whole-stage codegen.
+   */
+  def redactPii(
+      df: DataFrame,
+      textCol: String,
+      redactedCol: String = "clean_text"): DataFrame =
+    df.withColumn("n_emails", regexp_count(col(textCol), lit(emailPattern)))
+      .withColumn("n_phones", regexp_count(col(textCol), lit(phonePattern)))
+      .withColumn(redactedCol,
+        regexp_replace(
+          regexp_replace(col(textCol), emailPattern, "<EMAIL>"),
+          phonePattern, "<PHONE>"))
+}

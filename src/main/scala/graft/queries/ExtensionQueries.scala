@@ -162,6 +162,34 @@ object ExtensionQueries extends QueryFamily {
       .orderBy(col("doc_id"))
   }
 
+  // --- corpus preparation (split / shuffle / pack / redact) ---
+
+  def corpusSplit(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Corpus.trainValSplit(
+      Tables.documents(spark, dir), "text", valSixteenths = 2)
+      .select(col("doc_id"), col("split"))
+      .orderBy(col("doc_id"))
+
+  /** Reproducible shuffle — the ROW ORDER is the result, so the query
+    * keeps the shuffled order and the oracle reproduces it exactly. */
+  def corpusShuffle(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Corpus.deterministicShuffle(
+      Tables.documents(spark, dir), "doc_id", seed = "42")
+      .select(col("doc_id"))
+
+  def corpusPack(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Corpus.packSequences(
+      Tables.documents(spark, dir), "doc_id", "text",
+      budgetTokens = 2000L, shardCol = pmod(col("doc_id"), lit(4)))
+      .select(col("doc_id"), col("shard"), col("n_tokens"), col("chunk_id"))
+      .orderBy(col("doc_id"))
+
+  def corpusRedact(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Corpus.redactPii(Tables.documents(spark, dir), "text")
+      .select(col("doc_id"), col("n_emails"), col("n_phones"),
+        md5(col("clean_text")).as("clean_digest"))
+      .orderBy(col("doc_id"))
+
   // --- temporal ---
 
   /** As-of join: each click event picks up the user's latest purchase
@@ -288,6 +316,10 @@ object ExtensionQueries extends QueryFamily {
     "multimodal_features" -> (multimodalFeatures _),
     "multimodal_frames" -> (multimodalFrames _),
     "pipeline_corpus" -> (pipelineCorpus _),
+    "corpus_split" -> (corpusSplit _),
+    "corpus_shuffle" -> (corpusShuffle _),
+    "corpus_pack" -> (corpusPack _),
+    "corpus_redact" -> (corpusRedact _),
     "funnel_signup_purchase" -> (funnelSignupPurchase _),
     "retention_weekly" -> (retentionWeekly _),
     "asof_join" -> (asofJoin _),
@@ -426,6 +458,35 @@ object ExtensionQueries extends QueryFamily {
         |FROM um a JOIN um b
         |  ON a.user_id = b.user_id AND b.m = a.m + INTERVAL 7 DAY
         |GROUP BY a.m ORDER BY a.m""".stripMargin,
+    "corpus_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN SUBSTR(MD5(text), 1, 1) IN ('0', '1')
+        |    THEN 'val' ELSE 'train' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "corpus_shuffle" ->
+      """SELECT doc_id FROM documents
+        |ORDER BY MD5('42' || '#' || CAST(doc_id AS VARCHAR)), doc_id""".stripMargin,
+    "corpus_pack" ->
+      s"""SELECT doc_id, shard, n_tokens,
+         |  CAST(FLOOR((cum - n_tokens) / 2000.0) AS BIGINT) AS chunk_id
+         |FROM (
+         |  SELECT doc_id, CAST(doc_id % 4 AS BIGINT) AS shard,
+         |    CAST(LEN($tokensSql) AS BIGINT) AS n_tokens,
+         |    SUM(CAST(LEN($tokensSql) AS BIGINT)) OVER (
+         |      PARTITION BY doc_id % 4 ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+    "corpus_redact" -> {
+      val em = graft.operators.Corpus.emailPattern
+      val ph = graft.operators.Corpus.phonePattern
+      s"""SELECT doc_id,
+         |  CAST(LEN(REGEXP_EXTRACT_ALL(text, '$em')) AS INT) AS n_emails,
+         |  CAST(LEN(REGEXP_EXTRACT_ALL(text, '$ph')) AS INT) AS n_phones,
+         |  MD5(REGEXP_REPLACE(REGEXP_REPLACE(text, '$em', '<EMAIL>', 'g'),
+         |      '$ph', '<PHONE>', 'g')) AS clean_digest
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
     "asof_join" -> asofOracleSql,
     "asof_join_salted" -> asofOracleSql,
     "interval_join" ->

@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class CorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    .select(col("doc_id"), col("text"))
+
+  test("trainValSplit: deterministic, content-keyed, near the target fraction") {
+    val split = Corpus.trainValSplit(docs, "text", valSixteenths = 2)
+    val counts = split.groupBy("split").count().as[(String, Long)].collect().toMap
+    val total = counts.values.sum
+    assert(total == docs.count())
+    // 2/16 = 12.5% expected; allow generous sampling slack at fixture size
+    val valFrac = counts.getOrElse("val", 0L).toDouble / total
+    assert(valFrac > 0.02 && valFrac < 0.30, s"val fraction $valFrac")
+    // identical text ⇒ identical split (content-keyed, not row-keyed)
+    val again = Corpus.trainValSplit(docs, "text", valSixteenths = 2)
+    assert(split.exceptAll(again).isEmpty)
+    // duplicate content lands on the same side regardless of id
+    val dup = Seq((1L, "same words"), (999L, "same words")).toDF("doc_id", "text")
+    val sides = Corpus.trainValSplit(dup, "text")
+      .select("split").as[String].collect().toSet
+    assert(sides.size == 1)
+  }
+
+  test("deterministicShuffle: a permutation, stable across runs, seed-sensitive") {
+    val s1 = Corpus.deterministicShuffle(docs, "doc_id", "42")
+      .select("doc_id").as[Long].collect().toSeq
+    val s2 = Corpus.deterministicShuffle(docs, "doc_id", "42")
+      .select("doc_id").as[Long].collect().toSeq
+    val s3 = Corpus.deterministicShuffle(docs, "doc_id", "43")
+      .select("doc_id").as[Long].collect().toSeq
+    assert(s1 == s2, "same seed must reproduce the same order")
+    assert(s1.sorted == s3.sorted && s1 != s3, "different seed must permute differently")
+    assert(s1 != s1.sorted, "shuffle left the corpus in id order")
+  }
+
+  test("packSequences: chunks respect the token budget, ids stay ordered per chunk") {
+    val packed = Corpus.packSequences(docs, "doc_id", "text",
+      budgetTokens = 500L, shardCol = pmod(col("doc_id"), lit(2)))
+      .select("doc_id", "shard", "n_tokens", "chunk_id")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(packed.length == docs.count())
+    // each (shard, chunk) fits the budget unless a single doc overflows it
+    packed.groupBy(r => (r._2, r._4)).foreach { case ((shard, chunk), rows) =>
+      val tokens = rows.map(_._3).sum
+      assert(tokens <= 500L + rows.map(_._3).max,
+        s"shard $shard chunk $chunk over budget: $tokens")
+    }
+    // greedy in id order: chunk ids are non-decreasing per shard
+    packed.groupBy(_._2).foreach { case (_, rows) =>
+      val byId = rows.sortBy(_._1).map(_._4)
+      assert(byId.zip(byId.tail).forall { case (a, b) => a <= b })
+    }
+  }
+
+  test("redactPii: planted emails and phones are tagged and counted") {
+    val df = Seq(
+      (1L, "contact alice@example.com or bob.smith@corp.co.uk today"),
+      (2L, "call 555-123-4567 or 555 987 6543 now"),
+      (3L, "no pii here at all")
+    ).toDF("doc_id", "text")
+    val out = Corpus.redactPii(df, "text")
+      .select("doc_id", "n_emails", "n_phones", "clean_text")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    assert(out(1L)._1 == 2 && out(1L)._3 ==
+      "contact <EMAIL> or <EMAIL> today")
+    assert(out(2L)._2 == 2 && out(2L)._3 == "call <PHONE> or <PHONE> now")
+    assert(out(3L) == ((0, 0, "no pii here at all")))
+  }
+}
