@@ -19,7 +19,8 @@ object Queries {
     RelationalQueries,
     AnalyticsQueries,
     ScalarQueries,
-    ExtensionQueries)
+    ExtensionQueries,
+    PipelineQueries)
 
   def all: Map[String, (SparkSession, String) => DataFrame] = {
     val entries = families.flatMap(_.queries)

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Distributed connected components over an undirected edge list — the
+ * grouping step that turns pairwise near-duplicate edges (minhash /
+ * simhash / embedding pairs) into whole duplicate CLUSTERS, so one
+ * representative per cluster survives even when A~B and B~C but A and C
+ * never produced a candidate pair. Pair-at-a-time dedup misses exactly
+ * those transitive chains; clustering is how production pipelines close
+ * them.
+ *
+ * Algorithm: iterated min-label propagation fused with pointer jumping.
+ * Each round every node takes the minimum label over {itself} ∪
+ * neighbours (one join with the symmetric edge list), then jumps:
+ * label ← label(label) (one self-join). The jump doubles the distance a
+ * minimum travels per round, so convergence is O(log diameter) rounds,
+ * not O(diameter) — the difference between ~8 and ~250 rounds on a
+ * 250-node chain. Labels only decrease and only take node-id values from
+ * the same component, so the fixpoint assigns every node its component's
+ * minimum id.
+ *
+ * Scale notes: each round is two hash joins on the node id plus one
+ * `count` action for the convergence check. Each round's labels are
+ * `localCheckpoint`ed — persist alone is NOT enough: the logical plan
+ * of round k references round k-1's plan several times, so without
+ * lineage truncation the plan tree grows ~4^k and Spark OOMs just
+ * STRINGIFYING it around round 6 (a reliable checkpoint to HDFS/S3
+ * replaces this on a real cluster). Nodes appear only if they occur in
+ * an edge — callers union isolated rows back as their own singleton
+ * components (see the `dedup_groups_cc` query).
+ */
+object Components {
+
+  /**
+   * @param edges two-column DataFrame (`src`, `dst`) of undirected edges
+   * @return (`id`, `component`) — component = min node id reachable
+   */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    require(maxIter >= 1, s"maxIter must be positive: $maxIter")
+    val sym = edges.select(col("src").as("id"), col("dst").as("nbr"))
+      .union(edges.select(col("dst").as("id"), col("src").as("nbr")))
+    var labels = sym.select(col("id")).distinct()
+      .withColumn("component", col("id"))
+      .localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // min over self + neighbour labels
+      val nbrLabels = sym.join(
+        labels.select(col("id").as("nbr"), col("component").as("__nc")), "nbr")
+        .groupBy(col("id")).agg(min(col("__nc")).as("__nmin"))
+      val lowered = labels.join(nbrLabels, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("__nmin"), col("component")))
+            .as("component"))
+      // pointer jump: component ← component(component). Every label is a
+      // node id inside the same component, so the lookup always hits.
+      val jump = lowered.select(col("id").as("__jid"), col("component").as("__jc"))
+      val next = lowered.join(jump, lowered("component") === jump("__jid"), "left")
+        .select(lowered("id"),
+          least(col("component"), coalesce(col("__jc"), col("component")))
+            .as("component"))
+        .localCheckpoint(true)
+      // labels are monotone non-increasing: converged ⇔ nothing dropped
+      val changed = next.join(labels.select(col("id"), col("component").as("__old")), "id")
+        .filter(col("component") < col("__old"))
+        .count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+}

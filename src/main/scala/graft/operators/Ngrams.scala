@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Word-n-gram operators over document text (SURVEY §2.3 extension
+ * surface): benchmark decontamination, intra-document repetition
+ * scoring, and rare-term extraction — the n-gram-shaped trio of a
+ * pretraining data pipeline.
+ *
+ * Tokenization matches the house rule everywhere (lowercase, split on
+ * `[^a-z0-9]+`, drop empties — the same expression
+ * [[TextAnalysis.tokenFrequency]] uses), and n-grams are built with
+ * `lead()` windows rather than array HOFs: windows are whole-stage
+ * codegen'd, while Spark's lambda HOFs are interpreted (the documented
+ * round-1 35× lesson). Every operator here is ANSI-SQL-expressible and
+ * carries a DuckDB oracle.
+ */
+object Ngrams {
+
+  /** One row per token with its 1-based in-document position. */
+  def tokens(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      posexplode(filter(split(lower(col(textCol)), "[^a-z0-9]+"),
+        t => length(t) > 0)))
+      .select(col(idCol), (col("pos") + 1).as("pos"), col("col").as("tok"))
+
+  /**
+   * Sliding word n-grams: one row per starting position, `ngram` NULL for
+   * the incomplete tails (fewer than n tokens left). Built with
+   * `concat` (NOT `concat_ws`, which would silently skip the NULL leads
+   * and emit shortened tail grams). One hash exchange on the doc id (the
+   * window partition); downstream per-doc aggregations reuse that same
+   * partitioning, so they add no exchange.
+   */
+  def wordNgrams(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    require(n >= 2, s"n-gram size must be >= 2: $n")
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val parts: Seq[Column] =
+      col("tok") +: (1 until n).map(i => lead(col("tok"), i).over(w))
+    val gram = parts.reduce((a, b) => concat(a, lit(" "), b))
+    tokens(df, idCol, textCol).withColumn("ngram", gram)
+  }
+
+  /**
+   * Benchmark decontamination: flag corpus documents sharing at least one
+   * word n-gram with a benchmark subset (the train/test-leakage scrub
+   * every published pretraining pipeline runs). `benchmarkPred` selects
+   * the benchmark rows; output is one row per contaminated non-benchmark
+   * doc with its distinct-shared-n-gram count.
+   *
+   * Scale shape: the benchmark side is tiny relative to the corpus (a
+   * benchmark suite, not a corpus), so its distinct n-gram set is
+   * broadcast — the corpus n-gram stream is filtered in place, never
+   * shuffled on the n-gram key. The per-doc count then reuses the window
+   * stage's doc-id partitioning. The benchmark branch re-reads the
+   * source, but with `benchmarkPred` pushed into the scan it touches
+   * only the benchmark slice.
+   */
+  def decontaminate(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      benchmarkPred: Column,
+      n: Int = 3): DataFrame = {
+    val bench = wordNgrams(df.filter(benchmarkPred), idCol, textCol, n)
+      .filter(col("ngram").isNotNull)
+      .select(col("ngram")).distinct()
+    wordNgrams(df.filter(!benchmarkPred), idCol, textCol, n)
+      .filter(col("ngram").isNotNull)
+      .join(broadcast(bench), "ngram")
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("ngram")).as("n_hits"))
+  }
+
+  /**
+   * Intra-document repetition stats (the Gopher-style "most common
+   * n-gram fraction" quality rule), kept integer-exact for cross-engine
+   * determinism: emits the top bigram's occurrence count and the total
+   * bigram count per doc — the caller divides (or thresholds) as needed.
+   */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    wordNgrams(df, idCol, textCol, 2)
+      .filter(col("ngram").isNotNull)
+      .groupBy(col(idCol), col("ngram"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol))
+      .agg(max(col("__c")).as("top_cnt"), sum(col("__c")).as("n_bigrams"))
+
+  /**
+   * Rare-term extraction: top-k terms per document by an integer-exact
+   * tf/df weight, `score = (tf * 1_000_000) div df` — the tf-idf idea
+   * with a rational weight instead of a log so Spark and the SQL oracle
+   * agree bit-for-bit (log(x) may differ by an ulp across libm
+   * implementations; an integer division cannot). Ties break on the term
+   * string, so output is fully deterministic.
+   *
+   * Scale shape: tf is one (doc, term) hash aggregate; df aggregates tf
+   * again on term (vocabulary-sized — Zipf keeps this far smaller than
+   * the corpus, broadcast when it fits, as here); the final top-k is a
+   * window over the doc-id partitioning tf already has.
+   */
+  def topTermsByTfDf(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3): DataFrame = {
+    val tf = tokens(df, idCol, textCol)
+      .groupBy(col(idCol), col("tok").as("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(broadcast(dfreq), "term")
+      .withColumn("score", expr("(tf * 1000000) div df"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+}

@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Deterministic sampling operators for corpus construction (SURVEY §2.3
+ * extension surface): stratified sampling and mixture rebalancing, both
+ * driven by a content-free integer hash of the row id rather than
+ * `rand()` — the property a 100 TB pipeline needs so a re-run, a
+ * repartition, or a cluster resize reproduces the exact same sample
+ * (and so train/eval membership never flips between builds).
+ *
+ * The bucket hash is a truncated LCG kept entirely inside BIGINT range
+ * (`id % 1000003` first, so the multiply can never overflow even for
+ * 2^63-1 ids). That makes it expressible in ANSI SQL with identical
+ * results — every operator here carries a DuckDB oracle.
+ */
+object Sampling {
+
+  /**
+   * Deterministic bucket in [0, 1000) for a non-negative integer id:
+   * `((id % 1000003) * 1103515245 + 12345) % 1000000007 % 1000`.
+   * Plain 64-bit arithmetic with no overflow anywhere (max intermediate
+   * ≈ 1.1e15 ≪ 2^63), so Spark and any ANSI SQL engine agree
+   * bit-for-bit. Row-local, stays in whole-stage codegen.
+   */
+  def bucket1000(id: Column): Column =
+    ((id % 1000003L) * 1103515245L + 12345L) % 1000000007L % 1000L
+
+  /** SQL twin of [[bucket1000]] for oracle construction. */
+  def bucket1000Sql(idCol: String): String =
+    s"(($idCol % 1000003) * 1103515245 + 12345) % 1000000007 % 1000"
+
+  /**
+   * Stratified sample: keep a per-stratum fraction (in permille) of rows,
+   * chosen by the deterministic id bucket. A row survives iff
+   * `bucket1000(id) < permille(stratum)`. Nested-fraction property: the
+   * 100‰ sample is a strict subset of the 500‰ sample, so growing a
+   * sample never resamples what was already taken.
+   *
+   * Row-local filter — no shuffle, and at 100 TB the filter sits directly
+   * above the scan (nothing blocks pushdown).
+   */
+  def stratifiedSample(
+      df: DataFrame,
+      strataCol: String,
+      idCol: String,
+      permille: Map[String, Int],
+      defaultPermille: Int): DataFrame = {
+    (permille.values.toSeq :+ defaultPermille).foreach { p =>
+      require(p >= 0 && p <= 1000, s"permille out of [0,1000]: $p")
+    }
+    // sort for a deterministic CASE chain (Map order is unspecified)
+    val thr = permille.toSeq.sortBy(_._1).foldLeft(lit(defaultPermille)) {
+      case (acc, (k, p)) => when(col(strataCol) === k, lit(p)).otherwise(acc)
+    }
+    df.filter(bucket1000(col(idCol)) < thr)
+  }
+
+  /**
+   * Mixture rebalance: downsample every stratum to (approximately) the
+   * size of the smallest one, producing a uniform mixture — the
+   * "don't let one domain drown the rest" step of pretraining-corpus
+   * assembly. Acceptance threshold per stratum is
+   * `floor(1000 * min_count / count)` permille, applied through the same
+   * deterministic bucket, so the result is reproducible and the output
+   * per stratum is within ~0.1% of the target.
+   *
+   * Scale shape: one small aggregate (|strata| rows) broadcast back onto
+   * the corpus — the corpus itself is never shuffled, only scanned and
+   * filtered. The second scan of `df` (counts, then join) is the
+   * standard aggregate-then-rejoin pattern; at 100 TB the counts pass
+   * reads only the strata column (column pruning).
+   */
+  def rebalanceToSmallest(
+      df: DataFrame,
+      strataCol: String,
+      idCol: String): DataFrame = {
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__cnt"))
+      // single-partition window over the |strata|-row aggregate (tiny by
+      // construction — this is model state, not data)
+      .withColumn("__mn", min(col("__cnt")).over(Window.partitionBy()))
+      .withColumn("__thr", floor(lit(1000.0) * col("__mn") / col("__cnt")))
+      .select(col(strataCol), col("__thr"))
+    df.join(broadcast(counts), strataCol)
+      .filter(bucket1000(col(idCol)) < col("__thr"))
+      .drop("__thr")
+  }
+}

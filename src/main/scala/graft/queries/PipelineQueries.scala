@@ -1,0 +1,155 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Components, Ngrams, Sampling}
+import graft.sources.Tables
+
+/**
+ * Training-data pipeline operators, round 2 (SURVEY §2.3): deterministic
+ * sampling/mixture control, n-gram decontamination and repetition
+ * scoring, rare-term extraction, and connected-components duplicate
+ * clustering. Every query here is ANSI-SQL-expressible by construction
+ * (integer-exact hashes and weights — see the operator docs) and carries
+ * a DuckDB oracle.
+ */
+object PipelineQueries extends QueryFamily {
+
+  // --- deterministic sampling / mixture control ---
+
+  /** Stratified sample by language: keep 50% of en, 25% of de, 10% of the
+    * rest — selected by the deterministic id-hash bucket, so the sample
+    * is identical on every run and cluster size. */
+  def sampleStratified(spark: SparkSession, dir: String): DataFrame =
+    Sampling.stratifiedSample(
+      Tables.documents(spark, dir), "lang", "doc_id",
+      permille = Map("en" -> 500, "de" -> 250), defaultPermille = 100)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+
+  /** Rebalance the language mixture to uniform: every language
+    * downsampled to ≈ the smallest language's count. */
+  def mixRebalance(spark: SparkSession, dir: String): DataFrame =
+    Sampling.rebalanceToSmallest(
+      Tables.documents(spark, dir), "lang", "doc_id")
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+
+  // --- n-gram pipeline ---
+
+  /** Benchmark decontamination: docs sharing a word 3-gram with the
+    * deterministic benchmark subset (doc_id ≡ 0 mod 97). */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame =
+    Ngrams.decontaminate(
+      Tables.documents(spark, dir), "doc_id", "text",
+      benchmarkPred = col("doc_id") % 97 === 0, n = 3)
+      .orderBy(col("doc_id"))
+
+  /** Gopher-style repetition rule inputs: top-bigram count and total
+    * bigram count per doc (integer-exact; callers threshold the ratio). */
+  def qualityRepetition(spark: SparkSession, dir: String): DataFrame =
+    Ngrams.repetitionStats(Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  /** Top-3 distinguishing terms per doc by integer tf/df weight. */
+  def textTfidfTop(spark: SparkSession, dir: String): DataFrame =
+    Ngrams.topTermsByTfDf(Tables.documents(spark, dir), "doc_id", "text", k = 3)
+      .select(col("doc_id"), col("rnk"), col("term"), col("score"))
+      .orderBy(col("doc_id"), col("rnk"))
+
+  // --- duplicate clustering ---
+
+  /** Connected-components duplicate clustering: pairwise "same (lang,
+    * source)" chain edges in, whole clusters out. The edge list links
+    * each doc only to its predecessor in the group (a chain — the
+    * worst case for label propagation), so recovering the full group as
+    * one component genuinely exercises the O(log diameter) iteration,
+    * while the closure stays SQL-checkable: component = min doc_id of
+    * the (lang, source) group. Docs without an edge (singleton groups)
+    * come back as their own component. */
+  def dedupGroupsCc(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"))
+    val w = Window.partitionBy(col("lang"), col("source")).orderBy(col("doc_id"))
+    val edges = docs
+      .withColumn("__prev", lag(col("doc_id"), 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .select(col("__prev").as("src"), col("doc_id").as("dst"))
+    val comps = Components.connectedComponents(edges)
+    docs.join(comps, docs("doc_id") === comps("id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("component"))
+      .orderBy(col("doc_id"))
+  }
+
+  val queries: Map[String, QueryFn] = Map(
+    "sample_stratified" -> (sampleStratified _),
+    "mix_rebalance" -> (mixRebalance _),
+    "decontaminate" -> (decontaminate _),
+    "quality_repetition" -> (qualityRepetition _),
+    "text_tfidf_top" -> (textTfidfTop _),
+    "dedup_groups_cc" -> (dedupGroupsCc _))
+
+  /** Tokens-with-position CTE shared by the n-gram oracles — the zipped
+    * double-unnest mirrors Spark's posexplode positions 1-based. */
+  private val toksCte =
+    """toks AS (
+      |  SELECT doc_id,
+      |    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)) AS tok,
+      |    unnest(range(1, len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)) + 1)) AS pos
+      |  FROM documents)""".stripMargin
+
+  private val bucketSql = graft.operators.Sampling.bucket1000Sql("doc_id")
+
+  val oracles: Map[String, String] = Map(
+    "sample_stratified" ->
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE $bucketSql <
+         |  CASE WHEN lang = 'en' THEN 500 WHEN lang = 'de' THEN 250 ELSE 100 END
+         |ORDER BY doc_id""".stripMargin,
+    "mix_rebalance" ->
+      s"""WITH c AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang),
+         |m AS (SELECT MIN(cnt) AS mn FROM c)
+         |SELECT d.doc_id, d.lang FROM documents d JOIN c USING (lang), m
+         |WHERE $bucketSql < FLOOR(1000.0 * m.mn / c.cnt)
+         |ORDER BY doc_id""".stripMargin,
+    "decontaminate" ->
+      s"""WITH $toksCte,
+         |ng AS (
+         |  SELECT doc_id,
+         |    tok || ' ' || LEAD(tok, 1) OVER w || ' ' || LEAD(tok, 2) OVER w AS ngram
+         |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+         |bench AS (SELECT DISTINCT ngram FROM ng WHERE doc_id % 97 = 0 AND ngram IS NOT NULL)
+         |SELECT c.doc_id, COUNT(DISTINCT c.ngram) AS n_hits
+         |FROM ng c JOIN bench b ON c.ngram = b.ngram
+         |WHERE c.doc_id % 97 <> 0
+         |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+    // DuckDB SUM(BIGINT) returns HUGEINT — cast back for the typed hash
+    "quality_repetition" ->
+      s"""WITH $toksCte,
+         |ng AS (
+         |  SELECT doc_id, tok || ' ' || LEAD(tok, 1) OVER w AS ngram
+         |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+         |cnt AS (SELECT doc_id, ngram, COUNT(*) AS c
+         |        FROM ng WHERE ngram IS NOT NULL GROUP BY doc_id, ngram)
+         |SELECT doc_id, MAX(c) AS top_cnt, CAST(SUM(c) AS BIGINT) AS n_bigrams
+         |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_tfidf_top" ->
+      s"""WITH $toksCte,
+         |tf AS (SELECT doc_id, tok AS term, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok),
+         |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+         |scored AS (
+         |  SELECT t.doc_id, t.term, (t.tf * 1000000) // d.df AS score,
+         |    ROW_NUMBER() OVER (PARTITION BY t.doc_id
+         |      ORDER BY (t.tf * 1000000) // d.df DESC, t.term) AS rnk
+         |  FROM tf t JOIN df d USING (term))
+         |SELECT doc_id, rnk, term, CAST(score AS BIGINT) AS score
+         |FROM scored WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+    // closure of the chain edges = the (lang, source) group, so the
+    // oracle states the POST-closure truth the iteration must reach
+    "dedup_groups_cc" ->
+      """SELECT doc_id, MIN(doc_id) OVER (PARTITION BY lang, source) AS component
+        |FROM documents ORDER BY doc_id""".stripMargin)
+}

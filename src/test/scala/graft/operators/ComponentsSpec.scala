@@ -1,0 +1,43 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class ComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def cc(edges: Seq[(Long, Long)], maxIter: Int = 20): Map[Long, Long] =
+    Components.connectedComponents(edges.toDF("src", "dst"), maxIter)
+      .as[(Long, Long)].collect().toMap
+
+  test("chain + separate pair resolve to their minimum ids") {
+    val got = cc(Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
+  test("local-minimum trap: min must flow through a larger intermediate") {
+    // 2's only neighbour is 5 (> 2): naive parent-pointer forests root a
+    // spurious component at 2; label propagation must still pull 1 across
+    val got = cc(Seq((2L, 5L), (5L, 1L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 5L -> 1L))
+  }
+
+  test("star graph converges in one round of propagation") {
+    val got = cc(Seq((10L, 11L), (10L, 12L), (10L, 13L), (10L, 9L)))
+    assert(got.values.toSet == Set(9L))
+    assert(got.keySet == Set(9L, 10L, 11L, 12L, 13L))
+  }
+
+  test("64-node chain converges within O(log n) iterations (pointer jumping)") {
+    val edges = (1L until 64L).map(i => (i, i + 1))
+    // plain min-propagation would need ~63 rounds; the fused pointer jump
+    // must finish well inside 10
+    val got = cc(edges, maxIter = 10)
+    assert(got.size == 64 && got.values.forall(_ == 1L))
+  }
+
+  test("duplicate and reversed edges do not disturb the result") {
+    val got = cc(Seq((3L, 7L), (7L, 3L), (3L, 7L), (7L, 12L)))
+    assert(got == Map(3L -> 3L, 7L -> 3L, 12L -> 3L))
+  }
+}

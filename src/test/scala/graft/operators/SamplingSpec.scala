@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    .select(col("doc_id"), col("lang"))
+
+  test("bucket1000: in range, deterministic, roughly uniform") {
+    val buckets = docs.select(Sampling.bucket1000(col("doc_id")).as("b"))
+      .as[Long].collect()
+    assert(buckets.forall(b => b >= 0 && b < 1000))
+    // deterministic: same expression, same values
+    val again = docs.select(Sampling.bucket1000(col("doc_id")).as("b"))
+      .as[Long].collect()
+    assert(buckets.toSeq == again.toSeq)
+    // roughly uniform: halves of the range split the corpus ~evenly
+    val low = buckets.count(_ < 500).toDouble / buckets.length
+    assert(low > 0.35 && low < 0.65, s"lower-half fraction $low")
+  }
+
+  test("stratifiedSample: near-target fractions, nested-subset property") {
+    val n = docs.count().toDouble
+    val half = Sampling.stratifiedSample(docs, "lang", "doc_id",
+      permille = Map.empty, defaultPermille = 500)
+    val frac = half.count() / n
+    assert(frac > 0.35 && frac < 0.65, s"500‰ sample fraction $frac")
+    // growing the rate only ADDS rows (nested samples — no resampling)
+    val tenth = Sampling.stratifiedSample(docs, "lang", "doc_id",
+      permille = Map.empty, defaultPermille = 100)
+    assert(tenth.exceptAll(half).isEmpty,
+      "100‰ sample must be a subset of the 500‰ sample")
+    // per-stratum override applies to that stratum only
+    val mixed = Sampling.stratifiedSample(docs, "lang", "doc_id",
+      permille = Map("en" -> 1000), defaultPermille = 0)
+    val langs = mixed.select("lang").distinct().as[String].collect().toSet
+    assert(langs == Set("en"))
+    assert(mixed.count() == docs.filter(col("lang") === "en").count())
+  }
+
+  test("rebalanceToSmallest: every stratum lands near the smallest count") {
+    val counts = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val mn = counts.values.min
+    val out = Sampling.rebalanceToSmallest(docs, "lang", "doc_id")
+    val outCounts = out.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(outCounts.keySet == counts.keySet, "no stratum may vanish")
+    outCounts.foreach { case (lang, c) =>
+      // hash acceptance is binomial around the floor()'d permille target;
+      // fixture strata are small, so allow wide-but-bounded slack
+      assert(c <= counts(lang), s"$lang grew")
+      assert(math.abs(c - mn) <= math.max(6L, mn / 2),
+        s"$lang kept $c, expected ≈ $mn")
+    }
+    // deterministic end to end
+    val again = Sampling.rebalanceToSmallest(docs, "lang", "doc_id")
+    assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+  }
+}
