@@ -182,6 +182,37 @@ object EventStreams extends Serializable {
       .toDF()
   }
 
+  /**
+   * Stream-stream inner join: each click joined to the same user's
+   * purchases in the preceding `lookback` window — the two-stream shape
+   * (attribution, enrichment) that batch twins express as an interval
+   * join ([[graft.operators.Temporal.intervalJoin]] is the batch
+   * analog). Both sides carry watermarks AND the join condition bounds
+   * event time on both sides; together those let Spark evict buffered
+   * rows once the watermark passes, so join state is O(lookback ×
+   * rate), not O(history). Self-joining one source stream is fine —
+   * Spark plans two independent scans.
+   */
+  def clickPurchaseJoin(
+      events: DataFrame,
+      lookback: String = "10 minutes",
+      watermark: String = "1 hour"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("ts").as("purchase_ts"),
+        col("value").as("purchase_value"))
+      .withWatermark("purchase_ts", watermark)
+    clicks.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") - expr(s"INTERVAL $lookback") &&
+        col("purchase_ts") <= col("click_ts"))
+      .select(col("click_id"), col("user_id"), col("click_ts"),
+        col("purchase_ts"), col("purchase_value"))
+  }
+
   /** RocksDB state-store provider — the 100 TB streaming-state config.
     * The default provider keeps every key's state in executor heap
     * (state size caps at memory); RocksDB spills state to local disk with

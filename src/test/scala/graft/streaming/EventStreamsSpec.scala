@@ -142,6 +142,26 @@ class EventStreamsSpec extends SparkSpec {
     }
   }
 
+  test("stream-stream join equals the batch interval join") {
+    val streamed = EventStreams.runToBatch(spark,
+      EventStreams.clickPurchaseJoin(EventStreams.readEvents(spark, sfDir)),
+      "t_ssjoin", outputMode = "append")
+    val clicks = batchEvents.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+    val purchases = batchEvents.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("ts").as("purchase_ts"),
+        col("value").as("purchase_value"))
+    val batch = clicks.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") - expr("INTERVAL 10 minutes") &&
+        col("purchase_ts") <= col("click_ts"))
+      .select(col("click_id"), col("user_id"), col("click_ts"),
+        col("purchase_ts"), col("purchase_value"))
+    assert(streamed.count() > 0, "no joined rows — fixture should have matches")
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("mapGroupsWithState running totals equal the batch groupBy") {
     val streamed = EventStreams.runToBatch(spark,
       EventStreams.runningTotals(spark, EventStreams.readEvents(spark, sfDir)),
