@@ -40,8 +40,12 @@ object Components {
    */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
     require(maxIter >= 1, s"maxIter must be positive: $maxIter")
+    // materialize the symmetric edge list ONCE: every round joins it, and
+    // without this the whole upstream edge DAG (a window — or an entire
+    // minhash banding pipeline for minhashDedupCc) re-executes per round
     val sym = edges.select(col("src").as("id"), col("dst").as("nbr"))
       .union(edges.select(col("dst").as("id"), col("src").as("nbr")))
+      .localCheckpoint(true)
     var labels = sym.select(col("id")).distinct()
       .withColumn("component", col("id"))
       .localCheckpoint(true)

@@ -73,6 +73,22 @@ object Dedup {
       .drop("__bn")
   }
 
+  /**
+   * Incremental admission — the nightly-ingest shape: keep only
+   * `incoming` rows whose content digest is absent from
+   * `existingDigests` (one `digest` column, typically the persisted
+   * digest index of the already-built corpus). A left-anti hash join on
+   * 16-byte digests: the incoming batch shuffles digests, never text,
+   * and at 100 TB the digest index is bucketed on `digest` so the join
+   * co-locates with zero new exchange on the index side.
+   */
+  def admitNew(
+      incoming: DataFrame,
+      textCol: String,
+      existingDigests: DataFrame): DataFrame =
+    incoming.join(existingDigests.select(col("digest")).distinct(),
+      md5(col(textCol)) === col("digest"), "left_anti")
+
   /** Exact content dedup via 64-bit fingerprint (case/space-folded) —
     * the scale path: groups by a long, never shuffles document text. */
   def exactByFingerprint(df: DataFrame, textCol: String, idCol: String): DataFrame = {
@@ -181,6 +197,33 @@ object Dedup {
     val losers =
       minhashCandidates(df, textCol, idCol, numHashes, bands, threshold, maxBucket = 1000)
         .select(col("id_b").as("__loser")).distinct()
+    df.join(losers, df(idCol) === col("__loser"), "left_anti")
+  }
+
+  /**
+   * Transitive-closure minhash dedup: candidate pairs → connected
+   * components → one survivor (min id) per CLUSTER. Differs from
+   * [[minhashDedup]] on hub shapes: with pairs (1,5),(2,5) and 1≁2,
+   * pairwise loser-dropping keeps {1, 2}; clustering treats {1, 2, 5}
+   * as one duplicate set and keeps {1} — the semantics published
+   * pretraining pipelines use (a hub document chains clusters
+   * together). Costs the O(log diameter) CC iteration on the pair
+   * graph, which is candidate-sized, not corpus-sized.
+   */
+  def minhashDedupCc(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.7,
+      maxIter: Int = 20): DataFrame = {
+    val edges =
+      minhashCandidates(df, textCol, idCol, numHashes, bands, threshold, maxBucket = 1000)
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+    val losers = Components.connectedComponents(edges, maxIter)
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as("__loser"))
     df.join(losers, df(idCol) === col("__loser"), "left_anti")
   }
 

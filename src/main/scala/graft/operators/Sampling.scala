@@ -88,4 +88,40 @@ object Sampling {
       .filter(bucket1000(col(idCol)) < col("__thr"))
       .drop("__thr")
   }
+
+  /**
+   * Percentile-band filter on an integer column (e.g. "keep docs between
+   * the 5th and 95th length percentile" — the outlier trim before
+   * packing/training), computed EXACTLY but without a global sort of the
+   * data: aggregate a value histogram (|distinct values| rows — bounded
+   * for lengths), cumulative-sum it on a tiny single-partition window,
+   * derive the kept value band, and broadcast-join it back. The usual
+   * `percent_rank()` formulation range-shuffles every row into one
+   * ordered partition; this shape touches the corpus only with a
+   * hash-agg and a broadcast filter, and the comparisons are
+   * integer-exact (`pLo·cum ≥ total` style, no float thresholds), so a
+   * SQL oracle reproduces it bit-for-bit.
+   *
+   * Keeps value v iff ceil-style: `den·cum(v) ≥ pLoNum·total` and
+   * `den·cumBelow(v) ≤ pHiNum·total` with pLo = pLoNum/den, pHi = pHiNum/den.
+   */
+  def percentileBandFilter(
+      df: DataFrame,
+      valueCol: String,
+      pLoNum: Long,
+      pHiNum: Long,
+      den: Long): DataFrame = {
+    require(den > 0 && pLoNum >= 0 && pHiNum <= den && pLoNum <= pHiNum,
+      s"need 0 <= $pLoNum <= $pHiNum <= $den")
+    val hist = df.groupBy(col(valueCol)).agg(count(lit(1)).as("__cnt"))
+    val wOrd = Window.orderBy(col(valueCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val band = hist
+      .withColumn("__cum", sum(col("__cnt")).over(wOrd))
+      .withColumn("__total", sum(col("__cnt")).over(Window.partitionBy()))
+      .filter(lit(den) * col("__cum") >= lit(pLoNum) * col("__total") &&
+        lit(den) * (col("__cum") - col("__cnt")) <= lit(pHiNum) * col("__total"))
+      .select(col(valueCol))
+    df.join(broadcast(band), valueCol)
+  }
 }

@@ -49,6 +49,26 @@ object ExtensionQueries extends QueryFamily {
       .select(col("doc_id"))
       .orderBy(col("doc_id"))
 
+  /** Incremental ingest: even doc_ids play the existing corpus, odd ones
+    * the incoming batch; admission is the digest anti-join. */
+  def corpusIncrement(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val existing = docs.filter(col("doc_id") % 2 === 0)
+      .select(md5(col("text")).as("digest"))
+    Dedup.admitNew(docs.filter(col("doc_id") % 2 === 1), "text", existing)
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Cluster-level near-dup removal (CC over the candidate-pair graph —
+    * transitive chains collapse to one survivor). Rows-only + spec, like
+    * the rest of the minhash family. */
+  def dedupMinhashCc(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashDedupCc(Tables.documents(spark, dir), "text", "doc_id",
+      numHashes = 64, bands = 16, threshold = 0.5)
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val candidates = Dedup.minhashPairs(docs, "text", "doc_id",
@@ -303,6 +323,8 @@ object ExtensionQueries extends QueryFamily {
     "dedup_simhash_pairs" -> (dedupSimhashPairs _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_minhash_keep" -> (dedupMinhashKeep _),
+    "dedup_minhash_cc" -> (dedupMinhashCc _),
+    "corpus_increment" -> (corpusIncrement _),
     "sim_topk_brute" -> (simTopkBrute _),
     "sim_topk_lsh" -> (simTopkLsh _),
     "sim_topk_ivf" -> (simTopkIvf _),
@@ -458,6 +480,11 @@ object ExtensionQueries extends QueryFamily {
         |FROM um a JOIN um b
         |  ON a.user_id = b.user_id AND b.m = a.m + INTERVAL 7 DAY
         |GROUP BY a.m ORDER BY a.m""".stripMargin,
+    "corpus_increment" ->
+      """SELECT doc_id FROM documents
+        |WHERE doc_id % 2 = 1
+        |  AND MD5(text) NOT IN (SELECT MD5(text) FROM documents WHERE doc_id % 2 = 0)
+        |ORDER BY doc_id""".stripMargin,
     "corpus_split" ->
       """SELECT doc_id,
         |  CASE WHEN SUBSTR(MD5(text), 1, 1) IN ('0', '1')

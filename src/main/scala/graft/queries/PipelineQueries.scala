@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Components, Ngrams, Sampling}
+import graft.operators.{Components, Ngrams, Sampling, TextAnalysis}
 import graft.sources.Tables
 
 /**
@@ -59,6 +59,41 @@ object PipelineQueries extends QueryFamily {
       .select(col("doc_id"), col("rnk"), col("term"), col("score"))
       .orderBy(col("doc_id"), col("rnk"))
 
+  /** Exact 5th–95th percentile length-band trim via the histogram
+    * percentile (no global row sort — see the operator doc). */
+  def qualityLengthBand(spark: SparkSession, dir: String): DataFrame =
+    Sampling.percentileBandFilter(
+      Tables.documents(spark, dir), "n_chars",
+      pLoNum = 1, pHiNum = 19, den = 20)
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy(col("doc_id"))
+
+  /** Per-source corpus moments, integer-exact (sum and sum-of-squares of
+    * char counts — downstream variance/z-scores derive from these without
+    * any float aggregation inside the engine). */
+  def sourceStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(col("n_chars") * col("n_chars")).as("sum_chars_sq"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .orderBy(col("source"))
+
+  /** Canonical normalization digest (the pre-dedup clean, verified via
+    * md5 so the oracle needn't ship whole normalized texts around). */
+  def textNormalize(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        md5(TextAnalysis.normalize(col("text"))).as("norm_digest"))
+      .orderBy(col("doc_id"))
+
+  /** Vocabulary Zipf histogram: log2-bucketed term frequencies. */
+  def vocabZipf(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.vocabZipf(Tables.documents(spark, dir), "text")
+
   // --- duplicate clustering ---
 
   /** Connected-components duplicate clustering: pairwise "same (lang,
@@ -90,6 +125,10 @@ object PipelineQueries extends QueryFamily {
     "decontaminate" -> (decontaminate _),
     "quality_repetition" -> (qualityRepetition _),
     "text_tfidf_top" -> (textTfidfTop _),
+    "quality_length_band" -> (qualityLengthBand _),
+    "source_stats" -> (sourceStats _),
+    "text_normalize" -> (textNormalize _),
+    "vocab_zipf" -> (vocabZipf _),
     "dedup_groups_cc" -> (dedupGroupsCc _))
 
   /** Tokens-with-position CTE shared by the n-gram oracles — the zipped
@@ -147,6 +186,41 @@ object PipelineQueries extends QueryFamily {
          |  FROM tf t JOIN df d USING (term))
          |SELECT doc_id, rnk, term, CAST(score AS BIGINT) AS score
          |FROM scored WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+    "quality_length_band" ->
+      """WITH h AS (
+        |  SELECT n_chars, COUNT(*) AS cnt FROM documents GROUP BY n_chars),
+        |c AS (
+        |  SELECT n_chars, cnt,
+        |    SUM(cnt) OVER (ORDER BY n_chars
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(cnt) OVER () AS total
+        |  FROM h),
+        |keep AS (
+        |  SELECT n_chars FROM c
+        |  WHERE 20 * cum >= total AND 20 * (cum - cnt) <= 19 * total)
+        |SELECT d.doc_id, d.n_chars FROM documents d JOIN keep USING (n_chars)
+        |ORDER BY d.doc_id""".stripMargin,
+    // DuckDB SUM(BIGINT) → HUGEINT: cast back for the typed hash
+    "source_stats" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(SUM(n_chars * n_chars) AS BIGINT) AS sum_chars_sq,
+        |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "text_normalize" ->
+      """SELECT doc_id,
+        |  MD5(TRIM(REGEXP_REPLACE(
+        |    REGEXP_REPLACE(LOWER(text), '[^a-z0-9 ]+', '', 'g'),
+        |    ' +', ' ', 'g'))) AS norm_digest
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "vocab_zipf" ->
+      """WITH tf AS (
+        |  SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)) AS tok
+        |  FROM documents),
+        |c AS (SELECT tok, COUNT(*) AS cnt FROM tf GROUP BY tok)
+        |SELECT CAST(LENGTH(BIN(cnt)) AS BIGINT) AS bucket,
+        |  COUNT(*) AS n_terms, CAST(SUM(cnt) AS BIGINT) AS occurrences
+        |FROM c GROUP BY bucket ORDER BY bucket""".stripMargin,
     // closure of the chain edges = the (lang, source) group, so the
     // oracle states the POST-closure truth the iteration must reach
     "dedup_groups_cc" ->

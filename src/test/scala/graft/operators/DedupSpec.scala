@@ -47,6 +47,54 @@ class DedupSpec extends SparkSpec {
     assert(kept.contains(4L) && kept.contains(5L))
   }
 
+  test("admitNew: incoming rows with an already-known digest are rejected") {
+    val existing = Seq((100L, "known document one"), (101L, "known document two"))
+      .toDF("doc_id", "text")
+      .select(md5(col("text")).as("digest"))
+    val incoming = Seq(
+      (200L, "known document one"),   // dup of existing — rejected
+      (201L, "a genuinely new document"),
+      (202L, "known document two"),   // dup — rejected
+      (203L, "another new one")
+    ).toDF("doc_id", "text")
+    val admitted = Dedup.admitNew(incoming, "text", existing)
+      .select("doc_id").as[Long].collect().sorted
+    assert(admitted.toSeq == Seq(201L, 203L))
+  }
+
+  test("minhashDedupCc collapses hub-linked clusters that pairwise dropping keeps") {
+    // hub doc 5 is half doc-1 content, half doc-2 content: 5~1 and 5~2
+    // qualify at the low threshold but 1~2 share nothing. Pairwise
+    // loser-dropping keeps {1, 2}; transitive clustering must keep only
+    // the cluster minimum {1} (plus the unrelated 9).
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val b = "nu xi omicron pi rho sigma tau upsilon phi chi psi omega"
+    val hub = Seq(
+      (1L, a),
+      (2L, b),
+      // 9 of 12 words from each side: J(5,1) ≈ J(5,2) ≈ 0.37, J(1,2) = 0.
+      // 32 bands × 2 rows makes the banding catch J ≈ 0.37 with
+      // probability ≈ 1 (1-(1-J²)³² ≈ .99) while J = 0 stays out.
+      (5L, a.split(' ').take(9).mkString(" ") + " " + b.split(' ').take(9).mkString(" ")),
+      (9L, "totally separate words about compilers registers allocators and instruction scheduling")
+    ).toDF("doc_id", "text")
+    // sanity: the candidate graph really is the hub shape (1-5, 2-5, no 1-2)
+    val pairs = Dedup.minhashPairs(hub, "text", "doc_id",
+      numHashes = 64, bands = 32, threshold = 0.2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 5L)) && pairs.contains((2L, 5L)), s"hub edges missing: $pairs")
+    assert(!pairs.contains((1L, 2L)), s"1~2 must not be candidates: $pairs")
+    val keptCc = Dedup.minhashDedupCc(hub, "text", "doc_id",
+      numHashes = 64, bands = 32, threshold = 0.2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptCc == Set(1L, 9L), s"CC dedup kept $keptCc")
+    val keptPairwise = Dedup.minhashDedup(hub, "text", "doc_id",
+      numHashes = 64, bands = 32, threshold = 0.2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptPairwise == Set(1L, 2L, 9L),
+      s"pairwise dedup semantics changed: $keptPairwise")
+  }
+
   test("simhashPairs: hamming distance small for near-dups, large for unrelated") {
     val pairs = Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 8)
       .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect()

@@ -42,6 +42,21 @@ class SamplingSpec extends SparkSpec {
     assert(mixed.count() == docs.filter(col("lang") === "en").count())
   }
 
+  test("percentileBandFilter: trims exact value tails, keeps the band") {
+    val df = (1L to 100L).map(i => (i, i)).toDF("doc_id", "v")
+    // p10–p90 on values 1..100: cum(v) = v, total = 100 →
+    // keep 10·v ≥ 100 (v ≥ 10) and 10·(v-1) ≤ 9·100 (v ≤ 91)
+    val kept = Sampling.percentileBandFilter(df, "v", 1, 9, 10)
+      .select("v").as[Long].collect().sorted
+    assert(kept.toSeq == (10L to 91L))
+    // duplicated values move the band edges with their mass
+    val dup = ((1L to 10L).map(i => (i, 1L)) ++ Seq((11L, 2L))).toDF("doc_id", "v")
+    // v=1: cum 10/11 — covers the whole p0–p90 band; v=2 starts above p90
+    val kept2 = Sampling.percentileBandFilter(dup, "v", 0, 9, 10)
+      .select("v").as[Long].collect()
+    assert(kept2.forall(_ == 1L) && kept2.length == 10)
+  }
+
   test("rebalanceToSmallest: every stratum lands near the smallest count") {
     val counts = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
     val mn = counts.values.min

@@ -106,4 +106,25 @@ class TextAnalysisSpec extends SparkSpec {
       .as[(String, Long)].collect().toSeq
     assert(top == Seq(("b", 3L), ("a", 2L), ("c", 1L)))
   }
+
+  test("normalize: lowercases, strips symbols, collapses and trims spaces") {
+    val df = Seq(
+      (1L, "  Hello,   WORLD!! (x2) "),
+      (2L, "already clean"),
+      (3L, "...!!!")
+    ).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"), TextAnalysis.normalize(col("text")).as("n"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "hello world x2")
+    assert(out(2L) == "already clean")
+    assert(out(3L) == "")
+  }
+
+  test("vocabZipf: integer-exact log2 buckets") {
+    // term counts: a×1 (bucket 1), b×2, c×3 (bucket 2), d×5 (bucket 3)
+    val df = Seq((1L, "a b b c c c d d d d d")).toDF("doc_id", "text")
+    val out = TextAnalysis.vocabZipf(df, "text")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 1L, 1L), (2L, 2L, 5L), (3L, 1L, 5L)))
+  }
 }

@@ -85,6 +85,33 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("sample_stratified filters row-locally above the scan (no pre-sort exchange)") {
+    val p = plan("sample_stratified")
+    // the only exchange is the final presentation sort — the sampling
+    // filter itself must not shuffle or aggregate anything
+    assert("\\+\\- Exchange".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("HashAggregate"), p)
+  }
+
+  test("decontaminate broadcasts the benchmark n-grams and reuses the doc partitioning") {
+    val p = plan("decontaminate")
+    // benchmark side arrives by broadcast — the corpus n-gram stream is
+    // never shuffled on the n-gram key
+    assert(p.contains("BroadcastHashJoin"), p)
+    // corpus-side exchanges: one hash (window by doc_id) + one range
+    // (presentation sort); the per-doc aggregate reuses the window's
+    // partitioning. The benchmark branch adds its own two small
+    // exchanges (window + distinct) — 4 total, none on the corpus ngram
+    assert("\\+\\- Exchange".r.findAllIn(p).size == 4, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("text_tfidf_top broadcasts the vocabulary-sized df table") {
+    val p = plan("text_tfidf_top")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("q1_agg aggregates partially before the exchange (map-side combine)") {
     val p = plan("q1_agg")
     val aggIdx = p.indexOf("HashAggregate")
