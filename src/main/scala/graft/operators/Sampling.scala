@@ -20,18 +20,24 @@ import org.apache.spark.sql.functions._
 object Sampling {
 
   /**
-   * Deterministic bucket in [0, 1000) for a non-negative integer id:
-   * `((id % 1000003) * 1103515245 + 12345) % 1000000007 % 1000`.
-   * Plain 64-bit arithmetic with no overflow anywhere (max intermediate
-   * ≈ 1.1e15 ≪ 2^63), so Spark and any ANSI SQL engine agree
-   * bit-for-bit. Row-local, stays in whole-stage codegen.
+   * Deterministic bucket in [0, 1000) for ANY integer id:
+   * `((id % 1000003) * 1103515245 + 12345) % 1000000007` wrapped
+   * non-negative, then `% 1000`. Plain 64-bit arithmetic with no
+   * overflow anywhere (max intermediate ≈ 1.1e15 ≪ 2^63), so Spark and
+   * any ANSI SQL engine agree bit-for-bit. The `(x % m + m) % m` wrap
+   * guards negative ids — C-style `%` would emit a negative bucket that
+   * compares below every threshold (a silent keep-everything bug) in
+   * BOTH engines; for non-negative ids the wrap is the identity, so
+   * fixture results are unchanged. Row-local, stays in whole-stage
+   * codegen.
    */
   def bucket1000(id: Column): Column =
-    ((id % 1000003L) * 1103515245L + 12345L) % 1000000007L % 1000L
+    ((((id % 1000003L) * 1103515245L + 12345L) % 1000000007L) + 1000000007L) %
+      1000000007L % 1000L
 
   /** SQL twin of [[bucket1000]] for oracle construction. */
   def bucket1000Sql(idCol: String): String =
-    s"(($idCol % 1000003) * 1103515245 + 12345) % 1000000007 % 1000"
+    s"(((($idCol % 1000003) * 1103515245 + 12345) % 1000000007) + 1000000007) % 1000000007 % 1000"
 
   /**
    * Stratified sample: keep a per-stratum fraction (in permille) of rows,

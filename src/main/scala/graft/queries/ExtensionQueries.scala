@@ -100,6 +100,14 @@ object ExtensionQueries extends QueryFamily {
       .select(col("query_id"), col("rank"), col("neighbor_id"))
   }
 
+  /** Embedding k-means (semantic grouping) — custom float kernel,
+    * rows-only + planted-cluster spec (ClusteringSpec). */
+  def embedKmeans(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Clustering.kmeans(
+      Tables.embeddings(spark, dir), "vec_id", "embedding", k = 8, iters = 3)
+      .select(col("id"), col("cluster"))
+      .orderBy(col("id"))
+
   def simNearDup(spark: SparkSession, dir: String): DataFrame =
     Similarity.embeddingNearDupPairs(
       Tables.embeddings(spark, dir), "vec_id", "embedding", threshold = 0.4, nBits = 4)
@@ -329,6 +337,7 @@ object ExtensionQueries extends QueryFamily {
     "sim_topk_lsh" -> (simTopkLsh _),
     "sim_topk_ivf" -> (simTopkIvf _),
     "sim_neardup" -> (simNearDup _),
+    "embed_kmeans" -> (embedKmeans _),
     "text_quality" -> (textQuality _),
     "text_tokens_top" -> (textTokensTop _),
     "text_langid" -> (textLangId _),

@@ -21,6 +21,12 @@ class SamplingSpec extends SparkSpec {
     // roughly uniform: halves of the range split the corpus ~evenly
     val low = buckets.count(_ < 500).toDouble / buckets.length
     assert(low > 0.35 && low < 0.65, s"lower-half fraction $low")
+    // negative ids stay in range too (C-style % would go negative and
+    // make every threshold comparison silently keep the row)
+    val edge = Seq(-1L, -999L, Long.MinValue + 7, 0L, Long.MaxValue)
+      .toDF("id").select(Sampling.bucket1000(col("id")).as("b"))
+      .as[Long].collect()
+    assert(edge.forall(b => b >= 0 && b < 1000), s"out of range: ${edge.toSeq}")
   }
 
   test("stratifiedSample: near-target fractions, nested-subset property") {
