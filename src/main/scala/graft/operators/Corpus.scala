@@ -78,6 +78,38 @@ object Corpus {
           / lit(budgetTokens.toDouble)).cast("long"))
   }
 
+  /**
+   * Shard preparation for the training-shard write: tag each row with its
+   * deterministic shuffle key (md5(seed # id) — same key as
+   * [[deterministicShuffle]]), range-partition into `nShards` partitions
+   * and sort within each — so shard files hold contiguous, internally
+   * sorted key ranges and concatenating shards 0..n-1 reproduces the full
+   * deterministic shuffle order. This is the scale-correct global sort: a
+   * range exchange into n reducers, each writing one shard, instead of
+   * one total-order reducer. `writeShards` is the thin writer over it.
+   */
+  def prepareShards(
+      df: DataFrame,
+      idCol: String,
+      nShards: Int,
+      seed: String = "42"): DataFrame = {
+    require(nShards >= 1, s"nShards must be positive: $nShards")
+    df.withColumn("__sk",
+      md5(concat_ws("#", lit(seed), col(idCol).cast("string"))))
+      .repartitionByRange(nShards, col("__sk"), col(idCol))
+      .sortWithinPartitions(col("__sk"), col(idCol))
+  }
+
+  /** Write the prepared shards as parquet — one file per range shard. */
+  def writeShards(
+      df: DataFrame,
+      idCol: String,
+      nShards: Int,
+      path: String,
+      seed: String = "42"): Unit =
+    prepareShards(df, idCol, nShards, seed)
+      .write.mode("overwrite").parquet(path)
+
   /** Email-address pattern — kept to syntax both Java regex (Spark) and
     * RE2 (DuckDB oracle) compile identically. */
   val emailPattern = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"

@@ -94,6 +94,20 @@ object PipelineQueries extends QueryFamily {
   def vocabZipf(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.vocabZipf(Tables.documents(spark, dir), "text")
 
+  /** Per-source quality top-k: the "best N docs per domain" curation
+    * sample. Plans with WindowGroupLimit (rank pushdown on both shuffle
+    * sides), so each source ships only its top rows through the
+    * exchange — the per-group-top-k scale shape. */
+  def sampleTopkQuality(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    Tables.documents(spark, dir)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select(col("source"), col("rnk"), col("doc_id"), col("n_chars"))
+      .orderBy(col("source"), col("rnk"))
+  }
+
   // --- duplicate clustering ---
 
   /** Connected-components duplicate clustering: pairwise "same (lang,
@@ -129,6 +143,7 @@ object PipelineQueries extends QueryFamily {
     "source_stats" -> (sourceStats _),
     "text_normalize" -> (textNormalize _),
     "vocab_zipf" -> (vocabZipf _),
+    "sample_topk_quality" -> (sampleTopkQuality _),
     "dedup_groups_cc" -> (dedupGroupsCc _))
 
   /** Tokens-with-position CTE shared by the n-gram oracles — the zipped
@@ -221,6 +236,13 @@ object PipelineQueries extends QueryFamily {
         |SELECT CAST(LENGTH(BIN(cnt)) AS BIGINT) AS bucket,
         |  COUNT(*) AS n_terms, CAST(SUM(cnt) AS BIGINT) AS occurrences
         |FROM c GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "sample_topk_quality" ->
+      """SELECT source, rnk, doc_id, n_chars FROM (
+        |  SELECT source, doc_id, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id ASC) AS rnk
+        |  FROM documents)
+        |WHERE rnk <= 5 ORDER BY source, rnk""".stripMargin,
     // closure of the chain edges = the (lang, source) group, so the
     // oracle states the POST-closure truth the iteration must reach
     "dedup_groups_cc" ->

@@ -1,0 +1,55 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.TextAnalysis
+
+/**
+ * Streaming corpus ingest — the incremental twin of the batch
+ * `pipeline_corpus` story: documents arrive as file micro-batches, are
+ * quality-gated row-locally, and deduplicated on their content digest so
+ * a document seen in any earlier micro-batch never enters the corpus
+ * twice. CorpusStreamSpec pins parity with the equivalent batch pipeline
+ * on the fixture.
+ *
+ * Scale notes: the quality gate and digest are stateless/row-local; only
+ * the dedup keeps state — one 16-byte digest per admitted doc. That
+ * state is deliberately NOT watermarked (corpus identity has no event
+ * time: a duplicate arriving a month later must still be rejected), so
+ * at 100 TB it lives in the RocksDB state store
+ * ([[EventStreams.withRocksDBState]]) where it scales with executor
+ * disk, not heap.
+ */
+object CorpusStream {
+
+  val docSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Streaming read of the documents table (file micro-batches). */
+  def readDocuments(spark: SparkSession, sfDir: String): DataFrame =
+    spark.readStream
+      .schema(docSchema)
+      .format("parquet")
+      .option("pathGlobFilter", "documents.parquet")
+      .load(sfDir)
+
+  /** Quality gate + digest + first-wins dedup. Works identically on a
+    * streaming or batch DataFrame — the batch twin IS this function. */
+  def cleanIngest(docs: DataFrame): DataFrame =
+    TextAnalysis.qualityMetrics(docs, "text")
+      .filter(col("n_tokens") >= 10 &&
+        col("punct_ratio") < 0.25 &&
+        col("stopword_ratio") > 0.0)
+      .withColumn("digest", md5(col("text")))
+      // project BEFORE the stateful dedup: the streaming dedup operator's
+      // state schema is resolved against its input, and a post-dedup
+      // projection can fail attribute binding (observed on Spark 4.1)
+      .select(col("doc_id"), col("digest"), col("n_tokens"))
+      .dropDuplicates("digest")
+}

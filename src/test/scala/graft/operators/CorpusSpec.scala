@@ -59,6 +59,34 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("writeShards: n range-shard files whose concatenation is the deterministic shuffle") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-shards").toString
+    Corpus.writeShards(docs, "doc_id", nShards = 4, path = dir)
+    val files = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .sortBy(_.getName)
+    assert(files.length == 4, s"expected 4 shard files, got ${files.map(_.getName).toSeq}")
+    // within each shard the shuffle key is sorted; across shards (in
+    // part-index order) the key ranges are contiguous and increasing
+    val perShard = files.map { f =>
+      spark.read.parquet(f.getAbsolutePath).select("__sk", "doc_id")
+        .as[(String, Long)].collect().toSeq
+    }
+    perShard.foreach { rows =>
+      assert(rows == rows.sortBy(r => (r._1, r._2)), "shard not internally sorted")
+    }
+    perShard.toSeq.sliding(2).foreach {
+      case Seq(a, b) if a.nonEmpty && b.nonEmpty =>
+        assert(a.last._1 <= b.head._1, "shard key ranges out of order")
+      case _ =>
+    }
+    // concatenation in shard order = the deterministic shuffle order
+    val concat = perShard.flatten.map(_._2).toSeq
+    val expected = Corpus.deterministicShuffle(docs, "doc_id", "42")
+      .select("doc_id").as[Long].collect().toSeq
+    assert(concat == expected)
+  }
+
   test("redactPii: planted emails and phones are tagged and counted") {
     val df = Seq(
       (1L, "contact alice@example.com or bob.smith@corp.co.uk today"),
