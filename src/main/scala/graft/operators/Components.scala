@@ -52,27 +52,27 @@ object Components {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      // min over self + neighbour labels
+      // min over self + neighbour labels; the pre-round label rides along
+      // as __old so the convergence check needs no extra join later
       val nbrLabels = sym.join(
         labels.select(col("id").as("nbr"), col("component").as("__nc")), "nbr")
         .groupBy(col("id")).agg(min(col("__nc")).as("__nmin"))
       val lowered = labels.join(nbrLabels, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("component").as("__old"),
           least(col("component"), coalesce(col("__nmin"), col("component")))
             .as("component"))
       // pointer jump: component ← component(component). Every label is a
       // node id inside the same component, so the lookup always hits.
       val jump = lowered.select(col("id").as("__jid"), col("component").as("__jc"))
       val next = lowered.join(jump, lowered("component") === jump("__jid"), "left")
-        .select(lowered("id"),
-          least(col("component"), coalesce(col("__jc"), col("component")))
+        .select(lowered("id"), col("__old"),
+          least(lowered("component"), coalesce(col("__jc"), lowered("component")))
             .as("component"))
         .localCheckpoint(true)
       // labels are monotone non-increasing: converged ⇔ nothing dropped
-      val changed = next.join(labels.select(col("id"), col("component").as("__old")), "id")
-        .filter(col("component") < col("__old"))
-        .count()
-      labels = next
+      // (counted off the just-checkpointed round — no further join)
+      val changed = next.filter(col("component") < col("__old")).count()
+      labels = next.select(col("id"), col("component"))
       converged = changed == 0
       iter += 1
     }

@@ -108,6 +108,13 @@ object ExtensionQueries extends QueryFamily {
       .select(col("id"), col("cluster"))
       .orderBy(col("id"))
 
+  /** Int8 scalar quantization of the embedding table (float pipeline
+    * with a fixed IEEE expression tree — oracle replays it exactly). */
+  def embedQuantize(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Quantize.scalarQuantize(
+      Tables.embeddings(spark, dir), "vec_id", "embedding")
+      .orderBy(col("vec_id"), col("dim"))
+
   def simNearDup(spark: SparkSession, dir: String): DataFrame =
     Similarity.embeddingNearDupPairs(
       Tables.embeddings(spark, dir), "vec_id", "embedding", threshold = 0.4, nBits = 4)
@@ -338,6 +345,7 @@ object ExtensionQueries extends QueryFamily {
     "sim_topk_ivf" -> (simTopkIvf _),
     "sim_neardup" -> (simNearDup _),
     "embed_kmeans" -> (embedKmeans _),
+    "embed_quantize" -> (embedQuantize _),
     "text_quality" -> (textQuality _),
     "text_tokens_top" -> (textTokensTop _),
     "text_langid" -> (textLangId _),
@@ -379,6 +387,23 @@ object ExtensionQueries extends QueryFamily {
         |    ROW_NUMBER() OVER (PARTITION BY lang, source ORDER BY doc_id) AS rn
         |  FROM documents
         |) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    // float arithmetic IS cross-engine-reproducible when the expression
+    // tree is identical and the reductions (min/max) are order-free —
+    // see Quantize's scaladoc; the CASE guard mirrors the Spark side
+    "embed_quantize" ->
+      """WITH e AS (
+        |  SELECT vec_id, unnest(embedding) AS x,
+        |    unnest(range(0, len(embedding))) AS dim
+        |  FROM embeddings),
+        |stats AS (
+        |  SELECT dim, CAST(MIN(x) AS DOUBLE) AS mn, CAST(MAX(x) AS DOUBLE) AS mx
+        |  FROM e GROUP BY dim)
+        |SELECT e.vec_id, e.dim,
+        |  CAST(CASE WHEN s.mx = s.mn THEN 0
+        |       ELSE LEAST(FLOOR(((CAST(e.x AS DOUBLE) - s.mn) * 255.0) / (s.mx - s.mn)), 255.0)
+        |       END AS BIGINT) AS q
+        |FROM e JOIN stats s USING (dim)
+        |ORDER BY e.vec_id, e.dim""".stripMargin,
     "sim_topk_brute" ->
       """SELECT query_id, rank, neighbor_id FROM (
         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
