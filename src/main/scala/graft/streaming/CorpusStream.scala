@@ -39,6 +39,27 @@ object CorpusStream {
       .option("pathGlobFilter", "documents.parquet")
       .load(sfDir)
 
+  /**
+   * Exactly-once streaming shard append — the foreachBatch recipe: each
+   * micro-batch lands under `path/batch=<id>`, and because Structured
+   * Streaming replays a failed batch with the SAME id (checkpointed
+   * offsets) while `overwrite` makes the per-batch directory write
+   * idempotent, a crash between write and commit cannot duplicate or
+   * drop rows. Restarting against the same checkpoint with no new input
+   * writes nothing. This is how the streaming ingest reaches durable
+   * training shards.
+   */
+  def appendShards(
+      streaming: DataFrame,
+      path: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    streaming.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$path/batch=$batchId")
+      }
+      .start()
+
   /** Quality gate + digest + first-wins dedup. Works identically on a
     * streaming or batch DataFrame — the batch twin IS this function. */
   def cleanIngest(docs: DataFrame): DataFrame =

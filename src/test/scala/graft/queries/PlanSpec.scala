@@ -112,6 +112,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("sample_topk_quality pushes the rank limit into WindowGroupLimit") {
+    val p = plan("sample_topk_quality")
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("embed_quantize broadcasts the per-dim stats (no sort-merge join)") {
+    val p = plan("embed_quantize")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("q1_agg aggregates partially before the exchange (map-side combine)") {
     val p = plan("q1_agg")
     val aggIdx = p.indexOf("HashAggregate")

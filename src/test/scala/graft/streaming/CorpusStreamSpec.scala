@@ -21,6 +21,37 @@ class CorpusStreamSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("appendShards: per-batch dirs, exactly-once content, idempotent restart") {
+    val base = java.nio.file.Files.createTempDirectory("graft-append").toString
+    val in = s"$base/in"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
+    val rows = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again", "en", "s", 60L),
+      (2L, "a completely different document with the usual words in it too", "en", "s", 62L),
+      (3L, "and one more fresh document that is long enough to pass the gate", "en", "s", 65L))
+    rows.grouped(2).zipWithIndex.foreach { case (slice, i) =>
+      slice.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.parquet(s"$in/slice$i")
+      new java.io.File(s"$in/slice$i").listFiles()
+        .foreach(_.setLastModified(1000000L * (i + 1)))
+    }
+    def stream() = spark.readStream.schema(CorpusStream.docSchema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$in/slice*")
+    val q = CorpusStream.appendShards(CorpusStream.cleanIngest(stream()), out, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    val batchDirs = new java.io.File(out).listFiles().filter(_.getName.startsWith("batch=")).map(_.getName).sorted
+    assert(batchDirs.length >= 2, s"expected one dir per micro-batch, got ${batchDirs.toSeq}")
+    val written = spark.read.parquet(s"$out/batch=*").select("doc_id").as[Long].collect().sorted
+    assert(written.toSeq == Seq(1L, 2L, 3L))
+    // restart on the same checkpoint with no new input: nothing new written
+    val before = new java.io.File(out).listFiles().map(_.getName).toSet
+    val q2 = CorpusStream.appendShards(CorpusStream.cleanIngest(stream()), out, ckpt)
+    try q2.processAllAvailable() finally q2.stop()
+    val after = new java.io.File(out).listFiles().map(_.getName).toSet
+    assert(after == before, s"restart wrote new batch dirs: ${after -- before}")
+    val rewritten = spark.read.parquet(s"$out/batch=*").select("doc_id").as[Long].collect().sorted
+    assert(rewritten.toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("cross-batch dedup: a duplicate arriving in a later micro-batch is rejected") {
     val dir = java.nio.file.Files.createTempDirectory("graft-corpus-stream").toString
     val slice1 = Seq(
