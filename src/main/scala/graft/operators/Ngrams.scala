@@ -20,12 +20,19 @@ import org.apache.spark.sql.functions._
  */
 object Ngrams {
 
-  /** One row per token with its 1-based in-document position. */
-  def tokens(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol),
+  /** One row per token with its 1-based in-document position.
+    * `carryCols` ride along untouched (e.g. a grouping column). */
+  def tokens(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      carryCols: Seq[String] = Nil): DataFrame = {
+    val keep = (idCol +: carryCols).map(col)
+    df.select(keep :+
       posexplode(filter(split(lower(col(textCol)), "[^a-z0-9]+"),
-        t => length(t) > 0)))
-      .select(col(idCol), (col("pos") + 1).as("pos"), col("col").as("tok"))
+        t => length(t) > 0)): _*)
+      .select(keep ++ Seq((col("pos") + 1).as("pos"), col("col").as("tok")): _*)
+  }
 
   /**
    * Sliding word n-grams: one row per starting position, `ngram` NULL for
@@ -35,13 +42,18 @@ object Ngrams {
    * window partition); downstream per-doc aggregations reuse that same
    * partitioning, so they add no exchange.
    */
-  def wordNgrams(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+  def wordNgrams(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      carryCols: Seq[String] = Nil): DataFrame = {
     require(n >= 2, s"n-gram size must be >= 2: $n")
     val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
     val parts: Seq[Column] =
       col("tok") +: (1 until n).map(i => lead(col("tok"), i).over(w))
     val gram = parts.reduce((a, b) => concat(a, lit(" "), b))
-    tokens(df, idCol, textCol).withColumn("ngram", gram)
+    tokens(df, idCol, textCol, carryCols).withColumn("ngram", gram)
   }
 
   /**
@@ -73,6 +85,76 @@ object Ngrams {
       .join(broadcast(bench), "ngram")
       .groupBy(col(idCol))
       .agg(countDistinct(col("ngram")).as("n_hits"))
+  }
+
+  /**
+   * Substring-duplication candidate pairs (the candidate stage of
+   * exact-substring dedup à la "Deduplicating Training Data Makes
+   * Language Models Better"): documents sharing ≥1 word n-gram, with the
+   * count of distinct shared grams. Long n (15–50 tokens) finds real
+   * copied substrings at corpus scale; the registered query uses n=4 so
+   * the fixture yields a non-trivial result.
+   *
+   * Scale shape: distinct (doc, gram) pairs hash-shuffle on the gram;
+   * pair explosion happens inside gram groups with the same
+   * oversized-group guard as minhash banding (a ubiquitous gram would
+   * otherwise explode quadratically); the pair aggregate then shuffles
+   * only (id_a, id_b) keys.
+   */
+  def substringPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      maxDocsPerGram: Int = 1000): DataFrame = {
+    val dg = wordNgrams(df, idCol, textCol, n)
+      .filter(col("ngram").isNotNull)
+      .select(col(idCol).as("id"), col("ngram"))
+      .distinct()
+    val w = Window.partitionBy(col("ngram"))
+    val guarded = dg
+      .withColumn("__gn", count(lit(1)).over(w))
+      .filter(col("__gn") <= maxDocsPerGram)
+      .drop("__gn")
+    guarded.select(col("ngram"), col("id").as("id_a"))
+      .join(guarded.select(col("ngram"), col("id").as("id_b")), Seq("ngram"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(countDistinct(col("ngram")).as("n_shared"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /**
+   * Boilerplate n-gram detection (the RefinedWeb-style "same navigation
+   * text on every page of a site" scrub): n-grams appearing in at least
+   * `fracNum/fracDen` of a group's documents (and ≥ `minDocs` docs).
+   * Integer-ratio threshold, so the oracle reproduces it exactly. The
+   * per-group totals are a tiny aggregate broadcast back onto the
+   * vocabulary-sized gram counts.
+   */
+  def boilerplateNgrams(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      groupCol: String,
+      n: Int = 2,
+      fracNum: Int = 1,
+      fracDen: Int = 10,
+      minDocs: Int = 3): DataFrame = {
+    require(fracNum > 0 && fracDen > 0, "fraction must be positive")
+    val grams = wordNgrams(df, idCol, textCol, n, carryCols = Seq(groupCol))
+      .filter(col("ngram").isNotNull)
+      .select(col(groupCol), col(idCol), col("ngram"))
+      .distinct()
+      .groupBy(col(groupCol), col("ngram"))
+      .agg(count(lit(1)).as("n_docs"))
+    val totals = df.groupBy(col(groupCol))
+      .agg(countDistinct(col(idCol)).as("__total"))
+    grams.join(broadcast(totals), groupCol)
+      .filter(col("n_docs") * fracDen >= lit(fracNum) * col("__total") &&
+        col("n_docs") >= minDocs)
+      .select(col(groupCol), col("ngram"), col("n_docs"))
+      .orderBy(col(groupCol), col("ngram"))
   }
 
   /**

@@ -53,6 +53,16 @@ object PipelineQueries extends QueryFamily {
     Ngrams.repetitionStats(Tables.documents(spark, dir), "doc_id", "text")
       .orderBy(col("doc_id"))
 
+  /** Substring-dup candidate pairs: docs sharing a word 4-gram (the
+    * candidate stage of exact-substring dedup; production n is 15–50). */
+  def dedupSubstringPairs(spark: SparkSession, dir: String): DataFrame =
+    Ngrams.substringPairs(Tables.documents(spark, dir), "doc_id", "text", n = 4)
+
+  /** Boilerplate bigrams: grams in ≥10% (and ≥3) of a language's docs. */
+  def boilerplateNgrams(spark: SparkSession, dir: String): DataFrame =
+    Ngrams.boilerplateNgrams(Tables.documents(spark, dir), "doc_id", "text",
+      groupCol = "lang", n = 2, fracNum = 1, fracDen = 10, minDocs = 3)
+
   /** Top-3 distinguishing terms per doc by integer tf/df weight. */
   def textTfidfTop(spark: SparkSession, dir: String): DataFrame =
     Ngrams.topTermsByTfDf(Tables.documents(spark, dir), "doc_id", "text", k = 3)
@@ -144,6 +154,8 @@ object PipelineQueries extends QueryFamily {
     "text_normalize" -> (textNormalize _),
     "vocab_zipf" -> (vocabZipf _),
     "sample_topk_quality" -> (sampleTopkQuality _),
+    "dedup_substring_pairs" -> (dedupSubstringPairs _),
+    "boilerplate_ngrams" -> (boilerplateNgrams _),
     "dedup_groups_cc" -> (dedupGroupsCc _))
 
   /** Tokens-with-position CTE shared by the n-gram oracles — the zipped
@@ -236,6 +248,34 @@ object PipelineQueries extends QueryFamily {
         |SELECT CAST(LENGTH(BIN(cnt)) AS BIGINT) AS bucket,
         |  COUNT(*) AS n_terms, CAST(SUM(cnt) AS BIGINT) AS occurrences
         |FROM c GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "dedup_substring_pairs" ->
+      s"""WITH $toksCte,
+         |ng AS (
+         |  SELECT doc_id,
+         |    tok || ' ' || LEAD(tok, 1) OVER w || ' ' || LEAD(tok, 2) OVER w
+         |        || ' ' || LEAD(tok, 3) OVER w AS ngram
+         |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+         |dg AS (SELECT DISTINCT doc_id, ngram FROM ng WHERE ngram IS NOT NULL)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  COUNT(DISTINCT a.ngram) AS n_shared
+         |FROM dg a JOIN dg b ON a.ngram = b.ngram AND a.doc_id < b.doc_id
+         |GROUP BY a.doc_id, b.doc_id ORDER BY id_a, id_b""".stripMargin,
+    "boilerplate_ngrams" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)) AS tok,
+        |    unnest(range(1, len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)) + 1)) AS pos
+        |  FROM documents),
+        |ng AS (
+        |  SELECT doc_id, lang, tok || ' ' || LEAD(tok, 1) OVER w AS ngram
+        |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |dg AS (SELECT DISTINCT lang, doc_id, ngram FROM ng WHERE ngram IS NOT NULL),
+        |gs AS (SELECT lang, ngram, COUNT(*) AS n_docs FROM dg GROUP BY lang, ngram),
+        |tot AS (SELECT lang, COUNT(DISTINCT doc_id) AS total FROM documents GROUP BY lang)
+        |SELECT g.lang, g.ngram, g.n_docs
+        |FROM gs g JOIN tot t USING (lang)
+        |WHERE g.n_docs * 10 >= t.total AND g.n_docs >= 3
+        |ORDER BY g.lang, g.ngram""".stripMargin,
     "sample_topk_quality" ->
       """SELECT source, rnk, doc_id, n_chars FROM (
         |  SELECT source, doc_id, n_chars,

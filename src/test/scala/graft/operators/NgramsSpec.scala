@@ -42,6 +42,44 @@ class NgramsSpec extends SparkSpec {
     assert(out(2L) == ((1L, 3L)))
   }
 
+  test("substringPairs: shared long grams found, oversized-gram groups guarded") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "start alpha beta gamma delta end"),   // shares 2 distinct 4-grams... (alpha beta gamma delta) and (beta gamma delta ...) differs
+      (3L, "nothing in common with the others")
+    ).toDF("doc_id", "text")
+    val pairs = Ngrams.substringPairs(df, "doc_id", "text", n = 4)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(pairs == Seq((1L, 2L, 1L)),
+      s"docs 1,2 share exactly the 4-gram 'alpha beta gamma delta': $pairs")
+    // guard: a gram present in every doc is dropped when over the cap
+    val many = (1L to 6L).map(i => (i, s"common gram here always plus unique$i"))
+      .toDF("doc_id", "text")
+    val capped = Ngrams.substringPairs(many, "doc_id", "text", n = 4, maxDocsPerGram = 5)
+      .as[(Long, Long, Long)].collect()
+    assert(capped.isEmpty, s"oversized gram group must be guarded out: ${capped.toSeq}")
+  }
+
+  test("boilerplateNgrams: grams above the group-fraction threshold only") {
+    val df = Seq(
+      (1L, "copyright acme corp page one", "s1"),
+      (2L, "copyright acme corp page two", "s1"),
+      (3L, "copyright acme corp page three", "s1"),
+      (4L, "totally original content here", "s1"),
+      (5L, "copyright acme corp but other source", "s2")
+    ).toDF("doc_id", "text", "source")
+    val out = Ngrams.boilerplateNgrams(df, "doc_id", "text", "source",
+      n = 2, fracNum = 1, fracDen = 2, minDocs = 3)
+      .as[(String, String, Long)].collect().toSeq
+    // only s1 has grams in >=50% of 4 docs AND >=3 docs: the copyright chain
+    assert(out.nonEmpty && out.forall(_._1 == "s1"), s"got $out")
+    assert(out.contains(("s1", "copyright acme", 3L)) &&
+      out.contains(("s1", "acme corp", 3L)) &&
+      out.contains(("s1", "corp page", 3L)), s"got $out")
+    // one-doc grams ("page one", s2's variants) stay out
+    assert(out.forall(_._3 >= 3L), s"sub-threshold gram leaked: $out")
+  }
+
   test("topTermsByTfDf: rare frequent terms outrank common ones, ties on term") {
     val df = Seq(
       (1L, "zebra zebra zebra the the"),  // zebra: tf 3 df 1 → 3e6; the: tf 2 df 2 → 1e6
