@@ -24,13 +24,18 @@ import org.apache.spark.sql.functions._
  *
  * Scale notes: each round is two hash joins on the node id plus one
  * `count` action for the convergence check. Each round's labels are
- * `localCheckpoint`ed — persist alone is NOT enough: the logical plan
- * of round k references round k-1's plan several times, so without
- * lineage truncation the plan tree grows ~4^k and Spark OOMs just
- * STRINGIFYING it around round 6 (a reliable checkpoint to HDFS/S3
- * replaces this on a real cluster). Nodes appear only if they occur in
- * an edge — callers union isolated rows back as their own singleton
- * components (see the `dedup_groups_cc` query).
+ * materialized through a flat `LogicalRDD` plan + `persist`, and the
+ * superseded round is explicitly unpersisted. Both halves matter:
+ * plain persist alone leaves the logical plan of round k referencing
+ * round k-1's plan several times, so the plan TREE grows ~4^k and
+ * Spark OOMs just STRINGIFYING it around round 6; `localCheckpoint`
+ * flattens the plan but its storage cannot be released mid-loop, so
+ * 20 rounds would hold O(rounds × |V|) label generations in executor
+ * storage instead of two. On a real cluster a reliable checkpoint
+ * (HDFS/S3) every few rounds would additionally cap the RDD lineage a
+ * lost executor replays. Nodes appear only if they occur in an edge —
+ * callers union isolated rows back as their own singleton components
+ * (see the `dedup_groups_cc` query).
  */
 object Components {
 
@@ -40,15 +45,23 @@ object Components {
    */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
     require(maxIter >= 1, s"maxIter must be positive: $maxIter")
+    // flat-plan materialization: LogicalRDD severs the growing plan tree,
+    // persist makes each round's labels reusable and RELEASABLE
+    def materialize(df: DataFrame): DataFrame =
+      df.sparkSession.createDataFrame(df.rdd, df.schema).persist()
     // materialize the symmetric edge list ONCE: every round joins it, and
     // without this the whole upstream edge DAG (a window — or an entire
     // minhash banding pipeline for minhashDedupCc) re-executes per round
-    val sym = edges.select(col("src").as("id"), col("dst").as("nbr"))
-      .union(edges.select(col("dst").as("id"), col("src").as("nbr")))
-      .localCheckpoint(true)
-    var labels = sym.select(col("id")).distinct()
-      .withColumn("component", col("id"))
-      .localCheckpoint(true)
+    val sym = materialize(
+      edges.select(col("src").as("id"), col("dst").as("nbr"))
+        .union(edges.select(col("dst").as("id"), col("src").as("nbr"))))
+    // labelsM is the persisted handle (unpersist must target the exact
+    // cached Dataset — calling it on a derived projection is a no-op);
+    // labels is the (id, component) view the joins consume
+    var labelsM = materialize(
+      sym.select(col("id")).distinct()
+        .withColumn("component", col("id")))
+    var labels = labelsM
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -64,18 +77,22 @@ object Components {
       // pointer jump: component ← component(component). Every label is a
       // node id inside the same component, so the lookup always hits.
       val jump = lowered.select(col("id").as("__jid"), col("component").as("__jc"))
-      val next = lowered.join(jump, lowered("component") === jump("__jid"), "left")
-        .select(lowered("id"), col("__old"),
-          least(lowered("component"), coalesce(col("__jc"), lowered("component")))
-            .as("component"))
-        .localCheckpoint(true)
+      val next = materialize(
+        lowered.join(jump, lowered("component") === jump("__jid"), "left")
+          .select(lowered("id"), col("__old"),
+            least(lowered("component"), coalesce(col("__jc"), lowered("component")))
+              .as("component")))
       // labels are monotone non-increasing: converged ⇔ nothing dropped
-      // (counted off the just-checkpointed round — no further join)
+      // (counted off the just-materialized round — no further join; this
+      // count is also what forces the round's persist)
       val changed = next.filter(col("component") < col("__old")).count()
+      labelsM.unpersist()
+      labelsM = next
       labels = next.select(col("id"), col("component"))
       converged = changed == 0
       iter += 1
     }
+    sym.unpersist()
     labels
   }
 }

@@ -100,7 +100,11 @@ object Corpus {
       .sortWithinPartitions(col("__sk"), col(idCol))
   }
 
-  /** Write the prepared shards as parquet — one file per range shard. */
+  /** Write the prepared shards as parquet — one file per range shard.
+    * The internal `__sk` ordering key is dropped before the write (it is
+    * recomputable from seed+id; persisting 32 hex chars per row into
+    * 100 TB of shards would be pure waste). Dropping a column after
+    * `sortWithinPartitions` does not disturb partitioning or row order. */
   def writeShards(
       df: DataFrame,
       idCol: String,
@@ -108,6 +112,7 @@ object Corpus {
       path: String,
       seed: String = "42"): Unit =
     prepareShards(df, idCol, nShards, seed)
+      .drop("__sk")
       .write.mode("overwrite").parquet(path)
 
   /** Email-address pattern — kept to syntax both Java regex (Spark) and

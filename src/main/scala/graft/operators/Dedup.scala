@@ -78,9 +78,11 @@ object Dedup {
    * `incoming` rows whose content digest is absent from
    * `existingDigests` (one `digest` column, typically the persisted
    * digest index of the already-built corpus). A left-anti hash join on
-   * 16-byte digests: the incoming batch shuffles digests, never text,
-   * and at 100 TB the digest index is bucketed on `digest` so the join
-   * co-locates with zero new exchange on the index side.
+   * content digests — the incoming batch shuffles digests, never text.
+   * The digest travels as md5 hex (32 chars) to stay oracle-comparable;
+   * a production index stores `unhex(md5(...))` (16-byte binary) and
+   * is bucketed on it, so the join co-locates with zero new exchange
+   * on the index side and half the key bytes.
    */
   def admitNew(
       incoming: DataFrame,

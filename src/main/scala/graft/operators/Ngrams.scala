@@ -28,9 +28,9 @@ object Ngrams {
       textCol: String,
       carryCols: Seq[String] = Nil): DataFrame = {
     val keep = (idCol +: carryCols).map(col)
-    df.select(keep :+
-      posexplode(filter(split(lower(col(textCol)), "[^a-z0-9]+"),
-        t => length(t) > 0)): _*)
+    // Dedup.tokens is THE house tokenizer — every tokenizing operator
+    // and every SQL oracle twin must stay in lockstep with it
+    df.select(keep :+ posexplode(Dedup.tokens(col(textCol))): _*)
       .select(keep ++ Seq((col("pos") + 1).as("pos"), col("col").as("tok")): _*)
   }
 

@@ -87,21 +87,22 @@ object TextAnalysis {
     * the one shuffling operator here; partial aggregation makes the
     * exchange carry only (token, count) pairs). */
   def tokenFrequency(df: DataFrame, textCol: String, topN: Int = 20): DataFrame =
-    df.select(explode(filter(split(lower(col(textCol)), "[^a-z0-9]+"),
-      x => length(x) > 0)).as("token"))
+    df.select(explode(Dedup.tokens(col(textCol))).as("token"))
       .groupBy(col("token"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("token").asc)
       .limit(topN)
 
   /** Canonical text normalization (the pre-dedup/pre-fingerprint clean):
-    * lowercase, strip everything outside [a-z0-9 ], collapse runs of
-    * spaces, trim. Row-local regex chain — no shuffle, codegen'd, and
-    * regex syntax is kept to the subset Java and RE2 interpret
-    * identically (same discipline as [[Corpus.redactPii]]). */
+    * lowercase, FOLD every non-[a-z0-9] run to a single space (deleting
+    * instead would fuse "hello\nworld" into "helloworld", so whitespace-
+    * variant duplicates — exactly what this clean exists to catch —
+    * would stop colliding), then trim. Row-local regex chain — no
+    * shuffle, codegen'd, and regex syntax is kept to the subset Java
+    * and RE2 interpret identically (same discipline as
+    * [[Corpus.redactPii]]). */
   def normalize(text: Column): Column =
-    trim(regexp_replace(
-      regexp_replace(lower(text), "[^a-z0-9 ]+", ""), " +", " "))
+    trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
 
   /** Vocabulary frequency histogram on log2 buckets (the Zipf-shape
     * check a corpus build monitors): bucket = ⌊log2(count)⌋ + 1, computed
@@ -110,8 +111,7 @@ object TextAnalysis {
     * power-of-two boundary between engines). Two hash aggregates; the
     * second input is vocabulary-sized. */
   def vocabZipf(df: DataFrame, textCol: String): DataFrame =
-    df.select(explode(filter(split(lower(col(textCol)), "[^a-z0-9]+"),
-      x => length(x) > 0)).as("token"))
+    df.select(explode(Dedup.tokens(col(textCol))).as("token"))
       .groupBy(col("token"))
       .agg(count(lit(1)).as("__cnt"))
       .groupBy(length(bin(col("__cnt"))).cast("long").as("bucket"))

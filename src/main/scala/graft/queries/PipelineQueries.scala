@@ -236,9 +236,7 @@ object PipelineQueries extends QueryFamily {
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "text_normalize" ->
       """SELECT doc_id,
-        |  MD5(TRIM(REGEXP_REPLACE(
-        |    REGEXP_REPLACE(LOWER(text), '[^a-z0-9 ]+', '', 'g'),
-        |    ' +', ' ', 'g'))) AS norm_digest
+        |  MD5(TRIM(REGEXP_REPLACE(LOWER(text), '[^a-z0-9]+', ' ', 'g'))) AS norm_digest
         |FROM documents ORDER BY doc_id""".stripMargin,
     "vocab_zipf" ->
       """WITH tf AS (
@@ -255,7 +253,11 @@ object PipelineQueries extends QueryFamily {
          |    tok || ' ' || LEAD(tok, 1) OVER w || ' ' || LEAD(tok, 2) OVER w
          |        || ' ' || LEAD(tok, 3) OVER w AS ngram
          |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
-         |dg AS (SELECT DISTINCT doc_id, ngram FROM ng WHERE ngram IS NOT NULL)
+         |dg0 AS (SELECT DISTINCT doc_id, ngram FROM ng WHERE ngram IS NOT NULL),
+         |-- mirror the operator's oversized-gram guard (maxDocsPerGram=1000):
+         |-- without it the two sides diverge the day a gram goes ubiquitous
+         |dg AS (SELECT doc_id, ngram FROM dg0
+         |       QUALIFY COUNT(*) OVER (PARTITION BY ngram) <= 1000)
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          |  COUNT(DISTINCT a.ngram) AS n_shared
          |FROM dg a JOIN dg b ON a.ngram = b.ngram AND a.doc_id < b.doc_id

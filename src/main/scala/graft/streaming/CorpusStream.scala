@@ -60,8 +60,12 @@ object CorpusStream {
       }
       .start()
 
-  /** Quality gate + digest + first-wins dedup. Works identically on a
-    * streaming or batch DataFrame — the batch twin IS this function. */
+  /** Quality gate + digest + dedup. The admitted CORPUS (the digest
+    * set) is identical on the streaming and batch paths; which doc_id
+    * survives per digest is first-arrival in streaming and unspecified
+    * in batch (`dropDuplicates` keeps an arbitrary row) — callers who
+    * need a deterministic survivor run [[graft.operators.Dedup.exactByKey]]
+    * (min-id) on the batch side instead. */
   def cleanIngest(docs: DataFrame): DataFrame =
     TextAnalysis.qualityMetrics(docs, "text")
       .filter(col("n_tokens") >= 10 &&

@@ -67,10 +67,15 @@ class CorpusSpec extends SparkSpec {
       .sortBy(_.getName)
     assert(files.length == 4, s"expected 4 shard files, got ${files.map(_.getName).toSeq}")
     // within each shard the shuffle key is sorted; across shards (in
-    // part-index order) the key ranges are contiguous and increasing
+    // part-index order) the key ranges are contiguous and increasing.
+    // __sk is (deliberately) not persisted — recompute it here.
+    def sk(id: Long): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"42#$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
     val perShard = files.map { f =>
-      spark.read.parquet(f.getAbsolutePath).select("__sk", "doc_id")
-        .as[(String, Long)].collect().toSeq
+      spark.read.parquet(f.getAbsolutePath).select("doc_id")
+        .as[Long].collect().toSeq.map(id => (sk(id), id))
     }
     perShard.foreach { rows =>
       assert(rows == rows.sortBy(r => (r._1, r._2)), "shard not internally sorted")
