@@ -42,6 +42,92 @@ object Clustering {
         asc = true), 1).getField("i")
 
   /**
+   * k-means|| seeding (Bahmani, Moseley, Vattani, Kumar, Vassilvitskii,
+   * "Scalable K-Means++", VLDB'12) — the initialization for LARGE k.
+   * Farthest-first (the default init below) runs one full corpus scan
+   * per seed: k = 10,000 topic clusters over 100 TB would mean 10,000
+   * passes. k-means|| instead takes a FIXED number of passes: each round
+   * every point volunteers as a candidate independently with probability
+   * min(1, l·d²(x,C)/cost(C)) — decided by a deterministic per-(id,
+   * round) hash, so the "randomness" is reproducible — which lands ≈ l
+   * new candidates per round near mass the current set covers badly.
+   * The ≈ l·rounds candidates are then weighted by how many points they
+   * win and reduced to k seeds ON THE DRIVER by greedy weighted
+   * k-means++ (argmax of weight·d² instead of sampling: deterministic,
+   * and fine at candidate cardinality). Driver state is candidates +
+   * weights — bounded model state, never data.
+   *
+   * @return up to k seed centroids (fewer if the input has fewer
+   *         distinct points than k)
+   */
+  def kmeansParInit(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      rounds: Int = 4,
+      oversample: Int = 0,
+      seed: Long = 42L): Seq[Seq[Float]] = {
+    require(k >= 1, s"k must be positive: $k")
+    require(rounds >= 1, s"rounds must be positive: $rounds")
+    val l = if (oversample > 0) oversample else math.max(2 * k, 2)
+    val v = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v")).persist()
+    try {
+      val anchor = v.orderBy(xxhash64(col("id")).asc, col("id").asc)
+        .limit(1).collect()
+      require(anchor.nonEmpty, "input is empty — nothing to cluster")
+      var cands: Vector[Seq[Float]] = Vector(anchor.head.getSeq[Float](1))
+      var round = 1
+      var covered = false
+      while (round <= rounds && !covered) {
+        val cc = typedLit(cands)
+        val withD = v.withColumn("__dmin",
+          array_min(transform(cc, c => l2_distance(col("v"), c))))
+          .withColumn("__d2", col("__dmin") * col("__dmin"))
+        val cost = withD.agg(sum(col("__d2"))).collect().head.getDouble(0)
+        if (cost <= 0.0) covered = true // every point coincides with a candidate
+        else {
+          // u ~ U[0,1) from a per-(id, round, seed) hash; admit iff
+          // u·cost < l·d² ⟺ u < min(1, l·d²/cost)
+          val u01 = pmod(xxhash64(col("id"), lit(round), lit(seed)), lit(1L << 32))
+            .cast("double") / lit((1L << 32).toDouble)
+          val picked = withD.filter(u01 * lit(cost) < lit(l.toDouble) * col("__d2"))
+            .select(col("v")).collect().map(_.getSeq[Float](0))
+          cands = (cands ++ picked).distinct
+        }
+        round += 1
+      }
+      // weight candidates by the points they win, then reduce driver-side
+      val cc = typedLit(cands)
+      val wts = v.withColumn("ci", assignCol(col("v"), cc, cands.length))
+        .groupBy(col("ci")).agg(count(lit(1)).as("n")).collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      def d2(a: Seq[Float], b: Seq[Float]): Double = {
+        var s = 0.0; var i = 0
+        while (i < a.length) { val d = a(i).toDouble - b(i); s += d * d; i += 1 }
+        s
+      }
+      // canonical order makes every argmax tie-break deterministic
+      val canon = cands.zipWithIndex
+        .map { case (c, i) => (c, wts.getOrElse(i, 0L) max 1L) }
+        .sortBy { case (c, w) => (-w, c.mkString(",")) }
+      var seeds = Vector(canon.head._1)
+      var stuck = false
+      while (seeds.length < math.min(k, canon.length) && !stuck) {
+        val (best, score) = canon.map { case (c, w) =>
+          (c, w.toDouble * seeds.iterator.map(s => d2(c, s)).min)
+        }.maxBy(_._2)
+        if (score <= 0.0) stuck = true // remaining candidates coincide with seeds
+        else seeds = seeds :+ best
+      }
+      seeds
+    } finally v.unpersist()
+  }
+
+  /**
+   * @param init `"farthest"` (default — k corpus passes, best geometric
+   *             spread at small k) or `"parallel"` (k-means|| above —
+   *             O(rounds) passes, the large-k scale path)
    * @return (`id`, `cluster`, `dist`) — final assignment and distance to
    *         the final centroid.
    */
@@ -50,31 +136,38 @@ object Clustering {
       idCol: String,
       vecCol: String,
       k: Int,
-      iters: Int = 5): DataFrame = {
+      iters: Int = 5,
+      init: String = "farthest"): DataFrame = {
     require(k >= 1, s"k must be positive: $k")
     require(iters >= 1, s"iters must be positive: $iters")
+    require(init == "farthest" || init == "parallel", s"unknown init: $init")
     val v = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
 
-    // farthest-first seeding from a deterministic anchor (bounded model
-    // state: one vector collected per seed)
-    val anchor = v.orderBy(xxhash64(col("id")).asc, col("id").asc)
-      .limit(1).collect()
-    require(anchor.nonEmpty, "input is empty — nothing to cluster")
-    var cents: Seq[Seq[Float]] = Seq(anchor.head.getSeq[Float](1))
-    var exhausted = false
-    while (cents.length < k && !exhausted) {
-      val cc = typedLit(cents)
-      val far = v
-        .withColumn("__dmin",
-          array_min(transform(cc, c => l2_distance(col("v"), c))))
-        .orderBy(col("__dmin").desc, col("id").asc)
-        .limit(1).collect().head
-      // no point is farther than 0 from the seed set ⇒ fewer distinct
-      // points than k: stop (duplicate seeds would only make clusters
-      // that can never win an assignment)
-      if (far.getDouble(2) <= 0.0) exhausted = true
-      else cents = cents :+ far.getSeq[Float](1)
-    }
+    var cents: Seq[Seq[Float]] =
+      if (init == "parallel") kmeansParInit(v, "id", "v", k)
+      else {
+        // farthest-first seeding from a deterministic anchor (bounded model
+        // state: one vector collected per seed)
+        val anchor = v.orderBy(xxhash64(col("id")).asc, col("id").asc)
+          .limit(1).collect()
+        require(anchor.nonEmpty, "input is empty — nothing to cluster")
+        var cs: Seq[Seq[Float]] = Seq(anchor.head.getSeq[Float](1))
+        var exhausted = false
+        while (cs.length < k && !exhausted) {
+          val cc = typedLit(cs)
+          val far = v
+            .withColumn("__dmin",
+              array_min(transform(cc, c => l2_distance(col("v"), c))))
+            .orderBy(col("__dmin").desc, col("id").asc)
+            .limit(1).collect().head
+          // no point is farther than 0 from the seed set ⇒ fewer distinct
+          // points than k: stop (duplicate seeds would only make clusters
+          // that can never win an assignment)
+          if (far.getDouble(2) <= 0.0) exhausted = true
+          else cs = cs :+ far.getSeq[Float](1)
+        }
+        cs
+      }
     val kk = cents.length
 
     for (_ <- 1 to iters) {

@@ -95,4 +95,91 @@ object Components {
     sym.unpersist()
     labels
   }
+
+  /**
+   * Alternating large-star / small-star connected components — the
+   * general-graph scale path (the two-phase algorithm of Kiveris,
+   * Lattanzi, Mirrokni, Rastogi, Vassilvitskii, "Connected Components in
+   * MapReduce and Beyond", ACM SoCC'14). [[connectedComponents]] keeps
+   * the edge list FIXED and iterates labels over it, so a hub's whole
+   * neighbourhood re-shuffles every round and the per-round cost never
+   * shrinks. This algorithm rewrites the EDGE SET itself: large-star
+   * re-hangs every neighbour larger than the center onto the
+   * neighbourhood minimum, small-star re-hangs the smaller neighbours.
+   * Each round monotonically flattens the graph toward a forest of stars
+   * centered at component minima — hubs collapse, the shuffled bytes
+   * shrink round over round, and at the fixpoint the edges ARE the
+   * answer: (component-min, member). O(log² n) rounds worst case,
+   * O(log n) observed; per round three hash shuffles (two groupBy-min,
+   * one distinct), each over the current — shrinking — edge set.
+   *
+   * Prefer this over label propagation when the duplicate graph may hold
+   * high-degree hubs (boilerplate docs that near-match thousands of
+   * others); ComponentsSpec cross-checks the two on identical inputs.
+   * Same output contract as [[connectedComponents]]: (`id`, `component`),
+   * nodes appearing in at least one edge, component = min reachable id.
+   */
+  def connectedComponentsStars(edges: DataFrame, maxIter: Int = 30): DataFrame = {
+    require(maxIter >= 1, s"maxIter must be positive: $maxIter")
+    def materialize(df: DataFrame): DataFrame =
+      df.sparkSession.createDataFrame(df.rdd, df.schema).persist()
+    // cheap multiset fingerprint for the convergence check: the round is
+    // a fixpoint iff the (distinct, canonical) edge set stopped changing
+    // bit_xor (not sum): order-independent, collision-resistant enough
+    // over distinct 64-bit hashes, and cannot overflow under ANSI mode
+    def signature(ed: DataFrame): (Long, Long) = {
+      val r = ed.agg(count(lit(1)), coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L)))
+        .collect().head
+      (r.getLong(0), r.getLong(1))
+    }
+    // large-star(c): hang every neighbour n > c onto m = min(Γ(c) ∪ {c}).
+    // Each undirected edge is seen from both endpoints; only the smaller
+    // center emits it, so the output stays one row per edge pre-distinct.
+    // m ≤ c < n keeps the (u < v) canonical orientation for free.
+    def largeStar(ed: DataFrame): DataFrame = {
+      val sym = ed.select(col("u").as("c"), col("v").as("n"))
+        .union(ed.select(col("v").as("c"), col("u").as("n")))
+      val mins = sym.groupBy(col("c")).agg(min(col("n")).as("__mn"))
+        .select(col("c"), least(col("__mn"), col("c")).as("m"))
+      sym.join(mins, "c")
+        .filter(col("n") > col("c"))
+        .select(col("m").as("u"), col("n").as("v"))
+        .distinct()
+    }
+    // small-star(c): neighbours smaller than c (plus c itself) all hang
+    // onto their minimum. Directing every edge at its larger endpoint
+    // makes Γ⁻(c) exactly the incoming list — no symmetric doubling.
+    def smallStar(ed: DataFrame): DataFrame = {
+      val directed = ed.select(col("v").as("c"), col("u").as("n")) // n < c
+      val mins = directed.groupBy(col("c")).agg(min(col("n")).as("m"))
+      val j = directed.join(mins, "c")
+      j.filter(col("n") =!= col("m"))
+        .select(col("m").as("u"), col("n").as("v"))
+        .union(j.select(col("m").as("u"), col("c").as("v")))
+        .distinct()
+    }
+    var e = materialize(
+      edges.select(
+        least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct())
+    var sig = signature(e)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val next = materialize(smallStar(largeStar(e)))
+      val nsig = signature(next)
+      e.unpersist()
+      e = next
+      converged = nsig == sig
+      sig = nsig
+      iter += 1
+    }
+    // fixpoint edges are (component-min, member); minima label themselves
+    val labels = e.select(col("v").as("id"), col("u").as("component"))
+      .union(e.select(col("u").as("id"), col("u").as("component")))
+      .distinct()
+    labels
+  }
 }

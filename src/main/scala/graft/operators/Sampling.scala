@@ -111,6 +111,65 @@ object Sampling {
    * Keeps value v iff ceil-style: `den·cum(v) ≥ pLoNum·total` and
    * `den·cumBelow(v) ≤ pHiNum·total` with pLo = pLoNum/den, pHi = pHiNum/den.
    */
+  /**
+   * Deterministic uniform-without-replacement sample of k rows per
+   * group: order each group by `md5(seed # id)` — a content-free
+   * pseudo-random permutation both Spark and any SQL engine compute
+   * identically — and keep the first k. Same-seed re-runs return the
+   * same sample on any cluster size; changing the seed draws a fresh
+   * one.
+   *
+   * Scale shape: the rank filter sits directly above the window, so the
+   * plan uses WindowGroupLimit — each map task pre-trims its partition
+   * to k rows per group BEFORE the exchange, and only ≤ k·|groups| rows
+   * per task ever shuffle. No global sort, no full-group
+   * materialization.
+   */
+  def groupSample(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      k: Int,
+      seed: String = "42"): DataFrame = {
+    require(k >= 1, s"k must be positive: $k")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(md5(concat_ws("#", lit(seed), col(idCol))).asc, col(idCol).asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
+  /**
+   * Greedy selection under a per-group cost budget: order each group
+   * best-first (`orderCol` descending, id ascending as the
+   * deterministic tie-break) and keep rows while the running sum of
+   * `costCol` stays within `budget` — the "fill each domain's token
+   * budget with its best documents" step of pretraining-mixture
+   * assembly. Emits `cum_cost` (the running total INCLUDING the row) so
+   * callers can audit how full each budget ran.
+   *
+   * One hash exchange on the group key + per-group sort; the running
+   * sum is a frame-bounded window, no second pass. Greedy-prefix note:
+   * a row too big for the REMAINING budget blocks everything after it
+   * (prefix semantics, not knapsack) — that is the contract, matching
+   * how token budgets are actually filled (documents are not skipped
+   * and revisited).
+   */
+  def budgetSelect(
+      df: DataFrame,
+      groupCol: String,
+      orderCol: String,
+      costCol: String,
+      idCol: String,
+      budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(orderCol).desc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("cum_cost", sum(col(costCol)).over(w))
+      .filter(col("cum_cost") <= budget)
+  }
+
   def percentileBandFilter(
       df: DataFrame,
       valueCol: String,

@@ -108,6 +108,15 @@ object ExtensionQueries extends QueryFamily {
       .select(col("id"), col("cluster"))
       .orderBy(col("id"))
 
+  /** Same clustering with k-means|| seeding (O(rounds) corpus passes
+    * instead of k — the large-k scale path), rows-only + spec. */
+  def embedKmeansPar(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Clustering.kmeans(
+      Tables.embeddings(spark, dir), "vec_id", "embedding", k = 8, iters = 3,
+      init = "parallel")
+      .select(col("id"), col("cluster"))
+      .orderBy(col("id"))
+
   /** Int8 scalar quantization of the embedding table (float pipeline
     * with a fixed IEEE expression tree — oracle replays it exactly). */
   def embedQuantize(spark: SparkSession, dir: String): DataFrame =
@@ -345,6 +354,7 @@ object ExtensionQueries extends QueryFamily {
     "sim_topk_ivf" -> (simTopkIvf _),
     "sim_neardup" -> (simNearDup _),
     "embed_kmeans" -> (embedKmeans _),
+    "embed_kmeans_par" -> (embedKmeansPar _),
     "embed_quantize" -> (embedQuantize _),
     "text_quality" -> (textQuality _),
     "text_tokens_top" -> (textTokensTop _),

@@ -118,6 +118,39 @@ object PipelineQueries extends QueryFamily {
       .orderBy(col("source"), col("rnk"))
   }
 
+  /** Deterministic 5-per-source uniform sample (md5-permutation order —
+    * reproducible across runs and cluster sizes, fresh under a new seed). */
+  def sampleGroup(spark: SparkSession, dir: String): DataFrame =
+    Sampling.groupSample(Tables.documents(spark, dir), "source", "doc_id", k = 5)
+      .select(col("source"), col("doc_id"))
+      .orderBy(col("source"), col("doc_id"))
+
+  /** Fill each source's 2000-char budget best-first (longest docs first)
+    * — the per-domain token-budget step of mixture assembly. */
+  def mixTokenBudget(spark: SparkSession, dir: String): DataFrame =
+    Sampling.budgetSelect(Tables.documents(spark, dir),
+      groupCol = "source", orderCol = "n_chars", costCol = "n_chars",
+      idCol = "doc_id", budget = 2000L)
+      .select(col("source"), col("doc_id"), col("n_chars"), col("cum_cost"))
+      .orderBy(col("source"), col("doc_id"))
+
+  /** Snapshot diff between two derived corpus versions: v1 = docs with
+    * doc_id % 11 ≠ 3, v2 = docs with doc_id % 17 ≠ 5 and the text of
+    * every doc_id % 13 = 0 doc amended — so added / removed / changed
+    * are all non-empty and fully deterministic. */
+  def corpusDiff(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val v1 = docs.filter(col("doc_id") % 11 =!= 3)
+      .select(col("doc_id"), col("text"))
+    val v2 = docs.filter(col("doc_id") % 17 =!= 5)
+      .select(col("doc_id"),
+        when(col("doc_id") % 13 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+    graft.operators.Corpus.snapshotDiff(v1, v2, "doc_id", "text")
+      .select(col("id").as("doc_id"), col("status"))
+      .orderBy(col("doc_id"))
+  }
+
   // --- duplicate clustering ---
 
   /** Connected-components duplicate clustering: pairwise "same (lang,
@@ -143,6 +176,25 @@ object PipelineQueries extends QueryFamily {
       .orderBy(col("doc_id"))
   }
 
+  /** Same duplicate-clustering contract as [[dedupGroupsCc]], computed by
+    * the edge-rewriting large-star/small-star algorithm — the variant a
+    * hub-heavy duplicate graph (boilerplate matching thousands of docs)
+    * needs at 100 TB. Same chain edges in, same closure oracle. */
+  def dedupGroupsCcStars(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"))
+    val w = Window.partitionBy(col("lang"), col("source")).orderBy(col("doc_id"))
+    val edges = docs
+      .withColumn("__prev", lag(col("doc_id"), 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .select(col("__prev").as("src"), col("doc_id").as("dst"))
+    val comps = Components.connectedComponentsStars(edges)
+    docs.join(comps, docs("doc_id") === comps("id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("component"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "sample_stratified" -> (sampleStratified _),
     "mix_rebalance" -> (mixRebalance _),
@@ -156,7 +208,11 @@ object PipelineQueries extends QueryFamily {
     "sample_topk_quality" -> (sampleTopkQuality _),
     "dedup_substring_pairs" -> (dedupSubstringPairs _),
     "boilerplate_ngrams" -> (boilerplateNgrams _),
-    "dedup_groups_cc" -> (dedupGroupsCc _))
+    "sample_group" -> (sampleGroup _),
+    "mix_token_budget" -> (mixTokenBudget _),
+    "corpus_diff" -> (corpusDiff _),
+    "dedup_groups_cc" -> (dedupGroupsCc _),
+    "dedup_groups_cc_stars" -> (dedupGroupsCcStars _))
 
   /** Tokens-with-position CTE shared by the n-gram oracles — the zipped
     * double-unnest mirrors Spark's posexplode positions 1-based. */
@@ -287,7 +343,36 @@ object PipelineQueries extends QueryFamily {
         |WHERE rnk <= 5 ORDER BY source, rnk""".stripMargin,
     // closure of the chain edges = the (lang, source) group, so the
     // oracle states the POST-closure truth the iteration must reach
+    "sample_group" ->
+      """SELECT source, doc_id FROM (
+        |  SELECT source, doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY MD5('42#' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 5 ORDER BY source, doc_id""".stripMargin,
+    "mix_token_budget" ->
+      """SELECT source, doc_id, n_chars, cum_cost FROM (
+        |  SELECT source, doc_id, n_chars,
+        |    CAST(SUM(n_chars) OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cost
+        |  FROM documents)
+        |WHERE cum_cost <= 2000 ORDER BY source, doc_id""".stripMargin,
+    "corpus_diff" ->
+      """WITH v1 AS (SELECT doc_id, text FROM documents WHERE doc_id % 11 != 3),
+        |v2 AS (SELECT doc_id,
+        |         CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END AS text
+        |       FROM documents WHERE doc_id % 17 != 5),
+        |d AS (SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+        |        CASE WHEN o.doc_id IS NULL THEN 'added'
+        |             WHEN n.doc_id IS NULL THEN 'removed'
+        |             WHEN o.text != n.text THEN 'changed' END AS status
+        |      FROM v1 o FULL OUTER JOIN v2 n ON o.doc_id = n.doc_id)
+        |SELECT doc_id, status FROM d WHERE status IS NOT NULL ORDER BY doc_id""".stripMargin,
     "dedup_groups_cc" ->
+      """SELECT doc_id, MIN(doc_id) OVER (PARTITION BY lang, source) AS component
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "dedup_groups_cc_stars" ->
       """SELECT doc_id, MIN(doc_id) OVER (PARTITION BY lang, source) AS component
         |FROM documents ORDER BY doc_id""".stripMargin)
 }

@@ -44,6 +44,30 @@ class ClusteringSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("kmeans|| init recovers planted clusters and is reproducible") {
+    val run = () => Clustering.kmeans(planted, "vec_id", "embedding",
+      k = 3, iters = 5, init = "parallel")
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    val out = run()
+    assert(out.length == 60)
+    val byGroup = out.groupBy(_._1 / 100).view.mapValues(_.map(_._2).toSet).toMap
+    byGroup.foreach { case (g, cs) =>
+      assert(cs.size == 1, s"planted group $g split across clusters $cs")
+    }
+    assert(byGroup.values.flatten.toSet.size == 3, s"clusters collapsed: $byGroup")
+    assert(out.forall(_._3 < 5.0), "point far from its centroid")
+    assert(run() == out, "parallel init not reproducible")
+  }
+
+  test("kmeans|| init seeds at most the distinct-point count") {
+    val tiny = Seq(
+      (1L, Seq(0f, 0f)), (2L, Seq(0f, 0f)), (3L, Seq(5f, 5f))
+    ).toDF("vec_id", "embedding")
+    val seeds = Clustering.kmeansParInit(tiny, "vec_id", "embedding", k = 5)
+    assert(seeds.length == 2, s"expected the 2 distinct points, got $seeds")
+    assert(seeds.toSet == Set(Seq(0f, 0f), Seq(5f, 5f)))
+  }
+
   test("kmeans with k larger than distinct points keeps empty clusters stable") {
     val tiny = Seq(
       (1L, Seq(0f, 0f)), (2L, Seq(0f, 0f)), (3L, Seq(5f, 5f))

@@ -40,4 +40,42 @@ class ComponentsSpec extends SparkSpec {
     val got = cc(Seq((3L, 7L), (7L, 3L), (3L, 7L), (7L, 12L)))
     assert(got == Map(3L -> 3L, 7L -> 3L, 12L -> 3L))
   }
+
+  // --- large-star / small-star variant ---
+
+  private def ccStars(edges: Seq[(Long, Long)], maxIter: Int = 30): Map[Long, Long] =
+    Components.connectedComponentsStars(edges.toDF("src", "dst"), maxIter)
+      .as[(Long, Long)].collect().toMap
+
+  test("stars: chain, pair, hub, local-minimum trap") {
+    assert(ccStars(Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))) ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+    assert(ccStars(Seq((2L, 5L), (5L, 1L))) == Map(1L -> 1L, 2L -> 1L, 5L -> 1L))
+    val hub = ccStars(Seq((10L, 11L), (10L, 12L), (10L, 13L), (10L, 9L)))
+    assert(hub.values.toSet == Set(9L) && hub.keySet == Set(9L, 10L, 11L, 12L, 13L))
+  }
+
+  test("stars: 64-node chain converges within the round budget") {
+    val edges = (1L until 64L).map(i => (i, i + 1))
+    val got = ccStars(edges, maxIter = 15)
+    assert(got.size == 64 && got.values.forall(_ == 1L))
+  }
+
+  test("stars and label propagation agree on random graphs") {
+    // deterministic LCG so the graphs are reproducible; sparse enough to
+    // have many components, dense enough for hubs and transitive chains
+    var s = 42L
+    def nxt(): Long = { s = s * 6364136223846793005L + 1442695040888963407L; s }
+    for (trial <- 1 to 3) {
+      val n = 60 + trial * 20
+      val edges = (1 to (n * 3 / 2)).map { _ =>
+        val a = math.floorMod(nxt(), n.toLong)
+        val b = math.floorMod(nxt(), n.toLong)
+        (a, b)
+      }.filter { case (a, b) => a != b }
+      val viaStars = ccStars(edges)
+      val viaLabels = cc(edges)
+      assert(viaStars == viaLabels, s"trial $trial diverged")
+    }
+  }
 }

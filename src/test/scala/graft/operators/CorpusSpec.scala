@@ -92,6 +92,16 @@ class CorpusSpec extends SparkSpec {
     assert(concat == expected)
   }
 
+  test("snapshotDiff: added/removed/changed classified, unchanged dropped") {
+    val v1 = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("doc_id", "text")
+    val v2 = Seq((2L, "beta"), (3L, "gamma EDITED"), (4L, "delta")).toDF("doc_id", "text")
+    val got = Corpus.snapshotDiff(v1, v2, "doc_id", "text")
+      .as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "removed"), (3L, "changed"), (4L, "added")))
+    // identical snapshots → empty diff
+    assert(Corpus.snapshotDiff(v1, v1, "doc_id", "text").isEmpty)
+  }
+
   test("redactPii: planted emails and phones are tagged and counted") {
     val df = Seq(
       (1L, "contact alice@example.com or bob.smith@corp.co.uk today"),

@@ -80,4 +80,37 @@ class SamplingSpec extends SparkSpec {
     val again = Sampling.rebalanceToSmallest(docs, "lang", "doc_id")
     assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
   }
+
+  test("groupSample: exactly k per group, reproducible, seed-sensitive, WindowGroupLimit plan") {
+    val full = spark.read.parquet(s"$sfDir/documents.parquet")
+    val out = Sampling.groupSample(full, "source", "doc_id", k = 5)
+    val counts = out.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(counts.values.forall(_ == 5L), s"not 5 per source: $counts")
+    val again = Sampling.groupSample(full, "source", "doc_id", k = 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out.select("doc_id").as[Long].collect().toSet == again)
+    val other = Sampling.groupSample(full, "source", "doc_id", k = 5, seed = "7")
+      .select("doc_id").as[Long].collect().toSet
+    assert(again != other, "different seed must draw a different sample")
+    // nested property of k: the 3-sample is a strict subset of the 5-sample
+    val three = Sampling.groupSample(full, "source", "doc_id", k = 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(three.subsetOf(again))
+    // rank pushdown: map tasks trim per-group rows BEFORE the exchange
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$plan")
+  }
+
+  test("budgetSelect: best-first prefix per group within the budget") {
+    val rows = Seq(
+      ("a", 1L, 100L), ("a", 2L, 900L), ("a", 3L, 600L), ("a", 4L, 500L),
+      ("b", 5L, 2000L), ("b", 6L, 1L)
+    ).toDF("g", "id", "cost")
+    val out = Sampling.budgetSelect(rows, "g", "cost", "cost", "id", budget = 1500L)
+      .select("g", "id", "cum_cost").as[(String, Long, Long)].collect().toSet
+    // a: order 900, 600, 500, 100 → cum 900, 1500, 2000✗ (500 blocks 100
+    // even though 100 would fit — prefix semantics, not knapsack)
+    // b: 2000 overflows immediately and blocks the 1-char doc behind it
+    assert(out == Set(("a", 2L, 900L), ("a", 3L, 1500L)))
+  }
 }
