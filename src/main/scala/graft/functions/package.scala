@@ -85,4 +85,9 @@ package object functions {
     * per partition, unlike the shuffle-everything window-rank pattern). */
   def topk_doubles(c: Column, k: Int): Column =
     col(TopKDoubles(expr(c), k).toAggregateExpression())
+
+  /** Probe a string column against a pre-built Bloom filter (row-local,
+    * codegen'd; `false` definitive, `true` at the filter's FPP). */
+  def bloom_might_contain(c: Column, bloom: org.apache.spark.util.sketch.BloomFilter): Column =
+    col(BloomMightContain(expr(c), bloom))
 }

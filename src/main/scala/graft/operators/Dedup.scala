@@ -91,6 +91,71 @@ object Dedup {
     incoming.join(existingDigests.select(col("digest")).distinct(),
       md5(col(textCol)) === col("digest"), "left_anti")
 
+  /** (id, band, bh) LSH band keys of each document — the shared kernel
+    * of the band index and incremental admission below. */
+  private def bandKeys(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      numHashes: Int,
+      bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    df.select(col(idCol).as("id"),
+      minhash_text(col(textCol), w = 3, k = numHashes).as("sig"))
+      .select(col("id"), explode(expr(
+        s"transform(sequence(0, ${bands - 1}), " +
+          s"b -> named_struct('band', b, 'bh', xxhash64(slice(sig, b * $rowsPerBand + 1, $rowsPerBand))))"))
+        .as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+  }
+
+  /**
+   * LSH band index of an existing corpus: the distinct (band, bucket
+   * hash) keys its documents occupy — 12 bytes per entry, ≤ `bands`
+   * entries per doc. This is what a corpus build PERSISTS so later
+   * ingest batches can be near-dup-screened without touching corpus
+   * text ([[admitNewNearDup]]); at 100 TB the index is bucketed on
+   * (band, bh) so admission joins co-locate exchange-free.
+   */
+  def buildBandIndex(
+      df: DataFrame,
+      textCol: String,
+      numHashes: Int = 64,
+      bands: Int = 32): DataFrame =
+    // the synthetic id never reaches the output — only (band, bh) does,
+    // and those are pure functions of the text
+    bandKeys(df.withColumn("__bid", monotonically_increasing_id()),
+      textCol, "__bid", numHashes, bands)
+      .select(col("band"), col("bh")).distinct()
+
+  /**
+   * Incremental NEAR-duplicate admission — [[admitNew]]'s recall-raised
+   * sibling for the nightly-ingest path: an incoming doc is dropped if
+   * ANY of its minhash band buckets already exists in the corpus's
+   * [[buildBandIndex]] output, i.e. if the full-corpus LSH would have
+   * made it a candidate pair with some existing doc. Same collision
+   * probability curve as [[minhashPairs]] at equal (numHashes, bands);
+   * the default 32×2 banding is tuned for recall (admission screens
+   * want few missed dups, and a false rejection only costs one doc).
+   *
+   * Scale shape: incoming ships (id, band, bh) — never text — into a
+   * left-semi join against the index; survivors anti-join back by id.
+   * Both joins key on small fixed-width columns.
+   */
+  def admitNewNearDup(
+      incoming: DataFrame,
+      textCol: String,
+      idCol: String,
+      bandIndex: DataFrame,
+      numHashes: Int = 64,
+      bands: Int = 32): DataFrame = {
+    val hits = bandKeys(incoming, textCol, idCol, numHashes, bands)
+      .join(bandIndex.select(col("band"), col("bh")), Seq("band", "bh"), "left_semi")
+      .select(col("id")).distinct()
+    incoming.join(hits, incoming(idCol) === hits("id"), "left_anti")
+  }
+
   /** Exact content dedup via 64-bit fingerprint (case/space-folded) —
     * the scale path: groups by a long, never shuffles document text. */
   def exactByFingerprint(df: DataFrame, textCol: String, idCol: String): DataFrame = {

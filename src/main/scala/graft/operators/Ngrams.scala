@@ -88,6 +88,47 @@ object Ngrams {
   }
 
   /**
+   * Bloom-filter decontamination — the 100 TB shape of
+   * [[decontaminate]]. The exact variant broadcasts the benchmark's
+   * distinct n-gram SET for the semi join; at production benchmark
+   * sizes (tens of millions of grams × tens of bytes) that broadcast
+   * runs to gigabytes per executor. This variant compresses the
+   * benchmark side into a Bloom filter (~1.2 bytes per gram at 1% FPP,
+   * ~2 at 0.1%): build it with `DataFrame.stat.bloomFilter` over the
+   * benchmark grams (bounded model state, the same contract as the IVF
+   * coarse quantizer), then probe row-locally on the corpus side with
+   * the codegen'd [[graft.functions.BloomMightContain]] — the corpus
+   * plan contains NO join at all, just a filter above the scan.
+   *
+   * Error is one-sided in the safe direction: a truly shared n-gram is
+   * NEVER missed (every exactly-contaminated doc is flagged, with
+   * `n_hits` ≥ the exact count), while a clean doc may be flagged
+   * spuriously at ≈ 1-(1-fpp)^grams — production pipelines accept the
+   * over-removal, or re-check the (tiny) flagged set with the exact
+   * join.
+   */
+  def decontaminateBloom(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      benchmarkPred: Column,
+      n: Int = 3,
+      fpp: Double = 0.001): DataFrame = {
+    require(fpp > 0.0 && fpp < 1.0, s"fpp must be in (0,1): $fpp")
+    val bench = wordNgrams(df.filter(benchmarkPred), idCol, textCol, n)
+      .filter(col("ngram").isNotNull)
+      .select(col("ngram")).distinct()
+    // sizing pass on the (small) benchmark side only; never the corpus
+    val nGrams = math.max(bench.count(), 1L)
+    val bloom = bench.stat.bloomFilter("ngram", nGrams, fpp)
+    wordNgrams(df.filter(!benchmarkPred), idCol, textCol, n)
+      .filter(col("ngram").isNotNull &&
+        graft.functions.bloom_might_contain(col("ngram"), bloom))
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("ngram")).as("n_hits"))
+  }
+
+  /**
    * Substring-duplication candidate pairs (the candidate stage of
    * exact-substring dedup à la "Deduplicating Training Data Makes
    * Language Models Better"): documents sharing ≥1 word n-gram, with the
@@ -122,6 +163,59 @@ object Ngrams {
       .groupBy(col("id_a"), col("id_b"))
       .agg(countDistinct(col("ngram")).as("n_shared"))
       .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /**
+   * Exact-substring verification — the stage after [[substringPairs]]:
+   * the LONGEST shared token run per document pair, certified exactly.
+   * Each shared n-gram occurrence at positions (pa, pb) lies on the
+   * diagonal pa − pb; consecutive pa values on one diagonal form an
+   * island, and an island of R grams proves a common substring of
+   * R + n − 1 tokens (the grams overlap by n − 1). Classic
+   * gaps-and-islands — `pa − row_number()` is constant exactly within a
+   * consecutive run — so the whole verification is windows + aggregates,
+   * no per-pair string alignment.
+   *
+   * Scale shape: the occurrence join shuffles on the gram (with the
+   * oversized-gram guard capping ubiquitous grams), then the island
+   * window and both aggregates all share the (id_a, id_b[, diag])
+   * prefix, so EnsureRequirements plans ONE pair-keyed exchange for the
+   * three of them. At production n (15–50) the join side shrinks
+   * drastically; n = 4 keeps the fixture non-trivial.
+   */
+  def substringRuns(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      minTokens: Int,
+      maxDocsPerGram: Int = 1000): DataFrame = {
+    require(minTokens >= n, s"minTokens ($minTokens) must be >= n ($n)")
+    val occ = wordNgrams(df, idCol, textCol, n)
+      .filter(col("ngram").isNotNull)
+      .select(col(idCol).as("id"), col("pos"), col("ngram"))
+    val wG = Window.partitionBy(col("ngram"))
+    val guarded = occ
+      .withColumn("__gn", count(lit(1)).over(wG))
+      .filter(col("__gn") <= maxDocsPerGram)
+      .drop("__gn")
+    val joined = guarded
+      .select(col("ngram"), col("id").as("id_a"), col("pos").as("pa"))
+      .join(guarded.select(col("ngram"), col("id").as("id_b"), col("pos").as("pb")),
+        Seq("ngram"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("diag", col("pa") - col("pb"))
+    // within one (pair, diag) each pa appears once (pb is determined),
+    // so no occurrence dedup is needed before the island window
+    val wD = Window.partitionBy(col("id_a"), col("id_b"), col("diag"))
+      .orderBy(col("pa"))
+    joined
+      .withColumn("__island", col("pa") - row_number().over(wD))
+      .groupBy(col("id_a"), col("id_b"), col("diag"), col("__island"))
+      .agg(count(lit(1)).as("__run"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg((max(col("__run")) + lit(n - 1)).as("max_run_tokens"))
+      .filter(col("max_run_tokens") >= minTokens)
   }
 
   /**

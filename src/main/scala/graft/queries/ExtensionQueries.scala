@@ -60,6 +60,19 @@ object ExtensionQueries extends QueryFamily {
       .orderBy(col("doc_id"))
   }
 
+  /** Incremental NEAR-dup ingest: the even-id corpus publishes its LSH
+    * band index; odd-id incoming docs are admitted only if none of
+    * their band buckets collide with it. Rows-only (LSH collision sets
+    * aren't SQL-expressible) + DedupSpec planted-near-dup coverage. */
+  def corpusIncrementNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val index = Dedup.buildBandIndex(docs.filter(col("doc_id") % 2 === 0), "text")
+    Dedup.admitNewNearDup(
+      docs.filter(col("doc_id") % 2 === 1), "text", "doc_id", index)
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Cluster-level near-dup removal (CC over the candidate-pair graph —
     * transitive chains collapse to one survivor). Rows-only + spec, like
     * the rest of the minhash family. */
@@ -144,6 +157,14 @@ object ExtensionQueries extends QueryFamily {
     TextAnalysis.langId(Tables.documents(spark, dir), "text")
       .select(col("doc_id"), col("lang"), col("pred_lang"))
       .orderBy(col("doc_id"))
+
+  /** Language-ID confusion matrix against the table's labeled `lang` —
+    * the accuracy telemetry a curation run reports per build. */
+  def langConfusion(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.langId(Tables.documents(spark, dir), "text")
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"), col("pred_lang"))
 
   /** Token counting: whitespace tokens + BPE-ish subword estimate
     * (alphanumeric runs + punctuation marks each count once). */
@@ -349,6 +370,7 @@ object ExtensionQueries extends QueryFamily {
     "dedup_minhash_keep" -> (dedupMinhashKeep _),
     "dedup_minhash_cc" -> (dedupMinhashCc _),
     "corpus_increment" -> (corpusIncrement _),
+    "corpus_increment_neardup" -> (corpusIncrementNearDup _),
     "sim_topk_brute" -> (simTopkBrute _),
     "sim_topk_lsh" -> (simTopkLsh _),
     "sim_topk_ivf" -> (simTopkIvf _),
@@ -359,6 +381,7 @@ object ExtensionQueries extends QueryFamily {
     "text_quality" -> (textQuality _),
     "text_tokens_top" -> (textTokensTop _),
     "text_langid" -> (textLangId _),
+    "lang_confusion" -> (langConfusion _),
     "text_token_count" -> (textTokenCount _),
     "text_fingerprint" -> (textFingerprint _),
     "multimodal_meta" -> (multimodalMeta _),
@@ -389,6 +412,26 @@ object ExtensionQueries extends QueryFamily {
       |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
       |) r ON l.user_id = r.user_id AND l.ts >= r.ts
       |ORDER BY l.user_id, l.event_id""".stripMargin
+
+  /** Shared langId projection SQL — generated from the SAME marker table
+    * the Spark operator uses, so the two can't drift; ties pick the
+    * alphabetically-first language, matching TextAnalysis.langId's
+    * negrank tie-break. Shared by text_langid and lang_confusion. */
+  private lazy val langPredSql: String = {
+    val langs = graft.operators.TextAnalysis.langMarkers.toSeq.sortBy(_._1)
+    val tokCol =
+      """LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '[^\p{L}0-9]+'), x -> LEN(x) > 0)"""
+    val hitCols = langs.map { case (l, ms) =>
+      s"LEN(LIST_FILTER($tokCol, x -> x IN (${ms.map(m => s"'$m'").mkString(", ")}))) AS h_$l"
+    }.mkString(",\n  ")
+    val maxExpr = s"GREATEST(${langs.map(l => s"h_${l._1}").mkString(", ")})"
+    val pick = langs.map { case (l, _) => s"WHEN h_$l = $maxExpr THEN '$l'" }.mkString(" ")
+    s"""SELECT doc_id, lang,
+       |  CASE WHEN $maxExpr <= 0 THEN 'und' $pick END AS pred_lang
+       |FROM (SELECT doc_id, lang, text,
+       |  $hitCols
+       |  FROM documents)""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
@@ -444,25 +487,11 @@ object ExtensionQueries extends QueryFamily {
       s"""SELECT token, COUNT(1) AS n FROM (
          |  SELECT UNNEST($tokensSql) AS token FROM documents
          |) GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
-    "text_langid" -> {
-      // generated from the SAME marker table the Spark operator uses, so
-      // the two can't drift; ties pick the alphabetically-first language,
-      // matching TextAnalysis.langId's negrank tie-break
-      val langs = graft.operators.TextAnalysis.langMarkers.toSeq.sortBy(_._1)
-      val tokCol =
-        """LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '[^\p{L}0-9]+'), x -> LEN(x) > 0)"""
-      val hitCols = langs.map { case (l, ms) =>
-        s"LEN(LIST_FILTER($tokCol, x -> x IN (${ms.map(m => s"'$m'").mkString(", ")}))) AS h_$l"
-      }.mkString(",\n  ")
-      val maxExpr = s"GREATEST(${langs.map(l => s"h_${l._1}").mkString(", ")})"
-      val pick = langs.map { case (l, _) => s"WHEN h_$l = $maxExpr THEN '$l'" }.mkString(" ")
-      s"""SELECT doc_id, lang,
-         |  CASE WHEN $maxExpr <= 0 THEN 'und' $pick END AS pred_lang
-         |FROM (SELECT doc_id, lang, text,
-         |  $hitCols
-         |  FROM documents)
-         |ORDER BY doc_id""".stripMargin
-    },
+    "text_langid" -> s"$langPredSql\nORDER BY doc_id",
+    "lang_confusion" ->
+      s"""SELECT lang, pred_lang, COUNT(*) AS n_docs
+         |FROM ($langPredSql)
+         |GROUP BY lang, pred_lang ORDER BY lang, pred_lang""".stripMargin,
     "text_token_count" ->
       s"""SELECT doc_id,
          |  CAST(LEN(LIST_FILTER(STRING_SPLIT_REGEX(text, '\\s+'), x -> LEN(x) > 0)) AS BIGINT) AS ws_tokens,

@@ -47,6 +47,16 @@ object PipelineQueries extends QueryFamily {
       benchmarkPred = col("doc_id") % 97 === 0, n = 3)
       .orderBy(col("doc_id"))
 
+  /** Bloom-filter decontamination (the no-join 100 TB scale path; see
+    * the operator doc). Rows-only: false positives are part of the
+    * contract, so no SQL oracle can replay it — NgramsSpec pins the
+    * superset-of-exact and determinism properties instead. */
+  def decontaminateBloom(spark: SparkSession, dir: String): DataFrame =
+    Ngrams.decontaminateBloom(
+      Tables.documents(spark, dir), "doc_id", "text",
+      benchmarkPred = col("doc_id") % 97 === 0, n = 3)
+      .orderBy(col("doc_id"))
+
   /** Gopher-style repetition rule inputs: top-bigram count and total
     * bigram count per doc (integer-exact; callers threshold the ratio). */
   def qualityRepetition(spark: SparkSession, dir: String): DataFrame =
@@ -57,6 +67,14 @@ object PipelineQueries extends QueryFamily {
     * candidate stage of exact-substring dedup; production n is 15–50). */
   def dedupSubstringPairs(spark: SparkSession, dir: String): DataFrame =
     Ngrams.substringPairs(Tables.documents(spark, dir), "doc_id", "text", n = 4)
+
+  /** Exact-substring verify: longest certified shared token run per
+    * pair (≥5 tokens) — the stage that turns substring CANDIDATES into
+    * proven copied spans. */
+  def dedupSubstringVerify(spark: SparkSession, dir: String): DataFrame =
+    Ngrams.substringRuns(Tables.documents(spark, dir), "doc_id", "text",
+      n = 4, minTokens = 5)
+      .orderBy(col("id_a"), col("id_b"))
 
   /** Boilerplate bigrams: grams in ≥10% (and ≥3) of a language's docs. */
   def boilerplateNgrams(spark: SparkSession, dir: String): DataFrame =
@@ -99,6 +117,17 @@ object PipelineQueries extends QueryFamily {
       .select(col("doc_id"),
         md5(TextAnalysis.normalize(col("text"))).as("norm_digest"))
       .orderBy(col("doc_id"))
+
+  /** Token-count histogram in fixed 16-token buckets (the length-shape
+    * telemetry of a corpus build; `div` keeps both engines integer-exact). */
+  def corpusTokenHist(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("__nt", size(graft.operators.Dedup.tokens(col("text"))).cast("long"))
+      .groupBy(expr("__nt div 16").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("__nt")).as("min_tokens"),
+        max(col("__nt")).as("max_tokens"))
+      .orderBy(col("bucket"))
 
   /** Vocabulary Zipf histogram: log2-bucketed term frequencies. */
   def vocabZipf(spark: SparkSession, dir: String): DataFrame =
@@ -199,14 +228,17 @@ object PipelineQueries extends QueryFamily {
     "sample_stratified" -> (sampleStratified _),
     "mix_rebalance" -> (mixRebalance _),
     "decontaminate" -> (decontaminate _),
+    "decontaminate_bloom" -> (decontaminateBloom _),
     "quality_repetition" -> (qualityRepetition _),
     "text_tfidf_top" -> (textTfidfTop _),
     "quality_length_band" -> (qualityLengthBand _),
     "source_stats" -> (sourceStats _),
     "text_normalize" -> (textNormalize _),
     "vocab_zipf" -> (vocabZipf _),
+    "corpus_token_hist" -> (corpusTokenHist _),
     "sample_topk_quality" -> (sampleTopkQuality _),
     "dedup_substring_pairs" -> (dedupSubstringPairs _),
+    "dedup_substring_verify" -> (dedupSubstringVerify _),
     "boilerplate_ngrams" -> (boilerplateNgrams _),
     "sample_group" -> (sampleGroup _),
     "mix_token_budget" -> (mixTokenBudget _),
@@ -294,6 +326,14 @@ object PipelineQueries extends QueryFamily {
       """SELECT doc_id,
         |  MD5(TRIM(REGEXP_REPLACE(LOWER(text), '[^a-z0-9]+', ' ', 'g'))) AS norm_digest
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "corpus_token_hist" ->
+      """WITH t AS (
+        |  SELECT CAST(LEN(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |    x -> len(x) > 0)) AS BIGINT) AS nt
+        |  FROM documents)
+        |SELECT nt // 16 AS bucket, COUNT(*) AS n_docs,
+        |  MIN(nt) AS min_tokens, MAX(nt) AS max_tokens
+        |FROM t GROUP BY 1 ORDER BY bucket""".stripMargin,
     "vocab_zipf" ->
       """WITH tf AS (
         |  SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)) AS tok
@@ -318,6 +358,32 @@ object PipelineQueries extends QueryFamily {
          |  COUNT(DISTINCT a.ngram) AS n_shared
          |FROM dg a JOIN dg b ON a.ngram = b.ngram AND a.doc_id < b.doc_id
          |GROUP BY a.doc_id, b.doc_id ORDER BY id_a, id_b""".stripMargin,
+    "dedup_substring_verify" ->
+      s"""WITH $toksCte,
+         |ng AS (
+         |  SELECT doc_id, pos,
+         |    tok || ' ' || LEAD(tok, 1) OVER w || ' ' || LEAD(tok, 2) OVER w
+         |        || ' ' || LEAD(tok, 3) OVER w AS ngram
+         |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+         |oc0 AS (SELECT doc_id, pos, ngram FROM ng WHERE ngram IS NOT NULL),
+         |-- occurrence-level oversized-gram guard, mirroring the operator
+         |oc AS (SELECT doc_id, pos, ngram FROM oc0
+         |       QUALIFY COUNT(*) OVER (PARTITION BY ngram) <= 1000),
+         |-- shared occurrences on the diagonal pa - pb; consecutive pa on
+         |-- one diagonal = one certified run (gaps-and-islands)
+         |j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pa,
+         |        a.pos - b.pos AS diag
+         |      FROM oc a JOIN oc b ON a.ngram = b.ngram AND a.doc_id < b.doc_id),
+         |isl AS (SELECT id_a, id_b, diag, pa,
+         |          pa - ROW_NUMBER() OVER (PARTITION BY id_a, id_b, diag
+         |                                  ORDER BY pa) AS island
+         |        FROM j),
+         |runs AS (SELECT id_a, id_b, COUNT(*) AS run
+         |         FROM isl GROUP BY id_a, id_b, diag, island)
+         |SELECT id_a, id_b, CAST(MAX(run) + 3 AS BIGINT) AS max_run_tokens
+         |FROM runs GROUP BY id_a, id_b
+         |HAVING MAX(run) + 3 >= 5
+         |ORDER BY id_a, id_b""".stripMargin,
     "boilerplate_ngrams" ->
       """WITH toks AS (
         |  SELECT doc_id, lang,

@@ -62,6 +62,28 @@ class DedupSpec extends SparkSpec {
     assert(admitted.toSeq == Seq(201L, 203L))
   }
 
+  test("admitNewNearDup: near-dups of indexed docs rejected, novel docs admitted") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "entirely different content about distributed query engines and planning")
+    ).toDF("doc_id", "text")
+    val index = Dedup.buildBandIndex(corpus, "text")
+    val incoming = Seq(
+      // near-dup of doc 1: one word changed — shares almost all shingles
+      (10L, "the quick brown fox leaps over the lazy dog again and again today"),
+      // exact dup of doc 2
+      (11L, "entirely different content about distributed query engines and planning"),
+      // genuinely novel
+      (12L, "completely unrelated musings on sourdough hydration ratios and ovens")
+    ).toDF("doc_id", "text")
+    val admitted = Dedup.admitNewNearDup(incoming, "text", "doc_id", index)
+      .select("doc_id").as[Long].collect().sorted
+    assert(admitted.toSeq == Seq(12L), s"got ${admitted.toSeq}")
+    // index build is deterministic (pure function of the text)
+    val again = Dedup.buildBandIndex(corpus, "text")
+    assert(index.exceptAll(again).isEmpty && again.exceptAll(index).isEmpty)
+  }
+
   test("minhashDedupCc collapses hub-linked clusters that pairwise dropping keeps") {
     // hub doc 5 is half doc-1 content, half doc-2 content: 5~1 and 5~2
     // qualify at the low threshold but 1~2 share nothing. Pairwise

@@ -31,6 +31,25 @@ class NgramsSpec extends SparkSpec {
       s"expected only doc 1 flagged with 2 shared 3-grams, got $out")
   }
 
+  test("decontaminateBloom: superset of exact hits, per-doc counts never below exact") {
+    // fixture-scale check: no false negatives (guaranteed), few extras
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val pred = col("doc_id") % 97 === 0
+    val exact = Ngrams.decontaminate(docs, "doc_id", "text", pred, n = 3)
+      .as[(Long, Long)].collect().toMap
+    val bloom = Ngrams.decontaminateBloom(docs, "doc_id", "text", pred, n = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(exact.keySet.subsetOf(bloom.keySet),
+      s"bloom missed exactly-contaminated docs: ${exact.keySet -- bloom.keySet}")
+    exact.foreach { case (id, hits) =>
+      assert(bloom(id) >= hits, s"doc $id: bloom ${bloom(id)} < exact $hits")
+    }
+    // deterministic: same build, same flags
+    val again = Ngrams.decontaminateBloom(docs, "doc_id", "text", pred, n = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(again == bloom)
+  }
+
   test("repetitionStats: repeated bigram dominates the count") {
     val df = Seq(
       (1L, "spam spam spam spam eggs"),   // bigram "spam spam" ×3, 4 bigrams total
@@ -58,6 +77,24 @@ class NgramsSpec extends SparkSpec {
     val capped = Ngrams.substringPairs(many, "doc_id", "text", n = 4, maxDocsPerGram = 5)
       .as[(Long, Long, Long)].collect()
     assert(capped.isEmpty, s"oversized gram group must be guarded out: ${capped.toSeq}")
+  }
+
+  test("substringRuns: certifies the longest shared token run, prunes below minTokens") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      // shares the 6-token run "beta gamma delta epsilon zeta eta" with 1
+      (2L, "XX beta gamma delta epsilon zeta eta YY"),
+      // shares only the 4-token run "alpha beta gamma delta" with 1 — below minTokens=5
+      (3L, "alpha beta gamma delta QQ RR SS TT"),
+      (4L, "totally different content with no overlap at all whatsoever")
+    ).toDF("doc_id", "text")
+    val out = Ngrams.substringRuns(df, "doc_id", "text", n = 4, minTokens = 5)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set((1L, 2L, 6L)), s"got $out")
+    // at minTokens=4 the (1,3) pair appears with its exact 4-token run
+    val loose = Ngrams.substringRuns(df, "doc_id", "text", n = 4, minTokens = 4)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(loose == Set((1L, 2L, 6L), (1L, 3L, 4L)), s"got $loose")
   }
 
   test("boilerplateNgrams: grams above the group-fraction threshold only") {

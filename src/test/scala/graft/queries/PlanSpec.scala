@@ -130,4 +130,12 @@ class PlanSpec extends SparkSpec {
     // partial-final pair: two HashAggregates with one Exchange between
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
+
+  test("decontaminate_bloom keeps the corpus side join-free (filter-only probe)") {
+    val p = plan("decontaminate_bloom")
+    // the benchmark set travels inside the bloom expression, not a join:
+    // the only plan nodes are scan → filter → window grams → aggregate
+    assert(!p.contains("Join"), s"bloom variant must not plan any join:\n$p")
+    assert(p.contains("bloom_might_contain"), p)
+  }
 }
