@@ -33,8 +33,9 @@ import graft.functions.l2_distance
  */
 object Clustering {
 
-  /** Argmin cluster index by L2 distance; ties take the lowest index. */
-  private def assignCol(vec: Column, centsCol: Column, k: Int): Column =
+  /** Argmin cluster index by L2 distance; ties take the lowest index.
+    * (Shared with [[Quantize.productQuantize]]'s per-subspace encoder.) */
+  private[operators] def assignCol(vec: Column, centsCol: Column, k: Int): Column =
     element_at(
       sort_array(
         zip_with(centsCol, sequence(lit(0), lit(k - 1)),
@@ -125,19 +126,22 @@ object Clustering {
   }
 
   /**
+   * The Lloyd's fit alone — final centroids, no assignment pass. What
+   * [[kmeans]] runs before assigning, and what
+   * [[Quantize.productQuantize]] calls once per subspace (a PQ codebook
+   * IS a set of k-means centroids; the assignment there is the encoder).
+   *
    * @param init `"farthest"` (default — k corpus passes, best geometric
    *             spread at small k) or `"parallel"` (k-means|| above —
    *             O(rounds) passes, the large-k scale path)
-   * @return (`id`, `cluster`, `dist`) — final assignment and distance to
-   *         the final centroid.
    */
-  def kmeans(
+  def kmeansCentroids(
       df: DataFrame,
       idCol: String,
       vecCol: String,
       k: Int,
       iters: Int = 5,
-      init: String = "farthest"): DataFrame = {
+      init: String = "farthest"): Seq[Seq[Float]] = {
     require(k >= 1, s"k must be positive: $k")
     require(iters >= 1, s"iters must be positive: $iters")
     require(init == "farthest" || init == "parallel", s"unknown init: $init")
@@ -188,9 +192,25 @@ object Clustering {
         }
       }
     }
+    cents
+  }
 
+  /**
+   * @param init see [[kmeansCentroids]]
+   * @return (`id`, `cluster`, `dist`) — final assignment and distance to
+   *         the final centroid.
+   */
+  def kmeans(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int = 5,
+      init: String = "farthest"): DataFrame = {
+    val cents = kmeansCentroids(df, idCol, vecCol, k, iters, init)
+    val v = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
     val cc = typedLit(cents)
-    v.withColumn("cluster", assignCol(col("v"), cc, kk).cast("long"))
+    v.withColumn("cluster", assignCol(col("v"), cc, cents.length).cast("long"))
       .withColumn("dist", l2_distance(col("v"), element_at(cc, col("cluster").cast("int") + 1)))
       .select(col("id"), col("cluster"), col("dist"))
   }

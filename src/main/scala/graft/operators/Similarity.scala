@@ -206,4 +206,50 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("score"))
       .orderBy(col("id_a"), col("id_b"))
   }
+
+  /**
+   * Approximate top-k over a PQ-ENCODED corpus by asymmetric distance
+   * (ADC — Jégou et al., TPAMI'11): queries keep full precision, the
+   * corpus is only its m codes, and the distance is
+   * Σ_j ‖q_subj − codebook_j[code_j]‖² — each term a codegen'd L2
+   * against a centroid looked up from the broadcast codebook literal.
+   *
+   * Scale shape: the corpus side streams (vec_id, m ints) — the point
+   * of PQ is that this is ~32× smaller than the vectors, so the scan
+   * that dominates ANN serving reads codes, not floats. Queries
+   * broadcast; the only exchange is the per-query top-k window.
+   * Encode once with [[Quantize.productQuantize]], serve many.
+   *
+   * @param encoded (`vec_id`, `codes`) from [[Quantize.productQuantize]]
+   * @return query_id, rank, neighbor_id, approx_dist (ascending L2²)
+   */
+  def pqTopK(
+      encoded: DataFrame,
+      queries: DataFrame,
+      codebooks: Seq[Seq[Seq[Float]]],
+      idCol: String,
+      vecCol: String,
+      k: Int = 10): DataFrame = {
+    require(codebooks.nonEmpty, "empty codebooks")
+    val m = codebooks.length
+    val sub = codebooks.head.head.length
+    val q = queries.select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qv"))
+    val dist = (0 until m).map { j =>
+      val cb = typedLit(codebooks(j))
+      val d = graft.functions.l2_distance(
+        slice(col("qv"), j * sub + 1, sub),
+        element_at(cb, element_at(col("codes"), j + 1) + 1))
+      d * d
+    }.reduce(_ + _)
+    val scored = encoded.join(broadcast(q), col("query_id") =!= col("vec_id"))
+      .withColumn("approx_dist", dist)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_dist").asc, col("vec_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("approx_dist"))
+      .orderBy(col("query_id"), col("rank"))
+  }
 }

@@ -113,6 +113,17 @@ object ExtensionQueries extends QueryFamily {
       .select(col("query_id"), col("rank"), col("neighbor_id"))
   }
 
+  /** PQ-compressed ANN serving: encode the corpus to 8 codes/vector,
+    * search by asymmetric distance. Rows-only + recall spec. */
+  def simTopkPq(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < 5)
+    val (codebooks, encoded) = graft.operators.Quantize.productQuantize(
+      emb, "vec_id", "embedding", m = 8, codebookSize = 16, iters = 2)
+    Similarity.pqTopK(encoded, queries, codebooks, "vec_id", "embedding", k = 10)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+  }
+
   /** Embedding k-means (semantic grouping) — custom float kernel,
     * rows-only + planted-cluster spec (ClusteringSpec). */
   def embedKmeans(spark: SparkSession, dir: String): DataFrame =
@@ -374,6 +385,7 @@ object ExtensionQueries extends QueryFamily {
     "sim_topk_brute" -> (simTopkBrute _),
     "sim_topk_lsh" -> (simTopkLsh _),
     "sim_topk_ivf" -> (simTopkIvf _),
+    "sim_topk_pq" -> (simTopkPq _),
     "sim_neardup" -> (simNearDup _),
     "embed_kmeans" -> (embedKmeans _),
     "embed_kmeans_par" -> (embedKmeansPar _),

@@ -33,6 +33,33 @@ class QuantizeSpec extends SparkSpec {
     assert(out((1L, 1L)) == 0L && out((2L, 1L)) == 255L)
   }
 
+  test("productQuantize + pqTopK: codes in range, ADC finds the planted cluster") {
+    // 3 well-separated planted clusters in 8-d (same shape as ClusteringSpec)
+    val rows = for { c <- 0 until 3; m <- 0 until 20 } yield {
+      val vec = Array.fill(8)(0.0f)
+      vec(c) = 10.0f * (c + 1)
+      vec((c + m) % 8) += (m % 5) * 0.1f
+      (c * 100L + m, vec.toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val (codebooks, encoded) =
+      Quantize.productQuantize(df, "vec_id", "embedding", m = 2, codebookSize = 4, iters = 3)
+    assert(codebooks.length == 2 && codebooks.forall(_.forall(_.length == 4)))
+    val codes = encoded.as[(Long, Seq[Int])].collect().toMap
+    assert(codes.size == 60)
+    assert(codes.values.forall(cs => cs.length == 2 && cs.forall(c => c >= 0 && c < 4)))
+    // deterministic encode
+    val (_, again) = Quantize.productQuantize(df, "vec_id", "embedding", m = 2, codebookSize = 4, iters = 3)
+    assert(again.as[(Long, Seq[Int])].collect().toMap == codes)
+    // ADC: each query's top neighbors come from its own planted cluster
+    val queries = df.filter($"vec_id".isin(0L, 100L, 200L))
+    val top = Similarity.pqTopK(encoded, queries, codebooks, "vec_id", "embedding", k = 5)
+      .as[(Long, Long, Long, Double)].collect()
+    top.foreach { case (q, _, n, _) =>
+      assert(q / 100 == n / 100, s"query $q pulled neighbor $n from another cluster")
+    }
+  }
+
   test("quantization preserves per-dimension order") {
     val df = (1L to 30L).map(i => (i, Seq(i * 0.37f, 100.0f - i)))
       .toDF("vec_id", "embedding")
