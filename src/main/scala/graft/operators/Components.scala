@@ -141,10 +141,13 @@ object Components {
         .union(ed.select(col("v").as("c"), col("u").as("n")))
       val mins = sym.groupBy(col("c")).agg(min(col("n")).as("__mn"))
         .select(col("c"), least(col("__mn"), col("c")).as("m"))
+      // no distinct here: duplicate (m, n) rows (two centers sharing a
+      // minimum and a neighbour) are degree-bounded and harmless to
+      // small-star's min-aggregate; the round's ONE dedup happens at
+      // small-star's closing distinct, saving a full shuffle per round
       sym.join(mins, "c")
         .filter(col("n") > col("c"))
         .select(col("m").as("u"), col("n").as("v"))
-        .distinct()
     }
     // small-star(c): neighbours smaller than c (plus c itself) all hang
     // onto their minimum. Directing every edge at its larger endpoint

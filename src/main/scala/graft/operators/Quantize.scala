@@ -54,9 +54,16 @@ object Quantize {
    * of bounded driver-side model state (the same contract as the IVF
    * coarse quantizer and the k-means seeds).
    *
-   * Subspace fits use k-means|| init ([[Clustering.kmeansCentroids]])
-   * so training is O(m · iters) corpus passes; encoding is one pass
-   * with the codegen'd per-subspace argmin (no shuffle, no UDF).
+   * Training is deliberately NOT m independent k-means runs (m ×
+   * O(iters) corpus passes — at 100 TB, m=8 separate trainings read
+   * the corpus 8× per iteration for no reason). Instead: ONE
+   * hash-ordered sample collects a few hundred vectors, driver-side
+   * farthest-first picks every subspace's spread-out seeds from it,
+   * and then each Lloyd iteration updates ALL m codebooks in a single
+   * fused pass — per row, m codegen'd argmin assignments explode to
+   * (subspace, cluster, dim, x) partials whose aggregate is
+   * m·codebookSize·(d/m) = codebookSize·d rows of model state. Total:
+   * 1 + iters corpus passes regardless of m, plus the one-pass encode.
    *
    * @return (codebooks, encoded) — codebooks(j)(c) is subspace j's
    *         centroid c; encoded is (`vec_id`, `codes` array<int>)
@@ -70,22 +77,78 @@ object Quantize {
       iters: Int = 3): (Seq[Seq[Seq[Float]]], DataFrame) = {
     require(m >= 1, s"m must be positive: $m")
     require(codebookSize >= 2, s"codebookSize must be >= 2: $codebookSize")
-    val dim = df.select(size(col(vecCol))).head.getInt(0)
-    require(dim % m == 0, s"m ($m) must divide the vector dim ($dim)")
-    val sub = dim / m
-    val codebooks: Seq[Seq[Seq[Float]]] = (0 until m).map { j =>
-      Clustering.kmeansCentroids(
-        df.select(col(idCol).as("id"),
-          slice(col(vecCol), j * sub + 1, sub).as("v")),
-        "id", "v", codebookSize, iters, init = "parallel")
-    }
-    val codes = (0 until m).map { j =>
-      Clustering.assignCol(
-        slice(col(vecCol), j * sub + 1, sub),
-        typedLit(codebooks(j)), codebooks(j).length)
-    }
-    val encoded = df.select(col(idCol).cast("long").as("vec_id"),
-      array(codes: _*).as("codes"))
-    (codebooks, encoded)
+    require(iters >= 1, s"iters must be positive: $iters")
+    val v = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v")).persist()
+    try {
+      val dim = v.select(size(col("v"))).head.getInt(0)
+      require(dim % m == 0, s"m ($m) must divide the vector dim ($dim)")
+      val sub = dim / m
+
+      // one sample pass seeds every subspace: hash-ordered (deterministic,
+      // content-independent), then farthest-first per subspace ON THE
+      // SAMPLE (driver-side, a few hundred tiny vectors — free)
+      val sampleN = math.max(codebookSize * 8, 64)
+      val sample = v.orderBy(xxhash64(col("id")).asc, col("id").asc)
+        .limit(sampleN).select(col("v")).collect()
+        .map(_.getSeq[Float](0).toIndexedSeq)
+      require(sample.nonEmpty, "input is empty — nothing to quantize")
+      def d2(a: IndexedSeq[Float], b: IndexedSeq[Float]): Double = {
+        var s = 0.0; var i = 0
+        while (i < a.length) { val d = a(i).toDouble - b(i); s += d * d; i += 1 }
+        s
+      }
+      def farthestSeeds(pts: Array[IndexedSeq[Float]], k: Int): Seq[Seq[Float]] = {
+        var seeds = Vector(pts.head)
+        while (seeds.length < k) {
+          // argmax of distance-to-seed-set; ties (incl. exhausted distinct
+          // points → duplicate centroids) resolve to the first, which is
+          // deterministic and harmless: argmin assignment ties to the
+          // lower index, so a duplicate centroid just sits empty
+          seeds = seeds :+ pts.maxBy(p => seeds.iterator.map(s => d2(p, s)).min)
+        }
+        seeds.map(_.toSeq)
+      }
+      var books: Seq[Seq[Seq[Float]]] = (0 until m).map { j =>
+        farthestSeeds(sample.map(_.slice(j * sub, (j + 1) * sub)), codebookSize)
+      }
+
+      // fused Lloyd: all m subspaces assigned + aggregated in one pass
+      for (_ <- 1 to iters) {
+        val parts = (0 until m).map { j =>
+          val sv = slice(col("v"), j * sub + 1, sub)
+          struct(lit(j).as("subspace"),
+            Clustering.assignCol(sv, typedLit(books(j)), codebookSize).as("cluster"),
+            sv.as("sv"))
+        }
+        val sums = v.select(explode(array(parts: _*)).as("p"))
+          .select(col("p.subspace").as("subspace"), col("p.cluster").as("cluster"),
+            posexplode(col("p.sv")).as(Seq("dim", "x")))
+          .groupBy(col("subspace"), col("cluster"), col("dim"))
+          .agg(sum(col("x").cast("double")).as("s"), count(lit(1)).as("n"))
+          .collect()
+        val byKey = sums.groupBy(r => (r.getInt(0), r.getInt(1)))
+        books = books.zipWithIndex.map { case (book, j) =>
+          book.zipWithIndex.map { case (old, ci) =>
+            byKey.get((j, ci)) match {
+              case Some(rows) =>
+                val dims = rows.map(r => r.getInt(2) -> (r.getDouble(3) / r.getLong(4))).toMap
+                old.indices.map(d => dims(d).toFloat)
+              case None => old // empty cluster keeps its centroid
+            }
+          }
+        }
+      }
+
+      val codes = (0 until m).map { j =>
+        Clustering.assignCol(
+          slice(col(vecCol), j * sub + 1, sub),
+          typedLit(books(j)), codebookSize)
+      }
+      // encoded builds on `df` (not the persisted projection), so it stays
+      // valid after the training cache is released
+      val encoded = df.select(col(idCol).cast("long").as("vec_id"),
+        array(codes: _*).as("codes"))
+      (books, encoded)
+    } finally v.unpersist()
   }
 }
