@@ -40,6 +40,24 @@ object Temporal {
     asofJoinKeys(left, right, Seq(keyCol), tsCol, valueCols, toleranceSeconds)
 
   /**
+   * Forward (look-ahead) as-of join: each left row takes the EARLIEST
+   * right row with `right.ts >= left.ts` on the same key — the
+   * "next purchase after this click" / "first reading after the fault"
+   * direction. Mirror image of [[asofJoin]]: same one-exchange
+   * union-and-sweep, swept from latest to earliest; `toleranceSeconds`
+   * bounds the look-AHEAD.
+   */
+  def asofJoinForward(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valueCols: Seq[String],
+      toleranceSeconds: Option[Long] = None): DataFrame =
+    asofJoinKeys(left, right, Seq(keyCol), tsCol, valueCols, toleranceSeconds,
+      forward = true)
+
+  /**
    * Hot-key-safe variant: [[asofJoin]] puts a key's ENTIRE row set on one
    * reducer (the per-key window sort) — a pathological key (one sensor
    * producing half the events) serializes on a single task. Salting splits
@@ -76,7 +94,8 @@ object Temporal {
       keyCols: Seq[String],
       tsCol: String,
       valueCols: Seq[String],
-      toleranceSeconds: Option[Long]): DataFrame = {
+      toleranceSeconds: Option[Long],
+      forward: Boolean = false): DataFrame = {
     val collisions = valueCols.toSet.intersect(left.columns.toSet)
     require(collisions.isEmpty, s"valueCols collide with left columns: $collisions")
     val passthrough = left.columns.toSeq.filterNot(c => keyCols.contains(c) || c == tsCol)
@@ -95,8 +114,13 @@ object Temporal {
         passthrough.map(col))) ++
         valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
 
+    // forward flips only the sweep direction: latest→earliest, so the
+    // running `last` carries the NEXT reading backwards. Right rows
+    // still sort before left at equal ts (side asc) — at-or-after
+    // includes an exactly-simultaneous reading, mirroring at-or-before.
+    val tsOrder = if (forward) col(tsCol).desc else col(tsCol).asc
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col(tsCol).asc, col("__side").asc)
+      .orderBy(tsOrder, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val swept = taggedRight.unionByName(taggedLeft)
@@ -110,9 +134,14 @@ object Temporal {
     val bounded = toleranceSeconds match {
       case None => swept
       case Some(tol) =>
-        val stale = col("__rts").isNull ||
-          col(tsCol).cast("timestamp").cast("long") -
-            col("__rts").cast("timestamp").cast("long") > tol
+        val gap =
+          if (forward)
+            col("__rts").cast("timestamp").cast("long") -
+              col(tsCol).cast("timestamp").cast("long")
+          else
+            col(tsCol).cast("timestamp").cast("long") -
+              col("__rts").cast("timestamp").cast("long")
+        val stale = col("__rts").isNull || gap > tol
         valueCols.foldLeft(swept) { (df, c) =>
           df.withColumn(c, when(stale, lit(null)).otherwise(col(c)))
         }

@@ -148,6 +148,23 @@ object ExtensionQueries extends QueryFamily {
       Tables.embeddings(spark, dir), "vec_id", "embedding")
       .orderBy(col("vec_id"), col("dim"))
 
+  /** Per-label per-dimension embedding moments — the centroid/dispersion
+    * telemetry of a labeled embedding table. Elements are fixed-point
+    * quantized (floor(x·1e6) — float sums are reduction-order-dependent,
+    * 64-bit micro sums are exact and order-free), so a SQL oracle matches
+    * bit-for-bit; downstream means divide sum_micro/n/1e6. Map-side
+    * combine ships (label, dim) partials only. */
+  def embedLabelStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("label").cast("long").as("label"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim").cast("long").as("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("x").cast("double") * lit(1e6)).cast("long")).as("sum_micro"),
+        min(floor(col("x").cast("double") * lit(1e6)).cast("long")).as("min_micro"),
+        max(floor(col("x").cast("double") * lit(1e6)).cast("long")).as("max_micro"))
+      .orderBy(col("label"), col("dim"))
+
   def simNearDup(spark: SparkSession, dir: String): DataFrame =
     Similarity.embeddingNearDupPairs(
       Tables.embeddings(spark, dir), "vec_id", "embedding", threshold = 0.4, nBits = 4)
@@ -238,6 +255,34 @@ object ExtensionQueries extends QueryFamily {
       .orderBy(col("doc_id"))
   }
 
+  /** Second composed flagship — the corpus ASSEMBLY chain downstream of
+    * [[pipelineCorpus]]'s cleaning: normalize-digest dedup (whitespace/
+    * case variants collapse), quality gates, 3-gram benchmark
+    * decontamination (drop the benchmark docs AND everything sharing a
+    * gram), then best-first per-source token budgeting. Every stage is
+    * SQL-expressible, so the whole composition carries ONE end-to-end
+    * oracle — the strongest correctness statement available for a
+    * multi-operator pipeline. */
+  def pipelineCorpusV2(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val deduped = Dedup.exactByKey(
+      docs.withColumn("__k", md5(TextAnalysis.normalize(col("text")))),
+      Seq("__k"), "doc_id").drop("__k")
+    val quality = TextAnalysis.qualityMetrics(deduped, "text")
+      .filter(col("n_tokens") >= 10 && col("punct_ratio") < 0.25)
+    val hits = graft.operators.Ngrams.decontaminate(docs, "doc_id", "text",
+      benchmarkPred = col("doc_id") % 97 === 0, n = 3)
+      .select(col("doc_id"))
+    val clean = quality
+      .filter(col("doc_id") % 97 =!= 0)
+      .join(hits, Seq("doc_id"), "left_anti")
+    graft.operators.Sampling.budgetSelect(clean,
+      groupCol = "source", orderCol = "n_tokens", costCol = "n_tokens",
+      idCol = "doc_id", budget = 1200L)
+      .select(col("source"), col("doc_id"), col("n_tokens"), col("cum_cost"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
   // --- corpus preparation (split / shuffle / pack / redact) ---
 
   def corpusSplit(spark: SparkSession, dir: String): DataFrame =
@@ -287,6 +332,21 @@ object ExtensionQueries extends QueryFamily {
   /** Hot-key-safe as-of join (same semantics, salted window partitions —
     * the 100×-scale path when one key dominates the event volume). Same
     * oracle as asof_join: the salting must be invisible in the result. */
+  /** Forward direction: each click matched to the FIRST purchase at or
+    * after it (next-touch attribution), DuckDB forward-ASOF oracle. */
+  def asofJoinForward(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("user_id", "ts", "event_id")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("value")).as("purchase_value"))
+    graft.operators.Temporal.asofJoinForward(clicks, purchases, "user_id", "ts",
+      Seq("purchase_value"))
+      .select(col("user_id"), col("event_id"), col("ts"), col("purchase_value"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   def asofJoinSalted(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
     val clicks = ev.filter(col("event_type") === "click")
@@ -390,6 +450,7 @@ object ExtensionQueries extends QueryFamily {
     "embed_kmeans" -> (embedKmeans _),
     "embed_kmeans_par" -> (embedKmeansPar _),
     "embed_quantize" -> (embedQuantize _),
+    "embed_label_stats" -> (embedLabelStats _),
     "text_quality" -> (textQuality _),
     "text_tokens_top" -> (textTokensTop _),
     "text_langid" -> (textLangId _),
@@ -400,6 +461,7 @@ object ExtensionQueries extends QueryFamily {
     "multimodal_features" -> (multimodalFeatures _),
     "multimodal_frames" -> (multimodalFrames _),
     "pipeline_corpus" -> (pipelineCorpus _),
+    "pipeline_corpus_v2" -> (pipelineCorpusV2 _),
     "corpus_split" -> (corpusSplit _),
     "corpus_shuffle" -> (corpusShuffle _),
     "corpus_pack" -> (corpusPack _),
@@ -407,6 +469,7 @@ object ExtensionQueries extends QueryFamily {
     "funnel_signup_purchase" -> (funnelSignupPurchase _),
     "retention_weekly" -> (retentionWeekly _),
     "asof_join" -> (asofJoin _),
+    "asof_join_forward" -> (asofJoinForward _),
     "asof_join_salted" -> (asofJoinSalted _),
     "interval_join" -> (intervalJoin _),
     "session_assign" -> (sessionAssign _),
@@ -469,6 +532,16 @@ object ExtensionQueries extends QueryFamily {
         |       END AS BIGINT) AS q
         |FROM e JOIN stats s USING (dim)
         |ORDER BY e.vec_id, e.dim""".stripMargin,
+    "embed_label_stats" ->
+      """WITH e AS (
+        |  SELECT CAST(label AS BIGINT) AS label,
+        |    unnest(range(0, len(embedding))) AS dim,
+        |    CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) AS BIGINT) AS micro
+        |  FROM embeddings)
+        |SELECT label, CAST(dim AS BIGINT) AS dim, COUNT(*) AS n,
+        |  CAST(SUM(micro) AS BIGINT) AS sum_micro,
+        |  MIN(micro) AS min_micro, MAX(micro) AS max_micro
+        |FROM e GROUP BY label, dim ORDER BY label, dim""".stripMargin,
     "sim_topk_brute" ->
       """SELECT query_id, rank, neighbor_id FROM (
         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -550,6 +623,42 @@ object ExtensionQueries extends QueryFamily {
          |  AND CASE WHEN $maxExpr <= 0 THEN 'und' $pick END = 'en'
          |ORDER BY doc_id""".stripMargin
     },
+    "pipeline_corpus_v2" ->
+      s"""WITH kept AS (
+         |  SELECT doc_id, text, source FROM (
+         |    SELECT doc_id, text, source,
+         |      ROW_NUMBER() OVER (
+         |        PARTITION BY MD5(TRIM(REGEXP_REPLACE(LOWER(text), '[^a-z0-9]+', ' ', 'g')))
+         |        ORDER BY doc_id) AS rn
+         |    FROM documents) WHERE rn = 1),
+         |q AS (
+         |  SELECT doc_id, source, CAST(LEN($tokensSql) AS BIGINT) AS n_tokens
+         |  FROM kept
+         |  WHERE CAST(LEN($tokensSql) AS BIGINT) >= 10
+         |    AND (CASE WHEN LENGTH(text) > 0
+         |         THEN CAST(LENGTH(REGEXP_REPLACE(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+         |              / LENGTH(text) ELSE 0.0 END) < 0.25
+         |    AND doc_id % 97 <> 0),
+         |toks AS (
+         |  SELECT doc_id, unnest($tokensSql) AS tok,
+         |    unnest(range(1, len($tokensSql) + 1)) AS pos
+         |  FROM documents),
+         |ng AS (
+         |  SELECT doc_id,
+         |    tok || ' ' || LEAD(tok, 1) OVER w || ' ' || LEAD(tok, 2) OVER w AS ngram
+         |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+         |bench AS (SELECT DISTINCT ngram FROM ng WHERE doc_id % 97 = 0 AND ngram IS NOT NULL),
+         |contaminated AS (
+         |  SELECT DISTINCT c.doc_id FROM ng c JOIN bench b ON c.ngram = b.ngram
+         |  WHERE c.doc_id % 97 <> 0),
+         |sel AS (
+         |  SELECT source, doc_id, n_tokens,
+         |    CAST(SUM(n_tokens) OVER (PARTITION BY source
+         |      ORDER BY n_tokens DESC, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cost
+         |  FROM q WHERE doc_id NOT IN (SELECT doc_id FROM contaminated))
+         |SELECT source, doc_id, n_tokens, cum_cost FROM sel
+         |WHERE cum_cost <= 1200 ORDER BY source, doc_id""".stripMargin,
     "funnel_signup_purchase" ->
       """SELECT user_id, first_signup, first_purchase FROM (
         |  SELECT user_id,
@@ -600,6 +709,7 @@ object ExtensionQueries extends QueryFamily {
          |FROM documents ORDER BY doc_id""".stripMargin
     },
     "asof_join" -> asofOracleSql,
+    "asof_join_forward" -> asofOracleSql.replace("l.ts >= r.ts", "l.ts <= r.ts"),
     "asof_join_salted" -> asofOracleSql,
     "interval_join" ->
       """SELECT i.interval_id, p.point_id

@@ -35,6 +35,35 @@ class TemporalSpec extends SparkSpec {
     assert(out.size == 4)                 // every left row survives
   }
 
+  test("asofJoinForward picks the earliest right row at-or-after each left ts") {
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "a"),     // simultaneous reading visible
+      (1L, ts("2024-01-01 10:30:00"), "b"),     // next reading is 11:30
+      (1L, ts("2024-01-01 12:00:00"), "late"),  // nothing after → null
+      (2L, ts("2024-01-01 11:00:00"), "other-key")
+    ).toDF("k", "ts", "tag")
+    val right = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 20.0),
+      (1L, ts("2024-01-01 11:30:00"), 30.0),
+      (3L, ts("2024-01-01 00:00:00"), 99.0)
+    ).toDF("k", "ts", "reading")
+    val out = Temporal.asofJoinForward(left, right, "k", "ts", Seq("reading"))
+      .select("k", "tag", "reading").collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(out((1L, "a")).contains(20.0))
+    assert(out((1L, "b")).contains(30.0))
+    assert(out((1L, "late")).isEmpty)
+    assert(out((2L, "other-key")).isEmpty)
+    assert(out.size == 4)
+    // look-AHEAD tolerance: the 11:30 reading is > 30 min after 10:30
+    val bounded = Temporal.asofJoinForward(left, right, "k", "ts", Seq("reading"),
+      toleranceSeconds = Some(1800L))
+      .select("tag", "reading").collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(bounded("a").contains(20.0) && bounded("b").isEmpty)
+  }
+
   test("asofJoin tolerance: stale readings beyond the lookback become null") {
     val left = Seq(
       (1L, ts("2024-01-01 10:00:00"), "fresh"),  // 30 min after reading
