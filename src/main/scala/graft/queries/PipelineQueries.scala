@@ -129,6 +129,13 @@ object PipelineQueries extends QueryFamily {
         max(col("__nt")).as("max_tokens"))
       .orderBy(col("bucket"))
 
+  /** BPE merge training over the corpus (rows-only: an iterative argmax
+    * has no SQL twin; BpeSpec pins a hand-computed merge sequence). */
+  def bpeMerges(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Bpe.trainMerges(Tables.documents(spark, dir), "text",
+      numMerges = 10)
+      .orderBy(col("rank"))
+
   /** Vocabulary Zipf histogram: log2-bucketed term frequencies. */
   def vocabZipf(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.vocabZipf(Tables.documents(spark, dir), "text")
@@ -236,6 +243,7 @@ object PipelineQueries extends QueryFamily {
     "text_normalize" -> (textNormalize _),
     "vocab_zipf" -> (vocabZipf _),
     "corpus_token_hist" -> (corpusTokenHist _),
+    "bpe_merges" -> (bpeMerges _),
     "sample_topk_quality" -> (sampleTopkQuality _),
     "dedup_substring_pairs" -> (dedupSubstringPairs _),
     "dedup_substring_verify" -> (dedupSubstringVerify _),

@@ -97,6 +97,37 @@ class NgramsSpec extends SparkSpec {
     assert(loose == Set((1L, 2L, 6L), (1L, 3L, 4L)), s"got $loose")
   }
 
+  test("substringRuns equals brute-force longest common token run on random docs") {
+    // tiny vocabulary forces overlaps; deterministic LCG
+    var s = 7L
+    def nxt(): Long = { s = s * 6364136223846793005L + 1442695040888963407L; s }
+    val vocab = Vector("ant", "bee", "cat", "dog", "elk", "fox", "gnu", "hen")
+    val docs = (1L to 12L).map { id =>
+      val len = 12 + math.floorMod(nxt(), 9L).toInt
+      id -> Vector.fill(len)(vocab(math.floorMod(nxt(), vocab.length.toLong).toInt))
+    }
+    val df = docs.map { case (id, ws) => (id, ws.mkString(" ")) }.toDF("doc_id", "text")
+    val n = 3
+    val got = Ngrams.substringRuns(df, "doc_id", "text", n = n, minTokens = n)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    // brute force: longest common contiguous token run per pair (O(L²) DP)
+    def lcs(a: Vector[String], b: Vector[String]): Int = {
+      val dp = Array.ofDim[Int](a.length + 1, b.length + 1)
+      var best = 0
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        if (a(i - 1) == b(j - 1)) {
+          dp(i)(j) = dp(i - 1)(j - 1) + 1
+          best = math.max(best, dp(i)(j))
+        }
+      best
+    }
+    val want = (for {
+      (ia, wa) <- docs; (ib, wb) <- docs if ia < ib
+      l = lcs(wa, wb) if l >= n
+    } yield (ia, ib) -> l.toLong).toMap
+    assert(got == want, s"operator ${got.size} pairs vs brute ${want.size}")
+  }
+
   test("boilerplateNgrams: grams above the group-fraction threshold only") {
     val df = Seq(
       (1L, "copyright acme corp page one", "s1"),

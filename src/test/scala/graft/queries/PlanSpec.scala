@@ -131,6 +131,15 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
 
+  test("pipeline_corpus_v2 plans no cartesian product and broadcasts the benchmark grams") {
+    val p = plan("pipeline_corpus_v2")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the dedup stage shuffles digests, not documents: the md5 appears
+    // below the exchange feeding the min-id aggregate
+    assert(p.contains("md5"), p)
+  }
+
   test("decontaminate_bloom keeps the corpus side join-free (filter-only probe)") {
     val p = plan("decontaminate_bloom")
     // the benchmark set travels inside the bloom expression, not a join:
