@@ -314,12 +314,26 @@ object Dedup {
       idCol: String,
       maxHamming: Int = 3,
       maxBucket: Int = 1000): DataFrame = {
+    val sigs = df.select(col(idCol).as("id"), simhash_text(col(textCol)).as("sh"))
+    simhashPairsFromHashes(sigs, maxHamming, maxBucket)
+  }
+
+  /**
+   * The banding/pair stage of [[simhashPairs]] over PRECOMPUTED 64-bit
+   * signatures (`id`, `sh`) — shared with asset-level perceptual-hash
+   * dedup ([[Multimodal.assetNearDupPairs]]), where the signature comes
+   * from bytes rather than text. Same pigeonhole guarantee: banding into
+   * maxHamming+1 chunks cannot miss a pair within the radius.
+   */
+  def simhashPairsFromHashes(
+      sigs: DataFrame,
+      maxHamming: Int = 3,
+      maxBucket: Int = 1000): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 32,
       s"maxHamming must be in [0, 32): $maxHamming (chunks need ≥2 bits to prune)")
     val nChunks = maxHamming + 1
     val widths = Array.tabulate(nChunks)(i => 64 / nChunks + (if (i < 64 % nChunks) 1 else 0))
     val starts = widths.scanLeft(0)(_ + _)
-    val sigs = df.select(col(idCol).as("id"), simhash_text(col(textCol)).as("sh"))
     val chunkStructs = (0 until nChunks).map { b =>
       val mask = if (widths(b) == 64) -1L else (1L << widths(b)) - 1L
       struct(lit(b).as("band"),

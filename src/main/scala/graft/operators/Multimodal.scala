@@ -119,6 +119,63 @@ object Multimodal {
       }(enc)
   }
 
+  /**
+   * Exact asset dedup: one survivor (min asset_id) per distinct content
+   * digest — the binary-column twin of [[Dedup.exactByKey]]. Shuffles
+   * 32-char digests, never asset bytes (at 100 TB the whole point: the
+   * exchange carries hashes of images, not images).
+   */
+  def assetDedupExact(assets: DataFrame): DataFrame =
+    Dedup.exactByKey(
+      assets.withColumn("__dg", md5(col("content"))), Seq("__dg"), "asset_id")
+      .drop("__dg")
+
+  /**
+   * STUB perceptual hash: 64-bit signature of the raw asset bytes. A
+   * real pHash DCTs the DECODED image (codec stubbed in this container);
+   * the stub simhashes sliding byte 4-grams, which preserves exactly the
+   * property the downstream plumbing depends on — similar byte streams →
+   * small hamming distance — so the banding, pairing, and thresholding
+   * stages are real and tested. One partition-batch pass, like the other
+   * decoders here.
+   */
+  def phashStub(assets: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("phash", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    assets.select("asset_id", "content").mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](1)
+        val counts = new Array[Int](64)
+        var i = 0
+        while (i + 4 <= bytes.length) {
+          var h = 0xcbf29ce484222325L
+          var j = i
+          while (j < i + 4) { h ^= (bytes(j) & 0xffL); h *= 0x100000001b3L; j += 1 }
+          h = graft.functions.TextHash.mix64(h)
+          var b = 0
+          while (b < 64) { counts(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1); b += 1 }
+          i += 1
+        }
+        var sig = 0L
+        var b = 0
+        while (b < 64) { if (counts(b) > 0) sig |= 1L << b; b += 1 }
+        Row(r.getLong(0), sig)
+      }
+    }(enc)
+  }
+
+  /**
+   * Perceptual near-duplicate asset pairs: phash + the simhash banding
+   * machinery ([[Dedup.simhashPairsFromHashes]] — pigeonhole-complete
+   * within `maxHamming`). Output (id_a, id_b, hamming).
+   */
+  def assetNearDupPairs(assets: DataFrame, maxHamming: Int = 6): DataFrame =
+    Dedup.simhashPairsFromHashes(
+      phashStub(assets).select(col("asset_id").as("id"), col("phash").as("sh")),
+      maxHamming)
+
   /** Frame sampling for "video" assets: every `stride`-th fixed-size
     * chunk of the byte stream as one frame (real chunking logic; a real
     * decoder would emit actual frames). Explodes to one row per frame. */

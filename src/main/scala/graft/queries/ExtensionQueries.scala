@@ -220,6 +220,21 @@ object ExtensionQueries extends QueryFamily {
         md5(col("content")).as("digest"))
       .orderBy(col("asset_id"))
 
+  /** Binary-column exact dedup: min-id survivor per content digest —
+    * digests shuffle, asset bytes never do. Oracled. */
+  def multimodalDedupExact(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Multimodal.assetDedupExact(
+      graft.operators.Multimodal.assetTable(spark, dir))
+      .select(col("asset_id"), col("modality"))
+      .orderBy(col("asset_id"))
+
+  /** Perceptual-hash near-dup asset pairs (phash stub + simhash banding)
+    * — rows-only + MultimodalSpec planted near-identical byte streams. */
+  def multimodalNearDup(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Multimodal.assetNearDupPairs(
+      graft.operators.Multimodal.assetTable(spark, dir), maxHamming = 6)
+      .select(col("id_a"), col("id_b"))
+
   /** Stub decode + feature extraction through mapPartitions (pandas-UDF
     * analog) — custom kernel, rows-only check + MultimodalSpec. */
   def multimodalFeatures(spark: SparkSession, dir: String): DataFrame = {
@@ -458,6 +473,8 @@ object ExtensionQueries extends QueryFamily {
     "text_token_count" -> (textTokenCount _),
     "text_fingerprint" -> (textFingerprint _),
     "multimodal_meta" -> (multimodalMeta _),
+    "multimodal_dedup_exact" -> (multimodalDedupExact _),
+    "multimodal_neardup" -> (multimodalNearDup _),
     "multimodal_features" -> (multimodalFeatures _),
     "multimodal_frames" -> (multimodalFrames _),
     "pipeline_corpus" -> (pipelineCorpus _),
@@ -589,6 +606,12 @@ object ExtensionQueries extends QueryFamily {
         |  CAST(STRLEN(text) AS BIGINT) AS byte_len,
         |  MD5(text) AS digest
         |FROM documents ORDER BY asset_id""".stripMargin,
+    "multimodal_dedup_exact" ->
+      """SELECT asset_id, modality FROM (
+        |  SELECT doc_id AS asset_id,
+        |    (['image', 'audio', 'video'])[CAST(doc_id % 3 AS INT) + 1] AS modality,
+        |    ROW_NUMBER() OVER (PARTITION BY MD5(text) ORDER BY doc_id) AS rn
+        |  FROM documents) WHERE rn = 1 ORDER BY asset_id""".stripMargin,
     "pipeline_corpus" -> {
       val langs = graft.operators.TextAnalysis.langMarkers.toSeq.sortBy(_._1)
       val langTok =

@@ -31,6 +31,36 @@ class MultimodalSpec extends SparkSpec {
     assert(f1.head.getSeq[Float](1).length == 16)
   }
 
+  test("assetDedupExact: duplicate byte streams collapse to the min asset id") {
+    val assets = Seq(
+      (1L, "image", "same bytes here".getBytes("UTF-8")),
+      (2L, "image", "same bytes here".getBytes("UTF-8")),   // dup of 1
+      (3L, "audio", "different bytes".getBytes("UTF-8"))
+    ).toDF("asset_id", "modality", "content")
+    val kept = Multimodal.assetDedupExact(assets)
+      .select("asset_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 3L))
+  }
+
+  test("assetNearDupPairs: near-identical byte streams pair up, unrelated don't") {
+    val base = ("A" * 200 + "B" * 200).getBytes("UTF-8")
+    val tweaked = base.clone(); tweaked(50) = 'C'; tweaked(300) = 'D'
+    val assets = Seq(
+      (1L, "image", base),
+      (2L, "image", tweaked),                              // 2 flipped bytes of 400
+      (3L, "image", ("Z" * 150 + "Q" * 250).getBytes("UTF-8"))
+    ).toDF("asset_id", "modality", "content")
+    val pairs = Multimodal.assetNearDupPairs(assets, maxHamming = 12)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), s"near-dup pair missed: $pairs")
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)),
+      s"unrelated assets paired: $pairs")
+    // phash is deterministic
+    val h1 = Multimodal.phashStub(assets).orderBy("asset_id").collect().toSeq
+    val h2 = Multimodal.phashStub(assets).orderBy("asset_id").collect().toSeq
+    assert(h1 == h2)
+  }
+
   test("resizeStub: image assets only, bounded output size, deterministic") {
     val assets = Multimodal.assetTable(spark, sfDir)
     val resized = Multimodal.resizeStub(assets, targetW = 64, targetH = 64)
