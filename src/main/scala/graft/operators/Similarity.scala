@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{cosine_similarity, dot_product}
+import graft.functions.{cosine_similarity, dot_product, l2_distance}
 
 /**
  * Similarity search over embedding columns (`array<float>`; SURVEY §2.3).
@@ -175,6 +175,92 @@ object Similarity {
 
   private def minus(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     (c * -1).cast("int")
+
+  /**
+   * IVF-PQ — the composed production ANN index (Jégou et al., TPAMI'11
+   * §V; the faiss `IndexIVFPQ` layout): a k-means|| coarse quantizer
+   * assigns each vector to a cell, and the RESIDUAL (vector − cell
+   * centroid) is product-quantized to m codes. The stored corpus is
+   * (cell, m codes) — the same ~32× compression as flat PQ — while the
+   * query probes only its `nProbe` nearest cells, pruning
+   * ~nCells/nProbe of even that compressed scan. Search ranks by ADC
+   * against the query residual per probed cell.
+   *
+   * All model state (cell centroids + codebooks) is bounded driver-side
+   * data shipped as literals; the probe side (queries × nProbe rows,
+   * with per-probe residuals) broadcasts; the corpus side is one scan
+   * of codes with a codegen'd ADC expression and the per-query top-k
+   * window as the only exchange.
+   */
+  def ivfPqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int = 10,
+      nCells: Int = 16,
+      nProbe: Int = 4,
+      m: Int = 8,
+      codebookSize: Int = 16): DataFrame = {
+    val cellCents = Clustering.kmeansCentroids(
+      corpus, idCol, vecCol, nCells, iters = 3, init = "parallel")
+    val nc = cellCents.length
+    val dim = cellCents.head.length
+    require(dim % m == 0, s"m ($m) must divide the vector dim ($dim)")
+    val sub = dim / m
+    val ccLit = typedLit(cellCents)
+
+    def cellOf(vec: org.apache.spark.sql.Column) =
+      Clustering.assignCol(vec, ccLit, nc)
+    def residual(vec: org.apache.spark.sql.Column, cell: org.apache.spark.sql.Column) =
+      zip_with(vec, element_at(ccLit, cell + 1), (a, b) => (a - b).cast("float"))
+
+    // index: (vec_id, cell, codes) — residual PQ codebooks trained once
+    val withCell = corpus
+      .select(col(idCol).cast("long").as("vec_id"), col(vecCol).as("v"))
+      .withColumn("cell", cellOf(col("v")))
+      .withColumn("res", residual(col("v"), col("cell")))
+    val (codebooks, _) = Quantize.productQuantize(
+      withCell, "vec_id", "res", m, codebookSize)
+    val codes = (0 until m).map { j =>
+      Clustering.assignCol(slice(col("res"), j * sub + 1, sub),
+        typedLit(codebooks(j)), codebookSize)
+    }
+    val index = withCell.select(col("vec_id"), col("cell"), array(codes: _*).as("codes"))
+
+    // query side: nProbe nearest cells by L2, one residual per probe.
+    // Interpreted HOFs are fine HERE: this is the tiny broadcast side.
+    def bestCellsL2(vec: org.apache.spark.sql.Column) =
+      sort_array(
+        zip_with(ccLit, sequence(lit(0), lit(nc - 1)),
+          (cent, idx) => struct(l2_distance(vec, cent).as("d"), idx.cast("int").as("i"))),
+        asc = true)
+    val q = queries
+      .select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qv"))
+      .withColumn("probe", explode(slice(bestCellsL2(col("qv")), 1, math.min(nProbe, nc))))
+      .withColumn("cell", col("probe.i"))
+      .withColumn("qres", residual(col("qv"), col("cell")))
+      .select(col("query_id"), col("cell"), col("qres"))
+
+    val dist = (0 until m).map { j =>
+      val cb = typedLit(codebooks(j))
+      val d = graft.functions.l2_distance(
+        slice(col("qres"), j * sub + 1, sub),
+        element_at(cb, element_at(col("codes"), j + 1) + 1))
+      d * d
+    }.reduce(_ + _)
+    val scored = index.join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("approx_dist", dist)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_dist").asc, col("vec_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("approx_dist"))
+      .orderBy(col("query_id"), col("rank"))
+  }
 
   /** Embedding near-duplicate pairs: all (a < b) pairs with cosine above
     * `threshold`, bucketed by LSH to avoid the full cross join. */

@@ -113,6 +113,16 @@ object ExtensionQueries extends QueryFamily {
       .select(col("query_id"), col("rank"), col("neighbor_id"))
   }
 
+  /** IVF-PQ: coarse cells + residual PQ codes — cell probing prunes the
+    * compressed scan itself. Rows-only + recall spec. */
+  def simTopkIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < 5)
+    Similarity.ivfPqTopK(emb, queries, "vec_id", "embedding",
+      k = 10, nCells = 16, nProbe = 4, m = 8, codebookSize = 16)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+  }
+
   /** PQ-compressed ANN serving: encode the corpus to 8 codes/vector,
     * search by asymmetric distance. Rows-only + recall spec. */
   def simTopkPq(spark: SparkSession, dir: String): DataFrame = {
@@ -461,6 +471,7 @@ object ExtensionQueries extends QueryFamily {
     "sim_topk_lsh" -> (simTopkLsh _),
     "sim_topk_ivf" -> (simTopkIvf _),
     "sim_topk_pq" -> (simTopkPq _),
+    "sim_topk_ivfpq" -> (simTopkIvfPq _),
     "sim_neardup" -> (simNearDup _),
     "embed_kmeans" -> (embedKmeans _),
     "embed_kmeans_par" -> (embedKmeansPar _),

@@ -60,6 +60,29 @@ class QuantizeSpec extends SparkSpec {
     }
   }
 
+  test("ivfPqTopK: probed-cell ADC keeps queries inside their planted cluster") {
+    val rows = for { c <- 0 until 3; m <- 0 until 20 } yield {
+      val vec = Array.fill(8)(0.0f)
+      vec(c) = 10.0f * (c + 1)
+      vec((c + m) % 8) += (m % 5) * 0.1f
+      (c * 100L + m, vec.toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val queries = df.filter($"vec_id".isin(0L, 100L, 200L))
+    val top = Similarity.ivfPqTopK(df, queries, "vec_id", "embedding",
+      k = 5, nCells = 3, nProbe = 1, m = 2, codebookSize = 4)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(top.nonEmpty)
+    top.foreach { case (q, _, n, _) =>
+      assert(q / 100 == n / 100, s"query $q pulled neighbor $n from another cluster")
+    }
+    // with every cell probed, each query still ranks 5 in-cluster rows
+    val all = Similarity.ivfPqTopK(df, queries, "vec_id", "embedding",
+      k = 5, nCells = 3, nProbe = 3, m = 2, codebookSize = 4)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(all.groupBy(_._1).forall(_._2.length == 5))
+  }
+
   test("quantization preserves per-dimension order") {
     val df = (1L to 30L).map(i => (i, Seq(i * 0.37f, 100.0f - i)))
       .toDF("vec_id", "embedding")
