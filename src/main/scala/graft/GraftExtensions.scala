@@ -48,6 +48,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     "cosine_similarity" -> { args => CosineSimilarity(args(0), args(1)) },
     "dot_product" -> { args => DotProduct(args(0), args(1)) },
     "l2_distance" -> { args => L2Distance(args(0), args(1)) },
+    "argmin_l2" -> { args => ArgminL2(args(0), args(1)) },
+    "min_l2" -> { args => MinL2(args(0), args(1)) },
+    "argmax_dot" -> { args => ArgmaxDot(args(0), args(1)) },
+    "hyperplane_bucket" -> { args => HyperplaneBucket(args(0), args(1)) },
+    "centroid_residual" -> { args => CentroidResidual(args(0), args(1), args(2)) },
     "doc_fingerprint" -> { args => DocFingerprint(args.head) },
     "simhash_text" -> { args => SimHashText(args.head) },
     // minhash_text(text[, w, k, seed])

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType}
 
 /**
  * Vector similarity kernels over `ArrayType(FloatType)` embedding columns
@@ -56,6 +56,89 @@ object VectorOps extends Serializable {
     }
     math.sqrt(acc)
   }
+
+  private def l2sq(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var i = 0
+    var acc = 0.0
+    while (i < n) {
+      val diff = a.getFloat(i).toDouble - b.getFloat(i).toDouble
+      acc += diff * diff
+      i += 1
+    }
+    acc
+  }
+
+  /** Index of the L2-nearest centroid; ties take the lowest index (the
+    * k-means / PQ-encode assignment step — argmin over squared distance,
+    * identical ordering to sqrt'd L2). */
+  def argminL2(vec: ArrayData, cents: ArrayData): Int = {
+    val k = cents.numElements()
+    var best = 0
+    var bestD = Double.PositiveInfinity
+    var i = 0
+    while (i < k) {
+      val d = l2sq(vec, cents.getArray(i))
+      if (d < bestD) { bestD = d; best = i }
+      i += 1
+    }
+    best
+  }
+
+  /** Distance to the L2-nearest centroid (seeding's d(x, C) term). */
+  def minL2(vec: ArrayData, cents: ArrayData): Double = {
+    val k = cents.numElements()
+    var bestD = Double.PositiveInfinity
+    var i = 0
+    while (i < k) {
+      val d = l2sq(vec, cents.getArray(i))
+      if (d < bestD) bestD = d
+      i += 1
+    }
+    math.sqrt(bestD)
+  }
+
+  /** Index of the max-inner-product centroid; ties take the lowest index
+    * (IVF corpus-side cell routing). */
+  def argmaxDot(vec: ArrayData, cents: ArrayData): Int = {
+    val k = cents.numElements()
+    var best = 0
+    var bestS = Double.NegativeInfinity
+    var i = 0
+    while (i < k) {
+      val s = dot(vec, cents.getArray(i))
+      if (s > bestS) { bestS = s; best = i }
+      i += 1
+    }
+    best
+  }
+
+  /** Random-hyperplane LSH bucket: bit p set iff dot(vec, planes[p]) >= 0,
+    * packed little-endian into a long (planes.length <= 63). */
+  def hyperplaneBucket(vec: ArrayData, planes: ArrayData): Long = {
+    val n = planes.numElements()
+    var b = 0L
+    var p = 0
+    while (p < n) {
+      if (dot(vec, planes.getArray(p)) >= 0.0) b |= 1L << p
+      p += 1
+    }
+    b
+  }
+
+  /** vec − cents[idx] (0-based), elementwise float subtraction — the
+    * IVF-PQ residual projection, allocation = one primitive array. */
+  def centroidResidual(vec: ArrayData, cents: ArrayData, idx: Int): ArrayData = {
+    val c = cents.getArray(idx)
+    val n = math.min(vec.numElements(), c.numElements())
+    val out = new Array[Float](n)
+    var i = 0
+    while (i < n) {
+      out(i) = vec.getFloat(i) - c.getFloat(i)
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
 }
 
 abstract class VectorBinaryExpression extends BinaryExpression with ImplicitCastInputTypes {
@@ -101,4 +184,92 @@ case class L2Distance(left: Expression, right: Expression) extends VectorBinaryE
   override def prettyName: String = "l2_distance"
   override protected def withNewChildrenInternal(l: Expression, r: Expression): L2Distance =
     copy(left = l, right = r)
+}
+
+/**
+ * Vector-vs-model kernels: `(array<float>, array<array<float>>) → scalar`,
+ * where the right side is a broadcast model literal (centroids, codebook,
+ * hyperplanes — k × dim, shipped in the plan). These are the CORPUS-side
+ * assignment/bucketing steps of k-means, PQ encode, IVF cell routing and
+ * LSH — the scans that dominate ANN cost at 100 TB — so they must stay
+ * inside whole-stage codegen: an interpreted `zip_with`/`sort_array` HOF
+ * doing the same argmin pays the per-row lambda-eval tax (~35× on the
+ * minhash kernels this engine measured in round 1) and allocates k structs
+ * per row where the kernel allocates nothing.
+ */
+abstract class VectorModelBinaryExpression extends BinaryExpression with ImplicitCastInputTypes {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[org.apache.spark.sql.graftbridge.CatalystBridge.AbstractType] =
+    Seq(ArrayType(FloatType), ArrayType(ArrayType(FloatType)))
+  protected def staticMethod: String
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    staticMethod match {
+      case "argminL2"         => VectorOps.argminL2(x, y)
+      case "minL2"            => VectorOps.minL2(x, y)
+      case "argmaxDot"        => VectorOps.argmaxDot(x, y)
+      case "hyperplaneBucket" => VectorOps.hyperplaneBucket(x, y)
+    }
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorOps.$staticMethod($a, $b)")
+}
+
+/** argmin_l2(vec, cents): nearest-centroid index by L2; ties → lowest. */
+case class ArgminL2(left: Expression, right: Expression) extends VectorModelBinaryExpression {
+  override def dataType: DataType = IntegerType
+  override protected def staticMethod: String = "argminL2"
+  override def prettyName: String = "argmin_l2"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ArgminL2 =
+    copy(left = l, right = r)
+}
+
+/** min_l2(vec, cents): distance to the nearest centroid. */
+case class MinL2(left: Expression, right: Expression) extends VectorModelBinaryExpression {
+  override def dataType: DataType = DoubleType
+  override protected def staticMethod: String = "minL2"
+  override def prettyName: String = "min_l2"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): MinL2 =
+    copy(left = l, right = r)
+}
+
+/** argmax_dot(vec, cents): max-inner-product centroid index; ties → lowest. */
+case class ArgmaxDot(left: Expression, right: Expression) extends VectorModelBinaryExpression {
+  override def dataType: DataType = IntegerType
+  override protected def staticMethod: String = "argmaxDot"
+  override def prettyName: String = "argmax_dot"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ArgmaxDot =
+    copy(left = l, right = r)
+}
+
+/** hyperplane_bucket(vec, planes): packed LSH sign-bit bucket id. */
+case class HyperplaneBucket(left: Expression, right: Expression)
+    extends VectorModelBinaryExpression {
+  override def dataType: DataType = LongType
+  override protected def staticMethod: String = "hyperplaneBucket"
+  override def prettyName: String = "hyperplane_bucket"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): HyperplaneBucket =
+    copy(left = l, right = r)
+}
+
+/** centroid_residual(vec, cents, idx): vec − cents[idx] (0-based) →
+  * array<float> — the IVF-PQ residual, codegen'd so the corpus-side
+  * projection has no interpreted zip_with lambda. */
+case class CentroidResidual(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+    with ImplicitCastInputTypes {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[org.apache.spark.sql.graftbridge.CatalystBridge.AbstractType] =
+    Seq(ArrayType(FloatType), ArrayType(ArrayType(FloatType)), IntegerType)
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override protected def nullSafeEval(v: Any, c: Any, i: Any): Any =
+    VectorOps.centroidResidual(
+      v.asInstanceOf[ArrayData], c.asInstanceOf[ArrayData], i.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (v, c, i) => s"graft.functions.VectorOps.centroidResidual($v, $c, $i)")
+  override def prettyName: String = "centroid_residual"
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): CentroidResidual =
+    copy(first = f, second = s, third = t)
 }

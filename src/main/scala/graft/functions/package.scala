@@ -39,6 +39,31 @@ package object functions {
   def l2_distance(a: Column, b: Column): Column =
     col(L2Distance(expr(a), expr(b)))
 
+  /** index of the L2-nearest centroid in an array<array<float>> model
+    * literal → int; ties take the lowest index (codegen'd k-means / PQ
+    * assignment — the ANN corpus-scan kernel). */
+  def argmin_l2(vec: Column, cents: Column): Column =
+    col(ArgminL2(expr(vec), expr(cents)))
+
+  /** distance to the L2-nearest centroid → double (seeding's d(x, C)). */
+  def min_l2(vec: Column, cents: Column): Column =
+    col(MinL2(expr(vec), expr(cents)))
+
+  /** index of the max-inner-product centroid → int; ties take the lowest
+    * index (IVF corpus-side cell routing). */
+  def argmax_dot(vec: Column, cents: Column): Column =
+    col(ArgmaxDot(expr(vec), expr(cents)))
+
+  /** packed sign-bit LSH bucket id against an array<array<float>> plane
+    * literal → long (codegen'd random-hyperplane bucketing). */
+  def hyperplane_bucket(vec: Column, planes: Column): Column =
+    col(HyperplaneBucket(expr(vec), expr(planes)))
+
+  /** vec − cents[idx] (0-based) → array<float> (codegen'd IVF-PQ
+    * residual projection). */
+  def centroid_residual(vec: Column, cents: Column, idx: Column): Column =
+    col(CentroidResidual(expr(vec), expr(cents), expr(idx)))
+
   /** k-lane minhash signature of an array<string> shingle column. */
   def minhash_signature(shingles: Column, k: Int = 64, seed: Long = 42L): Column =
     col(MinHashSignature(expr(shingles), k, seed))

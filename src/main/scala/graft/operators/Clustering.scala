@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.l2_distance
+import graft.functions.{argmin_l2, l2_distance, min_l2}
 
 /**
  * Embedding clustering (SURVEY §2.3 extension surface): deterministic
@@ -13,19 +13,22 @@ import graft.functions.l2_distance
  *
  * Scale shape per iteration: centroids are a broadcast literal (k × dim
  * doubles — model state, the same contract as the IVF coarse quantizer,
- * `Similarity.ivfTopK`); assignment is one corpus scan with the
- * codegen'd `l2_distance` kernel evaluated k times per row (no corpus
- * shuffle); the update step shuffles only (cluster, dim) partial sums —
- * map-side combine keeps the exchange at k × dim × partitions rows.
- * Driver-side state is k × dim means per iteration, never data.
+ * `Similarity.ivfTopK`); assignment is one corpus scan with the single
+ * codegen'd `argmin_l2` kernel call per row (no corpus shuffle, no
+ * per-row allocation); the update step shuffles only (cluster, dim)
+ * partial sums — map-side combine keeps the exchange at
+ * k × dim × partitions rows. Driver-side state is k × dim means per
+ * iteration, never data.
  *
- * Determinism: seeding is farthest-first traversal (k-center init) from
- * a content-independent anchor (the row with the smallest `mix64(id)`),
- * each subsequent seed the point farthest from the chosen set with an
- * id tie-break — deterministic, and unlike a pure random pick it cannot
- * drop two seeds into one well-separated cluster (the classic Lloyd's
- * local optimum that splits a group and merges two others). Costs k-1
- * extra TakeOrdered scans at init; k-means|| replaces it at extreme k.
+ * Determinism: the default k-means|| seeding derives its "randomness"
+ * from per-(id, round) hashes; the opt-in farthest-first traversal
+ * (k-center init) starts from a content-independent anchor (the row
+ * with the smallest `mix64(id)`), each subsequent seed the point
+ * farthest from the chosen set with an id tie-break — deterministic,
+ * and unlike a pure random pick it cannot drop two seeds into one
+ * well-separated cluster (the classic Lloyd's local optimum that
+ * splits a group and merges two others), at the cost of one corpus
+ * pass PER SEED — which is why it is not the default.
  * Centroid means sum doubles in partition order, so a point EXACTLY
  * equidistant to two evolving centroids could in principle flip with
  * summation order; real-valued embeddings make that a measure-zero
@@ -34,13 +37,14 @@ import graft.functions.l2_distance
 object Clustering {
 
   /** Argmin cluster index by L2 distance; ties take the lowest index.
-    * (Shared with [[Quantize.productQuantize]]'s per-subspace encoder.) */
-  private[operators] def assignCol(vec: Column, centsCol: Column, k: Int): Column =
-    element_at(
-      sort_array(
-        zip_with(centsCol, sequence(lit(0), lit(k - 1)),
-          (cent, idx) => struct(l2_distance(vec, cent).as("d"), idx.cast("int").as("i"))),
-        asc = true), 1).getField("i")
+    * (Shared with [[Quantize.productQuantize]]'s per-subspace encoder.)
+    * One codegen'd kernel call per row — this column is evaluated over
+    * the FULL corpus every Lloyd iteration and in every PQ/IVF encode,
+    * so an interpreted zip_with/sort_array here (which additionally
+    * sorts k structs where argmin is a linear scan) would put the
+    * round-1-measured ~35× HOF interpreter tax on the dominant scan. */
+  private[operators] def assignCol(vec: Column, centsCol: Column): Column =
+    argmin_l2(vec, centsCol)
 
   /**
    * k-means|| seeding (Bahmani, Moseley, Vattani, Kumar, Vassilvitskii,
@@ -82,8 +86,7 @@ object Clustering {
       var covered = false
       while (round <= rounds && !covered) {
         val cc = typedLit(cands)
-        val withD = v.withColumn("__dmin",
-          array_min(transform(cc, c => l2_distance(col("v"), c))))
+        val withD = v.withColumn("__dmin", min_l2(col("v"), cc))
           .withColumn("__d2", col("__dmin") * col("__dmin"))
         val cost = withD.agg(sum(col("__d2"))).collect().head.getDouble(0)
         if (cost <= 0.0) covered = true // every point coincides with a candidate
@@ -100,7 +103,7 @@ object Clustering {
       }
       // weight candidates by the points they win, then reduce driver-side
       val cc = typedLit(cands)
-      val wts = v.withColumn("ci", assignCol(col("v"), cc, cands.length))
+      val wts = v.withColumn("ci", assignCol(col("v"), cc))
         .groupBy(col("ci")).agg(count(lit(1)).as("n")).collect()
         .map(r => r.getInt(0) -> r.getLong(1)).toMap
       def d2(a: Seq[Float], b: Seq[Float]): Double = {
@@ -131,9 +134,11 @@ object Clustering {
    * [[Quantize.productQuantize]] calls once per subspace (a PQ codebook
    * IS a set of k-means centroids; the assignment there is the encoder).
    *
-   * @param init `"farthest"` (default — k corpus passes, best geometric
-   *             spread at small k) or `"parallel"` (k-means|| above —
-   *             O(rounds) passes, the large-k scale path)
+   * @param init `"parallel"` (default — k-means|| above, O(rounds)
+   *             corpus passes regardless of k: the only init that
+   *             survives large k at scale) or `"farthest"`
+   *             (farthest-first traversal — k corpus passes, best
+   *             geometric spread at small k; opt-in)
    */
   def kmeansCentroids(
       df: DataFrame,
@@ -141,7 +146,7 @@ object Clustering {
       vecCol: String,
       k: Int,
       iters: Int = 5,
-      init: String = "farthest"): Seq[Seq[Float]] = {
+      init: String = "parallel"): Seq[Seq[Float]] = {
     require(k >= 1, s"k must be positive: $k")
     require(iters >= 1, s"iters must be positive: $iters")
     require(init == "farthest" || init == "parallel", s"unknown init: $init")
@@ -160,8 +165,7 @@ object Clustering {
         while (cs.length < k && !exhausted) {
           val cc = typedLit(cs)
           val far = v
-            .withColumn("__dmin",
-              array_min(transform(cc, c => l2_distance(col("v"), c))))
+            .withColumn("__dmin", min_l2(col("v"), cc))
             .orderBy(col("__dmin").desc, col("id").asc)
             .limit(1).collect().head
           // no point is farther than 0 from the seed set ⇒ fewer distinct
@@ -172,12 +176,11 @@ object Clustering {
         }
         cs
       }
-    val kk = cents.length
 
     for (_ <- 1 to iters) {
       val cc = typedLit(cents)
       val sums = v
-        .withColumn("cluster", assignCol(col("v"), cc, kk))
+        .withColumn("cluster", assignCol(col("v"), cc))
         .select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
         .groupBy(col("cluster"), col("dim"))
         .agg(sum(col("x").cast("double")).as("s"), count(lit(1)).as("n"))
@@ -206,11 +209,11 @@ object Clustering {
       vecCol: String,
       k: Int,
       iters: Int = 5,
-      init: String = "farthest"): DataFrame = {
+      init: String = "parallel"): DataFrame = {
     val cents = kmeansCentroids(df, idCol, vecCol, k, iters, init)
     val v = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
     val cc = typedLit(cents)
-    v.withColumn("cluster", assignCol(col("v"), cc, cents.length).cast("long"))
+    v.withColumn("cluster", assignCol(col("v"), cc).cast("long"))
       .withColumn("dist", l2_distance(col("v"), element_at(cc, col("cluster").cast("int") + 1)))
       .select(col("id"), col("cluster"), col("dist"))
   }

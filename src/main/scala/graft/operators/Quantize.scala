@@ -117,7 +117,7 @@ object Quantize {
         val parts = (0 until m).map { j =>
           val sv = slice(col("v"), j * sub + 1, sub)
           struct(lit(j).as("subspace"),
-            Clustering.assignCol(sv, typedLit(books(j)), codebookSize).as("cluster"),
+            Clustering.assignCol(sv, typedLit(books(j))).as("cluster"),
             sv.as("sv"))
         }
         val sums = v.select(explode(array(parts: _*)).as("p"))
@@ -142,7 +142,7 @@ object Quantize {
       val codes = (0 until m).map { j =>
         Clustering.assignCol(
           slice(col(vecCol), j * sub + 1, sub),
-          typedLit(books(j)), codebookSize)
+          typedLit(books(j)))
       }
       // encoded builds on `df` (not the persisted projection), so it stays
       // valid after the training cache is released

@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{cosine_similarity, dot_product, l2_distance}
+import graft.functions.{argmax_dot, cosine_similarity, dot_product, hyperplane_bucket, l2_distance}
 
 /**
  * Similarity search over embedding columns (`array<float>`; SURVEY §2.3).
@@ -58,16 +58,14 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** LSH bucket id: sign bit per hyperplane, packed into a long. */
+  /** LSH bucket id: sign bit per hyperplane, packed into a long. One
+    * codegen'd kernel call per row — this is evaluated over the FULL
+    * corpus, where an interpreted aggregate/zip_with HOF would pay the
+    * per-row lambda tax on the scan that dominates at 100 TB. */
   private def bucketCol(
       vec: org.apache.spark.sql.Column,
-      planesCol: org.apache.spark.sql.Column,
-      nBits: Int): org.apache.spark.sql.Column =
-    aggregate(
-      zip_with(planesCol, sequence(lit(0), lit(nBits - 1)),
-        (plane, idx) => when(dot_product(vec, plane) >= 0d,
-          pow(lit(2.0), idx).cast("long")).otherwise(lit(0L))),
-      lit(0L), (acc, x) => acc + x)
+      planesCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    hyperplane_bucket(vec, planesCol)
 
   /** Approximate top-k via random-hyperplane LSH bucketing + exact
     * re-rank inside the candidate buckets. Multi-probe: each query also
@@ -90,7 +88,7 @@ object Similarity {
 
     require(nBits <= 20, s"nBits too large for probe enumeration: $nBits")
     val q0 = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .withColumn("__b", bucketCol(col("qv"), planesCol, nBits))
+      .withColumn("__b", bucketCol(col("qv"), planesCol))
     // probe every bucket within hamming distance `probeRadius` of the
     // query's own: all XOR masks of popcount ≤ probeRadius (sum of
     // C(nBits, r) probes — the full contract, not just single-bit flips)
@@ -100,7 +98,7 @@ object Similarity {
     val q = q0.withColumn("bucket", explode(array(probeCols: _*))).drop("__b")
 
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-      .withColumn("bucket", bucketCol(col("cv"), planesCol, nBits))
+      .withColumn("bucket", bucketCol(col("cv"), planesCol))
 
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
@@ -147,15 +145,19 @@ object Similarity {
     val centsCol = typedLit(cents.toSeq)
     val nc = cents.length
 
-    // best = struct(score, cellIdx) with max score; ties → lowest cell idx
+    // query-side ONLY: full cell ranking for nProbe enumeration — the tiny
+    // broadcast side, where the interpreted HOF is fine. Ties → lowest cell
+    // idx (the negidx trick), matching argmax_dot's tie-break.
     def bestCells(vec: org.apache.spark.sql.Column) =
       sort_array(
         zip_with(centsCol, sequence(lit(0), lit(nc - 1)),
           (cent, idx) => struct(dot_product(vec, cent).as("s"), (-idx).cast("int").as("negidx"))),
         asc = false)
 
+    // corpus side: one codegen'd argmax kernel call per row — no k-struct
+    // allocation, no interpreter boundary on the scan that dominates
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-      .withColumn("cell", minus(element_at(bestCells(col("cv")), 1).getField("negidx")))
+      .withColumn("cell", argmax_dot(col("cv"), centsCol))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("cell",
         explode(transform(slice(bestCells(col("qv")), 1, math.min(nProbe, nc)),
@@ -211,20 +213,30 @@ object Similarity {
     val ccLit = typedLit(cellCents)
 
     def cellOf(vec: org.apache.spark.sql.Column) =
-      Clustering.assignCol(vec, ccLit, nc)
+      Clustering.assignCol(vec, ccLit)
+    // codegen'd on both sides: corpus-side it runs per corpus row (the
+    // scan that dominates), query-side it's just the same kernel reused
     def residual(vec: org.apache.spark.sql.Column, cell: org.apache.spark.sql.Column) =
-      zip_with(vec, element_at(ccLit, cell + 1), (a, b) => (a - b).cast("float"))
+      graft.functions.centroid_residual(vec, ccLit, cell)
 
-    // index: (vec_id, cell, codes) — residual PQ codebooks trained once
+    // index: (vec_id, cell, codes) — residual PQ codebooks trained once.
+    // Persisted: cell assignment + residual projection feed BOTH codebook
+    // training and the final index materialization; without the cache the
+    // corpus-wide assignment scan would run twice. The cache is released
+    // by block-manager LRU / session teardown — an index is train-once
+    // serve-many state, so its storage lifetime IS the serving lifetime
+    // (at production scale the encoded index would be written to parquet
+    // and this cache is the in-session analog).
     val withCell = corpus
       .select(col(idCol).cast("long").as("vec_id"), col(vecCol).as("v"))
       .withColumn("cell", cellOf(col("v")))
       .withColumn("res", residual(col("v"), col("cell")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val (codebooks, _) = Quantize.productQuantize(
       withCell, "vec_id", "res", m, codebookSize)
     val codes = (0 until m).map { j =>
       Clustering.assignCol(slice(col("res"), j * sub + 1, sub),
-        typedLit(codebooks(j)), codebookSize)
+        typedLit(codebooks(j)))
     }
     val index = withCell.select(col("vec_id"), col("cell"), array(codes: _*).as("codes"))
 
@@ -276,7 +288,7 @@ object Similarity {
     val ps = planes(nBits, dim, seed)
     val planesCol = typedLit(ps.map(_.toSeq).toSeq)
     val v0 = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("bucket", bucketCol(col("v"), planesCol, nBits))
+      .withColumn("bucket", bucketCol(col("v"), planesCol))
     // skew/blowup guard: a degenerate bucket (e.g. all-zero vectors all
     // hashing to one code) would self-join to maxBucket² pairs; the
     // oversized-key set is tiny, so it broadcasts as an anti-join filter

@@ -3,7 +3,8 @@ package graft.operators
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
-import graft.functions.{cosine_similarity, dot_product, l2_distance}
+import graft.functions.{argmax_dot, argmin_l2, centroid_residual, cosine_similarity,
+  dot_product, hyperplane_bucket, l2_distance, min_l2}
 import graft.sources.Tables
 
 class SimilaritySpec extends SparkSpec {
@@ -18,6 +19,28 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(row.getDouble(0) - 8.0 / (math.sqrt(5) * math.sqrt(13))) < 1e-15)
     assert(row.getDouble(1) == 8.0)
     assert(math.abs(row.getDouble(2) - math.sqrt(2.0)) < 1e-15)
+  }
+
+  test("model kernels (argmin/argmax/min_l2/bucket/residual) match hand-computed values") {
+    // model: three 2-d centroids; vec (1, 0) is nearest c0 by L2, and its
+    // max inner product is c2; ties must take the LOWEST index
+    val df = Seq((Seq(1f, 0f),
+      Seq(Seq(1f, 1f), Seq(1f, 1f), Seq(3f, 0f)))).toDF("v", "m")
+    val row = df.select(
+      argmin_l2(col("v"), col("m")),           // d² = 1, 1, 4 → tie 0/1 → 0
+      argmax_dot(col("v"), col("m")),          // dots = 1, 1, 3 → 2
+      min_l2(col("v"), col("m")),              // √1
+      centroid_residual(col("v"), col("m"), lit(2))).head()
+    assert(row.getInt(0) == 0)
+    assert(row.getInt(1) == 2)
+    assert(row.getDouble(2) == 1.0)
+    assert(row.getSeq[Float](3) == Seq(-2f, 0f))
+    // hyperplane bucket: planes (1,0) and (0,-1); vec (1, 2) → signs (+, −)
+    // → bit 0 set only
+    val b = Seq((Seq(1f, 2f), Seq(Seq(1f, 0f), Seq(0f, -1f))))
+      .toDF("v", "p")
+      .select(hyperplane_bucket(col("v"), col("p"))).head().getLong(0)
+    assert(b == 1L)
   }
 
   test("identical vector is every query's nearest neighbor (brute force)") {

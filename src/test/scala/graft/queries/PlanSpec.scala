@@ -147,4 +147,29 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), s"bloom variant must not plan any join:\n$p")
     assert(p.contains("bloom_might_contain"), p)
   }
+
+  test("ANN corpus paths run codegen kernels — no interpreted HOF on the big side") {
+    // Families whose every projection is kernel-based: the WHOLE plan must
+    // be HOF-free (an interpreted zip_with/sort_array/aggregate lambda on
+    // the corpus scan is the round-1-measured ~35× tax at 100 TB).
+    for (name <- Seq("sim_topk_lsh", "sim_neardup", "embed_kmeans", "sim_topk_pq")) {
+      val p = plan(name)
+      assert(!p.contains("zip_with(") && !p.contains("sort_array("),
+        s"$name plans an interpreted HOF:\n$p")
+    }
+    assert(plan("sim_topk_lsh").contains("hyperplane_bucket"), plan("sim_topk_lsh"))
+    assert(plan("sim_neardup").contains("hyperplane_bucket"), plan("sim_neardup"))
+    assert(plan("embed_kmeans").contains("argmin_l2"), plan("embed_kmeans"))
+    // IVF probe enumeration stays interpreted on the TINY broadcast query
+    // side by design; the corpus side must route through the kernels.
+    assert(plan("sim_topk_ivf").contains("argmax_dot"), plan("sim_topk_ivf"))
+    val ivfpq = plan("sim_topk_ivfpq")
+    assert(ivfpq.contains("argmin_l2") && ivfpq.contains("centroid_residual"), ivfpq)
+  }
+
+  test("ivfPqTopK materializes cell assignment once (cached scan feeds train + index)") {
+    val p = plan("sim_topk_ivfpq")
+    assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"),
+      s"withCell must serve the index from the training-time cache:\n$p")
+  }
 }
