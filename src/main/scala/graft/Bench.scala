@@ -49,6 +49,9 @@ object Bench {
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
+    // headline FIRST: log tails get truncated (BENCH_r02/r03 both were) —
+    // the totals must survive even when the per-query map does not
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","failed":$failed}""")
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$failed}""")
     spark.stop()
   }

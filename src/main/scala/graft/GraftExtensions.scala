@@ -43,8 +43,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private val registry: Seq[(String, FunctionBuilder)] = Seq(
     "gzip" -> { args => GzipCompress(args.head) },
     "gzip_string" -> { args => GzipCompressString(args.head) },
-    "gunzip" -> { args => GzipDecompress(args.head) },
-    "gunzip_string" -> { args => GzipDecompressToString(args.head) },
+    // gunzip(bytes[, maxBytes]) / gunzip_string(bytes[, maxBytes])
+    "gunzip" -> { args =>
+      GzipDecompress(args.head,
+        maxBytes = if (args.length > 1) longArg(args(1), "maxBytes") else Long.MaxValue)
+    },
+    "gunzip_string" -> { args =>
+      GzipDecompressToString(args.head,
+        maxBytes = if (args.length > 1) longArg(args(1), "maxBytes") else Long.MaxValue)
+    },
     "cosine_similarity" -> { args => CosineSimilarity(args(0), args(1)) },
     "dot_product" -> { args => DotProduct(args(0), args(1)) },
     "l2_distance" -> { args => L2Distance(args(0), args(1)) },

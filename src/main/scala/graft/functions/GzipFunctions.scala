@@ -36,34 +36,59 @@ object GzipCodec extends Serializable {
 
   /** Throws UncheckedIOException-style RuntimeException on corrupt input —
     * the reference's fail-the-export policy
-    * (service/ParquetConversionService.java:109-112). */
-  def decompress(gzipped: Array[Byte]): Array[Byte] = {
+    * (service/ParquetConversionService.java:109-112).
+    *
+    * `maxBytes` bounds the INFLATED size: gzip ratios reach ~1000×, so at
+    * corpus scale one hostile (or merely pathological) high-ratio payload
+    * would otherwise balloon into an executor-killing allocation. The
+    * reference never guards (util/GzipUtil.java:19-31 — it only ever
+    * inflates its own trusted writes); an engine ingesting 100 TB of
+    * third-party bytes must. Strict mode throws (this method); lenient
+    * maps oversized, like corrupt, to null. */
+  def decompress(gzipped: Array[Byte], maxBytes: Long): Array[Byte] = {
     val in = new GZIPInputStream(new ByteArrayInputStream(gzipped), BufferSize)
     try {
       val out = new ByteArrayOutputStream(gzipped.length * 3 + 64)
       val buf = new Array[Byte](BufferSize)
       var n = in.read(buf)
       while (n >= 0) {
-        if (n > 0) out.write(buf, 0, n)
+        if (n > 0) {
+          if (out.size().toLong + n > maxBytes)
+            throw new java.io.IOException(
+              s"gzip output exceeds maxBytes=$maxBytes (input ${gzipped.length} bytes)")
+          out.write(buf, 0, n)
+        }
         n = in.read(buf)
       }
       out.toByteArray
     } finally in.close()
   }
 
-  /** Lenient variant: corrupt input → null (engine-level option the
-    * reference lacks; useful for dirty data at scale). */
-  def decompressOrNull(gzipped: Array[Byte]): Array[Byte] =
-    try decompress(gzipped)
+  def decompress(gzipped: Array[Byte]): Array[Byte] =
+    decompress(gzipped, Long.MaxValue)
+
+  /** Lenient variant: corrupt or over-budget input → null (engine-level
+    * option the reference lacks; useful for dirty data at scale). */
+  def decompressOrNull(gzipped: Array[Byte], maxBytes: Long): Array[Byte] =
+    try decompress(gzipped, maxBytes)
     catch { case _: java.io.IOException | _: RuntimeException => null }
 
-  def decompressToString(gzipped: Array[Byte]): UTF8String =
-    UTF8String.fromBytes(decompress(gzipped))
+  def decompressOrNull(gzipped: Array[Byte]): Array[Byte] =
+    decompressOrNull(gzipped, Long.MaxValue)
 
-  def decompressToStringOrNull(gzipped: Array[Byte]): UTF8String = {
-    val b = decompressOrNull(gzipped)
+  def decompressToString(gzipped: Array[Byte], maxBytes: Long): UTF8String =
+    UTF8String.fromBytes(decompress(gzipped, maxBytes))
+
+  def decompressToString(gzipped: Array[Byte]): UTF8String =
+    decompressToString(gzipped, Long.MaxValue)
+
+  def decompressToStringOrNull(gzipped: Array[Byte], maxBytes: Long): UTF8String = {
+    val b = decompressOrNull(gzipped, maxBytes)
     if (b == null) null else UTF8String.fromBytes(b)
   }
+
+  def decompressToStringOrNull(gzipped: Array[Byte]): UTF8String =
+    decompressToStringOrNull(gzipped, Long.MaxValue)
 
   def compressString(s: UTF8String): Array[Byte] = compress(s.getBytes)
 }
@@ -79,10 +104,12 @@ abstract class GzipUnaryExpression extends UnaryExpression with ImplicitCastInpu
   protected def staticMethod: String
   /** true when `staticMethod` maps corrupt input to null (failOnError=false) */
   protected def lenient: Boolean = false
+  /** extra literal arguments appended to the static call (e.g. maxBytes) */
+  protected def extraArgs: String = ""
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     if (!lenient) {
-      defineCodeGen(ctx, ev, c => s"graft.functions.GzipCodec.$staticMethod($c)")
+      defineCodeGen(ctx, ev, c => s"graft.functions.GzipCodec.$staticMethod($c$extraArgs)")
     } else {
       // defineCodeGen never re-checks ev.isNull after the call, so a
       // null-on-corrupt result would flow through whole-stage codegen as a
@@ -90,25 +117,30 @@ abstract class GzipUnaryExpression extends UnaryExpression with ImplicitCastInpu
       // isNull from the returned value explicitly.
       nullSafeCodeGen(ctx, ev, c =>
         s"""
-           |${ev.value} = graft.functions.GzipCodec.$staticMethod($c);
+           |${ev.value} = graft.functions.GzipCodec.$staticMethod($c$extraArgs);
            |${ev.isNull} = ${ev.value} == null;
          """.stripMargin)
     }
 }
 
 /** gzip-decompress: binary → binary. failOnError=true mirrors the
-  * reference's abort-on-corrupt-row semantics. */
-case class GzipDecompress(child: Expression, failOnError: Boolean = true)
+  * reference's abort-on-corrupt-row semantics; `maxBytes` bounds the
+  * inflated size (strict → throw, lenient → null, like corrupt input). */
+case class GzipDecompress(
+    child: Expression,
+    failOnError: Boolean = true,
+    maxBytes: Long = Long.MaxValue)
     extends GzipUnaryExpression {
   override def dataType: DataType = BinaryType
   override protected def staticMethod: String =
     if (failOnError) "decompress" else "decompressOrNull"
   override protected def lenient: Boolean = !failOnError
+  override protected def extraArgs: String = s", ${maxBytes}L"
   override def nullable: Boolean = child.nullable || !failOnError
   override protected def nullSafeEval(v: Any): Any = {
     val r =
-      if (failOnError) GzipCodec.decompress(v.asInstanceOf[Array[Byte]])
-      else GzipCodec.decompressOrNull(v.asInstanceOf[Array[Byte]])
+      if (failOnError) GzipCodec.decompress(v.asInstanceOf[Array[Byte]], maxBytes)
+      else GzipCodec.decompressOrNull(v.asInstanceOf[Array[Byte]], maxBytes)
     r
   }
   override def prettyName: String = "gunzip"
@@ -117,16 +149,20 @@ case class GzipDecompress(child: Expression, failOnError: Boolean = true)
 
 /** gzip-decompress + UTF-8 decode in one expression: binary → string.
   * Fuses the reference's T1+T2 (GzipUtil.gzipDecompString). */
-case class GzipDecompressToString(child: Expression, failOnError: Boolean = true)
+case class GzipDecompressToString(
+    child: Expression,
+    failOnError: Boolean = true,
+    maxBytes: Long = Long.MaxValue)
     extends GzipUnaryExpression {
   override def dataType: DataType = StringType
   override protected def staticMethod: String =
     if (failOnError) "decompressToString" else "decompressToStringOrNull"
   override protected def lenient: Boolean = !failOnError
+  override protected def extraArgs: String = s", ${maxBytes}L"
   override def nullable: Boolean = child.nullable || !failOnError
   override protected def nullSafeEval(v: Any): Any =
-    if (failOnError) GzipCodec.decompressToString(v.asInstanceOf[Array[Byte]])
-    else GzipCodec.decompressToStringOrNull(v.asInstanceOf[Array[Byte]])
+    if (failOnError) GzipCodec.decompressToString(v.asInstanceOf[Array[Byte]], maxBytes)
+    else GzipCodec.decompressToStringOrNull(v.asInstanceOf[Array[Byte]], maxBytes)
   override def prettyName: String = "gunzip_string"
   override protected def withNewChildInternal(c: Expression): GzipDecompressToString = copy(child = c)
 }

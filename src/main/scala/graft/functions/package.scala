@@ -13,13 +13,17 @@ package object functions {
   private[graft] def expr(c: Column): Expression = CatalystBridge.expression(c)
   private[graft] def col(e: Expression): Column = CatalystBridge.column(e)
 
-  /** gzip-decompress a binary column (reference T1). */
-  def gunzip(c: Column, failOnError: Boolean = true): Column =
-    col(GzipDecompress(expr(c), failOnError))
+  /** gzip-decompress a binary column (reference T1). `maxBytes` bounds
+    * the inflated size — strict mode throws past it, lenient nulls
+    * (one hostile high-ratio payload must not kill an executor). */
+  def gunzip(c: Column, failOnError: Boolean = true,
+      maxBytes: Long = Long.MaxValue): Column =
+    col(GzipDecompress(expr(c), failOnError, maxBytes))
 
   /** gzip-decompress + UTF-8 decode (reference T1+T2 fused). */
-  def gunzip_string(c: Column, failOnError: Boolean = true): Column =
-    col(GzipDecompressToString(expr(c), failOnError))
+  def gunzip_string(c: Column, failOnError: Boolean = true,
+      maxBytes: Long = Long.MaxValue): Column =
+    col(GzipDecompressToString(expr(c), failOnError, maxBytes))
 
   /** gzip-compress a binary column (reference W1 ingest). */
   def gzip(c: Column): Column = col(GzipCompress(expr(c)))

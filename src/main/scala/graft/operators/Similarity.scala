@@ -274,6 +274,36 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /**
+   * Recall@k telemetry: per query, how many of the EXACT top-k neighbors
+   * the approximate index recovered — the acceptance metric for tuning
+   * nBits/probeRadius/nCells/nProbe, registered as a first-class query
+   * surface (the analog of the reference's external-engine artifact
+   * checks, README.md:123-128: the engine itself reports the number a
+   * user would otherwise have to join by hand).
+   *
+   * Scale shape: both inputs are per-query top-k results (queries × k
+   * rows — bounded, nothing corpus-sized), so the semi-join and count
+   * are trivial; the cost is producing the two inputs, which is the
+   * point of the measurement.
+   *
+   * @param approx (query_id, neighbor_id, …) from an ANN method
+   * @param exact  (query_id, neighbor_id, …) from [[bruteForceTopK]]
+   * @return (query_id, hits, k_exact, recall) ordered by query_id
+   */
+  def recallAtK(approx: DataFrame, exact: DataFrame): DataFrame = {
+    val e = exact.select(col("query_id"), col("neighbor_id"))
+    val a = approx.select(col("query_id"), col("neighbor_id"))
+    val perQuery = e.groupBy(col("query_id")).agg(count(lit(1)).as("k_exact"))
+    val hits = e.join(a, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
+    perQuery.join(hits, Seq("query_id"), "left")
+      .withColumn("hits", coalesce(col("hits"), lit(0L)))
+      .withColumn("recall", col("hits").cast("double") / col("k_exact"))
+      .select(col("query_id"), col("hits"), col("k_exact"), col("recall"))
+      .orderBy(col("query_id"))
+  }
+
   /** Embedding near-duplicate pairs: all (a < b) pairs with cosine above
     * `threshold`, bucketed by LSH to avoid the full cross join. */
   def embeddingNearDupPairs(

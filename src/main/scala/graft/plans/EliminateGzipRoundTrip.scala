@@ -27,7 +27,12 @@ import graft.functions.{GzipCompress, GzipCompressString, GzipDecompress, GzipDe
 object EliminateGzipRoundTrip extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
-      case GzipDecompressToString(GzipCompressString(child), _) => child
-      case GzipDecompress(GzipCompress(child), _) => child
+      // only when the inflate is unbounded: a maxBytes-guarded decompress
+      // can throw/null on oversized payloads, so eliminating it would
+      // change semantics for exactly the rows the guard exists to catch
+      case GzipDecompressToString(GzipCompressString(child), _, mb)
+          if mb == Long.MaxValue => child
+      case GzipDecompress(GzipCompress(child), _, mb)
+          if mb == Long.MaxValue => child
     }
 }

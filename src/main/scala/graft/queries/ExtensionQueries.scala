@@ -134,6 +134,28 @@ object ExtensionQueries extends QueryFamily {
       .select(col("query_id"), col("rank"), col("neighbor_id"))
   }
 
+  /** ANN recall telemetry: LSH top-k joined to the exact brute-force
+    * top-k per query — the recall@k a user tunes nBits/probeRadius
+    * against. Rows-only (the approx side is a custom hash kernel) +
+    * SimilaritySpec recall floor. */
+  def simRecallLsh(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < 5)
+    Similarity.recallAtK(
+      Similarity.lshTopK(emb, queries, "vec_id", "embedding", k = 10, nBits = 4),
+      Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 10))
+  }
+
+  /** Same recall surface for the IVF index (tunes nCells/nProbe). */
+  def simRecallIvf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < 5)
+    Similarity.recallAtK(
+      Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+        k = 10, nCells = 16, nProbe = 4),
+      Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 10))
+  }
+
   /** Embedding k-means (semantic grouping) — custom float kernel,
     * rows-only + planted-cluster spec (ClusteringSpec). */
   def embedKmeans(spark: SparkSession, dir: String): DataFrame =
@@ -473,6 +495,8 @@ object ExtensionQueries extends QueryFamily {
     "sim_topk_pq" -> (simTopkPq _),
     "sim_topk_ivfpq" -> (simTopkIvfPq _),
     "sim_neardup" -> (simNearDup _),
+    "sim_recall_lsh" -> (simRecallLsh _),
+    "sim_recall_ivf" -> (simRecallIvf _),
     "embed_kmeans" -> (embedKmeans _),
     "embed_kmeans_par" -> (embedKmeansPar _),
     "embed_quantize" -> (embedQuantize _),

@@ -50,6 +50,29 @@ class GzipSpec extends SparkSpec {
     assert(lenient.head.isNullAt(0))
   }
 
+  test("maxBytes bounds the inflated size: strict throws, lenient nulls, under-limit unaffected") {
+    // ~1000:1 ratio payload: 8 MiB of zeros gzips to ~8 KiB — the shape of
+    // a decompression bomb a 100 TB third-party corpus will contain
+    val bomb = GzipCodec.compress(new Array[Byte](8 * 1024 * 1024))
+    assert(bomb.length < 64 * 1024)
+    // kernel level
+    intercept[java.io.IOException] { GzipCodec.decompress(bomb, 1024L * 1024) }
+    assert(GzipCodec.decompressOrNull(bomb, 1024L * 1024) == null)
+    assert(GzipCodec.decompress(bomb, 16L * 1024 * 1024).length == 8 * 1024 * 1024)
+    // column level, through a real scan so codegen carries the limit
+    val dir = java.nio.file.Files.createTempDirectory("graft-gz-bomb").toString
+    val small = GzipCodec.compress("ok".getBytes("UTF-8"))
+    Seq(bomb, small).toDF("gz").write.mode("overwrite").parquet(dir)
+    val scanned = spark.read.parquet(dir)
+    intercept[Exception] { // SparkException from the failing task
+      scanned.select(gunzip(col("gz"), maxBytes = 1024L * 1024)).collect()
+    }
+    val lenient = scanned
+      .select(gunzip_string(col("gz"), failOnError = false, maxBytes = 1024L * 1024).as("rt"))
+      .collect().map(r => Option(r.getString(0)))
+    assert(lenient.toSet == Set(Some("ok"), None))
+  }
+
   test("lenient gunzip inside WholeStageCodegen: corrupt → null, not NPE") {
     // LocalRelation inputs are folded by ConvertToLocalRelation and never
     // exercise codegen — round 1's lenient-mode codegen bug (isNull never

@@ -81,6 +81,24 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.3, s"IVF recall too low: $recall") // 4/16 cells probed ⇒ 25% random baseline
   }
 
+  test("recallAtK reports per-query hits/k and pins the fixture recall floor") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter($"vec_id" < 10)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
+    // exact vs itself: recall is exactly 1.0 for every query
+    val self = Similarity.recallAtK(exact, exact)
+      .select("recall").as[Double].collect()
+    assert(self.length == 10 && self.forall(_ == 1.0))
+    // LSH vs exact: mean recall must clear the same floor the set-based
+    // test pins (16 buckets ⇒ ~6% random baseline)
+    val lsh = Similarity.lshTopK(emb, queries, "vec_id", "embedding", k = 5, nBits = 4)
+    val r = Similarity.recallAtK(lsh, exact)
+    val rows = r.collect()
+    assert(rows.map(_.getLong(2)).forall(_ == 5L)) // k_exact = k for every query
+    val mean = rows.map(_.getDouble(3)).sum / rows.length
+    assert(mean >= 0.3, s"LSH mean recall too low: $mean")
+  }
+
   test("near-dup pairs: planted duplicate vector found at high threshold") {
     val emb = Seq(
       (0L, Seq(1f, 0.5f, 0.25f, 0f)),
