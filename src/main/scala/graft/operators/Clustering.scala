@@ -128,6 +128,92 @@ object Clustering {
     } finally v.unpersist()
   }
 
+  /** Driver-side Lloyd over an in-memory point set: farthest-first
+    * seeding from the first point, then `iters` assign/mean rounds —
+    * deterministic (fixed iteration order, double accumulation). Used on
+    * HASH-ORDERED SAMPLES a few thousand points long, where a Spark job
+    * per iteration would be pure scheduling overhead. */
+  private[operators] def lloydOnPoints(
+      pts: Array[IndexedSeq[Float]],
+      k: Int,
+      iters: Int): Seq[Seq[Float]] = {
+    require(pts.nonEmpty, "empty sample — nothing to cluster")
+    def d2(a: IndexedSeq[Float], b: IndexedSeq[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i).toDouble - b(i); s += d * d; i += 1 }
+      s
+    }
+    var cents = Vector(pts.head)
+    while (cents.length < k) {
+      // argmax distance-to-seed-set; ties (incl. fewer distinct points
+      // than k → duplicate centroids) take the first, which is harmless:
+      // argmin assignment ties to the lower index, duplicates sit empty
+      cents = cents :+ pts.maxBy(p => cents.iterator.map(c => d2(p, c)).min)
+    }
+    for (_ <- 1 to iters) {
+      val sums = Array.fill(cents.length)(new Array[Double](pts.head.length))
+      val counts = new Array[Long](cents.length)
+      pts.foreach { p =>
+        var best = 0; var bestD = Double.PositiveInfinity
+        var c = 0
+        while (c < cents.length) {
+          val d = d2(p, cents(c)); if (d < bestD) { bestD = d; best = c }; c += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < p.length) { sums(best)(i) += p(i); i += 1 }
+      }
+      cents = cents.zipWithIndex.map { case (old, c) =>
+        if (counts(c) == 0) old // empty cluster keeps its centroid
+        else sums(c).map(s => (s / counts(c)).toFloat).toIndexedSeq
+      }
+    }
+    cents.map(_.toSeq)
+  }
+
+  /** One deterministic hash-ordered sample of `sampleN` vectors — the
+    * shared sampling contract of every sampled trainer here (content-
+    * independent, reproducible, one TakeOrdered pass, no full shuffle). */
+  private[operators] def hashSample(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      sampleN: Int): Array[IndexedSeq[Float]] =
+    df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .orderBy(xxhash64(col("id")).asc, col("id").asc)
+      .limit(sampleN)
+      .select(col("v")).collect()
+      .map(_.getSeq[Float](0).toIndexedSeq)
+
+  /**
+   * Sample-trained centroids — the INDEX-TRAINING scale path. The full-
+   * corpus [[kmeansCentroids]] is the right contract when the output IS
+   * the clustering of every row (`embed_kmeans`); a quantizer (IVF
+   * cells, PQ codebooks) only needs centroids representative of the
+   * DISTRIBUTION, and at 100 TB nobody Lloyd-iterates the corpus for
+   * that — production ANN indexes (the faiss train/add split) fit on a
+   * bounded sample and touch the corpus exactly twice: once to draw the
+   * sample, once to encode. This method is that contract: ONE
+   * TakeOrdered pass draws `sampleN` hash-ordered vectors (deterministic,
+   * content-independent, no full shuffle — per-partition top-N then a
+   * driver merge), Lloyd runs on the driver in microseconds, and the
+   * returned centroids ship back as a broadcast literal.
+   *
+   * Driver state is sampleN × dim floats — bounded by the PARAMETER, not
+   * the data, same contract as the collected codebooks themselves.
+   */
+  def kmeansCentroidsSampled(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int = 10,
+      sampleN: Int = 4096): Seq[Seq[Float]] = {
+    require(k >= 1, s"k must be positive: $k")
+    require(sampleN >= k, s"sampleN ($sampleN) must be >= k ($k)")
+    lloydOnPoints(hashSample(df, idCol, vecCol, sampleN), k, iters)
+  }
+
   /**
    * The Lloyd's fit alone — final centroids, no assignment pass. What
    * [[kmeans]] runs before assigning, and what

@@ -65,6 +65,15 @@ object Quantize {
    * m·codebookSize·(d/m) = codebookSize·d rows of model state. Total:
    * 1 + iters corpus passes regardless of m, plus the one-pass encode.
    *
+   * `trainSampleN > 0` switches to SAMPLE-TRAINED codebooks — the
+   * 100 TB index-training contract (see
+   * [[Clustering.kmeansCentroidsSampled]]): one hash-ordered TakeOrdered
+   * pass collects `trainSampleN` vectors, every subspace's Lloyd runs on
+   * the driver, and the only other corpus touch is the one-pass encode.
+   * Corpus passes: 2, independent of m AND iters. Full-corpus training
+   * (`trainSampleN = 0`, the default) remains for callers whose corpus
+   * is itself sample-sized.
+   *
    * @return (codebooks, encoded) — codebooks(j)(c) is subspace j's
    *         centroid c; encoded is (`vec_id`, `codes` array<int>)
    */
@@ -74,10 +83,30 @@ object Quantize {
       vecCol: String,
       m: Int,
       codebookSize: Int = 16,
-      iters: Int = 3): (Seq[Seq[Seq[Float]]], DataFrame) = {
+      iters: Int = 3,
+      trainSampleN: Int = 0): (Seq[Seq[Seq[Float]]], DataFrame) = {
     require(m >= 1, s"m must be positive: $m")
     require(codebookSize >= 2, s"codebookSize must be >= 2: $codebookSize")
     require(iters >= 1, s"iters must be positive: $iters")
+
+    if (trainSampleN > 0) {
+      val sample = Clustering.hashSample(df, idCol, vecCol, trainSampleN)
+      require(sample.nonEmpty, "input is empty — nothing to quantize")
+      val dim = sample.head.length
+      require(dim % m == 0, s"m ($m) must divide the vector dim ($dim)")
+      val sub = dim / m
+      val books: Seq[Seq[Seq[Float]]] = (0 until m).map { j =>
+        Clustering.lloydOnPoints(
+          sample.map(_.slice(j * sub, (j + 1) * sub)), codebookSize, iters)
+      }
+      val codes = (0 until m).map { j =>
+        Clustering.assignCol(
+          slice(col(vecCol), j * sub + 1, sub), typedLit(books(j)))
+      }
+      return (books, df.select(col(idCol).cast("long").as("vec_id"),
+        array(codes: _*).as("codes")))
+    }
+
     val v = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v")).persist()
     try {
       val dim = v.select(size(col("v"))).head.getInt(0)

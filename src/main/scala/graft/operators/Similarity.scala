@@ -180,9 +180,9 @@ object Similarity {
 
   /**
    * IVF-PQ — the composed production ANN index (Jégou et al., TPAMI'11
-   * §V; the faiss `IndexIVFPQ` layout): a k-means|| coarse quantizer
-   * assigns each vector to a cell, and the RESIDUAL (vector − cell
-   * centroid) is product-quantized to m codes. The stored corpus is
+   * §V; the faiss `IndexIVFPQ` layout): a sample-trained coarse
+   * quantizer assigns each vector to a cell, and the RESIDUAL (vector −
+   * cell centroid) is product-quantized to m codes. The stored corpus is
    * (cell, m codes) — the same ~32× compression as flat PQ — while the
    * query probes only its `nProbe` nearest cells, pruning
    * ~nCells/nProbe of even that compressed scan. Search ranks by ADC
@@ -203,9 +203,19 @@ object Similarity {
       nCells: Int = 16,
       nProbe: Int = 4,
       m: Int = 8,
-      codebookSize: Int = 16): DataFrame = {
-    val cellCents = Clustering.kmeansCentroids(
-      corpus, idCol, vecCol, nCells, iters = 3, init = "parallel")
+      codebookSize: Int = 16,
+      trainSampleN: Int = 4096): DataFrame = {
+    // trainSampleN > 0 (default): faiss-style train/add split — coarse
+    // quantizer AND codebooks fit on one bounded hash-ordered sample,
+    // driver-side; the corpus is touched once to draw the sample and
+    // once to encode. 0 falls back to distributed k-means||+Lloyd, for
+    // corpora that are themselves sample-sized.
+    val cellCents =
+      if (trainSampleN > 0)
+        Clustering.kmeansCentroidsSampled(
+          corpus, idCol, vecCol, nCells, iters = 5, sampleN = trainSampleN)
+      else Clustering.kmeansCentroids(
+        corpus, idCol, vecCol, nCells, iters = 3, init = "parallel")
     val nc = cellCents.length
     val dim = cellCents.head.length
     require(dim % m == 0, s"m ($m) must divide the vector dim ($dim)")
@@ -233,7 +243,8 @@ object Similarity {
       .withColumn("res", residual(col("v"), col("cell")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val (codebooks, _) = Quantize.productQuantize(
-      withCell, "vec_id", "res", m, codebookSize)
+      withCell, "vec_id", "res", m, codebookSize, iters = 3,
+      trainSampleN = trainSampleN)
     val codes = (0 until m).map { j =>
       Clustering.assignCol(slice(col("res"), j * sub + 1, sub),
         typedLit(codebooks(j)))

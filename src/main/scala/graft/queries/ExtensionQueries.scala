@@ -129,7 +129,8 @@ object ExtensionQueries extends QueryFamily {
     val emb = Tables.embeddings(spark, dir)
     val queries = emb.filter(col("vec_id") < 5)
     val (codebooks, encoded) = graft.operators.Quantize.productQuantize(
-      emb, "vec_id", "embedding", m = 8, codebookSize = 16, iters = 2)
+      emb, "vec_id", "embedding", m = 8, codebookSize = 16, iters = 4,
+      trainSampleN = 4096)
     Similarity.pqTopK(encoded, queries, codebooks, "vec_id", "embedding", k = 10)
       .select(col("query_id"), col("rank"), col("neighbor_id"))
   }

@@ -83,6 +83,45 @@ class QuantizeSpec extends SparkSpec {
     assert(all.groupBy(_._1).forall(_._2.length == 5))
   }
 
+  test("sample-trained codebooks (trainSampleN) recover planted clusters deterministically") {
+    val rows = for { c <- 0 until 3; m <- 0 until 20 } yield {
+      val vec = Array.fill(8)(0.0f)
+      vec(c) = 10.0f * (c + 1)
+      vec((c + m) % 8) += (m % 5) * 0.1f
+      (c * 100L + m, vec.toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    // sample smaller than the corpus: training must still see all 3 modes
+    val (books, encoded) = Quantize.productQuantize(
+      df, "vec_id", "embedding", m = 2, codebookSize = 4, iters = 3, trainSampleN = 40)
+    assert(books.length == 2 && books.forall(_.forall(_.length == 4)))
+    val codes = encoded.as[(Long, Seq[Int])].collect().toMap
+    assert(codes.size == 60)
+    assert(codes.values.forall(cs => cs.length == 2 && cs.forall(c => c >= 0 && c < 4)))
+    val (again, _) = Quantize.productQuantize(
+      df, "vec_id", "embedding", m = 2, codebookSize = 4, iters = 3, trainSampleN = 40)
+    assert(again == books) // hash-ordered sample ⇒ deterministic training
+    // ADC over sample-trained codebooks still keeps queries in-cluster
+    val queries = df.filter($"vec_id".isin(0L, 100L, 200L))
+    val top = Similarity.pqTopK(encoded, queries, books, "vec_id", "embedding", k = 5)
+      .as[(Long, Long, Long, Double)].collect()
+    top.foreach { case (q, _, n, _) =>
+      assert(q / 100 == n / 100, s"query $q pulled neighbor $n from another cluster")
+    }
+    // sampled coarse quantizer: members of each planted cluster land in
+    // one cell, distinct across clusters
+    val cents = Clustering.kmeansCentroidsSampled(
+      df, "vec_id", "embedding", k = 3, iters = 5, sampleN = 40)
+    assert(cents.length == 3)
+    import org.apache.spark.sql.functions.{col, typedLit}
+    val assigned = df
+      .withColumn("cell", graft.functions.argmin_l2(col("embedding"), typedLit(cents)))
+      .select($"vec_id", $"cell").as[(Long, Int)].collect()
+    val byCluster = assigned.groupBy(_._1 / 100).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byCluster.values.forall(_.size == 1), s"cluster split across cells: $byCluster")
+    assert(byCluster.values.flatten.toSet.size == 3)
+  }
+
   test("quantization preserves per-dimension order") {
     val df = (1L to 30L).map(i => (i, Seq(i * 0.37f, 100.0f - i)))
       .toDF("vec_id", "embedding")
