@@ -347,6 +347,55 @@ object Similarity {
   }
 
   /**
+   * Semantic deduplication (the SemDeDup recipe — Abbas et al., 2023,
+   * arXiv:2303.09540: embedding-space duplicate pruning for web-scale
+   * pretraining data): cluster the corpus with a SAMPLE-TRAINED k-means
+   * quantizer, confine candidate pairs to clusters, keep one survivor
+   * (min id) per cosine-connected group. Catches paraphrase-level
+   * duplicates that no lexical (minhash/simhash) family can see.
+   *
+   * Scale shape: centroids are bounded driver-trained model state
+   * ([[Clustering.kmeansCentroidsSampled]] — one TakeOrdered pass);
+   * cluster assignment is one corpus scan with the codegen'd
+   * `argmin_l2` kernel; the self-join is per-cluster, never global,
+   * with the same oversized-bucket guard as
+   * [[embeddingNearDupPairs]]; connected components run on the
+   * candidate-PAIR graph, which is duplicate-sized, not corpus-sized.
+   * At 100 TB: k scales with corpus size (clusters stay ~constant),
+   * so the per-cluster quadratic term is bounded by design.
+   *
+   * @return the deduplicated corpus (survivors, original schema)
+   */
+  def semanticDedup(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int = 16,
+      threshold: Double = 0.95,
+      trainSampleN: Int = 4096,
+      maxCluster: Int = 100000,
+      maxIter: Int = 20): DataFrame = {
+    val cents = Clustering.kmeansCentroidsSampled(
+      corpus, idCol, vecCol, k, iters = 5, sampleN = trainSampleN)
+    val cc = typedLit(cents)
+    val v0 = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("cl", graft.functions.argmin_l2(col("v"), cc))
+    val big = v0.groupBy(col("cl")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxCluster).select(col("cl"))
+    val v = v0.join(broadcast(big), Seq("cl"), "left_anti")
+    val a = v.select(col("cl"), col("id").as("id_a"), col("v").as("va"))
+    val b = v.select(col("cl"), col("id").as("id_b"), col("v").as("vb"))
+    val edges = a.join(b, Seq("cl"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(cosine_similarity(col("va"), col("vb")) >= threshold)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    val losers = Components.connectedComponents(edges, maxIter)
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as("__loser"))
+    corpus.join(losers, corpus(idCol) === col("__loser"), "left_anti")
+  }
+
+  /**
    * Approximate top-k over a PQ-ENCODED corpus by asymmetric distance
    * (ADC — Jégou et al., TPAMI'11): queries keep full precision, the
    * corpus is only its m codes, and the distance is

@@ -157,6 +157,44 @@ object ExtensionQueries extends QueryFamily {
       Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 10))
   }
 
+  /** Recall of the PQ-compressed index (tunes m/codebookSize — the
+    * compression-vs-recall dial). */
+  def simRecallPq(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < 5)
+    val (codebooks, encoded) = graft.operators.Quantize.productQuantize(
+      emb, "vec_id", "embedding", m = 8, codebookSize = 16, iters = 4,
+      trainSampleN = 4096)
+    Similarity.recallAtK(
+      Similarity.pqTopK(encoded, queries, codebooks, "vec_id", "embedding", k = 10),
+      Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 10))
+  }
+
+  /** Recall of the composed IVF-PQ index (the production serving path —
+    * probing loss and quantization loss measured together). */
+  def simRecallIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < 5)
+    Similarity.recallAtK(
+      Similarity.ivfPqTopK(emb, queries, "vec_id", "embedding",
+        k = 10, nCells = 16, nProbe = 4, m = 8, codebookSize = 16),
+      Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 10))
+  }
+
+  /** Semantic (embedding-space) dedup — the SemDeDup recipe: sampled
+    * k-means clusters confine cosine candidate pairs, connected groups
+    * collapse to their min-id survivor. Rows-only (custom float kernel)
+    * + SimilaritySpec planted paraphrase-pair coverage. */
+  def simSemanticDedup(spark: SparkSession, dir: String): DataFrame =
+    Similarity.semanticDedup(
+      Tables.embeddings(spark, dir), "vec_id", "embedding",
+      // the synthetic fixture has no true paraphrase pairs at production
+      // thresholds (~0.95+); 0.4 matches sim_neardup's fixture-specific
+      // threshold so the removal path actually runs here
+      k = 16, threshold = 0.4)
+      .select(col("vec_id"))
+      .orderBy(col("vec_id"))
+
   /** Embedding k-means (semantic grouping) — custom float kernel,
     * rows-only + planted-cluster spec (ClusteringSpec). */
   def embedKmeans(spark: SparkSession, dir: String): DataFrame =
@@ -498,6 +536,9 @@ object ExtensionQueries extends QueryFamily {
     "sim_neardup" -> (simNearDup _),
     "sim_recall_lsh" -> (simRecallLsh _),
     "sim_recall_ivf" -> (simRecallIvf _),
+    "sim_recall_pq" -> (simRecallPq _),
+    "sim_recall_ivfpq" -> (simRecallIvfPq _),
+    "sim_semantic_dedup" -> (simSemanticDedup _),
     "embed_kmeans" -> (embedKmeans _),
     "embed_kmeans_par" -> (embedKmeansPar _),
     "embed_quantize" -> (embedQuantize _),

@@ -99,6 +99,20 @@ class SimilaritySpec extends SparkSpec {
     assert(mean >= 0.3, s"LSH mean recall too low: $mean")
   }
 
+  test("semanticDedup: transitive paraphrase chain collapses to its min id, distinct rows survive") {
+    val emb = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)),
+      (1L, Seq(0.999f, 0.001f, 0f, 0f)), // near-dup of 0
+      (2L, Seq(0.998f, 0.002f, 0f, 0f)), // near-dup of 1 → chain {0,1,2}
+      (3L, Seq(0f, 1f, 0f, 0f)),
+      (4L, Seq(0f, 0f, 1f, 0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedup(emb, "vec_id", "embedding",
+      k = 2, threshold = 0.999, trainSampleN = 5)
+      .select("vec_id").as[Long].collect().toSet
+    assert(out == Set(0L, 3L, 4L), s"survivors: $out")
+  }
+
   test("near-dup pairs: planted duplicate vector found at high threshold") {
     val emb = Seq(
       (0L, Seq(1f, 0.5f, 0.25f, 0f)),
