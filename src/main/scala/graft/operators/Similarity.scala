@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{argmax_dot, cosine_similarity, dot_product, hyperplane_bucket, l2_distance}
+import graft.functions.{cosine_similarity, hyperplane_bucket, l2_distance}
 
 /**
  * Similarity search over embedding columns (`array<float>`; SURVEY §2.3).
@@ -115,17 +115,20 @@ object Similarity {
   /**
    * IVF-flat approximate top-k: the other classic ANN scale path.
    *
-   * Coarse quantizer: `nCells` centroids picked deterministically from the
-   * corpus (rows with the smallest `mix64(id)` — reproducible reservoir
-   * analog; real IVF would k-means-refine, but cell *assignment* mechanics
-   * and probe routing are identical). Collecting the centroids to the
-   * driver is bounded model state (nCells × dim floats), not data — every
-   * IVF implementation ships its coarse quantizer to all workers.
+   * Coarse quantizer: `nCells` k-means centroids trained on one bounded
+   * hash-ordered sample ([[Clustering.kmeansCentroidsSampled]] — the
+   * faiss train/add split; same single TakeOrdered corpus pass a naive
+   * row pick would cost, but the cells track the density modes, which is
+   * what makes nProbe/nCells an honest recall dial). Collecting the
+   * centroids to the driver is bounded model state (nCells × dim
+   * floats), not data — every IVF implementation ships its coarse
+   * quantizer to all workers.
    *
-   * Index side: each corpus vector is assigned to its best cell by max
-   * inner product — one broadcast table scan, no shuffle. Query side: each
-   * query probes its `nProbe` best cells; exact cosine re-rank happens only
-   * inside probed cells, cutting compared pairs by ~nCells/nProbe.
+   * Index side: each corpus vector is assigned to its L2-nearest cell —
+   * one broadcast table scan with the codegen'd `argmin_l2` kernel, no
+   * shuffle. Query side: each query probes its `nProbe` nearest cells;
+   * exact cosine re-rank happens only inside probed cells, cutting
+   * compared pairs by ~nCells/nProbe.
    */
   def ivfTopK(
       corpus: DataFrame,
@@ -134,34 +137,31 @@ object Similarity {
       vecCol: String,
       k: Int = 10,
       nCells: Int = 16,
-      nProbe: Int = 4): DataFrame = {
-    val cents = corpus
-      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
-      .orderBy(xxhash64(col("id")).asc, col("id").asc) // deterministic pseudo-random pick
-      .limit(nCells)
-      .collect()
-      .map(r => r.getSeq[Float](1))
-    require(cents.nonEmpty, "corpus is empty — cannot build IVF cells")
-    val centsCol = typedLit(cents.toSeq)
+      nProbe: Int = 4,
+      trainSampleN: Int = 4096): DataFrame = {
+    val cents = Clustering.kmeansCentroidsSampled(
+      corpus, idCol, vecCol, nCells, iters = 5, sampleN = trainSampleN)
+    val centsCol = typedLit(cents)
     val nc = cents.length
 
     // query-side ONLY: full cell ranking for nProbe enumeration — the tiny
     // broadcast side, where the interpreted HOF is fine. Ties → lowest cell
-    // idx (the negidx trick), matching argmax_dot's tie-break.
+    // idx (the negidx trick), matching argmin_l2's tie-break.
     def bestCells(vec: org.apache.spark.sql.Column) =
       sort_array(
         zip_with(centsCol, sequence(lit(0), lit(nc - 1)),
-          (cent, idx) => struct(dot_product(vec, cent).as("s"), (-idx).cast("int").as("negidx"))),
-        asc = false)
+          (cent, idx) =>
+            struct(l2_distance(vec, cent).as("d"), idx.cast("int").as("i"))),
+        asc = true)
 
-    // corpus side: one codegen'd argmax kernel call per row — no k-struct
+    // corpus side: one codegen'd argmin kernel call per row — no k-struct
     // allocation, no interpreter boundary on the scan that dominates
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-      .withColumn("cell", argmax_dot(col("cv"), centsCol))
+      .withColumn("cell", graft.functions.argmin_l2(col("cv"), centsCol))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("cell",
         explode(transform(slice(bestCells(col("qv")), 1, math.min(nProbe, nc)),
-          s => minus(s.getField("negidx")))))
+          s => s.getField("i"))))
 
     val scored = c.join(broadcast(q), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
@@ -174,9 +174,6 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("score"))
       .orderBy(col("query_id"), col("rank"))
   }
-
-  private def minus(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    (c * -1).cast("int")
 
   /**
    * IVF-PQ — the composed production ANN index (Jégou et al., TPAMI'11
@@ -344,6 +341,48 @@ object Similarity {
       .filter(col("score") >= threshold)
       .select(col("id_a"), col("id_b"), col("score"))
       .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /**
+   * Incremental embedding-space admission — the semantic analog of
+   * [[Dedup.admitNewNearDup]]'s lexical band check: an incoming batch
+   * row is admitted only if NO existing-corpus vector in its LSH bucket
+   * matches at cosine ≥ `threshold`. This is the continuous-ingest
+   * counterpart of [[semanticDedup]] (which dedups a static corpus):
+   * the standing corpus publishes its bucketed vectors once; every new
+   * batch buckets with the SAME seeded planes and checks only its
+   * collisions. Recall is the LSH contract (a near-dup hashing to a
+   * different bucket slips through — tune nBits down / re-run
+   * semanticDedup periodically to catch stragglers).
+   *
+   * Scale shape: both sides bucket via the codegen'd kernel (one scan
+   * each, no corpus shuffle); the incoming BATCH is the small side and
+   * broadcasts, so the standing corpus is never repartitioned; the
+   * final anti-join keys are batch-sized.
+   *
+   * @return the admitted subset of `incoming` (original schema)
+   */
+  def admitNewEmbeddings(
+      incoming: DataFrame,
+      existing: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double = 0.95,
+      nBits: Int = 8,
+      dim: Int = 64,
+      seed: Long = 42L): DataFrame = {
+    val ps = planes(nBits, dim, seed)
+    val planesCol = typedLit(ps.map(_.toSeq).toSeq)
+    val inc = incoming
+      .select(col(idCol).as("__in_id"), col(vecCol).as("__in_v"))
+      .withColumn("bucket", bucketCol(col("__in_v"), planesCol))
+    val ex = existing.select(col(vecCol).as("__ex_v"))
+      .withColumn("bucket", bucketCol(col("__ex_v"), planesCol))
+    val rejected = ex.join(broadcast(inc), Seq("bucket"))
+      .filter(cosine_similarity(col("__in_v"), col("__ex_v")) >= threshold)
+      .select(col("__in_id")).distinct()
+    incoming.join(broadcast(rejected),
+      incoming(idCol) === rejected("__in_id"), "left_anti")
   }
 
   /**

@@ -181,6 +181,19 @@ object ExtensionQueries extends QueryFamily {
       Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 10))
   }
 
+  /** Incremental embedding-space admission: even vec_ids play the
+    * standing corpus, odd ones the incoming batch — the semantic
+    * counterpart of corpus_increment_neardup. Rows-only + spec. */
+  def corpusIncrementEmbed(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.admitNewEmbeddings(
+      emb.filter(col("vec_id") % 2 === 1),
+      emb.filter(col("vec_id") % 2 === 0),
+      "vec_id", "embedding", threshold = 0.4, nBits = 4)
+      .select(col("vec_id"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Semantic (embedding-space) dedup — the SemDeDup recipe: sampled
     * k-means clusters confine cosine candidate pairs, connected groups
     * collapse to their min-id survivor. Rows-only (custom float kernel)
@@ -539,6 +552,7 @@ object ExtensionQueries extends QueryFamily {
     "sim_recall_pq" -> (simRecallPq _),
     "sim_recall_ivfpq" -> (simRecallIvfPq _),
     "sim_semantic_dedup" -> (simSemanticDedup _),
+    "corpus_increment_embed" -> (corpusIncrementEmbed _),
     "embed_kmeans" -> (embedKmeans _),
     "embed_kmeans_par" -> (embedKmeansPar _),
     "embed_quantize" -> (embedQuantize _),

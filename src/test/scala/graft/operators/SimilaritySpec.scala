@@ -113,6 +113,22 @@ class SimilaritySpec extends SparkSpec {
     assert(out == Set(0L, 3L, 4L), s"survivors: $out")
   }
 
+  test("admitNewEmbeddings rejects a planted near-dup of the corpus, admits novel vectors") {
+    val existing = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)),
+      (1L, Seq(0f, 1f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val incoming = Seq(
+      (10L, Seq(0.999f, 0.001f, 0f, 0f)), // near-dup of existing 0 → rejected
+      (11L, Seq(0f, 0f, 1f, 0f))          // novel → admitted
+    ).toDF("vec_id", "embedding")
+    val admitted = Similarity.admitNewEmbeddings(
+      incoming, existing, "vec_id", "embedding",
+      threshold = 0.99, nBits = 2, dim = 4)
+      .select("vec_id").as[Long].collect().toSet
+    assert(admitted == Set(11L), s"admitted: $admitted")
+  }
+
   test("near-dup pairs: planted duplicate vector found at high threshold") {
     val emb = Seq(
       (0L, Seq(1f, 0.5f, 0.25f, 0f)),

@@ -162,7 +162,7 @@ class PlanSpec extends SparkSpec {
     assert(plan("embed_kmeans").contains("argmin_l2"), plan("embed_kmeans"))
     // IVF probe enumeration stays interpreted on the TINY broadcast query
     // side by design; the corpus side must route through the kernels.
-    assert(plan("sim_topk_ivf").contains("argmax_dot"), plan("sim_topk_ivf"))
+    assert(plan("sim_topk_ivf").contains("argmin_l2"), plan("sim_topk_ivf"))
     val ivfpq = plan("sim_topk_ivfpq")
     assert(ivfpq.contains("argmin_l2") && ivfpq.contains("centroid_residual"), ivfpq)
   }
