@@ -42,4 +42,23 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(2) - 5.0) < 1e-6)
     assert(r.getInt(3) == 2)
   }
+
+  test("model kernels (argmin_l2 family) are callable from pure SQL") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT
+        |  argmin_l2(array(1.0D, 0.0D), array(array(0.0D, 0.0D), array(1.0D, 0.1D))) AS cell,
+        |  argmax_dot(array(1.0D, 0.0D), array(array(0.0D, 1.0D), array(3.0D, 0.0D))) AS ip_cell,
+        |  min_l2(array(1.0D, 0.0D), array(array(1.0D, 0.0D), array(9.0D, 9.0D))) AS dmin,
+        |  hyperplane_bucket(array(1.0D, 2.0D), array(array(1.0D, 0.0D), array(0.0D, -1.0D))) AS bucket,
+        |  centroid_residual(array(3.0D, 4.0D), array(array(1.0D, 1.0D)), 0) AS res,
+        |  gunzip_string(gzip_string('ok'), 1048576) AS bounded_rt
+        |""".stripMargin).collect()(0)
+    assert(r.getInt(0) == 1)
+    assert(r.getInt(1) == 1)
+    assert(r.getDouble(2) == 0.0)
+    assert(r.getLong(3) == 1L)
+    assert(r.getSeq[Float](4) == Seq(2f, 3f))
+    assert(r.getString(5) == "ok")
+  }
 }
