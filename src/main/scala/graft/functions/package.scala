@@ -115,6 +115,12 @@ package object functions {
   def topk_doubles(c: Column, k: Int): Column =
     col(TopKDoubles(expr(c), k).toAggregateExpression())
 
+  /** BPE token count of a text column under a trained rank-ordered merge
+    * table (the apply side of Bpe.trainMerges; merges broadcast inside
+    * the codegen'd expression). */
+  def bpe_token_count(text: Column, merges: Seq[(String, String)]): Column =
+    col(BpeTokenCount(expr(text), merges))
+
   /** Probe a string column against a pre-built Bloom filter (row-local,
     * codegen'd; `false` definitive, `true` at the filter's FPP). */
   def bloom_might_contain(c: Column, bloom: org.apache.spark.util.sketch.BloomFilter): Column =

@@ -90,4 +90,24 @@ object Bpe {
       .select(col("rank").cast("long").as("rank"), col("left"), col("right"),
         col("pair_count"))
   }
+
+  /**
+   * The APPLY side: per-document token count under a trained merge
+   * table — train once ([[trainMerges]] or a persisted table), encode
+   * in ONE corpus pass with the codegen'd `bpe_token_count` kernel
+   * (merges ride inside the expression as broadcast model state; no
+   * join, no corpus shuffle). This is the pass a pretraining pipeline
+   * runs to budget documents in REAL tokenizer tokens instead of
+   * whitespace words.
+   *
+   * @param merges rank-ordered (left, right) pairs
+   * @return (`<idCol>`, `n_bpe_tokens`)
+   */
+  def encodeTokenCounts(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      merges: Seq[(String, String)]): DataFrame =
+    df.select(col(idCol),
+      graft.functions.bpe_token_count(col(textCol), merges).as("n_bpe_tokens"))
 }

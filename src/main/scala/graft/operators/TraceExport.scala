@@ -78,8 +78,21 @@ object TraceExport {
 
   /** The reference query: ids IN-list + closed startTime interval (both ends
     * inclusive, END_TIME unconstrained — ParameterDataRepository.java:65-67),
-    * ORDER BY paramIndex, startTime, decompress payload to text. */
-  def export(trace: DataFrame, ids: Seq[Long], start: Timestamp, end: Timestamp): DataFrame = {
+    * ORDER BY paramIndex, startTime, decompress payload to text.
+    *
+    * `maxPayloadBytes` (engine extension, default unbounded = reference
+    * parity) bounds each row's INFLATED size: the reference only ever
+    * inflates its own trusted writes (util/GzipUtil.java:19-31), but an
+    * export over third-party ingested traces must not let one hostile
+    * high-ratio payload kill an executor. Strict semantics, matching the
+    * reference's abort-on-corrupt policy: an over-budget row fails the
+    * export. */
+  def export(
+      trace: DataFrame,
+      ids: Seq[Long],
+      start: Timestamp,
+      end: Timestamp,
+      maxPayloadBytes: Long = Long.MaxValue): DataFrame = {
     // A1 semantic check (DataExportController.java:39-43): inverted range
     // is a caller error, not an empty result.
     require(!start.after(end), s"startTime must be before endTime: $start > $end")
@@ -100,7 +113,7 @@ object TraceExport {
         col("paramIndex"),
         col("startTime"),
         col("endTime"),
-        gunzip_string(col("traceData")).as("traceData"))
+        gunzip_string(col("traceData"), maxBytes = maxPayloadBytes).as("traceData"))
   }
 
   /** Scale-path variant: no global sort (range exchange) — cluster within

@@ -136,6 +136,18 @@ object PipelineQueries extends QueryFamily {
       numMerges = 10)
       .orderBy(col("rank"))
 
+  /** Train-then-apply BPE: per-doc token counts under the 10 trained
+    * merges — the real-tokenizer budget pass (rows-only: BPE encode has
+    * no SQL twin; BpeSpec pins hand-computed encodings). */
+  def bpeTokenCount(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val merges = graft.operators.Bpe.trainMerges(docs, "text", numMerges = 10)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    graft.operators.Bpe.encodeTokenCounts(docs, "doc_id", "text", merges)
+      .orderBy(col("doc_id"))
+  }
+
   /** Vocabulary Zipf histogram: log2-bucketed term frequencies. */
   def vocabZipf(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.vocabZipf(Tables.documents(spark, dir), "text")
@@ -244,6 +256,7 @@ object PipelineQueries extends QueryFamily {
     "vocab_zipf" -> (vocabZipf _),
     "corpus_token_hist" -> (corpusTokenHist _),
     "bpe_merges" -> (bpeMerges _),
+    "bpe_token_count" -> (bpeTokenCount _),
     "sample_topk_quality" -> (sampleTopkQuality _),
     "dedup_substring_pairs" -> (dedupSubstringPairs _),
     "dedup_substring_verify" -> (dedupSubstringVerify _),

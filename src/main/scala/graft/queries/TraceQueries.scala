@@ -25,6 +25,14 @@ object TraceQueries extends QueryFamily {
   def traceExportEmpty(spark: SparkSession, dir: String): DataFrame =
     TraceExport.export(TraceExport.fromEvents(spark, dir), Seq.empty, traceT0, traceT1)
 
+  /** Same export with the decompression-bomb guard armed: every fixture
+    * payload is far under 1 MiB inflated, so the result — and the oracle —
+    * are identical to trace_export; the query proves the bounded path
+    * keeps reference parity for well-formed data. */
+  def traceExportBounded(spark: SparkSession, dir: String): DataFrame =
+    TraceExport.export(TraceExport.fromEvents(spark, dir), traceIds, traceT0, traceT1,
+      maxPayloadBytes = 1L << 20)
+
   def traceSeedGolden(spark: SparkSession, dir: String): DataFrame =
     TraceExport.export(TraceExport.referenceSeed(spark), Seq(1L, 2L),
       Timestamp.valueOf("2024-01-01 00:00:00"),
@@ -67,6 +75,7 @@ object TraceQueries extends QueryFamily {
 
   val queries: Map[String, QueryFn] = Map(
     "trace_export" -> (traceExport _),
+    "trace_export_bounded" -> (traceExportBounded _),
     "trace_export_unordered" -> (traceExportUnordered _),
     "trace_export_unordered_digest" -> (traceExportUnorderedDigest _),
     "trace_export_empty" -> (traceExportEmpty _),
@@ -74,6 +83,16 @@ object TraceQueries extends QueryFamily {
     "trace_typed" -> (traceTyped _))
 
   val oracles: Map[String, String] = Map(
+    "trace_export_bounded" ->
+      """SELECT user_id AS paramIndex,
+        |       ts AS startTime,
+        |       ts + INTERVAL 60 SECOND AS endTime,
+        |       props AS traceData
+        |FROM events
+        |WHERE user_id IN (1, 2, 3, 5, 8, 13)
+        |  AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+        |  AND ts <= TIMESTAMP '2024-01-31 23:59:59'
+        |ORDER BY paramIndex, startTime""".stripMargin,
     "trace_export" ->
       """SELECT user_id AS paramIndex,
         |       ts AS startTime,

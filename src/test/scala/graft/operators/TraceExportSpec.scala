@@ -22,6 +22,16 @@ class TraceExportSpec extends SparkSpec {
       TraceExport.outputSchema.map(f => (f.name, f.dataType)))
   }
 
+  test("maxPayloadBytes: generous bound keeps reference parity, tight bound aborts the export") {
+    val seed = TraceExport.referenceSeed(spark)
+    val bounded = TraceExport.export(seed, Seq(1L, 2L), jan0, jan1,
+      maxPayloadBytes = 1L << 20).collect()
+    assert(bounded.length == 2) // well-formed payloads: identical result
+    intercept[Exception] { // over-budget row fails the export (strict policy)
+      TraceExport.export(seed, Seq(1L, 2L), jan0, jan1, maxPayloadBytes = 4L).collect()
+    }
+  }
+
   test("F2 is closed on both ends and constrains startTime only") {
     val seed = TraceExport.referenceSeed(spark)
     // exact boundary: start == row 1's startTime, end == row 3's startTime
