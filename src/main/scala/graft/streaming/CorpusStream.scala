@@ -60,6 +60,59 @@ object CorpusStream {
       }
       .start()
 
+  val embSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType))))
+
+  /**
+   * Continuous semantic admission — the streaming face of
+   * [[graft.operators.Similarity.admitNewEmbeddings]]: every micro-batch
+   * is admitted against the STANDING corpus plus everything earlier
+   * batches admitted (first-wins), then lands in its own per-batch shard
+   * dir with the [[appendShards]] exactly-once recipe. Replay safety:
+   * the "previously admitted" set reads only batch dirs with id < the
+   * current batch id, so a replayed batch never rejects its own rows
+   * from a half-written earlier attempt — `overwrite` + the id filter
+   * make the whole step idempotent.
+   *
+   * Near-dups WITHIN one micro-batch are both admitted (the admission
+   * check is against the standing set only — same contract as
+   * first-pass ingest everywhere); a periodic
+   * [[graft.operators.Similarity.semanticDedup]] compaction closes
+   * that, exactly like batch pipelines re-dedup their accumulating
+   * corpus.
+   */
+  def admitEmbeddingsStream(
+      streaming: DataFrame,
+      standing: DataFrame,
+      path: String,
+      checkpoint: String,
+      threshold: Double = 0.95,
+      nBits: Int = 8,
+      dim: Int = 64): org.apache.spark.sql.streaming.StreamingQuery =
+    streaming.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val sp = batch.sparkSession
+        val priorDirs = Option(new java.io.File(path).listFiles())
+          .getOrElse(Array.empty[java.io.File])
+          .filter(f => f.getName.startsWith("batch=") &&
+            f.getName.stripPrefix("batch=").toLong < batchId)
+          .map(_.getAbsolutePath)
+        val base = standing.select(col("vec_id"), col("embedding"))
+        val existing =
+          if (priorDirs.isEmpty) base
+          else base.union(
+            sp.read.schema(embSchema).parquet(priorDirs.toIndexedSeq: _*)
+              .select(col("vec_id"), col("embedding")))
+        graft.operators.Similarity
+          .admitNewEmbeddings(batch, existing, "vec_id", "embedding",
+            threshold, nBits, dim)
+          .select(col("vec_id"), col("embedding"))
+          .write.mode("overwrite").parquet(s"$path/batch=$batchId")
+      }
+      .start()
+
   /** Quality gate + digest + dedup. The admitted CORPUS (the digest
     * set) is identical on the streaming and batch paths; which doc_id
     * survives per digest is first-arrival in streaming and unspecified

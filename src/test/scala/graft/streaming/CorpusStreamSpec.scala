@@ -54,6 +54,44 @@ class CorpusStreamSpec extends SparkSpec {
     assert(rewritten.toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("streaming semantic admission: near-dups of standing OR earlier-admitted vectors rejected") {
+    val base = java.nio.file.Files.createTempDirectory("graft-emb-stream").toString
+    val in = s"$base/in"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
+    val standing = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)),
+      (1L, Seq(0f, 1f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val slice1 = Seq(
+      (10L, Seq(0.999f, 0.001f, 0f, 0f)), // near-dup of standing 0 → rejected
+      (11L, Seq(0f, 0f, 1f, 0f)))         // novel → admitted
+    val slice2 = Seq(
+      (12L, Seq(0f, 0.001f, 0.999f, 0f)), // near-dup of 11 (admitted batch 0) → rejected
+      (13L, Seq(0f, 0f, 0f, 1f)))         // novel → admitted
+    Seq(slice1, slice2).zipWithIndex.foreach { case (rows, i) =>
+      rows.toDF("vec_id", "embedding")
+        .coalesce(1).write.parquet(s"$in/slice$i")
+      new java.io.File(s"$in/slice$i").listFiles()
+        .foreach(_.setLastModified(1000000L * (i + 1)))
+    }
+    val streamIn = spark.readStream.schema(CorpusStream.embSchema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$in/slice*")
+    val q = CorpusStream.admitEmbeddingsStream(streamIn, standing, out, ckpt,
+      threshold = 0.99, nBits = 2, dim = 4)
+    try q.processAllAvailable() finally q.stop()
+    val admitted = spark.read.parquet(s"$out/batch=*")
+      .select("vec_id").as[Long].collect().toSet
+    assert(admitted == Set(11L, 13L), s"admitted: $admitted")
+    // restart on the same checkpoint: no new input → nothing changes
+    val q2 = CorpusStream.admitEmbeddingsStream(
+      spark.readStream.schema(CorpusStream.embSchema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$in/slice*"),
+      standing, out, ckpt, threshold = 0.99, nBits = 2, dim = 4)
+    try q2.processAllAvailable() finally q2.stop()
+    val again = spark.read.parquet(s"$out/batch=*")
+      .select("vec_id").as[Long].collect().toSet
+    assert(again == Set(11L, 13L), s"restart changed admissions: $again")
+  }
+
   test("cross-batch dedup: a duplicate arriving in a later micro-batch is rejected") {
     val dir = java.nio.file.Files.createTempDirectory("graft-corpus-stream").toString
     val slice1 = Seq(
