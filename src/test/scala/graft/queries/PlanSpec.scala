@@ -167,6 +167,13 @@ class PlanSpec extends SparkSpec {
     assert(ivfpq.contains("argmin_l2") && ivfpq.contains("centroid_residual"), ivfpq)
   }
 
+  test("corpus_increment_embed broadcasts the batch side — the standing corpus is never repartitioned") {
+    val p = plan("corpus_increment_embed")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+    assert(p.contains("hyperplane_bucket"), p) // bucketing via the codegen kernel
+  }
+
   test("ivfPqTopK materializes cell assignment once (cached scan feeds train + index)") {
     val p = plan("sim_topk_ivfpq")
     assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"),
