@@ -247,6 +247,31 @@ object Similarity {
         typedLit(codebooks(j)))
     }
     val index = withCell.select(col("vec_id"), col("cell"), array(codes: _*).as("codes"))
+    ivfPqServe(index, queries, idCol, vecCol, cellCents, codebooks, k, nProbe)
+  }
+
+  /**
+   * ADC serving over a MATERIALIZED IVF-PQ index (`vec_id`, `cell`,
+   * `codes`) — shared by [[ivfPqTopK]] (in-memory index) and
+   * [[AnnIndex.searchIvfPq]] (index loaded from parquet: the
+   * encode-once / serve-many production path). The corpus-sized side
+   * streams codes only; queries broadcast with one residual per probed
+   * cell; the per-query top-k window is the single exchange.
+   */
+  private[operators] def ivfPqServe(
+      index: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cellCents: Seq[Seq[Float]],
+      codebooks: Seq[Seq[Seq[Float]]],
+      k: Int,
+      nProbe: Int): DataFrame = {
+    require(cellCents.nonEmpty && codebooks.nonEmpty, "empty IVF-PQ model")
+    val nc = cellCents.length
+    val m = codebooks.length
+    val sub = codebooks.head.head.length
+    val ccLit = typedLit(cellCents)
 
     // query side: nProbe nearest cells by L2, one residual per probe.
     // Interpreted HOFs are fine HERE: this is the tiny broadcast side.
@@ -259,7 +284,7 @@ object Similarity {
       .select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qv"))
       .withColumn("probe", explode(slice(bestCellsL2(col("qv")), 1, math.min(nProbe, nc))))
       .withColumn("cell", col("probe.i"))
-      .withColumn("qres", residual(col("qv"), col("cell")))
+      .withColumn("qres", graft.functions.centroid_residual(col("qv"), ccLit, col("cell")))
       .select(col("query_id"), col("cell"), col("qres"))
 
     val dist = (0 until m).map { j =>
