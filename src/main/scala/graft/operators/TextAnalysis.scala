@@ -83,6 +83,33 @@ object TextAnalysis {
   def fingerprint(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("fp", doc_fingerprint(col(textCol)))
 
+  /** Token-rarity quality score — the integer-exact stand-in for
+    * perplexity filtering (CCNet-style): documents dominated by globally
+    * frequent tokens score high `sum_tok_freq`, rare-token-heavy
+    * documents score low, and `min_tok_freq` flags the rarest token
+    * (hapax detection). Deliberately NOT a log-prob: `ln` goes through
+    * the platform libm, which is not bit-identical across engines, so a
+    * log-based score could flip a floor() at an ulp boundary and break
+    * the differential oracle; integer sums of integer counts are exact
+    * everywhere, and monotone transforms preserve the filter ordering.
+    *
+    * Scale shape: one corpus explode into a (doc, term) partial-agg
+    * shuffle; the term-frequency table derives from that AGGREGATE
+    * (vocabulary-sized input, not a second corpus pass) and broadcasts
+    * back; the final per-doc aggregate shuffles doc keys only.
+    *
+    * @return (`<idCol>`, `n_tokens`, `sum_tok_freq`, `min_tok_freq`) */
+  def tokenRarity(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = df.select(col(idCol), explode(Dedup.tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val freq = tf.groupBy(col("term")).agg(sum(col("tf")).as("freq"))
+    tf.join(broadcast(freq), "term")
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(col("tf") * col("freq")).as("sum_tok_freq"),
+        min(col("freq")).as("min_tok_freq"))
+  }
+
   /** Corpus token frequency: top-n tokens by count (explode + hash agg —
     * the one shuffling operator here; partial aggregation makes the
     * exchange carry only (token, count) pairs). */

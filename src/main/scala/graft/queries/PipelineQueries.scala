@@ -87,6 +87,12 @@ object PipelineQueries extends QueryFamily {
       .select(col("doc_id"), col("rnk"), col("term"), col("score"))
       .orderBy(col("doc_id"), col("rnk"))
 
+  /** Integer-exact token-rarity score (the oracled perplexity-filter
+    * stand-in — see the operator doc for why not log-prob). */
+  def qualityRarity(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenRarity(Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
   /** Exact 5th–95th percentile length-band trim via the histogram
     * percentile (no global row sort — see the operator doc). */
   def qualityLengthBand(spark: SparkSession, dir: String): DataFrame =
@@ -249,6 +255,7 @@ object PipelineQueries extends QueryFamily {
     "decontaminate" -> (decontaminate _),
     "decontaminate_bloom" -> (decontaminateBloom _),
     "quality_repetition" -> (qualityRepetition _),
+    "quality_rarity" -> (qualityRarity _),
     "text_tfidf_top" -> (textTfidfTop _),
     "quality_length_band" -> (qualityLengthBand _),
     "source_stats" -> (sourceStats _),
@@ -302,6 +309,16 @@ object PipelineQueries extends QueryFamily {
          |WHERE c.doc_id % 97 <> 0
          |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
     // DuckDB SUM(BIGINT) returns HUGEINT — cast back for the typed hash
+    "quality_rarity" ->
+      s"""WITH $toksCte,
+         |tf AS (SELECT doc_id, tok AS term, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok),
+         |freq AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS freq FROM tf GROUP BY term)
+         |SELECT t.doc_id,
+         |  CAST(SUM(t.tf) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(t.tf * f.freq) AS BIGINT) AS sum_tok_freq,
+         |  CAST(MIN(f.freq) AS BIGINT) AS min_tok_freq
+         |FROM tf t JOIN freq f USING (term)
+         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
     "quality_repetition" ->
       s"""WITH $toksCte,
          |ng AS (

@@ -19,6 +19,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(2L)._1 == 0 && out(3L)._1 == 0)
   }
 
+  test("tokenRarity: hand-computed frequencies, sums, and hapax flag") {
+    // corpus tokens: the(3), cat(2), sat(1), zz(1)
+    val df = Seq(
+      (1L, "the cat sat"),
+      (2L, "the the cat zz")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.tokenRarity(df, "doc_id", "text")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    // doc 1: n=3, sum = the(3)+cat(2)+sat(1) = 6, min = 1 (sat is hapax)
+    assert(out(1L) == ((3L, 6L, 1L)), s"doc1: ${out(1L)}")
+    // doc 2: n=4, sum = 3+3+2+1 = 9, min = 1 (zz)
+    assert(out(2L) == ((4L, 9L, 1L)), s"doc2: ${out(2L)}")
+  }
+
   test("quality metrics: ratios on a constructed doc") {
     val df = Seq((1L, "the cat!!")).toDF("doc_id", "text")
     val m = TextAnalysis.qualityMetrics(df, "text").head()
