@@ -180,6 +180,26 @@ object AnalyticsQueries extends QueryFamily {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
+  /** RANGE-framed window — the trailing-hour aggregate per user over
+    * event time: a VALUE-based frame (rangeBetween on epoch seconds)
+    * that row frames cannot express; peers at the same second join the
+    * frame on both engines by the SQL standard. Count + integer-exact
+    * milli sum keep the oracle differential (unix_timestamp truncates
+    * to whole seconds; the oracle floors epoch() to match). */
+  def windowRangeHour(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("epoch"))
+      .rangeBetween(-3600, Window.currentRow)
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        unix_timestamp(col("ts")).as("epoch"),
+        floor(col("value") * lit(1000)).cast(LongType).as("v_milli"))
+      .select(col("event_id"), col("user_id"),
+        count(lit(1)).over(w).as("n_1h"),
+        sum(col("v_milli")).over(w).as("sum_milli_1h"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   /** Apache DataSketches HLL: the sketch itself is the aggregate state —
     * unlike approx_count_distinct (which only yields a number), the
     * binary sketch is storable and union-able later, the building block
@@ -282,6 +302,7 @@ object AnalyticsQueries extends QueryFamily {
     "window_lag_lead" -> (windowLagLead _),
     "window_running" -> (windowRunning _),
     "window_moving" -> (windowMoving _),
+    "window_range_hour" -> (windowRangeHour _),
     "window_ntile" -> (windowNtile _))
 
   val oracles: Map[String, String] = Map(
@@ -398,5 +419,16 @@ object AnalyticsQueries extends QueryFamily {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
-        |ORDER BY o_custkey, o_orderkey""".stripMargin)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "window_range_hour" ->
+      """SELECT event_id, user_id,
+        |  COUNT(1) OVER w AS n_1h,
+        |  CAST(SUM(v_milli) OVER w AS BIGINT) AS sum_milli_1h
+        |FROM (SELECT event_id, user_id,
+        |        CAST(FLOOR(epoch(ts)) AS BIGINT) AS epoch,
+        |        CAST(FLOOR(value * 1000) AS BIGINT) AS v_milli
+        |      FROM events) e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch
+        |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin)
 }
