@@ -187,4 +187,48 @@ object Temporal {
       .filter(col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol))
       .drop("__cell")
   }
+
+  /**
+   * Gap-fill resample: bucket each key's observations into fixed
+   * `stepSeconds` slots (slot value = MAX in the slot — deterministic,
+   * order-free), generate the key's FULL slot grid from first to last
+   * observation, and forward-fill empty slots with the most recent
+   * observed value. The standard time-series densification every
+   * monitoring/feature pipeline needs (a sensor that reports
+   * sporadically becomes a regular series).
+   *
+   * Scale shape: the slot aggregate is a map-side-combined shuffle on
+   * (key, slot) — the only corpus-sized exchange; the per-key span is a
+   * tiny aggregate; the grid explodes to span/step rows per key (the
+   * OUTPUT size — inherent); the fill is one `last(_, ignoreNulls)`
+   * window over the per-key slot order, no self-join. Slot values are
+   * integer micro-units so a SQL oracle replays the whole pipeline
+   * exactly.
+   *
+   * @return (`<keyCol>`, `slot`, `v_ffill`, `observed`) — slot is epoch
+   *         seconds / stepSeconds; first slot per key is always observed
+   */
+  def resampleForwardFill(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valueCol: String,
+      stepSeconds: Long = 86400L): DataFrame = {
+    require(stepSeconds >= 1, s"stepSeconds must be positive: $stepSeconds")
+    val obs = df.select(
+      col(keyCol),
+      (unix_timestamp(col(tsCol)) / stepSeconds).cast("long").as("slot"),
+      floor(col(valueCol) * lit(1000)).cast("long").as("__v"))
+    val bySlot = obs.groupBy(col(keyCol), col("slot")).agg(max(col("__v")).as("__slot_max"))
+    val span = obs.groupBy(col(keyCol))
+      .agg(min(col("slot")).as("__s0"), max(col("slot")).as("__s1"))
+    val grid = span.select(col(keyCol),
+      explode(sequence(col("__s0"), col("__s1"))).as("slot"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("slot"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(bySlot, Seq(keyCol, "slot"), "left")
+      .select(col(keyCol), col("slot"),
+        last(col("__slot_max"), ignoreNulls = true).over(w).as("v_ffill"),
+        col("__slot_max").isNotNull.as("observed"))
+  }
 }

@@ -415,6 +415,14 @@ object ExtensionQueries extends QueryFamily {
   /** As-of join: each click event picks up the user's latest purchase
     * value at-or-before the click. Right side pre-aggregated per (user,
     * ts) so the at-equal-ts match is deterministic. */
+  /** Daily gap-fill resample of each user's event values — the
+    * densification pass that turns sporadic observations into a regular
+    * series (slot max, forward-filled; integer-exact, oracled). */
+  def tsResampleFfill(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Temporal.resampleForwardFill(
+      Tables.events(spark, dir), "user_id", "ts", "value", stepSeconds = 86400L)
+      .orderBy(col("user_id"), col("slot"))
+
   def asofJoin(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
     val clicks = ev.filter(col("event_type") === "click")
@@ -577,6 +585,7 @@ object ExtensionQueries extends QueryFamily {
     "funnel_signup_purchase" -> (funnelSignupPurchase _),
     "retention_weekly" -> (retentionWeekly _),
     "asof_join" -> (asofJoin _),
+    "ts_resample_ffill" -> (tsResampleFfill _),
     "asof_join_forward" -> (asofJoinForward _),
     "asof_join_salted" -> (asofJoinSalted _),
     "interval_join" -> (intervalJoin _),
@@ -823,6 +832,25 @@ object ExtensionQueries extends QueryFamily {
          |FROM documents ORDER BY doc_id""".stripMargin
     },
     "asof_join" -> asofOracleSql,
+    "ts_resample_ffill" ->
+      """WITH ev AS (
+        |  SELECT user_id,
+        |    CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS slot,
+        |    CAST(FLOOR(value * 1000) AS BIGINT) AS v
+        |  FROM events),
+        |by_slot AS (SELECT user_id, slot, MAX(v) AS slot_max
+        |            FROM ev GROUP BY user_id, slot),
+        |span AS (SELECT user_id, MIN(slot) AS s0, MAX(slot) AS s1
+        |         FROM ev GROUP BY user_id),
+        |grid AS (SELECT user_id, UNNEST(range(s0, s1 + 1)) AS slot FROM span)
+        |SELECT g.user_id, g.slot,
+        |  LAST_VALUE(b.slot_max IGNORE NULLS) OVER (
+        |    PARTITION BY g.user_id ORDER BY g.slot
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ffill,
+        |  b.slot_max IS NOT NULL AS observed
+        |FROM grid g LEFT JOIN by_slot b
+        |  ON g.user_id = b.user_id AND g.slot = b.slot
+        |ORDER BY g.user_id, g.slot""".stripMargin,
     "asof_join_forward" -> asofOracleSql.replace("l.ts >= r.ts", "l.ts <= r.ts"),
     "asof_join_salted" -> asofOracleSql,
     "interval_join" ->

@@ -9,6 +9,25 @@ class TemporalSpec extends SparkSpec {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  test("resampleForwardFill: full grid, slot max, forward fill, observed flags") {
+    // user 1: days 0, 2 observed (slot max 2000 on day 0: two obs) → day 1 filled
+    // user 2: single day → single observed slot
+    val df = Seq(
+      (1L, ts("1970-01-01 01:00:00"), 1.5),  // day 0
+      (1L, ts("1970-01-01 02:00:00"), 2.0),  // day 0 (max → 2000)
+      (1L, ts("1970-01-03 05:00:00"), 0.25), // day 2
+      (2L, ts("1970-01-02 00:00:00"), 7.0)   // day 1
+    ).toDF("user_id", "ts", "value")
+    val out = Temporal.resampleForwardFill(df, "user_id", "ts", "value", 86400L)
+      .orderBy($"user_id", $"slot")
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(out == Seq(
+      (1L, 0L, 2000L, true),
+      (1L, 1L, 2000L, false), // gap: carried forward
+      (1L, 2L, 250L, true),
+      (2L, 1L, 7000L, true)), s"got $out")
+  }
+
   test("asofJoin picks the latest right row at-or-before each left ts") {
     val left = Seq(
       (1L, ts("2024-01-01 10:00:00"), "a"),
