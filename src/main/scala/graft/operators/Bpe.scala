@@ -39,7 +39,7 @@ object Bpe {
     import spark.implicits._
 
     def materialize(d: DataFrame): DataFrame =
-      spark.createDataFrame(d.rdd, d.schema).persist()
+      org.apache.spark.sql.graftbridge.CatalystBridge.flattenPlan(d).persist()
 
     // corpus → (syms: array<string> of characters, cnt) — vocabulary-sized
     var words = materialize(

@@ -48,7 +48,7 @@ object Components {
     // flat-plan materialization: LogicalRDD severs the growing plan tree,
     // persist makes each round's labels reusable and RELEASABLE
     def materialize(df: DataFrame): DataFrame =
-      df.sparkSession.createDataFrame(df.rdd, df.schema).persist()
+      org.apache.spark.sql.graftbridge.CatalystBridge.flattenPlan(df).persist()
     // materialize the symmetric edge list ONCE: every round joins it, and
     // without this the whole upstream edge DAG (a window — or an entire
     // minhash banding pipeline for minhashDedupCc) re-executes per round
@@ -122,7 +122,7 @@ object Components {
   def connectedComponentsStars(edges: DataFrame, maxIter: Int = 30): DataFrame = {
     require(maxIter >= 1, s"maxIter must be positive: $maxIter")
     def materialize(df: DataFrame): DataFrame =
-      df.sparkSession.createDataFrame(df.rdd, df.schema).persist()
+      org.apache.spark.sql.graftbridge.CatalystBridge.flattenPlan(df).persist()
     // cheap multiset fingerprint for the convergence check: the round is
     // a fixpoint iff the (distinct, canonical) edge set stopped changing
     // bit_xor (not sum): order-independent, collision-resistant enough

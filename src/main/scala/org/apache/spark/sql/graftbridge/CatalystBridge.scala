@@ -22,6 +22,20 @@ object CatalystBridge {
     * can declare their input types from outside the sql package. */
   type AbstractType = org.apache.spark.sql.types.AbstractDataType
 
+  /** Re-root a DataFrame on its own execution RDD (a flat `LogicalRDD`
+    * plan) WITHOUT the `createDataFrame(df.rdd, schema)` detour, which
+    * decodes every InternalRow to a Row and back re-encodes — a full
+    * per-row codec round-trip. This is the conversion-free lineage cut
+    * `Dataset.checkpoint` uses internally (`internalCreateDataFrame` is
+    * `private[sql]`, hence this bridge). Iterative operators (connected
+    * components, BPE rounds) materialize every round, so the codec tax
+    * was paid once per row per round. */
+  def flattenPlan(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val classic = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    classic.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = false)
+  }
+
   /** Register a function builder into an EXISTING session's registry
     * (builder-time `withExtensions` is the normal path; this serves
     * already-running sessions, e.g. shared test sessions or REPLs). */
