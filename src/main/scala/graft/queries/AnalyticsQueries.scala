@@ -217,6 +217,32 @@ object AnalyticsQueries extends QueryFamily {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Count-Min frequency sketch — the third sketch family next to HLL
+    * (distinct) and quantiles: sub-linear heavy-hitter counts. The
+    * corpus-sized side is ONE aggregate building the binary sketch
+    * (mergeable state, the same incremental contract as the HLL union);
+    * probing happens driver-side against the collected sketch — sketch
+    * bytes are bounded by (eps, confidence), never data. Probe targets
+    * are the exact top-20 tokens so the output carries estimate vs
+    * truth side by side; rows-only (sketch internals are not
+    * SQL-expressible) + AnalyticsSpec overestimate-bound coverage. */
+  def sketchCmsTokens(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.documents(spark, dir)
+      .select(explode(graft.operators.Dedup.tokens(col("text"))).as("token"))
+    val sketchBytes = toks
+      .agg(count_min_sketch(col("token"), lit(0.001d), lit(0.99d), lit(42)).as("s"))
+      .head.getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(sketchBytes))
+    val top = graft.operators.TextAnalysis
+      .tokenFrequency(Tables.documents(spark, dir), "text", topN = 20)
+      .as[(String, Long)].collect()
+    top.map { case (tok, exact) => (tok, exact, cms.estimateCount(tok)) }
+      .toSeq.toDF("token", "n_exact", "n_est")
+      .orderBy(col("token"))
+  }
+
   /** The mergeable-state half of the HLL story: per-group binary sketches
     * are UNIONED into a global cardinality without rescanning rows — the
     * incremental 100 TB pattern (store per-day/partition sketches, merge
@@ -303,6 +329,7 @@ object AnalyticsQueries extends QueryFamily {
     "window_running" -> (windowRunning _),
     "window_moving" -> (windowMoving _),
     "window_range_hour" -> (windowRangeHour _),
+    "sketch_cms_tokens" -> (sketchCmsTokens _),
     "window_ntile" -> (windowNtile _))
 
   val oracles: Map[String, String] = Map(

@@ -43,6 +43,19 @@ class AnalyticsSpec extends SparkSpec {
     assert(math.abs(unioned - 3000L) <= 0.03 * 3000, s"union estimate $unioned")
   }
 
+  test("count-min sketch never underestimates; exact on the fixture's top tokens") {
+    val out = AnalyticsQueries.sketchCmsTokens(spark, sfDir)
+      .as[(String, Long, Long)].collect()
+    assert(out.length == 20)
+    // CMS estimates are one-sided: est >= exact always
+    assert(out.forall { case (_, exact, est) => est >= exact },
+      s"CMS underestimated: ${out.filter(t => t._3 < t._2).toSeq}")
+    // at eps=0.001 over the small fixture stream, collisions are ~absent:
+    // the top tokens should estimate exactly
+    assert(out.count { case (_, exact, est) => est == exact } >= 18,
+      s"too many collisions: ${out.toSeq}")
+  }
+
   test("percentile_approx at high accuracy returns exact discrete quantiles") {
     val df = (1 to 999).map(_.toDouble).toDF("v")
     val r = df.agg(
