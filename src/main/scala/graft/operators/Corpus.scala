@@ -88,6 +88,53 @@ object Corpus {
    * range exchange into n reducers, each writing one shard, instead of
    * one total-order reducer. `writeShards` is the thin writer over it.
    */
+  /**
+   * Context-window chunking: split each document into token windows of
+   * `window` tokens with `overlap` tokens carried between consecutive
+   * chunks (stride = window − overlap) — the standard shaping step
+   * before tokenized training or embedding models with a fixed context.
+   *
+   * Coverage contract: every token lands in ≥ 1 chunk. Chunk starts sit
+   * on the stride grid 1, 1+s, 2s+1, …; the last start is the first grid
+   * point ≥ n − window + 1, so the final chunk may be shorter than
+   * `window` but never empty and never duplicates a full window.
+   *
+   * Row-local (one projection + one explode; no shuffle): the chunk
+   * arithmetic is `sequence`/`slice`/`concat_ws` — all codegen built-ins
+   * — over the canonical token array ([[Dedup.tokens]]: lowercase
+   * alphanumeric runs, the library-wide tokenizer, which keeps the op
+   * SQL-oracle-comparable). At 100 TB this is a map-only stage whose
+   * output feeds [[packSequences]] / [[prepareShards]].
+   */
+  def chunkWindows(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      window: Int,
+      overlap: Int): DataFrame = {
+    require(window > 0, s"window must be positive: $window")
+    require(overlap >= 0 && overlap < window,
+      s"overlap must be in [0, window): $overlap")
+    val s = window - overlap
+    val toks = Dedup.tokens(col(textCol))
+    // last grid start covering the tail: 1 + s·⌈(n−window)/s⌉ (n > window)
+    val lastStart = when(col("__n") <= window, lit(1))
+      .otherwise(floor((col("__n") - window + s - 1) / s).cast("long") * s + 1)
+    df.select(col(idCol), col(textCol))
+      .withColumn("__toks", toks)
+      .withColumn("__n", size(col("__toks")))
+      .filter(col("__n") > 0)
+      .select(col(idCol), col("__toks"),
+        explode(sequence(lit(1L), lastStart, lit(s.toLong))).as("__start"))
+      .select(
+        col(idCol),
+        ((col("__start") - 1) / s).cast("long").as("chunk_id"),
+        concat_ws(" ", slice(col("__toks"), col("__start").cast("int"), lit(window)))
+          .as("chunk_text"),
+        least(lit(window), size(col("__toks")) - col("__start") + 1)
+          .cast("long").as("chunk_tokens"))
+  }
+
   def prepareShards(
       df: DataFrame,
       idCol: String,

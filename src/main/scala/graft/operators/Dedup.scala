@@ -362,6 +362,90 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /**
+   * EXACT all-pairs token-set similarity self-join: every (id_a < id_b)
+   * pair whose distinct-token Jaccard is ≥ `threshold` — no LSH recall
+   * loss (the exact counterpart to [[minhashPairs]], for when "probably
+   * all near-dups" isn't an acceptable contract, e.g. eval-set
+   * decontamination audits).
+   *
+   * Exact ≠ quadratic: prefix filtering (the SSJoin/PPJoin family —
+   * Chaudhuri et al. ICDE'06, Xiao et al. WWW'08) makes it tractable.
+   * Under ANY global token order, two sets with |x∩y| ≥ α must share a
+   * token inside their first |s|−α+1 tokens; with J ≥ τ forcing
+   * α ≥ ⌈τ·|s|⌉, docs only need to collide on their first
+   * |s|−⌈τ·|s|⌉+1 tokens. Ordering tokens rarest-first (ascending
+   * document frequency) puts the most selective tokens in the prefix,
+   * so candidate buckets stay small on natural corpora.
+   *
+   * Scale shape (100 TB):
+   *  - tokens travel as 8-byte hashes from the first projection on
+   *    (fused `shingle_hash_set` kernel, w=1); document text is scanned
+   *    twice (prefix build + verify) but never shuffled.
+   *  - the df count and per-doc prefix rank are two hash exchanges on
+   *    8/16-byte keys; the prefix rank is a window `row_number`, not a
+   *    per-row array sort.
+   *  - candidate generation is an equi-JOIN on the prefix token — a
+   *    streaming sort-merge join, NOT a collect_list bucket explosion,
+   *    so a degenerate hot token spills/streams instead of
+   *    materializing a multi-GB aggregation buffer; AQE's skew split
+   *    applies. (The approximate family drops oversized buckets — an
+   *    exact join must not, so it gets the join-shaped plan.)
+   *  - the length filter τ·max(|x|,|y|) ≤ min(|x|,|y|) discards
+   *    impossible pairs before the pair-dedup exchange; verification is
+   *    two SHUFFLE joins of the pair list against the token-set table —
+   *    deliberately not [[ngramJaccard]]'s broadcast (post-LSH candidate
+   *    sets are tiny; an exact join's candidate set is output-sized and
+   *    can exceed any broadcast budget on a self-similar corpus).
+   *
+   * Cost honesty: the output itself is Θ(qualifying pairs). On a corpus
+   * where "most docs are ≥ τ similar to most docs" no exact algorithm is
+   * sub-quadratic — pick τ in the near-dup band (≥ 0.8) for such data.
+   */
+  def jaccardJoin(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      threshold: Double = 0.5): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1], got $threshold")
+    // zero-token docs (punctuation-only) tokenize to an empty set — no
+    // Jaccard is defined for them, and the verify kernel's empty-input
+    // sentinel must not pair them with each other
+    val base = df
+      .filter(size(tokens(col(textCol))) > 0)
+      .select(col(idCol).as("id"),
+        shingle_hash_set(col(textCol), w = 1).as("ts"))
+      .withColumn("len", size(col("ts")))
+    val tok = base.select(col("id"), col("len"), explode(col("ts")).as("th"))
+    val dfreq = tok.groupBy(col("th")).agg(count(lit(1)).as("df"))
+    // rarest-first global order; (df, th) is a total order so every doc
+    // slices a deterministic prefix of length len − ⌈τ·len⌉ + 1
+    val byRarity = Window.partitionBy(col("id")).orderBy(col("df"), col("th"))
+    val pref = tok.join(dfreq, "th")
+      .withColumn("__rn", row_number().over(byRarity))
+      .filter(col("__rn") <=
+        col("len") - ceil(lit(threshold) * col("len")).cast("int") + 1)
+      .select(col("id"), col("len"), col("th"))
+    val cand = pref.as("a").join(pref.as("b"), "th")
+      .filter(col("a.id") < col("b.id"))
+      .filter(least(col("a.len"), col("b.len")).cast("double") >=
+        lit(threshold) * greatest(col("a.len"), col("b.len")))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    cand
+      .join(base.select(col("id").as("id_a"), col("ts").as("__sa"),
+        col("len").as("__la")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("ts").as("__sb"),
+        col("len").as("__lb")), Seq("id_b"))
+      .withColumn("__i", sorted_intersect_size(col("__sa"), col("__sb")))
+      .withColumn("jaccard",
+        col("__i") / (col("__la") + col("__lb") - col("__i")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Exact n-gram Jaccard between candidate pairs (verification-grade
     * similarity, usually applied after LSH candidate generation). */
   def ngramJaccard(

@@ -88,6 +88,41 @@ object Ngrams {
   }
 
   /**
+   * Cross-source n-gram contamination matrix (corpus monitoring): for
+   * every pair of sources, the number of DISTINCT word n-grams both
+   * emit — the early-warning signal for mirrored sites, syndicated
+   * boilerplate, and benchmark text leaking in through several feeds at
+   * once (per-source dedup never sees it; this does).
+   *
+   * Scale shape: the corpus reduces to distinct (source, ngram) rows in
+   * one exchange; a second groups each ngram's source LIST — bounded by
+   * |sources| (dozens), not corpus size — and explodes its pairs
+   * map-side. No gram ever joins corpus rows against corpus rows, so
+   * the worst case is |distinct grams| × |sources|² with tiny constants,
+   * not documents². Output is |sources|²/2 rows of integer counts.
+   */
+  def sourceNgramOverlap(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      textCol: String,
+      n: Int = 5): DataFrame = {
+    val sg = wordNgrams(df, idCol, textCol, n, carryCols = Seq(groupCol))
+      .filter(col("ngram").isNotNull)
+      .select(col(groupCol).as("source"), col("ngram"))
+      .distinct()
+    sg.groupBy(col("ngram"))
+      .agg(sort_array(collect_set(col("source"))).as("ss"))
+      .filter(size(col("ss")) >= 2)
+      .select(col("ss"), posexplode(col("ss")).as(Seq("pi", "source_a")))
+      .select(col("pi"), col("source_a"),
+        posexplode(col("ss")).as(Seq("pj", "source_b")))
+      .filter(col("pi") < col("pj"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("shared_ngrams"))
+  }
+
+  /**
    * Bloom-filter decontamination — the 100 TB shape of
    * [[decontaminate]]. The exact variant broadcasts the benchmark's
    * distinct n-gram SET for the semi join; at production benchmark

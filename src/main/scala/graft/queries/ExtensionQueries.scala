@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Sessionize, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Scale, Sessionize, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /**
@@ -89,6 +89,27 @@ object ExtensionQueries extends QueryFamily {
       .select("id_a", "id_b")
     Dedup.ngramJaccard(docs, "text", "doc_id", candidates)
   }
+
+  /** EXACT Jaccard similarity self-join (prefix filtering) — unlike the
+    * minhash family, this is brute-force-equivalent, so it oracles
+    * against DuckDB's all-pairs join at test SF. */
+  def dedupJaccardJoin(spark: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardJoin(Tables.documents(spark, dir), "text", "doc_id",
+      threshold = 0.9)
+
+  /** Z-order layout key over (user bucket, day-hour bucket) — the write
+    * layout that lets parquet min/max stats prune BOTH dimensions of a
+    * (user, time) box at 100 TB. The key arithmetic is oracled here
+    * (generated from the same mask cascade); the file-pruning win itself
+    * is measured in ScaleSpec. */
+  def layoutZorder(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_id"),
+        col("user_id").bitwiseAND(lit(4095L)).as("zx"),
+        (dayofmonth(col("ts")) * 24 + hour(col("ts"))).cast("long")
+          .bitwiseAND(lit(4095L)).as("zy"))
+      .select(col("event_id"), Scale.zorderKey(col("zx"), col("zy")).as("zkey"))
+      .orderBy(col("zkey"), col("event_id"))
 
   // --- similarity search ---
 
@@ -404,6 +425,14 @@ object ExtensionQueries extends QueryFamily {
       .select(col("doc_id"), col("shard"), col("n_tokens"), col("chunk_id"))
       .orderBy(col("doc_id"))
 
+  /** Context-window chunking for fixed-context training/embedding: 64
+    * canonical tokens per chunk, 16 carried over between neighbors. */
+  def corpusChunk(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Corpus.chunkWindows(
+      Tables.documents(spark, dir), "doc_id", "text",
+      window = 64, overlap = 16)
+      .orderBy(col("doc_id"), col("chunk_id"))
+
   def corpusRedact(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Corpus.redactPii(Tables.documents(spark, dir), "text")
       .select(col("doc_id"), col("n_emails"), col("n_phones"),
@@ -545,6 +574,8 @@ object ExtensionQueries extends QueryFamily {
     "dedup_minhash_pairs" -> (dedupMinhashPairs _),
     "dedup_simhash_pairs" -> (dedupSimhashPairs _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "dedup_jaccard_join" -> (dedupJaccardJoin _),
+    "layout_zorder" -> (layoutZorder _),
     "dedup_minhash_keep" -> (dedupMinhashKeep _),
     "dedup_minhash_cc" -> (dedupMinhashCc _),
     "corpus_increment" -> (corpusIncrement _),
@@ -581,6 +612,7 @@ object ExtensionQueries extends QueryFamily {
     "corpus_split" -> (corpusSplit _),
     "corpus_shuffle" -> (corpusShuffle _),
     "corpus_pack" -> (corpusPack _),
+    "corpus_chunk" -> (corpusChunk _),
     "corpus_redact" -> (corpusRedact _),
     "funnel_signup_purchase" -> (funnelSignupPurchase _),
     "retention_weekly" -> (retentionWeekly _),
@@ -632,6 +664,35 @@ object ExtensionQueries extends QueryFamily {
         |    ROW_NUMBER() OVER (PARTITION BY lang, source ORDER BY doc_id) AS rn
         |  FROM documents
         |) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    // exact join ⇒ brute-force all-pairs oracle; the single double
+    // division (int/int sets) is bit-identical across engines
+    "dedup_jaccard_join" ->
+      s"""WITH tok AS (
+         |  SELECT DISTINCT doc_id, t
+         |  FROM (SELECT doc_id, unnest($tokensSql) AS t FROM documents)
+         |), sz AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+         |  FROM tok a JOIN tok b ON a.t = b.t AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b,
+         |  i / CAST(sa.n + sb.n - i AS DOUBLE) AS jaccard
+         |FROM inter
+         |JOIN sz sa ON sa.doc_id = inter.id_a
+         |JOIN sz sb ON sb.doc_id = inter.id_b
+         |WHERE i / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.9
+         |ORDER BY id_a, id_b""".stripMargin,
+    // the SQL twin of the interleave is generated from Scale.spreadMasks —
+    // same mask cascade, two's-complement 64-bit on both engines
+    "layout_zorder" ->
+      s"""WITH b AS (
+         |  SELECT event_id,
+         |    user_id & 4095 AS zx,
+         |    (CAST(EXTRACT(day FROM ts) * 24 + EXTRACT(hour FROM ts) AS BIGINT)) & 4095 AS zy
+         |  FROM events)
+         |SELECT event_id,
+         |  (${Scale.spreadBitsSql("zx")}) | ((${Scale.spreadBitsSql("zy")}) << 1) AS zkey
+         |FROM b ORDER BY zkey, event_id""".stripMargin,
     // float arithmetic IS cross-engine-reproducible when the expression
     // tree is identical and the reductions (min/max) are order-free —
     // see Quantize's scaladoc; the CASE guard mirrors the Spark side
@@ -821,6 +882,22 @@ object ExtensionQueries extends QueryFamily {
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
          |  FROM documents)
          |ORDER BY doc_id""".stripMargin,
+    "corpus_chunk" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, toks, LEN(toks) AS n
+         |  FROM (SELECT doc_id, $tokensSql AS toks FROM documents)
+         |  WHERE LEN(toks) > 0),
+         |starts AS (
+         |  SELECT doc_id, toks, n,
+         |    UNNEST(GENERATE_SERIES(1,
+         |      CASE WHEN n <= 64 THEN 1
+         |           ELSE ((n - 64 + 47) // 48) * 48 + 1 END, 48)) AS start
+         |  FROM b)
+         |SELECT doc_id,
+         |  CAST((start - 1) // 48 AS BIGINT) AS chunk_id,
+         |  ARRAY_TO_STRING(LIST_SLICE(toks, start, start + 63), ' ') AS chunk_text,
+         |  CAST(LEAST(64, n - start + 1) AS BIGINT) AS chunk_tokens
+         |FROM starts ORDER BY doc_id, chunk_id""".stripMargin,
     "corpus_redact" -> {
       val em = graft.operators.Corpus.emailPattern
       val ph = graft.operators.Corpus.phonePattern

@@ -116,6 +116,13 @@ object PipelineQueries extends QueryFamily {
         max(col("n_chars")).as("max_chars"))
       .orderBy(col("source"))
 
+  /** Cross-source 5-gram contamination matrix — which feeds carry the
+    * same phrasing (mirrors, syndication, multi-feed benchmark leaks). */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame =
+    Ngrams.sourceNgramOverlap(
+      Tables.documents(spark, dir), "source", "doc_id", "text", n = 5)
+      .orderBy(col("source_a"), col("source_b"))
+
   /** Canonical normalization digest (the pre-dedup clean, verified via
     * md5 so the oracle needn't ship whole normalized texts around). */
   def textNormalize(spark: SparkSession, dir: String): DataFrame =
@@ -259,6 +266,7 @@ object PipelineQueries extends QueryFamily {
     "text_tfidf_top" -> (textTfidfTop _),
     "quality_length_band" -> (qualityLengthBand _),
     "source_stats" -> (sourceStats _),
+    "source_overlap" -> (sourceOverlap _),
     "text_normalize" -> (textNormalize _),
     "vocab_zipf" -> (vocabZipf _),
     "corpus_token_hist" -> (corpusTokenHist _),
@@ -360,6 +368,21 @@ object PipelineQueries extends QueryFamily {
         |  CAST(SUM(n_chars * n_chars) AS BIGINT) AS sum_chars_sq,
         |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "source_overlap" ->
+      s"""WITH stoks AS (
+         |  SELECT doc_id, source,
+         |    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)) AS tok,
+         |    unnest(range(1, len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)) + 1)) AS pos
+         |  FROM documents),
+         |ngr AS (
+         |  SELECT source,
+         |    tok || ' ' || LEAD(tok, 1) OVER w || ' ' || LEAD(tok, 2) OVER w
+         |        || ' ' || LEAD(tok, 3) OVER w || ' ' || LEAD(tok, 4) OVER w AS ngram
+         |  FROM stoks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+         |ng AS (SELECT DISTINCT source, ngram FROM ngr WHERE ngram IS NOT NULL)
+         |SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS shared_ngrams
+         |FROM ng a JOIN ng b ON a.ngram = b.ngram AND a.source < b.source
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "text_normalize" ->
       """SELECT doc_id,
         |  MD5(TRIM(REGEXP_REPLACE(LOWER(text), '[^a-z0-9]+', ' ', 'g'))) AS norm_digest

@@ -92,6 +92,37 @@ class CorpusSpec extends SparkSpec {
     assert(concat == expected)
   }
 
+  test("chunkWindows: full coverage, overlap stitching, short docs, tails") {
+    import spark.implicits._
+    val doc = (1 to 100).map(i => s"t$i").mkString(" ")
+    val df = Seq(
+      (1L, doc),             // 100 tokens → starts 1, 49 (w=64, s=48)
+      (2L, "only three tokens"),
+      (3L, "! ? ."),          // zero tokens → no chunks
+      (4L, (1 to 64).map(i => s"t$i").mkString(" ")) // exactly one window
+    ).toDF("doc_id", "text")
+    val out = Corpus.chunkWindows(df, "doc_id", "text", window = 64, overlap = 16)
+      .orderBy("doc_id", "chunk_id")
+      .as[(Long, Long, String, Long)].collect()
+
+    val d1 = out.filter(_._1 == 1L)
+    // starts on the 48-grid: 1, then 49 (⌈(100−64)/48⌉ = 1) — covers to 100
+    assert(d1.map(_._2).toSeq == Seq(0L, 1L))
+    assert(d1.map(_._4).toSeq == Seq(64L, 52L))
+    // consecutive chunks overlap by exactly `overlap` tokens on the grid
+    val c0 = d1(0)._3.split(" "); val c1 = d1(1)._3.split(" ")
+    assert(c0.takeRight(16).toSeq == c1.take(16).toSeq)
+    // every source token appears in order when overlaps are dropped
+    val stitched = d1.zipWithIndex.flatMap { case ((_, _, txt, _), i) =>
+      val t = txt.split(" "); if (i == 0) t else t.drop(16)
+    }
+    assert(stitched.toSeq == (1 to 100).map(i => s"t$i"))
+    assert(out.filter(_._1 == 2L).map(t => (t._2, t._3, t._4)).toSeq ==
+      Seq((0L, "only three tokens", 3L)))
+    assert(!out.exists(_._1 == 3L))
+    assert(out.filter(_._1 == 4L).map(_._4).toSeq == Seq(64L))
+  }
+
   test("snapshotDiff: added/removed/changed classified, unchanged dropped") {
     val v1 = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("doc_id", "text")
     val v2 = Seq((2L, "beta"), (3L, "gamma EDITED"), (4L, "delta")).toDF("doc_id", "text")

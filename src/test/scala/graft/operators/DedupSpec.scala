@@ -179,6 +179,29 @@ class DedupSpec extends SparkSpec {
     assert(j((4L, 5L)) == 0.0)
   }
 
+  test("jaccardJoin equals brute-force all-pairs (exact; no LSH recall loss)") {
+    val fixture = docs.union(Seq(
+      (7L, "!!! ... ???"), // zero-token doc: no Jaccard defined, excluded
+      (8L, null.asInstanceOf[String]), // null text: dropped, not crashed on
+      (9L, base + " extra") // exact dup of 2
+    ).toDF("doc_id", "text"))
+    val got = Dedup.jaccardJoin(fixture, "text", "doc_id", threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSeq
+
+    val sets = fixture.collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)).getOrElse("")
+        .toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSet))
+      .filter(_._2.nonEmpty)
+    val expect = for {
+      (ia, sa) <- sets.toSeq; (ib, sb) <- sets.toSeq if ia < ib
+      j = (sa & sb).size.toDouble / (sa | sb).size if j >= 0.5
+    } yield (ia, ib, j)
+    assert(got.toSet == expect.toSet,
+      s"exact join diverged from brute force: got ${got.toSet}, want ${expect.toSet}")
+    assert(got == got.sortBy(p => (p._1, p._2)), "output must be pair-ordered")
+    assert(got.exists(p => p._1 == 2L && p._2 == 9L && p._3 == 1.0))
+  }
+
   test("shingles/tokens behave on short and empty inputs") {
     val df = Seq((1L, "one two"), (2L, ""), (3L, "single")).toDF("id", "text")
     val out = df.select(col("id"),

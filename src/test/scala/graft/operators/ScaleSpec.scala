@@ -88,6 +88,27 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("zorder layout prunes a non-leading-column box that a linear sort layout cannot") {
+    import org.apache.spark.sql.expressions.Window
+    // 64×64 planted grid, one row per cell; 16 simulated files of 256 rows
+    val grid = (for { x <- 0 until 64; y <- 0 until 64 } yield (x.toLong, y.toLong))
+      .toDF("x", "y")
+      .withColumn("zkey", Scale.zorderKey(col("x"), col("y")))
+    val zFiles = grid.withColumn("f", ntile(16).over(Window.orderBy("zkey")))
+    val linFiles = grid.withColumn("f", ntile(16).over(Window.orderBy("x", "y")))
+    // parquet row-group pruning model: a file is read iff its min/max
+    // y-range overlaps the predicate's box — y is the NON-leading column
+    def filesRead(files: org.apache.spark.sql.DataFrame): Long =
+      files.groupBy("f").agg(min("y").as("mn"), max("y").as("mx"))
+        .filter(!(col("mx") < 8 || col("mn") > 15)).count()
+    val zRead = filesRead(zFiles)
+    val linRead = filesRead(linFiles)
+    assert(linRead == 16, s"x-major layout should read every file, got $linRead")
+    assert(zRead <= 8, s"zorder layout should prune most files, got $zRead")
+    // the interleave itself round-trips: keys are unique and order-stable
+    assert(grid.select("zkey").distinct().count() == 64 * 64)
+  }
+
   test("bucketed tables join with zero Exchange in the physical plan") {
     val a = (1 to 1000).map(i => (i.toLong, s"a$i")).toDF("k", "va")
     val b = (1 to 1000).map(i => (i.toLong, s"b$i")).toDF("k", "vb")
