@@ -123,6 +123,57 @@ object Ngrams {
   }
 
   /**
+   * Collocation mining: token bigrams ranked by lift — the log-free core
+   * of PMI, `lift = P(ab) / (P(a)·P(b)) = c_ab·N / (c_a·c_b)` (PMI is
+   * `log lift`; log is monotone, so the RANKING is PMI's). Emits the top
+   * `topK` bigrams with occurrence counts and lift, `minCount` guarding
+   * the low-frequency blow-up every PMI variant suffers (a pair seen
+   * once between two hapaxes has sky-high lift and zero signal).
+   *
+   * Lift stays in plain counts and ONE IEEE multiply/divide chain — no
+   * `log`/`pow` (libm-grade, not correctly rounded) — so the double is
+   * bit-identical cross-engine and the query carries a full hash oracle.
+   *
+   * Scale shape: bigram emission is map-only (`explode(sequence)` +
+   * `element_at` over the canonical token array — codegen built-ins, no
+   * per-doc window exchange, no lambda HOFs); then two hash aggregates
+   * (bigram counts, unigram counts) and a vocab-keyed shuffle join of
+   * bigrams to their component counts — all partial-agg friendly. The
+   * scalar token total is a 1-row broadcast. Top-k is a
+   * TakeOrderedAndProject, never a global sort.
+   */
+  def collocations(
+      df: DataFrame,
+      textCol: String,
+      minCount: Long = 5,
+      topK: Int = 50): DataFrame = {
+    val toks = df.select(Dedup.tokens(col(textCol)).as("__a"))
+    val pairs = toks
+      .filter(size(col("__a")) > 1)
+      .select(col("__a"),
+        explode(sequence(lit(1), size(col("__a")) - 1)).as("__i"))
+      .select(element_at(col("__a"), col("__i")).as("t1"),
+        element_at(col("__a"), col("__i") + 1).as("t2"))
+    val big = pairs.groupBy(col("t1"), col("t2"))
+      .agg(count(lit(1)).as("pair_count"))
+      .filter(col("pair_count") >= minCount)
+    val uni = toks.select(explode(col("__a")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("__c"))
+    val total = uni.agg(sum(col("__c")).as("__total"))
+    big
+      .join(uni.select(col("tok").as("t1"), col("__c").as("count_a")), "t1")
+      .join(uni.select(col("tok").as("t2"), col("__c").as("count_b")), "t2")
+      .crossJoin(broadcast(total))
+      .withColumn("lift",
+        (col("pair_count").cast("double") * col("__total").cast("double")) /
+          (col("count_a").cast("double") * col("count_b").cast("double")))
+      .select(col("t1"), col("t2"), col("pair_count"),
+        col("count_a"), col("count_b"), col("lift"))
+      .orderBy(col("lift").desc, col("t1"), col("t2"))
+      .limit(topK)
+  }
+
+  /**
    * Bloom-filter decontamination — the 100 TB shape of
    * [[decontaminate]]. The exact variant broadcasts the benchmark's
    * distinct n-gram SET for the semi join; at production benchmark

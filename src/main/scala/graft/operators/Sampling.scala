@@ -96,6 +96,45 @@ object Sampling {
   }
 
   /**
+   * Temperature-scaled mixture sampling at T = 2 (α = 1/2): downsample
+   * each stratum so its share of the output is proportional to
+   * `count^α` — the standard low-resource-upweighting resample of
+   * multilingual pretraining (keep all of the smallest stratum, shrink
+   * big ones toward — but not onto — it). Acceptance permille per
+   * stratum is `floor(sqrt(10^6 · c_min / c_i))` = `floor(1000 ·
+   * (c_min/c_i)^(1/2))`, applied through the same deterministic id
+   * bucket as [[stratifiedSample]], so output size per stratum is
+   * `c_i · sqrt(c_min/c_i) = sqrt(c_min · c_i)` — the α = 1/2 geometric
+   * interpolation between "keep everything" (α = 1) and
+   * [[rebalanceToSmallest]] (α = 0).
+   *
+   * α is fixed at 1/2 deliberately: the whole chain is then IEEE-exact
+   * cross-engine (one double multiply, one divide, one `sqrt` — all
+   * correctly-rounded required ops), so the DuckDB oracle reproduces it
+   * bit-for-bit. A general-α variant needs `pow`, which is libm-grade
+   * (≤ 1 ulp, NOT correctly rounded in Java) and could flip a `floor`
+   * boundary between engines — if generalizing, compute the per-stratum
+   * permilles as driver-side model state instead of in-plan columns.
+   *
+   * Scale shape: identical to [[rebalanceToSmallest]] — a |strata|-row
+   * aggregate broadcast back onto a scan-and-filter; the corpus is never
+   * shuffled.
+   */
+  def temperatureMix(
+      df: DataFrame,
+      strataCol: String,
+      idCol: String): DataFrame = {
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__cnt"))
+      .withColumn("__mn", min(col("__cnt")).over(Window.partitionBy()))
+      .withColumn("__thr",
+        floor(sqrt(lit(1000000.0) * col("__mn") / col("__cnt"))))
+      .select(col(strataCol), col("__thr"))
+    df.join(broadcast(counts), strataCol)
+      .filter(bucket1000(col(idCol)) < col("__thr"))
+      .drop("__thr")
+  }
+
+  /**
    * Percentile-band filter on an integer column (e.g. "keep docs between
    * the 5th and 95th length percentile" — the outlier trim before
    * packing/training), computed EXACTLY but without a global sort of the

@@ -63,4 +63,47 @@ object Sessionize {
         max(col(tsCol)).as("session_end"),
         count(lit(1)).as("n_events"),
         sum(col(valueCol).cast(DecimalType(12, 2))).cast(DoubleType).as("sum_value"))
+
+  /**
+   * State-run intervals (the SCD2 / "attribute history" build): per key,
+   * collapse consecutive runs of an equal state value into one row with
+   * `[start_ts, end_ts]` observed bounds and `valid_to` = the NEXT run's
+   * start (NULL on the current run) — exactly the half-open validity
+   * chain a type-2 dimension table stores. Gaps-and-islands via a
+   * change-flag running sum, NOT the textbook `rn − rn_per_state` trick:
+   * the flag needs only `lag` over the key partition, so every window
+   * and the run aggregation share ONE hash exchange on the key (the
+   * rn-pair version adds a second exchange on (key, state)).
+   *
+   * 100 TB: one shuffle of (key, ts, state); per-key data is processed
+   * as a sorted stream — skewed keys are the only hazard, and they're
+   * real entities (a device emitting billions of status rows), split by
+   * AQE. Deterministic: `idCol` tie-breaks equal timestamps.
+   */
+  def stateRuns(
+      events: DataFrame,
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      idCol: String = "event_id",
+      stateCol: String = "event_type"): DataFrame = {
+    val byUser = Window.partitionBy(col(userCol)).orderBy(col(tsCol).asc, col(idCol).asc)
+    val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prev = lag(col(stateCol), 1).over(byUser)
+    events
+      .withColumn("__chg",
+        when(prev.isNull || prev =!= col(stateCol), 1L).otherwise(0L))
+      .withColumn("run_seq", sum(col("__chg")).over(cum))
+      // (key) hash-partitioning satisfies the (key, run_seq) clustering,
+      // so this group-by adds no exchange; min(state) = the run's state
+      // (constant within a run by construction)
+      .groupBy(col(userCol), col("run_seq"))
+      .agg(
+        min(col(stateCol)).as("state"),
+        min(col(tsCol)).as("start_ts"),
+        max(col(tsCol)).as("end_ts"),
+        count(lit(1)).as("n_events"))
+      .withColumn("valid_to",
+        lead(col("start_ts"), 1).over(
+          Window.partitionBy(col(userCol)).orderBy(col("run_seq"))))
+  }
 }

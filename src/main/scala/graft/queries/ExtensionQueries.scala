@@ -568,6 +568,12 @@ object ExtensionQueries extends QueryFamily {
     Sessionize.sessionStats(Tables.events(spark, dir))
       .orderBy(col("user_id"), col("session_seq"))
 
+  /** SCD2-style state history: per-user runs of equal event_type with
+    * observed bounds and the next-run `valid_to` chain. */
+  def stateRuns(spark: SparkSession, dir: String): DataFrame =
+    Sessionize.stateRuns(Tables.events(spark, dir))
+      .orderBy(col("user_id"), col("run_seq"))
+
   val queries: Map[String, QueryFn] = Map(
     "dedup_exact" -> (dedupExact _),
     "dedup_fingerprint" -> (dedupFingerprint _),
@@ -622,6 +628,7 @@ object ExtensionQueries extends QueryFamily {
     "asof_join_salted" -> (asofJoinSalted _),
     "interval_join" -> (intervalJoin _),
     "session_assign" -> (sessionAssign _),
+    "state_runs" -> (stateRuns _),
     "session_stats" -> (sessionStats _))
 
   private val tokensSql =
@@ -972,5 +979,25 @@ object ExtensionQueries extends QueryFamily {
         |  COUNT(1) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
         |FROM assigned GROUP BY user_id, session_seq
-        |ORDER BY user_id, session_seq""".stripMargin)
+        |ORDER BY user_id, session_seq""".stripMargin,
+    "state_runs" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN LAG(event_type) OVER w IS NULL
+        |           OR LAG(event_type) OVER w <> event_type THEN 1
+        |         ELSE 0 END AS chg
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |runs AS (
+        |  SELECT user_id, ts, event_type,
+        |    CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_seq
+        |  FROM flagged),
+        |agg AS (
+        |  SELECT user_id, run_seq, MIN(event_type) AS state,
+        |    MIN(ts) AS start_ts, MAX(ts) AS end_ts, COUNT(1) AS n_events
+        |  FROM runs GROUP BY user_id, run_seq)
+        |SELECT user_id, run_seq, state, start_ts, end_ts, n_events,
+        |  LEAD(start_ts) OVER (PARTITION BY user_id ORDER BY run_seq) AS valid_to
+        |FROM agg ORDER BY user_id, run_seq""".stripMargin)
 }

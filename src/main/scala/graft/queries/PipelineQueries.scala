@@ -37,7 +37,28 @@ object PipelineQueries extends QueryFamily {
       .select(col("doc_id"), col("lang"))
       .orderBy(col("doc_id"))
 
+  /** Temperature-2 mixture: every language downsampled to
+    * √(c_min · c_i) — the α = 1/2 interpolation between keep-all and
+    * uniform that multilingual pretraining mixes use. */
+  def mixTemperature(spark: SparkSession, dir: String): DataFrame =
+    Sampling.temperatureMix(Tables.documents(spark, dir), "lang", "doc_id")
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+
+  /** One-pass dataset profile of the documents table (null rates, exact
+    * cardinalities, native-type bounds) — the pre-ingest data-quality
+    * sweep. */
+  def profileDocuments(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.profile(Tables.documents(spark, dir),
+      Seq("doc_id", "text", "lang", "source", "n_chars"))
+
   // --- n-gram pipeline ---
+
+  /** Top token bigrams by lift (= PMI rank without the log): collocation
+    * mining with a min-count guard against hapax noise. */
+  def textCollocations(spark: SparkSession, dir: String): DataFrame =
+    Ngrams.collocations(Tables.documents(spark, dir), "text",
+      minCount = 5, topK = 50)
 
   /** Benchmark decontamination: docs sharing a word 3-gram with the
     * deterministic benchmark subset (doc_id ≡ 0 mod 97). */
@@ -259,6 +280,9 @@ object PipelineQueries extends QueryFamily {
   val queries: Map[String, QueryFn] = Map(
     "sample_stratified" -> (sampleStratified _),
     "mix_rebalance" -> (mixRebalance _),
+    "mix_temperature" -> (mixTemperature _),
+    "profile_documents" -> (profileDocuments _),
+    "text_collocations" -> (textCollocations _),
     "decontaminate" -> (decontaminate _),
     "decontaminate_bloom" -> (decontaminateBloom _),
     "quality_repetition" -> (qualityRepetition _),
@@ -293,6 +317,11 @@ object PipelineQueries extends QueryFamily {
 
   private val bucketSql = graft.operators.Sampling.bucket1000Sql("doc_id")
 
+  /** The house tokenizer as a DuckDB array expression (lockstep with
+    * [[graft.operators.Dedup.tokens]]). */
+  private val tokensSqlP =
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)"
+
   val oracles: Map[String, String] = Map(
     "sample_stratified" ->
       s"""SELECT doc_id, lang FROM documents
@@ -305,6 +334,41 @@ object PipelineQueries extends QueryFamily {
          |SELECT d.doc_id, d.lang FROM documents d JOIN c USING (lang), m
          |WHERE $bucketSql < FLOOR(1000.0 * m.mn / c.cnt)
          |ORDER BY doc_id""".stripMargin,
+    // 1e6·mn/cnt is one IEEE multiply + divide and SQRT is a correctly-
+    // rounded required op — bit-identical cross-engine (unlike POW)
+    "mix_temperature" ->
+      s"""WITH c AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang),
+         |m AS (SELECT MIN(cnt) AS mn FROM c)
+         |SELECT d.doc_id, d.lang FROM documents d JOIN c USING (lang), m
+         |WHERE $bucketSql < FLOOR(SQRT(1000000.0 * m.mn / c.cnt))
+         |ORDER BY doc_id""".stripMargin,
+    "profile_documents" -> {
+      def one(c: String) =
+        s"""SELECT '$c' AS column_name, COUNT(*) AS n_rows, COUNT($c) AS n_nonnull,
+           |  COUNT(DISTINCT $c) AS n_distinct,
+           |  CAST(MIN($c) AS VARCHAR) AS min_value,
+           |  CAST(MAX($c) AS VARCHAR) AS max_value FROM documents""".stripMargin
+      Seq("doc_id", "text", "lang", "source", "n_chars").map(one)
+        .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY column_name")
+    },
+    "text_collocations" ->
+      s"""WITH ta AS (SELECT $tokensSqlP AS a FROM documents),
+         |pairs AS (
+         |  SELECT a[i] AS t1, a[i + 1] AS t2
+         |  FROM (SELECT a, unnest(generate_series(1, len(a) - 1)) AS i
+         |        FROM ta WHERE len(a) > 1)),
+         |big AS (SELECT t1, t2, COUNT(1) AS pair_count FROM pairs
+         |        GROUP BY t1, t2 HAVING COUNT(1) >= 5),
+         |uni AS (SELECT tok, COUNT(1) AS c
+         |        FROM (SELECT unnest(a) AS tok FROM ta) GROUP BY tok),
+         |n AS (SELECT CAST(SUM(c) AS BIGINT) AS total FROM uni)
+         |SELECT big.t1, big.t2, pair_count,
+         |  ua.c AS count_a, ub.c AS count_b,
+         |  (CAST(pair_count AS DOUBLE) * CAST(total AS DOUBLE)) /
+         |  (CAST(ua.c AS DOUBLE) * CAST(ub.c AS DOUBLE)) AS lift
+         |FROM big JOIN uni ua ON ua.tok = big.t1
+         |JOIN uni ub ON ub.tok = big.t2 CROSS JOIN n
+         |ORDER BY lift DESC, t1, t2 LIMIT 50""".stripMargin,
     "decontaminate" ->
       s"""WITH $toksCte,
          |ng AS (

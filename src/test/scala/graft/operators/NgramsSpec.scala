@@ -162,4 +162,27 @@ class NgramsSpec extends SparkSpec {
       (2L, 1L, "lion", 1000000L),
       (2L, 2L, "the", 500000L)))
   }
+
+  test("collocations: always-adjacent pair tops the lift ranking; counts are exact") {
+    // "new york" always adjacent; "the" everywhere (high count, low lift)
+    val docs = (1 to 10).map(i => (i.toLong, "the new york trip " + i)) ++
+      (11 to 20).map(i => (i.toLong, "the boring filler text " + i))
+    val out = Ngrams.collocations(docs.toDF("doc_id", "text"), "text",
+      minCount = 5, topK = 10)
+      .select("t1", "t2", "pair_count", "count_a", "count_b", "lift")
+      .as[(String, String, Long, Long, Long, Double)].collect()
+    val ny = out.find(r => r._1 == "new" && r._2 == "york").get
+    assert(ny._3 == 10 && ny._4 == 10 && ny._5 == 10)
+    // N = 20 docs x 5 tokens = 100; lift = 10*100/(10*10) = 10.0 exactly
+    assert(ny._6 == 10.0)
+    // ranking: every always-adjacent pair (lift 10) beats the
+    // "the"-anchored pairs (the: 20 occurrences -> lift 5); equal lifts
+    // tie-break alphabetically, so "boring filler" heads the list
+    assert(out.head == (("boring", "filler", 10L, 10L, 10L, 10.0)))
+    val theNew = out.find(r => r._1 == "the" && r._2 == "new").get
+    assert(theNew._6 == 5.0)
+    assert(out.map(_._6).toSeq == out.map(_._6).sortBy(-_).toSeq, "sorted by lift desc")
+    // min-count guard: nothing below 5 occurrences leaks in
+    assert(out.forall(_._3 >= 5))
+  }
 }

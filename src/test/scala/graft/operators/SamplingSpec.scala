@@ -113,4 +113,35 @@ class SamplingSpec extends SparkSpec {
     // b: 2000 overflows immediately and blocks the 1-char doc behind it
     assert(out == Set(("a", 2L, 900L), ("a", 3L, 1500L)))
   }
+
+  test("temperatureMix: per-stratum keep rate is floor(1000*sqrt(cmin/ci)) permille") {
+    // planted strata: A=400 docs, B=100, C=25 -> cmin=25
+    // thr_A = floor(1000*sqrt(25/400)) = 250, thr_B = 500, thr_C = 1000
+    val rows = (0L until 400L).map(i => (i, "A")) ++
+      (400L until 500L).map(i => (i, "B")) ++
+      (500L until 525L).map(i => (i, "C"))
+    val df = rows.toDF("doc_id", "lang")
+    val kept = Sampling.temperatureMix(df, "lang", "doc_id")
+      .select("doc_id", "lang").as[(Long, String)].collect()
+
+    // the smallest stratum is kept whole (thr = 1000 admits every bucket)
+    assert(kept.count(_._2 == "C") == 25)
+    // every kept row satisfies the bucket threshold, and every dropped
+    // row fails it -- cross-checked against the same thresholds applied
+    // through stratifiedSample (shared kernel, independent path)
+    val viaStratified = Sampling.stratifiedSample(
+      df, "lang", "doc_id",
+      permille = Map("A" -> 250, "B" -> 500, "C" -> 1000),
+      defaultPermille = 0)
+      .select("doc_id", "lang").as[(Long, String)].collect()
+    assert(kept.toSet == viaStratified.toSet)
+    // alpha = 1/2 interpolation: strictly more than uniform-rebalance
+    // would keep, strictly less than keep-all (for the big stratum)
+    val nA = kept.count(_._2 == "A")
+    assert(nA > 25 && nA < 400, s"A kept $nA")
+    // deterministic re-run
+    val again = Sampling.temperatureMix(df, "lang", "doc_id")
+      .select("doc_id", "lang").as[(Long, String)].collect()
+    assert(kept.toSet == again.toSet)
+  }
 }
