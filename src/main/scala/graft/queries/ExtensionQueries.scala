@@ -574,6 +574,31 @@ object ExtensionQueries extends QueryFamily {
     Sessionize.stateRuns(Tables.events(spark, dir))
       .orderBy(col("user_id"), col("run_seq"))
 
+  /** Exact 3-day rolling distinct active users (contribution-expansion
+    * shape; the fixture span is only a few days, so a 7-day window would
+    * degenerate to cumulative). */
+  def rollingActive(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Temporal.rollingActive(Tables.events(spark, dir),
+      "user_id", "ts", windowDays = 3)
+      .orderBy(col("window_end"))
+
+  /** Market-basket rules over (user, event_type) baskets: exact pair
+    * supports with IEEE-exact confidence/lift. */
+  def assocRules(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Assoc.pairRules(Tables.events(spark, dir),
+      "user_id", "event_type")
+      .orderBy(col("item_a"), col("item_b"))
+
+  /** Trailing-window z-score anomalies on the value stream, one series
+    * per event_type — integer-exact cross-multiplied form (see the
+    * operator doc for why the textbook float formulation can't oracle). */
+  def tsAnomaly(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Anomaly.zscoreFlags(Tables.events(spark, dir),
+      "event_type", "ts", "event_id", "value",
+      windowRows = 50, k = 3, minObs = 20)
+      .select(col("event_id"), col("event_type"), col("ts"), col("value"))
+      .orderBy(col("event_id"))
+
   val queries: Map[String, QueryFn] = Map(
     "dedup_exact" -> (dedupExact _),
     "dedup_fingerprint" -> (dedupFingerprint _),
@@ -629,6 +654,9 @@ object ExtensionQueries extends QueryFamily {
     "interval_join" -> (intervalJoin _),
     "session_assign" -> (sessionAssign _),
     "state_runs" -> (stateRuns _),
+    "assoc_rules" -> (assocRules _),
+    "ts_anomaly" -> (tsAnomaly _),
+    "rolling_active" -> (rollingActive _),
     "session_stats" -> (sessionStats _))
 
   private val tokensSql =
@@ -999,5 +1027,48 @@ object ExtensionQueries extends QueryFamily {
         |  FROM runs GROUP BY user_id, run_seq)
         |SELECT user_id, run_seq, state, start_ts, end_ts, n_events,
         |  LEAD(start_ts) OVER (PARTITION BY user_id ORDER BY run_seq) AS valid_to
-        |FROM agg ORDER BY user_id, run_seq""".stripMargin)
+        |FROM agg ORDER BY user_id, run_seq""".stripMargin,
+    "assoc_rules" ->
+      """WITH bi AS (SELECT DISTINCT user_id AS b, event_type AS i FROM events),
+        |pairs AS (
+        |  SELECT a.i AS item_a, b.i AS item_b, COUNT(1) AS n_ab
+        |  FROM bi a JOIN bi b ON a.b = b.b AND a.i < b.i
+        |  GROUP BY 1, 2),
+        |ic AS (SELECT i, COUNT(1) AS n FROM bi GROUP BY i),
+        |t AS (SELECT COUNT(DISTINCT b) AS n_baskets FROM bi)
+        |SELECT item_a, item_b, n_ab, ia.n AS n_a, ib.n AS n_b, n_baskets,
+        |  CAST(n_ab AS DOUBLE) / CAST(n_baskets AS DOUBLE) AS support,
+        |  CAST(n_ab AS DOUBLE) / CAST(ia.n AS DOUBLE) AS conf_a_b,
+        |  CAST(n_ab AS DOUBLE) / CAST(ib.n AS DOUBLE) AS conf_b_a,
+        |  (CAST(n_ab AS DOUBLE) * CAST(n_baskets AS DOUBLE)) /
+        |  (CAST(ia.n AS DOUBLE) * CAST(ib.n AS DOUBLE)) AS lift
+        |FROM pairs JOIN ic ia ON ia.i = item_a JOIN ic ib ON ib.i = item_b
+        |CROSS JOIN t
+        |ORDER BY item_a, item_b""".stripMargin,
+    // the z-test runs in its cross-multiplied integer-cents square form —
+    // (n·x − S)² > k²(n·Q − S²) — so both engines compare exact integers
+    "ts_anomaly" ->
+      """WITH fx AS (
+        |  SELECT event_id, event_type, ts, value,
+        |    CAST(ROUND(value * 100) AS BIGINT) AS x
+        |  FROM events),
+        |win AS (
+        |  SELECT event_id, event_type, ts, value, x,
+        |    COUNT(1) OVER w AS n, SUM(x) OVER w AS s, SUM(x * x) OVER w AS q
+        |  FROM fx
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+        |               ROWS BETWEEN 49 PRECEDING AND CURRENT ROW))
+        |SELECT event_id, event_type, ts, value
+        |FROM win
+        |WHERE n >= 20 AND (n * x - s) * (n * x - s) > 9 * (n * q - s * s)
+        |ORDER BY event_id""".stripMargin,
+    "rolling_active" ->
+      """WITH ad AS (SELECT DISTINCT user_id AS actor, CAST(ts AS DATE) AS d FROM events),
+        |m AS (SELECT MAX(d) AS dmax FROM ad),
+        |contrib AS (
+        |  SELECT DISTINCT actor, d + i AS window_end
+        |  FROM ad, (SELECT CAST(unnest(generate_series(0, 2)) AS INTEGER) AS i) t)
+        |SELECT window_end, COUNT(1) AS n_active
+        |FROM contrib, m WHERE window_end <= dmax
+        |GROUP BY window_end ORDER BY window_end""".stripMargin)
 }

@@ -148,4 +148,23 @@ class TemporalSpec extends SparkSpec {
     assert(grid == naive)
     assert(grid == Set((10L, 1L), (10L, 2L), (10L, 3L), (20L, 2L)))
   }
+
+  test("rollingActive: distinct (not summed) actors per trailing window; ends clamped") {
+    val events = Seq(
+      (1L, ts("2024-01-01 09:00:00")), // u1 day1
+      (1L, ts("2024-01-01 18:00:00")), // u1 day1 again — one contribution
+      (1L, ts("2024-01-02 09:00:00")), // u1 day2 — still ONE per window
+      (2L, ts("2024-01-01 09:00:00")), // u2 day1
+      (3L, ts("2024-01-03 09:00:00")), // u3 day3
+      (4L, ts("2024-01-03 10:00:00"))  // u4 day3
+    ).toDF("user_id", "ts")
+    val out = Temporal.rollingActive(events, "user_id", "ts", windowDays = 2)
+      .orderBy("window_end")
+      .as[(java.sql.Date, Long)].collect()
+      .map { case (d, n) => (d.toString, n) }
+    // window {d1}: u1,u2 = 2; {d1,d2}: u1 once, u2 = 2; {d2,d3}: u1,u3,u4 = 3
+    // d4 (= d3 + 1) is past the last observed day -> clamped away
+    assert(out.toSeq == Seq(
+      ("2024-01-01", 2L), ("2024-01-02", 2L), ("2024-01-03", 3L)))
+  }
 }
