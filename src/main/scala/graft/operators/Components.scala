@@ -185,4 +185,33 @@ object Components {
       .distinct()
     labels
   }
+
+  /**
+   * Per-cluster diagnostics over a labeling and its edge list: node
+   * count, edge count, and pair density `2·E / (N·(N−1))` — the "is this
+   * duplicate cluster a tight clique or a hub-chained artifact?" triage
+   * that decides whether a cluster's members are safe to collapse to one
+   * survivor (density ≈ 1) or need pairwise re-verification (sparse
+   * chains transitively glue non-duplicates). Density is one IEEE
+   * multiply/divide over exact counts — hash-oracle-able; NULL for
+   * singletons (no pairs to be dense over).
+   *
+   * Scale shape: one shuffle of the edge list on its src endpoint (8-byte
+   * keys) to pick up component labels, then count aggregates on the
+   * component key; the labeling is reused as-is. Output is one row per
+   * cluster.
+   */
+  def componentStats(labels: DataFrame, edges: DataFrame): DataFrame = {
+    val nodes = labels.groupBy(col("component")).agg(count(lit(1)).as("n_nodes"))
+    val e = edges
+      .join(labels.select(col("id").as("src"), col("component")), "src")
+      .groupBy(col("component")).agg(count(lit(1)).as("__e"))
+    nodes.join(e, Seq("component"), "left")
+      .select(col("component"), col("n_nodes"),
+        coalesce(col("__e"), lit(0L)).as("n_edges"))
+      .withColumn("density",
+        when(col("n_nodes") >= 2,
+          (lit(2.0) * col("n_edges").cast("double")) /
+            (col("n_nodes").cast("double") * (col("n_nodes") - 1).cast("double"))))
+  }
 }

@@ -57,6 +57,24 @@ object Scale {
       .format("parquet")
       .saveAsTable(tableName)
 
+  /**
+   * Hive-style partitioned parquet layout: one directory per distinct
+   * `partCol` value. The complement of [[writeBucketed]] (hash layout
+   * for JOIN locality) and the Z-order key (multi-dim range locality):
+   * a LIST-level layout, so an equality/range predicate on the
+   * partition column prunes whole directories during file listing —
+   * before any footer is read. At 100 TB this is the first line of
+   * defense for time-sliced scans; ScaleSpec asserts the pruned scan
+   * touches only the matching partition's files.
+   *
+   * Cardinality contract is the caller's: partition by DAYS or sources
+   * (10²–10⁴ dirs), never by user-grade keys — a million tiny
+   * directories destroys listing and small-file behavior (that's what
+   * bucketing is for).
+   */
+  def writePartitioned(df: DataFrame, partCol: String, path: String): Unit =
+    df.write.partitionBy(partCol).mode("overwrite").parquet(path)
+
   /** Bit-spread: the low 32 bits of `v` moved to the even bit positions
     * of a long (0b…abc → 0b…0a0b0c) — the classic mask-shift cascade.
     * Plain column arithmetic on purpose: it stays inside whole-stage

@@ -243,19 +243,39 @@ object PipelineQueries extends QueryFamily {
     * while the closure stays SQL-checkable: component = min doc_id of
     * the (lang, source) group. Docs without an edge (singleton groups)
     * come back as their own component. */
-  def dedupGroupsCc(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"), col("source"))
+  /** Chain edges of each (lang, source) group — shared by the CC
+    * clustering queries and the cluster diagnostics. */
+  private def chainEdges(docs: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("lang"), col("source")).orderBy(col("doc_id"))
-    val edges = docs
+    docs
       .withColumn("__prev", lag(col("doc_id"), 1).over(w))
       .filter(col("__prev").isNotNull)
       .select(col("__prev").as("src"), col("doc_id").as("dst"))
-    val comps = Components.connectedComponents(edges)
+  }
+
+  def dedupGroupsCc(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"))
+    val comps = Components.connectedComponents(chainEdges(docs))
     docs.join(comps, docs("doc_id") === comps("id"), "left")
       .select(col("doc_id"),
         coalesce(col("component"), col("doc_id")).as("component"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Cluster triage over the CC clustering: size, edge count, and pair
+    * density per duplicate cluster (chain fixture ⇒ density 2/n — sparse
+    * by construction, exactly the "needs re-verification" signal the
+    * operator doc describes). */
+  def dedupClusterStats(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"))
+    val edges = chainEdges(docs)
+    val comps = Components.connectedComponents(edges)
+    val labels = docs.join(comps, docs("doc_id") === comps("id"), "left")
+      .select(col("doc_id").as("id"),
+        coalesce(col("component"), col("doc_id")).as("component"))
+    Components.componentStats(labels, edges).orderBy(col("component"))
   }
 
   /** Same duplicate-clustering contract as [[dedupGroupsCc]], computed by
@@ -265,12 +285,7 @@ object PipelineQueries extends QueryFamily {
   def dedupGroupsCcStars(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), col("source"))
-    val w = Window.partitionBy(col("lang"), col("source")).orderBy(col("doc_id"))
-    val edges = docs
-      .withColumn("__prev", lag(col("doc_id"), 1).over(w))
-      .filter(col("__prev").isNotNull)
-      .select(col("__prev").as("src"), col("doc_id").as("dst"))
-    val comps = Components.connectedComponentsStars(edges)
+    val comps = Components.connectedComponentsStars(chainEdges(docs))
     docs.join(comps, docs("doc_id") === comps("id"), "left")
       .select(col("doc_id"),
         coalesce(col("component"), col("doc_id")).as("component"))
@@ -304,7 +319,8 @@ object PipelineQueries extends QueryFamily {
     "mix_token_budget" -> (mixTokenBudget _),
     "corpus_diff" -> (corpusDiff _),
     "dedup_groups_cc" -> (dedupGroupsCc _),
-    "dedup_groups_cc_stars" -> (dedupGroupsCcStars _))
+    "dedup_groups_cc_stars" -> (dedupGroupsCcStars _),
+    "dedup_cluster_stats" -> (dedupClusterStats _))
 
   /** Tokens-with-position CTE shared by the n-gram oracles — the zipped
     * double-unnest mirrors Spark's posexplode positions 1-based. */
@@ -565,5 +581,18 @@ object PipelineQueries extends QueryFamily {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "dedup_groups_cc_stars" ->
       """SELECT doc_id, MIN(doc_id) OVER (PARTITION BY lang, source) AS component
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // chain fixture closure: a (lang, source) group of n docs has n-1
+    // chain edges, so the stats reduce to group counts
+    "dedup_cluster_stats" ->
+      """WITH g AS (
+        |  SELECT MIN(doc_id) AS component, COUNT(*) AS n_nodes
+        |  FROM documents GROUP BY lang, source)
+        |SELECT component, n_nodes,
+        |  CAST(n_nodes - 1 AS BIGINT) AS n_edges,
+        |  CASE WHEN n_nodes >= 2 THEN
+        |    (2.0 * CAST(n_nodes - 1 AS DOUBLE)) /
+        |    (CAST(n_nodes AS DOUBLE) * CAST(n_nodes - 1 AS DOUBLE))
+        |  ELSE NULL END AS density
+        |FROM g ORDER BY component""".stripMargin)
 }

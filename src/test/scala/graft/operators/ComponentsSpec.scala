@@ -78,4 +78,23 @@ class ComponentsSpec extends SparkSpec {
       assert(viaStars == viaLabels, s"trial $trial diverged")
     }
   }
+
+  test("componentStats: clique density 1, chain density 2/n, singleton NULL") {
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (1L, 3L), // triangle -> density 1.0
+      (10L, 11L), (11L, 12L) // chain of 3 -> density 2/3
+    ).toDF("src", "dst")
+    val labels = Seq(
+      (1L, 1L), (2L, 1L), (3L, 1L),
+      (10L, 10L), (11L, 10L), (12L, 10L),
+      (20L, 20L) // singleton (no edges)
+    ).toDF("id", "component")
+    val out = Components.componentStats(labels, edges)
+      .orderBy("component")
+      .as[(Long, Long, Long, Option[Double])].collect()
+    assert(out.toSeq == Seq(
+      (1L, 3L, 3L, Some(1.0)),
+      (10L, 3L, 2L, Some(2.0 / 3.0)),
+      (20L, 1L, 0L, None)))
+  }
 }

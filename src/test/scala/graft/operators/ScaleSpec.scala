@@ -127,4 +127,24 @@ class ScaleSpec extends SparkSpec {
       assert(joined.count() == 1000)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("writePartitioned: a partition-column predicate prunes to one directory's files") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    // 4 date partitions x 100 rows
+    val df = (1 to 400).map(i => (i.toLong, f"2024-01-${i % 4 + 1}%02d"))
+      .toDF("id", "d")
+    Scale.writePartitioned(df, "d", dir)
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val back = spark.read.parquet(dir).filter(col("d") === "2024-01-02")
+      assert(back.count() == 100)
+      val scan = back.queryExecution.executedPlan
+        .collectFirst { case s: FileSourceScanExec => s }.get
+      assert(scan.selectedPartitions.partitionCount == 1,
+        s"expected 1 pruned partition, got ${scan.selectedPartitions.partitionCount}")
+      assert(scan.metadata("PartitionFilters").contains("2024-01-02"))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
 }
