@@ -135,6 +135,37 @@ object Corpus {
           .cast("long").as("chunk_tokens"))
   }
 
+  /**
+   * Cross-document repeated-block detection: non-overlapping token
+   * blocks ([[chunkWindows]] with `overlap = 0`) that recur across the
+   * corpus — the block-granular middle ground between document-level
+   * dedup (misses embedded boilerplate) and exact-substring runs
+   * ([[Ngrams.substringRuns]], precise but pair-wise): licenses, nav
+   * chrome, and templated intros surface here as one aggregate row per
+   * repeated block, with no pair explosion at all.
+   *
+   * Scale shape: map-only chunking, then ONE hash aggregate keyed on the
+   * block digest — 16-byte md5 keys through the exchange, never block
+   * text (the digest is emitted, not the block, for exactly that
+   * reason; join back on digest to inspect offenders). Output is
+   * bounded by |repeated blocks|.
+   */
+  def repeatedBlocks(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockTokens: Int = 32,
+      minDocs: Int = 2): DataFrame = {
+    require(blockTokens >= 1, s"blockTokens must be positive: $blockTokens")
+    require(minDocs >= 2, s"minDocs below 2 is not a duplicate: $minDocs")
+    chunkWindows(df, idCol, textCol, window = blockTokens, overlap = 0)
+      .select(col(idCol), md5(col("chunk_text")).as("block_digest"))
+      .groupBy(col("block_digest"))
+      .agg(countDistinct(col(idCol)).as("n_docs"),
+        count(lit(1)).as("n_occurrences"))
+      .filter(col("n_docs") >= minDocs)
+  }
+
   def prepareShards(
       df: DataFrame,
       idCol: String,

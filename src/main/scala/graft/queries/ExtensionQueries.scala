@@ -433,6 +433,14 @@ object ExtensionQueries extends QueryFamily {
       window = 64, overlap = 16)
       .orderBy(col("doc_id"), col("chunk_id"))
 
+  /** Cross-document repeated 16-token blocks (license/boilerplate/nav
+    * chrome surfacing as ONE aggregate row each — no pair explosion). */
+  def dedupBlocks(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Corpus.repeatedBlocks(
+      Tables.documents(spark, dir), "doc_id", "text",
+      blockTokens = 16, minDocs = 2)
+      .orderBy(col("block_digest"))
+
   def corpusRedact(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Corpus.redactPii(Tables.documents(spark, dir), "text")
       .select(col("doc_id"), col("n_emails"), col("n_phones"),
@@ -644,6 +652,7 @@ object ExtensionQueries extends QueryFamily {
     "corpus_shuffle" -> (corpusShuffle _),
     "corpus_pack" -> (corpusPack _),
     "corpus_chunk" -> (corpusChunk _),
+    "dedup_blocks" -> (dedupBlocks _),
     "corpus_redact" -> (corpusRedact _),
     "funnel_signup_purchase" -> (funnelSignupPurchase _),
     "retention_weekly" -> (retentionWeekly _),
@@ -933,6 +942,28 @@ object ExtensionQueries extends QueryFamily {
          |  ARRAY_TO_STRING(LIST_SLICE(toks, start, start + 63), ' ') AS chunk_text,
          |  CAST(LEAST(64, n - start + 1) AS BIGINT) AS chunk_tokens
          |FROM starts ORDER BY doc_id, chunk_id""".stripMargin,
+    // same stride-grid chunking as corpus_chunk, window = stride = 16,
+    // reduced to block digests
+    "dedup_blocks" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, toks, LEN(toks) AS n
+         |  FROM (SELECT doc_id, $tokensSql AS toks FROM documents)
+         |  WHERE LEN(toks) > 0),
+         |starts AS (
+         |  SELECT doc_id, toks, n,
+         |    UNNEST(GENERATE_SERIES(1,
+         |      CASE WHEN n <= 16 THEN 1
+         |           ELSE ((n - 16 + 15) // 16) * 16 + 1 END, 16)) AS start
+         |  FROM b),
+         |blocks AS (
+         |  SELECT doc_id,
+         |    MD5(ARRAY_TO_STRING(LIST_SLICE(toks, start, start + 15), ' ')) AS block_digest
+         |  FROM starts)
+         |SELECT block_digest, COUNT(DISTINCT doc_id) AS n_docs,
+         |  COUNT(1) AS n_occurrences
+         |FROM blocks GROUP BY block_digest
+         |HAVING COUNT(DISTINCT doc_id) >= 2
+         |ORDER BY block_digest""".stripMargin,
     "corpus_redact" -> {
       val em = graft.operators.Corpus.emailPattern
       val ph = graft.operators.Corpus.phonePattern

@@ -147,4 +147,24 @@ class CorpusSpec extends SparkSpec {
     assert(out(2L)._2 == 2 && out(2L)._3 == "call <PHONE> or <PHONE> now")
     assert(out(3L) == ((0, 0, "no pii here at all")))
   }
+
+  test("repeatedBlocks: aligned cross-doc blocks found once each, no pair explosion") {
+    val block = (1 to 8).map(i => s"w$i").mkString(" ") // one 8-token block
+    val df = Seq(
+      (1L, block + " " + (1 to 8).map(i => s"x$i").mkString(" ")), // block at grid 1
+      (2L, block),                                                  // same block alone
+      (3L, block),                                                  // third copy
+      (4L, (1 to 8).map(i => s"y$i").mkString(" "))                 // unique
+    ).toDF("doc_id", "text")
+    val out = Corpus.repeatedBlocks(df, "doc_id", "text", blockTokens = 8)
+      .as[(String, Long, Long)].collect()
+    // exactly one repeated block: w1..w8, in 3 docs, 3 occurrences
+    assert(out.length == 1)
+    assert(out.head._2 == 3L && out.head._3 == 3L)
+    // a doc repeating the block TWICE counts once in n_docs, twice in occurrences
+    val rep = Seq((1L, block + " " + block), (2L, block)).toDF("doc_id", "text")
+    val out2 = Corpus.repeatedBlocks(rep, "doc_id", "text", blockTokens = 8)
+      .as[(String, Long, Long)].collect()
+    assert(out2.length == 1 && out2.head._2 == 2L && out2.head._3 == 3L)
+  }
 }
