@@ -83,6 +83,34 @@ object TextAnalysis {
   def fingerprint(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("fp", doc_fingerprint(col(textCol)))
 
+  /**
+   * Mixed-language detection: language-ID each HALF of the document and
+   * flag disagreements — the cheap first-pass screen for code-switched
+   * pages, wrongly concatenated crawls, and template-wrapped foreign
+   * text, all of which poison per-language corpora while looking
+   * monolingual to whole-document langid (the dominant language wins the
+   * whole-doc vote, so the contaminating half is invisible there).
+   * `mixed` requires BOTH halves identified (no "und"): an unidentifiable
+   * half is a quality problem, not evidence of a second language.
+   *
+   * Halves split at the character midpoint (codepoint semantics in both
+   * engines), each scored by the same fused `lang_id_pick` kernel as
+   * [[langId]] — row-local, no shuffle, and the oracle twin is generated
+   * from the same marker table so the two cannot drift.
+   */
+  def langMixed(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val markers = langMarkers.toSeq.sortBy(_._1)
+    val half = floor(length(col(textCol)) / 2).cast("int")
+    df.select(
+        col(idCol),
+        lang_id_pick(substr(col(textCol), lit(1), half), markers).as("lang_a"),
+        lang_id_pick(substr(col(textCol), half + 1, length(col(textCol))), markers)
+          .as("lang_b"))
+      .withColumn("mixed",
+        col("lang_a") =!= "und" && col("lang_b") =!= "und" &&
+          col("lang_a") =!= col("lang_b"))
+  }
+
   /** Token-rarity quality score — the integer-exact stand-in for
     * perplexity filtering (CCNet-style): documents dominated by globally
     * frequent tokens score high `sum_tok_freq`, rare-token-heavy

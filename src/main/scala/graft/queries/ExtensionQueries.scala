@@ -299,6 +299,12 @@ object ExtensionQueries extends QueryFamily {
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("lang"), col("pred_lang"))
 
+  /** Mixed-language screen: langid per document half, disagreements
+    * flagged (code-switched / concatenated-crawl detector). */
+  def langMixed(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.langMixed(Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
   /** Token counting: whitespace tokens + BPE-ish subword estimate
     * (alphanumeric runs + punctuation marks each count once). */
   def textTokenCount(spark: SparkSession, dir: String): DataFrame =
@@ -639,6 +645,7 @@ object ExtensionQueries extends QueryFamily {
     "text_tokens_top" -> (textTokensTop _),
     "text_langid" -> (textLangId _),
     "lang_confusion" -> (langConfusion _),
+    "lang_mixed" -> (langMixed _),
     "text_token_count" -> (textTokenCount _),
     "text_fingerprint" -> (textFingerprint _),
     "multimodal_meta" -> (multimodalMeta _),
@@ -699,6 +706,36 @@ object ExtensionQueries extends QueryFamily {
        |FROM (SELECT doc_id, lang, text,
        |  $hitCols
        |  FROM documents)""".stripMargin
+  }
+
+  /** Per-half langid SQL (lang_mixed's oracle) — same marker table and
+    * pick rule as [[langPredSql]], scored over the two character-midpoint
+    * halves. */
+  private lazy val langMixedSql: String = {
+    val langs = graft.operators.TextAnalysis.langMarkers.toSeq.sortBy(_._1)
+    def tokCol(c: String) =
+      s"""LIST_FILTER(STRING_SPLIT_REGEX(LOWER($c), '[^\\p{L}0-9]+'), x -> LEN(x) > 0)"""
+    def hitCols(c: String, sfx: String) = langs.map { case (l, ms) =>
+      s"LEN(LIST_FILTER(${tokCol(c)}, x -> x IN (${ms.map(m => s"'$m'").mkString(", ")}))) AS h${sfx}_$l"
+    }.mkString(",\n  ")
+    def maxExpr(sfx: String) =
+      s"GREATEST(${langs.map(l => s"h${sfx}_${l._1}").mkString(", ")})"
+    def pick(sfx: String) =
+      s"CASE WHEN ${maxExpr(sfx)} <= 0 THEN 'und' " +
+        langs.map { case (l, _) => s"WHEN h${sfx}_$l = ${maxExpr(sfx)} THEN '$l'" }
+          .mkString(" ") + " END"
+    s"""SELECT doc_id, lang_a, lang_b,
+       |  (lang_a <> 'und' AND lang_b <> 'und' AND lang_a <> lang_b) AS mixed
+       |FROM (
+       |  SELECT doc_id, ${pick("1")} AS lang_a, ${pick("2")} AS lang_b
+       |  FROM (SELECT doc_id,
+       |    ${hitCols("t1", "1")},
+       |    ${hitCols("t2", "2")}
+       |    FROM (SELECT doc_id,
+       |      SUBSTRING(text, 1, LEN(text) // 2) AS t1,
+       |      SUBSTRING(text, LEN(text) // 2 + 1) AS t2
+       |    FROM documents)))
+       |ORDER BY doc_id""".stripMargin
   }
 
   val oracles: Map[String, String] = Map(
@@ -795,6 +832,7 @@ object ExtensionQueries extends QueryFamily {
          |  SELECT UNNEST($tokensSql) AS token FROM documents
          |) GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
     "text_langid" -> s"$langPredSql\nORDER BY doc_id",
+    "lang_mixed" -> langMixedSql,
     "lang_confusion" ->
       s"""SELECT lang, pred_lang, COUNT(*) AS n_docs
          |FROM ($langPredSql)

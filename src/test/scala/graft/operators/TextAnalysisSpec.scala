@@ -141,4 +141,25 @@ class TextAnalysisSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSeq
     assert(out == Seq((1L, 1L, 1L), (2L, 2L, 5L), (3L, 1L, 5L)))
   }
+
+  test("langMixed: half-split detects code-switching whole-doc langid cannot") {
+    val en = "the cat and the dog is with that for the win of it"    // en markers
+    val de = "der hund und die katze ist mit der maus nicht da und"  // de markers
+    val df = Seq(
+      (1L, en + " " + de),      // half en / half de -> mixed
+      (2L, en + " " + en),      // pure en -> not mixed
+      (3L, "zzz qqq xxx vvv nnn mmm kkk jjj hhh ggg fff ddd")  // no markers -> und halves
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.langMixed(df, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, String, String, Boolean)].collect()
+    assert(out(0)._2 == "en" && out(0)._3 == "de" && out(0)._4, s"doc1: ${out(0)}")
+    assert(out(1)._2 == "en" && out(1)._3 == "en" && !out(1)._4)
+    assert(out(2)._2 == "und" && out(2)._3 == "und" && !out(2)._4,
+      "unidentifiable halves must not count as mixed")
+    // whole-doc langid on doc 1 sees a single language — the blind spot
+    val whole = TextAnalysis.langId(df.filter($"doc_id" === 1L), "text")
+      .select("pred_lang").as[String].head()
+    assert(whole != "und", "whole-doc vote picks one dominant language")
+  }
 }
