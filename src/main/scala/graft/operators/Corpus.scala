@@ -166,6 +166,25 @@ object Corpus {
       .filter(col("n_docs") >= minDocs)
   }
 
+  /**
+   * Quality gate with in-plan accounting: `Dataset.observe` attaches
+   * aggregate metrics to the SAME pass that filters, so admission
+   * telemetry (rows seen / admitted, chars shipped) costs ZERO extra
+   * scans — at 100 TB a separate counting pass is a second 100 TB scan.
+   * Metrics surface on the ops plane, not the data plane:
+   * `queryExecution.observedMetrics` after any batch action, or
+   * `StreamingQueryProgress.observedMetrics` on the streaming twin —
+   * the pattern every long-running ingest needs for its dashboards.
+   */
+  def gatedIngest(df: DataFrame, textCol: String, minChars: Int): DataFrame = {
+    require(minChars >= 0, s"minChars must be non-negative: $minChars")
+    df.observe("corpus_gate_in",
+        count(lit(1)).as("rows_in"),
+        sum(length(col(textCol)).cast("long")).as("chars_in"))
+      .filter(length(col(textCol)) >= minChars)
+      .observe("corpus_gate_out", count(lit(1)).as("rows_out"))
+  }
+
   def prepareShards(
       df: DataFrame,
       idCol: String,

@@ -167,4 +167,21 @@ class CorpusSpec extends SparkSpec {
       .as[(String, Long, Long)].collect()
     assert(out2.length == 1 && out2.head._2 == 2L && out2.head._3 == 3L)
   }
+
+  test("gatedIngest: observe() accounts the gate in the same pass (no second scan)") {
+    val df = Seq(
+      (1L, "long enough to pass the thirty character gate easily"),
+      (2L, "too short"),
+      (3L, "another sufficiently long document that clears the bar")
+    ).toDF("doc_id", "text")
+    val gated = Corpus.gatedIngest(df, "text", minChars = 30)
+    val kept = gated.collect()
+    assert(kept.map(_.getLong(0)).toSet == Set(1L, 3L))
+    val m = gated.queryExecution.observedMetrics
+    val in = m("corpus_gate_in"); val out = m("corpus_gate_out")
+    assert(in.getAs[Long]("rows_in") == 3L)
+    assert(in.getAs[Long]("chars_in") ==
+      df.collect().map(_.getString(1).length.toLong).sum)
+    assert(out.getAs[Long]("rows_out") == 2L)
+  }
 }
