@@ -411,12 +411,20 @@ object Dedup {
       s"threshold must be in (0, 1], got $threshold")
     // zero-token docs (punctuation-only) tokenize to an empty set — no
     // Jaccard is defined for them, and the verify kernel's empty-input
-    // sentinel must not pair them with each other
+    // sentinel must not pair them with each other.
+    // base and pref are each consumed by BOTH sides of self-joins below;
+    // without persist, Catalyst re-executes the whole branch per side
+    // (plan-audited: 4 parquet scans + duplicate window exchanges).
+    // Persisting trades spillable executor storage (token-set rows ≈
+    // corpus token count × 8 bytes) for scan-once — the ivfPqTopK
+    // precedent, and the cheaper side at 100 TB where a re-scan is a
+    // second 100 TB read plus a second rank exchange.
     val base = df
       .filter(size(tokens(col(textCol))) > 0)
       .select(col(idCol).as("id"),
         shingle_hash_set(col(textCol), w = 1).as("ts"))
       .withColumn("len", size(col("ts")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tok = base.select(col("id"), col("len"), explode(col("ts")).as("th"))
     val dfreq = tok.groupBy(col("th")).agg(count(lit(1)).as("df"))
     // rarest-first global order; (df, th) is a total order so every doc
@@ -427,6 +435,7 @@ object Dedup {
       .filter(col("__rn") <=
         col("len") - ceil(lit(threshold) * col("len")).cast("int") + 1)
       .select(col("id"), col("len"), col("th"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = pref.as("a").join(pref.as("b"), "th")
       .filter(col("a.id") < col("b.id"))
       .filter(least(col("a.len"), col("b.len")).cast("double") >=
