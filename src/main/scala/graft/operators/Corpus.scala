@@ -111,28 +111,29 @@ object Corpus {
       idCol: String,
       textCol: String,
       window: Int,
-      overlap: Int): DataFrame = {
+      overlap: Int,
+      carryCols: Seq[String] = Nil): DataFrame = {
     require(window > 0, s"window must be positive: $window")
     require(overlap >= 0 && overlap < window,
       s"overlap must be in [0, window): $overlap")
     val s = window - overlap
     val toks = Dedup.tokens(col(textCol))
+    val keep = (idCol +: carryCols).map(col)
     // last grid start covering the tail: 1 + s·⌈(n−window)/s⌉ (n > window)
     val lastStart = when(col("__n") <= window, lit(1))
       .otherwise(floor((col("__n") - window + s - 1) / s).cast("long") * s + 1)
-    df.select(col(idCol), col(textCol))
+    df.select(keep :+ col(textCol): _*)
       .withColumn("__toks", toks)
       .withColumn("__n", size(col("__toks")))
       .filter(col("__n") > 0)
-      .select(col(idCol), col("__toks"),
-        explode(sequence(lit(1L), lastStart, lit(s.toLong))).as("__start"))
-      .select(
-        col(idCol),
+      .select(keep ++ Seq(col("__toks"),
+        explode(sequence(lit(1L), lastStart, lit(s.toLong))).as("__start")): _*)
+      .select(keep ++ Seq(
         ((col("__start") - 1) / s).cast("long").as("chunk_id"),
         concat_ws(" ", slice(col("__toks"), col("__start").cast("int"), lit(window)))
           .as("chunk_text"),
         least(lit(window), size(col("__toks")) - col("__start") + 1)
-          .cast("long").as("chunk_tokens"))
+          .cast("long").as("chunk_tokens")): _*)
   }
 
   /**

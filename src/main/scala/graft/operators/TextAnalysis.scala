@@ -101,11 +101,11 @@ object TextAnalysis {
   def langMixed(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val markers = langMarkers.toSeq.sortBy(_._1)
     val half = floor(length(col(textCol)) / 2).cast("int")
-    df.select(
-        col(idCol),
-        lang_id_pick(substr(col(textCol), lit(1), half), markers).as("lang_a"),
-        lang_id_pick(substr(col(textCol), half + 1, length(col(textCol))), markers)
-          .as("lang_b"))
+    // input columns ride along so the op composes mid-pipeline
+    df.withColumn("lang_a",
+        lang_id_pick(substr(col(textCol), lit(1), half), markers))
+      .withColumn("lang_b",
+        lang_id_pick(substr(col(textCol), half + 1, length(col(textCol))), markers))
       .withColumn("mixed",
         col("lang_a") =!= "und" && col("lang_b") =!= "und" &&
           col("lang_a") =!= col("lang_b"))

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Scale, Sessionize, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Sampling, Scale, Sessionize, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /**
@@ -303,6 +303,7 @@ object ExtensionQueries extends QueryFamily {
     * flagged (code-switched / concatenated-crawl detector). */
   def langMixed(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.langMixed(Tables.documents(spark, dir), "doc_id", "text")
+      .select(col("doc_id"), col("lang_a"), col("lang_b"), col("mixed"))
       .orderBy(col("doc_id"))
 
   /** Token counting: whitespace tokens + BPE-ish subword estimate
@@ -389,6 +390,28 @@ object ExtensionQueries extends QueryFamily {
     * SQL-expressible, so the whole composition carries ONE end-to-end
     * oracle — the strongest correctness statement available for a
     * multi-operator pipeline. */
+  /** Third composed flagship, built from THIS round's operators:
+    * temperature-2 mixture control → per-half language-purity screen →
+    * context-window chunking → per-language shaping stats — the
+    * "balance, purify, shape" tail of a pretraining build, verified by
+    * ONE end-to-end SQL oracle composed from the same generated CTEs as
+    * the stage queries (mix thresholds, marker table, stride grid — the
+    * pipeline and its oracle cannot drift stage-by-stage). */
+  def pipelineCorpusV3(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val balanced = Sampling.temperatureMix(docs, "lang", "doc_id")
+    val screened = TextAnalysis.langMixed(balanced, "doc_id", "text")
+      .filter(!col("mixed") && col("lang_a") =!= "und")
+    val chunks = graft.operators.Corpus.chunkWindows(
+      screened, "doc_id", "text", window = 64, overlap = 16,
+      carryCols = Seq("lang"))
+    chunks.groupBy(col("lang"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_chunks"),
+        sum(col("chunk_tokens")).as("sum_tokens"))
+      .orderBy(col("lang"))
+  }
+
   def pipelineCorpusV2(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val deduped = Dedup.exactByKey(
@@ -655,6 +678,7 @@ object ExtensionQueries extends QueryFamily {
     "multimodal_frames" -> (multimodalFrames _),
     "pipeline_corpus" -> (pipelineCorpus _),
     "pipeline_corpus_v2" -> (pipelineCorpusV2 _),
+    "pipeline_corpus_v3" -> (pipelineCorpusV3 _),
     "corpus_split" -> (corpusSplit _),
     "corpus_shuffle" -> (corpusShuffle _),
     "corpus_pack" -> (corpusPack _),
@@ -708,10 +732,11 @@ object ExtensionQueries extends QueryFamily {
        |  FROM documents)""".stripMargin
   }
 
-  /** Per-half langid SQL (lang_mixed's oracle) — same marker table and
-    * pick rule as [[langPredSql]], scored over the two character-midpoint
-    * halves. */
-  private lazy val langMixedSql: String = {
+  /** Per-half langid SQL (lang_mixed's oracle and the v3 pipeline's
+    * purity stage) — same marker table and pick rule as [[langPredSql]],
+    * scored over the two character-midpoint halves of `rel`'s
+    * (doc_id, text) rows. */
+  private def langMixedSqlFrom(rel: String): String = {
     val langs = graft.operators.TextAnalysis.langMarkers.toSeq.sortBy(_._1)
     def tokCol(c: String) =
       s"""LIST_FILTER(STRING_SPLIT_REGEX(LOWER($c), '[^\\p{L}0-9]+'), x -> LEN(x) > 0)"""
@@ -734,8 +759,7 @@ object ExtensionQueries extends QueryFamily {
        |    FROM (SELECT doc_id,
        |      SUBSTRING(text, 1, LEN(text) // 2) AS t1,
        |      SUBSTRING(text, LEN(text) // 2 + 1) AS t2
-       |    FROM documents)))
-       |ORDER BY doc_id""".stripMargin
+       |    FROM $rel)))""".stripMargin
   }
 
   val oracles: Map[String, String] = Map(
@@ -832,7 +856,7 @@ object ExtensionQueries extends QueryFamily {
          |  SELECT UNNEST($tokensSql) AS token FROM documents
          |) GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
     "text_langid" -> s"$langPredSql\nORDER BY doc_id",
-    "lang_mixed" -> langMixedSql,
+    "lang_mixed" -> s"${langMixedSqlFrom("documents")}\nORDER BY doc_id",
     "lang_confusion" ->
       s"""SELECT lang, pred_lang, COUNT(*) AS n_docs
          |FROM ($langPredSql)
@@ -889,6 +913,32 @@ object ExtensionQueries extends QueryFamily {
          |  AND CASE WHEN $maxExpr <= 0 THEN 'und' $pick END = 'en'
          |ORDER BY doc_id""".stripMargin
     },
+    "pipeline_corpus_v3" ->
+      s"""WITH c AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang),
+         |m AS (SELECT MIN(cnt) AS mn FROM c),
+         |mixq AS (
+         |  SELECT d.doc_id, d.lang, d.text
+         |  FROM documents d JOIN c USING (lang), m
+         |  WHERE ${graft.operators.Sampling.bucket1000Sql("d.doc_id")} <
+         |    FLOOR(SQRT(1000000.0 * m.mn / c.cnt))),
+         |lm AS (${langMixedSqlFrom("mixq")}),
+         |kept AS (
+         |  SELECT mixq.doc_id, mixq.lang, mixq.text
+         |  FROM mixq JOIN lm USING (doc_id)
+         |  WHERE NOT lm.mixed AND lm.lang_a <> 'und'),
+         |b AS (
+         |  SELECT doc_id, lang, toks, LEN(toks) AS n
+         |  FROM (SELECT doc_id, lang, $tokensSql AS toks FROM kept)
+         |  WHERE LEN(toks) > 0),
+         |starts AS (
+         |  SELECT doc_id, lang, n,
+         |    UNNEST(GENERATE_SERIES(1,
+         |      CASE WHEN n <= 64 THEN 1
+         |           ELSE ((n - 64 + 47) // 48) * 48 + 1 END, 48)) AS start
+         |  FROM b)
+         |SELECT lang, COUNT(DISTINCT doc_id) AS n_docs, COUNT(1) AS n_chunks,
+         |  CAST(SUM(LEAST(64, n - start + 1)) AS BIGINT) AS sum_tokens
+         |FROM starts GROUP BY lang ORDER BY lang""".stripMargin,
     "pipeline_corpus_v2" ->
       s"""WITH kept AS (
          |  SELECT doc_id, text, source FROM (

@@ -151,6 +151,7 @@ class TextAnalysisSpec extends SparkSpec {
       (3L, "zzz qqq xxx vvv nnn mmm kkk jjj hhh ggg fff ddd")  // no markers -> und halves
     ).toDF("doc_id", "text")
     val out = TextAnalysis.langMixed(df, "doc_id", "text")
+      .select("doc_id", "lang_a", "lang_b", "mixed")
       .orderBy("doc_id")
       .as[(Long, String, String, Boolean)].collect()
     assert(out(0)._2 == "en" && out(0)._3 == "de" && out(0)._4, s"doc1: ${out(0)}")
