@@ -1,0 +1,191 @@
+package graft.sources.v2
+
+import java.io.{BufferedWriter, OutputStreamWriter}
+import java.nio.charset.StandardCharsets
+import java.util.UUID
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/**
+ * DataSource V2 transactional JSONL shard sink — the WRITE half of the
+ * V2 contract ([[TraceGenSource]] covers batch read, [[EventLogSource]]
+ * the streaming read): newline-delimited JSON shards, the lingua franca
+ * of LLM corpus interchange, written through the full two-phase commit
+ * protocol.
+ *
+ *   df.write.format("graft.sources.v2.ShardSink")
+ *     .option("path", dir).mode("append").save()
+ *
+ * Commit protocol (the part that matters at 1000 executors):
+ *  - each task writes to `_staging-<queryId>/part-<task>-<uuid>.jsonl`
+ *    and reports the file in its [[WriterCommitMessage]]; a task that
+ *    fails or is speculatively duplicated leaves only staging garbage,
+ *    never a visible file (its abort deletes even that);
+ *  - the driver's job-level `commit` MOVES every reported file into the
+ *    target directory and then writes a `_MANIFEST` (file → row count)
+ *    — readers that require atomicity read the manifest, so a crash
+ *    between renames exposes at worst unreferenced files, never a
+ *    half-written or double-counted shard;
+ *  - job-level `abort` deletes the staging directory wholesale.
+ *
+ * Supported row schema: primitive columns only (string / integral /
+ * double / boolean — a shard line is flat by design); strings are
+ * JSON-escaped. ShardSinkSpec asserts round-trip equality through
+ * `spark.read.json`, manifest counts, and that staging never leaks into
+ * a listing of the committed directory.
+ */
+class ShardSink extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    StructType(Nil) // write-only source: schema comes from the DataFrame
+  override def supportsExternalMetadata(): Boolean = true
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    new ShardTable(schema, properties.asScala.toMap)
+}
+
+private[v2] class ShardTable(schema: StructType, props: Map[String, String])
+    extends Table with SupportsWrite {
+  override def name(): String = s"shards(${props.getOrElse("path", "?")})"
+  override def schema(): StructType = schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_WRITE)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val path = info.options.get("path")
+    require(path != null, "ShardSink requires a 'path' option")
+    ShardSink.validate(info.schema())
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite =
+          new ShardBatchWrite(path, info.queryId(), info.schema())
+      }
+    }
+  }
+}
+
+private[v2] object ShardSink {
+  def validate(schema: StructType): Unit = schema.fields.foreach { f =>
+    f.dataType match {
+      case StringType | LongType | IntegerType | ShortType | ByteType |
+          DoubleType | FloatType | BooleanType => ()
+      case other => throw new IllegalArgumentException(
+        s"ShardSink writes flat JSONL; column '${f.name}' has unsupported type $other")
+    }
+  }
+
+  def jsonLine(schema: StructType, row: InternalRow): String = {
+    val sb = new java.lang.StringBuilder(64)
+    sb.append('{')
+    var i = 0
+    while (i < schema.length) {
+      if (i > 0) sb.append(',')
+      sb.append('"').append(schema(i).name).append("\":")
+      if (row.isNullAt(i)) sb.append("null")
+      else schema(i).dataType match {
+        case StringType =>
+          sb.append('"')
+          val s = row.getUTF8String(i).toString
+          var j = 0
+          while (j < s.length) {
+            s.charAt(j) match {
+              case '"' => sb.append("\\\"")
+              case '\\' => sb.append("\\\\")
+              case '\n' => sb.append("\\n")
+              case '\r' => sb.append("\\r")
+              case '\t' => sb.append("\\t")
+              case c if c < 0x20 => sb.append(f"\\u$c%04x")
+              case c => sb.append(c)
+            }
+            j += 1
+          }
+          sb.append('"')
+        case LongType => sb.append(row.getLong(i))
+        case IntegerType => sb.append(row.getInt(i))
+        case ShortType => sb.append(row.getShort(i).toInt)
+        case ByteType => sb.append(row.getByte(i).toInt)
+        case DoubleType => sb.append(row.getDouble(i))
+        case FloatType => sb.append(row.getFloat(i))
+        case BooleanType => sb.append(row.getBoolean(i))
+        case _ => throw new IllegalStateException("validated above")
+      }
+      i += 1
+    }
+    sb.append('}')
+    sb.toString
+  }
+}
+
+private[v2] case class ShardCommit(stagedPath: String, rows: Long)
+    extends WriterCommitMessage
+
+private[v2] class ShardBatchWrite(path: String, queryId: String, schema: StructType)
+    extends BatchWrite with Serializable {
+  private def fs(p: Path) =
+    p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+  private val stagingDir = new Path(path, s"_staging-$queryId")
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new ShardWriterFactory(stagingDir.toString, schema)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val target = new Path(path)
+    val f = fs(target)
+    f.mkdirs(target)
+    val manifest = new StringBuilder
+    messages.foreach { case ShardCommit(staged, rows) =>
+      val src = new Path(staged)
+      val dst = new Path(target, src.getName)
+      if (!f.rename(src, dst))
+        throw new java.io.IOException(s"commit rename failed: $src -> $dst")
+      manifest.append(s"${src.getName}\t$rows\n")
+    }
+    val mf = f.create(new Path(target, "_MANIFEST"), true)
+    try mf.write(manifest.toString.getBytes(StandardCharsets.UTF_8))
+    finally mf.close()
+    f.delete(stagingDir, true)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    fs(stagingDir).delete(stagingDir, true)
+}
+
+private[v2] class ShardWriterFactory(stagingDir: String, schema: StructType)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
+    val file = new Path(stagingDir,
+      f"part-$partitionId%05d-${UUID.randomUUID().toString.take(8)}.jsonl")
+    new ShardDataWriter(file, schema)
+  }
+}
+
+private[v2] class ShardDataWriter(file: Path, schema: StructType)
+    extends DataWriter[InternalRow] {
+  private val f = file.getFileSystem(new org.apache.hadoop.conf.Configuration())
+  private val out = new BufferedWriter(new OutputStreamWriter(
+    f.create(file, false), StandardCharsets.UTF_8))
+  private var rows = 0L
+
+  override def write(record: InternalRow): Unit = {
+    out.write(ShardSink.jsonLine(schema, record))
+    out.write('\n')
+    rows += 1
+  }
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    ShardCommit(file.toString, rows)
+  }
+  override def abort(): Unit = {
+    try out.close() catch { case _: Throwable => () }
+    f.delete(file, false)
+  }
+  override def close(): Unit = ()
+}
