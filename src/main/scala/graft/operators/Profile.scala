@@ -53,4 +53,68 @@ object Profile {
       .select(col("p.*"))
       .orderBy(col("column_name"))
   }
+
+  /**
+   * Algebraically mergeable per-group moment statistics (count / sum /
+   * sum-of-squares / min / max over an integer metric): every field is a
+   * semigroup, so yesterday's stats table plus a new batch's stats MERGE
+   * into today's ([[mergeMomentStats]]) without rescanning the standing
+   * corpus — the incremental-view-maintenance shape of a nightly stats
+   * refresh. At 100 TB the difference is a batch-sized scan versus a
+   * corpus-sized one, every day. Variance and mean derive downstream
+   * from (n, Σx, Σx²) exactly; no float travels through storage.
+   */
+  def momentStats(df: DataFrame, groupCol: String, valueCol: String): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col(valueCol)).as("sum_chars"),
+        sum(col(valueCol) * col(valueCol)).as("sum_chars_sq"),
+        min(col(valueCol)).as("min_chars"),
+        max(col(valueCol)).as("max_chars"))
+
+  /** Merge any number of [[momentStats]] tables (union → re-aggregate
+    * with each field's own combine: +, +, +, min, max). Associative and
+    * commutative, so batches can merge in any order or tree shape. */
+  def mergeMomentStats(groupCol: String, tables: DataFrame*): DataFrame = {
+    require(tables.nonEmpty, "need at least one stats table")
+    tables.reduce(_ unionByName _)
+      .groupBy(col(groupCol))
+      .agg(
+        sum(col("n_docs")).as("n_docs"),
+        sum(col("sum_chars")).as("sum_chars"),
+        sum(col("sum_chars_sq")).as("sum_chars_sq"),
+        min(col("min_chars")).as("min_chars"),
+        max(col("max_chars")).as("max_chars"))
+  }
+
+  /**
+   * EXACT equi-depth histogram boundaries — the value-distribution
+   * summary engines keep for cardinality estimation and pipelines keep
+   * for drift monitoring. Boundary i (1 ≤ i < buckets) is the smallest
+   * value whose cumulative count covers fraction i/buckets, computed by
+   * the [[Sampling.percentileBandFilter]] recipe: aggregate a value
+   * histogram (|distinct values| rows), cumulative-sum it on a tiny
+   * single-partition window, and pick boundaries with INTEGER
+   * cross-multiplied comparisons (`buckets·cum ≥ i·total`, no float
+   * quantiles) — so the result is bit-reproducible and hash-oracled.
+   * The corpus itself is touched by one hash aggregate; no global sort
+   * of the data, no percentile_approx error bars.
+   */
+  def equiDepthHistogram(df: DataFrame, valueCol: String, buckets: Int): DataFrame = {
+    require(buckets >= 2, s"need at least 2 buckets: $buckets")
+    val hist = df.groupBy(col(valueCol).as("v")).agg(count(lit(1)).as("__cnt"))
+    val wOrd = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = hist
+      .withColumn("__cum", sum(col("__cnt")).over(wOrd))
+      .withColumn("__total",
+        sum(col("__cnt")).over(org.apache.spark.sql.expressions.Window.partitionBy()))
+    cum.select(col("v"), col("__cum"), col("__cnt"), col("__total"),
+        explode(sequence(lit(1), lit(buckets - 1))).as("bucket"))
+      .filter(lit(buckets.toLong) * col("__cum") >= col("bucket") * col("__total") &&
+        lit(buckets.toLong) * (col("__cum") - col("__cnt")) <
+          col("bucket") * col("__total"))
+      .select(col("bucket"), col("v").as("boundary"))
+  }
 }

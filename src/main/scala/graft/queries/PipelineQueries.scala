@@ -137,6 +137,27 @@ object PipelineQueries extends QueryFamily {
         max(col("n_chars")).as("max_chars"))
       .orderBy(col("source"))
 
+  /** Incremental stats refresh: yesterday's stats (docs with
+    * doc_id % 5 ≠ 4) MERGED with the new batch's stats (≡ 4) — same
+    * result as a full recompute (the oracle IS the full recompute),
+    * without rescanning the standing corpus. */
+  def sourceStatsIncrement(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val standing = graft.operators.Profile.momentStats(
+      docs.filter(col("doc_id") % 5 =!= 4), "source", "n_chars")
+    val batch = graft.operators.Profile.momentStats(
+      docs.filter(col("doc_id") % 5 === 4), "source", "n_chars")
+    graft.operators.Profile.mergeMomentStats("source", standing, batch)
+      .orderBy(col("source"))
+  }
+
+  /** Exact equi-depth histogram of document lengths (8 buckets) — the
+    * drift-monitoring / CBO-style distribution summary, integer-exact. */
+  def histChars(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.equiDepthHistogram(
+      Tables.documents(spark, dir), "n_chars", buckets = 8)
+      .orderBy(col("bucket"))
+
   /** Cross-source 5-gram contamination matrix — which feeds carry the
     * same phrasing (mirrors, syndication, multi-feed benchmark leaks). */
   def sourceOverlap(spark: SparkSession, dir: String): DataFrame =
@@ -305,6 +326,8 @@ object PipelineQueries extends QueryFamily {
     "text_tfidf_top" -> (textTfidfTop _),
     "quality_length_band" -> (qualityLengthBand _),
     "source_stats" -> (sourceStats _),
+    "source_stats_increment" -> (sourceStatsIncrement _),
+    "hist_chars" -> (histChars _),
     "source_overlap" -> (sourceOverlap _),
     "text_normalize" -> (textNormalize _),
     "vocab_zipf" -> (vocabZipf _),
@@ -448,6 +471,24 @@ object PipelineQueries extends QueryFamily {
         |  CAST(SUM(n_chars * n_chars) AS BIGINT) AS sum_chars_sq,
         |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    // the merged increment must equal a FULL recompute — that equality
+    // is the whole point, so the oracle is the full-table aggregation
+    "source_stats_increment" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(SUM(n_chars * n_chars) AS BIGINT) AS sum_chars_sq,
+        |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "hist_chars" ->
+      """WITH h AS (SELECT n_chars AS v, COUNT(1) AS cnt FROM documents GROUP BY n_chars),
+        |c AS (SELECT v, cnt,
+        |    SUM(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(cnt) OVER () AS total
+        |  FROM h),
+        |i AS (SELECT CAST(unnest(generate_series(1, 7)) AS INTEGER) AS bucket)
+        |SELECT bucket, v AS boundary FROM c, i
+        |WHERE 8 * cum >= bucket * total AND 8 * (cum - cnt) < bucket * total
+        |ORDER BY bucket""".stripMargin,
     "source_overlap" ->
       s"""WITH stoks AS (
          |  SELECT doc_id, source,

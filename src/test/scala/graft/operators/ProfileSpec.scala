@@ -33,4 +33,38 @@ class ProfileSpec extends SparkSpec {
       assert(e.copy(_4 = 0L) == a.copy(_4 = 0L), "non-distinct fields identical")
     }
   }
+
+  test("momentStats merge equals full recompute in any merge order") {
+    val a = Seq(("s1", 10L), ("s1", 20L), ("s2", 5L)).toDF("source", "n_chars")
+    val b = Seq(("s1", 30L), ("s3", 7L)).toDF("source", "n_chars")
+    val c = Seq(("s2", 50L)).toDF("source", "n_chars")
+    val full = Profile.momentStats(a.union(b).union(c), "source", "n_chars")
+      .orderBy("source").collect().map(_.toSeq)
+    val mergedLeft = Profile.mergeMomentStats("source",
+      Profile.momentStats(a, "source", "n_chars"),
+      Profile.momentStats(b, "source", "n_chars"),
+      Profile.momentStats(c, "source", "n_chars"))
+      .orderBy("source").collect().map(_.toSeq)
+    val mergedTree = Profile.mergeMomentStats("source",
+      Profile.mergeMomentStats("source",
+        Profile.momentStats(c, "source", "n_chars"),
+        Profile.momentStats(a, "source", "n_chars")),
+      Profile.momentStats(b, "source", "n_chars"))
+      .orderBy("source").collect().map(_.toSeq)
+    assert(mergedLeft.toSeq == full.toSeq)
+    assert(mergedTree.toSeq == full.toSeq, "merge must be order/shape-free")
+  }
+
+  test("equiDepthHistogram: boundaries split exact quarters; skew lands on the heavy value") {
+    // 100 rows of value 1..100 -> quartile boundaries 25, 50, 75
+    val uniform = (1L to 100L).map(v => Tuple1(v)).toDF("v")
+    val q = Profile.equiDepthHistogram(uniform, "v", buckets = 4)
+      .orderBy("bucket").as[(Int, Long)].collect()
+    assert(q.toSeq == Seq((1, 25L), (2, 50L), (3, 75L)))
+    // 97 copies of 7 plus 3 outliers: every boundary is the heavy value
+    val skew = (Seq.fill(97)(7L) ++ Seq(1L, 9L, 10L)).map(Tuple1(_)).toDF("v")
+    val s = Profile.equiDepthHistogram(skew, "v", buckets = 4)
+      .orderBy("bucket").as[(Int, Long)].collect()
+    assert(s.map(_._2).toSeq == Seq(7L, 7L, 7L))
+  }
 }
