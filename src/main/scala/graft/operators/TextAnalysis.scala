@@ -79,6 +79,44 @@ object TextAnalysis {
     df.withColumn("pred_lang",
       lang_id_pick(col(textCol), langMarkers.toSeq.sortBy(_._1)))
 
+  /**
+   * Composite Gopher-style quality filter (Rae et al. 2021, §A1.1 —
+   * adapted thresholds): per-document rule booleans plus the combined
+   * `keep`, so a curation run can both filter AND report per-rule drop
+   * counts. Every rule is an INTEGER cross-multiplied comparison over
+   * the fused `text_stats` kernel's exact counts (mean-word-length
+   * bounds become `3·n_tokens ≤ Σtoken_len ≤ 10·n_tokens`, the punct
+   * cap `4·punct ≤ chars`, the top-bigram cap `5·top ≤ bigrams`) — no
+   * float ratios, so the whole verdict table hash-oracles.
+   *
+   * Scale shape: the rule columns are row-local over one kernel pass;
+   * only the repetition rule joins the doc-keyed bigram aggregate
+   * ([[Ngrams.repetitionStats]], one exchange on the doc id).
+   */
+  def gopherFilter(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val st = col("__st")
+    val metrics = df.withColumn("__st", text_stats(col(textCol), stopwords))
+      .select(col(idCol),
+        st.getField("n_chars").as("__nc"),
+        st.getField("n_tokens").as("__nt"),
+        st.getField("sum_token_len").as("__stl"),
+        st.getField("punct_chars").as("__pc"),
+        st.getField("stopword_hits").as("__sh"))
+    val rep = Ngrams.repetitionStats(df, idCol, textCol)
+    metrics.join(rep, Seq(idCol), "left")
+      .select(col(idCol),
+        (col("__nt") >= 10 && col("__nt") <= 100000L).as("keep_tokens"),
+        (lit(3L) * col("__nt") <= col("__stl") &&
+          col("__stl") <= lit(10L) * col("__nt")).as("keep_word_len"),
+        (lit(4L) * col("__pc") <= col("__nc")).as("keep_punct"),
+        (col("__sh") >= 2).as("keep_stopwords"),
+        (coalesce(col("n_bigrams"), lit(0L)) === 0 ||
+          lit(5L) * col("top_cnt") <= col("n_bigrams")).as("keep_repetition"))
+      .withColumn("keep",
+        col("keep_tokens") && col("keep_word_len") && col("keep_punct") &&
+          col("keep_stopwords") && col("keep_repetition"))
+  }
+
   /** 64-bit rolling-hash fingerprint column (custom expression). */
   def fingerprint(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("fp", doc_fingerprint(col(textCol)))

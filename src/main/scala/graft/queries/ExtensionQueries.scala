@@ -283,6 +283,12 @@ object ExtensionQueries extends QueryFamily {
         col("mean_word_len"), col("punct_ratio"), col("stopword_ratio"))
       .orderBy(col("doc_id"))
 
+  /** Composite Gopher-rules verdict table: per-rule booleans + keep, all
+    * integer-exact (see the operator doc). */
+  def qualityGopher(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.gopherFilter(Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
   def textTokensTop(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.tokenFrequency(Tables.documents(spark, dir), "text", topN = 20)
 
@@ -665,6 +671,7 @@ object ExtensionQueries extends QueryFamily {
     "embed_quantize" -> (embedQuantize _),
     "embed_label_stats" -> (embedLabelStats _),
     "text_quality" -> (textQuality _),
+    "quality_gopher" -> (qualityGopher _),
     "text_tokens_top" -> (textTokensTop _),
     "text_langid" -> (textLangId _),
     "lang_confusion" -> (langConfusion _),
@@ -851,6 +858,42 @@ object ExtensionQueries extends QueryFamily {
          |         / LEN($tokensSql)
          |    ELSE 0.0 END AS stopword_ratio
          |FROM documents ORDER BY doc_id""".stripMargin,
+    // every rule is an integer cross-multiplied comparison — booleans
+    // hash identically; COALESCE guards DuckDB's NULL LIST_SUM on
+    // zero-token docs (the kernel emits 0 there)
+    "quality_gopher" ->
+      s"""WITH m AS (
+         |  SELECT doc_id,
+         |    CAST(LENGTH(text) AS BIGINT) AS nc,
+         |    CAST(LEN($tokensSql) AS BIGINT) AS nt,
+         |    CAST(COALESCE(LIST_SUM(LIST_TRANSFORM($tokensSql, x -> LEN(x))), 0) AS BIGINT) AS stl,
+         |    CAST(LENGTH(REGEXP_REPLACE(text, '[a-zA-Z0-9\\s]', '', 'g')) AS BIGINT) AS pc,
+         |    CAST(LEN(LIST_FILTER($tokensSql,
+         |      x -> x IN ('the','a','an','and','or','of','to','in','is','it'))) AS BIGINT) AS sh
+         |  FROM documents),
+         |tk AS (
+         |  SELECT doc_id,
+         |    unnest($tokensSql) AS tok,
+         |    unnest(range(1, len($tokensSql) + 1)) AS pos
+         |  FROM documents),
+         |ng AS (
+         |  SELECT doc_id, tok || ' ' || LEAD(tok, 1) OVER w AS ngram
+         |  FROM tk WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+         |cnt AS (SELECT doc_id, ngram, COUNT(*) AS c
+         |        FROM ng WHERE ngram IS NOT NULL GROUP BY doc_id, ngram),
+         |rep AS (SELECT doc_id, MAX(c) AS top_cnt, CAST(SUM(c) AS BIGINT) AS n_bigrams
+         |        FROM cnt GROUP BY doc_id)
+         |SELECT m.doc_id,
+         |  (nt >= 10 AND nt <= 100000) AS keep_tokens,
+         |  (3 * nt <= stl AND stl <= 10 * nt) AS keep_word_len,
+         |  (4 * pc <= nc) AS keep_punct,
+         |  (sh >= 2) AS keep_stopwords,
+         |  (COALESCE(n_bigrams, 0) = 0 OR 5 * top_cnt <= n_bigrams) AS keep_repetition,
+         |  ((nt >= 10 AND nt <= 100000) AND (3 * nt <= stl AND stl <= 10 * nt)
+         |    AND (4 * pc <= nc) AND (sh >= 2)
+         |    AND (COALESCE(n_bigrams, 0) = 0 OR 5 * top_cnt <= n_bigrams)) AS keep
+         |FROM m LEFT JOIN rep ON rep.doc_id = m.doc_id
+         |ORDER BY m.doc_id""".stripMargin,
     "text_tokens_top" ->
       s"""SELECT token, COUNT(1) AS n FROM (
          |  SELECT UNNEST($tokensSql) AS token FROM documents

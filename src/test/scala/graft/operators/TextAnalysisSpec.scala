@@ -163,4 +163,29 @@ class TextAnalysisSpec extends SparkSpec {
       .select("pred_lang").as[String].head()
     assert(whole != "und", "whole-doc vote picks one dominant language")
   }
+
+  test("gopherFilter: each rule trips on its planted violation, clean doc keeps") {
+    val clean = "the quick brown fox jumps over the lazy dog and then it runs " +
+      "to the river where it drinks water and rests in the shade of a tree"
+    val df = Seq(
+      (1L, clean),
+      (2L, "too short for the gate"),                       // < 10 tokens
+      (3L, "the " + "supercalifragilistic " * 30 + "and it is a"), // mean word len > 10
+      (4L, clean + " !!! ??? *** ((( ))) &&& ^^^ %%% $$$ ### @@@ !!! ??? *** ((( )))" * 3), // punct
+      (5L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"), // no stopwords
+      (6L, "the cat sat here " * 20 + "and it is a big one") // repeated bigrams
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherFilter(df, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean)]
+      .collect()
+    assert(out(0) == ((1L, true, true, true, true, true, true)), s"clean: ${out(0)}")
+    assert(!out(1)._2, "doc 2 must fail the token-count rule")
+    assert(!out(2)._3, s"doc 3 must fail the word-length rule: ${out(2)}")
+    assert(!out(3)._4, s"doc 4 must fail the punctuation rule: ${out(3)}")
+    assert(!out(4)._5, "doc 5 must fail the stopword rule")
+    assert(!out(5)._6, s"doc 6 must fail the repetition rule: ${out(5)}")
+    // keep is the conjunction
+    assert(out.forall(r => r._7 == (r._2 && r._3 && r._4 && r._5 && r._6)))
+  }
 }
