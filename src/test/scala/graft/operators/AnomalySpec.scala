@@ -45,4 +45,31 @@ class AnomalySpec extends SparkSpec {
     // Constant windows later give 0 > 0 = false. Nothing flags.
     assert(out == 0)
   }
+
+  test("zscoreFlags equals a brute-force sliding-window check on random series") {
+    val rnd = new scala.util.Random(42)
+    val rows = (1 to 300).map { i =>
+      val v = if (rnd.nextInt(20) == 0) 500.0 + rnd.nextInt(100) // occasional spike
+              else 10.0 + rnd.nextInt(5)
+      (i.toLong, ts(i % 60), if (i % 2 == 0) "a" else "b", v)
+    }
+    val got = Anomaly.zscoreFlags(rows.toDF("event_id", "ts", "key", "value"),
+      "key", "ts", "event_id", "value", windowRows = 30, k = 3, minObs = 10)
+      .select("event_id").as[Long].collect().toSet
+    // brute force with the same integer-cents arithmetic
+    val want = rows.groupBy(_._3).flatMap { case (_, es) =>
+      val sorted = es.sortBy(e => (e._2.getTime, e._1))
+      sorted.indices.flatMap { i =>
+        val win = sorted.slice(math.max(0, i - 29), i + 1)
+          .map(e => Math.round(e._4 * 100))
+        val n = win.length.toLong
+        val x = win.last
+        val s = win.sum; val q = win.map(c => c * c).sum
+        val d = n * x - s
+        if (n >= 10 && d * d > 9L * (n * q - s * s)) Some(sorted(i)._1) else None
+      }
+    }.toSet
+    assert(want.nonEmpty, "fixture should plant at least one anomaly")
+    assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+  }
 }

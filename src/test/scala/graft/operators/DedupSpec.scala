@@ -245,4 +245,25 @@ class DedupSpec extends SparkSpec {
       assert(r.getLong(2) == r.getLong(3), "simhash mismatch")
     }
   }
+
+  test("jaccardJoin equals brute force on random high-collision corpora") {
+    val rnd = new scala.util.Random(20260813)
+    val vocab = Vector.tabulate(12)(i => s"w$i") // tiny vocab -> dense overlaps
+    for (trial <- 1 to 3) {
+      val docs = (1L to 40L).map { id =>
+        val n = 3 + rnd.nextInt(8)
+        (id, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val got = Dedup.jaccardJoin(docs.toDF("doc_id", "text"), "text", "doc_id",
+        threshold = 0.4).as[(Long, Long, Double)].collect().toSet
+      val sets = docs.map { case (id, t) =>
+        (id, t.split(" ").filter(_.nonEmpty).toSet) }
+      val want = (for {
+        (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
+        j = (sa & sb).size.toDouble / (sa | sb).size if j >= 0.4
+      } yield (ia, ib, j)).toSet
+      assert(got == want, s"trial $trial: prefix filter lost/invented pairs — " +
+        s"missing=${want -- got} extra=${got -- want}")
+    }
+  }
 }
