@@ -81,6 +81,20 @@ object ScalarQueries extends QueryFamily {
         .getField("k").as("k_typed"))
       .orderBy(col("event_id"))
 
+  /** Spark 4 VARIANT path: `parse_json` into the binary semi-structured
+    * type, then typed `variant_get` extraction — the shredded-JSON
+    * engine surface that replaces string re-scanning for
+    * document-corpus metadata at scale (parse once, extract many). The
+    * typed extraction makes it oracle-comparable: the VARIANT never
+    * leaves the plan, only the INT/STRING projections do. */
+  def scalarVariant(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir).select(
+      col("event_id"),
+      expr("variant_get(parse_json(props), '$.k', 'int')").as("k_variant"),
+      expr("try_variant_get(parse_json(props), '$.missing', 'string')")
+        .as("missing_field"))
+      .orderBy(col("event_id"))
+
   /** Map + struct construction and field extraction. The oracle verifies
     * the round-trip values (construction → extraction is identity), so
     * the map/struct machinery itself is what's exercised on the Spark
@@ -128,6 +142,7 @@ object ScalarQueries extends QueryFamily {
     "scalar_math" -> (scalarMath _),
     "scalar_case" -> (scalarCase _),
     "scalar_json" -> (scalarJson _),
+    "scalar_variant" -> (scalarVariant _),
     "scalar_array" -> (scalarArray _),
     "scalar_array_hof" -> (scalarArrayHof _),
     "scalar_map_struct" -> (scalarMapStruct _))
@@ -191,6 +206,13 @@ object ScalarQueries extends QueryFamily {
       """SELECT event_id,
         |  CAST(json_extract_string(props, '$.k') AS INT) AS k_scan,
         |  CAST(json_extract_string(props, '$.k') AS INT) AS k_typed
+        |FROM events ORDER BY event_id""".stripMargin,
+    // the VARIANT stays inside the Spark plan; only typed extractions
+    // surface, so plain JSON extraction oracles them
+    "scalar_variant" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS INT) AS k_variant,
+        |  json_extract_string(props, '$.missing') AS missing_field
         |FROM events ORDER BY event_id""".stripMargin,
     "scalar_array" ->
       """SELECT vec_id,
