@@ -233,6 +233,44 @@ object Temporal {
   }
 
   /**
+   * Time-weighted average (TWAP) per series: each observation holds its
+   * value until the NEXT observation, so the mean weights each value by
+   * its holding interval — the standard telemetry/finance aggregate
+   * where a plain `avg` over-counts burst periods. The last observation
+   * per key has no interval and is excluded (standard open-ended
+   * convention; pass a synthetic end-of-period row to close it).
+   *
+   * Integer-exact accumulation: weights are whole SECONDS (epoch diff),
+   * values fixed-point cents, so `Σ(value·dt)` is a BIGINT sum — no
+   * float summation order anywhere; the single final division is one
+   * IEEE op. Overflow audit: cents ≤ 10⁶ × dt ≤ 10⁷ s ⇒ ≤ 10¹³ per
+   * row, 10⁵ rows per key ⇒ ≤ 10¹⁸ < 2⁶³.
+   *
+   * One hash exchange on the key (the `lead` window), aggregation reuses
+   * its partitioning.
+   */
+  def timeWeightedAvg(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      idCol: String,
+      valueCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol).asc, col(idCol).asc)
+    df
+      .withColumn("__cents", round(col(valueCol) * 100).cast("long"))
+      .withColumn("__dt",
+        unix_timestamp(lead(col(tsCol), 1).over(w)) - unix_timestamp(col(tsCol)))
+      .filter(col("__dt").isNotNull)
+      .groupBy(col(keyCol))
+      .agg(
+        sum(col("__cents") * col("__dt")).as("sum_value_seconds"),
+        sum(col("__dt")).as("sum_seconds"))
+      .withColumn("twap",
+        col("sum_value_seconds").cast("double") /
+          (lit(100.0) * col("sum_seconds").cast("double")))
+  }
+
+  /**
    * EXACT rolling-window distinct actors ("7-day rolling DAU"): for every
    * day in the observed span, the number of DISTINCT `actorCol` values
    * active in the trailing `windowDays` window. A rolling distinct is NOT

@@ -625,6 +625,13 @@ object ExtensionQueries extends QueryFamily {
       "user_id", "ts", windowDays = 3)
       .orderBy(col("window_end"))
 
+  /** Time-weighted average value per event series (integer-exact
+    * cents×seconds accumulation, one IEEE division at the end). */
+  def tsTwap(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Temporal.timeWeightedAvg(Tables.events(spark, dir),
+      "event_type", "ts", "event_id", "value")
+      .orderBy(col("event_type"))
+
   /** Market-basket rules over (user, event_type) baskets: exact pair
     * supports with IEEE-exact confidence/lift. */
   def assocRules(spark: SparkSession, dir: String): DataFrame =
@@ -704,6 +711,7 @@ object ExtensionQueries extends QueryFamily {
     "assoc_rules" -> (assocRules _),
     "ts_anomaly" -> (tsAnomaly _),
     "rolling_active" -> (rollingActive _),
+    "ts_twap" -> (tsTwap _),
     "session_stats" -> (sessionStats _))
 
   private val tokensSql =
@@ -1224,6 +1232,23 @@ object ExtensionQueries extends QueryFamily {
         |FROM win
         |WHERE n >= 20 AND (n * x - s) * (n * x - s) > 9 * (n * q - s * s)
         |ORDER BY event_id""".stripMargin,
+    "ts_twap" ->
+      """WITH o AS (
+        |  SELECT event_type, ts, event_id,
+        |    CAST(ROUND(value * 100) AS BIGINT) AS cents,
+        |    (EPOCH_US(ts) // 1000000) AS es
+        |  FROM events),
+        |d AS (
+        |  SELECT event_type, cents,
+        |    LEAD(es) OVER (PARTITION BY event_type ORDER BY ts, event_id) - es AS dt
+        |  FROM o)
+        |SELECT event_type,
+        |  CAST(SUM(cents * dt) AS BIGINT) AS sum_value_seconds,
+        |  CAST(SUM(dt) AS BIGINT) AS sum_seconds,
+        |  CAST(CAST(SUM(cents * dt) AS BIGINT) AS DOUBLE) /
+        |    (100.0 * CAST(CAST(SUM(dt) AS BIGINT) AS DOUBLE)) AS twap
+        |FROM d WHERE dt IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "rolling_active" ->
       """WITH ad AS (SELECT DISTINCT user_id AS actor, CAST(ts AS DATE) AS d FROM events),
         |m AS (SELECT MAX(d) AS dmax FROM ad),

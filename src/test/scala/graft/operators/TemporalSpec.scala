@@ -167,4 +167,23 @@ class TemporalSpec extends SparkSpec {
     assert(out.toSeq == Seq(
       ("2024-01-01", 2L), ("2024-01-02", 2L), ("2024-01-03", 3L)))
   }
+
+  test("timeWeightedAvg: holding intervals weight values; last observation open-ended") {
+    val events = Seq(
+      // key m: 10.0 held 60s, 20.0 held 30s, 50.0 open-ended (excluded)
+      (1L, ts("2024-01-01 10:00:00"), "m", 10.0),
+      (2L, ts("2024-01-01 10:01:00"), "m", 20.0),
+      (3L, ts("2024-01-01 10:01:30"), "m", 50.0),
+      // key n: single observation -> no interval -> no output row
+      (4L, ts("2024-01-01 10:00:00"), "n", 99.0)
+    ).toDF("event_id", "ts", "key", "value")
+    val out = Temporal.timeWeightedAvg(events, "key", "ts", "event_id", "value")
+      .as[(String, Long, Long, Double)].collect()
+    assert(out.length == 1 && out.head._1 == "m")
+    // cents*s: 1000*60 + 2000*30 = 120000; seconds 90; twap = 1200/90 = 13.33..
+    assert(out.head._2 == 120000L && out.head._3 == 90L)
+    assert(out.head._4 == 120000.0 / (100.0 * 90.0))
+    // plain avg would say 26.67 — the burst 50.0 never held, TWAP ignores it
+    assert(math.abs(out.head._4 - 13.3333) < 0.001)
+  }
 }
