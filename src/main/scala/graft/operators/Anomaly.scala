@@ -22,7 +22,12 @@ import org.apache.spark.sql.functions._
  * why this carries a full hash oracle where textbook
  * `(x − avg) / stddev` formulations cannot (float window sums are
  * order-sensitive). Overflow audit: cents ≤ 10⁶ ⇒ per-row x² ≤ 10¹²,
- * n ≤ 10³ windows keep every term ≤ 10¹⁸ < 2⁶³.
+ * n ≤ 10³ windows keep n·Q ≤ 10¹⁸, and the validated k ≤ 3 keeps
+ * k²·(n·Q − S²) ≤ 9·10¹⁸ < 2⁶³ ≈ 9.22·10¹⁸ — the k bound is part of
+ * the overflow envelope, not a tuning preference, which is why the
+ * `require` enforces it rather than the scaladoc merely documenting it
+ * (k = 4 would wrap silently under non-ANSI semantics and could invert
+ * flag decisions).
  *
  * Variance-zero windows flag only genuine deviations: if all n values
  * are equal, both sides are 0 and strict `>` stays quiet.
@@ -44,7 +49,9 @@ object Anomaly {
       minObs: Int = 20): DataFrame = {
     require(windowRows >= 2 && minObs >= 2 && minObs <= windowRows,
       s"need 2 <= minObs ($minObs) <= windowRows ($windowRows)")
-    require(k >= 1, s"k must be >= 1: $k")
+    require(k >= 1 && k <= 3,
+      s"k must be in [1, 3] (k² must keep k²·(n·Q − S²) within BIGINT " +
+        s"under the cents ≤ 1e6, window ≤ 1e3 operating envelope): $k")
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(tsCol).asc, col(idCol).asc)
       .rowsBetween(-(windowRows - 1), Window.currentRow)

@@ -430,10 +430,17 @@ object Dedup {
     // rarest-first global order; (df, th) is a total order so every doc
     // slices a deterministic prefix of length len − ⌈τ·len⌉ + 1
     val byRarity = Window.partitionBy(col("id")).orderBy(col("df"), col("th"))
+    // prefix keep-condition rn ≤ len − ⌈τ·len⌉ + 1 is evaluated in its
+    // ceil-free form τ·len ≤ len − rn + 1 (⌈x⌉ ≤ m ⟺ x ≤ m for integer
+    // m): a correctly-rounded double product of a double and an exact
+    // integer can never round ACROSS a representable integer, so unlike
+    // ceil(float·len) this comparison cannot shorten the prefix at an
+    // exact boundary and drop a qualifying pair — errors, if any, only
+    // lengthen the prefix (extra candidates, filtered by verify).
     val pref = tok.join(dfreq, "th")
       .withColumn("__rn", row_number().over(byRarity))
-      .filter(col("__rn") <=
-        col("len") - ceil(lit(threshold) * col("len")).cast("int") + 1)
+      .filter(lit(threshold) * col("len") <=
+        (col("len") - col("__rn") + 1).cast("double"))
       .select(col("id"), col("len"), col("th"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = pref.as("a").join(pref.as("b"), "th")

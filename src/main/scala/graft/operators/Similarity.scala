@@ -325,13 +325,22 @@ object Similarity {
    * @return (query_id, hits, k_exact, recall) ordered by query_id
    */
   def recallAtK(approx: DataFrame, exact: DataFrame): DataFrame = {
+    // ONE consumption of `exact`: k_exact and hits fold into a single
+    // aggregate over a left join, so the brute-force-top-k subtree
+    // appears once in the plan. The previous two-consumer shape
+    // (separate k_exact aggregate + semi-join) made Catalyst evaluate
+    // the full corpus×queries exact scan TWICE per recall query — at
+    // 100 TB, recall telemetry would pay a second corpus pass per
+    // measurement. dropDuplicates on the approx side keeps the count
+    // at-most-once per exact row (top-k outputs are already unique per
+    // (query, neighbor); this guards composed callers).
     val e = exact.select(col("query_id"), col("neighbor_id"))
     val a = approx.select(col("query_id"), col("neighbor_id"))
-    val perQuery = e.groupBy(col("query_id")).agg(count(lit(1)).as("k_exact"))
-    val hits = e.join(a, Seq("query_id", "neighbor_id"), "left_semi")
-      .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
-    perQuery.join(hits, Seq("query_id"), "left")
-      .withColumn("hits", coalesce(col("hits"), lit(0L)))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("__hit", lit(1))
+    e.join(a, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("k_exact"), count(col("__hit")).as("hits"))
       .withColumn("recall", col("hits").cast("double") / col("k_exact"))
       .select(col("query_id"), col("hits"), col("k_exact"), col("recall"))
       .orderBy(col("query_id"))

@@ -6,7 +6,9 @@ import java.util.UUID
 
 import scala.jdk.CollectionConverters._
 
+import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
@@ -31,9 +33,11 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
  *    never a visible file (its abort deletes even that);
  *  - the driver's job-level `commit` MOVES every reported file into the
  *    target directory and then writes a `_MANIFEST` (file → row count)
- *    — readers that require atomicity read the manifest, so a crash
- *    between renames exposes at worst unreferenced files, never a
- *    half-written or double-counted shard;
+ *    MERGED with the manifest of any prior append job to the same
+ *    directory — readers that require atomicity read the manifest, so
+ *    a crash between renames exposes at worst unreferenced files, never
+ *    a half-written or double-counted shard, and a second append never
+ *    un-publishes the first job's shards;
  *  - job-level `abort` deletes the staging directory wholesale.
  *
  * Supported row schema: primitive columns only (string / integral /
@@ -63,12 +67,37 @@ private[v2] class ShardTable(schema: StructType, props: Map[String, String])
     val path = info.options.get("path")
     require(path != null, "ShardSink requires a 'path' option")
     ShardSink.validate(info.schema())
+    // Capture the SESSION's Hadoop configuration at write-build time (we
+    // are on the driver here) — a bare `new Configuration()` would drop
+    // any configured filesystem settings (s3a/abfs credentials,
+    // endpoints, custom schemes), silently confining the sink to
+    // default-config filesystems.
+    val hadoopConf = new SerializableHadoopConf(
+      SparkSession.active.sessionState.newHadoopConf())
     new WriteBuilder {
       override def build(): Write = new Write {
         override def toBatch: BatchWrite =
-          new ShardBatchWrite(path, info.queryId(), info.schema())
+          new ShardBatchWrite(path, info.queryId(), info.schema(), hadoopConf)
       }
     }
+  }
+}
+
+/** Java-serializable carrier for a Hadoop `Configuration` (which is
+  * `Writable` but not `Serializable`), so the session's filesystem
+  * settings reach executor-side writers. Same shape as Spark's internal
+  * `SerializableConfiguration`, re-stated here because that class is not
+  * public API. */
+private[v2] class SerializableHadoopConf(@transient var value: Configuration)
+    extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new Configuration(false)
+    value.readFields(in)
   }
 }
 
@@ -127,28 +156,49 @@ private[v2] object ShardSink {
 private[v2] case class ShardCommit(stagedPath: String, rows: Long)
     extends WriterCommitMessage
 
-private[v2] class ShardBatchWrite(path: String, queryId: String, schema: StructType)
+private[v2] class ShardBatchWrite(
+    path: String, queryId: String, schema: StructType,
+    conf: SerializableHadoopConf)
     extends BatchWrite with Serializable {
-  private def fs(p: Path) =
-    p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+  private def fs(p: Path) = p.getFileSystem(conf.value)
   private val stagingDir = new Path(path, s"_staging-$queryId")
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new ShardWriterFactory(stagingDir.toString, schema)
+    new ShardWriterFactory(stagingDir.toString, schema, conf)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val target = new Path(path)
     val f = fs(target)
     f.mkdirs(target)
+    // MERGE with any existing manifest: the documented usage is
+    // mode("append"), and atomicity-sensitive readers read only the
+    // manifest — an overwrite here would make previously committed
+    // shards vanish for them. Shard names are task-UUID-unique, so a
+    // plain union is a well-defined merge; dropping names already
+    // present keeps a driver-retried commit idempotent.
+    val mfPath = new Path(target, "_MANIFEST")
     val manifest = new StringBuilder
+    val existing = scala.collection.mutable.LinkedHashSet.empty[String]
+    if (f.exists(mfPath)) {
+      val in = f.open(mfPath)
+      val prior = try {
+        new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+          StandardCharsets.UTF_8)
+      } finally in.close()
+      prior.linesIterator.filter(_.nonEmpty).foreach { line =>
+        existing.add(line.takeWhile(_ != '\t'))
+        manifest.append(line).append('\n')
+      }
+    }
     messages.foreach { case ShardCommit(staged, rows) =>
       val src = new Path(staged)
       val dst = new Path(target, src.getName)
       if (!f.rename(src, dst))
         throw new java.io.IOException(s"commit rename failed: $src -> $dst")
-      manifest.append(s"${src.getName}\t$rows\n")
+      if (!existing.contains(src.getName))
+        manifest.append(s"${src.getName}\t$rows\n")
     }
-    val mf = f.create(new Path(target, "_MANIFEST"), true)
+    val mf = f.create(mfPath, true)
     try mf.write(manifest.toString.getBytes(StandardCharsets.UTF_8))
     finally mf.close()
     f.delete(stagingDir, true)
@@ -158,18 +208,20 @@ private[v2] class ShardBatchWrite(path: String, queryId: String, schema: StructT
     fs(stagingDir).delete(stagingDir, true)
 }
 
-private[v2] class ShardWriterFactory(stagingDir: String, schema: StructType)
+private[v2] class ShardWriterFactory(
+    stagingDir: String, schema: StructType, conf: SerializableHadoopConf)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
     val file = new Path(stagingDir,
       f"part-$partitionId%05d-${UUID.randomUUID().toString.take(8)}.jsonl")
-    new ShardDataWriter(file, schema)
+    new ShardDataWriter(file, schema, conf)
   }
 }
 
-private[v2] class ShardDataWriter(file: Path, schema: StructType)
+private[v2] class ShardDataWriter(
+    file: Path, schema: StructType, conf: SerializableHadoopConf)
     extends DataWriter[InternalRow] {
-  private val f = file.getFileSystem(new org.apache.hadoop.conf.Configuration())
+  private val f = file.getFileSystem(conf.value)
   private val out = new BufferedWriter(new OutputStreamWriter(
     f.create(file, false), StandardCharsets.UTF_8))
   private var rows = 0L

@@ -49,7 +49,9 @@ object AnomalyStream extends Serializable {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
     require(windowRows >= 2 && minObs >= 2 && minObs <= windowRows,
       s"need 2 <= minObs ($minObs) <= windowRows ($windowRows)")
-    require(k >= 1, s"k must be >= 1: $k")
+    require(k >= 1 && k <= 3,
+      s"k must be in [1, 3] (same BIGINT overflow envelope as the batch " +
+        s"operator): $k")
     val kk = k.toLong * k
 
     events
@@ -66,7 +68,13 @@ object AnomalyStream extends Serializable {
           def tsUs(i: java.time.Instant): Long =
             i.getEpochSecond * 1000000L + i.getNano / 1000L
           rows.toSeq.sortBy(r => (tsUs(r._3), r._2)).foreach { case (_, id, ts, v) =>
-            val x = Math.round(v * 100) // cents, half-up like round()·cast
+            // cents via the SAME rounding as the batch round(value·100):
+            // Spark's Round on DoubleType is BigDecimal(Double.toString)
+            // HALF_UP — half away from zero. Math.round would round half
+            // toward +∞ and diverge from the batch twin on negative
+            // exact-half-cent values (−0.125 → −13 here, −12 there).
+            val x = java.math.BigDecimal.valueOf(v * 100)
+              .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
             val win = hist.takeRight(windowRows - 1) :+ x
             val n = win.length.toLong
             if (n >= minObs) {

@@ -174,6 +174,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("hyperplane_bucket"), p) // bucketing via the codegen kernel
   }
 
+  test("recallAtK consumes the exact top-k ONCE (no double brute-force scan)") {
+    // hits and k_exact fold into one aggregate over one left join, so the
+    // plan carries exactly 4 embedding scans: approx {corpus, queries} +
+    // exact {corpus, queries}. The former two-consumer shape (separate
+    // k_exact aggregate + semi-join) re-evaluated the whole exact subtree
+    // → 6 scans, i.e. a second full corpus pass per recall measurement.
+    val p = plan("sim_recall_lsh")
+    assert("\\(\\d+\\) Scan parquet".r.findAllIn(p).size == 4,
+      s"expected 4 scans (one exact-top-k subtree):\n$p")
+  }
+
   test("ivfPqTopK materializes cell assignment once (cached scan feeds train + index)") {
     val p = plan("sim_topk_ivfpq")
     assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"),

@@ -43,6 +43,30 @@ class ShardSinkSpec extends SparkSpec {
     assert(got == orig, s"round-trip diverged:\n$got\nvs\n$orig")
   }
 
+  test("V2 shard sink: second append job MERGES the manifest, not replaces it") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-shard-append").toString
+    def write(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").repartition(1)
+        .write.format("graft.sources.v2.ShardSink")
+        .option("path", dir).mode("append").save()
+
+    write(Seq((1L, "first job a"), (2L, "first job b")))
+    write(Seq((3L, "second job")))
+
+    val root = new java.io.File(dir)
+    val shards = root.listFiles().filter(_.getName.endsWith(".jsonl"))
+    assert(shards.length == 2, s"one shard per job: ${root.listFiles().toSeq}")
+    // the manifest must still publish the FIRST job's shard — a reader
+    // that trusts only the manifest sees both jobs' rows
+    val manifest = scala.io.Source.fromFile(s"$dir/_MANIFEST").getLines()
+      .filter(_.nonEmpty).map(_.split("\t")).map(a => a(0) -> a(1).toLong).toMap
+    assert(manifest.keySet == shards.map(_.getName).toSet,
+      s"manifest lost shards across appends: ${manifest.keySet}")
+    assert(manifest.values.sum == 3L)
+    val manifested = manifest.keys.map(n => s"$dir/$n").toSeq
+    assert(spark.read.json(manifested: _*).count() == 3L)
+  }
+
   test("V2 shard sink: unsupported nested schema is rejected at plan time") {
     val dir = java.nio.file.Files.createTempDirectory("graft-shard-bad").toString
     val df = Seq((1L, Seq(1, 2))).toDF("id", "xs")

@@ -25,6 +25,34 @@ class AnomalyStreamSpec extends SparkSpec {
       s"stream/batch diverged: only-stream=${streamed -- batch} only-batch=${batch -- streamed}")
   }
 
+  test("negative exact-half-cent values round like the batch operator (HALF_UP)") {
+    // -0.125 → -12.5 cents: Spark round() (HALF_UP, away from zero)
+    // gives -13; Math.round would give -12 — and against a steady -0.12
+    // history (-12 cents under BOTH roundings) that one-cent difference
+    // is exactly the difference between flagging and not: d = n·x − S is
+    // -10 under HALF_UP (flags at k=2) and 0 under Math.round (silent).
+    def t(i: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:00:$i%02d")
+    val rows = (1 to 10).map(i => (i.toLong, t(i), "m", -0.12)) :+
+      (11L, t(11), "m", -0.125)
+    val df = rows.toDF("event_id", "ts", "key", "value")
+    val batch = Anomaly.zscoreFlags(df, "key", "ts", "event_id", "value",
+      windowRows = 50, k = 2, minObs = 5)
+      .select("event_id").as[Long].collect().toSet
+    assert(batch == Set(11L), s"batch should flag the half-cent spike: $batch")
+    val dir = java.nio.file.Files.createTempDirectory("graft-anomaly-half").toString
+    df.coalesce(1).write.parquet(s"$dir/in")
+    val streamIn = spark.readStream
+      .schema("event_id LONG, ts TIMESTAMP, key STRING, value DOUBLE")
+      .parquet(s"$dir/in")
+    val streamed = EventStreams.runToBatch(spark,
+      AnomalyStream.zscoreFlags(spark, streamIn,
+        keyCol = "key", windowRows = 50, k = 2, minObs = 5).toDF(),
+      "t_anomaly_halfcent")
+      .select("event_id").as[Long].collect().toSet
+    assert(streamed == batch,
+      s"stream/batch diverged on negative half-cent rounding: $streamed vs $batch")
+  }
+
   test("cross-batch state: a spike flags only because history carried over") {
     val dir = java.nio.file.Files.createTempDirectory("graft-anomaly-stream").toString
     def t(i: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:00:$i%02d")
