@@ -1,4 +1,7 @@
 package graft
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd, SparkListenerTaskStart}
 import org.apache.spark.sql.SparkSession
 
 /** Driver-run benchmark: every registered query at `SPARK_GRAFT_SF_DIR`,
@@ -9,6 +12,18 @@ import org.apache.spark.sql.SparkSession
   * let Catalyst prune computed columns and under-measure projection-heavy
   * queries. A tiny warm-up query runs first so JVM/codegen startup is not
   * billed to the first measured query.
+  *
+  * Every query reports BOTH wall seconds and executor-CPU seconds (summed
+  * `taskMetrics.executorCpuTime` over the query's tasks, via a
+  * `SparkListener`). Wall alone is unusable for regression tracking on a
+  * shared host: BENCH_r04's driver artifact showed 20-30x inflation on
+  * queries whose code had not changed (CPU steal), while a clean re-run
+  * totaled 15 s. CPU time is steal-robust — a stalled core accrues no
+  * executorCpuTime — so `cpu` is the number to trend across rounds and
+  * `wall` the number that reflects this box at this moment. A wall far
+  * above cpu (beyond what per-task scheduling overhead explains) marks the
+  * measurement itself as contention-suspect, which drives the re-measure
+  * policy below.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -68,38 +83,76 @@ object Bench {
       Thread.sleep(500)
     }
 
+    // Executor-CPU accounting: one global accumulator fed by task-end
+    // events. The listener bus is asynchronous, so after each action we
+    // wait until every started task has reported its end event before
+    // snapshotting — otherwise a query's tail tasks would be billed to
+    // the next query.
+    val cpuNs = new AtomicLong(0L)
+    val started = new AtomicLong(0L)
+    val ended = new AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskStart(e: SparkListenerTaskStart): Unit =
+        started.incrementAndGet()
+      override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+        if (e.taskMetrics != null) cpuNs.addAndGet(e.taskMetrics.executorCpuTime)
+        ended.incrementAndGet()
+      }
+    })
+    def drainTaskEvents(): Unit = {
+      val t0 = System.currentTimeMillis()
+      var stable = 0
+      while (stable < 2 && System.currentTimeMillis() - t0 < 5000) {
+        if (started.get == ended.get) stable += 1 else stable = 0
+        if (stable < 2) Thread.sleep(20)
+      }
+    }
+
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def once(): (Double, Boolean) = {
+      // (wall_s, cpu_s, ok)
+      def once(): (Double, Double, Boolean) = {
+        drainTaskEvents()
+        val c0 = cpuNs.get
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
           catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); false }
-        ((System.nanoTime() - t0) / 1e9, ok)
+        val wall = (System.nanoTime() - t0) / 1e9
+        drainTaskEvents()
+        (wall, (cpuNs.get - c0) / 1e9, ok)
       }
       // Transient host stalls (CPU steal on the shared box) inflate single
-      // measurements 10-30x — observed hopping BETWEEN queries across
+      // wall measurements 10-30x — observed hopping BETWEEN queries across
       // otherwise-idle runs (embed_kmeans 57.8 s vs 3.1 s on identical
-      // code). Re-measure anything that looks stall-inflated and report
-      // the min — the standard least-noise estimator; genuinely slow
-      // queries stay slow on both passes.
-      val (t1, ok1) = once()
-      if (ok1 && t1 > 3.0) {
-        val (t2, ok2) = once()
-        (name, if (ok2) math.min(t1, t2) else t1, true)
-      } else (name, t1, ok1)
+      // code). Re-measure anything stall-suspect and report the min-wall
+      // pass — the standard least-noise estimator; genuinely slow queries
+      // stay slow on both passes. Suspect = absolutely slow (> 3 s wall)
+      // OR wall >> cpu (> 1 s wall with under a third of it backed by
+      // executor CPU — a stalled core accrues wall but no cpu; the 1 s
+      // floor keeps tiny queries, whose wall is dominated by planning and
+      // scheduling rather than task CPU, out of the re-run set).
+      val (w1, c1, ok1) = once()
+      if (ok1 && (w1 > 3.0 || (w1 > 1.0 && w1 > 3.0 * c1))) {
+        val (w2, c2, ok2) = once()
+        if (ok2 && w2 < w1) (name, w2, c2, true) else (name, w1, c1, ok1)
+      } else (name, w1, c1, ok1)
     }
     // failed queries report -1 (not their near-zero abort time) and are
     // listed in "failed", so a regression can't silently shrink the total
-    val qs = results.map { case (k, v, ok) =>
-      "\"" + k + "\":" + (if (ok) f"$v%.3f" else "-1")
+    val qs = results.map { case (k, w, _, ok) =>
+      "\"" + k + "\":" + (if (ok) f"$w%.3f" else "-1")
     }.mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+    val cpus_ = results.map { case (k, _, c, ok) =>
+      "\"" + k + "\":" + (if (ok) f"$c%.3f" else "-1")
+    }.mkString("{", ",", "}")
+    val failed = results.collect { case (k, _, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, true) => v }.sum
+    val total = results.collect { case (_, w, _, true) => w }.sum
+    val cpuTotal = results.collect { case (_, _, c, true) => c }.sum
     // headline FIRST: log tails get truncated (BENCH_r02/r03 both were) —
     // the totals must survive even when the per-query map does not
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","failed":$failed}""")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$failed}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","cpu_total":$cpuTotal%.3f,"sf":"$sfDir","failed":$failed}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","cpu_total":$cpuTotal%.3f,"queries":$qs,"cpu":$cpus_,"sf":"$sfDir","failed":$failed}""")
     spark.stop()
   }
 }
