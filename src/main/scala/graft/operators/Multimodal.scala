@@ -13,12 +13,18 @@ import graft.sources.Tables
  * pipeline stage (one decoder init per partition, row-batch iteration,
  * columnar in/out).
  *
- * The DECODE ITSELF IS A STUB: this container has no image/audio codecs,
- * so `decodeStub` derives deterministic fake metadata from the byte
- * stream (documented below) while keeping every Spark-facing part real:
- * schema contracts, binary column handling, partition-wise execution,
- * feature-vector output shape. Swapping in a real codec changes only the
- * body of the per-row closure.
+ * IMAGES DECODE FOR REAL: `decodeImage` / `resizeImage` run JDK-native
+ * `javax.imageio` (PNG/JPEG need no external codec) inside the same
+ * per-partition batch contract, and `imageAssetTable` builds a fixture of
+ * genuine PNG bytes whose dimensions and pixel content are deterministic
+ * functions of `doc_id` — so a DuckDB oracle can verify a real decode
+ * against ground-truth formulas. AUDIO/VIDEO remain declared stubs
+ * (`decodeStub` et al.): this container has no audio/video codecs, so
+ * those derive deterministic fake metadata from the byte stream while
+ * keeping every Spark-facing part real — schema contracts, binary column
+ * handling, partition-wise execution, feature-vector output shape.
+ * Swapping in a real codec changes only the body of the per-row closure,
+ * exactly as `decodeImage` demonstrates for the image half.
  */
 object Multimodal {
 
@@ -39,8 +45,135 @@ object Multimodal {
         (col("doc_id") % 3 + 1).cast(IntegerType)).as("modality"),
       col("text").cast(BinaryType).as("content"))
 
+  /** Fixture of REAL PNG assets: one `(doc_id % 13 + 1) × (doc_id % 7 + 1)`
+    * image per document, every pixel the gray value `doc_id % 256`,
+    * encoded to genuine PNG bytes with `javax.imageio`. Dimensions and
+    * pixel content are deterministic functions of `doc_id`, so an
+    * external reader (the DuckDB oracle) can verify [[decodeImage]]'s
+    * output against ground truth it recomputes from `documents` alone —
+    * the reference's own verification pattern for opaque payloads
+    * (reference `service/ParquetConversionServiceTest.java:96-107`:
+    * carry bytes opaquely, verify via an independent reader). */
+  def imageAssetTable(spark: SparkSession, sfDir: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("modality", StringType, nullable = false),
+      StructField("content", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    Tables.documents(spark, sfDir).select("doc_id").mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false) // no temp-file cache on executors
+      rows.map { r =>
+        val id = r.getLong(0)
+        val (w, h) = ((id % 13 + 1).toInt, (id % 7 + 1).toInt)
+        val g = (id % 256).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val rgb = (g << 16) | (g << 8) | g
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        Row(id, "image", bos.toByteArray)
+      }
+    }(enc)
+  }
+
+  /** Decoded-image contract: [[metaSchema]] plus the mean decoded pixel
+    * value (proof the PIXELS decoded, not just the header). */
+  val imageMetaSchema: StructType = StructType(Seq(
+    StructField("byte_len", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("format", StringType, nullable = false),
+    StructField("mean_px", IntegerType, nullable = false)))
+
   /**
-   * STUB decode — ??? in a real deployment this calls the codec
+   * REAL image decode — JDK-native `javax.imageio` (PNG/JPEG, zero
+   * external deps) inside the standard per-partition batch contract:
+   * codec cache config once per partition, iterator→iterator row loop,
+   * typed metadata out. `format` comes from the matched `ImageReader`
+   * (container sniffing, not trusting the modality column); `mean_px` is
+   * the integer mean of the decoded red channel — on the lossless-PNG
+   * fixture this equals the ground-truth fill value exactly, which is
+   * what lets a SQL oracle verify a binary codec. Undecodable bytes
+   * surface as an error (a corrupt asset at 100 TB should fail loud or
+   * be quarantined upstream, not silently invent dimensions).
+   */
+  def decodeImage(assets: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false)) ++ imageMetaSchema.fields)
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    assets.filter(col("modality") === "image")
+      .select("asset_id", "content").mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          require(readers.hasNext, s"asset $id: no ImageReader matches content")
+          val reader = readers.next()
+          try {
+            reader.setInput(iis)
+            val img = reader.read(0)
+            var sum = 0L
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                sum += (img.getRGB(x, y) >>> 16) & 0xff
+                x += 1
+              }
+              y += 1
+            }
+            val n = img.getWidth.toLong * img.getHeight
+            Row(id, bytes.length.toLong, img.getWidth, img.getHeight,
+              reader.getFormatName.toLowerCase, (sum / n).toInt)
+          } finally { reader.dispose(); iis.close() }
+        }
+      }(enc)
+  }
+
+  /** REAL image resize: decode → `Graphics2D` scale to (targetW,
+    * targetH) → re-encode PNG, per partition batch. Output carries
+    * genuine PNG bytes of the new size, so a decode round-trip
+    * (`decodeImage(resizeImage(...))`) verifies the target dimensions —
+    * the codec-stubbed byte-striding `resizeStub` stays for the
+    * audio/video modalities. */
+  def resizeImage(assets: DataFrame, targetW: Int = 8, targetH: Int = 8): DataFrame = {
+    require(targetW > 0 && targetH > 0, s"target dims must be positive: $targetW x $targetH")
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("modality", StringType, nullable = false),
+      StructField("content", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    assets.filter(col("modality") === "image")
+      .select("asset_id", "content").mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { r =>
+          val id = r.getLong(0)
+          val src = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+          require(src != null, s"asset $id: undecodable image bytes")
+          val dst = new java.awt.image.BufferedImage(
+            targetW, targetH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val gfx = dst.createGraphics()
+          try gfx.drawImage(src, 0, 0, targetW, targetH, null)
+          finally gfx.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(dst, "png", bos)
+          Row(id, "image", bos.toByteArray)
+        }
+      }(enc)
+  }
+
+  /**
+   * STUB decode (audio/video modalities) — ??? in a real deployment this calls the codec
    * (ImageIO/libjpeg/ffmpeg) inside mapPartitions; here metadata is a
    * deterministic function of the bytes: width/height from the first two
    * bytes, format from the modality. The mapPartitions shape (iterator →

@@ -363,6 +363,18 @@ object ExtensionQueries extends QueryFamily {
       .orderBy(col("asset_id"))
   }
 
+  /** REAL image decode (javax.imageio over genuine PNG fixture bytes):
+    * width/height from the decoded header, format from container
+    * sniffing, mean_px from the decoded pixels — all DuckDB-oracled
+    * against the deterministic ground-truth formulas the fixture was
+    * built from. The one query where a binary codec is verified by SQL. */
+  def multimodalDecode(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Multimodal.decodeImage(
+      graft.operators.Multimodal.imageAssetTable(spark, dir))
+      .select(col("asset_id"), col("width"), col("height"),
+        col("format"), col("mean_px"))
+      .orderBy(col("asset_id"))
+
   /** The composed pretraining-corpus pipeline — the end-to-end story the
     * individual operators serve: exact dedup (min-id keeper) → quality
     * gates (length, punctuation, stopword presence) → language filter →
@@ -689,6 +701,7 @@ object ExtensionQueries extends QueryFamily {
     "multimodal_dedup_exact" -> (multimodalDedupExact _),
     "multimodal_neardup" -> (multimodalNearDup _),
     "multimodal_features" -> (multimodalFeatures _),
+    "multimodal_decode" -> (multimodalDecode _),
     "multimodal_frames" -> (multimodalFrames _),
     "pipeline_corpus" -> (pipelineCorpus _),
     "pipeline_corpus_v2" -> (pipelineCorpusV2 _),
@@ -930,6 +943,15 @@ object ExtensionQueries extends QueryFamily {
         |    (['image', 'audio', 'video'])[CAST(doc_id % 3 AS INT) + 1] AS modality,
         |    ROW_NUMBER() OVER (PARTITION BY MD5(text) ORDER BY doc_id) AS rn
         |  FROM documents) WHERE rn = 1 ORDER BY asset_id""".stripMargin,
+    // ground truth for the REAL decode: the PNG fixture is built from
+    // these exact formulas, so the oracle verifies the codec end-to-end
+    "multimodal_decode" ->
+      """SELECT doc_id AS asset_id,
+        |  CAST(doc_id % 13 + 1 AS INT) AS width,
+        |  CAST(doc_id % 7 + 1 AS INT) AS height,
+        |  'png' AS format,
+        |  CAST(doc_id % 256 AS INT) AS mean_px
+        |FROM documents ORDER BY asset_id""".stripMargin,
     "pipeline_corpus" -> {
       val langs = graft.operators.TextAnalysis.langMarkers.toSeq.sortBy(_._1)
       val langTok =

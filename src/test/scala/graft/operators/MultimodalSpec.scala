@@ -23,6 +23,48 @@ class MultimodalSpec extends SparkSpec {
     assert(decoded.count() == 500)
   }
 
+  test("decodeImage REALLY decodes: PNG magic in fixture, dims + pixels match ground truth") {
+    val assets = Multimodal.imageAssetTable(spark, sfDir)
+    // fixture bytes are genuine PNGs, not text stand-ins
+    val first = assets.orderBy("asset_id").head()
+    val magic = first.getAs[Array[Byte]]("content").take(8).map(_ & 0xff)
+    assert(magic.toSeq == Seq(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a),
+      s"not a PNG signature: ${magic.toSeq}")
+    val decoded = Multimodal.decodeImage(assets)
+      .select("asset_id", "width", "height", "format", "mean_px")
+      .as[(Long, Int, Int, String, Int)].collect()
+    assert(decoded.length == 500)
+    decoded.foreach { case (id, w, h, fmt, px) =>
+      assert(w == (id % 13 + 1).toInt && h == (id % 7 + 1).toInt,
+        s"asset $id decoded ${w}x$h, expected ${id % 13 + 1}x${id % 7 + 1}")
+      assert(fmt == "png", s"asset $id sniffed as $fmt")
+      assert(px == (id % 256).toInt, s"asset $id mean_px $px != ${id % 256}")
+    }
+  }
+
+  test("resizeImage round-trip: decode of the resized PNG shows the target dims") {
+    val assets = Multimodal.imageAssetTable(spark, sfDir).filter($"asset_id" < 20)
+    val resized = Multimodal.resizeImage(assets, targetW = 5, targetH = 3)
+    val decoded = Multimodal.decodeImage(resized)
+      .select("asset_id", "width", "height", "mean_px")
+      .as[(Long, Int, Int, Int)].collect()
+    assert(decoded.length == 20)
+    decoded.foreach { case (id, w, h, px) =>
+      assert(w == 5 && h == 3, s"asset $id resized to ${w}x$h")
+      // constant-fill source: scaling preserves the gray level exactly
+      assert(px == (id % 256).toInt, s"asset $id mean_px drifted to $px")
+    }
+  }
+
+  test("decodeImage fails loud on undecodable bytes (no invented dimensions)") {
+    val bad = Seq((1L, "image", "not an image at all".getBytes("UTF-8")))
+      .toDF("asset_id", "modality", "content")
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeImage(bad).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("featuresStub: fixed-dim deterministic vectors") {
     val assets = Multimodal.assetTable(spark, sfDir)
     val f1 = Multimodal.featuresStub(assets, dim = 16).orderBy("asset_id").collect()
