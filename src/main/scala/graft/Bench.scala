@@ -54,6 +54,7 @@ object Bench {
       try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
+    CacheScope.releaseAll() // drop warm-up-scoped operator caches
 
     // Two residual-noise sources otherwise land on whichever queries run
     // first (alphabetical order — seen as 30×-inflated agg_* outliers):
@@ -119,6 +120,10 @@ object Bench {
           catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); false }
         val wall = (System.nanoTime() - t0) / 1e9
         drainTaskEvents()
+        // release operator-scoped caches: keeps the storage footprint
+        // flat across the sweep AND makes re-measure passes fair (a
+        // second pass must rebuild the cache, not reuse the first's)
+        CacheScope.releaseAll()
         (wall, (cpuNs.get - c0) / 1e9, ok)
       }
       // Transient host stalls (CPU steal on the shared box) inflate single

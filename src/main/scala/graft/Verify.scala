@@ -42,6 +42,10 @@ object Verify {
     }
     tasks.foreach(_.get())
     pool.shutdown()
+    // release operator-scoped caches once the whole dump completes
+    // (queries run concurrently above, so per-query release could yank a
+    // cache out from under a still-running sibling)
+    CacheScope.releaseAll()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -35,8 +35,8 @@ object Assoc {
     // bi feeds three consumers (pairs, item supports, basket total);
     // persist the REDUCED distinct set so the raw event stream is
     // scanned and distinct-exchanged once, not three times
-    val bi = df.select(col(basketCol).as("b"), col(itemCol).as("i")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bi = graft.CacheScope.scoped(
+      df.select(col(basketCol).as("b"), col(itemCol).as("i")).distinct())
     val pairs = bi.groupBy(col("b"))
       .agg(sort_array(collect_set(col("i"))).as("items"))
       .filter(size(col("items")) >= 2)

@@ -419,12 +419,11 @@ object Dedup {
     // corpus token count × 8 bytes) for scan-once — the ivfPqTopK
     // precedent, and the cheaper side at 100 TB where a re-scan is a
     // second 100 TB read plus a second rank exchange.
-    val base = df
+    val base = graft.CacheScope.scoped(df
       .filter(size(tokens(col(textCol))) > 0)
       .select(col(idCol).as("id"),
         shingle_hash_set(col(textCol), w = 1).as("ts"))
-      .withColumn("len", size(col("ts")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .withColumn("len", size(col("ts"))))
     val tok = base.select(col("id"), col("len"), explode(col("ts")).as("th"))
     val dfreq = tok.groupBy(col("th")).agg(count(lit(1)).as("df"))
     // rarest-first global order; (df, th) is a total order so every doc
@@ -437,12 +436,11 @@ object Dedup {
     // ceil(float·len) this comparison cannot shorten the prefix at an
     // exact boundary and drop a qualifying pair — errors, if any, only
     // lengthen the prefix (extra candidates, filtered by verify).
-    val pref = tok.join(dfreq, "th")
+    val pref = graft.CacheScope.scoped(tok.join(dfreq, "th")
       .withColumn("__rn", row_number().over(byRarity))
       .filter(lit(threshold) * col("len") <=
         (col("len") - col("__rn") + 1).cast("double"))
-      .select(col("id"), col("len"), col("th"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select(col("id"), col("len"), col("th")))
     val cand = pref.as("a").join(pref.as("b"), "th")
       .filter(col("a.id") < col("b.id"))
       .filter(least(col("a.len"), col("b.len")).cast("double") >=

@@ -160,9 +160,9 @@ object Ngrams {
     // uni feeds three consumers (t1 join, t2 join, corpus total); persist
     // the vocabulary-sized AGGREGATE so the corpus token explode runs
     // once, not three times (plan-audited: 4 scans → 2)
-    val uni = toks.select(explode(col("__a")).as("tok"))
-      .groupBy(col("tok")).agg(count(lit(1)).as("__c"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val uni = graft.CacheScope.scoped(
+      toks.select(explode(col("__a")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("__c")))
     val total = uni.agg(sum(col("__c")).as("__total"))
     big
       .join(uni.select(col("tok").as("t1"), col("__c").as("count_a")), "t1")

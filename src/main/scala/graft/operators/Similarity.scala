@@ -227,18 +227,16 @@ object Similarity {
       graft.functions.centroid_residual(vec, ccLit, cell)
 
     // index: (vec_id, cell, codes) — residual PQ codebooks trained once.
-    // Persisted: cell assignment + residual projection feed BOTH codebook
-    // training and the final index materialization; without the cache the
-    // corpus-wide assignment scan would run twice. The cache is released
-    // by block-manager LRU / session teardown — an index is train-once
-    // serve-many state, so its storage lifetime IS the serving lifetime
-    // (at production scale the encoded index would be written to parquet
-    // and this cache is the in-session analog).
-    val withCell = corpus
+    // Persisted (CacheScope): cell assignment + residual projection feed
+    // BOTH codebook training and the final index materialization; without
+    // the cache the corpus-wide assignment scan would run twice. The
+    // cache is scoped to the query — the caller's harness releases it
+    // after the consuming action. Train-once serve-many state lives in
+    // the PARQUET index artifact (`AnnIndex`), not in this session cache.
+    val withCell = graft.CacheScope.scoped(corpus
       .select(col(idCol).cast("long").as("vec_id"), col(vecCol).as("v"))
       .withColumn("cell", cellOf(col("v")))
-      .withColumn("res", residual(col("v"), col("cell")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .withColumn("res", residual(col("v"), col("cell"))))
     val (codebooks, _) = Quantize.productQuantize(
       withCell, "vec_id", "res", m, codebookSize, iters = 3,
       trainSampleN = trainSampleN)

@@ -297,9 +297,9 @@ object Temporal {
     require(windowDays >= 1, s"windowDays must be positive: $windowDays")
     // ad feeds both the span max and the contribution explode; persist
     // the reduced pair set so raw events distinct-reduce once
-    val ad = df.select(col(actorCol).as("actor"), to_date(col(tsCol)).as("d"))
-      .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ad = graft.CacheScope.scoped(
+      df.select(col(actorCol).as("actor"), to_date(col(tsCol)).as("d"))
+        .distinct())
     val maxD = ad.agg(max(col("d")).as("__dmax"))
     ad.select(col("actor"),
         explode(sequence(col("d"), date_add(col("d"), windowDays - 1)))

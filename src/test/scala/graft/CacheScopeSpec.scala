@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/**
+ * Deterministic cache footprint: every operator-internal persist goes
+ * through [[CacheScope]], so after a harness sweep + release, the
+ * session retains NO new persistent RDDs — the storage budget of a
+ * long-lived session is flat, not "whatever block-manager LRU kept".
+ */
+class CacheScopeSpec extends SparkSpec {
+
+  test("sweep of every cache-scoped operator releases to a clean block manager") {
+    // snapshot first: other suites in this shared session may hold their
+    // own (self-managed) caches; this spec asserts no NEW retention
+    CacheScope.releaseAll(blocking = true)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+
+    // one query per cache-scoped site: jaccardJoin (Dedup ×2),
+    // collocations (Ngrams), pairRules (Assoc), rollingActive (Temporal),
+    // ivfPqTopK (Similarity)
+    val names = Seq("dedup_jaccard_join", "text_collocations", "assoc_rules",
+      "rolling_active", "sim_topk_ivfpq")
+    names.foreach { n =>
+      SparkEntry.queries(n)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+    }
+    assert(CacheScope.retainedCount >= 6,
+      s"expected all six scoped caches registered, got ${CacheScope.retainedCount}")
+
+    CacheScope.releaseAll(blocking = true)
+    assert(CacheScope.retainedCount == 0)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"persistent RDDs leaked past release: $leaked")
+  }
+
+  test("releaseAll on an empty registry is a no-op; results stay correct after release") {
+    CacheScope.releaseAll() // no registered caches — must not throw
+    // correctness is cache-independent: same result before/after release
+    val r1 = SparkEntry.queries("assoc_rules")(spark, sfDir).collect().toSeq
+    CacheScope.releaseAll(blocking = true)
+    val r2 = SparkEntry.queries("assoc_rules")(spark, sfDir).collect().toSeq
+    CacheScope.releaseAll(blocking = true)
+    assert(r1 == r2)
+  }
+}
