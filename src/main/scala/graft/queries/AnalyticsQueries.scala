@@ -118,15 +118,21 @@ object AnalyticsQueries extends QueryFamily {
 
   /** HLL++ approximate distinct count (fixed-size mergeable sketch — the
     * 100 TB path for cardinality; exact COUNT(DISTINCT) shuffles every
-    * distinct value). Sketch internals differ across engines, so this is
-    * rows-only for the driver; the error bound is asserted in
-    * AnalyticsSpec against the exact count. */
+    * distinct value). Sketch internals differ across engines, so the raw
+    * ESTIMATE is not SQL-reproducible — instead the query emits the
+    * bounded-check form: the exact side (DuckDB recomputes it) plus a
+    * within-5%% verdict that must be constant TRUE (rsd = 2%%, so 5%% has
+    * margin). The estimate itself keeps its own bound in AnalyticsSpec. */
   def aggApproxDistinct(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
       .groupBy(col("o_orderstatus"))
       .agg(
-        approx_count_distinct(col("o_custkey"), 0.02).as("approx_customers"),
+        approx_count_distinct(col("o_custkey"), 0.02).as("__approx"),
+        countDistinct(col("o_custkey")).as("exact_customers"),
         count(lit(1)).as("n_orders"))
+      .select(col("o_orderstatus"), col("n_orders"), col("exact_customers"),
+        (abs(col("__approx") - col("exact_customers")) <=
+          col("exact_customers") * 0.05).as("within_5pct"))
       .orderBy(col("o_orderstatus"))
 
   /** row_number / rank / dense_rank over a per-customer price ordering;
@@ -204,16 +210,19 @@ object AnalyticsQueries extends QueryFamily {
     * unlike approx_count_distinct (which only yields a number), the
     * binary sketch is storable and union-able later, the building block
     * of incremental 100 TB cardinality pipelines. Estimates differ from
-    * DuckDB's sketch library, so rows-only + AnalyticsSpec bounds. */
+    * DuckDB's sketch library, so the query emits the bounded-check form
+    * (exact side + constant-TRUE within-5%% verdict; lgK = 14 puts the
+    * relative error near 1%%); raw-estimate bounds live in AnalyticsSpec. */
   def aggHllSketch(spark: SparkSession, dir: String): DataFrame = {
     val perStatus = Tables.orders(spark, dir)
       .groupBy(col("o_orderstatus"))
       .agg(hll_sketch_agg(col("o_custkey"), lit(14)).as("sk"),
-        countDistinct(col("o_custkey")).as("exact"))
+        countDistinct(col("o_custkey")).as("exact_customers"))
     perStatus.select(
       col("o_orderstatus"),
-      hll_sketch_estimate(col("sk")).as("approx"),
-      col("exact"))
+      col("exact_customers"),
+      (abs(hll_sketch_estimate(col("sk")) - col("exact_customers")) <=
+        col("exact_customers") * 0.05).as("within_5pct"))
       .orderBy(col("o_orderstatus"))
   }
 
@@ -246,15 +255,23 @@ object AnalyticsQueries extends QueryFamily {
   /** The mergeable-state half of the HLL story: per-group binary sketches
     * are UNIONED into a global cardinality without rescanning rows — the
     * incremental 100 TB pattern (store per-day/partition sketches, merge
-    * at query time). Registered rows-only; AnalyticsSpec asserts the
-    * merged estimate tracks the exact global distinct count. */
-  def aggHllUnion(spark: SparkSession, dir: String): DataFrame =
-    Tables.orders(spark, dir)
+    * at query time). Bounded-check form: DuckDB recomputes the sketch
+    * count and the exact global distinct; the merged estimate must land
+    * within 5%% of it (constant-TRUE verdict). */
+  def aggHllUnion(spark: SparkSession, dir: String): DataFrame = {
+    val merged = Tables.orders(spark, dir)
       .groupBy(col("o_orderstatus"))
       .agg(hll_sketch_agg(col("o_custkey"), lit(14)).as("sk"))
       .agg(
-        hll_sketch_estimate(hll_union_agg(col("sk"))).as("merged_approx"),
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("__merged"),
         count(lit(1)).as("n_sketches"))
+    val exact = Tables.orders(spark, dir)
+      .agg(countDistinct(col("o_custkey")).as("exact_customers"))
+    merged.crossJoin(broadcast(exact))
+      .select(col("n_sketches"), col("exact_customers"),
+        (abs(col("__merged") - col("exact_customers")) <=
+          col("exact_customers") * 0.05).as("within_5pct"))
+  }
 
   /** Custom TypedImperativeAggregate: per-customer top-3 order values via
     * a k-bounded min-heap buffer — partial aggregation ships ≤3 doubles
@@ -378,6 +395,24 @@ object AnalyticsQueries extends QueryFamily {
         |    - (CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(1))
         |      * (CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(1)) AS var_qty
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // bounded-check oracles for the sketch family: the estimate is not
+    // SQL-reproducible, but the exact side is, and the within-bound
+    // verdict is constant TRUE — so the oracle verifies both
+    "agg_approx_distinct" ->
+      """SELECT o_orderstatus, COUNT(1) AS n_orders,
+        |  COUNT(DISTINCT o_custkey) AS exact_customers,
+        |  TRUE AS within_5pct
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "agg_hll_sketch" ->
+      """SELECT o_orderstatus,
+        |  COUNT(DISTINCT o_custkey) AS exact_customers,
+        |  TRUE AS within_5pct
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "agg_hll_union" ->
+      """SELECT CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_sketches,
+        |  COUNT(DISTINCT o_custkey) AS exact_customers,
+        |  TRUE AS within_5pct
+        |FROM orders""".stripMargin,
     "agg_approx_quantiles" ->
       """SELECT l_returnflag,
         |  QUANTILE_DISC(l_quantity, 0.25) AS q25,

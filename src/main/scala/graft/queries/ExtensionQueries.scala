@@ -156,26 +156,46 @@ object ExtensionQueries extends QueryFamily {
       .select(col("query_id"), col("rank"), col("neighbor_id"))
   }
 
+  /** Bounded-verdict projection of [[Similarity.recallAtK]] output, so
+    * the recall queries carry a DuckDB oracle: `k_exact` is exactly k
+    * (every query has ≥ k non-self corpus neighbors at these SFs —
+    * DuckDB recomputes it as the constant), `family_recall_positive`
+    * asserts the approx family intersects the true neighborhood AT ALL
+    * (total hits across the query set ≥ 1 — family-level, because
+    * brute-force truth excludes self-matches so a single query's hits
+    * CAN legitimately be 0; observed totals are 13–27 of 50, wide
+    * margin), and `hits_bounded` is the per-query ≤ k sanity. The raw
+    * recall VALUE stays engine-specific → not in the oracled
+    * projection; it remains available via the recallAtK API and is
+    * floor-pinned in SimilaritySpec. The global window runs over ≤
+    * |queries| pre-aggregated rows, never corpus rows. */
+  private def recallVerdict(r: DataFrame): DataFrame = {
+    val all = org.apache.spark.sql.expressions.Window.partitionBy()
+    r.select(col("query_id"), col("k_exact"),
+      (sum(col("hits")).over(all) >= 1).as("family_recall_positive"),
+      (col("hits") <= col("k_exact")).as("hits_bounded"))
+      .orderBy(col("query_id"))
+  }
+
   /** ANN recall telemetry: LSH top-k joined to the exact brute-force
     * top-k per query — the recall@k a user tunes nBits/probeRadius
-    * against. Rows-only (the approx side is a custom hash kernel) +
-    * SimilaritySpec recall floor. */
+    * against. Oracled in the bounded-verdict form ([[recallVerdict]]). */
   def simRecallLsh(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val queries = emb.filter(col("vec_id") < 5)
-    Similarity.recallAtK(
+    recallVerdict(Similarity.recallAtK(
       Similarity.lshTopK(emb, queries, "vec_id", "embedding", k = 10, nBits = 4),
-      Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 10))
+      Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 10)))
   }
 
   /** Same recall surface for the IVF index (tunes nCells/nProbe). */
   def simRecallIvf(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val queries = emb.filter(col("vec_id") < 5)
-    Similarity.recallAtK(
+    recallVerdict(Similarity.recallAtK(
       Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
         k = 10, nCells = 16, nProbe = 4),
-      Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 10))
+      Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 10)))
   }
 
   /** Recall of the PQ-compressed index (tunes m/codebookSize — the
@@ -186,9 +206,9 @@ object ExtensionQueries extends QueryFamily {
     val (codebooks, encoded) = graft.operators.Quantize.productQuantize(
       emb, "vec_id", "embedding", m = 8, codebookSize = 16, iters = 4,
       trainSampleN = 4096)
-    Similarity.recallAtK(
+    recallVerdict(Similarity.recallAtK(
       Similarity.pqTopK(encoded, queries, codebooks, "vec_id", "embedding", k = 10),
-      Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 10))
+      Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 10)))
   }
 
   /** Recall of the composed IVF-PQ index (the production serving path —
@@ -196,10 +216,10 @@ object ExtensionQueries extends QueryFamily {
   def simRecallIvfPq(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val queries = emb.filter(col("vec_id") < 5)
-    Similarity.recallAtK(
+    recallVerdict(Similarity.recallAtK(
       Similarity.ivfPqTopK(emb, queries, "vec_id", "embedding",
         k = 10, nCells = 16, nProbe = 4, m = 8, codebookSize = 16),
-      Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 10))
+      Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 10)))
   }
 
   /** Incremental embedding-space admission: even vec_ids play the
@@ -790,6 +810,13 @@ object ExtensionQueries extends QueryFamily {
        |    FROM $rel)))""".stripMargin
   }
 
+  private val recallOracleSql =
+    """SELECT CAST(vec_id AS BIGINT) AS query_id,
+      |  CAST(10 AS BIGINT) AS k_exact,
+      |  TRUE AS family_recall_positive,
+      |  TRUE AS hits_bounded
+      |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT doc_id, lang, source FROM (
@@ -815,6 +842,13 @@ object ExtensionQueries extends QueryFamily {
          |JOIN sz sb ON sb.doc_id = inter.id_b
          |WHERE i / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.9
          |ORDER BY id_a, id_b""".stripMargin,
+    // bounded-verdict oracles for the ANN recall telemetry: DuckDB
+    // recomputes the exact side (query set, k_exact = 10 — every query
+    // has ≥ 10 non-self corpus neighbors) and the constant-TRUE verdicts
+    "sim_recall_lsh" -> recallOracleSql,
+    "sim_recall_ivf" -> recallOracleSql,
+    "sim_recall_pq" -> recallOracleSql,
+    "sim_recall_ivfpq" -> recallOracleSql,
     // the SQL twin of the interleave is generated from Scale.spreadMasks —
     // same mask cascade, two's-complement 64-bit on both engines
     "layout_zorder" ->

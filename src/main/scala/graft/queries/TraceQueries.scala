@@ -52,9 +52,12 @@ object TraceQueries extends QueryFamily {
           .getField("k").as("k"))
   }
 
-  /** Scale-path variant: no global sort — per-partition clustering only
-    * (row order is partition-dependent, so this is a rows-only check; the
-    * sorted twin trace_export carries the oracle). */
+  /** Scale-path variant: no global sort — per-partition clustering only.
+    * Row order is partition-dependent, so this surface is NOT registered
+    * as a standalone query (it could only ever be a rows-only check);
+    * its values are verified through the order-insensitive digest twin
+    * below, which consumes this exact plan — full operator coverage,
+    * zero avoidable `no_oracle` rows. */
   def traceExportUnordered(spark: SparkSession, dir: String): DataFrame =
     TraceExport.exportUnordered(TraceExport.fromEvents(spark, dir), traceIds, traceT0, traceT1)
 
@@ -76,7 +79,6 @@ object TraceQueries extends QueryFamily {
   val queries: Map[String, QueryFn] = Map(
     "trace_export" -> (traceExport _),
     "trace_export_bounded" -> (traceExportBounded _),
-    "trace_export_unordered" -> (traceExportUnordered _),
     "trace_export_unordered_digest" -> (traceExportUnorderedDigest _),
     "trace_export_empty" -> (traceExportEmpty _),
     "trace_seed_golden" -> (traceSeedGolden _),
