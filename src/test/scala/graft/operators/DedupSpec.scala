@@ -246,6 +246,79 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("minhashPairs equals signature-level brute force on random mutated corpora") {
+    // randomized cross-check of the BANDING + SCORING machinery: a pair
+    // must appear iff (a) some band's lane slice agrees exactly AND
+    // (b) lane-agreement / k >= threshold — recomputed here by brute
+    // force over the collected signatures. Fixed seed => deterministic.
+    import graft.functions.{minhash_text, shingle_hash_set}
+    val rnd = new scala.util.Random(20260813)
+    val vocab = Vector.tabulate(30)(i => s"tok$i")
+    val numHashes = 64; val bands = 16; val rpb = numHashes / bands; val th = 0.5
+    for (trial <- 1 to 2) {
+      val docs: Seq[(Long, String)] = (0 until 15).flatMap { i =>
+        val toks = Seq.fill(8 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size)))
+        val mut = toks.updated(rnd.nextInt(toks.size), vocab(rnd.nextInt(vocab.size)))
+        Seq((i * 2L, toks.mkString(" ")), (i * 2L + 1, mut.mkString(" ")))
+      }
+      val df = docs.toDF("doc_id", "text")
+      val got = Dedup.minhashPairs(df, "text", "doc_id",
+        numHashes, bands, th, maxBucket = 100000)
+        .as[(Long, Long, Double)].collect().toSet
+      val sigs = df.select(col("doc_id"),
+        minhash_text(col("text"), 3, numHashes).as("sig"))
+        .as[(Long, Seq[Long])].collect()
+      val want = (for {
+        (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
+        est = sa.zip(sb).count { case (x, y) => x == y }.toDouble / numHashes
+        if est >= th
+        if (0 until bands).exists(b =>
+          sa.slice(b * rpb, (b + 1) * rpb) == sb.slice(b * rpb, (b + 1) * rpb))
+      } yield (ia, ib, est)).toSet
+      assert(got == want, s"trial $trial: banding/scoring diverged from brute " +
+        s"force — missing=${want -- got} extra=${got -- want}")
+      // every returned estimate tracks TRUE shingle Jaccard (k=64 lanes:
+      // >5 sigma; deterministic under the fixed seed, so never flaky)
+      val shingleSets = df.select(col("doc_id"),
+        shingle_hash_set(col("text"), 3).as("ss"))
+        .as[(Long, Seq[Long])].collect().map { case (id, s) => id -> s.toSet }.toMap
+      got.foreach { case (ia, ib, est) =>
+        val (sa, sb) = (shingleSets(ia), shingleSets(ib))
+        val trueJ = (sa & sb).size.toDouble / (sa | sb).size
+        assert(math.abs(est - trueJ) <= 0.35,
+          s"pair ($ia,$ib): est $est far from true Jaccard $trueJ")
+      }
+    }
+  }
+
+  test("simhashPairs equals all-pairs hamming brute force on random mutated corpora") {
+    // the pigeonhole banding is COMPLETE within maxHamming, so (with the
+    // bucket cap out of the way) the output must EQUAL the brute-force
+    // all-pairs hamming filter over the collected signatures.
+    import graft.functions.simhash_text
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector.tabulate(25)(i => s"word$i")
+    val maxH = 8
+    for (trial <- 1 to 2) {
+      val docs: Seq[(Long, String)] = (0 until 15).flatMap { i =>
+        val toks = Seq.fill(10 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size)))
+        val mut = toks.updated(rnd.nextInt(toks.size), vocab(rnd.nextInt(vocab.size)))
+        Seq((i * 2L, toks.mkString(" ")), (i * 2L + 1, mut.mkString(" ")))
+      }
+      val df = docs.toDF("doc_id", "text")
+      val got = Dedup.simhashPairs(df, "text", "doc_id", maxH, maxBucket = 100000)
+        .as[(Long, Long, Int)].collect().toSet
+      val sigs = df.select(col("doc_id"), simhash_text(col("text")).as("sh"))
+        .as[(Long, Long)].collect()
+      val want = (for {
+        (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
+        h = java.lang.Long.bitCount(sa ^ sb) if h <= maxH
+      } yield (ia, ib, h)).toSet
+      assert(got == want, s"trial $trial: banding diverged from brute force — " +
+        s"missing=${want -- got} extra=${got -- want}")
+    }
+  }
+
   test("jaccardJoin equals brute force on random high-collision corpora") {
     val rnd = new scala.util.Random(20260813)
     val vocab = Vector.tabulate(12)(i => s"w$i") // tiny vocab -> dense overlaps
