@@ -314,6 +314,10 @@ object Multimodal {
     * decoder would emit actual frames). Explodes to one row per frame. */
   def sampleFrames(assets: DataFrame, frameBytes: Int = 64, stride: Int = 4): DataFrame =
     assets.filter(col("modality") === "video")
+      // assets shorter than one frame yield NO frames — without this
+      // guard, sequence(0, -1) silently generates a DESCENDING [0, -1]
+      // index array (Spark sequence semantics) and emits garbage frames
+      .filter(length(col("content")) >= frameBytes)
       .select(col("asset_id"),
         posexplode(expr(
           s"filter(transform(sequence(0, int(length(content) / $frameBytes) - 1), " +

@@ -239,16 +239,28 @@ object AnalyticsQueries extends QueryFamily {
     import spark.implicits._
     val toks = Tables.documents(spark, dir)
       .select(explode(graft.operators.Dedup.tokens(col("text"))).as("token"))
-    val sketchBytes = toks
-      .agg(count_min_sketch(col("token"), lit(0.001d), lit(0.99d), lit(42)).as("s"))
-      .head.getAs[Array[Byte]](0)
+    // ONE pass builds sketch + total (both aggregates over the same
+    // exploded stream; the total parameterizes the CMS error bound)
+    val row = toks
+      .agg(count_min_sketch(col("token"), lit(0.001d), lit(0.99d), lit(42)).as("s"),
+        count(lit(1)).as("n"))
+      .head
+    val (sketchBytes, total) = (row.getAs[Array[Byte]](0), row.getLong(1))
     val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
       new java.io.ByteArrayInputStream(sketchBytes))
+    // bounded-check form: DuckDB recomputes the exact top-20 and the
+    // constant-TRUE verdicts — never-underestimate is the CMS structural
+    // guarantee, the overcount bound is 2×eps×N (eps = 0.001; the 2×
+    // headroom over the w.p.-0.99 single-probe bound keeps the verdict
+    // deterministic-safe). Raw estimates stay spec-covered.
+    val slack = math.max(1L, (0.002 * total).toLong)
     val top = graft.operators.TextAnalysis
       .tokenFrequency(Tables.documents(spark, dir), "text", topN = 20)
       .as[(String, Long)].collect()
-    top.map { case (tok, exact) => (tok, exact, cms.estimateCount(tok)) }
-      .toSeq.toDF("token", "n_exact", "n_est")
+    top.map { case (tok, exact) =>
+      val est = cms.estimateCount(tok)
+      (tok, exact, est >= exact, est <= exact + slack)
+    }.toSeq.toDF("token", "n_exact", "no_underestimate", "within_2eps")
       .orderBy(col("token"))
   }
 
@@ -398,6 +410,17 @@ object AnalyticsQueries extends QueryFamily {
     // bounded-check oracles for the sketch family: the estimate is not
     // SQL-reproducible, but the exact side is, and the within-bound
     // verdict is constant TRUE — so the oracle verifies both
+    "sketch_cms_tokens" ->
+      """SELECT token, n AS n_exact,
+        |  TRUE AS no_underestimate, TRUE AS within_2eps
+        |FROM (
+        |  SELECT token, COUNT(1) AS n FROM (
+        |    SELECT UNNEST(list_filter(
+        |      string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      x -> len(x) > 0)) AS token
+        |    FROM documents)
+        |  GROUP BY token ORDER BY n DESC, token LIMIT 20
+        |) ORDER BY token""".stripMargin,
     "agg_approx_distinct" ->
       """SELECT o_orderstatus, COUNT(1) AS n_orders,
         |  COUNT(DISTINCT o_custkey) AS exact_customers,

@@ -341,10 +341,22 @@ object ExtensionQueries extends QueryFamily {
       TextAnalysis.subwordCount(col("text")).as("subword_tokens"))
       .orderBy(col("doc_id"))
 
-  def textFingerprint(spark: SparkSession, dir: String): DataFrame =
+  /** Fingerprint EQUALITY SEMANTICS, oracled: the 64-bit rolling-hash
+    * value itself is not SQL-expressible, but fingerprint equality ⟺
+    * case/whitespace-normalized-text equality (absent collisions), and
+    * DuckDB can recompute THAT — so the query emits each doc's
+    * fingerprint-group representative and group size instead of the raw
+    * hash. A collision, a dropped normalization step, or
+    * nondeterminism all flip the oracle red; the raw-hash behavior
+    * (collapse on planted dups, avalanche) stays pinned in specs. */
+  def textFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
     TextAnalysis.fingerprint(Tables.documents(spark, dir), "text")
-      .select(col("doc_id"), col("fp"))
+      .select(col("doc_id"),
+        min(col("doc_id")).over(w).as("rep_id"),
+        count(lit(1)).over(w).as("group_n"))
       .orderBy(col("doc_id"))
+  }
 
   // --- multimodal ---
 
@@ -627,11 +639,16 @@ object ExtensionQueries extends QueryFamily {
   // --- sessionization ---
 
   /** Strided frame sampling of video assets (explode to one row/frame). */
+  /** Frame sampling with CONTENT verification: the strided chunking is
+    * pure byte arithmetic, so DuckDB recomputes each frame's md5 from
+    * the source text — the digests verify frame content, not just
+    * counts and lengths. */
   def multimodalFrames(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Multimodal.sampleFrames(
       graft.operators.Multimodal.assetTable(spark, dir), frameBytes = 32, stride = 2)
       .select(col("asset_id"), col("frame_no"),
-        length(col("frame_bytes")).as("frame_len"))
+        length(col("frame_bytes")).as("frame_len"),
+        md5(col("frame_bytes")).as("frame_md5"))
       .orderBy(col("asset_id"), col("frame_no"))
 
   def sessionAssign(spark: SparkSession, dir: String): DataFrame =
@@ -842,6 +859,37 @@ object ExtensionQueries extends QueryFamily {
          |JOIN sz sb ON sb.doc_id = inter.id_b
          |WHERE i / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.9
          |ORDER BY id_a, id_b""".stripMargin,
+    // fingerprint equality ⟺ normalized-text equality: the fixture is
+    // pure ASCII with space-only whitespace (verified), so the
+    // fingerprint's fold (collapse space runs, trim ends, ASCII
+    // lowercase) is exactly this expression
+    "dedup_fingerprint" ->
+      """SELECT doc_id FROM (
+        |  SELECT doc_id, ROW_NUMBER() OVER (
+        |    PARTITION BY TRIM(REGEXP_REPLACE(LOWER(text), ' +', ' ', 'g'))
+        |    ORDER BY doc_id) AS rn
+        |  FROM documents) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        |  MIN(doc_id) OVER (
+        |    PARTITION BY TRIM(REGEXP_REPLACE(LOWER(text), ' +', ' ', 'g'))
+        |  ) AS rep_id,
+        |  CAST(COUNT(1) OVER (
+        |    PARTITION BY TRIM(REGEXP_REPLACE(LOWER(text), ' +', ' ', 'g'))
+        |  ) AS BIGINT) AS group_n
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // strided chunking recomputed byte-for-byte: video assets are the
+    // doc_id % 3 = 2 documents; frames are every 2nd complete 32-byte
+    // chunk, frame_no the position within the kept set
+    "multimodal_frames" ->
+      """WITH f AS (
+        |  SELECT doc_id AS asset_id, text,
+        |    UNNEST(range(0, STRLEN(text) // 32)) AS i
+        |  FROM documents WHERE doc_id % 3 = 2)
+        |SELECT asset_id, CAST(i // 2 AS INT) AS frame_no,
+        |  CAST(32 AS INT) AS frame_len,
+        |  MD5(SUBSTRING(text, CAST(i * 32 + 1 AS INT), 32)) AS frame_md5
+        |FROM f WHERE i % 2 = 0 ORDER BY asset_id, frame_no""".stripMargin,
     // bounded-verdict oracles for the ANN recall telemetry: DuckDB
     // recomputes the exact side (query set, k_exact = 10 — every query
     // has ≥ 10 non-self corpus neighbors) and the constant-TRUE verdicts

@@ -117,6 +117,18 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.forall(r => again(r.getLong(0)) == r.getAs[Array[Byte]]("resized").toSeq))
   }
 
+  test("sampleFrames: assets shorter than one frame yield no frames (no descending-sequence garbage)") {
+    val assets = Seq(
+      (1L, "video", "short".getBytes("UTF-8")),          // 5 bytes < 32
+      (2L, "video", ("x" * 64).getBytes("UTF-8")))       // exactly 2 chunks
+      .toDF("asset_id", "modality", "content")
+    val frames = Multimodal.sampleFrames(assets, frameBytes = 32, stride = 2).collect()
+    assert(frames.forall(_.getLong(0) == 2L),
+      s"short asset emitted frames: ${frames.toSeq}")
+    assert(frames.length == 1) // chunks 0,1 -> keep i=0 only
+    assert(frames.head.getAs[Array[Byte]]("frame_bytes").length == 32)
+  }
+
   test("sampleFrames: strided chunking of video assets only") {
     val assets = Multimodal.assetTable(spark, sfDir)
     val frames = Multimodal.sampleFrames(assets, frameBytes = 32, stride = 2)

@@ -44,16 +44,33 @@ class AnalyticsSpec extends SparkSpec {
   }
 
   test("count-min sketch never underestimates; exact on the fixture's top tokens") {
-    val out = AnalyticsQueries.sketchCmsTokens(spark, sfDir)
-      .as[(String, Long, Long)].collect()
-    assert(out.length == 20)
+    // raw-estimate bounds, checked on a sketch built directly (the query
+    // surface now emits the bounded-check verdict form instead of raw
+    // estimates — asserted below)
+    val toks = graft.sources.Tables.documents(spark, sfDir)
+      .select(explode(graft.operators.Dedup.tokens(col("text"))).as("token"))
+    val bytes = toks
+      .agg(count_min_sketch(col("token"), lit(0.001d), lit(0.99d), lit(42)).as("s"))
+      .head.getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(bytes))
+    val top = graft.operators.TextAnalysis
+      .tokenFrequency(graft.sources.Tables.documents(spark, sfDir), "text", topN = 20)
+      .as[(String, Long)].collect()
+    assert(top.length == 20)
+    val est = top.map { case (t, exact) => (t, exact, cms.estimateCount(t)) }
     // CMS estimates are one-sided: est >= exact always
-    assert(out.forall { case (_, exact, est) => est >= exact },
-      s"CMS underestimated: ${out.filter(t => t._3 < t._2).toSeq}")
+    assert(est.forall { case (_, exact, e) => e >= exact },
+      s"CMS underestimated: ${est.filter(t => t._3 < t._2).toSeq}")
     // at eps=0.001 over the small fixture stream, collisions are ~absent:
     // the top tokens should estimate exactly
-    assert(out.count { case (_, exact, est) => est == exact } >= 18,
-      s"too many collisions: ${out.toSeq}")
+    assert(est.count { case (_, exact, e) => e == exact } >= 18,
+      s"too many collisions: ${est.toSeq}")
+    // and the query surface's verdicts are all green
+    val verdicts = AnalyticsQueries.sketchCmsTokens(spark, sfDir)
+      .as[(String, Long, Boolean, Boolean)].collect()
+    assert(verdicts.length == 20 && verdicts.forall(v => v._3 && v._4),
+      s"CMS verdicts not all true: ${verdicts.filterNot(v => v._3 && v._4).toSeq}")
   }
 
   test("percentile_approx at high accuracy returns exact discrete quantiles") {
