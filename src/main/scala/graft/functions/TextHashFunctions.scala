@@ -196,6 +196,32 @@ object TextHash extends Serializable {
     n
   }
 
+  /** [[sortedIntersectSize]] with a Jaccard-threshold early exit: returns
+    * the EXACT intersection size when J(a,b) can still reach `tau`,
+    * or −1 as soon as the best-achievable intersection
+    * (matched + min(remaining)) proves J < tau. For a verification stage
+    * that discards sub-threshold pairs the result is equivalent, but a
+    * failing pair exits after ~(1−τ/(1+τ))·min(len) mismatches instead
+    * of walking both arrays — at τ = 0.9 that is ~5% of the walk, and
+    * failing pairs dominate candidate sets by construction. Float
+    * safety: the exit comparison `best < τ·(union_lower_bound)` can
+    * never fire on a pair with true J ≥ τ — a correctly-rounded double
+    * product cannot round across the representable integer `best`. */
+  def sortedIntersectGe(a: ArrayData, b: ArrayData, tau: Double): Int = {
+    var i = 0; var j = 0; var n = 0
+    val na = a.numElements(); val nb = b.numElements()
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { n += 1; i += 1; j += 1 }
+      else {
+        if (x < y) i += 1 else j += 1
+        val best = n + math.min(na - i, nb - j)
+        if (best.toDouble < tau * (na + nb - best).toDouble) return -1
+      }
+    }
+    n
+  }
+
   /** Number of positions i where a(i) == b(i) — minhash signature lane
     * agreement. The estimated-Jaccard hot kernel: runs up to maxBucket²
     * times per LSH bucket, so it must stay inside whole-stage codegen
@@ -333,6 +359,24 @@ case class SortedIntersectSize(left: Expression, right: Expression)
     defineCodeGen(ctx, ev, (a, b) => s"graft.functions.TextHash.sortedIntersectSize($a, $b)")
   override def prettyName: String = "sorted_intersect_size"
   override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedIntersectSize =
+    copy(left = l, right = r)
+}
+
+/** sorted_intersect_ge(a, b, tau): exact intersection size, or −1 via
+  * threshold early exit once J < tau is proven (verification hot path). */
+case class SortedIntersectGe(left: Expression, right: Expression, tau: Double)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with ImplicitCastInputTypes {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[org.apache.spark.sql.graftbridge.CatalystBridge.AbstractType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = IntegerType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextHash.sortedIntersectGe(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], tau)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.TextHash.sortedIntersectGe($a, $b, $tau)")
+  override def prettyName: String = "sorted_intersect_ge"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedIntersectGe =
     copy(left = l, right = r)
 }
 

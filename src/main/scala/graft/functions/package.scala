@@ -91,6 +91,11 @@ package object functions {
   def sorted_intersect_size(a: Column, b: Column): Column =
     col(SortedIntersectSize(expr(a), expr(b)))
 
+  /** |a ∩ b| with Jaccard-threshold early exit: exact size when
+    * J(a, b) ≥ tau is still reachable, −1 once it provably is not. */
+  def sorted_intersect_ge(a: Column, b: Column, tau: Double): Column =
+    col(SortedIntersectGe(expr(a), expr(b), tau))
+
   /** count of positions where two array<long> columns agree (minhash
     * signature lane matches — codegen'd, unlike a zip_with/filter HOF). */
   def lane_match_count(a: Column, b: Column): Column =

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.functions.{doc_fingerprint, lane_match_count, minhash_text, shingle_hash_set, simhash_text, sorted_intersect_size}
+import graft.functions.{doc_fingerprint, lane_match_count, minhash_text, shingle_hash_set, simhash_text, sorted_intersect_ge, sorted_intersect_size}
 
 /**
  * Deduplication operators for document corpora (SURVEY §2.3; the
@@ -440,19 +440,65 @@ object Dedup {
       .withColumn("__rn", row_number().over(byRarity))
       .filter(lit(threshold) * col("len") <=
         (col("len") - col("__rn") + 1).cast("double"))
-      .select(col("id"), col("len"), col("th")))
-    val cand = pref.as("a").join(pref.as("b"), "th")
-      .filter(col("a.id") < col("b.id"))
-      .filter(least(col("a.len"), col("b.len")).cast("double") >=
-        lit(threshold) * greatest(col("a.len"), col("b.len")))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .dropDuplicates("id_a", "id_b")
+      .select(col("id"), col("len"), col("th"), col("__rn")))
+    // ASYMMETRIC prefixes (PPJoin's indexing prefix, Xiao et al. WWW'08
+    // §5): for a qualifying pair with |y| ≤ |x|, the required overlap is
+    // α ≥ ⌈2τ/(1+τ)·|y|⌉, so the SHORTER doc only needs its first
+    // |y| − ⌈2τ/(1+τ)·|y|⌉ + 1 tokens indexed (the probe side keeps the
+    // full τ-prefix). At τ = 0.9 that index prefix is ~0.05·len vs the
+    // 0.1·len probe prefix — measured 8.76M → 6.28M collision rows on
+    // the sf0.1 documents corpus (the fixture's tiny vocabulary keeps
+    // "rare" tokens common; natural corpora prune far more — see the
+    // cost-honesty note above). nextDown keeps the computed multiplier ≤
+    // the real 2τ/(1+τ), so division rounding can only LENGTHEN the
+    // index prefix (completeness; same argument as the ceil-free form).
+    val beta = Math.nextDown(2 * threshold / (1 + threshold))
+    val prefIdx = pref.filter(lit(beta) * col("len") <=
+      (col("len") - col("__rn") + 1).cast("double"))
+    // One collision row per shared (probe-prefix × index-prefix) token;
+    // reduce to one row per pair carrying the FIRST (globally smallest)
+    // shared token's positions — the order is total and consistent
+    // across docs, so min(rn_a)/min(rn_b) name the SAME token, nothing
+    // is shared before the first shared token, and any earlier shared
+    // token would itself be a collision row (both positions strictly
+    // smaller → still inside both prefixes). That yields PPJoin's
+    // positional bound: overlap ≤ ubound = 1 + min(len−pos) over both
+    // sides; J ≥ τ needs overlap ≥ τ/(1+τ)·(len_a+len_b), i.e. keep iff
+    // ubound ≥ τ·(len_a + len_b − ubound) — ceil-free like the prefix
+    // condition (float error can only ADMIT extras, which verify
+    // discards). The length filter stays FIRST: it needs no
+    // aggregation, so it prunes collision rows map-side before the pair
+    // exchange (moving it after the groupBy measured 3× the CPU).
+    val ubound = lit(1) +
+      least(col("len_a") - col("__pa"), col("len_b") - col("__pb"))
+    val cand = pref.as("a").join(prefIdx.as("b"), "th")
+      // the b side is the SHORTER doc (id-tiebreak on equal length), so
+      // each unordered pair joins in exactly one orientation
+      .filter(col("b.len") < col("a.len") ||
+        (col("b.len") === col("a.len") && col("b.id") < col("a.id")))
+      .filter(col("b.len").cast("double") >=
+        lit(threshold) * col("a.len"))
+      .select(least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"),
+        col("a.len").as("len_a"), col("b.len").as("len_b"),
+        col("a.__rn").as("__ra"), col("b.__rn").as("__rb"))
+      .groupBy(col("id_a"), col("id_b"), col("len_a"), col("len_b"))
+      .agg(min(col("__ra")).as("__pa"), min(col("__rb")).as("__pb"))
+      .filter(ubound.cast("double") >=
+        lit(threshold) * (col("len_a") + col("len_b") - ubound).cast("double"))
+      .select(col("id_a"), col("id_b"))
     cand
       .join(base.select(col("id").as("id_a"), col("ts").as("__sa"),
         col("len").as("__la")), Seq("id_a"))
       .join(base.select(col("id").as("id_b"), col("ts").as("__sb"),
         col("len").as("__lb")), Seq("id_b"))
-      .withColumn("__i", sorted_intersect_size(col("__sa"), col("__sb")))
+      // threshold-bounded merge walk: a failing pair exits after ~5% of
+      // the walk at τ = 0.9 instead of scanning both token sets, and
+      // failing pairs dominate the candidate set by construction; −1
+      // rows drop here, surviving counts are exact so the jaccard
+      // filter below stays the precise contract
+      .withColumn("__i", sorted_intersect_ge(col("__sa"), col("__sb"), threshold))
+      .filter(col("__i") >= 0)
       .withColumn("jaccard",
         col("__i") / (col("__la") + col("__lb") - col("__i")).cast("double"))
       .filter(col("jaccard") >= threshold)
