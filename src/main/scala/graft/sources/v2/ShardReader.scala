@@ -1,0 +1,65 @@
+package graft.sources.v2
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/**
+ * Manifest-aware reader for [[ShardSink]] directories — the consumer
+ * half of the sink's atomicity contract. The sink's scaladoc says
+ * "readers that require atomicity read the manifest"; this IS that
+ * reader: only shards published in `_MANIFEST` become input splits, so
+ *
+ *  - orphan shards from a job that crashed between renames are
+ *    invisible (never double-read, never half-read),
+ *  - staging directories of in-flight jobs are invisible,
+ *  - a concurrent append publishes atomically: its shards appear only
+ *    once its merged manifest lands.
+ *
+ * A plain `spark.read.json(dir)` sees whatever files exist — correct
+ * only when nothing ever failed; this reader is the one to use from
+ * pipelines that re-run on flaky infrastructure. The manifest also
+ * carries per-shard row counts, so corruption surfaces as a count
+ * mismatch ([[manifestRowCount]] vs an actual count) without trusting
+ * the data files themselves.
+ */
+object ShardReader {
+
+  private def manifestEntries(
+      spark: SparkSession, path: String): Seq[(String, Long)] = {
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val mfPath = new Path(dir, "_MANIFEST")
+    require(fs.exists(mfPath),
+      s"no _MANIFEST under $path — nothing has been committed there")
+    val in = fs.open(mfPath)
+    val text = try {
+      new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+        StandardCharsets.UTF_8)
+    } finally in.close()
+    text.linesIterator.filter(_.nonEmpty).map { line =>
+      val tab = line.indexOf('\t')
+      require(tab > 0, s"malformed manifest line in $mfPath: $line")
+      (line.substring(0, tab), line.substring(tab + 1).toLong)
+    }.toSeq
+  }
+
+  /** Read exactly the manifested shards under `path` with the given
+    * schema (JSONL shards carry no embedded schema; the writer's schema
+    * is the contract, same as any warehouse table). */
+  def read(spark: SparkSession, path: String, schema: StructType): DataFrame = {
+    val files = manifestEntries(spark, path)
+      .map { case (name, _) => new Path(new Path(path), name).toString }
+    if (files.isEmpty) {
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    } else spark.read.schema(schema).json(files: _*)
+  }
+
+  /** Total row count the manifest promises — compare with an actual
+    * count to detect shard corruption without trusting the shards. */
+  def manifestRowCount(spark: SparkSession, path: String): Long =
+    manifestEntries(spark, path).map(_._2).sum
+}

@@ -2,6 +2,8 @@ package graft.sources
 
 import org.apache.spark.sql.functions._
 
+import graft.sources.v2.ShardReader
+
 import graft.SparkSpec
 
 class ShardSinkSpec extends SparkSpec {
@@ -65,6 +67,41 @@ class ShardSinkSpec extends SparkSpec {
     assert(manifest.values.sum == 3L)
     val manifested = manifest.keys.map(n => s"$dir/$n").toSeq
     assert(spark.read.json(manifested: _*).count() == 3L)
+  }
+
+  test("ShardReader sees ONLY manifested shards: orphans and staging leftovers are invisible") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-shard-read").toString
+    def write(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").repartition(1)
+        .write.format("graft.sources.v2.ShardSink")
+        .option("path", dir).mode("append").save()
+    write(Seq((1L, "alpha"), (2L, "beta")))
+    write(Seq((3L, "gamma")))
+    // simulate a job that crashed between renames: an orphan shard that
+    // exists on disk but was never published in the manifest...
+    java.nio.file.Files.writeString(
+      java.nio.file.Path.of(dir, "part-99999-deadbeef.jsonl"),
+      "{\"doc_id\":666,\"text\":\"orphan\"}\n")
+    // ...and an in-flight job's staging leftovers
+    val staging = java.nio.file.Path.of(dir, "_staging-crashed")
+    java.nio.file.Files.createDirectory(staging)
+    java.nio.file.Files.writeString(staging.resolve("part-00000-ffff.jsonl"),
+      "{\"doc_id\":777,\"text\":\"staged\"}\n")
+
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val got = ShardReader.read(spark, dir, schema)
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(got == Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")),
+      s"reader leaked unpublished shards: $got")
+    assert(ShardReader.manifestRowCount(spark, dir) == 3L)
+    // a naive directory read WOULD see the orphan — that's the contrast
+    // this reader exists for
+    val naive = spark.read.schema(schema).json(dir).count()
+    assert(naive == 4L, s"fixture broken: naive read saw $naive rows")
   }
 
   test("V2 shard sink: unsupported nested schema is rejected at plan time") {
