@@ -192,14 +192,28 @@ object PipelineQueries extends QueryFamily {
       .orderBy(col("rank"))
 
   /** Train-then-apply BPE: per-doc token counts under the 10 trained
-    * merges — the real-tokenizer budget pass (rows-only: BPE encode has
-    * no SQL twin; BpeSpec pins hand-computed encodings). */
+    * merges — the real-tokenizer budget pass. BPE encode has no SQL
+    * twin, so the oracled projection is the bounded-check form: merges
+    * never cross word boundaries and every word is at least one token,
+    * so n_words ≤ n_bpe ≤ n_chars — DuckDB recomputes both bounds
+    * exactly and the verdict is constant TRUE. The raw count stays
+    * available via `Bpe.encodeTokenCounts`; BpeSpec pins hand-computed
+    * encodings. */
   def bpeTokenCount(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val merges = graft.operators.Bpe.trainMerges(docs, "text", numMerges = 10)
       .orderBy(col("rank")).collect()
       .map(r => (r.getString(1), r.getString(2))).toSeq
+    val toks = graft.operators.Dedup.tokens(col("text"))
+    val bounds = docs.select(col("doc_id"),
+      size(toks).cast("long").as("n_words"),
+      coalesce(aggregate(transform(toks, t => length(t).cast("long")),
+        lit(0L), (acc, x) => acc + x), lit(0L)).as("n_chars"))
     graft.operators.Bpe.encodeTokenCounts(docs, "doc_id", "text", merges)
+      .join(bounds, "doc_id")
+      .select(col("doc_id"), col("n_words"), col("n_chars"),
+        (col("n_bpe_tokens") >= col("n_words") &&
+          col("n_bpe_tokens") <= col("n_chars")).as("bpe_in_bounds"))
       .orderBy(col("doc_id"))
   }
 
@@ -507,6 +521,18 @@ object PipelineQueries extends QueryFamily {
     "text_normalize" ->
       """SELECT doc_id,
         |  MD5(TRIM(REGEXP_REPLACE(LOWER(text), '[^a-z0-9]+', ' ', 'g'))) AS norm_digest
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // bounded-check: BPE merges never cross word boundaries and every
+    // word is >= 1 token, so n_words <= n_bpe <= n_chars; DuckDB
+    // recomputes both bounds, the verdict is constant TRUE
+    "bpe_token_count" ->
+      """SELECT doc_id,
+        |  CAST(LEN(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |    x -> len(x) > 0)) AS BIGINT) AS n_words,
+        |  CAST(COALESCE(LIST_SUM(LIST_TRANSFORM(
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      x -> len(x) > 0), x -> LEN(x))), 0) AS BIGINT) AS n_chars,
+        |  TRUE AS bpe_in_bounds
         |FROM documents ORDER BY doc_id""".stripMargin,
     "corpus_token_hist" ->
       """WITH t AS (
