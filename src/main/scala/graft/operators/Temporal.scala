@@ -180,8 +180,15 @@ object Temporal {
     def cellOf(c: org.apache.spark.sql.Column) =
       floor(unix_micros(c.cast("timestamp")) / cellUs)
 
-    val i = intervals.withColumn("__cell",
-      explode(sequence(cellOf(col(startCol)), cellOf(col(endCol)))))
+    // malformed intervals (end < start) match nothing by definition —
+    // and must be dropped BEFORE the explode: Spark's sequence(a, b)
+    // with b < a generates a DESCENDING range, so a single corrupt
+    // interval spanning "now → epoch" would otherwise explode into
+    // millions of wrong-cell rows (the ts-bounds filter below keeps the
+    // RESULT correct either way; this guard keeps the COST bounded)
+    val i = intervals.filter(col(endCol) >= col(startCol))
+      .withColumn("__cell",
+        explode(sequence(cellOf(col(startCol)), cellOf(col(endCol)))))
     val p = points.withColumn("__cell", cellOf(col(tsCol)))
     i.join(p, Seq("__cell"))
       .filter(col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol))

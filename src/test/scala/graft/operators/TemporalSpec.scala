@@ -133,7 +133,11 @@ class TemporalSpec extends SparkSpec {
     val intervals = Seq(
       (10L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:20:00")), // spans 3 cells at 600s
       (20L, ts("2024-01-01 10:05:00"), ts("2024-01-01 10:06:00")),
-      (30L, ts("2024-01-02 00:00:00"), ts("2024-01-02 00:01:00")) // no points
+      (30L, ts("2024-01-02 00:00:00"), ts("2024-01-02 00:01:00")), // no points
+      // malformed (end < start): matches nothing, and must be dropped
+      // BEFORE the cell explode — sequence() would otherwise generate a
+      // 4-year DESCENDING cell range from this one row
+      (40L, ts("2024-01-01 10:00:00"), ts("2020-01-01 10:00:00"))
     ).toDF("interval_id", "s", "e")
     val points = Seq(
       (1L, ts("2024-01-01 10:00:00")), // == start boundary
