@@ -34,10 +34,16 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
  *  - the driver's job-level `commit` MOVES every reported file into the
  *    target directory and then writes a `_MANIFEST` (file → row count)
  *    MERGED with the manifest of any prior append job to the same
- *    directory — readers that require atomicity read the manifest, so
- *    a crash between renames exposes at worst unreferenced files, never
- *    a half-written or double-counted shard, and a second append never
- *    un-publishes the first job's shards;
+ *    directory — readers that require atomicity read the manifest
+ *    ([[ShardReader]] is that reader), so a crash between renames
+ *    exposes at worst unreferenced files, never a half-written or
+ *    double-counted shard, and a second append never un-publishes the
+ *    first job's shards. SEQUENTIAL appends only: two jobs committing
+ *    to the same directory at the same instant race on the
+ *    read-merge-write of the manifest (last writer wins) — same
+ *    single-writer-per-table discipline as every file-format committer
+ *    without a locking catalog; serialize appends or write to separate
+ *    directories and union manifests at read time;
  *  - job-level `abort` deletes the staging directory wholesale.
  *
  * Supported row schema: primitive columns only (string / integral /
