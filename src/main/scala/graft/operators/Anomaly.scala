@@ -47,8 +47,10 @@ object Anomaly {
       windowRows: Int = 50,
       k: Int = 3,
       minObs: Int = 20): DataFrame = {
-    require(windowRows >= 2 && minObs >= 2 && minObs <= windowRows,
-      s"need 2 <= minObs ($minObs) <= windowRows ($windowRows)")
+    require(windowRows >= 2 && windowRows <= 1000 &&
+        minObs >= 2 && minObs <= windowRows,
+      s"need 2 <= minObs ($minObs) <= windowRows ($windowRows) <= 1000 " +
+        "(the n term of the BIGINT overflow envelope below)")
     require(k >= 1 && k <= 3,
       s"k must be in [1, 3] (k² must keep k²·(n·Q − S²) within BIGINT " +
         s"under the cents ≤ 1e6, window ≤ 1e3 operating envelope): $k")

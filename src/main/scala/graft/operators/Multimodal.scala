@@ -116,7 +116,11 @@ object Multimodal {
           val iis = javax.imageio.ImageIO.createImageInputStream(
             new java.io.ByteArrayInputStream(bytes))
           val readers = javax.imageio.ImageIO.getImageReaders(iis)
-          require(readers.hasNext, s"asset $id: no ImageReader matches content")
+          if (!readers.hasNext) {
+            iis.close() // the try/finally below is not yet entered
+            throw new IllegalArgumentException(
+              s"asset $id: no ImageReader matches content")
+          }
           val reader = readers.next()
           try {
             reader.setInput(iis)

@@ -285,6 +285,36 @@ object AnalyticsQueries extends QueryFamily {
           col("exact_customers") * 0.05).as("within_5pct"))
   }
 
+  /** Sketch-only Bench twins of the three oracled sketch queries. The
+    * registered (Verify) forms carry an exact `countDistinct` purely so
+    * DuckDB can check the error bound — but timing those forms measures
+    * the exact-distinct exchange the sketch path exists to avoid, so
+    * bench deltas for the family would track the wrong plan. Bench
+    * substitutes these under the same names (`Bench.benchOverrides`);
+    * Verify keeps the bounded-check forms. */
+  def aggApproxDistinctBench(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(approx_count_distinct(col("o_custkey"), 0.02).as("approx_customers"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderstatus"))
+
+  def aggHllSketchBench(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(hll_sketch_agg(col("o_custkey"), lit(14)).as("sk"))
+      .select(col("o_orderstatus"),
+        hll_sketch_estimate(col("sk")).as("approx_customers"))
+      .orderBy(col("o_orderstatus"))
+
+  def aggHllUnionBench(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(hll_sketch_agg(col("o_custkey"), lit(14)).as("sk"))
+      .agg(
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("merged_customers"),
+        count(lit(1)).as("n_sketches"))
+
   /** Custom TypedImperativeAggregate: per-customer top-3 order values via
     * a k-bounded min-heap buffer — partial aggregation ships ≤3 doubles
     * per (customer, partition) where the window-rank pattern shuffles and

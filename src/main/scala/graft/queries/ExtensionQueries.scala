@@ -638,7 +638,6 @@ object ExtensionQueries extends QueryFamily {
 
   // --- sessionization ---
 
-  /** Strided frame sampling of video assets (explode to one row/frame). */
   /** Frame sampling with CONTENT verification: the strided chunking is
     * pure byte arithmetic, so DuckDB recomputes each frame's md5 from
     * the source text — the digests verify frame content, not just

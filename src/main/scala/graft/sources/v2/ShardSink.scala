@@ -199,7 +199,13 @@ private[v2] class ShardBatchWrite(
     messages.foreach { case ShardCommit(staged, rows) =>
       val src = new Path(staged)
       val dst = new Path(target, src.getName)
-      if (!f.rename(src, dst))
+      // A retried commit (or one resumed after a crash between the
+      // renames and the manifest write) finds src already moved: rename
+      // then returns false with dst present and src gone. That state IS
+      // the rename's postcondition — treat it as success so the retry
+      // reaches the manifest write and restores reader visibility,
+      // which is what makes the idempotency claim above actually hold.
+      if (!f.rename(src, dst) && !(f.exists(dst) && !f.exists(src)))
         throw new java.io.IOException(s"commit rename failed: $src -> $dst")
       if (!existing.contains(src.getName))
         manifest.append(s"${src.getName}\t$rows\n")

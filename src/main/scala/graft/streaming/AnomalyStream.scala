@@ -47,8 +47,10 @@ object AnomalyStream extends Serializable {
       minObs: Int = 20): Dataset[AnomalyFlag] = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
-    require(windowRows >= 2 && minObs >= 2 && minObs <= windowRows,
-      s"need 2 <= minObs ($minObs) <= windowRows ($windowRows)")
+    require(windowRows >= 2 && windowRows <= 1000 &&
+        minObs >= 2 && minObs <= windowRows,
+      s"need 2 <= minObs ($minObs) <= windowRows ($windowRows) <= 1000 " +
+        "(the n term of the batch operator's BIGINT overflow envelope)")
     require(k >= 1 && k <= 3,
       s"k must be in [1, 3] (same BIGINT overflow envelope as the batch " +
         s"operator): $k")
