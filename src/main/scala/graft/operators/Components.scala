@@ -187,6 +187,71 @@ object Components {
   }
 
   /**
+   * Fixed-point PageRank over an undirected edge list — the canonical-
+   * document SCORER for duplicate clusters. [[connectedComponents]] says
+   * which docs are interchangeable; PageRank on the same edge list says
+   * which copy the most near-duplicate evidence points at, so "keep the
+   * most central copy" can replace "keep the arbitrary min-id copy" as
+   * the representative-selection rule (the center of a dup cluster is
+   * typically the version the others were derived from).
+   *
+   * Arithmetic is fixed-point parts-per-billion LONGS with a FIXED
+   * iteration count, not doubles to convergence: long sums commute, so
+   * every round is order-independent exact integer arithmetic that an
+   * unrolled SQL oracle replays bit-for-bit (a double contribution sum
+   * would depend on partial-aggregation order and could never
+   * hash-match). Damping 0.85 is the exact rational 17/20; every
+   * division is a floor division (`DIV` here, `//` in the oracle).
+   * Overflow: each score is ≤ the total mass 1e9, a node's contribution
+   * sum is ≤ 1e9, and 17 × 1e9 ≪ 2⁶³.
+   *
+   * Per round: ONE hash join of the (degree-annotated, materialized-
+   * once) symmetric edge list with the previous round's scores on the
+   * 8-byte neighbour key, then one groupBy-sum on the node key — the
+   * same shuffle shape as a label-propagation round. Rounds carry no
+   * action: each is flattened ([[connectedComponents]]' plan-growth
+   * rationale) and only the edge list and the final scores persist,
+   * [[graft.CacheScope]]-scoped so the caller's first action computes
+   * the chain exactly once.
+   *
+   * @param edges two-column DataFrame (`src`, `dst`), undirected
+   * @return (`id`, `pr`) — score in parts per billion, one row per
+   *         node appearing in at least one edge
+   */
+  def pageRank(edges: DataFrame, iterations: Int = 5): DataFrame = {
+    require(iterations >= 1 && iterations <= 50,
+      s"iterations must be in [1, 50]: $iterations")
+    def flat(df: DataFrame): DataFrame =
+      org.apache.spark.sql.graftbridge.CatalystBridge.flattenPlan(df)
+    val sym = edges
+      .select(col("src").as("id"), col("dst").as("nbr"))
+      .union(edges.select(col("dst").as("id"), col("src").as("nbr")))
+    val deg = sym.groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    // neighbour degree rides on the edge so rounds pay ONE join, not two
+    val symd = graft.CacheScope.scoped(flat(sym.join(
+      deg.select(col("id").as("nbr"), col("deg").as("__nd")), "nbr")))
+    val n = symd.select(col("id")).distinct().count()
+    require(n > 0, "pageRank needs at least one edge")
+    val teleport = 150000000L / n // (1 − d)/n in ppb, floored
+    var pr = symd.select(col("id")).distinct()
+      .withColumn("pr", lit(1000000000L / n))
+    var i = 0
+    while (i < iterations) {
+      // mass flowing over each edge = floor(pr(nbr) / deg(nbr)); every
+      // node of the symmetric list has ≥ 1 neighbour, so the inner join
+      // + groupBy covers the full node set
+      pr = flat(symd
+        .join(pr.select(col("id").as("nbr"), col("pr").as("__np")), "nbr")
+        .groupBy(col("id"))
+        .agg(sum(expr("__np DIV __nd")).as("__s"))
+        .select(col("id"),
+          (lit(teleport) + expr("(17 * __s) DIV 20")).as("pr")))
+      i += 1
+    }
+    graft.CacheScope.scoped(pr)
+  }
+
+  /**
    * Per-cluster diagnostics over a labeling and its edge list: node
    * count, edge count, and pair density `2·E / (N·(N−1))` — the "is this
    * duplicate cluster a tight clique or a hub-chained artifact?" triage

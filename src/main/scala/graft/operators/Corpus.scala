@@ -40,6 +40,43 @@ object Corpus {
   }
 
   /**
+   * Leakage-safe train/val split: the unit of assignment is the
+   * DUPLICATE CLUSTER, not the document. [[trainValSplit]] hashes each
+   * doc independently, so two near-duplicate docs can land on opposite
+   * sides of the split — the classic eval-leakage bug (the val set then
+   * "tests" documents the model effectively trained on). Here every doc
+   * is first resolved to its cluster representative via
+   * [[Components.connectedComponents]] over the caller's near-dup edge
+   * list, and the md5 split decision hashes the REPRESENTATIVE's id —
+   * so a whole cluster moves together by construction. Docs with no
+   * edge are their own singleton cluster.
+   *
+   * Scale shape: the CC iteration (O(log diameter) rounds of 8-byte-key
+   * joins) plus ONE left join of docs against labels; the split decision
+   * itself is a scalar md5 — no extra exchange.
+   *
+   * @param edges near-duplicate pairs (`src`, `dst`) over `idCol` values
+   */
+  def leakageSafeSplit(
+      df: DataFrame,
+      edges: DataFrame,
+      idCol: String,
+      valSixteenths: Int = 2,
+      splitCol: String = "split"): DataFrame = {
+    require(valSixteenths >= 0 && valSixteenths <= 16,
+      s"valSixteenths must be in [0, 16]: $valSixteenths")
+    val valDigits = (0 until valSixteenths).map(i => f"$i%x")
+    val comps = Components.connectedComponents(edges)
+    df.join(comps, df(idCol) === comps("id"), "left")
+      .drop("id")
+      .withColumn("component", coalesce(col("component"), col(idCol)))
+      .withColumn(splitCol,
+        when(substring(md5(col("component").cast("string")), 1, 1)
+          .isin(valDigits: _*), lit("val"))
+          .otherwise(lit("train")))
+  }
+
+  /**
    * Reproducible corpus shuffle: global order by md5(seed # id) — the
    * "shuffle the corpus before sharding" step, identical on every run and
    * cluster size (a `rand()` sort is neither). One range exchange (the

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -116,5 +116,59 @@ object Profile {
         lit(buckets.toLong) * (col("__cum") - col("__cnt")) <
           col("bucket") * col("__total"))
       .select(col("bucket"), col("v").as("boundary"))
+  }
+
+  /**
+   * Pipeline attrition waterfall: given an ORDERED list of named filter
+   * stages, report per stage how many rows entered, were rejected, and
+   * survived — the "where did my corpus go" accounting every cleaning
+   * pipeline owes its operators (a stage that silently eats 40% of a
+   * source is a bug report, not a filter). Stages short-circuit like
+   * the real pipeline: a row is charged to the FIRST stage whose
+   * predicate it fails and never evaluated by later ones, so the
+   * waterfall telescopes exactly (`n_out(i)` = `n_in(i+1)`).
+   *
+   * Scale shape: ONE scan of the input computes every row's
+   * first-failing stage (a single codegen'd CASE chain — adding stages
+   * adds no passes), then one tiny aggregate (≤ stages+1 groups). The
+   * per-stage cumulative arithmetic runs on that stage-sized frame; the
+   * unpartitioned window is over `|stages|` rows, not data. The grouped
+   * counts are [[graft.CacheScope]]-scoped because both the per-stage
+   * join and the total consume them — one scan, not two.
+   *
+   * @param stages (name, predicate) in pipeline order; a row passes a
+   *               stage when the predicate is true
+   * @return (`stage_no`, `stage`, `n_in`, `n_rejected`, `n_out`)
+   */
+  def attrition(df: DataFrame, stages: Seq[(String, Column)]): DataFrame = {
+    require(stages.nonEmpty, "attrition needs at least one stage")
+    val spark = df.sparkSession
+    import spark.implicits._
+    // first failing stage index; NULL = survived the whole pipeline
+    val firstFail = stages.zipWithIndex.foldRight(lit(null).cast("int")) {
+      case (((_, pred), i), rest) => when(!pred, lit(i)).otherwise(rest)
+    }
+    val counts = graft.CacheScope.scoped(
+      df.select(firstFail.as("__ff")).groupBy(col("__ff"))
+        .agg(count(lit(1)).as("__rej")))
+    val total = counts.agg(sum(col("__rej")).as("__total"))
+    val stageDim = stages.zipWithIndex
+      .map { case ((name, _), i) => (i.toLong, name) }
+      .toDF("stage_no", "stage")
+    val before = org.apache.spark.sql.expressions.Window
+      .orderBy(col("stage_no"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    stageDim
+      .join(counts, col("stage_no") === col("__ff"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("stage_no"), col("stage"),
+        coalesce(col("__rej"), lit(0L)).as("n_rejected"), col("__total"))
+      .withColumn("__cum_before",
+        coalesce(sum(col("n_rejected")).over(before), lit(0L)))
+      .select(col("stage_no"), col("stage"),
+        (col("__total") - col("__cum_before")).as("n_in"),
+        col("n_rejected"),
+        (col("__total") - col("__cum_before") - col("n_rejected")).as("n_out"))
+      .orderBy(col("stage_no"))
   }
 }

@@ -327,6 +327,48 @@ object PipelineQueries extends QueryFamily {
       .orderBy(col("doc_id"))
   }
 
+  /** PageRank canonical scoring over the same chain-edge duplicate
+    * graph as the CC queries: 5 fixed rounds of integer (ppb-long)
+    * power iteration, oracled by unrolling the identical arithmetic in
+    * SQL round by round. Chain interiors outscore endpoints — the
+    * "most central copy" a dedup keep-rule prefers over min-id. */
+  def dedupPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"))
+    Components.pageRank(chainEdges(docs), iterations = 5)
+      .select(col("id").as("doc_id"), col("pr").as("pr_ppb"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Leakage-safe split: the split decision hashes the duplicate-
+    * cluster REPRESENTATIVE (CC over the chain edges), never the doc
+    * itself, so a near-dup cluster always lands whole on one side —
+    * the eval-leakage guard `corpus_split`'s per-doc hash lacks.
+    * Oracle: the chain closure gives component = group min; the md5
+    * split rule is ANSI. */
+  def splitLeakageSafe(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"))
+    graft.operators.Corpus.leakageSafeSplit(
+      docs, chainEdges(docs), "doc_id", valSixteenths = 2)
+      .select(col("doc_id"), col("component"), col("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Attrition waterfall of a 4-stage quality pipeline: per stage, rows
+    * entered / rejected / survived, charged to the FIRST failing stage
+    * (so the waterfall telescopes). Predicates are integer-exact — the
+    * mean-word-length rule is the 5·words ≤ chars cross-multiplication
+    * — so the whole report hash-matches its oracle. */
+  def pipelineAttrition(spark: SparkSession, dir: String): DataFrame = {
+    val nw = size(graft.operators.Dedup.tokens(col("text"))).cast("long")
+    graft.operators.Profile.attrition(Tables.documents(spark, dir), Seq(
+      "min_chars" -> (col("n_chars") >= 100),
+      "max_chars" -> (col("n_chars") <= 450),
+      "min_words" -> (nw >= 30),
+      "mean_word_len" -> (lit(5) * nw <= col("n_chars"))))
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "sample_stratified" -> (sampleStratified _),
     "mix_rebalance" -> (mixRebalance _),
@@ -357,7 +399,10 @@ object PipelineQueries extends QueryFamily {
     "corpus_diff" -> (corpusDiff _),
     "dedup_groups_cc" -> (dedupGroupsCc _),
     "dedup_groups_cc_stars" -> (dedupGroupsCcStars _),
-    "dedup_cluster_stats" -> (dedupClusterStats _))
+    "dedup_cluster_stats" -> (dedupClusterStats _),
+    "dedup_pagerank" -> (dedupPagerank _),
+    "split_leakage_safe" -> (splitLeakageSafe _),
+    "pipeline_attrition" -> (pipelineAttrition _))
 
   /** Tokens-with-position CTE shared by the n-gram oracles — the zipped
     * double-unnest mirrors Spark's posexplode positions 1-based. */
@@ -661,5 +706,57 @@ object PipelineQueries extends QueryFamily {
         |    (2.0 * CAST(n_nodes - 1 AS DOUBLE)) /
         |    (CAST(n_nodes AS DOUBLE) * CAST(n_nodes - 1 AS DOUBLE))
         |  ELSE NULL END AS density
-        |FROM g ORDER BY component""".stripMargin)
+        |FROM g ORDER BY component""".stripMargin,
+    // the operator's integer power iteration, unrolled round by round
+    // (`//` = DuckDB floor division = Spark's DIV on positive longs)
+    "dedup_pagerank" -> {
+      val base =
+        """WITH chain AS (
+          |  SELECT prev AS src, doc_id AS dst FROM (
+          |    SELECT doc_id, LAG(doc_id) OVER (PARTITION BY lang, source ORDER BY doc_id) AS prev
+          |    FROM documents) WHERE prev IS NOT NULL),
+          |sym AS (SELECT src AS id, dst AS nbr FROM chain
+          |        UNION ALL SELECT dst AS id, src AS nbr FROM chain),
+          |deg AS (SELECT id, COUNT(*) AS deg FROM sym GROUP BY id),
+          |n AS (SELECT COUNT(*) AS c FROM deg),
+          |pr0 AS (SELECT id, 1000000000 // (SELECT c FROM n) AS pr FROM deg)""".stripMargin
+      val rounds = (1 to 5).map { i =>
+        s"""pr$i AS (SELECT s.id, 150000000 // (SELECT c FROM n) + (17 * SUM(p.pr // d.deg)) // 20 AS pr
+           |  FROM sym s JOIN pr${i - 1} p ON p.id = s.nbr JOIN deg d ON d.id = s.nbr
+           |  GROUP BY s.id)""".stripMargin
+      }
+      (base +: rounds).mkString(",\n") +
+        "\nSELECT id AS doc_id, CAST(pr AS BIGINT) AS pr_ppb FROM pr5 ORDER BY doc_id"
+    },
+    "split_leakage_safe" ->
+      """SELECT doc_id, component,
+        |  CASE WHEN SUBSTR(MD5(CAST(component AS VARCHAR)), 1, 1) IN ('0', '1')
+        |    THEN 'val' ELSE 'train' END AS split
+        |FROM (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY lang, source) AS component
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "pipeline_attrition" ->
+      s"""WITH t AS (SELECT n_chars,
+         |    CAST(LEN($tokensSqlP) AS BIGINT) AS nw
+         |  FROM documents),
+         |f AS (SELECT CASE
+         |    WHEN NOT (n_chars >= 100) THEN 0
+         |    WHEN NOT (n_chars <= 450) THEN 1
+         |    WHEN NOT (nw >= 30) THEN 2
+         |    WHEN NOT (5 * nw <= n_chars) THEN 3 END AS ff FROM t),
+         |c AS (SELECT ff, COUNT(*) AS rej FROM f GROUP BY ff),
+         |tot AS (SELECT COUNT(*) AS total FROM f),
+         |s(stage_no, stage) AS (VALUES (0, 'min_chars'), (1, 'max_chars'),
+         |  (2, 'min_words'), (3, 'mean_word_len')),
+         |j AS (SELECT s.stage_no, s.stage, COALESCE(c.rej, 0) AS n_rejected
+         |  FROM s LEFT JOIN c ON c.ff = s.stage_no)
+         |SELECT CAST(stage_no AS BIGINT) AS stage_no, stage,
+         |  CAST((SELECT total FROM tot)
+         |    - COALESCE(SUM(n_rejected) OVER (ORDER BY stage_no
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_in,
+         |  CAST(n_rejected AS BIGINT) AS n_rejected,
+         |  CAST((SELECT total FROM tot)
+         |    - SUM(n_rejected) OVER (ORDER BY stage_no
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_out
+         |FROM j ORDER BY stage_no""".stripMargin)
 }

@@ -97,4 +97,49 @@ class ComponentsSpec extends SparkSpec {
       (10L, 3L, 2L, Some(2.0 / 3.0)),
       (20L, 1L, 0L, None)))
   }
+
+  // --- pageRank ---
+
+  private def pr(edges: Seq[(Long, Long)], iters: Int = 5): Map[Long, Long] =
+    Components.pageRank(edges.toDF("src", "dst"), iters)
+      .as[(Long, Long)].collect().toMap
+
+  /** Reference integer PageRank — same ppb/floor/17-20 arithmetic as the
+    * operator, computed sequentially, so equality is exact. */
+  private def prReference(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val sym = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+    val nbrs = sym.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val n = nbrs.size
+    val teleport = 150000000L / n
+    var scores = nbrs.keys.map(_ -> 1000000000L / n).toMap
+    for (_ <- 1 to iters) {
+      scores = nbrs.map { case (id, ns) =>
+        val s = ns.map(nb => scores(nb) / nbrs(nb).size).sum
+        id -> (teleport + (17L * s) / 20L)
+      }
+    }
+    scores
+  }
+
+  test("pageRank: on a cycle every node is a fixed point of the exact arithmetic") {
+    // deg = 2 everywhere and 1e9/4 is even, so each round reproduces the
+    // uniform score exactly: teleport + 17/20 of the full return flow
+    val got = pr(Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L)))
+    assert(got.values.toSet.size == 1, s"cycle symmetry broken: $got")
+    assert(got(0L) == 250000000L, s"uniform fixed point drifted: ${got(0L)}")
+  }
+
+  test("pageRank: chain interiors outscore endpoints (canonical-pick order)") {
+    val got = pr(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)))
+    assert(got(1L) == got(5L) && got(2L) == got(4L), s"mirror symmetry broken: $got")
+    assert(got(3L) > got(1L), s"interior must outscore endpoint: $got")
+  }
+
+  test("pageRank: exactly matches the sequential integer reference on a random graph") {
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.tabulate(40) { _ =>
+      (rnd.nextInt(25).toLong, rnd.nextInt(25).toLong)
+    }.filter { case (a, b) => a != b }.distinct
+    assert(pr(edges) == prReference(edges, 5))
+  }
 }

@@ -184,4 +184,41 @@ class CorpusSpec extends SparkSpec {
       df.collect().map(_.getString(1).length.toLong).sum)
     assert(out.getAs[Long]("rows_out") == 2L)
   }
+
+  test("leakageSafeSplit: a whole near-dup cluster lands on one side") {
+    import org.apache.spark.sql.functions.{col, md5, substring}
+    // 40 docs; edges chain them into clusters of 4 ⇒ 10 clusters
+    val docs = (0L until 40L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val edges = (0L until 40L).filter(_ % 4 != 0)
+      .map(i => (i - 1, i)).toDF("src", "dst")
+    val got = Corpus.leakageSafeSplit(docs, edges, "doc_id", valSixteenths = 8)
+      .select("doc_id", "component", "split")
+      .as[(Long, Long, String)].collect().toSeq.sortBy(_._1)
+    // every member carries its cluster min as component and the SAME split
+    got.groupBy(_._2).foreach { case (comp, members) =>
+      assert(members.map(_._1).min == comp)
+      assert(members.map(_._3).distinct.size == 1,
+        s"cluster $comp straddles the split: $members")
+      assert(members.size == 4)
+    }
+    // the split rule is the documented md5-of-representative hash — and
+    // with 8/16 val-sixteenths both sides must actually occur here
+    val expected = docs.sparkSession.range(0, 40, 4)
+      .select(col("id"),
+        substring(md5(col("id").cast("string")), 1, 1).as("h"))
+      .as[(Long, String)].collect().toMap
+    got.foreach { case (_, comp, split) =>
+      val digit = Integer.parseInt(expected(comp), 16)
+      assert((digit < 8) == (split == "val"), s"hash rule diverged at $comp")
+    }
+    assert(got.map(_._3).distinct.size == 2, "fixture should hit both splits")
+  }
+
+  test("leakageSafeSplit: docs without an edge split as their own singleton cluster") {
+    val docs = Seq((1L, "a"), (2L, "b"), (9L, "lonely")).toDF("doc_id", "text")
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    val got = Corpus.leakageSafeSplit(docs, edges, "doc_id")
+      .select("doc_id", "component").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 9L -> 9L))
+  }
 }

@@ -67,4 +67,35 @@ class ProfileSpec extends SparkSpec {
       .orderBy("bucket").as[(Int, Long)].collect()
     assert(s.map(_._2).toSeq == Seq(7L, 7L, 7L))
   }
+
+  test("attrition: telescoping waterfall, first-fail charging, total conservation") {
+    import org.apache.spark.sql.functions.col
+    // values chosen so some rows fail MULTIPLE stages — they must be
+    // charged only to the first
+    val df = Seq(1, 5, 10, 15, 20, 25, 30, 35).map(Tuple1(_)).toDF("v")
+    val got = Profile.attrition(df, Seq(
+      "ge10" -> (col("v") >= 10), // rejects 1, 5
+      "le30" -> (col("v") <= 30), // rejects 35 (not 1, 5 — already gone)
+      "even" -> (col("v") % 2 === 0) // rejects 15, 25
+    )).as[(Long, String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (0L, "ge10", 8L, 2L, 6L),
+      (1L, "le30", 6L, 1L, 5L),
+      (2L, "even", 5L, 2L, 3L)))
+    // structural invariants any stage list must satisfy
+    got.sliding(2).foreach { case Seq(a, b) =>
+      assert(a._5 == b._3, s"waterfall must telescope: $got")
+    }
+    assert(got.head._3 == 8L && got.map(_._4).sum + got.last._5 == 8L)
+  }
+
+  test("attrition: a stage rejecting nothing still appears with zero counts") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(2, 4, 6).map(Tuple1(_)).toDF("v")
+    val got = Profile.attrition(df, Seq(
+      "pos" -> (col("v") > 0),
+      "even" -> (col("v") % 2 === 0)
+    )).as[(Long, String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((0L, "pos", 3L, 0L, 3L), (1L, "even", 3L, 0L, 3L)))
+  }
 }
