@@ -201,6 +201,47 @@ object Multimodal {
     }(enc)
   }
 
+  /** REAL image feature extraction: decoded-pixel grayscale histogram
+    * (red-channel intensity, 256/`bins`-wide buckets) — the classic
+    * color-histogram image feature, computed from actual
+    * `javax.imageio`-decoded pixels in the per-partition batch contract.
+    * Counts are integers, so the feature vector is exact: on the
+    * solid-gray PNG fixture every pixel of asset `id` lands in bin
+    * `(id % 256) / 16` and the histogram is one-hot with count w·h —
+    * ground truth a SQL oracle recomputes from `doc_id` arithmetic
+    * alone. [[featuresStub]] remains only for the codec-less
+    * audio/video modalities. */
+  def imageHistogramFeatures(assets: DataFrame, bins: Int = 16): DataFrame = {
+    require(bins >= 2 && 256 % bins == 0, s"bins must divide 256: $bins")
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("features", ArrayType(LongType, containsNull = false),
+        nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val bucket = 256 / bins
+    assets.filter(col("modality") === "image")
+      .select("asset_id", "content").mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { r =>
+          val id = r.getLong(0)
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+          require(img != null, s"asset $id: undecodable image bytes")
+          val hist = new Array[Long](bins)
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              hist(((img.getRGB(x, y) >>> 16) & 0xff) / bucket) += 1
+              x += 1
+            }
+            y += 1
+          }
+          Row(id, hist.toSeq)
+        }
+      }(enc)
+  }
+
   /** STUB feature extraction: binary → fixed-dim float vector. Real
     * version = vision/audio encoder per partition-batch; stub = seeded
     * hash-derived unit-scale floats (deterministic, shape-correct). */

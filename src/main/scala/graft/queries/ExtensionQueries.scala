@@ -407,6 +407,15 @@ object ExtensionQueries extends QueryFamily {
         col("format"), col("mean_px"))
       .orderBy(col("asset_id"))
 
+  /** REAL image features — grayscale histogram over decoded pixels; on
+    * the solid-gray fixture the oracle recomputes the exact one-hot
+    * histogram (bin = gray/16, count = w·h) from doc_id arithmetic. */
+  def multimodalFeaturesImage(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Multimodal.imageHistogramFeatures(
+      graft.operators.Multimodal.imageAssetTable(spark, dir))
+      .select(col("asset_id"), col("features"))
+      .orderBy(col("asset_id"))
+
   /** The composed pretraining-corpus pipeline — the end-to-end story the
     * individual operators serve: exact dedup (min-id keeper) → quality
     * gates (length, punctuation, stopword presence) → language filter →
@@ -738,6 +747,7 @@ object ExtensionQueries extends QueryFamily {
     "multimodal_neardup" -> (multimodalNearDup _),
     "multimodal_features" -> (multimodalFeatures _),
     "multimodal_decode" -> (multimodalDecode _),
+    "multimodal_features_image" -> (multimodalFeaturesImage _),
     "multimodal_frames" -> (multimodalFrames _),
     "pipeline_corpus" -> (pipelineCorpus _),
     "pipeline_corpus_v2" -> (pipelineCorpusV2 _),
@@ -1032,6 +1042,15 @@ object ExtensionQueries extends QueryFamily {
         |  CAST(doc_id % 7 + 1 AS INT) AS height,
         |  'png' AS format,
         |  CAST(doc_id % 256 AS INT) AS mean_px
+        |FROM documents ORDER BY asset_id""".stripMargin,
+    // solid-gray w×h fixture ⇒ the decoded-pixel histogram is one-hot:
+    // all w·h pixels in bin (gray DIV 16)
+    "multimodal_features_image" ->
+      """SELECT doc_id AS asset_id,
+        |  list_transform(range(0, 16), x ->
+        |    CAST(CASE WHEN x = (doc_id % 256) // 16
+        |      THEN (doc_id % 13 + 1) * (doc_id % 7 + 1)
+        |      ELSE 0 END AS BIGINT)) AS features
         |FROM documents ORDER BY asset_id""".stripMargin,
     "pipeline_corpus" -> {
       val langs = graft.operators.TextAnalysis.langMarkers.toSeq.sortBy(_._1)

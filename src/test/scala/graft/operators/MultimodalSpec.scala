@@ -129,6 +129,27 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.head.getAs[Array[Byte]]("frame_bytes").length == 32)
   }
 
+  test("imageHistogramFeatures: multi-bin histogram from really-decoded pixels") {
+    // the fixture oracle only ever sees one-hot histograms (solid-gray
+    // images) — this image spreads pixels across three known bins, so a
+    // decode that faked the histogram from byte stats cannot pass
+    val img = new java.awt.image.BufferedImage(
+      3, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val grays = Seq(0, 10, 100, 100, 200, 255) // bins 0,0,6,6,12,15
+    grays.zipWithIndex.foreach { case (g, i) =>
+      img.setRGB(i % 3, i / 3, (g << 16) | (g << 8) | g)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val assets = Seq((7L, "image", bos.toByteArray), (8L, "audio", Array[Byte](1)))
+      .toDF("asset_id", "modality", "content")
+    val got = Multimodal.imageHistogramFeatures(assets)
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(got.keySet == Set(7L), s"non-image modality leaked: ${got.keySet}")
+    val expected = Seq.tabulate(16)(b => grays.count(_ / 16 == b).toLong)
+    assert(got(7L) == expected, s"histogram diverged: ${got(7L)} vs $expected")
+  }
+
   test("sampleFrames: strided chunking of video assets only") {
     val assets = Multimodal.assetTable(spark, sfDir)
     val frames = Multimodal.sampleFrames(assets, frameBytes = 32, stride = 2)

@@ -190,4 +190,25 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"),
       s"withCell must serve the index from the training-time cache:\n$p")
   }
+
+  test("pipeline_attrition reads the corpus exactly once (CASE chain + scoped count cache)") {
+    // first-fail charging is one codegen'd CASE over one scan; the tiny
+    // per-stage count frame is CacheScope-scoped so the stage join and
+    // the total consume the SAME aggregate — a second parquet scan here
+    // means the multi-consumer branch silently unfused
+    val p = plan("pipeline_attrition")
+    assert("\\(\\d+\\) Scan parquet".r.findAllIn(p).size == 1,
+      s"expected exactly 1 corpus scan:\n$p")
+  }
+
+  test("dedup_pagerank rounds never rescan the table (edge list materialized once)") {
+    // the degree-annotated symmetric edge list is flattened + cached
+    // before the loop; each of the 5 rounds joins THAT, so the final
+    // plan is rooted in RDD scans and touches parquet zero times — a
+    // parquet scan surfacing here means a round re-derived the edges
+    // (and at 100 TB would re-run the chain-edge window per iteration)
+    val p = plan("dedup_pagerank")
+    assert(!p.contains("Scan parquet"), s"round plan re-reads the table:\n$p")
+    assert(p.contains("Scan ExistingRDD"), s"expected flattened-RDD root:\n$p")
+  }
 }
