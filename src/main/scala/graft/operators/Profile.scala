@@ -142,18 +142,32 @@ object Profile {
    */
   def attrition(df: DataFrame, stages: Seq[(String, Column)]): DataFrame = {
     require(stages.nonEmpty, "attrition needs at least one stage")
-    val spark = df.sparkSession
-    import spark.implicits._
-    // first failing stage index; NULL = survived the whole pipeline
-    val firstFail = stages.zipWithIndex.foldRight(lit(null).cast("int")) {
+    val counts = graft.CacheScope.scoped(
+      df.select(firstFailStage(stages).as("__ff")).groupBy(col("__ff"))
+        .agg(count(lit(1)).as("__rej")))
+    waterfall(counts, stages.map(_._1))
+  }
+
+  /** First-failing-stage index (NULL = survives every stage) — ONE
+    * codegen'd CASE chain, shared verbatim by [[attrition]] and its
+    * streaming twin [[graft.streaming.AttritionStream]] so the two can
+    * never drift on charging semantics. */
+  def firstFailStage(stages: Seq[(String, Column)]): Column =
+    stages.zipWithIndex.foldRight(lit(null).cast("int")) {
       case (((_, pred), i), rest) => when(!pred, lit(i)).otherwise(rest)
     }
-    val counts = graft.CacheScope.scoped(
-      df.select(firstFail.as("__ff")).groupBy(col("__ff"))
-        .agg(count(lit(1)).as("__rej")))
+
+  /** Waterfall presentation over per-stage rejection counts
+    * (`__ff`, `__rej`). Counts are associative, so the same finisher
+    * serves the one-shot batch report and any cumulative snapshot the
+    * streaming twin emits — feeding it counts accumulated over n
+    * micro-batches yields exactly the batch report over their union. */
+  def waterfall(counts: DataFrame, stageNames: Seq[String]): DataFrame = {
+    val spark = counts.sparkSession
+    import spark.implicits._
     val total = counts.agg(sum(col("__rej")).as("__total"))
-    val stageDim = stages.zipWithIndex
-      .map { case ((name, _), i) => (i.toLong, name) }
+    val stageDim = stageNames.zipWithIndex
+      .map { case (name, i) => (i.toLong, name) }
       .toDF("stage_no", "stage")
     val before = org.apache.spark.sql.expressions.Window
       .orderBy(col("stage_no"))
