@@ -187,6 +187,42 @@ object Components {
   }
 
   /**
+   * INCREMENTAL connected components: fold a batch of NEW edges into an
+   * existing labeling without re-running CC over the historical edge
+   * list — the daily-increment form of duplicate clustering (at 100 TB
+   * the full near-dup graph is not something to re-traverse because one
+   * day of documents arrived). The standing labeling is equivalent to a
+   * forest of STARS (every node points at its component min), so the
+   * history collapses to |V| star edges regardless of how many raw
+   * near-dup pairs produced it, and the merge is CC over
+   * (star edges ∪ new edges) — a graph whose historical part has
+   * diameter 2, so label propagation converges in O(log new-diameter)
+   * rounds dominated by the increment, not the corpus.
+   *
+   * Output contract matches [[connectedComponents]] except labels are
+   * min over the UNION graph: nodes from the old labeling keep or lower
+   * their component, never raise it; brand-new nodes appear with their
+   * component. ComponentsSpec pins equality with a from-scratch CC over
+   * (all old raw edges ∪ new edges) — the recompute the increment path
+   * exists to avoid.
+   *
+   * @param labels existing (`id`, `component`) labeling
+   * @param newEdges incremental (`src`, `dst`) near-dup pairs; may
+   *                 reference old nodes, new nodes, or both
+   */
+  def incrementalCc(labels: DataFrame, newEdges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val starEdges = labels
+      .filter(col("id") =!= col("component"))
+      .select(col("component").as("src"), col("id").as("dst"))
+    // singleton components (id = component, no star edge) must survive
+    // the union-graph CC, which only returns nodes appearing in edges
+    val all = connectedComponents(starEdges.union(newEdges), maxIter)
+    val singletons = labels.select(col("id"), col("component"))
+      .join(all.select(col("id")), Seq("id"), "left_anti")
+    all.union(singletons)
+  }
+
+  /**
    * Fixed-point PageRank over an undirected edge list — the canonical-
    * document SCORER for duplicate clusters. [[connectedComponents]] says
    * which docs are interchangeable; PageRank on the same edge list says

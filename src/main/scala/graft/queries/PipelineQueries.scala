@@ -327,6 +327,27 @@ object PipelineQueries extends QueryFamily {
       .orderBy(col("doc_id"))
   }
 
+  /** Incremental duplicate clustering: yesterday's corpus is the EVEN
+    * docs, already CC-labeled; today's near-dup pass produces chain
+    * edges over ALL docs. `incrementalCc` folds the new edges into the
+    * star-collapsed old labeling instead of re-running CC over the
+    * historical graph. Closure oracle: component = group min over the
+    * union graph; only odd docs in size-1 groups (never labeled, never
+    * in an edge) are absent. */
+  def dedupCcIncrement(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"))
+    val base = docs.filter(col("doc_id") % 2 === 0)
+    val baseComps = Components.connectedComponents(chainEdges(base))
+    val baseLabels = base
+      .join(baseComps, base("doc_id") === baseComps("id"), "left")
+      .select(col("doc_id").as("id"),
+        coalesce(col("component"), col("doc_id")).as("component"))
+    Components.incrementalCc(baseLabels, chainEdges(docs))
+      .select(col("id").as("doc_id"), col("component"))
+      .orderBy(col("doc_id"))
+  }
+
   /** PageRank canonical scoring over the same chain-edge duplicate
     * graph as the CC queries: 5 fixed rounds of integer (ppb-long)
     * power iteration, oracled by unrolling the identical arithmetic in
@@ -401,6 +422,7 @@ object PipelineQueries extends QueryFamily {
     "dedup_groups_cc_stars" -> (dedupGroupsCcStars _),
     "dedup_cluster_stats" -> (dedupClusterStats _),
     "dedup_pagerank" -> (dedupPagerank _),
+    "dedup_cc_increment" -> (dedupCcIncrement _),
     "split_leakage_safe" -> (splitLeakageSafe _),
     "pipeline_attrition" -> (pipelineAttrition _))
 
@@ -728,6 +750,13 @@ object PipelineQueries extends QueryFamily {
       (base +: rounds).mkString(",\n") +
         "\nSELECT id AS doc_id, CAST(pr AS BIGINT) AS pr_ppb FROM pr5 ORDER BY doc_id"
     },
+    "dedup_cc_increment" ->
+      """SELECT doc_id, MIN(doc_id) OVER (PARTITION BY lang, source) AS component
+        |FROM (SELECT doc_id, lang, source,
+        |        COUNT(*) OVER (PARTITION BY lang, source) AS n
+        |      FROM documents)
+        |WHERE NOT (n = 1 AND doc_id % 2 = 1)
+        |ORDER BY doc_id""".stripMargin,
     "split_leakage_safe" ->
       """SELECT doc_id, component,
         |  CASE WHEN SUBSTR(MD5(CAST(component AS VARCHAR)), 1, 1) IN ('0', '1')

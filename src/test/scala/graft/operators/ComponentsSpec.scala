@@ -98,6 +98,41 @@ class ComponentsSpec extends SparkSpec {
       (20L, 1L, 0L, None)))
   }
 
+  // --- incrementalCc ---
+
+  test("incrementalCc equals from-scratch CC over old+new edges (random graphs)") {
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 3) {
+      val oldEdges = Seq.tabulate(15) { _ =>
+        (rnd.nextInt(20).toLong, rnd.nextInt(20).toLong)
+      }.filter { case (a, b) => a != b }.distinct
+      val newEdges = Seq.tabulate(10) { _ =>
+        // overlaps old nodes AND introduces brand-new ones (20-29)
+        (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong)
+      }.filter { case (a, b) => a != b }.distinct
+      // standing labeling: CC over old edges + every old-corpus node
+      // not in any edge as its own singleton
+      val baseNodes = (0L until 20L)
+      val ccOld = cc(oldEdges)
+      val labels = baseNodes.map(n => (n, ccOld.getOrElse(n, n))).toDF("id", "component")
+      val got = Components.incrementalCc(labels, newEdges.toDF("src", "dst"))
+        .as[(Long, Long)].collect().toMap
+      // expectation: full recompute over the union graph, plus old
+      // singletons untouched by any edge
+      val ccFull = cc(oldEdges ++ newEdges)
+      val expected = ccFull ++
+        baseNodes.filterNot(ccFull.contains).map(n => n -> n).toMap
+      assert(got == expected, s"trial $trial diverged: $got vs $expected")
+    }
+  }
+
+  test("incrementalCc: a new edge bridging two old components lowers, never raises, labels") {
+    val labels = Seq((1L, 1L), (2L, 1L), (10L, 10L), (11L, 10L)).toDF("id", "component")
+    val got = Components.incrementalCc(labels, Seq((2L, 11L)).toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 10L -> 1L, 11L -> 1L))
+  }
+
   // --- pageRank ---
 
   private def pr(edges: Seq[(Long, Long)], iters: Int = 5): Map[Long, Long] =
