@@ -30,13 +30,19 @@ object Corpus {
       df: DataFrame,
       textCol: String,
       valSixteenths: Int = 2,
-      splitCol: String = "split"): DataFrame = {
+      splitCol: String = "split"): DataFrame =
+    df.withColumn(splitCol, splitByMd5(col(textCol), valSixteenths))
+
+  /** The ONE md5 val-sixteenths bucketing rule — first hex digit of
+    * md5(key) against the first `valSixteenths` digits — shared by the
+    * per-doc and per-cluster split operators so the two can never drift
+    * on bucket semantics. */
+  private def splitByMd5(key: Column, valSixteenths: Int): Column = {
     require(valSixteenths >= 0 && valSixteenths <= 16,
       s"valSixteenths must be in [0, 16]: $valSixteenths")
     val valDigits = (0 until valSixteenths).map(i => f"$i%x")
-    df.withColumn(splitCol,
-      when(substring(md5(col(textCol)), 1, 1).isin(valDigits: _*), lit("val"))
-        .otherwise(lit("train")))
+    when(substring(md5(key), 1, 1).isin(valDigits: _*), lit("val"))
+      .otherwise(lit("train"))
   }
 
   /**
@@ -63,17 +69,16 @@ object Corpus {
       idCol: String,
       valSixteenths: Int = 2,
       splitCol: String = "split"): DataFrame = {
-    require(valSixteenths >= 0 && valSixteenths <= 16,
-      s"valSixteenths must be in [0, 16]: $valSixteenths")
-    val valDigits = (0 until valSixteenths).map(i => f"$i%x")
+    // CC columns under reserved names BEFORE the join: a bare
+    // drop("id")/col("component") would capture (or collide with) the
+    // caller's own columns of those names
     val comps = Components.connectedComponents(edges)
-    df.join(comps, df(idCol) === comps("id"), "left")
-      .drop("id")
-      .withColumn("component", coalesce(col("component"), col(idCol)))
+      .select(col("id").as("__cc_id"), col("component").as("__cc_comp"))
+    df.join(comps, df(idCol) === comps("__cc_id"), "left")
+      .withColumn("component", coalesce(col("__cc_comp"), col(idCol)))
+      .drop("__cc_id", "__cc_comp")
       .withColumn(splitCol,
-        when(substring(md5(col("component").cast("string")), 1, 1)
-          .isin(valDigits: _*), lit("val"))
-          .otherwise(lit("train")))
+        splitByMd5(col("component").cast("string"), valSixteenths))
   }
 
   /**

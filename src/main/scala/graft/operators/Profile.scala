@@ -151,10 +151,14 @@ object Profile {
   /** First-failing-stage index (NULL = survives every stage) — ONE
     * codegen'd CASE chain, shared verbatim by [[attrition]] and its
     * streaming twin [[graft.streaming.AttritionStream]] so the two can
-    * never drift on charging semantics. */
+    * never drift on charging semantics. A NULL predicate charges the
+    * row to that stage: `df.filter(pred)` keeps only TRUE rows, so a
+    * row the real pipeline would drop on NULL (e.g. a schema-drift
+    * null-filled column) must not be reported as a survivor. */
   def firstFailStage(stages: Seq[(String, Column)]): Column =
     stages.zipWithIndex.foldRight(lit(null).cast("int")) {
-      case (((_, pred), i), rest) => when(!pred, lit(i)).otherwise(rest)
+      case (((_, pred), i), rest) =>
+        when(!coalesce(pred, lit(false)), lit(i)).otherwise(rest)
     }
 
   /** Waterfall presentation over per-stage rejection counts
@@ -165,7 +169,9 @@ object Profile {
   def waterfall(counts: DataFrame, stageNames: Seq[String]): DataFrame = {
     val spark = counts.sparkSession
     import spark.implicits._
-    val total = counts.agg(sum(col("__rej")).as("__total"))
+    // coalesce: an EMPTY input (or a snapshot before the first
+    // micro-batch) must report zeros, not a NULL-total waterfall
+    val total = counts.agg(coalesce(sum(col("__rej")), lit(0L)).as("__total"))
     val stageDim = stageNames.zipWithIndex
       .map { case (name, i) => (i.toLong, name) }
       .toDF("stage_no", "stage")

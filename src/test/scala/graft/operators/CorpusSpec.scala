@@ -221,4 +221,19 @@ class CorpusSpec extends SparkSpec {
       .select("doc_id", "component").as[(Long, Long)].collect().toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 9L -> 9L))
   }
+
+  test("leakageSafeSplit: caller columns named 'id' survive, and idCol = 'id' works") {
+    // a bare drop("id") after the CC join would delete the caller's own
+    // 'id' column (and break entirely when the key column IS 'id')
+    val docs = Seq((1L, "payload-1"), (2L, "payload-2"), (9L, "payload-9"))
+      .toDF("id", "text")
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    val out = Corpus.leakageSafeSplit(docs, edges, "id")
+    assert(out.columns.toSeq == Seq("id", "text", "component", "split"),
+      s"caller schema mangled: ${out.columns.toSeq}")
+    val got = out.select("id", "component", "text")
+      .as[(Long, Long, String)].collect().toSeq.sortBy(_._1)
+    assert(got == Seq((1L, 1L, "payload-1"), (2L, 1L, "payload-2"),
+      (9L, 9L, "payload-9")))
+  }
 }

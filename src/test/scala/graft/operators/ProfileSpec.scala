@@ -89,6 +89,28 @@ class ProfileSpec extends SparkSpec {
     assert(got.head._3 == 8L && got.map(_._4).sum + got.last._5 == 8L)
   }
 
+  test("attrition: NULL predicates charge the row like the filter pipeline drops it") {
+    import org.apache.spark.sql.functions.col
+    // filter(v >= 10) DROPS a NULL row — attrition must charge it to
+    // that stage, not report it as surviving every stage
+    val df = Seq(Some(5), None, Some(20)).map(Tuple1(_)).toDF("v")
+    val got = Profile.attrition(df, Seq("ge10" -> (col("v") >= 10)))
+      .as[(Long, String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((0L, "ge10", 3L, 2L, 1L)),
+      s"NULL row escaped its stage: $got")
+    assert(got.head._5 == df.filter(col("v") >= 10).count(),
+      "n_out must equal the real pipeline's surviving rows")
+  }
+
+  test("attrition: empty input reports a zero waterfall, not NULLs") {
+    import org.apache.spark.sql.functions.col
+    val empty = Seq.empty[Int].map(Tuple1(_)).toDF("v")
+    val got = Profile.attrition(empty, Seq(
+      "pos" -> (col("v") > 0), "even" -> (col("v") % 2 === 0)))
+      .as[(Long, String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((0L, "pos", 0L, 0L, 0L), (1L, "even", 0L, 0L, 0L)))
+  }
+
   test("attrition: a stage rejecting nothing still appears with zero counts") {
     import org.apache.spark.sql.functions.col
     val df = Seq(2, 4, 6).map(Tuple1(_)).toDF("v")
