@@ -348,6 +348,20 @@ object PipelineQueries extends QueryFamily {
       .orderBy(col("doc_id"))
   }
 
+  /** Deequ-style constraint gate over the documents drop: three row
+    * rules (text/metadata integrity, lang vocabulary, min length) plus
+    * two uniqueness constraints — doc_id passes, source intentionally
+    * fails (20 sources over the whole corpus), so the report shows both
+    * verdict polarities. One scan, one aggregate. */
+  def qualityConstraints(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.checkConstraints(
+      Tables.documents(spark, dir),
+      rowRules = Seq(
+        "chars_match_text" -> (col("n_chars") === length(col("text"))),
+        "lang_known" -> col("lang").isin("en", "de", "fr", "es", "zh"),
+        "min_chars_100" -> (col("n_chars") >= 100)),
+      uniqueKeys = Seq("doc_id", "source"))
+
   /** PageRank canonical scoring over the same chain-edge duplicate
     * graph as the CC queries: 5 fixed rounds of integer (ppb-long)
     * power iteration, oracled by unrolling the identical arithmetic in
@@ -424,7 +438,8 @@ object PipelineQueries extends QueryFamily {
     "dedup_pagerank" -> (dedupPagerank _),
     "dedup_cc_increment" -> (dedupCcIncrement _),
     "split_leakage_safe" -> (splitLeakageSafe _),
-    "pipeline_attrition" -> (pipelineAttrition _))
+    "pipeline_attrition" -> (pipelineAttrition _),
+    "quality_constraints" -> (qualityConstraints _))
 
   /** Tokens-with-position CTE shared by the n-gram oracles — the zipped
     * double-unnest mirrors Spark's posexplode positions 1-based. */
@@ -764,6 +779,25 @@ object PipelineQueries extends QueryFamily {
         |FROM (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY lang, source) AS component
         |      FROM documents)
         |ORDER BY doc_id""".stripMargin,
+    // COALESCE(pred, FALSE) mirrors the operator's NULL-means-violation
+    // rule (no NULLs in the fixture, but the SQL stays in lockstep)
+    "quality_constraints" ->
+      """WITH a AS (SELECT COUNT(*) AS total,
+        |  SUM(CASE WHEN NOT COALESCE(n_chars = LENGTH(text), FALSE) THEN 1 ELSE 0 END) AS v0,
+        |  SUM(CASE WHEN NOT COALESCE(lang IN ('en','de','fr','es','zh'), FALSE) THEN 1 ELSE 0 END) AS v1,
+        |  SUM(CASE WHEN NOT COALESCE(n_chars >= 100, FALSE) THEN 1 ELSE 0 END) AS v2,
+        |  COUNT(DISTINCT doc_id) AS u0,
+        |  COUNT(DISTINCT source) AS u1
+        |  FROM documents)
+        |SELECT constraint_name, CAST(n_violations AS BIGINT) AS n_violations,
+        |  n_violations = 0 AS passed
+        |FROM (
+        |  SELECT 'chars_match_text' AS constraint_name, v0 AS n_violations FROM a
+        |  UNION ALL SELECT 'lang_known', v1 FROM a
+        |  UNION ALL SELECT 'min_chars_100', v2 FROM a
+        |  UNION ALL SELECT 'unique:doc_id', total - u0 FROM a
+        |  UNION ALL SELECT 'unique:source', total - u1 FROM a)
+        |ORDER BY constraint_name""".stripMargin,
     "pipeline_attrition" ->
       s"""WITH t AS (SELECT n_chars,
          |    CAST(LEN($tokensSqlP) AS BIGINT) AS nw

@@ -89,6 +89,32 @@ class ProfileSpec extends SparkSpec {
     assert(got.head._3 == 8L && got.map(_._4).sum + got.last._5 == 8L)
   }
 
+  test("checkConstraints: parallel rule verdicts, NULL = violation, uniqueness both ways") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (1L, Some(10), "a"),
+      (2L, Some(-1), "a"), // fails positive — and 'a' duplicates
+      (3L, None, "b")      // NULL rule evaluation = violation
+    ).toDF("id", "v", "k")
+    val got = Profile.checkConstraints(df,
+      rowRules = Seq("v_positive" -> (col("v") > 0)),
+      uniqueKeys = Seq("id", "k"))
+      .as[(String, Long, Boolean)].collect().toSeq
+    assert(got == Seq(
+      ("unique:id", 0L, true),
+      ("unique:k", 1L, false),
+      ("v_positive", 2L, false)))
+  }
+
+  test("checkConstraints: empty input passes every rule with zero violations") {
+    import org.apache.spark.sql.functions.col
+    val empty = Seq.empty[(Long, Int)].toDF("id", "v")
+    val got = Profile.checkConstraints(empty,
+      rowRules = Seq("v_positive" -> (col("v") > 0)), uniqueKeys = Seq("id"))
+      .as[(String, Long, Boolean)].collect().toSeq
+    assert(got == Seq(("unique:id", 0L, true), ("v_positive", 0L, true)))
+  }
+
   test("attrition: NULL predicates charge the row like the filter pipeline drops it") {
     import org.apache.spark.sql.functions.col
     // filter(v >= 10) DROPS a NULL row — attrition must charge it to
