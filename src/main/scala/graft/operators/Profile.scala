@@ -131,12 +131,17 @@ object Profile {
     * `countDistinct` (the multi-distinct Expand cost; swap for
     * `approx_count_distinct` at 100 TB when ±2% suffices), and the
     * per-constraint rows are unpivoted from the single 1-row result.
-    * A NULL rule evaluation counts as a violation (`coalesce(false)` —
-    * an invariant that cannot be evaluated does not hold).
+    * A NULL rule evaluation counts as a violation ([[violates]], the
+    * same charging rule as the attrition waterfall — an invariant that
+    * cannot be evaluated does not hold).
     *
     * @param rowRules (name, predicate-that-must-hold) per row
-    * @param uniqueKeys columns that must be duplicate-free; reported as
-    *                   `unique:<col>` with violations = rows − distinct
+    * @param uniqueKeys columns under PRIMARY-KEY semantics (duplicate-
+    *                   free AND non-null): reported as `unique:<col>`
+    *                   with violations = rows − countDistinct, which
+    *                   charges every duplicate beyond the first and
+    *                   every NULL-keyed row — e.g. (1, 1, NULL, NULL)
+    *                   is 3 violations (one dup extra + two NULLs)
     * @return (`constraint_name`, `n_violations`, `passed`) ordered by
     *         name (`constraint` itself is a reserved word downstream)
     */
@@ -145,8 +150,13 @@ object Profile {
       rowRules: Seq[(String, Column)],
       uniqueKeys: Seq[String] = Nil): DataFrame = {
     require(rowRules.nonEmpty || uniqueKeys.nonEmpty, "no constraints given")
+    val names = rowRules.map(_._1) ++ uniqueKeys.map(k => s"unique:$k")
+    // colliding names would make the orderBy tie-order — and therefore
+    // the hash-compared output — nondeterministic
+    require(names.distinct.size == names.size,
+      s"constraint names must be unique: ${names.diff(names.distinct).distinct}")
     val ruleAggs = rowRules.zipWithIndex.map { case ((_, pred), i) =>
-      sum(when(!coalesce(pred, lit(false)), lit(1L)).otherwise(lit(0L))).as(s"__v$i")
+      sum(when(violates(pred), lit(1L)).otherwise(lit(0L))).as(s"__v$i")
     }
     val keyAggs = uniqueKeys.zipWithIndex.map { case (k, i) =>
       countDistinct(col(k)).as(s"__u$i")
@@ -206,9 +216,14 @@ object Profile {
     * null-filled column) must not be reported as a survivor. */
   def firstFailStage(stages: Seq[(String, Column)]): Column =
     stages.zipWithIndex.foldRight(lit(null).cast("int")) {
-      case (((_, pred), i), rest) =>
-        when(!coalesce(pred, lit(false)), lit(i)).otherwise(rest)
+      case (((_, pred), i), rest) => when(violates(pred), lit(i)).otherwise(rest)
     }
+
+  /** THE violation rule — `pred` does not hold, with NULL counting as a
+    * violation (`filter(pred)` keeps only TRUE rows). One definition
+    * shared by [[firstFailStage]] and [[checkConstraints]] so the
+    * waterfall and the constraint gate can never drift on charging. */
+  private def violates(pred: Column): Column = !coalesce(pred, lit(false))
 
   /** Waterfall presentation over per-stage rejection counts
     * (`__ff`, `__rej`). Counts are associative, so the same finisher

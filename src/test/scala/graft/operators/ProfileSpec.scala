@@ -106,6 +106,26 @@ class ProfileSpec extends SparkSpec {
       ("v_positive", 2L, false)))
   }
 
+  test("checkConstraints: unique keys use PK semantics (NULLs and dup-extras both charge)") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(Some(1), Some(1), None, None).map(Tuple1(_)).toDF("k")
+    val got = Profile.checkConstraints(df,
+      rowRules = Seq("always" -> col("k").isNotNull.or(col("k").isNull)),
+      uniqueKeys = Seq("k"))
+      .as[(String, Long, Boolean)].collect().toSeq
+    assert(got.find(_._1 == "unique:k").get._2 == 3L,
+      s"one dup extra + two NULL keys must charge 3: $got")
+  }
+
+  test("checkConstraints: colliding constraint names are rejected") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(1).map(Tuple1(_)).toDF("k")
+    intercept[IllegalArgumentException] {
+      Profile.checkConstraints(df,
+        rowRules = Seq("unique:k" -> (col("k") > 0)), uniqueKeys = Seq("k"))
+    }
+  }
+
   test("checkConstraints: empty input passes every rule with zero violations") {
     import org.apache.spark.sql.functions.col
     val empty = Seq.empty[(Long, Int)].toDF("id", "v")

@@ -201,6 +201,14 @@ class PlanSpec extends SparkSpec {
       s"expected exactly 1 corpus scan:\n$p")
   }
 
+  test("quality_constraints is one aggregate over one scan (multi-distinct included)") {
+    // all row rules + both exact countDistincts ride one Expand over a
+    // single parquet scan; a second scan means the gate split per key
+    val p = plan("quality_constraints")
+    assert("\\(\\d+\\) Scan parquet".r.findAllIn(p).size == 1,
+      s"expected exactly 1 corpus scan:\n$p")
+  }
+
   test("dedup_pagerank rounds never rescan the table (edge list materialized once)") {
     // the degree-annotated symmetric edge list is flattened + cached
     // before the loop; each of the 5 rounds joins THAT, so the final
