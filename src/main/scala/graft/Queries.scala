@@ -20,7 +20,8 @@ object Queries {
     AnalyticsQueries,
     ScalarQueries,
     ExtensionQueries,
-    PipelineQueries)
+    PipelineQueries,
+    RetrievalQueries)
 
   def all: Map[String, (SparkSession, String) => DataFrame] = {
     val entries = families.flatMap(_.queries)

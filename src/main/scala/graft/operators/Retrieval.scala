@@ -1,0 +1,239 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Full-text retrieval over the document corpus: BM25 ranked search and
+ * TF-IDF keyword extraction, plus a durable parquet inverted-index
+ * artifact (build-once / serve-many, the same contract as
+ * [[AnnIndex]]). The pipeline uses these for corpus exploration ("show
+ * me the docs this query would surface") and for keyword-level corpus
+ * summaries; the reference's query surface has no retrieval operator,
+ * so this is §2.3 extension surface.
+ *
+ * Scoring is INTEGER fixed-point (parts-per-million), the
+ * `dedup_pagerank` convention: floats cannot hash-oracle (summation
+ * order) and `ln` is not bit-identical across engines, so both scores
+ * are defined as exact rational arithmetic with floor division —
+ * DuckDB replays them bit-for-bit with `//`.
+ *
+ * BM25 (k1 = 6/5, b = 3/4, the standard 1.2 / 0.75 as exact rationals),
+ * per query term with corpus stats N docs, avgdl = floor(L / N):
+ *
+ *   tfp       = (22000000·tf·avgdl) div (10·tf·avgdl + 3·avgdl + 9·len)
+ *   termScore = (tfp · (2·(N − df) + 1)) div (2·df + 1)
+ *
+ * which is floor-rational BM25: tfp is ppm of tf·(k1+1) /
+ * (tf + k1·(1 − b + b·len/avgdl)) after multiplying through by
+ * 10·avgdl, and the second factor is (N − df + ½)/(df + ½) — the
+ * +1-free Robertson idf; both floors are part of the operator contract.
+ * Per-(query, doc) score = Σ termScore over matched terms — an integer
+ * sum, so partial-aggregation order cannot change a bit.
+ *
+ * Overflow envelope (documented, [[Anomaly]]-style): tfp ≤ 2.2e6;
+ * the idf numerator tfp·(2N+1) stays under 2^63 for N ≤ 2e12 docs —
+ * comfortably past a 100 TB corpus. tfp's own numerator
+ * 22000000·tf·avgdl needs tf·avgdl < 4.2e11, i.e. holds for any
+ * realistic doc (tf ≤ len ≤ ~1e6 tokens, avgdl ≤ ~4e5); `require`s
+ * guard nothing here because both are per-doc token counts bounded by
+ * the corpus's own doc lengths, not parameters.
+ *
+ * Scale shape: the query term set is collected (a query workload is
+ * user input, bounded — model-state-sized, never data) and pushed as
+ * an `isin` filter, so the token/posting stream is term-filtered AT THE
+ * SCAN (parquet row-group skip on the index artifact; filter before
+ * the first exchange on the raw-text path). Corpus stats (N, L) are a
+ * map-only scan + 1-row aggregate, broadcast; df per term is
+ * aggregated from the filtered postings (tiny) and broadcast. The only
+ * data-sized exchange is the groupBy building tf over the FILTERED
+ * token stream.
+ */
+object Retrieval {
+
+  /** Tokenized base: (`doc_id`, `len`, tokens array) — one map-only
+    * projection with the house tokenizer ([[Dedup.tokens]]). */
+  private def base(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol).cast("long").as("doc_id"),
+      Dedup.tokens(col(textCol)).as("__toks"))
+      .withColumn("len", size(col("__toks")).cast("long"))
+
+  /** Corpus constants (`n` docs, `l` total tokens) as a 1-row frame.
+    * One map-only scan; at 100 TB these are the nightly-maintained
+    * stats ([[Profile.momentStats]] pattern), not a per-query cost. */
+  private def stats(b: DataFrame): DataFrame =
+    b.agg(count(lit(1)).as("n"), sum(col("len")).as("l"))
+
+  /** Posting list restricted to `terms`: (`doc_id`, `tok`, `tf`, `len`).
+    * The isin filter runs before the explode's output is shuffled. */
+  private def postingsFor(b: DataFrame, terms: Seq[String]): DataFrame =
+    b.select(col("doc_id"), col("len"), explode(col("__toks")).as("tok"))
+      .filter(col("tok").isin(terms: _*))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"), max(col("len")).as("len"))
+
+  /** The shared scoring tail: postings (already ⊇ the query terms,
+    * shape `doc_id, tok, tf, len`) + 1-row stats + (`query_id`, `term`)
+    * queries → (`query_id`, `doc_id`, `score_ppm`, `rank`), top `k`
+    * docs per query, ties broken by doc id. Both the in-memory path and
+    * the index-served path end here, so RetrievalSpec can pin
+    * bit-for-bit parity between them. */
+  private[operators] def bm25Serve(
+      postings: DataFrame,
+      statsRow: DataFrame,
+      queries: DataFrame,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    // df per term: postings are (doc, term)-unique, so df = row count.
+    // Plan-shape note: `postings` feeds both aggregates below — scoped
+    // persist so the posting scan runs once (the jaccardJoin precedent).
+    val p = graft.CacheScope.scoped(postings)
+    val dfT = p.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val a = statsRow.select(col("n"), expr("l DIV n").as("avgdl"))
+    val scored = p
+      .join(broadcast(dfT), "tok")
+      .crossJoin(broadcast(a))
+      .withColumn("tfp",
+        expr("(22000000 * tf * avgdl) DIV (10 * tf * avgdl + 3 * avgdl + 9 * len)"))
+      .withColumn("term_score",
+        expr("(tfp * (2 * (n - df) + 1)) DIV (2 * df + 1)"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_ppm").desc, col("doc_id"))
+    scored
+      .join(broadcast(queries.select(col("query_id"), col("term"))),
+        col("tok") === col("term"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("term_score")).as("score_ppm"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("score_ppm"), col("rank"))
+  }
+
+  /** BM25 top-`k` docs per query, scored directly from the raw corpus
+    * (two map-only text scans: one for corpus stats, one for the
+    * filtered posting build). `queries` is (`query_id`, `term`) — one
+    * row per query term; terms a query repeats count once (the
+    * standard bag-of-words query model drops query-side tf). */
+  def bm25TopK(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queries: DataFrame,
+      k: Int = 10): DataFrame = {
+    val b = base(docs, idCol, textCol)
+    val terms = queryTerms(queries)
+    bm25Serve(postingsFor(b, terms), stats(b),
+      queries.dropDuplicates("query_id", "term"), k)
+  }
+
+  /** Collect the distinct query-term set (bounded: a query workload,
+    * never corpus data) for scan-level pushdown. */
+  private def queryTerms(queries: DataFrame): Seq[String] = {
+    val terms = queries.select(col("term")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    require(terms.nonEmpty, "queries must carry at least one term")
+    require(terms.size <= 10000,
+      s"query term set too large to broadcast-push (${terms.size}); " +
+        "split the workload")
+    terms
+  }
+
+  /** TF-IDF keyword extraction: top-`k` terms per document by
+    * `tf · idf_ppm` with `idf_ppm = (1000000·(N+1)) div (df+1)` — the
+    * log-free smoothed-idf rational (the [[Ngrams.collocations]]
+    * lift-without-log precedent), ties broken by term. The full-vocab
+    * (doc, term) aggregate is THE exchange; df per term is a second,
+    * vocab-sized aggregate joined back (AQE broadcasts it when the
+    * vocabulary is bounded). Overflow: tf·idf_ppm < 2^63 needs
+    * tf·(N+1)/(df+1) < 9.2e12 — holds whenever a term's collection
+    * frequency is sane (a term in 1 of 1e11 docs repeated 100× in that
+    * one doc is still 1e13·1e-1... the binding case df=0 cannot occur:
+    * every scored term has df ≥ 1, so idf_ppm ≤ 5e5·(N+1) and
+    * tf ≤ 9.2e18/idf_ppm — at N = 1e11 that allows tf ≤ 184 for a
+    * df=1 term; rarer-and-longer than that overflows, so the operator
+    * caps idf_ppm at 1e12 (df ≥ N/2e6 effectively unaffected). */
+  def tfidfTerms(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val b = base(docs, idCol, textCol)
+    // tf feeds both the df aggregate and the score join — scoped persist
+    // so the explode+groupBy subtree runs once (jaccardJoin precedent)
+    val tf = graft.CacheScope.scoped(
+      b.select(col("doc_id"), explode(col("__toks")).as("tok"))
+        .groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("tf")))
+    val dfT = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_ppm").desc, col("tok"))
+    tf.join(dfT, "tok")
+      .crossJoin(broadcast(stats(b).select(col("n"))))
+      .withColumn("idf_ppm",
+        expr("least((1000000 * (n + 1)) DIV (df + 1), 1000000000000)"))
+      .withColumn("score_ppm", expr("tf * idf_ppm"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("tok").as("term"), col("score_ppm"),
+        col("rank"))
+  }
+
+  /**
+   * Persist the inverted index under `dir` — the Lucene-segment analog
+   * as parquet:
+   *
+   *  - `<dir>/postings/` — (`tok`, `doc_id`, `tf`, `len`), repartitioned
+   *    and sorted by term so each term's posting list is contiguous and
+   *    parquet min/max stats skip whole row groups for a term-filtered
+   *    serve scan. `len` is denormalized onto the posting (the stored
+   *    doc-norm, 8 bytes) so serving never joins a corpus-sized length
+   *    table.
+   *  - `<dir>/norms/` — (`doc_id`, `len`): the corpus-stats source
+   *    (N, L) for serving, and the re-join surface if a caller needs
+   *    per-doc norms alone.
+   */
+  def writeIndex(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      dir: String,
+      numPartitions: Int = 0): Unit = {
+    // two writes = two jobs; persist the tokenized base across them so
+    // the text is scanned once. writeIndex is eager, so unlike the query
+    // paths it can own the cache lifetime directly.
+    val b = base(docs, idCol, textCol).persist()
+    try {
+      b.select(col("doc_id"), col("len"))
+        .write.mode("overwrite").parquet(s"$dir/norms")
+      val full = b.select(col("doc_id"), col("len"), explode(col("__toks")).as("tok"))
+        .groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("tf"), max(col("len")).as("len"))
+      val parts = if (numPartitions > 0) full.repartition(numPartitions, col("tok"))
+                  else full.repartition(col("tok"))
+      parts.sortWithinPartitions(col("tok"), col("doc_id"))
+        .select(col("tok"), col("doc_id"), col("tf"), col("len"))
+        .write.mode("overwrite").parquet(s"$dir/postings")
+    } finally b.unpersist()
+  }
+
+  /** Serve BM25 top-`k` from a persisted index: the term filter lands
+    * in `PushedFilters` on the postings scan (RetrievalSpec asserts
+    * it), so only the queried posting lists' row groups are read —
+    * the corpus text is never touched. Bit-for-bit equal to
+    * [[bm25TopK]] over the same corpus. */
+  def searchIndex(
+      spark: SparkSession,
+      dir: String,
+      queries: DataFrame,
+      k: Int = 10): DataFrame = {
+    val terms = queryTerms(queries)
+    val postings = spark.read.parquet(s"$dir/postings")
+      .filter(col("tok").isin(terms: _*))
+    val norms = spark.read.parquet(s"$dir/norms")
+    bm25Serve(postings, norms.agg(count(lit(1)).as("n"), sum(col("len")).as("l")),
+      queries.dropDuplicates("query_id", "term"), k)
+  }
+}

@@ -1,0 +1,114 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Retrieval
+import graft.sources.Tables
+
+/**
+ * Retrieval family (SURVEY §2.3): BM25 ranked search and TF-IDF keyword
+ * extraction over `documents`. Scores are integer fixed-point (ppm) so
+ * the DuckDB oracles replay the exact rational arithmetic bit-for-bit —
+ * see [[graft.operators.Retrieval]] for the scoring contract.
+ *
+ * The fixture workload mixes one rare term (`dup`, df ≈ 5% of docs)
+ * with common terms (df ≈ 80%) so the idf factor visibly reorders
+ * results, not just tf.
+ */
+object RetrievalQueries extends QueryFamily {
+
+  /** (query_id, term) fixture workload — `dup` is the rare term. */
+  private val workload: Seq[(Int, String)] = Seq(
+    1 -> "dup", 1 -> "join",
+    2 -> "spark", 2 -> "window", 2 -> "agg",
+    3 -> "fast", 3 -> "key")
+
+  private def workloadDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    workload.toDF("query_id", "term")
+  }
+
+  private def workloadSqlValues: String =
+    workload.map { case (q, t) => s"($q, '$t')" }.mkString(", ")
+
+  /** BM25 top-10 docs per workload query. */
+  def textBm25TopK(spark: SparkSession, dir: String): DataFrame =
+    Retrieval.bm25TopK(Tables.documents(spark, dir), "doc_id", "text",
+      workloadDf(spark), k = 10)
+      .orderBy(col("query_id"), col("rank"))
+
+  /** Same workload served from the durable inverted-index artifact —
+    * build + serve in one query so the driver exercises the artifact
+    * path end-to-end; bit-equality with `text_bm25_topk` means one
+    * oracle covers both. */
+  def textBm25Index(spark: SparkSession, dir: String): DataFrame = {
+    val idx = java.nio.file.Files.createTempDirectory("graft-bm25-idx").toString
+    Retrieval.writeIndex(Tables.documents(spark, dir), "doc_id", "text", idx)
+    Retrieval.searchIndex(spark, idx, workloadDf(spark), k = 10)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Top-3 TF-IDF keywords per doc (bounded output: docs × 3). */
+  def textTfidfTerms(spark: SparkSession, dir: String): DataFrame =
+    Retrieval.tfidfTerms(Tables.documents(spark, dir), "doc_id", "text", k = 3)
+      .orderBy(col("doc_id"), col("rank"))
+
+  override def queries: Map[String, QueryFn] = Map(
+    "text_bm25_topk" -> (textBm25TopK _),
+    "text_bm25_index" -> (textBm25Index _),
+    "text_tfidf_terms" -> (textTfidfTerms _))
+
+  /** Shared SQL fragments: the house tokenizer twin and the BM25 CTE
+    * chain (used by both bm25 oracles — the index query is defined to
+    * be bit-equal to the direct one). */
+  private val toksCte =
+    """toks AS (SELECT doc_id,
+      |  unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)) AS tok
+      |  FROM documents)""".stripMargin
+
+  private def bm25Sql: String =
+    s"""WITH $toksCte,
+       |lens AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS len FROM toks GROUP BY doc_id),
+       |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(len) AS BIGINT) AS l FROM lens),
+       |a AS (SELECT n, l // n AS avgdl FROM stats),
+       |q(query_id, term) AS (VALUES $workloadSqlValues),
+       |tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM toks
+       |       WHERE tok IN (SELECT term FROM q) GROUP BY doc_id, tok),
+       |dfs AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+       |scored AS (SELECT q.query_id, tf.doc_id,
+       |    CAST(SUM(
+       |      (((22000000 * tf.tf * a.avgdl) // (10 * tf.tf * a.avgdl + 3 * a.avgdl + 9 * l.len))
+       |        * (2 * (a.n - d.df) + 1)) // (2 * d.df + 1)
+       |    ) AS BIGINT) AS score_ppm
+       |  FROM tf
+       |  JOIN dfs d ON d.tok = tf.tok
+       |  JOIN lens l ON l.doc_id = tf.doc_id
+       |  JOIN q ON q.term = tf.tok
+       |  CROSS JOIN a
+       |  GROUP BY q.query_id, tf.doc_id)
+       |SELECT query_id, doc_id, score_ppm, rank FROM (
+       |  SELECT query_id, doc_id, score_ppm,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score_ppm DESC, doc_id) AS INT) AS rank
+       |  FROM scored)
+       |WHERE rank <= 10
+       |ORDER BY query_id, rank""".stripMargin
+
+  override def oracles: Map[String, String] = Map(
+    "text_bm25_topk" -> bm25Sql,
+    "text_bm25_index" -> bm25Sql,
+    "text_tfidf_terms" ->
+      s"""WITH $toksCte,
+         |tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY doc_id, tok),
+         |dfs AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+         |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+         |scored AS (SELECT tf.doc_id, tf.tok,
+         |    tf.tf * LEAST((1000000 * (s.n + 1)) // (d.df + 1), 1000000000000) AS score_ppm
+         |  FROM tf JOIN dfs d ON d.tok = tf.tok CROSS JOIN stats s)
+         |SELECT doc_id, tok AS term, CAST(score_ppm AS BIGINT) AS score_ppm, rank FROM (
+         |  SELECT doc_id, tok, score_ppm,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score_ppm DESC, tok) AS INT) AS rank
+         |  FROM scored)
+         |WHERE rank <= 3
+         |ORDER BY doc_id, rank""".stripMargin)
+}

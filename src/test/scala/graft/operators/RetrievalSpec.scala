@@ -1,0 +1,144 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Retrieval family: BM25 / TF-IDF fixed-point scoring vs a direct
+  * Scala re-implementation of the documented rational-arithmetic
+  * contract, index round-trip parity, and the pushdown plan shape. */
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vocab = Vector("alpha", "beta", "gamma", "delta", "eps",
+    "zeta", "eta", "theta", "iota", "kappa", "rare", "unique")
+
+  private def randomCorpus(seed: Int, nDocs: Int): Seq[(Long, String)] = {
+    val rnd = new scala.util.Random(seed)
+    (0 until nDocs).map { i =>
+      val len = 3 + rnd.nextInt(20)
+      // skew: 'rare'/'unique' only in a few docs, common words elsewhere
+      val words = (0 until len).map { _ =>
+        val r = rnd.nextInt(100)
+        if (r < 2) vocab(10 + rnd.nextInt(2)) else vocab(rnd.nextInt(10))
+      }
+      (i.toLong, words.mkString(" "))
+    }
+  }
+
+  /** Direct transcription of the scoring contract in [[Retrieval]]'s
+    * scaladoc — floor-rational BM25 in ppm, integer arithmetic only. */
+  private def bruteBm25(
+      corpus: Seq[(Long, String)],
+      queries: Seq[(Int, String)],
+      k: Int): Seq[(Int, Long, Long, Int)] = {
+    val toks = corpus.map { case (id, t) =>
+      id -> t.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+    }.toMap
+    val n = corpus.size.toLong
+    val l = toks.valuesIterator.map(_.size.toLong).sum
+    val avgdl = l / n
+    val dfOf = toks.values.flatMap(_.distinct).groupBy(identity)
+      .map { case (t, xs) => t -> xs.size.toLong }
+    def termScore(tf: Long, len: Long, df: Long): Long = {
+      val tfp = (22000000L * tf * avgdl) / (10 * tf * avgdl + 3 * avgdl + 9 * len)
+      (tfp * (2 * (n - df) + 1)) / (2 * df + 1)
+    }
+    queries.groupBy(_._1).toSeq.flatMap { case (qid, terms) =>
+      val scored = corpus.flatMap { case (id, _) =>
+        val ts = toks(id)
+        val s = terms.map(_._2).distinct.map { term =>
+          val tf = ts.count(_ == term).toLong
+          if (tf == 0) 0L else termScore(tf, ts.size.toLong, dfOf(term))
+        }.sum
+        if (s > 0) Some((id, s)) else None
+      }
+      scored.sortBy { case (id, s) => (-s, id) }.take(k).zipWithIndex
+        .map { case ((id, s), i) => (qid, id, s, i + 1) }
+    }.sortBy(r => (r._1, r._4))
+  }
+
+  test("bm25TopK equals the rational-arithmetic brute force on random corpora") {
+    val queries = Seq(1 -> "rare", 1 -> "alpha", 2 -> "beta", 2 -> "gamma", 2 -> "unique")
+    for (seed <- Seq(1, 7, 20260813)) {
+      val corpus = randomCorpus(seed, 60)
+      val got = Retrieval.bm25TopK(
+        corpus.toDF("doc_id", "text"), "doc_id", "text",
+        queries.toDF("query_id", "term"), k = 8)
+        .as[(Int, Long, Long, Int)].collect().sortBy(r => (r._1, r._4)).toSeq
+      val want = bruteBm25(corpus, queries, 8)
+      assert(got == want,
+        s"seed $seed: bm25 diverged from brute force\n got=$got\nwant=$want")
+    }
+    graft.CacheScope.releaseAll()
+  }
+
+  test("a doc scoring on zero query terms is absent, not zero-ranked") {
+    // one doc with no query term at all: inner posting join drops it
+    val corpus = Seq((1L, "alpha beta"), (2L, "gamma gamma"), (3L, "delta"))
+    val out = Retrieval.bm25TopK(corpus.toDF("doc_id", "text"), "doc_id", "text",
+      Seq(1 -> "alpha", 1 -> "gamma").toDF("query_id", "term"), k = 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out == Set(1L, 2L))
+    graft.CacheScope.releaseAll()
+  }
+
+  test("searchIndex over the written artifact is bit-equal to bm25TopK") {
+    val corpus = randomCorpus(99, 80)
+    val df = corpus.toDF("doc_id", "text")
+    val queries = Seq(1 -> "rare", 2 -> "alpha", 2 -> "kappa").toDF("query_id", "term")
+    val dir = java.nio.file.Files.createTempDirectory("bm25idx").toString
+    Retrieval.writeIndex(df, "doc_id", "text", dir, numPartitions = 2)
+    val direct = Retrieval.bm25TopK(df, "doc_id", "text", queries, k = 12)
+      .orderBy("query_id", "rank").collect().toSeq
+    val served = Retrieval.searchIndex(spark, dir, queries, k = 12)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(served == direct)
+    graft.CacheScope.releaseAll()
+  }
+
+  test("index serve pushes the term filter into the postings parquet scan") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25idx2").toString
+    Retrieval.writeIndex(randomCorpus(5, 30).toDF("doc_id", "text"),
+      "doc_id", "text", dir)
+    val plan = Retrieval.searchIndex(spark, dir,
+      Seq(1 -> "alpha", 1 -> "beta").toDF("query_id", "term"), k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [In(tok, [alpha,beta])]")
+      || plan.contains("In(tok, [alpha,beta])"), plan)
+    graft.CacheScope.releaseAll()
+  }
+
+  test("tfidfTerms top terms equal the brute-force smoothed-idf ranking") {
+    val corpus = randomCorpus(3, 50)
+    val toks = corpus.map { case (id, t) =>
+      id -> t.split(" ").toSeq
+    }
+    val n = corpus.size.toLong
+    val dfOf = toks.flatMap(_._2.distinct).groupBy(identity)
+      .map { case (t, xs) => t -> xs.size.toLong }
+    val want = toks.flatMap { case (id, ts) =>
+      ts.groupBy(identity).toSeq
+        .map { case (t, xs) =>
+          val idf = math.min((1000000L * (n + 1)) / (dfOf(t) + 1), 1000000000000L)
+          (id, t, xs.size.toLong * idf)
+        }
+        .sortBy { case (_, t, s) => (-s, t) }.take(2).zipWithIndex
+        .map { case ((i, t, s), r) => (i, t, s, r + 1) }
+    }.sortBy(r => (r._1, r._4))
+    val got = Retrieval.tfidfTerms(corpus.toDF("doc_id", "text"), "doc_id", "text", k = 2)
+      .as[(Long, String, Long, Int)].collect().sortBy(r => (r._1, r._4)).toSeq
+    assert(got == want)
+    graft.CacheScope.releaseAll()
+  }
+
+  test("repeated query terms count once (bag-of-words query model)") {
+    val corpus = Seq((1L, "alpha alpha beta"), (2L, "alpha gamma"))
+    val once = Retrieval.bm25TopK(corpus.toDF("doc_id", "text"), "doc_id", "text",
+      Seq(1 -> "alpha").toDF("query_id", "term"), k = 5).collect().toSeq
+    val twice = Retrieval.bm25TopK(corpus.toDF("doc_id", "text"), "doc_id", "text",
+      Seq(1 -> "alpha", 1 -> "alpha").toDF("query_id", "term"), k = 5).collect().toSeq
+    assert(once == twice)
+    graft.CacheScope.releaseAll()
+  }
+}
