@@ -5,13 +5,14 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
- * Full-text retrieval over the document corpus: BM25 ranked search and
- * TF-IDF keyword extraction, plus a durable parquet inverted-index
- * artifact (build-once / serve-many, the same contract as
- * [[AnnIndex]]). The pipeline uses these for corpus exploration ("show
- * me the docs this query would surface") and for keyword-level corpus
- * summaries; the reference's query surface has no retrieval operator,
- * so this is §2.3 extension surface.
+ * Full-text retrieval over the document corpus: BM25 ranked search,
+ * plus a durable parquet inverted-index artifact (build-once /
+ * serve-many, the same contract as [[AnnIndex]]). The pipeline uses
+ * this for corpus exploration ("show me the docs this query would
+ * surface"); the reference's query surface has no retrieval operator,
+ * so this is §2.3 extension surface. Per-doc keyword extraction is the
+ * separate [[Ngrams.topTermsByTfDf]] — this object is the multi-term
+ * ranked-search side.
  *
  * Scoring is INTEGER fixed-point (parts-per-million), the
  * `dedup_pagerank` convention: floats cannot hash-oracle (summation
@@ -138,47 +139,6 @@ object Retrieval {
       s"query term set too large to broadcast-push (${terms.size}); " +
         "split the workload")
     terms
-  }
-
-  /** TF-IDF keyword extraction: top-`k` terms per document by
-    * `tf · idf_ppm` with `idf_ppm = (1000000·(N+1)) div (df+1)` — the
-    * log-free smoothed-idf rational (the [[Ngrams.collocations]]
-    * lift-without-log precedent), ties broken by term. The full-vocab
-    * (doc, term) aggregate is THE exchange; df per term is a second,
-    * vocab-sized aggregate joined back (AQE broadcasts it when the
-    * vocabulary is bounded). Overflow: tf·idf_ppm < 2^63 needs
-    * tf·(N+1)/(df+1) < 9.2e12 — holds whenever a term's collection
-    * frequency is sane (a term in 1 of 1e11 docs repeated 100× in that
-    * one doc is still 1e13·1e-1... the binding case df=0 cannot occur:
-    * every scored term has df ≥ 1, so idf_ppm ≤ 5e5·(N+1) and
-    * tf ≤ 9.2e18/idf_ppm — at N = 1e11 that allows tf ≤ 184 for a
-    * df=1 term; rarer-and-longer than that overflows, so the operator
-    * caps idf_ppm at 1e12 (df ≥ N/2e6 effectively unaffected). */
-  def tfidfTerms(
-      docs: DataFrame,
-      idCol: String,
-      textCol: String,
-      k: Int = 3): DataFrame = {
-    require(k >= 1, s"k must be >= 1: $k")
-    val b = base(docs, idCol, textCol)
-    // tf feeds both the df aggregate and the score join — scoped persist
-    // so the explode+groupBy subtree runs once (jaccardJoin precedent)
-    val tf = graft.CacheScope.scoped(
-      b.select(col("doc_id"), explode(col("__toks")).as("tok"))
-        .groupBy(col("doc_id"), col("tok"))
-        .agg(count(lit(1)).as("tf")))
-    val dfT = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val w = Window.partitionBy(col("doc_id"))
-      .orderBy(col("score_ppm").desc, col("tok"))
-    tf.join(dfT, "tok")
-      .crossJoin(broadcast(stats(b).select(col("n"))))
-      .withColumn("idf_ppm",
-        expr("least((1000000 * (n + 1)) DIV (df + 1), 1000000000000)"))
-      .withColumn("score_ppm", expr("tf * idf_ppm"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("doc_id"), col("tok").as("term"), col("score_ppm"),
-        col("rank"))
   }
 
   /**

@@ -209,6 +209,74 @@ object Sampling {
       .filter(col("cum_cost") <= budget)
   }
 
+  /**
+   * Token-budget mixture planner: split a training-token budget across
+   * sources toward integer target weights, under a per-source epoch cap
+   * — the static allocator every mixture-controlled pretraining run
+   * starts from ("give me B tokens at these proportions, but never
+   * repeat a source more than `maxEpochs` times").
+   *
+   * Allocation is two rounds of exact integer arithmetic (floor
+   * division, so the DuckDB oracle replays it bit-for-bit):
+   *
+   *   ideal_s  = (B · w_s) div W          (W = Σ weights)
+   *   alloc1_s = min(ideal_s, maxEpochs · T_s)
+   *   then ONE proportional redistribution of the leftover
+   *   D = B − Σ alloc1 over the uncapped sources:
+   *   alloc_s  = min(alloc1_s + (D · w_s) div W₂, maxEpochs · T_s)
+   *
+   * Σ alloc ≤ B always (both rounds floor); full waterfilling would
+   * iterate until D = 0, but one round recovers the bulk of the deficit
+   * and keeps the arithmetic closed-form — the remainder is reported so
+   * a caller can re-run on the residual if they care. `epochs_ppm` =
+   * (10⁶ · alloc) div T is the resulting per-source repeat factor.
+   *
+   * Overflow envelope (documented, not gated — weights live in a frame,
+   * not a parameter): B·w_s < 2^63, so with a 100 TB-corpus-sized budget
+   * (~1e13 tokens) weights up to ~9e5 are safe; keep weights small
+   * integers (they are proportions, not magnitudes).
+   *
+   * Scale shape: `sourceTokens` is |sources|-sized (the output of a
+   * corpus-stats aggregate, not the corpus); everything here is
+   * broadcast arithmetic on that small frame. The multi-consumer base
+   * (feeds both the totals aggregate and the final projection) is
+   * scope-persisted so the upstream corpus aggregate runs once.
+   */
+  def budgetEpochs(
+      sourceTokens: DataFrame,
+      weights: DataFrame,
+      budget: Long,
+      maxEpochs: Int = 2): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0: $budget")
+    require(maxEpochs >= 1 && maxEpochs <= 100,
+      s"maxEpochs must be in [1, 100]: $maxEpochs")
+    val base = graft.CacheScope.scoped(
+      sourceTokens.join(weights, "source")
+        .select(col("source"), col("tokens").cast("long").as("tokens"),
+          col("weight").cast("long").as("weight")))
+    val totals = base.agg(sum(col("weight")).as("__w"))
+    val r1 = base.crossJoin(broadcast(totals))
+      .withColumn("cap", expr(s"$maxEpochs * tokens"))
+      .withColumn("alloc1", least(expr(s"($budget * weight) DIV __w"), col("cap")))
+    // r1 feeds the deficit aggregate AND the final row set — but it is
+    // derived from the persisted `base` plus a broadcast, so re-deriving
+    // it per consumer re-runs only small-frame arithmetic, never the
+    // corpus aggregate.
+    val round2 = r1.agg(
+      sum(col("alloc1")).as("__a1"),
+      sum(when(col("alloc1") < col("cap"), col("weight")).otherwise(0L)).as("__w2"))
+    r1.crossJoin(broadcast(round2))
+      .withColumn("alloc_tokens",
+        when(col("alloc1") < col("cap") && col("__w2") > 0,
+          least(col("alloc1") + expr(s"(($budget - __a1) * weight) DIV __w2"),
+            col("cap")))
+          .otherwise(col("alloc1")))
+      .withColumn("epochs_ppm", expr("(1000000 * alloc_tokens) DIV tokens"))
+      .withColumn("capped", col("alloc_tokens") === col("cap"))
+      .select(col("source"), col("tokens"), col("weight"),
+        col("alloc_tokens"), col("epochs_ppm"), col("capped"))
+  }
+
   def percentileBandFilter(
       df: DataFrame,
       valueCol: String,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Components, Ngrams, Sampling, TextAnalysis}
+import graft.operators.{Components, Corpus, Dedup, Ngrams, Sampling, TextAnalysis}
 import graft.sources.Tables
 
 /**
@@ -251,6 +251,25 @@ object PipelineQueries extends QueryFamily {
       .select(col("source"), col("doc_id"), col("n_chars"), col("cum_cost"))
       .orderBy(col("source"), col("doc_id"))
 
+  /** Token-budget mixture plan: allocate a 2×-corpus token budget over
+    * the 20 sources at weights 1..20 with a 2-epoch cap — the
+    * high-weight sources hit the cap and the one-round redistribution
+    * tops up the rest, so both `capped` polarities and a non-trivial
+    * second round are exercised. Budget is a bounded driver-side stat
+    * (one scalar), like the clustering model state. */
+  def mixBudgetEpochs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val srcTokens = Tables.documents(spark, dir)
+      .select(col("source"),
+        size(Dedup.tokens(col("text"))).cast("long").as("__len"))
+      .groupBy(col("source")).agg(sum(col("__len")).as("tokens"))
+    val weights = (0 until 20).map(i => (s"src$i", (i + 1).toLong))
+      .toDF("source", "weight")
+    val total = srcTokens.agg(sum(col("tokens"))).collect()(0).getLong(0)
+    Sampling.budgetEpochs(srcTokens, weights, budget = 2L * total, maxEpochs = 2)
+      .orderBy(col("source"))
+  }
+
   /** Snapshot diff between two derived corpus versions: v1 = docs with
     * doc_id % 11 ≠ 3, v2 = docs with doc_id % 17 ≠ 5 and the text of
     * every doc_id % 13 = 0 doc amended — so added / removed / changed
@@ -433,6 +452,7 @@ object PipelineQueries extends QueryFamily {
     "boilerplate_ngrams" -> (boilerplateNgrams _),
     "sample_group" -> (sampleGroup _),
     "mix_token_budget" -> (mixTokenBudget _),
+    "mix_budget_epochs" -> (mixBudgetEpochs _),
     "corpus_diff" -> (corpusDiff _),
     "dedup_groups_cc" -> (dedupGroupsCc _),
     "dedup_groups_cc_stars" -> (dedupGroupsCcStars _),
@@ -716,6 +736,37 @@ object PipelineQueries extends QueryFamily {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cost
         |  FROM documents)
         |WHERE cum_cost <= 2000 ORDER BY source, doc_id""".stripMargin,
+    // replays Sampling.budgetEpochs' two floor-division rounds exactly;
+    // weights (i+1 for src_i) and the 2× budget / 2-epoch cap mirror the
+    // Spark wiring above
+    "mix_budget_epochs" -> {
+      val weightValues = (0 until 20)
+        .map(i => s"('src$i', ${i + 1})").mkString(", ")
+      s"""WITH lens AS (SELECT source,
+         |    CAST(SUM(LEN(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '[^a-z0-9]+'), x -> LEN(x) > 0))) AS BIGINT) AS tokens
+         |  FROM documents GROUP BY source),
+         |b AS (SELECT CAST(2 * SUM(tokens) AS BIGINT) AS budget FROM lens),
+         |w(source, weight) AS (VALUES $weightValues),
+         |base AS (SELECT l.source, l.tokens, CAST(w.weight AS BIGINT) AS weight
+         |         FROM lens l JOIN w ON w.source = l.source),
+         |t AS (SELECT CAST(SUM(weight) AS BIGINT) AS tw FROM base),
+         |r1 AS (SELECT base.source, base.tokens, base.weight,
+         |    CAST(2 * base.tokens AS BIGINT) AS cap,
+         |    CAST(LEAST((b.budget * base.weight) // t.tw, 2 * base.tokens) AS BIGINT) AS alloc1
+         |  FROM base CROSS JOIN t CROSS JOIN b),
+         |r2 AS (SELECT CAST(SUM(alloc1) AS BIGINT) AS a1,
+         |    CAST(SUM(CASE WHEN alloc1 < cap THEN weight ELSE 0 END) AS BIGINT) AS w2
+         |  FROM r1),
+         |fin AS (SELECT r1.source, r1.tokens, r1.weight, r1.cap,
+         |    CAST(CASE WHEN r1.alloc1 < r1.cap AND r2.w2 > 0
+         |      THEN LEAST(r1.alloc1 + ((b.budget - r2.a1) * r1.weight) // r2.w2, r1.cap)
+         |      ELSE r1.alloc1 END AS BIGINT) AS alloc_tokens
+         |  FROM r1 CROSS JOIN r2 CROSS JOIN b)
+         |SELECT source, tokens, weight, alloc_tokens,
+         |  CAST((1000000 * alloc_tokens) // tokens AS BIGINT) AS epochs_ppm,
+         |  alloc_tokens = cap AS capped
+         |FROM fin ORDER BY source""".stripMargin
+    },
     "corpus_diff" ->
       """WITH v1 AS (SELECT doc_id, text FROM documents WHERE doc_id % 11 != 3),
         |v2 AS (SELECT doc_id,

@@ -7,10 +7,11 @@ import graft.operators.Retrieval
 import graft.sources.Tables
 
 /**
- * Retrieval family (SURVEY §2.3): BM25 ranked search and TF-IDF keyword
- * extraction over `documents`. Scores are integer fixed-point (ppm) so
- * the DuckDB oracles replay the exact rational arithmetic bit-for-bit —
- * see [[graft.operators.Retrieval]] for the scoring contract.
+ * Retrieval family (SURVEY §2.3): BM25 ranked search over `documents`,
+ * direct and served from the durable inverted-index artifact. Scores
+ * are integer fixed-point (ppm) so the DuckDB oracles replay the exact
+ * rational arithmetic bit-for-bit — see [[graft.operators.Retrieval]]
+ * for the scoring contract.
  *
  * The fixture workload mixes one rare term (`dup`, df ≈ 5% of docs)
  * with common terms (df ≈ 80%) so the idf factor visibly reorders
@@ -49,15 +50,9 @@ object RetrievalQueries extends QueryFamily {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** Top-3 TF-IDF keywords per doc (bounded output: docs × 3). */
-  def textTfidfTerms(spark: SparkSession, dir: String): DataFrame =
-    Retrieval.tfidfTerms(Tables.documents(spark, dir), "doc_id", "text", k = 3)
-      .orderBy(col("doc_id"), col("rank"))
-
   override def queries: Map[String, QueryFn] = Map(
     "text_bm25_topk" -> (textBm25TopK _),
-    "text_bm25_index" -> (textBm25Index _),
-    "text_tfidf_terms" -> (textTfidfTerms _))
+    "text_bm25_index" -> (textBm25Index _))
 
   /** Shared SQL fragments: the house tokenizer twin and the BM25 CTE
     * chain (used by both bm25 oracles — the index query is defined to
@@ -96,19 +91,5 @@ object RetrievalQueries extends QueryFamily {
 
   override def oracles: Map[String, String] = Map(
     "text_bm25_topk" -> bm25Sql,
-    "text_bm25_index" -> bm25Sql,
-    "text_tfidf_terms" ->
-      s"""WITH $toksCte,
-         |tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY doc_id, tok),
-         |dfs AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok),
-         |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
-         |scored AS (SELECT tf.doc_id, tf.tok,
-         |    tf.tf * LEAST((1000000 * (s.n + 1)) // (d.df + 1), 1000000000000) AS score_ppm
-         |  FROM tf JOIN dfs d ON d.tok = tf.tok CROSS JOIN stats s)
-         |SELECT doc_id, tok AS term, CAST(score_ppm AS BIGINT) AS score_ppm, rank FROM (
-         |  SELECT doc_id, tok, score_ppm,
-         |    CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score_ppm DESC, tok) AS INT) AS rank
-         |  FROM scored)
-         |WHERE rank <= 3
-         |ORDER BY doc_id, rank""".stripMargin)
+    "text_bm25_index" -> bm25Sql)
 }

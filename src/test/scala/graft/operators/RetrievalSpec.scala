@@ -4,9 +4,9 @@ import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
 
-/** Retrieval family: BM25 / TF-IDF fixed-point scoring vs a direct
-  * Scala re-implementation of the documented rational-arithmetic
-  * contract, index round-trip parity, and the pushdown plan shape. */
+/** Retrieval family: BM25 fixed-point scoring vs a direct Scala
+  * re-implementation of the documented rational-arithmetic contract,
+  * index round-trip parity, and the pushdown plan shape. */
 class RetrievalSpec extends SparkSpec {
   import spark.implicits._
 
@@ -106,29 +106,6 @@ class RetrievalSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters: [In(tok, [alpha,beta])]")
       || plan.contains("In(tok, [alpha,beta])"), plan)
-    graft.CacheScope.releaseAll()
-  }
-
-  test("tfidfTerms top terms equal the brute-force smoothed-idf ranking") {
-    val corpus = randomCorpus(3, 50)
-    val toks = corpus.map { case (id, t) =>
-      id -> t.split(" ").toSeq
-    }
-    val n = corpus.size.toLong
-    val dfOf = toks.flatMap(_._2.distinct).groupBy(identity)
-      .map { case (t, xs) => t -> xs.size.toLong }
-    val want = toks.flatMap { case (id, ts) =>
-      ts.groupBy(identity).toSeq
-        .map { case (t, xs) =>
-          val idf = math.min((1000000L * (n + 1)) / (dfOf(t) + 1), 1000000000000L)
-          (id, t, xs.size.toLong * idf)
-        }
-        .sortBy { case (_, t, s) => (-s, t) }.take(2).zipWithIndex
-        .map { case ((i, t, s), r) => (i, t, s, r + 1) }
-    }.sortBy(r => (r._1, r._4))
-    val got = Retrieval.tfidfTerms(corpus.toDF("doc_id", "text"), "doc_id", "text", k = 2)
-      .as[(Long, String, Long, Int)].collect().sortBy(r => (r._1, r._4)).toSeq
-    assert(got == want)
     graft.CacheScope.releaseAll()
   }
 

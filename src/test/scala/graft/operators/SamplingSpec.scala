@@ -114,6 +114,42 @@ class SamplingSpec extends SparkSpec {
     assert(out == Set(("a", 2L, 900L), ("a", 3L, 1500L)))
   }
 
+  test("budgetEpochs: matches an integer brute-force replay; never overspends") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260813)
+    for (trial <- 1 to 5) {
+      val n = 3 + rnd.nextInt(8)
+      val tokens = (0 until n).map(i => (s"s$i", 100L + rnd.nextInt(5000)))
+      val weights = (0 until n).map(i => (s"s$i", 1L + rnd.nextInt(30)))
+      val budget = 50L + rnd.nextInt(20000)
+      val maxEpochs = 1 + rnd.nextInt(3)
+      // direct transcription of the documented two-round allocation
+      val w = weights.toMap
+      val totW = weights.map(_._2).sum
+      val r1 = tokens.map { case (s, t) =>
+        val cap = maxEpochs * t
+        (s, t, math.min(budget * w(s) / totW, cap), cap)
+      }
+      val a1 = r1.map(_._3).sum
+      val w2 = r1.collect { case (s, _, al, cap) if al < cap => w(s) }.sum
+      val want = r1.map { case (s, t, al, cap) =>
+        val fin = if (al < cap && w2 > 0)
+          math.min(al + (budget - a1) * w(s) / w2, cap) else al
+        (s, t, w(s), fin, 1000000L * fin / t, fin == cap)
+      }.sortBy(_._1)
+      val got = Sampling.budgetEpochs(
+        tokens.toDF("source", "tokens"), weights.toDF("source", "weight"),
+        budget, maxEpochs)
+        .as[(String, Long, Long, Long, Long, Boolean)]
+        .collect().sortBy(_._1).toSeq
+      assert(got == want, s"trial $trial: $got vs $want")
+      assert(got.map(_._4).sum <= budget, s"trial $trial overspent the budget")
+      assert(got.forall(r => r._4 <= maxEpochs * r._2),
+        s"trial $trial violated the epoch cap")
+    }
+    graft.CacheScope.releaseAll()
+  }
+
   test("temperatureMix: per-stratum keep rate is floor(1000*sqrt(cmin/ci)) permille") {
     // planted strata: A=400 docs, B=100, C=25 -> cmin=25
     // thr_A = floor(1000*sqrt(25/400)) = 250, thr_B = 500, thr_C = 1000
