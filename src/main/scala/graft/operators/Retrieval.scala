@@ -142,6 +142,50 @@ object Retrieval {
   }
 
   /**
+   * Positional phrase search: docs containing the exact consecutive
+   * token sequence `phrase`, with occurrence counts — the positional-
+   * index intersection every search engine runs for quoted queries
+   * (and the retrieval-shaped cousin of [[Ngrams.decontaminate]]'s
+   * n-gram matching).
+   *
+   * Scale shape: the token stream is filtered to the phrase's terms
+   * BEFORE anything shuffles (the same collect-and-push contract as
+   * [[bm25TopK]]'s query terms), so the m-way positional self-join
+   * intersects per-term position lists, not the corpus: each join key
+   * is (doc, pos−offset) over pre-filtered streams. The filtered
+   * stream is scope-persisted so the text is scanned once, not once
+   * per phrase term. No window over the full corpus — the
+   * lead()-window alternative ([[Ngrams.wordNgrams]]) shuffles every
+   * token; this shape shuffles only positions of the m phrase terms.
+   */
+  def phraseSearch(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.size >= 2 && phrase.size <= 8,
+      s"phrase must have 2..8 tokens: $phrase")
+    require(phrase.forall(t => t.nonEmpty && t.matches("[a-z0-9]+")),
+      s"phrase terms must be house-tokenizer tokens (lowercase alnum): $phrase")
+    val toks = graft.CacheScope.scoped(
+      docs.select(col(idCol).cast("long").as("doc_id"),
+        posexplode(Dedup.tokens(col(textCol))))
+        .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("tok"))
+        .filter(col("tok").isin(phrase.distinct: _*)))
+    val anchor = toks.filter(col("tok") === phrase.head)
+      .select(col("doc_id"), col("pos"))
+    phrase.zipWithIndex.drop(1)
+      .foldLeft(anchor) { case (acc, (term, i)) =>
+        acc.join(
+          toks.filter(col("tok") === term)
+            .select(col("doc_id"), (col("pos") - i).as("pos")),
+          Seq("doc_id", "pos"))
+      }
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_occurrences"))
+  }
+
+  /**
    * Persist the inverted index under `dir` — the Lucene-segment analog
    * as parquet:
    *

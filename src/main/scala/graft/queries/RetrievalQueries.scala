@@ -50,9 +50,21 @@ object RetrievalQueries extends QueryFamily {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Quoted-phrase workload: a trigram with hits at ALL three fixture
+    * SFs (5 / 1 / 7 occurrences at sf0.001/0.01/0.1), so no SF's
+    * verification degenerates to an empty result. Multiplicity within
+    * one doc is covered by RetrievalSpec's overlap cases. */
+  private val phrase = Seq("order", "fast", "window")
+
+  /** Exact positional phrase search with occurrence counts. */
+  def textPhraseSearch(spark: SparkSession, dir: String): DataFrame =
+    Retrieval.phraseSearch(Tables.documents(spark, dir), "doc_id", "text", phrase)
+      .orderBy(col("doc_id"))
+
   override def queries: Map[String, QueryFn] = Map(
     "text_bm25_topk" -> (textBm25TopK _),
-    "text_bm25_index" -> (textBm25Index _))
+    "text_bm25_index" -> (textBm25Index _),
+    "text_phrase_search" -> (textPhraseSearch _))
 
   /** Shared SQL fragments: the house tokenizer twin and the BM25 CTE
     * chain (used by both bm25 oracles — the index query is defined to
@@ -91,5 +103,19 @@ object RetrievalQueries extends QueryFamily {
 
   override def oracles: Map[String, String] = Map(
     "text_bm25_topk" -> bm25Sql,
-    "text_bm25_index" -> bm25Sql)
+    "text_bm25_index" -> bm25Sql,
+    "text_phrase_search" -> {
+      val joins = phrase.zipWithIndex.drop(1).map { case (t, i) =>
+        s"JOIN t t$i ON t$i.doc_id = t0.doc_id AND t$i.pos = t0.pos + $i AND t$i.tok = '$t'"
+      }.mkString("\n")
+      s"""WITH t AS (SELECT doc_id,
+         |    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)) AS tok,
+         |    unnest(range(1, len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)) + 1)) AS pos
+         |  FROM documents)
+         |SELECT t0.doc_id, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+         |FROM t t0
+         |$joins
+         |WHERE t0.tok = '${phrase.head}'
+         |GROUP BY t0.doc_id ORDER BY t0.doc_id""".stripMargin
+    })
 }

@@ -109,6 +109,44 @@ class RetrievalSpec extends SparkSpec {
     graft.CacheScope.releaseAll()
   }
 
+  test("phraseSearch counts consecutive-token matches, including overlaps") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma alpha beta gamma"), // 2 occurrences
+      (2L, "alpha beta"),                        // prefix only, no gamma
+      (3L, "beta gamma alpha"),                  // wrong order
+      (4L, "alpha alpha alpha"),                 // overlap case for 'alpha alpha'
+      (5L, "x alpha beta gamma y"))              // 1, mid-doc
+    val got = Retrieval.phraseSearch(corpus.toDF("doc_id", "text"),
+      "doc_id", "text", Seq("alpha", "beta", "gamma"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 2L, 5L -> 1L))
+    val overlap = Retrieval.phraseSearch(corpus.toDF("doc_id", "text"),
+      "doc_id", "text", Seq("alpha", "alpha"))
+      .as[(Long, Long)].collect().toMap
+    assert(overlap == Map(4L -> 2L))
+    graft.CacheScope.releaseAll()
+  }
+
+  test("phraseSearch equals a brute-force sliding-window count on random corpora") {
+    val rnd = new scala.util.Random(7)
+    val corpus = (0 until 80).map { i =>
+      // tiny vocab → phrases actually recur
+      val words = (0 until 5 + rnd.nextInt(25)).map(_ => vocab(rnd.nextInt(4)))
+      (i.toLong, words.mkString(" "))
+    }
+    val phrase = Seq("alpha", "beta")
+    val want = corpus.flatMap { case (id, t) =>
+      val ts = t.split(" ").toSeq
+      val n = ts.sliding(2).count(_ == phrase)
+      if (n > 0) Some(id -> n.toLong) else None
+    }.toMap
+    val got = Retrieval.phraseSearch(corpus.toDF("doc_id", "text"),
+      "doc_id", "text", phrase)
+      .as[(Long, Long)].collect().toMap
+    assert(got == want)
+    graft.CacheScope.releaseAll()
+  }
+
   test("repeated query terms count once (bag-of-words query model)") {
     val corpus = Seq((1L, "alpha alpha beta"), (2L, "alpha gamma"))
     val once = Retrieval.bm25TopK(corpus.toDF("doc_id", "text"), "doc_id", "text",
