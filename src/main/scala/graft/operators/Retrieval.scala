@@ -33,11 +33,14 @@ import org.apache.spark.sql.functions._
  * Per-(query, doc) score = Σ termScore over matched terms — an integer
  * sum, so partial-aggregation order cannot change a bit.
  *
- * Overflow envelope (documented, [[Anomaly]]-style): tfp ≤ 2.2e6;
- * the idf numerator tfp·(2N+1) stays under 2^63 for N ≤ 2e12 docs —
- * comfortably past a 100 TB corpus. tfp's own numerator
- * 22000000·tf·avgdl needs tf·avgdl < 4.2e11, i.e. holds for any
- * realistic doc (tf ≤ len ≤ ~1e6 tokens, avgdl ≤ ~4e5); `require`s
+ * Overflow envelope (documented, [[Anomaly]]-style): tfp ≤ 2.2e6, so a
+ * single term_score ≤ tfp·(2N+1) < 2^63 up to N ≈ 2e12 docs — but the
+ * binding bound is the per-(query, doc) SUM over the m matched query
+ * terms: m·2.2e6·(2N+1) < 2^63 needs N ≲ 2.6e11 docs at m = 8 query
+ * terms (still comfortably past a 100 TB corpus, ~1e11 docs; for a
+ * larger corpus, bound m or drop the ppm scale a decimal). tfp's own
+ * numerator 22000000·tf·avgdl needs tf·avgdl < 4.2e11, which holds for
+ * any realistic doc (tf ≤ len ≤ ~1e6 tokens, avgdl ≤ ~4e5); `require`s
  * guard nothing here because both are per-doc token counts bounded by
  * the corpus's own doc lengths, not parameters.
  *
@@ -67,13 +70,17 @@ object Retrieval {
   private def stats(b: DataFrame): DataFrame =
     b.agg(count(lit(1)).as("n"), sum(col("len")).as("l"))
 
-  /** Posting list restricted to `terms`: (`doc_id`, `tok`, `tf`, `len`).
-    * The isin filter runs before the explode's output is shuffled. */
-  private def postingsFor(b: DataFrame, terms: Seq[String]): DataFrame =
-    b.select(col("doc_id"), col("len"), explode(col("__toks")).as("tok"))
-      .filter(col("tok").isin(terms: _*))
+  /** Posting build shared by the query path (term-filtered: the isin
+    * runs before the explode's output is shuffled) and [[writeIndex]]
+    * (full vocabulary) — ONE definition of (`doc_id`, `tok`, `tf`,
+    * `len`), so the two paths cannot drift apart and break the
+    * spec-pinned serve/direct bit-equality. */
+  private def postingsFor(b: DataFrame, terms: Option[Seq[String]]): DataFrame = {
+    val toks = b.select(col("doc_id"), col("len"), explode(col("__toks")).as("tok"))
+    terms.fold(toks)(ts => toks.filter(col("tok").isin(ts: _*)))
       .groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("tf"), max(col("len")).as("len"))
+  }
 
   /** The shared scoring tail: postings (already ⊇ the query terms,
     * shape `doc_id, tok, tf, len`) + 1-row stats + (`query_id`, `term`)
@@ -125,15 +132,17 @@ object Retrieval {
       k: Int = 10): DataFrame = {
     val b = base(docs, idCol, textCol)
     val terms = queryTerms(queries)
-    bm25Serve(postingsFor(b, terms), stats(b),
+    bm25Serve(postingsFor(b, Some(terms)), stats(b),
       queries.dropDuplicates("query_id", "term"), k)
   }
 
   /** Collect the distinct query-term set (bounded: a query workload,
-    * never corpus data) for scan-level pushdown. */
+    * never corpus data) for scan-level pushdown. Sorted so the pushed
+    * `In` filter — and therefore the physical plan — is deterministic
+    * regardless of shuffle-partition hashing of the distinct. */
   private def queryTerms(queries: DataFrame): Seq[String] = {
     val terms = queries.select(col("term")).distinct()
-      .collect().map(_.getString(0)).toSeq
+      .collect().map(_.getString(0)).toSeq.sorted
     require(terms.nonEmpty, "queries must carry at least one term")
     require(terms.size <= 10000,
       s"query term set too large to broadcast-push (${terms.size}); " +
@@ -212,9 +221,7 @@ object Retrieval {
     try {
       b.select(col("doc_id"), col("len"))
         .write.mode("overwrite").parquet(s"$dir/norms")
-      val full = b.select(col("doc_id"), col("len"), explode(col("__toks")).as("tok"))
-        .groupBy(col("doc_id"), col("tok"))
-        .agg(count(lit(1)).as("tf"), max(col("len")).as("len"))
+      val full = postingsFor(b, None)
       val parts = if (numPartitions > 0) full.repartition(numPartitions, col("tok"))
                   else full.repartition(col("tok"))
       parts.sortWithinPartitions(col("tok"), col("doc_id"))

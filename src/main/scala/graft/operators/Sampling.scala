@@ -241,6 +241,11 @@ object Sampling {
    * broadcast arithmetic on that small frame. The multi-consumer base
    * (feeds both the totals aggregate and the final projection) is
    * scope-persisted so the upstream corpus aggregate runs once.
+   *
+   * Empty sources are dropped up front (tokens ≤ 0): there is nothing
+   * to allocate to them, and keeping them would make `epochs_ppm` a
+   * 0-divisor — which Spark (non-ANSI) nulls but a strict SQL engine
+   * rejects, so the drop also keeps the oracle replayable.
    */
   def budgetEpochs(
       sourceTokens: DataFrame,
@@ -253,7 +258,8 @@ object Sampling {
     val base = graft.CacheScope.scoped(
       sourceTokens.join(weights, "source")
         .select(col("source"), col("tokens").cast("long").as("tokens"),
-          col("weight").cast("long").as("weight")))
+          col("weight").cast("long").as("weight"))
+        .filter(col("tokens") > 0))
     val totals = base.agg(sum(col("weight")).as("__w"))
     val r1 = base.crossJoin(broadcast(totals))
       .withColumn("cap", expr(s"$maxEpochs * tokens"))

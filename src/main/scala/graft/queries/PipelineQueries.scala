@@ -259,10 +259,14 @@ object PipelineQueries extends QueryFamily {
     * (one scalar), like the clustering model state. */
   def mixBudgetEpochs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val srcTokens = Tables.documents(spark, dir)
-      .select(col("source"),
-        size(Dedup.tokens(col("text"))).cast("long").as("__len"))
-      .groupBy(col("source")).agg(sum(col("__len")).as("tokens"))
+    // scoped persist BEFORE the budget collect: the collect materializes
+    // the per-source aggregate into the cache, so the planner's join
+    // reuses it instead of re-running the corpus tokenize+aggregate
+    val srcTokens = graft.CacheScope.scoped(
+      Tables.documents(spark, dir)
+        .select(col("source"),
+          size(Dedup.tokens(col("text"))).cast("long").as("__len"))
+        .groupBy(col("source")).agg(sum(col("__len")).as("tokens")))
     val weights = (0 until 20).map(i => (s"src$i", (i + 1).toLong))
       .toDF("source", "weight")
     val total = srcTokens.agg(sum(col("tokens"))).collect()(0).getLong(0)
@@ -748,7 +752,8 @@ object PipelineQueries extends QueryFamily {
          |b AS (SELECT CAST(2 * SUM(tokens) AS BIGINT) AS budget FROM lens),
          |w(source, weight) AS (VALUES $weightValues),
          |base AS (SELECT l.source, l.tokens, CAST(w.weight AS BIGINT) AS weight
-         |         FROM lens l JOIN w ON w.source = l.source),
+         |         FROM lens l JOIN w ON w.source = l.source
+         |         WHERE l.tokens > 0),
          |t AS (SELECT CAST(SUM(weight) AS BIGINT) AS tw FROM base),
          |r1 AS (SELECT base.source, base.tokens, base.weight,
          |    CAST(2 * base.tokens AS BIGINT) AS cap,

@@ -44,7 +44,12 @@ object RetrievalQueries extends QueryFamily {
     * path end-to-end; bit-equality with `text_bm25_topk` means one
     * oracle covers both. */
   def textBm25Index(spark: SparkSession, dir: String): DataFrame = {
-    val idx = java.nio.file.Files.createTempDirectory("graft-bm25-idx").toString
+    // fixed per-fixture location + overwrite mode: repeated runs (bench
+    // passes, multi-SF verification) rebuild in place instead of leaking
+    // a corpus-sized index copy per invocation
+    val idx = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft-bm25-idx-" + java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString).toString
     Retrieval.writeIndex(Tables.documents(spark, dir), "doc_id", "text", idx)
     Retrieval.searchIndex(spark, idx, workloadDf(spark), k = 10)
       .orderBy(col("query_id"), col("rank"))
@@ -68,7 +73,12 @@ object RetrievalQueries extends QueryFamily {
 
   /** Shared SQL fragments: the house tokenizer twin and the BM25 CTE
     * chain (used by both bm25 oracles — the index query is defined to
-    * be bit-equal to the direct one). */
+    * be bit-equal to the direct one). Note the stats CTE aggregates
+    * over `documents` directly, NOT over the unnested token stream:
+    * Spark's corpus stats count every doc row, and a zero-token doc
+    * would vanish from an unnest-derived count (the lens CTE is only
+    * ever joined for docs that carry a query term, so its derivation
+    * from toks is safe). */
   private val toksCte =
     """toks AS (SELECT doc_id,
       |  unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)) AS tok
@@ -77,7 +87,9 @@ object RetrievalQueries extends QueryFamily {
   private def bm25Sql: String =
     s"""WITH $toksCte,
        |lens AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS len FROM toks GROUP BY doc_id),
-       |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(len) AS BIGINT) AS l FROM lens),
+       |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0))) AS BIGINT) AS l
+       |  FROM documents),
        |a AS (SELECT n, l // n AS avgdl FROM stats),
        |q(query_id, term) AS (VALUES $workloadSqlValues),
        |tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM toks

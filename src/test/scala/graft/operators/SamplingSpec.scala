@@ -150,6 +150,18 @@ class SamplingSpec extends SparkSpec {
     graft.CacheScope.releaseAll()
   }
 
+  test("budgetEpochs: empty sources are dropped, not divided by") {
+    import spark.implicits._
+    val out = Sampling.budgetEpochs(
+      Seq(("a", 100L), ("b", 0L)).toDF("source", "tokens"),
+      Seq(("a", 1L), ("b", 5L)).toDF("source", "weight"),
+      budget = 1000L, maxEpochs = 2)
+      .as[(String, Long, Long, Long, Long, Boolean)].collect().toSeq
+    // 'b' is gone; 'a' takes its cap (its own weight is the whole pool)
+    assert(out == Seq(("a", 100L, 1L, 200L, 2000000L, true)))
+    graft.CacheScope.releaseAll()
+  }
+
   test("temperatureMix: per-stratum keep rate is floor(1000*sqrt(cmin/ci)) permille") {
     // planted strata: A=400 docs, B=100, C=25 -> cmin=25
     // thr_A = floor(1000*sqrt(25/400)) = 250, thr_B = 500, thr_C = 1000
