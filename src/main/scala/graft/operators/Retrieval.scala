@@ -214,19 +214,57 @@ object Retrieval {
       textCol: String,
       dir: String,
       numPartitions: Int = 0): Unit = {
+    // writeIndex means THE WHOLE index: clear any prior segment layout
+    // first, or a rebuild over an incrementally-maintained (or
+    // differently-segmented) index would leave stale segments mixed in
+    // — per-segment overwrite only replaces batch=0.
+    val spark = docs.sparkSession
+    val conf = spark.sessionState.newHadoopConf()
+    Seq(s"$dir/postings", s"$dir/norms").foreach { p =>
+      val path = new org.apache.hadoop.fs.Path(p)
+      path.getFileSystem(conf).delete(path, true)
+    }
+    writeIndexSegment(docs, idCol, textCol, dir, "batch=0", numPartitions)
+  }
+
+  /**
+   * One index SEGMENT (`<dir>/postings/<segment>/` +
+   * `<dir>/norms/<segment>/`) — the unit of incremental maintenance.
+   * [[writeIndex]] is the single-segment special case; the streaming
+   * twin ([[graft.streaming.CorpusStream.indexDocsStream]]) writes one
+   * segment per micro-batch. Because postings are (doc, term)-local and
+   * corpus docs are immutable append-only, a new doc's postings never
+   * touch an existing segment: maintenance is pure append — no merge,
+   * no standing-segment read (the Lucene-segment model, minus merges).
+   * Per-term df and corpus stats are deliberately NOT stored — they go
+   * stale on every append; [[searchIndex]] derives them at serve time
+   * from the segment union. Segment names are hive-style `batch=<id>`
+   * so the parent-directory read partition-discovers them, and
+   * `overwrite` on the segment path makes a same-id replay idempotent
+   * (the [[graft.streaming.CorpusStream.appendShards]] recipe).
+   */
+  def writeIndexSegment(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      dir: String,
+      segment: String,
+      numPartitions: Int = 0): Unit = {
+    require(segment.matches("batch=\\d+"),
+      s"segment must be hive-style batch=<id> for partition discovery: $segment")
     // two writes = two jobs; persist the tokenized base across them so
-    // the text is scanned once. writeIndex is eager, so unlike the query
-    // paths it can own the cache lifetime directly.
+    // the text is scanned once. Index writes are eager, so unlike the
+    // query paths they can own the cache lifetime directly.
     val b = base(docs, idCol, textCol).persist()
     try {
       b.select(col("doc_id"), col("len"))
-        .write.mode("overwrite").parquet(s"$dir/norms")
+        .write.mode("overwrite").parquet(s"$dir/norms/$segment")
       val full = postingsFor(b, None)
       val parts = if (numPartitions > 0) full.repartition(numPartitions, col("tok"))
                   else full.repartition(col("tok"))
       parts.sortWithinPartitions(col("tok"), col("doc_id"))
         .select(col("tok"), col("doc_id"), col("tf"), col("len"))
-        .write.mode("overwrite").parquet(s"$dir/postings")
+        .write.mode("overwrite").parquet(s"$dir/postings/$segment")
     } finally b.unpersist()
   }
 

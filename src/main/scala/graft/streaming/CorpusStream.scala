@@ -113,6 +113,34 @@ object CorpusStream {
       }
       .start()
 
+  /**
+   * Continuous inverted-index maintenance — the streaming twin of
+   * [[graft.operators.Retrieval.writeIndex]]: each micro-batch of newly
+   * ingested documents lands its own posting + norm segment via
+   * [[graft.operators.Retrieval.writeIndexSegment]], with the
+   * [[appendShards]] exactly-once recipe (checkpointed batch ids +
+   * idempotent per-segment overwrite). No standing segment is read or
+   * merged — corpus docs are immutable append-only, so index
+   * maintenance is pure segment append, and
+   * [[graft.operators.Retrieval.searchIndex]] over the parent dir
+   * serves the up-to-date union with df/corpus stats derived fresh at
+   * serve time. CorpusStreamSpec pins bit-equality between serving the
+   * streamed segments and a from-scratch batch index.
+   */
+  def indexDocsStream(
+      streaming: DataFrame,
+      idCol: String,
+      textCol: String,
+      dir: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    streaming.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.operators.Retrieval.writeIndexSegment(
+          batch, idCol, textCol, dir, s"batch=$batchId")
+      }
+      .start()
+
   /** Quality gate + digest + dedup. The admitted CORPUS (the digest
     * set) is identical on the streaming and batch paths; which doc_id
     * survives per digest is first-arrival in streaming and unspecified

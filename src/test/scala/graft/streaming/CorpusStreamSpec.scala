@@ -54,6 +54,55 @@ class CorpusStreamSpec extends SparkSpec {
     assert(rewritten.toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("indexDocsStream: streamed segments serve bit-equal to a batch index; replay idempotent") {
+    val base = java.nio.file.Files.createTempDirectory("graft-idx-stream").toString
+    val in = s"$base/in"; val idx = s"$base/idx"; val ckpt = s"$base/ckpt"
+    val rows = Seq(
+      (1L, "alpha beta alpha gamma delta words here", "en", "s", 39L),
+      (2L, "beta beta gamma something else entirely", "en", "s", 39L),
+      (3L, "alpha delta delta delta and a tail", "en", "s", 34L),
+      (4L, "gamma alpha beta beta beta closing doc", "en", "s", 38L))
+    rows.grouped(2).zipWithIndex.foreach { case (slice, i) =>
+      slice.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.parquet(s"$in/slice$i")
+      new java.io.File(s"$in/slice$i").listFiles()
+        .foreach(_.setLastModified(1000000L * (i + 1)))
+    }
+    val q = CorpusStream.indexDocsStream(
+      spark.readStream.schema(CorpusStream.docSchema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$in/slice*"),
+      "doc_id", "text", idx, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    val segs = new java.io.File(s"$idx/postings").listFiles()
+      .filter(_.getName.startsWith("batch=")).map(_.getName).sorted
+    assert(segs.length >= 2, s"expected one segment per micro-batch: ${segs.toSeq}")
+
+    val queries = Seq(1 -> "alpha", 1 -> "delta", 2 -> "beta").toDF("query_id", "term")
+    val batchIdx = s"$base/batchIdx"
+    graft.operators.Retrieval.writeIndex(
+      rows.toDF("doc_id", "text", "lang", "source", "n_chars"),
+      "doc_id", "text", batchIdx)
+    val servedStream = graft.operators.Retrieval
+      .searchIndex(spark, idx, queries, k = 10)
+      .orderBy("query_id", "rank").collect().toSeq
+    val servedBatch = graft.operators.Retrieval
+      .searchIndex(spark, batchIdx, queries, k = 10)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(servedStream.nonEmpty)
+    assert(servedStream == servedBatch)
+
+    // replaying a segment (same id, same docs) changes nothing — the
+    // overwrite recipe is what makes a crashed-and-replayed batch safe
+    graft.operators.Retrieval.writeIndexSegment(
+      rows.take(2).toDF("doc_id", "text", "lang", "source", "n_chars"),
+      "doc_id", "text", idx, segment = segs.head)
+    val replayed = graft.operators.Retrieval
+      .searchIndex(spark, idx, queries, k = 10)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(replayed == servedStream)
+    graft.CacheScope.releaseAll()
+  }
+
   test("streaming semantic admission: near-dups of standing OR earlier-admitted vectors rejected") {
     val base = java.nio.file.Files.createTempDirectory("graft-emb-stream").toString
     val in = s"$base/in"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
