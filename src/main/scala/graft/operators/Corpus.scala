@@ -68,17 +68,25 @@ object Corpus {
       edges: DataFrame,
       idCol: String,
       valSixteenths: Int = 2,
-      splitCol: String = "split"): DataFrame = {
+      splitCol: String = "split",
+      componentCol: String = "component"): DataFrame = {
     // CC columns under reserved names BEFORE the join: a bare
     // drop("id")/col("component") would capture (or collide with) the
-    // caller's own columns of those names
+    // caller's own columns of those names. Output columns must not
+    // silently replace caller data either — a dedup-pipeline input
+    // plausibly already carries a 'component' from a prior labeling, so
+    // both output names are parameters and clobbering is an error.
+    Seq(splitCol, componentCol).foreach { c =>
+      require(!df.columns.contains(c),
+        s"input already has a '$c' column; pass a different output name")
+    }
     val comps = Components.connectedComponents(edges)
       .select(col("id").as("__cc_id"), col("component").as("__cc_comp"))
     df.join(comps, df(idCol) === comps("__cc_id"), "left")
-      .withColumn("component", coalesce(col("__cc_comp"), col(idCol)))
+      .withColumn(componentCol, coalesce(col("__cc_comp"), col(idCol)))
       .drop("__cc_id", "__cc_comp")
       .withColumn(splitCol,
-        splitByMd5(col("component").cast("string"), valSixteenths))
+        splitByMd5(col(componentCol).cast("string"), valSixteenths))
   }
 
   /**

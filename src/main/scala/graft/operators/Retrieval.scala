@@ -255,16 +255,23 @@ object Retrieval {
     // two writes = two jobs; persist the tokenized base across them so
     // the text is scanned once. Index writes are eager, so unlike the
     // query paths they can own the cache lifetime directly.
+    //
+    // WRITE ORDER IS THE COMMIT PROTOCOL: postings first, norms last —
+    // the norm segment's _SUCCESS is the segment's commit marker, and
+    // [[searchIndex]] serves only norm-committed segments. A serve
+    // racing an append therefore sees either the full segment or none
+    // of it, never postings without stats (or vice versa), which would
+    // silently shift every BM25 score off the scoring contract.
     val b = base(docs, idCol, textCol).persist()
     try {
-      b.select(col("doc_id"), col("len"))
-        .write.mode("overwrite").parquet(s"$dir/norms/$segment")
       val full = postingsFor(b, None)
       val parts = if (numPartitions > 0) full.repartition(numPartitions, col("tok"))
                   else full.repartition(col("tok"))
       parts.sortWithinPartitions(col("tok"), col("doc_id"))
         .select(col("tok"), col("doc_id"), col("tf"), col("len"))
         .write.mode("overwrite").parquet(s"$dir/postings/$segment")
+      b.select(col("doc_id"), col("len"))
+        .write.mode("overwrite").parquet(s"$dir/norms/$segment")
     } finally b.unpersist()
   }
 
@@ -272,16 +279,34 @@ object Retrieval {
     * in `PushedFilters` on the postings scan (RetrievalSpec asserts
     * it), so only the queried posting lists' row groups are read —
     * the corpus text is never touched. Bit-for-bit equal to
-    * [[bm25TopK]] over the same corpus. */
+    * [[bm25TopK]] over the same corpus.
+    *
+    * Only COMMITTED segments are served (those whose norm segment
+    * carries `_SUCCESS` — the [[writeIndexSegment]] commit marker,
+    * enforced here as a partition-pruning filter on `batch`), so a
+    * serve racing a streaming append sees a consistent corpus view:
+    * postings, norms and the derived df/avgdl always describe the same
+    * doc set. */
   def searchIndex(
       spark: SparkSession,
       dir: String,
       queries: DataFrame,
       k: Int = 10): DataFrame = {
     val terms = queryTerms(queries)
+    val conf = spark.sessionState.newHadoopConf()
+    val normsPath = new org.apache.hadoop.fs.Path(s"$dir/norms")
+    val fs = normsPath.getFileSystem(conf)
+    require(fs.exists(normsPath), s"no index under $dir")
+    val committed = fs.listStatus(normsPath).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch=") &&
+        fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
+      .map(_.getPath.getName.stripPrefix("batch=").toLong)
+    require(committed.nonEmpty, s"no committed index segments under $dir")
     val postings = spark.read.parquet(s"$dir/postings")
+      .filter(col("batch").isin(committed: _*))
       .filter(col("tok").isin(terms: _*))
     val norms = spark.read.parquet(s"$dir/norms")
+      .filter(col("batch").isin(committed: _*))
     bm25Serve(postings, norms.agg(count(lit(1)).as("n"), sum(col("len")).as("l")),
       queries.dropDuplicates("query_id", "term"), k)
   }

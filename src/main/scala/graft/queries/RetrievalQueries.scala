@@ -44,12 +44,16 @@ object RetrievalQueries extends QueryFamily {
     * path end-to-end; bit-equality with `text_bm25_topk` means one
     * oracle covers both. */
   def textBm25Index(spark: SparkSession, dir: String): DataFrame = {
-    // fixed per-fixture location + overwrite mode: repeated runs (bench
-    // passes, multi-SF verification) rebuild in place instead of leaking
-    // a corpus-sized index copy per invocation
+    // fixed per-(fixture, process) location + overwrite mode: repeated
+    // runs within a harness (bench passes, multi-SF verification)
+    // rebuild in place instead of leaking a corpus-sized index copy per
+    // invocation, while the pid suffix keeps two concurrent graft
+    // processes on the same fixture from deleting each other's index
+    // mid-read
     val idx = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
-      "graft-bm25-idx-" + java.security.MessageDigest.getInstance("MD5")
-        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString).toString
+      "graft-bm25-idx-" + ProcessHandle.current().pid() + "-" +
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString).toString
     Retrieval.writeIndex(Tables.documents(spark, dir), "doc_id", "text", idx)
     Retrieval.searchIndex(spark, idx, workloadDf(spark), k = 10)
       .orderBy(col("query_id"), col("rank"))

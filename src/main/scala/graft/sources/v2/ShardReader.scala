@@ -31,19 +31,10 @@ object ShardReader {
       spark: SparkSession, path: String): Seq[(String, Long)] = {
     val dir = new Path(path)
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
-    val mfPath = new Path(dir, "_MANIFEST")
+    val mfPath = new Path(dir, ShardManifest.FileName)
     require(fs.exists(mfPath),
-      s"no _MANIFEST under $path — nothing has been committed there")
-    val in = fs.open(mfPath)
-    val text = try {
-      new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
-        StandardCharsets.UTF_8)
-    } finally in.close()
-    text.linesIterator.filter(_.nonEmpty).map { line =>
-      val tab = line.indexOf('\t')
-      require(tab > 0, s"malformed manifest line in $mfPath: $line")
-      (line.substring(0, tab), line.substring(tab + 1).toLong)
-    }.toSeq
+      s"no ${ShardManifest.FileName} under $path — nothing has been committed there")
+    ShardManifest.read(fs, mfPath)
   }
 
   /** Read exactly the manifested shards under `path` with the given

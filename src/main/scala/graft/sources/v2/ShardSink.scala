@@ -181,22 +181,16 @@ private[v2] class ShardBatchWrite(
     // manifest — an overwrite here would make previously committed
     // shards vanish for them. Shard names are task-UUID-unique, so a
     // plain union is a well-defined merge; dropping names already
-    // present keeps a driver-retried commit idempotent.
-    val mfPath = new Path(target, "_MANIFEST")
-    val manifest = new StringBuilder
-    val existing = scala.collection.mutable.LinkedHashSet.empty[String]
-    if (f.exists(mfPath)) {
-      val in = f.open(mfPath)
-      val prior = try {
-        new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
-          StandardCharsets.UTF_8)
-      } finally in.close()
-      prior.linesIterator.filter(_.nonEmpty).foreach { line =>
-        existing.add(line.takeWhile(_ != '\t'))
-        manifest.append(line).append('\n')
-      }
-    }
-    messages.foreach { case ShardCommit(staged, rows) =>
+    // present keeps a driver-retried commit idempotent. Parsing is the
+    // shared STRICT ShardManifest (fail here rather than launder a
+    // corrupt line into every future manifest), and publication is its
+    // atomic staged-rename, so a crash mid-publish leaves the previous
+    // manifest — and with it every previously committed shard — intact.
+    val mfPath = new Path(target, ShardManifest.FileName)
+    val prior: Seq[(String, Long)] =
+      if (f.exists(mfPath)) ShardManifest.read(f, mfPath) else Nil
+    val existing = prior.map(_._1).toSet
+    val fresh = messages.toSeq.flatMap { case ShardCommit(staged, rows) =>
       val src = new Path(staged)
       val dst = new Path(target, src.getName)
       // A retried commit (or one resumed after a crash between the
@@ -207,12 +201,9 @@ private[v2] class ShardBatchWrite(
       // which is what makes the idempotency claim above actually hold.
       if (!f.rename(src, dst) && !(f.exists(dst) && !f.exists(src)))
         throw new java.io.IOException(s"commit rename failed: $src -> $dst")
-      if (!existing.contains(src.getName))
-        manifest.append(s"${src.getName}\t$rows\n")
+      if (existing.contains(src.getName)) None else Some((src.getName, rows))
     }
-    val mf = f.create(mfPath, true)
-    try mf.write(manifest.toString.getBytes(StandardCharsets.UTF_8))
-    finally mf.close()
+    ShardManifest.writeAtomic(conf.value, f, mfPath, prior ++ fresh)
     f.delete(stagingDir, true)
   }
 

@@ -97,6 +97,30 @@ class RetrievalSpec extends SparkSpec {
     graft.CacheScope.releaseAll()
   }
 
+  test("serve ignores uncommitted segments (postings written, norms marker absent)") {
+    val corpus = randomCorpus(11, 40)
+    val df = corpus.toDF("doc_id", "text")
+    val queries = Seq(1 -> "alpha", 1 -> "beta").toDF("query_id", "term")
+    val dir = java.nio.file.Files.createTempDirectory("bm25torn").toString
+    Retrieval.writeIndex(df, "doc_id", "text", dir)
+    val before = Retrieval.searchIndex(spark, dir, queries, k = 10)
+      .orderBy("query_id", "rank").collect().toSeq
+
+    // simulate a crash mid-append: segment batch=9's postings landed but
+    // its norm marker did not — the serve must see the PRE-append corpus
+    val extra = Seq((900L, "alpha alpha beta alpha"), (901L, "beta beta"))
+      .toDF("doc_id", "text")
+    Retrieval.writeIndexSegment(extra, "doc_id", "text", dir, "batch=9")
+    val fs = new java.io.File(s"$dir/norms/batch=9")
+    assert(fs.exists)
+    new java.io.File(fs, "_SUCCESS").delete()
+    val torn = Retrieval.searchIndex(spark, dir, queries, k = 10)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(torn == before,
+      "serve exposed a segment whose commit marker is missing")
+    graft.CacheScope.releaseAll()
+  }
+
   test("index serve pushes the term filter into the postings parquet scan") {
     val dir = java.nio.file.Files.createTempDirectory("bm25idx2").toString
     Retrieval.writeIndex(randomCorpus(5, 30).toDF("doc_id", "text"),

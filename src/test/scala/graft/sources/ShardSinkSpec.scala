@@ -69,6 +69,44 @@ class ShardSinkSpec extends SparkSpec {
     assert(spark.read.json(manifested: _*).count() == 3L)
   }
 
+  test("manifest publish is staged (no torn in-place rewrite); corruption fails fast, not laundered") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-shard-atomic").toString
+    def write(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").repartition(1)
+        .write.format("graft.sources.v2.ShardSink")
+        .option("path", dir).mode("append").save()
+
+    write(Seq((1L, "a")))
+    write(Seq((2L, "b")))
+    // staged-rename publication: the temp file never survives a commit
+    val leftovers = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.startsWith("_MANIFEST."))
+    assert(leftovers.isEmpty, s"staged manifest left behind: ${leftovers.toSeq}")
+
+    // plant a torn line (the crash artifact the staged rename prevents;
+    // simulate external corruption): the NEXT commit must refuse to
+    // merge it — strict parse — rather than copy it into every future
+    // manifest generation
+    val mf = new java.io.File(dir, "_MANIFEST")
+    val orig = scala.io.Source.fromFile(mf).mkString
+    java.nio.file.Files.writeString(mf.toPath, orig + "torn-line-no-tab")
+    // drop the local-FS checksum sidecar: we're simulating corruption of
+    // the manifest CONTENT (e.g. a torn write on a store without CRCs),
+    // not a checksum mismatch
+    new java.io.File(dir, "._MANIFEST.crc").delete()
+    val e = intercept[Exception] { write(Seq((3L, "c"))) }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    assert(chain(e).exists(_.contains("malformed manifest")), chain(e).toString)
+    // and the reader refuses the corrupt table too, with the same error
+    val e2 = intercept[Exception] {
+      ShardReader.read(spark, dir,
+        Seq((0L, "")).toDF("doc_id", "text").schema).collect()
+    }
+    assert(chain(e2).exists(_.contains("malformed manifest")), chain(e2).toString)
+  }
+
   test("ShardReader sees ONLY manifested shards: orphans and staging leftovers are invisible") {
     val dir = java.nio.file.Files.createTempDirectory("graft-shard-read").toString
     def write(rows: Seq[(Long, String)]): Unit =
