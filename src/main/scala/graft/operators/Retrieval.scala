@@ -235,7 +235,10 @@ object Retrieval {
    * segment per micro-batch. Because postings are (doc, term)-local and
    * corpus docs are immutable append-only, a new doc's postings never
    * touch an existing segment: maintenance is pure append — no merge,
-   * no standing-segment read (the Lucene-segment model, minus merges).
+   * no standing-segment read (the Lucene-segment model, minus merges;
+   * when micro-batch segments accumulate, a periodic OFFLINE
+   * [[writeIndex]] over the corpus IS the compaction — it clears the
+   * segment layout and rebuilds as one segment).
    * Per-term df and corpus stats are deliberately NOT stored — they go
    * stale on every append; [[searchIndex]] derives them at serve time
    * from the segment union. Segment names are hive-style `batch=<id>`

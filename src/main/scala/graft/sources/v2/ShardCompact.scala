@@ -1,0 +1,81 @@
+package graft.sources.v2
+
+import java.util.UUID
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types.StructType
+
+/**
+ * Atomic small-file compaction for [[ShardSink]] directories — the
+ * maintenance half every append-heavy table needs at scale: a streaming
+ * ingest lands one shard per micro-batch, and a year of micro-batches
+ * is hundreds of thousands of small files whose listing and per-file
+ * open costs dominate reads long before data volume does.
+ *
+ * Crash safety comes ENTIRELY from the existing manifest contract — at
+ * every instant `_MANIFEST` names a complete, self-consistent shard
+ * set, and files it does not name are invisible orphans to
+ * [[ShardReader]]:
+ *
+ *  1. the manifested rows are rewritten as `targetShards` consolidated
+ *     shards through the sink's own two-phase commit, into a scratch
+ *     subdirectory (its shards and manifest are not yet visible);
+ *  2. the new shards are renamed into the table directory (UUID names
+ *     cannot collide) — still orphans at this point;
+ *  3. ONE atomic manifest publish ([[ShardManifest.writeAtomic]])
+ *     switches readers from the old shard set to the new one;
+ *  4. old shards and scratch are deleted — best-effort cleanup of
+ *     what are now orphans; a crash anywhere before (3) leaves the old
+ *     table intact, after (3) the new one, never a mix.
+ *
+ * Same SEQUENTIAL single-writer discipline as append ([[ShardSink]]'s
+ * scaladoc): don't compact concurrently with an append — the manifest
+ * read-merge-write races. Re-running after any crash is safe and
+ * converges (compacting an already-compact table is a no-op).
+ */
+object ShardCompact {
+
+  /** Rewrite the manifested shards of `path` into `targetShards` files.
+    * No-op when the table already has ≤ `targetShards` shards. Returns
+    * the number of shards after compaction. */
+  def compact(
+      spark: SparkSession,
+      path: String,
+      schema: StructType,
+      targetShards: Int = 1): Int = {
+    require(targetShards >= 1, s"targetShards must be >= 1: $targetShards")
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val mfPath = new Path(dir, ShardManifest.FileName)
+    require(fs.exists(mfPath),
+      s"no ${ShardManifest.FileName} under $path — nothing to compact")
+    val old = ShardManifest.read(fs, mfPath)
+    if (old.size <= targetShards) return old.size
+
+    // (1) consolidate through the sink's own two-phase commit, into a
+    // scratch dir whose content is invisible to readers of `path`
+    val scratch = new Path(dir, s"_compact-${UUID.randomUUID().toString.take(8)}")
+    ShardReader.read(spark, path, schema)
+      .repartition(targetShards)
+      .write.format("graft.sources.v2.ShardSink")
+      .option("path", scratch.toString).mode("append").save()
+    val fresh = ShardManifest.read(fs, new Path(scratch, ShardManifest.FileName))
+
+    // (2) orphan-in the new shards
+    fresh.foreach { case (name, _) =>
+      val src = new Path(scratch, name)
+      val dst = new Path(dir, name)
+      if (!fs.rename(src, dst) && !(fs.exists(dst) && !fs.exists(src)))
+        throw new java.io.IOException(s"compact rename failed: $src -> $dst")
+    }
+
+    // (3) the atomic switch
+    ShardManifest.writeAtomic(spark.sessionState.newHadoopConf(), fs, mfPath, fresh)
+
+    // (4) old shards are orphans now — best-effort cleanup
+    old.foreach { case (name, _) => fs.delete(new Path(dir, name), false) }
+    fs.delete(scratch, true)
+    fresh.size
+  }
+}

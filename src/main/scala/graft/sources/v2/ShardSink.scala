@@ -51,6 +51,11 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
  * JSON-escaped. ShardSinkSpec asserts round-trip equality through
  * `spark.read.json`, manifest counts, and that staging never leaks into
  * a listing of the committed directory.
+ *
+ * Append-heavy tables accumulate small shards (one per micro-batch);
+ * [[ShardCompact]] is the matching maintenance pass — it consolidates
+ * the manifested shards and republishes atomically under the same
+ * manifest contract.
  */
 class ShardSink extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =

@@ -142,6 +142,37 @@ class ShardSinkSpec extends SparkSpec {
     assert(naive == 4L, s"fixture broken: naive read saw $naive rows")
   }
 
+  test("ShardCompact: consolidates shards atomically; rows identical; re-run is a no-op") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-shard-compact").toString
+    def write(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").repartition(1)
+        .write.format("graft.sources.v2.ShardSink")
+        .option("path", dir).mode("append").save()
+    write(Seq((1L, "a"), (2L, "b")))
+    write(Seq((3L, "c")))
+    write(Seq((4L, "d"), (5L, "e")))
+    val schema = Seq((0L, "")).toDF("doc_id", "text").schema
+    val before = graft.sources.v2.ShardReader.read(spark, dir, schema)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(before.size == 5)
+
+    val n = graft.sources.v2.ShardCompact.compact(spark, dir, schema, targetShards = 1)
+    assert(n == 1)
+    val after = graft.sources.v2.ShardReader.read(spark, dir, schema)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(after == before)
+    // old shards are gone, exactly one remains, manifest row count holds
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".jsonl"))
+    assert(files.length == 1, files.toSeq.toString)
+    assert(graft.sources.v2.ShardReader.manifestRowCount(spark, dir) == 5L)
+    // no scratch leftovers; re-compacting a compact table is a no-op
+    assert(!new java.io.File(dir).listFiles().exists(_.getName.startsWith("_compact-")))
+    assert(graft.sources.v2.ShardCompact.compact(spark, dir, schema, targetShards = 1) == 1)
+    // an append AFTER compaction merges cleanly with the new manifest
+    write(Seq((6L, "f")))
+    assert(graft.sources.v2.ShardReader.read(spark, dir, schema).count() == 6L)
+  }
+
   test("V2 shard sink: unsupported nested schema is rejected at plan time") {
     val dir = java.nio.file.Files.createTempDirectory("graft-shard-bad").toString
     val df = Seq((1L, Seq(1, 2))).toDF("id", "xs")
