@@ -118,6 +118,80 @@ object Profile {
       .select(col("bucket"), col("v").as("boundary"))
   }
 
+  /**
+   * Distribution-drift gate between two corpus snapshots over an
+   * integer-valued column (lengths, token counts, quality scores) —
+   * the nightly "did the new drop change shape?" monitor. The binning
+   * comes from [[equiDepthHistogram]] over the REFERENCE snapshot
+   * (industry practice: score drift against the baseline's bins), and
+   * the statistic is total-variation distance in EXACT fixed point:
+   *
+   *   p_ppm(bin)  = (10⁶ · c_bin) div n          (per snapshot)
+   *   tv_ppm      = (Σ_bins |p_old − p_new|) div 2
+   *
+   * — all integer floor arithmetic over exact counts, so unlike
+   * PSI/chi² (whose `ln`/division make cross-engine bits diverge) the
+   * whole report hash-oracles. TV is also the drift measure with a
+   * direct reading: the fraction of probability mass that moved.
+   *
+   * Values outside the reference range land in the edge bins (the
+   * standard clamp — new data beyond the old max IS drift, and it
+   * counts toward the last bin's mass). Boundaries are collected
+   * driver-side (≤ buckets−1 longs — model state, the centroid/CMS
+   * precedent), so each snapshot is binned by a codegen'd indicator
+   * sum in ONE map-only pass: no join, no sort, two scans total plus
+   * the reference's boundary aggregate.
+   *
+   * @return one row per bin: counts, shares (ppm), |Δ| — plus the
+   *         global `tv_ppm` and `drifted` verdict repeated per row
+   *         (bins × small constant output; the verdict row-set shape
+   *         every gate query here uses)
+   */
+  def histogramDrift(
+      oldSnap: DataFrame,
+      newSnap: DataFrame,
+      valueCol: String,
+      buckets: Int = 10,
+      thresholdPpm: Long = 100000L): DataFrame = {
+    require(thresholdPpm >= 0 && thresholdPpm <= 1000000L,
+      s"thresholdPpm must be a ppm fraction: $thresholdPpm")
+    val spark = oldSnap.sparkSession
+    val bnds = equiDepthHistogram(oldSnap, valueCol, buckets)
+      .orderBy(col("bucket"))
+      .select(col("boundary").cast("long")).collect().map(_.getLong(0)).toSeq
+    // bin = 1 + Σ [v > boundary_i] — identical to the oracle's
+    // 1 + COUNT(boundaries < v), repeated-boundary-safe (empty bins
+    // between equal boundaries simply stay at count 0)
+    def binExpr(v: org.apache.spark.sql.Column) =
+      bnds.foldLeft(lit(1L)) { (acc, b) =>
+        acc + when(v > lit(b), 1L).otherwise(0L)
+      }
+    def counts(df: DataFrame, as: String) =
+      df.select(binExpr(col(valueCol).cast("long")).as("bin"))
+        .groupBy(col("bin")).agg(count(lit(1)).as(as))
+    val spine = spark.range(1, buckets + 1).select(col("id").as("bin"))
+    val perBin = spine
+      .join(counts(oldSnap, "__c1"), Seq("bin"), "left")
+      .join(counts(newSnap, "__c2"), Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("__c1"), lit(0L)).as("n_old"),
+        coalesce(col("__c2"), lit(0L)).as("n_new"))
+    // the window spans `buckets` rows — a deliberate tiny
+    // single-partition window, same as equiDepthHistogram's
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    perBin
+      .withColumn("__t1", sum(col("n_old")).over(wAll))
+      .withColumn("__t2", sum(col("n_new")).over(wAll))
+      .withColumn("p_old_ppm", expr("(1000000 * n_old) DIV __t1"))
+      .withColumn("p_new_ppm", expr("(1000000 * n_new) DIV __t2"))
+      .withColumn("delta_ppm", abs(col("p_old_ppm") - col("p_new_ppm")))
+      .withColumn("__sd", sum(col("delta_ppm")).over(wAll))
+      .withColumn("tv_ppm", expr("__sd DIV 2"))
+      .withColumn("drifted", col("tv_ppm") > thresholdPpm)
+      .drop("__t1", "__t2", "__sd")
+      .orderBy(col("bin"))
+  }
+
   /** Constraint verification (the Deequ / great-expectations gate):
     * evaluate a set of named row-level constraints IN PARALLEL — every
     * row against every rule, unlike [[attrition]]'s sequential

@@ -158,6 +158,19 @@ object PipelineQueries extends QueryFamily {
       Tables.documents(spark, dir), "n_chars", buckets = 8)
       .orderBy(col("bucket"))
 
+  /** Length-distribution drift gate: reference = today's n_chars; the
+    * "new drop" shifts a third of the docs 120 chars longer — enough
+    * TV mass movement to trip the 5% threshold, so the query shows the
+    * drifted=true polarity (ProfileSpec covers the quiet one). */
+  def corpusDrift(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    graft.operators.Profile.histogramDrift(
+      docs.select(col("n_chars")),
+      docs.select((col("n_chars") +
+        when(col("doc_id") % 3 === 0, 120L).otherwise(0L)).as("n_chars")),
+      "n_chars", buckets = 8, thresholdPpm = 50000L)
+  }
+
   /** Cross-source 5-gram contamination matrix — which feeds carry the
     * same phrasing (mirrors, syndication, multi-feed benchmark leaks). */
   def sourceOverlap(spark: SparkSession, dir: String): DataFrame =
@@ -444,6 +457,7 @@ object PipelineQueries extends QueryFamily {
     "source_stats" -> (sourceStats _),
     "source_stats_increment" -> (sourceStatsIncrement _),
     "hist_chars" -> (histChars _),
+    "corpus_drift" -> (corpusDrift _),
     "source_overlap" -> (sourceOverlap _),
     "text_normalize" -> (textNormalize _),
     "vocab_zipf" -> (vocabZipf _),
@@ -611,6 +625,42 @@ object PipelineQueries extends QueryFamily {
         |SELECT bucket, v AS boundary FROM c, i
         |WHERE 8 * cum >= bucket * total AND 8 * (cum - cnt) < bucket * total
         |ORDER BY bucket""".stripMargin,
+    // replays histogramDrift: reference-snapshot equi-depth boundaries,
+    // bin = 1 + count(boundaries < v) (the operator's indicator sum),
+    // fixed-point TV with floor division at every step
+    "corpus_drift" ->
+      """WITH h AS (SELECT n_chars AS v, COUNT(1) AS cnt FROM documents GROUP BY n_chars),
+        |c AS (SELECT v, cnt,
+        |    SUM(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(cnt) OVER () AS total
+        |  FROM h),
+        |i AS (SELECT CAST(unnest(generate_series(1, 7)) AS INTEGER) AS bucket),
+        |bnd AS (SELECT v AS boundary FROM c, i
+        |        WHERE 8 * cum >= bucket * total AND 8 * (cum - cnt) < bucket * total),
+        |oldv AS (SELECT n_chars AS v FROM documents),
+        |newv AS (SELECT n_chars + CASE WHEN doc_id % 3 = 0 THEN 120 ELSE 0 END AS v
+        |         FROM documents),
+        |oc AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_old FROM
+        |        (SELECT 1 + (SELECT COUNT(*) FROM bnd WHERE boundary < o.v) AS bin FROM oldv o)
+        |       GROUP BY bin),
+        |nc AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_new FROM
+        |        (SELECT 1 + (SELECT COUNT(*) FROM bnd WHERE boundary < o.v) AS bin FROM newv o)
+        |       GROUP BY bin),
+        |spine AS (SELECT CAST(unnest(generate_series(1, 8)) AS BIGINT) AS bin),
+        |per AS (SELECT s.bin, COALESCE(oc.n_old, 0) AS n_old, COALESCE(nc.n_new, 0) AS n_new
+        |        FROM spine s LEFT JOIN oc ON oc.bin = s.bin LEFT JOIN nc ON nc.bin = s.bin),
+        |t AS (SELECT SUM(n_old) AS t1, SUM(n_new) AS t2 FROM per),
+        |p AS (SELECT per.bin, per.n_old, per.n_new,
+        |        CAST((1000000 * per.n_old) // t.t1 AS BIGINT) AS p_old_ppm,
+        |        CAST((1000000 * per.n_new) // t.t2 AS BIGINT) AS p_new_ppm
+        |      FROM per CROSS JOIN t),
+        |d AS (SELECT p.*, ABS(p_old_ppm - p_new_ppm) AS delta_ppm FROM p),
+        |s2 AS (SELECT SUM(delta_ppm) AS sd FROM d)
+        |SELECT bin, n_old, n_new, p_old_ppm, p_new_ppm,
+        |  CAST(delta_ppm AS BIGINT) AS delta_ppm,
+        |  CAST(sd // 2 AS BIGINT) AS tv_ppm,
+        |  (sd // 2) > 50000 AS drifted
+        |FROM d CROSS JOIN s2 ORDER BY bin""".stripMargin,
     "source_overlap" ->
       s"""WITH stoks AS (
          |  SELECT doc_id, source,

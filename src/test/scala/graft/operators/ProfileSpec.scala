@@ -135,6 +135,58 @@ class ProfileSpec extends SparkSpec {
     assert(got == Seq(("unique:id", 0L, true), ("v_positive", 0L, true)))
   }
 
+  test("histogramDrift: identical snapshots report zero TV, not drifted") {
+    import spark.implicits._
+    val snap = (1 to 200).map(i => i.toLong % 37 + 10).toDF("v")
+    val out = Profile.histogramDrift(snap, snap, "v", buckets = 4,
+      thresholdPpm = 1000L).collect()
+    assert(out.length == 4)
+    assert(out.forall(_.getAs[Long]("delta_ppm") == 0L))
+    assert(out.forall(_.getAs[Long]("tv_ppm") == 0L))
+    assert(out.forall(!_.getAs[Boolean]("drifted")))
+  }
+
+  test("histogramDrift: disjoint ranges clamp into the edge bin and max out TV") {
+    import spark.implicits._
+    val old = (1 to 100).map(_.toLong).toDF("v")
+    val nw = (1000 to 1099).map(_.toLong).toDF("v") // all beyond old max
+    val out = Profile.histogramDrift(old, nw, "v", buckets = 5,
+      thresholdPpm = 100000L).collect().sortBy(_.getAs[Long]("bin"))
+    // every new value lands in the last (clamp) bin
+    assert(out.last.getAs[Long]("n_new") == 100L)
+    assert(out.init.forall(_.getAs[Long]("n_new") == 0L))
+    // TV = 1 − shareOld(lastBin): total mass moved into the edge bin
+    val pOldLast = out.last.getAs[Long]("p_old_ppm")
+    assert(out.head.getAs[Long]("tv_ppm") == 1000000L - pOldLast,
+      out.map(_.toString).mkString("\n"))
+    assert(out.forall(_.getAs[Boolean]("drifted")))
+  }
+
+  test("histogramDrift: matches a direct fixed-point replay on a shifted snapshot") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val old = (1 to 300).map(_ => 20L + rnd.nextInt(200)).toSeq
+    val nw = old.map(v => if (v % 3 == 0) v + 77 else v)
+    val got = Profile.histogramDrift(old.toDF("v"), nw.toDF("v"), "v",
+      buckets = 6, thresholdPpm = 50000L).collect().sortBy(_.getAs[Long]("bin"))
+    // replay: boundaries from the oracled equi-depth operator, then
+    // integer TV per the scaladoc formulas
+    val bnds = Profile.equiDepthHistogram(old.toDF("v"), "v", 6)
+      .orderBy("bucket").select("boundary").as[Long].collect().toSeq
+    def bin(v: Long) = 1 + bnds.count(_ < v)
+    def shares(xs: Seq[Long]) = (1 to 6).map { b =>
+      val c = xs.count(bin(_) == b).toLong
+      (c, 1000000L * c / xs.size)
+    }
+    val (o, n) = (shares(old), shares(nw))
+    val tv = o.zip(n).map { case ((_, p1), (_, p2)) => math.abs(p1 - p2) }.sum / 2
+    got.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Long]("n_old") == o(i)._1 && r.getAs[Long]("n_new") == n(i)._1)
+      assert(r.getAs[Long]("p_old_ppm") == o(i)._2 && r.getAs[Long]("p_new_ppm") == n(i)._2)
+      assert(r.getAs[Long]("tv_ppm") == tv)
+    }
+  }
+
   test("attrition: NULL predicates charge the row like the filter pipeline drops it") {
     import org.apache.spark.sql.functions.col
     // filter(v >= 10) DROPS a NULL row — attrition must charge it to
