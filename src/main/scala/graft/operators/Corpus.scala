@@ -76,6 +76,9 @@ object Corpus {
     // silently replace caller data either — a dedup-pipeline input
     // plausibly already carries a 'component' from a prior labeling, so
     // both output names are parameters and clobbering is an error.
+    require(splitCol != componentCol,
+      s"splitCol and componentCol must differ (both '$splitCol'): the " +
+        "second withColumn would silently replace the first")
     Seq(splitCol, componentCol).foreach { c =>
       require(!df.columns.contains(c),
         s"input already has a '$c' column; pass a different output name")

@@ -156,7 +156,21 @@ object Profile {
     require(thresholdPpm >= 0 && thresholdPpm <= 1000000L,
       s"thresholdPpm must be a ppm fraction: $thresholdPpm")
     val spark = oldSnap.sparkSession
-    val bnds = equiDepthHistogram(oldSnap, valueCol, buckets)
+    // NULLs carry no distribution mass (they'd otherwise pile into bin 1
+    // as fake low-end probability, and a null boundary would NPE the
+    // collect below) — gate null RATES with checkConstraints; this
+    // operator compares the distributions of the values that exist.
+    val o = oldSnap.filter(col(valueCol).isNotNull)
+    val n = newSnap.filter(col(valueCol).isNotNull)
+    // fail fast on an empty side: 0/0 shares would make every per-bin
+    // ppm — and the drifted verdict itself — NULL, and a gate filtering
+    // on `drifted` would silently PASS the most drastic drift there is
+    // (an ingest that produced nothing)
+    require(!o.isEmpty, "reference snapshot has no non-null values to bin")
+    require(!n.isEmpty,
+      "new snapshot has no non-null values — that is an ingest failure, " +
+        "not a measurable distribution")
+    val bnds = equiDepthHistogram(o, valueCol, buckets)
       .orderBy(col("bucket"))
       .select(col("boundary").cast("long")).collect().map(_.getLong(0)).toSeq
     // bin = 1 + Σ [v > boundary_i] — identical to the oracle's
@@ -171,8 +185,8 @@ object Profile {
         .groupBy(col("bin")).agg(count(lit(1)).as(as))
     val spine = spark.range(1, buckets + 1).select(col("id").as("bin"))
     val perBin = spine
-      .join(counts(oldSnap, "__c1"), Seq("bin"), "left")
-      .join(counts(newSnap, "__c2"), Seq("bin"), "left")
+      .join(counts(o, "__c1"), Seq("bin"), "left")
+      .join(counts(n, "__c2"), Seq("bin"), "left")
       .select(col("bin"),
         coalesce(col("__c1"), lit(0L)).as("n_old"),
         coalesce(col("__c2"), lit(0L)).as("n_new"))

@@ -259,12 +259,22 @@ object Retrieval {
     // the text is scanned once. Index writes are eager, so unlike the
     // query paths they can own the cache lifetime directly.
     //
-    // WRITE ORDER IS THE COMMIT PROTOCOL: postings first, norms last —
-    // the norm segment's _SUCCESS is the segment's commit marker, and
-    // [[searchIndex]] serves only norm-committed segments. A serve
-    // racing an append therefore sees either the full segment or none
-    // of it, never postings without stats (or vice versa), which would
-    // silently shift every BM25 score off the scoring contract.
+    // WRITE ORDER IS THE COMMIT PROTOCOL: (0) invalidate any prior
+    // commit of this segment — a REPLAY (crash between a completed
+    // write and the streaming checkpoint) would otherwise overwrite
+    // postings while the stale marker still advertises the segment as
+    // committed; (1) postings; (2) norms; (3) an engine-owned
+    // `_GRAFT_COMMIT` marker in the norm segment. [[searchIndex]]
+    // serves only marked segments, so a serve racing an append or a
+    // replay sees either the full segment or none of it — never
+    // postings without stats, which would silently shift every BM25
+    // score off the scoring contract. The marker is written explicitly
+    // (not parquet's `_SUCCESS`) so the protocol survives clusters
+    // that disable committer marker files.
+    val conf = docs.sparkSession.sessionState.newHadoopConf()
+    val normSeg = new org.apache.hadoop.fs.Path(s"$dir/norms/$segment")
+    val fs = normSeg.getFileSystem(conf)
+    fs.delete(normSeg, true)
     val b = base(docs, idCol, textCol).persist()
     try {
       val full = postingsFor(b, None)
@@ -275,8 +285,13 @@ object Retrieval {
         .write.mode("overwrite").parquet(s"$dir/postings/$segment")
       b.select(col("doc_id"), col("len"))
         .write.mode("overwrite").parquet(s"$dir/norms/$segment")
+      fs.create(new org.apache.hadoop.fs.Path(normSeg, CommitMarker), true).close()
     } finally b.unpersist()
   }
+
+  /** Engine-owned segment commit marker — deliberately not `_SUCCESS`,
+    * which cloud committers are routinely configured not to write. */
+  private[operators] val CommitMarker = "_GRAFT_COMMIT"
 
   /** Serve BM25 top-`k` from a persisted index: the term filter lands
     * in `PushedFilters` on the postings scan (RetrievalSpec asserts
@@ -285,11 +300,13 @@ object Retrieval {
     * [[bm25TopK]] over the same corpus.
     *
     * Only COMMITTED segments are served (those whose norm segment
-    * carries `_SUCCESS` — the [[writeIndexSegment]] commit marker,
-    * enforced here as a partition-pruning filter on `batch`), so a
-    * serve racing a streaming append sees a consistent corpus view:
+    * carries the engine's own [[CommitMarker]] — enforced here as a
+    * partition-pruning filter on `batch`), so a serve racing a
+    * streaming append or a crash-replay sees a consistent corpus view:
     * postings, norms and the derived df/avgdl always describe the same
-    * doc set. */
+    * doc set. Discovery is ONE `globStatus` call, not a per-segment
+    * exists() round-trip — thousands of accumulated micro-batch
+    * segments would otherwise pay an N+1 metadata pattern per serve. */
   def searchIndex(
       spark: SparkSession,
       dir: String,
@@ -300,10 +317,10 @@ object Retrieval {
     val normsPath = new org.apache.hadoop.fs.Path(s"$dir/norms")
     val fs = normsPath.getFileSystem(conf)
     require(fs.exists(normsPath), s"no index under $dir")
-    val committed = fs.listStatus(normsPath).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch=") &&
-        fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
-      .map(_.getPath.getName.stripPrefix("batch=").toLong)
+    val committed = fs.globStatus(
+      new org.apache.hadoop.fs.Path(normsPath, s"batch=*/$CommitMarker"))
+      .toSeq
+      .map(_.getPath.getParent.getName.stripPrefix("batch=").toLong)
     require(committed.nonEmpty, s"no committed index segments under $dir")
     val postings = spark.read.parquet(s"$dir/postings")
       .filter(col("batch").isin(committed: _*))

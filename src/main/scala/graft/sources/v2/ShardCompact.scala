@@ -73,8 +73,14 @@ object ShardCompact {
     // (3) the atomic switch
     ShardManifest.writeAtomic(spark.sessionState.newHadoopConf(), fs, mfPath, fresh)
 
-    // (4) old shards are orphans now — best-effort cleanup
-    old.foreach { case (name, _) => fs.delete(new Path(dir, name), false) }
+    // (4) old shards are orphans now — best-effort cleanup. Never
+    // delete a name the fresh manifest also claims: shard names are
+    // UUID-unique in practice, but deleting a just-published shard on
+    // a name collision would leave the manifest pointing at nothing.
+    val keep = fresh.map(_._1).toSet
+    old.foreach { case (name, _) =>
+      if (!keep.contains(name)) fs.delete(new Path(dir, name), false)
+    }
     fs.delete(scratch, true)
     fresh.size
   }

@@ -221,7 +221,10 @@ private[v2] class ShardWriterFactory(
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
     val file = new Path(stagingDir,
-      f"part-$partitionId%05d-${UUID.randomUUID().toString.take(8)}.jsonl")
+      // full UUID: a table accumulating hundreds of thousands of
+      // micro-batch shards (mostly part-00000-*) would make a truncated
+      // suffix collide across appends/compactions
+      f"part-$partitionId%05d-${UUID.randomUUID().toString}.jsonl")
     new ShardDataWriter(file, schema, conf)
   }
 }

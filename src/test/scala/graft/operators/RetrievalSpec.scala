@@ -113,7 +113,8 @@ class RetrievalSpec extends SparkSpec {
     Retrieval.writeIndexSegment(extra, "doc_id", "text", dir, "batch=9")
     val fs = new java.io.File(s"$dir/norms/batch=9")
     assert(fs.exists)
-    new java.io.File(fs, "_SUCCESS").delete()
+    assert(new java.io.File(fs, "_GRAFT_COMMIT").delete(),
+      "expected the engine-owned commit marker in the norm segment")
     val torn = Retrieval.searchIndex(spark, dir, queries, k = 10)
       .orderBy("query_id", "rank").collect().toSeq
     assert(torn == before,
