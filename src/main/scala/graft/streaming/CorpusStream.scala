@@ -126,6 +126,12 @@ object CorpusStream {
    * serves the up-to-date union with df/corpus stats derived fresh at
    * serve time. CorpusStreamSpec pins bit-equality between serving the
    * streamed segments and a from-scratch batch index.
+   *
+   * The append-only contract is the CALLER's to uphold: a doc id
+   * re-ingested in a later micro-batch lands in a second segment and
+   * double-counts at serve time. Feed this from [[cleanIngest]] (whose
+   * digest dedup drops cross-batch repeats) or an equivalent
+   * first-wins admission stage.
    */
   def indexDocsStream(
       streaming: DataFrame,
