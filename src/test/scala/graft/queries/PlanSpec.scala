@@ -209,6 +209,46 @@ class PlanSpec extends SparkSpec {
       s"expected exactly 1 corpus scan:\n$p")
   }
 
+  // LIVE table reads in the optimized plan: cached branches terminate
+  // at InMemoryRelation leaves, so this counts real (re-)scans only —
+  // unlike the formatted string, which also prints cached lineage
+  private def liveRelations(name: String): (Int, Int) = {
+    val qe = SparkEntry.queries(name)(spark, sfDir).queryExecution
+    val live = qe.optimizedPlan.collect {
+      case _: org.apache.spark.sql.execution.datasources.LogicalRelation => 1
+    }.sum
+    val cached = qe.optimizedPlan.collect {
+      case _: org.apache.spark.sql.execution.columnar.InMemoryRelation => 1
+    }.sum
+    (live, cached)
+  }
+
+  test("text_bm25_topk reads the text live once (stats); postings come from the scoped cache") {
+    // the filtered posting build is CacheScope-scoped and feeds the df
+    // aggregate AND the score join from the cache; a second live
+    // relation means the multi-consumer posting branch unfused
+    val (live, cached) = liveRelations("text_bm25_topk")
+    assert(live == 1, s"expected 1 live corpus read (stats), got $live")
+    assert(cached >= 2, s"posting cache not consumed by both branches: $cached")
+    graft.CacheScope.releaseAll()
+  }
+
+  test("text_phrase_search reads no table live — every term probes the one cached token stream") {
+    val (live, cached) = liveRelations("text_phrase_search")
+    assert(live == 0, s"positional join re-scanned the corpus: $live")
+    assert(cached >= 3, s"expected one cached stream per phrase term: $cached")
+    // and no full-corpus window: the intersection is join-shaped
+    assert(!plan("text_phrase_search").contains("Window partitionBy"), "window resurfaced")
+    graft.CacheScope.releaseAll()
+  }
+
+  test("mix_budget_epochs never re-tokenizes — the planner consumes the cached aggregate") {
+    val (live, cached) = liveRelations("mix_budget_epochs")
+    assert(live == 0, s"planner re-scanned the corpus: $live")
+    assert(cached >= 1, s"stats cache missing: $cached")
+    graft.CacheScope.releaseAll()
+  }
+
   test("dedup_pagerank rounds never rescan the table (edge list materialized once)") {
     // the degree-annotated symmetric edge list is flattened + cached
     // before the loop; each of the 5 rounds joins THAT, so the final
