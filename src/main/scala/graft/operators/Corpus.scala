@@ -76,11 +76,14 @@ object Corpus {
     // silently replace caller data either — a dedup-pipeline input
     // plausibly already carries a 'component' from a prior labeling, so
     // both output names are parameters and clobbering is an error.
-    require(splitCol != componentCol,
-      s"splitCol and componentCol must differ (both '$splitCol'): the " +
-        "second withColumn would silently replace the first")
+    // case-INSENSITIVE guards: withColumn resolves case-insensitively
+    // under the default spark.sql.caseSensitive=false, so 'split' vs
+    // 'SPLIT' would still clobber
+    require(!splitCol.equalsIgnoreCase(componentCol),
+      s"splitCol and componentCol must differ ('$splitCol'/'$componentCol'): " +
+        "the second withColumn would silently replace the first")
     Seq(splitCol, componentCol).foreach { c =>
-      require(!df.columns.contains(c),
+      require(!df.columns.exists(_.equalsIgnoreCase(c)),
         s"input already has a '$c' column; pass a different output name")
     }
     val comps = Components.connectedComponents(edges)

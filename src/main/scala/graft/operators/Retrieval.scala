@@ -274,7 +274,11 @@ object Retrieval {
     val conf = docs.sparkSession.sessionState.newHadoopConf()
     val normSeg = new org.apache.hadoop.fs.Path(s"$dir/norms/$segment")
     val fs = normSeg.getFileSystem(conf)
-    fs.delete(normSeg, true)
+    // un-commit by deleting ONLY the marker: the overwrite writes below
+    // replace stale data anyway, and keeping the old norm files readable
+    // until then means a replay that fails mid-rewrite has merely
+    // unmarked the segment, not destroyed its committed data
+    fs.delete(new org.apache.hadoop.fs.Path(normSeg, CommitMarker), false)
     val b = base(docs, idCol, textCol).persist()
     try {
       val full = postingsFor(b, None)
@@ -304,9 +308,12 @@ object Retrieval {
     * partition-pruning filter on `batch`), so a serve racing a
     * streaming append or a crash-replay sees a consistent corpus view:
     * postings, norms and the derived df/avgdl always describe the same
-    * doc set. Discovery is ONE `globStatus` call, not a per-segment
-    * exists() round-trip — thousands of accumulated micro-batch
-    * segments would otherwise pay an N+1 metadata pattern per serve. */
+    * doc set. Discovery is one `globStatus` call at the API level;
+    * note Hadoop's globber still stats the literal `_GRAFT_COMMIT`
+    * component per segment directory internally, so a monitor serving
+    * over thousands of accumulated segments should compact
+    * (periodic [[writeIndex]] rebuild) for metadata-RPC reasons as
+    * well as file-count ones. */
   def searchIndex(
       spark: SparkSession,
       dir: String,

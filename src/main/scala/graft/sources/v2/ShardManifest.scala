@@ -21,7 +21,7 @@ import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
  * in-place rewrite (the same atomic-rename discipline the shard files
  * themselves use).
  */
-private[sources] object ShardManifest {
+private[v2] object ShardManifest {
 
   val FileName = "_MANIFEST"
 

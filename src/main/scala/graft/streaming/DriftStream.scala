@@ -39,9 +39,12 @@ object DriftStream {
     streaming.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        // an empty batch has no distribution to score (its share vector
-        // is 0/0) — emit nothing rather than a null verdict
-        if (!batch.isEmpty) {
+        // a batch with no non-null values has no distribution to score —
+        // emit nothing rather than poison the stream: histogramDrift
+        // REQUIRES a non-empty non-null side, and a throwing batch would
+        // replay forever off the checkpoint (match the callee's
+        // precondition exactly, not just row count)
+        if (!batch.filter(col(valueCol).isNotNull).isEmpty) {
         val summary = Profile
           .histogramDrift(reference, batch, valueCol, buckets, thresholdPpm)
           .agg(

@@ -173,26 +173,6 @@ class ShardSinkSpec extends SparkSpec {
     assert(graft.sources.v2.ShardReader.read(spark, dir, schema).count() == 6L)
   }
 
-  test("ShardManifest: serialize/parse round-trips; strict on malformed input") {
-    import graft.sources.v2.ShardManifest
-    val where = new org.apache.hadoop.fs.Path("/t/_MANIFEST")
-    val rnd = new scala.util.Random(5)
-    for (_ <- 1 to 20) {
-      val entries = (0 until rnd.nextInt(6)).map(i =>
-        (s"part-$i-${java.util.UUID.randomUUID()}.jsonl", rnd.nextInt(1000).toLong))
-      assert(ShardManifest.parse(ShardManifest.serialize(entries), where) == entries)
-    }
-    intercept[IllegalArgumentException] {
-      ShardManifest.parse("name-without-tab", where)
-    }
-    intercept[IllegalArgumentException] {
-      ShardManifest.parse("name\tnot-a-number", where)
-    }
-    intercept[IllegalArgumentException] {
-      ShardManifest.parse("\t5", where) // empty shard name
-    }
-  }
-
   test("V2 shard sink: unsupported nested schema is rejected at plan time") {
     val dir = java.nio.file.Files.createTempDirectory("graft-shard-bad").toString
     val df = Seq((1L, Seq(1, 2))).toDF("id", "xs")
