@@ -409,11 +409,15 @@ object ExtensionQueries extends QueryFamily {
 
   /** REAL image features — grayscale histogram over decoded pixels; on
     * the solid-gray fixture the oracle recomputes the exact one-hot
-    * histogram (bin = gray/16, count = w·h) from doc_id arithmetic. */
+    * histogram (bin = gray/16, count = w·h) from doc_id arithmetic.
+    * The 16-bin array is emitted comma-joined: the driver's compare
+    * sorts rows with pandas, which cannot order an array cell — a
+    * string carries the identical 16 values byte-for-byte. */
   def multimodalFeaturesImage(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Multimodal.imageHistogramFeatures(
       graft.operators.Multimodal.imageAssetTable(spark, dir))
-      .select(col("asset_id"), col("features"))
+      .select(col("asset_id"),
+        concat_ws(",", col("features").cast("array<string>")).as("features"))
       .orderBy(col("asset_id"))
 
   /** The composed pretraining-corpus pipeline — the end-to-end story the
@@ -1047,10 +1051,10 @@ object ExtensionQueries extends QueryFamily {
     // all w·h pixels in bin (gray DIV 16)
     "multimodal_features_image" ->
       """SELECT doc_id AS asset_id,
-        |  list_transform(range(0, 16), x ->
+        |  array_to_string(list_transform(range(0, 16), x ->
         |    CAST(CASE WHEN x = (doc_id % 256) // 16
         |      THEN (doc_id % 13 + 1) * (doc_id % 7 + 1)
-        |      ELSE 0 END AS BIGINT)) AS features
+        |      ELSE 0 END AS BIGINT)), ',') AS features
         |FROM documents ORDER BY asset_id""".stripMargin,
     "pipeline_corpus" -> {
       val langs = graft.operators.TextAnalysis.langMarkers.toSeq.sortBy(_._1)
