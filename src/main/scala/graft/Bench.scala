@@ -4,8 +4,11 @@ import java.util.concurrent.atomic.AtomicLong
 import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd, SparkListenerTaskStart}
 import org.apache.spark.sql.SparkSession
 
-/** Driver-run benchmark: every registered query at `SPARK_GRAFT_SF_DIR`,
-  * one JSON line on stdout.
+/** Driver-run benchmark: every registered query at `SPARK_GRAFT_SF_DIR`.
+  * Emits the full per-query JSON line to stdout AND to `BENCH_FULL.json`,
+  * then a compact tail-window-safe headline line (totals + 20 slowest)
+  * as the LAST line of output — the harness preserves only the final
+  * ~2000 characters of the log, which the ~8 KB full line overflows.
   *
   * The action is `write.format("noop")` — a full evaluation of every output
   * column through the sink interface — rather than `.count()`, which would
@@ -192,10 +195,26 @@ object Bench {
       .mkString("[", ",", "]")
     val total = results.collect { case (_, w, _, true) => w }.sum
     val cpuTotal = results.collect { case (_, _, c, true) => c }.sum
-    // headline FIRST: log tails get truncated (BENCH_r02/r03 both were) —
-    // the totals must survive even when the per-query map does not
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","cpu_total":$cpuTotal%.3f,"sf":"$sfDir","failed":$failed}""")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","cpu_total":$cpuTotal%.3f,"queries":$qs,"cpu":$cpus_,"sf":"$sfDir","failed":$failed}""")
+    val fullLine =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","cpu_total":$cpuTotal%.3f,"queries":$qs,"cpu":$cpus_,"sf":"$sfDir","failed":$failed}"""
+    // The harness keeps only the LAST ~2000 characters of stdout; the
+    // full per-query line is ~8 KB, so on its own it is always truncated
+    // mid-map and unparseable (BENCH_r01..r05 all carry "parsed": null).
+    // So: (1) the full line goes to a file AND to stdout first, for
+    // anyone reading the whole log; (2) the final printed line is a
+    // compact headline — totals + the slowest queries only — sized to
+    // survive the tail window intact.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (fullLine + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable => System.err.println(s"[bench] full-dump write failed: $e") }
+    println(fullLine)
+    val slow = results.filter(_._4).sortBy(-_._2).take(20)
+    val slowQs = slow.map { case (k, w, _, _) => "\"" + k + "\":" + f"$w%.3f" }
+      .mkString("{", ",", "}")
+    val slowCpu = slow.map { case (k, _, c, _) => "\"" + k + "\":" + f"$c%.3f" }
+      .mkString("{", ",", "}")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","cpu_total":$cpuTotal%.3f,"n_queries":${results.size},"queries":$slowQs,"cpu":$slowCpu,"note":"20 slowest; full map in $outPath","sf":"$sfDir","failed":$failed}""")
     spark.stop()
   }
 }
