@@ -183,20 +183,31 @@ object Bench {
         else (name, w1, c1, ok1)
       } else (name, w1, c1, ok1)
     }
+    // minimal JSON string escaper for anything not builder-controlled
+    // (env-sourced paths, query names): backslash, quote, control chars
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     // failed queries report -1 (not their near-zero abort time) and are
     // listed in "failed", so a regression can't silently shrink the total
     val qs = results.map { case (k, w, _, ok) =>
-      "\"" + k + "\":" + (if (ok) f"$w%.3f" else "-1")
+      jstr(k) + ":" + (if (ok) f"$w%.3f" else "-1")
     }.mkString("{", ",", "}")
     val cpus_ = results.map { case (k, _, c, ok) =>
-      "\"" + k + "\":" + (if (ok) f"$c%.3f" else "-1")
+      jstr(k) + ":" + (if (ok) f"$c%.3f" else "-1")
     }.mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, _, false) => "\"" + k + "\"" }
-      .mkString("[", ",", "]")
+    val failedNames = results.collect { case (k, _, _, false) => k }
+    val failed = failedNames.map(jstr).mkString("[", ",", "]")
     val total = results.collect { case (_, w, _, true) => w }.sum
     val cpuTotal = results.collect { case (_, _, c, true) => c }.sum
     val fullLine =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","cpu_total":$cpuTotal%.3f,"queries":$qs,"cpu":$cpus_,"sf":"$sfDir","failed":$failed}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","cpu_total":$cpuTotal%.3f,"queries":$qs,"cpu":$cpus_,"sf":${jstr(sfDir)},"failed":$failed}"""
     // The harness keeps only the LAST ~2000 characters of stdout; the
     // full per-query line is ~8 KB, so on its own it is always truncated
     // mid-map and unparseable (BENCH_r01..r05 all carry "parsed": null).
@@ -214,7 +225,11 @@ object Bench {
       .mkString("{", ",", "}")
     val slowCpu = slow.map { case (k, _, c, _) => "\"" + k + "\":" + f"$c%.3f" }
       .mkString("{", ",", "}")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","cpu_total":$cpuTotal%.3f,"n_queries":${results.size},"queries":$slowQs,"cpu":$slowCpu,"note":"20 slowest; full map in $outPath","sf":"$sfDir","failed":$failed}""")
+    // Compact line must survive a ~2000-char tail window even on a
+    // worst-case run: cap the failed list at 10 names + a count (the full
+    // list is always in the full-line artifact above).
+    val failedCompact = failedNames.take(10).map(jstr).mkString("[", ",", "]")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","cpu_total":$cpuTotal%.3f,"n_queries":${results.size},"n_failed":${failedNames.size},"queries":$slowQs,"cpu":$slowCpu,"note":"20 slowest; full map in ${outPath.replace("\\", "/").replace("\"", "'")}","sf":${jstr(sfDir)},"failed":$failedCompact}""")
     spark.stop()
   }
 }

@@ -29,17 +29,24 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader rejects
-    * ([PARQUET_TYPE_ILLEGAL]). Read it as raw nanos (legacy long mode) and
-    * truncate to µs TimestampType — the same ns→µs truncation DuckDB
-    * applies, so oracle comparisons line up. */
+  /** `events.ts` has shipped as parquet TIMESTAMP(NANOS) in some fixture
+    * generations and TIMESTAMP(MICROS) in others. Normalize both to µs
+    * TimestampNTZType — the same naive-wall-clock reading DuckDB applies,
+    * so oracle comparisons line up. NANOS is unreadable by Spark's
+    * vectorized reader ([PARQUET_TYPE_ILLEGAL]) unless read as raw longs
+    * (legacy mode) and truncated ns→µs. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // NTZ to match the fixtures' naive timestamps (and DuckDB's reading of
-    // them); under the pinned-UTC session the wall clock is unchanged.
-    table(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions
-        .expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+    import org.apache.spark.sql.functions.expr
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType => // NANOS fixtures, read as raw nano longs
+        raw.withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+      case TimestampNTZType => raw
+      case _ => // TimestampType (reader configured for LTZ): keep the wall clock
+        raw.withColumn("ts", expr("cast(ts as timestamp_ntz)"))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

@@ -17,26 +17,23 @@ import org.apache.spark.sql.types._
  */
 object EventStreams extends Serializable {
 
-  /** Raw parquet schema of the events fixture (ts = TIMESTAMP(NANOS),
-    * readable only as long in legacy mode — see Tables.events). */
-  val rawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
-  /** Streaming read of the events table (file micro-batches). */
+  /** Streaming read of the events table (file micro-batches). Fixture
+    * generations have shipped `ts` as TIMESTAMP(NANOS) (readable only as
+    * long in legacy mode — see Tables.events) or TIMESTAMP(MICROS);
+    * sniff the footer via a batch read and normalize either to LTZ µs. */
   def readEvents(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val fileSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
     // file-stream sources need a directory; glob-filter the events table
-    spark.readStream
-      .schema(rawSchema)
+    val stream = spark.readStream
+      .schema(fileSchema)
       .format("parquet")
       .option("pathGlobFilter", "events.parquet")
       .load(sfDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    fileSchema("ts").dataType match {
+      case LongType => stream.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ => stream.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
 
   /** Tumbling-window counts per event type with a watermark. The batch
