@@ -302,4 +302,47 @@ object Sampling {
       .select(col(valueCol))
     df.join(broadcast(band), valueCol)
   }
+
+  /**
+   * Target-affinity data selection (the DSIR/importance-sampling shape:
+   * score general-pool documents by how much their token distribution
+   * overlaps a small in-domain target set, keep the top of the ranking).
+   * Integer-exact scoring so the ranking is engine-reproducible:
+   *
+   *   affinity(doc)      = Σ_t tf_doc(t) · cnt_target(t)
+   *   affinity_micro(doc) = affinity · 1e6 div n_tokens(doc)
+   *
+   * where `cnt_target` counts token occurrences over the target docs.
+   * The length normalization stops long documents from winning on bulk.
+   * Ties break on doc id, so top-n is total-ordered.
+   *
+   * Scale shape: `cnt_target` is an aggregate of the (small) target set,
+   * broadcast back; the pool pays one explode + one doc-keyed partial
+   * aggregate — no pool-sized join exchange, no all-pairs anything. At
+   * 100 TB with a vocabulary too big to broadcast, the same plan runs
+   * with the broadcast hint dropped (token-keyed shuffle join), unchanged
+   * semantics.
+   */
+  def targetAffinity(
+      pool: DataFrame,
+      target: DataFrame,
+      idCol: String,
+      textCol: String,
+      topN: Int): DataFrame = {
+    require(topN > 0, s"topN must be positive: $topN")
+    val targetCnt = target
+      .select(explode(Dedup.tokens(col(textCol))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("target_cnt"))
+    val tf = pool
+      .select(col(idCol), explode(Dedup.tokens(col(textCol))).as("tok"))
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
+    tf.join(broadcast(targetCnt), Seq("tok"), "left")
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(col("tf") * coalesce(col("target_cnt"), lit(0L))).as("affinity"))
+      .withColumn("affinity_micro",
+        expr("affinity * 1000000L div n_tokens"))
+      .orderBy(col("affinity_micro").desc, col(idCol).asc)
+      .limit(topN)
+  }
 }

@@ -58,6 +58,40 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Hard-negative mining for contrastive/embedding-model training: for
+    * each query vector, the k nearest corpus vectors carrying a DIFFERENT
+    * label — close in embedding space but the wrong class, exactly the
+    * negatives a contrastive objective wants. Same scan shape as
+    * [[bruteForceTopK]] (corpus-side codegen'd cosine against a broadcast
+    * query set) with the label inequality fused into the join condition,
+    * so mismatched pairs are dropped before the window rank. At 100 TB
+    * the corpus side swaps for the IVF/LSH candidate generators and the
+    * re-rank stays identical — the label predicate composes unchanged. */
+  def hardNegatives(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      k: Int = 10): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      col(labelCol).as("query_label"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      col(labelCol).as("neighbor_label"))
+    val scored = c.join(broadcast(q),
+        col("query_id") =!= col("neighbor_id") &&
+          col("query_label") =!= col("neighbor_label"))
+      .withColumn("score", cosine_similarity(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("neighbor_label"), col("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** LSH bucket id: sign bit per hyperplane, packed into a long. One
     * codegen'd kernel call per row — this is evaluated over the FULL
     * corpus, where an interpreted aggregate/zip_with HOF would pay the

@@ -197,6 +197,65 @@ object TextAnalysis {
   def normalize(text: Column): Column =
     trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
 
+  /** Weights of the linear quality model evaluated by [[logitQuality]],
+    * all in integer micro-units (1e6 = 1.0). This is the shape a
+    * distilled quality classifier (fasttext / logistic regression over
+    * handcrafted features) has after export: a handful of per-feature
+    * weights plus a bias and a decision threshold. Swapping in weights
+    * from a real training run is a constructor call, not a code change. */
+  final case class LogitWeights(
+      wLenFrac: Long = 3000000L, // reward doc length, saturating at lenCap
+      wMeanWordLen: Long = -100000L, // long average words ⇒ code/garbage drift
+      wPunctRatio: Long = -12000000L, // punctuation-dense docs are boilerplate
+      wStopwordRatio: Long = 8000000L, // stopword presence ⇒ natural prose
+      biasP12: Long = 0L,
+      thresholdP12: Long = 250000000000L, // ~0.25 in p12 units
+      lenCap: Int = 2000)
+
+  /** Learned-filter inference: the linear quality model scored in-plan
+    * with integer fixed-point arithmetic only. Features are micro-unit
+    * ratios derived from the one-pass `text_stats` kernel (saturated
+    * length fraction, mean word length, punctuation ratio, stopword
+    * ratio); `score_p12 = Σ wᵢ·fᵢ + bias` stays in 10⁻¹² units with no
+    * division after the feature step, so the number is exact integer
+    * math — bit-reproducible by the SQL oracle under any evaluation
+    * order, unlike a float dot product.
+    *
+    * Scale shape: one codegen'd projection over the scan — no UDF, no
+    * shuffle, no model-server round trip. At 100 TB the classifier adds
+    * nothing to the corpus pass it rides on; that is the entire point of
+    * distilling a quality model to linear weights.
+    *
+    * @return (`<idCol>`, `len_frac_micro`, `mwl_micro`, `punct_micro`,
+    *         `stop_micro`, `score_p12`, `keep`) */
+  def logitQuality(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      w: LogitWeights = LogitWeights()): DataFrame = {
+    val st = col("__st")
+    df.withColumn("__st", text_stats(col(textCol), stopwords))
+      .select(col(idCol),
+        expr(s"least(__st.n_chars, ${w.lenCap}L) * 1000000L div ${w.lenCap}L")
+          .as("len_frac_micro"),
+        when(st.getField("n_tokens") > 0,
+          expr(s"__st.sum_token_len * 1000000L div __st.n_tokens"))
+          .otherwise(lit(0L)).as("mwl_micro"),
+        when(st.getField("n_chars") > 0,
+          expr(s"__st.punct_chars * 1000000L div __st.n_chars"))
+          .otherwise(lit(0L)).as("punct_micro"),
+        when(st.getField("n_tokens") > 0,
+          expr(s"__st.stopword_hits * 1000000L div __st.n_tokens"))
+          .otherwise(lit(0L)).as("stop_micro"))
+      .withColumn("score_p12",
+        col("len_frac_micro") * lit(w.wLenFrac) +
+          col("mwl_micro") * lit(w.wMeanWordLen) +
+          col("punct_micro") * lit(w.wPunctRatio) +
+          col("stop_micro") * lit(w.wStopwordRatio) +
+          lit(w.biasP12))
+      .withColumn("keep", col("score_p12") >= lit(w.thresholdP12))
+  }
+
   /** Vocabulary frequency histogram on log2 buckets (the Zipf-shape
     * check a corpus build monitors): bucket = ⌊log2(count)⌋ + 1, computed
     * integer-exactly as the binary-digit count of the term frequency

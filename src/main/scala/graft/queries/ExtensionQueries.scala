@@ -312,6 +312,21 @@ object ExtensionQueries extends QueryFamily {
   def textTokensTop(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.tokenFrequency(Tables.documents(spark, dir), "text", topN = 20)
 
+  /** Linear quality-model inference (integer fixed-point — exact oracle). */
+  def qualityLogit(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.logitQuality(Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  /** Hard-negative mining: nearest different-label neighbors per query
+    * vector (the contrastive-training negative sampler). */
+  def simHardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 5),
+      "vec_id", "embedding", "label", k = 10)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("neighbor_label").cast("long").as("neighbor_label"))
+  }
+
   def textLangId(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.langId(Tables.documents(spark, dir), "text")
       .select(col("doc_id"), col("lang"), col("pred_lang"))
@@ -740,6 +755,8 @@ object ExtensionQueries extends QueryFamily {
     "embed_label_stats" -> (embedLabelStats _),
     "text_quality" -> (textQuality _),
     "quality_gopher" -> (qualityGopher _),
+    "quality_logit" -> (qualityLogit _),
+    "sim_hard_negatives" -> (simHardNegatives _),
     "text_tokens_top" -> (textTokensTop _),
     "text_langid" -> (textLangId _),
     "lang_confusion" -> (langConfusion _),
@@ -975,6 +992,47 @@ object ExtensionQueries extends QueryFamily {
          |    ELSE 0.0 END AS stopword_ratio
          |FROM documents ORDER BY doc_id""".stripMargin,
     // every rule is an integer cross-multiplied comparison — booleans
+    // fixed-point logit inference: features are micro-unit floor
+    // divisions (all-positive, so DuckDB // and Spark div agree) and the
+    // score is a pure integer dot product — exact on both engines
+    "quality_logit" ->
+      s"""WITH m AS (
+         |  SELECT doc_id,
+         |    CAST(LENGTH(text) AS BIGINT) AS nc,
+         |    CAST(LEN($tokensSql) AS BIGINT) AS nt,
+         |    CAST(COALESCE(LIST_SUM(LIST_TRANSFORM($tokensSql, x -> LEN(x))), 0) AS BIGINT) AS stl,
+         |    CAST(LENGTH(REGEXP_REPLACE(text, '[a-zA-Z0-9\\s]', '', 'g')) AS BIGINT) AS pc,
+         |    CAST(LEN(LIST_FILTER($tokensSql,
+         |      x -> x IN ('the','a','an','and','or','of','to','in','is','it'))) AS BIGINT) AS sh
+         |  FROM documents),
+         |f AS (
+         |  SELECT doc_id,
+         |    CAST(LEAST(nc, 2000) * 1000000 // 2000 AS BIGINT) AS len_frac_micro,
+         |    CAST(CASE WHEN nt > 0 THEN stl * 1000000 // nt ELSE 0 END AS BIGINT) AS mwl_micro,
+         |    CAST(CASE WHEN nc > 0 THEN pc * 1000000 // nc ELSE 0 END AS BIGINT) AS punct_micro,
+         |    CAST(CASE WHEN nt > 0 THEN sh * 1000000 // nt ELSE 0 END AS BIGINT) AS stop_micro
+         |  FROM m),
+         |s AS (
+         |  SELECT doc_id, len_frac_micro, mwl_micro, punct_micro, stop_micro,
+         |    CAST(len_frac_micro * 3000000 + mwl_micro * (-100000)
+         |      + punct_micro * (-12000000) + stop_micro * 8000000 AS BIGINT) AS score_p12
+         |  FROM f)
+         |SELECT doc_id, len_frac_micro, mwl_micro, punct_micro, stop_micro,
+         |  score_p12, score_p12 >= 250000000000 AS keep
+         |FROM s ORDER BY doc_id""".stripMargin,
+    // same ranking pattern as sim_topk_brute (green since r2) plus the
+    // label-inequality predicate — list_cosine_similarity only ORDERS,
+    // every emitted column is integer
+    "sim_hard_negatives" ->
+      """SELECT query_id, rank, neighbor_id, neighbor_label FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    CAST(c.label AS BIGINT) AS neighbor_label,
+        |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id) AS rank
+        |  FROM embeddings q JOIN embeddings c
+        |    ON q.vec_id <> c.vec_id AND q.label <> c.label
+        |  WHERE q.vec_id < 5
+        |) WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     // hash identically; COALESCE guards DuckDB's NULL LIST_SUM on
     // zero-token docs (the kernel emits 0 there)
     "quality_gopher" ->

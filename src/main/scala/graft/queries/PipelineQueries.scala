@@ -114,6 +114,15 @@ object PipelineQueries extends QueryFamily {
     TextAnalysis.tokenRarity(Tables.documents(spark, dir), "doc_id", "text")
       .orderBy(col("doc_id"))
 
+  /** DSIR-style target-affinity selection: rank the whole pool by
+    * integer token overlap with the src0 in-domain slice, keep the top
+    * 100 (ties broken on doc_id — total order). */
+  def selectTargetAffinity(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Sampling.targetAffinity(docs, docs.filter(col("source") === "src0"),
+      "doc_id", "text", topN = 100)
+  }
+
   /** Exact 5th–95th percentile length-band trim via the histogram
     * percentile (no global row sort — see the operator doc). */
   def qualityLengthBand(spark: SparkSession, dir: String): DataFrame =
@@ -479,7 +488,8 @@ object PipelineQueries extends QueryFamily {
     "dedup_cc_increment" -> (dedupCcIncrement _),
     "split_leakage_safe" -> (splitLeakageSafe _),
     "pipeline_attrition" -> (pipelineAttrition _),
-    "quality_constraints" -> (qualityConstraints _))
+    "quality_constraints" -> (qualityConstraints _),
+    "select_target_affinity" -> (selectTargetAffinity _))
 
   /** Tokens-with-position CTE shared by the n-gram oracles — the zipped
     * double-unnest mirrors Spark's posexplode positions 1-based. */
@@ -498,6 +508,24 @@ object PipelineQueries extends QueryFamily {
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)"
 
   val oracles: Map[String, String] = Map(
+    // integer affinity and floor division keep the ranking exact; the
+    // CASTs stop DuckDB's SUM from widening to HUGEINT (dtype gate)
+    "select_target_affinity" ->
+      s"""WITH tgt AS (
+         |  SELECT unnest($tokensSqlP) AS tok FROM documents WHERE source = 'src0'),
+         |tcnt AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS target_cnt FROM tgt GROUP BY tok),
+         |tf AS (
+         |  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, unnest($tokensSqlP) AS tok FROM documents)
+         |  GROUP BY doc_id, tok),
+         |sc AS (
+         |  SELECT tf.doc_id,
+         |    CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+         |    CAST(SUM(tf.tf * COALESCE(tc.target_cnt, 0)) AS BIGINT) AS affinity
+         |  FROM tf LEFT JOIN tcnt tc USING (tok) GROUP BY tf.doc_id)
+         |SELECT doc_id, n_tokens, affinity,
+         |  CAST(affinity * 1000000 // n_tokens AS BIGINT) AS affinity_micro
+         |FROM sc ORDER BY affinity_micro DESC, doc_id LIMIT 100""".stripMargin,
     "sample_stratified" ->
       s"""SELECT doc_id, lang FROM documents
          |WHERE $bucketSql <

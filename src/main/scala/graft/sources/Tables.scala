@@ -26,8 +26,31 @@ object Tables {
   def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
   def supplier(s: SparkSession, d: String): DataFrame = table(s, d, "supplier")
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
-  def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
-  def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame =
+    normalizeTs(table(s, d, "orders"), "o_orderdate")
+  def lineitem(s: SparkSession, d: String): DataFrame =
+    normalizeTs(table(s, d, "lineitem"), "l_shipdate")
+
+  /** Fixture regens have changed timestamp physical types between rounds
+    * (see [[events]] — the round-6 regen broke 23 queries this way).
+    * Normalize a date/time column to µs TimestampNTZType whatever the
+    * generation shipped: NTZ passes through, LTZ keeps the wall clock
+    * (UTC-pinned sessions), DATE maps to midnight, raw INT64 is treated
+    * as legacy nanos. Queries and oracles then see one stable type. */
+  private def normalizeTs(df: DataFrame, colName: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{DateType, LongType, TimestampNTZType}
+    df.schema(colName).dataType match {
+      case TimestampNTZType => df
+      case LongType =>
+        df.withColumn(colName,
+          expr(s"cast(timestamp_micros($colName div 1000) as timestamp_ntz)"))
+      case DateType =>
+        df.withColumn(colName, col(colName).cast(TimestampNTZType))
+      case _ =>
+        df.withColumn(colName, expr(s"cast($colName as timestamp_ntz)"))
+    }
+  }
 
   /** `events.ts` has shipped as parquet TIMESTAMP(NANOS) in some fixture
     * generations and TIMESTAMP(MICROS) in others. Normalize both to µs
@@ -37,16 +60,7 @@ object Tables {
     * (legacy mode) and truncated ns→µs. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    import org.apache.spark.sql.functions.expr
-    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
-    val raw = table(s, d, "events")
-    raw.schema("ts").dataType match {
-      case LongType => // NANOS fixtures, read as raw nano longs
-        raw.withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
-      case TimestampNTZType => raw
-      case _ => // TimestampType (reader configured for LTZ): keep the wall clock
-        raw.withColumn("ts", expr("cast(ts as timestamp_ntz)"))
-    }
+    normalizeTs(table(s, d, "events"), "ts")
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

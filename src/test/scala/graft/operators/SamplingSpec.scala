@@ -192,4 +192,38 @@ class SamplingSpec extends SparkSpec {
       .select("doc_id", "lang").as[(Long, String)].collect()
     assert(kept.toSet == again.toSet)
   }
+
+  test("target affinity ranks in-domain docs above disjoint-vocabulary docs") {
+    val docs = Seq(
+      (1L, "alpha beta gamma alpha beta", "tgt"),
+      (2L, "alpha beta gamma delta", "pool"),   // shares the target vocab
+      (3L, "zebra xylophone quartz", "pool"),   // disjoint
+      (4L, "alpha alpha alpha alpha", "pool")   // pure overlap, high tf
+    ).toDF("doc_id", "text", "source")
+    val ranked = Sampling.targetAffinity(docs,
+      docs.filter($"source" === "tgt"), "doc_id", "text", topN = 10)
+      .select("doc_id", "affinity", "affinity_micro")
+      .as[(Long, Long, Long)].collect()
+    val order = ranked.map(_._1).toSeq
+    assert(order.head == 4L || order.head == 1L,
+      s"a pure-overlap doc must rank top: $order")
+    assert(order.last == 3L, s"the disjoint doc must rank last: $order")
+    val byId = ranked.map(r => r._1 -> r).toMap
+    assert(byId(3L)._2 == 0L, "disjoint vocabulary ⇒ zero affinity")
+    // affinity: doc 4 = 4 tokens × target_cnt(alpha)=2 ⇒ 8
+    assert(byId(4L)._2 == 8L, s"tf × target_cnt must multiply: ${byId(4L)}")
+    // length normalization: affinity_micro is per-token
+    assert(byId(4L)._3 == 8L * 1000000L / 4L)
+  }
+
+  test("target affinity is deterministic and honors topN") {
+    val docs = (1L to 30L).map(i => (i, s"tok${i % 7} tok${i % 5} common", "p"))
+      .toDF("doc_id", "text", "source")
+    val target = Seq((100L, "common common tok1", "t")).toDF("doc_id", "text", "source")
+    val a = Sampling.targetAffinity(docs, target, "doc_id", "text", topN = 5)
+      .select("doc_id").as[Long].collect().toSeq
+    val b = Sampling.targetAffinity(docs, target, "doc_id", "text", topN = 5)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(a == b && a.size == 5)
+  }
 }

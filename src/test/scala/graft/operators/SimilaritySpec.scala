@@ -140,4 +140,46 @@ class SimilaritySpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs == Set((0L, 1L)))
   }
+
+  test("hard negatives never share the query's label and rank by cosine") {
+    val emb = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f), 1),
+      (1L, Seq(1f, 0f, 0f, 0f), 1),   // same label as query — excluded
+      (2L, Seq(0.99f, 0.1f, 0f, 0f), 2), // closest wrong-label
+      (3L, Seq(0.5f, 0.5f, 0f, 0f), 2),
+      (4L, Seq(-1f, 0f, 0f, 0f), 3)
+    ).toDF("vec_id", "embedding", "label")
+    val negs = Similarity.hardNegatives(emb, emb.filter($"vec_id" === 0),
+      "vec_id", "embedding", "label", k = 3)
+      .select("rank", "neighbor_id", "neighbor_label")
+      .as[(Long, Long, Int)].collect()
+    assert(negs.map(_._2).toSeq == Seq(2L, 3L, 4L), s"order: ${negs.toSeq}")
+    assert(negs.forall(_._3 != 1), "a hard negative carried the query's own label")
+  }
+
+  test("hard negatives equal label-filtered brute force on random vectors") {
+    val rnd = new scala.util.Random(7)
+    val corpus = (0L until 40L).map { i =>
+      (i, Seq.fill(8)(rnd.nextFloat() * 2f - 1f), (i % 4).toInt)
+    }
+    val df = corpus.toDF("vec_id", "embedding", "label")
+    val got = Similarity.hardNegatives(df, df.filter($"vec_id" < 3),
+      "vec_id", "embedding", "label", k = 5)
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Long, Long)].collect().toSet
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+      dot / (na * nb)
+    }
+    val want = corpus.filter(_._1 < 3).flatMap { case (qid, qv, ql) =>
+      corpus.filter(c => c._1 != qid && c._3 != ql)
+        .map(c => (c._1, cos(qv, c._2)))
+        .sortBy { case (nid, s) => (-s, nid) }
+        .take(5).zipWithIndex
+        .map { case ((nid, _), r) => (qid, (r + 1).toLong, nid) }
+    }.toSet
+    assert(got == want, s"diff: ${(got diff want) ++ (want diff got)}")
+  }
 }

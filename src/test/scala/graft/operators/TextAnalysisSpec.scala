@@ -188,4 +188,41 @@ class TextAnalysisSpec extends SparkSpec {
     // keep is the conjunction
     assert(out.forall(r => r._7 == (r._2 && r._3 && r._4 && r._5 && r._6)))
   }
+
+  test("logit quality: feature extremes move the score the documented way") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat and it is a good day in the sun"), // stopword-rich prose
+      (2L, "!!! ??? ### $$$ %%% ^^^ &&& *** ((( )))"),                // punctuation wall
+      (3L, ""),                                                       // empty
+      (4L, "a " * 1500)                                               // long, stopword-heavy
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.logitQuality(docs, "doc_id", "text")
+      .select("doc_id", "score_p12", "keep")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    val byId = out.map(r => r._1 -> r).toMap
+    assert(byId(1L)._2 > byId(2L)._2, "prose must outscore punctuation soup")
+    assert(byId(2L)._3 == false, "the punctuation wall must be rejected")
+    assert(byId(1L)._3, "plain prose must survive the default threshold")
+    // empty doc: every ratio guard hits 0, score is exactly the bias
+    assert(byId(3L)._2 == 0L, s"empty doc score: ${byId(3L)._2}")
+  }
+
+  test("logit quality score is the exact integer dot product of its features") {
+    val docs = Seq((1L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val r = TextAnalysis.logitQuality(docs, "doc_id", "text").head()
+    val score = r.getAs[Long]("len_frac_micro") * 3000000L +
+      r.getAs[Long]("mwl_micro") * -100000L +
+      r.getAs[Long]("punct_micro") * -12000000L +
+      r.getAs[Long]("stop_micro") * 8000000L
+    assert(r.getAs[Long]("score_p12") == score)
+    assert(r.getAs[Boolean]("keep") == (score >= 250000000000L))
+  }
+
+  test("logit quality honors custom weights and threshold") {
+    val docs = Seq((1L, "hello world")).toDF("doc_id", "text")
+    val strict = TextAnalysis.LogitWeights(thresholdP12 = Long.MaxValue)
+    val out = TextAnalysis.logitQuality(docs, "doc_id", "text", strict)
+      .select("keep").as[Boolean].head()
+    assert(!out, "nothing passes a MaxValue threshold")
+  }
 }

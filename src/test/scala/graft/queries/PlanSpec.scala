@@ -259,4 +259,27 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Scan parquet"), s"round plan re-reads the table:\n$p")
     assert(p.contains("Scan ExistingRDD"), s"expected flattened-RDD root:\n$p")
   }
+
+  test("quality_logit is one codegen'd projection over a single scan (no shuffle beyond the sort)") {
+    val p = plan("quality_logit")
+    // FormattedMode prints each scan in the tree AND the detail section
+    assert("Scan parquet".r.findAllIn(p).size == 2, s"expected one scan:\n$p")
+    // the classifier itself adds no exchange; only the output orderBy sorts
+    assert(!p.contains("HashAggregate"), s"aggregation surfaced in a projection-only op:\n$p")
+  }
+
+  test("select_target_affinity broadcasts the target vocabulary, not the pool") {
+    val p = plan("select_target_affinity")
+    assert(p.contains("BroadcastHashJoin"), s"vocab join must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"pool-sized exchange crept in:\n$p")
+    // top-n is limit-shaped, not a global sort materialization
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-n plan:\n$p")
+  }
+
+  test("sim_hard_negatives broadcasts the query side against the corpus scan") {
+    val p = plan("sim_hard_negatives")
+    assert(p.contains("BroadcastNestedLoopJoin"), s"non-equi ANN join must broadcast:\n$p")
+    // 2 logical scans (corpus + query side) × 2 FormattedMode sections
+    assert("Scan parquet".r.findAllIn(p).size == 4, s"corpus + query scans only:\n$p")
+  }
 }

@@ -62,6 +62,23 @@ class EventsTsDriftSpec extends SparkSpec {
     assert(got == "2024-03-01 12:30:45.123456", s"wall clock drifted through LTZ cast: $got")
   }
 
+  test("a DATE-generation orders fixture normalizes to midnight NTZ") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ord").toString
+    Seq((1L, 2L, "O", 10.5, java.sql.Date.valueOf("2024-03-01"), "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val df = Tables.orders(spark, dir)
+    assert(df.schema("o_orderdate").dataType == TimestampNTZType)
+    val got = df.select(col("o_orderdate").cast(StringType)).as[String].head()
+    assert(got == "2024-03-01 00:00:00", s"DATE should map to midnight NTZ: $got")
+  }
+
+  test("the real orders/lineitem fixtures read their date columns as NTZ") {
+    assert(Tables.orders(spark, sfDir).schema("o_orderdate").dataType == TimestampNTZType)
+    assert(Tables.lineitem(spark, sfDir).schema("l_shipdate").dataType == TimestampNTZType)
+  }
+
   test("the real driver fixture reads as µs NTZ through the same path") {
     val df = readEvents(sfDir)
     assert(df.schema("ts").dataType == TimestampNTZType)
