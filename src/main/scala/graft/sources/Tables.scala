@@ -60,8 +60,30 @@ object Tables {
     * (legacy mode) and truncated ns→µs. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    normalizeTs(table(s, d, "events"), "ts")
+    castIfPresent(normalizeTs(table(s, d, "events"), "ts"),
+      "event_id" -> "bigint", "user_id" -> "bigint",
+      "event_type" -> "string", "value" -> "double", "props" -> "string")
   }
-  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+  /** Documents and embeddings get the same insurance as the time columns:
+    * pin the integral/float widths every operator assumes (doc ids and
+    * counts as BIGINT, labels as INT, embedding lanes as FLOAT). A regen
+    * that ships int32 counts or float64 lanes then costs a no-op cast in
+    * the plan (Catalyst folds same-type casts away), not 40 broken
+    * queries. Unknown/extra columns pass through untouched. */
+  def documents(s: SparkSession, d: String): DataFrame =
+    castIfPresent(table(s, d, "documents"),
+      "doc_id" -> "bigint", "n_chars" -> "bigint",
+      "text" -> "string", "lang" -> "string", "source" -> "string")
+
+  def embeddings(s: SparkSession, d: String): DataFrame =
+    castIfPresent(table(s, d, "embeddings"),
+      "vec_id" -> "bigint", "label" -> "int", "embedding" -> "array<float>")
+
+  private def castIfPresent(df: DataFrame, casts: (String, String)*): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val present = df.columns.toSet
+    casts.filter { case (c, _) => present(c) }.foldLeft(df) {
+      case (acc, (c, t)) => acc.withColumn(c, col(c).cast(t))
+    }
+  }
 }

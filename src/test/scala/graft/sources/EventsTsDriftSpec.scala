@@ -93,4 +93,36 @@ class EventsTsDriftSpec extends SparkSpec {
     assert(streamed.count() == batch.count())
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
+
+  test("narrow-width regen of documents/embeddings normalizes to the pinned widths") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-wid").toString
+    Seq((1, "hello world", "en", "src0", 11))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .selectExpr("cast(doc_id as int) doc_id", "text", "lang", "source",
+        "cast(n_chars as int) n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val docs = Tables.documents(spark, dir)
+    assert(docs.schema("doc_id").dataType == LongType)
+    assert(docs.schema("n_chars").dataType == LongType)
+
+    Seq((7, Seq(1.0, 2.0), 3L)).toDF("vec_id", "embedding", "label")
+      .selectExpr("cast(vec_id as int) vec_id",
+        "cast(embedding as array<double>) embedding", "label")
+      .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+    val emb = Tables.embeddings(spark, dir)
+    assert(emb.schema("vec_id").dataType == LongType)
+    assert(emb.schema("label").dataType == IntegerType)
+    assert(emb.schema("embedding").dataType ==
+      ArrayType(FloatType, containsNull = true))
+  }
+
+  test("current-generation fixtures pass the width pins unchanged (casts fold away)") {
+    val docs = Tables.documents(spark, sfDir)
+    assert(docs.schema("doc_id").dataType == LongType)
+    val emb = Tables.embeddings(spark, sfDir)
+    assert(emb.schema("embedding").dataType.asInstanceOf[ArrayType].elementType == FloatType)
+    // the no-op casts must not survive optimization (scan stays prunable)
+    val p = docs.select("doc_id").queryExecution.optimizedPlan.toString
+    assert(!p.toLowerCase.contains("cast(doc_id"), s"same-type cast survived:\n$p")
+  }
 }
