@@ -135,6 +135,46 @@ object Corpus {
   }
 
   /**
+   * Padding-waste accounting for length-bucketed batch shaping: bucket
+   * every document by the power-of-two sequence length its (capped)
+   * subword count would pad to — `bucket = min(maxLen, max(minLen,
+   * 2^⌈log2 tokens⌉))` — and report per-bucket document counts, token
+   * mass, padding waste, and the waste share in permille. This is the
+   * telemetry that decides bucketed batching vs packing: a high-waste
+   * bucket profile is tokens burned on pad ids.
+   *
+   * Integer-exact everywhere: the pow2 ceiling is the binary digit count
+   * of `tokens − 1` (`shiftleft(1, length(bin(x-1)))` — no float log to
+   * drift a boundary), and waste_permille is an all-positive floor
+   * division, so the SQL oracle replays bit-for-bit. One fused-kernel
+   * pass + a bucket-keyed counter aggregate: the exchange carries
+   * O(log maxLen) rows.
+   */
+  def paddingWaste(
+      df: DataFrame,
+      textCol: String,
+      minLen: Int = 16,
+      maxLen: Int = 512): DataFrame = {
+    require(minLen > 0 && maxLen >= minLen,
+      s"need 0 < minLen <= maxLen: $minLen, $maxLen")
+    val st = text_stats(col(textCol))
+    df.select((st.getField("n_tokens") + st.getField("punct_chars")).as("__sub"))
+      .select(least(col("__sub"), lit(maxLen.toLong)).as("__capped"))
+      .select(col("__capped"),
+        least(lit(maxLen.toLong), greatest(lit(minLen.toLong),
+          when(col("__capped") <= 1, lit(1L))
+            .otherwise(expr("shiftleft(1L, cast(length(bin(__capped - 1)) as int))")
+              .cast("long")))).as("bucket_len"))
+      .groupBy(col("bucket_len"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__capped")).as("sum_tokens"),
+        sum(col("bucket_len") - col("__capped")).as("sum_waste"))
+      .withColumn("waste_permille",
+        expr("sum_waste * 1000L div (sum_tokens + sum_waste)"))
+      .orderBy(col("bucket_len"))
+  }
+
+  /**
    * Shard preparation for the training-shard write: tag each row with its
    * deterministic shuffle key (md5(seed # id) — same key as
    * [[deterministicShuffle]]), range-partition into `nShards` partitions

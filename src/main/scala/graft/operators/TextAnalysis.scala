@@ -197,6 +197,38 @@ object TextAnalysis {
   def normalize(text: Column): Column =
     trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
 
+  /** Tokenizer-efficiency telemetry per group (usually per source):
+    * fertility (subword tokens per whitespace word — the multilingual
+    * tokenizer-health metric; a domain whose fertility spikes is one the
+    * tokenizer fragments) and compression (chars per subword token, the
+    * budget planner's cost basis). Both emitted as exact micro-unit
+    * integers over summed counts — all-positive floor division, so
+    * Spark `div` and the SQL oracle agree bit-for-bit.
+    *
+    * Scale shape: one fused `text_stats` pass over the scan, then a
+    * group-keyed partial aggregate — the exchange carries |groups| rows
+    * of counters, never text. */
+  def tokenFertility(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val st = col("__st")
+    df.withColumn("__st", text_stats(col(textCol), stopwords))
+      .select(col(groupCol),
+        (st.getField("n_tokens") + st.getField("punct_chars")).as("__sub"),
+        st.getField("ws_tokens").as("__ws"),
+        st.getField("n_chars").as("__nc"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__sub")).as("subword_tokens"),
+        sum(col("__ws")).as("ws_tokens"),
+        sum(col("__nc")).as("n_chars"))
+      .withColumn("fertility_micro",
+        when(col("ws_tokens") > 0,
+          expr("subword_tokens * 1000000L div ws_tokens")).otherwise(lit(0L)))
+      .withColumn("chars_per_subword_micro",
+        when(col("subword_tokens") > 0,
+          expr("n_chars * 1000000L div subword_tokens")).otherwise(lit(0L)))
+      .orderBy(col(groupCol))
+  }
+
   /** Weights of the linear quality model evaluated by [[logitQuality]],
     * all in integer micro-units (1e6 = 1.0). This is the shape a
     * distilled quality classifier (fasttext / logistic regression over

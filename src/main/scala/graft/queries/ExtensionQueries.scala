@@ -317,6 +317,15 @@ object ExtensionQueries extends QueryFamily {
     TextAnalysis.logitQuality(Tables.documents(spark, dir), "doc_id", "text")
       .orderBy(col("doc_id"))
 
+  /** Padding-waste profile of length-bucketed batch shaping (pow2
+    * buckets, capped at 512, integer-exact). */
+  def packPaddingWaste(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Corpus.paddingWaste(Tables.documents(spark, dir), "text")
+
+  /** Per-source tokenizer fertility + compression (integer micro-units). */
+  def tokenFertility(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenFertility(Tables.documents(spark, dir), "source", "text")
+
   /** Hard-negative mining: nearest different-label neighbors per query
     * vector (the contrastive-training negative sampler). */
   def simHardNegatives(spark: SparkSession, dir: String): DataFrame = {
@@ -756,6 +765,8 @@ object ExtensionQueries extends QueryFamily {
     "text_quality" -> (textQuality _),
     "quality_gopher" -> (qualityGopher _),
     "quality_logit" -> (qualityLogit _),
+    "token_fertility" -> (tokenFertility _),
+    "pack_padding_waste" -> (packPaddingWaste _),
     "sim_hard_negatives" -> (simHardNegatives _),
     "text_tokens_top" -> (textTokensTop _),
     "text_langid" -> (textLangId _),
@@ -1020,6 +1031,50 @@ object ExtensionQueries extends QueryFamily {
          |SELECT doc_id, len_frac_micro, mwl_micro, punct_micro, stop_micro,
          |  score_p12, score_p12 >= 250000000000 AS keep
          |FROM s ORDER BY doc_id""".stripMargin,
+    // pow2 ceiling via binary digit count (no float log), waste share an
+    // all-positive floor division — exact on both engines
+    "pack_padding_waste" ->
+      s"""WITH m AS (
+         |  SELECT LEAST(CAST(LEN($tokensSql) AS BIGINT)
+         |    + CAST(LENGTH(REGEXP_REPLACE(text, '[a-zA-Z0-9\\s]', '', 'g')) AS BIGINT),
+         |    512) AS capped
+         |  FROM documents),
+         |b AS (
+         |  SELECT capped,
+         |    LEAST(512, GREATEST(16,
+         |      CASE WHEN capped <= 1 THEN 1
+         |           ELSE CAST(1 AS BIGINT) << LENGTH(BIN(capped - 1)) END)) AS bucket_len
+         |  FROM m),
+         |g AS (
+         |  SELECT bucket_len, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(capped) AS BIGINT) AS sum_tokens,
+         |    CAST(SUM(bucket_len - capped) AS BIGINT) AS sum_waste
+         |  FROM b GROUP BY bucket_len)
+         |SELECT bucket_len, n_docs, sum_tokens, sum_waste,
+         |  CAST(sum_waste * 1000 // (sum_tokens + sum_waste) AS BIGINT) AS waste_permille
+         |FROM g ORDER BY bucket_len""".stripMargin,
+    // summed integer counters per source; micro ratios are all-positive
+    // floor divisions, so // replays Spark's div exactly
+    "token_fertility" ->
+      s"""WITH m AS (
+         |  SELECT source,
+         |    CAST(LEN($tokensSql) AS BIGINT)
+         |      + CAST(LENGTH(REGEXP_REPLACE(text, '[a-zA-Z0-9\\s]', '', 'g')) AS BIGINT) AS sub,
+         |    CAST(LEN(LIST_FILTER(STRING_SPLIT_REGEX(text, '\\s+'), x -> LEN(x) > 0)) AS BIGINT) AS ws,
+         |    CAST(LENGTH(text) AS BIGINT) AS nc
+         |  FROM documents),
+         |g AS (
+         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(sub) AS BIGINT) AS subword_tokens,
+         |    CAST(SUM(ws) AS BIGINT) AS ws_tokens,
+         |    CAST(SUM(nc) AS BIGINT) AS n_chars
+         |  FROM m GROUP BY source)
+         |SELECT source, n_docs, subword_tokens, ws_tokens, n_chars,
+         |  CASE WHEN ws_tokens > 0
+         |    THEN CAST(subword_tokens * 1000000 // ws_tokens AS BIGINT) ELSE 0 END AS fertility_micro,
+         |  CASE WHEN subword_tokens > 0
+         |    THEN CAST(n_chars * 1000000 // subword_tokens AS BIGINT) ELSE 0 END AS chars_per_subword_micro
+         |FROM g ORDER BY source""".stripMargin,
     // same ranking pattern as sim_topk_brute (green since r2) plus the
     // label-inequality predicate — list_cosine_similarity only ORDERS,
     // every emitted column is integer

@@ -236,4 +236,19 @@ class CorpusSpec extends SparkSpec {
     assert(got == Seq((1L, 1L, "payload-1"), (2L, 1L, "payload-2"),
       (9L, 9L, "payload-9")))
   }
+
+  test("padding waste: pow2 buckets, caps, floors, and exact waste accounting") {
+    val docs = Seq(
+      (1L, "a b c"),                      // 3 subwords -> bucket 16, waste 13
+      (2L, ("w " * 20).trim),             // 20 subwords -> bucket 32, waste 12
+      (3L, ""),                           // 0 -> floor bucket 16, waste 16
+      (4L, ("x " * 600).trim)             // 600 -> capped 512, bucket 512, waste 0
+    ).toDF("doc_id", "text")
+    val out = Corpus.paddingWaste(docs, "text")
+      .as[(Long, Long, Long, Long, Long)].collect().toList
+    // bucket 16: docs 1+3 — tokens 3+0, waste 13+16
+    assert(out.head == ((16L, 2L, 3L, 29L, 29L * 1000L / 32L)), out.head)
+    assert(out(1) == ((32L, 1L, 20L, 12L, 12L * 1000L / 32L)), out(1))
+    assert(out(2) == ((512L, 1L, 512L, 0L, 0L)), out(2))
+  }
 }

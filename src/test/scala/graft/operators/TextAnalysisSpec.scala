@@ -225,4 +225,18 @@ class TextAnalysisSpec extends SparkSpec {
       .select("keep").as[Boolean].head()
     assert(!out, "nothing passes a MaxValue threshold")
   }
+
+  test("token fertility: hand-computed counters and micro ratios") {
+    val docs = Seq(
+      (1L, "ab cd", "s1"),    // 2 ws words, 2 subwords, 5 chars
+      (2L, "a,b", "s1"),      // 1 ws word, 2 subwords + 1 punct = 3, 3 chars
+      (3L, "", "s2")          // empty: all zero
+    ).toDF("doc_id", "text", "source")
+    val out = TextAnalysis.tokenFertility(docs, "source", "text")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toList
+    // s1: n_docs 2, subword 2+3=5, ws 2+1=3, chars 5+3=8
+    assert(out.head == (("s1", 2L, 5L, 3L, 8L, 5L * 1000000L / 3L, 8L * 1000000L / 5L)), out.head)
+    // s2: one empty doc — guarded ratios emit 0, not a divide error
+    assert(out(1) == (("s2", 1L, 0L, 0L, 0L, 0L, 0L)), out(1))
+  }
 }

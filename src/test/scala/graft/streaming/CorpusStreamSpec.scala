@@ -167,4 +167,17 @@ class CorpusStreamSpec extends SparkSpec {
       s"fresh docs missing: $admitted")
     assert(!admitted.contains(3L), s"cross-batch duplicate admitted: $admitted")
   }
+
+  test("streaming logit quality filter is bit-identical to the batch classifier") {
+    val streamed = EventStreams.runToBatch(spark,
+      CorpusStream.scoreQualityStream(CorpusStream.readDocuments(spark, sfDir)),
+      "t_logit_stream", outputMode = "append")
+      .select("doc_id", "score_p12").as[(Long, Long)].collect().toSet
+    val batch = graft.operators.TextAnalysis.logitQuality(
+      spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text")
+      .filter(col("keep"))
+      .select("doc_id", "score_p12").as[(Long, Long)].collect().toSet
+    assert(streamed.nonEmpty, "the fixture must have passing docs")
+    assert(streamed == batch)
+  }
 }
