@@ -499,6 +499,29 @@ object ExtensionQueries extends QueryFamily {
       .orderBy(col("lang"))
   }
 
+  /** Composed flagship v4 — the round-7 operator chain end-to-end:
+    * learned-filter inference gates the pool, DSIR target-affinity ranks
+    * what passed (target = the quality-passing src0 slice), the top 300
+    * dedup exactly (md5 digest, min-id survivor), and the report is a
+    * per-source counter rollup. Every stage is integer-exact, so ONE SQL
+    * oracle checks the whole chain. */
+  def pipelineCorpusV4(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val kept = TextAnalysis.logitQuality(docs, "doc_id", "text")
+      .filter(col("keep")).select("doc_id")
+      .join(docs, "doc_id")
+    val selected = Sampling.targetAffinity(kept,
+        kept.filter(col("source") === "src0"), "doc_id", "text", topN = 300)
+      .join(kept.select(col("doc_id"), col("source"), col("text")), "doc_id")
+    val deduped = Dedup.exactByKey(
+      selected.withColumn("__k", md5(col("text"))), Seq("__k"), "doc_id")
+    deduped.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        sum(col("affinity_micro")).as("sum_affinity_micro"))
+      .orderBy(col("source"))
+  }
+
   def pipelineCorpusV2(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val deduped = Dedup.exactByKey(
@@ -784,6 +807,7 @@ object ExtensionQueries extends QueryFamily {
     "pipeline_corpus" -> (pipelineCorpus _),
     "pipeline_corpus_v2" -> (pipelineCorpusV2 _),
     "pipeline_corpus_v3" -> (pipelineCorpusV3 _),
+    "pipeline_corpus_v4" -> (pipelineCorpusV4 _),
     "corpus_split" -> (corpusSplit _),
     "corpus_shuffle" -> (corpusShuffle _),
     "corpus_pack" -> (corpusPack _),
@@ -1031,6 +1055,52 @@ object ExtensionQueries extends QueryFamily {
          |SELECT doc_id, len_frac_micro, mwl_micro, punct_micro, stop_micro,
          |  score_p12, score_p12 >= 250000000000 AS keep
          |FROM s ORDER BY doc_id""".stripMargin,
+    // composed flagship v4: logit gate → affinity rank → md5 dedup →
+    // source rollup, every stage integer-exact, one end-to-end oracle
+    "pipeline_corpus_v4" ->
+      s"""WITH m AS (
+         |  SELECT doc_id, source, text,
+         |    CAST(LENGTH(text) AS BIGINT) AS nc,
+         |    CAST(LEN($tokensSql) AS BIGINT) AS nt,
+         |    CAST(COALESCE(LIST_SUM(LIST_TRANSFORM($tokensSql, x -> LEN(x))), 0) AS BIGINT) AS stl,
+         |    CAST(LENGTH(REGEXP_REPLACE(text, '[a-zA-Z0-9\\s]', '', 'g')) AS BIGINT) AS pc,
+         |    CAST(LEN(LIST_FILTER($tokensSql,
+         |      x -> x IN ('the','a','an','and','or','of','to','in','is','it'))) AS BIGINT) AS sh
+         |  FROM documents),
+         |k AS (
+         |  SELECT doc_id, source, text FROM (
+         |    SELECT doc_id, source, text,
+         |      CAST(LEAST(nc, 2000) * 1000000 // 2000 AS BIGINT) AS lf,
+         |      CAST(CASE WHEN nt > 0 THEN stl * 1000000 // nt ELSE 0 END AS BIGINT) AS mwl,
+         |      CAST(CASE WHEN nc > 0 THEN pc * 1000000 // nc ELSE 0 END AS BIGINT) AS pm,
+         |      CAST(CASE WHEN nt > 0 THEN sh * 1000000 // nt ELSE 0 END AS BIGINT) AS sm
+         |    FROM m)
+         |  WHERE lf * 3000000 + mwl * (-100000) + pm * (-12000000) + sm * 8000000
+         |    >= 250000000000),
+         |tgt AS (SELECT unnest($tokensSql) AS tok FROM k WHERE source = 'src0'),
+         |tcnt AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS target_cnt FROM tgt GROUP BY tok),
+         |tf AS (
+         |  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, unnest($tokensSql) AS tok FROM k) GROUP BY doc_id, tok),
+         |sc AS (
+         |  SELECT tf.doc_id, CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+         |    CAST(SUM(tf.tf * COALESCE(tc.target_cnt, 0)) AS BIGINT) AS affinity
+         |  FROM tf LEFT JOIN tcnt tc USING (tok) GROUP BY tf.doc_id),
+         |sel AS (
+         |  SELECT doc_id, n_tokens,
+         |    CAST(affinity * 1000000 // n_tokens AS BIGINT) AS affinity_micro
+         |  FROM sc ORDER BY affinity_micro DESC, doc_id LIMIT 300),
+         |dd AS (
+         |  SELECT s.doc_id, s.n_tokens, s.affinity_micro, k.source, MD5(k.text) AS dg
+         |  FROM sel s JOIN k USING (doc_id)),
+         |surv AS (
+         |  SELECT * FROM (
+         |    SELECT dd.*, ROW_NUMBER() OVER (PARTITION BY dg ORDER BY doc_id) AS rn
+         |    FROM dd) WHERE rn = 1)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+         |  CAST(SUM(affinity_micro) AS BIGINT) AS sum_affinity_micro
+         |FROM surv GROUP BY source ORDER BY source""".stripMargin,
     // pow2 ceiling via binary digit count (no float log), waste share an
     // all-positive floor division — exact on both engines
     "pack_padding_waste" ->

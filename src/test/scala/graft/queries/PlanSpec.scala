@@ -282,4 +282,20 @@ class PlanSpec extends SparkSpec {
     // 2 logical scans (corpus + query side) × 2 FormattedMode sections
     assert("Scan parquet".r.findAllIn(p).size == 4, s"corpus + query scans only:\n$p")
   }
+
+  test("token_fertility and pack_padding_waste are one-scan counter aggregates") {
+    for (q <- Seq("token_fertility", "pack_padding_waste")) {
+      val p = plan(q)
+      assert("Scan parquet".r.findAllIn(p).size == 2, s"$q expected one scan:\n$p")
+      assert(p.contains("HashAggregate"), s"$q must partial-aggregate:\n$p")
+      assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+        s"$q grew a join it doesn't need:\n$p")
+    }
+  }
+
+  test("pipeline_corpus_v4 composes with broadcasts only (no cartesian, no sort-merge)") {
+    val p = plan("pipeline_corpus_v4")
+    assert(!p.contains("CartesianProduct"), s"cartesian in the flagship chain:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$p")
+  }
 }
