@@ -209,6 +209,46 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** The scale path for [[hardNegatives]]: IVF candidate generation with
+    * an overfetch factor, then the label filter and exact re-rank on the
+    * (tiny) candidate set. At 100 TB the brute-force different-label scan
+    * is a full corpus pass per mining run; this probes `nProbe` cells and
+    * pays the label filter on queries × k × overfetch rows instead. The
+    * overfetch absorbs candidates lost to the label filter — with
+    * `overfetch ≥ 1/(1 − max label share)` the expected qualifying pool
+    * stays ≥ k. Recall is measured against the exact miner by the same
+    * [[recallAtK]] telemetry as every other ANN family. */
+  def hardNegativesIvf(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      k: Int = 10,
+      nCells: Int = 16,
+      nProbe: Int = 4,
+      overfetch: Int = 4): DataFrame = {
+    require(overfetch >= 1, s"overfetch must be >= 1: $overfetch")
+    val cand = ivfTopK(corpus, queries, idCol, vecCol,
+      k = k * overfetch, nCells = nCells, nProbe = nProbe)
+      .join(broadcast(queries.select(col(idCol).as("query_id"),
+        col(labelCol).as("query_label"))), "query_id")
+    // corpus-keyed label lookup: the candidate set (queries × k×overfetch
+    // rows) broadcasts against the corpus scan, never the reverse
+    val labeled = corpus
+      .select(col(idCol).as("neighbor_id"), col(labelCol).as("neighbor_label"))
+      .join(broadcast(cand), "neighbor_id")
+      .filter(col("query_label") =!= col("neighbor_label"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    labeled
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("neighbor_label"), col("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /**
    * IVF-PQ — the composed production ANN index (Jégou et al., TPAMI'11
    * §V; the faiss `IndexIVFPQ` layout): a sample-trained coarse

@@ -336,6 +336,17 @@ object ExtensionQueries extends QueryFamily {
         col("neighbor_label").cast("long").as("neighbor_label"))
   }
 
+  /** Recall telemetry for the IVF hard-negative miner vs the exact one —
+    * the number a user tunes nProbe/overfetch against. */
+  def simRecallHardneg(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < 5)
+    recallVerdict(Similarity.recallAtK(
+      Similarity.hardNegativesIvf(emb, queries, "vec_id", "embedding", "label",
+        k = 10, nCells = 16, nProbe = 4, overfetch = 4),
+      Similarity.hardNegatives(emb, queries, "vec_id", "embedding", "label", k = 10)))
+  }
+
   def textLangId(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.langId(Tables.documents(spark, dir), "text")
       .select(col("doc_id"), col("lang"), col("pred_lang"))
@@ -791,6 +802,7 @@ object ExtensionQueries extends QueryFamily {
     "token_fertility" -> (tokenFertility _),
     "pack_padding_waste" -> (packPaddingWaste _),
     "sim_hard_negatives" -> (simHardNegatives _),
+    "sim_recall_hardneg" -> (simRecallHardneg _),
     "text_tokens_top" -> (textTokensTop _),
     "text_langid" -> (textLangId _),
     "lang_confusion" -> (langConfusion _),
@@ -962,6 +974,7 @@ object ExtensionQueries extends QueryFamily {
     "sim_recall_ivf" -> recallOracleSql,
     "sim_recall_pq" -> recallOracleSql,
     "sim_recall_ivfpq" -> recallOracleSql,
+    "sim_recall_hardneg" -> recallOracleSql,
     // the SQL twin of the interleave is generated from Scale.spreadMasks —
     // same mask cascade, two's-complement 64-bit on both engines
     "layout_zorder" ->

@@ -182,4 +182,22 @@ class SimilaritySpec extends SparkSpec {
     }.toSet
     assert(got == want, s"diff: ${(got diff want) ++ (want diff got)}")
   }
+
+  test("IVF hard negatives: high recall vs the exact miner, labels always differ") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter($"vec_id" < 5)
+    val exact = Similarity.hardNegatives(emb, queries,
+      "vec_id", "embedding", "label", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.hardNegativesIvf(emb, queries,
+      "vec_id", "embedding", "label", k = 5, nCells = 8, nProbe = 4, overfetch = 4)
+    val ivfRows = ivf.select("query_id", "neighbor_id", "neighbor_label")
+      .as[(Long, Long, Int)].collect()
+    val qLabels = queries.select("vec_id", "label").as[(Long, Int)].collect().toMap
+    assert(ivfRows.forall { case (q, _, nl) => nl != qLabels(q) },
+      "an IVF hard negative carried the query's own label")
+    val got = ivfRows.map { case (q, n, _) => (q, n) }.toSet
+    val recall = (exact intersect got).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF hard-negative recall too low: $recall")
+  }
 }
