@@ -184,8 +184,10 @@ object Bench {
       } else (name, w1, c1, ok1)
     }
     // minimal JSON string escaper for anything not builder-controlled
-    // (env-sourced paths, query names): backslash, quote, control chars
-    def jstr(s: String): String = "\"" + s.flatMap {
+    // (env-sourced paths, query names): backslash, quote, control chars.
+    // jesc escapes content for use inside an already-quoted literal;
+    // jstr produces the full quoted literal.
+    def jesc(s: String): String = s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"
       case '\n' => "\\n"
@@ -193,7 +195,8 @@ object Bench {
       case '\t' => "\\t"
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
-    } + "\""
+    }
+    def jstr(s: String): String = "\"" + jesc(s) + "\""
     // failed queries report -1 (not their near-zero abort time) and are
     // listed in "failed", so a regression can't silently shrink the total
     val qs = results.map { case (k, w, _, ok) =>
@@ -221,15 +224,15 @@ object Bench {
     catch { case e: Throwable => System.err.println(s"[bench] full-dump write failed: $e") }
     println(fullLine)
     val slow = results.filter(_._4).sortBy(-_._2).take(20)
-    val slowQs = slow.map { case (k, w, _, _) => "\"" + k + "\":" + f"$w%.3f" }
+    val slowQs = slow.map { case (k, w, _, _) => jstr(k) + ":" + f"$w%.3f" }
       .mkString("{", ",", "}")
-    val slowCpu = slow.map { case (k, _, c, _) => "\"" + k + "\":" + f"$c%.3f" }
+    val slowCpu = slow.map { case (k, _, c, _) => jstr(k) + ":" + f"$c%.3f" }
       .mkString("{", ",", "}")
     // Compact line must survive a ~2000-char tail window even on a
     // worst-case run: cap the failed list at 10 names + a count (the full
     // list is always in the full-line artifact above).
     val failedCompact = failedNames.take(10).map(jstr).mkString("[", ",", "]")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","cpu_total":$cpuTotal%.3f,"n_queries":${results.size},"n_failed":${failedNames.size},"queries":$slowQs,"cpu":$slowCpu,"note":"20 slowest; full map in ${outPath.replace("\\", "/").replace("\"", "'")}","sf":${jstr(sfDir)},"failed":$failedCompact}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","cpu_total":$cpuTotal%.3f,"n_queries":${results.size},"n_failed":${failedNames.size},"queries":$slowQs,"cpu":$slowCpu,"note":"20 slowest; full map in ${jesc(outPath)}","sf":${jstr(sfDir)},"failed":$failedCompact}""")
     spark.stop()
   }
 }

@@ -164,6 +164,9 @@ object Similarity {
    * exact cosine re-rank happens only inside probed cells, cutting
    * compared pairs by ~nCells/nProbe.
    */
+  /** `carryCols`: extra corpus columns carried through the one index
+    * scan into the output (e.g. a label for [[hardNegativesIvf]]) — the
+    * alternative is a second corpus-sized scan just to re-join payload. */
   def ivfTopK(
       corpus: DataFrame,
       queries: DataFrame,
@@ -172,7 +175,8 @@ object Similarity {
       k: Int = 10,
       nCells: Int = 16,
       nProbe: Int = 4,
-      trainSampleN: Int = 4096): DataFrame = {
+      trainSampleN: Int = 4096,
+      carryCols: Seq[String] = Nil): DataFrame = {
     val cents = Clustering.kmeansCentroidsSampled(
       corpus, idCol, vecCol, nCells, iters = 5, sampleN = trainSampleN)
     val centsCol = typedLit(cents)
@@ -190,7 +194,9 @@ object Similarity {
 
     // corpus side: one codegen'd argmin kernel call per row — no k-struct
     // allocation, no interpreter boundary on the scan that dominates
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val c = corpus.select(
+        (Seq(col(idCol).as("neighbor_id"), col(vecCol).as("cv")) ++
+          carryCols.map(col)): _*)
       .withColumn("cell", graft.functions.argmin_l2(col("cv"), centsCol))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("cell",
@@ -205,7 +211,8 @@ object Similarity {
     scored
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("score"))
+      .select((Seq(col("query_id"), col("rank"), col("neighbor_id"),
+        col("score")) ++ carryCols.map(col)): _*)
       .orderBy(col("query_id"), col("rank"))
   }
 
@@ -229,15 +236,14 @@ object Similarity {
       nProbe: Int = 4,
       overfetch: Int = 4): DataFrame = {
     require(overfetch >= 1, s"overfetch must be >= 1: $overfetch")
-    val cand = ivfTopK(corpus, queries, idCol, vecCol,
-      k = k * overfetch, nCells = nCells, nProbe = nProbe)
+    // the label rides the IVF index scan via carryCols — no second
+    // corpus pass to re-join payload; the query labels broadcast
+    val labeled = ivfTopK(corpus, queries, idCol, vecCol,
+        k = k * overfetch, nCells = nCells, nProbe = nProbe,
+        carryCols = Seq(labelCol))
+      .withColumnRenamed(labelCol, "neighbor_label")
       .join(broadcast(queries.select(col(idCol).as("query_id"),
         col(labelCol).as("query_label"))), "query_id")
-    // corpus-keyed label lookup: the candidate set (queries × k×overfetch
-    // rows) broadcasts against the corpus scan, never the reverse
-    val labeled = corpus
-      .select(col(idCol).as("neighbor_id"), col(labelCol).as("neighbor_label"))
-      .join(broadcast(cand), "neighbor_id")
       .filter(col("query_label") =!= col("neighbor_label"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id").asc)

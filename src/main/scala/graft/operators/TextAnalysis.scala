@@ -265,6 +265,9 @@ object TextAnalysis {
       idCol: String,
       textCol: String,
       w: LogitWeights = LogitWeights()): DataFrame = {
+    // a non-positive cap would divide by zero, which non-ANSI Spark
+    // folds to NULL — and a NULL keep silently drops every row downstream
+    require(w.lenCap > 0, s"lenCap must be positive: ${w.lenCap}")
     val st = col("__st")
     df.withColumn("__st", text_stats(col(textCol), stopwords))
       .select(col(idCol),

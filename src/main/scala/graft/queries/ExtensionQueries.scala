@@ -841,6 +841,10 @@ object ExtensionQueries extends QueryFamily {
     "ts_twap" -> (tsTwap _),
     "session_stats" -> (sessionStats _))
 
+  /** The logit oracle replays the DEFAULT LogitWeights — one source of
+    * truth, so retuning the model cannot silently desync the SQL twin. */
+  private val lw = graft.operators.TextAnalysis.LogitWeights()
+
   private val tokensSql =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)"
 
@@ -1055,18 +1059,19 @@ object ExtensionQueries extends QueryFamily {
          |  FROM documents),
          |f AS (
          |  SELECT doc_id,
-         |    CAST(LEAST(nc, 2000) * 1000000 // 2000 AS BIGINT) AS len_frac_micro,
+         |    CAST(LEAST(nc, ${lw.lenCap}) * 1000000 // ${lw.lenCap} AS BIGINT) AS len_frac_micro,
          |    CAST(CASE WHEN nt > 0 THEN stl * 1000000 // nt ELSE 0 END AS BIGINT) AS mwl_micro,
          |    CAST(CASE WHEN nc > 0 THEN pc * 1000000 // nc ELSE 0 END AS BIGINT) AS punct_micro,
          |    CAST(CASE WHEN nt > 0 THEN sh * 1000000 // nt ELSE 0 END AS BIGINT) AS stop_micro
          |  FROM m),
          |s AS (
          |  SELECT doc_id, len_frac_micro, mwl_micro, punct_micro, stop_micro,
-         |    CAST(len_frac_micro * 3000000 + mwl_micro * (-100000)
-         |      + punct_micro * (-12000000) + stop_micro * 8000000 AS BIGINT) AS score_p12
+         |    CAST(len_frac_micro * (${lw.wLenFrac}) + mwl_micro * (${lw.wMeanWordLen})
+         |      + punct_micro * (${lw.wPunctRatio}) + stop_micro * (${lw.wStopwordRatio})
+         |      + (${lw.biasP12}) AS BIGINT) AS score_p12
          |  FROM f)
          |SELECT doc_id, len_frac_micro, mwl_micro, punct_micro, stop_micro,
-         |  score_p12, score_p12 >= 250000000000 AS keep
+         |  score_p12, score_p12 >= ${lw.thresholdP12} AS keep
          |FROM s ORDER BY doc_id""".stripMargin,
     // composed flagship v4: logit gate → affinity rank → md5 dedup →
     // source rollup, every stage integer-exact, one end-to-end oracle
@@ -1083,13 +1088,13 @@ object ExtensionQueries extends QueryFamily {
          |k AS (
          |  SELECT doc_id, source, text FROM (
          |    SELECT doc_id, source, text,
-         |      CAST(LEAST(nc, 2000) * 1000000 // 2000 AS BIGINT) AS lf,
+         |      CAST(LEAST(nc, ${lw.lenCap}) * 1000000 // ${lw.lenCap} AS BIGINT) AS lf,
          |      CAST(CASE WHEN nt > 0 THEN stl * 1000000 // nt ELSE 0 END AS BIGINT) AS mwl,
          |      CAST(CASE WHEN nc > 0 THEN pc * 1000000 // nc ELSE 0 END AS BIGINT) AS pm,
          |      CAST(CASE WHEN nt > 0 THEN sh * 1000000 // nt ELSE 0 END AS BIGINT) AS sm
          |    FROM m)
-         |  WHERE lf * 3000000 + mwl * (-100000) + pm * (-12000000) + sm * 8000000
-         |    >= 250000000000),
+         |  WHERE lf * (${lw.wLenFrac}) + mwl * (${lw.wMeanWordLen}) + pm * (${lw.wPunctRatio})
+         |    + sm * (${lw.wStopwordRatio}) + (${lw.biasP12}) >= ${lw.thresholdP12}),
          |tgt AS (SELECT unnest($tokensSql) AS tok FROM k WHERE source = 'src0'),
          |tcnt AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS target_cnt FROM tgt GROUP BY tok),
          |tf AS (

@@ -40,6 +40,9 @@ object Tables {
   private def normalizeTs(df: DataFrame, colName: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr}
     import org.apache.spark.sql.types.{DateType, LongType, TimestampNTZType}
+    // a regen that drops/renames the column should only break the queries
+    // that use it, not every read of the table (same guard as castIfPresent)
+    if (!df.columns.contains(colName)) return df
     df.schema(colName).dataType match {
       case TimestampNTZType => df
       case LongType =>

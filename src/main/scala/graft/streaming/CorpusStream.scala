@@ -153,17 +153,6 @@ object CorpusStream {
     * in batch (`dropDuplicates` keeps an arbitrary row) — callers who
     * need a deterministic survivor run [[graft.operators.Dedup.exactByKey]]
     * (min-id) on the batch side instead. */
-  /** Streaming twin of [[TextAnalysis.logitQuality]]'s keep-filter: the
-    * classifier is a row-local codegen'd projection, so the same column
-    * expressions run per micro-batch with zero state — scoring a
-    * firehose costs exactly what the scan costs, and the batch/stream
-    * verdicts are bit-identical (CorpusStreamSpec pins the parity). */
-  def scoreQualityStream(
-      docs: DataFrame,
-      w: TextAnalysis.LogitWeights = TextAnalysis.LogitWeights()): DataFrame =
-    TextAnalysis.logitQuality(docs, "doc_id", "text", w)
-      .filter(col("keep"))
-
   def cleanIngest(docs: DataFrame): DataFrame =
     TextAnalysis.qualityMetrics(docs, "text")
       .filter(col("n_tokens") >= 10 &&
@@ -175,4 +164,16 @@ object CorpusStream {
       // projection can fail attribute binding (observed on Spark 4.1)
       .select(col("doc_id"), col("digest"), col("n_tokens"))
       .dropDuplicates("digest")
+
+  /** Streaming twin of [[TextAnalysis.logitQuality]]'s keep-filter: the
+    * classifier is a row-local codegen'd projection, so the same column
+    * expressions run per micro-batch with zero state — scoring a
+    * firehose costs exactly what the scan costs, and the batch/stream
+    * verdicts are bit-identical (CorpusStreamSpec pins the parity). */
+  def scoreQualityStream(
+      docs: DataFrame,
+      w: TextAnalysis.LogitWeights = TextAnalysis.LogitWeights()): DataFrame =
+    TextAnalysis.logitQuality(docs, "doc_id", "text", w)
+      .filter(col("keep"))
+
 }

@@ -209,13 +209,14 @@ class TextAnalysisSpec extends SparkSpec {
 
   test("logit quality score is the exact integer dot product of its features") {
     val docs = Seq((1L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val w = TextAnalysis.LogitWeights()
     val r = TextAnalysis.logitQuality(docs, "doc_id", "text").head()
-    val score = r.getAs[Long]("len_frac_micro") * 3000000L +
-      r.getAs[Long]("mwl_micro") * -100000L +
-      r.getAs[Long]("punct_micro") * -12000000L +
-      r.getAs[Long]("stop_micro") * 8000000L
+    val score = r.getAs[Long]("len_frac_micro") * w.wLenFrac +
+      r.getAs[Long]("mwl_micro") * w.wMeanWordLen +
+      r.getAs[Long]("punct_micro") * w.wPunctRatio +
+      r.getAs[Long]("stop_micro") * w.wStopwordRatio + w.biasP12
     assert(r.getAs[Long]("score_p12") == score)
-    assert(r.getAs[Boolean]("keep") == (score >= 250000000000L))
+    assert(r.getAs[Boolean]("keep") == (score >= w.thresholdP12))
   }
 
   test("logit quality honors custom weights and threshold") {

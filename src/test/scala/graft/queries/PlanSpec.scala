@@ -296,6 +296,7 @@ class PlanSpec extends SparkSpec {
   test("pipeline_corpus_v4 composes with broadcasts only (no cartesian, no sort-merge)") {
     val p = plan("pipeline_corpus_v4")
     assert(!p.contains("CartesianProduct"), s"cartesian in the flagship chain:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"a pool-sized exchange crept into the chain:\n$p")
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$p")
   }
 }
