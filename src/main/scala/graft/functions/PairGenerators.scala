@@ -1,0 +1,200 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, Generator, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/**
+ * Bucket-local qualifying-pair generators — the LSH scoring hot path.
+ *
+ * An LSH bucket of n members holds n·(n−1)/2 candidate pairs. The
+ * composed formulation (double `posexplode` → filter i<j → score →
+ * filter ≥ threshold) materializes every one of those intermediate pair
+ * rows through the Generate operators, and for minhash each row copies
+ * two full k-lane signatures (k=64 longs = 512 bytes per side) before
+ * the score filter throws most of them away — at maxBucket=1000 that is
+ * up to 500k row materializations and ~0.5 GB of signature copies per
+ * degenerate bucket, per band (BENCH_r07's top CPU burner at 54% of the
+ * whole suite).
+ *
+ * These [[Generator]]s collapse enumerate→score→filter into one
+ * operator: `eval` is called ONCE per bucket, decodes the member array
+ * to primitive JVM arrays once, walks the i<j triangle in a tight loop,
+ * and emits ONLY the qualifying pairs (the output-sized set). Scoring
+ * early-exits as soon as the remaining lanes cannot reach the
+ * threshold — on dissimilar pairs (the common case by construction)
+ * that is ~(1−τ)·k lanes instead of k. `CodegenFallback` is deliberate:
+ * GenerateExec calls a non-codegen generator's `eval` once per input
+ * row, so the per-bucket interpretation overhead is amortized over the
+ * whole triangle — the inner loop is plain JVM code either way.
+ *
+ * Semantics are IDENTICAL to the composed form (DedupSpec's randomized
+ * brute-force cross-checks cover both families): pairs are emitted as
+ * (min(id), max(id)) with the same double-division estimate, and a pair
+ * colliding in several bands is still emitted once per band (the
+ * caller's `dropDuplicates`/distinct handles multiplicity exactly as
+ * before).
+ */
+private[graft] object PairGen {
+  val minhashSchema: StructType = new StructType()
+    .add("id_a", LongType, nullable = false)
+    .add("id_b", LongType, nullable = false)
+    .add("est_jaccard", DoubleType, nullable = false)
+
+  val hammingSchema: StructType = new StructType()
+    .add("id_a", LongType, nullable = false)
+    .add("id_b", LongType, nullable = false)
+    .add("hamming", IntegerType, nullable = false)
+}
+
+/** minhash_qualifying_pairs(items, threshold, k):
+  * array<struct<id: long, sig: array<long>>> →
+  * rows (id_a, id_b, est_jaccard) for every unordered in-bucket pair
+  * with lane-agreement/k ≥ threshold. */
+case class MinhashQualifyingPairs(
+    child: Expression, threshold: Double, numHashes: Int)
+    extends UnaryExpression with Generator with CodegenFallback {
+
+  override def elementSchema: StructType = PairGen.minhashSchema
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(s: StructType, _) if s.length == 2 &&
+        s(0).dataType == LongType &&
+        s(1).dataType == ArrayType(LongType, containsNull = false) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"expected array<struct<id: long, sig: array<long>>>, got $other")
+  }
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val arr = child.eval(input).asInstanceOf[ArrayData]
+    if (arr == null) return Iterator.empty
+    val n = arr.numElements()
+    if (n < 2) return Iterator.empty
+    val ids = new Array[Long](n)
+    val sigs = new Array[Array[Long]](n)
+    var i = 0
+    while (i < n) {
+      val st = arr.getStruct(i, 2)
+      ids(i) = st.getLong(0)
+      sigs(i) = st.getArray(1).toLongArray()
+      i += 1
+    }
+    val kd = numHashes.toDouble
+    new Iterator[InternalRow] {
+      private var pi = 0
+      private var pj = 0 // next pj to try is pj + 1
+      private var nextRow: InternalRow = _
+
+      // exact est = matches/k (double), or -1 once the remaining lanes
+      // cannot reach threshold — the exit compares best/k < threshold
+      // with the same float ops as the final test, and best/k ≥ est
+      // always, so no qualifying pair is ever dropped
+      private def score(a: Array[Long], b: Array[Long]): Double = {
+        val len = math.min(a.length, b.length)
+        var c = 0
+        var t = 0
+        while (t < len) {
+          if (a(t) == b(t)) c += 1
+          else if ((c + (len - t - 1)).toDouble / kd < threshold) return -1.0
+          t += 1
+        }
+        c.toDouble / kd
+      }
+
+      private def advance(): Unit = {
+        nextRow = null
+        while (nextRow == null && pi < n - 1) {
+          pj += 1
+          if (pj >= n) { pi += 1; pj = pi + 1 }
+          if (pi < n - 1 && pj < n) {
+            val est = score(sigs(pi), sigs(pj))
+            if (est >= threshold) {
+              val ia = ids(pi); val ib = ids(pj)
+              nextRow = new GenericInternalRow(Array[Any](
+                math.min(ia, ib), math.max(ia, ib), est))
+            }
+          }
+        }
+      }
+
+      advance()
+      override def hasNext: Boolean = nextRow != null
+      override def next(): InternalRow = {
+        val r = nextRow; advance(); r
+      }
+    }
+  }
+
+  override def prettyName: String = "minhash_qualifying_pairs"
+  override protected def withNewChildInternal(c: Expression): MinhashQualifyingPairs =
+    copy(child = c)
+}
+
+/** hamming_qualifying_pairs(items, maxHamming):
+  * array<struct<id: long, sh: long>> →
+  * rows (id_a, id_b, hamming) for every unordered in-bucket pair with
+  * bit_count(sh_a ^ sh_b) ≤ maxHamming. */
+case class HammingQualifyingPairs(child: Expression, maxHamming: Int)
+    extends UnaryExpression with Generator with CodegenFallback {
+
+  override def elementSchema: StructType = PairGen.hammingSchema
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(s: StructType, _) if s.length == 2 &&
+        s(0).dataType == LongType && s(1).dataType == LongType =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"expected array<struct<id: long, sh: long>>, got $other")
+  }
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val arr = child.eval(input).asInstanceOf[ArrayData]
+    if (arr == null) return Iterator.empty
+    val n = arr.numElements()
+    if (n < 2) return Iterator.empty
+    val ids = new Array[Long](n)
+    val shs = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val st = arr.getStruct(i, 2)
+      ids(i) = st.getLong(0)
+      shs(i) = st.getLong(1)
+      i += 1
+    }
+    new Iterator[InternalRow] {
+      private var pi = 0
+      private var pj = 0
+      private var nextRow: InternalRow = _
+
+      private def advance(): Unit = {
+        nextRow = null
+        while (nextRow == null && pi < n - 1) {
+          pj += 1
+          if (pj >= n) { pi += 1; pj = pi + 1 }
+          if (pi < n - 1 && pj < n) {
+            val h = java.lang.Long.bitCount(shs(pi) ^ shs(pj))
+            if (h <= maxHamming) {
+              val ia = ids(pi); val ib = ids(pj)
+              nextRow = new GenericInternalRow(Array[Any](
+                math.min(ia, ib), math.max(ia, ib), h))
+            }
+          }
+        }
+      }
+
+      advance()
+      override def hasNext: Boolean = nextRow != null
+      override def next(): InternalRow = {
+        val r = nextRow; advance(); r
+      }
+    }
+  }
+
+  override def prettyName: String = "hamming_qualifying_pairs"
+  override protected def withNewChildInternal(c: Expression): HammingQualifyingPairs =
+    copy(child = c)
+}

@@ -101,6 +101,18 @@ package object functions {
   def lane_match_count(a: Column, b: Column): Column =
     col(LaneMatchCount(expr(a), expr(b)))
 
+  /** Generator: all in-bucket pairs with lane-agreement/k ≥ threshold,
+    * from an array<struct<id, sig>> bucket — enumerate/score/filter in
+    * one per-bucket eval, emitting only qualifying rows (the LSH
+    * scoring hot path; see [[MinhashQualifyingPairs]]). */
+  def minhash_qualifying_pairs(items: Column, threshold: Double, numHashes: Int): Column =
+    col(MinhashQualifyingPairs(expr(items), threshold, numHashes))
+
+  /** Generator: all in-bucket pairs with hamming ≤ maxHamming, from an
+    * array<struct<id, sh>> bucket (simhash counterpart). */
+  def hamming_qualifying_pairs(items: Column, maxHamming: Int): Column =
+    col(HammingQualifyingPairs(expr(items), maxHamming))
+
   /** rolling-hash document fingerprint (case/whitespace-normalized). */
   def doc_fingerprint(text: Column): Column = col(DocFingerprint(expr(text)))
 

@@ -49,12 +49,22 @@ object Components {
     // persist makes each round's labels reusable and RELEASABLE
     def materialize(df: DataFrame): DataFrame =
       org.apache.spark.sql.graftbridge.CatalystBridge.flattenPlan(df).persist()
-    // materialize the symmetric edge list ONCE: every round joins it, and
-    // without this the whole upstream edge DAG (a window — or an entire
-    // minhash banding pipeline for minhashDedupCc) re-executes per round
+    // materialize the RAW edge list before symmetrizing: the symmetric
+    // union references `edges` twice, so building sym straight off the
+    // caller's DataFrame executes the whole upstream edge DAG (a window
+    // — or an entire minhash banding pipeline for minhashDedupCc) once
+    // PER UNION BRANCH; persisting the raw edges first makes the second
+    // branch a cache read (BENCH_r07: minhashDedupCc paid the minhash
+    // pipeline twice). sym is then persisted too — every round joins it
+    // — and both release on exit. distinct() here: CC is invariant to
+    // edge multiplicity, but LSH candidate streams emit one copy per
+    // colliding band, and every duplicate would otherwise ride through
+    // sym and all O(log d) rounds of joins — one 16-byte-row exchange
+    // up front beats `bands`× heavier rounds.
+    val e0 = materialize(edges.select(col("src"), col("dst")).distinct())
     val sym = materialize(
-      edges.select(col("src").as("id"), col("dst").as("nbr"))
-        .union(edges.select(col("dst").as("id"), col("src").as("nbr"))))
+      e0.select(col("src").as("id"), col("dst").as("nbr"))
+        .union(e0.select(col("dst").as("id"), col("src").as("nbr"))))
     // labelsM is the persisted handle (unpersist must target the exact
     // cached Dataset — calling it on a derived projection is a no-op);
     // labels is the (id, component) view the joins consume
@@ -93,6 +103,7 @@ object Components {
       iter += 1
     }
     sym.unpersist()
+    e0.unpersist()
     labels
   }
 
@@ -259,9 +270,14 @@ object Components {
       s"iterations must be in [1, 50]: $iterations")
     def flat(df: DataFrame): DataFrame =
       org.apache.spark.sql.graftbridge.CatalystBridge.flattenPlan(df)
-    val sym = edges
+    // persist the raw edges before the symmetric union + degree join:
+    // symd's plan references sym twice and sym references edges twice,
+    // so an unpersisted caller DAG would execute 4× on materialization
+    // (connectedComponents' union-branch lesson, squared)
+    val e0 = graft.CacheScope.scoped(flat(edges.select(col("src"), col("dst"))))
+    val sym = e0
       .select(col("src").as("id"), col("dst").as("nbr"))
-      .union(edges.select(col("dst").as("id"), col("src").as("nbr")))
+      .union(e0.select(col("dst").as("id"), col("src").as("nbr")))
     val deg = sym.groupBy(col("id")).agg(count(lit(1)).as("deg"))
     // neighbour degree rides on the edge so rounds pay ONE join, not two
     val symd = graft.CacheScope.scoped(flat(sym.join(

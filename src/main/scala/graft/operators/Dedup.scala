@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.functions.{doc_fingerprint, lane_match_count, minhash_text, shingle_hash_set, simhash_text, sorted_intersect_ge, sorted_intersect_size}
+import graft.functions.{doc_fingerprint, hamming_qualifying_pairs, minhash_qualifying_pairs, minhash_text, shingle_hash_set, simhash_text, sorted_intersect_ge, sorted_intersect_size}
 
 /**
  * Deduplication operators for document corpora (SURVEY §2.3; the
@@ -216,32 +216,25 @@ object Dedup {
       .select(col("id"), col("sig"), col("bb.band").as("band"), col("bb.bh").as("bh"))
 
     // Oversized buckets (degenerate content — the skew/OOM guard) are
-    // anti-joined out BEFORE aggregation (see dropOversizedBuckets); then
+    // filtered out BEFORE aggregation (see dropOversizedBuckets); then
     // ONE shuffle builds the buckets, singleton buckets (no pairs) drop
-    // with a plain size filter, and pairs are generated map-side within
-    // each bucket (double posexplode, bounded by maxBucket²) and scored
-    // before anything shuffles again — the pair-dedup exchange carries
-    // only 24-byte (id, id, est) rows.
+    // with a plain size filter, and the i<j triangle is enumerated,
+    // scored, and threshold-filtered inside ONE per-bucket generator
+    // eval ([[graft.functions.MinhashQualifyingPairs]]) — only the
+    // qualifying pairs materialize as rows, so the pair-dedup exchange
+    // carries 24-byte (id, id, est) rows and the up-to-maxBucket²/2
+    // losing pairs never leave the scoring loop. (The prior double-
+    // posexplode formulation materialized every candidate row with two
+    // full 512-byte signature copies before the filter — BENCH_r07's
+    // top CPU burner.)
     val buckets = dropOversizedBuckets(banded, Seq("band", "bh"), maxBucket)
       .groupBy(col("band"), col("bh"))
       .agg(collect_list(struct(col("id"), col("sig"))).as("items"))
       .filter(size(col("items")) >= 2)
 
-    val pairs = buckets
-      .select(col("items"), posexplode(col("items")).as(Seq("pi", "a")))
-      .select(col("pi"), col("a"), posexplode(col("items")).as(Seq("pj", "b")))
-      .filter(col("pi") < col("pj"))
-      .select(
-        least(col("a.id"), col("b.id")).as("id_a"),
-        greatest(col("a.id"), col("b.id")).as("id_b"),
-        // codegen'd lane-agreement kernel — this runs up to maxBucket²
-        // times per bucket, so an interpreted zip_with/filter HOF here
-        // dominated the whole dedup family in round 1 (~52 s of 118 s)
-        (lane_match_count(col("a.sig"), col("b.sig")).cast("double") / numHashes)
-          .as("est_jaccard"))
-      .filter(col("est_jaccard") >= threshold)
-
-    pairs
+    buckets.select(
+      minhash_qualifying_pairs(col("items"), threshold, numHashes)
+        .as(Seq("id_a", "id_b", "est_jaccard")))
   }
 
   /** Connected-component-free dedup from candidate pairs: every doc that
@@ -343,21 +336,18 @@ object Dedup {
       explode(array(chunkStructs: _*)).as("bb"))
       .select(col("id"), col("sh"), col("bb.band").as("band"), col("bb.chunk").as("chunk"))
 
-    // same guarded single-shuffle bucket shape as minhashPairs
+    // same guarded single-shuffle bucket shape as minhashPairs; pair
+    // enumeration + hamming verification run inside one per-bucket
+    // generator eval (only qualifying pairs materialize — see
+    // [[graft.functions.HammingQualifyingPairs]])
     val buckets = dropOversizedBuckets(banded, Seq("band", "chunk"), maxBucket)
       .groupBy(col("band"), col("chunk"))
       .agg(collect_list(struct(col("id"), col("sh"))).as("items"))
       .filter(size(col("items")) >= 2)
 
     buckets
-      .select(col("items"), posexplode(col("items")).as(Seq("pi", "a")))
-      .select(col("pi"), col("a"), posexplode(col("items")).as(Seq("pj", "b")))
-      .filter(col("pi") < col("pj"))
-      .select(
-        least(col("a.id"), col("b.id")).as("id_a"),
-        greatest(col("a.id"), col("b.id")).as("id_b"),
-        expr("bit_count(a.sh ^ b.sh)").as("hamming"))
-      .filter(col("hamming") <= maxHamming)
+      .select(hamming_qualifying_pairs(col("items"), maxHamming)
+        .as(Seq("id_a", "id_b", "hamming")))
       .dropDuplicates("id_a", "id_b")
       .orderBy(col("id_a"), col("id_b"))
   }
