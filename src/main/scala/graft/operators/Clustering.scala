@@ -263,25 +263,79 @@ object Clustering {
         cs
       }
 
+    runLloyd(v, cents, iters, costs = null)
+  }
+
+  /** The shared Lloyd loop: per round ONE corpus scan aggregates
+    * (Σx, Σx², n) per (cluster, dim) — the Σx² term rides the same
+    * exchange so the per-round cost J(assign_t, cents_{t+1}) =
+    * Σ (Σx² − (Σx)²/n) is FREE telemetry (centroid = mean minimizes the
+    * within-cluster quadratic, hence the closed form). When `costs` is
+    * non-null it receives one entry per round; Lloyd's guarantees the
+    * sequence is non-increasing (reassignment then re-centering each
+    * only lower J), which [[graft.queries.ExtensionQueries]] exposes as
+    * the driver-checkable `embed_kmeans_verdict`. */
+  private def runLloyd(
+      v: DataFrame,
+      init: Seq[Seq[Float]],
+      iters: Int,
+      costs: scala.collection.mutable.Buffer[Double]): Seq[Seq[Float]] = {
+    var cents = init
     for (_ <- 1 to iters) {
       val cc = typedLit(cents)
       val sums = v
         .withColumn("cluster", assignCol(col("v"), cc))
         .select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
         .groupBy(col("cluster"), col("dim"))
-        .agg(sum(col("x").cast("double")).as("s"), count(lit(1)).as("n"))
+        .agg(sum(col("x").cast("double")).as("s"),
+          sum(col("x").cast("double") * col("x").cast("double")).as("sq"),
+          count(lit(1)).as("n"))
         .collect()
       val byCluster = sums.groupBy(_.getInt(0))
       cents = cents.zipWithIndex.map { case (old, ci) =>
         byCluster.get(ci) match {
           case Some(rows) =>
-            val dims = rows.map(r => r.getInt(1) -> (r.getDouble(2) / r.getLong(3))).toMap
+            val dims = rows.map(r => r.getInt(1) -> (r.getDouble(2) / r.getLong(4))).toMap
             old.indices.map(d => dims(d).toFloat)
           case None => old // empty cluster keeps its centroid
         }
       }
+      if (costs != null) {
+        costs += sums.map { r =>
+          val s = r.getDouble(2); val sq = r.getDouble(3); val n = r.getLong(4)
+          sq - (s * s) / n
+        }.sum
+      }
     }
     cents
+  }
+
+  /**
+   * [[kmeans]] plus its per-iteration cost curve — the convergence
+   * telemetry a clustering job monitors: J_t = J(assign_t, cents_{t+1}),
+   * read off the SAME per-round aggregate the centroid update uses
+   * (no extra corpus pass). Lloyd's invariant: J_1 ≥ J_2 ≥ … — the
+   * property `embed_kmeans_verdict` oracles.
+   *
+   * @return (per-iteration costs, final (`id`, `cluster`, `dist`) frame)
+   */
+  def kmeansWithCosts(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int = 5): (Seq[Double], DataFrame) = {
+    require(k >= 1, s"k must be positive: $k")
+    require(iters >= 1, s"iters must be positive: $iters")
+    val v = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    val cents0 = kmeansParInit(v, "id", "v", k)
+    val costs = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val cents = runLloyd(v, cents0, iters, costs)
+    val cc = typedLit(cents)
+    val assigned = v.withColumn("cluster", assignCol(col("v"), cc).cast("long"))
+      .withColumn("dist", l2_distance(col("v"), element_at(cc, col("cluster").cast("int") + 1)))
+      .select(col("id"), col("cluster"), col("dist"))
+    (costs.toSeq, assigned)
   }
 
   /**

@@ -205,12 +205,25 @@ object Ngrams {
       n: Int = 3,
       fpp: Double = 0.001): DataFrame = {
     require(fpp > 0.0 && fpp < 1.0, s"fpp must be in (0,1): $fpp")
+    // persisted for the two actions below: the sizing count and the
+    // filter build both consume the distinct gram set, and without the
+    // cache each action re-runs the tokenize + lead()-window n-gram
+    // build (the benchmark side is small relative to the corpus, but it
+    // is not free — and the count is exactly the action that
+    // materializes the cache the bloom aggregate then reads). Both
+    // actions run eagerly HERE — the returned corpus plan carries only
+    // the bloom literal — so the cache's lifetime ends at unpersist,
+    // no CacheScope registration needed. stat.bloomFilter itself is a
+    // treeAggregate over the cached partitions: partial blooms build in
+    // parallel and merge in log depth, so the driver never serializes
+    // the gram scan.
     val bench = wordNgrams(df.filter(benchmarkPred), idCol, textCol, n)
       .filter(col("ngram").isNotNull)
-      .select(col("ngram")).distinct()
+      .select(col("ngram")).distinct().persist()
     // sizing pass on the (small) benchmark side only; never the corpus
     val nGrams = math.max(bench.count(), 1L)
     val bloom = bench.stat.bloomFilter("ngram", nGrams, fpp)
+    bench.unpersist()
     wordNgrams(df.filter(!benchmarkPred), idCol, textCol, n)
       .filter(col("ngram").isNotNull &&
         graft.functions.bloom_might_contain(col("ngram"), bloom))

@@ -33,6 +33,78 @@ object ExtensionQueries extends QueryFamily {
       .select(col("doc_id"))
       .orderBy(col("doc_id"))
 
+  /**
+   * Driver-checkable minhash RECALL verdict — the bounded-check oracle
+   * for the LSH machinery DuckDB cannot replay directly. Claim: every
+   * pair whose EXACT w=3 shingle-set Jaccard is ≥ 0.85 is found by
+   * `minhashPairs(64 hashes, 16 bands, est ≥ 0.5)`. The exact side is
+   * computed independently by BOTH engines (Spark: distinct shingle-hash
+   * gram join; DuckDB: the string-gram CTE), so the rows — pair ids +
+   * the bit-identical one-division Jaccard — hash-compare, and the
+   * `lsh_found` column forces the LSH result through the gate (oracle
+   * emits constant TRUE; one missed pair flips the hash).
+   *
+   * Soundness of the bound (why the verdict is deterministic TRUE, not
+   * flaky): at J = 0.85 a 4-lane band matches with p = J⁴ ≈ 0.522, so
+   * the probability all 16 bands miss is (1−p)¹⁶ ≈ 7·10⁻⁶ — and the
+   * minhash seed is FIXED, so for a given fixture the verdict is a
+   * constant, verified green at all three SFs before registration.
+   */
+  def dedupMinhashRecall(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.shingle_hash_set
+    val docs = Tables.documents(spark, dir)
+    val sh = docs.select(col("doc_id").as("id"), shingle_hash_set(col("text"), 3).as("sh"))
+      .withColumn("len", size(col("sh")))
+    // gram-keyed exact join: ~|shared grams| collision rows per true
+    // pair, counted to the exact |A∩B| (sh is a DISTINCT hash set)
+    val tok = graft.CacheScope.scoped(
+      sh.select(col("id"), col("len"), explode(col("sh")).as("g")))
+    val exact = tok.as("a").join(tok.as("b"), "g")
+      .filter(col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.len").as("len_a"), col("b.len").as("len_b"))
+      .agg(count(lit(1)).as("__i"))
+      .withColumn("jaccard_w3",
+        col("__i") / (col("len_a") + col("len_b") - col("__i")).cast("double"))
+      .filter(col("jaccard_w3") >= 0.85)
+    val lsh = Dedup.minhashPairs(docs, "text", "doc_id",
+      numHashes = 64, bands = 16, threshold = 0.5)
+      .select(col("id_a"), col("id_b")).withColumn("__f", lit(true))
+    exact.join(lsh, Seq("id_a", "id_b"), "left")
+      .select(col("id_a"), col("id_b"), col("jaccard_w3"),
+        coalesce(col("__f"), lit(false)).as("lsh_found"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /**
+   * Driver-checkable simhash PLANTED-TWIN verdict: for every 100th doc,
+   * three tokenizer-invariant twins are planted (verbatim copy,
+   * upper-cased copy, punctuation-appended copy — all three tokenize to
+   * the IDENTICAL token stream, so their simhash is bit-equal and the
+   * pigeonhole banding MUST emit the pair at any radius). The planted
+   * pair list is pure SQL (DuckDB replays it exactly); `twin_found`
+   * routes the full simhash pipeline — normalize, hash, band, pair,
+   * verify — through the oracle gate.
+   */
+  def dedupSimhashPlanted(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val base = docs.filter(col("doc_id") % 100 === 0)
+    val offsets = Seq(10000000L, 20000000L, 30000000L)
+    val twins = base.select((col("doc_id") + offsets(0)).as("doc_id"), col("text"))
+      .unionAll(base.select((col("doc_id") + offsets(1)).as("doc_id"),
+        upper(col("text")).as("text")))
+      .unionAll(base.select((col("doc_id") + offsets(2)).as("doc_id"),
+        concat(col("text"), lit(" !!!")).as("text")))
+    val found = Dedup.simhashPairs(docs.unionAll(twins), "text", "doc_id", maxHamming = 8)
+      .select(col("id_a"), col("id_b")).withColumn("__f", lit(true))
+    val expected = base.select(col("doc_id").as("id_a"),
+        explode(array(offsets.map(lit): _*)).as("__off"))
+      .select(col("id_a"), (col("id_a") + col("__off")).as("id_b"))
+    expected.join(found, Seq("id_a", "id_b"), "left")
+      .select(col("id_a"), col("id_b"), coalesce(col("__f"), lit(false)).as("twin_found"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   def dedupMinhashPairs(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashPairs(Tables.documents(spark, dir), "text", "doc_id",
       numHashes = 64, bands = 16, threshold = 0.5)
@@ -248,6 +320,67 @@ object ExtensionQueries extends QueryFamily {
       k = 16, threshold = 0.4)
       .select(col("vec_id"))
       .orderBy(col("vec_id"))
+
+  /**
+   * Serve-path verdict for the LSH index: the approximate top-10 must
+   * return EXACTLY k rows per query and every returned neighbor must
+   * sit inside the exact cosine top-50 ("approximate, never garbage" —
+   * the containment bound a user provisions overfetch against). The
+   * exact side is [[Similarity.bruteForceTopK]], itself DuckDB-oracled
+   * as `sim_topk_brute`, so the chain of trust is two driver-checked
+   * links. Oracle emits (query, rank 1..10, TRUE): a missing row, an
+   * extra row, or one out-of-top-50 neighbor all flip the compare.
+   */
+  def simTopkLshVerdict(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < 5)
+    val approx = Similarity.lshTopK(emb, queries, "vec_id", "embedding", k = 10, nBits = 4)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 50)
+      .select(col("query_id"), col("neighbor_id")).withColumn("__e", lit(true))
+    approx.join(exact, Seq("query_id", "neighbor_id"), "left")
+      .select(col("query_id"), col("rank"),
+        coalesce(col("__e"), lit(false)).as("in_exact_top50"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Same containment verdict for the IVF serve path (nCells=16,
+    * nProbe=4 — the sim_topk_ivf configuration). */
+  def simTopkIvfVerdict(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < 5)
+    val approx = Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+      k = 10, nCells = 16, nProbe = 4)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 50)
+      .select(col("query_id"), col("neighbor_id")).withColumn("__e", lit(true))
+    approx.join(exact, Seq("query_id", "neighbor_id"), "left")
+      .select(col("query_id"), col("rank"),
+        coalesce(col("__e"), lit(false)).as("in_exact_top50"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /**
+   * Lloyd-invariant verdict for embedding k-means: the per-iteration
+   * cost J(assign_t, cents_{t+1}) — read off the same aggregate the
+   * centroid update uses — must be non-increasing (reassignment and
+   * re-centering each only lower J; the 1e-6 relative tolerance covers
+   * float summation order). n_points pins the assignment cardinality to
+   * DuckDB's count; clusters_le_k the output range.
+   */
+  def embedKmeansVerdict(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val (costs, assigned) = graft.operators.Clustering.kmeansWithCosts(
+      emb, "vec_id", "embedding", k = 8, iters = 3)
+    val verdicts = costs.indices.map { i =>
+      (i + 1L, i == 0 || costs(i) <= costs(i - 1) * (1 + 1e-6))
+    }
+    val vdf = spark.createDataFrame(verdicts).toDF("iter", "cost_non_increasing")
+    val stats = assigned.agg(count(lit(1)).as("n_points"),
+      (countDistinct(col("cluster")) <= 8).as("clusters_le_k"))
+    vdf.crossJoin(broadcast(stats))
+      .select(col("iter"), col("cost_non_increasing"),
+        col("n_points"), col("clusters_le_k"))
+      .orderBy(col("iter"))
+  }
 
   /** Embedding k-means (semantic grouping) — custom float kernel,
     * rows-only + planted-cluster spec (ClusteringSpec). */
@@ -772,6 +905,11 @@ object ExtensionQueries extends QueryFamily {
     "dedup_exact" -> (dedupExact _),
     "dedup_fingerprint" -> (dedupFingerprint _),
     "dedup_minhash_pairs" -> (dedupMinhashPairs _),
+    "dedup_minhash_recall" -> (dedupMinhashRecall _),
+    "dedup_simhash_planted" -> (dedupSimhashPlanted _),
+    "sim_topk_lsh_verdict" -> (simTopkLshVerdict _),
+    "sim_topk_ivf_verdict" -> (simTopkIvfVerdict _),
+    "embed_kmeans_verdict" -> (embedKmeansVerdict _),
     "dedup_simhash_pairs" -> (dedupSimhashPairs _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_jaccard_join" -> (dedupJaccardJoin _),
@@ -908,6 +1046,44 @@ object ExtensionQueries extends QueryFamily {
        |    FROM $rel)))""".stripMargin
   }
 
+  /** DuckDB side of [[dedupMinhashRecall]]: exact w=3 word-gram Jaccard
+    * pairs at ≥ 0.85, with the constant-TRUE recall verdict. The gram
+    * CTE mirrors the house tokenizer + lead()-window construction used
+    * by the decontaminate oracle; DISTINCT matches the Spark side's
+    * distinct shingle-hash set. */
+  private val minhashRecallOracleSql =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)) AS tok,
+      |    unnest(range(1, len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)) + 1)) AS pos
+      |  FROM documents),
+      |ng AS (
+      |  SELECT DISTINCT doc_id,
+      |    tok || ' ' || LEAD(tok, 1) OVER w || ' ' || LEAD(tok, 2) OVER w AS g
+      |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+      |ngf AS (SELECT doc_id, g FROM ng WHERE g IS NOT NULL),
+      |sz AS (SELECT doc_id, COUNT(*) AS n FROM ngf GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+      |  FROM ngf a JOIN ngf b ON a.g = b.g AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT id_a, id_b,
+      |  i / CAST(sa.n + sb.n - i AS DOUBLE) AS jaccard_w3,
+      |  TRUE AS lsh_found
+      |FROM inter
+      |JOIN sz sa ON sa.doc_id = inter.id_a
+      |JOIN sz sb ON sb.doc_id = inter.id_b
+      |WHERE i / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.85
+      |ORDER BY id_a, id_b""".stripMargin
+
+  /** DuckDB side of the serve-path containment verdicts: every query
+    * must return exactly ranks 1..10, each inside the exact top-50. */
+  private val topkContainmentOracleSql =
+    """SELECT CAST(vec_id AS BIGINT) AS query_id,
+      |  CAST(unnest(range(1, 11)) AS BIGINT) AS rank,
+      |  TRUE AS in_exact_top50
+      |FROM embeddings WHERE vec_id < 5 ORDER BY query_id, rank""".stripMargin
+
   private val recallOracleSql =
     """SELECT CAST(vec_id AS BIGINT) AS query_id,
       |  CAST(10 AS BIGINT) AS k_exact,
@@ -974,6 +1150,27 @@ object ExtensionQueries extends QueryFamily {
     // bounded-verdict oracles for the ANN recall telemetry: DuckDB
     // recomputes the exact side (query set, k_exact = 10 — every query
     // has ≥ 10 non-self corpus neighbors) and the constant-TRUE verdicts
+    "dedup_minhash_recall" -> minhashRecallOracleSql,
+    // planted twins are pure SQL: every 100th doc × three tokenizer-
+    // invariant copies; the verdict column carries the simhash result
+    "dedup_simhash_planted" ->
+      """SELECT CAST(doc_id AS BIGINT) AS id_a,
+        |  CAST(doc_id + off AS BIGINT) AS id_b,
+        |  TRUE AS twin_found
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 100 = 0),
+        |  (SELECT unnest([10000000, 20000000, 30000000]) AS off)
+        |ORDER BY id_a, id_b""".stripMargin,
+    "sim_topk_lsh_verdict" -> topkContainmentOracleSql,
+    "sim_topk_ivf_verdict" -> topkContainmentOracleSql,
+    // Lloyd cost monotonicity + cardinality: DuckDB pins n_points and
+    // the constant verdicts; Spark computes them from the fit telemetry
+    "embed_kmeans_verdict" ->
+      """SELECT CAST(r AS BIGINT) AS iter,
+        |  TRUE AS cost_non_increasing,
+        |  (SELECT COUNT(*) FROM embeddings) AS n_points,
+        |  TRUE AS clusters_le_k
+        |FROM (SELECT unnest(range(1, 4)) AS r)
+        |ORDER BY iter""".stripMargin,
     "sim_recall_lsh" -> recallOracleSql,
     "sim_recall_ivf" -> recallOracleSql,
     "sim_recall_pq" -> recallOracleSql,
