@@ -13,18 +13,20 @@ import graft.sources.Tables
  * pipeline stage (one decoder init per partition, row-batch iteration,
  * columnar in/out).
  *
- * IMAGES DECODE FOR REAL: `decodeImage` / `resizeImage` run JDK-native
- * `javax.imageio` (PNG/JPEG need no external codec) inside the same
- * per-partition batch contract, and `imageAssetTable` builds a fixture of
- * genuine PNG bytes whose dimensions and pixel content are deterministic
- * functions of `doc_id` — so a DuckDB oracle can verify a real decode
- * against ground-truth formulas. AUDIO/VIDEO remain declared stubs
- * (`decodeStub` et al.): this container has no audio/video codecs, so
- * those derive deterministic fake metadata from the byte stream while
- * keeping every Spark-facing part real — schema contracts, binary column
- * handling, partition-wise execution, feature-vector output shape.
- * Swapping in a real codec changes only the body of the per-row closure,
- * exactly as `decodeImage` demonstrates for the image half.
+ * IMAGES AND AUDIO DECODE FOR REAL: `decodeImage` / `resizeImage` run
+ * JDK-native `javax.imageio` (PNG/JPEG need no external codec) and
+ * `decodeAudio` runs JDK-native `javax.sound.sampled` (RIFF/WAVE PCM),
+ * all inside the same per-partition batch contract; `imageAssetTable` /
+ * `audioAssetTable` build fixtures of genuine PNG / WAV bytes whose
+ * content is a deterministic function of `doc_id` — so a DuckDB oracle
+ * verifies both real decodes against ground-truth formulas. VIDEO
+ * remains the one declared stub (`decodeStub` et al.): this container
+ * has no video codecs, so it derives deterministic fake metadata from
+ * the byte stream while keeping every Spark-facing part real — schema
+ * contracts, binary column handling, partition-wise execution,
+ * feature-vector output shape. Swapping in a real codec changes only
+ * the body of the per-row closure, exactly as `decodeImage` and
+ * `decodeAudio` demonstrate.
  */
 object Multimodal {
 
@@ -172,6 +174,98 @@ object Multimodal {
           val bos = new java.io.ByteArrayOutputStream()
           javax.imageio.ImageIO.write(dst, "png", bos)
           Row(id, "image", bos.toByteArray)
+        }
+      }(enc)
+  }
+
+  /** Fixture of REAL WAV assets: one mono 16-bit 8 kHz PCM clip per
+    * document, `doc_id % 50 + 10` samples, sample i =
+    * `(doc_id·31 + i·17) mod 2001 − 1000` — all-integer ground truth a
+    * SQL oracle recomputes from `documents` alone (the PNG fixture
+    * pattern, [[imageAssetTable]]). Encoded to genuine RIFF/WAVE bytes
+    * with JDK-native `javax.sound.sampled` — zero external codecs. */
+  def audioAssetTable(spark: SparkSession, sfDir: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("modality", StringType, nullable = false),
+      StructField("content", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    Tables.documents(spark, sfDir).select("doc_id").mapPartitions { rows =>
+      val fmt = new javax.sound.sampled.AudioFormat(
+        8000f, 16, 1, /* signed = */ true, /* bigEndian = */ false)
+      rows.map { r =>
+        val id = r.getLong(0)
+        val n = (id % 50 + 10).toInt
+        val pcm = new Array[Byte](n * 2)
+        var i = 0
+        while (i < n) {
+          val s = ((id * 31 + i * 17) % 2001 - 1000).toShort
+          pcm(2 * i) = (s & 0xff).toByte // little-endian per the format
+          pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+          i += 1
+        }
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        Row(id, "audio", bos.toByteArray)
+      }
+    }(enc)
+  }
+
+  /** Decoded-audio contract: container metadata plus the integer sum of
+    * absolute sample amplitudes (proof the SAMPLES decoded, not just the
+    * header — the audio twin of [[imageMetaSchema]]'s `mean_px`). */
+  val audioMetaSchema: StructType = StructType(Seq(
+    StructField("byte_len", LongType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("bits", IntegerType, nullable = false),
+    StructField("n_samples", LongType, nullable = false),
+    StructField("sum_abs", LongType, nullable = false)))
+
+  /**
+   * REAL audio decode — JDK-native `javax.sound.sampled` (WAV/PCM needs
+   * no external codec) in the standard per-partition batch contract.
+   * Format metadata comes from the parsed container; `n_samples` and
+   * `sum_abs` come from reading the full PCM frame stream, so a
+   * truncated or corrupt payload fails loud. Integer amplitudes make
+   * `sum_abs` exact — the ground-truth hook the
+   * `multimodal_features_audio` oracle verifies against pure `doc_id`
+   * arithmetic. Video remains the one declared stub (no JDK-native
+   * container parser); swapping a codec in changes only this closure's
+   * body, as [[decodeImage]] and this method both demonstrate.
+   */
+  def decodeAudio(assets: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false)) ++ audioMetaSchema.fields)
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    assets.filter(col("modality") === "audio")
+      .select("asset_id", "content").mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          try {
+            val fmt = ais.getFormat
+            require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+              s"asset $id: expected mono 16-bit PCM, got $fmt")
+            val pcm = ais.readAllBytes()
+            val n = pcm.length / 2
+            var sum = 0L
+            var i = 0
+            while (i < n) {
+              // 16-bit little-endian signed sample
+              val lo = pcm(2 * i) & 0xff
+              val hi = pcm(2 * i + 1).toInt
+              sum += math.abs((hi << 8) | lo)
+              i += 1
+            }
+            Row(id, bytes.length.toLong, fmt.getSampleRate.toInt,
+              fmt.getChannels, fmt.getSampleSizeInBits, n.toLong, sum)
+          } finally ais.close()
         }
       }(enc)
   }

@@ -581,6 +581,15 @@ object ExtensionQueries extends QueryFamily {
     * The 16-bin array is emitted comma-joined: the driver's compare
     * sorts rows with pandas, which cannot order an array cell — a
     * string carries the identical 16 values byte-for-byte. */
+  /** REAL WAV/PCM decode over the generated audio fixture: container
+    * metadata + the exact integer sum of absolute sample amplitudes,
+    * oracled against pure doc_id arithmetic (the r5 PNG pattern for the
+    * audio modality — see [[graft.operators.Multimodal.decodeAudio]]). */
+  def multimodalFeaturesAudio(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Multimodal.decodeAudio(
+      graft.operators.Multimodal.audioAssetTable(spark, dir))
+      .orderBy(col("asset_id"))
+
   def multimodalFeaturesImage(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Multimodal.imageHistogramFeatures(
       graft.operators.Multimodal.imageAssetTable(spark, dir))
@@ -953,6 +962,7 @@ object ExtensionQueries extends QueryFamily {
     "multimodal_features" -> (multimodalFeatures _),
     "multimodal_decode" -> (multimodalDecode _),
     "multimodal_features_image" -> (multimodalFeaturesImage _),
+    "multimodal_features_audio" -> (multimodalFeaturesAudio _),
     "multimodal_frames" -> (multimodalFrames _),
     "pipeline_corpus" -> (pipelineCorpus _),
     "pipeline_corpus_v2" -> (pipelineCorpusV2 _),
@@ -1447,6 +1457,20 @@ object ExtensionQueries extends QueryFamily {
         |FROM documents ORDER BY asset_id""".stripMargin,
     // solid-gray w×h fixture ⇒ the decoded-pixel histogram is one-hot:
     // all w·h pixels in bin (gray DIV 16)
+    // ground truth for the REAL WAV decode: sample i of asset d is
+    // (d*31 + i*17) % 2001 - 1000 (all positive dividends, so % agrees
+    // across engines); byte_len = 44-byte canonical RIFF header + 2n
+    "multimodal_features_audio" ->
+      """WITH n AS (SELECT doc_id, doc_id % 50 + 10 AS ns FROM documents),
+        |s AS (SELECT doc_id, ns, unnest(range(0, ns)) AS i FROM n)
+        |SELECT CAST(doc_id AS BIGINT) AS asset_id,
+        |  CAST(44 + 2 * ns AS BIGINT) AS byte_len,
+        |  CAST(8000 AS INTEGER) AS sample_rate,
+        |  CAST(1 AS INTEGER) AS channels,
+        |  CAST(16 AS INTEGER) AS bits,
+        |  CAST(ns AS BIGINT) AS n_samples,
+        |  CAST(SUM(ABS((doc_id * 31 + i * 17) % 2001 - 1000)) AS BIGINT) AS sum_abs
+        |FROM s GROUP BY doc_id, ns ORDER BY asset_id""".stripMargin,
     "multimodal_features_image" ->
       """SELECT doc_id AS asset_id,
         |  array_to_string(list_transform(range(0, 16), x ->

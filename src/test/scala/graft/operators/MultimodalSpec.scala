@@ -42,6 +42,36 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("decodeAudio REALLY decodes: RIFF magic in fixture, format + samples match ground truth") {
+    val assets = Multimodal.audioAssetTable(spark, sfDir)
+    // fixture bytes are genuine RIFF/WAVE containers, not stand-ins
+    val first = assets.orderBy("asset_id").head()
+    val head = first.getAs[Array[Byte]]("content")
+    assert(new String(head.take(4), "US-ASCII") == "RIFF" &&
+      new String(head.slice(8, 12), "US-ASCII") == "WAVE",
+      "not a RIFF/WAVE container")
+    val decoded = Multimodal.decodeAudio(assets)
+      .select("asset_id", "sample_rate", "channels", "bits", "n_samples", "sum_abs")
+      .as[(Long, Int, Int, Int, Long, Long)].collect()
+    assert(decoded.length == 500)
+    decoded.foreach { case (id, sr, ch, bits, n, sum) =>
+      assert(sr == 8000 && ch == 1 && bits == 16, s"asset $id format $sr/$ch/$bits")
+      val en = id % 50 + 10
+      assert(n == en, s"asset $id decoded $n samples, expected $en")
+      val esum = (0L until en).map(i => math.abs((id * 31 + i * 17) % 2001 - 1000)).sum
+      assert(sum == esum, s"asset $id sum_abs $sum != $esum")
+    }
+  }
+
+  test("decodeAudio fails loud on undecodable bytes") {
+    val bogus = Multimodal.assetTable(spark, sfDir)
+      .filter($"modality" === "audio").limit(3)
+    val ex = intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeAudio(bogus).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
   test("resizeImage round-trip: decode of the resized PNG shows the target dims") {
     val assets = Multimodal.imageAssetTable(spark, sfDir).filter($"asset_id" < 20)
     val resized = Multimodal.resizeImage(assets, targetW = 5, targetH = 3)
