@@ -336,12 +336,21 @@ object Sampling {
     val tf = pool
       .select(col(idCol), explode(Dedup.tokens(col(textCol))).as("tok"))
       .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
+    // Overflow discipline: affinity = Σ tf·cnt_target is a BIGINT sum of
+    // BIGINT products — at 100 TB a hot target token (cnt_target ~ 1e9)
+    // times heavy per-doc tf can push affinity past ~9.2e12, where the
+    // ×1e6 micro scaling would silently wrap in 64 bits while DuckDB
+    // widens to HUGEINT and diverges. The multiply therefore runs in
+    // DECIMAL(38,0) (exact to 1e38 — matches DuckDB's HUGEINT range);
+    // `div` on decimals is still integral division, and the quotient is
+    // ≤ 1e6·max(cnt_target)·max_tf/1, comfortably back inside BIGINT
+    // for any physical corpus, so the output column type is unchanged.
     tf.join(broadcast(targetCnt), Seq("tok"), "left")
       .groupBy(col(idCol))
       .agg(sum(col("tf")).as("n_tokens"),
         sum(col("tf") * coalesce(col("target_cnt"), lit(0L))).as("affinity"))
       .withColumn("affinity_micro",
-        expr("affinity * 1000000L div n_tokens"))
+        expr("cast((cast(affinity as decimal(38,0)) * 1000000) div n_tokens as bigint)"))
       .orderBy(col("affinity_micro").desc, col(idCol).asc)
       .limit(topN)
   }

@@ -255,6 +255,36 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Shortfall telemetry for [[hardNegativesIvf]]: per query, how many
+    * negatives the miner actually returned vs the k requested. The
+    * overfetch-sufficiency condition in the miner's doc is about
+    * EXPECTATION, not a guarantee — a query whose probed cells are
+    * dominated by its own label can come back short with no signal
+    * beyond recall. This makes an undersized overfetch directly
+    * observable (and `hardneg_shortfall` oracles the fixture's
+    * sufficiency as a constant-verdict row set). */
+  def hardNegativesShortfall(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      k: Int = 10,
+      nCells: Int = 16,
+      nProbe: Int = 4,
+      overfetch: Int = 4): DataFrame = {
+    val mined = hardNegativesIvf(corpus, queries, idCol, vecCol, labelCol,
+      k, nCells, nProbe, overfetch)
+    queries.select(col(idCol).as("query_id"))
+      .join(mined.groupBy(col("query_id"))
+        .agg(count(lit(1)).as("__n")), Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("__n"), lit(0L)).as("n_returned"),
+        (lit(k.toLong) - coalesce(col("__n"), lit(0L))).as("shortfall"),
+        (coalesce(col("__n"), lit(0L)) === k).as("overfetch_sufficient"))
+      .orderBy(col("query_id"))
+  }
+
   /**
    * IVF-PQ — the composed production ANN index (Jégou et al., TPAMI'11
    * §V; the faiss `IndexIVFPQ` layout): a sample-trained coarse

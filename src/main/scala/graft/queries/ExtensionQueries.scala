@@ -480,6 +480,18 @@ object ExtensionQueries extends QueryFamily {
       Similarity.hardNegatives(emb, queries, "vec_id", "embedding", "label", k = 10)))
   }
 
+  /** Per-query candidate-shortfall telemetry for the IVF hard-negative
+    * miner (same config as [[simRecallHardneg]]) — an undersized
+    * overfetch shows up here as rows-returned < k, directly, not as an
+    * unexplained recall dip. Oracled as a constant-verdict row set: the
+    * fixture's overfetch=4 is sufficient for every query, so n_returned
+    * = k and shortfall = 0 are DuckDB-reproducible constants. */
+  def hardnegShortfall(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.hardNegativesShortfall(emb, emb.filter(col("vec_id") < 5),
+      "vec_id", "embedding", "label", k = 10, nCells = 16, nProbe = 4, overfetch = 4)
+  }
+
   def textLangId(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.langId(Tables.documents(spark, dir), "text")
       .select(col("doc_id"), col("lang"), col("pred_lang"))
@@ -950,6 +962,7 @@ object ExtensionQueries extends QueryFamily {
     "pack_padding_waste" -> (packPaddingWaste _),
     "sim_hard_negatives" -> (simHardNegatives _),
     "sim_recall_hardneg" -> (simRecallHardneg _),
+    "hardneg_shortfall" -> (hardnegShortfall _),
     "text_tokens_top" -> (textTokensTop _),
     "text_langid" -> (textLangId _),
     "lang_confusion" -> (langConfusion _),
@@ -1186,6 +1199,14 @@ object ExtensionQueries extends QueryFamily {
     "sim_recall_pq" -> recallOracleSql,
     "sim_recall_ivfpq" -> recallOracleSql,
     "sim_recall_hardneg" -> recallOracleSql,
+    // fixture-sufficiency verdict for the IVF miner's overfetch: every
+    // query returns a full k negatives (DuckDB pins the constants)
+    "hardneg_shortfall" ->
+      """SELECT CAST(vec_id AS BIGINT) AS query_id,
+        |  CAST(10 AS BIGINT) AS n_returned,
+        |  CAST(0 AS BIGINT) AS shortfall,
+        |  TRUE AS overfetch_sufficient
+        |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin,
     // the SQL twin of the interleave is generated from Scale.spreadMasks —
     // same mask cascade, two's-complement 64-bit on both engines
     "layout_zorder" ->

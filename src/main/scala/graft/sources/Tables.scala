@@ -78,9 +78,26 @@ object Tables {
       "doc_id" -> "bigint", "n_chars" -> "bigint",
       "text" -> "string", "lang" -> "string", "source" -> "string")
 
-  def embeddings(s: SparkSession, d: String): DataFrame =
-    castIfPresent(table(s, d, "embeddings"),
+  def embeddings(s: SparkSession, d: String): DataFrame = {
+    val t = table(s, d, "embeddings")
+    // The float pin is the ONE width pin that changes VALUES rather than
+    // representation: a regen shipping array<double> would silently
+    // truncate lanes to float while the DuckDB oracle reads the raw
+    // doubles at full precision — cosine orderings could then diverge
+    // near ties with no failing signal anywhere. Fail loudly instead;
+    // widening the engine to float64 is a deliberate decision, not a
+    // cast default.
+    t.schema.find(_.name == "embedding").map(_.dataType).foreach {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, _) => ()
+      case other => throw new IllegalArgumentException(
+        s"embeddings.embedding shipped as $other but the engine pins array<float>; " +
+          "a silent narrowing cast would desync Spark results from the full-precision " +
+          "oracle read — regenerate the fixture or widen the engine's lane type deliberately")
+    }
+    castIfPresent(t,
       "vec_id" -> "bigint", "label" -> "int", "embedding" -> "array<float>")
+  }
 
   private def castIfPresent(df: DataFrame, casts: (String, String)*): DataFrame = {
     import org.apache.spark.sql.functions.col

@@ -20,8 +20,21 @@ object EventStreams extends Serializable {
   /** Streaming read of the events table (file micro-batches). Fixture
     * generations have shipped `ts` as TIMESTAMP(NANOS) (readable only as
     * long in legacy mode — see Tables.events) or TIMESTAMP(MICROS);
-    * sniff the footer via a batch read and normalize either to LTZ µs. */
+    * sniff the footer via a batch read and normalize either to LTZ µs.
+    *
+    * LTZ here is deliberate and LOAD-BEARING, unlike the batch reader's
+    * NTZ: Spark's event-time machinery rejects TIMESTAMP_NTZ watermark
+    * columns outright ([EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE] — verified
+    * against 4.1; every downstream `withWatermark` would fail analysis),
+    * so stream/batch parity relies on the UTC session pin to make the
+    * LTZ and NTZ readings of the same instant agree. That pin is
+    * enforced HERE, not assumed from the entry points, so a caller with
+    * an unpinned session cannot silently read shifted wall clocks. */
   def readEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    // parity with Tables.events' naive-UTC reading requires the session
+    // TZ pin wherever an LTZ column is compared against the NTZ batch
+    // twin — make it a property of the read, not of the entry point
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val fileSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
     // file-stream sources need a directory; glob-filter the events table

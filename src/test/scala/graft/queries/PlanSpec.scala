@@ -293,6 +293,34 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("bench-hottest queries: no cartesian product, every corpus scan column-pruned") {
+    // The 10 most expensive queries of BENCH_r08's idle-box anchor — the
+    // plans where a regression costs the most at 100 TB. Two invariants
+    // every one of them must keep: (a) no CartesianProduct anywhere
+    // (an unconstrained pair blow-up), and (b) every parquet scan of the
+    // 5-column documents table is column-pruned (a full-width ReadSchema
+    // means a projection stopped reaching the scan and 100 TB of text
+    // ships for a metadata-only stage). Queries with iterative drivers
+    // (CC family) root in flattened RDDs — the parquet scans here are
+    // the pre-loop reads, which is exactly where pruning matters.
+    val hot = Seq("dedup_groups_cc_stars", "dedup_minhash_cc", "assoc_rules",
+      "dedup_jaccard_join", "dedup_cc_increment", "dedup_groups_cc",
+      "bpe_token_count", "dedup_cluster_stats", "dedup_ngram_jaccard",
+      "split_leakage_safe")
+    val fullWidth = graft.sources.Tables.documents(spark, sfDir).schema.size
+    for (q <- hot) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product:\n$p")
+      val scans = "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(p)
+        .map(_.group(1)).toSeq
+      scans.filter(_.contains("text")).foreach { rs =>
+        assert(rs.split(",").length < fullWidth,
+          s"$q reads the documents table full-width ($rs) — pruning lost:\n$p")
+      }
+      graft.CacheScope.releaseAll()
+    }
+  }
+
   test("pipeline_corpus_v4 composes with broadcasts only (no cartesian, no sort-merge)") {
     val p = plan("pipeline_corpus_v4")
     assert(!p.contains("CartesianProduct"), s"cartesian in the flagship chain:\n$p")

@@ -105,15 +105,29 @@ class EventsTsDriftSpec extends SparkSpec {
     assert(docs.schema("doc_id").dataType == LongType)
     assert(docs.schema("n_chars").dataType == LongType)
 
-    Seq((7, Seq(1.0, 2.0), 3L)).toDF("vec_id", "embedding", "label")
-      .selectExpr("cast(vec_id as int) vec_id",
-        "cast(embedding as array<double>) embedding", "label")
+    // integral-width drift still normalizes silently (representation
+    // only); the float32 lane pin passes float lanes through unchanged
+    Seq((7, Seq(1.0f, 2.0f), 3L)).toDF("vec_id", "embedding", "label")
+      .selectExpr("cast(vec_id as int) vec_id", "embedding", "label")
       .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
     val emb = Tables.embeddings(spark, dir)
     assert(emb.schema("vec_id").dataType == LongType)
     assert(emb.schema("label").dataType == IntegerType)
     assert(emb.schema("embedding").dataType ==
       ArrayType(FloatType, containsNull = true))
+  }
+
+  test("a float64 embeddings regen fails loudly instead of silently narrowing") {
+    // the one width pin that would change VALUES (lanes truncated while
+    // the oracle reads full-precision doubles) refuses to cast — see
+    // Tables.embeddings
+    val dir = java.nio.file.Files.createTempDirectory("graft-wid64").toString
+    Seq((7, Seq(1.0, 2.0), 3L)).toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+    val ex = intercept[IllegalArgumentException] {
+      Tables.embeddings(spark, dir)
+    }
+    assert(ex.getMessage.contains("array<float>"), ex.getMessage)
   }
 
   test("current-generation fixtures pass the width pins unchanged (casts fold away)") {

@@ -8,8 +8,11 @@ import graft.sources.Tables
 
 class EventStreamsSpec extends SparkSpec {
 
+  // The streaming twin is LTZ by engine mandate (Spark rejects NTZ
+  // watermark columns — EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE), so parity
+  // casts the NTZ batch read to LTZ under the UTC pin readEvents enforces.
   private def batchEvents = Tables.events(spark, sfDir)
-    .withColumn("ts", col("ts").cast(TimestampType)) // streaming twin uses LTZ
+    .withColumn("ts", col("ts").cast(TimestampType))
 
   test("streaming tumbling-window counts equal the batch computation") {
     val streamed = EventStreams.runToBatch(spark,
