@@ -13,20 +13,23 @@ import graft.sources.Tables
  * pipeline stage (one decoder init per partition, row-batch iteration,
  * columnar in/out).
  *
- * IMAGES AND AUDIO DECODE FOR REAL: `decodeImage` / `resizeImage` run
- * JDK-native `javax.imageio` (PNG/JPEG need no external codec) and
- * `decodeAudio` runs JDK-native `javax.sound.sampled` (RIFF/WAVE PCM),
- * all inside the same per-partition batch contract; `imageAssetTable` /
- * `audioAssetTable` build fixtures of genuine PNG / WAV bytes whose
- * content is a deterministic function of `doc_id` — so a DuckDB oracle
- * verifies both real decodes against ground-truth formulas. VIDEO
- * remains the one declared stub (`decodeStub` et al.): this container
- * has no video codecs, so it derives deterministic fake metadata from
- * the byte stream while keeping every Spark-facing part real — schema
- * contracts, binary column handling, partition-wise execution,
- * feature-vector output shape. Swapping in a real codec changes only
- * the body of the per-row closure, exactly as `decodeImage` and
- * `decodeAudio` demonstrate.
+ * IMAGES, AUDIO **AND VIDEO** DECODE FOR REAL: `decodeImage` /
+ * `resizeImage` run JDK-native `javax.imageio` (PNG/JPEG need no
+ * external codec), `decodeAudio` runs JDK-native `javax.sound.sampled`
+ * (RIFF/WAVE PCM), and `decodeVideo` parses genuine RIFF/AVI containers
+ * (`avih`/`strh`/`strf`/`movi`/`idx1`) frame by frame — raw 24-bit DIB
+ * frames decode by pure arithmetic (bottom-up padded rows, the real DIB
+ * layout) and MJPG frames dispatch to the `javax.imageio` JPEG codec.
+ * All run inside the same per-partition batch contract, and
+ * `imageAssetTable` / `audioAssetTable` / `videoAssetTable` build
+ * fixtures of genuine PNG / WAV / AVI bytes whose content is a
+ * deterministic function of `doc_id` — so a DuckDB oracle verifies all
+ * three real decodes against ground-truth formulas. The only remaining
+ * stubs are the text-bytes stand-ins (`decodeStub`, `featuresStub`,
+ * `resizeStub`, `phashStub`) kept for the mixed-modality plumbing
+ * queries: they exercise the schema contracts, binary column handling
+ * and partition-wise execution on assets whose payloads are not media
+ * containers at all.
  */
 object Multimodal {
 
@@ -233,9 +236,9 @@ object Multimodal {
    * truncated or corrupt payload fails loud. Integer amplitudes make
    * `sum_abs` exact — the ground-truth hook the
    * `multimodal_features_audio` oracle verifies against pure `doc_id`
-   * arithmetic. Video remains the one declared stub (no JDK-native
-   * container parser); swapping a codec in changes only this closure's
-   * body, as [[decodeImage]] and this method both demonstrate.
+   * arithmetic. [[decodeVideo]] completes the trio for the video
+   * modality; swapping a codec in changes only the closure body, as
+   * all three decoders demonstrate.
    */
   def decodeAudio(assets: DataFrame): DataFrame = {
     val outSchema = StructType(Seq(
@@ -266,6 +269,274 @@ object Multimodal {
             Row(id, bytes.length.toLong, fmt.getSampleRate.toInt,
               fmt.getChannels, fmt.getSampleSizeInBits, n.toLong, sum)
           } finally ais.close()
+        }
+      }(enc)
+  }
+
+  // ------------------------------------------------------------------
+  // REAL video: RIFF/AVI container, raw-DIB + MJPG codecs
+  // ------------------------------------------------------------------
+
+  private def le16(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+  private def le32(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+  private def rdLe32(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+  private def rdLe16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+  private def fourCc(b: Array[Byte], off: Int): String =
+    new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** DIB row stride: 24bpp rows padded to a 4-byte boundary (the real
+    * Windows-bitmap layout `decodeVideo`'s raw path must honor). */
+  private[operators] def dibStride(w: Int): Int = ((3 * w + 3) / 4) * 4
+
+  /**
+   * Serialize frames into a genuine AVI container: `RIFF('AVI ')` with a
+   * `hdrl` list (`avih` MainAVIHeader, `strl` holding the `vids`
+   * AVIStreamHeader + BITMAPINFOHEADER), a `movi` list of one chunk per
+   * frame, and an `idx1` keyframe index — the layout every AVI reader
+   * expects. `fourcc` "DIB " writes `00db` raw-bitmap chunks
+   * (biCompression=BI_RGB); "MJPG" writes `00dc` compressed chunks
+   * (biCompression='MJPG'). Odd-sized frame payloads get the RIFF word
+   * pad (pad byte excluded from the recorded chunk size).
+   */
+  private[operators] def aviBytes(frames: Seq[Array[Byte]], w: Int, h: Int,
+      fps: Int, fourcc: String): Array[Byte] = {
+    require(fourcc == "DIB " || fourcc == "MJPG", s"unsupported fourcc: $fourcc")
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    val n = frames.size
+    val maxFrame = if (n == 0) 0 else frames.map(_.length).max
+    val chunkId = if (fourcc == "DIB ") "00db" else "00dc"
+    val out = new java.io.ByteArrayOutputStream()
+    def cc(s: String): Unit = out.write(s.getBytes(ascii))
+    def w32(v: Int): Unit = out.write(le32(v))
+    def w16(v: Int): Unit = out.write(le16(v))
+
+    val avih = {
+      val b = new java.io.ByteArrayOutputStream()
+      b.write(le32(1000000 / fps)); b.write(le32(0)); b.write(le32(0))
+      b.write(le32(0x10)) // AVIF_HASINDEX
+      b.write(le32(n)); b.write(le32(0)); b.write(le32(1)); b.write(le32(maxFrame))
+      b.write(le32(w)); b.write(le32(h))
+      (0 until 4).foreach(_ => b.write(le32(0)))
+      b.toByteArray
+    }
+    val strh = {
+      val b = new java.io.ByteArrayOutputStream()
+      b.write("vids".getBytes(ascii)); b.write(fourcc.getBytes(ascii))
+      b.write(le32(0)); b.write(le16(0)); b.write(le16(0)); b.write(le32(0))
+      b.write(le32(1)) // dwScale
+      b.write(le32(fps)) // dwRate: fps = rate / scale
+      b.write(le32(0)); b.write(le32(n)); b.write(le32(maxFrame))
+      b.write(le32(-1)); b.write(le32(0))
+      b.write(le16(0)); b.write(le16(0)); b.write(le16(w)); b.write(le16(h))
+      b.toByteArray
+    }
+    val strf = {
+      val b = new java.io.ByteArrayOutputStream()
+      b.write(le32(40)); b.write(le32(w)); b.write(le32(h))
+      b.write(le16(1)); b.write(le16(24))
+      if (fourcc == "DIB ") b.write(le32(0)) // BI_RGB
+      else b.write("MJPG".getBytes(ascii))
+      b.write(le32(dibStride(w) * h))
+      b.write(le32(0)); b.write(le32(0)); b.write(le32(0)); b.write(le32(0))
+      b.toByteArray
+    }
+    require(avih.length == 56 && strh.length == 56 && strf.length == 40,
+      s"AVI header sizes drifted: ${avih.length}/${strh.length}/${strf.length}")
+
+    val padded = frames.map(f => f.length + (f.length & 1))
+    val moviData = 4 + padded.map(_ + 8).sum // 'movi' + frame chunks
+    val strlData = 4 + (8 + 56) + (8 + 40)
+    val hdrlData = 4 + (8 + 56) + (8 + strlData)
+    val riffData = 4 + (8 + hdrlData) + (8 + moviData) + (8 + 16 * n)
+
+    cc("RIFF"); w32(riffData); cc("AVI ")
+    cc("LIST"); w32(hdrlData); cc("hdrl")
+    cc("avih"); w32(56); out.write(avih)
+    cc("LIST"); w32(strlData); cc("strl")
+    cc("strh"); w32(56); out.write(strh)
+    cc("strf"); w32(40); out.write(strf)
+    cc("LIST"); w32(moviData); cc("movi")
+    // idx1 offsets are measured from the first byte of the 'movi' fourcc
+    var off = 4
+    val offsets = frames.map { f =>
+      val o = off
+      cc(chunkId); w32(f.length); out.write(f)
+      if ((f.length & 1) == 1) out.write(0)
+      off += 8 + f.length + (f.length & 1)
+      o
+    }
+    cc("idx1"); w32(16 * n)
+    frames.zip(offsets).foreach { case (f, o) =>
+      cc(chunkId); w32(0x10) /* AVIIF_KEYFRAME */ ; w32(o); w32(f.length)
+    }
+    out.toByteArray
+  }
+
+  /** One raw bottom-up 24bpp DIB frame filled with gray value `g`. */
+  private def dibFrame(w: Int, h: Int, g: Int): Array[Byte] = {
+    val stride = dibStride(w)
+    val f = new Array[Byte](stride * h) // pad bytes stay zero
+    var r = 0
+    while (r < h) {
+      var x = 0
+      while (x < w) {
+        val o = r * stride + 3 * x
+        f(o) = g.toByte; f(o + 1) = g.toByte; f(o + 2) = g.toByte // B,G,R
+        x += 1
+      }
+      r += 1
+    }
+    f
+  }
+
+  /** Fixture of REAL AVI assets: one raw-DIB video per document —
+    * `doc_id % 5 + 2` frames of `(doc_id % 11 + 1) × (doc_id % 6 + 1)`
+    * at 10 fps, frame `f` filled with gray `(doc_id·7 + f·13) mod 256`.
+    * Every dimension, frame count, pixel value and even the container
+    * byte length is a closed-form function of `doc_id`, so the DuckDB
+    * oracle verifies [[decodeVideo]]'s full parse (header fields, frame
+    * iteration, bottom-up row layout, pixel reads) from `documents`
+    * alone — the PNG/WAV fixture pattern for the video modality. */
+  def videoAssetTable(spark: SparkSession, sfDir: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("modality", StringType, nullable = false),
+      StructField("content", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    Tables.documents(spark, sfDir).select("doc_id").mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val (w, h) = ((id % 11 + 1).toInt, (id % 6 + 1).toInt)
+        val frames = (0 until (id % 5 + 2).toInt).map { f =>
+          dibFrame(w, h, ((id * 7 + f * 13) % 256).toInt)
+        }
+        Row(id, "video", aviBytes(frames, w, h, fps = 10, fourcc = "DIB "))
+      }
+    }(enc)
+  }
+
+  /** Decoded-video contract: container metadata plus two decoded-pixel
+    * proofs — `first_px` (red channel of frame 0's TOP-LEFT pixel, which
+    * in the bottom-up DIB layout lives in the LAST raw row, so it
+    * catches an upside-down decode) and `sum_px` (sum of the red channel
+    * over every pixel of every frame). */
+  val videoMetaSchema: StructType = StructType(Seq(
+    StructField("byte_len", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("n_frames", LongType, nullable = false),
+    StructField("fps", IntegerType, nullable = false),
+    StructField("first_px", IntegerType, nullable = false),
+    StructField("sum_px", LongType, nullable = false)))
+
+  /**
+   * REAL video decode — a strict RIFF/AVI parser in the per-partition
+   * batch contract. Walks the chunk tree (`hdrl`→`avih`+`strl`,
+   * `movi`→frame chunks, `idx1`), takes dimensions/fps/frame-count from
+   * the parsed headers, then decodes EVERY frame: `biCompression=BI_RGB`
+   * frames by direct DIB arithmetic (bottom-up rows, 4-byte-aligned
+   * stride, B-G-R byte order), `'MJPG'` frames through the JDK-native
+   * `javax.imageio` JPEG codec. Frame count is cross-checked against
+   * both `avih.dwTotalFrames` and the `idx1` entry count, and a raw
+   * frame whose chunk size disagrees with stride·height fails loud — a
+   * corrupt asset at 100 TB should be quarantined upstream, not
+   * silently averaged into features.
+   */
+  def decodeVideo(assets: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false)) ++ videoMetaSchema.fields)
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    assets.filter(col("modality") === "video")
+      .select("asset_id", "content").mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { r =>
+          val id = r.getLong(0)
+          val b = r.getAs[Array[Byte]](1)
+          require(b.length >= 12 && fourCc(b, 0) == "RIFF" && fourCc(b, 8) == "AVI ",
+            s"asset $id: not a RIFF/AVI container")
+          var width = -1; var height = -1; var fps = -1
+          var totalFrames = -1; var compression = -1; var bitCount = -1
+          var framesSeen = 0L; var idxEntries = -1
+          var firstPx = -1; var sumPx = 0L
+
+          def decodeFrame(off: Int, len: Int): Unit = {
+            if (compression == 0) { // BI_RGB raw DIB
+              require(bitCount == 24, s"asset $id: expected 24bpp DIB, got $bitCount")
+              val stride = dibStride(width)
+              require(len == stride * height,
+                s"asset $id frame $framesSeen: chunk $len != ${stride * height}")
+              var row = 0
+              while (row < height) {
+                var x = 0
+                while (x < width) {
+                  sumPx += b(off + row * stride + 3 * x + 2) & 0xff // red
+                  x += 1
+                }
+                row += 1
+              }
+              if (framesSeen == 0)
+                firstPx = b(off + (height - 1) * stride + 2) & 0xff // top-left
+            } else { // 'MJPG' → JDK JPEG codec
+              val img = javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(b, off, len))
+              require(img != null, s"asset $id frame $framesSeen: undecodable MJPG")
+              require(img.getWidth == width && img.getHeight == height,
+                s"asset $id frame $framesSeen: ${img.getWidth}x${img.getHeight}")
+              var y = 0
+              while (y < height) {
+                var x = 0
+                while (x < width) { sumPx += (img.getRGB(x, y) >>> 16) & 0xff; x += 1 }
+                y += 1
+              }
+              if (framesSeen == 0) firstPx = (img.getRGB(0, 0) >>> 16) & 0xff
+            }
+            framesSeen += 1
+          }
+
+          def walk(start: Int, end: Int, inMovi: Boolean): Unit = {
+            var p = start
+            while (p + 8 <= end) {
+              val cid = fourCc(b, p)
+              val sz = rdLe32(b, p + 4)
+              require(sz >= 0 && p + 8 + sz <= end,
+                s"asset $id: chunk $cid overruns container")
+              if (cid == "LIST") {
+                val listType = fourCc(b, p + 8)
+                walk(p + 12, p + 8 + sz, inMovi = listType == "movi" || inMovi)
+              } else if (cid == "avih") {
+                fps = math.round(1e6 / rdLe32(b, p + 8)).toInt
+                totalFrames = rdLe32(b, p + 8 + 16)
+                width = rdLe32(b, p + 8 + 32)
+                height = rdLe32(b, p + 8 + 36)
+              } else if (cid == "strf") {
+                bitCount = rdLe16(b, p + 8 + 14)
+                val comp = rdLe32(b, p + 8 + 16)
+                compression =
+                  if (comp == 0) 0
+                  else if (fourCc(b, p + 8 + 16) == "MJPG") 1
+                  else throw new IllegalArgumentException(
+                    s"asset $id: unsupported biCompression $comp")
+              } else if (cid == "idx1") {
+                idxEntries = sz / 16
+              } else if (inMovi && (cid.endsWith("db") || cid.endsWith("dc"))) {
+                decodeFrame(p + 8, sz)
+              }
+              p += 8 + sz + (sz & 1) // RIFF word alignment
+            }
+          }
+          walk(12, b.length, inMovi = false)
+          require(totalFrames >= 0, s"asset $id: missing avih header")
+          require(framesSeen == totalFrames,
+            s"asset $id: decoded $framesSeen frames, header claims $totalFrames")
+          require(idxEntries == -1 || idxEntries == framesSeen,
+            s"asset $id: idx1 has $idxEntries entries for $framesSeen frames")
+          Row(id, b.length.toLong, width, height, framesSeen, fps, firstPx, sumPx)
         }
       }(enc)
   }

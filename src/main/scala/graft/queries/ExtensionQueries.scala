@@ -602,6 +602,17 @@ object ExtensionQueries extends QueryFamily {
       graft.operators.Multimodal.audioAssetTable(spark, dir))
       .orderBy(col("asset_id"))
 
+  /** REAL AVI/RIFF video decode over the generated raw-DIB fixture:
+    * header metadata (dims, fps, frame count) + two decoded-pixel proofs
+    * (`first_px` catches an upside-down bottom-up decode, `sum_px` reads
+    * every pixel of every frame) — all closed-form in `doc_id`, so the
+    * oracle verifies the full container parse incl. the exact AVI byte
+    * length (see [[graft.operators.Multimodal.decodeVideo]]). */
+  def multimodalFeaturesVideo(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Multimodal.decodeVideo(
+      graft.operators.Multimodal.videoAssetTable(spark, dir))
+      .orderBy(col("asset_id"))
+
   def multimodalFeaturesImage(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Multimodal.imageHistogramFeatures(
       graft.operators.Multimodal.imageAssetTable(spark, dir))
@@ -976,6 +987,7 @@ object ExtensionQueries extends QueryFamily {
     "multimodal_decode" -> (multimodalDecode _),
     "multimodal_features_image" -> (multimodalFeaturesImage _),
     "multimodal_features_audio" -> (multimodalFeaturesAudio _),
+    "multimodal_features_video" -> (multimodalFeaturesVideo _),
     "multimodal_frames" -> (multimodalFrames _),
     "pipeline_corpus" -> (pipelineCorpus _),
     "pipeline_corpus_v2" -> (pipelineCorpusV2 _),
@@ -1492,6 +1504,23 @@ object ExtensionQueries extends QueryFamily {
         |  CAST(ns AS BIGINT) AS n_samples,
         |  CAST(SUM(ABS((doc_id * 31 + i * 17) % 2001 - 1000)) AS BIGINT) AS sum_abs
         |FROM s GROUP BY doc_id, ns ORDER BY asset_id""".stripMargin,
+    // ground truth for the REAL AVI decode: nf frames of w×h raw DIB at
+    // 10 fps, frame f solid gray (d*7 + f*13) % 256; container length is
+    // the fixed RIFF/hdrl overhead (232) plus per-frame chunk + idx1
+    // entry (24) plus the 4-byte-aligned DIB payload stride*h
+    "multimodal_features_video" ->
+      """WITH p AS (SELECT doc_id, doc_id % 5 + 2 AS nf,
+        |    CAST(doc_id % 11 + 1 AS INT) AS w,
+        |    CAST(doc_id % 6 + 1 AS INT) AS h FROM documents),
+        |f AS (SELECT doc_id, nf, w, h, unnest(range(0, nf)) AS fr FROM p)
+        |SELECT CAST(doc_id AS BIGINT) AS asset_id,
+        |  CAST(232 + nf * (24 + ((3 * w + 3) // 4) * 4 * h) AS BIGINT) AS byte_len,
+        |  w AS width, h AS height,
+        |  CAST(nf AS BIGINT) AS n_frames,
+        |  CAST(10 AS INT) AS fps,
+        |  CAST(doc_id * 7 % 256 AS INT) AS first_px,
+        |  CAST(SUM(w * h * ((doc_id * 7 + fr * 13) % 256)) AS BIGINT) AS sum_px
+        |FROM f GROUP BY doc_id, nf, w, h ORDER BY asset_id""".stripMargin,
     "multimodal_features_image" ->
       """SELECT doc_id AS asset_id,
         |  array_to_string(list_transform(range(0, 16), x ->

@@ -63,6 +63,84 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("decodeVideo REALLY decodes: AVI magic in fixture, headers + every frame's pixels match ground truth") {
+    val assets = Multimodal.videoAssetTable(spark, sfDir)
+    // fixture bytes are genuine RIFF/AVI containers, not stand-ins
+    val head = assets.orderBy("asset_id").head().getAs[Array[Byte]]("content")
+    assert(new String(head.take(4), "US-ASCII") == "RIFF" &&
+      new String(head.slice(8, 12), "US-ASCII") == "AVI ",
+      "not a RIFF/AVI container")
+    val decoded = Multimodal.decodeVideo(assets)
+      .select("asset_id", "byte_len", "width", "height", "n_frames", "fps", "first_px", "sum_px")
+      .as[(Long, Long, Int, Int, Long, Int, Int, Long)].collect()
+    assert(decoded.length == 500)
+    decoded.foreach { case (id, blen, w, h, nf, fps, fpx, sum) =>
+      val (ew, eh, enf) = ((id % 11 + 1).toInt, (id % 6 + 1).toInt, id % 5 + 2)
+      assert(w == ew && h == eh && nf == enf && fps == 10,
+        s"asset $id header ${w}x$h/$nf@$fps, expected ${ew}x$eh/$enf@10")
+      val stride = Multimodal.dibStride(ew)
+      assert(blen == 232 + enf * (24 + stride * eh),
+        s"asset $id byte_len $blen != ${232 + enf * (24 + stride * eh)}")
+      assert(fpx == (id * 7 % 256).toInt, s"asset $id first_px $fpx != ${id * 7 % 256}")
+      val esum = (0L until enf).map(f => ew * eh * ((id * 7 + f * 13) % 256)).sum
+      assert(sum == esum, s"asset $id sum_px $sum != $esum")
+    }
+  }
+
+  test("decodeVideo honors the bottom-up DIB row order (first_px reads the image-space top row)") {
+    // 1×2 frame whose raw rows differ: raw row 0 (BOTTOM of the image)
+    // holds red 50, raw row 1 (TOP) holds red 200 — an upside-down
+    // decode would report first_px = 50
+    val stride = Multimodal.dibStride(1)
+    val frame = new Array[Byte](stride * 2)
+    frame(2) = 50.toByte   // raw row 0, pixel 0, R
+    frame(stride + 2) = 200.toByte // raw row 1, pixel 0, R
+    val avi = Multimodal.aviBytes(Seq(frame), w = 1, h = 2, fps = 10, fourcc = "DIB ")
+    val assets = spark.createDataFrame(Seq((1L, "video", avi)))
+      .toDF("asset_id", "modality", "content")
+    val row = Multimodal.decodeVideo(assets).head()
+    assert(row.getAs[Int]("first_px") == 200, "bottom-up row order violated")
+    assert(row.getAs[Long]("sum_px") == 250L)
+  }
+
+  test("decodeVideo MJPG path: JPEG frames dispatch to the javax.imageio codec") {
+    // two solid-gray 8×8 frames, ImageIO-encoded as genuine JPEGs
+    val grays = Seq(64, 192)
+    val frames = grays.map { g =>
+      val img = new java.awt.image.BufferedImage(8, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rgb = (g << 16) | (g << 8) | g
+      for (y <- 0 until 8; x <- 0 until 8) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val avi = Multimodal.aviBytes(frames, w = 8, h = 8, fps = 25, fourcc = "MJPG")
+    val assets = spark.createDataFrame(Seq((9L, "video", avi)))
+      .toDF("asset_id", "modality", "content")
+    val row = Multimodal.decodeVideo(assets).head()
+    assert(row.getAs[Int]("width") == 8 && row.getAs[Int]("height") == 8)
+    assert(row.getAs[Long]("n_frames") == 2L && row.getAs[Int]("fps") == 25)
+    // JPEG is lossy but a solid-gray plane decodes within ±2 of the fill
+    val meanPerFrame = row.getAs[Long]("sum_px").toDouble / (2 * 64)
+    assert(math.abs(meanPerFrame - grays.sum.toDouble / 2) <= 2.0,
+      s"decoded mean $meanPerFrame too far from ${grays.sum.toDouble / 2}")
+    assert(math.abs(row.getAs[Int]("first_px") - grays.head) <= 2)
+  }
+
+  test("decodeVideo fails loud on truncated or header-inconsistent containers") {
+    val good = Multimodal.videoAssetTable(spark, sfDir)
+      .orderBy("asset_id").head().getAs[Array[Byte]]("content")
+    // truncation drops movi frames the avih header still claims
+    val truncated = good.take(good.length - 20)
+    val assets = spark.createDataFrame(Seq((1L, "video", truncated)))
+      .toDF("asset_id", "modality", "content")
+    val ex = intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeVideo(assets).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
   test("decodeAudio fails loud on undecodable bytes") {
     val bogus = Multimodal.assetTable(spark, sfDir)
       .filter($"modality" === "audio").limit(3)
