@@ -154,6 +154,71 @@ object ExtensionQueries extends QueryFamily {
       .select(col("doc_id"))
       .orderBy(col("doc_id"))
 
+  /**
+   * Planted-twin survivor verdict for minhash dedup (the fixture holds
+   * NO exact duplicate texts, so the twins are planted — the
+   * [[dedupSimhashPlanted]] pattern): a verbatim copy of every 100th
+   * doc is appended at `doc_id + 10⁷`. Identical text → identical
+   * shingle set → identical minhash signature → the pair shares every
+   * band bucket at estimated J = 1, and the twin is the HIGHER id, so
+   * pairwise loser-dropping ([[Dedup.minhashDedup]]: twin is `id_b` of
+   * its pair) and CC contraction ([[Dedup.minhashDedupCc]]: component
+   * min is ≤ the original) must BOTH remove it — `twin_removed` is
+   * constant TRUE over a pure-SQL planted list.
+   */
+  private def plantedTwinRemovedVerdict(
+      docs: DataFrame, dedup: DataFrame => DataFrame): DataFrame = {
+    val twins = docs.filter(col("doc_id") % 100 === 0)
+      .withColumn("doc_id", col("doc_id") + lit(10000000L))
+    val kept = dedup(docs.unionByName(twins))
+      .select(col("doc_id")).withColumn("__k", lit(true))
+    twins.select(col("doc_id"))
+      .join(kept, Seq("doc_id"), "left")
+      .select((col("doc_id") - 10000000L).as("id_a"), col("doc_id").as("id_b"),
+        coalesce(col("__k"), lit(false)).as("twin_kept"))
+      .select(col("id_a"), col("id_b"), (!col("twin_kept")).as("twin_removed"))
+      .orderBy(col("id_a"))
+  }
+
+  /** [[plantedTwinRemovedVerdict]] over [[Dedup.minhashDedup]]. */
+  def dedupMinhashKeepVerdict(spark: SparkSession, dir: String): DataFrame =
+    plantedTwinRemovedVerdict(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+      Dedup.minhashDedup(_, "text", "doc_id",
+        numHashes = 64, bands = 16, threshold = 0.5))
+
+  /** [[plantedTwinRemovedVerdict]] over [[Dedup.minhashDedupCc]] —
+    * routes the candidate graph AND the connected-components
+    * contraction through a driver-checked gate. */
+  def dedupMinhashCcVerdict(spark: SparkSession, dir: String): DataFrame =
+    plantedTwinRemovedVerdict(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+      Dedup.minhashDedupCc(_, "text", "doc_id",
+        numHashes = 64, bands = 16, threshold = 0.5))
+
+  /**
+   * Planted-dup rejection verdict for incremental near-dup admission:
+   * verbatim copies of every 100th standing-corpus doc are planted into
+   * the incoming batch at `doc_id + 10⁷`. Identical text produces
+   * identical band keys, so every one of the copy's buckets collides
+   * with the published index and [[Dedup.admitNewNearDup]] MUST reject
+   * it — `admitted` is constant FALSE over the pure-SQL planted list.
+   */
+  def corpusIncrementNearDupVerdict(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val base = docs.filter(col("doc_id") % 2 === 0)
+    val planted = base.filter(col("doc_id") % 100 === 0)
+      .withColumn("doc_id", col("doc_id") + lit(10000000L))
+    val incoming = docs.filter(col("doc_id") % 2 === 1).unionByName(planted)
+    val admitted = Dedup.admitNewNearDup(
+      incoming, "text", "doc_id", Dedup.buildBandIndex(base, "text"))
+      .select(col("doc_id")).withColumn("__a", lit(true))
+    planted.select(col("doc_id"))
+      .join(admitted, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("__a"), lit(false)).as("admitted"))
+      .orderBy(col("doc_id"))
+  }
+
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val candidates = Dedup.minhashPairs(docs, "text", "doc_id",
@@ -356,6 +421,119 @@ object ExtensionQueries extends QueryFamily {
       .select(col("query_id"), col("rank"),
         coalesce(col("__e"), lit(false)).as("in_exact_top50"))
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  /**
+   * Planted-copy serve verdict for the PQ path (m=8, cb=16 — the
+   * sim_topk_pq configuration). Top-N CONTAINMENT is not an honest gate
+   * here: measured at all three SFs, PQ ADC ranks stray to exact rank
+   * ~740 of 2000 (quantization loss on near-orthogonal synthetic
+   * vectors), so any tight bound would be fixture luck. What IS
+   * guaranteed: an exact COPY of the query planted in the corpus
+   * encodes to the query's own per-subspace argmin codes, which
+   * minimizes the summed ADC distance over the whole code space — no
+   * corpus vector can score strictly better, so the serve path MUST
+   * return the copy. One missed copy (codes, ADC tables, ranking — any
+   * stage broken) flips `copy_found`.
+   */
+  def simTopkPqVerdict(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < 5)
+    val corpus = emb.unionByName(
+      queries.withColumn("vec_id", col("vec_id") + lit(10000000L)))
+    val (codebooks, encoded) = graft.operators.Quantize.productQuantize(
+      corpus, "vec_id", "embedding", m = 8, codebookSize = 16, iters = 4,
+      trainSampleN = 4096)
+    val approx = Similarity.pqTopK(encoded, queries, codebooks, "vec_id", "embedding", k = 10)
+    queries.select(col("vec_id").as("query_id"))
+      .join(approx.filter(col("neighbor_id") === col("query_id") + 10000000L)
+          .select(col("query_id")).withColumn("__f", lit(true)),
+        Seq("query_id"), "left")
+      .select(col("query_id"), coalesce(col("__f"), lit(false)).as("copy_found"))
+      .orderBy(col("query_id"))
+  }
+
+  /** Planted-copy serve verdict for the composed IVF-PQ path: the copy
+    * lands in the query's own coarse cell (identical vector → identical
+    * nearest centroid), the query probes that cell first, and the copy's
+    * residual encodes to the minimal-ADC codes — probing loss and
+    * quantization loss both gated (the sim_topk_ivfpq configuration). */
+  def simTopkIvfPqVerdict(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < 5)
+    val corpus = emb.unionByName(
+      queries.withColumn("vec_id", col("vec_id") + lit(10000000L)))
+    val approx = Similarity.ivfPqTopK(corpus, queries, "vec_id", "embedding",
+      k = 10, nCells = 16, nProbe = 4, m = 8, codebookSize = 16)
+    queries.select(col("vec_id").as("query_id"))
+      .join(approx.filter(col("neighbor_id") === col("query_id") + 10000000L)
+          .select(col("query_id")).withColumn("__f", lit(true)),
+        Seq("query_id"), "left")
+      .select(col("query_id"), coalesce(col("__f"), lit(false)).as("copy_found"))
+      .orderBy(col("query_id"))
+  }
+
+  /**
+   * Planted-twin verdict for embedding near-dup pairing: an exact copy
+   * of every 100th vector is appended at `vec_id + 10⁷`. Identical
+   * vectors produce identical hyperplane sign buckets and cosine
+   * exactly 1 ≥ threshold, so [[Similarity.embeddingNearDupPairs]] MUST
+   * emit each planted pair — the planted list is pure SQL, and one
+   * missed pair flips the `pair_found` gate.
+   */
+  def simNearDupVerdict(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val base = emb.filter(col("vec_id") % 100 === 0)
+    val twins = base.withColumn("vec_id", col("vec_id") + lit(10000000L))
+    val found = Similarity.embeddingNearDupPairs(
+      emb.unionByName(twins), "vec_id", "embedding", threshold = 0.4, nBits = 4)
+      .select(col("id_a"), col("id_b")).withColumn("__f", lit(true))
+    base.select(col("vec_id").as("id_a"),
+        (col("vec_id") + 10000000L).as("id_b"))
+      .join(found, Seq("id_a", "id_b"), "left")
+      .select(col("id_a"), col("id_b"),
+        coalesce(col("__f"), lit(false)).as("pair_found"))
+      .orderBy(col("id_a"))
+  }
+
+  /** Planted-twin verdict for SemDeDup: the exact copy planted at
+    * `vec_id + 10⁷` lands in its original's k-means cell (identical
+    * vector → identical nearest centroid), pairs at cosine 1, and the
+    * min-id survivor rule must REMOVE it — `kept` is constant FALSE. */
+  def simSemanticDedupVerdict(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val base = emb.filter(col("vec_id") % 100 === 0)
+    val twins = base.withColumn("vec_id", col("vec_id") + lit(10000000L))
+    val kept = Similarity.semanticDedup(
+      emb.unionByName(twins), "vec_id", "embedding", k = 16, threshold = 0.4)
+      .select(col("vec_id")).withColumn("__k", lit(true))
+    twins.select(col("vec_id"))
+      .join(kept, Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("__k"), lit(false)).as("kept"))
+      .orderBy(col("vec_id"))
+  }
+
+  /**
+   * Exact-dup rejection verdict for embedding-space admission: exact
+   * copies of the first incoming vectors are planted INTO the standing
+   * corpus (at shifted ids), so those incoming rows have a corpus
+   * neighbor at cosine exactly 1 in their own LSH bucket and
+   * [[Similarity.admitNewEmbeddings]] MUST reject them — `admitted` is
+   * constant FALSE over a pure-SQL row set.
+   */
+  def corpusIncrementEmbedVerdict(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val incoming = emb.filter(col("vec_id") % 2 === 1)
+    val planted = incoming.filter(col("vec_id") < 10)
+    val base = emb.filter(col("vec_id") % 2 === 0)
+      .unionByName(planted.withColumn("vec_id", col("vec_id") + lit(10000000L)))
+    val admitted = Similarity.admitNewEmbeddings(
+      incoming, base, "vec_id", "embedding", threshold = 0.4, nBits = 4)
+      .select(col("vec_id")).withColumn("__a", lit(true))
+    planted.select(col("vec_id"))
+      .join(admitted, Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("__a"), lit(false)).as("admitted"))
+      .orderBy(col("vec_id"))
   }
 
   /**
@@ -564,6 +742,30 @@ object ExtensionQueries extends QueryFamily {
     graft.operators.Multimodal.assetNearDupPairs(
       graft.operators.Multimodal.assetTable(spark, dir), maxHamming = 6)
       .select(col("id_a"), col("id_b"))
+
+  /**
+   * Planted-pair verdict for perceptual near-dup assets (the fixture
+   * holds no duplicate byte streams, so twins are planted at
+   * `asset_id + 10⁷`): identical bytes have bit-equal phash signatures,
+   * so the pigeonhole banding must pair each planted twin with its
+   * original at hamming 0 ≤ maxHamming. The planted list is pure SQL,
+   * and one missed pair flips `pair_found`.
+   */
+  def multimodalNearDupVerdict(spark: SparkSession, dir: String): DataFrame = {
+    val assets = graft.operators.Multimodal.assetTable(spark, dir)
+    val twins = assets.filter(col("asset_id") % 100 === 0)
+      .withColumn("asset_id", col("asset_id") + lit(10000000L))
+    val found = graft.operators.Multimodal.assetNearDupPairs(
+      assets.unionByName(twins), maxHamming = 6)
+      .select(col("id_a"), col("id_b")).withColumn("__f", lit(true))
+    assets.filter(col("asset_id") % 100 === 0)
+      .select(col("asset_id").as("id_a"),
+        (col("asset_id") + 10000000L).as("id_b"))
+      .join(found, Seq("id_a", "id_b"), "left")
+      .select(col("id_a"), col("id_b"),
+        coalesce(col("__f"), lit(false)).as("pair_found"))
+      .orderBy(col("id_a"))
+  }
 
   /** Stub decode + feature extraction through mapPartitions (pandas-UDF
     * analog) — custom kernel, rows-only check + MultimodalSpec. */
@@ -941,6 +1143,15 @@ object ExtensionQueries extends QueryFamily {
     "dedup_simhash_planted" -> (dedupSimhashPlanted _),
     "sim_topk_lsh_verdict" -> (simTopkLshVerdict _),
     "sim_topk_ivf_verdict" -> (simTopkIvfVerdict _),
+    "sim_topk_pq_verdict" -> (simTopkPqVerdict _),
+    "sim_topk_ivfpq_verdict" -> (simTopkIvfPqVerdict _),
+    "sim_neardup_verdict" -> (simNearDupVerdict _),
+    "sim_semantic_dedup_verdict" -> (simSemanticDedupVerdict _),
+    "corpus_increment_embed_verdict" -> (corpusIncrementEmbedVerdict _),
+    "dedup_minhash_keep_verdict" -> (dedupMinhashKeepVerdict _),
+    "dedup_minhash_cc_verdict" -> (dedupMinhashCcVerdict _),
+    "corpus_increment_neardup_verdict" -> (corpusIncrementNearDupVerdict _),
+    "multimodal_neardup_verdict" -> (multimodalNearDupVerdict _),
     "embed_kmeans_verdict" -> (embedKmeansVerdict _),
     "dedup_simhash_pairs" -> (dedupSimhashPairs _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
@@ -1119,6 +1330,18 @@ object ExtensionQueries extends QueryFamily {
       |  TRUE AS in_exact_top50
       |FROM embeddings WHERE vec_id < 5 ORDER BY query_id, rank""".stripMargin
 
+  /** DuckDB side of the planted-twin removal verdicts: the planted list
+    * with the constant removal gate. */
+  private val plantedTwinRemovedOracleSql =
+    """SELECT doc_id AS id_a, doc_id + 10000000 AS id_b, TRUE AS twin_removed
+      |FROM documents WHERE doc_id % 100 = 0 ORDER BY id_a""".stripMargin
+
+  /** DuckDB side of the planted-copy serve verdicts: the query list
+    * with the constant served-copy gate. */
+  private val plantedCopyServeOracleSql =
+    """SELECT CAST(vec_id AS BIGINT) AS query_id, TRUE AS copy_found
+      |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin
+
   private val recallOracleSql =
     """SELECT CAST(vec_id AS BIGINT) AS query_id,
       |  CAST(10 AS BIGINT) AS k_exact,
@@ -1197,6 +1420,32 @@ object ExtensionQueries extends QueryFamily {
         |ORDER BY id_a, id_b""".stripMargin,
     "sim_topk_lsh_verdict" -> topkContainmentOracleSql,
     "sim_topk_ivf_verdict" -> topkContainmentOracleSql,
+    // planted-copy serve verdicts: an exact copy of the query planted
+    // in the corpus achieves the minimal ADC distance and MUST be served
+    "sim_topk_pq_verdict" -> plantedCopyServeOracleSql,
+    "sim_topk_ivfpq_verdict" -> plantedCopyServeOracleSql,
+    // planted-twin verdicts: the pair/survivor lists are pure SQL, the
+    // boolean gates are constants the LSH/CC machinery must reproduce
+    "sim_neardup_verdict" ->
+      """SELECT CAST(vec_id AS BIGINT) AS id_a,
+        |  CAST(vec_id + 10000000 AS BIGINT) AS id_b,
+        |  TRUE AS pair_found
+        |FROM embeddings WHERE vec_id % 100 = 0 ORDER BY id_a""".stripMargin,
+    "sim_semantic_dedup_verdict" ->
+      """SELECT CAST(vec_id + 10000000 AS BIGINT) AS vec_id, FALSE AS kept
+        |FROM embeddings WHERE vec_id % 100 = 0 ORDER BY vec_id""".stripMargin,
+    "corpus_increment_embed_verdict" ->
+      """SELECT CAST(vec_id AS BIGINT) AS vec_id, FALSE AS admitted
+        |FROM embeddings WHERE vec_id % 2 = 1 AND vec_id < 10
+        |ORDER BY vec_id""".stripMargin,
+    "dedup_minhash_keep_verdict" -> plantedTwinRemovedOracleSql,
+    "dedup_minhash_cc_verdict" -> plantedTwinRemovedOracleSql,
+    "corpus_increment_neardup_verdict" ->
+      """SELECT doc_id + 10000000 AS doc_id, FALSE AS admitted
+        |FROM documents WHERE doc_id % 100 = 0 ORDER BY doc_id""".stripMargin,
+    "multimodal_neardup_verdict" ->
+      """SELECT doc_id AS id_a, doc_id + 10000000 AS id_b, TRUE AS pair_found
+        |FROM documents WHERE doc_id % 100 = 0 ORDER BY id_a""".stripMargin,
     // Lloyd cost monotonicity + cardinality: DuckDB pins n_points and
     // the constant verdicts; Spark computes them from the fit telemetry
     "embed_kmeans_verdict" ->

@@ -78,6 +78,28 @@ object PipelineQueries extends QueryFamily {
       benchmarkPred = col("doc_id") % 97 === 0, n = 3)
       .orderBy(col("doc_id"))
 
+  /**
+   * No-false-negative verdict for bloom decontamination — the property
+   * that makes a Bloom filter usable as a contamination screen at all:
+   * every doc the EXACT n-gram join flags (DuckDB replays that side
+   * verbatim — it is the green `decontaminate` oracle) must also be
+   * flagged by the bloom path, because a Bloom filter can only err
+   * toward false POSITIVES. One exactly-contaminated doc missing from
+   * the bloom set flips the constant-TRUE `bloom_flagged` gate.
+   */
+  def decontaminateBloomVerdict(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val exact = Ngrams.decontaminate(docs, "doc_id", "text",
+      benchmarkPred = col("doc_id") % 97 === 0, n = 3)
+      .select(col("doc_id"))
+    val bloom = Ngrams.decontaminateBloom(docs, "doc_id", "text",
+      benchmarkPred = col("doc_id") % 97 === 0, n = 3)
+      .select(col("doc_id")).withColumn("__b", lit(true))
+    exact.join(bloom, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("__b"), lit(false)).as("bloom_flagged"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Gopher-style repetition rule inputs: top-bigram count and total
     * bigram count per doc (integer-exact; callers threshold the ratio). */
   def qualityRepetition(spark: SparkSession, dir: String): DataFrame =
@@ -459,6 +481,7 @@ object PipelineQueries extends QueryFamily {
     "text_collocations" -> (textCollocations _),
     "decontaminate" -> (decontaminate _),
     "decontaminate_bloom" -> (decontaminateBloom _),
+    "decontaminate_bloom_verdict" -> (decontaminateBloomVerdict _),
     "quality_repetition" -> (qualityRepetition _),
     "quality_rarity" -> (qualityRarity _),
     "text_tfidf_top" -> (textTfidfTop _),
@@ -583,6 +606,20 @@ object PipelineQueries extends QueryFamily {
          |FROM ng c JOIN bench b ON c.ngram = b.ngram
          |WHERE c.doc_id % 97 <> 0
          |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+    // the exact-contamination side replayed verbatim (the green
+    // `decontaminate` oracle), with the bloom no-false-negative gate
+    // as the constant the Spark side must reproduce
+    "decontaminate_bloom_verdict" ->
+      s"""WITH $toksCte,
+         |ng AS (
+         |  SELECT doc_id,
+         |    tok || ' ' || LEAD(tok, 1) OVER w || ' ' || LEAD(tok, 2) OVER w AS ngram
+         |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+         |bench AS (SELECT DISTINCT ngram FROM ng WHERE doc_id % 97 = 0 AND ngram IS NOT NULL)
+         |SELECT DISTINCT c.doc_id, TRUE AS bloom_flagged
+         |FROM ng c JOIN bench b ON c.ngram = b.ngram
+         |WHERE c.doc_id % 97 <> 0
+         |ORDER BY c.doc_id""".stripMargin,
     // DuckDB SUM(BIGINT) returns HUGEINT — cast back for the typed hash
     "quality_rarity" ->
       s"""WITH $toksCte,
