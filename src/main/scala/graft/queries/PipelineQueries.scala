@@ -516,6 +516,35 @@ object PipelineQueries extends QueryFamily {
 
   /** Tokens-with-position CTE shared by the n-gram oracles — the zipped
     * double-unnest mirrors Spark's posexplode positions 1-based. */
+  /** DuckDB replay of [[graft.operators.Bpe.trainMerges]] (numMerges =
+    * 10) as unrolled per-round CTEs — see the map-entry comment. */
+  private val bpeMergesOracleSql: String = {
+    val rounds = (1 to 10).map { i =>
+      val prev = if (i == 1) "w0" else s"w${i - 1}"
+      s"""p$i AS (
+         |  SELECT pr[1] AS l, pr[2] AS r, CAST(SUM(cnt) AS BIGINT) AS n
+         |  FROM (
+         |    SELECT cnt, unnest(list_zip(li[1:len(li)-1], li[2:])) AS pr
+         |    FROM (SELECT cnt, string_split(s, chr(1)) AS li FROM $prev)
+         |    WHERE len(li) >= 2)
+         |  GROUP BY 1, 2),
+         |t$i AS (SELECT l, r, n FROM p$i ORDER BY n DESC, l, r LIMIT 1),
+         |w$i AS (SELECT replace(s, t$i.l || chr(1) || t$i.r, t$i.l || t$i.r) AS s, cnt
+         |  FROM $prev, t$i)""".stripMargin
+    }
+    val sel = (1 to 10).map { i =>
+      s"""SELECT CAST($i AS BIGINT) AS rank, l AS "left", r AS "right", n AS pair_count FROM t$i"""
+    }
+    s"""WITH w0 AS (
+       |  SELECT array_to_string(string_split(tok, ''), chr(1)) AS s,
+       |         CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+       |        x -> len(x) > 0)) AS tok FROM documents)
+       |  GROUP BY 1),
+       |${rounds.mkString(",\n")}
+       |SELECT * FROM (${sel.mkString(" UNION ALL ")}) ORDER BY rank""".stripMargin
+  }
+
   private val toksCte =
     """toks AS (
       |  SELECT doc_id,
@@ -606,6 +635,14 @@ object PipelineQueries extends QueryFamily {
          |FROM ng c JOIN bench b ON c.ngram = b.ngram
          |WHERE c.doc_id % 97 <> 0
          |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+    // full SQL replay of 10 BPE merge rounds (the PageRank unrolled-CTE
+    // pattern): words live as chr(1)-joined symbol strings; the greedy
+    // left-to-right pair merge is exactly replace(s, l||sep||r, l||r)
+    // (non-overlapping, left-to-right — 'aaa' + (a,a) gives [aa, a] in
+    // both engines); ties break (count DESC, l, r) identically because
+    // symbols are lowercase ASCII. Verified bit-equal vs trainMerges at
+    // all three SFs before registration.
+    "bpe_merges" -> bpeMergesOracleSql,
     // the exact-contamination side replayed verbatim (the green
     // `decontaminate` oracle), with the bloom no-false-negative gate
     // as the constant the Spark side must reproduce
