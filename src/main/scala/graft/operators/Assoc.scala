@@ -37,13 +37,19 @@ object Assoc {
     // scanned and distinct-exchanged once, not three times
     val bi = graft.CacheScope.scoped(
       df.select(col(basketCol).as("b"), col(itemCol).as("i")).distinct())
+    // unordered pairs built by ONE codegen'd HOF then a single explode —
+    // a double posexplode would generate |items|² rows carrying the full
+    // items array through both generators before the pi<pj filter; here
+    // only the |items|·(|items|−1)/2 qualifying 2-string structs ever
+    // materialize as rows
     val pairs = bi.groupBy(col("b"))
       .agg(sort_array(collect_set(col("i"))).as("items"))
       .filter(size(col("items")) >= 2)
-      .select(col("items"), posexplode(col("items")).as(Seq("pi", "item_a")))
-      .select(col("pi"), col("item_a"),
-        posexplode(col("items")).as(Seq("pj", "item_b")))
-      .filter(col("pi") < col("pj"))
+      .select(explode(expr(
+        "flatten(transform(items, (x, i) -> " +
+          "transform(slice(items, i + 2, size(items)), y -> " +
+          "struct(x AS item_a, y AS item_b))))")).as("p"))
+      .select(col("p.item_a"), col("p.item_b"))
       .groupBy(col("item_a"), col("item_b"))
       .agg(count(lit(1)).as("n_ab"))
       .filter(col("n_ab") >= minSupport)
