@@ -118,34 +118,41 @@ object Multimodal {
         rows.map { r =>
           val id = r.getLong(0)
           val bytes = r.getAs[Array[Byte]](1)
-          val iis = javax.imageio.ImageIO.createImageInputStream(
-            new java.io.ByteArrayInputStream(bytes))
-          val readers = javax.imageio.ImageIO.getImageReaders(iis)
-          if (!readers.hasNext) {
-            iis.close() // the try/finally below is not yet entered
-            throw new IllegalArgumentException(
-              s"asset $id: no ImageReader matches content")
-          }
-          val reader = readers.next()
-          try {
-            reader.setInput(iis)
-            val img = reader.read(0)
-            var sum = 0L
-            var y = 0
-            while (y < img.getHeight) {
-              var x = 0
-              while (x < img.getWidth) {
-                sum += (img.getRGB(x, y) >>> 16) & 0xff
-                x += 1
-              }
-              y += 1
-            }
-            val n = img.getWidth.toLong * img.getHeight
-            Row(id, bytes.length.toLong, img.getWidth, img.getHeight,
-              reader.getFormatName.toLowerCase, (sum / n).toInt)
-          } finally { reader.dispose(); iis.close() }
+          val (w, h, format, sumRed) = decodeImageRow(id, bytes)
+          Row(id, bytes.length.toLong, w, h, format,
+            (sumRed / (w.toLong * h)).toInt)
         }
       }(enc)
+  }
+
+  /** Per-row image decode shared by [[decodeImage]] and [[decodeAny]]:
+    * (width, height, format, sum of decoded red-channel values). */
+  private[operators] def decodeImageRow(
+      id: Long, bytes: Array[Byte]): (Int, Int, String, Long) = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val readers = javax.imageio.ImageIO.getImageReaders(iis)
+    if (!readers.hasNext) {
+      iis.close() // the try/finally below is not yet entered
+      throw new IllegalArgumentException(
+        s"asset $id: no ImageReader matches content")
+    }
+    val reader = readers.next()
+    try {
+      reader.setInput(iis)
+      val img = reader.read(0)
+      var sum = 0L
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          sum += (img.getRGB(x, y) >>> 16) & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      (img.getWidth, img.getHeight, reader.getFormatName.toLowerCase, sum)
+    } finally { reader.dispose(); iis.close() }
   }
 
   /** REAL image resize: decode → `Graphics2D` scale to (targetW,
@@ -249,28 +256,35 @@ object Multimodal {
         rows.map { r =>
           val id = r.getLong(0)
           val bytes = r.getAs[Array[Byte]](1)
-          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-            new java.io.ByteArrayInputStream(bytes))
-          try {
-            val fmt = ais.getFormat
-            require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
-              s"asset $id: expected mono 16-bit PCM, got $fmt")
-            val pcm = ais.readAllBytes()
-            val n = pcm.length / 2
-            var sum = 0L
-            var i = 0
-            while (i < n) {
-              // 16-bit little-endian signed sample
-              val lo = pcm(2 * i) & 0xff
-              val hi = pcm(2 * i + 1).toInt
-              sum += math.abs((hi << 8) | lo)
-              i += 1
-            }
-            Row(id, bytes.length.toLong, fmt.getSampleRate.toInt,
-              fmt.getChannels, fmt.getSampleSizeInBits, n.toLong, sum)
-          } finally ais.close()
+          val (rate, ch, bits, n, sum) = decodeAudioRow(id, bytes)
+          Row(id, bytes.length.toLong, rate, ch, bits, n, sum)
         }
       }(enc)
+  }
+
+  /** Per-row WAV/PCM decode shared by [[decodeAudio]] and [[decodeAny]]:
+    * (sample_rate, channels, bits, n_samples, sum_abs). */
+  private[operators] def decodeAudioRow(
+      id: Long, bytes: Array[Byte]): (Int, Int, Int, Long, Long) = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val fmt = ais.getFormat
+      require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+        s"asset $id: expected mono 16-bit PCM, got $fmt")
+      val pcm = ais.readAllBytes()
+      val n = pcm.length / 2
+      var sum = 0L
+      var i = 0
+      while (i < n) {
+        // 16-bit little-endian signed sample
+        val lo = pcm(2 * i) & 0xff
+        val hi = pcm(2 * i + 1).toInt
+        sum += math.abs((hi << 8) | lo)
+        i += 1
+      }
+      (fmt.getSampleRate.toInt, fmt.getChannels, fmt.getSampleSizeInBits, n.toLong, sum)
+    } finally ais.close()
   }
 
   // ------------------------------------------------------------------
@@ -458,91 +472,164 @@ object Multimodal {
         rows.map { r =>
           val id = r.getLong(0)
           val b = r.getAs[Array[Byte]](1)
-          require(b.length >= 12 && fourCc(b, 0) == "RIFF" && fourCc(b, 8) == "AVI ",
-            s"asset $id: not a RIFF/AVI container")
-          var width = -1; var height = -1; var fps = -1
-          var totalFrames = -1; var compression = -1; var bitCount = -1
-          var framesSeen = 0L; var idxEntries = -1
-          var firstPx = -1; var sumPx = 0L
-
-          def decodeFrame(off: Int, len: Int): Unit = {
-            if (compression == 0) { // BI_RGB raw DIB
-              require(bitCount == 24, s"asset $id: expected 24bpp DIB, got $bitCount")
-              val stride = dibStride(width)
-              require(len == stride * height,
-                s"asset $id frame $framesSeen: chunk $len != ${stride * height}")
-              var row = 0
-              while (row < height) {
-                var x = 0
-                while (x < width) {
-                  sumPx += b(off + row * stride + 3 * x + 2) & 0xff // red
-                  x += 1
-                }
-                row += 1
-              }
-              if (framesSeen == 0)
-                firstPx = b(off + (height - 1) * stride + 2) & 0xff // top-left
-            } else { // 'MJPG' → JDK JPEG codec
-              val img = javax.imageio.ImageIO.read(
-                new java.io.ByteArrayInputStream(b, off, len))
-              require(img != null, s"asset $id frame $framesSeen: undecodable MJPG")
-              require(img.getWidth == width && img.getHeight == height,
-                s"asset $id frame $framesSeen: ${img.getWidth}x${img.getHeight}")
-              var y = 0
-              while (y < height) {
-                var x = 0
-                while (x < width) { sumPx += (img.getRGB(x, y) >>> 16) & 0xff; x += 1 }
-                y += 1
-              }
-              if (framesSeen == 0) firstPx = (img.getRGB(0, 0) >>> 16) & 0xff
-            }
-            framesSeen += 1
-          }
-
-          def walk(start: Int, end: Int, inMovi: Boolean): Unit = {
-            var p = start
-            while (p + 8 <= end) {
-              val cid = fourCc(b, p)
-              val sz = rdLe32(b, p + 4)
-              require(sz >= 0 && p + 8 + sz <= end,
-                s"asset $id: chunk $cid overruns container")
-              if (cid == "LIST") {
-                val listType = fourCc(b, p + 8)
-                walk(p + 12, p + 8 + sz, inMovi = listType == "movi" || inMovi)
-              } else if (cid == "avih") {
-                fps = math.round(1e6 / rdLe32(b, p + 8)).toInt
-                totalFrames = rdLe32(b, p + 8 + 16)
-                width = rdLe32(b, p + 8 + 32)
-                height = rdLe32(b, p + 8 + 36)
-              } else if (cid == "strf") {
-                bitCount = rdLe16(b, p + 8 + 14)
-                val comp = rdLe32(b, p + 8 + 16)
-                compression =
-                  if (comp == 0) 0
-                  else if (fourCc(b, p + 8 + 16) == "MJPG") 1
-                  else throw new IllegalArgumentException(
-                    s"asset $id: unsupported biCompression $comp")
-              } else if (cid == "idx1") {
-                idxEntries = sz / 16
-              } else if (inMovi && (cid.endsWith("db") || cid.endsWith("dc"))) {
-                decodeFrame(p + 8, sz)
-              }
-              p += 8 + sz + (sz & 1) // RIFF word alignment
-            }
-          }
-          walk(12, b.length, inMovi = false)
-          require(totalFrames >= 0, s"asset $id: missing avih header")
-          require(framesSeen == totalFrames,
-            s"asset $id: decoded $framesSeen frames, header claims $totalFrames")
-          require(idxEntries == -1 || idxEntries == framesSeen,
-            s"asset $id: idx1 has $idxEntries entries for $framesSeen frames")
-          Row(id, b.length.toLong, width, height, framesSeen, fps, firstPx, sumPx)
+          val (width, height, frames, fps, firstPx, sumPx) = decodeVideoRow(id, b)
+          Row(id, b.length.toLong, width, height, frames, fps, firstPx, sumPx)
         }
       }(enc)
   }
 
+  /** Per-row RIFF/AVI decode shared by [[decodeVideo]] and [[decodeAny]]:
+    * (width, height, n_frames, fps, first_px, sum_px). */
+  private[operators] def decodeVideoRow(
+      id: Long, b: Array[Byte]): (Int, Int, Long, Int, Int, Long) = {
+    require(b.length >= 12 && fourCc(b, 0) == "RIFF" && fourCc(b, 8) == "AVI ",
+      s"asset $id: not a RIFF/AVI container")
+    var width = -1; var height = -1; var fps = -1
+    var totalFrames = -1; var compression = -1; var bitCount = -1
+    var framesSeen = 0L; var idxEntries = -1
+    var firstPx = -1; var sumPx = 0L
+
+    def decodeFrame(off: Int, len: Int): Unit = {
+      if (compression == 0) { // BI_RGB raw DIB
+        require(bitCount == 24, s"asset $id: expected 24bpp DIB, got $bitCount")
+        val stride = dibStride(width)
+        require(len == stride * height,
+          s"asset $id frame $framesSeen: chunk $len != ${stride * height}")
+        var row = 0
+        while (row < height) {
+          var x = 0
+          while (x < width) {
+            sumPx += b(off + row * stride + 3 * x + 2) & 0xff // red
+            x += 1
+          }
+          row += 1
+        }
+        if (framesSeen == 0)
+          firstPx = b(off + (height - 1) * stride + 2) & 0xff // top-left
+      } else { // 'MJPG' → JDK JPEG codec
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(b, off, len))
+        require(img != null, s"asset $id frame $framesSeen: undecodable MJPG")
+        require(img.getWidth == width && img.getHeight == height,
+          s"asset $id frame $framesSeen: ${img.getWidth}x${img.getHeight}")
+        var y = 0
+        while (y < height) {
+          var x = 0
+          while (x < width) { sumPx += (img.getRGB(x, y) >>> 16) & 0xff; x += 1 }
+          y += 1
+        }
+        if (framesSeen == 0) firstPx = (img.getRGB(0, 0) >>> 16) & 0xff
+      }
+      framesSeen += 1
+    }
+
+    def walk(start: Int, end: Int, inMovi: Boolean): Unit = {
+      var p = start
+      while (p + 8 <= end) {
+        val cid = fourCc(b, p)
+        val sz = rdLe32(b, p + 4)
+        require(sz >= 0 && p + 8 + sz <= end,
+          s"asset $id: chunk $cid overruns container")
+        if (cid == "LIST") {
+          val listType = fourCc(b, p + 8)
+          walk(p + 12, p + 8 + sz, inMovi = listType == "movi" || inMovi)
+        } else if (cid == "avih") {
+          fps = math.round(1e6 / rdLe32(b, p + 8)).toInt
+          totalFrames = rdLe32(b, p + 8 + 16)
+          width = rdLe32(b, p + 8 + 32)
+          height = rdLe32(b, p + 8 + 36)
+        } else if (cid == "strf") {
+          bitCount = rdLe16(b, p + 8 + 14)
+          val comp = rdLe32(b, p + 8 + 16)
+          compression =
+            if (comp == 0) 0
+            else if (fourCc(b, p + 8 + 16) == "MJPG") 1
+            else throw new IllegalArgumentException(
+              s"asset $id: unsupported biCompression $comp")
+        } else if (cid == "idx1") {
+          idxEntries = sz / 16
+        } else if (inMovi && (cid.endsWith("db") || cid.endsWith("dc"))) {
+          decodeFrame(p + 8, sz)
+        }
+        p += 8 + sz + (sz & 1) // RIFF word alignment
+      }
+    }
+    walk(12, b.length, inMovi = false)
+    require(totalFrames >= 0, s"asset $id: missing avih header")
+    require(framesSeen == totalFrames,
+      s"asset $id: decoded $framesSeen frames, header claims $totalFrames")
+    require(idxEntries == -1 || idxEntries == framesSeen,
+      s"asset $id: idx1 has $idxEntries entries for $framesSeen frames")
+    (width, height, framesSeen, fps, firstPx, sumPx)
+  }
+
+  /** Container sniffing by magic bytes — never trusts a modality label:
+    * PNG/JPEG → image, RIFF+WAVE → audio, RIFF+AVI → video. Unknown
+    * containers fail loud (quarantine upstream, don't guess a codec). */
+  private[operators] def sniffContainer(bytes: Array[Byte]): String = {
+    if (bytes.length >= 8 &&
+      (bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G')
+      "image"
+    else if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8)
+      "image" // JPEG SOI
+    else if (bytes.length >= 12 && fourCc(bytes, 0) == "RIFF" && fourCc(bytes, 8) == "WAVE")
+      "audio"
+    else if (bytes.length >= 12 && fourCc(bytes, 0) == "RIFF" && fourCc(bytes, 8) == "AVI ")
+      "video"
+    else throw new IllegalArgumentException(
+      s"unrecognized container (first bytes: ${bytes.take(4).map(b => f"$b%02x").mkString(" ")})")
+  }
+
+  /** Uniform decoded-feature contract across modalities: `n_units` is
+    * frames (image = 1, video = header frame count) or PCM samples;
+    * `content_sum` is the decoded-content proof (sum of red-channel
+    * pixels / sum of absolute amplitudes) the oracle checks. */
+  val anyMetaSchema: StructType = StructType(Seq(
+    StructField("modality", StringType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("n_units", LongType, nullable = false),
+    StructField("content_sum", LongType, nullable = false)))
+
   /**
-   * STUB decode (audio/video modalities) — ??? in a real deployment this calls the codec
+   * REAL mixed-modality decode — ONE per-partition kernel over a
+   * heterogeneous asset table. Each row's container is classified by
+   * magic bytes ([[sniffContainer]] — the modality column is not
+   * consulted, so a mislabeled asset cannot route to the wrong codec)
+   * and dispatched to the matching JDK-native decoder
+   * ([[decodeImageRow]] / [[decodeAudioRow]] / [[decodeVideoRow]]),
+   * emitting one uniform feature row. This is the production shape for
+   * a multimodal training-data pipeline at scale: a single pass over a
+   * mixed table — no per-modality scans, no union of three filtered
+   * jobs — with codec state initialized once per partition and only
+   * fixed-width features (never the asset bytes) leaving the stage.
+   */
+  def decodeAny(assets: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false)) ++ anyMetaSchema.fields)
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    assets.select("asset_id", "content").mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false) // once per partition
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        sniffContainer(bytes) match {
+          case "image" =>
+            val (w, h, _, sumRed) = decodeImageRow(id, bytes)
+            Row(id, "image", w, h, 1L, sumRed)
+          case "audio" =>
+            val (_, _, _, n, sumAbs) = decodeAudioRow(id, bytes)
+            Row(id, "audio", 0, 0, n, sumAbs)
+          case "video" =>
+            val (w, h, frames, _, _, sumPx) = decodeVideoRow(id, bytes)
+            Row(id, "video", w, h, frames, sumPx)
+        }
+      }
+    }(enc)
+  }
+
+  /**
+   * STUB decode (text-bytes plumbing assets) — ??? in a real deployment this calls the codec
    * (ImageIO/libjpeg/ffmpeg) inside mapPartitions; here metadata is a
    * deterministic function of the bytes: width/height from the first two
    * bytes, format from the modality. The mapPartitions shape (iterator →

@@ -767,14 +767,19 @@ object ExtensionQueries extends QueryFamily {
       .orderBy(col("id_a"))
   }
 
-  /** Stub decode + feature extraction through mapPartitions (pandas-UDF
-    * analog) — custom kernel, rows-only check + MultimodalSpec. */
+  /** REAL mixed-modality decode: one per-partition kernel over the
+    * union of the PNG + WAV + AVI fixtures, dispatching each row by
+    * container magic (never the modality label) to the matching
+    * JDK-native codec — the production multimodal-pipeline shape (one
+    * pass over a heterogeneous table). Every output cell is closed-form
+    * in `doc_id`, so the oracle verifies all three codecs in one row
+    * set. See [[graft.operators.Multimodal.decodeAny]]. */
   def multimodalFeatures(spark: SparkSession, dir: String): DataFrame = {
-    val assets = graft.operators.Multimodal.assetTable(spark, dir)
-    graft.operators.Multimodal.featuresStub(assets)
-      .select(col("asset_id"), size(col("features")).as("dim"),
-        element_at(col("features"), 1).as("f0"))
-      .orderBy(col("asset_id"))
+    val m = graft.operators.Multimodal
+    val assets = m.imageAssetTable(spark, dir)
+      .unionByName(m.audioAssetTable(spark, dir))
+      .unionByName(m.videoAssetTable(spark, dir))
+    m.decodeAny(assets).orderBy(col("modality"), col("asset_id"))
   }
 
   /** REAL image decode (javax.imageio over genuine PNG fixture bytes):
@@ -1770,6 +1775,39 @@ object ExtensionQueries extends QueryFamily {
         |  CAST(doc_id * 7 % 256 AS INT) AS first_px,
         |  CAST(SUM(w * h * ((doc_id * 7 + fr * 13) % 256)) AS BIGINT) AS sum_px
         |FROM f GROUP BY doc_id, nf, w, h ORDER BY asset_id""".stripMargin,
+    // all three codecs in one row set: image sum = gray·w·h, audio sum
+    // replays the PCM formula, video sum replays the per-frame gray fill
+    "multimodal_features" ->
+      """WITH img AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS asset_id, 'image' AS modality,
+        |    CAST(doc_id % 13 + 1 AS INT) AS width,
+        |    CAST(doc_id % 7 + 1 AS INT) AS height,
+        |    CAST(1 AS BIGINT) AS n_units,
+        |    CAST((doc_id % 256) * (doc_id % 13 + 1) * (doc_id % 7 + 1) AS BIGINT)
+        |      AS content_sum
+        |  FROM documents),
+        |an AS (SELECT doc_id, doc_id % 50 + 10 AS ns FROM documents),
+        |asamp AS (SELECT doc_id, ns, unnest(range(0, ns)) AS i FROM an),
+        |aud AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS asset_id, 'audio' AS modality,
+        |    CAST(0 AS INT) AS width, CAST(0 AS INT) AS height,
+        |    CAST(ns AS BIGINT) AS n_units,
+        |    CAST(SUM(ABS((doc_id * 31 + i * 17) % 2001 - 1000)) AS BIGINT)
+        |      AS content_sum
+        |  FROM asamp GROUP BY doc_id, ns),
+        |vp AS (SELECT doc_id, doc_id % 5 + 2 AS nf,
+        |    CAST(doc_id % 11 + 1 AS INT) AS w,
+        |    CAST(doc_id % 6 + 1 AS INT) AS h FROM documents),
+        |vf AS (SELECT doc_id, nf, w, h, unnest(range(0, nf)) AS fr FROM vp),
+        |vid AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS asset_id, 'video' AS modality,
+        |    w AS width, h AS height, CAST(nf AS BIGINT) AS n_units,
+        |    CAST(SUM(w * h * ((doc_id * 7 + fr * 13) % 256)) AS BIGINT)
+        |      AS content_sum
+        |  FROM vf GROUP BY doc_id, nf, w, h)
+        |SELECT * FROM (
+        |  SELECT * FROM img UNION ALL SELECT * FROM aud UNION ALL SELECT * FROM vid)
+        |ORDER BY modality, asset_id""".stripMargin,
     "multimodal_features_image" ->
       """SELECT doc_id AS asset_id,
         |  array_to_string(list_transform(range(0, 16), x ->

@@ -181,6 +181,36 @@ class MultimodalSpec extends SparkSpec {
     assert(f1.head.getSeq[Float](1).length == 16)
   }
 
+  test("decodeAny: one kernel routes by container magic, not the modality label") {
+    // deliberately MISLABEL every asset: sniffing must still route each
+    // payload to the correct codec
+    val mislabeled = Multimodal.imageAssetTable(spark, sfDir)
+      .unionByName(Multimodal.audioAssetTable(spark, sfDir))
+      .unionByName(Multimodal.videoAssetTable(spark, sfDir))
+      .withColumn("modality", lit("bogus"))
+    val out = Multimodal.decodeAny(mislabeled)
+    assert(out.count() == 1500)
+    val byMod = out.groupBy("modality").count().as[(String, Long)].collect().toMap
+    assert(byMod == Map("image" -> 500L, "audio" -> 500L, "video" -> 500L))
+    // spot-check each modality's decoded proof against ground truth
+    val img7 = out.filter($"modality" === "image" && $"asset_id" === 7).head()
+    assert(img7.getAs[Long]("content_sum") == (7 % 256) * (7 % 13 + 1) * (7 % 7 + 1))
+    val aud7 = out.filter($"modality" === "audio" && $"asset_id" === 7).head()
+    assert(aud7.getAs[Long]("n_units") == 7 % 50 + 10)
+    val vid7 = out.filter($"modality" === "video" && $"asset_id" === 7).head()
+    assert(vid7.getAs[Long]("n_units") == 7 % 5 + 2)
+  }
+
+  test("decodeAny fails loud on an unrecognized container") {
+    val junk = Seq((1L, "image", "not a media container".getBytes("UTF-8")))
+      .toDF("asset_id", "modality", "content")
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeAny(junk).collect()
+    }
+    assert(e.getMessage.contains("unrecognized container") ||
+      Option(e.getCause).exists(_.getMessage.contains("unrecognized container")))
+  }
+
   test("assetDedupExact: duplicate byte streams collapse to the min asset id") {
     val assets = Seq(
       (1L, "image", "same bytes here".getBytes("UTF-8")),
