@@ -37,6 +37,14 @@ import org.apache.spark.sql.types._
  * colliding in several bands is still emitted once per band (the
  * caller's `dropDuplicates`/distinct handles multiplicity exactly as
  * before).
+ *
+ * Ids are BIGINT by contract (every dedup surface keys on long
+ * doc/asset ids; an integral id column upcasts for free at the struct
+ * build — string ids would need the composed formulation). Signature
+ * array types are accepted with any `containsNull` flag: frames built
+ * with `array()` or read back from parquet mark elements nullable even
+ * when no element is null, and an ACTUAL null lane still fails loud at
+ * decode.
  */
 private[graft] object PairGen {
   val minhashSchema: StructType = new StructType()
@@ -50,60 +58,37 @@ private[graft] object PairGen {
     .add("hamming", IntegerType, nullable = false)
 }
 
-/** minhash_qualifying_pairs(items, threshold, k):
-  * array<struct<id: long, sig: array<long>>> →
-  * rows (id_a, id_b, est_jaccard) for every unordered in-bucket pair
-  * with lane-agreement/k ≥ threshold. */
-case class MinhashQualifyingPairs(
-    child: Expression, threshold: Double, numHashes: Int)
+/**
+ * Shared per-bucket triangle enumeration: decode the member array once,
+ * walk the i<j triangle lazily, emit only qualifying (min-id, max-id,
+ * score) rows. Subclasses supply the payload decode and per-pair score
+ * via [[scorer]] — returning null marks a non-qualifying pair (nothing
+ * is materialized for it; the boxed score allocates only on the
+ * output-sized qualifying set).
+ */
+private[graft] abstract class BucketPairGenerator
     extends UnaryExpression with Generator with CodegenFallback {
 
-  override def elementSchema: StructType = PairGen.minhashSchema
+  /** Decode the bucket's payloads once; the returned function scores
+    * member pair (i, j), null ⇒ not qualifying. */
+  protected def scorer(arr: ArrayData, n: Int): (Int, Int) => Any
 
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(s: StructType, _) if s.length == 2 &&
-        s(0).dataType == LongType &&
-        s(1).dataType == ArrayType(LongType, containsNull = false) =>
-      TypeCheckResult.TypeCheckSuccess
-    case other => TypeCheckResult.TypeCheckFailure(
-      s"expected array<struct<id: long, sig: array<long>>>, got $other")
-  }
-
-  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+  override final def eval(input: InternalRow): IterableOnce[InternalRow] = {
     val arr = child.eval(input).asInstanceOf[ArrayData]
     if (arr == null) return Iterator.empty
     val n = arr.numElements()
     if (n < 2) return Iterator.empty
     val ids = new Array[Long](n)
-    val sigs = new Array[Array[Long]](n)
     var i = 0
     while (i < n) {
-      val st = arr.getStruct(i, 2)
-      ids(i) = st.getLong(0)
-      sigs(i) = st.getArray(1).toLongArray()
+      ids(i) = arr.getStruct(i, 2).getLong(0)
       i += 1
     }
-    val kd = numHashes.toDouble
+    val score = scorer(arr, n)
     new Iterator[InternalRow] {
       private var pi = 0
       private var pj = 0 // next pj to try is pj + 1
       private var nextRow: InternalRow = _
-
-      // exact est = matches/k (double), or -1 once the remaining lanes
-      // cannot reach threshold — the exit compares best/k < threshold
-      // with the same float ops as the final test, and best/k ≥ est
-      // always, so no qualifying pair is ever dropped
-      private def score(a: Array[Long], b: Array[Long]): Double = {
-        val len = math.min(a.length, b.length)
-        var c = 0
-        var t = 0
-        while (t < len) {
-          if (a(t) == b(t)) c += 1
-          else if ((c + (len - t - 1)).toDouble / kd < threshold) return -1.0
-          t += 1
-        }
-        c.toDouble / kd
-      }
 
       private def advance(): Unit = {
         nextRow = null
@@ -111,11 +96,11 @@ case class MinhashQualifyingPairs(
           pj += 1
           if (pj >= n) { pi += 1; pj = pi + 1 }
           if (pi < n - 1 && pj < n) {
-            val est = score(sigs(pi), sigs(pj))
-            if (est >= threshold) {
+            val s = score(pi, pj)
+            if (s != null) {
               val ia = ids(pi); val ib = ids(pj)
               nextRow = new GenericInternalRow(Array[Any](
-                math.min(ia, ib), math.max(ia, ib), est))
+                math.min(ia, ib), math.max(ia, ib), s))
             }
           }
         }
@@ -126,6 +111,58 @@ case class MinhashQualifyingPairs(
       override def next(): InternalRow = {
         val r = nextRow; advance(); r
       }
+    }
+  }
+}
+
+/** minhash_qualifying_pairs(items, threshold, k):
+  * array<struct<id: long, sig: array<long>>> →
+  * rows (id_a, id_b, est_jaccard) for every unordered in-bucket pair
+  * with lane-agreement/k ≥ threshold. */
+case class MinhashQualifyingPairs(
+    child: Expression, threshold: Double, numHashes: Int)
+    extends BucketPairGenerator {
+
+  override def elementSchema: StructType = PairGen.minhashSchema
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(s: StructType, _) if s.length == 2 &&
+        s(0).dataType == LongType &&
+        (s(1).dataType match {
+          case ArrayType(LongType, _) => true
+          case _ => false
+        }) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"expected array<struct<id: long, sig: array<long>>>, got $other")
+  }
+
+  override protected def scorer(arr: ArrayData, n: Int): (Int, Int) => Any = {
+    val sigs = new Array[Array[Long]](n)
+    var i = 0
+    while (i < n) {
+      sigs(i) = arr.getStruct(i, 2).getArray(1).toLongArray()
+      i += 1
+    }
+    val kd = numHashes.toDouble
+    // exact est = matches/k (double), or -1 once the remaining lanes
+    // cannot reach threshold — the exit compares best/k < threshold
+    // with the same float ops as the final test, and best/k ≥ est
+    // always, so no qualifying pair is ever dropped
+    def score(a: Array[Long], b: Array[Long]): Double = {
+      val len = math.min(a.length, b.length)
+      var c = 0
+      var t = 0
+      while (t < len) {
+        if (a(t) == b(t)) c += 1
+        else if ((c + (len - t - 1)).toDouble / kd < threshold) return -1.0
+        t += 1
+      }
+      c.toDouble / kd
+    }
+    (i, j) => {
+      val est = score(sigs(i), sigs(j))
+      if (est >= threshold) Double.box(est) else null
     }
   }
 
@@ -139,7 +176,7 @@ case class MinhashQualifyingPairs(
   * rows (id_a, id_b, hamming) for every unordered in-bucket pair with
   * bit_count(sh_a ^ sh_b) ≤ maxHamming. */
 case class HammingQualifyingPairs(child: Expression, maxHamming: Int)
-    extends UnaryExpression with Generator with CodegenFallback {
+    extends BucketPairGenerator {
 
   override def elementSchema: StructType = PairGen.hammingSchema
 
@@ -151,46 +188,16 @@ case class HammingQualifyingPairs(child: Expression, maxHamming: Int)
       s"expected array<struct<id: long, sh: long>>, got $other")
   }
 
-  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
-    val arr = child.eval(input).asInstanceOf[ArrayData]
-    if (arr == null) return Iterator.empty
-    val n = arr.numElements()
-    if (n < 2) return Iterator.empty
-    val ids = new Array[Long](n)
+  override protected def scorer(arr: ArrayData, n: Int): (Int, Int) => Any = {
     val shs = new Array[Long](n)
     var i = 0
     while (i < n) {
-      val st = arr.getStruct(i, 2)
-      ids(i) = st.getLong(0)
-      shs(i) = st.getLong(1)
+      shs(i) = arr.getStruct(i, 2).getLong(1)
       i += 1
     }
-    new Iterator[InternalRow] {
-      private var pi = 0
-      private var pj = 0
-      private var nextRow: InternalRow = _
-
-      private def advance(): Unit = {
-        nextRow = null
-        while (nextRow == null && pi < n - 1) {
-          pj += 1
-          if (pj >= n) { pi += 1; pj = pi + 1 }
-          if (pi < n - 1 && pj < n) {
-            val h = java.lang.Long.bitCount(shs(pi) ^ shs(pj))
-            if (h <= maxHamming) {
-              val ia = ids(pi); val ib = ids(pj)
-              nextRow = new GenericInternalRow(Array[Any](
-                math.min(ia, ib), math.max(ia, ib), h))
-            }
-          }
-        }
-      }
-
-      advance()
-      override def hasNext: Boolean = nextRow != null
-      override def next(): InternalRow = {
-        val r = nextRow; advance(); r
-      }
+    (i, j) => {
+      val h = java.lang.Long.bitCount(shs(i) ^ shs(j))
+      if (h <= maxHamming) Integer.valueOf(h) else null
     }
   }
 

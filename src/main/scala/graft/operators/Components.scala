@@ -96,6 +96,11 @@ object Components {
       // (counted off the just-materialized round — no further join; this
       // count is also what forces the round's persist)
       val changed = next.filter(col("component") < col("__old")).count()
+      // the first round's count is the action that materializes the
+      // persisted sym; e0 (consumed only by sym's two union branches) is
+      // dead weight from then on — release it instead of holding a full
+      // distinct edge list in storage through all O(log d) rounds
+      if (iter == 0) e0.unpersist()
       labelsM.unpersist()
       labelsM = next
       labels = next.select(col("id"), col("component"))
@@ -103,7 +108,6 @@ object Components {
       iter += 1
     }
     sym.unpersist()
-    e0.unpersist()
     labels
   }
 
@@ -283,6 +287,11 @@ object Components {
     val symd = graft.CacheScope.scoped(flat(sym.join(
       deg.select(col("id").as("nbr"), col("deg").as("__nd")), "nbr")))
     val n = symd.select(col("id")).distinct().count()
+    // that count materialized the persisted symd; e0 feeds only symd's
+    // union branches, so release it now instead of holding the raw edge
+    // list in storage through every rank round (scope release at the
+    // caller would otherwise keep both alive for the whole query)
+    e0.unpersist()
     require(n > 0, "pageRank needs at least one edge")
     val teleport = 150000000L / n // (1 − d)/n in ppb, floored
     var pr = symd.select(col("id")).distinct()

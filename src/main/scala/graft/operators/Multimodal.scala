@@ -534,7 +534,12 @@ object Multimodal {
           val listType = fourCc(b, p + 8)
           walk(p + 12, p + 8 + sz, inMovi = listType == "movi" || inMovi)
         } else if (cid == "avih") {
-          fps = math.round(1e6 / rdLe32(b, p + 8)).toInt
+          val usPerFrame = rdLe32(b, p + 8)
+          // 0 or negative would silently wrap 1e6/x to fps=-1 — fail loud
+          // like every other malformed-field path in this parser
+          require(usPerFrame > 0,
+            s"asset $id: avih dwMicroSecPerFrame $usPerFrame is not positive")
+          fps = math.round(1e6 / usPerFrame).toInt
           totalFrames = rdLe32(b, p + 8 + 16)
           width = rdLe32(b, p + 8 + 32)
           height = rdLe32(b, p + 8 + 36)

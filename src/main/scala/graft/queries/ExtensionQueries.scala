@@ -396,25 +396,29 @@ object ExtensionQueries extends QueryFamily {
    * links. Oracle emits (query, rank 1..10, TRUE): a missing row, an
    * extra row, or one out-of-top-50 neighbor all flip the compare.
    */
-  def simTopkLshVerdict(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
-    val queries = emb.filter(col("vec_id") < 5)
-    val approx = Similarity.lshTopK(emb, queries, "vec_id", "embedding", k = 10, nBits = 4)
-    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 50)
-      .select(col("query_id"), col("neighbor_id")).withColumn("__e", lit(true))
-    approx.join(exact, Seq("query_id", "neighbor_id"), "left")
-      .select(col("query_id"), col("rank"),
-        coalesce(col("__e"), lit(false)).as("in_exact_top50"))
-      .orderBy(col("query_id"), col("rank"))
-  }
+  def simTopkLshVerdict(spark: SparkSession, dir: String): DataFrame =
+    exactTop50ContainmentVerdict(spark, dir, (emb, queries) =>
+      Similarity.lshTopK(emb, queries, "vec_id", "embedding", k = 10, nBits = 4))
 
   /** Same containment verdict for the IVF serve path (nCells=16,
     * nProbe=4 — the sim_topk_ivf configuration). */
-  def simTopkIvfVerdict(spark: SparkSession, dir: String): DataFrame = {
+  def simTopkIvfVerdict(spark: SparkSession, dir: String): DataFrame =
+    exactTop50ContainmentVerdict(spark, dir, (emb, queries) =>
+      Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+        k = 10, nCells = 16, nProbe = 4))
+
+  /** Shared scaffolding for the LSH/IVF containment verdicts: run the
+    * given approximate serve path, join against the exact cosine top-50
+    * ([[Similarity.bruteForceTopK]], itself oracled as
+    * `sim_topk_brute`), and emit one (query, rank, containment) row per
+    * approximate result — one shape, so the containment-gate contract
+    * cannot drift between the two variants. */
+  private def exactTop50ContainmentVerdict(
+      spark: SparkSession, dir: String,
+      approxOf: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val queries = emb.filter(col("vec_id") < 5)
-    val approx = Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
-      k = 10, nCells = 16, nProbe = 4)
+    val approx = approxOf(emb, queries)
     val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 50)
       .select(col("query_id"), col("neighbor_id")).withColumn("__e", lit(true))
     approx.join(exact, Seq("query_id", "neighbor_id"), "left")
@@ -436,35 +440,36 @@ object ExtensionQueries extends QueryFamily {
    * return the copy. One missed copy (codes, ADC tables, ranking — any
    * stage broken) flips `copy_found`.
    */
-  def simTopkPqVerdict(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
-    val queries = emb.filter(col("vec_id") < 5)
-    val corpus = emb.unionByName(
-      queries.withColumn("vec_id", col("vec_id") + lit(10000000L)))
-    val (codebooks, encoded) = graft.operators.Quantize.productQuantize(
-      corpus, "vec_id", "embedding", m = 8, codebookSize = 16, iters = 4,
-      trainSampleN = 4096)
-    val approx = Similarity.pqTopK(encoded, queries, codebooks, "vec_id", "embedding", k = 10)
-    queries.select(col("vec_id").as("query_id"))
-      .join(approx.filter(col("neighbor_id") === col("query_id") + 10000000L)
-          .select(col("query_id")).withColumn("__f", lit(true)),
-        Seq("query_id"), "left")
-      .select(col("query_id"), coalesce(col("__f"), lit(false)).as("copy_found"))
-      .orderBy(col("query_id"))
-  }
+  def simTopkPqVerdict(spark: SparkSession, dir: String): DataFrame =
+    plantedCopyFoundVerdict(spark, dir, (corpus, queries) => {
+      val (codebooks, encoded) = graft.operators.Quantize.productQuantize(
+        corpus, "vec_id", "embedding", m = 8, codebookSize = 16, iters = 4,
+        trainSampleN = 4096)
+      Similarity.pqTopK(encoded, queries, codebooks, "vec_id", "embedding", k = 10)
+    })
 
   /** Planted-copy serve verdict for the composed IVF-PQ path: the copy
     * lands in the query's own coarse cell (identical vector → identical
     * nearest centroid), the query probes that cell first, and the copy's
     * residual encodes to the minimal-ADC codes — probing loss and
     * quantization loss both gated (the sim_topk_ivfpq configuration). */
-  def simTopkIvfPqVerdict(spark: SparkSession, dir: String): DataFrame = {
+  def simTopkIvfPqVerdict(spark: SparkSession, dir: String): DataFrame =
+    plantedCopyFoundVerdict(spark, dir, (corpus, queries) =>
+      Similarity.ivfPqTopK(corpus, queries, "vec_id", "embedding",
+        k = 10, nCells = 16, nProbe = 4, m = 8, codebookSize = 16))
+
+  /** Shared scaffolding for the PQ/IVF-PQ planted-copy verdicts: plant
+    * an exact copy of every query vector at `vec_id + 10⁷`, run the
+    * given serve path over the planted corpus, and flag per query
+    * whether its copy came back — one shape for the copy-found gate. */
+  private def plantedCopyFoundVerdict(
+      spark: SparkSession, dir: String,
+      approxOf: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val queries = emb.filter(col("vec_id") < 5)
     val corpus = emb.unionByName(
       queries.withColumn("vec_id", col("vec_id") + lit(10000000L)))
-    val approx = Similarity.ivfPqTopK(corpus, queries, "vec_id", "embedding",
-      k = 10, nCells = 16, nProbe = 4, m = 8, codebookSize = 16)
+    val approx = approxOf(corpus, queries)
     queries.select(col("vec_id").as("query_id"))
       .join(approx.filter(col("neighbor_id") === col("query_id") + 10000000L)
           .select(col("query_id")).withColumn("__f", lit(true)),

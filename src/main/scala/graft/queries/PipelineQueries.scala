@@ -519,24 +519,39 @@ object PipelineQueries extends QueryFamily {
   /** DuckDB replay of [[graft.operators.Bpe.trainMerges]] (numMerges =
     * 10) as unrolled per-round CTEs — see the map-entry comment. */
   private val bpeMergesOracleSql: String = {
+    // Words are encoded with each SYMBOL wrapped in its own separator
+    // pair (sep‖sym‖sep, concatenated), so a round's rewrite pattern
+    // sep‖l‖sep‖sep‖r‖sep is anchored to WHOLE symbols on both sides:
+    // a bare sep‖l‖sep‖r pattern on singly-joined symbols can false-match
+    // where l is a SUFFIX of the preceding symbol (".th.e" contains
+    // "h.e") or r a PREFIX of the following one — rewriting pairs the
+    // Spark fold (whole-symbol equality, Bpe.scala:74-80) never merges.
+    // Double-wrapping also keeps adjacent matches disjoint (no shared
+    // separator), so one left-to-right replace() call merges exactly the
+    // disjoint leftmost (l, r) adjacencies — the fold's semantics — even
+    // on runs like [a,a,a,a,a] → [aa,aa,a].
     val rounds = (1 to 10).map { i =>
       val prev = if (i == 1) "w0" else s"w${i - 1}"
       s"""p$i AS (
          |  SELECT pr[1] AS l, pr[2] AS r, CAST(SUM(cnt) AS BIGINT) AS n
          |  FROM (
          |    SELECT cnt, unnest(list_zip(li[1:len(li)-1], li[2:])) AS pr
-         |    FROM (SELECT cnt, string_split(s, chr(1)) AS li FROM $prev)
+         |    FROM (SELECT cnt, list_filter(string_split(s, chr(1)), x -> x <> '') AS li
+         |          FROM $prev)
          |    WHERE len(li) >= 2)
          |  GROUP BY 1, 2),
          |t$i AS (SELECT l, r, n FROM p$i ORDER BY n DESC, l, r LIMIT 1),
-         |w$i AS (SELECT replace(s, t$i.l || chr(1) || t$i.r, t$i.l || t$i.r) AS s, cnt
+         |w$i AS (SELECT replace(s,
+         |    chr(1) || t$i.l || chr(1) || chr(1) || t$i.r || chr(1),
+         |    chr(1) || t$i.l || t$i.r || chr(1)) AS s, cnt
          |  FROM $prev, t$i)""".stripMargin
     }
     val sel = (1 to 10).map { i =>
       s"""SELECT CAST($i AS BIGINT) AS rank, l AS "left", r AS "right", n AS pair_count FROM t$i"""
     }
     s"""WITH w0 AS (
-       |  SELECT array_to_string(string_split(tok, ''), chr(1)) AS s,
+       |  SELECT array_to_string(list_transform(string_split(tok, ''),
+       |           c -> chr(1) || c || chr(1)), '') AS s,
        |         CAST(COUNT(*) AS BIGINT) AS cnt
        |  FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
        |        x -> len(x) > 0)) AS tok FROM documents)

@@ -28,13 +28,21 @@ object EventStreams extends Serializable {
     * against 4.1; every downstream `withWatermark` would fail analysis),
     * so stream/batch parity relies on the UTC session pin to make the
     * LTZ and NTZ readings of the same instant agree. That pin is
-    * enforced HERE, not assumed from the entry points, so a caller with
-    * an unpinned session cannot silently read shifted wall clocks. */
+    * CHECKED here (fail loud), not silently installed: a read that
+    * rewrote the session timezone would change the semantics of every
+    * other query in a session that deliberately pinned something else —
+    * a hidden global side effect for a local parity need. */
   def readEvents(spark: SparkSession, sfDir: String): DataFrame = {
     // parity with Tables.events' naive-UTC reading requires the session
     // TZ pin wherever an LTZ column is compared against the NTZ batch
-    // twin — make it a property of the read, not of the entry point
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    // twin — verify it at the read site so a mis-pinned session fails
+    // at the source, not as a silent wall-clock shift downstream
+    val tz = spark.conf.get("spark.sql.session.timeZone")
+    require(tz == "UTC",
+      s"readEvents needs spark.sql.session.timeZone=UTC for LTZ/NTZ parity " +
+        s"with the batch reader, but the session pins '$tz' — set UTC at " +
+        "session build (all graft entry points do) rather than relying on " +
+        "this read to rewrite shared session state")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val fileSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
     // file-stream sources need a directory; glob-filter the events table

@@ -201,6 +201,19 @@ class MultimodalSpec extends SparkSpec {
     assert(vid7.getAs[Long]("n_units") == 7 % 5 + 2)
   }
 
+  test("decodeVideoRow fails loud on a zero dwMicroSecPerFrame (no fps=-1 wrap)") {
+    val good = Multimodal.aviBytes(
+      Seq(new Array[Byte](Multimodal.dibStride(2) * 2)), 2, 2,
+      fps = 10, fourcc = "DIB ")
+    // avih dwMicroSecPerFrame lives at offset 32 (RIFF 12 + LIST 12 + avih 8)
+    val bad = good.clone()
+    bad(32) = 0; bad(33) = 0; bad(34) = 0; bad(35) = 0
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.decodeVideoRow(1L, bad)
+    }
+    assert(e.getMessage.contains("dwMicroSecPerFrame"))
+  }
+
   test("decodeAny fails loud on an unrecognized container") {
     val junk = Seq((1L, "image", "not a media container".getBytes("UTF-8")))
       .toDF("asset_id", "modality", "content")

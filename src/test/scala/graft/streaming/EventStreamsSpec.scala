@@ -10,7 +10,9 @@ class EventStreamsSpec extends SparkSpec {
 
   // The streaming twin is LTZ by engine mandate (Spark rejects NTZ
   // watermark columns — EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE), so parity
-  // casts the NTZ batch read to LTZ under the UTC pin readEvents enforces.
+  // casts the NTZ batch read to LTZ under the UTC pin readEvents verifies
+  // (fail-loud require at the read site; the pin itself is set at session
+  // build, here via SparkSpec).
   private def batchEvents = Tables.events(spark, sfDir)
     .withColumn("ts", col("ts").cast(TimestampType))
 
@@ -180,5 +182,17 @@ class EventStreamsSpec extends SparkSpec {
       assert(n == batch(u)._1, s"user $u count")
       assert(math.abs(s - batch(u)._2) < 1e-6, s"user $u sum") // double assoc.
     }
+  }
+
+  test("readEvents fails loud on a non-UTC session instead of rewriting it") {
+    val other = spark.newSession()
+    other.conf.set("spark.sql.session.timeZone", "America/New_York")
+    val e = intercept[IllegalArgumentException] {
+      EventStreams.readEvents(other, sfDir)
+    }
+    assert(e.getMessage.contains("timeZone"))
+    // the caller's deliberate pin must survive — a read is not entitled
+    // to rewrite shared session state
+    assert(other.conf.get("spark.sql.session.timeZone") == "America/New_York")
   }
 }
