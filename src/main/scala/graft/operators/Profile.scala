@@ -94,22 +94,20 @@ object Profile {
    * for drift monitoring. Boundary i (1 ≤ i < buckets) is the smallest
    * value whose cumulative count covers fraction i/buckets, computed by
    * the [[Sampling.percentileBandFilter]] recipe: aggregate a value
-   * histogram (|distinct values| rows), cumulative-sum it on a tiny
-   * single-partition window, and pick boundaries with INTEGER
-   * cross-multiplied comparisons (`buckets·cum ≥ i·total`, no float
-   * quantiles) — so the result is bit-reproducible and hash-oracled.
+   * histogram (|distinct values| rows), cumulative-sum it with the
+   * distributed range-partitioned prefix sum ([[Scale.rangeCumsum]] —
+   * a continuous value column makes the histogram corpus-sized, where
+   * a naive global-window cumsum would serialize on one reducer), and
+   * pick boundaries with INTEGER cross-multiplied comparisons
+   * (`buckets·cum ≥ i·total`, no float quantiles) — so the result is
+   * bit-reproducible and hash-oracled.
    * The corpus itself is touched by one hash aggregate; no global sort
    * of the data, no percentile_approx error bars.
    */
   def equiDepthHistogram(df: DataFrame, valueCol: String, buckets: Int): DataFrame = {
     require(buckets >= 2, s"need at least 2 buckets: $buckets")
     val hist = df.groupBy(col(valueCol).as("v")).agg(count(lit(1)).as("__cnt"))
-    val wOrd = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    val cum = hist
-      .withColumn("__cum", sum(col("__cnt")).over(wOrd))
-      .withColumn("__total",
-        sum(col("__cnt")).over(org.apache.spark.sql.expressions.Window.partitionBy()))
+    val cum = Scale.rangeCumsum(hist, "v", "__cnt", "__cum", "__total")
     cum.select(col("v"), col("__cum"), col("__cnt"), col("__total"),
         explode(sequence(lit(1), lit(buckets - 1))).as("bucket"))
       .filter(lit(buckets.toLong) * col("__cum") >= col("bucket") * col("__total") &&

@@ -292,11 +292,10 @@ object Sampling {
     require(den > 0 && pLoNum >= 0 && pHiNum <= den && pLoNum <= pHiNum,
       s"need 0 <= $pLoNum <= $pHiNum <= $den")
     val hist = df.groupBy(col(valueCol)).agg(count(lit(1)).as("__cnt"))
-    val wOrd = Window.orderBy(col(valueCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val band = hist
-      .withColumn("__cum", sum(col("__cnt")).over(wOrd))
-      .withColumn("__total", sum(col("__cnt")).over(Window.partitionBy()))
+    // distributed prefix sum over the distinct-value histogram: for a
+    // continuous value column the histogram is corpus-sized, so the
+    // cumsum must not plan the naive single-partition global window
+    val band = Scale.rangeCumsum(hist, valueCol, "__cnt", "__cum", "__total")
       .filter(lit(den) * col("__cum") >= lit(pLoNum) * col("__total") &&
         lit(den) * (col("__cum") - col("__cnt")) <= lit(pHiNum) * col("__total"))
       .select(col(valueCol))

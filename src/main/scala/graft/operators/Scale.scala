@@ -118,4 +118,68 @@ object Scale {
    */
   def zorderKey(x: Column, y: Column): Column =
     spreadBits(x).bitwiseOR(shiftleft(spreadBits(y), 1))
+
+  /**
+   * Distributed prefix sum — running total of `cntCol` in ascending
+   * `orderCol` order, WITHOUT the single-partition global window the
+   * naive `Window.orderBy(v)` cumsum plans (Spark moves EVERY row to one
+   * reducer for it — fine for a histogram over distinct small-int
+   * values, a scale cliff when the frame is distinct values of a
+   * continuous column and therefore corpus-sized). Classic two-phase
+   * parallel scan over range partitions:
+   *
+   *   1. `repartitionByRange(orderCol)` — partition i holds strictly
+   *      lower values than partition i+1 (range boundaries may vary with
+   *      sampling, but the prefix sum is boundary-invariant, so results
+   *      are bit-stable);
+   *   2. per-partition window cumsum (parallel — partitioned by
+   *      `spark_partition_id`);
+   *   3. per-partition totals (≤ `spark.sql.shuffle.partitions` longs —
+   *      bounded driver-side model state, the centroid/CMS precedent)
+   *      prefix-summed on the driver into offsets, broadcast-joined
+   *      back, added to the local cumsum.
+   *
+   * The grand total rides along as `totalCol` for free (last offset +
+   * last partial), saving the second global window a naive
+   * `sum over ()` would plan. The frame is scope-cached: phases 2 and 3
+   * both read it, and without the cache each would re-execute the
+   * upstream aggregate.
+   *
+   * Precondition: `orderCol` values are UNIQUE in `df` (the histogram
+   * frames this serves are post-`groupBy(value)` — one row per distinct
+   * value); duplicate order keys could straddle a range boundary where
+   * the per-partition window cannot see them jointly.
+   *
+   * @return `df` plus `cumCol` (inclusive running total) and `totalCol`
+   */
+  def rangeCumsum(
+      df: DataFrame,
+      orderCol: String,
+      cntCol: String,
+      cumCol: String,
+      totalCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val parted = graft.CacheScope.scoped(
+      df.repartitionByRange(parts, col(orderCol))
+        .withColumn("__pid", spark_partition_id()))
+    val wIn = Window.partitionBy(col("__pid")).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // ≤ `parts` rows — bounded driver-side state, not a data-path collect
+    val partTotals = parted.groupBy(col("__pid"))
+      .agg(sum(col(cntCol)).as("__pt"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = partTotals.map { case (pid, t) => val o = acc; acc += t; (pid, o) }
+    val total = acc
+    import spark.implicits._
+    val offDf = offsets.toSeq.toDF("__pid", "__off")
+    parted
+      .withColumn("__lcum", sum(col(cntCol)).over(wIn))
+      .join(broadcast(offDf), Seq("__pid"))
+      .withColumn(cumCol, col("__lcum") + col("__off"))
+      .withColumn(totalCol, lit(total))
+      .drop("__pid", "__lcum", "__off")
+  }
 }

@@ -147,4 +147,33 @@ class ScaleSpec extends SparkSpec {
       assert(scan.metadata("PartitionFilters").contains("2024-01-02"))
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
+
+  test("rangeCumsum equals the single-window cumsum and spans partitions") {
+    import spark.implicits._
+    // distinct unordered values with varied counts, enough rows to land
+    // in several range partitions under the session's 32 shuffle parts
+    val hist = (0 until 500).map(i => ((i * 37) % 500, (i % 7 + 1).toLong))
+      .toDF("v", "cnt").repartition(8)
+    val got = Scale.rangeCumsum(hist, "v", "cnt", "cum", "total")
+      .select("v", "cnt", "cum", "total").orderBy("v")
+      .as[(Int, Long, Long, Long)].collect()
+    // reference: plain Scala scan over the value-sorted histogram
+    val ref = (0 until 500).map(i => (i * 37) % 500 -> ((i % 7 + 1).toLong))
+      .sortBy(_._1)
+    var acc = 0L
+    val expTotal = ref.map(_._2).sum
+    ref.zip(got).foreach { case ((v, c), (gv, gc, gcum, gtot)) =>
+      acc += c
+      assert(gv == v && gc == c, s"row mismatch at $v")
+      assert(gcum == acc, s"cum at $v: got $gcum want $acc")
+      assert(gtot == expTotal, s"total: got $gtot want $expTotal")
+    }
+    // the physical plan must NOT contain a single-partition global sort
+    // window — the whole point; the window is partitioned by __pid
+    val plan = Scale.rangeCumsum(hist, "v", "cnt", "cum", "total")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"rangeCumsum planned a single-partition exchange:\n$plan")
+    graft.CacheScope.releaseAll()
+  }
 }
