@@ -107,10 +107,20 @@ object Corpus {
       col(idCol))
 
   /**
-   * Token-budget sequence packing: greedy, order-preserving assignment of
-   * docs to chunks of ≤ `budgetTokens` (the packing step that turns
-   * documents into fixed-budget training sequences). Chunk id =
-   * floor(exclusive-running-token-sum / budget) within each shard.
+   * Token-budget sequence packing: order-preserving assignment of docs to
+   * chunks by TOKEN OFFSET — chunk id = floor(exclusive-running-token-sum
+   * / budget) within each shard, i.e. a document belongs to the chunk
+   * where its FIRST token lands. Chunk boundaries sit at exact multiples
+   * of the budget in the concatenated token stream, so a document that
+   * straddles a boundary makes its chunk overflow by up to (doc length −
+   * 1) tokens: the packed-sequence trainer splits the straddler at the
+   * boundary (the standard packing contract) or pads. A strict
+   * "every chunk ≤ budget" bin assignment is a sequential first-fit
+   * recurrence — each decision depends on the previous chunk's fill — and
+   * cannot parallelize; the offset-bin form is the scalable equivalent,
+   * and `n_tokens` rides along so consumers can measure the overflow.
+   * Docs longer than the whole budget should be pre-split with
+   * [[chunkWindows]].
    *
    * Packing is per-`shardCol` (window partition), NOT global: a single
    * global running sum would serialize 100 TB through one reducer; with a
@@ -256,6 +266,12 @@ object Corpus {
     require(blockTokens >= 1, s"blockTokens must be positive: $blockTokens")
     require(minDocs >= 2, s"minDocs below 2 is not a duplicate: $minDocs")
     chunkWindows(df, idCol, textCol, window = blockTokens, overlap = 0)
+      // full blocks only: chunkWindows emits a short tail chunk (down to
+      // one token) per document, and common short endings would flood
+      // the report with spurious "repeated blocks" that are neither a
+      // license nor nav chrome — short shared TEXTS are exact-dedup's
+      // job, this operator mines block-sized boilerplate
+      .filter(col("chunk_tokens") === blockTokens)
       .select(col(idCol), md5(col("chunk_text")).as("block_digest"))
       .groupBy(col("block_digest"))
       .agg(countDistinct(col(idCol)).as("n_docs"),
@@ -326,11 +342,15 @@ object Corpus {
       textCol: String,
       redactedCol: String = "clean_text"): DataFrame =
     df.withColumn("n_emails", regexp_count(col(textCol), lit(emailPattern)))
-      .withColumn("n_phones", regexp_count(col(textCol), lit(phonePattern)))
-      .withColumn(redactedCol,
-        regexp_replace(
-          regexp_replace(col(textCol), emailPattern, "<EMAIL>"),
-          phonePattern, "<PHONE>"))
+      .withColumn("__er", regexp_replace(col(textCol), emailPattern, "<EMAIL>"))
+      // phones are counted on the email-redacted text, matching the
+      // sequential replacement: a digit run INSIDE an address (consumed
+      // by the email tag) must not be billed as a phone redaction that
+      // never produced a <PHONE> tag — the audit trail counts what was
+      // actually replaced
+      .withColumn("n_phones", regexp_count(col("__er"), lit(phonePattern)))
+      .withColumn(redactedCol, regexp_replace(col("__er"), phonePattern, "<PHONE>"))
+      .drop("__er")
 
   /**
    * Corpus snapshot diff — the audit step between two builds of the same
@@ -349,13 +369,20 @@ object Corpus {
       newDf: DataFrame,
       idCol: String,
       textCol: String): DataFrame = {
-    val o = oldDf.select(col(idCol).as("id"), md5(col(textCol)).as("__od"))
-    val n = newDf.select(col(idCol).as("id"), md5(col(textCol)).as("__nd"))
+    // presence flags, not digest nullness: md5(NULL text) is NULL, which
+    // a digest-only formulation misreads as "row absent" — a present row
+    // with NULL text would report added/removed instead of changed/equal
+    val o = oldDf.select(col(idCol).as("id"), md5(col(textCol)).as("__od"),
+      lit(true).as("__op"))
+    val n = newDf.select(col(idCol).as("id"), md5(col(textCol)).as("__nd"),
+      lit(true).as("__np"))
     o.join(n, Seq("id"), "full_outer")
       .withColumn("status",
-        when(col("__od").isNull, lit("added"))
-          .when(col("__nd").isNull, lit("removed"))
-          .when(col("__od") =!= col("__nd"), lit("changed")))
+        when(col("__op").isNull, lit("added"))
+          .when(col("__np").isNull, lit("removed"))
+          // null-safe compare: NULL↔NULL text is unchanged, NULL↔text is
+          // a change in either direction
+          .when(!(col("__od") <=> col("__nd")), lit("changed")))
       .filter(col("status").isNotNull)
       .select(col("id"), col("status"))
   }

@@ -57,12 +57,30 @@ import org.apache.spark.sql.functions._
 object Retrieval {
 
   /** Tokenized base: (`doc_id`, `len`, tokens array) — one map-only
-    * projection with the house tokenizer ([[Dedup.tokens]]). */
-  private def base(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    * projection with the house tokenizer ([[Dedup.tokens]]). The id
+    * column must already be integral: a silent `cast("long")` of a
+    * string/UUID id would NULL every id and collapse the whole corpus
+    * into one doc_id=NULL posting group — garbage scores with no error
+    * anywhere downstream. */
+  private def base(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    requireIntegralId(docs, idCol)
     docs.select(
       col(idCol).cast("long").as("doc_id"),
       Dedup.tokens(col(textCol)).as("__toks"))
       .withColumn("len", size(col("__toks")).cast("long"))
+  }
+
+  /** Guard for the silent-cast trap shared by every id-keyed entry point
+    * here: `cast("long")` on a string/UUID id NULLs every id and
+    * collapses the corpus into one doc_id=NULL posting group — garbage
+    * scores with no error anywhere downstream. */
+  private def requireIntegralId(docs: DataFrame, idCol: String): Unit = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val idType = docs.schema(idCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(idType),
+      s"$idCol must be an integral id column, got $idType — map non-numeric " +
+        "ids to longs (e.g. xxhash64) before indexing")
+  }
 
   /** Corpus constants (`n` docs, `l` total tokens) as a 1-row frame.
     * One map-only scan; at 100 TB these are the nightly-maintained
@@ -176,10 +194,13 @@ object Retrieval {
       s"phrase must have 2..8 tokens: $phrase")
     require(phrase.forall(t => t.nonEmpty && t.matches("[a-z0-9]+")),
       s"phrase terms must be house-tokenizer tokens (lowercase alnum): $phrase")
+    requireIntegralId(docs, idCol)
+    // positional token stream via the house projection (Ngrams.tokens —
+    // one definition of (doc, 1-based pos, tok) for every tokenizing
+    // operator), filtered to the phrase's terms before any shuffle
     val toks = graft.CacheScope.scoped(
-      docs.select(col(idCol).cast("long").as("doc_id"),
-        posexplode(Dedup.tokens(col(textCol))))
-        .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("tok"))
+      Ngrams.tokens(docs, idCol, textCol)
+        .select(col(idCol).cast("long").as("doc_id"), col("pos"), col("tok"))
         .filter(col("tok").isin(phrase.distinct: _*)))
     val anchor = toks.filter(col("tok") === phrase.head)
       .select(col("doc_id"), col("pos"))

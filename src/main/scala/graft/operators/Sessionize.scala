@@ -90,8 +90,14 @@ object Sessionize {
     val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val prev = lag(col(stateCol), 1).over(byUser)
     events
+      // null-SAFE change detection: `prev =!= state` is NULL (→ no new
+      // run) when either side is a NULL state, silently absorbing
+      // NULL-state periods into the preceding run; <=> compares them as
+      // values, and the explicit first-row test keeps "no previous row"
+      // distinct from "previous state was NULL"
       .withColumn("__chg",
-        when(prev.isNull || prev =!= col(stateCol), 1L).otherwise(0L))
+        when(row_number().over(byUser) === 1 ||
+          !(prev <=> col(stateCol)), 1L).otherwise(0L))
       .withColumn("run_seq", sum(col("__chg")).over(cum))
       // (key) hash-partitioning satisfies the (key, run_seq) clustering,
       // so this group-by adds no exchange; min(state) = the run's state

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructField, StructType}
 
 /**
  * Temporal joins for time-series tables (the natural operator family for
@@ -11,8 +12,10 @@ import org.apache.spark.sql.functions._
  *
  * [[asofJoin]] is the union-and-sweep formulation: tag both inputs, union
  * them with each side's exclusive columns null on the other side, sort
- * per key by (ts, side), and carry the most recent right-side values
- * forward with `last(_, ignoreNulls)` over an unbounded-preceding frame.
+ * per key by (ts, side), and carry the most recent right-side READING —
+ * one struct of (its ts, all value columns), so the match is row-atomic
+ * even when individual values are NULL — forward with
+ * `last(_, ignoreNulls)` over an unbounded-preceding frame.
  * ONE shuffle (the per-key sort), no join node at all — the classic
  * merge-free as-of that scales linearly in rows, where a naive
  * `l.ts >= r.ts` range join explodes to O(|L|·|R|) per key. Spark has no
@@ -81,7 +84,7 @@ object Temporal {
     require(!left.columns.contains("__salt") && !right.columns.contains("__salt"),
       "__salt column name is reserved")
     val l = left.withColumn("__salt",
-      pmod(xxhash64(left.columns.map(col): _*), lit(salts.toLong)).cast("int"))
+      pmod(xxhash64(left.columns.toIndexedSeq.map(col): _*), lit(salts.toLong)).cast("int"))
     val r = right.withColumn("__salt",
       explode(array((0 until salts).map(i => lit(i)): _*)))
     asofJoinKeys(l, r, Seq(keyCol, "__salt"), tsCol, valueCols, toleranceSeconds)
@@ -101,18 +104,25 @@ object Temporal {
     val passthrough = left.columns.toSeq.filterNot(c => keyCols.contains(c) || c == tsCol)
 
     // side 0 = right, 1 = left: at equal ts the right row sorts first.
-    // __rts carries the matched reading's own event time for the
-    // tolerance check (swept forward exactly like the values).
+    // The matched reading travels as ONE struct (__rts + every value
+    // column) so the sweep attaches a whole right ROW atomically: a
+    // per-column `last(_, ignoreNulls)` would skip a reading whose value
+    // IS null and resurrect an older one — wrong value, and with several
+    // value columns a chimera row stitched from different readings.
+    // ignoreNulls then only skips LEFT rows (whole-struct null); a right
+    // row with null fields still registers as the latest reading.
+    val rStructType = StructType(
+      StructField("__rts", right.schema(tsCol).dataType) +:
+        valueCols.map(c => StructField(c, right.schema(c).dataType)))
     val taggedRight = right.select(
-      (keyCols.map(col) ++ (col(tsCol) +: lit(0).as("__side") +:
-        col(tsCol).as("__rts") +:
-        passthrough.map(c => lit(null).cast(left.schema(c).dataType).as(c)))) ++
-        valueCols.map(c => col(c)): _*)
+      keyCols.map(col) ++ (col(tsCol) +: lit(0).as("__side") +:
+        struct(col(tsCol).as("__rts") +: valueCols.map(c => col(c).as(c)): _*)
+          .as("__r") +:
+        passthrough.map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
     val taggedLeft = left.select(
-      (keyCols.map(col) ++ (col(tsCol) +: lit(1).as("__side") +:
-        lit(null).cast(right.schema(tsCol).dataType).as("__rts") +:
-        passthrough.map(col))) ++
-        valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+      keyCols.map(col) ++ (col(tsCol) +: lit(1).as("__side") +:
+        lit(null).cast(rStructType).as("__r") +:
+        passthrough.map(col)): _*)
 
     // forward flips only the sweep direction: latest→earliest, so the
     // running `last` carries the NEXT reading backwards. Right rows
@@ -125,11 +135,15 @@ object Temporal {
 
     val swept = taggedRight.unionByName(taggedLeft)
       .select(
-        (keyCols.map(col) ++ (col(tsCol) +: col("__side") +:
-          last(col("__rts"), ignoreNulls = true).over(w).as("__rts") +:
-          passthrough.map(col))) ++
-          valueCols.map(c => last(col(c), ignoreNulls = true).over(w).as(c)): _*)
+        keyCols.map(col) ++ (col(tsCol) +: col("__side") +:
+          last(col("__r"), ignoreNulls = true).over(w).as("__r") +:
+          passthrough.map(col)): _*)
       .filter(col("__side") === 1)
+      .select(
+        (keyCols.map(col) ++ (col(tsCol) +: col("__side") +:
+          col("__r.__rts").as("__rts") +:
+          passthrough.map(col))) ++
+          valueCols.map(c => col(s"__r.$c").as(c)): _*)
 
     val bounded = toleranceSeconds match {
       case None => swept
@@ -272,9 +286,15 @@ object Temporal {
       .agg(
         sum(col("__cents") * col("__dt")).as("sum_value_seconds"),
         sum(col("__dt")).as("sum_seconds"))
+      // a key whose retained intervals span zero seconds (all readings
+      // share one timestamp) has no time axis to weight over: emit NULL
+      // explicitly — the raw division would produce 0.0/0.0 = NaN, and
+      // engines disagree on NaN (DuckDB NULLs a 0/0) so the choice must
+      // be pinned, not inherited from IEEE defaults
       .withColumn("twap",
-        col("sum_value_seconds").cast("double") /
-          (lit(100.0) * col("sum_seconds").cast("double")))
+        when(col("sum_seconds") > 0,
+          col("sum_value_seconds").cast("double") /
+            (lit(100.0) * col("sum_seconds").cast("double"))))
   }
 
   /**
@@ -307,14 +327,21 @@ object Temporal {
     val ad = graft.CacheScope.scoped(
       df.select(col(actorCol).as("actor"), to_date(col(tsCol)).as("d"))
         .distinct())
-    val maxD = ad.agg(max(col("d")).as("__dmax"))
-    ad.select(col("actor"),
+    val span = ad.agg(min(col("d")).as("__dmin"), max(col("d")).as("__dmax"))
+    val counts = ad.select(col("actor"),
         explode(sequence(col("d"), date_add(col("d"), windowDays - 1)))
           .as("window_end"))
       .distinct()
-      .crossJoin(broadcast(maxD))
-      .filter(col("window_end") <= col("__dmax"))
       .groupBy(col("window_end"))
-      .agg(count(lit(1)).as("n_active"))
+      .agg(count(lit(1)).as("__n"))
+    // dense day spine (1-row span aggregate → explode; bounded by the
+    // calendar, not the data): the contract is one row for EVERY day of
+    // the observed span — a day whose trailing window holds no actors
+    // must report n_active = 0, not silently vanish from the series.
+    // The spine ends at the last observed day, which also clamps
+    // window ends past the span (they drop in the join).
+    span.select(explode(sequence(col("__dmin"), col("__dmax"))).as("window_end"))
+      .join(counts, Seq("window_end"), "left")
+      .select(col("window_end"), coalesce(col("__n"), lit(0L)).as("n_active"))
   }
 }

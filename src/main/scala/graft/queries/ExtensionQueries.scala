@@ -1979,10 +1979,10 @@ object ExtensionQueries extends QueryFamily {
          |  FROM (SELECT doc_id, $tokensSql AS toks FROM documents)
          |  WHERE LEN(toks) > 0),
          |starts AS (
+         |  -- full blocks only (start + 16 - 1 <= n); docs shorter than one
+         |  -- block yield no rows (empty series when the stop is < 1)
          |  SELECT doc_id, toks, n,
-         |    UNNEST(GENERATE_SERIES(1,
-         |      CASE WHEN n <= 16 THEN 1
-         |           ELSE ((n - 16 + 15) // 16) * 16 + 1 END, 16)) AS start
+         |    UNNEST(GENERATE_SERIES(1, n - 15, 16)) AS start
          |  FROM b),
          |blocks AS (
          |  SELECT doc_id,
@@ -1996,12 +1996,15 @@ object ExtensionQueries extends QueryFamily {
     "corpus_redact" -> {
       val em = graft.operators.Corpus.emailPattern
       val ph = graft.operators.Corpus.phonePattern
-      s"""SELECT doc_id,
+      s"""WITH er AS (
+         |  SELECT doc_id, text,
+         |    REGEXP_REPLACE(text, '$em', '<EMAIL>', 'g') AS etext
+         |  FROM documents)
+         |SELECT doc_id,
          |  CAST(LEN(REGEXP_EXTRACT_ALL(text, '$em')) AS INT) AS n_emails,
-         |  CAST(LEN(REGEXP_EXTRACT_ALL(text, '$ph')) AS INT) AS n_phones,
-         |  MD5(REGEXP_REPLACE(REGEXP_REPLACE(text, '$em', '<EMAIL>', 'g'),
-         |      '$ph', '<PHONE>', 'g')) AS clean_digest
-         |FROM documents ORDER BY doc_id""".stripMargin
+         |  CAST(LEN(REGEXP_EXTRACT_ALL(etext, '$ph')) AS INT) AS n_phones,
+         |  MD5(REGEXP_REPLACE(etext, '$ph', '<PHONE>', 'g')) AS clean_digest
+         |FROM er ORDER BY doc_id""".stripMargin
     },
     "asof_join" -> asofOracleSql,
     "ts_resample_ffill" ->
@@ -2071,8 +2074,8 @@ object ExtensionQueries extends QueryFamily {
     "state_runs" ->
       """WITH flagged AS (
         |  SELECT user_id, ts, event_id, event_type,
-        |    CASE WHEN LAG(event_type) OVER w IS NULL
-        |           OR LAG(event_type) OVER w <> event_type THEN 1
+        |    CASE WHEN ROW_NUMBER() OVER w = 1
+        |           OR LAG(event_type) OVER w IS DISTINCT FROM event_type THEN 1
         |         ELSE 0 END AS chg
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
@@ -2135,17 +2138,21 @@ object ExtensionQueries extends QueryFamily {
         |SELECT event_type,
         |  CAST(SUM(cents * dt) AS BIGINT) AS sum_value_seconds,
         |  CAST(SUM(dt) AS BIGINT) AS sum_seconds,
-        |  CAST(CAST(SUM(cents * dt) AS BIGINT) AS DOUBLE) /
-        |    (100.0 * CAST(CAST(SUM(dt) AS BIGINT) AS DOUBLE)) AS twap
+        |  CASE WHEN CAST(SUM(dt) AS BIGINT) > 0 THEN
+        |    CAST(CAST(SUM(cents * dt) AS BIGINT) AS DOUBLE) /
+        |      (100.0 * CAST(CAST(SUM(dt) AS BIGINT) AS DOUBLE)) END AS twap
         |FROM d WHERE dt IS NOT NULL
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "rolling_active" ->
       """WITH ad AS (SELECT DISTINCT user_id AS actor, CAST(ts AS DATE) AS d FROM events),
-        |m AS (SELECT MAX(d) AS dmax FROM ad),
+        |m AS (SELECT MIN(d) AS dmin, MAX(d) AS dmax FROM ad),
         |contrib AS (
         |  SELECT DISTINCT actor, d + i AS window_end
-        |  FROM ad, (SELECT CAST(unnest(generate_series(0, 2)) AS INTEGER) AS i) t)
-        |SELECT window_end, COUNT(1) AS n_active
-        |FROM contrib, m WHERE window_end <= dmax
-        |GROUP BY window_end ORDER BY window_end""".stripMargin)
+        |  FROM ad, (SELECT CAST(unnest(generate_series(0, 2)) AS INTEGER) AS i) t),
+        |counts AS (SELECT window_end, COUNT(1) AS n FROM contrib GROUP BY window_end),
+        |spine AS (SELECT CAST(unnest(generate_series(CAST(dmin AS TIMESTAMP),
+        |    CAST(dmax AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS window_end FROM m)
+        |SELECT s.window_end, COALESCE(c.n, CAST(0 AS BIGINT)) AS n_active
+        |FROM spine s LEFT JOIN counts c ON s.window_end = c.window_end
+        |ORDER BY s.window_end""".stripMargin)
 }

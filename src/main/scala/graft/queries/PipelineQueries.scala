@@ -947,7 +947,7 @@ object PipelineQueries extends QueryFamily {
         |d AS (SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
         |        CASE WHEN o.doc_id IS NULL THEN 'added'
         |             WHEN n.doc_id IS NULL THEN 'removed'
-        |             WHEN o.text != n.text THEN 'changed' END AS status
+        |             WHEN o.text IS DISTINCT FROM n.text THEN 'changed' END AS status
         |      FROM v1 o FULL OUTER JOIN v2 n ON o.doc_id = n.doc_id)
         |SELECT doc_id, status FROM d WHERE status IS NOT NULL ORDER BY doc_id""".stripMargin,
     "dedup_groups_cc" ->

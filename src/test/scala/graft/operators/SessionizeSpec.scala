@@ -64,6 +64,24 @@ class SessionizeSpec extends SparkSpec {
     assert(out(2)._7.isEmpty && out(3)._7.isEmpty)
   }
 
+  test("stateRuns: a NULL state is its own run, not absorbed by the neighbor") {
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, Some("on")),
+      (2L, ts("2024-01-01 10:05:00"), 1L, None), // state unknown — own run
+      (3L, ts("2024-01-01 10:10:00"), 1L, Some("on")),
+      (4L, ts("2024-01-01 10:15:00"), 1L, None),
+      (5L, ts("2024-01-01 10:20:00"), 1L, None)  // consecutive NULLs collapse
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val out = Sessionize.stateRuns(events)
+      .select("run_seq", "state", "n_events")
+      .as[(Long, Option[String], Long)].collect().sortBy(_._1)
+    // on | NULL | on | NULL-NULL → four runs; the null-unsafe =!= form
+    // merged 'on'→NULL transitions and reported two runs of 'on'
+    assert(out.toSeq == Seq(
+      (1L, Some("on"), 1L), (2L, None, 1L),
+      (3L, Some("on"), 1L), (4L, None, 2L)))
+  }
+
   test("stateRuns: equal timestamps break ties by event id (deterministic runs)") {
     val t = ts("2024-01-01 10:00:00")
     val events = Seq(

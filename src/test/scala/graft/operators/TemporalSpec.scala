@@ -54,6 +54,29 @@ class TemporalSpec extends SparkSpec {
     assert(out.size == 4)                 // every left row survives
   }
 
+  test("asofJoin attaches the matched right ROW atomically, incl. NULL values") {
+    val left = Seq(
+      (1L, ts("2024-01-01 10:06:00"), "x")
+    ).toDF("k", "ts", "tag")
+    val right = Seq(
+      (1L, ts("2024-01-01 10:00:00"), Some(5.0), Some(1.0)),
+      (1L, ts("2024-01-01 10:05:00"), None, Some(2.0)) // latest reading, v1 NULL
+    ).toDF("k", "ts", "v1", "v2")
+    // the latest at-or-before reading is 10:05 with v1=NULL: a per-column
+    // ignoreNulls sweep would resurrect 10:00's v1=5.0 (a chimera row
+    // mixing two readings); the atomic sweep must report (NULL, 2.0)
+    val out = Temporal.asofJoin(left, right, "k", "ts", Seq("v1", "v2"),
+      toleranceSeconds = Some(120))
+      .select("v1", "v2").head()
+    assert(out.isNullAt(0), s"v1 must be the 10:05 reading's NULL, got $out")
+    assert(out.getDouble(1) == 2.0)
+    // and the tolerance judges the 10:05 reading (1 min gap), not 10:00
+    val outTight = Temporal.asofJoin(left, right, "k", "ts", Seq("v1", "v2"),
+      toleranceSeconds = Some(30)).select("v1", "v2").head()
+    assert(outTight.isNullAt(0) && outTight.isNullAt(1),
+      "a 60s-old reading must be stale under a 30s tolerance")
+  }
+
   test("asofJoinForward picks the earliest right row at-or-after each left ts") {
     val left = Seq(
       (1L, ts("2024-01-01 10:00:00"), "a"),     // simultaneous reading visible
@@ -170,6 +193,34 @@ class TemporalSpec extends SparkSpec {
     // d4 (= d3 + 1) is past the last observed day -> clamped away
     assert(out.toSeq == Seq(
       ("2024-01-01", 2L), ("2024-01-02", 2L), ("2024-01-03", 3L)))
+  }
+
+  test("rollingActive reports zero-actor days inside the span (dense series)") {
+    val events = Seq(
+      (1L, ts("2024-01-01 09:00:00")),
+      (2L, ts("2024-01-06 09:00:00")) // 4-day gap between activity
+    ).toDF("user_id", "ts")
+    val out = Temporal.rollingActive(events, "user_id", "ts", windowDays = 2)
+      .orderBy("window_end")
+      .as[(java.sql.Date, Long)].collect()
+      .map { case (d, n) => (d.toString, n) }
+    // windows ending d3..d4 hold nobody — they must appear as 0, not vanish
+    assert(out.toSeq == Seq(
+      ("2024-01-01", 1L), ("2024-01-02", 1L), ("2024-01-03", 0L),
+      ("2024-01-04", 0L), ("2024-01-05", 0L), ("2024-01-06", 1L)))
+  }
+
+  test("timeWeightedAvg: zero-span keys emit NULL, not NaN") {
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "z", 10.0),
+      (2L, ts("2024-01-01 10:00:00"), "z", 20.0), // same instant: 0s span
+      (3L, ts("2024-01-01 10:00:00"), "z", 30.0)
+    ).toDF("event_id", "ts", "key", "value")
+    val out = Temporal.timeWeightedAvg(events, "key", "ts", "event_id", "value")
+      .select("key", "sum_seconds", "twap").collect()
+    assert(out.length == 1 && out.head.getLong(1) == 0L)
+    assert(out.head.isNullAt(2),
+      "0-second span has no time axis — twap must be NULL, never NaN")
   }
 
   test("timeWeightedAvg: holding intervals weight values; last observation open-ended") {
