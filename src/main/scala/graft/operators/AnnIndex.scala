@@ -46,10 +46,13 @@ object AnnIndex {
     val sub = dim / m
     val ccLit = typedLit(cellCents)
 
-    val withCell = corpus
+    // scope-cached: productQuantize's training-sample collect and the
+    // codes write below both consume this corpus-wide assignment+residual
+    // scan — uncached it would execute twice (the ivfPqTopK precedent)
+    val withCell = graft.CacheScope.scoped(corpus
       .select(col(idCol).cast("long").as("vec_id"), col(vecCol).as("v"))
       .withColumn("cell", Clustering.assignCol(col("v"), ccLit))
-      .withColumn("res", graft.functions.centroid_residual(col("v"), ccLit, col("cell")))
+      .withColumn("res", graft.functions.centroid_residual(col("v"), ccLit, col("cell"))))
     val (codebooks, _) = Quantize.productQuantize(
       withCell, "vec_id", "res", m, codebookSize, iters = 3,
       trainSampleN = trainSampleN)

@@ -89,10 +89,14 @@ object Sampling {
       // construction — this is model state, not data)
       .withColumn("__mn", min(col("__cnt")).over(Window.partitionBy()))
       .withColumn("__thr", floor(lit(1000.0) * col("__mn") / col("__cnt")))
-      .select(col(strataCol), col("__thr"))
-    df.join(broadcast(counts), strataCol)
+      .select(col(strataCol).as("__s"), col("__thr"))
+    // null-SAFE stratum match: a NULL stratum is a stratum like any
+    // other. The plain using-join counted it in the min (shrinking every
+    // other stratum's target — potentially to zero) while dropping its
+    // own rows entirely, because equality joins never match NULL keys.
+    df.join(broadcast(counts), df(strataCol) <=> counts("__s"))
       .filter(bucket1000(col(idCol)) < col("__thr"))
-      .drop("__thr")
+      .drop("__s", "__thr")
   }
 
   /**
@@ -128,28 +132,13 @@ object Sampling {
       .withColumn("__mn", min(col("__cnt")).over(Window.partitionBy()))
       .withColumn("__thr",
         floor(sqrt(lit(1000000.0) * col("__mn") / col("__cnt"))))
-      .select(col(strataCol), col("__thr"))
-    df.join(broadcast(counts), strataCol)
+      .select(col(strataCol).as("__s"), col("__thr"))
+    // null-safe stratum match — see rebalanceToSmallest
+    df.join(broadcast(counts), df(strataCol) <=> counts("__s"))
       .filter(bucket1000(col(idCol)) < col("__thr"))
-      .drop("__thr")
+      .drop("__s", "__thr")
   }
 
-  /**
-   * Percentile-band filter on an integer column (e.g. "keep docs between
-   * the 5th and 95th length percentile" — the outlier trim before
-   * packing/training), computed EXACTLY but without a global sort of the
-   * data: aggregate a value histogram (|distinct values| rows — bounded
-   * for lengths), cumulative-sum it on a tiny single-partition window,
-   * derive the kept value band, and broadcast-join it back. The usual
-   * `percent_rank()` formulation range-shuffles every row into one
-   * ordered partition; this shape touches the corpus only with a
-   * hash-agg and a broadcast filter, and the comparisons are
-   * integer-exact (`pLo·cum ≥ total` style, no float thresholds), so a
-   * SQL oracle reproduces it bit-for-bit.
-   *
-   * Keeps value v iff ceil-style: `den·cum(v) ≥ pLoNum·total` and
-   * `den·cumBelow(v) ≤ pHiNum·total` with pLo = pLoNum/den, pHi = pHiNum/den.
-   */
   /**
    * Deterministic uniform-without-replacement sample of k rows per
    * group: order each group by `md5(seed # id)` — a content-free
@@ -205,7 +194,16 @@ object Sampling {
     val w = Window.partitionBy(col(groupCol))
       .orderBy(col(orderCol).desc, col(idCol).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("cum_cost", sum(col(costCol)).over(w))
+    // the prefix contract ("a row too big blocks everything after it")
+    // needs non-null, non-negative costs: sum() SKIPS a null cost (its
+    // row would drop while later rows survive — a mid-prefix hole), and
+    // a negative cost could re-admit rows after the budget was blown.
+    // raise_error is codegen'd and costs one comparison per row.
+    val guarded = when(col(costCol).isNull || col(costCol) < 0,
+      raise_error(concat(lit(s"budgetSelect: $costCol must be a non-negative, " +
+        "non-null cost, got "), coalesce(col(costCol).cast("string"), lit("NULL")))))
+      .otherwise(col(costCol))
+    df.withColumn("cum_cost", sum(guarded).over(w))
       .filter(col("cum_cost") <= budget)
   }
 
@@ -242,10 +240,12 @@ object Sampling {
    * (feeds both the totals aggregate and the final projection) is
    * scope-persisted so the upstream corpus aggregate runs once.
    *
-   * Empty sources are dropped up front (tokens ≤ 0): there is nothing
-   * to allocate to them, and keeping them would make `epochs_ppm` a
-   * 0-divisor — which Spark (non-ANSI) nulls but a strict SQL engine
-   * rejects, so the drop also keeps the oracle replayable.
+   * Empty sources (tokens ≤ 0) and non-positive weights are dropped up
+   * front: there is nothing to allocate to the former, the latter hold
+   * no share by definition, and together the drops guarantee every
+   * divisor below is strictly positive — ANSI Spark (the 4.x default)
+   * throws on ÷0, so divisor positivity is a correctness property, not
+   * a style choice; it also keeps the oracle replayable.
    */
   def budgetEpochs(
       sourceTokens: DataFrame,
@@ -259,7 +259,14 @@ object Sampling {
       sourceTokens.join(weights, "source")
         .select(col("source"), col("tokens").cast("long").as("tokens"),
           col("weight").cast("long").as("weight"))
-        .filter(col("tokens") > 0))
+        // tokens ≤ 0: nothing to allocate to (and a 0-divisor in
+        // epochs_ppm). weight ≤ 0: no share of the budget by definition —
+        // dropping them also guarantees __w > 0 whenever any source
+        // survives, so the share division below can never hit ÷0 (ANSI
+        // Spark throws on it; non-ANSI nulls it and least(null, cap)
+        // would silently hand every source its full cap, breaking the
+        // Σ alloc ≤ B invariant)
+        .filter(col("tokens") > 0 && col("weight") > 0))
     val totals = base.agg(sum(col("weight")).as("__w"))
     val r1 = base.crossJoin(broadcast(totals))
       .withColumn("cap", expr(s"$maxEpochs * tokens"))
@@ -277,12 +284,33 @@ object Sampling {
           least(col("alloc1") + expr(s"(($budget - __a1) * weight) DIV __w2"),
             col("cap")))
           .otherwise(col("alloc1")))
-      .withColumn("epochs_ppm", expr("(1000000 * alloc_tokens) DIV tokens"))
+      // DECIMAL(38,0) widening for the ×1e6 (the targetAffinity
+      // pattern): alloc_tokens can approach the full ~1e13 budget, where
+      // 1e6·alloc overflows BIGINT — ANSI Spark would throw, non-ANSI
+      // would wrap negative
+      .withColumn("epochs_ppm",
+        expr("cast((cast(alloc_tokens as decimal(38,0)) * 1000000) div tokens as bigint)"))
       .withColumn("capped", col("alloc_tokens") === col("cap"))
       .select(col("source"), col("tokens"), col("weight"),
         col("alloc_tokens"), col("epochs_ppm"), col("capped"))
   }
 
+  /**
+   * Percentile-band filter on an integer column (e.g. "keep docs between
+   * the 5th and 95th length percentile" — the outlier trim before
+   * packing/training), computed EXACTLY but without a global sort of the
+   * data: aggregate a value histogram, cumulative-sum it with the
+   * distributed range-partitioned prefix sum ([[Scale.rangeCumsum]]),
+   * reduce the kept band to its two endpoints, and filter with
+   * `between`. The usual `percent_rank()` formulation range-shuffles
+   * every row into one ordered partition; this shape touches the corpus
+   * only with a hash-agg and a broadcast-bounds filter, and the
+   * comparisons are integer-exact (`pLo·cum ≥ total` style, no float
+   * thresholds), so a SQL oracle reproduces it bit-for-bit.
+   *
+   * Keeps value v iff ceil-style: `den·cum(v) ≥ pLoNum·total` and
+   * `den·cumBelow(v) ≤ pHiNum·total` with pLo = pLoNum/den, pHi = pHiNum/den.
+   */
   def percentileBandFilter(
       df: DataFrame,
       valueCol: String,
@@ -299,7 +327,17 @@ object Sampling {
       .filter(lit(den) * col("__cum") >= lit(pLoNum) * col("__total") &&
         lit(den) * (col("__cum") - col("__cnt")) <= lit(pHiNum) * col("__total"))
       .select(col(valueCol))
-    df.join(broadcast(band), valueCol)
+    // the cumsum is monotone in the value, so the kept distinct values
+    // are a CONTIGUOUS range — reduce the band to its two endpoints (a
+    // 1-row aggregate) and filter with between(). Broadcasting the band
+    // itself would collect a corpus-sized distinct set to the driver for
+    // a continuous column — the exact cliff the distributed cumsum above
+    // avoids. An empty band yields NULL bounds and between() keeps
+    // nothing, preserving the empty-result contract.
+    val bounds = band.agg(min(col(valueCol)).as("__lo"), max(col(valueCol)).as("__hi"))
+    df.crossJoin(broadcast(bounds))
+      .filter(col(valueCol).between(col("__lo"), col("__hi")))
+      .drop("__lo", "__hi")
   }
 
   /**

@@ -121,6 +121,7 @@ object Similarity {
     val planesCol = typedLit(ps.map(_.toSeq).toSeq)
 
     require(nBits <= 20, s"nBits too large for probe enumeration: $nBits")
+    require(probeRadius >= 0, s"probeRadius must be non-negative: $probeRadius")
     val q0 = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("__b", bucketCol(col("qv"), planesCol))
     // probe every bucket within hamming distance `probeRadius` of the
@@ -128,6 +129,15 @@ object Similarity {
     // C(nBits, r) probes — the full contract, not just single-bit flips)
     val flipMasks = (1L until (1L << nBits))
       .filter(m => java.lang.Long.bitCount(m) <= probeRadius)
+    // Σ C(nBits, r) grows toward 2^nBits: an oversized radius would both
+    // build a near-2^nBits-element literal array into the plan (driver
+    // analysis blow-up before any job runs) and multiply every query row
+    // by that factor — cap the enumeration where the approximation has
+    // stopped being one
+    require(flipMasks.length < 1024,
+      s"probe enumeration too large: radius $probeRadius at $nBits bits = " +
+        s"${flipMasks.length + 1} probes per query (cap 1024) — at that " +
+        "breadth use bruteForceTopK or lower the radius")
     val probeCols = col("__b") +: flipMasks.map(m => col("__b").bitwiseXOR(lit(m)))
     val q = q0.withColumn("bucket", explode(array(probeCols: _*))).drop("__b")
 
@@ -323,7 +333,6 @@ object Similarity {
           corpus, idCol, vecCol, nCells, iters = 5, sampleN = trainSampleN)
       else Clustering.kmeansCentroids(
         corpus, idCol, vecCol, nCells, iters = 3, init = "parallel")
-    val nc = cellCents.length
     val dim = cellCents.head.length
     require(dim % m == 0, s"m ($m) must divide the vector dim ($dim)")
     val sub = dim / m
@@ -467,8 +476,11 @@ object Similarity {
       maxBucket: Int = 100000): DataFrame = {
     val ps = planes(nBits, dim, seed)
     val planesCol = typedLit(ps.map(_.toSeq).toSeq)
-    val v0 = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("bucket", bucketCol(col("v"), planesCol))
+    // scope-cached for the same three-consumer shape as semanticDedup
+    // (bucket-size aggregate + both self-join sides)
+    val v0 = graft.CacheScope.scoped(
+      corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+        .withColumn("bucket", bucketCol(col("v"), planesCol)))
     // skew/blowup guard: a degenerate bucket (e.g. all-zero vectors all
     // hashing to one code) would self-join to maxBucket² pairs; the
     // oversized-key set is tiny, so it broadcasts as an anti-join filter
@@ -559,8 +571,13 @@ object Similarity {
     val cents = Clustering.kmeansCentroidsSampled(
       corpus, idCol, vecCol, k, iters = 5, sampleN = trainSampleN)
     val cc = typedLit(cents)
-    val v0 = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("cl", graft.functions.argmin_l2(col("v"), cc))
+    // scope-cache the corpus-wide assignment: it feeds the oversized-
+    // cluster aggregate AND both aliased sides of the self-join (which
+    // Catalyst cannot dedupe) — uncached, the argmin kernel scan would
+    // execute three times per action (the ivfPqTopK precedent)
+    val v0 = graft.CacheScope.scoped(
+      corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+        .withColumn("cl", graft.functions.argmin_l2(col("v"), cc)))
     val big = v0.groupBy(col("cl")).agg(count(lit(1)).as("__n"))
       .filter(col("__n") > maxCluster).select(col("cl"))
     val v = v0.join(broadcast(big), Seq("cl"), "left_anti")

@@ -920,7 +920,7 @@ object PipelineQueries extends QueryFamily {
          |w(source, weight) AS (VALUES $weightValues),
          |base AS (SELECT l.source, l.tokens, CAST(w.weight AS BIGINT) AS weight
          |         FROM lens l JOIN w ON w.source = l.source
-         |         WHERE l.tokens > 0),
+         |         WHERE l.tokens > 0 AND w.weight > 0),
          |t AS (SELECT CAST(SUM(weight) AS BIGINT) AS tw FROM base),
          |r1 AS (SELECT base.source, base.tokens, base.weight,
          |    CAST(2 * base.tokens AS BIGINT) AS cap,

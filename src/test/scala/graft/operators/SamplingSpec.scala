@@ -226,4 +226,48 @@ class SamplingSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSeq
     assert(a == b && a.size == 5)
   }
+
+  test("rebalanceToSmallest: a NULL stratum is rebalanced, not dropped-yet-counted") {
+    val df = ((0 until 1000).map(i => (i.toLong, Some("en"))) ++
+      (0 until 300).map(i => (1000L + i, Some("fr"))) ++
+      (0 until 200).map(i => (2000L + i, Option.empty[String])))
+      .toDF("id", "lang")
+    val kept = Sampling.rebalanceToSmallest(df, "lang", "id")
+    val byStratum = kept.groupBy("lang").count()
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    // the NULL stratum (200, the smallest) is the target size; the old
+    // equality join dropped every NULL row AND let its count shrink the
+    // other strata — with a tiny null group the output went EMPTY
+    assert(byStratum.getOrElse(None, 0L) > 150L,
+      s"null stratum must survive rebalancing: $byStratum")
+    assert(byStratum.keySet == Set(Some("en"), Some("fr"), None))
+    byStratum.foreach { case (s, n) =>
+      assert(n >= 150 && n <= 250, s"stratum $s not near the smallest (200): $n")
+    }
+  }
+
+  test("budgetSelect fails loud on NULL costs instead of punching prefix holes") {
+    val df = Seq(
+      (1L, "g", 9.0, Option(5L)),
+      (2L, "g", 8.0, Option.empty[Long]), // null cost mid-prefix
+      (3L, "g", 7.0, Option(5L))
+    ).toDF("id", "grp", "quality", "cost")
+    val e = intercept[Exception] {
+      Sampling.budgetSelect(df, "grp", "quality", "cost", "id", budget = 10).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("non-negative")), s"unexpected error: $e")
+  }
+
+  test("budgetEpochs: zero/negative-weight sources get nothing (no cap fallback)") {
+    val st = Seq(("a", 100L), ("b", 100L), ("c", 100L)).toDF("source", "tokens")
+    val w = Seq(("a", 1L), ("b", 0L), ("c", -5L)).toDF("source", "weight")
+    val out = Sampling.budgetEpochs(st, w, budget = 100, maxEpochs = 2)
+      .select("source", "alloc_tokens").as[(String, Long)].collect().toMap
+    // only 'a' holds a share; b/c must NOT fall back to their full caps
+    // (the pre-fix ÷0 path allocated every source maxEpochs·tokens)
+    assert(out == Map("a" -> 100L), s"got $out")
+    graft.CacheScope.releaseAll()
+  }
 }
