@@ -58,7 +58,19 @@ object Anomaly {
       .orderBy(col(tsCol).asc, col(idCol).asc)
       .rowsBetween(-(windowRows - 1), Window.currentRow)
     val x = round(col(valueCol) * 100).cast("long")
-    df.withColumn("__x", x)
+    // the third leg of the overflow envelope — |cents| ≤ 1e6 — is a
+    // property of the DATA, so it cannot be a constructor require:
+    // enforce it in-plan (one codegen'd comparison per row). Without it
+    // a ~$1M-cent series inside the validated windowRows/k bounds still
+    // pushes n·Q past 2⁶³ — ANSI aborts mid-sweep, non-ANSI silently
+    // inverts flag decisions, the exact failure the k require exists
+    // to prevent.
+    val xg = when(abs(x) > 1000000L,
+      raise_error(concat(
+        lit(s"zscoreFlags: |$valueCol|·100 exceeds the 1e6-cent overflow " +
+          "envelope (see scaladoc); rescale the metric, got "),
+        x.cast("string")))).otherwise(x)
+    df.withColumn("__x", xg)
       .withColumn("__n", count(lit(1)).over(w))
       .withColumn("__s", sum(col("__x")).over(w))
       .withColumn("__q", sum(col("__x") * col("__x")).over(w))

@@ -64,7 +64,7 @@ object Dedup {
    * never materializes them in an aggregation buffer (the all-empty-docs
    * hash collision → one multi-GB group failure mode at 100 TB).
    */
-  private def dropOversizedBuckets(
+  private[operators] def dropOversizedBuckets(
       banded: DataFrame, keys: Seq[String], maxBucket: Int): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*)
     banded
@@ -93,22 +93,29 @@ object Dedup {
 
   /** (id, band, bh) LSH band keys of each document — the shared kernel
     * of the band index and incremental admission below. */
+  /** The band-hash explode — ONE definition of the banding scheme
+    * (slice origin, per-band xxhash64) shared by [[bandKeys]] and
+    * [[minhashCandidates]], so the persisted band index
+    * ([[buildBandIndex]]/[[admitNewNearDup]]) can never silently drift
+    * from the pair scorer's banding. Expects a `sig` column in scope. */
+  private def bandExplode(numHashes: Int, bands: Int): Column = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    explode(expr(
+      s"transform(sequence(0, ${bands - 1}), " +
+        s"b -> named_struct('band', b, 'bh', xxhash64(slice(sig, b * $rowsPerBand + 1, $rowsPerBand))))"))
+  }
+
   private def bandKeys(
       df: DataFrame,
       textCol: String,
       idCol: String,
       numHashes: Int,
-      bands: Int): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val rowsPerBand = numHashes / bands
+      bands: Int): DataFrame =
     df.select(col(idCol).as("id"),
       minhash_text(col(textCol), w = 3, k = numHashes).as("sig"))
-      .select(col("id"), explode(expr(
-        s"transform(sequence(0, ${bands - 1}), " +
-          s"b -> named_struct('band', b, 'bh', xxhash64(slice(sig, b * $rowsPerBand + 1, $rowsPerBand))))"))
-        .as("bb"))
+      .select(col("id"), bandExplode(numHashes, bands).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
-  }
 
   /**
    * LSH band index of an existing corpus: the distinct (band, bucket
@@ -199,20 +206,13 @@ object Dedup {
       bands: Int,
       threshold: Double,
       maxBucket: Int): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val rowsPerBand = numHashes / bands
-
     val sigs = df.select(
       col(idCol).as("id"),
       minhash_text(col(textCol), w = 3, k = numHashes).as("sig"))
 
     // explode into (band, bandHash, id); bandHash = hash of the band's lanes
     val banded = sigs.select(
-      col("id"), col("sig"),
-      explode(expr(
-        s"transform(sequence(0, ${bands - 1}), " +
-          s"b -> named_struct('band', b, 'bh', xxhash64(slice(sig, b * $rowsPerBand + 1, $rowsPerBand))))"))
-        .as("bb"))
+      col("id"), col("sig"), bandExplode(numHashes, bands).as("bb"))
       .select(col("id"), col("sig"), col("bb.band").as("band"), col("bb.bh").as("bh"))
 
     // Oversized buckets (degenerate content — the skew/OOM guard) are
@@ -253,9 +253,10 @@ object Dedup {
       idCol: String,
       numHashes: Int = 64,
       bands: Int = 16,
-      threshold: Double = 0.7): DataFrame = {
+      threshold: Double = 0.7,
+      maxBucket: Int = 1000): DataFrame = {
     val losers =
-      minhashCandidates(df, textCol, idCol, numHashes, bands, threshold, maxBucket = 1000)
+      minhashCandidates(df, textCol, idCol, numHashes, bands, threshold, maxBucket)
         .select(col("id_b").as("__loser")).distinct()
     df.join(losers, df(idCol) === col("__loser"), "left_anti")
   }
@@ -277,9 +278,10 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 16,
       threshold: Double = 0.7,
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 20,
+      maxBucket: Int = 1000): DataFrame = {
     val edges =
-      minhashCandidates(df, textCol, idCol, numHashes, bands, threshold, maxBucket = 1000)
+      minhashCandidates(df, textCol, idCol, numHashes, bands, threshold, maxBucket)
         .select(col("id_a").as("src"), col("id_b").as("dst"))
     val losers = Components.connectedComponents(edges, maxIter)
       .filter(col("id") =!= col("component"))

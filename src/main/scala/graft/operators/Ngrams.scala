@@ -38,9 +38,15 @@ object Ngrams {
    * Sliding word n-grams: one row per starting position, `ngram` NULL for
    * the incomplete tails (fewer than n tokens left). Built with
    * `concat` (NOT `concat_ws`, which would silently skip the NULL leads
-   * and emit shortened tail grams). One hash exchange on the doc id (the
-   * window partition); downstream per-doc aggregations reuse that same
-   * partitioning, so they add no exchange.
+   * and emit shortened tail grams). One hash exchange on the doc key
+   * (the window partition); downstream per-doc aggregations reuse that
+   * same partitioning, so they add no exchange.
+   *
+   * The window partitions by (`idCol`, `carryCols`) — so ids only need
+   * to be unique WITHIN a carry-column combination (e.g. per-source ids
+   * with the source carried, the [[boilerplateNgrams]] shape). Two rows
+   * sharing the full key would interleave their token streams into
+   * cross-document grams; (idCol ++ carryCols) must uniquely key rows.
    */
   def wordNgrams(
       df: DataFrame,
@@ -49,7 +55,7 @@ object Ngrams {
       n: Int,
       carryCols: Seq[String] = Nil): DataFrame = {
     require(n >= 2, s"n-gram size must be >= 2: $n")
-    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val w = Window.partitionBy((idCol +: carryCols).map(col): _*).orderBy(col("pos"))
     val parts: Seq[Column] =
       col("tok") +: (1 until n).map(i => lead(col("tok"), i).over(w))
     val gram = parts.reduce((a, b) => concat(a, lit(" "), b))
@@ -77,10 +83,15 @@ object Ngrams {
       textCol: String,
       benchmarkPred: Column,
       n: Int = 3): DataFrame = {
-    val bench = wordNgrams(df.filter(benchmarkPred), idCol, textCol, n)
+    // NULL-pred rows are CORPUS rows (screened): filter(pred) and
+    // filter(!pred) both drop a NULL-evaluating row, so without the
+    // coalesce a document with e.g. a NULL subset tag would be neither
+    // benchmark nor screened — an unreported recall hole in the scrub
+    val isBench = coalesce(benchmarkPred, lit(false))
+    val bench = wordNgrams(df.filter(isBench), idCol, textCol, n)
       .filter(col("ngram").isNotNull)
       .select(col("ngram")).distinct()
-    wordNgrams(df.filter(!benchmarkPred), idCol, textCol, n)
+    wordNgrams(df.filter(!isBench), idCol, textCol, n)
       .filter(col("ngram").isNotNull)
       .join(broadcast(bench), "ngram")
       .groupBy(col(idCol))
@@ -111,13 +122,19 @@ object Ngrams {
       .filter(col("ngram").isNotNull)
       .select(col(groupCol).as("source"), col("ngram"))
       .distinct()
+    // unordered pairs via ONE codegen'd HOF + a single explode (the
+    // Assoc.pairRules pattern): the double-posexplode form generated
+    // |ss|² intermediate rows each carrying the full source list before
+    // the pi<pj filter — for a hub gram syndicated through 30 feeds,
+    // 900 rows where 435 pair structs suffice
     sg.groupBy(col("ngram"))
       .agg(sort_array(collect_set(col("source"))).as("ss"))
       .filter(size(col("ss")) >= 2)
-      .select(col("ss"), posexplode(col("ss")).as(Seq("pi", "source_a")))
-      .select(col("pi"), col("source_a"),
-        posexplode(col("ss")).as(Seq("pj", "source_b")))
-      .filter(col("pi") < col("pj"))
+      .select(explode(expr(
+        "flatten(transform(ss, (x, i) -> " +
+          "transform(slice(ss, i + 2, size(ss)), y -> " +
+          "struct(x AS source_a, y AS source_b))))")).as("p"))
+      .select(col("p.source_a"), col("p.source_b"))
       .groupBy(col("source_a"), col("source_b"))
       .agg(count(lit(1)).as("shared_ngrams"))
   }
@@ -217,14 +234,16 @@ object Ngrams {
     // treeAggregate over the cached partitions: partial blooms build in
     // parallel and merge in log depth, so the driver never serializes
     // the gram scan.
-    val bench = wordNgrams(df.filter(benchmarkPred), idCol, textCol, n)
+    // NULL-pred rows are corpus rows — see decontaminate
+    val isBench = coalesce(benchmarkPred, lit(false))
+    val bench = wordNgrams(df.filter(isBench), idCol, textCol, n)
       .filter(col("ngram").isNotNull)
       .select(col("ngram")).distinct().persist()
     // sizing pass on the (small) benchmark side only; never the corpus
     val nGrams = math.max(bench.count(), 1L)
     val bloom = bench.stat.bloomFilter("ngram", nGrams, fpp)
     bench.unpersist()
-    wordNgrams(df.filter(!benchmarkPred), idCol, textCol, n)
+    wordNgrams(df.filter(!isBench), idCol, textCol, n)
       .filter(col("ngram").isNotNull &&
         graft.functions.bloom_might_contain(col("ngram"), bloom))
       .groupBy(col(idCol))
@@ -255,11 +274,9 @@ object Ngrams {
       .filter(col("ngram").isNotNull)
       .select(col(idCol).as("id"), col("ngram"))
       .distinct()
-    val w = Window.partitionBy(col("ngram"))
-    val guarded = dg
-      .withColumn("__gn", count(lit(1)).over(w))
-      .filter(col("__gn") <= maxDocsPerGram)
-      .drop("__gn")
+    // rows are distinct (id, gram), so the per-gram row count IS the
+    // document count; the guard is the house single-pass window
+    val guarded = Dedup.dropOversizedBuckets(dg, Seq("ngram"), maxDocsPerGram)
     guarded.select(col("ngram"), col("id").as("id_a"))
       .join(guarded.select(col("ngram"), col("id").as("id_b")), Seq("ngram"))
       .filter(col("id_a") < col("id_b"))
@@ -297,11 +314,16 @@ object Ngrams {
     val occ = wordNgrams(df, idCol, textCol, n)
       .filter(col("ngram").isNotNull)
       .select(col(idCol).as("id"), col("pos"), col("ngram"))
-    val wG = Window.partitionBy(col("ngram"))
-    val guarded = occ
-      .withColumn("__gn", count(lit(1)).over(wG))
-      .filter(col("__gn") <= maxDocsPerGram)
-      .drop("__gn")
+    // oversized-gram guard on DOCUMENT count — the same semantics the
+    // parameter name carries in substringPairs. Counting occurrence ROWS
+    // here would let a gram repeated many times WITHIN few documents
+    // (the exact boilerplate this stage certifies) trip the cap and
+    // silently understate max_run_tokens. The oversized-gram set is
+    // tiny, so it broadcasts as an anti-join filter.
+    val bigGrams = occ.select(col("id"), col("ngram")).distinct()
+      .groupBy(col("ngram")).agg(count(lit(1)).as("__gd"))
+      .filter(col("__gd") > maxDocsPerGram).select(col("ngram"))
+    val guarded = occ.join(broadcast(bigGrams), Seq("ngram"), "left_anti")
     val joined = guarded
       .select(col("ngram"), col("id").as("id_a"), col("pos").as("pa"))
       .join(guarded.select(col("ngram"), col("id").as("id_b"), col("pos").as("pb")),

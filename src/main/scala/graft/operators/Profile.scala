@@ -64,14 +64,20 @@ object Profile {
    * corpus-sized one, every day. Variance and mean derive downstream
    * from (n, Σx, Σx²) exactly; no float travels through storage.
    */
-  def momentStats(df: DataFrame, groupCol: String, valueCol: String): DataFrame =
+  def momentStats(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    // widen BEFORE the square: on an int-typed metric the per-row x·x
+    // evaluates in int and overflows past x ≈ 46k (ANSI Spark — the 4.x
+    // default — aborts the job; non-ANSI wraps silently and the corrupt
+    // sum would propagate through every future mergeMomentStats)
+    val v = col(valueCol).cast("long")
     df.groupBy(col(groupCol))
       .agg(
         count(lit(1)).as("n_docs"),
-        sum(col(valueCol)).as("sum_chars"),
-        sum(col(valueCol) * col(valueCol)).as("sum_chars_sq"),
-        min(col(valueCol)).as("min_chars"),
-        max(col(valueCol)).as("max_chars"))
+        sum(v).as("sum_chars"),
+        sum(v * v).as("sum_chars_sq"),
+        min(v).as("min_chars"),
+        max(v).as("max_chars"))
+  }
 
   /** Merge any number of [[momentStats]] tables (union → re-aggregate
     * with each field's own combine: +, +, +, min, max). Associative and
@@ -106,7 +112,13 @@ object Profile {
    */
   def equiDepthHistogram(df: DataFrame, valueCol: String, buckets: Int): DataFrame = {
     require(buckets >= 2, s"need at least 2 buckets: $buckets")
-    val hist = df.groupBy(col(valueCol).as("v")).agg(count(lit(1)).as("__cnt"))
+    // NULLs hold no position in the value order: the histogram groupBy
+    // would keep a NULL group that sorts FIRST, inflating every
+    // cumulative count (shifting all boundaries left) and potentially
+    // emitting a NULL boundary row that NPEs the histogramDrift-style
+    // collect. Percentiles are over the observed (non-null) values.
+    val hist = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(valueCol).as("v")).agg(count(lit(1)).as("__cnt"))
     val cum = Scale.rangeCumsum(hist, "v", "__cnt", "__cum", "__total")
     cum.select(col("v"), col("__cum"), col("__cnt"), col("__total"),
         explode(sequence(lit(1), lit(buckets - 1))).as("bucket"))

@@ -319,7 +319,12 @@ object Sampling {
       den: Long): DataFrame = {
     require(den > 0 && pLoNum >= 0 && pHiNum <= den && pLoNum <= pHiNum,
       s"need 0 <= $pLoNum <= $pHiNum <= $den")
-    val hist = df.groupBy(col(valueCol)).agg(count(lit(1)).as("__cnt"))
+    // NULL values hold no percentile position (same policy as
+    // equiDepthHistogram): they are excluded from the histogram — and
+    // thus from __total — rather than counted as below-minimum mass,
+    // and NULL rows never pass the between() filter below
+    val hist = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(valueCol)).agg(count(lit(1)).as("__cnt"))
     // distributed prefix sum over the distinct-value histogram: for a
     // continuous value column the histogram is corpus-sized, so the
     // cumsum must not plan the naive single-partition global window

@@ -849,9 +849,11 @@ object PipelineQueries extends QueryFamily {
          |        || ' ' || LEAD(tok, 3) OVER w AS ngram
          |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
          |oc0 AS (SELECT doc_id, pos, ngram FROM ng WHERE ngram IS NOT NULL),
-         |-- occurrence-level oversized-gram guard, mirroring the operator
+         |-- DOCUMENT-count oversized-gram guard, mirroring the operator
+         |big AS (SELECT ngram FROM (SELECT DISTINCT doc_id, ngram FROM oc0)
+         |        GROUP BY ngram HAVING COUNT(*) > 1000),
          |oc AS (SELECT doc_id, pos, ngram FROM oc0
-         |       QUALIFY COUNT(*) OVER (PARTITION BY ngram) <= 1000),
+         |       WHERE ngram NOT IN (SELECT ngram FROM big)),
          |-- shared occurrences on the diagonal pa - pb; consecutive pa on
          |-- one diagonal = one certified run (gaps-and-islands)
          |j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pa,

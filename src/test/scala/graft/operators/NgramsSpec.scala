@@ -185,4 +185,34 @@ class NgramsSpec extends SparkSpec {
     // min-count guard: nothing below 5 occurrences leaks in
     assert(out.forall(_._3 >= 5))
   }
+
+  test("wordNgrams: per-group ids don't interleave into cross-document grams") {
+    // two documents share id=1 but live in different carry groups (the
+    // boilerplateNgrams shape); the lead() window must partition by the
+    // FULL (id, carry) key or tokens from both docs interleave
+    val df = Seq(
+      (1L, "A", "the quick fox"),
+      (1L, "B", "lazy dog sleeps")
+    ).toDF("id", "site", "text")
+    val grams = Ngrams.wordNgrams(df, "id", "text", n = 2, carryCols = Seq("site"))
+      .filter($"ngram".isNotNull).select("site", "ngram")
+      .as[(String, String)].collect().toSet
+    assert(grams == Set(
+      ("A", "the quick"), ("A", "quick fox"),
+      ("B", "lazy dog"), ("B", "dog sleeps")), s"got $grams")
+  }
+
+  test("substringRuns: maxDocsPerGram counts documents, not occurrences") {
+    // one gram repeated 30 times inside each of TWO docs = 60 occurrence
+    // rows; a row-count guard at 50 would drop it even though only 2
+    // docs carry it — the pair's shared run must still be certified
+    val rep = Array.fill(30)("alpha beta gamma delta").mkString(" ")
+    val df = Seq((1L, rep), (2L, rep)).toDF("doc_id", "text")
+    val out = Ngrams.substringRuns(df, "doc_id", "text", n = 4,
+        minTokens = 4, maxDocsPerGram = 50)
+      .select("id_a", "id_b", "max_run_tokens")
+      .as[(Long, Long, Long)].collect()
+    assert(out.length == 1 && out.head._1 == 1L && out.head._2 == 2L)
+    assert(out.head._3 == 120L, s"expected the full 120-token run: ${out.head}")
+  }
 }
