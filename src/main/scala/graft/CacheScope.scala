@@ -41,6 +41,16 @@ object CacheScope {
     ds
   }
 
+  /** Register an ALREADY-persisted dataset for scoped release — for
+    * iterative operators that persist each round internally and hand the
+    * final round's cache to the caller (unpersisting a derived
+    * projection is a no-op, so without registration the last round's
+    * cache would outlive the session's interest in it). */
+  def adopt[T](ds: Dataset[T]): Dataset[T] = {
+    registry.put(nextId.incrementAndGet(), ds)
+    ds
+  }
+
   /** Number of scoped caches awaiting release (for footprint specs). */
   def retainedCount: Int = registry.size
 

@@ -48,7 +48,12 @@ object GzipCodec extends Serializable {
   def decompress(gzipped: Array[Byte], maxBytes: Long): Array[Byte] = {
     val in = new GZIPInputStream(new ByteArrayInputStream(gzipped), BufferSize)
     try {
-      val out = new ByteArrayOutputStream(gzipped.length * 3 + 64)
+      // initial-capacity hint only (the stream grows as needed): clamp —
+      // length * 3 wraps negative past ~715 MB input and a negative
+      // capacity would reject a legitimately large payload with an
+      // unrelated error instead of the documented maxBytes policy
+      val sizeHint = math.min(gzipped.length.toLong * 3 + 64, Int.MaxValue - 8).toInt
+      val out = new ByteArrayOutputStream(sizeHint)
       val buf = new Array[Byte](BufferSize)
       var n = in.read(buf)
       while (n >= 0) {

@@ -92,8 +92,13 @@ object TextStatsKernel extends Serializable {
   }
 
   /** Language pick: marker-word hit count per language over [\p{L}0-9]
-    * tokens of the lowercased text; max hits wins, ties take the first
-    * (alphabetically-lowest) language, zero hits → "und". */
+    * tokens of the lowercased text — with Han codepoints segmented as
+    * single-character tokens (CJK fallback segmentation: Han text has no
+    * separators, so a whole sentence would otherwise form ONE token that
+    * can never equal a single-character marker, leaving the zh arm dead
+    * on real Chinese input). Max hits wins, ties take the first
+    * (alphabetically-lowest) language, zero hits → "und". The SQL twins
+    * apply the identical rule by space-padding Han chars pre-split. */
   def langIdPick(s: UTF8String, model: LangIdModel): UTF8String = {
     val lower = s.toLowerCase.toString // match lower()'s Unicode case mapping
     val hits = new Array[Int](model.langs.length)
@@ -107,7 +112,9 @@ object TextStatsKernel extends Serializable {
     val n = lower.length
     while (i < n) {
       val cp = lower.codePointAt(i)
-      if (Character.isLetter(cp) || (cp >= '0' && cp <= '9')) sb.appendCodePoint(cp)
+      if (Character.UnicodeScript.of(cp) == Character.UnicodeScript.HAN) {
+        flush(); sb.appendCodePoint(cp); flush()
+      } else if (Character.isLetter(cp) || (cp >= '0' && cp <= '9')) sb.appendCodePoint(cp)
       else flush()
       i += Character.charCount(cp)
     }

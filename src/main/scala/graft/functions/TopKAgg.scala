@@ -3,7 +3,7 @@ package graft.functions
 import java.nio.ByteBuffer
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
@@ -24,9 +24,15 @@ case class TopKDoubles(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[TopKBuffer] {
+  extends TypedImperativeAggregate[TopKBuffer] with ImplicitCastInputTypes {
 
   require(k > 0, "k must be positive")
+
+  // declared input type so the analyzer CASTS a non-double numeric child
+  // (int/decimal) instead of letting update()'s asInstanceOf crash at
+  // runtime — the same contract every expression in this package carries
+  override def inputTypes: Seq[org.apache.spark.sql.graftbridge.CatalystBridge.AbstractType] =
+    Seq(DoubleType)
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false

@@ -117,6 +117,10 @@ object VectorOps extends Serializable {
     * packed little-endian into a long (planes.length <= 63). */
   def hyperplaneBucket(vec: ArrayData, planes: ArrayData): Long = {
     val n = planes.numElements()
+    // 1L << p wraps modulo 64: plane 64 would silently alias onto plane
+    // 0's bit, degrading LSH recall with no error anywhere — enforce the
+    // documented bound instead
+    require(n <= 63, s"hyperplane_bucket supports at most 63 planes, got $n")
     var b = 0L
     var p = 0
     while (p < n) {

@@ -108,6 +108,11 @@ object Components {
       iter += 1
     }
     sym.unpersist()
+    // the final round's cache lives on inside the returned plan and a
+    // caller's unpersist on the projection would be a no-op — register
+    // it for scoped release instead of leaking one |V|-row cache per
+    // invocation for the application lifetime
+    graft.CacheScope.adopt(labelsM)
     labels
   }
 
@@ -176,13 +181,23 @@ object Components {
         .union(j.select(col("m").as("u"), col("c").as("v")))
         .distinct()
     }
-    var e = materialize(
+    // e0 holds the canonical distinct edges INCLUDING self-loops: the
+    // star rewrite works on proper edges only, but a node whose only
+    // edge is a self-loop is still "a node appearing in at least one
+    // edge" per the output contract shared with connectedComponents —
+    // dropping it here would silently shrink the returned node set.
+    val e0 = materialize(
       edges.select(
         least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v"))
-        .filter(col("u") =!= col("v"))
         .distinct())
+    var e = materialize(e0.filter(col("u") =!= col("v")))
+    val selfLoops = materialize(
+      e0.filter(col("u") === col("v")).select(col("u").as("id")).distinct())
+    // force the tiny self-loop set now so e0 can release before the loop
+    selfLoops.count()
     var sig = signature(e)
+    e0.unpersist()
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -198,7 +213,17 @@ object Components {
     val labels = e.select(col("v").as("id"), col("u").as("component"))
       .union(e.select(col("u").as("id"), col("u").as("component")))
       .distinct()
-    labels
+    // self-loop-only nodes are their own components; nodes with proper
+    // edges are already labeled (anti-join keeps the sets disjoint)
+    val extra = selfLoops
+      .join(labels.select(col("id")), Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("component"))
+    // final round's cache + the self-loop set outlive this call inside
+    // the returned plan — register for scoped release (a caller's
+    // unpersist on the derived projection would be a no-op)
+    graft.CacheScope.adopt(e)
+    graft.CacheScope.adopt(selfLoops)
+    labels.union(extra)
   }
 
   /**

@@ -87,6 +87,44 @@ object TraceExport {
     * high-ratio payload kill an executor. Strict semantics, matching the
     * reference's abort-on-corrupt policy: an over-budget row fails the
     * export. */
+  /** The shared filter→decompress→project chain of every export variant —
+    * ONE definition, so a guard added to the flagship cannot drift out of
+    * the scale/streaming twins (the maxPayloadBytes bound had done
+    * exactly that). Time bounds enter as `LocalDateTime` literals
+    * (TimestampNTZType directly): a `java.sql.Timestamp` literal is an
+    * LTZ instant whose NTZ cast re-reads the wall clock through the
+    * SESSION timezone — with JVM default ≠ session tz the window would
+    * silently shift by the zone offset against the NTZ startTime column.
+    * `toLocalDateTime` keeps the caller's wall clock exactly. */
+  /** The IN-list + closed time-range filter shared by every export
+    * variant — ONE definition, so the variants cannot drift (the
+    * maxPayloadBytes bound had drifted out of two of the three). Time
+    * bounds enter as `LocalDateTime` literals (TimestampNTZType
+    * directly): a `java.sql.Timestamp` literal is an LTZ instant whose
+    * NTZ cast re-reads the wall clock through the SESSION timezone —
+    * with JVM default ≠ session tz the window would silently shift by
+    * the zone offset against the NTZ startTime column; `toLocalDateTime`
+    * keeps the caller's wall clock exactly. */
+  private def filtered(
+      trace: DataFrame,
+      ids: Seq[Long],
+      start: Timestamp,
+      end: Timestamp): DataFrame =
+    trace
+      .filter(col("paramIndex").isin(ids: _*))
+      .filter(col("startTime") >= lit(start.toLocalDateTime)
+        && col("startTime") <= lit(end.toLocalDateTime))
+
+  /** The output projection shared by every export variant — applied
+    * AFTER any sort, so an exchange carries the compressed bytes, never
+    * the inflated text. */
+  private def outputProjection(maxPayloadBytes: Long): Seq[org.apache.spark.sql.Column] =
+    Seq(
+      col("paramIndex"),
+      col("startTime"),
+      col("endTime"),
+      gunzip_string(col("traceData"), maxBytes = maxPayloadBytes).as("traceData"))
+
   def export(
       trace: DataFrame,
       ids: Seq[Long],
@@ -104,36 +142,29 @@ object TraceExport {
       return trace.sparkSession.createDataFrame(
         trace.sparkSession.sparkContext.emptyRDD[Row], outputSchema)
     }
-    trace
-      .filter(col("paramIndex").isin(ids: _*))
-      .filter(col("startTime") >= lit(start).cast(TimestampNTZType)
-        && col("startTime") <= lit(end).cast(TimestampNTZType))
+    filtered(trace, ids, start, end)
       .orderBy(col("paramIndex").asc, col("startTime").asc)
-      .select(
-        col("paramIndex"),
-        col("startTime"),
-        col("endTime"),
-        gunzip_string(col("traceData"), maxBytes = maxPayloadBytes).as("traceData"))
+      .select(outputProjection(maxPayloadBytes): _*)
   }
 
   /** Scale-path variant: no global sort (range exchange) — cluster within
     * output partitions only. Preferred at 100 TB where a total order across
-    * files buys nothing. */
-  def exportUnordered(trace: DataFrame, ids: Seq[Long], start: Timestamp, end: Timestamp): DataFrame = {
+    * files buys nothing. Carries the same decompression-bomb bound as
+    * [[export]] — the scale path over third-party traces is exactly where
+    * one hostile high-ratio payload must not kill an executor. */
+  def exportUnordered(
+      trace: DataFrame,
+      ids: Seq[Long],
+      start: Timestamp,
+      end: Timestamp,
+      maxPayloadBytes: Long = Long.MaxValue): DataFrame = {
     require(!start.after(end), s"startTime must be before endTime: $start > $end")
     if (ids.isEmpty)
       return trace.sparkSession.createDataFrame(
         trace.sparkSession.sparkContext.emptyRDD[Row], outputSchema)
-    trace
-      .filter(col("paramIndex").isin(ids: _*))
-      .filter(col("startTime") >= lit(start).cast(TimestampNTZType)
-        && col("startTime") <= lit(end).cast(TimestampNTZType))
+    filtered(trace, ids, start, end)
       .sortWithinPartitions(col("paramIndex"), col("startTime"))
-      .select(
-        col("paramIndex"),
-        col("startTime"),
-        col("endTime"),
-        gunzip_string(col("traceData")).as("traceData"))
+      .select(outputProjection(maxPayloadBytes): _*)
   }
 
   /** Streaming flagship: the same filter→decompress→project chain over an
@@ -143,17 +174,15 @@ object TraceExport {
     * Structured Streaming); downstream windows/sessions impose event-time
     * order where needed. Continuous-export twin of the reference's
     * request-triggered endpoint. */
-  def exportStream(trace: DataFrame, ids: Seq[Long], start: Timestamp, end: Timestamp): DataFrame = {
+  def exportStream(
+      trace: DataFrame,
+      ids: Seq[Long],
+      start: Timestamp,
+      end: Timestamp,
+      maxPayloadBytes: Long = Long.MaxValue): DataFrame = {
     require(!start.after(end), s"startTime must be before endTime: $start > $end")
-    trace
-      .filter(col("paramIndex").isin(ids: _*))
-      .filter(col("startTime") >= lit(start).cast(TimestampNTZType)
-        && col("startTime") <= lit(end).cast(TimestampNTZType))
-      .select(
-        col("paramIndex"),
-        col("startTime"),
-        col("endTime"),
-        gunzip_string(col("traceData")).as("traceData"))
+    filtered(trace, ids, start, end)
+      .select(outputProjection(maxPayloadBytes): _*)
   }
 
   /** K1 sink. The reference materializes ONE in-memory parquet byte[]
@@ -169,11 +198,8 @@ object TraceExport {
     val sink = if (singleFile) result.coalesce(1) else result
     sink.write.mode("overwrite").parquet(path)
     // cheap emptiness check on the written artifact (no double compute of
-    // the full plan — metadata-only count over parquet footers)
-    result.sparkSession.read.parquet(path).isEmpty match {
-      case true  => false
-      case false => true
-    }
+    // the full plan — a limit-1 probe of the written files)
+    !result.sparkSession.read.parquet(path).isEmpty
   }
 
   /** Typed output row — the ParameterRecord Avro analog as a case class

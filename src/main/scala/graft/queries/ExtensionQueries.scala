@@ -1259,7 +1259,9 @@ object ExtensionQueries extends QueryFamily {
   private lazy val langPredSql: String = {
     val langs = graft.operators.TextAnalysis.langMarkers.toSeq.sortBy(_._1)
     val tokCol =
-      """LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '[^\p{L}0-9]+'), x -> LEN(x) > 0)"""
+      """LIST_FILTER(STRING_SPLIT_REGEX(
+        |  REGEXP_REPLACE(LOWER(text), '(\p{Han})', ' \1 ', 'g'),
+        |  '[^\p{L}0-9]+'), x -> LEN(x) > 0)""".stripMargin
     val hitCols = langs.map { case (l, ms) =>
       s"LEN(LIST_FILTER($tokCol, x -> x IN (${ms.map(m => s"'$m'").mkString(", ")}))) AS h_$l"
     }.mkString(",\n  ")
@@ -1279,7 +1281,9 @@ object ExtensionQueries extends QueryFamily {
   private def langMixedSqlFrom(rel: String): String = {
     val langs = graft.operators.TextAnalysis.langMarkers.toSeq.sortBy(_._1)
     def tokCol(c: String) =
-      s"""LIST_FILTER(STRING_SPLIT_REGEX(LOWER($c), '[^\\p{L}0-9]+'), x -> LEN(x) > 0)"""
+      s"""LIST_FILTER(STRING_SPLIT_REGEX(
+         |  REGEXP_REPLACE(LOWER($c), '(\\p{Han})', ' \\1 ', 'g'),
+         |  '[^\\p{L}0-9]+'), x -> LEN(x) > 0)""".stripMargin
     def hitCols(c: String, sfx: String) = langs.map { case (l, ms) =>
       s"LEN(LIST_FILTER(${tokCol(c)}, x -> x IN (${ms.map(m => s"'$m'").mkString(", ")}))) AS h${sfx}_$l"
     }.mkString(",\n  ")
@@ -1823,7 +1827,9 @@ object ExtensionQueries extends QueryFamily {
     "pipeline_corpus" -> {
       val langs = graft.operators.TextAnalysis.langMarkers.toSeq.sortBy(_._1)
       val langTok =
-        """LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '[^\p{L}0-9]+'), x -> LEN(x) > 0)"""
+        """LIST_FILTER(STRING_SPLIT_REGEX(
+        |  REGEXP_REPLACE(LOWER(text), '(\p{Han})', ' \1 ', 'g'),
+        |  '[^\p{L}0-9]+'), x -> LEN(x) > 0)""".stripMargin
       val hitCols = langs.map { case (l, ms) =>
         s"LEN(LIST_FILTER($langTok, x -> x IN (${ms.map(m => s"'$m'").mkString(", ")}))) AS h_$l"
       }.mkString(",\n  ")

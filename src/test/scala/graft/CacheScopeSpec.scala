@@ -18,9 +18,12 @@ class CacheScopeSpec extends SparkSpec {
 
     // one query per cache-scoped site: jaccardJoin (Dedup ×2),
     // collocations (Ngrams), pairRules (Assoc), rollingActive (Temporal),
-    // ivfPqTopK (Similarity)
+    // ivfPqTopK (Similarity), plus the CC family whose final-round
+    // label caches are ADOPTED into the scope (pre-fix they leaked one
+    // |V|-row cache per invocation, unreleasable by callers)
     val names = Seq("dedup_jaccard_join", "text_collocations", "assoc_rules",
-      "rolling_active", "sim_topk_ivfpq")
+      "rolling_active", "sim_topk_ivfpq", "dedup_groups_cc",
+      "dedup_groups_cc_stars")
     names.foreach { n =>
       SparkEntry.queries(n)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()

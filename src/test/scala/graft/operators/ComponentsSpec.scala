@@ -55,6 +55,17 @@ class ComponentsSpec extends SparkSpec {
     assert(hub.values.toSet == Set(9L) && hub.keySet == Set(9L, 10L, 11L, 12L, 13L))
   }
 
+  test("stars: self-loop-only nodes keep the connectedComponents node contract") {
+    // node 9's only edge is (9,9): both algorithms must return it as its
+    // own component — stars' u =!= v normalization used to drop it
+    val edges = Seq((1L, 2L), (9L, 9L), (2L, 9L), (7L, 7L))
+    val viaStars = ccStars(edges)
+    val viaLabels = cc(edges)
+    assert(viaStars == Map(1L -> 1L, 2L -> 1L, 9L -> 1L, 7L -> 7L))
+    assert(viaStars == viaLabels,
+      s"output contracts diverged: stars $viaStars vs labels $viaLabels")
+  }
+
   test("stars: 64-node chain converges within the round budget") {
     val edges = (1L until 64L).map(i => (i, i + 1))
     val got = ccStars(edges, maxIter = 15)

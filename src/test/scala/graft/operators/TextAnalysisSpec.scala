@@ -58,6 +58,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(preds(4L) == "und")
   }
 
+  test("langId classifies continuous Chinese text (Han chars segment as tokens)") {
+    // no separators anywhere — without per-character Han segmentation
+    // the whole sentence is ONE token that hash-misses every marker and
+    // the zh arm is dead on real Chinese input
+    val df = Seq(
+      (1L, "我的书在这里是不是很有意思"),
+      (2L, "mixed 的是和 with english the and of to is with that for")
+    ).toDF("doc_id", "text")
+    val preds = TextAnalysis.langId(df, "text")
+      .select("doc_id", "pred_lang").as[(Long, String)].collect().toMap
+    assert(preds(1L) == "zh", s"continuous Han text must classify zh: $preds")
+    assert(preds(2L) == "en") // 8 en marker hits beat 3 zh hits
+  }
+
   test("fused text_stats/lang_id kernels equal the composed HOF path on the fixture") {
     // the HOF formulations the kernels replaced, re-built inline as the
     // semantic reference — run over the REAL multilingual fixture plus
