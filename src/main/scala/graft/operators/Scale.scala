@@ -40,7 +40,12 @@ object Scale {
       saltFactor: Int,
       saltExpr: Column): DataFrame = {
     require(saltFactor > 0, "saltFactor must be positive")
-    val l = large.withColumn("__salt", pmod(saltExpr, lit(saltFactor)).cast("int"))
+    // coalesce: a NULL-evaluating saltExpr would give a NULL salt, and
+    // the equi-join on (key, __salt) would silently DROP those large-side
+    // rows even when their key matches — salt bucket 0 keeps them, with
+    // identical join semantics to the unsalted form
+    val l = large.withColumn("__salt",
+      coalesce(pmod(saltExpr, lit(saltFactor)).cast("int"), lit(0)))
     val s = small.withColumn("__salt",
       explode(sequence(lit(0), lit(saltFactor - 1)).cast("array<int>")))
     l.join(s, Seq(key, "__salt")).drop("__salt")

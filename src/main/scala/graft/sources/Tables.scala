@@ -62,6 +62,12 @@ object Tables {
     * vectorized reader ([PARQUET_TYPE_ILLEGAL]) unless read as raw longs
     * (legacy mode) and truncated ns→µs. */
   def events(s: SparkSession, d: String): DataFrame = {
+    // session-wide by necessity (the reader consults SQLConf at scan
+    // planning, not a per-read option). Deliberate, narrow side effect:
+    // the flag only changes behavior for TIMESTAMP(NANOS) parquet, which
+    // Spark otherwise refuses to read at all ([PARQUET_TYPE_ILLEGAL]) —
+    // it turns a hard error into a long column, never alters a readable
+    // file's result.
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     castIfPresent(normalizeTs(table(s, d, "events"), "ts"),
       "event_id" -> "bigint", "user_id" -> "bigint",

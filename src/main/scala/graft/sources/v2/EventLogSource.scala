@@ -77,8 +77,13 @@ object EventLogSource {
 }
 
 /** Per-partition offsets (index = partition id), JSON-serialized for the
-  * checkpoint log. */
-case class EventLogOffset(offsets: Array[Long]) extends Offset {
+  * checkpoint log. Offsets are a Seq, NOT an Array: the case-class
+  * equals a wrapped Array generates is reference equality, which would
+  * override the connector Offset base class's deliberate json()-based
+  * equals — and the engine compares offsets with Object.equals (e.g.
+  * MicroBatchExecution.isNewDataAvailable), so a live offset vs a
+  * checkpoint-deserialized twin would spuriously read as "new data". */
+case class EventLogOffset(offsets: Seq[Long]) extends Offset {
   override def json(): String = offsets.mkString("[", ",", "]")
 }
 
@@ -86,7 +91,8 @@ object EventLogOffset {
   def parse(json: String): EventLogOffset = {
     val body = json.trim.stripPrefix("[").stripSuffix("]")
     EventLogOffset(
-      if (body.isEmpty) Array.empty else body.split(",").map(_.trim.toLong))
+      if (body.isEmpty) Seq.empty
+      else body.split(",").toIndexedSeq.map(_.trim.toLong))
   }
 }
 
@@ -133,7 +139,7 @@ class EventLogMicroBatchStream(
     extends MicroBatchStream with SupportsAdmissionControl {
 
   override def initialOffset(): Offset =
-    EventLogOffset(Array.fill(partitions)(0L))
+    EventLogOffset(Seq.fill(partitions)(0L))
 
   override def deserializeOffset(json: String): Offset =
     EventLogOffset.parse(json)
@@ -151,7 +157,7 @@ class EventLogMicroBatchStream(
 
   /** True high-watermark (for lag metrics), independent of rate limits. */
   override def reportLatestOffset(): Offset =
-    EventLogOffset(Array.fill(partitions)(total))
+    EventLogOffset(Seq.fill(partitions)(total))
 
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(

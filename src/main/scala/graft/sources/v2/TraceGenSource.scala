@@ -93,13 +93,18 @@ class TraceGenScanBuilder(rows: Long, nParams: Long, partitions: Int)
   private var required: StructType = TraceGenSource.schema
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    // accept paramIndex predicates (we evaluate them exactly); everything
-    // else stays with Spark
+    // accept ONLY the paramIndex predicate shapes the reader evaluates
+    // EXACTLY — an accepted filter leaves Spark's residual, so nothing
+    // re-checks it post-scan; accepting e.g. an In containing NULL and
+    // then approximating it would return rows the filter excludes
+    // (IN (1, NULL) matches only param = 1 in SQL)
+    def isLongVal(v: Any): Boolean =
+      v.isInstanceOf[Long] || v.isInstanceOf[java.lang.Long]
     val (accepted, residual) = filters.partition {
-      case EqualTo("paramIndex", _) => true
-      case In("paramIndex", _) => true
-      case GreaterThanOrEqual("paramIndex", _) => true
-      case LessThanOrEqual("paramIndex", _) => true
+      case EqualTo("paramIndex", v) => isLongVal(v)
+      case In("paramIndex", vs) => vs != null && vs.forall(isLongVal)
+      case GreaterThanOrEqual("paramIndex", v) => isLongVal(v)
+      case LessThanOrEqual("paramIndex", v) => isLongVal(v)
       case _ => false
     }
     pushed = accepted
@@ -124,14 +129,15 @@ case class TraceGenScan(
   override def description(): String =
     s"TraceGenScan(rows=$rows, PushedFilters=${pushed.mkString("[", ", ", "]")})"
 
+  // pushFilters only accepts long-valued shapes, so every case here is
+  // exact; the catch-alls stay CONSERVATIVE (keep the partition) because
+  // pruning may only ever drop partitions that provably cannot match
   private def paramRangeMatches(lo: Long, hi: Long): Boolean =
     pushed.forall {
       case EqualTo("paramIndex", v: Long) => v >= lo && v <= hi
-      case EqualTo("paramIndex", v: java.lang.Long) => v >= lo && v <= hi
       case In("paramIndex", vs) => vs.exists {
         case v: Long => v >= lo && v <= hi
-        case v: java.lang.Long => v >= lo && v <= hi
-        case _ => true
+        case _ => false
       }
       case GreaterThanOrEqual("paramIndex", v: Long) => hi >= v
       case LessThanOrEqual("paramIndex", v: Long) => lo <= v
@@ -183,15 +189,14 @@ class TraceGenReader(
 
   private def keep(param: Long): Boolean = pushed.forall {
     case EqualTo("paramIndex", v: Long) => param == v
-    case EqualTo("paramIndex", v: java.lang.Long) => param == v.longValue()
     case In("paramIndex", vs) => vs.exists {
       case v: Long => param == v
-      case v: java.lang.Long => param == v.longValue()
-      case _ => true
+      case _ => false // unreachable: pushFilters rejects non-long elements
     }
     case GreaterThanOrEqual("paramIndex", v: Long) => param >= v
     case LessThanOrEqual("paramIndex", v: Long) => param <= v
-    case _ => true
+    case other => throw new IllegalStateException(
+      s"filter accepted by pushFilters but not evaluable here: $other")
   }
 
   override def next(): Boolean = {

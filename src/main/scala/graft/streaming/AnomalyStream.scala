@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /**
  * Streaming twin of [[graft.operators.Anomaly.zscoreFlags]]: continuous
@@ -59,6 +60,13 @@ object AnomalyStream extends Serializable {
     events
       .selectExpr(s"$keyCol AS series", s"$idCol AS event_id",
         s"$tsCol AS ts", s"$valueCol AS value")
+      // a NULL value row would fail the non-nullable tuple encoder and
+      // turn one poison row into a forever-replaying micro-batch; the
+      // batch twin never FLAGS such a row (every comparison against a
+      // null cents is false), so dropping it here keeps the flag sets
+      // identical while the stream stays alive
+      .filter(col("value").isNotNull && col("ts").isNotNull &&
+        col("event_id").isNotNull)
       .as[(String, Long, java.time.Instant, Double)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[Ring, AnomalyFlag](
@@ -77,6 +85,13 @@ object AnomalyStream extends Serializable {
             // exact-half-cent values (−0.125 → −13 here, −12 there).
             val x = java.math.BigDecimal.valueOf(v * 100)
               .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+            // the batch operator's third overflow-envelope leg, enforced
+            // with the same fail-loud policy (Anomaly.zscoreFlags): past
+            // 1e6 cents x·x silently wraps BIGINT here and the
+            // cross-multiplied comparison would emit inverted flags
+            require(math.abs(x) <= 1000000L,
+              s"anomalyStream: |$valueCol|·100 = $x exceeds the 1e6-cent " +
+                "overflow envelope (see Anomaly.zscoreFlags); rescale the metric")
             val win = hist.takeRight(windowRows - 1) :+ x
             val n = win.length.toLong
             if (n >= minObs) {

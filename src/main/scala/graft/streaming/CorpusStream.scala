@@ -94,11 +94,21 @@ object CorpusStream {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val sp = batch.sparkSession
-        val priorDirs = Option(new java.io.File(path).listFiles())
-          .getOrElse(Array.empty[java.io.File])
-          .filter(f => f.getName.startsWith("batch=") &&
-            f.getName.stripPrefix("batch=").toLong < batchId)
-          .map(_.getAbsolutePath)
+        // list prior batch dirs through the Hadoop FileSystem (the
+        // ShardSink/ShardReader pattern): java.io.File silently returns
+        // nothing on hdfs://-s3a://-style paths, which would skip the
+        // cross-batch dedup entirely — every batch re-admitted against
+        // only the standing set, no error anywhere
+        val fsPath = new org.apache.hadoop.fs.Path(path)
+        val fs = fsPath.getFileSystem(sp.sparkContext.hadoopConfiguration)
+        val priorDirs =
+          (if (fs.exists(fsPath)) fs.listStatus(fsPath).toSeq else Seq.empty)
+            .filter { st =>
+              val n = st.getPath.getName
+              st.isDirectory && n.startsWith("batch=") &&
+                n.stripPrefix("batch=").toLong < batchId
+            }
+            .map(_.getPath.toString)
         val base = standing.select(col("vec_id"), col("embedding"))
         val existing =
           if (priorDirs.isEmpty) base
@@ -161,8 +171,11 @@ object CorpusStream {
       .withColumn("digest", md5(col("text")))
       // project BEFORE the stateful dedup: the streaming dedup operator's
       // state schema is resolved against its input, and a post-dedup
-      // projection can fail attribute binding (observed on Spark 4.1)
-      .select(col("doc_id"), col("digest"), col("n_tokens"))
+      // projection can fail attribute binding (observed on Spark 4.1).
+      // `text` rides along — the scaladoc wiring
+      // indexDocsStream(cleanIngest(...)) needs it, and dropping it here
+      // made that documented composition fail analysis on every batch
+      .select(col("doc_id"), col("digest"), col("n_tokens"), col("text"))
       .dropDuplicates("digest")
 
   /** Streaming twin of [[TextAnalysis.logitQuality]]'s keep-filter: the

@@ -43,6 +43,8 @@ object EventStreams extends Serializable {
         s"with the batch reader, but the session pins '$tz' — set UTC at " +
         "session build (all graft entry points do) rather than relying on " +
         "this read to rewrite shared session state")
+    // deliberate narrow session side effect — see Tables.events: the flag
+    // only affects NANOS parquet, which is otherwise unreadable outright
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val fileSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
     // file-stream sources need a directory; glob-filter the events table
@@ -140,13 +142,25 @@ object EventStreams extends Serializable {
   /**
    * Streaming session assembly via `flatMapGroupsWithState` with an
    * event-time timeout — the full custom-state API: sessions that span
-   * micro-batches live in the state store; a session closes either when a
-   * later event in the same batch exceeds the gap (emitted immediately)
-   * or when the watermark passes its end + gap (emitted by the timeout
-   * callback). State per user is one open session — O(users), bounded.
-   * (session_window expresses this too; this is the escape hatch shape
-   * for semantics it can't, e.g. per-session early triggers or custom
-   * close conditions.)
+   * micro-batches live in the state store; a session closes once the
+   * watermark passes its end + gap (no earlier event can then join it —
+   * the stateful operator drops rows below the watermark). State per
+   * user is the list of OPEN sessions — usually one, more only while a
+   * late-but-admissible event opens an earlier interval that the
+   * watermark has not yet sealed; all are bounded by the watermark
+   * delay, so state stays O(users × delay/gap).
+   *
+   * Merging is interval-based, not tail-append: each event either lands
+   * within `gap` of an existing open interval (extending EITHER end —
+   * an admissible late event earlier than the session start widens
+   * session_start, matching the batch twin) or opens a new interval,
+   * and intervals that come within the gap of each other merge. A
+   * tail-append formulation would fold ANY older event into the open
+   * session (ts − end is negative, trivially ≤ gap) and never lower
+   * the start — silently diverging from batch parity on cross-batch
+   * late arrivals. (session_window expresses sessions too; this is the
+   * escape hatch shape for semantics it can't, e.g. per-session early
+   * triggers or custom close conditions.)
    */
   def sessionsWithState(
       spark: SparkSession,
@@ -160,6 +174,26 @@ object EventStreams extends Serializable {
     def close(s: OpenSession, user: Long): ClosedSession =
       ClosedSession(user, instant(s.startUs), instant(s.endUs), s.nEvents, s.sumValue)
 
+    // emit the sessions the watermark has sealed; keep the rest in state
+    // with the timeout on the earliest still-open close point, clamped
+    // ABOVE the watermark (setTimeoutTimestamp at or below the current
+    // watermark throws and the failed batch would replay forever — a
+    // session already sealed by this batch's watermark closes here, not
+    // via a below-watermark timeout)
+    def drain(user: Long, sessions: Seq[OpenSession],
+        state: GroupState[Seq[OpenSession]]): Iterator[ClosedSession] = {
+      val wmMs = state.getCurrentWatermarkMs()
+      val (done, stillOpen) =
+        sessions.partition(s => (s.endUs + gapUs) / 1000 <= wmMs)
+      if (stillOpen.isEmpty) state.remove()
+      else {
+        state.update(stillOpen)
+        val t = stillOpen.map(s => (s.endUs + gapUs) / 1000).min
+        state.setTimeoutTimestamp(math.max(t, wmMs + 1))
+      }
+      done.sortBy(_.startUs).map(close(_, user)).iterator
+    }
+
     events
       .withWatermark("ts", watermark)
       // keep `ts` a timestamp column — converting it here would strip the
@@ -167,34 +201,29 @@ object EventStreams extends Serializable {
       .selectExpr("user_id", "ts", "value")
       .as[(Long, java.time.Instant, Double)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState[OpenSession, ClosedSession](
+      .flatMapGroupsWithState[Seq[OpenSession], ClosedSession](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (user, rows: Iterator[(Long, java.time.Instant, Double)], state: GroupState[OpenSession]) =>
+        (user, rows: Iterator[(Long, java.time.Instant, Double)],
+            state: GroupState[Seq[OpenSession]]) =>
           if (state.hasTimedOut) {
-            val out = state.getOption.map(close(_, user))
-            state.remove()
-            out.iterator
+            drain(user, state.getOption.getOrElse(Seq.empty), state)
           } else {
-            // fold this batch's rows (sorted by event time) into sessions
-            val sorted = rows.map { case (_, i, v) => (us(i), v) }.toSeq.sortBy(_._1)
-            var open = state.getOption
-            val closed = Seq.newBuilder[ClosedSession]
-            sorted.foreach { case (ts, v) =>
-              open match {
-                case Some(s) if ts - s.endUs <= gapUs =>
-                  open = Some(s.copy(endUs = math.max(s.endUs, ts), nEvents = s.nEvents + 1, sumValue = s.sumValue + v))
-                case Some(s) =>
-                  closed += close(s, user)
-                  open = Some(OpenSession(ts, ts, 1L, v))
-                case None =>
-                  open = Some(OpenSession(ts, ts, 1L, v))
+            // every event is a unit interval; sweep-merge the union of
+            // state's open intervals and this batch's, joining any two
+            // within `gap` of each other
+            val pts = rows.map { case (_, i, v) =>
+              OpenSession(us(i), us(i), 1L, v) }.toSeq
+            val all = (state.getOption.getOrElse(Seq.empty) ++ pts)
+              .sortBy(_.startUs)
+            val merged = all.foldLeft(List.empty[OpenSession]) { (acc, s) =>
+              acc match {
+                case h :: t if s.startUs - h.endUs <= gapUs =>
+                  OpenSession(h.startUs, math.max(h.endUs, s.endUs),
+                    h.nEvents + s.nEvents, h.sumValue + s.sumValue) :: t
+                case _ => s :: acc
               }
-            }
-            open.foreach { s =>
-              state.update(s)
-              state.setTimeoutTimestamp((s.endUs + gapUs) / 1000) // millis
-            }
-            closed.result().iterator
+            }.reverse
+            drain(user, merged, state)
           }
       }
       .toDF()
