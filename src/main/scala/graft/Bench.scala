@@ -43,7 +43,12 @@ object Bench {
       "agg_approx_distinct" -> (graft.queries.AnalyticsQueries.aggApproxDistinctBench _),
       "agg_hll_sketch" -> (graft.queries.AnalyticsQueries.aggHllSketchBench _),
       "agg_hll_union" -> (graft.queries.AnalyticsQueries.aggHllUnionBench _))
-    def selected = (SparkEntry.queries ++ benchOverrides).filter {
+    // a rename in the registry must not leave an orphan override timing
+    // a stale twin under a name the Verify surface no longer carries
+    require(benchOverrides.keySet.subsetOf(SparkEntry.queries.keySet),
+      s"bench overrides for unregistered queries: " +
+        (benchOverrides.keySet -- SparkEntry.queries.keySet).mkString(", "))
+    val selected = (SparkEntry.queries ++ benchOverrides).filter {
       case (name, _) => only.forall(_.contains(name))
     }
     val spark = SparkSession.builder()
@@ -63,7 +68,8 @@ object Bench {
     val warmDir = "/root/testdata/sf0.001"
     selected.foreach { case (_, fn) =>
       try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] warm-up failed (continuing): $e") }
     }
     CacheScope.releaseAll() // drop warm-up-scoped operator caches
 
@@ -153,12 +159,16 @@ object Bench {
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
           catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); false }
         val wall = (System.nanoTime() - t0) / 1e9
+        // process-CPU delta snapshots HERE, before the drain and cache
+        // release: CPU burned by those (GC, eviction, C2) would inflate
+        // the stall-test denominator and let a steal-stalled query
+        // escape the re-measure pass
+        val proc = osBean.map(b => (b.getProcessCpuTime - p0) / 1e9).getOrElse(0.0)
         drainTaskEvents()
         // release operator-scoped caches: keeps the storage footprint
         // flat across the sweep AND makes re-measure passes fair (a
         // second pass must rebuild the cache, not reuse the first's)
         CacheScope.releaseAll()
-        val proc = osBean.map(b => (b.getProcessCpuTime - p0) / 1e9).getOrElse(0.0)
         (wall, (cpuNs.get - c0) / 1e9, proc, ok)
       }
       // Transient host stalls (CPU steal on the shared box) inflate single
@@ -187,6 +197,11 @@ object Bench {
     // (env-sourced paths, query names): backslash, quote, control chars.
     // jesc escapes content for use inside an already-quoted literal;
     // jstr produces the full quoted literal.
+    // ROOT-locale numeric rendering: the f interpolator uses the JVM
+    // default locale, so a comma-decimal locale (de_DE, fr_FR) would
+    // render 12,345 and make every line unparseable JSON
+    def num3(d: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
     def jesc(s: String): String = s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"
@@ -200,17 +215,17 @@ object Bench {
     // failed queries report -1 (not their near-zero abort time) and are
     // listed in "failed", so a regression can't silently shrink the total
     val qs = results.map { case (k, w, _, ok) =>
-      jstr(k) + ":" + (if (ok) f"$w%.3f" else "-1")
+      jstr(k) + ":" + (if (ok) num3(w) else "-1")
     }.mkString("{", ",", "}")
     val cpus_ = results.map { case (k, _, c, ok) =>
-      jstr(k) + ":" + (if (ok) f"$c%.3f" else "-1")
+      jstr(k) + ":" + (if (ok) num3(c) else "-1")
     }.mkString("{", ",", "}")
     val failedNames = results.collect { case (k, _, _, false) => k }
     val failed = failedNames.map(jstr).mkString("[", ",", "]")
     val total = results.collect { case (_, w, _, true) => w }.sum
     val cpuTotal = results.collect { case (_, _, c, true) => c }.sum
     val fullLine =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","cpu_total":$cpuTotal%.3f,"queries":$qs,"cpu":$cpus_,"sf":${jstr(sfDir)},"failed":$failed}"""
+      s"""{"metric":"total","value":${num3(total)},"unit":"sec","cpu_total":${num3(cpuTotal)},"queries":$qs,"cpu":$cpus_,"sf":${jstr(sfDir)},"failed":$failed}"""
     // The harness keeps only the LAST ~2000 characters of stdout; the
     // full per-query line is ~8 KB, so on its own it is always truncated
     // mid-map and unparseable (BENCH_r01..r05 all carry "parsed": null).
@@ -224,15 +239,15 @@ object Bench {
     catch { case e: Throwable => System.err.println(s"[bench] full-dump write failed: $e") }
     println(fullLine)
     val slow = results.filter(_._4).sortBy(-_._2).take(20)
-    val slowQs = slow.map { case (k, w, _, _) => jstr(k) + ":" + f"$w%.3f" }
+    val slowQs = slow.map { case (k, w, _, _) => jstr(k) + ":" + num3(w) }
       .mkString("{", ",", "}")
-    val slowCpu = slow.map { case (k, _, c, _) => jstr(k) + ":" + f"$c%.3f" }
+    val slowCpu = slow.map { case (k, _, c, _) => jstr(k) + ":" + num3(c) }
       .mkString("{", ",", "}")
     // Compact line must survive a ~2000-char tail window even on a
     // worst-case run: cap the failed list at 10 names + a count (the full
     // list is always in the full-line artifact above).
     val failedCompact = failedNames.take(10).map(jstr).mkString("[", ",", "]")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","cpu_total":$cpuTotal%.3f,"n_queries":${results.size},"n_failed":${failedNames.size},"queries":$slowQs,"cpu":$slowCpu,"note":"20 slowest; full map in ${jesc(outPath)}","sf":${jstr(sfDir)},"failed":$failedCompact}""")
+    println(s"""{"metric":"total","value":${num3(total)},"unit":"sec","cpu_total":${num3(cpuTotal)},"n_queries":${results.size},"n_failed":${failedNames.size},"queries":$slowQs,"cpu":$slowCpu,"note":"20 slowest; full map in ${jesc(outPath)}","sf":${jstr(sfDir)},"failed":$failedCompact}""")
     spark.stop()
   }
 }

@@ -23,7 +23,10 @@ object Queries {
     PipelineQueries,
     RetrievalQueries)
 
-  def all: Map[String, (SparkSession, String) => DataFrame] = {
+  // lazy vals, not defs: the registries are immutable and every access
+  // previously re-ran the merge + duplicate validation (Bench/Verify/
+  // Explain each touch these several times at startup)
+  lazy val all: Map[String, (SparkSession, String) => DataFrame] = {
     val entries = families.flatMap(_.queries)
     val dups = entries.groupBy(_._1).filter(_._2.size > 1).keys
     require(dups.isEmpty,
@@ -31,7 +34,7 @@ object Queries {
     entries.toMap
   }
 
-  def oracles: Map[String, String] = {
+  lazy val oracles: Map[String, String] = {
     val entries = families.flatMap(_.oracles)
     val unknown = entries.map(_._1).filterNot(all.keySet)
     require(unknown.isEmpty,

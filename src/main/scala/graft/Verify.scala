@@ -9,6 +9,10 @@ object Verify {
     val (sfDir, outDir, only) = args match {
       case Array(s, o)    => (s, o, Option.empty[Set[String]])
       case Array(s, o, f) => (s, o, Some(f.split(",").toSet))
+      case _ =>
+        System.err.println(
+          "usage: graft.Verify <sfDir> <outDir> [query1,query2,...]")
+        sys.exit(1)
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -37,6 +41,16 @@ object Verify {
             .parquet(s"$outDir/$name")
           catch { case e: Throwable =>
             System.err.println(s"[verify] $name failed: ${e.getMessage}")
+            // delete any STALE artifact from a prior run into the same
+            // outDir: overwrite only replaces on success, so leaving it
+            // would let the DuckDB compare silently pass yesterday's
+            // result for a query that now fails
+            val dir = Paths.get(s"$outDir/$name")
+            if (Files.exists(dir)) {
+              import scala.jdk.CollectionConverters._
+              Files.walk(dir).iterator().asScala.toSeq.reverse
+                .foreach(Files.deleteIfExists(_))
+            }
           }
       })
     }
@@ -58,8 +72,10 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // ALWAYS the full oracle manifest: a targeted re-run into the
+    // round's outDir must not clobber the manifest down to its subset
+    // (the driver compares whatever result dirs exist against this map)
     val json = SparkEntry.oracleSql
-      .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -31,7 +31,15 @@ def main():
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     failures = 0
+    import os
+    skipped = 0
     for name, sql in sorted(oracle.items()):
+        # Verify always writes the FULL oracle manifest (so a targeted
+        # re-dump can't clobber it down to a subset); a targeted outDir
+        # then simply lacks most result dirs — skip those, don't fail
+        if not os.path.isdir(os.path.join(out_dir, name)):
+            skipped += 1
+            continue
         try:
             n1, c1, t1, h1, d1 = canon(con, f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')", "spark")
             n2, c2, t2, h2, d2 = canon(con, sql, "oracle")
@@ -55,12 +63,13 @@ def main():
             failures += 1
             print(f"ERR  {name}: {e}")
     # queries without oracle → rows-only
-    import os
     for name in sorted(os.listdir(out_dir)):
         p = os.path.join(out_dir, name)
         if os.path.isdir(p) and name not in oracle:
             n = con.sql(f"SELECT count(*) FROM read_parquet('{p}/*.parquet')").fetchone()[0]
             print(f"ROWS {name}: {n} (no oracle)")
+    if skipped:
+        print(f"SKIP {skipped} oracle entries without a result dir (targeted run)")
     sys.exit(1 if failures else 0)
 
 
