@@ -306,7 +306,10 @@ class PlanSpec extends SparkSpec {
     val hot = Seq("dedup_groups_cc_stars", "dedup_minhash_cc", "assoc_rules",
       "dedup_jaccard_join", "dedup_cc_increment", "dedup_groups_cc",
       "bpe_token_count", "dedup_cluster_stats", "dedup_ngram_jaccard",
-      "split_leakage_safe")
+      "split_leakage_safe",
+      // end-of-round-8 bench risers (the verdict twins share these plans)
+      "sim_semantic_dedup", "dedup_minhash_recall", "text_bm25_index",
+      "dedup_substring_pairs")
     val fullWidth = graft.sources.Tables.documents(spark, sfDir).schema.size
     for (q <- hot) {
       val p = plan(q)
