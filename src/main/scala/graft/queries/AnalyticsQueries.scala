@@ -237,8 +237,11 @@ object AnalyticsQueries extends QueryFamily {
     * SQL-expressible) + AnalyticsSpec overestimate-bound coverage. */
   def sketchCmsTokens(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val toks = Tables.documents(spark, dir)
-      .select(explode(graft.operators.Dedup.tokens(col("text"))).as("token"))
+    // scope-cached: the exploded stream feeds the sketch aggregate AND
+    // the exact top-20 probe targets — uncached, the second consumer
+    // re-ran the full tokenize + explode + shuffle from scratch
+    val toks = graft.CacheScope.scoped(Tables.documents(spark, dir)
+      .select(explode(graft.operators.Dedup.tokens(col("text"))).as("token")))
     // ONE pass builds sketch + total (both aggregates over the same
     // exploded stream; the total parameterizes the CMS error bound)
     val row = toks
@@ -254,8 +257,10 @@ object AnalyticsQueries extends QueryFamily {
     // headroom over the w.p.-0.99 single-probe bound keeps the verdict
     // deterministic-safe). Raw estimates stay spec-covered.
     val slack = math.max(1L, (0.002 * total).toLong)
-    val top = graft.operators.TextAnalysis
-      .tokenFrequency(Tables.documents(spark, dir), "text", topN = 20)
+    // exact top-20 from the SAME cached stream (tokenFrequency's shape,
+    // minus its redundant re-tokenize of the corpus)
+    val top = toks.groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc).limit(20)
       .as[(String, Long)].collect()
     top.map { case (tok, exact) =>
       val est = cms.estimateCount(tok)

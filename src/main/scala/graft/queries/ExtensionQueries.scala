@@ -895,9 +895,13 @@ object ExtensionQueries extends QueryFamily {
     * oracle checks the whole chain. */
   def pipelineCorpusV4(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val kept = TextAnalysis.logitQuality(docs, "doc_id", "text")
-      .filter(col("keep")).select("doc_id")
-      .join(docs, "doc_id")
+    // scope-cached: kept feeds THREE consumers (targetAffinity's pool
+    // scan, its src0 target slice, and the selection re-join) — uncached,
+    // each re-runs the logit feature extraction over the whole corpus
+    val kept = graft.CacheScope.scoped(
+      TextAnalysis.logitQuality(docs, "doc_id", "text")
+        .filter(col("keep")).select("doc_id")
+        .join(docs, "doc_id"))
     val selected = Sampling.targetAffinity(kept,
         kept.filter(col("source") === "src0"), "doc_id", "text", topN = 300)
       .join(kept.select(col("doc_id"), col("source"), col("text")), "doc_id")

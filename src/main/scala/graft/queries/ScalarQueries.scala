@@ -118,6 +118,12 @@ object ScalarQueries extends QueryFamily {
     * cross-checked against DuckDB's list comprehension functions. */
   def scalarArrayHof(spark: SparkSession, dir: String): DataFrame =
     Tables.part(spark, dir)
+      // explicit invariant, enforced on BOTH engine sides: TPC-H p_size
+      // is >= 1, and Spark's sequence(1, 0) silently generates a
+      // DESCENDING [1, 0] (the Multimodal.sampleFrames footgun) where
+      // DuckDB's RANGE(1, 1) is empty — a p_size = 0 regen would desync
+      // the oracle with no error anywhere
+      .filter(col("p_size") >= 1)
       .select(col("p_partkey"),
         sequence(lit(1), col("p_size")).as("xs"))
       .select(col("p_partkey"),
@@ -172,7 +178,7 @@ object ScalarQueries extends QueryFamily {
         |  CAST(LIST_SUM(LIST_TRANSFORM(RANGE(1, p_size + 1), x -> x * x)) AS BIGINT) AS sum_sq,
         |  CAST(LEN(LIST_FILTER(RANGE(1, p_size + 1), x -> x % 2 = 0)) AS INT) AS n_even,
         |  CAST(p_size AS BIGINT) AS last_x
-        |FROM part ORDER BY p_partkey""".stripMargin,
+        |FROM part WHERE p_size >= 1 ORDER BY p_partkey""".stripMargin,
     "scalar_datetime" ->
       """SELECT o_orderkey,
         |  CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS y,

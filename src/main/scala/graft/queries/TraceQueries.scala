@@ -84,27 +84,24 @@ object TraceQueries extends QueryFamily {
     "trace_seed_golden" -> (traceSeedGolden _),
     "trace_typed" -> (traceTyped _))
 
+  /** Shared by trace_export and trace_export_bounded — the bounded form
+    * is DOCUMENTED as result-identical (the payload bound only rejects
+    * rows that would fail both), so one literal keeps the two oracles
+    * from drifting apart on a future edit. */
+  private val traceExportOracleSql =
+    """SELECT user_id AS paramIndex,
+      |       ts AS startTime,
+      |       ts + INTERVAL 60 SECOND AS endTime,
+      |       props AS traceData
+      |FROM events
+      |WHERE user_id IN (1, 2, 3, 5, 8, 13)
+      |  AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+      |  AND ts <= TIMESTAMP '2024-01-31 23:59:59'
+      |ORDER BY paramIndex, startTime""".stripMargin
+
   val oracles: Map[String, String] = Map(
-    "trace_export_bounded" ->
-      """SELECT user_id AS paramIndex,
-        |       ts AS startTime,
-        |       ts + INTERVAL 60 SECOND AS endTime,
-        |       props AS traceData
-        |FROM events
-        |WHERE user_id IN (1, 2, 3, 5, 8, 13)
-        |  AND ts >= TIMESTAMP '2024-01-01 00:00:00'
-        |  AND ts <= TIMESTAMP '2024-01-31 23:59:59'
-        |ORDER BY paramIndex, startTime""".stripMargin,
-    "trace_export" ->
-      """SELECT user_id AS paramIndex,
-        |       ts AS startTime,
-        |       ts + INTERVAL 60 SECOND AS endTime,
-        |       props AS traceData
-        |FROM events
-        |WHERE user_id IN (1, 2, 3, 5, 8, 13)
-        |  AND ts >= TIMESTAMP '2024-01-01 00:00:00'
-        |  AND ts <= TIMESTAMP '2024-01-31 23:59:59'
-        |ORDER BY paramIndex, startTime""".stripMargin,
+    "trace_export_bounded" -> traceExportOracleSql,
+    "trace_export" -> traceExportOracleSql,
     "trace_export_empty" ->
       """SELECT user_id AS paramIndex, ts AS startTime,
         |       ts + INTERVAL 60 SECOND AS endTime, props AS traceData
