@@ -184,6 +184,56 @@ class EventStreamsSpec extends SparkSpec {
     }
   }
 
+  test("sessionsWithState: admissible late events open/extend the right interval") {
+    // three micro-batches (maxFilesPerTrigger=1, mtime-ordered):
+    //   slice 0: u1 @12:00; u2 @13:00 (advances wm to 09:00 with 4h delay)
+    //   slice 1: u1 @09:30 (LATE but > wm: must become its OWN earlier
+    //            session — the old tail-append merged it into [12:00]);
+    //            u1 @12:10 (extends [12:00] forward)
+    //   slice 2: u2 @20:00 (wm -> 16:00, sealing everything open)
+    val dir = java.nio.file.Files.createTempDirectory("graft-late").toString
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.DoubleType)))
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val slices = Seq(
+      Seq((1L, t("2024-01-01 12:00:00"), 1.0), (2L, t("2024-01-01 13:00:00"), 1.0)),
+      Seq((1L, t("2024-01-01 09:30:00"), 5.0), (1L, t("2024-01-01 12:10:00"), 2.0)),
+      Seq((2L, t("2024-01-01 20:00:00"), 1.0)))
+    slices.zipWithIndex.foreach { case (rows, i) =>
+      val rdd = spark.sparkContext.parallelize(rows.map {
+        case (u, ts, v) => org.apache.spark.sql.Row(u, ts, v) }, 1)
+      spark.createDataFrame(rdd, schema)
+        .coalesce(1).write.parquet(s"$dir/slice$i")
+      new java.io.File(s"$dir/slice$i").listFiles()
+        .foreach(_.setLastModified(1000000L * (i + 1)))
+    }
+    val streamIn = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/slice*")
+    val out = EventStreams.runToBatch(spark,
+      EventStreams.sessionsWithState(spark, streamIn,
+        gapMinutes = 30, watermark = "4 hours"),
+      "t_late_sessions", outputMode = "append")
+      .filter(col("user_id") === 1L)
+      .select("session_start", "session_end", "n_events", "sum_value")
+      .collect()
+      .map(r => (r.getAs[java.sql.Timestamp](0).toString.take(19),
+        r.getAs[java.sql.Timestamp](1).toString.take(19),
+        r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    // TWO u1 sessions: the late 09:30 event is its own interval (the
+    // pre-fix merge reported one session starting 12:00 with n=3), and
+    // 12:10 extended the open [12:00] one
+    assert(out.toSeq == Seq(
+      ("2024-01-01 09:30:00", "2024-01-01 09:30:00", 1L, 5.0),
+      ("2024-01-01 12:00:00", "2024-01-01 12:10:00", 2L, 3.0)),
+      s"got ${out.toSeq}")
+  }
+
   test("readEvents fails loud on a non-UTC session instead of rewriting it") {
     val other = spark.newSession()
     other.conf.set("spark.sql.session.timeZone", "America/New_York")
