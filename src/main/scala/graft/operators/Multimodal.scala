@@ -24,12 +24,17 @@ import graft.sources.Tables
  * `imageAssetTable` / `audioAssetTable` / `videoAssetTable` build
  * fixtures of genuine PNG / WAV / AVI bytes whose content is a
  * deterministic function of `doc_id` — so a DuckDB oracle verifies all
- * three real decodes against ground-truth formulas. The only remaining
- * stubs are the text-bytes stand-ins (`decodeStub`, `featuresStub`,
- * `resizeStub`, `phashStub`) kept for the mixed-modality plumbing
- * queries: they exercise the schema contracts, binary column handling
- * and partition-wise execution on assets whose payloads are not media
- * containers at all.
+ * three real decodes against ground-truth formulas.
+ *
+ * The perceptual path is ALSO real as of round 9: `phashImage` is the
+ * classic DCT perceptual hash over DECODED pixels (32×32 luma → 2-D
+ * DCT-II → 8×8 low-frequency block → median threshold), so a
+ * re-encoded or resized duplicate — which defeats any byte-level
+ * hash — still lands at hamming 0; `sampleVideoFrames` emits frames
+ * the AVI parser actually decoded. The only remaining stand-ins are
+ * `decodeStub` (plumbing contract over non-media text-byte assets)
+ * and `featuresStub` (a learned vision/audio encoder genuinely cannot
+ * run in this container) — neither backs a registered query surface.
  */
 object Multimodal {
 
@@ -159,8 +164,7 @@ object Multimodal {
     * targetH) → re-encode PNG, per partition batch. Output carries
     * genuine PNG bytes of the new size, so a decode round-trip
     * (`decodeImage(resizeImage(...))`) verifies the target dimensions —
-    * the codec-stubbed byte-striding `resizeStub` stays for the
-    * audio/video modalities. */
+    * the `multimodal_resize` oracle pins the round trip end-to-end. */
   def resizeImage(assets: DataFrame, targetW: Int = 8, targetH: Int = 8): DataFrame = {
     require(targetW > 0 && targetH > 0, s"target dims must be positive: $targetW x $targetH")
     val outSchema = StructType(Seq(
@@ -478,18 +482,26 @@ object Multimodal {
       }(enc)
   }
 
-  /** Per-row RIFF/AVI decode shared by [[decodeVideo]] and [[decodeAny]]:
-    * (width, height, n_frames, fps, first_px, sum_px). */
-  private[operators] def decodeVideoRow(
-      id: Long, b: Array[Byte]): (Int, Int, Long, Int, Int, Long) = {
+  /** Fully-parsed AVI: header metadata plus ONE entry per decoded frame
+    * (the red-channel pixel sum) — the shared product [[decodeVideoRow]]
+    * aggregates and [[sampleVideoFrames]] explodes. */
+  private[operators] final case class AviDecoded(
+      width: Int, height: Int, fps: Int, firstPx: Int, frameSums: Array[Long])
+
+  /** Per-row RIFF/AVI decode shared by [[decodeVideo]], [[decodeAny]] and
+    * [[sampleVideoFrames]] — strict parse, EVERY frame decoded. */
+  private[operators] def decodeAviRow(id: Long, b: Array[Byte]): AviDecoded = {
     require(b.length >= 12 && fourCc(b, 0) == "RIFF" && fourCc(b, 8) == "AVI ",
       s"asset $id: not a RIFF/AVI container")
     var width = -1; var height = -1; var fps = -1
     var totalFrames = -1; var compression = -1; var bitCount = -1
-    var framesSeen = 0L; var idxEntries = -1
-    var firstPx = -1; var sumPx = 0L
+    var idxEntries = -1
+    var firstPx = -1
+    val frameSums = scala.collection.mutable.ArrayBuffer.empty[Long]
 
     def decodeFrame(off: Int, len: Int): Unit = {
+      val framesSeen = frameSums.length
+      var sumPx = 0L
       if (compression == 0) { // BI_RGB raw DIB
         require(bitCount == 24, s"asset $id: expected 24bpp DIB, got $bitCount")
         val stride = dibStride(width)
@@ -520,7 +532,7 @@ object Multimodal {
         }
         if (framesSeen == 0) firstPx = (img.getRGB(0, 0) >>> 16) & 0xff
       }
-      framesSeen += 1
+      frameSums += sumPx
     }
 
     def walk(start: Int, end: Int, inMovi: Boolean): Unit = {
@@ -561,11 +573,19 @@ object Multimodal {
     }
     walk(12, b.length, inMovi = false)
     require(totalFrames >= 0, s"asset $id: missing avih header")
-    require(framesSeen == totalFrames,
-      s"asset $id: decoded $framesSeen frames, header claims $totalFrames")
-    require(idxEntries == -1 || idxEntries == framesSeen,
-      s"asset $id: idx1 has $idxEntries entries for $framesSeen frames")
-    (width, height, framesSeen, fps, firstPx, sumPx)
+    require(frameSums.length == totalFrames,
+      s"asset $id: decoded ${frameSums.length} frames, header claims $totalFrames")
+    require(idxEntries == -1 || idxEntries == frameSums.length,
+      s"asset $id: idx1 has $idxEntries entries for ${frameSums.length} frames")
+    AviDecoded(width, height, fps, firstPx, frameSums.toArray)
+  }
+
+  /** Aggregate view of [[decodeAviRow]]:
+    * (width, height, n_frames, fps, first_px, sum_px). */
+  private[operators] def decodeVideoRow(
+      id: Long, b: Array[Byte]): (Int, Int, Long, Int, Int, Long) = {
+    val d = decodeAviRow(id, b)
+    (d.width, d.height, d.frameSums.length.toLong, d.fps, d.firstPx, d.frameSums.sum)
   }
 
   /** Container sniffing by magic bytes — never trusts a modality label:
@@ -723,37 +743,6 @@ object Multimodal {
     }(enc)
   }
 
-  /** STUB resize: binary "image" → binary at a target byte budget. A real
-    * implementation decodes, scales to (w, h) and re-encodes inside the
-    * same per-partition batch loop; the stub's deterministic byte
-    * transform (strided sampling of the source bytes down to `targetBytes`)
-    * keeps the contract — output is a new, smaller binary column, metadata
-    * records the target dims — while the Spark plumbing stays real. */
-  def resizeStub(assets: DataFrame, targetW: Int = 64, targetH: Int = 64): DataFrame = {
-    val targetBytes = targetW * targetH / 16 // stand-in "encoded" size
-    val outSchema = StructType(Seq(
-      StructField("asset_id", LongType, nullable = false),
-      StructField("resized", BinaryType, nullable = false),
-      StructField("target_w", IntegerType, nullable = false),
-      StructField("target_h", IntegerType, nullable = false)))
-    val enc = org.apache.spark.sql.Encoders.row(outSchema)
-    assets.filter(col("modality") === "image")
-      .select("asset_id", "content").mapPartitions { rows =>
-        // per-partition codec init would go here
-        rows.map { r =>
-          val bytes = r.getAs[Array[Byte]](1)
-          val n = math.min(targetBytes, math.max(bytes.length, 1))
-          val out = new Array[Byte](n)
-          var i = 0
-          while (i < n) {
-            out(i) = if (bytes.isEmpty) 0 else bytes((i.toLong * bytes.length / n).toInt)
-            i += 1
-          }
-          Row(r.getLong(0), out, targetW, targetH)
-        }
-      }(enc)
-  }
-
   /**
    * Exact asset dedup: one survivor (min asset_id) per distinct content
    * digest — the binary-column twin of [[Dedup.exactByKey]]. Shuffles
@@ -765,65 +754,231 @@ object Multimodal {
       assets.withColumn("__dg", md5(col("content"))), Seq("__dg"), "asset_id")
       .drop("__dg")
 
+  // ------------------------------------------------------------------
+  // REAL perceptual hash: decoded pixels → 32×32 luma → DCT → 64 bits
+  // ------------------------------------------------------------------
+
+  /** Side of the square luma plane pHash works on, and of its DCT. */
+  private val PhashN = 32
+
+  /** Orthonormal DCT-II basis for [[PhashN]], built once per JVM with
+    * `StrictMath` (bit-identical on every platform — the hash must not
+    * depend on which executor computed it):
+    * `basis(u)(x) = C(u)·cos((2x+1)·u·π / 2N)`. */
+  private lazy val dctBasis: Array[Array[Double]] = {
+    Array.tabulate(PhashN, PhashN) { (u, x) =>
+      val c = if (u == 0) StrictMath.sqrt(1.0 / PhashN) else StrictMath.sqrt(2.0 / PhashN)
+      c * StrictMath.cos((2 * x + 1) * u * StrictMath.PI / (2.0 * PhashN))
+    }
+  }
+
   /**
-   * STUB perceptual hash: 64-bit signature of the raw asset bytes. A
-   * real pHash DCTs the DECODED image (codec stubbed in this container);
-   * the stub simhashes sliding byte 4-grams, which preserves exactly the
-   * property the downstream plumbing depends on — similar byte streams →
-   * small hamming distance — so the banding, pairing, and thresholding
-   * stages are real and tested. One partition-batch pass, like the other
-   * decoders here.
+   * The classic DCT perceptual hash (pHash) over DECODED pixels:
+   * scale to 32×32 (`Graphics2D`, same kernel as [[resizeImage]]) →
+   * Rec.601 luma → 2-D orthonormal DCT-II → keep the 8×8
+   * lowest-frequency block → threshold each coefficient at the block
+   * median. Two images that LOOK the same — identical pixels re-encoded
+   * into a different container, or the same picture at a different
+   * resolution — produce (near-)identical 32×32 luma planes and land at
+   * hamming ≈ 0, which is precisely what a byte-level hash cannot do.
+   * Deterministic: `StrictMath` basis, fixed summation order.
    */
-  def phashStub(assets: DataFrame): DataFrame = {
+  private[operators] def phash64(img: java.awt.image.BufferedImage): Long = {
+    val n = PhashN
+    // 1. decode-independent normalization: scale to N×N RGB
+    val small = new java.awt.image.BufferedImage(
+      n, n, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val gfx = small.createGraphics()
+    try gfx.drawImage(img, 0, 0, n, n, null) finally gfx.dispose()
+    // 2. luma plane
+    val lum = new Array[Double](n * n)
+    var y = 0
+    while (y < n) {
+      var x = 0
+      while (x < n) {
+        val rgb = small.getRGB(x, y)
+        lum(y * n + x) = 0.299 * ((rgb >>> 16) & 0xff) +
+          0.587 * ((rgb >>> 8) & 0xff) + 0.114 * (rgb & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    // 3. separable 2-D DCT-II, low 8×8 block only (8·N row passes +
+    //    8·8 column passes — not the full N² transform)
+    val rows = new Array[Double](8 * n) // rows(u*n + y) = DCT of row y at freq u
+    var u = 0
+    while (u < 8) {
+      val bu = dctBasis(u)
+      y = 0
+      while (y < n) {
+        var s = 0.0
+        var x = 0
+        while (x < n) { s += lum(y * n + x) * bu(x); x += 1 }
+        rows(u * n + y) = s
+        y += 1
+      }
+      u += 1
+    }
+    val block = new Array[Double](64)
+    u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        val bv = dctBasis(v)
+        var s = 0.0
+        y = 0
+        while (y < n) { s += rows(u * n + y) * bv(y); y += 1 }
+        block(u * 8 + v) = s
+        v += 1
+      }
+      u += 1
+    }
+    // 4. median threshold over the 64 block coefficients (DC included:
+    //    it is reliably above the median, a constant bias bit that costs
+    //    one of 64 lanes and keeps the layout the classic 8×8)
+    val sorted = block.clone()
+    java.util.Arrays.sort(sorted)
+    val median = (sorted(31) + sorted(32)) / 2.0
+    var sig = 0L
+    var i = 0
+    while (i < 64) { if (block(i) > median) sig |= 1L << i; i += 1 }
+    sig
+  }
+
+  /** REAL perceptual hash frame: (asset_id, phash) from decoded image
+    * pixels, per-partition batch. Undecodable bytes fail loud like
+    * [[decodeImage]]. */
+  def phashImage(assets: DataFrame): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("asset_id", LongType, nullable = false),
       StructField("phash", LongType, nullable = false)))
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
-    assets.select("asset_id", "content").mapPartitions { rows =>
-      rows.map { r =>
-        val bytes = r.getAs[Array[Byte]](1)
-        val counts = new Array[Int](64)
-        var i = 0
-        while (i + 4 <= bytes.length) {
-          var h = 0xcbf29ce484222325L
-          var j = i
-          while (j < i + 4) { h ^= (bytes(j) & 0xffL); h *= 0x100000001b3L; j += 1 }
-          h = graft.functions.TextHash.mix64(h)
-          var b = 0
-          while (b < 64) { counts(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1); b += 1 }
-          i += 1
+    assets.filter(col("modality") === "image")
+      .select("asset_id", "content").mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { r =>
+          val id = r.getLong(0)
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+          require(img != null, s"asset $id: undecodable image bytes")
+          Row(id, phash64(img))
         }
-        var sig = 0L
-        var b = 0
-        while (b < 64) { if (counts(b) > 0) sig |= 1L << b; b += 1 }
-        Row(r.getLong(0), sig)
+      }(enc)
+  }
+
+  /**
+   * Perceptual near-duplicate asset pairs: REAL DCT pHash
+   * ([[phashImage]]) + the simhash banding machinery
+   * ([[Dedup.simhashPairsFromHashes]] — pigeonhole-complete within
+   * `maxHamming`). Only 8-byte signatures reach the exchange; the asset
+   * bytes never leave their scan partition. Output (id_a, id_b, hamming).
+   */
+  def assetNearDupPairs(assets: DataFrame, maxHamming: Int = 6): DataFrame =
+    Dedup.simhashPairsFromHashes(
+      phashImage(assets).select(col("asset_id").as("id"), col("phash").as("sh")),
+      maxHamming)
+
+  /** Fixture of TEXTURED 16×16 PNGs: pixel (x, y) of asset `id` is the
+    * gray value `mix64(id·2⁶⁴φ + y·16 + x + 1) ≫ 32 (mod 256)` — i.i.d.
+    * noise, so distinct assets have far-apart pHashes (the solid-gray
+    * [[imageAssetTable]] is useless for perceptual tests: every solid
+    * image DCTs to a zero AC plane and the same signature). Content is
+    * still a pure function of `doc_id` — regen-stable for planted-twin
+    * verdicts. */
+  def texturedImageAssetTable(spark: SparkSession, sfDir: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("modality", StringType, nullable = false),
+      StructField("content", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    Tables.documents(spark, sfDir).select("doc_id").mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val id = r.getLong(0)
+        val img = new java.awt.image.BufferedImage(
+          16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < 16) {
+          var x = 0
+          while (x < 16) {
+            val g = ((graft.functions.TextHash.mix64(
+              id * 0x9E3779B97F4A7C15L + y * 16 + x + 1) >>> 32) & 0xff).toInt
+            img.setRGB(x, y, (g << 16) | (g << 8) | g)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        Row(id, "image", bos.toByteArray)
       }
     }(enc)
   }
 
   /**
-   * Perceptual near-duplicate asset pairs: phash + the simhash banding
-   * machinery ([[Dedup.simhashPairsFromHashes]] — pigeonhole-complete
-   * within `maxHamming`). Output (id_a, id_b, hamming).
+   * Re-encode + optionally rescale image assets WITHOUT changing what
+   * they look like: decode → (if `scale` ≠ 1) nearest-neighbor upscale →
+   * write as uncompressed 24-bit BMP. The output bytes share not a
+   * single container byte with the PNG input — a byte-level hash sees a
+   * completely unrelated asset — while the picture is pixel-identical,
+   * so [[phashImage]] must land it at hamming 0 of the original. This
+   * is the planted-twin generator for the perceptual-dedup verdict.
    */
-  def assetNearDupPairs(assets: DataFrame, maxHamming: Int = 6): DataFrame =
-    Dedup.simhashPairsFromHashes(
-      phashStub(assets).select(col("asset_id").as("id"), col("phash").as("sh")),
-      maxHamming)
+  def reencodedTwins(assets: DataFrame, idShift: Long, scale: Int = 1): DataFrame = {
+    require(scale >= 1, s"scale must be >= 1: $scale")
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("modality", StringType, nullable = false),
+      StructField("content", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    assets.filter(col("modality") === "image")
+      .select("asset_id", "content").mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { r =>
+          val id = r.getLong(0)
+          val src = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+          require(src != null, s"asset $id: undecodable image bytes")
+          val (w, h) = (src.getWidth * scale, src.getHeight * scale)
+          val dst = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val gfx = dst.createGraphics()
+          try gfx.drawImage(src, 0, 0, w, h, null) finally gfx.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          require(javax.imageio.ImageIO.write(dst, "bmp", bos),
+            "no BMP writer available")
+          Row(id + idShift, "image", bos.toByteArray)
+        }
+      }(enc)
+  }
 
-  /** Frame sampling for "video" assets: every `stride`-th fixed-size
-    * chunk of the byte stream as one frame (real chunking logic; a real
-    * decoder would emit actual frames). Explodes to one row per frame. */
-  def sampleFrames(assets: DataFrame, frameBytes: Int = 64, stride: Int = 4): DataFrame =
+  /** REAL frame sampling: every `stride`-th frame the AVI parser
+    * actually decoded ([[decodeAviRow]] — strict container walk, every
+    * frame's pixels read), one row per kept frame with its decoded
+    * red-channel statistics. `frame_no` is the frame's index in the
+    * source stream, not in the kept set. */
+  def sampleVideoFrames(assets: DataFrame, stride: Int = 2): DataFrame = {
+    require(stride >= 1, s"stride must be >= 1: $stride")
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("frame_no", IntegerType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("mean_px", IntegerType, nullable = false),
+      StructField("sum_px", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
     assets.filter(col("modality") === "video")
-      // assets shorter than one frame yield NO frames — without this
-      // guard, sequence(0, -1) silently generates a DESCENDING [0, -1]
-      // index array (Spark sequence semantics) and emits garbage frames
-      .filter(length(col("content")) >= frameBytes)
-      .select(col("asset_id"),
-        posexplode(expr(
-          s"filter(transform(sequence(0, int(length(content) / $frameBytes) - 1), " +
-            s"i -> IF(i % $stride = 0, substring(content, i * $frameBytes + 1, $frameBytes), null)), x -> x is not null)")))
-      .withColumnRenamed("pos", "frame_no")
-      .withColumnRenamed("col", "frame_bytes")
+      .select("asset_id", "content").mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val d = decodeAviRow(id, r.getAs[Array[Byte]](1))
+          val px = d.width.toLong * d.height
+          d.frameSums.iterator.zipWithIndex.collect {
+            case (s, f) if f % stride == 0 =>
+              Row(id, f, d.width, d.height, (s / px).toInt, s)
+          }
+        }
+      }(enc)
+  }
 }

@@ -741,29 +741,41 @@ object ExtensionQueries extends QueryFamily {
       .select(col("asset_id"), col("modality"))
       .orderBy(col("asset_id"))
 
-  /** Perceptual-hash near-dup asset pairs (phash stub + simhash banding)
-    * — rows-only + MultimodalSpec planted near-identical byte streams. */
-  def multimodalNearDup(spark: SparkSession, dir: String): DataFrame =
+  /** Perceptual near-dup asset pairs over REAL decoded pixels: the
+    * textured-PNG corpus plus a re-encoded (PNG→BMP, 2× nearest-upscale)
+    * twin of every 100th asset, paired by DCT pHash + pigeonhole
+    * banding. The twins share zero container bytes with their originals
+    * — a byte-level hash cannot pair them; the perceptual hash must.
+    * Rows-only (hash-valued signatures); the verdict twin below is the
+    * driver-checked contract. */
+  def multimodalNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val assets = graft.operators.Multimodal.texturedImageAssetTable(spark, dir)
+    val twins = graft.operators.Multimodal.reencodedTwins(
+      assets.filter(col("asset_id") % 100 === 0), idShift = 10000000L, scale = 2)
     graft.operators.Multimodal.assetNearDupPairs(
-      graft.operators.Multimodal.assetTable(spark, dir), maxHamming = 6)
+      assets.unionByName(twins), maxHamming = 6)
       .select(col("id_a"), col("id_b"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
 
   /**
-   * Planted-pair verdict for perceptual near-dup assets (the fixture
-   * holds no duplicate byte streams, so twins are planted at
-   * `asset_id + 10⁷`): identical bytes have bit-equal phash signatures,
-   * so the pigeonhole banding must pair each planted twin with its
-   * original at hamming 0 ≤ maxHamming. The planted list is pure SQL,
-   * and one missed pair flips `pair_found`.
+   * Planted-pair verdict for perceptual near-dup assets: every 100th
+   * textured PNG gets a twin at `asset_id + 10⁷` that is RE-ENCODED
+   * (uncompressed BMP container) and RESIZED (2× nearest-neighbor) — no
+   * shared bytes, same picture. [[graft.operators.Multimodal.phash64]]
+   * normalizes both to the same 32×32 luma plane, so the pair must land
+   * at hamming 0 ≤ maxHamming and the banding must emit it. The planted
+   * list is pure SQL; one missed pair flips `pair_found`.
    */
   def multimodalNearDupVerdict(spark: SparkSession, dir: String): DataFrame = {
-    val assets = graft.operators.Multimodal.assetTable(spark, dir)
-    val twins = assets.filter(col("asset_id") % 100 === 0)
-      .withColumn("asset_id", col("asset_id") + lit(10000000L))
+    val assets = graft.operators.Multimodal.texturedImageAssetTable(spark, dir)
+    val planted = assets.filter(col("asset_id") % 100 === 0)
+    val twins = graft.operators.Multimodal.reencodedTwins(
+      planted, idShift = 10000000L, scale = 2)
     val found = graft.operators.Multimodal.assetNearDupPairs(
       assets.unionByName(twins), maxHamming = 6)
       .select(col("id_a"), col("id_b")).withColumn("__f", lit(true))
-    assets.filter(col("asset_id") % 100 === 0)
+    planted
       .select(col("asset_id").as("id_a"),
         (col("asset_id") + 10000000L).as("id_b"))
       .join(found, Seq("id_a", "id_b"), "left")
@@ -771,6 +783,21 @@ object ExtensionQueries extends QueryFamily {
         coalesce(col("__f"), lit(false)).as("pair_found"))
       .orderBy(col("id_a"))
   }
+
+  /** REAL image resize, round-tripped through the REAL decoder and
+    * DuckDB-oracled: `resizeImage` scales every solid-gray fixture PNG
+    * to 8×8 and re-encodes; `decodeImage` then reads genuine pixels out
+    * of the new container. A constant-fill source survives any
+    * interpolation exactly, so `mean_px` must still equal
+    * `doc_id % 256` — closed form, like the decode oracles. */
+  def multimodalResize(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Multimodal.decodeImage(
+      graft.operators.Multimodal.resizeImage(
+        graft.operators.Multimodal.imageAssetTable(spark, dir),
+        targetW = 8, targetH = 8))
+      .select(col("asset_id"), col("width"), col("height"),
+        col("format"), col("mean_px"))
+      .orderBy(col("asset_id"))
 
   /** REAL mixed-modality decode: one per-partition kernel over the
     * union of the PNG + WAV + AVI fixtures, dispatching each row by
@@ -1090,16 +1117,15 @@ object ExtensionQueries extends QueryFamily {
 
   // --- sessionization ---
 
-  /** Frame sampling with CONTENT verification: the strided chunking is
-    * pure byte arithmetic, so DuckDB recomputes each frame's md5 from
-    * the source text — the digests verify frame content, not just
-    * counts and lengths. */
+  /** REAL frame sampling with CONTENT verification: every 2nd frame the
+    * strict AVI parser actually decoded, with per-frame decoded pixel
+    * statistics. The fixture's frame `f` of asset `id` is solid gray
+    * `(id·7 + f·13) mod 256` at `(id%11+1)×(id%6+1)` — every output
+    * cell is closed-form in `doc_id`, so DuckDB verifies the sampled
+    * frames' CONTENT (decoded means and sums), not just counts. */
   def multimodalFrames(spark: SparkSession, dir: String): DataFrame =
-    graft.operators.Multimodal.sampleFrames(
-      graft.operators.Multimodal.assetTable(spark, dir), frameBytes = 32, stride = 2)
-      .select(col("asset_id"), col("frame_no"),
-        length(col("frame_bytes")).as("frame_len"),
-        md5(col("frame_bytes")).as("frame_md5"))
+    graft.operators.Multimodal.sampleVideoFrames(
+      graft.operators.Multimodal.videoAssetTable(spark, dir), stride = 2)
       .orderBy(col("asset_id"), col("frame_no"))
 
   def sessionAssign(spark: SparkSession, dir: String): DataFrame =
@@ -1210,6 +1236,7 @@ object ExtensionQueries extends QueryFamily {
     "multimodal_neardup" -> (multimodalNearDup _),
     "multimodal_features" -> (multimodalFeatures _),
     "multimodal_decode" -> (multimodalDecode _),
+    "multimodal_resize" -> (multimodalResize _),
     "multimodal_features_image" -> (multimodalFeaturesImage _),
     "multimodal_features_audio" -> (multimodalFeaturesAudio _),
     "multimodal_features_video" -> (multimodalFeaturesVideo _),
@@ -1411,18 +1438,26 @@ object ExtensionQueries extends QueryFamily {
         |    PARTITION BY TRIM(REGEXP_REPLACE(LOWER(text), ' +', ' ', 'g'))
         |  ) AS BIGINT) AS group_n
         |FROM documents ORDER BY doc_id""".stripMargin,
-    // strided chunking recomputed byte-for-byte: video assets are the
-    // doc_id % 3 = 2 documents; frames are every 2nd complete 32-byte
-    // chunk, frame_no the position within the kept set
+    // every 2nd decoded AVI frame with its decoded pixel stats — the
+    // fixture's closed ground-truth forms (frame f of asset id is solid
+    // gray (id·7+f·13) mod 256 at (id%11+1)×(id%6+1)), so the oracle
+    // verifies the parser sampled REAL frame content
     "multimodal_frames" ->
       """WITH f AS (
-        |  SELECT doc_id AS asset_id, text,
-        |    UNNEST(range(0, STRLEN(text) // 32)) AS i
-        |  FROM documents WHERE doc_id % 3 = 2)
-        |SELECT asset_id, CAST(i // 2 AS INT) AS frame_no,
-        |  CAST(32 AS INT) AS frame_len,
-        |  MD5(SUBSTRING(text, CAST(i * 32 + 1 AS INT), 32)) AS frame_md5
-        |FROM f WHERE i % 2 = 0 ORDER BY asset_id, frame_no""".stripMargin,
+        |  SELECT doc_id, UNNEST(range(0, doc_id % 5 + 2)) AS fr FROM documents)
+        |SELECT doc_id AS asset_id, CAST(fr AS INT) AS frame_no,
+        |  CAST(doc_id % 11 + 1 AS INT) AS width,
+        |  CAST(doc_id % 6 + 1 AS INT) AS height,
+        |  CAST((doc_id * 7 + fr * 13) % 256 AS INT) AS mean_px,
+        |  (doc_id % 11 + 1) * (doc_id % 6 + 1) * ((doc_id * 7 + fr * 13) % 256) AS sum_px
+        |FROM f WHERE fr % 2 = 0 ORDER BY asset_id, frame_no""".stripMargin,
+    // resize → decode round trip: a constant-fill image survives any
+    // interpolation exactly, so the decoded 8×8 mean is still doc_id%256
+    "multimodal_resize" ->
+      """SELECT doc_id AS asset_id, CAST(8 AS INT) AS width,
+        |  CAST(8 AS INT) AS height, 'png' AS format,
+        |  CAST(doc_id % 256 AS INT) AS mean_px
+        |FROM documents ORDER BY asset_id""".stripMargin,
     // bounded-verdict oracles for the ANN recall telemetry: DuckDB
     // recomputes the exact side (query set, k_exact = 10 — every query
     // has ≥ 10 non-self corpus neighbors) and the constant-TRUE verdicts

@@ -120,7 +120,7 @@ object ScalarQueries extends QueryFamily {
     Tables.part(spark, dir)
       // explicit invariant, enforced on BOTH engine sides: TPC-H p_size
       // is >= 1, and Spark's sequence(1, 0) silently generates a
-      // DESCENDING [1, 0] (the Multimodal.sampleFrames footgun) where
+      // DESCENDING [1, 0] (Spark sequence semantics) where
       // DuckDB's RANGE(1, 1) is empty — a p_size = 0 regen would desync
       // the oracle with no error anywhere
       .filter(col("p_size") >= 1)

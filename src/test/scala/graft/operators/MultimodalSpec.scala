@@ -235,49 +235,67 @@ class MultimodalSpec extends SparkSpec {
     assert(kept.toSeq == Seq(1L, 3L))
   }
 
-  test("assetNearDupPairs: near-identical byte streams pair up, unrelated don't") {
-    val base = ("A" * 200 + "B" * 200).getBytes("UTF-8")
-    val tweaked = base.clone(); tweaked(50) = 'C'; tweaked(300) = 'D'
-    val assets = Seq(
-      (1L, "image", base),
-      (2L, "image", tweaked),                              // 2 flipped bytes of 400
-      (3L, "image", ("Z" * 150 + "Q" * 250).getBytes("UTF-8"))
-    ).toDF("asset_id", "modality", "content")
-    val pairs = Multimodal.assetNearDupPairs(assets, maxHamming = 12)
+  test("phash64 is PERCEPTUAL: re-encoding and resizing preserve the hash, different pictures diverge") {
+    val textured = Multimodal.texturedImageAssetTable(spark, sfDir)
+      .filter($"asset_id" < 8)
+    // PNG → uncompressed BMP: zero shared container bytes, same picture
+    val reenc = Multimodal.reencodedTwins(textured, idShift = 0, scale = 1)
+    // PNG → 2× nearest-neighbor upscale → BMP: different container AND
+    // different resolution, same picture
+    val upscaled = Multimodal.reencodedTwins(textured, idShift = 0, scale = 2)
+    val hOrig = Multimodal.phashImage(textured).as[(Long, Long)].collect().toMap
+    val hRe = Multimodal.phashImage(reenc).as[(Long, Long)].collect().toMap
+    val hUp = Multimodal.phashImage(upscaled).as[(Long, Long)].collect().toMap
+    hOrig.foreach { case (id, h) =>
+      assert(hRe(id) == h, s"asset $id: BMP re-encode moved the pHash")
+      assert(hUp(id) == h, s"asset $id: 2x upscale moved the pHash")
+    }
+    // distinct noise textures must be FAR apart — the property that
+    // keeps the banding from flooding with spurious pairs
+    val hs = hOrig.toSeq.sortBy(_._1).map(_._2)
+    for (i <- hs.indices; j <- i + 1 until hs.length) {
+      val d = java.lang.Long.bitCount(hs(i) ^ hs(j))
+      assert(d > 12, s"textured assets $i/$j only $d bits apart")
+    }
+    // a byte-level hash could never do this: the BMP twin shares no bytes
+    val pngBytes = textured.orderBy("asset_id").head().getAs[Array[Byte]]("content")
+    val bmpBytes = reenc.orderBy("asset_id").head().getAs[Array[Byte]]("content")
+    assert(!bmpBytes.take(4).sameElements(pngBytes.take(4)))
+  }
+
+  test("assetNearDupPairs: re-encoded+resized twins pair at hamming 0, unrelated textures don't") {
+    val textured = Multimodal.texturedImageAssetTable(spark, sfDir)
+      .filter($"asset_id" < 20)
+    val twins = Multimodal.reencodedTwins(
+      textured.filter($"asset_id" % 5 === 0), idShift = 1000L, scale = 2)
+    val pairs = Multimodal.assetNearDupPairs(
+      textured.unionByName(twins), maxHamming = 6)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
-    assert(pairs.contains((1L, 2L)), s"near-dup pair missed: $pairs")
-    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)),
-      s"unrelated assets paired: $pairs")
-    // phash is deterministic
-    val h1 = Multimodal.phashStub(assets).orderBy("asset_id").collect().toSeq
-    val h2 = Multimodal.phashStub(assets).orderBy("asset_id").collect().toSeq
+    val expected = Seq(0L, 5L, 10L, 15L).map(id => (id, id + 1000L)).toSet
+    assert(expected.subsetOf(pairs), s"planted twin pairs missed: $pairs")
+    assert(pairs == expected, s"unrelated textures paired: ${pairs -- expected}")
+    // deterministic across runs
+    val h1 = Multimodal.phashImage(textured).orderBy("asset_id").collect().toSeq
+    val h2 = Multimodal.phashImage(textured).orderBy("asset_id").collect().toSeq
     assert(h1 == h2)
   }
 
-  test("resizeStub: image assets only, bounded output size, deterministic") {
-    val assets = Multimodal.assetTable(spark, sfDir)
-    val resized = Multimodal.resizeStub(assets, targetW = 64, targetH = 64)
-    val imageIds = assets.filter($"modality" === "image")
-      .select("asset_id").as[Long].collect().toSet
-    val rows = resized.collect()
-    assert(rows.map(_.getLong(0)).toSet == imageIds)
-    assert(rows.forall(_.getAs[Array[Byte]]("resized").length <= 64 * 64 / 16))
-    assert(rows.forall(r => r.getInt(2) == 64 && r.getInt(3) == 64))
-    val again = Multimodal.resizeStub(assets, 64, 64).collect()
-      .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("resized").toSeq).toMap
-    assert(rows.forall(r => again(r.getLong(0)) == r.getAs[Array[Byte]]("resized").toSeq))
-  }
-
-  test("sampleFrames: assets shorter than one frame yield no frames (no descending-sequence garbage)") {
-    val assets = Seq(
-      (1L, "video", "short".getBytes("UTF-8")),          // 5 bytes < 32
-      (2L, "video", ("x" * 64).getBytes("UTF-8")))       // exactly 2 chunks
-      .toDF("asset_id", "modality", "content")
-    val frames = Multimodal.sampleFrames(assets, frameBytes = 32, stride = 2).collect()
-    assert(frames.forall(_.getLong(0) == 2L),
-      s"short asset emitted frames: ${frames.toSeq}")
-    assert(frames.length == 1) // chunks 0,1 -> keep i=0 only
-    assert(frames.head.getAs[Array[Byte]]("frame_bytes").length == 32)
+  test("sampleVideoFrames: every stride-th REALLY-decoded frame with exact pixel stats") {
+    val assets = Multimodal.videoAssetTable(spark, sfDir).filter($"asset_id" < 50)
+    val frames = Multimodal.sampleVideoFrames(assets, stride = 2)
+      .select("asset_id", "frame_no", "width", "height", "mean_px", "sum_px")
+      .as[(Long, Int, Int, Int, Int, Long)].collect()
+    val expectedRows = (0L until 50L).map(id => (id % 5 + 2 + 1) / 2).sum
+    assert(frames.length == expectedRows,
+      s"${frames.length} frames != $expectedRows")
+    frames.foreach { case (id, f, w, h, mean, sum) =>
+      assert(f % 2 == 0, s"asset $id emitted non-stride frame $f")
+      val (ew, eh) = ((id % 11 + 1).toInt, (id % 6 + 1).toInt)
+      val g = ((id * 7 + f * 13) % 256).toInt
+      assert(w == ew && h == eh, s"asset $id frame $f dims ${w}x$h")
+      assert(mean == g, s"asset $id frame $f mean_px $mean != $g")
+      assert(sum == ew.toLong * eh * g, s"asset $id frame $f sum_px $sum")
+    }
   }
 
   test("imageHistogramFeatures: multi-bin histogram from really-decoded pixels") {
@@ -301,15 +319,4 @@ class MultimodalSpec extends SparkSpec {
     assert(got(7L) == expected, s"histogram diverged: ${got(7L)} vs $expected")
   }
 
-  test("sampleFrames: strided chunking of video assets only") {
-    val assets = Multimodal.assetTable(spark, sfDir)
-    val frames = Multimodal.sampleFrames(assets, frameBytes = 32, stride = 2)
-    assert(frames.count() > 0)
-    val ids = frames.select("asset_id").distinct().as[Long].collect().toSet
-    val videoIds = assets.filter($"modality" === "video")
-      .select("asset_id").as[Long].collect().toSet
-    assert(ids.subsetOf(videoIds))
-    val f = frames.head()
-    assert(f.getAs[Array[Byte]]("frame_bytes").length == 32)
-  }
 }
