@@ -235,35 +235,40 @@ object Clustering {
       init: String = "parallel"): Seq[Seq[Float]] = {
     require(k >= 1, s"k must be positive: $k")
     require(iters >= 1, s"iters must be positive: $iters")
-    require(init == "farthest" || init == "parallel", s"unknown init: $init")
     val v = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    runLloyd(v, seedCentroids(v, k, init), iters, costs = null)
+  }
 
-    var cents: Seq[Seq[Float]] =
-      if (init == "parallel") kmeansParInit(v, "id", "v", k)
-      else {
-        // farthest-first seeding from a deterministic anchor (bounded model
-        // state: one vector collected per seed)
-        val anchor = v.orderBy(xxhash64(col("id")).asc, col("id").asc)
-          .limit(1).collect()
-        require(anchor.nonEmpty, "input is empty — nothing to cluster")
-        var cs: Seq[Seq[Float]] = Seq(anchor.head.getSeq[Float](1))
-        var exhausted = false
-        while (cs.length < k && !exhausted) {
-          val cc = typedLit(cs)
-          val far = v
-            .withColumn("__dmin", min_l2(col("v"), cc))
-            .orderBy(col("__dmin").desc, col("id").asc)
-            .limit(1).collect().head
-          // no point is farther than 0 from the seed set ⇒ fewer distinct
-          // points than k: stop (duplicate seeds would only make clusters
-          // that can never win an assignment)
-          if (far.getDouble(2) <= 0.0) exhausted = true
-          else cs = cs :+ far.getSeq[Float](1)
-        }
-        cs
+  /** The seeding stage shared by [[kmeansCentroids]] and
+    * [[kmeansWithCosts]]: k-means|| or farthest-first traversal (see
+    * [[kmeansCentroids]]'s `init` doc). Expects the normalized
+    * (`id`, `v`) projection. */
+  private def seedCentroids(
+      v: DataFrame, k: Int, init: String): Seq[Seq[Float]] = {
+    require(init == "farthest" || init == "parallel", s"unknown init: $init")
+    if (init == "parallel") kmeansParInit(v, "id", "v", k)
+    else {
+      // farthest-first seeding from a deterministic anchor (bounded model
+      // state: one vector collected per seed)
+      val anchor = v.orderBy(xxhash64(col("id")).asc, col("id").asc)
+        .limit(1).collect()
+      require(anchor.nonEmpty, "input is empty — nothing to cluster")
+      var cs: Seq[Seq[Float]] = Seq(anchor.head.getSeq[Float](1))
+      var exhausted = false
+      while (cs.length < k && !exhausted) {
+        val cc = typedLit(cs)
+        val far = v
+          .withColumn("__dmin", min_l2(col("v"), cc))
+          .orderBy(col("__dmin").desc, col("id").asc)
+          .limit(1).collect().head
+        // no point is farther than 0 from the seed set ⇒ fewer distinct
+        // points than k: stop (duplicate seeds would only make clusters
+        // that can never win an assignment)
+        if (far.getDouble(2) <= 0.0) exhausted = true
+        else cs = cs :+ far.getSeq[Float](1)
       }
-
-    runLloyd(v, cents, iters, costs = null)
+      cs
+    }
   }
 
   /** The shared Lloyd loop: per round ONE corpus scan aggregates
@@ -315,8 +320,12 @@ object Clustering {
    * telemetry a clustering job monitors: J_t = J(assign_t, cents_{t+1}),
    * read off the SAME per-round aggregate the centroid update uses
    * (no extra corpus pass). Lloyd's invariant: J_1 ≥ J_2 ≥ … — the
-   * property `embed_kmeans_verdict` oracles.
+   * property the `embed_kmeans_verdict` / `embed_kmeans_par_verdict`
+   * pair oracles, one per seeding strategy (the invariant holds for ANY
+   * init, which is what makes it the right driver-checkable contract
+   * for both).
    *
+   * @param init see [[kmeansCentroids]]
    * @return (per-iteration costs, final (`id`, `cluster`, `dist`) frame)
    */
   def kmeansWithCosts(
@@ -324,11 +333,12 @@ object Clustering {
       idCol: String,
       vecCol: String,
       k: Int,
-      iters: Int = 5): (Seq[Double], DataFrame) = {
+      iters: Int = 5,
+      init: String = "parallel"): (Seq[Double], DataFrame) = {
     require(k >= 1, s"k must be positive: $k")
     require(iters >= 1, s"iters must be positive: $iters")
     val v = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
-    val cents0 = kmeansParInit(v, "id", "v", k)
+    val cents0 = seedCentroids(v, k, init)
     val costs = scala.collection.mutable.ArrayBuffer.empty[Double]
     val cents = runLloyd(v, cents0, iters, costs)
     val cc = typedLit(cents)

@@ -227,6 +227,30 @@ object ExtensionQueries extends QueryFamily {
     Dedup.ngramJaccard(docs, "text", "doc_id", candidates)
   }
 
+  /**
+   * Direct oracle for the n-gram Jaccard verify kernel: the SAME
+   * [[Dedup.ngramJaccard]] the LSH pipeline calls, fed a
+   * SQL-expressible candidate set (consecutive-id pairs at every 20th
+   * doc, both sides long enough to shingle) so DuckDB can recompute
+   * each pair's EXACT w=3 Jaccard from the sanctioned shingle SQL — the
+   * `dedup_minhash_recall` pattern, pointed at the verify kernel
+   * itself. Hashed-shingle Jaccard ≡ string-shingle Jaccard absent
+   * 64-bit collisions (the same equivalence the recall oracle rests
+   * on). Zero-overlap pairs stay in the output at jaccard 0, so a
+   * kernel that silently dropped non-intersecting pairs also fails.
+   */
+  def dedupNgramJaccardVerdict(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    // ≥ 3 tokens ⇔ non-empty w=3 shingle set ⇔ divisor > 0
+    val elig = docs.filter(size(Dedup.tokens(col("text"))) >= 3)
+      .select(col("doc_id"))
+    val pairs = elig.filter(col("doc_id") % 20 === 0)
+      .select(col("doc_id").as("id_a"))
+      .join(elig.select((col("doc_id") - 1).as("id_a")), Seq("id_a"))
+      .select(col("id_a"), (col("id_a") + 1).as("id_b"))
+    Dedup.ngramJaccard(docs, "text", "doc_id", pairs)
+  }
+
   /** EXACT Jaccard similarity self-join (prefix filtering) — unlike the
     * minhash family, this is brute-force-equivalent, so it oracles
     * against DuckDB's all-pairs join at test SF. */
@@ -549,10 +573,15 @@ object ExtensionQueries extends QueryFamily {
    * float summation order). n_points pins the assignment cardinality to
    * DuckDB's count; clusters_le_k the output range.
    */
-  def embedKmeansVerdict(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared body of the two k-means verdicts: Lloyd cost monotonicity
+    * (init-independent invariant) + assignment cardinality + cluster
+    * range, parameterized by the seeding strategy so EACH registered
+    * clustering surface has its own driver-checked twin. */
+  private def kmeansVerdictFrame(
+      spark: SparkSession, dir: String, init: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val (costs, assigned) = graft.operators.Clustering.kmeansWithCosts(
-      emb, "vec_id", "embedding", k = 8, iters = 3)
+      emb, "vec_id", "embedding", k = 8, iters = 3, init = init)
     val verdicts = costs.indices.map { i =>
       (i + 1L, i == 0 || costs(i) <= costs(i - 1) * (1 + 1e-6))
     }
@@ -565,16 +594,28 @@ object ExtensionQueries extends QueryFamily {
       .orderBy(col("iter"))
   }
 
-  /** Embedding k-means (semantic grouping) — custom float kernel,
-    * rows-only + planted-cluster spec (ClusteringSpec). */
+  def embedKmeansVerdict(spark: SparkSession, dir: String): DataFrame =
+    kmeansVerdictFrame(spark, dir, init = "farthest")
+
+  /** The k-means|| twin of [[embedKmeansVerdict]] — same invariant, the
+    * `parallel` seeding path (the one `embed_kmeans_par` registers). */
+  def embedKmeansParVerdict(spark: SparkSession, dir: String): DataFrame =
+    kmeansVerdictFrame(spark, dir, init = "parallel")
+
+  /** Embedding k-means (semantic grouping) with farthest-first seeding
+    * (k corpus passes, best spread at small k) — custom float kernel,
+    * rows-only + planted-cluster spec (ClusteringSpec) + the
+    * `embed_kmeans_verdict` cost-monotonicity twin. */
   def embedKmeans(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Clustering.kmeans(
-      Tables.embeddings(spark, dir), "vec_id", "embedding", k = 8, iters = 3)
+      Tables.embeddings(spark, dir), "vec_id", "embedding", k = 8, iters = 3,
+      init = "farthest")
       .select(col("id"), col("cluster"))
       .orderBy(col("id"))
 
   /** Same clustering with k-means|| seeding (O(rounds) corpus passes
-    * instead of k — the large-k scale path), rows-only + spec. */
+    * instead of k — the large-k scale path), rows-only + spec + the
+    * `embed_kmeans_par_verdict` twin. */
   def embedKmeansPar(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Clustering.kmeans(
       Tables.embeddings(spark, dir), "vec_id", "embedding", k = 8, iters = 3,
@@ -1193,8 +1234,10 @@ object ExtensionQueries extends QueryFamily {
     "corpus_increment_neardup_verdict" -> (corpusIncrementNearDupVerdict _),
     "multimodal_neardup_verdict" -> (multimodalNearDupVerdict _),
     "embed_kmeans_verdict" -> (embedKmeansVerdict _),
+    "embed_kmeans_par_verdict" -> (embedKmeansParVerdict _),
     "dedup_simhash_pairs" -> (dedupSimhashPairs _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "dedup_ngram_jaccard_verdict" -> (dedupNgramJaccardVerdict _),
     "dedup_jaccard_join" -> (dedupJaccardJoin _),
     "layout_zorder" -> (layoutZorder _),
     "dedup_minhash_keep" -> (dedupMinhashKeep _),
@@ -1375,6 +1418,17 @@ object ExtensionQueries extends QueryFamily {
       |  TRUE AS in_exact_top50
       |FROM embeddings WHERE vec_id < 5 ORDER BY query_id, rank""".stripMargin
 
+  /** DuckDB side of both k-means verdicts (Lloyd monotonicity is
+    * init-independent, so the farthest and k-means|| surfaces share it):
+    * constant gates + the assignment cardinality pin. */
+  private val kmeansVerdictOracleSql =
+    """SELECT CAST(r AS BIGINT) AS iter,
+      |  TRUE AS cost_non_increasing,
+      |  (SELECT COUNT(*) FROM embeddings) AS n_points,
+      |  TRUE AS clusters_le_k
+      |FROM (SELECT unnest(range(1, 4)) AS r)
+      |ORDER BY iter""".stripMargin
+
   /** DuckDB side of the planted-twin removal verdicts: the planted list
     * with the constant removal gate. */
   private val plantedTwinRemovedOracleSql =
@@ -1501,13 +1555,43 @@ object ExtensionQueries extends QueryFamily {
         |FROM documents WHERE doc_id % 100 = 0 ORDER BY id_a""".stripMargin,
     // Lloyd cost monotonicity + cardinality: DuckDB pins n_points and
     // the constant verdicts; Spark computes them from the fit telemetry
-    "embed_kmeans_verdict" ->
-      """SELECT CAST(r AS BIGINT) AS iter,
-        |  TRUE AS cost_non_increasing,
-        |  (SELECT COUNT(*) FROM embeddings) AS n_points,
-        |  TRUE AS clusters_le_k
-        |FROM (SELECT unnest(range(1, 4)) AS r)
-        |ORDER BY iter""".stripMargin,
+    "embed_kmeans_verdict" -> kmeansVerdictOracleSql,
+    "embed_kmeans_par_verdict" -> kmeansVerdictOracleSql,
+    // the verify kernel replayed by DuckDB: exact w=3 shingle Jaccard
+    // over the same SQL-expressible pair list (LEFT JOIN keeps
+    // zero-overlap pairs at jaccard 0, matching the kernel contract)
+    "dedup_ngram_jaccard_verdict" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)) AS tok,
+        |    unnest(range(1, len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)) + 1)) AS pos
+        |  FROM documents),
+        |ng AS (
+        |  SELECT DISTINCT doc_id,
+        |    tok || ' ' || LEAD(tok, 1) OVER w || ' ' || LEAD(tok, 2) OVER w AS g
+        |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |ngf AS (SELECT doc_id, g FROM ng WHERE g IS NOT NULL),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM ngf GROUP BY doc_id),
+        |elig AS (
+        |  SELECT doc_id FROM documents
+        |  WHERE len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)) >= 3),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, a.doc_id + 1 AS id_b
+        |  FROM elig a JOIN elig b ON b.doc_id = a.doc_id + 1
+        |  WHERE a.doc_id % 20 = 0),
+        |inter AS (
+        |  SELECT p.id_a, p.id_b, COUNT(*) AS i
+        |  FROM pairs p
+        |  JOIN ngf x ON x.doc_id = p.id_a
+        |  JOIN ngf y ON y.doc_id = p.id_b AND y.g = x.g
+        |  GROUP BY 1, 2)
+        |SELECT p.id_a, p.id_b,
+        |  COALESCE(i, 0) / CAST(sa.n + sb.n - COALESCE(i, 0) AS DOUBLE) AS jaccard
+        |FROM pairs p
+        |LEFT JOIN inter ON inter.id_a = p.id_a AND inter.id_b = p.id_b
+        |JOIN sz sa ON sa.doc_id = p.id_a
+        |JOIN sz sb ON sb.doc_id = p.id_b
+        |ORDER BY p.id_a, p.id_b""".stripMargin,
     "sim_recall_lsh" -> recallOracleSql,
     "sim_recall_ivf" -> recallOracleSql,
     "sim_recall_pq" -> recallOracleSql,
