@@ -393,6 +393,17 @@ object Dedup {
    * Cost honesty: the output itself is Θ(qualifying pairs). On a corpus
    * where "most docs are ≥ τ similar to most docs" no exact algorithm is
    * sub-quadratic — pick τ in the near-dup band (≥ 0.8) for such data.
+   * The cost contract is therefore a THROUGHPUT floor (verified pairs
+   * per executor-CPU-second, pinned in DedupSpec), not an absolute CPU
+   * bar: r9 measured that the verify intersection itself is noise
+   * (≈23-element sorted sets, threshold early exit) by swapping in a
+   * dictionary-ranked popcount-block set representation — min-of-N CPU
+   * moved less than run-to-run variance while the dictionary assignment
+   * and per-doc repacking added a vocab exchange and a corpus-token
+   * groupBy the `ts` reuse gets for free, so the experiment was
+   * reverted. The remaining CPU is the Θ(collision)+Θ(output) exchange
+   * and aggregation machinery, which scales with the answer, not the
+   * corpus.
    */
   def jaccardJoin(
       df: DataFrame,

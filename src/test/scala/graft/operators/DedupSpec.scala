@@ -202,6 +202,45 @@ class DedupSpec extends SparkSpec {
     assert(got.exists(p => p._1 == 2L && p._2 == 9L && p._3 == 1.0))
   }
 
+  test("jaccardJoin output-bound cost budget: verified-pair throughput stays above the pinned floor") {
+    // The exact join's cost is Θ(qualifying pairs) — r8 measured ~40 µs
+    // of machinery (candidate exchange + pair aggregation + verify join)
+    // per OUTPUT pair at sf0.1, and the r9 bitset-block experiment
+    // confirmed the intersection walk itself is noise (≈23-element sets,
+    // early exit): repacking sets as popcount blocks moved min-of-N CPU
+    // by less than run variance while ADDING a corpus-token groupBy and
+    // a dictionary exchange, so it was dropped. This spec pins the
+    // output-bound contract as a throughput floor instead of an absolute
+    // CPU bar: ≥ 500 verified pairs per executor-CPU-second at sf0.01
+    // (idle-box measurements run 5–35k pairs/s; 500 leaves >10× headroom
+    // for CI contention, which inflates on-CPU cycles up to ~3.5×).
+    val cpuNs = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (e.taskMetrics != null) cpuNs.addAndGet(e.taskMetrics.executorCpuTime)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val out = Dedup.jaccardJoin(
+        graft.sources.Tables.documents(spark, "/root/testdata/sf0.01"),
+        "text", "doc_id", threshold = 0.9)
+      val pairs = out.count()
+      // listener delivery is async — wait for the metric to settle
+      var last = -1L
+      var spins = 0
+      while (cpuNs.get != last && spins < 40) {
+        last = cpuNs.get; Thread.sleep(50); spins += 1
+      }
+      val cpuSec = cpuNs.get / 1e9
+      assert(pairs > 1000, s"fixture degenerated: only $pairs pairs")
+      val throughput = pairs / math.max(cpuSec, 1e-9)
+      assert(throughput >= 500.0,
+        f"output-bound budget broken: $pairs pairs in $cpuSec%.1f CPU-s = " +
+          f"$throughput%.0f pairs/s (floor 500)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("shingles/tokens behave on short and empty inputs") {
     val df = Seq((1L, "one two"), (2L, ""), (3L, "single")).toDF("id", "text")
     val out = df.select(col("id"),
