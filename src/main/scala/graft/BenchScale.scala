@@ -1,0 +1,180 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd, SparkListenerTaskStart}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Empirical scale probe (SURVEY §7.6 r9): measure how per-query
+ * executor-CPU actually grows from a 1× to a 10× corpus, instead of
+ * only plan-asserting the shapes. One measured slope catches a hidden
+ * super-linear interaction (bucket caps, pair blowups, accidental
+ * re-execution) that no single-SF bench can see.
+ *
+ * Fixture construction — the 10× corpus must be STRUCTURALLY identical
+ * per copy, not ten byte-copies (byte-copies would plant 10 exact
+ * duplicates of every doc and force Θ(copies²) output onto every dedup
+ * query — a super-linear ANSWER, which says nothing about the
+ * algorithm):
+ *  - documents: copy k remaps every token t → t⊕"zk" (an alphanumeric
+ *    suffix, so tokenization is unchanged). A bijection on the
+ *    vocabulary preserves every within-copy Jaccard/band/frequency
+ *    relation exactly while making copies pairwise token-disjoint — the
+ *    10× corpus is 10 independent corpora of the 1× structure.
+ *  - embeddings: copy k rotates each vector's dimensions by k. Rotation
+ *    preserves all within-copy geometry (norms, dots) exactly; across
+ *    copies the vectors decorrelate instead of colliding at cosine 1.
+ *
+ * Expectations, recorded per query in BENCH_SCALE.json:
+ *  - `linear` class: CPU_10x ≤ 1.3 × 10 × CPU_1x (exponent ≲ 1.11;
+ *    the 1.3 slack absorbs fixed costs and cache-locality loss).
+ *  - `answer` class (exact joins, CC, LSH pairs): cost is Θ(output +
+ *    collisions), so the honest check is CPU growth against OUTPUT
+ *    growth, same 1.3 slack on the output ratio (≥ 10× by construction).
+ * Every exponent is recorded either way — the artifact is the point.
+ */
+object BenchScale {
+
+  /** (name, class) — `linear` expects CPU ∝ rows; `answer` expects
+    * CPU ∝ output rows. All read only documents/embeddings. */
+  private val probes: Seq[(String, String)] = Seq(
+    "profile_documents" -> "linear",
+    "text_bm25_topk" -> "linear",
+    "quality_gopher" -> "linear",
+    "dedup_exact" -> "linear",
+    "text_langid" -> "linear",
+    "dedup_minhash_pairs" -> "answer",
+    "dedup_jaccard_join" -> "answer",
+    "dedup_minhash_cc" -> "answer",
+    "dedup_groups_cc_stars" -> "answer",
+    "sim_neardup" -> "answer",
+    "embed_kmeans_par" -> "linear")
+
+  private def writeCorpus(
+      spark: SparkSession, srcSf: String, outDir: String, copies: Int): Unit = {
+    val docs = graft.sources.Tables.documents(spark, srcSf)
+    val emb = graft.sources.Tables.embeddings(spark, srcSf)
+    val docCopies = (0 until copies).map { k =>
+      val base = docs.withColumn("doc_id", col("doc_id") + lit(k * 1000000L))
+      val remapped =
+        if (k == 0) base
+        else base.withColumn("text",
+          concat_ws(" ", transform(graft.operators.Dedup.tokens(col("text")),
+            t => concat(t, lit("z" + k)))))
+      remapped.withColumn("n_chars", length(col("text")))
+    }
+    val embCopies = (0 until copies).map { k =>
+      val base = emb.withColumn("vec_id", col("vec_id") + lit(k * 1000000L))
+      if (k == 0) base
+      else base.withColumn("embedding", expr(
+        s"concat(slice(embedding, ${k + 1}, size(embedding) - $k), " +
+          s"slice(embedding, 1, $k))"))
+    }
+    docCopies.reduce(_ unionByName _).write.mode("overwrite")
+      .parquet(s"$outDir/documents.parquet")
+    embCopies.reduce(_ unionByName _).write.mode("overwrite")
+      .parquet(s"$outDir/embeddings.parquet")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val srcSf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val workDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft_scale")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val sweeps = sys.env.getOrElse("SPARK_GRAFT_SCALE_SWEEPS", "3").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-bench-scale")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    writeCorpus(spark, srcSf, s"$workDir/x1", copies = 1)
+    writeCorpus(spark, srcSf, s"$workDir/x10", copies = 10)
+
+    val cpuNs = new AtomicLong(0L)
+    val started = new AtomicLong(0L)
+    val ended = new AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskStart(e: SparkListenerTaskStart): Unit =
+        started.incrementAndGet()
+      override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+        if (e.taskMetrics != null) cpuNs.addAndGet(e.taskMetrics.executorCpuTime)
+        ended.incrementAndGet()
+      }
+    })
+    def drainTaskEvents(): Unit = { // same drain contract as Bench
+      val t0 = System.currentTimeMillis()
+      var stable = 0
+      var staticFor = 0
+      var prev = (-1L, -1L)
+      while (stable < 2 && System.currentTimeMillis() - t0 < 60000) {
+        val cur = (started.get, ended.get)
+        if (cur._1 == cur._2) stable += 1 else stable = 0
+        staticFor = if (cur == prev) staticFor + 1 else 0
+        prev = cur
+        if (staticFor >= 100) return
+        if (stable < 2) Thread.sleep(20)
+      }
+    }
+    def measure(fn: (SparkSession, String) => DataFrame, dir: String): Double = {
+      drainTaskEvents()
+      val c0 = cpuNs.get
+      fn(spark, dir).write.format("noop").mode("overwrite").save()
+      drainTaskEvents()
+      CacheScope.releaseAll()
+      (cpuNs.get - c0) / 1e9
+    }
+
+    val qs = SparkEntry.queries
+    val dirs = Seq("x1" -> s"$workDir/x1", "x10" -> s"$workDir/x10")
+    // output cardinality once per (query, scale) — not part of the timing
+    val rows = probes.map { case (name, _) =>
+      name -> dirs.map { case (tag, d) =>
+        val n = qs(name)(spark, d).count()
+        CacheScope.releaseAll()
+        tag -> n
+      }.toMap
+    }.toMap
+    // min-of-N sweeps, alternating scales inside each sweep so host load
+    // bursts hit both scales alike
+    val cpu = scala.collection.mutable.Map.empty[(String, String), Double]
+    for (_ <- 1 to sweeps; (name, _) <- probes; (tag, d) <- dirs) {
+      val c = measure(qs(name), d)
+      val key = (name, tag)
+      cpu(key) = math.min(cpu.getOrElse(key, Double.MaxValue), c)
+    }
+
+    val entries = probes.map { case (name, cls) =>
+      val c1 = cpu((name, "x1")); val c10 = cpu((name, "x10"))
+      val r1 = rows(name)("x1"); val r10 = rows(name)("x10")
+      val cpuRatio = c10 / math.max(c1, 1e-9)
+      val exponent = math.log(math.max(cpuRatio, 1e-9)) / math.log(10.0)
+      val budgetRatio =
+        if (cls == "linear") 10.0 else math.max(r10.toDouble / math.max(r1, 1L), 10.0)
+      val pass = cpuRatio <= 1.3 * budgetRatio
+      (name, cls, c1, c10, r1, r10, cpuRatio, exponent, pass)
+    }
+    // ROOT-locale rendering (the f interpolator honors the JVM default
+    // locale, which could emit ',' decimals — same guard as Bench)
+    val json = entries.map { case (name, cls, c1, c10, r1, r10, ratio, exp, pass) =>
+      String.format(java.util.Locale.ROOT,
+        "    \"%s\": {\"class\": \"%s\", \"cpu_x1\": %.3f, \"cpu_x10\": %.3f, " +
+          "\"rows_x1\": %d, \"rows_x10\": %d, \"cpu_ratio\": %.2f, " +
+          "\"exponent\": %.3f, \"pass\": %b}",
+        name, cls, c1, c10, r1, r10, ratio, exp, pass)
+    }.mkString("{\n  \"src\": \"" + srcSf + "\", \"sweeps\": " + sweeps +
+      ", \"queries\": {\n", ",\n", "\n  }\n}")
+    println(json)
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SCALE.json"),
+      json.getBytes("UTF-8"))
+    val failed = entries.filterNot(_._9).map(_._1)
+    if (failed.nonEmpty)
+      System.err.println(s"[bench-scale] budget exceeded: ${failed.mkString(", ")}")
+    spark.stop()
+  }
+}

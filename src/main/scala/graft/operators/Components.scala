@@ -32,21 +32,55 @@ import org.apache.spark.sql.functions._
  * flattens the plan but its storage cannot be released mid-loop, so
  * 20 rounds would hold O(rounds × |V|) label generations in executor
  * storage instead of two. On a real cluster a reliable checkpoint
- * (HDFS/S3) every few rounds would additionally cap the RDD lineage a
- * lost executor replays. Nodes appear only if they occur in an edge —
+ * (HDFS/S3) every few rounds additionally caps the RDD lineage a lost
+ * executor replays — every iterative operator here takes an optional
+ * `checkpointDir` that writes one durable label/edge generation every
+ * `checkpointInterval` rounds (default off: single-JVM local mode
+ * replays from the persisted parent in one step anyway, so durable
+ * files would only add I/O). Nodes appear only if they occur in an edge —
  * callers union isolated rows back as their own singleton components
  * (see the `dedup_groups_cc` query).
  */
 object Components {
 
+  /** Shared per-round materializer: flat-plan persist by default; on a
+    * `checkpointDir` round, a RELIABLE `Dataset.checkpoint()` instead —
+    * the round's rows land as durable files and the RDD lineage a lost
+    * executor must replay truncates there (the HDFS/S3 story the
+    * flat-plan persist alone does not give a real cluster). Returns a
+    * handle whose `unpersist()` stays the correct release call either
+    * way (a no-op for the checkpointed generation). */
+  private def roundMaterializer(
+      spark: org.apache.spark.sql.SparkSession,
+      checkpointDir: Option[String]): (DataFrame, Int) => DataFrame = {
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    (df: DataFrame, roundsDone: Int) =>
+      if (checkpointDir.isDefined && roundsDone > 0 && roundsDone % CheckpointInterval == 0)
+        df.checkpoint() // eager: computes, writes, truncates lineage
+      else org.apache.spark.sql.graftbridge.CatalystBridge.flattenPlan(df).persist()
+  }
+
+  /** Rounds between durable checkpoints when a `checkpointDir` is given:
+    * small enough to bound replay, large enough that checkpoint I/O
+    * stays a fraction of the round joins. */
+  val CheckpointInterval = 4
+
   /**
    * @param edges two-column DataFrame (`src`, `dst`) of undirected edges
+   * @param checkpointDir reliable (HDFS/S3/DFS) checkpoint location; when
+   *                      set, every [[CheckpointInterval]]-th round's
+   *                      labels are durably checkpointed so executor loss
+   *                      replays at most that many rounds
    * @return (`id`, `component`) — component = min node id reachable
    */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(
+      edges: DataFrame,
+      maxIter: Int = 20,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(maxIter >= 1, s"maxIter must be positive: $maxIter")
     // flat-plan materialization: LogicalRDD severs the growing plan tree,
     // persist makes each round's labels reusable and RELEASABLE
+    val roundMat = roundMaterializer(edges.sparkSession, checkpointDir)
     def materialize(df: DataFrame): DataFrame =
       org.apache.spark.sql.graftbridge.CatalystBridge.flattenPlan(df).persist()
     // materialize the RAW edge list before symmetrizing: the symmetric
@@ -87,11 +121,11 @@ object Components {
       // pointer jump: component ← component(component). Every label is a
       // node id inside the same component, so the lookup always hits.
       val jump = lowered.select(col("id").as("__jid"), col("component").as("__jc"))
-      val next = materialize(
+      val next = roundMat(
         lowered.join(jump, lowered("component") === jump("__jid"), "left")
           .select(lowered("id"), col("__old"),
             least(lowered("component"), coalesce(col("__jc"), lowered("component")))
-              .as("component")))
+              .as("component")), iter)
       // labels are monotone non-increasing: converged ⇔ nothing dropped
       // (counted off the just-materialized round — no further join; this
       // count is also what forces the round's persist)
@@ -139,8 +173,12 @@ object Components {
    * Same output contract as [[connectedComponents]]: (`id`, `component`),
    * nodes appearing in at least one edge, component = min reachable id.
    */
-  def connectedComponentsStars(edges: DataFrame, maxIter: Int = 30): DataFrame = {
+  def connectedComponentsStars(
+      edges: DataFrame,
+      maxIter: Int = 30,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(maxIter >= 1, s"maxIter must be positive: $maxIter")
+    val roundMat = roundMaterializer(edges.sparkSession, checkpointDir)
     def materialize(df: DataFrame): DataFrame =
       org.apache.spark.sql.graftbridge.CatalystBridge.flattenPlan(df).persist()
     // cheap multiset fingerprint for the convergence check: the round is
@@ -201,7 +239,7 @@ object Components {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      val next = materialize(smallStar(largeStar(e)))
+      val next = roundMat(smallStar(largeStar(e)), iter)
       val nsig = signature(next)
       e.unpersist()
       e = next
@@ -291,12 +329,21 @@ object Components {
    * the chain exactly once.
    *
    * @param edges two-column DataFrame (`src`, `dst`), undirected
+   * @param checkpointDir reliable checkpoint location; when set, every
+   *                      [[CheckpointInterval]]-th round's scores are
+   *                      durably checkpointed (eager — those rounds pay
+   *                      one forced materialization, the price of
+   *                      bounding a lost executor's replay depth)
    * @return (`id`, `pr`) — score in parts per billion, one row per
    *         node appearing in at least one edge
    */
-  def pageRank(edges: DataFrame, iterations: Int = 5): DataFrame = {
+  def pageRank(
+      edges: DataFrame,
+      iterations: Int = 5,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(iterations >= 1 && iterations <= 50,
       s"iterations must be in [1, 50]: $iterations")
+    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
     def flat(df: DataFrame): DataFrame =
       org.apache.spark.sql.graftbridge.CatalystBridge.flattenPlan(df)
     // persist the raw edges before the symmetric union + degree join:
@@ -326,12 +373,16 @@ object Components {
       // mass flowing over each edge = floor(pr(nbr) / deg(nbr)); every
       // node of the symmetric list has ≥ 1 neighbour, so the inner join
       // + groupBy covers the full node set
-      pr = flat(symd
+      val round = symd
         .join(pr.select(col("id").as("nbr"), col("pr").as("__np")), "nbr")
         .groupBy(col("id"))
         .agg(sum(expr("__np DIV __nd")).as("__s"))
         .select(col("id"),
-          (lit(teleport) + expr("(17 * __s) DIV 20")).as("pr")))
+          (lit(teleport) + expr("(17 * __s) DIV 20")).as("pr"))
+      pr =
+        if (checkpointDir.isDefined && (i + 1) % CheckpointInterval == 0)
+          round.checkpoint()
+        else flat(round)
       i += 1
     }
     graft.CacheScope.scoped(pr)

@@ -188,4 +188,40 @@ class ComponentsSpec extends SparkSpec {
     }.filter { case (a, b) => a != b }.distinct
     assert(pr(edges) == prReference(edges, 5))
   }
+
+  test("reliable checkpointDir: identical results, durable generations actually written") {
+    // a 64-node chain runs well past CheckpointInterval rounds in BOTH
+    // CC variants, so at least one round lands as a reliable checkpoint;
+    // results must be bit-identical to the persist-only path and the
+    // checkpoint dir must hold real files (the lost-executor replay cap
+    // is only as good as the data actually on durable storage)
+    val chain = (1L to 63L).map(i => (i, i + 1))
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    def files(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator().asScala
+        .count(p => java.nio.file.Files.isRegularFile(p)).toLong
+    }
+    val ccCk = Components.connectedComponents(
+      chain.toDF("src", "dst"), checkpointDir = Some(dir))
+      .as[(Long, Long)].collect().toMap
+    assert(ccCk == cc(chain), "checkpointed CC diverged from persist-only CC")
+    val afterCc = files()
+    assert(afterCc > 0, "no checkpoint files written by connectedComponents")
+    val starsCk = Components.connectedComponentsStars(
+      chain.toDF("src", "dst"), checkpointDir = Some(dir))
+      .as[(Long, Long)].collect().toMap
+    assert(starsCk == ccStars(chain), "checkpointed stars CC diverged")
+    assert(files() > afterCc, "no checkpoint files written by stars CC")
+    val rnd = new scala.util.Random(11)
+    val edges = Seq.tabulate(40) { _ =>
+      (rnd.nextInt(25).toLong, rnd.nextInt(25).toLong)
+    }.filter { case (a, b) => a != b }.distinct
+    val before = files()
+    val prCk = Components.pageRank(
+      edges.toDF("src", "dst"), iterations = 5, checkpointDir = Some(dir))
+      .as[(Long, Long)].collect().toMap
+    assert(prCk == prReference(edges, 5), "checkpointed pageRank diverged")
+    assert(files() > before, "no checkpoint files written by pageRank")
+  }
 }
