@@ -18,11 +18,16 @@ import org.apache.spark.sql.functions._
  * duplicates of every doc and force Θ(copies²) output onto every dedup
  * query — a super-linear ANSWER, which says nothing about the
  * algorithm):
- *  - documents: copy k remaps every token t → t⊕"zk" (an alphanumeric
- *    suffix, so tokenization is unchanged). A bijection on the
- *    vocabulary preserves every within-copy Jaccard/band/frequency
- *    relation exactly while making copies pairwise token-disjoint — the
- *    10× corpus is 10 independent corpora of the 1× structure.
+ *  - documents: copy k maps every alphanumeric character through the
+ *    36-char [a-z0-9] ring rotated by k (uppercase joins the same ring,
+ *    matching the tokenizers' lowercase fold). A per-char bijection is
+ *    a per-token bijection that preserves token LENGTH and byte volume
+ *    — the first probe run used token suffixes and measured byte-bound
+ *    queries at ~13.6× CPU for 10× rows purely because the suffixes
+ *    added ~36% bytes — while preserving every within-copy
+ *    Jaccard/band/frequency relation exactly and keeping copies
+ *    (effectively) token-disjoint: the 10× corpus is 10 independent
+ *    corpora of the 1× structure at exactly 10× the bytes.
  *  - embeddings: copy k rotates each vector's dimensions by k. Rotation
  *    preserves all within-copy geometry (norms, dots) exactly; across
  *    copies the vectors decorrelate instead of colliding at cosine 1.
@@ -56,13 +61,20 @@ object BenchScale {
       spark: SparkSession, srcSf: String, outDir: String, copies: Int): Unit = {
     val docs = graft.sources.Tables.documents(spark, srcSf)
     val emb = graft.sources.Tables.embeddings(spark, srcSf)
+    val ring = "abcdefghijklmnopqrstuvwxyz0123456789"
     val docCopies = (0 until copies).map { k =>
       val base = docs.withColumn("doc_id", col("doc_id") + lit(k * 1000000L))
       val remapped =
         if (k == 0) base
-        else base.withColumn("text",
-          concat_ws(" ", transform(graft.operators.Dedup.tokens(col("text")),
-            t => concat(t, lit("z" + k)))))
+        else {
+          val rot = ring.drop(k) + ring.take(k)
+          // uppercase maps to the rotation of its lowercase twin — the
+          // tokenizers fold case first, so 'T' and 't' must stay the
+          // same token after remapping
+          val from = ring + ring.take(26).toUpperCase
+          val to = rot + rot.take(26)
+          base.withColumn("text", translate(col("text"), from, to))
+        }
       remapped.withColumn("n_chars", length(col("text")))
     }
     val embCopies = (0 until copies).map { k =>

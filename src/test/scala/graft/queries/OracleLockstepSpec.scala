@@ -45,6 +45,73 @@ class OracleLockstepSpec extends AnyFunSuite {
     }
   }
 
+  /**
+   * Verdict-twin oracles are constant-gated: the SQL side emits a pure
+   * planted list (`doc_id % 100 = 0`, `+ 10000000`, …) with TRUE/FALSE
+   * gates the Spark pipeline must reproduce. Those constants are
+   * replicated in the Spark query bodies; an edit that moves one side's
+   * modulus/shift (or a fixture regen that repurposes the planted id
+   * range) would leave a verdict vacuously green or permanently red with
+   * no error pointing at the drift. This table pins every verdict
+   * oracle's sanctioned constants — changing either side forces a
+   * deliberate, visible update here.
+   */
+  private val verdictContracts: Map[String, Seq[String]] = Map(
+    "dedup_simhash_planted" -> Seq("doc_id % 100 = 0",
+      "[10000000, 20000000, 30000000]", "TRUE AS twin_found"),
+    "sim_topk_lsh_verdict" -> Seq("vec_id < 5", "range(1, 11)",
+      "TRUE AS in_exact_top50"),
+    "sim_topk_ivf_verdict" -> Seq("vec_id < 5", "range(1, 11)",
+      "TRUE AS in_exact_top50"),
+    "sim_topk_pq_verdict" -> Seq("vec_id < 5", "TRUE AS copy_found"),
+    "sim_topk_ivfpq_verdict" -> Seq("vec_id < 5", "TRUE AS copy_found"),
+    "sim_neardup_verdict" -> Seq("vec_id % 100 = 0", "vec_id + 10000000",
+      "TRUE AS pair_found"),
+    "sim_semantic_dedup_verdict" -> Seq("vec_id % 100 = 0",
+      "vec_id + 10000000", "FALSE AS kept"),
+    "corpus_increment_embed_verdict" -> Seq("vec_id % 2 = 1", "vec_id < 10",
+      "FALSE AS admitted"),
+    "dedup_minhash_keep_verdict" -> Seq("doc_id % 100 = 0",
+      "doc_id + 10000000", "TRUE AS twin_removed"),
+    "dedup_minhash_cc_verdict" -> Seq("doc_id % 100 = 0",
+      "doc_id + 10000000", "TRUE AS twin_removed"),
+    "corpus_increment_neardup_verdict" -> Seq("doc_id % 100 = 0",
+      "doc_id + 10000000", "FALSE AS admitted"),
+    "multimodal_neardup_verdict" -> Seq("doc_id % 100 = 0",
+      "doc_id + 10000000", "TRUE AS pair_found"),
+    "embed_kmeans_verdict" -> Seq("range(1, 4)", "TRUE AS cost_non_increasing",
+      "TRUE AS clusters_le_k"),
+    "embed_kmeans_par_verdict" -> Seq("range(1, 4)",
+      "TRUE AS cost_non_increasing", "TRUE AS clusters_le_k"),
+    "hardneg_shortfall" -> Seq("vec_id < 5", "CAST(10 AS BIGINT) AS n_returned",
+      "CAST(0 AS BIGINT) AS shortfall", "TRUE AS overfetch_sufficient"),
+    "decontaminate_bloom_verdict" -> Seq("doc_id % 97 = 0",
+      "doc_id % 97 <> 0", "TRUE AS bloom_flagged"),
+    // direct value oracle, but its PAIR LIST is a planted constant the
+    // Spark side replicates — same drift risk, same pin
+    "dedup_ngram_jaccard_verdict" -> Seq("doc_id % 20 = 0", "doc_id + 1"))
+
+  test("every verdict-twin oracle carries its sanctioned planted-fixture constants") {
+    val oracles = graft.Queries.oracles
+    // completeness: a NEW verdict surface must register its contract here
+    val verdictNames = oracles.keys.filter(n =>
+      n.endsWith("_verdict") || n == "dedup_simhash_planted" || n == "hardneg_shortfall")
+    verdictNames.foreach { n =>
+      assert(verdictContracts.contains(n),
+        s"$n: verdict oracle without a lockstep contract — add its planted " +
+          "constants to OracleLockstepSpec.verdictContracts")
+    }
+    verdictContracts.foreach { case (name, needles) =>
+      val sql = oracles.getOrElse(name,
+        fail(s"$name: contract exists but oracle is gone — remove or rename"))
+      needles.foreach { needle =>
+        assert(sql.contains(needle),
+          s"$name: oracle drifted from its sanctioned constant '$needle' — " +
+            "update BOTH the Spark query and this contract together")
+      }
+    }
+  }
+
   private def sliding(haystack: String, needle: String): Int =
     if (needle.isEmpty) 0
     else haystack.sliding(needle.length).count(_ == needle)
