@@ -790,7 +790,10 @@ object ExtensionQueries extends QueryFamily {
     * Rows-only (hash-valued signatures); the verdict twin below is the
     * driver-checked contract. */
   def multimodalNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val assets = graft.operators.Multimodal.texturedImageAssetTable(spark, dir)
+    // scoped persist: the fixture DAG (per-row PNG encode) is consumed by
+    // both union branches — uncached it would re-encode per reference
+    val assets = graft.CacheScope.scoped(
+      graft.operators.Multimodal.texturedImageAssetTable(spark, dir))
     val twins = graft.operators.Multimodal.reencodedTwins(
       assets.filter(col("asset_id") % 100 === 0), idShift = 10000000L, scale = 2)
     graft.operators.Multimodal.assetNearDupPairs(
@@ -809,7 +812,10 @@ object ExtensionQueries extends QueryFamily {
    * list is pure SQL; one missed pair flips `pair_found`.
    */
   def multimodalNearDupVerdict(spark: SparkSession, dir: String): DataFrame = {
-    val assets = graft.operators.Multimodal.texturedImageAssetTable(spark, dir)
+    // three consumers of the PNG-encoding fixture DAG (union branch,
+    // twin source, planted list) — persist once, scoped release
+    val assets = graft.CacheScope.scoped(
+      graft.operators.Multimodal.texturedImageAssetTable(spark, dir))
     val planted = assets.filter(col("asset_id") % 100 === 0)
     val twins = graft.operators.Multimodal.reencodedTwins(
       planted, idShift = 10000000L, scale = 2)
