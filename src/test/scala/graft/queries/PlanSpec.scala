@@ -309,7 +309,12 @@ class PlanSpec extends SparkSpec {
       "split_leakage_safe",
       // end-of-round-8 bench risers (the verdict twins share these plans)
       "sim_semantic_dedup", "dedup_minhash_recall", "text_bm25_index",
-      "dedup_substring_pairs")
+      "dedup_substring_pairs",
+      // round-9 anchor top-15 additions (BENCH_FULL r9): the minhash keep
+      // path, BM25 serving, the rolling-distinct expansion, the
+      // cross-source gram matrix, and the new real-pHash pair pipeline
+      "dedup_minhash_keep", "text_bm25_topk", "rolling_active",
+      "source_overlap", "multimodal_neardup")
     val fullWidth = graft.sources.Tables.documents(spark, sfDir).schema.size
     for (q <- hot) {
       val p = plan(q)
