@@ -313,8 +313,8 @@ object Temporal {
    * one exchange — per-actor-per-day volume (billions of raw events)
    * never re-shuffles. The ×`windowDays` explode is map-side on the
    * REDUCED pair set, and both distincts partial-aggregate. Cost is
-   * Θ(|actor-days| · windowDays) — the standard exact shape; swap in the
-   * HLL-sketch path (`agg_hll_*`) when ±2% suffices at 100 TB.
+   * Θ(|actor-days| · windowDays) — the standard exact shape; swap in
+   * [[rollingActiveHll]] when ±2% suffices at 100 TB.
    */
   def rollingActive(
       df: DataFrame,
@@ -343,5 +343,51 @@ object Temporal {
     span.select(explode(sequence(col("__dmin"), col("__dmax"))).as("window_end"))
       .join(counts, Seq("window_end"), "left")
       .select(col("window_end"), coalesce(col("__n"), lit(0L)).as("n_active"))
+  }
+
+  /**
+   * APPROXIMATE rolling-window distinct actors — [[rollingActive]]'s
+   * 100 TB path. One HLL sketch per day (DataSketches `hll_sketch_agg`,
+   * mergeable state), then each day's sketch is exploded to its
+   * `windowDays` window ends and UNION-merged per window — distinctness
+   * across days falls out of the sketch union, no second corpus-sized
+   * distinct.
+   *
+   * Scale shape vs the exact form: the exact contribution expansion
+   * exchanges Θ(|actor-days| · windowDays) rows and re-distincts them;
+   * here the event stream reduces to |days| sketches in ONE day-keyed
+   * aggregate (partial-merged map-side), and everything after is
+   * calendar-bounded — Θ(|days| · windowDays) sketch rows of ≤ 2^lgK
+   * bytes each, regardless of actor cardinality. At lgK = 12 the
+   * standard error is ~1.6%; at small cardinalities the sketch is in
+   * sparse mode and exact, which is what lets the bounded-check oracle
+   * hold at fixture scale.
+   */
+  def rollingActiveHll(
+      df: DataFrame,
+      actorCol: String,
+      tsCol: String,
+      windowDays: Int = 7,
+      lgK: Int = 12): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be positive: $windowDays")
+    // daily feeds both the span and the window contributions — persist
+    // the |days|-row sketch table so events aggregate once
+    val daily = graft.CacheScope.scoped(df
+      .select(to_date(col(tsCol)).as("d"), col(actorCol).as("actor"))
+      .groupBy(col("d"))
+      .agg(hll_sketch_agg(col("actor"), lit(lgK)).as("sk")))
+    val span = daily.agg(min(col("d")).as("__dmin"), max(col("d")).as("__dmax"))
+    val unioned = daily
+      .select(explode(sequence(col("d"), date_add(col("d"), windowDays - 1)))
+        .as("window_end"), col("sk"))
+      .groupBy(col("window_end"))
+      .agg(hll_union_agg(col("sk")).as("sk"))
+    // dense spine, clamped to the observed span like the exact form; a
+    // window with no sketch (impossible inside the span, but the
+    // contract mirrors the exact operator) reports 0
+    span.select(explode(sequence(col("__dmin"), col("__dmax"))).as("window_end"))
+      .join(unioned, Seq("window_end"), "left")
+      .select(col("window_end"),
+        coalesce(hll_sketch_estimate(col("sk")), lit(0L)).as("n_active_approx"))
   }
 }

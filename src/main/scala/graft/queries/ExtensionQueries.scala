@@ -1190,6 +1190,39 @@ object ExtensionQueries extends QueryFamily {
     Sessionize.stateRuns(Tables.events(spark, dir))
       .orderBy(col("user_id"), col("run_seq"))
 
+  /**
+   * JSONL corpus ingest with corrupt-line quarantine — the raw-feed
+   * reality check: a deterministic JSONL fixture is written with every
+   * 97th line TRUNCATED mid-record (the classic damaged-upload shape,
+   * still embedding its doc_id), then read back through
+   * [[graft.sources.JsonlCorpus.readQuarantined]]. Output proves BOTH
+   * lanes end-to-end: ok rows carry md5 of the round-tripped text
+   * (JSON escaping must be lossless), quarantined rows carry md5 of the
+   * PRESERVED RAW LINE and their doc_id recovered from it — DuckDB
+   * recomputes both digests from `documents` alone, so a reader that
+   * dropped, truncated, or re-encoded a quarantined line hash-fails.
+   */
+  def corpusIngestJsonl(spark: SparkSession, dir: String): DataFrame = {
+    val path = graft.TmpCleanup.perProcessDir("graft-jsonl", dir)
+    graft.TmpCleanup.register(path)
+    Tables.documents(spark, dir).select(
+      when(col("doc_id") % 97 === 0,
+        concat(lit("{\"doc_id\": "), col("doc_id").cast("string"),
+          lit(", \"text\": BROKEN")))
+        .otherwise(to_json(struct(col("doc_id"), col("text"), col("lang"),
+          col("source"), col("n_chars")))).as("value"))
+      .write.mode("overwrite").text(path)
+    val in = graft.sources.JsonlCorpus.readQuarantined(spark, path)
+    in.select(
+      coalesce(col("doc_id"),
+        nullif(regexp_extract(col("_raw"), "\"doc_id\": (\\d+)", 1), lit(""))
+          .cast("long")).as("doc_id"),
+      when(col("line_ok"), lit("ok")).otherwise(lit("quarantined")).as("status"),
+      when(col("line_ok"), md5(col("text"))).otherwise(md5(col("_raw")))
+        .as("digest"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Exact 3-day rolling distinct active users (contribution-expansion
     * shape; the fixture span is only a few days, so a 7-day window would
     * degenerate to cumulative). */
@@ -1197,6 +1230,25 @@ object ExtensionQueries extends QueryFamily {
     graft.operators.Temporal.rollingActive(Tables.events(spark, dir),
       "user_id", "ts", windowDays = 3)
       .orderBy(col("window_end"))
+
+  /** HLL rolling distinct — the sketch-union scale path of
+    * [[rollingActive]], bounded-check oracled like the `agg_hll_*`
+    * family: the exact rolling count rides along and DuckDB recomputes
+    * it, with a constant-TRUE 5%-tolerance verdict (2-count absolute
+    * floor for the sparse-mode small windows) on the estimate. */
+  def rollingActiveHll(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.events(spark, dir)
+    val exact = graft.operators.Temporal.rollingActive(
+      events, "user_id", "ts", windowDays = 3)
+    val approx = graft.operators.Temporal.rollingActiveHll(
+      events, "user_id", "ts", windowDays = 3)
+    exact.join(approx, Seq("window_end"))
+      .select(col("window_end"), col("n_active"),
+        (abs(col("n_active_approx") - col("n_active")) <=
+          greatest(col("n_active").cast("double") * 0.05, lit(2.0)))
+          .as("within_5pct"))
+      .orderBy(col("window_end"))
+  }
 
   /** Time-weighted average value per event series (integer-exact
     * cents×seconds accumulation, one IEEE division at the end). */
@@ -1312,6 +1364,8 @@ object ExtensionQueries extends QueryFamily {
     "assoc_rules" -> (assocRules _),
     "ts_anomaly" -> (tsAnomaly _),
     "rolling_active" -> (rollingActive _),
+    "rolling_active_hll" -> (rollingActiveHll _),
+    "corpus_ingest_jsonl" -> (corpusIngestJsonl _),
     "ts_twap" -> (tsTwap _),
     "session_stats" -> (sessionStats _))
 
@@ -2288,6 +2342,32 @@ object ExtensionQueries extends QueryFamily {
         |spine AS (SELECT CAST(unnest(generate_series(CAST(dmin AS TIMESTAMP),
         |    CAST(dmax AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS window_end FROM m)
         |SELECT s.window_end, COALESCE(c.n, CAST(0 AS BIGINT)) AS n_active
+        |FROM spine s LEFT JOIN counts c ON s.window_end = c.window_end
+        |ORDER BY s.window_end""".stripMargin,
+    // both ingest lanes recomputed from documents alone: ok rows' text
+    // digests (round-trip losslessness) and quarantined rows' RAW-LINE
+    // digests (byte-for-byte preservation of the malformed input)
+    "corpus_ingest_jsonl" ->
+      """SELECT doc_id, 'ok' AS status, MD5(text) AS digest
+        |FROM documents WHERE doc_id % 97 <> 0
+        |UNION ALL
+        |SELECT doc_id, 'quarantined' AS status,
+        |  MD5('{"doc_id": ' || doc_id || ', "text": BROKEN') AS digest
+        |FROM documents WHERE doc_id % 97 = 0
+        |ORDER BY doc_id""".stripMargin,
+    // the HLL twin: exact side recomputed, estimate gated by the
+    // constant-TRUE bounded verdict (the agg_hll_* oracle pattern)
+    "rolling_active_hll" ->
+      """WITH ad AS (SELECT DISTINCT user_id AS actor, CAST(ts AS DATE) AS d FROM events),
+        |m AS (SELECT MIN(d) AS dmin, MAX(d) AS dmax FROM ad),
+        |contrib AS (
+        |  SELECT DISTINCT actor, d + i AS window_end
+        |  FROM ad, (SELECT CAST(unnest(generate_series(0, 2)) AS INTEGER) AS i) t),
+        |counts AS (SELECT window_end, COUNT(1) AS n FROM contrib GROUP BY window_end),
+        |spine AS (SELECT CAST(unnest(generate_series(CAST(dmin AS TIMESTAMP),
+        |    CAST(dmax AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS window_end FROM m)
+        |SELECT s.window_end, COALESCE(c.n, CAST(0 AS BIGINT)) AS n_active,
+        |  TRUE AS within_5pct
         |FROM spine s LEFT JOIN counts c ON s.window_end = c.window_end
         |ORDER BY s.window_end""".stripMargin)
 }

@@ -19,27 +19,6 @@ import graft.sources.Tables
  */
 object RetrievalQueries extends QueryFamily {
 
-  /** Recursive-delete shutdown hook, registered at most once per path:
-    * the per-pid index dirs below are cleaned when THIS JVM exits (an
-    * eager delete would yank the files out from under the returned lazy
-    * plan; a crash leaves at most one pid's copy for tmp reapers). */
-  private val cleanupPaths =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-  private lazy val cleanupHook: Unit =
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      cleanupPaths.forEach { p =>
-        val dir = java.nio.file.Paths.get(p)
-        if (java.nio.file.Files.exists(dir)) {
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
-            .foreach(java.nio.file.Files.deleteIfExists(_))
-        }
-      }))
-  private def registerCleanup(path: String): Unit = {
-    cleanupHook
-    cleanupPaths.add(path)
-  }
-
   /** (query_id, term) fixture workload — `dup` is the rare term. */
   private val workload: Seq[(Int, String)] = Seq(
     1 -> "dup", 1 -> "join",
@@ -71,14 +50,11 @@ object RetrievalQueries extends QueryFamily {
     // invocation, while the pid suffix keeps two concurrent graft
     // processes on the same fixture from deleting each other's index
     // mid-read
-    val idx = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
-      "graft-bm25-idx-" + ProcessHandle.current().pid() + "-" +
-        java.security.MessageDigest.getInstance("MD5")
-          .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString).toString
+    val idx = graft.TmpCleanup.perProcessDir("graft-bm25-idx", dir)
     // the pid suffix means each JVM leaves its own copy behind — delete
     // it at JVM exit, or repeated bench/verify processes accumulate
     // corpus-sized index dirs in /tmp until the filesystem fills
-    registerCleanup(idx)
+    graft.TmpCleanup.register(idx)
     Retrieval.writeIndex(Tables.documents(spark, dir), "doc_id", "text", idx)
     Retrieval.searchIndex(spark, idx, workloadDf(spark), k = 10)
       .orderBy(col("query_id"), col("rank"))

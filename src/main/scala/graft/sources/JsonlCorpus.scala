@@ -1,0 +1,77 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * JSONL corpus ingest/export (SURVEY §2.3 source surface): newline-
+ * delimited JSON is the lingua franca of raw LLM-pretraining corpora
+ * (Common Crawl derivatives, instruction datasets, vendor drops), and
+ * the operational reality of those feeds is that some fraction of lines
+ * is malformed — truncated uploads, encoding damage, concatenated
+ * records. The production contract this module pins:
+ *
+ *  - a corrupt line must not kill a 100 TB ingest job, AND
+ *  - it must not be silently dropped — it lands in a QUARANTINE lane
+ *    with the raw line preserved byte-for-byte for audit/repair.
+ *
+ * Spark-first shape: the JSON reader's PERMISSIVE mode with
+ * `columnNameOfCorruptRecord` does the heavy lifting inside the scan
+ * (codegen'd Jackson parse, no UDF, file-split parallel); this module
+ * fixes the schema/flag contract so callers branch on `line_ok` instead
+ * of re-deciding null-semantics at every call site.
+ */
+object JsonlCorpus {
+
+  /** The documents-table line schema (matches `Tables.documents`). */
+  val docSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /**
+   * Read a JSONL corpus with corrupt-line quarantine: well-formed lines
+   * parse to typed columns with `line_ok = true`; malformed lines carry
+   * the raw input verbatim in `_raw` (typed columns null,
+   * `line_ok = false`). FAILFAST/DROPMALFORMED are deliberately not
+   * options here — the first kills the job on one bad byte, the second
+   * destroys the audit trail.
+   *
+   * Implementation note: this is a TEXT scan + `from_json` projection,
+   * NOT `spark.read.json` with `columnNameOfCorruptRecord`. The JSON
+   * scan path forbids queries whose referenced columns reduce to the
+   * corrupt column alone (`QUERY_ONLY_CORRUPT_RECORD_COLUMN`) — and
+   * "count the quarantined lines" is exactly such a query, so the most
+   * natural audit aggregation would throw at the call site. The text
+   * scan has no such restriction, splits/parallelizes identically, and
+   * the Jackson parse runs in the projection instead of the reader.
+   */
+  def readQuarantined(
+      spark: SparkSession,
+      path: String,
+      schema: StructType = docSchema): DataFrame = {
+    require(!schema.fieldNames.contains("_raw"),
+      "schema must not already define _raw")
+    val corrupt = "__graft_corrupt"
+    require(!schema.fieldNames.contains(corrupt),
+      s"schema must not already define $corrupt")
+    spark.read.text(path)
+      .select(col("value"), from_json(col("value"),
+        schema.add(StructField(corrupt, StringType)),
+        Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> corrupt))
+        .as("__j"))
+      .select(col("__j.*"), col("value"))
+      .withColumn("line_ok", col(corrupt).isNull)
+      .withColumn("_raw", when(!col("line_ok"), col("value")))
+      .drop(corrupt, "value")
+  }
+
+  /** Export a corpus as JSONL shards — the interchange twin of
+    * [[readQuarantined]] (Spark's JSON sink: one shard per partition,
+    * scale-out writes). */
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+}

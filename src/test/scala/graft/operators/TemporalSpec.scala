@@ -210,6 +210,30 @@ class TemporalSpec extends SparkSpec {
       ("2024-01-04", 0L), ("2024-01-05", 0L), ("2024-01-06", 1L)))
   }
 
+  test("rollingActiveHll: sparse-mode sketches match the exact rolling distinct, dense spine kept") {
+    // at hand-fixture cardinality the HLL is in sparse mode and EXACT,
+    // so the sketch-union path must reproduce rollingActive bit-for-bit
+    // (including the zero-actor day inside the span) — what the
+    // rolling_active_hll bounded oracle relies on at fixture scale
+    val events = Seq(
+      (1L, ts("2024-01-01 09:00:00")),
+      (1L, ts("2024-01-02 09:00:00")), // multi-day actor: once per window
+      (2L, ts("2024-01-01 09:00:00")),
+      (3L, ts("2024-01-04 09:00:00"))  // d3 window {d2,d3} holds only u1
+    ).toDF("user_id", "ts")
+    val exact = Temporal.rollingActive(events, "user_id", "ts", windowDays = 2)
+      .orderBy("window_end")
+      .as[(java.sql.Date, Long)].collect().map { case (d, n) => (d.toString, n) }
+    val approx = Temporal.rollingActiveHll(events, "user_id", "ts", windowDays = 2)
+      .orderBy("window_end")
+      .as[(java.sql.Date, Long)].collect().map { case (d, n) => (d.toString, n) }
+    assert(exact.toSeq == Seq(
+      ("2024-01-01", 2L), ("2024-01-02", 2L), ("2024-01-03", 1L),
+      ("2024-01-04", 1L)))
+    assert(approx.toSeq == exact.toSeq,
+      s"sparse-mode HLL diverged from exact: ${approx.toSeq} vs ${exact.toSeq}")
+  }
+
   test("timeWeightedAvg: zero-span keys emit NULL, not NaN") {
     val events = Seq(
       (1L, ts("2024-01-01 10:00:00"), "z", 10.0),
