@@ -291,6 +291,61 @@ object Multimodal {
     } finally ais.close()
   }
 
+  /** REAL audio downsample (decimation by an integer factor): decode
+    * the WAV container, keep every `factor`-th PCM sample, re-encode at
+    * `rate / factor` — the transform twin of [[resizeImage]] for the
+    * audio modality (canonical preprocessing before a fixed-rate audio
+    * encoder). No interpolation/anti-aliasing: decimation keeps sample
+    * VALUES exactly, which is what lets a SQL oracle verify the full
+    * decode→transform→encode→decode round trip in closed form. Output
+    * carries genuine re-encoded WAV bytes. */
+  def resampleAudio(assets: DataFrame, factor: Int = 2): DataFrame = {
+    require(factor >= 1, s"factor must be positive: $factor")
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("modality", StringType, nullable = false),
+      StructField("content", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    assets.filter(col("modality") === "audio")
+      .select("asset_id", "content").mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+          val (rate, pcm) =
+            try {
+              val fmt = ais.getFormat
+              require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+                s"asset $id: expected mono 16-bit PCM, got $fmt")
+              val rate0 = fmt.getSampleRate.toInt
+              require(rate0 % factor == 0,
+                s"asset $id: rate $rate0 not divisible by factor $factor")
+              (rate0, ais.readAllBytes())
+            } finally ais.close()
+          val n = pcm.length / 2
+          val m = (n + factor - 1) / factor
+          val out = new Array[Byte](m * 2)
+          var i = 0
+          var j = 0
+          while (i < n) {
+            if (i % factor == 0) {
+              out(2 * j) = pcm(2 * i); out(2 * j + 1) = pcm(2 * i + 1)
+              j += 1
+            }
+            i += 1
+          }
+          val newFmt = new javax.sound.sampled.AudioFormat(
+            (rate / factor).toFloat, 16, 1, /* signed = */ true, /* bigEndian = */ false)
+          val outAis = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(out), newFmt, m.toLong)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(outAis,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          Row(id, "audio", bos.toByteArray)
+        }
+      }(enc)
+  }
+
   // ------------------------------------------------------------------
   // REAL video: RIFF/AVI container, raw-DIB + MJPG codecs
   // ------------------------------------------------------------------

@@ -846,6 +846,19 @@ object ExtensionQueries extends QueryFamily {
         col("format"), col("mean_px"))
       .orderBy(col("asset_id"))
 
+  /** REAL audio downsample, round-tripped through the REAL decoder and
+    * DuckDB-oracled: 2× decimation keeps every even-index sample
+    * exactly, so the re-encoded clip's rate (4000), sample count
+    * (⌈n/2⌉) and sum of absolute amplitudes are all closed forms of
+    * `doc_id` — the audio twin of `multimodal_resize`. */
+  def multimodalAudioResample(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Multimodal.decodeAudio(
+      graft.operators.Multimodal.resampleAudio(
+        graft.operators.Multimodal.audioAssetTable(spark, dir), factor = 2))
+      .select(col("asset_id"), col("sample_rate"), col("n_samples"),
+        col("sum_abs"))
+      .orderBy(col("asset_id"))
+
   /** REAL mixed-modality decode: one per-partition kernel over the
     * union of the PNG + WAV + AVI fixtures, dispatching each row by
     * container magic (never the modality label) to the matching
@@ -1338,6 +1351,7 @@ object ExtensionQueries extends QueryFamily {
     "multimodal_features" -> (multimodalFeatures _),
     "multimodal_decode" -> (multimodalDecode _),
     "multimodal_resize" -> (multimodalResize _),
+    "multimodal_audio_resample" -> (multimodalAudioResample _),
     "multimodal_features_image" -> (multimodalFeaturesImage _),
     "multimodal_features_audio" -> (multimodalFeaturesAudio _),
     "multimodal_features_video" -> (multimodalFeaturesVideo _),
@@ -1565,6 +1579,16 @@ object ExtensionQueries extends QueryFamily {
         |  CAST((doc_id * 7 + fr * 13) % 256 AS INT) AS mean_px,
         |  (doc_id % 11 + 1) * (doc_id % 6 + 1) * ((doc_id * 7 + fr * 13) % 256) AS sum_px
         |FROM f WHERE fr % 2 = 0 ORDER BY asset_id, frame_no""".stripMargin,
+    // decimation → decode round trip: every even-index sample of the
+    // deterministic PCM fixture survives exactly, all closed forms
+    "multimodal_audio_resample" ->
+      """WITH s AS (
+        |  SELECT doc_id, UNNEST(range(0, doc_id % 50 + 10)) AS i FROM documents)
+        |SELECT doc_id AS asset_id, CAST(4000 AS INT) AS sample_rate,
+        |  CAST(COUNT(*) AS BIGINT) AS n_samples,
+        |  CAST(SUM(ABS((doc_id * 31 + i * 17) % 2001 - 1000)) AS BIGINT) AS sum_abs
+        |FROM s WHERE i % 2 = 0
+        |GROUP BY doc_id ORDER BY asset_id""".stripMargin,
     // resize → decode round trip: a constant-fill image survives any
     // interpolation exactly, so the decoded 8×8 mean is still doc_id%256
     "multimodal_resize" ->

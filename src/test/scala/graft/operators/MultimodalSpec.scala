@@ -141,6 +141,27 @@ class MultimodalSpec extends SparkSpec {
     assert(ex.getMessage != null)
   }
 
+  test("resampleAudio: 2x decimation keeps exact even-index samples at half the rate") {
+    val assets = Multimodal.audioAssetTable(spark, sfDir).filter($"asset_id" < 30)
+    val decoded = Multimodal.decodeAudio(Multimodal.resampleAudio(assets, factor = 2))
+      .select("asset_id", "sample_rate", "n_samples", "sum_abs")
+      .as[(Long, Int, Long, Long)].collect()
+    assert(decoded.length == 30)
+    decoded.foreach { case (id, rate, n, sum) =>
+      val n0 = id % 50 + 10
+      assert(rate == 4000, s"asset $id resampled rate $rate")
+      assert(n == (n0 + 1) / 2, s"asset $id kept $n of $n0 samples")
+      val esum = (0L until n0 by 2)
+        .map(i => math.abs((id * 31 + i * 17) % 2001 - 1000)).sum
+      assert(sum == esum, s"asset $id sum_abs $sum != $esum")
+    }
+    // non-divisible rate/factor must fail loud, not round silently
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.resampleAudio(assets.limit(1), factor = 3).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("decodeAudio fails loud on undecodable bytes") {
     val bogus = Multimodal.assetTable(spark, sfDir)
       .filter($"modality" === "audio").limit(3)
