@@ -24,15 +24,29 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  * there (a per-connection sort would be wasted work; Spark re-sorts
  * globally only when the query asks for it).
  *
- * Offline-harness note: there is no reachable database in the test
- * environment, so execution paths are exercised against parquet fixtures
- * (`Tables`); this module's SQL assembly is unit-tested directly.
+ * Harness note: no external database is reachable offline, but Derby
+ * ships on the Spark classpath — JdbcTraceSourceSpec runs BOTH read
+ * paths LIVE against an embedded in-memory Derby seeded with the
+ * reference table (DB-side filter + sort asserted on the single-query
+ * path, stripe coverage on the parallel path). The only dialect delta
+ * is the timestamp-literal spelling, isolated in `tsLiteral`.
  */
 object JdbcTraceSource {
 
+  /** SQL-standard timestamp literal (Oracle, the reference's target —
+    * ParameterDataRepository.java runs against Oracle). */
+  val standardTsLiteral: Timestamp => String = t => s"TIMESTAMP '$t'"
+
+  /** Derby spells the same literal as a function call — the dialect knob
+    * the LIVE embedded-database spec exercises. */
+  val derbyTsLiteral: Timestamp => String = t => s"TIMESTAMP('$t')"
+
   /** The reference query text (ParameterDataRepository.java:58-69), with
-    * literals bound in place of R2DBC named parameters. */
-  def querySql(ids: Seq[Long], start: Timestamp, end: Timestamp): String = {
+    * literals bound in place of R2DBC named parameters. `tsLiteral`
+    * renders timestamp literals per target dialect (default: the
+    * reference's Oracle form). */
+  def querySql(ids: Seq[Long], start: Timestamp, end: Timestamp,
+      tsLiteral: Timestamp => String = standardTsLiteral): String = {
     require(ids.nonEmpty, "ids must be non-empty (F3 short-circuits earlier)")
     require(!start.after(end), s"startTime must be before endTime: $start > $end")
     s"""SELECT dparam.PARAM_INDEX as paramIndex,
@@ -41,8 +55,8 @@ object JdbcTraceSource {
        |       dparam.TRACE_DATA as traceData
        |FROM TD_FD_TRACE_PARAM dparam
        |WHERE dparam.PARAM_INDEX IN (${ids.mkString(", ")})
-       |  AND dparam.START_TIME >= TIMESTAMP '$start'
-       |  AND dparam.START_TIME <= TIMESTAMP '$end'
+       |  AND dparam.START_TIME >= ${tsLiteral(start)}
+       |  AND dparam.START_TIME <= ${tsLiteral(end)}
        |ORDER BY dparam.PARAM_INDEX, dparam.START_TIME ASC""".stripMargin
   }
 
@@ -53,10 +67,11 @@ object JdbcTraceSource {
       ids: Seq[Long],
       start: Timestamp,
       end: Timestamp,
-      props: Properties = new Properties): DataFrame =
+      props: Properties = new Properties,
+      tsLiteral: Timestamp => String = standardTsLiteral): DataFrame =
     spark.read.format("jdbc")
       .option("url", url)
-      .option("query", querySql(ids, start, end))
+      .option("query", querySql(ids, start, end, tsLiteral))
       .options(propsMap(props))
       .load()
 
