@@ -51,6 +51,29 @@ object Dedup {
   }
 
   /**
+   * Quality-aware survivor selection: per duplicate group the row
+   * MAXIMIZING `better` wins, ties broken by minimum id — "keep the
+   * best copy" (longest, highest quality score, most central), the
+   * production replacement for [[exactByKey]]'s arbitrary-but-stable
+   * min-id rule when copies differ in truncation or cleanliness (the
+   * same motivation as [[Components.pageRank]]'s canonical pick, at the
+   * per-group rather than per-cluster grain). Same one-exchange window
+   * shape as [[exactByKey]]; the `better` expression evaluates inside
+   * the window sort, no extra pass.
+   */
+  def keepBestByKey(
+      df: DataFrame,
+      keyCols: Seq[String],
+      idCol: String,
+      better: Column): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(better.desc, col(idCol).asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /**
    * Remove rows whose bucket key holds more than `maxBucket` members —
    * BEFORE any collect_list/self-join touches them. Implemented as a
    * windowed count over the bucket keys, NOT a count-aggregate + anti-join:

@@ -33,6 +33,18 @@ object ExtensionQueries extends QueryFamily {
       .select(col("doc_id"))
       .orderBy(col("doc_id"))
 
+  /** Quality-aware survivor per fingerprint group — "keep the LONGEST
+    * copy" (the least-truncated variant) instead of the arbitrary
+    * min-id; fingerprint equality ⟺ normalized-text equality is the
+    * same oracle bridge `dedup_fingerprint` rests on, with the window
+    * ordered by raw length desc. */
+  def dedupKeepBest(spark: SparkSession, dir: String): DataFrame =
+    Dedup.keepBestByKey(
+      TextAnalysis.fingerprint(Tables.documents(spark, dir), "text"),
+      Seq("fp"), "doc_id", better = length(col("text")))
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+
   /**
    * Driver-checkable minhash RECALL verdict — the bounded-check oracle
    * for the LSH machinery DuckDB cannot replay directly. Claim: every
@@ -1290,6 +1302,7 @@ object ExtensionQueries extends QueryFamily {
   val queries: Map[String, QueryFn] = Map(
     "dedup_exact" -> (dedupExact _),
     "dedup_fingerprint" -> (dedupFingerprint _),
+    "dedup_keep_best" -> (dedupKeepBest _),
     "dedup_minhash_pairs" -> (dedupMinhashPairs _),
     "dedup_minhash_recall" -> (dedupMinhashRecall _),
     "dedup_simhash_planted" -> (dedupSimhashPlanted _),
@@ -1556,6 +1569,14 @@ object ExtensionQueries extends QueryFamily {
         |  SELECT doc_id, ROW_NUMBER() OVER (
         |    PARTITION BY TRIM(REGEXP_REPLACE(LOWER(text), ' +', ' ', 'g'))
         |    ORDER BY doc_id) AS rn
+        |  FROM documents) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    // same normalized-equality bridge, survivor = longest raw text
+    // (then min id) instead of min id
+    "dedup_keep_best" ->
+      """SELECT doc_id FROM (
+        |  SELECT doc_id, ROW_NUMBER() OVER (
+        |    PARTITION BY TRIM(REGEXP_REPLACE(LOWER(text), ' +', ' ', 'g'))
+        |    ORDER BY LENGTH(text) DESC, doc_id) AS rn
         |  FROM documents) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "text_fingerprint" ->
       """SELECT doc_id,

@@ -47,6 +47,21 @@ class DedupSpec extends SparkSpec {
     assert(kept.contains(4L) && kept.contains(5L))
   }
 
+  test("keepBestByKey: longest copy wins its group, ties fall back to min id") {
+    val fixture = Seq(
+      (1L, "a b"),            // group A, len 3
+      (2L, "a  b"),           // group A, len 4  <- longest, wins
+      (3L, "A B "),           // group A, len 4  — tie with 2, higher id loses
+      (4L, "other doc")       // singleton survives
+    ).toDF("doc_id", "text")
+    val kept = Dedup.keepBestByKey(
+      graft.operators.TextAnalysis.fingerprint(fixture, "text"),
+      Seq("fp"), "doc_id", better = length($"text"))
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(2L, 4L),
+      s"expected longest-then-min-id survivors, got ${kept.toSeq}")
+  }
+
   test("admitNew: incoming rows with an already-known digest are rejected") {
     val existing = Seq((100L, "known document one"), (101L, "known document two"))
       .toDF("doc_id", "text")

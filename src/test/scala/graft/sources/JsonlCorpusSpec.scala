@@ -50,6 +50,28 @@ class JsonlCorpusSpec extends SparkSpec {
     assert(got == orig, "round-tripped text diverged")
   }
 
+  test("gzip-compressed JSONL (.jsonl.gz) decompresses transparently through the same reader") {
+    // raw LLM-corpus drops ship compressed; the text scan's Hadoop codec
+    // chain must decompress by extension with quarantine intact
+    val dir = tmp()
+    val lines = Seq(
+      """{"doc_id": 41, "text": "compressed ok", "lang": "en", "source": "gz", "n_chars": 13}""",
+      """{"doc_id": 42, "broken""")
+    val gz = java.nio.file.Paths.get(dir, "part-00000.jsonl.gz")
+    val out = new java.util.zip.GZIPOutputStream(
+      java.nio.file.Files.newOutputStream(gz))
+    try out.write(lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+    val in = JsonlCorpus.readQuarantined(spark, dir)
+      .select("doc_id", "text", "line_ok", "_raw").collect()
+    assert(in.length == 2)
+    val ok = in.filter(_.getAs[Boolean]("line_ok"))
+    assert(ok.map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"))).toSeq ==
+      Seq((41L, "compressed ok")))
+    assert(in.filterNot(_.getAs[Boolean]("line_ok"))
+      .map(_.getAs[String]("_raw")).toSeq == Seq(lines(1)))
+  }
+
   test("readQuarantined refuses a schema that already claims _raw") {
     val e = intercept[IllegalArgumentException] {
       JsonlCorpus.readQuarantined(spark, "/nonexistent",
