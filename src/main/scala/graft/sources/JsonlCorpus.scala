@@ -53,12 +53,40 @@ object JsonlCorpus {
       spark: SparkSession,
       path: String,
       schema: StructType = docSchema): DataFrame = {
+    validateSchema(schema)
+    quarantineProject(spark.read.text(path), schema)
+  }
+
+  /** Streaming twin of [[readQuarantined]] — the continuous-ingest
+    * shape: new JSONL shards land in `path`, each micro-batch parses
+    * through the IDENTICAL projection (shared kernel, so the lanes
+    * cannot drift from batch), and a malformed line quarantines instead
+    * of poison-pilling the query. Combine with
+    * `option("maxFilesPerTrigger", …)` on the session for admission
+    * pacing and an exactly-once file sink downstream. */
+  def readQuarantinedStream(
+      spark: SparkSession,
+      path: String,
+      schema: StructType = docSchema): DataFrame = {
+    validateSchema(schema)
+    quarantineProject(spark.readStream.text(path), schema)
+  }
+
+  private val corrupt = "__graft_corrupt"
+
+  /** Reject schemas claiming the reader's own columns — BEFORE the path
+    * is even opened, so the caller sees the contract error, not a
+    * reader error. */
+  private def validateSchema(schema: StructType): Unit = {
     require(!schema.fieldNames.contains("_raw"),
       "schema must not already define _raw")
-    val corrupt = "__graft_corrupt"
     require(!schema.fieldNames.contains(corrupt),
       s"schema must not already define $corrupt")
-    spark.read.text(path)
+  }
+
+  /** The ONE quarantine projection both entry points share. */
+  private def quarantineProject(lines: DataFrame, schema: StructType): DataFrame = {
+    lines
       .select(col("value"), from_json(col("value"),
         schema.add(StructField(corrupt, StringType)),
         Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> corrupt))

@@ -72,6 +72,34 @@ class JsonlCorpusSpec extends SparkSpec {
       .map(_.getAs[String]("_raw")).toSeq == Seq(lines(1)))
   }
 
+  test("readQuarantinedStream: micro-batches quarantine malformed lines and match the batch reader") {
+    val dir = tmp()
+    def writeShard(name: String, lines: Seq[String]): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(dir, name),
+        lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+    writeShard("shard-0.jsonl", Seq(
+      """{"doc_id": 1, "text": "first", "lang": "en", "source": "s", "n_chars": 5}""",
+      """{"doc_id": 2, BROKEN"""))
+    writeShard("shard-1.jsonl", Seq(
+      """{"doc_id": 3, "text": "second", "lang": "en", "source": "s", "n_chars": 6}"""))
+    val q = JsonlCorpus.readQuarantinedStream(spark, dir)
+      .writeStream.format("memory").queryName("jsonl_quarantine")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("jsonl_quarantine")
+      .select("doc_id", "text", "line_ok", "_raw").collect()
+      .map(r => (Option(r.get(0)), Option(r.get(1)),
+        r.getAs[Boolean]("line_ok"), Option(r.get(3)))).toSet
+    // the malformed line quarantined (query still alive past it) and
+    // the lanes are identical to the batch reader over the same files
+    val batch = JsonlCorpus.readQuarantined(spark, dir)
+      .select("doc_id", "text", "line_ok", "_raw").collect()
+      .map(r => (Option(r.get(0)), Option(r.get(1)),
+        r.getAs[Boolean]("line_ok"), Option(r.get(3)))).toSet
+    assert(streamed == batch, s"stream/batch lanes diverged:\n$streamed\nvs\n$batch")
+    assert(streamed.count(!_._3) == 1 && streamed.size == 3)
+  }
+
   test("readQuarantined refuses a schema that already claims _raw") {
     val e = intercept[IllegalArgumentException] {
       JsonlCorpus.readQuarantined(spark, "/nonexistent",
