@@ -1013,6 +1013,45 @@ object ExtensionQueries extends QueryFamily {
       .orderBy(col("source"))
   }
 
+  /**
+   * Composed flagship v5 — the RAW-FEED front end the earlier flagships
+   * assumed away, end-to-end: a damaged JSONL drop (every 97th line
+   * truncated) ingests through the quarantine reader, the ok lane
+   * dedups with the quality-aware KEEP-BEST rule (longest copy per
+   * fingerprint group), survivors pass the Gopher composite gate, and
+   * the report rolls up per source — ingested / after-dedup /
+   * quality-passing — plus the quarantine lane's own row. Every stage
+   * is integer/boolean-exact, so ONE SQL oracle replays the whole
+   * chain (ok-lane filter → keep-best window → gopher CTEs → rollup).
+   */
+  def pipelineCorpusV5(spark: SparkSession, dir: String): DataFrame = {
+    val in = graft.CacheScope.scoped(graft.sources.JsonlCorpus.readQuarantined(
+      spark, jsonlFixture(spark, dir, "graft-jsonl-v5")))
+    val ok = in.filter(col("line_ok"))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    // surv feeds three consumers (its own rollup, the gopher gate, the
+    // quality rollup's source lookup) — scope-cache the window output
+    val surv = graft.CacheScope.scoped(Dedup.keepBestByKey(
+      TextAnalysis.fingerprint(ok, "text"),
+      Seq("fp"), "doc_id", better = length(col("text"))))
+    val quality = TextAnalysis.gopherFilter(surv, "doc_id", "text")
+      .filter(col("keep")).select("doc_id")
+    val report = ok.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_ingested"))
+      .join(surv.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_after_dedup")), Seq("source"), "left")
+      .join(surv.join(quality, "doc_id").groupBy(col("source"))
+        .agg(count(lit(1)).as("n_quality")), Seq("source"), "left")
+      .select(col("source"), col("n_ingested"),
+        coalesce(col("n_after_dedup"), lit(0L)).as("n_after_dedup"),
+        coalesce(col("n_quality"), lit(0L)).as("n_quality"))
+    val quarantined = in.filter(!col("line_ok"))
+      .agg(count(lit(1)).as("n_ingested"))
+      .select(lit("__quarantined").as("source"), col("n_ingested"),
+        lit(0L).as("n_after_dedup"), lit(0L).as("n_quality"))
+    report.unionByName(quarantined).orderBy(col("source"))
+  }
+
   def pipelineCorpusV2(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val deduped = Dedup.exactByKey(
@@ -1227,8 +1266,11 @@ object ExtensionQueries extends QueryFamily {
    * recomputes both digests from `documents` alone, so a reader that
    * dropped, truncated, or re-encoded a quarantined line hash-fails.
    */
-  def corpusIngestJsonl(spark: SparkSession, dir: String): DataFrame = {
-    val path = graft.TmpCleanup.perProcessDir("graft-jsonl", dir)
+  /** Writes the deterministic damaged-feed JSONL fixture (every 97th
+    * line truncated mid-record, id still embedded) and returns its path
+    * — shared by the ingest query and the v5 flagship. */
+  private def jsonlFixture(spark: SparkSession, dir: String, tag: String): String = {
+    val path = graft.TmpCleanup.perProcessDir(tag, dir)
     graft.TmpCleanup.register(path)
     Tables.documents(spark, dir).select(
       when(col("doc_id") % 97 === 0,
@@ -1237,7 +1279,12 @@ object ExtensionQueries extends QueryFamily {
         .otherwise(to_json(struct(col("doc_id"), col("text"), col("lang"),
           col("source"), col("n_chars")))).as("value"))
       .write.mode("overwrite").text(path)
-    val in = graft.sources.JsonlCorpus.readQuarantined(spark, path)
+    path
+  }
+
+  def corpusIngestJsonl(spark: SparkSession, dir: String): DataFrame = {
+    val in = graft.sources.JsonlCorpus.readQuarantined(spark,
+      jsonlFixture(spark, dir, "graft-jsonl"))
     in.select(
       coalesce(col("doc_id"),
         nullif(regexp_extract(col("_raw"), "\"doc_id\": (\\d+)", 1), lit(""))
@@ -1373,6 +1420,7 @@ object ExtensionQueries extends QueryFamily {
     "pipeline_corpus_v2" -> (pipelineCorpusV2 _),
     "pipeline_corpus_v3" -> (pipelineCorpusV3 _),
     "pipeline_corpus_v4" -> (pipelineCorpusV4 _),
+    "pipeline_corpus_v5" -> (pipelineCorpusV5 _),
     "corpus_split" -> (corpusSplit _),
     "corpus_shuffle" -> (corpusShuffle _),
     "corpus_pack" -> (corpusPack _),
@@ -1942,6 +1990,60 @@ object ExtensionQueries extends QueryFamily {
          |    AND (COALESCE(n_bigrams, 0) = 0 OR 5 * top_cnt <= n_bigrams)) AS keep
          |FROM m LEFT JOIN rep ON rep.doc_id = m.doc_id
          |ORDER BY m.doc_id""".stripMargin,
+    // the v5 flagship chain replayed end-to-end: ok lane (the ingest
+    // fixture's % 97 rule) → keep-best window (longest, then min id,
+    // over the normalized-text groups) → the gopher CTEs restricted to
+    // survivors → per-source rollup + the quarantine lane's row
+    "pipeline_corpus_v5" ->
+      s"""WITH ok AS (
+         |  SELECT doc_id, text, source FROM documents WHERE doc_id % 97 <> 0),
+         |surv AS (
+         |  SELECT doc_id, text, source FROM (
+         |    SELECT doc_id, text, source, ROW_NUMBER() OVER (
+         |      PARTITION BY TRIM(REGEXP_REPLACE(LOWER(text), ' +', ' ', 'g'))
+         |      ORDER BY LENGTH(text) DESC, doc_id) AS rn
+         |    FROM ok) WHERE rn = 1),
+         |m AS (
+         |  SELECT doc_id,
+         |    CAST(LENGTH(text) AS BIGINT) AS nc,
+         |    CAST(LEN($tokensSql) AS BIGINT) AS nt,
+         |    CAST(COALESCE(LIST_SUM(LIST_TRANSFORM($tokensSql, x -> LEN(x))), 0) AS BIGINT) AS stl,
+         |    CAST(LENGTH(REGEXP_REPLACE(text, '[a-zA-Z0-9\\s]', '', 'g')) AS BIGINT) AS pc,
+         |    CAST(LEN(LIST_FILTER($tokensSql,
+         |      x -> x IN ('the','a','an','and','or','of','to','in','is','it'))) AS BIGINT) AS sh
+         |  FROM surv),
+         |tk AS (
+         |  SELECT doc_id,
+         |    unnest($tokensSql) AS tok,
+         |    unnest(range(1, len($tokensSql) + 1)) AS pos
+         |  FROM surv),
+         |ng AS (
+         |  SELECT doc_id, tok || ' ' || LEAD(tok, 1) OVER w AS ngram
+         |  FROM tk WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+         |cnt AS (SELECT doc_id, ngram, COUNT(*) AS c
+         |        FROM ng WHERE ngram IS NOT NULL GROUP BY doc_id, ngram),
+         |rep AS (SELECT doc_id, MAX(c) AS top_cnt, CAST(SUM(c) AS BIGINT) AS n_bigrams
+         |        FROM cnt GROUP BY doc_id),
+         |keepers AS (
+         |  SELECT m.doc_id FROM m LEFT JOIN rep ON rep.doc_id = m.doc_id
+         |  WHERE (nt >= 10 AND nt <= 100000) AND (3 * nt <= stl AND stl <= 10 * nt)
+         |    AND (4 * pc <= nc) AND (sh >= 2)
+         |    AND (COALESCE(n_bigrams, 0) = 0 OR 5 * top_cnt <= n_bigrams)),
+         |ing AS (SELECT source, COUNT(*) AS n_ingested FROM ok GROUP BY source),
+         |sv AS (SELECT source, COUNT(*) AS n_after_dedup FROM surv GROUP BY source),
+         |qc AS (SELECT s.source, COUNT(*) AS n_quality
+         |       FROM surv s JOIN keepers k ON k.doc_id = s.doc_id GROUP BY s.source)
+         |SELECT i.source, i.n_ingested,
+         |  COALESCE(sv.n_after_dedup, CAST(0 AS BIGINT)) AS n_after_dedup,
+         |  COALESCE(qc.n_quality, CAST(0 AS BIGINT)) AS n_quality
+         |FROM ing i
+         |LEFT JOIN sv ON sv.source = i.source
+         |LEFT JOIN qc ON qc.source = i.source
+         |UNION ALL
+         |SELECT '__quarantined' AS source,
+         |  (SELECT COUNT(*) FROM documents WHERE doc_id % 97 = 0) AS n_ingested,
+         |  CAST(0 AS BIGINT) AS n_after_dedup, CAST(0 AS BIGINT) AS n_quality
+         |ORDER BY source""".stripMargin,
     "text_tokens_top" ->
       s"""SELECT token, COUNT(1) AS n FROM (
          |  SELECT UNNEST($tokensSql) AS token FROM documents
