@@ -55,7 +55,10 @@ object BenchScale {
     "dedup_minhash_cc" -> "answer",
     "dedup_groups_cc_stars" -> "answer",
     "sim_neardup" -> "answer",
-    "embed_kmeans_par" -> "linear")
+    "embed_kmeans_par" -> "linear",
+    // composed flagship: logit gate → target-affinity rank → exact
+    // dedup → rollup; the pipelines must scale, not just the operators
+    "pipeline_corpus_v4" -> "linear")
 
   private def writeCorpus(
       spark: SparkSession, srcSf: String, outDir: String, copies: Int): Unit = {
