@@ -314,7 +314,12 @@ class PlanSpec extends SparkSpec {
       // path, BM25 serving, the rolling-distinct expansion, the
       // cross-source gram matrix, and the new real-pHash pair pipeline
       "dedup_minhash_keep", "text_bm25_topk", "rolling_active",
-      "source_overlap", "multimodal_neardup")
+      "source_overlap", "multimodal_neardup",
+      // the composed raw-feed flagship: ~2 s wall / ~10 s CPU at sf0.1,
+      // dominated by its real JSONL write→read round trip + the gopher
+      // gate running concurrently (probe-verified single-execution: a
+      // second evaluation with warm codegen drops to the same wall)
+      "pipeline_corpus_v5")
     val fullWidth = graft.sources.Tables.documents(spark, sfDir).schema.size
     for (q <- hot) {
       val p = plan(q)
