@@ -933,6 +933,25 @@ object Multimodal {
       phashImage(assets).select(col("asset_id").as("id"), col("phash").as("sh")),
       maxHamming)
 
+  /**
+   * Perceptual asset DEDUP — the full loop, not just pairs: pHash over
+   * decoded pixels → pigeonhole banding pairs ([[assetNearDupPairs]]) →
+   * connected components (transitive closure: A~B, B~C collapses A,B,C
+   * even when A,C never paired) → min-id survivor per cluster,
+   * singletons kept. The image twin of `Dedup.minhashDedupCc`: a
+   * re-encoded or resized copy anywhere in the corpus dies here, which
+   * no byte-level digest dedup can do. Only 8-byte signatures and id
+   * pairs shuffle; asset bytes never leave their scan.
+   * @return surviving (asset_id, modality, content) rows
+   */
+  def assetDedupPerceptual(assets: DataFrame, maxHamming: Int = 6): DataFrame = {
+    val pairs = assetNearDupPairs(assets, maxHamming)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    val labels = Components.connectedComponents(pairs)
+    val losers = labels.filter(col("id") =!= col("component")).select(col("id"))
+    assets.join(losers, assets("asset_id") === losers("id"), "left_anti")
+  }
+
   /** Fixture of TEXTURED 16×16 PNGs: pixel (x, y) of asset `id` is the
     * gray value `mix64(id·2⁶⁴φ + y·16 + x + 1) ≫ 32 (mod 256)` — i.i.d.
     * noise, so distinct assets have far-apart pHashes (the solid-gray

@@ -843,6 +843,43 @@ object ExtensionQueries extends QueryFamily {
       .orderBy(col("id_a"))
   }
 
+  /** Full perceptual dedup over the textured corpus + re-encoded
+    * 2×-upscaled twins: pairs → CC clusters → min-id survivors. Rows =
+    * surviving asset ids; the verdict twin below is the driver gate. */
+  def multimodalDedupPerceptual(spark: SparkSession, dir: String): DataFrame = {
+    val assets = graft.CacheScope.scoped(
+      graft.operators.Multimodal.texturedImageAssetTable(spark, dir))
+    val twins = graft.operators.Multimodal.reencodedTwins(
+      assets.filter(col("asset_id") % 100 === 0), idShift = 10000000L, scale = 2)
+    graft.operators.Multimodal.assetDedupPerceptual(
+      assets.unionByName(twins), maxHamming = 6)
+      .select(col("asset_id"))
+      .orderBy(col("asset_id"))
+  }
+
+  /**
+   * Removal verdict for perceptual dedup: every re-encoded+resized twin
+   * (planted at `asset_id + 10⁷`, HIGHER id than its original) must be
+   * REMOVED by the min-id survivor rule — `twin_removed` is constant
+   * TRUE over the pure-SQL planted list, and a missed pairing, a broken
+   * closure, or an inverted survivor rule each flip it.
+   */
+  def multimodalDedupPerceptualVerdict(spark: SparkSession, dir: String): DataFrame = {
+    val kept = graft.CacheScope.scoped(multimodalDedupPerceptual(spark, dir)
+      .select(col("asset_id")).withColumn("__k", lit(true)))
+    Tables.documents(spark, dir).filter(col("doc_id") % 100 === 0)
+      .select(col("doc_id").as("id_a"),
+        (col("doc_id") + 10000000L).as("id_b"))
+      .join(kept.select(col("asset_id").as("id_b"),
+        col("__k").as("__kb")), Seq("id_b"), "left")
+      .join(kept.select(col("asset_id").as("id_a"),
+        col("__k").as("__ka")), Seq("id_a"), "left")
+      .select(col("id_a"), col("id_b"),
+        coalesce(!col("__kb"), lit(true)).as("twin_removed"),
+        coalesce(col("__ka"), lit(false)).as("original_kept"))
+      .orderBy(col("id_a"))
+  }
+
   /** REAL image resize, round-tripped through the REAL decoder and
     * DuckDB-oracled: `resizeImage` scales every solid-gray fixture PNG
     * to 8×8 and re-encodes; `decodeImage` then reads genuine pixels out
@@ -1364,6 +1401,8 @@ object ExtensionQueries extends QueryFamily {
     "dedup_minhash_cc_verdict" -> (dedupMinhashCcVerdict _),
     "corpus_increment_neardup_verdict" -> (corpusIncrementNearDupVerdict _),
     "multimodal_neardup_verdict" -> (multimodalNearDupVerdict _),
+    "multimodal_dedup_perceptual" -> (multimodalDedupPerceptual _),
+    "multimodal_dedup_perceptual_verdict" -> (multimodalDedupPerceptualVerdict _),
     "embed_kmeans_verdict" -> (embedKmeansVerdict _),
     "embed_kmeans_par_verdict" -> (embedKmeansParVerdict _),
     "dedup_simhash_pairs" -> (dedupSimhashPairs _),
@@ -1705,6 +1744,10 @@ object ExtensionQueries extends QueryFamily {
         |FROM documents WHERE doc_id % 100 = 0 ORDER BY doc_id""".stripMargin,
     "multimodal_neardup_verdict" ->
       """SELECT doc_id AS id_a, doc_id + 10000000 AS id_b, TRUE AS pair_found
+        |FROM documents WHERE doc_id % 100 = 0 ORDER BY id_a""".stripMargin,
+    "multimodal_dedup_perceptual_verdict" ->
+      """SELECT doc_id AS id_a, doc_id + 10000000 AS id_b,
+        |  TRUE AS twin_removed, TRUE AS original_kept
         |FROM documents WHERE doc_id % 100 = 0 ORDER BY id_a""".stripMargin,
     // Lloyd cost monotonicity + cardinality: DuckDB pins n_points and
     // the constant verdicts; Spark computes them from the fit telemetry

@@ -301,6 +301,21 @@ class MultimodalSpec extends SparkSpec {
     assert(h1 == h2)
   }
 
+  test("assetDedupPerceptual: transitive perceptual copies collapse to the original") {
+    val textured = Multimodal.texturedImageAssetTable(spark, sfDir)
+      .filter($"asset_id" < 10)
+    // two independent perceptual copies per original — the closure must
+    // collapse the whole {original, BMP copy, 2x copy} cluster even
+    // though the two copies also pair with EACH OTHER
+    val copies1 = Multimodal.reencodedTwins(textured, idShift = 1000L, scale = 1)
+    val copies2 = Multimodal.reencodedTwins(textured, idShift = 2000L, scale = 2)
+    val kept = Multimodal.assetDedupPerceptual(
+      textured.unionByName(copies1).unionByName(copies2), maxHamming = 6)
+      .select("asset_id").as[Long].collect().sorted
+    assert(kept.toSeq == (0L until 10L),
+      s"expected only the originals to survive, got ${kept.toSeq}")
+  }
+
   test("sampleVideoFrames: every stride-th REALLY-decoded frame with exact pixel stats") {
     val assets = Multimodal.videoAssetTable(spark, sfDir).filter($"asset_id" < 50)
     val frames = Multimodal.sampleVideoFrames(assets, stride = 2)

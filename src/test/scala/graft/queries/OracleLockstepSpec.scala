@@ -79,6 +79,8 @@ class OracleLockstepSpec extends AnyFunSuite {
       "doc_id + 10000000", "FALSE AS admitted"),
     "multimodal_neardup_verdict" -> Seq("doc_id % 100 = 0",
       "doc_id + 10000000", "TRUE AS pair_found"),
+    "multimodal_dedup_perceptual_verdict" -> Seq("doc_id % 100 = 0",
+      "doc_id + 10000000", "TRUE AS twin_removed", "TRUE AS original_kept"),
     "embed_kmeans_verdict" -> Seq("range(1, 4)", "TRUE AS cost_non_increasing",
       "TRUE AS clusters_le_k"),
     "embed_kmeans_par_verdict" -> Seq("range(1, 4)",
