@@ -1,7 +1,4 @@
 package graft
-import java.util.concurrent.atomic.AtomicLong
-
-import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd, SparkListenerTaskStart}
 import org.apache.spark.sql.SparkSession
 
 /** Driver-run benchmark: every registered query at `SPARK_GRAFT_SF_DIR`.
@@ -101,43 +98,10 @@ object Bench {
       Thread.sleep(500)
     }
 
-    // Executor-CPU accounting: one global accumulator fed by task-end
-    // events. The listener bus is asynchronous, so after each action we
-    // wait until every started task has reported its end event before
-    // snapshotting — otherwise a query's tail tasks would be billed to
-    // the next query.
-    val cpuNs = new AtomicLong(0L)
-    val started = new AtomicLong(0L)
-    val ended = new AtomicLong(0L)
-    spark.sparkContext.addSparkListener(new SparkListener {
-      override def onTaskStart(e: SparkListenerTaskStart): Unit =
-        started.incrementAndGet()
-      override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
-        if (e.taskMetrics != null) cpuNs.addAndGet(e.taskMetrics.executorCpuTime)
-        ended.incrementAndGet()
-      }
-    })
-    // generous timeout: if a stalled task outlives the drain, its CPU is
-    // mis-attributed to the NEXT query — observed smearing whole seconds
-    // across alphabetical neighbors under host contention with a 5 s cap
-    def drainTaskEvents(): Unit = {
-      val t0 = System.currentTimeMillis()
-      var stable = 0
-      var staticFor = 0
-      var prev = (-1L, -1L)
-      while (stable < 2 && System.currentTimeMillis() - t0 < 60000) {
-        val cur = (started.get, ended.get)
-        if (cur._1 == cur._2) stable += 1 else stable = 0
-        // fallback: the listener bus CAN drop events under pressure, in
-        // which case started never equals ended again — accept a drain
-        // once both counters sit still for 2 s, or every later query
-        // would spin the full timeout
-        staticFor = if (cur == prev) staticFor + 1 else 0
-        prev = cur
-        if (staticFor >= 100) return
-        if (stable < 2) Thread.sleep(20)
-      }
-    }
+    // Executor-CPU accounting + event drain: the shared TaskCpuMeter
+    // contract (one implementation for Bench AND BenchScale)
+    val meter = new TaskCpuMeter(spark.sparkContext)
+    def drainTaskEvents(): Unit = meter.drainTaskEvents()
 
     // Process-CPU (driver + executor threads — local mode is one JVM):
     // the stall test needs it because driver-heavy queries (BPE's merge
@@ -152,7 +116,7 @@ object Bench {
       // (wall_s, executor_cpu_s, process_cpu_s, ok)
       def once(): (Double, Double, Double, Boolean) = {
         drainTaskEvents()
-        val c0 = cpuNs.get
+        val c0 = meter.snapshotNs
         val p0 = osBean.map(_.getProcessCpuTime).getOrElse(0L)
         val t0 = System.nanoTime()
         val ok =
@@ -169,7 +133,7 @@ object Bench {
         // flat across the sweep AND makes re-measure passes fair (a
         // second pass must rebuild the cache, not reuse the first's)
         CacheScope.releaseAll()
-        (wall, (cpuNs.get - c0) / 1e9, proc, ok)
+        (wall, (meter.snapshotNs - c0) / 1e9, proc, ok)
       }
       // Transient host stalls (CPU steal on the shared box) inflate single
       // wall measurements 10-30x — observed hopping BETWEEN queries across

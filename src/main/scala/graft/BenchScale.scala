@@ -1,8 +1,6 @@
 package graft
 
-import java.util.concurrent.atomic.AtomicLong
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd, SparkListenerTaskStart}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -111,38 +109,17 @@ object BenchScale {
     writeCorpus(spark, srcSf, s"$workDir/x1", copies = 1)
     writeCorpus(spark, srcSf, s"$workDir/x10", copies = 10)
 
-    val cpuNs = new AtomicLong(0L)
-    val started = new AtomicLong(0L)
-    val ended = new AtomicLong(0L)
-    spark.sparkContext.addSparkListener(new SparkListener {
-      override def onTaskStart(e: SparkListenerTaskStart): Unit =
-        started.incrementAndGet()
-      override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
-        if (e.taskMetrics != null) cpuNs.addAndGet(e.taskMetrics.executorCpuTime)
-        ended.incrementAndGet()
-      }
-    })
-    def drainTaskEvents(): Unit = { // same drain contract as Bench
-      val t0 = System.currentTimeMillis()
-      var stable = 0
-      var staticFor = 0
-      var prev = (-1L, -1L)
-      while (stable < 2 && System.currentTimeMillis() - t0 < 60000) {
-        val cur = (started.get, ended.get)
-        if (cur._1 == cur._2) stable += 1 else stable = 0
-        staticFor = if (cur == prev) staticFor + 1 else 0
-        prev = cur
-        if (staticFor >= 100) return
-        if (stable < 2) Thread.sleep(20)
-      }
-    }
+    // shared meter: ONE drain/accounting contract with Bench, so the two
+    // artifacts (BENCH_FULL vs BENCH_SCALE) cannot be measured under
+    // silently-diverged harness semantics
+    val meter = new TaskCpuMeter(spark.sparkContext)
     def measure(fn: (SparkSession, String) => DataFrame, dir: String): Double = {
-      drainTaskEvents()
-      val c0 = cpuNs.get
+      meter.drainTaskEvents()
+      val c0 = meter.snapshotNs
       fn(spark, dir).write.format("noop").mode("overwrite").save()
-      drainTaskEvents()
+      meter.drainTaskEvents()
       CacheScope.releaseAll()
-      (cpuNs.get - c0) / 1e9
+      (meter.snapshotNs - c0) / 1e9
     }
 
     val qs = SparkEntry.queries

@@ -43,21 +43,62 @@ import org.apache.spark.sql.functions._
  */
 object Components {
 
+  /** THE checkpoint cadence, shared by every iterative operator here —
+    * one rule, so the label-prop/stars/pageRank loops cannot drift:
+    * with a `checkpointDir`, rounds `CheckpointInterval-1,
+    * 2·CheckpointInterval-1, …` (0-based) land as reliable
+    * `Dataset.checkpoint()` generations. Each new generation supersedes
+    * the previous one — its files root no live lineage once the next
+    * eager checkpoint has materialized (intermediate persisted rounds
+    * are released by the loops and never re-read) — so the superseded
+    * generation is deleted on the spot: durable storage holds at most
+    * TWO generations during a run and ONE after, instead of growing by
+    * O(rounds / interval) per call for the life of the session. The
+    * final generation must outlive the call (the returned plan's
+    * lineage roots there); the caller owns `checkpointDir` end-of-life.
+    *
+    * Caveat, documented not hidden: Spark's checkpoint location is
+    * SparkContext-GLOBAL. Concurrent iterative calls in one JVM should
+    * pass the SAME dir (each `setCheckpointDir` adds a UUID subdir, so
+    * same-dir calls never collide); passing different dirs concurrently
+    * redirects where later generations land — still durable and
+    * replayable, just not under the dir that caller named. */
+  private final class CheckpointCadence(
+      spark: org.apache.spark.sql.SparkSession,
+      checkpointDir: Option[String]) {
+    checkpointDir.foreach { d =>
+      Components.synchronized {
+        if (!spark.sparkContext.getCheckpointDir.exists(_.contains(d)))
+          spark.sparkContext.setCheckpointDir(d)
+      }
+    }
+    private var superseded: Option[String] = None
+    /** `Some(durable df)` when `iter` is a checkpoint round, else None. */
+    def maybeCheckpoint(df: DataFrame, iter: Int): Option[DataFrame] =
+      if (checkpointDir.isDefined && (iter + 1) % CheckpointInterval == 0) {
+        val cp = df.checkpoint() // eager: computes, writes, truncates lineage
+        superseded.foreach { p =>
+          val path = new org.apache.hadoop.fs.Path(p)
+          path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .delete(path, /* recursive = */ true)
+        }
+        superseded = org.apache.spark.sql.graftbridge.CatalystBridge.checkpointFileOf(cp)
+        Some(cp)
+      } else None
+  }
+
   /** Shared per-round materializer: flat-plan persist by default; on a
-    * `checkpointDir` round, a RELIABLE `Dataset.checkpoint()` instead —
-    * the round's rows land as durable files and the RDD lineage a lost
-    * executor must replay truncates there (the HDFS/S3 story the
-    * flat-plan persist alone does not give a real cluster). Returns a
-    * handle whose `unpersist()` stays the correct release call either
-    * way (a no-op for the checkpointed generation). */
+    * `checkpointDir` round, a RELIABLE checkpoint instead (the HDFS/S3
+    * story the flat-plan persist alone does not give a real cluster).
+    * Returns a handle whose `unpersist()` stays the correct release
+    * call either way (a no-op for a checkpointed generation). */
   private def roundMaterializer(
       spark: org.apache.spark.sql.SparkSession,
       checkpointDir: Option[String]): (DataFrame, Int) => DataFrame = {
-    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    val cadence = new CheckpointCadence(spark, checkpointDir)
     (df: DataFrame, roundsDone: Int) =>
-      if (checkpointDir.isDefined && roundsDone > 0 && roundsDone % CheckpointInterval == 0)
-        df.checkpoint() // eager: computes, writes, truncates lineage
-      else org.apache.spark.sql.graftbridge.CatalystBridge.flattenPlan(df).persist()
+      cadence.maybeCheckpoint(df, roundsDone).getOrElse(
+        org.apache.spark.sql.graftbridge.CatalystBridge.flattenPlan(df).persist())
   }
 
   /** Rounds between durable checkpoints when a `checkpointDir` is given:
@@ -343,7 +384,7 @@ object Components {
       checkpointDir: Option[String] = None): DataFrame = {
     require(iterations >= 1 && iterations <= 50,
       s"iterations must be in [1, 50]: $iterations")
-    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
+    val cadence = new CheckpointCadence(edges.sparkSession, checkpointDir)
     def flat(df: DataFrame): DataFrame =
       org.apache.spark.sql.graftbridge.CatalystBridge.flattenPlan(df)
     // persist the raw edges before the symmetric union + degree join:
@@ -379,10 +420,7 @@ object Components {
         .agg(sum(expr("__np DIV __nd")).as("__s"))
         .select(col("id"),
           (lit(teleport) + expr("(17 * __s) DIV 20")).as("pr"))
-      pr =
-        if (checkpointDir.isDefined && (i + 1) % CheckpointInterval == 0)
-          round.checkpoint()
-        else flat(round)
+      pr = cadence.maybeCheckpoint(round, i).getOrElse(flat(round))
       i += 1
     }
     graft.CacheScope.scoped(pr)

@@ -317,6 +317,13 @@ object Multimodal {
               val fmt = ais.getFormat
               require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
                 s"asset $id: expected mono 16-bit PCM, got $fmt")
+              // the byte-copy below re-labels samples as signed
+              // little-endian; a big-endian (AIFF) or unsigned source
+              // would silently byte-swap / rebias every sample — fail
+              // loud instead (module convention: don't guess a codec)
+              require(!fmt.isBigEndian && fmt.getEncoding ==
+                javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+                s"asset $id: expected little-endian signed PCM, got $fmt")
               val rate0 = fmt.getSampleRate.toInt
               require(rate0 % factor == 0,
                 s"asset $id: rate $rate0 not divisible by factor $factor")
@@ -829,31 +836,54 @@ object Multimodal {
 
   /**
    * The classic DCT perceptual hash (pHash) over DECODED pixels:
-   * scale to 32×32 (`Graphics2D`, same kernel as [[resizeImage]]) →
-   * Rec.601 luma → 2-D orthonormal DCT-II → keep the 8×8
-   * lowest-frequency block → threshold each coefficient at the block
-   * median. Two images that LOOK the same — identical pixels re-encoded
-   * into a different container, or the same picture at a different
-   * resolution — produce (near-)identical 32×32 luma planes and land at
-   * hamming ≈ 0, which is precisely what a byte-level hash cannot do.
-   * Deterministic: `StrictMath` basis, fixed summation order.
+   * area-average (box filter) down to 32×32 → Rec.601 luma → 2-D
+   * orthonormal DCT-II → keep the 8×8 lowest-frequency block →
+   * threshold each coefficient at the block median. Two images that
+   * LOOK the same — identical pixels re-encoded into a different
+   * container, or the same picture at a different resolution — produce
+   * (near-)identical 32×32 luma planes and land at hamming ≈ 0, which
+   * is precisely what a byte-level hash cannot do.
+   *
+   * Deterministic BY CONSTRUCTION, not by vendor promise: the
+   * normalization is a hand-rolled integer box filter (NOT
+   * `Graphics2D.drawImage`, whose rasterizer is unspecified and may
+   * differ across JVM builds — on a heterogeneous cluster the hash
+   * must not depend on which executor computed it), the DCT basis is
+   * `StrictMath`, and every summation order is fixed. Double +/× are
+   * IEEE-754-exact, so the full pipeline is bit-identical everywhere.
    */
   private[operators] def phash64(img: java.awt.image.BufferedImage): Long = {
     val n = PhashN
-    // 1. decode-independent normalization: scale to N×N RGB
-    val small = new java.awt.image.BufferedImage(
-      n, n, java.awt.image.BufferedImage.TYPE_INT_RGB)
-    val gfx = small.createGraphics()
-    try gfx.drawImage(img, 0, 0, n, n, null) finally gfx.dispose()
-    // 2. luma plane
+    val w = img.getWidth
+    val h = img.getHeight
+    // 1. decode-independent normalization: exact-pixel-range box
+    //    average to N×N. Cell (x,y) averages source columns
+    //    [x·w/n, (x+1)·w/n) (at least one), integer sums — no
+    //    rounding-mode or rasterizer freedom anywhere.
     val lum = new Array[Double](n * n)
     var y = 0
     while (y < n) {
+      val sy0 = y * h / n
+      val sy1 = math.max(sy0 + 1, (y + 1) * h / n)
       var x = 0
       while (x < n) {
-        val rgb = small.getRGB(x, y)
-        lum(y * n + x) = 0.299 * ((rgb >>> 16) & 0xff) +
-          0.587 * ((rgb >>> 8) & 0xff) + 0.114 * (rgb & 0xff)
+        val sx0 = x * w / n
+        val sx1 = math.max(sx0 + 1, (x + 1) * w / n)
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var sy = sy0
+        while (sy < sy1) {
+          var sx = sx0
+          while (sx < sx1) {
+            val rgb = img.getRGB(sx, sy)
+            sr += (rgb >>> 16) & 0xff; sg += (rgb >>> 8) & 0xff; sb += rgb & 0xff
+            sx += 1
+          }
+          sy += 1
+        }
+        val cnt = ((sy1 - sy0) * (sx1 - sx0)).toDouble
+        // 2. Rec.601 luma of the averaged cell
+        lum(y * n + x) =
+          (0.299 * sr + 0.587 * sg + 0.114 * sb) / cnt
         x += 1
       }
       y += 1

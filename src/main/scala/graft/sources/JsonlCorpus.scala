@@ -78,10 +78,13 @@ object JsonlCorpus {
     * is even opened, so the caller sees the contract error, not a
     * reader error. */
   private def validateSchema(schema: StructType): Unit = {
-    require(!schema.fieldNames.contains("_raw"),
-      "schema must not already define _raw")
-    require(!schema.fieldNames.contains(corrupt),
-      s"schema must not already define $corrupt")
+    // every name the projection owns: the two output columns it adds
+    // (_raw, line_ok), the corrupt-record scratch column, and the text
+    // reader's `value` column a caller field would ambiguously shadow
+    val reserved = Seq("_raw", "line_ok", "value", corrupt)
+    val clash = schema.fieldNames.toSeq.intersect(reserved)
+    require(clash.isEmpty,
+      s"schema must not define reader-owned column(s): ${clash.mkString(", ")}")
   }
 
   /** The ONE quarantine projection both entry points share. */

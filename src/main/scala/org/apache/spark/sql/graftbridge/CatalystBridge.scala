@@ -36,6 +36,19 @@ object CatalystBridge {
       df.queryExecution.toRdd, df.schema, isStreaming = false)
   }
 
+  /** The reliable-checkpoint file backing a `Dataset.checkpoint()`
+    * result (its analyzed plan is a `LogicalRDD` over the checkpointed
+    * RDD), or None for any other plan. Lets iterative operators delete
+    * a SUPERSEDED checkpoint generation as soon as the next one has
+    * materialized, instead of accreting every generation on durable
+    * storage for the life of the session. `LogicalRDD` is
+    * `private[sql]`, hence this bridge. */
+  def checkpointFileOf(df: org.apache.spark.sql.DataFrame): Option[String] =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.getCheckpointFile
+      case _ => None
+    }
+
   /** Register a function builder into an EXISTING session's registry
     * (builder-time `withExtensions` is the normal path; this serves
     * already-running sessions, e.g. shared test sessions or REPLs). */

@@ -224,4 +224,31 @@ class ComponentsSpec extends SparkSpec {
     assert(prCk == prReference(edges, 5), "checkpointed pageRank diverged")
     assert(files() > before, "no checkpoint files written by pageRank")
   }
+
+  test("superseded checkpoint generations are deleted; only the live one survives") {
+    // 10 pageRank iterations hit the cadence twice (rounds 4 and 8,
+    // 1-based): when the second generation materializes, the first's
+    // files root no live lineage and must be deleted on the spot —
+    // durable storage holds ONE generation after the call, not
+    // O(rounds / interval) accreting for the life of the session
+    val rnd = new scala.util.Random(13)
+    val edges = Seq.tabulate(40) { _ =>
+      (rnd.nextInt(25).toLong, rnd.nextInt(25).toLong)
+    }.filter { case (a, b) => a != b }.distinct
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-gc").toString
+    def rddGenerations(): Seq[String] = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator().asScala
+        .filter(p => java.nio.file.Files.isDirectory(p) &&
+          p.getFileName.toString.startsWith("rdd-"))
+        .map(_.toString).toSeq
+    }
+    val pr = Components.pageRank(
+      edges.toDF("src", "dst"), iterations = 10, checkpointDir = Some(dir))
+      .as[(Long, Long)].collect()
+    assert(pr.nonEmpty)
+    val gens = rddGenerations()
+    assert(gens.size == 1,
+      s"expected exactly the live generation on durable storage, got: $gens")
+  }
 }

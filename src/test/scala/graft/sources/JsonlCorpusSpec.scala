@@ -109,4 +109,19 @@ class JsonlCorpusSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("_raw"))
   }
+
+  test("every reader-owned column name is rejected up front, not shadowed") {
+    // line_ok would be silently OVERWRITTEN by the projection and value
+    // would throw an ambiguous-reference reader error mid-plan — both
+    // must instead fail the loud contract check before the path opens
+    for (name <- Seq("line_ok", "value", "__graft_corrupt")) {
+      val e = intercept[IllegalArgumentException] {
+        JsonlCorpus.readQuarantined(spark, "/nonexistent",
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField(name,
+              org.apache.spark.sql.types.StringType))))
+      }
+      assert(e.getMessage.contains(name), s"message must name the clash: $name")
+    }
+  }
 }
