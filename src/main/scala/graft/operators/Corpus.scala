@@ -280,6 +280,42 @@ object Corpus {
   }
 
   /**
+   * WITHIN-document exact line deduplication — the REMOVAL transform the
+   * detection family ([[repeatedBlocks]], `Ngrams.boilerplate`) stops
+   * short of: repeated lines inside one document (nav chrome, headers,
+   * scraper echo) are deleted in place, keeping each line's FIRST
+   * occurrence in original order (the standard web-corpus cleaning rule
+   * — e.g. the line-level rules in Rae et al., "Scaling Language Models:
+   * Methods, Analysis & Insights from Training Gopher", 2021, §A.1.1).
+   *
+   * Scale shape: pure per-row HOFs (`split` → `array_distinct` →
+   * `array_join`) — whole-stage codegen, ZERO shuffle, no state; the
+   * 100 TB cost is exactly one scan. `array_distinct` keeps first
+   * occurrences in encounter order, which IS the keep-first contract.
+   * Telemetry rides along: `n_lines` seen, `n_removed` deleted.
+   *
+   * Blank-line caveat (documented, not hidden): consecutive blank lines
+   * are lines too — all but the first blank in the DOCUMENT survive
+   * dedup as one, so paragraph spacing collapses. Callers that need
+   * paragraph structure should dedup on a normalized copy and re-map.
+   */
+  def dedupLines(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      sep: String = "\n"): DataFrame = {
+    require(sep.nonEmpty, "separator must be non-empty")
+    // split() takes a REGEX; quote the separator so "." or "|" callers
+    // split on the literal, not on every character
+    val lines = split(col(textCol), java.util.regex.Pattern.quote(sep))
+    val kept = array_distinct(lines)
+    df.select(col(idCol),
+      array_join(kept, sep).as("text_clean"),
+      size(lines).as("n_lines"),
+      (size(lines) - size(kept)).as("n_removed"))
+  }
+
+  /**
    * Quality gate with in-plan accounting: `Dataset.observe` attaches
    * aggregate metrics to the SAME pass that filters, so admission
    * telemetry (rows seen / admitted, chars shipped) costs ZERO extra

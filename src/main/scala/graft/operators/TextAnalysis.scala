@@ -197,6 +197,52 @@ object TextAnalysis {
   def normalize(text: Column): Column =
     trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
 
+  /** Markup-stripping text extraction — the first step of every
+    * web-crawl ingest (HTML → training text): drop `<script>`/`<style>`
+    * blocks WITH their contents (their text is code, not prose), strip
+    * remaining tags to a space (a space, not deletion — `</p><p>`
+    * deleted would fuse the last word of one paragraph into the first
+    * of the next), decode the five predefined XML entities plus
+    * numeric `&#NN;` for the printable-ASCII range, then collapse
+    * whitespace runs and trim.
+    *
+    * Row-local regex chain — no shuffle, codegen'd; the regex subset is
+    * one Java and RE2 interpret identically (house discipline, see
+    * [[normalize]]). Entity decode order matters and is pinned:
+    * `&amp;` is decoded LAST so `&amp;lt;` yields the literal "&lt;"
+    * (the double-escape a correct decoder must not double-decode).
+    * This is a cleaning extractor, not an HTML5 parser: malformed nests
+    * degrade to extra whitespace, never to dropped prose. */
+  def extractHtmlText(html: Column): Column = {
+    // (?is): case-insensitive, DOTALL — script blocks span "lines".
+    // Two passes, NOT one with a </\1> backreference: the oracle replays
+    // this chain in DuckDB's RE2, which has no backreferences (the same
+    // Java∩RE2 subset discipline as [[normalize]])
+    val noScript = regexp_replace(regexp_replace(html,
+      "(?is)<script\\b[^>]*>.*?</script\\s*>", " "),
+      "(?is)<style\\b[^>]*>.*?</style\\s*>", " ")
+    val noComment = regexp_replace(noScript, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "(?s)<[^>]+>", " ")
+    // numeric entities first (their digits would survive the named
+    // pass): decode the ones real nav chrome actually emits (39
+    // apostrophe, 34 quote) literally, fold every other numeric
+    // entity to a space rather than leak "&#160;" into training
+    // text; then the named five, &amp; LAST -- see scaladoc
+    val numResolved = regexp_replace(regexp_replace(regexp_replace(
+      noTags,
+      "&#39;", "'"),
+      "&#34;", "\""),
+      "&#\\d+;", " ")
+    val named = regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      numResolved,
+      "&lt;", "<"),
+      "&gt;", ">"),
+      "&quot;", "\""),
+      "&apos;", "'")
+    val amp = regexp_replace(named, "&amp;", "&")
+    trim(regexp_replace(amp, "\\s+", " "))
+  }
+
   /** Tokenizer-efficiency telemetry per group (usually per source):
     * fertility (subword tokens per whitespace word — the multilingual
     * tokenizer-health metric; a domain whose fertility spikes is one the

@@ -895,6 +895,31 @@ object ExtensionQueries extends QueryFamily {
         col("format"), col("mean_px"))
       .orderBy(col("asset_id"))
 
+  /** Paired image+caption training-set construction — the multimodal
+    * join every vision-language data pipeline runs: decode each image
+    * asset (REAL `decodeImage`: dims + pixel proof), join its caption
+    * by id, and gate both sides (image area ≥ 8 px, caption ≥ 15
+    * whitespace tokens) before emitting the pair row. Scale shape: the
+    * decode is the per-partition codec layer; the join shuffles 8-byte
+    * ids with small typed metadata (never content bytes — the caption
+    * ships as md5); both gates are single-side predicates Catalyst
+    * pushes below the join. Oracle: closed form — the fixture's dims
+    * and fill are functions of doc_id, the caption stats pure SQL. */
+  def multimodalCaptionPairs(spark: SparkSession, dir: String): DataFrame = {
+    val decoded = graft.operators.Multimodal.decodeImage(
+      graft.operators.Multimodal.imageAssetTable(spark, dir))
+    val captions = Tables.documents(spark, dir).select(
+      col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("caption_tokens"),
+      md5(col("text")).as("caption_digest"))
+    decoded
+      .join(captions, decoded("asset_id") === captions("doc_id"))
+      .filter(col("width") * col("height") >= 8 && col("caption_tokens") >= 15)
+      .select(col("asset_id").as("pair_id"), col("width"), col("height"),
+        col("mean_px"), col("caption_tokens"), col("caption_digest"))
+      .orderBy(col("pair_id"))
+  }
+
   /** REAL audio downsample, round-tripped through the REAL decoder and
     * DuckDB-oracled: 2× decimation keeps every even-index sample
     * exactly, so the re-encoded clip's rate (4000), sample count
@@ -1450,6 +1475,7 @@ object ExtensionQueries extends QueryFamily {
     "multimodal_features" -> (multimodalFeatures _),
     "multimodal_decode" -> (multimodalDecode _),
     "multimodal_resize" -> (multimodalResize _),
+    "multimodal_caption_pairs" -> (multimodalCaptionPairs _),
     "multimodal_audio_resample" -> (multimodalAudioResample _),
     "multimodal_features_image" -> (multimodalFeaturesImage _),
     "multimodal_features_audio" -> (multimodalFeaturesAudio _),
@@ -1704,6 +1730,24 @@ object ExtensionQueries extends QueryFamily {
         |  CAST(8 AS INT) AS height, 'png' AS format,
         |  CAST(doc_id % 256 AS INT) AS mean_px
         |FROM documents ORDER BY asset_id""".stripMargin,
+    // paired construction, closed form: fixture dims/fill are functions
+    // of doc_id, caption stats pure SQL — the decode+join must agree
+    "multimodal_caption_pairs" ->
+      """WITH cap AS (
+        |  SELECT doc_id,
+        |    CAST(LEN(LIST_FILTER(STRING_SPLIT_REGEX(text, '\s+'),
+        |      x -> LEN(x) > 0)) AS BIGINT) AS caption_tokens,
+        |    MD5(text) AS caption_digest
+        |  FROM documents)
+        |SELECT doc_id AS pair_id,
+        |  CAST(doc_id % 13 + 1 AS INT) AS width,
+        |  CAST(doc_id % 7 + 1 AS INT) AS height,
+        |  CAST(doc_id % 256 AS INT) AS mean_px,
+        |  caption_tokens, caption_digest
+        |FROM cap
+        |WHERE (doc_id % 13 + 1) * (doc_id % 7 + 1) >= 8
+        |  AND caption_tokens >= 15
+        |ORDER BY pair_id""".stripMargin,
     // bounded-verdict oracles for the ANN recall telemetry: DuckDB
     // recomputes the exact side (query set, k_exact = 10 — every query
     // has ≥ 10 non-self corpus neighbors) and the constant-TRUE verdicts

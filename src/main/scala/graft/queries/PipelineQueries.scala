@@ -217,6 +217,49 @@ object PipelineQueries extends QueryFamily {
         md5(TextAnalysis.normalize(col("text"))).as("norm_digest"))
       .orderBy(col("doc_id"))
 
+  /** WITHIN-doc exact line dedup ([[graft.operators.Corpus.dedupLines]])
+    * over a token-per-line construction: the fixture has no newlines,
+    * but its ~31-token vocabulary repeats heavily inside every doc, so
+    * turning each token into a line (`translate ' '→'\n'`) exercises
+    * keep-first removal on EVERY row with per-doc-varying removal
+    * counts — a value oracle, not a constant gate. The cleaned text
+    * ships as md5 (house style: digests through comparisons, not
+    * documents). */
+  def corpusDedupLines(spark: SparkSession, dir: String): DataFrame = {
+    val multi = Tables.documents(spark, dir)
+      .select(col("doc_id"), translate(col("text"), " ", "\n").as("multi"))
+    graft.operators.Corpus.dedupLines(multi, "doc_id", "multi")
+      .select(col("doc_id"), md5(col("text_clean")).as("clean_digest"),
+        col("n_lines").cast("long").as("n_lines"),
+        col("n_removed").cast("long").as("n_removed"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Markup-stripping extraction ([[TextAnalysis.extractHtmlText]]) over
+    * deterministically constructed HTML: each doc's text wrapped in a
+    * page with script/style noise, a comment, nav chrome carrying every
+    * entity form the decoder handles (named, numeric, and the
+    * `&amp;lt;` double-escape that must decode to a literal "&lt;",
+    * never twice). The construction is pure SQL, so DuckDB rebuilds the
+    * same page and replays the SAME regex chain (Java∩RE2 subset) —
+    * a true twin of the operator, not of a precomputed answer. */
+  def textHtmlExtract(spark: SparkSession, dir: String): DataFrame = {
+    val html = concat(
+      lit("<html><head><title>d</title>"),
+      lit("<script type=\"text/javascript\">var x = 1 && 2;</script>"),
+      lit("<style>body { color: red }</style></head>"),
+      lit("<BODY><!-- header --><p>"), col("text"),
+      lit("</p><div class=\"nav\">Home &amp; &quot;About&quot; " +
+        "&#39;Contact&#39; &lt;here&gt; &amp;lt;literal&amp;gt; &#160;end" +
+        "</div><!-- footer --></BODY></html>"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        TextAnalysis.extractHtmlText(html).as("extracted"))
+      .select(col("doc_id"), md5(col("extracted")).as("extract_digest"),
+        length(col("extracted")).cast("long").as("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Token-count histogram in fixed 16-token buckets (the length-shape
     * telemetry of a corpus build; `div` keeps both engines integer-exact). */
   def corpusTokenHist(spark: SparkSession, dir: String): DataFrame =
@@ -492,6 +535,8 @@ object PipelineQueries extends QueryFamily {
     "corpus_drift" -> (corpusDrift _),
     "source_overlap" -> (sourceOverlap _),
     "text_normalize" -> (textNormalize _),
+    "corpus_dedup_lines" -> (corpusDedupLines _),
+    "text_html_extract" -> (textHtmlExtract _),
     "vocab_zipf" -> (vocabZipf _),
     "corpus_token_hist" -> (corpusTokenHist _),
     "bpe_merges" -> (bpeMerges _),
@@ -797,6 +842,65 @@ object PipelineQueries extends QueryFamily {
       """SELECT doc_id,
         |  MD5(TRIM(REGEXP_REPLACE(LOWER(text), '[^a-z0-9]+', ' ', 'g'))) AS norm_digest
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // keep-first line dedup replayed relationally: first occurrence of
+    // each line by position, re-joined in first-seen order
+    "corpus_dedup_lines" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    string_split(replace(text, ' ', chr(10)), chr(10)) AS ls
+        |  FROM documents),
+        |l AS (
+        |  SELECT doc_id, UNNEST(ls) AS line,
+        |    UNNEST(range(1, len(ls) + 1)) AS ord
+        |  FROM d),
+        |f AS (
+        |  SELECT doc_id, line, MIN(ord) AS first_ord
+        |  FROM l GROUP BY doc_id, line),
+        |agg AS (
+        |  SELECT doc_id,
+        |    STRING_AGG(line, chr(10) ORDER BY first_ord) AS clean,
+        |    COUNT(*) AS n_kept
+        |  FROM f GROUP BY doc_id),
+        |tot AS (SELECT doc_id, COUNT(*) AS n_lines FROM l GROUP BY doc_id)
+        |SELECT t.doc_id, MD5(a.clean) AS clean_digest,
+        |  CAST(t.n_lines AS BIGINT) AS n_lines,
+        |  CAST(t.n_lines - a.n_kept AS BIGINT) AS n_removed
+        |FROM tot t JOIN agg a ON t.doc_id = a.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
+    // the SAME page construction and the SAME regex chain (Java∩RE2
+    // subset; DuckDB's RE2 reads the identical patterns) — the oracle
+    // twins the operator, not a precomputed answer
+    "text_html_extract" ->
+      """WITH page AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>d</title>'
+        |    || '<script type="text/javascript">var x = 1 && 2;</script>'
+        |    || '<style>body { color: red }</style></head>'
+        |    || '<BODY><!-- header --><p>' || text
+        |    || '</p><div class="nav">Home &amp; &quot;About&quot; '
+        |    || '&#39;Contact&#39; &lt;here&gt; &amp;lt;literal&amp;gt; &#160;end'
+        |    || '</div><!-- footer --></BODY></html>' AS html
+        |  FROM documents),
+        |x AS (
+        |  SELECT doc_id, TRIM(REGEXP_REPLACE(
+        |    REPLACE(
+        |    REPLACE(REPLACE(REPLACE(REPLACE(
+        |    REGEXP_REPLACE(
+        |    REPLACE(REPLACE(
+        |    REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(html,
+        |      '(?is)<script\b[^>]*>.*?</script\s*>', ' ', 'g'),
+        |      '(?is)<style\b[^>]*>.*?</style\s*>', ' ', 'g'),
+        |      '(?s)<!--.*?-->', ' ', 'g'),
+        |      '(?s)<[^>]+>', ' ', 'g'),
+        |      '&#39;', ''''), '&#34;', '"'),
+        |      '&#\d+;', ' ', 'g'),
+        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&apos;', ''''),
+        |      '&amp;', '&'),
+        |    '\s+', ' ', 'g')) AS extracted
+        |  FROM page)
+        |SELECT doc_id, MD5(extracted) AS extract_digest,
+        |  CAST(LENGTH(extracted) AS BIGINT) AS n_chars
+        |FROM x ORDER BY doc_id""".stripMargin,
     // bounded-check: BPE merges never cross word boundaries and every
     // word is >= 1 token, so n_words <= n_bpe <= n_chars; DuckDB
     // recomputes both bounds, the verdict is constant TRUE

@@ -251,4 +251,26 @@ class CorpusSpec extends SparkSpec {
     assert(out(1) == ((32L, 1L, 20L, 12L, 12L * 1000L / 32L)), out(1))
     assert(out(2) == ((512L, 1L, 512L, 0L, 0L)), out(2))
   }
+
+  test("dedupLines: keep-first order, telemetry, literal separator quoting") {
+    val docs = Seq(
+      (1L, "nav\nbody one\nnav\nbody two\nnav"), // 3x nav -> 1
+      (2L, "only line"),                          // nothing to remove
+      (3L, ""),                                   // empty doc: one empty line
+      (4L, "a\n\nb\n\na")                         // blanks are lines too
+    ).toDF("doc_id", "text")
+    val out = Corpus.dedupLines(docs, "doc_id", "text")
+      .as[(Long, String, Int, Int)].collect().map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    assert(out(1L) == (("nav\nbody one\nbody two", 5, 2)))
+    assert(out(2L) == (("only line", 1, 0)))
+    assert(out(3L) == (("", 1, 0)))
+    // blanks: first blank kept in place, second removed
+    assert(out(4L) == (("a\n\nb", 5, 2)))
+    // a regex-special separator must split on the LITERAL, not on
+    // every character ("." unquoted matches everything)
+    val dot = Seq((1L, "x.y.x")).toDF("doc_id", "text")
+    val d = Corpus.dedupLines(dot, "doc_id", "text", sep = ".")
+      .as[(Long, String, Int, Int)].collect().head
+    assert(d == ((1L, "x.y", 3, 1)))
+  }
 }

@@ -254,4 +254,28 @@ class TextAnalysisSpec extends SparkSpec {
     // s2: one empty doc — guarded ratios emit 0, not a divide error
     assert(out(1) == (("s2", 1L, 0L, 0L, 0L, 0L, 0L)), out(1))
   }
+
+  test("extractHtmlText: scripts die with their contents, entities decode once") {
+    val page = "<html><head><title>T</title>" +
+      "<SCRIPT>var a = 1 < 2 && 3 > 2;</SCRIPT>" +
+      "<style media=\"all\">p { x: 1 }</style></head>" +
+      "<body><!-- c --><p>Hello &amp; welcome</p>" +
+      "<div>A&#39;s &quot;quote&quot; &amp;lt;kept&amp;gt; &#160;x</div>" +
+      "</body></html>"
+    val got = Seq(page).toDF("h")
+      .select(TextAnalysis.extractHtmlText(col("h")).as("t"))
+      .as[String].collect().head
+    // script/style contents gone (no "var", no "x: 1"); comment gone;
+    // &amp;lt; decodes exactly once to the literal "&lt;"
+    assert(got == "T Hello & welcome A's \"quote\" &lt;kept&gt; x", got)
+  }
+
+  test("extractHtmlText: malformed markup degrades to whitespace, not lost prose") {
+    val got = Seq("<p>one<p>two <b attr>three</i> four <unclosed")
+      .toDF("h").select(TextAnalysis.extractHtmlText(col("h")).as("t"))
+      .as[String].collect().head
+    // every prose token survives; the dangling "<unclosed" has no ">" so
+    // it stays (a cleaning extractor must not eat text after a stray "<")
+    assert(got == "one two three four <unclosed", got)
+  }
 }
