@@ -316,6 +316,62 @@ object Corpus {
   }
 
   /**
+   * CROSS-corpus boilerplate-line removal — the global twin of
+   * [[dedupLines]] (CCNet/RefinedWeb-style line filtering): a line that
+   * recurs across at least `permille`/1000 of all documents is chrome
+   * (nav, cookie banners, license headers), and every occurrence is
+   * deleted from every document. The threshold is a FRACTION, not an
+   * absolute count, so the rule means the same thing at sf0.001 and at
+   * 100 TB; the comparison is integer cross-multiplied
+   * (`1000·n_docs_with_line ≥ permille·n_docs`) — exact in both
+   * engines, no float ratio.
+   *
+   * Scale shape: detection aggregates 16-byte line DIGESTS (documents
+   * never ride that exchange), the corpus-wide doc count is a 1-row
+   * broadcast, and the common-line set joins back as a left-anti on the
+   * digest. Reassembly is the one genuinely line-carrying exchange
+   * (`groupBy(doc)` + position-sorted rebuild) — inherent: the output
+   * IS the cleaned text. Documents whose every line is chrome survive
+   * as empty text, not dropped rows (the attrition ledger needs them).
+   */
+  def removeCommonLines(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      sep: String = "\n",
+      permille: Int = 500): DataFrame = {
+    require(sep.nonEmpty, "separator must be non-empty")
+    require(permille >= 1 && permille <= 1000,
+      s"permille must be in [1, 1000]: $permille")
+    val q = java.util.regex.Pattern.quote(sep)
+    val base = df.select(col(idCol),
+      posexplode(split(col(textCol), q)).as(Seq("pos", "line")))
+      .withColumn("__dg", md5(col("line")))
+    val nDocs = df.select(countDistinct(col(idCol)).as("__docs_total"))
+    val common = base.groupBy(col("__dg"))
+      .agg(countDistinct(col(idCol)).as("__nd"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("__nd") * 1000 >= lit(permille.toLong) * col("__docs_total"))
+      .select(col("__dg"))
+    val kept = base.join(common, Seq("__dg"), "left_anti")
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("pos"), col("line")))),
+            x => x.getField("line")),
+          sep).as("text_clean"),
+        count(lit(1)).as("__n_kept"))
+    df.select(col(idCol),
+        size(split(col(textCol), q)).cast("long").as("n_lines"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("text_clean"), lit("")).as("text_clean"),
+        col("n_lines"),
+        (col("n_lines") - coalesce(col("__n_kept"), lit(0L))).as("n_removed"))
+  }
+
+  /**
    * Quality gate with in-plan accounting: `Dataset.observe` attaches
    * aggregate metrics to the SAME pass that filters, so admission
    * telemetry (rows seen / admitted, chars shipped) costs ZERO extra

@@ -920,6 +920,34 @@ object ExtensionQueries extends QueryFamily {
       .orderBy(col("pair_id"))
   }
 
+  /** Composed vision-language dataset build — the end-to-end multimodal
+    * flagship: decode+gate caption pairs ([[multimodalCaptionPairs]]) →
+    * plant re-crawled duplicate pairs (every 50th pair id-shifted, same
+    * caption+image — the union both engines replay) → keep-min exact
+    * dedup on the caption digest (`row_number`=1; Spark 4 rewrites the
+    * rank-filter to WindowGroupLimit, so partial top-1 runs map-side) →
+    * deterministic 12.5% hash split (first md5 hex in {0,1} — stable
+    * under re-runs and repartitioning) → per-split rollup of pair
+    * count, caption tokens, pixel area. Every stage exchanges ids +
+    * digests + small ints; content bytes never shuffle. */
+  def pipelineVlPairs(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = multimodalCaptionPairs(spark, dir)
+    val planted = pairs.filter(col("pair_id") % 50 === 0)
+      .withColumn("pair_id", col("pair_id") + lit(10000000L))
+    val all = pairs.unionByName(planted)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("caption_digest")).orderBy(col("pair_id"))
+    all.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .withColumn("split",
+        when(substring(col("caption_digest"), 1, 1).isin("0", "1"), "val")
+          .otherwise("train"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("caption_tokens")).as("sum_caption_tokens"),
+        sum((col("width") * col("height")).cast("long")).as("sum_area"))
+      .orderBy(col("split"))
+  }
+
   /** REAL audio downsample, round-tripped through the REAL decoder and
     * DuckDB-oracled: 2× decimation keeps every even-index sample
     * exactly, so the re-encoded clip's rate (4000), sample count
@@ -1476,6 +1504,7 @@ object ExtensionQueries extends QueryFamily {
     "multimodal_decode" -> (multimodalDecode _),
     "multimodal_resize" -> (multimodalResize _),
     "multimodal_caption_pairs" -> (multimodalCaptionPairs _),
+    "pipeline_vl_pairs" -> (pipelineVlPairs _),
     "multimodal_audio_resample" -> (multimodalAudioResample _),
     "multimodal_features_image" -> (multimodalFeaturesImage _),
     "multimodal_features_audio" -> (multimodalFeaturesAudio _),
@@ -1748,6 +1777,41 @@ object ExtensionQueries extends QueryFamily {
         |WHERE (doc_id % 13 + 1) * (doc_id % 7 + 1) >= 8
         |  AND caption_tokens >= 15
         |ORDER BY pair_id""".stripMargin,
+    // the composed VL build replayed end-to-end: same gates, same
+    // planted union, same keep-min window, same hash split and rollup
+    "pipeline_vl_pairs" ->
+      """WITH cap AS (
+        |  SELECT doc_id,
+        |    CAST(LEN(LIST_FILTER(STRING_SPLIT_REGEX(text, '\s+'),
+        |      x -> LEN(x) > 0)) AS BIGINT) AS caption_tokens,
+        |    MD5(text) AS caption_digest
+        |  FROM documents),
+        |base AS (
+        |  SELECT doc_id AS pair_id,
+        |    CAST(doc_id % 13 + 1 AS INT) AS width,
+        |    CAST(doc_id % 7 + 1 AS INT) AS height,
+        |    caption_tokens, caption_digest
+        |  FROM cap
+        |  WHERE (doc_id % 13 + 1) * (doc_id % 7 + 1) >= 8
+        |    AND caption_tokens >= 15),
+        |all_p AS (
+        |  SELECT * FROM base
+        |  UNION ALL
+        |  SELECT pair_id + 10000000, width, height,
+        |    caption_tokens, caption_digest
+        |  FROM base WHERE pair_id % 50 = 0),
+        |kept AS (
+        |  SELECT *, ROW_NUMBER() OVER (
+        |    PARTITION BY caption_digest ORDER BY pair_id) AS rn
+        |  FROM all_p)
+        |SELECT
+        |  CASE WHEN SUBSTR(caption_digest, 1, 1) IN ('0', '1')
+        |    THEN 'val' ELSE 'train' END AS split,
+        |  COUNT(*) AS n_pairs,
+        |  CAST(SUM(caption_tokens) AS BIGINT) AS sum_caption_tokens,
+        |  CAST(SUM(CAST(width AS BIGINT) * height) AS BIGINT) AS sum_area
+        |FROM kept WHERE rn = 1
+        |GROUP BY 1 ORDER BY split""".stripMargin,
     // bounded-verdict oracles for the ANN recall telemetry: DuckDB
     // recomputes the exact side (query set, k_exact = 10 — every query
     // has ≥ 10 non-self corpus neighbors) and the constant-TRUE verdicts

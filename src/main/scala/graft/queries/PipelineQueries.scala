@@ -235,6 +235,24 @@ object PipelineQueries extends QueryFamily {
       .orderBy(col("doc_id"))
   }
 
+  /** Cross-corpus boilerplate-line removal
+    * ([[graft.operators.Corpus.removeCommonLines]]) over the same
+    * token-per-line construction as [[corpusDedupLines]]: at 780‰ the
+    * fixture's token-document frequencies (most tokens sit in 75–80% of
+    * docs) split MID-VOCABULARY — some lines are chrome, some survive,
+    * and the split varies by SF in a way both engines recompute from
+    * the same fraction rule. A value oracle over every document,
+    * including any emptied ones. */
+  def corpusRemoveCommonLines(spark: SparkSession, dir: String): DataFrame = {
+    val multi = Tables.documents(spark, dir)
+      .select(col("doc_id"), translate(col("text"), " ", "\n").as("multi"))
+    graft.operators.Corpus.removeCommonLines(
+      multi, "doc_id", "multi", permille = 780)
+      .select(col("doc_id"), md5(col("text_clean")).as("clean_digest"),
+        col("n_lines"), col("n_removed"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Markup-stripping extraction ([[TextAnalysis.extractHtmlText]]) over
     * deterministically constructed HTML: each doc's text wrapped in a
     * page with script/style noise, a comment, nav chrome carrying every
@@ -536,6 +554,7 @@ object PipelineQueries extends QueryFamily {
     "source_overlap" -> (sourceOverlap _),
     "text_normalize" -> (textNormalize _),
     "corpus_dedup_lines" -> (corpusDedupLines _),
+    "corpus_remove_common_lines" -> (corpusRemoveCommonLines _),
     "text_html_extract" -> (textHtmlExtract _),
     "vocab_zipf" -> (vocabZipf _),
     "corpus_token_hist" -> (corpusTokenHist _),
@@ -866,6 +885,36 @@ object PipelineQueries extends QueryFamily {
         |  CAST(t.n_lines AS BIGINT) AS n_lines,
         |  CAST(t.n_lines - a.n_kept AS BIGINT) AS n_removed
         |FROM tot t JOIN agg a ON t.doc_id = a.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
+    // fraction-thresholded common-line removal, integer cross-multiplied
+    // (1000·nd >= permille·n_docs) — no float ratio on either side;
+    // fully-emptied docs must survive as rows with empty clean text
+    "corpus_remove_common_lines" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    string_split(replace(text, ' ', chr(10)), chr(10)) AS ls
+        |  FROM documents),
+        |l AS (
+        |  SELECT doc_id, UNNEST(ls) AS line,
+        |    UNNEST(range(1, len(ls) + 1)) AS ord
+        |  FROM d),
+        |nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+        |c AS (
+        |  SELECT line FROM l, nd GROUP BY line, nd.n
+        |  HAVING COUNT(DISTINCT doc_id) * 1000 >= 780 * nd.n),
+        |k AS (
+        |  SELECT doc_id, line, ord FROM l
+        |  WHERE line NOT IN (SELECT line FROM c)),
+        |agg AS (
+        |  SELECT doc_id,
+        |    STRING_AGG(line, chr(10) ORDER BY ord) AS clean,
+        |    COUNT(*) AS n_kept
+        |  FROM k GROUP BY doc_id),
+        |tot AS (SELECT doc_id, LEN(ls) AS n_lines FROM d)
+        |SELECT t.doc_id, MD5(COALESCE(a.clean, '')) AS clean_digest,
+        |  CAST(t.n_lines AS BIGINT) AS n_lines,
+        |  CAST(t.n_lines - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed
+        |FROM tot t LEFT JOIN agg a ON t.doc_id = a.doc_id
         |ORDER BY t.doc_id""".stripMargin,
     // the SAME page construction and the SAME regex chain (Java∩RE2
     // subset; DuckDB's RE2 reads the identical patterns) — the oracle

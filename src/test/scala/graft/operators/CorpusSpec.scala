@@ -273,4 +273,28 @@ class CorpusSpec extends SparkSpec {
       .as[(Long, String, Int, Int)].collect().head
     assert(d == ((1L, "x.y", 3, 1)))
   }
+
+  test("removeCommonLines: fraction threshold, order rebuild, emptied docs survive") {
+    // 4 docs; "nav" in 4/4 (1000 permille), "foot" in 3/4 (750), rest rarer
+    val docs = Seq(
+      (1L, "nav\nalpha\nfoot"),
+      (2L, "nav\nbeta\nfoot\nalpha"),
+      (3L, "nav\nfoot"),          // everything chrome at 700 -> emptied
+      (4L, "nav\ngamma")
+    ).toDF("doc_id", "text")
+    def run(permille: Int) =
+      Corpus.removeCommonLines(docs, "doc_id", "text", permille = permille)
+        .as[(Long, String, Long, Long)].collect()
+        .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    // at 800: only nav (4/4) is chrome; foot (750) survives
+    val loose = run(800)
+    assert(loose(1L) == (("alpha\nfoot", 3L, 1L)))
+    assert(loose(3L) == (("foot", 2L, 1L)))
+    // at 700: nav AND foot go; doc 3 empties but STAYS a row
+    val tight = run(700)
+    assert(tight(1L) == (("alpha", 3L, 2L)))
+    assert(tight(2L) == (("beta\nalpha", 4L, 2L)), "original order, not sorted")
+    assert(tight(3L) == (("", 2L, 2L)))
+    assert(tight(4L) == (("gamma", 2L, 1L)))
+  }
 }

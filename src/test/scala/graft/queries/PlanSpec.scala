@@ -117,6 +117,12 @@ class PlanSpec extends SparkSpec {
     assert("WindowGroupLimit".r.findAllIn(p).size >= 2, p)
   }
 
+  test("pipeline_vl_pairs: keep-min dedup runs as WindowGroupLimit, no cartesian") {
+    val p = plan("pipeline_vl_pairs")
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("embed_quantize broadcasts the per-dim stats (no sort-merge join)") {
     val p = plan("embed_quantize")
     assert(p.contains("BroadcastHashJoin"), p)
