@@ -37,11 +37,18 @@ object Corpus {
     * md5(key) against the first `valSixteenths` digits — shared by the
     * per-doc and per-cluster split operators so the two can never drift
     * on bucket semantics. */
-  private def splitByMd5(key: Column, valSixteenths: Int): Column = {
+  private def splitByMd5(key: Column, valSixteenths: Int): Column =
+    splitByDigest(md5(key), valSixteenths)
+
+  /** [[splitByMd5]] for callers that ALREADY carry an md5 hex digest
+    * column (re-hashing the digest would silently decouple their split
+    * from [[trainValSplit]]'s buckets for the same content). Same rule,
+    * same digits — one definition. */
+  def splitByDigest(digest: Column, valSixteenths: Int): Column = {
     require(valSixteenths >= 0 && valSixteenths <= 16,
       s"valSixteenths must be in [0, 16]: $valSixteenths")
     val valDigits = (0 until valSixteenths).map(i => f"$i%x")
-    when(substring(md5(key), 1, 1).isin(valDigits: _*), lit("val"))
+    when(substring(digest, 1, 1).isin(valDigits: _*), lit("val"))
       .otherwise(lit("train"))
   }
 
@@ -309,10 +316,11 @@ object Corpus {
     // split on the literal, not on every character
     val lines = split(col(textCol), java.util.regex.Pattern.quote(sep))
     val kept = array_distinct(lines)
+    // long telemetry, matching [[removeCommonLines]] — the two compose
     df.select(col(idCol),
       array_join(kept, sep).as("text_clean"),
-      size(lines).as("n_lines"),
-      (size(lines) - size(kept)).as("n_removed"))
+      size(lines).cast("long").as("n_lines"),
+      (size(lines) - size(kept)).cast("long").as("n_removed"))
   }
 
   /**
@@ -344,9 +352,13 @@ object Corpus {
     require(permille >= 1 && permille <= 1000,
       s"permille must be in [1, 1000]: $permille")
     val q = java.util.regex.Pattern.quote(sep)
-    val base = df.select(col(idCol),
+    // scope-cached: the exploded+digested corpus feeds the detection
+    // aggregate, the anti-join probe side, AND the per-doc line totals
+    // — unpersisted, Catalyst re-executes the full scan→split→explode
+    // branch once per consumer (the jaccardJoin lesson, Dedup.scala)
+    val base = graft.CacheScope.scoped(df.select(col(idCol),
       posexplode(split(col(textCol), q)).as(Seq("pos", "line")))
-      .withColumn("__dg", md5(col("line")))
+      .withColumn("__dg", md5(col("line"))))
     val nDocs = df.select(countDistinct(col(idCol)).as("__docs_total"))
     val common = base.groupBy(col("__dg"))
       .agg(countDistinct(col(idCol)).as("__nd"))
@@ -362,8 +374,9 @@ object Corpus {
             x => x.getField("line")),
           sep).as("text_clean"),
         count(lit(1)).as("__n_kept"))
-    df.select(col(idCol),
-        size(split(col(textCol), q)).cast("long").as("n_lines"))
+    // per-doc totals from the SAME cached explode (split("") = [""], so
+    // every doc has >= 1 base row — no doc can drop out here)
+    base.groupBy(col(idCol)).agg(count(lit(1)).as("n_lines"))
       .join(rebuilt, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("text_clean"), lit("")).as("text_clean"),

@@ -218,9 +218,13 @@ object TextAnalysis {
     // Two passes, NOT one with a </\1> backreference: the oracle replays
     // this chain in DuckDB's RE2, which has no backreferences (the same
     // Java∩RE2 subset discipline as [[normalize]])
+    // explicit whitespace class, NOT \s: Java's \s includes \x0B but
+    // RE2's does not — the one place the "identical subset" discipline
+    // needs a pinned class instead of a shorthand
+    val ws = "[ \\t\\n\\x0B\\f\\r]"
     val noScript = regexp_replace(regexp_replace(html,
-      "(?is)<script\\b[^>]*>.*?</script\\s*>", " "),
-      "(?is)<style\\b[^>]*>.*?</style\\s*>", " ")
+      s"(?is)<script\\b[^>]*>.*?</script$ws*>", " "),
+      s"(?is)<style\\b[^>]*>.*?</style$ws*>", " ")
     val noComment = regexp_replace(noScript, "(?s)<!--.*?-->", " ")
     val noTags = regexp_replace(noComment, "(?s)<[^>]+>", " ")
     // numeric entities first (their digits would survive the named
@@ -240,7 +244,7 @@ object TextAnalysis {
       "&quot;", "\""),
       "&apos;", "'")
     val amp = regexp_replace(named, "&amp;", "&")
-    trim(regexp_replace(amp, "\\s+", " "))
+    trim(regexp_replace(amp, s"$ws+", " "))
   }
 
   /** Tokenizer-efficiency telemetry per group (usually per source):

@@ -905,7 +905,11 @@ object ExtensionQueries extends QueryFamily {
     * ships as md5); both gates are single-side predicates Catalyst
     * pushes below the join. Oracle: closed form — the fixture's dims
     * and fill are functions of doc_id, the caption stats pure SQL. */
-  def multimodalCaptionPairs(spark: SparkSession, dir: String): DataFrame = {
+  /** The UNSORTED gated-pair core shared by [[multimodalCaptionPairs]]
+    * (which only adds the presentation sort) and [[pipelineVlPairs]]
+    * (whose union/window would discard a sort anyway — inheriting the
+    * sorted query would pay a needless full-order exchange). */
+  private def captionPairsCore(spark: SparkSession, dir: String): DataFrame = {
     val decoded = graft.operators.Multimodal.decodeImage(
       graft.operators.Multimodal.imageAssetTable(spark, dir))
     val captions = Tables.documents(spark, dir).select(
@@ -917,8 +921,10 @@ object ExtensionQueries extends QueryFamily {
       .filter(col("width") * col("height") >= 8 && col("caption_tokens") >= 15)
       .select(col("asset_id").as("pair_id"), col("width"), col("height"),
         col("mean_px"), col("caption_tokens"), col("caption_digest"))
-      .orderBy(col("pair_id"))
   }
+
+  def multimodalCaptionPairs(spark: SparkSession, dir: String): DataFrame =
+    captionPairsCore(spark, dir).orderBy(col("pair_id"))
 
   /** Composed vision-language dataset build — the end-to-end multimodal
     * flagship: decode+gate caption pairs ([[multimodalCaptionPairs]]) →
@@ -931,16 +937,19 @@ object ExtensionQueries extends QueryFamily {
     * count, caption tokens, pixel area. Every stage exchanges ids +
     * digests + small ints; content bytes never shuffle. */
   def pipelineVlPairs(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = multimodalCaptionPairs(spark, dir)
+    // scope-cached: both union arms consume the pairs — unpersisted,
+    // the REAL ImageIO decode of every asset would run once per arm
+    val pairs = graft.CacheScope.scoped(captionPairsCore(spark, dir))
     val planted = pairs.filter(col("pair_id") % 50 === 0)
       .withColumn("pair_id", col("pair_id") + lit(10000000L))
     val all = pairs.unionByName(planted)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("caption_digest")).orderBy(col("pair_id"))
     all.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      // THE shared val-sixteenths rule (Corpus.splitByDigest) on the
+      // precomputed digest — same buckets as trainValSplit by definition
       .withColumn("split",
-        when(substring(col("caption_digest"), 1, 1).isin("0", "1"), "val")
-          .otherwise("train"))
+        graft.operators.Corpus.splitByDigest(col("caption_digest"), 2))
       .groupBy(col("split"))
       .agg(count(lit(1)).as("n_pairs"),
         sum(col("caption_tokens")).as("sum_caption_tokens"),

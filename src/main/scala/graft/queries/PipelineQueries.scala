@@ -230,8 +230,7 @@ object PipelineQueries extends QueryFamily {
       .select(col("doc_id"), translate(col("text"), " ", "\n").as("multi"))
     graft.operators.Corpus.dedupLines(multi, "doc_id", "multi")
       .select(col("doc_id"), md5(col("text_clean")).as("clean_digest"),
-        col("n_lines").cast("long").as("n_lines"),
-        col("n_removed").cast("long").as("n_removed"))
+        col("n_lines"), col("n_removed"))
       .orderBy(col("doc_id"))
   }
 
@@ -937,15 +936,15 @@ object PipelineQueries extends QueryFamily {
         |    REGEXP_REPLACE(
         |    REPLACE(REPLACE(
         |    REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(html,
-        |      '(?is)<script\b[^>]*>.*?</script\s*>', ' ', 'g'),
-        |      '(?is)<style\b[^>]*>.*?</style\s*>', ' ', 'g'),
+        |      '(?is)<script\b[^>]*>.*?</script[ \t\n\x0B\f\r]*>', ' ', 'g'),
+        |      '(?is)<style\b[^>]*>.*?</style[ \t\n\x0B\f\r]*>', ' ', 'g'),
         |      '(?s)<!--.*?-->', ' ', 'g'),
         |      '(?s)<[^>]+>', ' ', 'g'),
         |      '&#39;', ''''), '&#34;', '"'),
         |      '&#\d+;', ' ', 'g'),
         |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&apos;', ''''),
         |      '&amp;', '&'),
-        |    '\s+', ' ', 'g')) AS extracted
+        |    '[ \t\n\x0B\f\r]+', ' ', 'g')) AS extracted
         |  FROM page)
         |SELECT doc_id, MD5(extracted) AS extract_digest,
         |  CAST(LENGTH(extracted) AS BIGINT) AS n_chars

@@ -260,7 +260,7 @@ class CorpusSpec extends SparkSpec {
       (4L, "a\n\nb\n\na")                         // blanks are lines too
     ).toDF("doc_id", "text")
     val out = Corpus.dedupLines(docs, "doc_id", "text")
-      .as[(Long, String, Int, Int)].collect().map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+      .as[(Long, String, Long, Long)].collect().map(t => t._1 -> ((t._2, t._3, t._4))).toMap
     assert(out(1L) == (("nav\nbody one\nbody two", 5, 2)))
     assert(out(2L) == (("only line", 1, 0)))
     assert(out(3L) == (("", 1, 0)))
@@ -270,8 +270,8 @@ class CorpusSpec extends SparkSpec {
     // every character ("." unquoted matches everything)
     val dot = Seq((1L, "x.y.x")).toDF("doc_id", "text")
     val d = Corpus.dedupLines(dot, "doc_id", "text", sep = ".")
-      .as[(Long, String, Int, Int)].collect().head
-    assert(d == ((1L, "x.y", 3, 1)))
+      .as[(Long, String, Long, Long)].collect().head
+    assert(d == ((1L, "x.y", 3L, 1L)))
   }
 
   test("removeCommonLines: fraction threshold, order rebuild, emptied docs survive") {
