@@ -54,6 +54,11 @@ object BenchScale {
     "dedup_groups_cc_stars" -> "answer",
     "sim_neardup" -> "answer",
     "embed_kmeans_par" -> "linear",
+    // cross-corpus line removal: detection is a digest-keyed aggregate,
+    // rebuild a doc-keyed one — both Θ(lines); the fraction threshold
+    // self-adjusts with corpus size, so the probe exercises the same
+    // rule at both scales
+    "corpus_remove_common_lines" -> "linear",
     // composed flagship: logit gate → target-affinity rank → exact
     // dedup → rollup; the pipelines must scale, not just the operators
     "pipeline_corpus_v4" -> "linear")

@@ -360,28 +360,36 @@ object Corpus {
       posexplode(split(col(textCol), q)).as(Seq("pos", "line")))
       .withColumn("__dg", md5(col("line"))))
     val nDocs = df.select(countDistinct(col(idCol)).as("__docs_total"))
-    val common = base.groupBy(col("__dg"))
+    // The common set is PROVABLY tiny at any corpus size: each common
+    // line occurs in ≥ (permille/1000)·n_docs documents, and total line
+    // occurrences are avgLinesPerDoc·n_docs, so |common| ≤
+    // avgLinesPerDoc·1000/permille — ~50 digests here, corpus-size-
+    // INDEPENDENT. Broadcast it: the alternative anti-join sorts the
+    // whole exploded corpus by digest (n·log n — the first scale probe
+    // measured exactly that super-linearity, exponent 1.12).
+    val common = broadcast(base.groupBy(col("__dg"))
       .agg(countDistinct(col(idCol)).as("__nd"))
       .crossJoin(broadcast(nDocs))
       .filter(col("__nd") * 1000 >= lit(permille.toLong) * col("__docs_total"))
-      .select(col("__dg"))
-    val kept = base.join(common, Seq("__dg"), "left_anti")
-    val rebuilt = kept.groupBy(col(idCol))
+      .select(col("__dg"), lit(true).as("__common")))
+    // flag-then-filter instead of anti-join + totals + rebuild + rejoin:
+    // ONE doc-keyed exchange carries every line once with its flag, and
+    // a doc whose every line is chrome still groups (empty clean text)
+    base.join(common, Seq("__dg"), "left")
+      .groupBy(col(idCol))
       .agg(
         array_join(
           transform(
-            array_sort(collect_list(struct(col("pos"), col("line")))),
+            filter(
+              array_sort(collect_list(struct(col("pos"), col("line"),
+                coalesce(col("__common"), lit(false)).as("c")))),
+              x => !x.getField("c")),
             x => x.getField("line")),
           sep).as("text_clean"),
-        count(lit(1)).as("__n_kept"))
-    // per-doc totals from the SAME cached explode (split("") = [""], so
-    // every doc has >= 1 base row — no doc can drop out here)
-    base.groupBy(col(idCol)).agg(count(lit(1)).as("n_lines"))
-      .join(rebuilt, Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("text_clean"), lit("")).as("text_clean"),
-        col("n_lines"),
-        (col("n_lines") - coalesce(col("__n_kept"), lit(0L))).as("n_removed"))
+        count(lit(1)).as("n_lines"),
+        sum(when(coalesce(col("__common"), lit(false)), 1L).otherwise(0L))
+          .as("n_removed"))
+      .select(col(idCol), col("text_clean"), col("n_lines"), col("n_removed"))
   }
 
   /**
