@@ -31,6 +31,17 @@ object Dedup {
   def tokens(text: Column): Column =
     filter(split(lower(text), "[^a-z0-9]+"), t => length(t) > 0)
 
+  /** Word-order-insensitive content fingerprint: md5 of the SORTED token
+    * MULTISET (duplicates kept — "a a b" ≠ "a b b"). Catches the dup
+    * class between exact dedup and minhash: same words, permuted order
+    * (templated boilerplate with reordered fields, shuffled list items,
+    * scraper-mangled paragraphs) collide here while whitespace/case
+    * variants are already folded by [[tokens]]. Pure per-row HOF chain
+    * (`split→filter→array_sort→array_join→md5`) — codegen, no shuffle;
+    * grouping on the 32-hex digest is the caller's one exchange. */
+  def bagFingerprint(text: Column): Column =
+    md5(array_join(array_sort(tokens(text)), " "))
+
   /** Word w-shingles of the token array (w consecutive tokens joined). */
   def shingles(toks: Column, w: Int = 3): Column = {
     val idxs = sequence(lit(1), greatest(size(toks) - lit(w - 1), lit(1)))

@@ -33,6 +33,31 @@ object ExtensionQueries extends QueryFamily {
       .select(col("doc_id"))
       .orderBy(col("doc_id"))
 
+  /** Bag-of-words duplicate groups ([[Dedup.bagFingerprint]]): docs
+    * whose sorted token multisets collide — the permuted-order dup
+    * class exact dedup misses. Planted twins: every 100th doc unioned
+    * back id-shifted with its TOKEN ORDER REVERSED (zero shared prefix
+    * with the original, byte-wise a different document; both engines
+    * rebuild the same reversal). Output: every member of each colliding
+    * group with its min-id representative — a value oracle; the planted
+    * reversals MUST group with their originals, and nothing else
+    * collides unless the data genuinely says so. */
+  def dedupBagGroups(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val planted = docs.filter(col("doc_id") % 100 === 0)
+      .select((col("doc_id") + 40000000L).as("doc_id"),
+        array_join(reverse(split(col("text"), " ")), " ").as("text"))
+    val all = docs.unionByName(planted)
+      .withColumn("bag_fp", Dedup.bagFingerprint(col("text")))
+    val groups = all.groupBy(col("bag_fp"))
+      .agg(min(col("doc_id")).as("group_rep"),
+        count(lit(1)).as("group_size"))
+      .filter(col("group_size") >= 2)
+    all.join(groups, Seq("bag_fp"))
+      .select(col("group_rep"), col("doc_id"), col("group_size"))
+      .orderBy(col("group_rep"), col("doc_id"))
+  }
+
   /** Quality-aware survivor per fingerprint group — "keep the LONGEST
     * copy" (the least-truncated variant) instead of the arbitrary
     * min-id; fingerprint equality ⟺ normalized-text equality is the
@@ -1448,6 +1473,7 @@ object ExtensionQueries extends QueryFamily {
   val queries: Map[String, QueryFn] = Map(
     "dedup_exact" -> (dedupExact _),
     "dedup_fingerprint" -> (dedupFingerprint _),
+    "dedup_bag_groups" -> (dedupBagGroups _),
     "dedup_keep_best" -> (dedupKeepBest _),
     "dedup_minhash_pairs" -> (dedupMinhashPairs _),
     "dedup_minhash_recall" -> (dedupMinhashRecall _),
@@ -1729,6 +1755,27 @@ object ExtensionQueries extends QueryFamily {
         |    PARTITION BY TRIM(REGEXP_REPLACE(LOWER(text), ' +', ' ', 'g'))
         |    ORDER BY LENGTH(text) DESC, doc_id) AS rn
         |  FROM documents) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    // same planted reversal, same sorted-multiset fingerprint — the
+    // reversed twins MUST group with their originals
+    "dedup_bag_groups" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 40000000,
+        |    array_to_string(list_reverse(string_split(text, ' ')), ' ')
+        |  FROM documents WHERE doc_id % 100 = 0),
+        |fp AS (
+        |  SELECT doc_id,
+        |    MD5(array_to_string(list_sort(list_filter(
+        |      string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      x -> len(x) > 0)), ' ')) AS bag_fp
+        |  FROM all_docs),
+        |g AS (
+        |  SELECT bag_fp, MIN(doc_id) AS group_rep, COUNT(*) AS group_size
+        |  FROM fp GROUP BY bag_fp HAVING COUNT(*) >= 2)
+        |SELECT g.group_rep, f.doc_id, g.group_size
+        |FROM fp f JOIN g USING (bag_fp)
+        |ORDER BY g.group_rep, f.doc_id""".stripMargin,
     "text_fingerprint" ->
       """SELECT doc_id,
         |  MIN(doc_id) OVER (

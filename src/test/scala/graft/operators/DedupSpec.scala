@@ -396,4 +396,21 @@ class DedupSpec extends SparkSpec {
         s"missing=${want -- got} extra=${got -- want}")
     }
   }
+
+  test("bagFingerprint: permutation-invariant, multiset-exact, case/punct folded") {
+    val fps = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "gamma beta alpha"),   // permutation of 1 -> same bag
+      (3L, "Alpha, beta; GAMMA"), // case/punct variant -> same bag
+      (4L, "alpha alpha beta"),   // multiset differs from 5
+      (5L, "alpha beta beta"),
+      (6L, "alpha beta")          // subset, not equal
+    ).toDF("doc_id", "text")
+      .select(col("doc_id"), Dedup.bagFingerprint(col("text")).as("fp"))
+      .as[(Long, String)].collect().toMap
+    assert(fps(1L) == fps(2L))
+    assert(fps(1L) == fps(3L))
+    assert(fps(4L) != fps(5L), "token multiplicities must distinguish bags")
+    assert(fps(1L) != fps(6L))
+  }
 }
