@@ -336,11 +336,14 @@ object Corpus {
    *
    * Scale shape: detection aggregates 16-byte line DIGESTS (documents
    * never ride that exchange), the corpus-wide doc count is a 1-row
-   * broadcast, and the common-line set joins back as a left-anti on the
-   * digest. Reassembly is the one genuinely line-carrying exchange
-   * (`groupBy(doc)` + position-sorted rebuild) — inherent: the output
-   * IS the cleaned text. Documents whose every line is chrome survive
-   * as empty text, not dropped rows (the attrition ledger needs them).
+   * broadcast, and the common-line set broadcasts back as a FLAG on a
+   * left join (at the registered thresholds its size is provably
+   * corpus-size-independent — see the inline bound). One doc-keyed
+   * exchange then filters, rebuilds in position order, and counts in a
+   * single `groupBy` — the one genuinely line-carrying exchange, and
+   * inherent: the output IS the cleaned text. Documents whose every
+   * line is chrome survive as empty text, not dropped rows (the
+   * attrition ledger needs them).
    */
   def removeCommonLines(
       df: DataFrame,
@@ -352,26 +355,31 @@ object Corpus {
     require(permille >= 1 && permille <= 1000,
       s"permille must be in [1, 1000]: $permille")
     val q = java.util.regex.Pattern.quote(sep)
-    // scope-cached: the exploded+digested corpus feeds the detection
-    // aggregate, the anti-join probe side, AND the per-doc line totals
-    // — unpersisted, Catalyst re-executes the full scan→split→explode
-    // branch once per consumer (the jaccardJoin lesson, Dedup.scala)
+    // scope-cached: the exploded+digested corpus feeds BOTH the
+    // detection aggregate and the flag-join probe side — unpersisted,
+    // Catalyst re-executes the full scan→split→explode branch once per
+    // consumer (the jaccardJoin lesson, Dedup.scala)
     val base = graft.CacheScope.scoped(df.select(col(idCol),
       posexplode(split(col(textCol), q)).as(Seq("pos", "line")))
       .withColumn("__dg", md5(col("line"))))
     val nDocs = df.select(countDistinct(col(idCol)).as("__docs_total"))
-    // The common set is PROVABLY tiny at any corpus size: each common
-    // line occurs in ≥ (permille/1000)·n_docs documents, and total line
-    // occurrences are avgLinesPerDoc·n_docs, so |common| ≤
-    // avgLinesPerDoc·1000/permille — ~50 digests here, corpus-size-
-    // INDEPENDENT. Broadcast it: the alternative anti-join sorts the
-    // whole exploded corpus by digest (n·log n — the first scale probe
-    // measured exactly that super-linearity, exponent 1.12).
-    val common = broadcast(base.groupBy(col("__dg"))
+    // The common set is PROVABLY bounded at any corpus size: each
+    // common line occurs in ≥ (permille/1000)·n_docs documents, and
+    // total line occurrences are avgLinesPerDoc·n_docs, so |common| ≤
+    // avgLinesPerDoc·1000/permille — corpus-size-INDEPENDENT (~50
+    // digests at the registered permille=780). Broadcast it when the
+    // bound is small: the alternative shuffle join sorts the whole
+    // exploded corpus by digest (n·log n — the first scale probe
+    // measured exactly that super-linearity, exponent 1.12). At tiny
+    // permille the bound loosens to 1000·avgLines/permille digests, so
+    // below 100‰ we leave the join strategy to the planner/AQE rather
+    // than force a possibly-large broadcast build.
+    val commonPlain = base.groupBy(col("__dg"))
       .agg(countDistinct(col(idCol)).as("__nd"))
       .crossJoin(broadcast(nDocs))
       .filter(col("__nd") * 1000 >= lit(permille.toLong) * col("__docs_total"))
-      .select(col("__dg"), lit(true).as("__common")))
+      .select(col("__dg"), lit(true).as("__common"))
+    val common = if (permille >= 100) broadcast(commonPlain) else commonPlain
     // flag-then-filter instead of anti-join + totals + rebuild + rejoin:
     // ONE doc-keyed exchange carries every line once with its flag, and
     // a doc whose every line is chrome still groups (empty clean text)

@@ -47,13 +47,15 @@ object ExtensionQueries extends QueryFamily {
     val planted = docs.filter(col("doc_id") % 100 === 0)
       .select((col("doc_id") + 40000000L).as("doc_id"),
         array_join(reverse(split(col("text"), " ")), " ").as("text"))
-    val all = docs.unionByName(planted)
+    // window, not groupBy+self-join: ONE digest-keyed exchange and ONE
+    // pass over the fingerprint chain (the join shape re-tokenizes and
+    // re-sorts every document's text a second time on the probe side)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("bag_fp"))
+    docs.unionByName(planted)
       .withColumn("bag_fp", Dedup.bagFingerprint(col("text")))
-    val groups = all.groupBy(col("bag_fp"))
-      .agg(min(col("doc_id")).as("group_rep"),
-        count(lit(1)).as("group_size"))
+      .withColumn("group_rep", min(col("doc_id")).over(w))
+      .withColumn("group_size", count(lit(1)).over(w))
       .filter(col("group_size") >= 2)
-    all.join(groups, Seq("bag_fp"))
       .select(col("group_rep"), col("doc_id"), col("group_size"))
       .orderBy(col("group_rep"), col("doc_id"))
   }
