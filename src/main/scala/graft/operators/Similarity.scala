@@ -385,25 +385,50 @@ object Similarity {
       k: Int,
       nProbe: Int): DataFrame = {
     require(cellCents.nonEmpty && codebooks.nonEmpty, "empty IVF-PQ model")
-    val nc = cellCents.length
-    val m = codebooks.length
-    val sub = codebooks.head.head.length
-    val ccLit = typedLit(cellCents)
+    val q = ivfPqProbes(queries, idCol, vecCol, cellCents, nProbe)
+    ivfPqServeProbed(index, q, codebooks, k)
+  }
 
-    // query side: nProbe nearest cells by L2, one residual per probe.
-    // Interpreted HOFs are fine HERE: this is the tiny broadcast side.
+  /** Query-side probe stage of [[ivfPqServe]]: per query, its `nProbe`
+    * nearest coarse cells by L2 with one residual per probed cell —
+    * (`query_id`, `cell`, `qres`). Exposed separately so the durable
+    * path ([[AnnIndex.searchIvfPq]]) can collect the (bounded, ≤ nCells)
+    * probed-cell set and PRUNE the codes scan's partitions before the
+    * join — the in-memory path composes the two stages unchanged. */
+  private[operators] def ivfPqProbes(
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cellCents: Seq[Seq[Float]],
+      nProbe: Int): DataFrame = {
+    require(cellCents.nonEmpty, "empty IVF cell model")
+    val nc = cellCents.length
+    val ccLit = typedLit(cellCents)
+    // nProbe nearest cells by L2, one residual per probe. Interpreted
+    // HOFs are fine HERE: this is the tiny broadcast side.
     def bestCellsL2(vec: org.apache.spark.sql.Column) =
       sort_array(
         zip_with(ccLit, sequence(lit(0), lit(nc - 1)),
           (cent, idx) => struct(l2_distance(vec, cent).as("d"), idx.cast("int").as("i"))),
         asc = true)
-    val q = queries
+    queries
       .select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qv"))
       .withColumn("probe", explode(slice(bestCellsL2(col("qv")), 1, math.min(nProbe, nc))))
       .withColumn("cell", col("probe.i"))
       .withColumn("qres", graft.functions.centroid_residual(col("qv"), ccLit, col("cell")))
       .select(col("query_id"), col("cell"), col("qres"))
+  }
 
+  /** ADC scoring + per-query top-k over an already-probed query side
+    * (`query_id`, `cell`, `qres` from [[ivfPqProbes]]). */
+  private[operators] def ivfPqServeProbed(
+      index: DataFrame,
+      q: DataFrame,
+      codebooks: Seq[Seq[Seq[Float]]],
+      k: Int): DataFrame = {
+    require(codebooks.nonEmpty, "empty PQ codebook model")
+    val m = codebooks.length
+    val sub = codebooks.head.head.length
     val dist = (0 until m).map { j =>
       val cb = typedLit(codebooks(j))
       val d = graft.functions.l2_distance(

@@ -521,6 +521,49 @@ object ExtensionQueries extends QueryFamily {
       Similarity.ivfPqTopK(corpus, queries, "vec_id", "embedding",
         k = 10, nCells = 16, nProbe = 4, m = 8, codebookSize = 16))
 
+  /**
+   * Incremental-admission drift verdict for the durable ANN index — the
+   * nightly-ingest contract end-to-end: build the IVF-PQ artifact over a
+   * deterministic 2/3 of the corpus, measure [[AnnIndex.occupancyDrift]]
+   * for (a) the held-out third (same distribution → TV near 0, no
+   * retrain needed) and (b) a deliberately shifted batch (the fullest
+   * cell's members only → mass concentrated, TV high → rebuild signal),
+   * then [[AnnIndex.appendIvfPq]] the held-out third against the FROZEN
+   * model and gate that every appended row landed (`append_ok`). The TV
+   * values are deterministic per fixture (sampled k-means is seeded);
+   * the 0.4 threshold sits ≳2× above the measured same-distribution TV
+   * at all three SFs and well under the measured skew TV.
+   */
+  def annAppendDrift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.AnnIndex
+    val emb = Tables.embeddings(spark, dir)
+    val base = emb.filter(col("vec_id") % 3 =!= 0)
+    val batch = emb.filter(col("vec_id") % 3 === 0)
+    val idx = graft.TmpCleanup.perProcessDir("graft-ann-idx", dir)
+    graft.TmpCleanup.register(idx)
+    AnnIndex.writeIvfPq(base, "vec_id", "embedding", idx,
+      nCells = 16, m = 8, codebookSize = 16)
+    def tv(b: DataFrame): Double =
+      AnnIndex.occupancyDrift(spark, idx, b, "vec_id", "embedding")
+        .head().getDouble(0)
+    val tvSame = tv(batch)
+    // shifted source: only the fullest cell's members — deterministic
+    // (ties broken by cell id) and maximally concentrated
+    val codes = spark.read.parquet(s"$idx/codes")
+    val topCell = codes.groupBy(col("cell")).agg(count(lit(1)).as("__n"))
+      .orderBy(col("__n").desc, col("cell")).head().getInt(0)
+    val skewIds = codes.filter(col("cell") === topCell).select(col("vec_id"))
+    val tvSkew = tv(emb.join(skewIds, Seq("vec_id")).select(col("vec_id"), col("embedding")))
+    // frozen-model admission: every batch row must land in the artifact
+    AnnIndex.appendIvfPq(spark, idx, batch, "vec_id", "embedding")
+    val appendOk =
+      spark.read.parquet(s"$idx/codes").count() == emb.count()
+    Seq(("same", tvSame >= 0.4, appendOk), ("skew", tvSkew >= 0.4, appendOk))
+      .toDF("polarity", "drifted", "append_ok")
+      .orderBy(col("polarity"))
+  }
+
   /** Shared scaffolding for the PQ/IVF-PQ planted-copy verdicts: plant
     * an exact copy of every query vector at `vec_id + 10⁷`, run the
     * given serve path over the planted corpus, and flag per query
@@ -1484,6 +1527,7 @@ object ExtensionQueries extends QueryFamily {
     "sim_topk_ivf_verdict" -> (simTopkIvfVerdict _),
     "sim_topk_pq_verdict" -> (simTopkPqVerdict _),
     "sim_topk_ivfpq_verdict" -> (simTopkIvfPqVerdict _),
+    "ann_append_drift" -> (annAppendDrift _),
     "sim_neardup_verdict" -> (simNearDupVerdict _),
     "sim_semantic_dedup_verdict" -> (simSemanticDedupVerdict _),
     "corpus_increment_embed_verdict" -> (corpusIncrementEmbedVerdict _),
@@ -1889,6 +1933,11 @@ object ExtensionQueries extends QueryFamily {
     // in the corpus achieves the minimal ADC distance and MUST be served
     "sim_topk_pq_verdict" -> plantedCopyServeOracleSql,
     "sim_topk_ivfpq_verdict" -> plantedCopyServeOracleSql,
+    // bounded-check verdict: the TV gates are constants the frozen-model
+    // append + occupancy machinery must reproduce at every SF
+    "ann_append_drift" ->
+      """SELECT 'same' AS polarity, FALSE AS drifted, TRUE AS append_ok
+        |UNION ALL SELECT 'skew', TRUE, TRUE ORDER BY polarity""".stripMargin,
     // planted-twin verdicts: the pair/survivor lists are pure SQL, the
     // boolean gates are constants the LSH/CC machinery must reproduce
     "sim_neardup_verdict" ->

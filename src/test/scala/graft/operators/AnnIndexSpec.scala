@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 
 import graft.SparkSpec
 
@@ -31,6 +31,86 @@ class AnnIndexSpec extends SparkSpec {
     // codes artifact carries (8 + m) small columns, never the vectors
     val codesSchema = spark.read.parquet(s"$dir/codes").schema.fieldNames.toSet
     assert(codesSchema == Set("vec_id", "cell", "codes"))
+  }
+
+  test("serve prunes the codes scan to the probed cells' partitions") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val queries = emb.filter($"vec_id" < 3)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ann-prune").toString
+    AnnIndex.writeIvfPq(emb, "vec_id", "embedding", dir,
+      nCells = 8, m = 8, codebookSize = 16, trainSampleN = 512)
+    // a single-cell probe per query: ≤ 3 distinct probed cells of the 8.
+    // AQE off while inspecting — AdaptiveSparkPlanExec hides the scan
+    // node until execution (the ScaleSpec writePartitioned pattern)
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val served = AnnIndex.searchIvfPq(spark, dir, queries, "vec_id", "embedding",
+        k = 5, nProbe = 1)
+      assert(served.count() > 0)
+      val scan = served.queryExecution.executedPlan
+        .collect { case s: FileSourceScanExec => s }
+        .find(_.output.exists(_.name == "codes"))
+        .getOrElse(fail("no codes FileSourceScanExec in the serve plan"))
+      val touched = scan.selectedPartitions.partitionCount
+      assert(touched <= 3 && touched < 8,
+        s"expected ≤ 3 probed-cell partitions of 8, scan touched $touched")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("appendIvfPq: frozen-model append ≡ rebuild encoding; served copy found") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val base = emb.filter($"vec_id" % 2 === 0)
+    val batch = emb.filter($"vec_id" % 2 === 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ann-append").toString
+    AnnIndex.writeIvfPq(base, "vec_id", "embedding", dir,
+      nCells = 8, m = 8, codebookSize = 16, trainSampleN = 512)
+    val before = spark.read.parquet(s"$dir/codes").count()
+    AnnIndex.appendIvfPq(spark, dir, batch, "vec_id", "embedding")
+    val codes = spark.read.parquet(s"$dir/codes")
+    assert(codes.count() == before + batch.count())
+    // rebuild equality on the FROZEN model: copy the model artifact to a
+    // fresh dir and encode the WHOLE corpus through appendIvfPq — build
+    // (base) + append (batch) must equal the one-shot frozen-model encode
+    // row for row, or build and append encoders have drifted
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-ann-rebuild").toString
+    spark.read.parquet(s"$dir/model").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir2/model")
+    AnnIndex.appendIvfPq(spark, dir2, base.unionByName(batch), "vec_id", "embedding")
+    def codeMap(d: String) = spark.read.parquet(s"$d/codes")
+      .select($"vec_id", $"cell", $"codes").as[(Long, Int, Seq[Int])]
+      .collect().map { case (id, c, cs) => id -> ((c, cs)) }.toMap
+    assert(codeMap(dir) == codeMap(dir2),
+      "build+append codes differ from one-shot frozen-model encoding")
+    // a batch vector identical to a query must now be served: plant the
+    // query itself in the appended half and demand its copy back
+    val q = base.filter($"vec_id" === 0L)
+    val planted = q.withColumn("vec_id", lit(10000000L))
+    AnnIndex.appendIvfPq(spark, dir, planted, "vec_id", "embedding")
+    val got = AnnIndex.searchIvfPq(spark, dir, q, "vec_id", "embedding",
+      k = 5, nProbe = 8)
+    assert(got.filter($"neighbor_id" === 10000000L).count() == 1,
+      "appended exact copy not served back")
+  }
+
+  test("occupancyDrift: same-distribution batch ≈ 0, single-cell batch high") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ann-drift").toString
+    AnnIndex.writeIvfPq(emb, "vec_id", "embedding", dir,
+      nCells = 8, m = 8, codebookSize = 16, trainSampleN = 512)
+    val same = AnnIndex.occupancyDrift(spark, dir, emb, "vec_id", "embedding")
+      .head().getDouble(0)
+    assert(same < 1e-9, s"identical corpus should have TV 0, got $same")
+    // batch = the members of the fullest cell only → mass concentrated
+    val codes = spark.read.parquet(s"$dir/codes")
+    val top = codes.groupBy($"cell").count().orderBy($"count".desc)
+      .head().getInt(0)
+    val skewIds = codes.filter($"cell" === top).select($"vec_id")
+    val skewed = AnnIndex.occupancyDrift(spark, dir,
+      emb.join(skewIds, Seq("vec_id")).select("vec_id", "embedding"),
+      "vec_id", "embedding").head().getDouble(0)
+    assert(skewed > 0.5, s"single-cell batch should drift hard, got $skewed")
   }
 
   test("loadModel reconstructs cells and codebooks in rank order") {

@@ -91,13 +91,16 @@ class OracleLockstepSpec extends AnyFunSuite {
       "doc_id % 97 <> 0", "TRUE AS bloom_flagged"),
     // direct value oracle, but its PAIR LIST is a planted constant the
     // Spark side replicates — same drift risk, same pin
-    "dedup_ngram_jaccard_verdict" -> Seq("doc_id % 20 = 0", "doc_id + 1"))
+    "dedup_ngram_jaccard_verdict" -> Seq("doc_id % 20 = 0", "doc_id + 1"),
+    "ann_append_drift" -> Seq("FALSE AS drifted", "TRUE AS append_ok",
+      "SELECT 'skew', TRUE, TRUE"))
 
   test("every verdict-twin oracle carries its sanctioned planted-fixture constants") {
     val oracles = graft.Queries.oracles
     // completeness: a NEW verdict surface must register its contract here
     val verdictNames = oracles.keys.filter(n =>
-      n.endsWith("_verdict") || n == "dedup_simhash_planted" || n == "hardneg_shortfall")
+      n.endsWith("_verdict") || n == "dedup_simhash_planted" ||
+        n == "hardneg_shortfall" || n == "ann_append_drift")
     verdictNames.foreach { n =>
       assert(verdictContracts.contains(n),
         s"$n: verdict oracle without a lockstep contract — add its planted " +
