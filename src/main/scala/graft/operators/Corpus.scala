@@ -362,24 +362,39 @@ object Corpus {
     val base = graft.CacheScope.scoped(df.select(col(idCol),
       posexplode(split(col(textCol), q)).as(Seq("pos", "line")))
       .withColumn("__dg", md5(col("line"))))
-    val nDocs = df.select(countDistinct(col(idCol)).as("__docs_total"))
-    // The common set is PROVABLY bounded at any corpus size: each
-    // common line occurs in ≥ (permille/1000)·n_docs documents, and
-    // total line occurrences are avgLinesPerDoc·n_docs, so |common| ≤
-    // avgLinesPerDoc·1000/permille — corpus-size-INDEPENDENT (~50
-    // digests at the registered permille=780). Broadcast it when the
+    // ONE bounded action over the cached explode: total line count and
+    // doc count together. Driver-side on purpose — the broadcast
+    // decision below needs the OBSERVED bound, and the threshold itself
+    // folds to a literal instead of a crossJoin with an aggregate.
+    val stats = base.agg(count(lit(1)).as("__l"),
+      countDistinct(col(idCol)).as("__d")).head()
+    val nLines = stats.getLong(0)
+    val nDocs = stats.getLong(1)
+    // The common set is bounded at any CORPUS size: each common line
+    // occurs in ≥ (permille/1000)·n_docs documents, and total line
+    // occurrences are avgLinesPerDoc·n_docs, so |common| ≤
+    // avgLinesPerDoc·1000/permille — corpus-size-independent (~50
+    // digests at the registered permille=780). Broadcast it when that
     // bound is small: the alternative shuffle join sorts the whole
     // exploded corpus by digest (n·log n — the first scale probe
-    // measured exactly that super-linearity, exponent 1.12). At tiny
-    // permille the bound loosens to 1000·avgLines/permille digests, so
-    // below 100‰ we leave the join strategy to the planner/AQE rather
-    // than force a possibly-large broadcast build.
+    // measured exactly that super-linearity, exponent 1.12). But the
+    // bound is only corpus-size-independent, not ABSOLUTE — very long
+    // documents (100k-line docs at permille=100) still imply a
+    // multi-million-digest broadcast build. So the forced broadcast is
+    // gated on the OBSERVED bound too; outside it (or at tiny permille,
+    // where the bound loosens) the join strategy is left to the
+    // planner/AQE — the ngramJaccard guarded-broadcast convention.
+    val maxBroadcastDigests = 1L << 18 // ~256k MD5s ≈ a few MB build side
+    val boundDigests =
+      if (nDocs == 0) 0L else nLines * 1000L / (nDocs * permille.toLong)
     val commonPlain = base.groupBy(col("__dg"))
       .agg(countDistinct(col(idCol)).as("__nd"))
-      .crossJoin(broadcast(nDocs))
-      .filter(col("__nd") * 1000 >= lit(permille.toLong) * col("__docs_total"))
+      .filter(col("__nd") * 1000 >= lit(permille.toLong * nDocs))
       .select(col("__dg"), lit(true).as("__common"))
-    val common = if (permille >= 100) broadcast(commonPlain) else commonPlain
+    val common =
+      if (permille >= 100 && boundDigests <= maxBroadcastDigests)
+        broadcast(commonPlain)
+      else commonPlain
     // flag-then-filter instead of anti-join + totals + rebuild + rejoin:
     // ONE doc-keyed exchange carries every line once with its flag, and
     // a doc whose every line is chrome still groups (empty clean text)

@@ -544,26 +544,39 @@ object Dedup {
   }
 
   /** Exact n-gram Jaccard between candidate pairs (verification-grade
-    * similarity, usually applied after LSH candidate generation). */
+    * similarity, usually applied after LSH candidate generation).
+    *
+    * @param broadcastPairBound broadcast the candidate side only while it
+    *   holds at most this many pairs. Post-LSH candidate sets are
+    *   "usually small" but OUTPUT-sized in the worst case (self-similar
+    *   corpus, loose banding threshold) — an unconditional broadcast
+    *   hint would build that worst case on the driver and fail the job
+    *   at exactly the scale the verifier exists for. Above the bound the
+    *   join strategy is left to the planner/AQE (the removeCommonLines
+    *   guarded-broadcast pattern, Corpus.scala). */
   def ngramJaccard(
       df: DataFrame,
       textCol: String,
       idCol: String,
       pairs: DataFrame, // columns id_a, id_b
-      w: Int = 3): DataFrame = {
+      w: Int = 3,
+      broadcastPairBound: Long = 1L << 20): DataFrame = {
     // The candidate set is evaluated ONCE (it is typically the output of
     // LSH banding — an expensive DAG; naive double-join would recompute it
-    // per reference). Each pair explodes into two (id_a, id_b, id) rows
-    // which are broadcast — post-LSH candidates are orders of magnitude
-    // smaller than the corpus, so the corpus-side shingle sets stream
-    // map-side with no shuffle. Shingle sets are sorted distinct 64-bit
-    // hashes: 8 B/element payload and an O(n+m) merge-walk intersection
-    // instead of string-array intersect.
-    val side = pairs.select(col("id_a"), col("id_b"),
+    // per reference): scope-cached, so the guard count and the join both
+    // read the materialized set instead of re-running the banding DAG.
+    // Each pair explodes into two (id_a, id_b, id) rows which are
+    // broadcast WHEN PROVABLY BOUNDED — then the corpus-side shingle sets
+    // stream map-side with no shuffle. Shingle sets are sorted distinct
+    // 64-bit hashes: 8 B/element payload and an O(n+m) merge-walk
+    // intersection instead of string-array intersect.
+    val cand = graft.CacheScope.scoped(pairs.select(col("id_a"), col("id_b")))
+    val side = cand.select(col("id_a"), col("id_b"),
       explode(array(col("id_a"), col("id_b"))).as("id"))
+    val hinted = if (cand.count() <= broadcastPairBound) broadcast(side) else side
     val sh = df.select(col(idCol).as("id"),
       shingle_hash_set(col(textCol), w).as("sh"))
-    sh.join(broadcast(side), Seq("id"))
+    sh.join(hinted, Seq("id"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(
         first(when(col("id") === col("id_a"), col("sh")), ignoreNulls = true).as("sh_x"),

@@ -31,10 +31,10 @@ import graft.sources.Tables
  * DCT-II → 8×8 low-frequency block → median threshold), so a
  * re-encoded or resized duplicate — which defeats any byte-level
  * hash — still lands at hamming 0; `sampleVideoFrames` emits frames
- * the AVI parser actually decoded. The only remaining stand-ins are
- * `decodeStub` (plumbing contract over non-media text-byte assets)
- * and `featuresStub` (a learned vision/audio encoder genuinely cannot
- * run in this container) — neither backs a registered query surface.
+ * the AVI parser actually decoded. The stand-ins for what this
+ * container genuinely cannot run (a learned vision/audio encoder, a
+ * full codec matrix) live in TEST sources only — neither backs a
+ * registered query surface, and main carries no placeholders.
  */
 object Multimodal {
 
@@ -715,31 +715,6 @@ object Multimodal {
     }(enc)
   }
 
-  /**
-   * STUB decode (text-bytes plumbing assets) — ??? in a real deployment this calls the codec
-   * (ImageIO/libjpeg/ffmpeg) inside mapPartitions; here metadata is a
-   * deterministic function of the bytes: width/height from the first two
-   * bytes, format from the modality. The mapPartitions shape (iterator →
-   * iterator, decoder "initialized" once per partition) is the real,
-   * tested contract.
-   */
-  def decodeStub(assets: DataFrame): DataFrame = {
-    val spark = assets.sparkSession
-    val outSchema = StructType(assets.schema.fields :+
-      StructField("meta", metaSchema, nullable = false))
-    val enc = org.apache.spark.sql.Encoders.row(outSchema)
-    assets.mapPartitions { rows =>
-      // per-partition decoder init would go here (once, not per row)
-      rows.map { r =>
-        val bytes = r.getAs[Array[Byte]]("content")
-        val w = if (bytes.length > 0) (bytes(0) & 0xff) + 1 else 1
-        val h = if (bytes.length > 1) (bytes(1) & 0xff) + 1 else 1
-        Row.fromSeq(r.toSeq :+ Row(bytes.length.toLong, w, h,
-          r.getAs[String]("modality") + "/stub"))
-      }
-    }(enc)
-  }
-
   /** REAL image feature extraction: decoded-pixel grayscale histogram
     * (red-channel intensity, 256/`bins`-wide buckets) — the classic
     * color-histogram image feature, computed from actual
@@ -748,8 +723,8 @@ object Multimodal {
     * solid-gray PNG fixture every pixel of asset `id` lands in bin
     * `(id % 256) / 16` and the histogram is one-hot with count w·h —
     * ground truth a SQL oracle recomputes from `doc_id` arithmetic
-    * alone. [[featuresStub]] remains only for the codec-less
-    * audio/video modalities. */
+    * alone. The learned-encoder stand-in for codec-less modalities
+    * lives in test sources only. */
   def imageHistogramFeatures(assets: DataFrame, bins: Int = 16): DataFrame = {
     require(bins >= 2 && 256 % bins == 0, s"bins must divide 256: $bins")
     val outSchema = StructType(Seq(
@@ -779,30 +754,6 @@ object Multimodal {
           Row(id, hist.toSeq)
         }
       }(enc)
-  }
-
-  /** STUB feature extraction: binary → fixed-dim float vector. Real
-    * version = vision/audio encoder per partition-batch; stub = seeded
-    * hash-derived unit-scale floats (deterministic, shape-correct). */
-  def featuresStub(assets: DataFrame, dim: Int = 16): DataFrame = {
-    val spark = assets.sparkSession
-    val outSchema = StructType(Seq(
-      StructField("asset_id", LongType, nullable = false),
-      StructField("features", ArrayType(FloatType, containsNull = false), nullable = false)))
-    val enc = org.apache.spark.sql.Encoders.row(outSchema)
-    assets.select("asset_id", "content").mapPartitions { rows =>
-      rows.map { r =>
-        val id = r.getLong(0)
-        val bytes = r.getAs[Array[Byte]](1)
-        var h = 0xcbf29ce484222325L
-        bytes.foreach { b => h ^= (b & 0xffL); h *= 0x100000001b3L }
-        val vec = Array.tabulate(dim) { i =>
-          val z = graft.functions.TextHash.mix64(h + i)
-          ((z >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0).toFloat
-        }
-        Row(id, vec.toSeq)
-      }
-    }(enc)
   }
 
   /**

@@ -29,6 +29,18 @@ import org.apache.spark.sql.functions._
  */
 object Profile {
 
+  /**
+   * @param exact `true` = per-value distinct counting; NOTE the count is
+   *   over 64-bit `xxhash64` digests of the values, not the values
+   *   themselves — "exact" means exact-modulo-2⁻⁶⁴-hash-collisions (the
+   *   repo-wide set convention, e.g. shingle sets), in exchange for an
+   *   8-byte distinct exchange instead of shuffling raw values (the r9
+   *   scale probe measured the raw-string form going 1.7× super-linear).
+   *   Callers comparing against a truly exact oracle must replicate the
+   *   hash (DuckDB oracles here count raw distincts, which agree unless
+   *   a fixture engineers a 64-bit collision). `false` =
+   *   `approx_count_distinct` (HLL, ±2%, no Expand) — the 100 TB default.
+   */
   def profile(df: DataFrame, cols: Seq[String], exact: Boolean = true): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
     val aggs = cols.flatMap { c =>

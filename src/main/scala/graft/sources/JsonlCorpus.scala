@@ -94,8 +94,14 @@ object JsonlCorpus {
         schema.add(StructField(corrupt, StringType)),
         Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> corrupt))
         .as("__j"))
-      .select(col("__j.*"), col("value"))
-      .withColumn("line_ok", col(corrupt).isNull)
+      // empty / whitespace-only input makes from_json return a NULL
+      // struct with a NULL corrupt column — corrupt.isNull alone would
+      // classify such a line OK with every typed field null, silently
+      // violating the "never silently dropped" contract. Requiring the
+      // parsed struct itself be non-null closes that hole (a JSON `null`
+      // literal line quarantines the same way).
+      .withColumn("line_ok", col("__j").isNotNull && col(s"__j.$corrupt").isNull)
+      .select(col("__j.*"), col("value"), col("line_ok"))
       .withColumn("_raw", when(!col("line_ok"), col("value")))
       .drop(corrupt, "value")
   }

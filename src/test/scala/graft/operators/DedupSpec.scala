@@ -194,6 +194,25 @@ class DedupSpec extends SparkSpec {
     assert(j((4L, 5L)) == 0.0)
   }
 
+  test("ngramJaccard: over-bound candidate set plans a shuffle join, identical rows") {
+    val cands = Seq((1L, 2L), (1L, 6L), (4L, 5L)).toDF("id_a", "id_b")
+    val hintedRows = Dedup.ngramJaccard(docs, "text", "doc_id", cands)
+      .as[(Long, Long, Double)].collect().toSeq
+    // bound 1 < 3 candidates → the broadcast hint must NOT be applied:
+    // the planner is free to pick (and here picks) a non-broadcast join
+    val prevT = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val guarded = Dedup.ngramJaccard(docs, "text", "doc_id", cands,
+        broadcastPairBound = 1L)
+      val plan = guarded.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"over-bound candidates still broadcast:\n$plan")
+      assert(guarded.as[(Long, Long, Double)].collect().toSeq == hintedRows,
+        "shuffle-join path returned different rows than the broadcast path")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevT)
+  }
+
   test("jaccardJoin equals brute-force all-pairs (exact; no LSH recall loss)") {
     val fixture = docs.union(Seq(
       (7L, "!!! ... ???"), // zero-token doc: no Jaccard defined, excluded

@@ -15,7 +15,7 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("decodeStub emits typed metadata per row via mapPartitions") {
-    val decoded = Multimodal.decodeStub(Multimodal.assetTable(spark, sfDir))
+    val decoded = MultimodalStubs.decodeStub(Multimodal.assetTable(spark, sfDir))
     val row = decoded.filter($"asset_id" === 0).select("meta.*").head()
     assert(row.getAs[Long]("byte_len") > 0)
     assert(row.getAs[Int]("width") >= 1 && row.getAs[Int]("width") <= 256)
@@ -196,8 +196,8 @@ class MultimodalSpec extends SparkSpec {
 
   test("featuresStub: fixed-dim deterministic vectors") {
     val assets = Multimodal.assetTable(spark, sfDir)
-    val f1 = Multimodal.featuresStub(assets, dim = 16).orderBy("asset_id").collect()
-    val f2 = Multimodal.featuresStub(assets, dim = 16).orderBy("asset_id").collect()
+    val f1 = MultimodalStubs.featuresStub(assets, dim = 16).orderBy("asset_id").collect()
+    val f2 = MultimodalStubs.featuresStub(assets, dim = 16).orderBy("asset_id").collect()
     assert(f1.sameElements(f2)) // deterministic
     assert(f1.head.getSeq[Float](1).length == 16)
   }

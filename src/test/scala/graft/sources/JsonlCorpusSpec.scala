@@ -16,7 +16,10 @@ class JsonlCorpusSpec extends SparkSpec {
       """{"doc_id": 1, "text": "hello world", "lang": "en", "source": "a", "n_chars": 11}""",
       """{"doc_id": 2, "text": BROKEN""",                       // malformed
       """{"doc_id": 3, "text": "quoted \" brace } ok", "lang": "en", "source": "b", "n_chars": 20}""",
-      """not json at all""")                                    // malformed
+      """not json at all""",                                    // malformed
+      "",                                                       // blank line
+      "   ",                                                    // whitespace only
+      "null")                              // JSON null literal: no record
     lines.toDF("value").coalesce(1).write.mode("overwrite").text(dir)
     val in = JsonlCorpus.readQuarantined(spark, dir)
       .select("doc_id", "text", "line_ok", "_raw").collect()
@@ -27,9 +30,12 @@ class JsonlCorpusSpec extends SparkSpec {
     // escaping round-trips: the parsed text is the ORIGINAL string
     assert(ok.find(_.getAs[Long]("doc_id") == 3L).get
       .getAs[String]("text") == "quoted \" brace } ok")
-    // the quarantine lane preserves raw bytes and parses nothing
+    // the quarantine lane preserves raw bytes and parses nothing —
+    // including blank / whitespace-only / `null`-literal lines, which
+    // from_json parses to a NULL struct with a NULL corrupt column (the
+    // struct-null guard catches what corrupt.isNull alone cannot)
     assert(bad.map(_.getAs[String]("_raw")).toSet ==
-      Set(lines(1), lines(3)))
+      Set(lines(1), lines(3), "", "   ", "null"))
     assert(bad.forall(r => r.isNullAt(r.fieldIndex("doc_id"))))
   }
 
