@@ -112,6 +112,10 @@ object Bench {
       case b: com.sun.management.OperatingSystemMXBean => Some(b)
       case _ => None
     }
+    // min-of-N protocol: every query is measured `passes` times (≥ 2 by
+    // default) and the artifact records per-query MINs — see below
+    val passes = math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt)
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       // (wall_s, executor_cpu_s, process_cpu_s, ok)
       def once(): (Double, Double, Double, Boolean) = {
@@ -135,27 +139,33 @@ object Bench {
         CacheScope.releaseAll()
         (wall, (meter.snapshotNs - c0) / 1e9, proc, ok)
       }
-      // Transient host stalls (CPU steal on the shared box) inflate single
-      // wall measurements 10-30x — observed hopping BETWEEN queries across
-      // otherwise-idle runs (embed_kmeans 57.8 s vs 3.1 s on identical
-      // code). Re-measure anything stall-suspect and report the min-wall
-      // pass — the standard least-noise estimator; genuinely slow queries
-      // stay slow on both passes. Suspect = absolutely slow (> 3 s wall)
-      // OR wall >> ALL cpu burned by the JVM (> 1 s wall with under a
-      // third of it backed by either executor-task or process CPU — a
-      // stalled core accrues wall but no cpu of either kind, while a
-      // driver-side loop shows up in process CPU; the 1 s floor keeps
-      // tiny queries, whose wall is planning and scheduling, out of the
-      // re-run set).
-      // min PER METRIC across ok passes — the least-noise estimator for
-      // each independently (a pass can have the better wall and the
-      // worse, contention-inflated cpu)
-      val (w1, c1, p1, ok1) = once()
-      if (ok1 && (w1 > 3.0 || (w1 > 1.0 && w1 > 3.0 * math.max(c1, p1)))) {
-        val (w2, c2, _, ok2) = once()
-        if (ok2) (name, math.min(w1, w2), math.min(c1, c2), true)
-        else (name, w1, c1, ok1)
-      } else (name, w1, c1, ok1)
+      // EVERY query runs `passes` times (default 2) and reports the min
+      // PER METRIC across ok passes — the least-noise estimator for each
+      // independently (a pass can have the better wall and the worse,
+      // contention-inflated cpu). This makes the driver-stored artifact
+      // load-robust BY CONSTRUCTION: BENCH_r09 was a single pass taken
+      // under visible host load and read as a 1.88× wall regression with
+      // zero code cause — the idle-min protocol must live in the
+      // artifact, not in a SURVEY footnote.
+      val runs = scala.collection.mutable.ArrayBuffer.empty[(Double, Double, Double, Boolean)]
+      (1 to passes).foreach(_ => runs += once())
+      // stall-suspect top-up on the min (transient CPU-steal stalls have
+      // inflated single measurements 10-30×; a stalled pass accrues wall
+      // but neither executor-task nor process CPU, so: absolutely slow
+      // (> 3 s wall) OR wall > 3× all JVM cpu with a 1 s floor that
+      // keeps tiny planning-bound queries out of the re-run set)
+      def mins: Option[(Double, Double, Double)] = {
+        val ok = runs.filter(_._4)
+        if (ok.isEmpty) None
+        else Some((ok.map(_._1).min, ok.map(_._2).min, ok.map(_._3).min))
+      }
+      mins.foreach { case (w, c, p) =>
+        if (w > 3.0 || (w > 1.0 && w > 3.0 * math.max(c, p))) runs += once()
+      }
+      mins match {
+        case Some((w, c, _)) => (name, w, c, true)
+        case None            => (name, runs.head._1, runs.head._2, false)
+      }
     }
     // minimal JSON string escaper for anything not builder-controlled
     // (env-sourced paths, query names): backslash, quote, control chars.
@@ -189,7 +199,7 @@ object Bench {
     val total = results.collect { case (_, w, _, true) => w }.sum
     val cpuTotal = results.collect { case (_, _, c, true) => c }.sum
     val fullLine =
-      s"""{"metric":"total","value":${num3(total)},"unit":"sec","cpu_total":${num3(cpuTotal)},"queries":$qs,"cpu":$cpus_,"sf":${jstr(sfDir)},"failed":$failed}"""
+      s"""{"metric":"total","value":${num3(total)},"unit":"sec","cpu_total":${num3(cpuTotal)},"passes":$passes,"queries":$qs,"cpu":$cpus_,"sf":${jstr(sfDir)},"failed":$failed}"""
     // The harness keeps only the LAST ~2000 characters of stdout; the
     // full per-query line is ~8 KB, so on its own it is always truncated
     // mid-map and unparseable (BENCH_r01..r05 all carry "parsed": null).
@@ -211,7 +221,7 @@ object Bench {
     // worst-case run: cap the failed list at 10 names + a count (the full
     // list is always in the full-line artifact above).
     val failedCompact = failedNames.take(10).map(jstr).mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${num3(total)},"unit":"sec","cpu_total":${num3(cpuTotal)},"n_queries":${results.size},"n_failed":${failedNames.size},"queries":$slowQs,"cpu":$slowCpu,"note":"20 slowest; full map in ${jesc(outPath)}","sf":${jstr(sfDir)},"failed":$failedCompact}""")
+    println(s"""{"metric":"total","value":${num3(total)},"unit":"sec","cpu_total":${num3(cpuTotal)},"passes":$passes,"n_queries":${results.size},"n_failed":${failedNames.size},"queries":$slowQs,"cpu":$slowCpu,"note":"20 slowest; full map in ${jesc(outPath)}","sf":${jstr(sfDir)},"failed":$failedCompact}""")
     spark.stop()
   }
 }

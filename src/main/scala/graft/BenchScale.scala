@@ -55,21 +55,44 @@ object BenchScale {
     "sim_neardup" -> "answer",
     "embed_kmeans_par" -> "linear",
     // cross-corpus line removal: detection is a digest-keyed aggregate,
-    // rebuild a doc-keyed one — both Θ(lines); the fraction threshold
-    // self-adjusts with corpus size, so the probe exercises the same
-    // rule at both scales
+    // rebuild a doc-keyed one — both Θ(lines). The planted COPY-INVARIANT
+    // footer line (writeCorpus appends it UNREMAPPED to every doc of both
+    // corpora) keeps the common set non-empty at both scales, so the x10
+    // measurement exercises the same detect→flag→rebuild path — without
+    // it, remapped copies are token-disjoint, every natural line's doc
+    // frequency drops ~10× at x10, and the probe silently times a
+    // no-removal workload (r9 ADVICE)
     "corpus_remove_common_lines" -> "linear",
     // composed flagship: logit gate → target-affinity rank → exact
     // dedup → rollup; the pipelines must scale, not just the operators
-    "pipeline_corpus_v4" -> "linear")
+    "pipeline_corpus_v4" -> "linear",
+    // r9 surfaces (the newest code is the likeliest hidden super-linear
+    // shape): decode→DCT pHash + banded pairing, the composed VL
+    // flagship, sorted-multiset bag fingerprints, and the JSONL
+    // write→quarantine-read round trip
+    "multimodal_dedup_perceptual" -> "linear",
+    "pipeline_vl_pairs" -> "linear",
+    "dedup_bag_groups" -> "linear",
+    "corpus_ingest_jsonl" -> "linear")
 
   private def writeCorpus(
       spark: SparkSession, srcSf: String, outDir: String, copies: Int): Unit = {
     val docs = graft.sources.Tables.documents(spark, srcSf)
     val emb = graft.sources.Tables.embeddings(spark, srcSf)
+    // Copy shift derived from the OBSERVED id domain, not a fixed 10⁶:
+    // a fixture with ids ≥ 10⁶ would make copies collide and plant the
+    // exact duplicates this construction exists to avoid — the probe
+    // would then report false super-linearity (r9 ADVICE). Kept well
+    // under the 10⁷ range the planted-twin queries reserve.
+    val shift = math.max(
+      docs.agg(max(col("doc_id"))).head().getLong(0),
+      emb.agg(max(col("vec_id"))).head().getLong(0)) + 1
+    require(shift * copies < 10000000L,
+      s"id domain too large for $copies structural copies: shift $shift " +
+        "would collide with the 10^7 planted-twin range")
     val ring = "abcdefghijklmnopqrstuvwxyz0123456789"
     val docCopies = (0 until copies).map { k =>
-      val base = docs.withColumn("doc_id", col("doc_id") + lit(k * 1000000L))
+      val base = docs.withColumn("doc_id", col("doc_id") + lit(k * shift))
       val remapped =
         if (k == 0) base
         else {
@@ -81,10 +104,18 @@ object BenchScale {
           val to = rot + rot.take(26)
           base.withColumn("text", translate(col("text"), from, to))
         }
-      remapped.withColumn("n_chars", length(col("text")))
+      // copy-INVARIANT footer, appended after remapping in every copy of
+      // both corpora: one line whose document frequency is 100% at every
+      // scale, so the common-line removal probe exercises detect→rebuild
+      // at x1 AND x10 (remapped natural lines fall below the threshold
+      // at x10 — see the probe entry). Constant bytes per doc at both
+      // scales: byte-volume relations stay exact.
+      remapped
+        .withColumn("text", concat(col("text"), lit("\ngraft common footer line")))
+        .withColumn("n_chars", length(col("text")))
     }
     val embCopies = (0 until copies).map { k =>
-      val base = emb.withColumn("vec_id", col("vec_id") + lit(k * 1000000L))
+      val base = emb.withColumn("vec_id", col("vec_id") + lit(k * shift))
       if (k == 0) base
       else base.withColumn("embedding", expr(
         s"concat(slice(embedding, ${k + 1}, size(embedding) - $k), " +

@@ -1451,6 +1451,51 @@ object ExtensionQueries extends QueryFamily {
     path
   }
 
+  /**
+   * ShardSink → `_MANIFEST` → ShardReader round trip as a driver row —
+   * the transactional WRITE surface end-to-end (the manifest protocol
+   * itself, not just JSONL bytes): a digest projection of `documents` is
+   * written through the V2 two-phase-commit sink in TWO sequential
+   * append jobs (so the manifest MERGE is on the checked path), read
+   * back VIA the manifest, and folded to per-bucket digests DuckDB
+   * recomputes from `documents` alone. A sink that dropped, duplicated,
+   * half-published, or re-encoded a shard hash-fails; `manifest_ok`
+   * additionally gates the manifest's promised row count against the
+   * actual read.
+   */
+  def shardSinkRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = graft.TmpCleanup.perProcessDir("graft-shard-rt", dir)
+    graft.TmpCleanup.register(out)
+    // the sink is append-only by contract; re-entries within one process
+    // (bench warm-up + timed passes) must rebuild, not re-append
+    val p = java.nio.file.Paths.get(out)
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(col("text")).as("ld"))
+    def append(half: DataFrame): Unit =
+      half.write.format("graft.sources.v2.ShardSink")
+        .option("path", out).mode("append").save()
+    append(docs.filter(col("doc_id") % 2 === 0))
+    append(docs.filter(col("doc_id") % 2 === 1))
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("ld", StringType)))
+    val back = graft.sources.v2.ShardReader.read(spark, out, schema)
+    val manifestOk =
+      graft.sources.v2.ShardReader.manifestRowCount(spark, out) == back.count()
+    back.groupBy((col("doc_id") % 8).as("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        md5(concat_ws("",
+          transform(array_sort(collect_list(struct(col("doc_id"), col("ld")))),
+            x => x.getField("ld")))).as("digest"))
+      .withColumn("manifest_ok", lit(manifestOk))
+      .orderBy(col("bucket"))
+  }
+
   def corpusIngestJsonl(spark: SparkSession, dir: String): DataFrame = {
     val in = graft.sources.JsonlCorpus.readQuarantined(spark,
       jsonlFixture(spark, dir, "graft-jsonl"))
@@ -1616,6 +1661,7 @@ object ExtensionQueries extends QueryFamily {
     "rolling_active" -> (rollingActive _),
     "rolling_active_hll" -> (rollingActiveHll _),
     "corpus_ingest_jsonl" -> (corpusIngestJsonl _),
+    "shard_sink_roundtrip" -> (shardSinkRoundtrip _),
     "ts_twap" -> (tsTwap _),
     "session_stats" -> (sessionStats _))
 
@@ -2760,6 +2806,14 @@ object ExtensionQueries extends QueryFamily {
         |  MD5('{"doc_id": ' || doc_id || ', "text": BROKEN') AS digest
         |FROM documents WHERE doc_id % 97 = 0
         |ORDER BY doc_id""".stripMargin,
+    // the manifest-protocol round trip recomputed from documents alone:
+    // same per-bucket doc_id-ordered digest chain, constant-TRUE
+    // manifest gate
+    "shard_sink_roundtrip" ->
+      """SELECT doc_id % 8 AS bucket, COUNT(1) AS n_docs,
+        |  MD5(STRING_AGG(MD5(text), '' ORDER BY doc_id)) AS digest,
+        |  TRUE AS manifest_ok
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     // the HLL twin: exact side recomputed, estimate gated by the
     // constant-TRUE bounded verdict (the agg_hll_* oracle pattern)
     "rolling_active_hll" ->
