@@ -522,6 +522,39 @@ object ExtensionQueries extends QueryFamily {
         k = 10, nCells = 16, nProbe = 4, m = 8, codebookSize = 16))
 
   /**
+   * Durable-ANN serve parity verdict: build the IVF-PQ artifact, serve
+   * the workload THROUGH the persisted index (the partition-pruned
+   * `AnnIndex.searchIvfPq` path — model reload, probed-cell collect,
+   * `isin` partition pruning, codes-only scan) and demand bit-equal
+   * rank lists against the in-memory `ivfPqTopK` under identical
+   * parameters (identical deterministic sampling + Lloyd ⇒ identical
+   * model ⇒ identical serving). The spec pins this too; the registered
+   * row makes the durable serve path DRIVER-checked at every SF, so a
+   * pruning bug that loses a cell's codes flips `served_equal`.
+   */
+  def simTopkIvfPqIndexVerdict(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < 5)
+    val idx = graft.TmpCleanup.perProcessDir("graft-ann-serve", dir)
+    graft.TmpCleanup.register(idx)
+    graft.operators.AnnIndex.writeIvfPq(emb, "vec_id", "embedding", idx,
+      nCells = 16, m = 8, codebookSize = 16)
+    val served = graft.operators.AnnIndex.searchIvfPq(
+      spark, idx, queries, "vec_id", "embedding", k = 10, nProbe = 4)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+    val inMem = Similarity.ivfPqTopK(emb, queries, "vec_id", "embedding",
+      k = 10, nCells = 16, nProbe = 4, m = 8, codebookSize = 16)
+      .select(col("query_id"), col("rank"),
+        col("neighbor_id").as("__expect"))
+    served.join(inMem, Seq("query_id", "rank"), "full")
+      .groupBy(col("query_id"))
+      .agg((count(lit(1)) === sum(
+        when(col("neighbor_id") === col("__expect"), 1L).otherwise(0L)))
+        .as("served_equal"))
+      .orderBy(col("query_id"))
+  }
+
+  /**
    * Incremental-admission drift verdict for the durable ANN index — the
    * nightly-ingest contract end-to-end: build the IVF-PQ artifact over a
    * deterministic 2/3 of the corpus, measure [[AnnIndex.occupancyDrift]]
@@ -1573,6 +1606,7 @@ object ExtensionQueries extends QueryFamily {
     "sim_topk_pq_verdict" -> (simTopkPqVerdict _),
     "sim_topk_ivfpq_verdict" -> (simTopkIvfPqVerdict _),
     "ann_append_drift" -> (annAppendDrift _),
+    "sim_topk_ivfpq_index_verdict" -> (simTopkIvfPqIndexVerdict _),
     "sim_neardup_verdict" -> (simNearDupVerdict _),
     "sim_semantic_dedup_verdict" -> (simSemanticDedupVerdict _),
     "corpus_increment_embed_verdict" -> (corpusIncrementEmbedVerdict _),
@@ -1979,6 +2013,11 @@ object ExtensionQueries extends QueryFamily {
     // in the corpus achieves the minimal ADC distance and MUST be served
     "sim_topk_pq_verdict" -> plantedCopyServeOracleSql,
     "sim_topk_ivfpq_verdict" -> plantedCopyServeOracleSql,
+    // durable-serve parity: the partition-pruned index path must equal
+    // the in-memory plan rank-for-rank — a constant-TRUE gate per query
+    "sim_topk_ivfpq_index_verdict" ->
+      """SELECT CAST(vec_id AS BIGINT) AS query_id, TRUE AS served_equal
+        |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin,
     // bounded-check verdict: the TV gates are constants the frozen-model
     // append + occupancy machinery must reproduce at every SF
     "ann_append_drift" ->

@@ -93,7 +93,8 @@ class OracleLockstepSpec extends AnyFunSuite {
     // Spark side replicates — same drift risk, same pin
     "dedup_ngram_jaccard_verdict" -> Seq("doc_id % 20 = 0", "doc_id + 1"),
     "ann_append_drift" -> Seq("FALSE AS drifted", "TRUE AS append_ok",
-      "SELECT 'skew', TRUE, TRUE"))
+      "SELECT 'skew', TRUE, TRUE"),
+    "sim_topk_ivfpq_index_verdict" -> Seq("vec_id < 5", "TRUE AS served_equal"))
 
   test("every verdict-twin oracle carries its sanctioned planted-fixture constants") {
     val oracles = graft.Queries.oracles
