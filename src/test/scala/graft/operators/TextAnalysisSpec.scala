@@ -241,6 +241,40 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!out, "nothing passes a MaxValue threshold")
   }
 
+  test("trainLogit: separable labels learned to full agreement, loss strictly decreases") {
+    // stopword-rich prose (label 1) vs stopword-free consonant strings
+    // (label 0): linearly separable in the stop-ratio feature alone
+    val prose = (0L until 40L).map(i =>
+      (i, s"the cat and a dog of it is in the house to stay $i", 1))
+    val junk = (40L until 80L).map(i =>
+      (i, s"xzqv wrtk bbnm ddfg hjkl ppqq rrss ttvv wwxx yyzz $i", 0))
+    val df = (prose ++ junk).toDF("doc_id", "text", "label")
+    val (w, losses) = TextAnalysis.trainLogit(
+      df, "doc_id", "text", "label", iters = 30, lr = 1.0)
+    assert(w.length == 5)
+    assert((1 until losses.length).forall(i => losses(i) < losses(i - 1)),
+      s"loss not strictly decreasing: $losses")
+    // stopword ratio must carry positive weight: it IS the signal
+    assert(w(4) > 0, s"stop-ratio weight should be positive: $w")
+    val agree = TextAnalysis.logitAgreement(df, "doc_id", "text", "label", w)
+    assert(agree == 1.0, s"separable fixture should reach full agreement: $agree")
+  }
+
+  test("trainLogit: returned weights score RAW features (standardization folded back)") {
+    val df = Seq(
+      (0L, "the and of to is it a an or in common words here", 1),
+      (1L, "zzz qqq kkk vvv www", 0),
+      (2L, "the a an of to in is it and or more prose text", 1),
+      (3L, "xxyy zzww ppqq rrtt", 0)).toDF("doc_id", "text", "label")
+    val (w, _) = TextAnalysis.trainLogit(df, "doc_id", "text", "label",
+      iters = 20, lr = 1.0)
+    // recompute z from RAW micro features and compare the decision with
+    // logitAgreement's internal scoring: if the affine fold-back were
+    // wrong, raw-feature scoring would not reproduce the fitted labels
+    val agree = TextAnalysis.logitAgreement(df, "doc_id", "text", "label", w)
+    assert(agree == 1.0, s"raw-feature scoring diverged from the fit: $agree")
+  }
+
   test("token fertility: hand-computed counters and micro ratios") {
     val docs = Seq(
       (1L, "ab cd", "s1"),    // 2 ws words, 2 subwords, 5 chars

@@ -94,14 +94,17 @@ class OracleLockstepSpec extends AnyFunSuite {
     "dedup_ngram_jaccard_verdict" -> Seq("doc_id % 20 = 0", "doc_id + 1"),
     "ann_append_drift" -> Seq("FALSE AS drifted", "TRUE AS append_ok",
       "SELECT 'skew', TRUE, TRUE"),
-    "sim_topk_ivfpq_index_verdict" -> Seq("vec_id < 5", "TRUE AS served_equal"))
+    "sim_topk_ivfpq_index_verdict" -> Seq("vec_id < 5", "TRUE AS served_equal"),
+    "quality_logit_train" -> Seq("RANGE(1, 31)", "TRUE AS loss_non_increasing",
+      "TRUE AS agreement_ok"))
 
   test("every verdict-twin oracle carries its sanctioned planted-fixture constants") {
     val oracles = graft.Queries.oracles
     // completeness: a NEW verdict surface must register its contract here
     val verdictNames = oracles.keys.filter(n =>
       n.endsWith("_verdict") || n == "dedup_simhash_planted" ||
-        n == "hardneg_shortfall" || n == "ann_append_drift")
+        n == "hardneg_shortfall" || n == "ann_append_drift" ||
+        n == "quality_logit_train")
     verdictNames.foreach { n =>
       assert(verdictContracts.contains(n),
         s"$n: verdict oracle without a lockstep contract — add its planted " +
