@@ -113,9 +113,14 @@ object Bench {
       case _ => None
     }
     // min-of-N protocol: every query is measured `passes` times (≥ 2 by
-    // default) and the artifact records per-query MINs — see below
-    val passes = math.max(1,
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt)
+    // default) and the artifact records per-query MINs — see below.
+    // A malformed value fails HERE with its name, not as a bare
+    // NumberFormatException after Spark init + warm-up have been paid.
+    val passes = sys.env.get("SPARK_GRAFT_BENCH_PASSES") match {
+      case None => 2
+      case Some(v) => v.trim.toIntOption.filter(_ >= 1).getOrElse(
+        sys.error(s"SPARK_GRAFT_BENCH_PASSES must be a positive int, got: '$v'"))
+    }
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       // (wall_s, executor_cpu_s, process_cpu_s, ok)
       def once(): (Double, Double, Double, Boolean) = {

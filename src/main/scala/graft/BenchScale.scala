@@ -73,7 +73,15 @@ object BenchScale {
     "multimodal_dedup_perceptual" -> "linear",
     "pipeline_vl_pairs" -> "linear",
     "dedup_bag_groups" -> "linear",
-    "corpus_ingest_jsonl" -> "linear")
+    "corpus_ingest_jsonl" -> "linear",
+    // r10 surfaces, same rationale: durable-ANN build+append+drift,
+    // pruned-serve parity, the manifest round trip, and 31 training
+    // aggregates over the cached feature projection — all expected
+    // linear in the corpus (model state is parameter-sized throughout)
+    "ann_append_drift" -> "linear",
+    "sim_topk_ivfpq_index_verdict" -> "linear",
+    "shard_sink_roundtrip" -> "linear",
+    "quality_logit_train" -> "linear")
 
   private def writeCorpus(
       spark: SparkSession, srcSf: String, outDir: String, copies: Int): Unit = {

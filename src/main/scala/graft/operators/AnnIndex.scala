@@ -144,18 +144,29 @@ object AnnIndex {
     val b = assignFrozen(batch, idCol, vecCol, cells)
       .groupBy(col("cell")).agg(count(lit(1)).as("__nn"))
     // TV = ½ Σ_cells |p_base − p_batch|; both histograms are nCells rows,
-    // so the join/aggregate below is model-sized, not data-sized
+    // so the join/aggregate below is model-sized, not data-sized.
+    // An EMPTY side would make its total 0, every normalized term
+    // 0/0 → NULL, and the fold would return NULL — a silent non-answer
+    // the caller reads as "no drift". The guard lives INSIDE the
+    // tv_distance expression (when/raise_error): a select-then-drop
+    // assert_true column is pruned whole by CollapseProject and never
+    // executes (verified against this Spark build).
     base.join(b, Seq("cell"), "full")
       .agg(
         sum(coalesce(col("__nb"), lit(0L))).as("__tb"),
         sum(coalesce(col("__nn"), lit(0L))).as("__tn"),
         collect_list(struct(coalesce(col("__nb"), lit(0L)).as("nb"),
           coalesce(col("__nn"), lit(0L)).as("nn"))).as("__h"))
-      .select(aggregate(col("__h"), lit(0.0d),
-        (acc, x) => acc
-          + abs(x.getField("nb").cast("double") / col("__tb")
-            - x.getField("nn").cast("double") / col("__tn")))
-        .multiply(0.5).as("tv_distance"))
+      .select(
+        when(col("__tb") > 0 && col("__tn") > 0,
+          aggregate(col("__h"), lit(0.0d),
+            (acc, x) => acc
+              + abs(x.getField("nb").cast("double") / col("__tb")
+                - x.getField("nn").cast("double") / col("__tn")))
+            .multiply(0.5))
+          .otherwise(raise_error(
+            lit("occupancyDrift: empty index or empty batch")))
+          .as("tv_distance"))
   }
 
   /** Load the bounded model state written by [[writeIvfPq]]. */

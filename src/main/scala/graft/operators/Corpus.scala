@@ -362,14 +362,17 @@ object Corpus {
     val base = graft.CacheScope.scoped(df.select(col(idCol),
       posexplode(split(col(textCol), q)).as(Seq("pos", "line")))
       .withColumn("__dg", md5(col("line"))))
-    // ONE bounded action over the cached explode: total line count and
-    // doc count together. Driver-side on purpose — the broadcast
-    // decision below needs the OBSERVED bound, and the threshold itself
-    // folds to a literal instead of a crossJoin with an aggregate.
-    val stats = base.agg(count(lit(1)).as("__l"),
-      countDistinct(col(idCol)).as("__d")).head()
-    val nLines = stats.getLong(0)
-    val nDocs = stats.getLong(1)
+    // Two bounded driver actions: line count over the cached explode,
+    // doc count over df ITSELF — the denominator must count every
+    // document, including NULL-text docs that explode to zero lines
+    // (counting over `base` would silently shrink the commonness
+    // threshold). Driver-side on purpose: the broadcast decision below
+    // needs the OBSERVED bound, and the threshold folds to a literal
+    // instead of a crossJoin with an aggregate. The df aggregate is a
+    // column-pruned id scan — the same scan the lazy crossJoin form
+    // always paid.
+    val nLines = base.count()
+    val nDocs = df.agg(countDistinct(col(idCol))).head().getLong(0)
     // The common set is bounded at any CORPUS size: each common line
     // occurs in ≥ (permille/1000)·n_docs documents, and total line
     // occurrences are avgLinesPerDoc·n_docs, so |common| ≤

@@ -388,18 +388,19 @@ object TextAnalysis {
     // ≤ 1e6 micro (/1e6), mean word length is ≈3e6–1.5e7 micro (/1e7) —
     // bounding ‖x‖² ≈ 6 keeps the loss Hessian norm L = 0.25·E‖x‖²
     // ≲ 1.6, so the default step 0.5 < 2/L descends unconditionally
+    // a NULL label would null-poison its row's loss/gradient terms —
+    // sum() then SKIPS them while n still counts the row, silently
+    // shrinking every gradient. Fail loud: unlabeled rows are the
+    // caller's filter to make, not this function's to guess.
     val feats = graft.CacheScope.scoped(
-      logitQuality(labeled, idCol, textCol)
-        .join(labeled.select(col(idCol), col(labelCol).cast("double").as("__y")),
-          Seq(idCol))
-        .select(col("__y"),
-          lit(1.0).as("__x0"),
-          (col("len_frac_micro") / 1e6).as("__x1"),
-          (col("mwl_micro") / 1e7).as("__x2"),
-          (col("punct_micro") / 1e6).as("__x3"),
-          (col("stop_micro") / 1e6).as("__x4")))
-    val n = feats.count().toDouble
+      logitFeatures(labeled, idCol, textCol, labelCol))
+    val counts = feats.agg(count(lit(1)).as("__n"),
+      count(col("__y")).as("__ny")).head()
+    val n = counts.getLong(0).toDouble
     require(n > 0, "trainLogit needs at least one labeled row")
+    require(counts.getLong(1) == counts.getLong(0),
+      s"trainLogit: ${counts.getLong(0) - counts.getLong(1)} NULL label(s) " +
+        "— filter unlabeled rows before training")
     // STANDARDIZE the non-intercept features (one bounded aggregate over
     // the cached frame): centering decouples the bias from the feature
     // directions, and unit-variance scaling makes the needed weights
@@ -436,11 +437,9 @@ object TextAnalysis {
       (row.getDouble(0) / n, Array.tabulate(5)(j => row.getDouble(j + 1) / n))
     }
     val losses = scala.collection.mutable.ArrayBuffer.empty[Double]
-    var grad = Array.empty[Double]
     (0 to iters).foreach { it =>
       val (l, g) = lossGradOnce()
       losses += l
-      grad = g
       if (it < iters) w = Array.tabulate(5)(j => w(j) - lr * g(j))
     }
     // un-standardize: z = Σⱼ wⱼ(xⱼ−μⱼ)/σⱼ + w0
@@ -450,8 +449,32 @@ object TextAnalysis {
     (w0 +: wRaw, losses.toSeq)
   }
 
+  /** The ONE labeled-feature projection [[trainLogit]] and
+    * [[logitAgreement]] share: (`__y`, `__x0..__x4`) with the scaled
+    * feature convention the returned weights score. Identical LOGICAL
+    * PLAN on both call paths — when agreement is measured inside
+    * trainLogit's cache scope (the registered query), Spark's cache
+    * manager substitutes the already-materialized frame and the
+    * agreement pass costs zero corpus scans. */
+  private def logitFeatures(
+      labeled: DataFrame,
+      idCol: String,
+      textCol: String,
+      labelCol: String): DataFrame =
+    logitQuality(labeled, idCol, textCol)
+      .join(labeled.select(col(idCol), col(labelCol).cast("double").as("__y")),
+        Seq(idCol))
+      .select(col("__y"),
+        lit(1.0).as("__x0"),
+        (col("len_frac_micro") / 1e6).as("__x1"),
+        (col("mwl_micro") / 1e7).as("__x2"),
+        (col("punct_micro") / 1e6).as("__x3"),
+        (col("stop_micro") / 1e6).as("__x4"))
+
   /** Agreement rate of a trained [[trainLogit]] model against the label
-    * column — the distillation acceptance metric (one pass). */
+    * column — the distillation acceptance metric. One aggregate over the
+    * shared [[logitFeatures]] plan (a cache hit when trainLogit's scoped
+    * frame is still live — the registered query's shape). */
   def logitAgreement(
       labeled: DataFrame,
       idCol: String,
@@ -459,18 +482,12 @@ object TextAnalysis {
       labelCol: String,
       w: Seq[Double]): Double = {
     require(w.length == 5, s"expected 5 weights: ${w.length}")
-    val scored = logitQuality(labeled, idCol, textCol)
-      .join(labeled.select(col(idCol), col(labelCol).cast("double").as("__y")),
-        Seq(idCol))
-      .select(col("__y"),
-        (lit(w.head) + col("len_frac_micro") / 1e6 * lit(w(1)) +
-          col("mwl_micro") / 1e7 * lit(w(2)) +
-          col("punct_micro") / 1e6 * lit(w(3)) +
-          col("stop_micro") / 1e6 * lit(w(4))).as("__z"))
-    val row = scored.agg(
-      sum(when((col("__z") >= 0) === (col("__y") >= 0.5), 1L).otherwise(0L))
-        .as("__hits"),
-      count(lit(1)).as("__n")).head()
+    val z = (0 to 4).map(j => col(s"__x$j") * lit(w(j))).reduce(_ + _)
+    val row = logitFeatures(labeled, idCol, textCol, labelCol)
+      .agg(
+        sum(when((z >= 0) === (col("__y") >= 0.5), 1L).otherwise(0L))
+          .as("__hits"),
+        count(lit(1)).as("__n")).head()
     row.getLong(0).toDouble / math.max(row.getLong(1), 1L)
   }
 

@@ -1537,8 +1537,11 @@ object ExtensionQueries extends QueryFamily {
     val p = java.nio.file.Paths.get(out)
     if (java.nio.file.Files.exists(p)) {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.deleteIfExists(_))
+      // Files.walk must be closed (it holds DirectoryStream fds) —
+      // materialize inside Using, delete after
+      scala.util.Using.resource(java.nio.file.Files.walk(p)) { st =>
+        st.iterator().asScala.toSeq.reverse
+      }.foreach(java.nio.file.Files.deleteIfExists(_))
     }
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), md5(col("text")).as("ld"))

@@ -113,6 +113,22 @@ class AnnIndexSpec extends SparkSpec {
     assert(skewed > 0.5, s"single-cell batch should drift hard, got $skewed")
   }
 
+  test("occupancyDrift fails loud on an empty batch (no silent NULL drift)") {
+    val emb = Seq(
+      (0L, Seq(1f, 0f, 2f, 0f)), (1L, Seq(0f, 1f, 0f, 2f)),
+      (2L, Seq(3f, 0f, 1f, 0f)), (3L, Seq(0f, 3f, 0f, 1f))
+    ).toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ann-empty").toString
+    AnnIndex.writeIvfPq(emb, "vec_id", "embedding", dir,
+      nCells = 2, m = 2, codebookSize = 2, trainSampleN = 4)
+    val e = intercept[Exception] {
+      AnnIndex.occupancyDrift(spark, dir,
+        emb.filter(lit(false)), "vec_id", "embedding").head()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("empty"),
+      s"expected the named precondition error, got: $e")
+  }
+
   test("loadModel reconstructs cells and codebooks in rank order") {
     val emb = Seq(
       (0L, Seq(1f, 0f, 2f, 0f)),

@@ -260,6 +260,17 @@ class TextAnalysisSpec extends SparkSpec {
     assert(agree == 1.0, s"separable fixture should reach full agreement: $agree")
   }
 
+  test("trainLogit rejects NULL labels loudly (sum would silently skip them)") {
+    val df = Seq(
+      (0L, "the and of to is it", Some(1)),
+      (1L, "zzz qqq kkk", None),
+      (2L, "the a an of words", Some(1))).toDF("doc_id", "text", "label")
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.trainLogit(df, "doc_id", "text", "label", iters = 1)
+    }
+    assert(e.getMessage.contains("NULL label"))
+  }
+
   test("trainLogit: returned weights score RAW features (standardization folded back)") {
     val df = Seq(
       (0L, "the and of to is it a an or in common words here", 1),
