@@ -169,6 +169,79 @@ object AnnIndex {
           .as("tv_distance"))
   }
 
+  /**
+   * Durable IVF-FLAT index: coarse cells + RAW vectors partitioned by
+   * cell — the exact-rerank sibling of the PQ artifact for
+   * recall-critical serving (PQ trades recall for ~(8+m)-byte rows; flat
+   * keeps exact cosine inside the probed cells at dim×4 bytes/vector).
+   * Same serve contract as [[searchIvfPq]]: load the parameter-sized
+   * model, collect the bounded probed-cell set, prune the vectors scan's
+   * partitions, rank inside the probed cells only.
+   */
+  def writeIvf(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dir: String,
+      nCells: Int = 16,
+      trainSampleN: Int = 4096): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cells = Clustering.kmeansCentroidsSampled(
+      corpus, idCol, vecCol, nCells, iters = 5, sampleN = trainSampleN)
+    corpus.select(col(idCol).cast("long").as("vec_id"), col(vecCol).as("v"))
+      .withColumn("cell", Clustering.assignCol(col("v"), typedLit(cells)))
+      .write.partitionBy("cell").mode("overwrite").parquet(s"$dir/vectors")
+    cells.zipWithIndex.map { case (v, i) => ("cell", i, 0, v) }
+      .toDF("kind", "i", "j", "vec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/model")
+  }
+
+  /** Serve top-k from a persisted IVF-flat index: exact cosine over the
+    * probed cells' vectors only — partition-pruned like [[searchIvfPq]],
+    * and bit-equal to the in-memory [[Similarity.ivfTopK]] under the
+    * same parameters (identical deterministic training ⇒ identical
+    * cells ⇒ identical probes and scores). */
+  def searchIvf(
+      spark: SparkSession,
+      dir: String,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int = 10,
+      nProbe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = loadCellsOnly(spark, dir)
+    val q = graft.CacheScope.scoped(
+      Similarity.probeCells(queries, idCol, vecCol, cells, nProbe))
+    val probed = q.select(col("cell")).distinct().collect().map(_.getInt(0))
+    val vectors = spark.read.parquet(s"$dir/vectors")
+      .filter(col("cell").isin(probed.map(Int.box): _*))
+    val scored = vectors.join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("score", graft.functions.cosine_similarity(col("qv"), col("v")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Load a cells-only model (the IVF-flat artifact — [[loadModel]]
+    * demands codebooks too and is the PQ artifact's loader). */
+  private def loadCellsOnly(spark: SparkSession, dir: String): Seq[Seq[Float]] = {
+    val rows = spark.read.parquet(s"$dir/model")
+      .filter(col("kind") === "cell")
+      .select(col("i"), col("vec")).collect()
+    val cells = rows.sortBy(_.getInt(0))
+      .map(_.getSeq[Float](1).toIndexedSeq: Seq[Float]).toSeq
+    require(cells.nonEmpty, s"no IVF cell model under $dir/model")
+    cells
+  }
+
   /** Load the bounded model state written by [[writeIvfPq]]. */
   def loadModel(spark: SparkSession, dir: String): (Seq[Seq[Float]], Seq[Seq[Seq[Float]]]) = {
     val rows = spark.read.parquet(s"$dir/model")

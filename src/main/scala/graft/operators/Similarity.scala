@@ -190,17 +190,6 @@ object Similarity {
     val cents = Clustering.kmeansCentroidsSampled(
       corpus, idCol, vecCol, nCells, iters = 5, sampleN = trainSampleN)
     val centsCol = typedLit(cents)
-    val nc = cents.length
-
-    // query-side ONLY: full cell ranking for nProbe enumeration — the tiny
-    // broadcast side, where the interpreted HOF is fine. Ties → lowest cell
-    // idx (the negidx trick), matching argmin_l2's tie-break.
-    def bestCells(vec: org.apache.spark.sql.Column) =
-      sort_array(
-        zip_with(centsCol, sequence(lit(0), lit(nc - 1)),
-          (cent, idx) =>
-            struct(l2_distance(vec, cent).as("d"), idx.cast("int").as("i"))),
-        asc = true)
 
     // corpus side: one codegen'd argmin kernel call per row — no k-struct
     // allocation, no interpreter boundary on the scan that dominates
@@ -208,10 +197,9 @@ object Similarity {
         (Seq(col(idCol).as("neighbor_id"), col(vecCol).as("cv")) ++
           carryCols.map(col)): _*)
       .withColumn("cell", graft.functions.argmin_l2(col("cv"), centsCol))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .withColumn("cell",
-        explode(transform(slice(bestCells(col("qv")), 1, math.min(nProbe, nc)),
-          s => s.getField("i"))))
+    // query side: the shared probe enumeration (probeCells) — ties →
+    // lowest cell idx, matching argmin_l2's tie-break
+    val q = probeCells(queries, idCol, vecCol, cents, nProbe)
 
     val scored = c.join(broadcast(q), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
@@ -389,13 +377,12 @@ object Similarity {
     ivfPqServeProbed(index, q, codebooks, k)
   }
 
-  /** Query-side probe stage of [[ivfPqServe]]: per query, its `nProbe`
-    * nearest coarse cells by L2 with one residual per probed cell —
-    * (`query_id`, `cell`, `qres`). Exposed separately so the durable
-    * path ([[AnnIndex.searchIvfPq]]) can collect the (bounded, ≤ nCells)
-    * probed-cell set and PRUNE the codes scan's partitions before the
-    * join — the in-memory path composes the two stages unchanged. */
-  private[operators] def ivfPqProbes(
+  /** The ONE query-side probe enumeration every IVF family shares: per
+    * query, its `nProbe` nearest coarse cells by L2 (ties → lowest cell
+    * idx, matching `argmin_l2`'s tie-break) — (`query_id`, `qv`,
+    * `cell`), one row per probed cell. Interpreted HOFs are fine HERE:
+    * this is the tiny broadcast side. */
+  private[operators] def probeCells(
       queries: DataFrame,
       idCol: String,
       vecCol: String,
@@ -404,8 +391,6 @@ object Similarity {
     require(cellCents.nonEmpty, "empty IVF cell model")
     val nc = cellCents.length
     val ccLit = typedLit(cellCents)
-    // nProbe nearest cells by L2, one residual per probe. Interpreted
-    // HOFs are fine HERE: this is the tiny broadcast side.
     def bestCellsL2(vec: org.apache.spark.sql.Column) =
       sort_array(
         zip_with(ccLit, sequence(lit(0), lit(nc - 1)),
@@ -413,8 +398,25 @@ object Similarity {
         asc = true)
     queries
       .select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qv"))
-      .withColumn("probe", explode(slice(bestCellsL2(col("qv")), 1, math.min(nProbe, nc))))
-      .withColumn("cell", col("probe.i"))
+      .withColumn("cell",
+        explode(transform(slice(bestCellsL2(col("qv")), 1, math.min(nProbe, nc)),
+          s => s.getField("i"))))
+  }
+
+  /** Query-side probe stage of [[ivfPqServe]]: [[probeCells]] plus one
+    * residual per probed cell — (`query_id`, `cell`, `qres`). Exposed
+    * separately so the durable path ([[AnnIndex.searchIvfPq]]) can
+    * collect the (bounded, ≤ nCells) probed-cell set and PRUNE the codes
+    * scan's partitions before the join — the in-memory path composes the
+    * two stages unchanged. */
+  private[operators] def ivfPqProbes(
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cellCents: Seq[Seq[Float]],
+      nProbe: Int): DataFrame = {
+    val ccLit = typedLit(cellCents)
+    probeCells(queries, idCol, vecCol, cellCents, nProbe)
       .withColumn("qres", graft.functions.centroid_residual(col("qv"), ccLit, col("cell")))
       .select(col("query_id"), col("cell"), col("qres"))
   }

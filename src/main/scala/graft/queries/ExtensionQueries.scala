@@ -554,6 +554,32 @@ object ExtensionQueries extends QueryFamily {
       .orderBy(col("query_id"))
   }
 
+  /** IVF-FLAT sibling of [[simTopkIvfPqIndexVerdict]]: exact-cosine
+    * serving from the persisted, partition-pruned vectors artifact must
+    * equal the in-memory `ivfTopK` rank-for-rank (identical training ⇒
+    * identical cells ⇒ identical probes and exact scores). */
+  def simTopkIvfIndexVerdict(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < 5)
+    val idx = graft.TmpCleanup.perProcessDir("graft-ann-flat", dir)
+    graft.TmpCleanup.register(idx)
+    graft.operators.AnnIndex.writeIvf(emb, "vec_id", "embedding", idx,
+      nCells = 16)
+    val served = graft.operators.AnnIndex.searchIvf(
+      spark, idx, queries, "vec_id", "embedding", k = 10, nProbe = 4)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+    val inMem = Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+      k = 10, nCells = 16, nProbe = 4)
+      .select(col("query_id"), col("rank"),
+        col("neighbor_id").as("__expect"))
+    served.join(inMem, Seq("query_id", "rank"), "full")
+      .groupBy(col("query_id"))
+      .agg((count(lit(1)) === sum(
+        when(col("neighbor_id") === col("__expect"), 1L).otherwise(0L)))
+        .as("served_equal"))
+      .orderBy(col("query_id"))
+  }
+
   /**
    * Incremental-admission drift verdict for the durable ANN index — the
    * nightly-ingest contract end-to-end: build the IVF-PQ artifact over a
@@ -1643,6 +1669,7 @@ object ExtensionQueries extends QueryFamily {
     "sim_topk_ivfpq_verdict" -> (simTopkIvfPqVerdict _),
     "ann_append_drift" -> (annAppendDrift _),
     "sim_topk_ivfpq_index_verdict" -> (simTopkIvfPqIndexVerdict _),
+    "sim_topk_ivf_index_verdict" -> (simTopkIvfIndexVerdict _),
     "sim_neardup_verdict" -> (simNearDupVerdict _),
     "sim_semantic_dedup_verdict" -> (simSemanticDedupVerdict _),
     "corpus_increment_embed_verdict" -> (corpusIncrementEmbedVerdict _),
@@ -2059,6 +2086,9 @@ object ExtensionQueries extends QueryFamily {
     // durable-serve parity: the partition-pruned index path must equal
     // the in-memory plan rank-for-rank — a constant-TRUE gate per query
     "sim_topk_ivfpq_index_verdict" ->
+      """SELECT CAST(vec_id AS BIGINT) AS query_id, TRUE AS served_equal
+        |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin,
+    "sim_topk_ivf_index_verdict" ->
       """SELECT CAST(vec_id AS BIGINT) AS query_id, TRUE AS served_equal
         |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin,
     // bounded-check verdict: the TV gates are constants the frozen-model

@@ -113,6 +113,35 @@ class AnnIndexSpec extends SparkSpec {
     assert(skewed > 0.5, s"single-cell batch should drift hard, got $skewed")
   }
 
+  test("IVF-flat: durable serve ≡ in-memory ivfTopK exactly, scan pruned to probed cells") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val queries = emb.filter($"vec_id" < 3)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ann-flat").toString
+    AnnIndex.writeIvf(emb, "vec_id", "embedding", dir,
+      nCells = 8, trainSampleN = 512)
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val served = AnnIndex.searchIvf(spark, dir, queries, "vec_id", "embedding",
+        k = 10, nProbe = 2)
+      val inMem = Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+        k = 10, nCells = 8, nProbe = 2, trainSampleN = 512)
+      val a = served.select("query_id", "rank", "neighbor_id")
+        .as[(Long, Long, Long)].collect().toSeq
+      val b = inMem.select("query_id", "rank", "neighbor_id")
+        .as[(Long, Long, Long)].collect().toSeq
+      assert(a == b, s"flat serve != in-memory ivfTopK:\n$a\nvs\n$b")
+      val scan = served.queryExecution.executedPlan
+        .collect { case s: FileSourceScanExec => s }
+        .find(_.output.exists(_.name == "v"))
+        .getOrElse(fail("no vectors FileSourceScanExec in the serve plan"))
+      val touched = scan.selectedPartitions.partitionCount
+      assert(touched <= 6 && touched < 8,
+        s"expected ≤ 3×2 probed-cell partitions of 8, scan touched $touched")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("occupancyDrift fails loud on an empty batch (no silent NULL drift)") {
     val emb = Seq(
       (0L, Seq(1f, 0f, 2f, 0f)), (1L, Seq(0f, 1f, 0f, 2f)),

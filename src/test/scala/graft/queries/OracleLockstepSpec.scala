@@ -95,6 +95,7 @@ class OracleLockstepSpec extends AnyFunSuite {
     "ann_append_drift" -> Seq("FALSE AS drifted", "TRUE AS append_ok",
       "SELECT 'skew', TRUE, TRUE"),
     "sim_topk_ivfpq_index_verdict" -> Seq("vec_id < 5", "TRUE AS served_equal"),
+    "sim_topk_ivf_index_verdict" -> Seq("vec_id < 5", "TRUE AS served_equal"),
     "quality_logit_train" -> Seq("RANGE(1, 31)", "TRUE AS loss_non_increasing",
       "TRUE AS agreement_ok"))
 
