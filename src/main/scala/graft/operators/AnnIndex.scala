@@ -88,7 +88,7 @@ object AnnIndex {
   }
 
   /** Assign + residual against a FROZEN cell model — shared by
-    * [[appendIvfPq]] and [[cellOccupancy]]'s batch side. */
+    * [[appendIvfPq]] and [[occupancyDrift]]'s batch side. */
   private def assignFrozen(
       batch: DataFrame, idCol: String, vecCol: String,
       cells: Seq[Seq[Float]]): DataFrame = {
@@ -138,8 +138,14 @@ object AnnIndex {
       batch: DataFrame,
       idCol: String,
       vecCol: String): DataFrame = {
-    val (cells, _) = loadModel(spark, dir)
-    val base = spark.read.parquet(s"$dir/codes")
+    // cells-only load + artifact sniff: the drift signal works the same
+    // over a PQ index (codes) and a flat index (vectors) — both store a
+    // cell column and a cells-only model suffices for batch assignment
+    val cells = loadCellsOnly(spark, dir)
+    val codesPath = new org.apache.hadoop.fs.Path(s"$dir/codes")
+    val fs = codesPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val stored = if (fs.exists(codesPath)) "codes" else "vectors"
+    val base = spark.read.parquet(s"$dir/$stored")
       .groupBy(col("cell")).agg(count(lit(1)).as("__nb"))
     val b = assignFrozen(batch, idCol, vecCol, cells)
       .groupBy(col("cell")).agg(count(lit(1)).as("__nn"))
@@ -195,6 +201,22 @@ object AnnIndex {
     cells.zipWithIndex.map { case (v, i) => ("cell", i, 0, v) }
       .toDF("kind", "i", "j", "vec")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/model")
+  }
+
+  /** Incremental admission for the FLAT artifact: assign the batch
+    * against the FROZEN cells and append it as new files under the same
+    * cell partitioning (the [[appendIvfPq]] contract without the PQ
+    * encode — raw vectors carry no model state to drift). */
+  def appendIvf(
+      spark: SparkSession,
+      dir: String,
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String): Unit = {
+    val cells = loadCellsOnly(spark, dir)
+    batch.select(col(idCol).cast("long").as("vec_id"), col(vecCol).as("v"))
+      .withColumn("cell", Clustering.assignCol(col("v"), typedLit(cells)))
+      .write.partitionBy("cell").mode("append").parquet(s"$dir/vectors")
   }
 
   /** Serve top-k from a persisted IVF-flat index: exact cosine over the

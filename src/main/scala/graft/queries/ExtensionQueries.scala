@@ -1591,6 +1591,51 @@ object ExtensionQueries extends QueryFamily {
       .orderBy(col("bucket"))
   }
 
+  /**
+   * Compaction round trip — [[shardSinkRoundtrip]]'s maintenance twin:
+   * after the two appends, [[ShardCompact.compact]] rewrites the
+   * manifested shards as ONE consolidated file through the sink's own
+   * two-phase commit and switches the manifest atomically; the
+   * per-bucket digest chains must be IDENTICAL to the pre-compaction
+   * derivation (DuckDB recomputes them from `documents`), and
+   * `compacted_ok` gates that consolidation actually happened (≥ 2
+   * shards → 1). A compactor that dropped, duplicated, or re-encoded a
+   * row hash-fails.
+   */
+  def shardCompactRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.v2.{ShardCompact, ShardReader}
+    val out = graft.TmpCleanup.perProcessDir("graft-shard-cp", dir)
+    graft.TmpCleanup.register(out)
+    val p = java.nio.file.Paths.get(out)
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(java.nio.file.Files.walk(p)) { st =>
+        st.iterator().asScala.toSeq.reverse
+      }.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(col("text")).as("ld"))
+    def append(half: DataFrame): Unit =
+      half.write.format("graft.sources.v2.ShardSink")
+        .option("path", out).mode("append").save()
+    append(docs.filter(col("doc_id") % 2 === 0))
+    append(docs.filter(col("doc_id") % 2 === 1))
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("ld", StringType)))
+    val before = ShardReader.manifestShardCount(spark, out)
+    val after = ShardCompact.compact(spark, out, schema, targetShards = 1)
+    val compactedOk = before >= 2 && after == 1
+    val back = ShardReader.read(spark, out, schema)
+    back.groupBy((col("doc_id") % 8).as("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        md5(concat_ws("",
+          transform(array_sort(collect_list(struct(col("doc_id"), col("ld")))),
+            x => x.getField("ld")))).as("digest"))
+      .withColumn("compacted_ok", lit(compactedOk))
+      .orderBy(col("bucket"))
+  }
+
   def corpusIngestJsonl(spark: SparkSession, dir: String): DataFrame = {
     val in = graft.sources.JsonlCorpus.readQuarantined(spark,
       jsonlFixture(spark, dir, "graft-jsonl"))
@@ -1760,6 +1805,7 @@ object ExtensionQueries extends QueryFamily {
     "rolling_active_hll" -> (rollingActiveHll _),
     "corpus_ingest_jsonl" -> (corpusIngestJsonl _),
     "shard_sink_roundtrip" -> (shardSinkRoundtrip _),
+    "shard_compact_roundtrip" -> (shardCompactRoundtrip _),
     "ts_twap" -> (tsTwap _),
     "session_stats" -> (sessionStats _))
 
@@ -2925,6 +2971,13 @@ object ExtensionQueries extends QueryFamily {
       """SELECT doc_id % 8 AS bucket, COUNT(1) AS n_docs,
         |  MD5(STRING_AGG(MD5(text), '' ORDER BY doc_id)) AS digest,
         |  TRUE AS manifest_ok
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // compaction preserves content exactly: same digest chains, plus the
+    // consolidation gate
+    "shard_compact_roundtrip" ->
+      """SELECT doc_id % 8 AS bucket, COUNT(1) AS n_docs,
+        |  MD5(STRING_AGG(MD5(text), '' ORDER BY doc_id)) AS digest,
+        |  TRUE AS compacted_ok
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     // the HLL twin: exact side recomputed, estimate gated by the
     // constant-TRUE bounded verdict (the agg_hll_* oracle pattern)

@@ -53,4 +53,9 @@ object ShardReader {
     * count to detect shard corruption without trusting the shards. */
   def manifestRowCount(spark: SparkSession, path: String): Long =
     manifestEntries(spark, path).map(_._2).sum
+
+  /** Number of shards the manifest currently publishes — the small-file
+    * pressure gauge that decides when [[ShardCompact.compact]] is due. */
+  def manifestShardCount(spark: SparkSession, path: String): Int =
+    manifestEntries(spark, path).size
 }

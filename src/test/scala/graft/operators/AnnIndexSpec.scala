@@ -142,6 +142,28 @@ class AnnIndexSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("appendIvf: frozen-cell flat admission; appended copy served; drift reads vectors") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val base = emb.filter($"vec_id" % 2 === 0)
+    val batch = emb.filter($"vec_id" % 2 === 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ann-flat-append").toString
+    AnnIndex.writeIvf(base, "vec_id", "embedding", dir, nCells = 8, trainSampleN = 512)
+    AnnIndex.appendIvf(spark, dir, batch, "vec_id", "embedding")
+    assert(spark.read.parquet(s"$dir/vectors").count() == emb.count())
+    // an appended exact copy of the query must come back rank-1
+    val q = base.filter($"vec_id" === 0L)
+    AnnIndex.appendIvf(spark, dir, q.withColumn("vec_id", lit(10000000L)),
+      "vec_id", "embedding")
+    val got = AnnIndex.searchIvf(spark, dir, q, "vec_id", "embedding",
+      k = 5, nProbe = 8)
+    assert(got.filter($"neighbor_id" === 10000000L && $"rank" === 1L).count() == 1,
+      "appended exact copy should serve at rank 1 under exact cosine")
+    // occupancyDrift sniffs the FLAT artifact (vectors, not codes)
+    val tv = AnnIndex.occupancyDrift(spark, dir, emb, "vec_id", "embedding")
+      .head().getDouble(0)
+    assert(tv < 0.2, s"same-distribution drift over the flat artifact: $tv")
+  }
+
   test("occupancyDrift fails loud on an empty batch (no silent NULL drift)") {
     val emb = Seq(
       (0L, Seq(1f, 0f, 2f, 0f)), (1L, Seq(0f, 1f, 0f, 2f)),
