@@ -80,7 +80,9 @@ object BenchScale {
     // linear in the corpus (model state is parameter-sized throughout)
     "ann_append_drift" -> "linear",
     "sim_topk_ivfpq_index_verdict" -> "linear",
+    "sim_topk_ivf_index_verdict" -> "linear",
     "shard_sink_roundtrip" -> "linear",
+    "shard_compact_roundtrip" -> "linear",
     "quality_logit_train" -> "linear")
 
   private def writeCorpus(

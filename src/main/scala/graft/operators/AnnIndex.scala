@@ -108,6 +108,12 @@ object AnnIndex {
    * serve path picks the new codes up through the same partition-pruned
    * scan, and [[occupancyDrift]] tells the operator when accumulated
    * distribution shift justifies a retrain+rebuild.
+   *
+   * Small-file pressure: each append lands ≤ one file per (cell ×
+   * batch partition), so file count grows with append cadence × nCells
+   * — bounded per night, but a quarter of nightly appends should end in
+   * a rebuild ([[writeIvfPq]] overwrite), which IS the artifact's
+   * compaction; the drift gate usually forces one sooner anyway.
    */
   def appendIvfPq(
       spark: SparkSession,

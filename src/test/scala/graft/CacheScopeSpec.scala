@@ -20,16 +20,20 @@ class CacheScopeSpec extends SparkSpec {
     // collocations (Ngrams), pairRules (Assoc), rollingActive (Temporal),
     // ivfPqTopK (Similarity), plus the CC family whose final-round
     // label caches are ADOPTED into the scope (pre-fix they leaked one
-    // |V|-row cache per invocation, unreleasable by callers)
+    // |V|-row cache per invocation, unreleasable by callers) — and the
+    // r10 scoped sites: ngramJaccard's candidate set, both durable-serve
+    // probe frames (searchIvfPq/searchIvf), and trainLogit's feature frame
     val names = Seq("dedup_jaccard_join", "text_collocations", "assoc_rules",
       "rolling_active", "sim_topk_ivfpq", "dedup_groups_cc",
-      "dedup_groups_cc_stars")
+      "dedup_groups_cc_stars", "dedup_ngram_jaccard",
+      "sim_topk_ivfpq_index_verdict", "sim_topk_ivf_index_verdict",
+      "quality_logit_train")
     names.foreach { n =>
       SparkEntry.queries(n)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
     }
-    assert(CacheScope.retainedCount >= 6,
-      s"expected all six scoped caches registered, got ${CacheScope.retainedCount}")
+    assert(CacheScope.retainedCount >= 10,
+      s"expected every scoped cache registered, got ${CacheScope.retainedCount}")
 
     CacheScope.releaseAll(blocking = true)
     assert(CacheScope.retainedCount == 0)

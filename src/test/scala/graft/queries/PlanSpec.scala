@@ -325,7 +325,12 @@ class PlanSpec extends SparkSpec {
       // dominated by its real JSONL write→read round trip + the gopher
       // gate running concurrently (probe-verified single-execution: a
       // second evaluation with warm codegen drops to the same wall)
-      "pipeline_corpus_v5")
+      "pipeline_corpus_v5",
+      // round-10 anchor risers (BENCH_FULL r10): the distillation run
+      // (31 driver-sequenced aggregates over ONE cached feature frame —
+      // the scan audit sees the pre-cache read) and the perceptual
+      // dedup pair (the decode→DCT pipeline reads doc_id+text only)
+      "quality_logit_train", "multimodal_dedup_perceptual")
     val fullWidth = graft.sources.Tables.documents(spark, sfDir).schema.size
     for (q <- hot) {
       val p = plan(q)
