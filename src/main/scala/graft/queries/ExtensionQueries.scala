@@ -1515,6 +1515,50 @@ object ExtensionQueries extends QueryFamily {
     Sessionize.stateRuns(Tables.events(spark, dir))
       .orderBy(col("user_id"), col("run_seq"))
 
+  /** Watermarked tumbling-window stream as a driver-oracled row (the
+    * [[sessionStreamStats]] pattern): hour windows are epoch-aligned in
+    * both engines (`window('1 hour')` ≡ `date_trunc('hour', …)`), sums
+    * ride the DECIMAL(12,2) convention, so the streamed rows hash-match
+    * SQL ground truth exactly. */
+  def streamTumblingCounts(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.EventStreams
+    val streamed = EventStreams.runToBatch(spark,
+      EventStreams.tumblingCounts(EventStreams.readEvents(spark, dir)),
+      "graft_tumbling_stream_q", outputMode = "complete")
+    streamed.select(col("win_start").cast("timestamp_ntz").as("win_start"),
+      col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("win_start"), col("event_type"))
+  }
+
+  /**
+   * STREAMING sessionization as a DRIVER-ORACLED row — the first
+   * streaming surface DuckDB value-checks end to end: the registered
+   * query actually RUNS the watermarked `session_window` stream
+   * ([[graft.streaming.EventStreams.sessionStats]]) over the fixture to
+   * completion (memory sink, complete mode — the bounded-fixture
+   * verification harness; production uses update mode + a real sink)
+   * and emits the streamed rows themselves. The oracle recomputes
+   * session windows from `events` with session_window's EXACT
+   * semantics — `session_end = last ts + gap`, and an event at exactly
+   * `prev + gap` starts a NEW session (window end is exclusive), i.e.
+   * `>=` in the gap test where the batch Sessionize family uses `>`.
+   * A state-machine bug, a watermark mis-fire, or a merge-semantics
+   * drift in the streaming path hash-fails against SQL ground truth.
+   */
+  def sessionStreamStats(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.EventStreams
+    val streamed = EventStreams.runToBatch(spark,
+      EventStreams.sessionStats(EventStreams.readEvents(spark, dir)),
+      "graft_session_stream_q", outputMode = "complete")
+    // LTZ → NTZ for the oracle compare: value-preserving under the UTC
+    // session pin readEvents enforces
+    streamed.select(col("user_id"),
+      col("session_start").cast("timestamp_ntz").as("session_start"),
+      col("session_end").cast("timestamp_ntz").as("session_end"),
+      col("n_events"), col("sum_value"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
   /**
    * JSONL corpus ingest with corrupt-line quarantine — the raw-feed
    * reality check: a deterministic JSONL fixture is written with every
@@ -1807,7 +1851,9 @@ object ExtensionQueries extends QueryFamily {
     "shard_sink_roundtrip" -> (shardSinkRoundtrip _),
     "shard_compact_roundtrip" -> (shardCompactRoundtrip _),
     "ts_twap" -> (tsTwap _),
-    "session_stats" -> (sessionStats _))
+    "session_stats" -> (sessionStats _),
+    "session_stream_stats" -> (sessionStreamStats _),
+    "stream_tumbling_counts" -> (streamTumblingCounts _))
 
   /** The logit oracle replays the DEFAULT LogitWeights — one source of
     * truth, so retuning the model cannot silently desync the SQL twin. */
@@ -2869,6 +2915,34 @@ object ExtensionQueries extends QueryFamily {
         |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
         |FROM assigned GROUP BY user_id, session_seq
         |ORDER BY user_id, session_seq""".stripMargin,
+    "stream_tumbling_counts" ->
+      """SELECT date_trunc('hour', ts) AS win_start, event_type,
+        |  COUNT(1) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // session_window semantics replayed in SQL: end = last ts + gap,
+    // boundary events (diff == gap exactly) START a new session (>=)
+    "session_stream_stats" ->
+      """WITH assigned AS (
+        |  SELECT user_id, ts, value,
+        |    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+        |  FROM (
+        |    SELECT user_id, event_id, ts, value,
+        |      CASE WHEN LAG(ts) OVER w IS NULL THEN 1
+        |           WHEN EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER w) >= 30 * 60 * 1000000 THEN 1
+        |           ELSE 0 END AS new_s
+        |    FROM events
+        |    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |  )
+        |)
+        |SELECT user_id,
+        |  MIN(ts) AS session_start,
+        |  MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  COUNT(1) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM assigned GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_start""".stripMargin,
     "state_runs" ->
       """WITH flagged AS (
         |  SELECT user_id, ts, event_id, event_type,
