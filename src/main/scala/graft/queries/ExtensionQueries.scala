@@ -1559,6 +1559,53 @@ object ExtensionQueries extends QueryFamily {
       .orderBy(col("user_id"), col("session_start"))
   }
 
+  /** Stream-stream join under the value oracle: each click joined to the
+    * same user's purchases in the preceding 10-minute window
+    * ([[graft.streaming.EventStreams.clickPurchaseJoin]] — watermarked on
+    * BOTH sides so join state is eviction-bounded), run to completion and
+    * emitted as-is; DuckDB replays the identical inequality join over
+    * `events`. A dropped/duplicated match, a boundary error on either
+    * inequality, or a watermark that evicts live rows hash-fails.
+    * `purchase_value` passes through unchanged (no summation), so raw
+    * doubles are hash-safe. */
+  def streamClickAttribution(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.EventStreams
+    // 4h lookback (vs the 10-minute API default): the fixture's click→
+    // purchase co-occurrence is sparse, and the oracle should exercise
+    // hundreds of matches, not a handful
+    val streamed = EventStreams.runToBatch(spark,
+      EventStreams.clickPurchaseJoin(EventStreams.readEvents(spark, dir),
+        lookback = "4 hours", watermark = "5 hours"),
+      "graft_click_join_q", outputMode = "append")
+    streamed.select(col("click_id"), col("user_id"),
+      col("click_ts").cast("timestamp_ntz").as("click_ts"),
+      col("purchase_ts").cast("timestamp_ntz").as("purchase_ts"),
+      col("purchase_value"))
+      // (click_id, purchase_ts) can tie only for equal-value duplicate
+      // purchase rows, so the sort is total up to identical rows
+      .orderBy(col("click_id"), col("purchase_ts"), col("purchase_value"))
+  }
+
+  /** `mapGroupsWithState` under the value oracle: per-user running
+    * totals ([[graft.streaming.EventStreams.runningTotals]] — the custom
+    * state-store API, exact-cents state so accumulation order cannot
+    * perturb the double). Update mode re-emits a user's row every
+    * micro-batch it appears in; `n_events` is strictly increasing per
+    * user, so max-per-user selects the FINAL state row deterministically
+    * regardless of how the file source sliced the batches. The oracle is
+    * the plain per-user aggregate under the DECIMAL(12,2) convention. */
+  def streamRunningTotals(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.EventStreams
+    val streamed = EventStreams.runToBatch(spark,
+      EventStreams.runningTotals(spark, EventStreams.readEvents(spark, dir)),
+      "graft_totals_stream_q", outputMode = "update")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("n_events").desc)
+    streamed.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+      .orderBy(col("user_id"))
+  }
+
   /**
    * JSONL corpus ingest with corrupt-line quarantine — the raw-feed
    * reality check: a deterministic JSONL fixture is written with every
@@ -1853,7 +1900,9 @@ object ExtensionQueries extends QueryFamily {
     "ts_twap" -> (tsTwap _),
     "session_stats" -> (sessionStats _),
     "session_stream_stats" -> (sessionStreamStats _),
-    "stream_tumbling_counts" -> (streamTumblingCounts _))
+    "stream_tumbling_counts" -> (streamTumblingCounts _),
+    "stream_click_attribution" -> (streamClickAttribution _),
+    "stream_running_totals" -> (streamRunningTotals _))
 
   /** The logit oracle replays the DEFAULT LogitWeights — one source of
     * truth, so retuning the model cannot silently desync the SQL twin. */
@@ -2943,6 +2992,20 @@ object ExtensionQueries extends QueryFamily {
         |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
         |FROM assigned GROUP BY user_id, session_seq
         |ORDER BY user_id, session_start""".stripMargin,
+    // the streaming inequality join replayed directly over events
+    "stream_click_attribution" ->
+      """SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
+        |  p.ts AS purchase_ts, p.value AS purchase_value
+        |FROM events c JOIN events p
+        |  ON c.event_type = 'click' AND p.event_type = 'purchase'
+        |  AND p.user_id = c.user_id
+        |  AND p.ts >= c.ts - INTERVAL 4 HOUR AND p.ts <= c.ts
+        |ORDER BY click_id, purchase_ts, purchase_value""".stripMargin,
+    // final mapGroupsWithState state per user = the plain aggregate
+    "stream_running_totals" ->
+      """SELECT user_id, COUNT(1) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "state_runs" ->
       """WITH flagged AS (
         |  SELECT user_id, ts, event_id, event_type,

@@ -102,24 +102,39 @@ object EventStreams extends Serializable {
   /** Accumulated per-user state for [[runningTotals]]. */
   case class UserTotals(user_id: Long, n_events: Long, sum_value: Double)
 
+  /** Internal state for [[runningTotals]]: the sum lives in exact cents
+    * (Long), not a Double — cent addition is associative, so the total
+    * is independent of the order rows arrive in (shuffle order within a
+    * micro-batch, and batch slicing across restarts, are both
+    * nondeterministic). The emitted `sum_value` is then one exact
+    * cents/100 division — bit-identical to the batch/oracle
+    * `SUM(CAST(value AS DECIMAL(12,2)))::DOUBLE` convention. */
+  case class RunningCents(n_events: Long, cents: Long)
+
   /** Custom streaming state via `mapGroupsWithState`: per-user running
     * totals that survive across micro-batches (the escape hatch for
     * state machines session_window can't express — per-key counters,
     * CEP-ish logic, custom eviction). State size is O(distinct users);
-    * production would add a `GroupStateTimeout` eviction policy. */
+    * production would add a `GroupStateTimeout` eviction policy.
+    *
+    * Values go through the engine-wide DECIMAL(12,2) convention BEFORE
+    * the stateful operator (Spark's own cast, so the rounding rule can't
+    * drift from the batch twins), then accumulate as exact cents — see
+    * [[RunningCents]]. */
   def runningTotals(spark: SparkSession, events: DataFrame): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.GroupStateTimeout
-    events.selectExpr("user_id", "value").as[(Long, Double)]
+    events.selectExpr("user_id",
+        "CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents")
+      .as[(Long, Long)]
       .groupByKey(_._1)
-      .mapGroupsWithState[UserTotals, UserTotals](GroupStateTimeout.NoTimeout) {
+      .mapGroupsWithState[RunningCents, UserTotals](GroupStateTimeout.NoTimeout) {
         (user, rows, state) =>
           var n = state.getOption.map(_.n_events).getOrElse(0L)
-          var s = state.getOption.map(_.sum_value).getOrElse(0.0)
-          rows.foreach { case (_, v) => n += 1; s += v }
-          val out = UserTotals(user, n, s)
-          state.update(out)
-          out
+          var c = state.getOption.map(_.cents).getOrElse(0L)
+          rows.foreach { case (_, v) => n += 1; c += v }
+          state.update(RunningCents(n, c))
+          UserTotals(user, n, c / 100.0)
       }
       .toDF()
   }

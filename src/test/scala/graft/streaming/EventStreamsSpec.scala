@@ -172,7 +172,9 @@ class EventStreamsSpec extends SparkSpec {
       EventStreams.runningTotals(spark, EventStreams.readEvents(spark, sfDir)),
       "t_state", outputMode = "update")
     val batch = batchEvents.groupBy(col("user_id"))
-      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(12, 2)))
+          .cast("double").as("sum_value"))
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
     // update mode re-emits a row per user per micro-batch; keep the last
     val last = streamed.collect()
@@ -180,7 +182,9 @@ class EventStreamsSpec extends SparkSpec {
     assert(last.size == batch.size)
     last.foreach { case (u, (n, s)) =>
       assert(n == batch(u)._1, s"user $u count")
-      assert(math.abs(s - batch(u)._2) < 1e-6, s"user $u sum") // double assoc.
+      // cents accumulation is exact — the streamed total must be
+      // BIT-equal to the batch DECIMAL(12,2) sum, no tolerance
+      assert(s == batch(u)._2, s"user $u sum")
     }
   }
 
