@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.CacheScope
+
+/**
+ * Statistical language-model quality filtering — the CCNet-shaped stage
+ * of an LLM data pipeline (Wenzek et al., "CCNet: Extracting High
+ * Quality Monolingual Datasets from Web Crawl Data", 2020): train a
+ * small LM on a trusted reference corpus, score every candidate
+ * document by how well the model predicts its text, band-filter on the
+ * score. The production version scores with a KenLM n-gram model; this
+ * engine expresses the same pipeline with a house bigram model whose
+ * arithmetic is INTEGER-EXACT, so the whole stage (train → score →
+ * gate) replays in the DuckDB oracle with zero float tolerance.
+ *
+ * Scoring convention: Laplace-smoothed bigram likelihood in micro-units,
+ *
+ *   p_micro(tok | prev) = (c(prev,tok) + 1) * 1_000_000
+ *                           DIV (c(prev,·) + V + 1)
+ *
+ * (V = reference vocabulary size; +1 holds back mass for the OOV
+ * bucket), and a document's score is the floor-mean of its tokens'
+ * p_micro. This is the probability domain, not CCNet's log-perplexity
+ * domain — deliberately: logs would put cross-engine ulp drift inside
+ * the oracle hash, while the micro-probability mean is exact on both
+ * engines and orders documents by the same "does the reference LM
+ * expect this text" signal (frequent reference bigrams score high,
+ * unseen contexts fall to the uniform floor 1e6/(V+1)).
+ *
+ * Scale design: token→bigram expansion is a per-row HOF (no shuffle,
+ * O(tokens) structs — the token array is NOT carried through the
+ * explode); model training is two hash aggregations over (prev, tok)
+ * digests; scoring is two plain equi-joins against vocabulary-bounded
+ * count tables (no broadcast hint — a 100 TB corpus can carry a model
+ * too large to broadcast, so the planner/AQE picks; at fixture scale it
+ * chooses broadcast itself). The only driver-side values are the vocab
+ * size and context total (two longs).
+ */
+object Lm {
+
+  /** Start-of-document sentinel: `[^a-z0-9]+` tokenization means no real
+    * token can collide with it. */
+  val Bos = "<s>"
+
+  /** Trained bigram model. `bigrams` and `contexts` are count tables
+    * (vocabulary-bounded, NOT corpus-bounded); `vocab` is |V| over the
+    * reference slice. */
+  case class BigramModel(bigrams: DataFrame, contexts: DataFrame, vocab: Long)
+
+  /** Per-row bigram pairs (BOS-prefixed) as one HOF chain — codegen'd,
+    * zero shuffle, and the token array is not duplicated per output row. */
+  private def pairArray(textCol: Column): Column = {
+    val toks = Dedup.tokens(textCol)
+    transform(toks, (t, i) =>
+      struct(when(i === 0, lit(Bos))
+        .otherwise(element_at(toks, i)).as("prev"), t.as("tok")))
+  }
+
+  /** Explode `docs` to (idCol, prev, tok) bigram rows. Zero-token
+    * documents contribute no rows (callers left-join them back). */
+  def docBigrams(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(col(idCol), explode(pairArray(col(textCol))).as("p"))
+      .select(col(idCol), col("p.prev").as("prev"), col("p.tok").as("tok"))
+
+  /** Train the Laplace-smoothed bigram model on `ref`. The bigram-count
+    * aggregation is scope-cached: the context table, the vocab count and
+    * the caller's score join all reuse it, and Catalyst would otherwise
+    * re-run the corpus scan + shuffle per consumer. */
+  def trainBigram(ref: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): BigramModel = {
+    val pairs = docBigrams(ref, idCol, textCol)
+    val big = CacheScope.scoped(
+      pairs.groupBy(col("prev"), col("tok")).agg(count(lit(1)).as("c")))
+    val ctx = big.groupBy(col("prev")).agg(sum(col("c")).as("ctx_n"))
+    // bounded driver state: one long (|V| is vocabulary-, not corpus-sized)
+    val vocab = big.select(col("tok")).distinct().count()
+    BigramModel(big, ctx, vocab)
+  }
+
+  /** Score every document by mean smoothed bigram micro-likelihood under
+    * `model`. Output: (idCol, n_bigrams, sum_p_micro, score_micro) with
+    * zero-token documents kept at score 0. */
+  def scoreDocs(docs: DataFrame, model: BigramModel, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val pairs = docBigrams(docs, idCol, textCol)
+    val perDoc = pairs
+      .join(model.bigrams, Seq("prev", "tok"), "left")
+      .join(model.contexts, Seq("prev"), "left")
+      .withColumn("p_micro",
+        expr(s"(coalesce(c, 0L) + 1L) * 1000000L DIV " +
+          s"(coalesce(ctx_n, 0L) + ${model.vocab}L + 1L)"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("p_micro")).as("sum_p_micro"))
+    docs.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("sum_p_micro"), lit(0L)).as("sum_p_micro"),
+        coalesce(expr("sum_p_micro DIV n_bigrams"), lit(0L)).as("score_micro"))
+  }
+
+  /** The full CCNet-shaped gate: train on `ref`, score `docs`, keep
+    * documents whose mean micro-likelihood clears `thresholdMicro`. */
+  def likelihoodFilter(docs: DataFrame, ref: DataFrame, thresholdMicro: Long,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    scoreDocs(docs, trainBigram(ref, idCol, textCol), idCol, textCol)
+      .withColumn("keep", col("score_micro") >= lit(thresholdMicro))
+}

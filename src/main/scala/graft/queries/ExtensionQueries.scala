@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Sampling, Scale, Sessionize, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Lm, Sampling, Scale, Sessionize, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /**
@@ -809,6 +809,19 @@ object ExtensionQueries extends QueryFamily {
 
   def textTokensTop(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.tokenFrequency(Tables.documents(spark, dir), "text", topN = 20)
+
+  /** CCNet-shaped LM quality gate ([[graft.operators.Lm]]): train a
+    * Laplace-smoothed bigram model on the trusted slice (source='src0'),
+    * score every document by mean smoothed bigram micro-likelihood,
+    * keep ≥ 32000 micro (≈ the fixture median — the model must actually
+    * separate documents for the flag to carry information). Integer
+    * arithmetic end to end, so train AND score replay exactly in SQL. */
+  def qualityLmScore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Lm.likelihoodFilter(docs, docs.filter(col("source") === "src0"),
+      thresholdMicro = 32000L)
+      .orderBy(col("doc_id"))
+  }
 
   /** Linear quality-model inference (integer fixed-point — exact oracle). */
   def qualityLogit(spark: SparkSession, dir: String): DataFrame =
@@ -1844,6 +1857,7 @@ object ExtensionQueries extends QueryFamily {
     "embed_label_stats" -> (embedLabelStats _),
     "text_quality" -> (textQuality _),
     "quality_gopher" -> (qualityGopher _),
+    "quality_lm_score" -> (qualityLmScore _),
     "quality_logit" -> (qualityLogit _),
     "quality_logit_train" -> (qualityLogitTrain _),
     "token_fertility" -> (tokenFertility _),
@@ -2513,6 +2527,36 @@ object ExtensionQueries extends QueryFamily {
         |  WHERE q.vec_id < 5
         |) WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     // hash identically; COALESCE guards DuckDB's NULL LIST_SUM on
+    // the whole CCNet-shaped stage replayed: bigram counts on the
+    // trusted slice, Laplace-smoothed micro-likelihood (integer floor
+    // division), floor-mean per doc, planted keep threshold — zero
+    // float tolerance anywhere
+    "quality_lm_score" ->
+      s"""WITH t AS (SELECT doc_id, source, $tokensSql AS tk FROM documents),
+         |pairs AS (
+         |  SELECT doc_id, source,
+         |    CASE WHEN i = 1 THEN '<s>' ELSE tk[i-1] END AS prev, tk[i] AS tok
+         |  FROM (SELECT doc_id, source, tk,
+         |          unnest(generate_series(1, len(tk))) AS i FROM t)),
+         |big AS (SELECT prev, tok, CAST(COUNT(*) AS BIGINT) AS c
+         |        FROM pairs WHERE source = 'src0' GROUP BY 1, 2),
+         |ctx AS (SELECT prev, CAST(SUM(c) AS BIGINT) AS ctx_n FROM big GROUP BY 1),
+         |v AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS vocab FROM big),
+         |sc AS (
+         |  SELECT p.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         |    CAST(SUM((COALESCE(b.c, 0) + 1) * 1000000
+         |      // (COALESCE(x.ctx_n, 0) + v.vocab + 1)) AS BIGINT) AS sum_p_micro
+         |  FROM pairs p CROSS JOIN v
+         |  LEFT JOIN big b ON b.prev = p.prev AND b.tok = p.tok
+         |  LEFT JOIN ctx x ON x.prev = p.prev
+         |  GROUP BY 1)
+         |SELECT d.doc_id,
+         |  COALESCE(n_bigrams, 0) AS n_bigrams,
+         |  COALESCE(sum_p_micro, 0) AS sum_p_micro,
+         |  COALESCE(sum_p_micro // n_bigrams, 0) AS score_micro,
+         |  COALESCE(sum_p_micro // n_bigrams, 0) >= 32000 AS keep
+         |FROM documents d LEFT JOIN sc USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
     // zero-token docs (the kernel emits 0 there)
     "quality_gopher" ->
       s"""WITH m AS (

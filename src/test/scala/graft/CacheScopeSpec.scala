@@ -22,12 +22,13 @@ class CacheScopeSpec extends SparkSpec {
     // label caches are ADOPTED into the scope (pre-fix they leaked one
     // |V|-row cache per invocation, unreleasable by callers) — and the
     // r10 scoped sites: ngramJaccard's candidate set, both durable-serve
-    // probe frames (searchIvfPq/searchIvf), and trainLogit's feature frame
+    // probe frames (searchIvfPq/searchIvf), trainLogit's feature frame,
+    // and Lm.trainBigram's bigram-count table (quality_lm_score)
     val names = Seq("dedup_jaccard_join", "text_collocations", "assoc_rules",
       "rolling_active", "sim_topk_ivfpq", "dedup_groups_cc",
       "dedup_groups_cc_stars", "dedup_ngram_jaccard",
       "sim_topk_ivfpq_index_verdict", "sim_topk_ivf_index_verdict",
-      "quality_logit_train")
+      "quality_logit_train", "quality_lm_score")
     names.foreach { n =>
       SparkEntry.queries(n)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
