@@ -130,6 +130,43 @@ object VectorOps extends Serializable {
     b
   }
 
+  /** Project a float vector onto the rows of a double component matrix
+    * after centering: out[j] = Σ_i (vec[i] − mean[i]) · comps[j][i].
+    * The PCA reduce step — one codegen'd call per corpus row, one
+    * k-double allocation. */
+  def pcaProject(vec: ArrayData, mean: ArrayData, comps: ArrayData): ArrayData = {
+    val k = comps.numElements()
+    val d = math.min(vec.numElements(), mean.numElements())
+    val out = new Array[Double](k)
+    var j = 0
+    while (j < k) {
+      val w = comps.getArray(j)
+      var acc = 0.0
+      var i = 0
+      while (i < d) {
+        acc += (vec.getFloat(i).toDouble - mean.getDouble(i)) * w.getDouble(i)
+        i += 1
+      }
+      out(j) = acc
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** ‖vec − mean‖² with a double mean — the centered energy whose split
+    * into captured + residual the PCA verdict checks. */
+  def centeredNorm2(vec: ArrayData, mean: ArrayData): Double = {
+    val d = math.min(vec.numElements(), mean.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < d) {
+      val t = vec.getFloat(i).toDouble - mean.getDouble(i)
+      acc += t * t
+      i += 1
+    }
+    acc
+  }
+
   /** vec − cents[idx] (0-based), elementwise float subtraction — the
     * IVF-PQ residual projection, allocation = one primitive array. */
   def centroidResidual(vec: ArrayData, cents: ArrayData, idx: Int): ArrayData = {
@@ -276,4 +313,42 @@ case class CentroidResidual(first: Expression, second: Expression, third: Expres
   override protected def withNewChildrenInternal(
       f: Expression, s: Expression, t: Expression): CentroidResidual =
     copy(first = f, second = s, third = t)
+}
+
+/** pca_project(vec, mean, comps): centered projections onto k double
+  * component rows → array<double> — the PCA reduce step, codegen'd so
+  * the corpus scan carries no interpreted lambda. */
+case class PcaProject(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+    with ImplicitCastInputTypes {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[org.apache.spark.sql.graftbridge.CatalystBridge.AbstractType] =
+    Seq(ArrayType(FloatType), ArrayType(DoubleType), ArrayType(ArrayType(DoubleType)))
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override protected def nullSafeEval(v: Any, m: Any, c: Any): Any =
+    VectorOps.pcaProject(
+      v.asInstanceOf[ArrayData], m.asInstanceOf[ArrayData], c.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (v, m, c) => s"graft.functions.VectorOps.pcaProject($v, $m, $c)")
+  override def prettyName: String = "pca_project"
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): PcaProject =
+    copy(first = f, second = s, third = t)
+}
+
+/** centered_norm2(vec, mean): ‖vec − mean‖² against a double mean
+  * literal → double. */
+case class CenteredNorm2(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[org.apache.spark.sql.graftbridge.CatalystBridge.AbstractType] =
+    Seq(ArrayType(FloatType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.centeredNorm2(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorOps.centeredNorm2($a, $b)")
+  override def prettyName: String = "centered_norm2"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CenteredNorm2 =
+    copy(left = l, right = r)
 }

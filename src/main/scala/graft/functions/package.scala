@@ -129,6 +129,21 @@ package object functions {
   /** Bounded top-k aggregate: per group, the k largest values descending
     * (k-element min-heap buffer ⇒ partial agg ships k doubles per group
     * per partition, unlike the shuffle-everything window-rank pattern). */
+  /** one-pass PCA moments (n, Σx, upper-triangle Σxxᵀ) of an
+    * array<float> column → flat array<double> (O(d²) buffer per
+    * partition, never a per-row blowup). */
+  def gram_moments(c: Column): Column =
+    col(GramMoments(expr(c)).toAggregateExpression())
+
+  /** centered projections of an array<float> vector onto k double
+    * component rows → array<double> (the PCA reduce step). */
+  def pca_project(vec: Column, mean: Column, comps: Column): Column =
+    col(PcaProject(expr(vec), expr(mean), expr(comps)))
+
+  /** ‖vec − mean‖² against an array<double> mean literal → double. */
+  def centered_norm2(vec: Column, mean: Column): Column =
+    col(CenteredNorm2(expr(vec), expr(mean)))
+
   def topk_doubles(c: Column, k: Int): Column =
     col(TopKDoubles(expr(c), k).toAggregateExpression())
 

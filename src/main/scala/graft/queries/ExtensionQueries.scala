@@ -743,6 +743,62 @@ object ExtensionQueries extends QueryFamily {
   def embedKmeansParVerdict(spark: SparkSession, dir: String): DataFrame =
     kmeansVerdictFrame(spark, dir, init = "parallel")
 
+  /** PCA-reduced embeddings (rows-only surface; `embed_pca_verdict` is
+    * the driver-checked twin): one moments pass + one codegen'd
+    * projection scan — the reduce-before-the-expensive-stage step of
+    * embedding pipelines. */
+  def embedPcaProject(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val m = graft.operators.Pca.fit(emb, "embedding", k = 8)
+    graft.operators.Pca.project(emb, m, "embedding")
+      .select(col("vec_id"), col("pca"))
+      .orderBy(col("vec_id"))
+  }
+
+  /**
+   * PCA eigensystem verdict — the invariants that pin a correct fit to
+   * THIS fixture: per-component eigenvalue non-negativity, ordering,
+   * orthonormality and the trace identity Σλ = total variance from the
+   * fitted model (driver, d×d state), and the Parseval energy split
+   * measured over the corpus (mean Σ proj² must equal the captured
+   * eigenvalue mass, mean ‖x−μ‖² the total — one aggregate over the
+   * same codegen'd projection scan users run). A wrong eigensolver, a
+   * non-orthogonal basis, a mis-centered projection, or a fit on the
+   * wrong data flips a boolean and hash-fails; n_points pins the input
+   * cardinality to DuckDB's count.
+   */
+  def embedPcaVerdict(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Pca
+    val emb = Tables.embeddings(spark, dir)
+    val m = Pca.fit(emb, "embedding", k = 8)
+    val orthonormal = (for { i <- 0 until m.k; j <- i until m.k } yield {
+      val dot = m.components(i).zip(m.components(j)).map(p => p._1 * p._2).sum
+      math.abs(dot - (if (i == j) 1.0 else 0.0))
+    }).max < 1e-9
+    val ordered = m.eigenvalues.sliding(2).forall(p => p(0) >= p(1) - 1e-12)
+    val traceOk = math.abs(m.eigenvalues.sum - m.totalVariance) <=
+      1e-6 * m.totalVariance
+    val stats = Pca.centeredEnergy(Pca.project(emb, m, "embedding"), m, "embedding")
+      .select(sum(expr("aggregate(pca, 0D, (acc, p) -> acc + p * p)")).as("cap"),
+        sum(col("energy2")).as("tot"), count(lit(1)).as("n")).head()
+    val (cap, tot) = (stats.getDouble(0), stats.getDouble(1))
+    val n = stats.getLong(2)
+    val parsevalOk = cap <= tot * (1 + 1e-9) &&
+      math.abs(cap / n - m.capturedVariance) <= 1e-6 * m.totalVariance &&
+      math.abs(tot / n - m.totalVariance) <= 1e-6 * m.totalVariance
+    val rows = (0 until m.k).map { c =>
+      (c.toLong, m.eigenvalues(c) >= -1e-9,
+        ordered && orthonormal && traceOk, parsevalOk)
+    }
+    spark.createDataFrame(rows)
+      .toDF("comp", "eig_nonneg", "basis_ok", "parseval_ok")
+      .crossJoin(broadcast(
+        Tables.embeddings(spark, dir).agg(count(lit(1)).as("n_points"))))
+      .select(col("comp"), col("eig_nonneg"), col("basis_ok"),
+        col("parseval_ok"), col("n_points"))
+      .orderBy(col("comp"))
+  }
+
   /** Embedding k-means (semantic grouping) with farthest-first seeding
     * (k corpus passes, best spread at small k) — custom float kernel,
     * rows-only + planted-cluster spec (ClusteringSpec) + the
@@ -1829,6 +1885,8 @@ object ExtensionQueries extends QueryFamily {
     "multimodal_dedup_perceptual" -> (multimodalDedupPerceptual _),
     "multimodal_dedup_perceptual_verdict" -> (multimodalDedupPerceptualVerdict _),
     "embed_kmeans_verdict" -> (embedKmeansVerdict _),
+    "embed_pca_project" -> (embedPcaProject _),
+    "embed_pca_verdict" -> (embedPcaVerdict _),
     "embed_kmeans_par_verdict" -> (embedKmeansParVerdict _),
     "dedup_simhash_pairs" -> (dedupSimhashPairs _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
@@ -2280,6 +2338,12 @@ object ExtensionQueries extends QueryFamily {
     // Lloyd cost monotonicity + cardinality: DuckDB pins n_points and
     // the constant verdicts; Spark computes them from the fit telemetry
     "embed_kmeans_verdict" -> kmeansVerdictOracleSql,
+    "embed_pca_verdict" ->
+      """SELECT CAST(c AS BIGINT) AS comp, TRUE AS eig_nonneg,
+        |  TRUE AS basis_ok, TRUE AS parseval_ok,
+        |  (SELECT COUNT(*) FROM embeddings) AS n_points
+        |FROM (SELECT unnest(range(0, 8)) AS c)
+        |ORDER BY comp""".stripMargin,
     "embed_kmeans_par_verdict" -> kmeansVerdictOracleSql,
     // the verify kernel replayed by DuckDB: exact w=3 shingle Jaccard
     // over the same SQL-expressible pair list (LEFT JOIN keeps

@@ -97,7 +97,9 @@ class OracleLockstepSpec extends AnyFunSuite {
     "sim_topk_ivfpq_index_verdict" -> Seq("vec_id < 5", "TRUE AS served_equal"),
     "sim_topk_ivf_index_verdict" -> Seq("vec_id < 5", "TRUE AS served_equal"),
     "quality_logit_train" -> Seq("RANGE(1, 31)", "TRUE AS loss_non_increasing",
-      "TRUE AS agreement_ok"))
+      "TRUE AS agreement_ok"),
+    "embed_pca_verdict" -> Seq("range(0, 8)", "TRUE AS eig_nonneg",
+      "TRUE AS basis_ok", "TRUE AS parseval_ok"))
 
   test("every verdict-twin oracle carries its sanctioned planted-fixture constants") {
     val oracles = graft.Queries.oracles
