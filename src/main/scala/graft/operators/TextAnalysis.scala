@@ -504,4 +504,23 @@ object TextAnalysis {
       .groupBy(length(bin(col("__cnt"))).cast("long").as("bucket"))
       .agg(count(lit(1)).as("n_terms"), sum(col("__cnt")).as("occurrences"))
       .orderBy(col("bucket"))
+
+  /** Compressibility quality signal (the Gopher / RefinedWeb-family
+    * "too repetitive / too random" filter): per document, the DEFLATE
+    * size of the UTF-8 text vs its raw size, as an integer micro-ratio.
+    * Highly repetitive boilerplate compresses far below typical prose;
+    * encrypted/binary junk barely compresses at all — both tails are
+    * what the band filter cuts. Reuses the engine's codegen'd gzip
+    * kernel (reference T1's inverse), so the scan stays in whole-stage
+    * codegen: one pass, no shuffle — the groupBy/band is the caller's.
+    * `ratioMicro` = compressed_bytes·1e6 DIV utf8_bytes (header overhead
+    * means tiny documents can exceed 1e6). */
+  def compressionSignal(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      octet_length(col(textCol)).cast("long").as("orig_bytes"),
+      octet_length(graft.functions.gzip_string(col(textCol))).cast("long")
+        .as("gz_bytes"))
+      .withColumn("ratio_micro",
+        when(col("orig_bytes") === 0, lit(0L))
+          .otherwise(expr("gz_bytes * 1000000L DIV orig_bytes")))
 }

@@ -879,6 +879,36 @@ object ExtensionQueries extends QueryFamily {
       .orderBy(col("doc_id"))
   }
 
+  /** Compressibility signal (rows-only surface; `quality_compress_verdict`
+    * is the driver-checked twin — DuckDB has no DEFLATE to replay the
+    * compressed size). */
+  def qualityCompress(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.compressionSignal(Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  /**
+   * Compressibility verdict: per document, `orig_bytes` pins the input
+   * to DuckDB's exact OCTET_LENGTH; `roundtrip_ok` proves
+   * gunzip(gzip(text)) is the identity on THIS text (the reference-T1
+   * inverse pair actually round-trips); `double_better` proves the
+   * compressor sees the doc's self-repetition (text‖text costs ≤ gz +
+   * 64 bytes, not 2×gz — the property the repetition filter relies on);
+   * `ratio_bounded` pins the micro-ratio into (0, 2e6). A broken gzip
+   * kernel, a text-mangling codec, or a ratio overflow hash-fails.
+   */
+  def qualityCompressVerdict(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{gunzip_string, gzip_string}
+    TextAnalysis.compressionSignal(Tables.documents(spark, dir), "doc_id", "text")
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("orig_bytes"),
+        (gunzip_string(gzip_string(col("text"))) === col("text")).as("roundtrip_ok"),
+        (octet_length(gzip_string(concat(col("text"), col("text")))).cast("long")
+          < col("gz_bytes") + 64L).as("double_better"),
+        (col("ratio_micro") > 0L && col("ratio_micro") < 2000000L).as("ratio_bounded"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Linear quality-model inference (integer fixed-point — exact oracle). */
   def qualityLogit(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.logitQuality(Tables.documents(spark, dir), "doc_id", "text")
@@ -1916,6 +1946,8 @@ object ExtensionQueries extends QueryFamily {
     "text_quality" -> (textQuality _),
     "quality_gopher" -> (qualityGopher _),
     "quality_lm_score" -> (qualityLmScore _),
+    "quality_compress" -> (qualityCompress _),
+    "quality_compress_verdict" -> (qualityCompressVerdict _),
     "quality_logit" -> (qualityLogit _),
     "quality_logit_train" -> (qualityLogitTrain _),
     "token_fertility" -> (tokenFertility _),
@@ -2591,6 +2623,10 @@ object ExtensionQueries extends QueryFamily {
         |  WHERE q.vec_id < 5
         |) WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     // hash identically; COALESCE guards DuckDB's NULL LIST_SUM on
+    "quality_compress_verdict" ->
+      """SELECT doc_id, CAST(STRLEN(text) AS BIGINT) AS orig_bytes,
+        |  TRUE AS roundtrip_ok, TRUE AS double_better, TRUE AS ratio_bounded
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // the whole CCNet-shaped stage replayed: bigram counts on the
     // trusted slice, Laplace-smoothed micro-likelihood (integer floor
     // division), floor-mean per doc, planted keep threshold — zero

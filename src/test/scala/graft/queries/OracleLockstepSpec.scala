@@ -99,7 +99,9 @@ class OracleLockstepSpec extends AnyFunSuite {
     "quality_logit_train" -> Seq("RANGE(1, 31)", "TRUE AS loss_non_increasing",
       "TRUE AS agreement_ok"),
     "embed_pca_verdict" -> Seq("range(0, 8)", "TRUE AS eig_nonneg",
-      "TRUE AS basis_ok", "TRUE AS parseval_ok"))
+      "TRUE AS basis_ok", "TRUE AS parseval_ok"),
+    "quality_compress_verdict" -> Seq("STRLEN(text)",
+      "TRUE AS roundtrip_ok", "TRUE AS double_better", "TRUE AS ratio_bounded"))
 
   test("every verdict-twin oracle carries its sanctioned planted-fixture constants") {
     val oracles = graft.Queries.oracles
