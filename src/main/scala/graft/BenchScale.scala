@@ -83,7 +83,14 @@ object BenchScale {
     "sim_topk_ivf_index_verdict" -> "linear",
     "shard_sink_roundtrip" -> "linear",
     "shard_compact_roundtrip" -> "linear",
-    "quality_logit_train" -> "linear")
+    "quality_logit_train" -> "linear",
+    // late-r10 surfaces: bigram-LM train+score (model counts grow with
+    // the disjoint-ring union but the score joins stay Θ(tokens)), the
+    // PCA moments+projection passes (model state parameter-sized), and
+    // the per-row DEFLATE compressibility scan
+    "quality_lm_score" -> "linear",
+    "embed_pca_verdict" -> "linear",
+    "quality_compress" -> "linear")
 
   private def writeCorpus(
       spark: SparkSession, srcSf: String, outDir: String, copies: Int): Unit = {

@@ -1412,6 +1412,36 @@ object ExtensionQueries extends QueryFamily {
     report.unionByName(quarantined).orderBy(col("source"))
   }
 
+  /**
+   * Composed flagship v6 — the late-r10 curation chain end to end,
+   * every stage integer/string-exact so ONE oracle replays the whole
+   * dataflow: CCNet-shaped LM gate ([[graft.operators.Lm]]: bigram model
+   * trained on the trusted src0 slice, keep mean micro-likelihood ≥
+   * 32000) → order-insensitive bag dedup (sorted-token-multiset
+   * fingerprint, min-id survivor) → per-source rollup of surviving
+   * docs, token mass, and micro-likelihood mass. Scale shape: the gate
+   * is two count joins + one aggregate, dedup one exchange on a 32-hex
+   * digest, rollup one source-keyed aggregate — nothing corpus-sized
+   * crosses the driver.
+   */
+  def pipelineCorpusV6(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val gated = Lm.likelihoodFilter(docs,
+      docs.filter(col("source") === "src0"), thresholdMicro = 32000L)
+      .filter(col("keep"))
+      .select(col("doc_id"), col("n_bigrams"), col("score_micro"))
+    val kept = docs.select(col("doc_id"), col("source"), col("text"))
+      .join(gated, Seq("doc_id"))
+    val surv = Dedup.exactByKey(
+      kept.withColumn("bag_fp", Dedup.bagFingerprint(col("text"))),
+      Seq("bag_fp"), "doc_id")
+    surv.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_bigrams")).as("sum_tokens"),
+        sum(col("score_micro")).as("sum_score_micro"))
+      .orderBy(col("source"))
+  }
+
   def pipelineCorpusV2(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val deduped = Dedup.exactByKey(
@@ -1979,6 +2009,7 @@ object ExtensionQueries extends QueryFamily {
     "pipeline_corpus_v3" -> (pipelineCorpusV3 _),
     "pipeline_corpus_v4" -> (pipelineCorpusV4 _),
     "pipeline_corpus_v5" -> (pipelineCorpusV5 _),
+    "pipeline_corpus_v6" -> (pipelineCorpusV6 _),
     "corpus_split" -> (corpusSplit _),
     "corpus_shuffle" -> (corpusShuffle _),
     "corpus_pack" -> (corpusPack _),
@@ -2657,6 +2688,45 @@ object ExtensionQueries extends QueryFamily {
          |  COALESCE(sum_p_micro // n_bigrams, 0) >= 32000 AS keep
          |FROM documents d LEFT JOIN sc USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+    // flagship v6: LM gate → bag dedup → source rollup, the whole chain
+    // in one integer-exact replay (CTEs shared with quality_lm_score /
+    // dedup_bag_groups — same lockstep conventions)
+    "pipeline_corpus_v6" ->
+      s"""WITH t AS (SELECT doc_id, source, $tokensSql AS tk FROM documents),
+         |pairs AS (
+         |  SELECT doc_id, source,
+         |    CASE WHEN i = 1 THEN '<s>' ELSE tk[i-1] END AS prev, tk[i] AS tok
+         |  FROM (SELECT doc_id, source, tk,
+         |          unnest(generate_series(1, len(tk))) AS i FROM t)),
+         |big AS (SELECT prev, tok, CAST(COUNT(*) AS BIGINT) AS c
+         |        FROM pairs WHERE source = 'src0' GROUP BY 1, 2),
+         |ctx AS (SELECT prev, CAST(SUM(c) AS BIGINT) AS ctx_n FROM big GROUP BY 1),
+         |v AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS vocab FROM big),
+         |sc AS (
+         |  SELECT p.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         |    CAST(SUM((COALESCE(b.c, 0) + 1) * 1000000
+         |      // (COALESCE(x.ctx_n, 0) + v.vocab + 1)) AS BIGINT) AS sum_p
+         |  FROM pairs p CROSS JOIN v
+         |  LEFT JOIN big b ON b.prev = p.prev AND b.tok = p.tok
+         |  LEFT JOIN ctx x ON x.prev = p.prev
+         |  GROUP BY 1),
+         |gated AS (
+         |  SELECT t.doc_id, t.source, t.tk, sc.n_bigrams,
+         |    sum_p // n_bigrams AS score_micro
+         |  FROM t JOIN sc USING (doc_id)
+         |  WHERE sum_p // n_bigrams >= 32000),
+         |fp AS (
+         |  SELECT doc_id, source, n_bigrams, score_micro,
+         |    MD5(array_to_string(list_sort(tk), ' ')) AS bag_fp FROM gated),
+         |surv AS (
+         |  SELECT * FROM (
+         |    SELECT fp.*, ROW_NUMBER() OVER
+         |      (PARTITION BY bag_fp ORDER BY doc_id) AS rn FROM fp)
+         |  WHERE rn = 1)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_bigrams) AS BIGINT) AS sum_tokens,
+         |  CAST(SUM(score_micro) AS BIGINT) AS sum_score_micro
+         |FROM surv GROUP BY source ORDER BY source""".stripMargin,
     // zero-token docs (the kernel emits 0 there)
     "quality_gopher" ->
       s"""WITH m AS (
