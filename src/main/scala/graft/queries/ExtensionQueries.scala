@@ -799,6 +799,61 @@ object ExtensionQueries extends QueryFamily {
       .orderBy(col("comp"))
   }
 
+  /** JL random-projection reduced embeddings (rows-only surface;
+    * `embed_rp_verdict` is the driver-checked twin): zero training
+    * passes — the ±1/√k matrix is a pure function of (seed, k, d). */
+  def embedRpProject(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Rp.project(Tables.embeddings(spark, dir), "embedding", k = 32)
+      .select(col("vec_id"), col("rp"))
+      .orderBy(col("vec_id"))
+
+  /**
+   * JL distortion verdict for [[graft.operators.Rp]]: over the planted
+   * consecutive-id pairs (vec_id % 10 == 0, neighbor id + 1 — count
+   * exactly replayed by DuckDB), the projected-to-original squared-
+   * distance ratio must average into [0.85, 1.15] and land within
+   * [0.5, 2.0] for ≥ 90% of pairs; corpus-wide, the mean projected/
+   * original norm ratio must sit in [0.85, 1.15]. Deterministic given
+   * (seed, fixture) — measured 0.98–1.02 mean, 0.98–1.00 in-band at the
+   * three SFs, so the bands carry real margin. A broken sign matrix, a
+   * mis-scaled row, or a truncated projection flips a boolean.
+   */
+  def embedRpVerdict(spark: SparkSession, dir: String): DataFrame = {
+    val proj = graft.operators.Rp.project(
+      Tables.embeddings(spark, dir), "embedding", k = 32)
+    val a = proj.select(col("vec_id").as("aid"),
+      col("embedding").as("ea"), col("rp").as("pa"))
+    val b = proj.select((col("vec_id") - 1).as("aid"),
+      col("embedding").as("eb"), col("rp").as("pb"))
+    val sq = "(acc, v) -> acc + v"
+    val pairs = a.filter(col("aid") % 10 === 0).join(b, "aid")
+      .withColumn("den", expr("aggregate(zip_with(ea, eb, (x, y) -> " +
+        s"(CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), 0D, $sq)"))
+      .withColumn("num", expr("aggregate(zip_with(pa, pb, (x, y) -> " +
+        s"(x - y) * (x - y)), 0D, $sq)"))
+      // identical vectors project identically: distortion trivially held
+      .withColumn("ratio",
+        when(col("den") > 0, col("num") / col("den")).otherwise(lit(1.0)))
+    val p = pairs.agg(count(lit(1)).as("n_pairs"), avg(col("ratio")).as("mr"),
+      avg(when(col("ratio").between(0.5, 2.0), 1.0).otherwise(0.0)).as("frac"))
+      .head()
+    val nr = proj
+      .withColumn("e2", expr(s"aggregate(embedding, 0D, (acc, v) -> " +
+        "acc + CAST(v AS DOUBLE) * v)"))
+      .withColumn("p2", expr(s"aggregate(rp, 0D, (acc, v) -> acc + v * v)"))
+      // a zero vector projects to zero: norm preservation trivially held
+      .agg(avg(when(col("e2") > 0, col("p2") / col("e2")).otherwise(lit(1.0)))
+        .as("nr"), count(lit(1)).as("n_points"))
+      .head()
+    val rows = Seq((p.getLong(0),
+      p.getDouble(1) >= 0.85 && p.getDouble(1) <= 1.15,
+      p.getDouble(2) >= 0.9,
+      nr.getDouble(0) >= 0.85 && nr.getDouble(0) <= 1.15,
+      nr.getLong(1)))
+    spark.createDataFrame(rows)
+      .toDF("n_pairs", "mean_ratio_ok", "frac_ok", "norm_ok", "n_points")
+  }
+
   /** Embedding k-means (semantic grouping) with farthest-first seeding
     * (k corpus passes, best spread at small k) — custom float kernel,
     * rows-only + planted-cluster spec (ClusteringSpec) + the
@@ -907,6 +962,26 @@ object ExtensionQueries extends QueryFamily {
           < col("gz_bytes") + 64L).as("double_better"),
         (col("ratio_micro") > 0L && col("ratio_micro") < 2000000L).as("ratio_bounded"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Per-source LM divergence — the corpus-monitoring view of the
+    * [[graft.operators.Lm]] gate: token-weighted mean micro-likelihood
+    * per source under the src0-trained model (sources whose text the
+    * trusted model finds unlikely surface at the bottom — the
+    * "which feed went weird" dashboard). score_micro = Σ sum_p DIV
+    * Σ n_bigrams over the source, integer-exact. */
+  def lmSourceDivergence(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val scored = Lm.scoreDocs(docs, Lm.trainBigram(
+      docs.filter(col("source") === "src0")))
+    docs.select(col("doc_id"), col("source"))
+      .join(scored, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_bigrams")).as("n_bigrams"),
+        sum(col("sum_p_micro")).as("sum_p_micro"))
+      .withColumn("score_micro", expr("sum_p_micro DIV n_bigrams"))
+      .orderBy(col("source"))
   }
 
   /** Linear quality-model inference (integer fixed-point — exact oracle). */
@@ -1947,6 +2022,8 @@ object ExtensionQueries extends QueryFamily {
     "embed_kmeans_verdict" -> (embedKmeansVerdict _),
     "embed_pca_project" -> (embedPcaProject _),
     "embed_pca_verdict" -> (embedPcaVerdict _),
+    "embed_rp_project" -> (embedRpProject _),
+    "embed_rp_verdict" -> (embedRpVerdict _),
     "embed_kmeans_par_verdict" -> (embedKmeansParVerdict _),
     "dedup_simhash_pairs" -> (dedupSimhashPairs _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
@@ -1977,6 +2054,7 @@ object ExtensionQueries extends QueryFamily {
     "quality_gopher" -> (qualityGopher _),
     "quality_lm_score" -> (qualityLmScore _),
     "quality_compress" -> (qualityCompress _),
+    "lm_source_divergence" -> (lmSourceDivergence _),
     "quality_compress_verdict" -> (qualityCompressVerdict _),
     "quality_logit" -> (qualityLogit _),
     "quality_logit_train" -> (qualityLogitTrain _),
@@ -2401,6 +2479,12 @@ object ExtensionQueries extends QueryFamily {
     // Lloyd cost monotonicity + cardinality: DuckDB pins n_points and
     // the constant verdicts; Spark computes them from the fit telemetry
     "embed_kmeans_verdict" -> kmeansVerdictOracleSql,
+    "embed_rp_verdict" ->
+      """SELECT (SELECT COUNT(*) FROM embeddings a JOIN embeddings b
+        |          ON b.vec_id = a.vec_id + 1
+        |        WHERE a.vec_id % 10 = 0) AS n_pairs,
+        |  TRUE AS mean_ratio_ok, TRUE AS frac_ok, TRUE AS norm_ok,
+        |  (SELECT COUNT(*) FROM embeddings) AS n_points""".stripMargin,
     "embed_pca_verdict" ->
       """SELECT CAST(c AS BIGINT) AS comp, TRUE AS eig_nonneg,
         |  TRUE AS basis_ok, TRUE AS parseval_ok,
@@ -2688,6 +2772,37 @@ object ExtensionQueries extends QueryFamily {
          |  COALESCE(sum_p_micro // n_bigrams, 0) >= 32000 AS keep
          |FROM documents d LEFT JOIN sc USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+    // token-weighted per-source mean of the LM micro-likelihood — the
+    // same CTE family as quality_lm_score, rolled up by source
+    "lm_source_divergence" ->
+      s"""WITH t AS (SELECT doc_id, source, $tokensSql AS tk FROM documents),
+         |pairs AS (
+         |  SELECT doc_id, source,
+         |    CASE WHEN i = 1 THEN '<s>' ELSE tk[i-1] END AS prev, tk[i] AS tok
+         |  FROM (SELECT doc_id, source, tk,
+         |          unnest(generate_series(1, len(tk))) AS i FROM t)),
+         |big AS (SELECT prev, tok, CAST(COUNT(*) AS BIGINT) AS c
+         |        FROM pairs WHERE source = 'src0' GROUP BY 1, 2),
+         |ctx AS (SELECT prev, CAST(SUM(c) AS BIGINT) AS ctx_n FROM big GROUP BY 1),
+         |v AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS vocab FROM big),
+         |sc AS (
+         |  SELECT p.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         |    CAST(SUM((COALESCE(b.c, 0) + 1) * 1000000
+         |      // (COALESCE(x.ctx_n, 0) + v.vocab + 1)) AS BIGINT) AS sum_p
+         |  FROM pairs p CROSS JOIN v
+         |  LEFT JOIN big b ON b.prev = p.prev AND b.tok = p.tok
+         |  LEFT JOIN ctx x ON x.prev = p.prev
+         |  GROUP BY 1),
+         |perdoc AS (
+         |  SELECT d.doc_id, d.source,
+         |    COALESCE(sc.n_bigrams, 0) AS n_bigrams,
+         |    COALESCE(sc.sum_p, 0) AS sum_p
+         |  FROM documents d LEFT JOIN sc USING (doc_id))
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_bigrams) AS BIGINT) AS n_bigrams,
+         |  CAST(SUM(sum_p) AS BIGINT) AS sum_p_micro,
+         |  CAST(SUM(sum_p) // SUM(n_bigrams) AS BIGINT) AS score_micro
+         |FROM perdoc GROUP BY source ORDER BY source""".stripMargin,
     // flagship v6: LM gate → bag dedup → source rollup, the whole chain
     // in one integer-exact replay (CTEs shared with quality_lm_score /
     // dedup_bag_groups — same lockstep conventions)

@@ -101,7 +101,9 @@ class OracleLockstepSpec extends AnyFunSuite {
     "embed_pca_verdict" -> Seq("range(0, 8)", "TRUE AS eig_nonneg",
       "TRUE AS basis_ok", "TRUE AS parseval_ok"),
     "quality_compress_verdict" -> Seq("STRLEN(text)",
-      "TRUE AS roundtrip_ok", "TRUE AS double_better", "TRUE AS ratio_bounded"))
+      "TRUE AS roundtrip_ok", "TRUE AS double_better", "TRUE AS ratio_bounded"),
+    "embed_rp_verdict" -> Seq("a.vec_id % 10 = 0", "TRUE AS mean_ratio_ok",
+      "TRUE AS frac_ok", "TRUE AS norm_ok"))
 
   test("every verdict-twin oracle carries its sanctioned planted-fixture constants") {
     val oracles = graft.Queries.oracles
