@@ -90,7 +90,8 @@ object BenchScale {
     // the per-row DEFLATE compressibility scan
     "quality_lm_score" -> "linear",
     "embed_pca_verdict" -> "linear",
-    "quality_compress" -> "linear")
+    "quality_compress" -> "linear",
+    "select_dsir" -> "linear")
 
   private def writeCorpus(
       spark: SparkSession, srcSf: String, outDir: String, copies: Int): Unit = {

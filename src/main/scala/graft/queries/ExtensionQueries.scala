@@ -984,6 +984,36 @@ object ExtensionQueries extends QueryFamily {
       .orderBy(col("source"))
   }
 
+  /**
+   * DSIR-shaped importance selection ([[graft.operators.Dsir]]): target
+   * model trained on the trusted `src0` slice, raw model on the full
+   * candidate pool, BOTH Laplace-smoothed over the shared union
+   * vocabulary (the correctness-critical detail — separate vocabularies
+   * would mark fully-OOV text as target-like; see the Dsir scaladoc).
+   * Keep = importance ratio ≥ 1e6, i.e. "the target model likes this
+   * document at least as much as the raw model does". Every column is
+   * an integer floor-division — the whole two-model stage replays in
+   * DuckDB with zero float tolerance.
+   */
+  def selectDsir(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val target = Lm.trainBigram(docs.filter(col("source") === "src0"))
+    val raw = Lm.trainBigram(docs)
+    graft.operators.Dsir.select(docs, target, raw, thresholdMicro = 1000000L)
+      .orderBy(col("doc_id"))
+  }
+
+  /** The selection step of DSIR as a deterministic top-k (rank-by-weight
+    * analog of the paper's resampling): global top-100 by importance
+    * ratio, TakeOrderedAndProject-planned (per-partition heaps, no
+    * single-partition sort), doc_id tie-break pinning a total order. */
+  def selectDsirTopk(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val target = Lm.trainBigram(docs.filter(col("source") === "src0"))
+    val raw = Lm.trainBigram(docs)
+    graft.operators.Dsir.topK(docs, target, raw, k = 100)
+  }
+
   /** Linear quality-model inference (integer fixed-point — exact oracle). */
   def qualityLogit(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.logitQuality(Tables.documents(spark, dir), "doc_id", "text")
@@ -2055,6 +2085,8 @@ object ExtensionQueries extends QueryFamily {
     "quality_lm_score" -> (qualityLmScore _),
     "quality_compress" -> (qualityCompress _),
     "lm_source_divergence" -> (lmSourceDivergence _),
+    "select_dsir" -> (selectDsir _),
+    "select_dsir_topk" -> (selectDsirTopk _),
     "quality_compress_verdict" -> (qualityCompressVerdict _),
     "quality_logit" -> (qualityLogit _),
     "quality_logit_train" -> (qualityLogitTrain _),
@@ -2123,6 +2155,46 @@ object ExtensionQueries extends QueryFamily {
 
   private val tokensSql =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)"
+
+  /** Shared CTE block for the DSIR pair (`select_dsir`, `select_dsir_topk`):
+    * target bigram model on the trusted `src0` slice, raw model on the
+    * full pool, both Laplace-smoothed over the UNION vocabulary (floor
+    * equalization — [[graft.operators.Dsir]]), per-doc micro scores under
+    * each. Ends with a `w` CTE of (doc_id, n_bigrams, score_target_micro,
+    * score_raw_micro). */
+  private val dsirWeightsSql =
+    s"""WITH t AS (SELECT doc_id, source, $tokensSql AS tk FROM documents),
+       |pairs AS (
+       |  SELECT doc_id, source,
+       |    CASE WHEN i = 1 THEN '<s>' ELSE tk[i-1] END AS prev, tk[i] AS tok
+       |  FROM (SELECT doc_id, source, tk,
+       |          unnest(generate_series(1, len(tk))) AS i FROM t)),
+       |bt AS (SELECT prev, tok, CAST(COUNT(*) AS BIGINT) AS c_t
+       |       FROM pairs WHERE source = 'src0' GROUP BY 1, 2),
+       |xt AS (SELECT prev, CAST(SUM(c_t) AS BIGINT) AS ctx_t FROM bt GROUP BY 1),
+       |br AS (SELECT prev, tok, CAST(COUNT(*) AS BIGINT) AS c_r
+       |       FROM pairs GROUP BY 1, 2),
+       |xr AS (SELECT prev, CAST(SUM(c_r) AS BIGINT) AS ctx_r FROM br GROUP BY 1),
+       |v AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS vocab FROM
+       |       (SELECT tok FROM bt UNION ALL SELECT tok FROM br)),
+       |sc AS (
+       |  SELECT p.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       |    CAST(SUM((COALESCE(bt.c_t, 0) + 1) * 1000000
+       |      // (COALESCE(xt.ctx_t, 0) + v.vocab + 1)) AS BIGINT) AS sum_t,
+       |    CAST(SUM((COALESCE(br.c_r, 0) + 1) * 1000000
+       |      // (COALESCE(xr.ctx_r, 0) + v.vocab + 1)) AS BIGINT) AS sum_r
+       |  FROM pairs p CROSS JOIN v
+       |  LEFT JOIN bt ON bt.prev = p.prev AND bt.tok = p.tok
+       |  LEFT JOIN xt ON xt.prev = p.prev
+       |  LEFT JOIN br ON br.prev = p.prev AND br.tok = p.tok
+       |  LEFT JOIN xr ON xr.prev = p.prev
+       |  GROUP BY 1),
+       |w AS (
+       |  SELECT d.doc_id,
+       |    COALESCE(n_bigrams, 0) AS n_bigrams,
+       |    COALESCE(sum_t // n_bigrams, 0) AS score_target_micro,
+       |    COALESCE(sum_r // n_bigrams, 0) AS score_raw_micro
+       |  FROM documents d LEFT JOIN sc USING (doc_id))""".stripMargin
 
   // shared by asof_join and asof_join_salted — salting must not change results
   private val asofOracleSql =
@@ -2803,6 +2875,26 @@ object ExtensionQueries extends QueryFamily {
          |  CAST(SUM(sum_p) AS BIGINT) AS sum_p_micro,
          |  CAST(SUM(sum_p) // SUM(n_bigrams) AS BIGINT) AS score_micro
          |FROM perdoc GROUP BY source ORDER BY source""".stripMargin,
+    // DSIR importance selection: the two-model CTE family (target on the
+    // trusted slice, raw on the full pool, SHARED union-vocab smoothing —
+    // the Dsir scaladoc's floor-equalization invariant), weight as one
+    // integer floor-ratio — zero float tolerance
+    "select_dsir" ->
+      s"""$dsirWeightsSql
+         |SELECT doc_id, n_bigrams, score_target_micro, score_raw_micro,
+         |  CAST(score_target_micro * 1000000 // GREATEST(score_raw_micro, 1)
+         |    AS BIGINT) AS weight_micro,
+         |  score_target_micro * 1000000 // GREATEST(score_raw_micro, 1)
+         |    >= 1000000 AS keep
+         |FROM w ORDER BY doc_id""".stripMargin,
+    // same CTEs; the resampling analog — total order (weight DESC, doc_id)
+    // makes the LIMIT deterministic on both engines
+    "select_dsir_topk" ->
+      s"""$dsirWeightsSql
+         |SELECT doc_id, n_bigrams, score_target_micro, score_raw_micro,
+         |  CAST(score_target_micro * 1000000 // GREATEST(score_raw_micro, 1)
+         |    AS BIGINT) AS weight_micro
+         |FROM w ORDER BY weight_micro DESC, doc_id LIMIT 100""".stripMargin,
     // flagship v6: LM gate → bag dedup → source rollup, the whole chain
     // in one integer-exact replay (CTEs shared with quality_lm_score /
     // dedup_bag_groups — same lockstep conventions)
