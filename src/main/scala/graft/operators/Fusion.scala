@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Reciprocal-rank fusion (Cormack, Clarke & Buettcher, "Reciprocal Rank
+ * Fusion outperforms Condorcet and individual Rank Learning Methods",
+ * SIGIR 2009): combine several per-document quality signals by summing
+ * `1/(k + rank_i)` over each signal's rank — the standard way to ensemble
+ * incommensurable rankers (a learned classifier, a rarity statistic, a
+ * length prior) without calibrating their scores onto one scale.
+ *
+ * House arithmetic: the fused score is computed in exact micro units,
+ * `Σ 1_000_000 DIV (k + rank_i)` — ranks are integers, so the whole
+ * fusion replays in DuckDB with zero float tolerance.
+ *
+ * Scale design: ranks are per-PARTITION windows (e.g. per source) — one
+ * hash exchange on the partition key, never a single-partition global
+ * sort; every window carries the id tie-break, so the fusion is a total
+ * order and the downstream top-k rewrites to WindowGroupLimit (no full
+ * materialization of per-partition sorts past the limit).
+ */
+object Fusion {
+
+  /** Add `rank_<name>` (LONG, 1-based) per signal and the fused
+    * `rrf_micro` column. `signals` maps output rank-column suffix →
+    * (source column, descending?) — descending=true means "bigger is
+    * better" for that signal. */
+  def rrf(df: DataFrame, partCols: Seq[String], idCol: String,
+      signals: Seq[(String, String, Boolean)], k: Int = 60): DataFrame = {
+    require(signals.nonEmpty, "rrf needs at least one signal")
+    val ranked = signals.foldLeft(df) { case (d, (name, c, desc)) =>
+      val ord = if (desc) col(c).desc else col(c).asc
+      d.withColumn(s"rank_$name", row_number().over(
+        Window.partitionBy(partCols.map(col): _*).orderBy(ord, col(idCol)))
+        .cast("long"))
+    }
+    val fused = signals.map { case (name, _, _) =>
+      expr(s"1000000L DIV (${k}L + rank_$name)")
+    }.reduce(_ + _)
+    ranked.withColumn("rrf_micro", fused)
+  }
+
+  /** RRF then keep the top `n` rows per partition by fused score
+    * (id tie-break): adds `rank_final` (LONG). The row_number-≤-n filter
+    * rewrites to WindowGroupLimit. */
+  def rrfTopK(df: DataFrame, partCols: Seq[String], idCol: String,
+      signals: Seq[(String, String, Boolean)], n: Int, k: Int = 60): DataFrame =
+    rrf(df, partCols, idCol, signals, k)
+      .withColumn("rank_final", row_number().over(
+        Window.partitionBy(partCols.map(col): _*)
+          .orderBy(col("rrf_micro").desc, col(idCol))).cast("long"))
+      .filter(col("rank_final") <= n)
+}

@@ -1014,6 +1014,37 @@ object ExtensionQueries extends QueryFamily {
     graft.operators.Dsir.topK(docs, target, raw, k = 100)
   }
 
+  /**
+   * Quality-signal ensembling by reciprocal-rank fusion
+   * ([[graft.operators.Fusion]]): per source, rank documents by three
+   * incommensurable signals — the learned logit score (desc), corpus
+   * token rarity (asc: rarer vocabulary reads as richer text), and raw
+   * length (desc) — and fuse with `Σ 1e6 DIV (60 + rank)`. Top-5 per
+   * source; zero-token documents are excluded (rarity is undefined on
+   * them), every window carries the doc_id tie-break, and all columns
+   * are integers — the whole ensemble replays exactly in DuckDB.
+   */
+  def qualityRrfTopk(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val logit = TextAnalysis.logitQuality(docs, "doc_id", "text")
+      .select(col("doc_id"), col("score_p12"))
+    val tf = docs
+      .select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val freq = tf.groupBy(col("tok")).agg(sum(col("tf")).as("freq"))
+    val rarity = tf.join(freq, "tok").groupBy(col("doc_id"))
+      .agg(expr("sum(tf * freq) * 1000000L DIV sum(tf)").as("rarity_micro"))
+    val sig = docs.select(col("doc_id"), col("source"), col("n_chars"))
+      .join(logit, "doc_id").join(rarity, "doc_id")
+    graft.operators.Fusion.rrfTopK(sig, Seq("source"), "doc_id",
+      Seq(("logit", "score_p12", true), ("rarity", "rarity_micro", false),
+        ("len", "n_chars", true)), n = 5)
+      .select(col("source"), col("rank_final"), col("doc_id"),
+        col("rank_logit"), col("rank_rarity"), col("rank_len"),
+        col("rrf_micro"))
+      .orderBy(col("source"), col("rank_final"))
+  }
+
   /** Linear quality-model inference (integer fixed-point — exact oracle). */
   def qualityLogit(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.logitQuality(Tables.documents(spark, dir), "doc_id", "text")
@@ -2087,6 +2118,7 @@ object ExtensionQueries extends QueryFamily {
     "lm_source_divergence" -> (lmSourceDivergence _),
     "select_dsir" -> (selectDsir _),
     "select_dsir_topk" -> (selectDsirTopk _),
+    "quality_rrf_topk" -> (qualityRrfTopk _),
     "quality_compress_verdict" -> (qualityCompressVerdict _),
     "quality_logit" -> (qualityLogit _),
     "quality_logit_train" -> (qualityLogitTrain _),
@@ -2895,6 +2927,60 @@ object ExtensionQueries extends QueryFamily {
          |  CAST(score_target_micro * 1000000 // GREATEST(score_raw_micro, 1)
          |    AS BIGINT) AS weight_micro
          |FROM w ORDER BY weight_micro DESC, doc_id LIMIT 100""".stripMargin,
+    // RRF ensemble: logit CTEs shared with quality_logit, rarity CTEs
+    // with quality_rarity; ranks and the 1e6//(60+rank) fusion are all
+    // integers — zero float tolerance; every window ties on doc_id
+    "quality_rrf_topk" ->
+      s"""WITH m AS (
+         |  SELECT doc_id,
+         |    CAST(LENGTH(text) AS BIGINT) AS nc,
+         |    CAST(LEN($tokensSql) AS BIGINT) AS nt,
+         |    CAST(COALESCE(LIST_SUM(LIST_TRANSFORM($tokensSql, x -> LEN(x))), 0) AS BIGINT) AS stl,
+         |    CAST(LENGTH(REGEXP_REPLACE(text, '[a-zA-Z0-9\\s]', '', 'g')) AS BIGINT) AS pc,
+         |    CAST(LEN(LIST_FILTER($tokensSql,
+         |      x -> x IN ('the','a','an','and','or','of','to','in','is','it'))) AS BIGINT) AS sh
+         |  FROM documents),
+         |f AS (
+         |  SELECT doc_id,
+         |    CAST(LEAST(nc, ${lw.lenCap}) * 1000000 // ${lw.lenCap} AS BIGINT) AS len_frac_micro,
+         |    CAST(CASE WHEN nt > 0 THEN stl * 1000000 // nt ELSE 0 END AS BIGINT) AS mwl_micro,
+         |    CAST(CASE WHEN nc > 0 THEN pc * 1000000 // nc ELSE 0 END AS BIGINT) AS punct_micro,
+         |    CAST(CASE WHEN nt > 0 THEN sh * 1000000 // nt ELSE 0 END AS BIGINT) AS stop_micro
+         |  FROM m),
+         |s AS (
+         |  SELECT doc_id,
+         |    CAST(len_frac_micro * (${lw.wLenFrac}) + mwl_micro * (${lw.wMeanWordLen})
+         |      + punct_micro * (${lw.wPunctRatio}) + stop_micro * (${lw.wStopwordRatio})
+         |      + (${lw.biasP12}) AS BIGINT) AS score_p12
+         |  FROM f),
+         |tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+         |       FROM (SELECT doc_id, unnest($tokensSql) AS tok FROM documents)
+         |       GROUP BY 1, 2),
+         |freq AS (SELECT tok, CAST(SUM(tf) AS BIGINT) AS freq FROM tf GROUP BY 1),
+         |rar AS (SELECT t.doc_id,
+         |          CAST(SUM(t.tf * q.freq) * 1000000 // SUM(t.tf) AS BIGINT) AS rarity_micro
+         |        FROM tf t JOIN freq q USING (tok) GROUP BY 1),
+         |sig AS (
+         |  SELECT d.doc_id, d.source, d.n_chars, s.score_p12, r.rarity_micro
+         |  FROM documents d JOIN s USING (doc_id) JOIN rar r USING (doc_id)),
+         |rk AS (
+         |  SELECT source, doc_id,
+         |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY score_p12 DESC, doc_id) AS rank_logit,
+         |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY rarity_micro ASC, doc_id) AS rank_rarity,
+         |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rank_len
+         |  FROM sig),
+         |fz AS (
+         |  SELECT source, doc_id, rank_logit, rank_rarity, rank_len,
+         |    CAST(1000000 // (60 + rank_logit) + 1000000 // (60 + rank_rarity)
+         |      + 1000000 // (60 + rank_len) AS BIGINT) AS rrf_micro
+         |  FROM rk),
+         |top AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+         |    ORDER BY rrf_micro DESC, doc_id) AS rank_final FROM fz)
+         |SELECT source, rank_final, doc_id, rank_logit, rank_rarity, rank_len,
+         |  rrf_micro
+         |FROM top WHERE rank_final <= 5
+         |ORDER BY source, rank_final""".stripMargin,
     // flagship v6: LM gate → bag dedup → source rollup, the whole chain
     // in one integer-exact replay (CTEs shared with quality_lm_score /
     // dedup_bag_groups — same lockstep conventions)
