@@ -98,4 +98,78 @@ object Dsir {
       k: Int, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     importanceWeights(docs, target, raw, idCol, textCol)
       .orderBy(col("weight_micro").desc, col(idCol)).limit(k)
+
+  // ------------------------------------------------------------------
+  // Hashed-feature variant — the paper's actual memory bound
+  // ------------------------------------------------------------------
+
+  /** Hashed bigram model: per-bucket counts (EXACTLY `buckets` rows max —
+    * absolutely bounded, unlike the vocabulary-bounded [[Lm.BigramModel]])
+    * plus the total bigram count (one long of driver state). */
+  case class HashedModel(counts: DataFrame, total: Long, buckets: Int)
+
+  /** Bucket of a bigram: first 8 hex chars of md5("prev tok") mod B.
+    * md5 is the one keyed hash both engines spell identically; the space
+    * delimiter cannot occur inside a house token ([a-z0-9]+ and the BOS
+    * sentinel), so the concatenation is injective. Nonnegative by
+    * construction (the 32-bit prefix), so plain % is safe. */
+  def bigramBucket(buckets: Int): org.apache.spark.sql.Column =
+    expr("cast(conv(substring(md5(concat(prev, ' ', tok)), 1, 8), 16, 10) " +
+      s"as bigint) % $buckets")
+
+  /** Train the hashed model on `ref`: ONE hash aggregation to a table of
+    * ≤ `buckets` rows. This is DSIR's published feature space — model
+    * size is a CONSTANT of the pipeline (buckets), not a function of the
+    * corpus, so at 100 TB the two models are always broadcastable. */
+  def trainHashed(ref: DataFrame, buckets: Int, idCol: String = "doc_id",
+      textCol: String = "text"): HashedModel = {
+    val pb = Lm.docBigrams(ref, idCol, textCol)
+      .select(bigramBucket(buckets).as("b"))
+    val counts = pb.groupBy(col("b")).agg(count(lit(1)).as("c"))
+    // bounded driver state: one long (the smoothing denominator)
+    val total = counts.agg(coalesce(sum(col("c")), lit(0L))).head().getLong(0)
+    HashedModel(counts, total, buckets)
+  }
+
+  /** Per-document importance weights under hashed target/raw models:
+    * `p_micro(bucket) = (c_b + 1) * 1e6 DIV (total + B)` (Laplace over
+    * the B-bucket multinomial — supports are identical by construction,
+    * so no union-vocab correction is needed), floor-mean per doc, weight
+    * as the same floor ratio as [[importanceWeights]]. The two count
+    * tables are ≤ B rows: broadcast UNCONDITIONALLY — that is the entire
+    * point of the hashed feature space. */
+  def importanceWeightsHashed(docs: DataFrame, target: HashedModel,
+      raw: HashedModel, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(target.buckets == raw.buckets,
+      s"bucket mismatch: ${target.buckets} vs ${raw.buckets}")
+    val b = target.buckets
+    val ct = target.counts.select(col("b"), col("c").as("c_t"))
+    val cr = raw.counts.select(col("b"), col("c").as("c_r"))
+    val perDoc = Lm.docBigrams(docs, idCol, textCol)
+      .select(col(idCol), bigramBucket(b).as("b"))
+      .join(broadcast(ct), Seq("b"), "left")
+      .join(broadcast(cr), Seq("b"), "left")
+      .withColumn("p_t", expr(
+        s"(coalesce(c_t, 0L) + 1L) * 1000000L DIV ${target.total + b}L"))
+      .withColumn("p_r", expr(
+        s"(coalesce(c_r, 0L) + 1L) * 1000000L DIV ${raw.total + b}L"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("p_t")).as("sum_t"), sum(col("p_r")).as("sum_r"))
+    docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(expr("sum_t DIV n_bigrams"), lit(0L)).as("score_target_micro"),
+        coalesce(expr("sum_r DIV n_bigrams"), lit(0L)).as("score_raw_micro"))
+      .withColumn("weight_micro", expr(
+        "score_target_micro * 1000000L DIV greatest(score_raw_micro, 1L)"))
+  }
+
+  /** Hashed-model gate, same threshold convention as [[select]]. */
+  def selectHashed(docs: DataFrame, target: HashedModel, raw: HashedModel,
+      thresholdMicro: Long, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    importanceWeightsHashed(docs, target, raw, idCol, textCol)
+      .withColumn("keep", col("weight_micro") >= lit(thresholdMicro))
 }

@@ -1003,6 +1003,21 @@ object ExtensionQueries extends QueryFamily {
       .orderBy(col("doc_id"))
   }
 
+  /** DSIR with the paper's hashed feature space: bigrams md5-hashed into
+    * 4096 buckets, so each model is ≤ 4096 rows REGARDLESS of corpus
+    * size — broadcast unconditionally (the vocabulary-bounded variant
+    * must let AQE decide). Same integer floor-ratio weight convention;
+    * exact DuckDB replay via the shared '0x'-prefix hex parse. */
+  def selectDsirHashed(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val target = graft.operators.Dsir.trainHashed(
+      docs.filter(col("source") === "src0"), buckets = 4096)
+    val raw = graft.operators.Dsir.trainHashed(docs, buckets = 4096)
+    graft.operators.Dsir.selectHashed(docs, target, raw,
+      thresholdMicro = 1000000L)
+      .orderBy(col("doc_id"))
+  }
+
   /** The selection step of DSIR as a deterministic top-k (rank-by-weight
     * analog of the paper's resampling): global top-100 by importance
     * ratio, TakeOrderedAndProject-planned (per-partition heaps, no
@@ -2118,6 +2133,7 @@ object ExtensionQueries extends QueryFamily {
     "lm_source_divergence" -> (lmSourceDivergence _),
     "select_dsir" -> (selectDsir _),
     "select_dsir_topk" -> (selectDsirTopk _),
+    "select_dsir_hashed" -> (selectDsirHashed _),
     "quality_rrf_topk" -> (qualityRrfTopk _),
     "quality_compress_verdict" -> (qualityCompressVerdict _),
     "quality_logit" -> (qualityLogit _),
@@ -2927,6 +2943,48 @@ object ExtensionQueries extends QueryFamily {
          |  CAST(score_target_micro * 1000000 // GREATEST(score_raw_micro, 1)
          |    AS BIGINT) AS weight_micro
          |FROM w ORDER BY weight_micro DESC, doc_id LIMIT 100""".stripMargin,
+    // hashed-feature DSIR: bigrams md5-bucketed mod 4096 (the '0x' hex
+    // parse is DuckDB's spelling of Spark's conv(..,16,10)); Laplace over
+    // the B-bucket multinomial — identical supports, no vocab correction
+    "select_dsir_hashed" ->
+      s"""WITH t AS (SELECT doc_id, source, $tokensSql AS tk FROM documents),
+         |pairs AS (
+         |  SELECT doc_id, source,
+         |    CASE WHEN i = 1 THEN '<s>' ELSE tk[i-1] END AS prev, tk[i] AS tok
+         |  FROM (SELECT doc_id, source, tk,
+         |          unnest(generate_series(1, len(tk))) AS i FROM t)),
+         |pb AS (
+         |  SELECT doc_id, source,
+         |    CAST(('0x' || substring(md5(prev || ' ' || tok), 1, 8)) AS BIGINT)
+         |      % 4096 AS b
+         |  FROM pairs),
+         |ct AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c_t FROM pb
+         |       WHERE source = 'src0' GROUP BY 1),
+         |cr AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c_r FROM pb GROUP BY 1),
+         |tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM pb WHERE source = 'src0'),
+         |tr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM pb),
+         |sc AS (
+         |  SELECT p.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         |    CAST(SUM((COALESCE(ct.c_t, 0) + 1) * 1000000
+         |      // (tt.n + 4096)) AS BIGINT) AS sum_t,
+         |    CAST(SUM((COALESCE(cr.c_r, 0) + 1) * 1000000
+         |      // (tr.n + 4096)) AS BIGINT) AS sum_r
+         |  FROM pb p CROSS JOIN tt CROSS JOIN tr
+         |  LEFT JOIN ct ON ct.b = p.b
+         |  LEFT JOIN cr ON cr.b = p.b
+         |  GROUP BY 1),
+         |w AS (
+         |  SELECT d.doc_id,
+         |    COALESCE(n_bigrams, 0) AS n_bigrams,
+         |    COALESCE(sum_t // n_bigrams, 0) AS score_target_micro,
+         |    COALESCE(sum_r // n_bigrams, 0) AS score_raw_micro
+         |  FROM documents d LEFT JOIN sc USING (doc_id))
+         |SELECT doc_id, n_bigrams, score_target_micro, score_raw_micro,
+         |  CAST(score_target_micro * 1000000 // GREATEST(score_raw_micro, 1)
+         |    AS BIGINT) AS weight_micro,
+         |  score_target_micro * 1000000 // GREATEST(score_raw_micro, 1)
+         |    >= 1000000 AS keep
+         |FROM w ORDER BY doc_id""".stripMargin,
     // RRF ensemble: logit CTEs shared with quality_logit, rarity CTEs
     // with quality_rarity; ranks and the 1e6//(60+rank) fusion are all
     // integers — zero float tolerance; every window ties on doc_id
