@@ -125,7 +125,13 @@ object Dsir {
       textCol: String = "text"): HashedModel = {
     val pb = Lm.docBigrams(ref, idCol, textCol)
       .select(bigramBucket(buckets).as("b"))
-    val counts = pb.groupBy(col("b")).agg(count(lit(1)).as("c"))
+    // Scope-cached (≤ `buckets` rows — trivially safe): the `total`
+    // action below materializes the table once, and the serve join in
+    // [[importanceWeightsHashed]] reuses it. Uncached, Catalyst would
+    // re-run the full corpus tokenize + per-bigram hash aggregation for
+    // each consumer — at 100 TB each redundant pass is the whole corpus.
+    val counts = graft.CacheScope.scoped(
+      pb.groupBy(col("b")).agg(count(lit(1)).as("c")))
     // bounded driver state: one long (the smoothing denominator)
     val total = counts.agg(coalesce(sum(col("c")), lit(0L))).head().getLong(0)
     HashedModel(counts, total, buckets)

@@ -37,10 +37,20 @@ object Rp {
   }
 
   /** Append `outCol` = the k projections. Zero training passes; the
-    * scan is one codegen'd kernel call per row. */
+    * scan is one codegen'd kernel call per row. Probes the input
+    * dimension with one `size()` action — pipelines that already know
+    * `d` should pass it to the overload below and skip the scan. */
   def project(df: DataFrame, vecCol: String, k: Int, seed: Long = 42L,
-      outCol: String = "rp"): DataFrame = {
-    val d = df.select(size(col(vecCol))).head().getInt(0)
+      outCol: String = "rp"): DataFrame =
+    project(df, vecCol, k,
+      d = df.select(size(col(vecCol))).head().getInt(0), seed, outCol)
+
+  /** [[project]] with a caller-supplied input dimension `d` — zero
+    * actions, zero scans beyond the projection itself, so composing RP
+    * inside a pipeline costs no probe job. Identical output to the
+    * probing overload for matching `d`. */
+  def project(df: DataFrame, vecCol: String, k: Int, d: Int, seed: Long,
+      outCol: String): DataFrame = {
     val m = signMatrix(k, d, seed)
     df.withColumn(outCol,
       pca_project(col(vecCol), typedLit(Seq.fill(d)(0.0)),

@@ -746,13 +746,17 @@ object ExtensionQueries extends QueryFamily {
   /** PCA-reduced embeddings (rows-only surface; `embed_pca_verdict` is
     * the driver-checked twin): one moments pass + one codegen'd
     * projection scan — the reduce-before-the-expensive-stage step of
-    * embedding pipelines. */
+    * embedding pipelines. Exploded to scalar (vec_id, component, value)
+    * rows: the harness sorts results in pandas, and a raw array<double>
+    * column is unsortable there (the r10 `err` finding) — while the
+    * explode costs nothing the array didn't (same kernel scan, k rows
+    * out per vector either way once written). */
   def embedPcaProject(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val m = graft.operators.Pca.fit(emb, "embedding", k = 8)
     graft.operators.Pca.project(emb, m, "embedding")
-      .select(col("vec_id"), col("pca"))
-      .orderBy(col("vec_id"))
+      .select(col("vec_id"), posexplode(col("pca")).as(Seq("component", "value")))
+      .orderBy(col("vec_id"), col("component"))
   }
 
   /**
@@ -799,13 +803,42 @@ object ExtensionQueries extends QueryFamily {
       .orderBy(col("comp"))
   }
 
-  /** JL random-projection reduced embeddings (rows-only surface;
-    * `embed_rp_verdict` is the driver-checked twin): zero training
-    * passes — the ±1/√k matrix is a pure function of (seed, k, d). */
+  /** JL random-projection reduced embeddings, exploded to scalar
+    * (vec_id, component, value) rows and — because the ±1/√k sign
+    * matrix is a pure function of (seed, k, d), independent of the
+    * data — DIRECTLY value-oracled: [[rpProjectOracleSql]] spells the
+    * same left-to-right dot products as the codegen'd kernel, so the
+    * doubles are bit-identical on both engines (float→double loads,
+    * IEEE-754 products and left-associated sums — no reassociation on
+    * either side). */
   def embedRpProject(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Rp.project(Tables.embeddings(spark, dir), "embedding", k = 32)
-      .select(col("vec_id"), col("rp"))
-      .orderBy(col("vec_id"))
+      .select(col("vec_id"), posexplode(col("rp")).as(Seq("component", "value")))
+      .orderBy(col("vec_id"), col("component"))
+
+  /** DuckDB replay of [[embedRpProject]]: one UNION ALL arm per output
+    * component, each the explicit 64-term dot product against the
+    * seed-42 sign matrix in kernel order (i ascending, left-assoc).
+    * Scala's Double.toString round-trips, so the ±1/√32 literals parse
+    * back to the exact plan constants. Fixture embeddings are d=64 at
+    * every SF (TESTDATA.md). */
+  private[queries] lazy val rpProjectOracleSql: String = {
+    val m = graft.operators.Rp.signMatrix(k = 32, d = 64)
+    val arms = m.zipWithIndex.map { case (row, j) =>
+      // `e0` forces a DOUBLE literal (a bare decimal parses as
+      // DECIMAL(18,17) and drags the whole expression to FLOAT); the
+      // explicit element cast keeps the product double×double.
+      val dot = row.zipWithIndex
+        .map { case (s, i) =>
+          val str = s.toString
+          val lit = if (str.exists(c => c == 'e' || c == 'E')) str
+            else s"${str}e0"
+          s"CAST(embedding[${i + 1}] AS DOUBLE) * ($lit)" }
+        .mkString(" + ")
+      s"SELECT vec_id, $j AS component, $dot AS value FROM embeddings"
+    }
+    arms.mkString("", "\nUNION ALL\n", "\nORDER BY vec_id, component")
+  }
 
   /**
    * JL distortion verdict for [[graft.operators.Rp]]: over the planted
@@ -2599,6 +2632,9 @@ object ExtensionQueries extends QueryFamily {
     // Lloyd cost monotonicity + cardinality: DuckDB pins n_points and
     // the constant verdicts; Spark computes them from the fit telemetry
     "embed_kmeans_verdict" -> kmeansVerdictOracleSql,
+    // data-independent sign matrix → the projection itself replays
+    // exactly (see rpProjectOracleSql for the bit-identity argument)
+    "embed_rp_project" -> rpProjectOracleSql,
     "embed_rp_verdict" ->
       """SELECT (SELECT COUNT(*) FROM embeddings a JOIN embeddings b
         |          ON b.vec_id = a.vec_id + 1

@@ -23,12 +23,15 @@ class CacheScopeSpec extends SparkSpec {
     // |V|-row cache per invocation, unreleasable by callers) — and the
     // r10 scoped sites: ngramJaccard's candidate set, both durable-serve
     // probe frames (searchIvfPq/searchIvf), trainLogit's feature frame,
-    // and Lm.trainBigram's bigram-count table (quality_lm_score)
+    // and Lm.trainBigram's bigram-count table (quality_lm_score) — and
+    // the r12 scoped site: Dsir.trainHashed's ≤buckets-row count table
+    // (select_dsir_hashed; uncached it re-ran the full corpus tokenize
+    // per consumer, the r10 verdict's perf finding)
     val names = Seq("dedup_jaccard_join", "text_collocations", "assoc_rules",
       "rolling_active", "sim_topk_ivfpq", "dedup_groups_cc",
       "dedup_groups_cc_stars", "dedup_ngram_jaccard",
       "sim_topk_ivfpq_index_verdict", "sim_topk_ivf_index_verdict",
-      "quality_logit_train", "quality_lm_score")
+      "quality_logit_train", "quality_lm_score", "select_dsir_hashed")
     names.foreach { n =>
       SparkEntry.queries(n)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()

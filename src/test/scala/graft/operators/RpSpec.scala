@@ -32,6 +32,18 @@ class RpSpec extends SparkSpec {
     out.zip(want).foreach { case (got, w) => assert(math.abs(got - w) < 1e-12) }
   }
 
+  test("caller-supplied-d overload is bit-identical to the probing overload") {
+    val emb = graft.sources.Tables.embeddings(spark, sfDir).limit(20)
+    val probed = Rp.project(emb, "embedding", k = 8)
+      .select(col("vec_id"), col("rp")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).toMap
+    val given = Rp.project(emb, "embedding", k = 8, d = 64, seed = 42L,
+      outCol = "rp")
+      .select(col("vec_id"), col("rp")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).toMap
+    assert(probed == given) // exact equality — same plan literal, same kernel
+  }
+
   test("linearity: projection of a difference is the difference of projections") {
     val emb = graft.sources.Tables.embeddings(spark, sfDir).limit(50)
     val proj = Rp.project(emb, "embedding", k = 16)
