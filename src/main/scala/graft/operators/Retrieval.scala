@@ -315,8 +315,110 @@ object Retrieval {
   }
 
   /** Engine-owned segment commit marker — deliberately not `_SUCCESS`,
-    * which cloud committers are routinely configured not to write. */
+    * which cloud committers are routinely configured not to write.
+    * Content contract: EMPTY for an appended segment; a compacted
+    * segment's marker instead lists the segment ids it supersedes (one
+    * decimal id per line), so publishing the marker is ONE atomic
+    * rename that simultaneously makes the merged segment visible and
+    * its sources invisible — a racing serve sees the old set or the
+    * new set, never both (which would double every tf/df). */
   private[operators] val CommitMarker = "_GRAFT_COMMIT"
+
+  /** Compacted segments get ids from a disjoint range so a streaming
+    * appender replaying micro-batch ids can never collide with (and
+    * silently overwrite) a merged segment: stream batch ids are
+    * checkpoint-monotonic from 0 and reach 1e12 only after ~31k years
+    * at one batch per millisecond. */
+  private[operators] val CompactIdBase = 1000000000000L
+
+  /** The segments a serve may read: committed (marker present) minus
+    * superseded (named in any committed marker's content). One glob +
+    * one tiny marker read per segment; a corpus that accumulates many
+    * segments should compact — see [[compactIndexSegments]]. */
+  private[operators] def liveSegments(
+      fs: org.apache.hadoop.fs.FileSystem,
+      normsPath: org.apache.hadoop.fs.Path): Seq[Long] = {
+    val markers = fs.globStatus(
+      new org.apache.hadoop.fs.Path(normsPath, s"batch=*/$CommitMarker")).toSeq
+    val committed = markers.map(
+      _.getPath.getParent.getName.stripPrefix("batch=").toLong)
+    val superseded = markers.flatMap { st =>
+      if (st.getLen == 0) Nil // append marker — fast path, no read
+      else scala.util.Using.resource(fs.open(st.getPath)) { in =>
+        scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+          .map(_.trim).filter(_.nonEmpty).map(_.toLong).toList
+      }
+    }.toSet
+    committed.filterNot(superseded)
+  }
+
+  /**
+   * Merge all live index segments into ONE — the Lucene-merge analog
+   * the continuous-index path ([[graft.streaming.CorpusStream
+   * .indexDocsStream]], one segment per micro-batch) needs: without it
+   * segment directories grow without bound and file-listing +
+   * marker-stat RPCs eventually dominate serving. Unlike the offline
+   * [[writeIndex]] rebuild this reads only the INDEX (postings +
+   * norms), never the corpus text — at 100 TB the index is the far
+   * smaller artifact, and the text may no longer be co-located.
+   *
+   * Commit protocol (crash-safe at every step, same discipline as
+   * [[graft.sources.v2.ShardCompact]]):
+   *
+   *  1. merged postings + norms are written under a fresh segment id
+   *     from [[CompactIdBase]]'s range — unmarked, so invisible;
+   *  2. the marker is published by temp-write + ATOMIC RENAME, its
+   *     content naming the superseded source ids — serves atomically
+   *     switch from the old segment set to the merged one;
+   *  3. source segment directories are deleted best-effort (they are
+   *     invisible already; a crash here leaves reclaimable orphans and
+   *     re-running compaction is safe).
+   *
+   * Single-maintainer discipline: don't run two compactions of one
+   * index concurrently (they'd both claim `max(live)+1`); appends may
+   * race freely — an appended segment simply misses this merge and
+   * joins the next one. Returns the live-segment count after
+   * compaction (1, or the input count when already compact).
+   */
+  def compactIndexSegments(spark: SparkSession, dir: String): Int = {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sessionState.newHadoopConf()
+    val normsPath = new Path(s"$dir/norms")
+    val fs = normsPath.getFileSystem(conf)
+    require(fs.exists(normsPath), s"no index under $dir")
+    val live = liveSegments(fs, normsPath)
+    require(live.nonEmpty, s"no committed index segments under $dir")
+    if (live.size <= 1) return live.size
+
+    val newId = math.max(live.max + 1, CompactIdBase)
+    val seg = s"batch=$newId"
+    // (1) merged data, unmarked — postings re-clustered by term so the
+    // serve scan's row-group skipping survives the merge
+    val postings = spark.read.parquet(s"$dir/postings")
+      .filter(col("batch").isin(live: _*))
+    postings.repartition(col("tok"))
+      .sortWithinPartitions(col("tok"), col("doc_id"))
+      .select(col("tok"), col("doc_id"), col("tf"), col("len"))
+      .write.mode("overwrite").parquet(s"$dir/postings/$seg")
+    spark.read.parquet(s"$dir/norms")
+      .filter(col("batch").isin(live: _*))
+      .select(col("doc_id"), col("len"))
+      .write.mode("overwrite").parquet(s"$dir/norms/$seg")
+    // (2) atomic publish: marker content = superseded ids
+    val markerPath = new Path(s"$dir/norms/$seg/$CommitMarker")
+    val tmp = new Path(s"$dir/norms/$seg/.${CommitMarker}.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    scala.util.Using.resource(fs.create(tmp, true)) { out =>
+      out.write(live.sorted.mkString("", "\n", "\n").getBytes("UTF-8"))
+    }
+    if (!fs.rename(tmp, markerPath))
+      throw new java.io.IOException(s"compact marker publish failed: $markerPath")
+    // (3) sources are invisible now — best-effort reclaim
+    live.foreach { id =>
+      fs.delete(new Path(s"$dir/postings/batch=$id"), true)
+      fs.delete(new Path(s"$dir/norms/batch=$id"), true)
+    }
+    1
+  }
 
   /** Serve BM25 top-`k` from a persisted index: the term filter lands
     * in `PushedFilters` on the postings scan (RetrievalSpec asserts
@@ -345,10 +447,9 @@ object Retrieval {
     val normsPath = new org.apache.hadoop.fs.Path(s"$dir/norms")
     val fs = normsPath.getFileSystem(conf)
     require(fs.exists(normsPath), s"no index under $dir")
-    val committed = fs.globStatus(
-      new org.apache.hadoop.fs.Path(normsPath, s"batch=*/$CommitMarker"))
-      .toSeq
-      .map(_.getPath.getParent.getName.stripPrefix("batch=").toLong)
+    // committed minus compaction-superseded — see CommitMarker's
+    // content contract
+    val committed = liveSegments(fs, normsPath)
     require(committed.nonEmpty, s"no committed index segments under $dir")
     val postings = spark.read.parquet(s"$dir/postings")
       .filter(col("batch").isin(committed: _*))

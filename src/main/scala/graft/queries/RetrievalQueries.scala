@@ -60,6 +60,51 @@ object RetrievalQueries extends QueryFamily {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /**
+   * Segment compaction round trip — [[textBm25Index]]'s maintenance
+   * twin: the index is built as TWO committed segments (even/odd docs —
+   * the continuous-ingest shape, one segment per micro-batch), served,
+   * compacted to ONE merged segment via the atomic superseding-marker
+   * publish ([[Retrieval.compactIndexSegments]]), and served again.
+   * The post-compaction serve is hash-checked against the same DuckDB
+   * BM25 derivation as the direct query; `served_equal` gates
+   * bit-equality of the pre/post serves (the merge must not move a
+   * single score or rank) and `compacted_ok` that consolidation
+   * actually happened (2 live segments → 1).
+   */
+  def textBm25SegmentCompact(spark: SparkSession, dir: String): DataFrame = {
+    val idx = graft.TmpCleanup.perProcessDir("graft-bm25-seg", dir)
+    graft.TmpCleanup.register(idx)
+    // rebuild per invocation: compaction mutates the layout, so a bench
+    // re-entry over last run's single segment would gate compacted_ok
+    // vacuously red
+    val p = java.nio.file.Paths.get(idx)
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(java.nio.file.Files.walk(p)) { st =>
+        st.iterator().asScala.toSeq.reverse
+      }.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    val docs = Tables.documents(spark, dir)
+    Retrieval.writeIndexSegment(docs.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", idx, "batch=0")
+    Retrieval.writeIndexSegment(docs.filter(col("doc_id") % 2 === 1),
+      "doc_id", "text", idx, "batch=1")
+    def serve() = Retrieval.searchIndex(spark, idx, workloadDf(spark), k = 10)
+      .orderBy(col("query_id"), col("rank"))
+    // materialize BEFORE compacting — the lazy plan would otherwise
+    // read the post-compaction layout (or a deleted segment)
+    val before = serve().collect().toSeq
+    val nAfter = Retrieval.compactIndexSegments(spark, idx)
+    val compactedOk = nAfter == 1
+    val after = serve()
+    val servedEqual = after.collect().toSeq == before
+    after
+      .withColumn("served_equal", lit(servedEqual))
+      .withColumn("compacted_ok", lit(compactedOk))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Quoted-phrase workload: a trigram with hits at ALL three fixture
     * SFs (5 / 1 / 7 occurrences at sf0.001/0.01/0.1), so no SF's
     * verification degenerates to an empty result. Multiplicity within
@@ -74,6 +119,7 @@ object RetrievalQueries extends QueryFamily {
   override def queries: Map[String, QueryFn] = Map(
     "text_bm25_topk" -> (textBm25TopK _),
     "text_bm25_index" -> (textBm25Index _),
+    "text_bm25_segment_compact" -> (textBm25SegmentCompact _),
     "text_phrase_search" -> (textPhraseSearch _))
 
   /** Shared SQL fragments: the house tokenizer twin and the BM25 CTE
@@ -121,6 +167,11 @@ object RetrievalQueries extends QueryFamily {
   override def oracles: Map[String, String] = Map(
     "text_bm25_topk" -> bm25Sql,
     "text_bm25_index" -> bm25Sql,
+    // same BM25 derivation + the two constant-TRUE maintenance gates
+    "text_bm25_segment_compact" -> bm25Sql
+      .replace("SELECT query_id, doc_id, score_ppm, rank FROM (",
+        "SELECT query_id, doc_id, score_ppm, rank, " +
+          "TRUE AS served_equal, TRUE AS compacted_ok FROM ("),
     "text_phrase_search" -> {
       val joins = phrase.zipWithIndex.drop(1).map { case (t, i) =>
         s"JOIN t t$i ON t$i.doc_id = t0.doc_id AND t$i.pos = t0.pos + $i AND t$i.tok = '$t'"

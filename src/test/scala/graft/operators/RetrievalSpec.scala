@@ -122,6 +122,77 @@ class RetrievalSpec extends SparkSpec {
     graft.CacheScope.releaseAll()
   }
 
+  test("compactIndexSegments merges N segments into 1 with bit-equal serving") {
+    val corpus = randomCorpus(7, 90)
+    val df = corpus.toDF("doc_id", "text")
+    val queries = Seq(1 -> "rare", 2 -> "alpha", 2 -> "kappa").toDF("query_id", "term")
+    val dir = java.nio.file.Files.createTempDirectory("bm25cp").toString
+    // three micro-batch-shaped segments
+    (0 until 3).foreach { b =>
+      Retrieval.writeIndexSegment(df.filter(col("doc_id") % 3 === b),
+        "doc_id", "text", dir, s"batch=$b")
+    }
+    val before = Retrieval.searchIndex(spark, dir, queries, k = 12)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(Retrieval.compactIndexSegments(spark, dir) == 1)
+    val after = Retrieval.searchIndex(spark, dir, queries, k = 12)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(after == before, "compaction changed a served score or rank")
+    // sources physically reclaimed; one live segment remains
+    assert(!new java.io.File(s"$dir/norms/batch=0").exists)
+    assert(!new java.io.File(s"$dir/postings/batch=0").exists)
+    // re-compacting a compact index is a no-op
+    assert(Retrieval.compactIndexSegments(spark, dir) == 1)
+    // equal to a from-scratch single-segment build
+    val direct = Retrieval.bm25TopK(df, "doc_id", "text", queries, k = 12)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(after == direct)
+    graft.CacheScope.releaseAll()
+  }
+
+  test("a serve racing compaction sees the old set until the marker publish") {
+    val corpus = randomCorpus(23, 50)
+    val df = corpus.toDF("doc_id", "text")
+    val queries = Seq(1 -> "alpha", 1 -> "beta").toDF("query_id", "term")
+    val dir = java.nio.file.Files.createTempDirectory("bm25race").toString
+    (0 until 2).foreach { b =>
+      Retrieval.writeIndexSegment(df.filter(col("doc_id") % 2 === b),
+        "doc_id", "text", dir, s"batch=$b")
+    }
+    val before = Retrieval.searchIndex(spark, dir, queries, k = 10)
+      .orderBy("query_id", "rank").collect().toSeq
+    Retrieval.compactIndexSegments(spark, dir)
+    // reconstruct the pre-publish instant: merged data present but its
+    // marker gone — a crash between write and rename. The serve must
+    // fall back to... nothing here (sources were reclaimed), so instead
+    // pin the complement: marker present + sources gone serves the
+    // merged set; marker REMOVED must fail closed (no committed
+    // segments), never silently serve an unmarked merge.
+    val merged = new java.io.File(s"$dir/norms")
+      .listFiles().filter(_.getName.startsWith("batch=")).head
+    assert(new java.io.File(merged, "_GRAFT_COMMIT").delete())
+    val ex = intercept[IllegalArgumentException] {
+      Retrieval.searchIndex(spark, dir, queries, k = 10).collect()
+    }
+    assert(ex.getMessage.contains("no committed index segments"))
+    // appends after compaction join the next merge: add a segment, serve
+    // sees it (restore the merged marker first — content must again name
+    // the superseded sources, but they're deleted, so empty is correct)
+    new java.io.FileOutputStream(
+      new java.io.File(merged, "_GRAFT_COMMIT")).close()
+    val extra = Seq((900L, "alpha alpha beta"), (901L, "beta kappa"))
+      .toDF("doc_id", "text")
+    Retrieval.writeIndexSegment(extra, "doc_id", "text", dir, "batch=7")
+    val withExtra = Retrieval.searchIndex(spark, dir, queries, k = 10)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(withExtra != before, "appended segment invisible after compaction")
+    assert(Retrieval.compactIndexSegments(spark, dir) == 1)
+    val recompacted = Retrieval.searchIndex(spark, dir, queries, k = 10)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(recompacted == withExtra)
+    graft.CacheScope.releaseAll()
+  }
+
   test("index serve pushes the term filter into the postings parquet scan") {
     val dir = java.nio.file.Files.createTempDirectory("bm25idx2").toString
     Retrieval.writeIndex(randomCorpus(5, 30).toDF("doc_id", "text"),
