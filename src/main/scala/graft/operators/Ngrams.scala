@@ -344,6 +344,92 @@ object Ngrams {
   }
 
   /**
+   * Exact-substring REMOVAL — the rewrite stage of Lee et al.,
+   * "Deduplicating Training Data Makes Language Models Better" (2022):
+   * delete duplicated token runs from INSIDE documents, keeping the
+   * corpus-first occurrence, where [[substringPairs]]/[[substringRuns]]
+   * only detect them. The published pipeline removes any ≥50-token
+   * substring that appears more than once in the corpus; this operator
+   * expresses the same rule through its seed n-grams:
+   *
+   *  - every duplicated run of ≥ `n` tokens contains a duplicated
+   *    n-gram, and every duplicated n-gram occurrence lies inside a
+   *    duplicated run of ≥ `n` tokens — so covering duplicated n-gram
+   *    occurrences covers exactly the duplicated-run positions;
+   *  - an n-gram occurrence is REMOVED-covered when the gram occurs
+   *    more than once in the corpus (cross- or within-document) and
+   *    this occurrence is not the gram's global first by (doc, pos)
+   *    order — the keep-first contract, per gram;
+   *  - a token is deleted iff some removed-covered occurrence covers
+   *    its position; the document is rebuilt from the surviving tokens
+   *    in position order (normalized to the house token stream —
+   *    removal operates on tokens, so the rebuilt text is
+   *    space-joined house tokens, the same normalization
+   *    [[graft.operators.Corpus.packSequences]] consumes).
+   *
+   * All arithmetic is integer/string-exact, so the full rewrite replays
+   * in DuckDB.
+   *
+   * Scale shape: gram stats are ONE hash aggregation over 16-byte gram
+   * digests filtered to cnt ≥ 2 (partial-agg safe under hot boilerplate
+   * grams — no per-gram window, so a million-fold-duplicated gram
+   * cannot skew a partition); the occurrence stream joins that
+   * duplicated-gram table (AQE picks broadcast vs shuffle — the table
+   * is dup-gram-, not corpus-bounded); covered intervals merge with a
+   * per-DOC window (bounded partitions) into disjoint spans whose
+   * per-doc list joins back onto the corpus for a pure-HOF rebuild —
+   * documents never ride a token-exploded exchange. The corpus is
+   * scanned twice (stats, probe) plus the rebuild join: the
+   * train-then-apply shape, no corpus-sized state anywhere.
+   */
+  def removeDuplicateSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int): DataFrame = {
+    val occ = wordNgrams(df, idCol, textCol, n)
+      .filter(col("ngram").isNotNull)
+      .select(col(idCol).as("id"), col("pos"), md5(col("ngram")).as("__g"))
+    // duplicated grams only: (count, lexicographic-first occurrence)
+    val stats = occ.groupBy(col("__g"))
+      .agg(count(lit(1)).as("__cnt"),
+        min(struct(col("id"), col("pos"))).as("__first"))
+      .filter(col("__cnt") >= 2)
+    val dup = occ.join(stats, Seq("__g"))
+      .filter(!(col("id") === col("__first.id") &&
+        col("pos") === col("__first.pos")))
+      .select(col("id"), col("pos").as("s"), (col("pos") + n - 1).as("e"))
+    // merge overlapping cover intervals per doc (gaps-and-islands on the
+    // running max end) so the explode below emits each position once
+    val wPrev = Window.partitionBy(col("id")).orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy(col("id")).orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val merged = dup
+      .withColumn("__ni",
+        when(col("s") > coalesce(max(col("e")).over(wPrev), lit(-1)), 1)
+          .otherwise(0))
+      .withColumn("__isl", sum(col("__ni")).over(wRun))
+      .groupBy(col("id"), col("__isl"))
+      .agg(min(col("s")).as("s0"), max(col("e")).as("e0"))
+    val ivs = merged.groupBy(col("id"))
+      .agg(collect_list(struct(col("s0"), col("e0"))).as("__ivs"))
+    // rebuild: pure per-row HOFs against the doc's own interval list
+    df.join(ivs, df(idCol) === ivs("id"), "left")
+      .withColumn("__toks", Dedup.tokens(col(textCol)))
+      .withColumn("__iv", coalesce(col("__ivs"),
+        array().cast("array<struct<s0:int,e0:int>>")))
+      .withColumn("__kept",
+        filter(col("__toks"), (t, i) =>
+          !exists(col("__iv"), iv =>
+            (i + 1) >= iv.getField("s0") && (i + 1) <= iv.getField("e0"))))
+      .select(col(idCol),
+        array_join(col("__kept"), " ").as("text_clean"),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        (size(col("__toks")) - size(col("__kept"))).cast("long").as("n_removed"))
+  }
+
+  /**
    * Boilerplate n-gram detection (the RefinedWeb-style "same navigation
    * text on every page of a site" scrub): n-grams appearing in at least
    * `fracNum/fracDen` of a group's documents (and ≥ `minDocs` docs).

@@ -119,6 +119,14 @@ object PipelineQueries extends QueryFamily {
       n = 4, minTokens = 5)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** Exact-substring REMOVAL (Lee et al. 2022's rewrite stage): delete
+    * duplicated ≥4-token runs, keeping each gram's corpus-first
+    * occurrence; rebuilt text + attrition telemetry per doc. */
+  def dedupSpanRemoval(spark: SparkSession, dir: String): DataFrame =
+    Ngrams.removeDuplicateSpans(Tables.documents(spark, dir), "doc_id", "text",
+      n = 4)
+      .orderBy(col("doc_id"))
+
   /** Boilerplate bigrams: grams in ≥10% (and ≥3) of a language's docs. */
   def boilerplateNgrams(spark: SparkSession, dir: String): DataFrame =
     Ngrams.boilerplateNgrams(Tables.documents(spark, dir), "doc_id", "text",
@@ -562,6 +570,7 @@ object PipelineQueries extends QueryFamily {
     "sample_topk_quality" -> (sampleTopkQuality _),
     "dedup_substring_pairs" -> (dedupSubstringPairs _),
     "dedup_substring_verify" -> (dedupSubstringVerify _),
+    "dedup_span_removal" -> (dedupSpanRemoval _),
     "boilerplate_ngrams" -> (boilerplateNgrams _),
     "sample_group" -> (sampleGroup _),
     "mix_token_budget" -> (mixTokenBudget _),
@@ -1021,6 +1030,53 @@ object PipelineQueries extends QueryFamily {
          |FROM runs GROUP BY id_a, id_b
          |HAVING MAX(run) + 3 >= 5
          |ORDER BY id_a, id_b""".stripMargin,
+    // the full rewrite replayed: dup-gram stats (keep-first by
+    // (doc_id, pos)), interval merge, position coverage, token rebuild
+    "dedup_span_removal" ->
+      s"""WITH $toksCte,
+         |ng AS (
+         |  SELECT doc_id, pos,
+         |    tok || ' ' || LEAD(tok, 1) OVER w || ' ' || LEAD(tok, 2) OVER w
+         |        || ' ' || LEAD(tok, 3) OVER w AS ngram
+         |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+         |occ AS (SELECT doc_id, pos, ngram FROM ng WHERE ngram IS NOT NULL),
+         |st AS (SELECT ngram, COUNT(*) AS cnt, MIN(doc_id) AS fid
+         |       FROM occ GROUP BY ngram HAVING COUNT(*) >= 2),
+         |fp AS (SELECT o.ngram, MIN(o.pos) AS fpos
+         |       FROM occ o JOIN st ON st.ngram = o.ngram AND o.doc_id = st.fid
+         |       GROUP BY o.ngram),
+         |dup AS (SELECT o.doc_id, o.pos AS s, o.pos + 3 AS e
+         |        FROM occ o JOIN st ON st.ngram = o.ngram
+         |        JOIN fp ON fp.ngram = o.ngram
+         |        WHERE NOT (o.doc_id = st.fid AND o.pos = fp.fpos)),
+         |isl AS (SELECT doc_id, s, e,
+         |          CASE WHEN s > COALESCE(MAX(e) OVER (PARTITION BY doc_id
+         |              ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |            -1) THEN 1 ELSE 0 END AS ni
+         |        FROM dup),
+         |isl2 AS (SELECT doc_id, s, e,
+         |           SUM(ni) OVER (PARTITION BY doc_id ORDER BY s
+         |             ROWS UNBOUNDED PRECEDING) AS island
+         |         FROM isl),
+         |mg AS (SELECT doc_id, MIN(s) AS s0, MAX(e) AS e0
+         |       FROM isl2 GROUP BY doc_id, island),
+         |rem AS (SELECT doc_id, unnest(range(s0, e0 + 1)) AS rpos FROM mg),
+         |kept AS (SELECT t.doc_id, t.pos, t.tok,
+         |           (r.rpos IS NOT NULL) AS rm
+         |         FROM toks t LEFT JOIN rem r
+         |           ON r.doc_id = t.doc_id AND r.rpos = t.pos),
+         |agg AS (SELECT doc_id,
+         |          COALESCE(STRING_AGG(tok, ' ' ORDER BY pos)
+         |            FILTER (WHERE NOT rm), '') AS text_clean,
+         |          CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |          CAST(SUM(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT)
+         |            AS n_removed
+         |        FROM kept GROUP BY doc_id)
+         |SELECT d.doc_id, COALESCE(a.text_clean, '') AS text_clean,
+         |  COALESCE(a.n_tokens, 0) AS n_tokens,
+         |  COALESCE(a.n_removed, 0) AS n_removed
+         |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     "boilerplate_ngrams" ->
       """WITH toks AS (
         |  SELECT doc_id, lang,

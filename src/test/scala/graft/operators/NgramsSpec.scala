@@ -202,6 +202,59 @@ class NgramsSpec extends SparkSpec {
       ("B", "lazy dog"), ("B", "dog sleeps")), s"got $grams")
   }
 
+  test("removeDuplicateSpans: keep-first by (doc, pos), clean docs untouched") {
+    // doc 1 carries the span first (by doc order); docs 2 and 3 repeat it
+    // inside distinct surroundings; doc 4 is clean
+    val span = "alpha beta gamma delta eps"
+    val df = Seq(
+      (1L, s"one two $span three"),
+      (2L, s"uno $span dos tres cuatro"),
+      (3L, s"$span x y z"),
+      (4L, "entirely clean text here")).toDF("doc_id", "text")
+    val out = Ngrams.removeDuplicateSpans(df, "doc_id", "text", n = 4)
+      .orderBy("doc_id")
+      .select("text_clean", "n_tokens", "n_removed")
+      .as[(String, Long, Long)].collect()
+    // first occurrence survives verbatim (normalized to token join)
+    assert(out(0) == (s"one two $span three", 8L, 0L))
+    // later occurrences lose exactly the span, surroundings survive
+    assert(out(1) == ("uno dos tres cuatro", 9L, 5L))
+    assert(out(2) == ("x y z", 8L, 5L))
+    assert(out(3) == ("entirely clean text here", 4L, 0L))
+  }
+
+  test("removeDuplicateSpans: overlapping covers merge — each position deleted once") {
+    // two duplicated 4-gram families overlap inside doc 20 (positions
+    // 1..5 and 4..8 share 4..5); n_removed must count positions, not
+    // gram covers, and within-doc repetition (doc 30) also dedups
+    val a = "p q r s t" // grams "p q r s","q r s t" dup'd via doc 10
+    val df = Seq(
+      (10L, s"$a u v w"), // first: kept
+      (20L, s"$a u v w"), // exact repeat: all 8 tokens covered, merged
+      (30L, "m n o k m n o k m n o k")) // self-repeat: keep first 4-gram run
+      .toDF("doc_id", "text")
+    val out = Ngrams.removeDuplicateSpans(df, "doc_id", "text", n = 4)
+      .orderBy("doc_id")
+      .select("text_clean", "n_tokens", "n_removed")
+      .as[(String, Long, Long)].collect()
+    assert(out(0) == (s"$a u v w", 8L, 0L))
+    assert(out(1) == ("", 8L, 8L), s"merged covers should delete all: ${out(1)}")
+    // doc 30: "m n o k" ×3 = 12 tokens; grams at pos 1..9 all duplicated
+    // (of the cyclic family), first of each gram string is kept — the
+    // surviving prefix is the first 4 tokens' worth not covered by a
+    // non-first occurrence
+    assert(out(2)._2 == 12L)
+    assert(out(2)._3 > 0L && out(2)._3 < 12L,
+      s"self-repeat must remove a proper subset: ${out(2)}")
+    // keep-first global contract: re-running with doc order flipped keeps
+    // the span in the NEW first doc
+    val flipped = Seq((1L, s"$a u v w"), (2L, s"$a u v w"))
+      .toDF("doc_id", "text")
+    val f = Ngrams.removeDuplicateSpans(flipped, "doc_id", "text", n = 4)
+      .orderBy("doc_id").select("n_removed").as[Long].collect()
+    assert(f.toSeq == Seq(0L, 8L))
+  }
+
   test("substringRuns: maxDocsPerGram counts documents, not occurrences") {
     // one gram repeated 30 times inside each of TWO docs = 60 occurrence
     // rows; a row-count guard at 50 would drop it even though only 2
