@@ -1920,6 +1920,66 @@ object ExtensionQueries extends QueryFamily {
   }
 
   /**
+   * The STREAMING corpus-ingest pipeline as a driver row — the
+   * [[graft.streaming.CorpusStream.cleanIngest]] stage (quality gate →
+   * content digest → cross-batch stateful dedup) actually RUNS over the
+   * documents file stream to completion. The emitted surface is the
+   * admitted DIGEST SET (+ each text's token count): identical on the
+   * stream and batch paths by the operator's contract — which doc_id
+   * survives per digest is first-arrival on the stream and deliberately
+   * unspecified in batch, so the id is NOT part of the checked surface.
+   * DuckDB recomputes the set from `documents` with the gate's
+   * cross-multiplied integer form (`punct*4 < n_chars` ⟺
+   * `punct_ratio < 0.25` exactly — integer rationals can't round onto
+   * the threshold at fixture magnitudes). A gate drift, a dropped or
+   * double-admitted batch, or a dedup-state bug hash-fails.
+   */
+  def streamCleanIngest(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.{CorpusStream, EventStreams}
+    val streamed = EventStreams.runToBatch(spark,
+      CorpusStream.cleanIngest(CorpusStream.readDocuments(spark, dir)),
+      "graft_clean_ingest_q", outputMode = "append")
+    streamed.select(col("digest"), col("n_tokens")).orderBy(col("digest"))
+  }
+
+  /**
+   * The Kafka-shaped DSv2 source as a driver row: the offset-planned
+   * STREAM (micro-batches of 120 rows per partition via admission
+   * control) runs to completion and must deliver exactly the rows of
+   * the full-range BATCH_READ replay — `stream_equals_batch` is the
+   * two-sided exceptAll emptiness check, and the structural per-
+   * partition facts (contiguous offsets 0..499, one record per second
+   * from the 2024-01-01 epoch) replay in DuckDB from `generate_series`
+   * alone. A skipped/re-read offset range, a partition mixup, or a
+   * timestamp derivation drift hash-fails.
+   */
+  def streamEventlogReplay(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.EventStreams
+    val opts = Map("topic" -> "events", "partitions" -> "4",
+      "totalPerPartition" -> "500", "batchRows" -> "120")
+    val cols = Seq("partition", "offset", "key", "value", "timestamp")
+    val streamed = EventStreams.runToBatch(spark,
+      spark.readStream.format("graft.sources.v2.EventLogSource")
+        .options(opts).load(),
+      "graft_eventlog_stream_q", outputMode = "append")
+      .select(cols.map(col): _*)
+    val batch = spark.read.format("graft.sources.v2.EventLogSource")
+      .options(opts).load()
+      .select(cols.map(col): _*)
+    val equal = streamed.exceptAll(batch).isEmpty &&
+      batch.exceptAll(streamed).isEmpty
+    streamed.groupBy(col("partition"))
+      .agg(count(lit(1)).as("n_records"),
+        min(col("offset")).as("min_offset"),
+        max(col("offset")).as("max_offset"),
+        countDistinct(col("offset")).as("n_distinct_offsets"),
+        min(col("timestamp")).cast("timestamp_ntz").as("min_ts"),
+        max(col("timestamp")).cast("timestamp_ntz").as("max_ts"))
+      .withColumn("stream_equals_batch", lit(equal))
+      .orderBy(col("partition"))
+  }
+
+  /**
    * JSONL corpus ingest with corrupt-line quarantine — the raw-feed
    * reality check: a deterministic JSONL fixture is written with every
    * 97th line TRUNCATED mid-record (the classic damaged-upload shape,
@@ -2228,7 +2288,9 @@ object ExtensionQueries extends QueryFamily {
     "session_stream_stats" -> (sessionStreamStats _),
     "stream_tumbling_counts" -> (streamTumblingCounts _),
     "stream_click_attribution" -> (streamClickAttribution _),
-    "stream_running_totals" -> (streamRunningTotals _))
+    "stream_running_totals" -> (streamRunningTotals _),
+    "stream_clean_ingest" -> (streamCleanIngest _),
+    "stream_eventlog_replay" -> (streamEventlogReplay _))
 
   /** The logit oracle replays the DEFAULT LogitWeights — one source of
     * truth, so retuning the model cannot silently desync the SQL twin. */
@@ -3607,6 +3669,33 @@ object ExtensionQueries extends QueryFamily {
       """SELECT user_id, COUNT(1) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // the streamed ADMITTED DIGEST SET recomputed from documents: the
+    // gate in exact cross-multiplied integer form (punct*4 < n_chars ⟺
+    // punct_ratio < 0.25; stopword_hits > 0 ⟺ ratio > 0)
+    "stream_clean_ingest" ->
+      s"""SELECT DISTINCT md5(text) AS digest,
+         |  CAST(LEN($tokensSql) AS BIGINT) AS n_tokens
+         |FROM documents
+         |WHERE LEN($tokensSql) >= 10
+         |  AND LENGTH(REGEXP_REPLACE(text, '[a-zA-Z0-9\\s]', '', 'g')) * 4
+         |      < LENGTH(text)
+         |  AND LEN(LIST_FILTER($tokensSql,
+         |        x -> x IN ('the','a','an','and','or','of','to','in','is','it'))) > 0
+         |ORDER BY digest""".stripMargin,
+    // structural facts of the generated topic (4 partitions × offsets
+    // 0..499, one record per second from the 2024 epoch) + the
+    // constant-TRUE stream≡batch replay gate
+    "stream_eventlog_replay" ->
+      """SELECT CAST(p AS INTEGER) AS partition,
+        |  CAST(500 AS BIGINT) AS n_records,
+        |  CAST(0 AS BIGINT) AS min_offset,
+        |  CAST(499 AS BIGINT) AS max_offset,
+        |  CAST(500 AS BIGINT) AS n_distinct_offsets,
+        |  TIMESTAMP '2024-01-01 00:00:00' AS min_ts,
+        |  TIMESTAMP '2024-01-01 00:00:00' + INTERVAL 499 SECOND AS max_ts,
+        |  TRUE AS stream_equals_batch
+        |FROM (SELECT unnest(generate_series(0, 3)) AS p)
+        |ORDER BY partition""".stripMargin,
     "state_runs" ->
       """WITH flagged AS (
         |  SELECT user_id, ts, event_id, event_type,

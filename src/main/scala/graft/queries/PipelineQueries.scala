@@ -210,6 +210,37 @@ object PipelineQueries extends QueryFamily {
       "n_chars", buckets = 8, thresholdPpm = 50000L)
   }
 
+  /**
+   * The CONTINUOUS drift monitor as a driver row — the streaming twin of
+   * [[corpusDrift]] actually RUNS: documents arrive as a file
+   * micro-batch stream, each batch is scored against the standing
+   * reference snapshot's equi-depth bins inside
+   * [[graft.streaming.DriftStream.driftStream]], and the per-batch
+   * summary lands exactly-once under `out/batch=<id>`; the query emits
+   * the landed summaries read back from the artifact. Same planted
+   * shift as the batch gate (+120 chars on every third doc), so DuckDB
+   * replays the whole verdict — a monitor that mis-binned, mis-scored,
+   * dropped the batch, or double-committed the artifact hash-fails.
+   */
+  def streamDriftMonitor(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.{CorpusStream, DriftStream}
+    val out = graft.TmpCleanup.perProcessDir("graft-drift-stream", dir)
+    val ckpt = graft.TmpCleanup.perProcessDir("graft-drift-ckpt", dir)
+    graft.TmpCleanup.register(out)
+    graft.TmpCleanup.register(ckpt)
+    val docs = Tables.documents(spark, dir)
+    val streaming = CorpusStream.readDocuments(spark, dir)
+      .select((col("n_chars") +
+        when(col("doc_id") % 3 === 0, 120L).otherwise(0L)).as("n_chars"))
+    val q = DriftStream.driftStream(streaming,
+      docs.select(col("n_chars")), "n_chars", out, ckpt,
+      buckets = 8, thresholdPpm = 50000L)
+    try q.processAllAvailable() finally q.stop()
+    spark.read.parquet(out)
+      .select(col("batch_id"), col("n_rows"), col("tv_ppm"), col("drifted"))
+      .orderBy(col("batch_id"))
+  }
+
   /** Cross-source 5-gram contamination matrix — which feeds carry the
     * same phrasing (mirrors, syndication, multi-feed benchmark leaks). */
   def sourceOverlap(spark: SparkSession, dir: String): DataFrame =
@@ -558,6 +589,7 @@ object PipelineQueries extends QueryFamily {
     "source_stats_increment" -> (sourceStatsIncrement _),
     "hist_chars" -> (histChars _),
     "corpus_drift" -> (corpusDrift _),
+    "stream_drift_monitor" -> (streamDriftMonitor _),
     "source_overlap" -> (sourceOverlap _),
     "text_normalize" -> (textNormalize _),
     "corpus_dedup_lines" -> (corpusDedupLines _),
@@ -585,6 +617,40 @@ object PipelineQueries extends QueryFamily {
     "pipeline_attrition" -> (pipelineAttrition _),
     "quality_constraints" -> (qualityConstraints _),
     "select_target_affinity" -> (selectTargetAffinity _))
+
+  /** Equi-depth-bin TV-drift CTE chain shared by the batch gate
+    * (`corpus_drift`, per-bin rows) and the streaming monitor
+    * (`stream_drift_monitor`, one folded summary row): reference bins
+    * from `n_chars`, new side = the planted +120-on-every-third-doc
+    * shift, integer ppm shares, `sd` = Σ|Δppm| in `s2`. */
+  private val driftCtes =
+    """h AS (SELECT n_chars AS v, COUNT(1) AS cnt FROM documents GROUP BY n_chars),
+      |c AS (SELECT v, cnt,
+      |    SUM(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    SUM(cnt) OVER () AS total
+      |  FROM h),
+      |i AS (SELECT CAST(unnest(generate_series(1, 7)) AS INTEGER) AS bucket),
+      |bnd AS (SELECT v AS boundary FROM c, i
+      |        WHERE 8 * cum >= bucket * total AND 8 * (cum - cnt) < bucket * total),
+      |oldv AS (SELECT n_chars AS v FROM documents),
+      |newv AS (SELECT n_chars + CASE WHEN doc_id % 3 = 0 THEN 120 ELSE 0 END AS v
+      |         FROM documents),
+      |oc AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_old FROM
+      |        (SELECT 1 + (SELECT COUNT(*) FROM bnd WHERE boundary < o.v) AS bin FROM oldv o)
+      |       GROUP BY bin),
+      |nc AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_new FROM
+      |        (SELECT 1 + (SELECT COUNT(*) FROM bnd WHERE boundary < o.v) AS bin FROM newv o)
+      |       GROUP BY bin),
+      |spine AS (SELECT CAST(unnest(generate_series(1, 8)) AS BIGINT) AS bin),
+      |per AS (SELECT s.bin, COALESCE(oc.n_old, 0) AS n_old, COALESCE(nc.n_new, 0) AS n_new
+      |        FROM spine s LEFT JOIN oc ON oc.bin = s.bin LEFT JOIN nc ON nc.bin = s.bin),
+      |t AS (SELECT SUM(n_old) AS t1, SUM(n_new) AS t2 FROM per),
+      |p AS (SELECT per.bin, per.n_old, per.n_new,
+      |        CAST((1000000 * per.n_old) // t.t1 AS BIGINT) AS p_old_ppm,
+      |        CAST((1000000 * per.n_new) // t.t2 AS BIGINT) AS p_new_ppm
+      |      FROM per CROSS JOIN t),
+      |d AS (SELECT p.*, ABS(p_old_ppm - p_new_ppm) AS delta_ppm FROM p),
+      |s2 AS (SELECT SUM(delta_ppm) AS sd FROM d)""".stripMargin
 
   /** Tokens-with-position CTE shared by the n-gram oracles — the zipped
     * double-unnest mirrors Spark's posexplode positions 1-based. */
@@ -818,38 +884,22 @@ object PipelineQueries extends QueryFamily {
     // bin = 1 + count(boundaries < v) (the operator's indicator sum),
     // fixed-point TV with floor division at every step
     "corpus_drift" ->
-      """WITH h AS (SELECT n_chars AS v, COUNT(1) AS cnt FROM documents GROUP BY n_chars),
-        |c AS (SELECT v, cnt,
-        |    SUM(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
-        |    SUM(cnt) OVER () AS total
-        |  FROM h),
-        |i AS (SELECT CAST(unnest(generate_series(1, 7)) AS INTEGER) AS bucket),
-        |bnd AS (SELECT v AS boundary FROM c, i
-        |        WHERE 8 * cum >= bucket * total AND 8 * (cum - cnt) < bucket * total),
-        |oldv AS (SELECT n_chars AS v FROM documents),
-        |newv AS (SELECT n_chars + CASE WHEN doc_id % 3 = 0 THEN 120 ELSE 0 END AS v
-        |         FROM documents),
-        |oc AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_old FROM
-        |        (SELECT 1 + (SELECT COUNT(*) FROM bnd WHERE boundary < o.v) AS bin FROM oldv o)
-        |       GROUP BY bin),
-        |nc AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_new FROM
-        |        (SELECT 1 + (SELECT COUNT(*) FROM bnd WHERE boundary < o.v) AS bin FROM newv o)
-        |       GROUP BY bin),
-        |spine AS (SELECT CAST(unnest(generate_series(1, 8)) AS BIGINT) AS bin),
-        |per AS (SELECT s.bin, COALESCE(oc.n_old, 0) AS n_old, COALESCE(nc.n_new, 0) AS n_new
-        |        FROM spine s LEFT JOIN oc ON oc.bin = s.bin LEFT JOIN nc ON nc.bin = s.bin),
-        |t AS (SELECT SUM(n_old) AS t1, SUM(n_new) AS t2 FROM per),
-        |p AS (SELECT per.bin, per.n_old, per.n_new,
-        |        CAST((1000000 * per.n_old) // t.t1 AS BIGINT) AS p_old_ppm,
-        |        CAST((1000000 * per.n_new) // t.t2 AS BIGINT) AS p_new_ppm
-        |      FROM per CROSS JOIN t),
-        |d AS (SELECT p.*, ABS(p_old_ppm - p_new_ppm) AS delta_ppm FROM p),
-        |s2 AS (SELECT SUM(delta_ppm) AS sd FROM d)
+      s"""WITH $driftCtes
         |SELECT bin, n_old, n_new, p_old_ppm, p_new_ppm,
         |  CAST(delta_ppm AS BIGINT) AS delta_ppm,
         |  CAST(sd // 2 AS BIGINT) AS tv_ppm,
         |  (sd // 2) > 50000 AS drifted
         |FROM d CROSS JOIN s2 ORDER BY bin""".stripMargin,
+    // the streaming monitor's landed per-batch summary: the bounded
+    // fixture is ONE micro-batch (batch_id 0), so the summary folds the
+    // identical bin derivation to (row count, tv, verdict)
+    "stream_drift_monitor" ->
+      s"""WITH $driftCtes
+        |SELECT CAST(0 AS BIGINT) AS batch_id,
+        |  CAST((SELECT SUM(n_new) FROM d) AS BIGINT) AS n_rows,
+        |  CAST(sd // 2 AS BIGINT) AS tv_ppm,
+        |  (sd // 2) > 50000 AS drifted
+        |FROM s2""".stripMargin,
     "source_overlap" ->
       s"""WITH stoks AS (
          |  SELECT doc_id, source,
