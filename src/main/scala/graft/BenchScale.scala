@@ -91,7 +91,21 @@ object BenchScale {
     "quality_lm_score" -> "linear",
     "embed_pca_verdict" -> "linear",
     "quality_compress" -> "linear",
-    "select_dsir" -> "linear")
+    "select_dsir" -> "linear",
+    // r11/12 probe sweep over the remaining r10 cost leaders + new r12
+    // surfaces: the hashed-DSIR variant (now scope-cached — the probe
+    // guards the fix), the RRF ensemble's per-signal top-k fan-in, the
+    // JL projection (pure per-row kernel), the LM divergence rollup,
+    // the exact-substring REMOVAL rewrite (dup-gram stats + interval
+    // merge, expected ~linear: pair explosion never materializes), and
+    // the index segment-compaction round trip (index-sized, not
+    // corpus-text-sized)
+    "select_dsir_hashed" -> "linear",
+    "quality_rrf_topk" -> "linear",
+    "embed_rp_project" -> "linear",
+    "lm_source_divergence" -> "linear",
+    "dedup_span_removal" -> "linear",
+    "text_bm25_segment_compact" -> "linear")
 
   private def writeCorpus(
       spark: SparkSession, srcSf: String, outDir: String, copies: Int): Unit = {

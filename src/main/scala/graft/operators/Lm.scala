@@ -109,4 +109,45 @@ object Lm {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     scoreDocs(docs, trainBigram(ref, idCol, textCol), idCol, textCol)
       .withColumn("keep", col("score_micro") >= lit(thresholdMicro))
+
+  /**
+   * CCNet's head/middle/tail split — the published pipeline's actual
+   * OUTPUT shape (Wenzek et al. 2020 §4.4: score every document under
+   * the reference LM, then cut the corpus into three perplexity
+   * terciles; downstream training recipes mix the bands with different
+   * weights rather than hard-dropping). Tercile of a document = tercile
+   * of its exact micro-score VALUE: with `cumBelow(v)` = number of docs
+   * scoring strictly below v (over the whole scored corpus) the band is
+   *
+   *   tercile(v) = min(3, 1 + (3 · cumBelow(v)) div n_docs)
+   *
+   * so equal scores always share a band (no arbitrary within-tie split),
+   * the arithmetic is integer-exact, and ascending terciles mean
+   * ascending likelihood: 3 = head (most reference-like), 1 = tail.
+   *
+   * Scale shape: scoring is [[scoreDocs]]; the tercile cut needs a
+   * cumulative count over the SCORE HISTOGRAM (distinct score values,
+   * not docs), which runs through the distributed range-partitioned
+   * prefix sum ([[graft.operators.Scale.rangeCumsum]]) — never the
+   * single-partition `ntile()`/`percent_rank()` window a naive
+   * formulation plans. The labeled histogram then joins back on the
+   * score value (AQE picks the strategy; the histogram is
+   * distinct-score-, not corpus-bounded).
+   */
+  def scoreTerciles(docs: DataFrame, ref: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val scored = CacheScope.scoped(
+      scoreDocs(docs, trainBigram(ref, idCol, textCol), idCol, textCol))
+    val hist = scored.groupBy(col("score_micro"))
+      .agg(count(lit(1)).as("__cnt"))
+    val bands = Scale.rangeCumsum(hist, "score_micro", "__cnt", "__cum", "__total")
+      .select(col("score_micro"),
+        least(lit(3L),
+          lit(1L) + expr("(3 * (__cum - __cnt)) div __total")).as("tercile"))
+    scored.join(bands, Seq("score_micro"))
+      .select(col(idCol), col("n_bigrams"), col("score_micro"), col("tercile"),
+        when(col("tercile") === 3, lit("head"))
+          .when(col("tercile") === 2, lit("middle"))
+          .otherwise(lit("tail")).as("band"))
+  }
 }

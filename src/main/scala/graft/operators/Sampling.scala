@@ -396,4 +396,54 @@ object Sampling {
       .orderBy(col("affinity_micro").desc, col(idCol).asc)
       .limit(topN)
   }
+
+  /**
+   * Systematic probability-proportional-to-size sampling — the
+   * deterministic, single-pass way to draw k documents with inclusion
+   * probability ∝ weight (token budget ∝ quality score, balanced epoch
+   * slices, audit samples): classic survey-sampling systematic PPS with
+   * the midpoint rule. Lay every document's weight on a line in `idCol`
+   * order; selection points sit at odd multiples of W/(2k); a document
+   * is drawn once per point inside its weight interval:
+   *
+   *   picks(cum) = ⌊(2k·cum + W − 1) / (2W)⌋   (points strictly below cum)
+   *   n_picks(doc) = picks(cum) − picks(cum − w)
+   *
+   * Σ n_picks = k exactly; a document with w > W/k can be drawn more
+   * than once (its multiplicity is the honest PPS answer — callers that
+   * need distinct docs cap weights first). All arithmetic is integer —
+   * the whole draw replays bit-for-bit in SQL, unlike u^(1/w) priority
+   * sampling whose float keys cannot hash-oracle.
+   *
+   * Scale shape: the cumulative weight runs through the distributed
+   * range-partitioned prefix sum ([[graft.operators.Scale.rangeCumsum]]
+   * keyed on the unique `idCol`) — one range exchange + a bounded
+   * per-partition-offset broadcast, never the single-partition global
+   * window `SUM() OVER (ORDER BY …)` plans. Everything after is a
+   * row-local projection.
+   */
+  def systematicSample(
+      df: DataFrame,
+      idCol: String,
+      weightCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"sample size must be >= 1: $k")
+    // zero-weight rows occupy no line segment and can never be drawn;
+    // negative weights would corrupt every later interval — fail loud
+    val base = df.select(col(idCol), col(weightCol).cast("long").as("__w"))
+      .withColumn("__w", when(col("__w") >= 0, col("__w"))
+        .otherwise(expr(s"raise_error('systematicSample: negative weight')")))
+    val cum = graft.operators.Scale.rangeCumsum(base, idCol, "__w", "__cum", "__W")
+    // 2k·cum can pass 9.2e18 at real corpus weights (1e14 chars × k=1e5)
+    // — run the product in DECIMAL(38,0), the targetAffinity overflow
+    // discipline: exact to 1e38, matching DuckDB's HUGEINT widening,
+    // and the quotient (≤ k) lands back in BIGINT
+    def picksExpr(c: String) =
+      s"(2 * $k * cast($c as decimal(38,0)) + __W - 1) div (2 * __W)"
+    cum
+      .withColumn("n_picks", expr(
+        s"cast(${picksExpr("__cum")} - ${picksExpr("(__cum - __w)")} as bigint)"))
+      .filter(col("n_picks") >= 1)
+      .select(col(idCol), col("__w").as("weight"), col("n_picks"))
+  }
 }

@@ -967,6 +967,17 @@ object ExtensionQueries extends QueryFamily {
       .orderBy(col("doc_id"))
   }
 
+  /** CCNet's head/middle/tail OUTPUT shape: the corpus cut into exact
+    * micro-score terciles under the src0-trained reference LM — equal
+    * scores share a band, the tercile cut runs on the distributed
+    * range-partitioned prefix sum, and the whole split replays in SQL
+    * with zero float tolerance. */
+  def qualityLmBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    graft.operators.Lm.scoreTerciles(docs, docs.filter(col("source") === "src0"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Compressibility signal (rows-only surface; `quality_compress_verdict`
     * is the driver-checked twin — DuckDB has no DEFLATE to replay the
     * compressed size). */
@@ -2222,6 +2233,7 @@ object ExtensionQueries extends QueryFamily {
     "text_quality" -> (textQuality _),
     "quality_gopher" -> (qualityGopher _),
     "quality_lm_score" -> (qualityLmScore _),
+    "quality_lm_buckets" -> (qualityLmBuckets _),
     "quality_compress" -> (qualityCompress _),
     "lm_source_divergence" -> (lmSourceDivergence _),
     "select_dsir" -> (selectDsir _),
@@ -2990,6 +3002,46 @@ object ExtensionQueries extends QueryFamily {
          |  COALESCE(sum_p_micro // n_bigrams, 0) >= 32000 AS keep
          |FROM documents d LEFT JOIN sc USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+    // the tercile split: per-score cumulative count below, integer
+    // band rule LEAST(3, 1 + 3·cumBelow DIV total), equal scores share
+    // a band — same LM CTE family as quality_lm_score
+    "quality_lm_buckets" ->
+      s"""WITH t AS (SELECT doc_id, source, $tokensSql AS tk FROM documents),
+         |pairs AS (
+         |  SELECT doc_id, source,
+         |    CASE WHEN i = 1 THEN '<s>' ELSE tk[i-1] END AS prev, tk[i] AS tok
+         |  FROM (SELECT doc_id, source, tk,
+         |          unnest(generate_series(1, len(tk))) AS i FROM t)),
+         |big AS (SELECT prev, tok, CAST(COUNT(*) AS BIGINT) AS c
+         |        FROM pairs WHERE source = 'src0' GROUP BY 1, 2),
+         |ctx AS (SELECT prev, CAST(SUM(c) AS BIGINT) AS ctx_n FROM big GROUP BY 1),
+         |v AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS vocab FROM big),
+         |sc AS (
+         |  SELECT p.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         |    CAST(SUM((COALESCE(b.c, 0) + 1) * 1000000
+         |      // (COALESCE(x.ctx_n, 0) + v.vocab + 1)) AS BIGINT) AS sum_p
+         |  FROM pairs p CROSS JOIN v
+         |  LEFT JOIN big b ON b.prev = p.prev AND b.tok = p.tok
+         |  LEFT JOIN ctx x ON x.prev = p.prev
+         |  GROUP BY 1),
+         |perdoc AS (
+         |  SELECT d.doc_id, COALESCE(sc.n_bigrams, 0) AS n_bigrams,
+         |    COALESCE(sc.sum_p // sc.n_bigrams, 0) AS score_micro
+         |  FROM documents d LEFT JOIN sc USING (doc_id)),
+         |h AS (SELECT score_micro, COUNT(*) AS cnt FROM perdoc GROUP BY 1),
+         |cb AS (SELECT score_micro,
+         |         SUM(cnt) OVER (ORDER BY score_micro
+         |           ROWS UNBOUNDED PRECEDING) - cnt AS cum_below,
+         |         SUM(cnt) OVER () AS total
+         |       FROM h),
+         |b AS (SELECT score_micro,
+         |        CAST(LEAST(3, 1 + (3 * cum_below) // total) AS BIGINT) AS tercile
+         |      FROM cb)
+         |SELECT p.doc_id, p.n_bigrams, p.score_micro, b.tercile,
+         |  CASE WHEN b.tercile = 3 THEN 'head'
+         |       WHEN b.tercile = 2 THEN 'middle' ELSE 'tail' END AS band
+         |FROM perdoc p JOIN b USING (score_micro)
+         |ORDER BY p.doc_id""".stripMargin,
     // token-weighted per-source mean of the LM micro-likelihood — the
     // same CTE family as quality_lm_score, rolled up by source
     "lm_source_divergence" ->

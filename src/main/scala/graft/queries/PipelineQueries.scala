@@ -119,6 +119,14 @@ object PipelineQueries extends QueryFamily {
       n = 4, minTokens = 5)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** Systematic PPS draw of 100 docs with inclusion ∝ n_chars — the
+    * deterministic weighted sampler (midpoint rule over the distributed
+    * prefix sum; Σ n_picks = 100 exactly). */
+  def sampleSystematic(spark: SparkSession, dir: String): DataFrame =
+    Sampling.systematicSample(Tables.documents(spark, dir), "doc_id",
+      "n_chars", k = 100)
+      .orderBy(col("doc_id"))
+
   /** Exact-substring REMOVAL (Lee et al. 2022's rewrite stage): delete
     * duplicated ≥4-token runs, keeping each gram's corpus-first
     * occurrence; rebuilt text + attrition telemetry per doc. */
@@ -126,6 +134,37 @@ object PipelineQueries extends QueryFamily {
     Ngrams.removeDuplicateSpans(Tables.documents(spark, dir), "doc_id", "text",
       n = 4)
       .orderBy(col("doc_id"))
+
+  /**
+   * Composed flagship v7 — the r12 stage in front: exact-substring SPAN
+   * REMOVAL → minimum-content gate on the SURVIVING tokens → exact
+   * dedup of the cleaned text (deterministic min-id survivor via one
+   * arg-min aggregate, no per-digest window) → per-source rollup with
+   * an id-ordered digest chain. Every stage integer/string-exact, so
+   * the whole pipeline replays under one oracle: a drift in any stage
+   * (a span kept twice, a gate off-by-one, a survivor flip, a chain
+   * reorder) hash-fails the rollup.
+   */
+  def pipelineCorpusV7(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val cleaned = Ngrams.removeDuplicateSpans(docs, "doc_id", "text", n = 4)
+      .filter(col("n_tokens") - col("n_removed") >= 10)
+      .withColumn("digest", md5(col("text_clean")))
+    val survivors = cleaned
+      .groupBy(col("digest"))
+      .agg(min(struct(col("doc_id"), col("n_tokens"), col("n_removed"))).as("s"))
+      .select(col("digest"), col("s.doc_id").as("doc_id"),
+        col("s.n_tokens").as("n_tokens"), col("s.n_removed").as("n_removed"))
+    survivors.join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens") - col("n_removed")).as("kept_tokens"),
+        sum(col("n_removed")).as("removed_tokens"),
+        md5(concat_ws("",
+          transform(array_sort(collect_list(struct(col("doc_id"), col("digest")))),
+            x => x.getField("digest")))).as("digest_chain"))
+      .orderBy(col("source"))
+  }
 
   /** Boilerplate bigrams: grams in ≥10% (and ≥3) of a language's docs. */
   def boilerplateNgrams(spark: SparkSession, dir: String): DataFrame =
@@ -600,9 +639,11 @@ object PipelineQueries extends QueryFamily {
     "bpe_merges" -> (bpeMerges _),
     "bpe_token_count" -> (bpeTokenCount _),
     "sample_topk_quality" -> (sampleTopkQuality _),
+    "sample_systematic" -> (sampleSystematic _),
     "dedup_substring_pairs" -> (dedupSubstringPairs _),
     "dedup_substring_verify" -> (dedupSubstringVerify _),
     "dedup_span_removal" -> (dedupSpanRemoval _),
+    "pipeline_corpus_v7" -> (pipelineCorpusV7 _),
     "boilerplate_ngrams" -> (boilerplateNgrams _),
     "sample_group" -> (sampleGroup _),
     "mix_token_budget" -> (mixTokenBudget _),
@@ -617,6 +658,56 @@ object PipelineQueries extends QueryFamily {
     "pipeline_attrition" -> (pipelineAttrition _),
     "quality_constraints" -> (qualityConstraints _),
     "select_target_affinity" -> (selectTargetAffinity _))
+
+  /** Exact-substring-removal CTE chain (follows `toksCte`), shared by
+    * the direct row (`dedup_span_removal`) and the composed v7
+    * flagship: dup-gram stats with keep-first by (doc_id, pos),
+    * gaps-and-islands interval merge, position coverage, token rebuild.
+    * Ends in `spanout` = (doc_id, text_clean, n_tokens, n_removed) with
+    * one row per document. */
+  private val spanRemovalCtes =
+    """ng AS (
+      |  SELECT doc_id, pos,
+      |    tok || ' ' || LEAD(tok, 1) OVER w || ' ' || LEAD(tok, 2) OVER w
+      |        || ' ' || LEAD(tok, 3) OVER w AS ngram
+      |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+      |occ AS (SELECT doc_id, pos, ngram FROM ng WHERE ngram IS NOT NULL),
+      |st AS (SELECT ngram, COUNT(*) AS cnt, MIN(doc_id) AS fid
+      |       FROM occ GROUP BY ngram HAVING COUNT(*) >= 2),
+      |fp AS (SELECT o.ngram, MIN(o.pos) AS fpos
+      |       FROM occ o JOIN st ON st.ngram = o.ngram AND o.doc_id = st.fid
+      |       GROUP BY o.ngram),
+      |dup AS (SELECT o.doc_id, o.pos AS s, o.pos + 3 AS e
+      |        FROM occ o JOIN st ON st.ngram = o.ngram
+      |        JOIN fp ON fp.ngram = o.ngram
+      |        WHERE NOT (o.doc_id = st.fid AND o.pos = fp.fpos)),
+      |isl AS (SELECT doc_id, s, e,
+      |          CASE WHEN s > COALESCE(MAX(e) OVER (PARTITION BY doc_id
+      |              ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |            -1) THEN 1 ELSE 0 END AS ni
+      |        FROM dup),
+      |isl2 AS (SELECT doc_id, s, e,
+      |           SUM(ni) OVER (PARTITION BY doc_id ORDER BY s
+      |             ROWS UNBOUNDED PRECEDING) AS island
+      |         FROM isl),
+      |mg AS (SELECT doc_id, MIN(s) AS s0, MAX(e) AS e0
+      |       FROM isl2 GROUP BY doc_id, island),
+      |rem AS (SELECT doc_id, unnest(range(s0, e0 + 1)) AS rpos FROM mg),
+      |kept AS (SELECT t.doc_id, t.pos, t.tok,
+      |           (r.rpos IS NOT NULL) AS rm
+      |         FROM toks t LEFT JOIN rem r
+      |           ON r.doc_id = t.doc_id AND r.rpos = t.pos),
+      |spanagg AS (SELECT doc_id,
+      |          COALESCE(STRING_AGG(tok, ' ' ORDER BY pos)
+      |            FILTER (WHERE NOT rm), '') AS text_clean,
+      |          CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      |          CAST(SUM(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT)
+      |            AS n_removed
+      |        FROM kept GROUP BY doc_id),
+      |spanout AS (SELECT d.doc_id, COALESCE(a.text_clean, '') AS text_clean,
+      |  COALESCE(a.n_tokens, 0) AS n_tokens,
+      |  COALESCE(a.n_removed, 0) AS n_removed
+      |FROM documents d LEFT JOIN spanagg a ON a.doc_id = d.doc_id)""".stripMargin
 
   /** Equi-depth-bin TV-drift CTE chain shared by the batch gate
     * (`corpus_drift`, per-bin rows) and the streaming monitor
@@ -1084,49 +1175,24 @@ object PipelineQueries extends QueryFamily {
     // (doc_id, pos)), interval merge, position coverage, token rebuild
     "dedup_span_removal" ->
       s"""WITH $toksCte,
-         |ng AS (
-         |  SELECT doc_id, pos,
-         |    tok || ' ' || LEAD(tok, 1) OVER w || ' ' || LEAD(tok, 2) OVER w
-         |        || ' ' || LEAD(tok, 3) OVER w AS ngram
-         |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
-         |occ AS (SELECT doc_id, pos, ngram FROM ng WHERE ngram IS NOT NULL),
-         |st AS (SELECT ngram, COUNT(*) AS cnt, MIN(doc_id) AS fid
-         |       FROM occ GROUP BY ngram HAVING COUNT(*) >= 2),
-         |fp AS (SELECT o.ngram, MIN(o.pos) AS fpos
-         |       FROM occ o JOIN st ON st.ngram = o.ngram AND o.doc_id = st.fid
-         |       GROUP BY o.ngram),
-         |dup AS (SELECT o.doc_id, o.pos AS s, o.pos + 3 AS e
-         |        FROM occ o JOIN st ON st.ngram = o.ngram
-         |        JOIN fp ON fp.ngram = o.ngram
-         |        WHERE NOT (o.doc_id = st.fid AND o.pos = fp.fpos)),
-         |isl AS (SELECT doc_id, s, e,
-         |          CASE WHEN s > COALESCE(MAX(e) OVER (PARTITION BY doc_id
-         |              ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-         |            -1) THEN 1 ELSE 0 END AS ni
-         |        FROM dup),
-         |isl2 AS (SELECT doc_id, s, e,
-         |           SUM(ni) OVER (PARTITION BY doc_id ORDER BY s
-         |             ROWS UNBOUNDED PRECEDING) AS island
-         |         FROM isl),
-         |mg AS (SELECT doc_id, MIN(s) AS s0, MAX(e) AS e0
-         |       FROM isl2 GROUP BY doc_id, island),
-         |rem AS (SELECT doc_id, unnest(range(s0, e0 + 1)) AS rpos FROM mg),
-         |kept AS (SELECT t.doc_id, t.pos, t.tok,
-         |           (r.rpos IS NOT NULL) AS rm
-         |         FROM toks t LEFT JOIN rem r
-         |           ON r.doc_id = t.doc_id AND r.rpos = t.pos),
-         |agg AS (SELECT doc_id,
-         |          COALESCE(STRING_AGG(tok, ' ' ORDER BY pos)
-         |            FILTER (WHERE NOT rm), '') AS text_clean,
-         |          CAST(COUNT(*) AS BIGINT) AS n_tokens,
-         |          CAST(SUM(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT)
-         |            AS n_removed
-         |        FROM kept GROUP BY doc_id)
-         |SELECT d.doc_id, COALESCE(a.text_clean, '') AS text_clean,
-         |  COALESCE(a.n_tokens, 0) AS n_tokens,
-         |  COALESCE(a.n_removed, 0) AS n_removed
-         |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
-         |ORDER BY d.doc_id""".stripMargin,
+         |$spanRemovalCtes
+         |SELECT doc_id, text_clean, n_tokens, n_removed
+         |FROM spanout ORDER BY doc_id""".stripMargin,
+    // v7: span removal -> kept-token gate -> min-id exact dedup of the
+    // cleaned text -> per-source rollup with id-ordered digest chain
+    "pipeline_corpus_v7" ->
+      s"""WITH $toksCte,
+         |$spanRemovalCtes,
+         |gated AS (SELECT doc_id, MD5(text_clean) AS dg, n_tokens, n_removed
+         |          FROM spanout WHERE n_tokens - n_removed >= 10),
+         |sur AS (SELECT doc_id, dg, n_tokens, n_removed FROM gated
+         |        QUALIFY ROW_NUMBER() OVER (PARTITION BY dg ORDER BY doc_id) = 1)
+         |SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(s.n_tokens - s.n_removed) AS BIGINT) AS kept_tokens,
+         |  CAST(SUM(s.n_removed) AS BIGINT) AS removed_tokens,
+         |  MD5(STRING_AGG(s.dg, '' ORDER BY s.doc_id)) AS digest_chain
+         |FROM sur s JOIN documents d ON d.doc_id = s.doc_id
+         |GROUP BY d.source ORDER BY d.source""".stripMargin,
     "boilerplate_ngrams" ->
       """WITH toks AS (
         |  SELECT doc_id, lang,
@@ -1143,6 +1209,20 @@ object PipelineQueries extends QueryFamily {
         |FROM gs g JOIN tot t USING (lang)
         |WHERE g.n_docs * 10 >= t.total AND g.n_docs >= 3
         |ORDER BY g.lang, g.ngram""".stripMargin,
+    // systematic PPS replayed: global cumsum in doc order, midpoint
+    // selection points, per-doc pick multiplicity (2k = 200)
+    "sample_systematic" ->
+      """WITH c AS (
+        |  SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+        |    SUM(n_chars) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum,
+        |    SUM(n_chars) OVER () AS tw
+        |  FROM documents),
+        |p AS (SELECT doc_id, w,
+        |        CAST(((200 * cum + tw - 1) // (2 * tw))
+        |          - ((200 * (cum - w) + tw - 1) // (2 * tw)) AS BIGINT) AS n_picks
+        |      FROM c)
+        |SELECT doc_id, w AS weight, n_picks FROM p
+        |WHERE n_picks >= 1 ORDER BY doc_id""".stripMargin,
     "sample_topk_quality" ->
       """SELECT source, rnk, doc_id, n_chars FROM (
         |  SELECT source, doc_id, n_chars,

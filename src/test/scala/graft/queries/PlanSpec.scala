@@ -330,7 +330,16 @@ class PlanSpec extends SparkSpec {
       // (31 driver-sequenced aggregates over ONE cached feature frame —
       // the scan audit sees the pre-cache read) and the perceptual
       // dedup pair (the decode→DCT pipeline reads doc_id+text only)
-      "quality_logit_train", "multimodal_dedup_perceptual")
+      "quality_logit_train", "multimodal_dedup_perceptual",
+      // r10's actual bench top-7 (the LM/DSIR family + composed v6 and
+      // the RRF ensemble): two-model trains + vocabulary-bounded score
+      // joins — the audit pins that none of them grew a cartesian and
+      // that every text scan stays pruned to (doc_id, text[, source])
+      "select_dsir", "select_dsir_topk", "select_dsir_hashed",
+      "quality_lm_score", "lm_source_divergence", "pipeline_corpus_v6",
+      "quality_rrf_topk",
+      // r10 embedding reductions (now exploded scalar surfaces)
+      "embed_pca_project", "embed_rp_project")
     val fullWidth = graft.sources.Tables.documents(spark, sfDir).schema.size
     for (q <- hot) {
       val p = plan(q)
