@@ -318,10 +318,14 @@ object Retrieval {
     * which cloud committers are routinely configured not to write.
     * Content contract: EMPTY for an appended segment; a compacted
     * segment's marker instead lists the segment ids it supersedes (one
-    * decimal id per line), so publishing the marker is ONE atomic
-    * rename that simultaneously makes the merged segment visible and
-    * its sources invisible — a racing serve sees the old set or the
-    * new set, never both (which would double every tf/df). */
+    * decimal id per line — its direct sources plus any still-on-disk
+    * orphans carried forward from earlier compactions), so publishing
+    * the marker is ONE atomic rename that simultaneously makes the
+    * merged segment visible and its sources invisible. A racing serve
+    * is never DOUBLED (old id set or new, decided by the rename), but
+    * one that listed just before the publish can lose files to source
+    * reclaim mid-scan — see [[compactIndexSegments]]'s
+    * `reclaimSources` for the zero-disruption variant. */
   private[operators] val CommitMarker = "_GRAFT_COMMIT"
 
   /** Compacted segments get ids from a disjoint range so a streaming
@@ -331,24 +335,34 @@ object Retrieval {
     * at one batch per millisecond. */
   private[operators] val CompactIdBase = 1000000000000L
 
-  /** The segments a serve may read: committed (marker present) minus
-    * superseded (named in any committed marker's content). One glob +
-    * one tiny marker read per segment; a corpus that accumulates many
-    * segments should compact — see [[compactIndexSegments]]. */
-  private[operators] def liveSegments(
+  /** Committed segment ids (marker present) and the union of ids named
+    * in those markers' contents (superseded by some compaction). One
+    * glob + one tiny marker read per compacted segment. */
+  private[operators] def committedAndNamed(
       fs: org.apache.hadoop.fs.FileSystem,
-      normsPath: org.apache.hadoop.fs.Path): Seq[Long] = {
+      normsPath: org.apache.hadoop.fs.Path): (Seq[Long], Set[Long]) = {
     val markers = fs.globStatus(
       new org.apache.hadoop.fs.Path(normsPath, s"batch=*/$CommitMarker")).toSeq
     val committed = markers.map(
       _.getPath.getParent.getName.stripPrefix("batch=").toLong)
-    val superseded = markers.flatMap { st =>
+    val named = markers.flatMap { st =>
       if (st.getLen == 0) Nil // append marker — fast path, no read
       else scala.util.Using.resource(fs.open(st.getPath)) { in =>
         scala.io.Source.fromInputStream(in, "UTF-8").getLines()
           .map(_.trim).filter(_.nonEmpty).map(_.toLong).toList
       }
     }.toSet
+    (committed, named)
+  }
+
+  /** The segments a serve may read: committed (marker present) minus
+    * superseded (named in any committed marker's content). A corpus
+    * that accumulates many segments should compact — see
+    * [[compactIndexSegments]]. */
+  private[operators] def liveSegments(
+      fs: org.apache.hadoop.fs.FileSystem,
+      normsPath: org.apache.hadoop.fs.Path): Seq[Long] = {
+    val (committed, superseded) = committedAndNamed(fs, normsPath)
     committed.filterNot(superseded)
   }
 
@@ -368,11 +382,30 @@ object Retrieval {
    *  1. merged postings + norms are written under a fresh segment id
    *     from [[CompactIdBase]]'s range — unmarked, so invisible;
    *  2. the marker is published by temp-write + ATOMIC RENAME, its
-   *     content naming the superseded source ids — serves atomically
-   *     switch from the old segment set to the merged one;
-   *  3. source segment directories are deleted best-effort (they are
-   *     invisible already; a crash here leaves reclaimable orphans and
-   *     re-running compaction is safe).
+   *     content naming the superseded source ids PLUS, copied forward,
+   *     every previously-superseded id whose data directory still
+   *     exists (a prior reclaim that failed or crashed mid-loop).
+   *     Without the copy-forward, superseding a compacted segment
+   *     destroys the only tombstone naming ITS sources, and a surviving
+   *     orphan — whose own marker is still on disk — would be served
+   *     again next to the merged copy, doubling its tf/df;
+   *  3. (`reclaimSources = true`, the default) each source is
+   *     UN-COMMITTED first — its marker deleted, failing LOUDLY if the
+   *     delete fails while the marker remains — then its data
+   *     directories are removed best-effort. A crash here leaves
+   *     reclaimable orphans that stay tombstoned (step 2) and
+   *     re-running compaction, or [[vacuumIndexSegments]], reclaims
+   *     them.
+   *
+   * Visibility guarantee: a serve never sees a doc twice (old set or
+   * new set, decided by the single marker rename). It is NOT a
+   * zero-disruption guarantee — a serve that listed markers just
+   * before the publish can race the source deletion and fail with
+   * FileNotFound (or, with `spark.sql.files.ignoreMissingFiles`,
+   * silently read a partial corpus). Serving fleets that cannot retry
+   * should pass `reclaimSources = false` and run
+   * [[vacuumIndexSegments]] after a grace period longer than their
+   * longest query.
    *
    * Single-maintainer discipline: don't run two compactions of one
    * index concurrently (they'd both claim `max(live)+1`); appends may
@@ -380,13 +413,17 @@ object Retrieval {
    * joins the next one. Returns the live-segment count after
    * compaction (1, or the input count when already compact).
    */
-  def compactIndexSegments(spark: SparkSession, dir: String): Int = {
+  def compactIndexSegments(
+      spark: SparkSession,
+      dir: String,
+      reclaimSources: Boolean = true): Int = {
     import org.apache.hadoop.fs.Path
     val conf = spark.sessionState.newHadoopConf()
     val normsPath = new Path(s"$dir/norms")
     val fs = normsPath.getFileSystem(conf)
     require(fs.exists(normsPath), s"no index under $dir")
-    val live = liveSegments(fs, normsPath)
+    val (committed, priorNamed) = committedAndNamed(fs, normsPath)
+    val live = committed.filterNot(priorNamed)
     require(live.nonEmpty, s"no committed index segments under $dir")
     if (live.size <= 1) return live.size
 
@@ -404,20 +441,64 @@ object Retrieval {
       .filter(col("batch").isin(live: _*))
       .select(col("doc_id"), col("len"))
       .write.mode("overwrite").parquet(s"$dir/norms/$seg")
-    // (2) atomic publish: marker content = superseded ids
+    // (2) atomic publish. Tombstones = the sources being merged +
+    // previously-superseded ids whose data still exists on disk (the
+    // existence probe bounds the carried set to ACTUAL orphans, so the
+    // marker doesn't accumulate every id ever compacted). Probing
+    // norms alone suffices: a serve admits a segment only via its norm
+    // dir's marker, and vacuum removes both dirs of a named id.
+    val orphansAlive = priorNamed.toSeq.filter { id =>
+      fs.exists(new Path(s"$dir/norms/batch=$id")) ||
+        fs.exists(new Path(s"$dir/postings/batch=$id"))
+    }
+    val tombstones = (live ++ orphansAlive).distinct.sorted
     val markerPath = new Path(s"$dir/norms/$seg/$CommitMarker")
     val tmp = new Path(s"$dir/norms/$seg/.${CommitMarker}.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
     scala.util.Using.resource(fs.create(tmp, true)) { out =>
-      out.write(live.sorted.mkString("", "\n", "\n").getBytes("UTF-8"))
+      out.write(tombstones.mkString("", "\n", "\n").getBytes("UTF-8"))
     }
     if (!fs.rename(tmp, markerPath))
       throw new java.io.IOException(s"compact marker publish failed: $markerPath")
-    // (3) sources are invisible now — best-effort reclaim
-    live.foreach { id =>
+    // (3) reclaim: un-commit each source FIRST (loud on failure — an
+    // orphan with a live marker is the resurrection precondition), then
+    // drop its data. Data-dir failures are tolerable: the id stays in
+    // the new marker's tombstones and the next compact/vacuum retries.
+    if (reclaimSources) tombstones.foreach { id =>
+      val srcMarker = new Path(s"$dir/norms/batch=$id/$CommitMarker")
+      if (!fs.delete(srcMarker, false) && fs.exists(srcMarker))
+        throw new java.io.IOException(
+          s"compaction could not un-commit superseded segment $id " +
+            s"($srcMarker survives); refusing to leave a resurrectable orphan")
       fs.delete(new Path(s"$dir/postings/batch=$id"), true)
       fs.delete(new Path(s"$dir/norms/batch=$id"), true)
     }
     1
+  }
+
+  /** Reclaim superseded index segments deferred by
+    * `compactIndexSegments(…, reclaimSources = false)`: deletes the
+    * data directories of every id named in a committed marker. Only
+    * NAMED ids are touched — an uncommitted, un-named directory may be
+    * an in-flight append and is left alone. Run it after a grace
+    * period longer than the serving fleet's longest query so no scan
+    * started before the compaction's publish still holds the old file
+    * list. Returns the number of segment ids reclaimed. */
+  def vacuumIndexSegments(spark: SparkSession, dir: String): Int = {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sessionState.newHadoopConf()
+    val normsPath = new Path(s"$dir/norms")
+    val fs = normsPath.getFileSystem(conf)
+    require(fs.exists(normsPath), s"no index under $dir")
+    val (_, named) = committedAndNamed(fs, normsPath)
+    val dead = named.toSeq.sorted.filter { id =>
+      fs.exists(new Path(s"$dir/norms/batch=$id")) ||
+        fs.exists(new Path(s"$dir/postings/batch=$id"))
+    }
+    dead.foreach { id =>
+      fs.delete(new Path(s"$dir/postings/batch=$id"), true)
+      fs.delete(new Path(s"$dir/norms/batch=$id"), true)
+    }
+    dead.size
   }
 
   /** Serve BM25 top-`k` from a persisted index: the term filter lands

@@ -433,14 +433,21 @@ object Sampling {
     val base = df.select(col(idCol), col(weightCol).cast("long").as("__w"))
       .withColumn("__w", when(col("__w") >= 0, col("__w"))
         .otherwise(expr(s"raise_error('systematicSample: negative weight')")))
-    val cum = graft.operators.Scale.rangeCumsum(base, idCol, "__w", "__cum", "__W")
+    // total column must NOT case-insensitively collide with "__w": Spark's
+    // default resolver makes withColumn("__W", …) REPLACE __w (the r12 bug)
+    val cum = graft.operators.Scale.rangeCumsum(base, idCol, "__w", "__cum", "__tw")
+    // an all-zero-weight corpus has no line to place points on — fail loud
+    // rather than let the integer division null out and sample nothing
+    val guarded = cum.withColumn("__tw",
+      when(col("__tw") > 0, col("__tw"))
+        .otherwise(expr("raise_error('systematicSample: total weight is zero')")))
     // 2k·cum can pass 9.2e18 at real corpus weights (1e14 chars × k=1e5)
     // — run the product in DECIMAL(38,0), the targetAffinity overflow
     // discipline: exact to 1e38, matching DuckDB's HUGEINT widening,
     // and the quotient (≤ k) lands back in BIGINT
     def picksExpr(c: String) =
-      s"(2 * $k * cast($c as decimal(38,0)) + __W - 1) div (2 * __W)"
-    cum
+      s"(2 * $k * cast($c as decimal(38,0)) + __tw - 1) div (2 * __tw)"
+    guarded
       .withColumn("n_picks", expr(
         s"cast(${picksExpr("__cum")} - ${picksExpr("(__cum - __w)")} as bigint)"))
       .filter(col("n_picks") >= 1)

@@ -164,6 +164,18 @@ object Scale {
       cumCol: String,
       totalCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // Spark's default resolver is case-INSENSITIVE: withColumn(totalCol, …)
+    // silently REPLACES any input column differing only in case (the r12
+    // systematicSample "__W" vs "__w" wrong-answer bug). Reject the
+    // collision here so no caller can repeat it.
+    val inputLower = df.columns.map(_.toLowerCase).toSet
+    for (c <- Seq(cumCol, totalCol) ++ Seq("__pid", "__lcum", "__off")) {
+      require(!inputLower.contains(c.toLowerCase),
+        s"rangeCumsum: output/internal column '$c' case-insensitively " +
+          s"collides with an input column — rename it (inputs: ${df.columns.mkString(", ")})")
+    }
+    require(cumCol.toLowerCase != totalCol.toLowerCase,
+      s"rangeCumsum: cumCol '$cumCol' and totalCol '$totalCol' collide")
     val spark = df.sparkSession
     val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val parted = graft.CacheScope.scoped(

@@ -659,6 +659,15 @@ object PipelineQueries extends QueryFamily {
     "quality_constraints" -> (qualityConstraints _),
     "select_target_affinity" -> (selectTargetAffinity _))
 
+  /** Re-inserts a `|` margin at the start of every continuation line of
+    * an already-stripMargin'd fragment, so interpolating it into an
+    * outer `s"""…""".stripMargin` string round-trips the fragment
+    * verbatim — including lines that legitimately BEGIN with `|` (e.g.
+    * a `|| ' ' ||` concat continuation), which a bare interpolation
+    * would corrupt when the outer stripMargin eats their first pipe
+    * (the r12 `dedup_span_removal` DuckDB BinderException). */
+  private def inMargin(frag: String): String = frag.replace("\n", "\n|")
+
   /** Exact-substring-removal CTE chain (follows `toksCte`), shared by
     * the direct row (`dedup_span_removal`) and the composed v7
     * flagship: dup-gram stats with keep-first by (doc_id, pos),
@@ -869,7 +878,7 @@ object PipelineQueries extends QueryFamily {
          |JOIN uni ub ON ub.tok = big.t2 CROSS JOIN n
          |ORDER BY lift DESC, t1, t2 LIMIT 50""".stripMargin,
     "decontaminate" ->
-      s"""WITH $toksCte,
+      s"""WITH ${inMargin(toksCte)},
          |ng AS (
          |  SELECT doc_id,
          |    tok || ' ' || LEAD(tok, 1) OVER w || ' ' || LEAD(tok, 2) OVER w AS ngram
@@ -891,7 +900,7 @@ object PipelineQueries extends QueryFamily {
     // `decontaminate` oracle), with the bloom no-false-negative gate
     // as the constant the Spark side must reproduce
     "decontaminate_bloom_verdict" ->
-      s"""WITH $toksCte,
+      s"""WITH ${inMargin(toksCte)},
          |ng AS (
          |  SELECT doc_id,
          |    tok || ' ' || LEAD(tok, 1) OVER w || ' ' || LEAD(tok, 2) OVER w AS ngram
@@ -903,7 +912,7 @@ object PipelineQueries extends QueryFamily {
          |ORDER BY c.doc_id""".stripMargin,
     // DuckDB SUM(BIGINT) returns HUGEINT — cast back for the typed hash
     "quality_rarity" ->
-      s"""WITH $toksCte,
+      s"""WITH ${inMargin(toksCte)},
          |tf AS (SELECT doc_id, tok AS term, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok),
          |freq AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS freq FROM tf GROUP BY term)
          |SELECT t.doc_id,
@@ -913,7 +922,7 @@ object PipelineQueries extends QueryFamily {
          |FROM tf t JOIN freq f USING (term)
          |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
     "quality_repetition" ->
-      s"""WITH $toksCte,
+      s"""WITH ${inMargin(toksCte)},
          |ng AS (
          |  SELECT doc_id, tok || ' ' || LEAD(tok, 1) OVER w AS ngram
          |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
@@ -922,7 +931,7 @@ object PipelineQueries extends QueryFamily {
          |SELECT doc_id, MAX(c) AS top_cnt, CAST(SUM(c) AS BIGINT) AS n_bigrams
          |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_tfidf_top" ->
-      s"""WITH $toksCte,
+      s"""WITH ${inMargin(toksCte)},
          |tf AS (SELECT doc_id, tok AS term, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok),
          |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
          |scored AS (
@@ -975,7 +984,7 @@ object PipelineQueries extends QueryFamily {
     // bin = 1 + count(boundaries < v) (the operator's indicator sum),
     // fixed-point TV with floor division at every step
     "corpus_drift" ->
-      s"""WITH $driftCtes
+      s"""WITH ${inMargin(driftCtes)}
         |SELECT bin, n_old, n_new, p_old_ppm, p_new_ppm,
         |  CAST(delta_ppm AS BIGINT) AS delta_ppm,
         |  CAST(sd // 2 AS BIGINT) AS tv_ppm,
@@ -985,7 +994,7 @@ object PipelineQueries extends QueryFamily {
     // fixture is ONE micro-batch (batch_id 0), so the summary folds the
     // identical bin derivation to (row count, tv, verdict)
     "stream_drift_monitor" ->
-      s"""WITH $driftCtes
+      s"""WITH ${inMargin(driftCtes)}
         |SELECT CAST(0 AS BIGINT) AS batch_id,
         |  CAST((SELECT SUM(n_new) FROM d) AS BIGINT) AS n_rows,
         |  CAST(sd // 2 AS BIGINT) AS tv_ppm,
@@ -1128,7 +1137,7 @@ object PipelineQueries extends QueryFamily {
         |  COUNT(*) AS n_terms, CAST(SUM(cnt) AS BIGINT) AS occurrences
         |FROM c GROUP BY bucket ORDER BY bucket""".stripMargin,
     "dedup_substring_pairs" ->
-      s"""WITH $toksCte,
+      s"""WITH ${inMargin(toksCte)},
          |ng AS (
          |  SELECT doc_id,
          |    tok || ' ' || LEAD(tok, 1) OVER w || ' ' || LEAD(tok, 2) OVER w
@@ -1144,7 +1153,7 @@ object PipelineQueries extends QueryFamily {
          |FROM dg a JOIN dg b ON a.ngram = b.ngram AND a.doc_id < b.doc_id
          |GROUP BY a.doc_id, b.doc_id ORDER BY id_a, id_b""".stripMargin,
     "dedup_substring_verify" ->
-      s"""WITH $toksCte,
+      s"""WITH ${inMargin(toksCte)},
          |ng AS (
          |  SELECT doc_id, pos,
          |    tok || ' ' || LEAD(tok, 1) OVER w || ' ' || LEAD(tok, 2) OVER w
@@ -1174,15 +1183,15 @@ object PipelineQueries extends QueryFamily {
     // the full rewrite replayed: dup-gram stats (keep-first by
     // (doc_id, pos)), interval merge, position coverage, token rebuild
     "dedup_span_removal" ->
-      s"""WITH $toksCte,
-         |$spanRemovalCtes
+      s"""WITH ${inMargin(toksCte)},
+         |${inMargin(spanRemovalCtes)}
          |SELECT doc_id, text_clean, n_tokens, n_removed
          |FROM spanout ORDER BY doc_id""".stripMargin,
     // v7: span removal -> kept-token gate -> min-id exact dedup of the
     // cleaned text -> per-source rollup with id-ordered digest chain
     "pipeline_corpus_v7" ->
-      s"""WITH $toksCte,
-         |$spanRemovalCtes,
+      s"""WITH ${inMargin(toksCte)},
+         |${inMargin(spanRemovalCtes)},
          |gated AS (SELECT doc_id, MD5(text_clean) AS dg, n_tokens, n_removed
          |          FROM spanout WHERE n_tokens - n_removed >= 10),
          |sur AS (SELECT doc_id, dg, n_tokens, n_removed FROM gated

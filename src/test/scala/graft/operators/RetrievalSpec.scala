@@ -193,6 +193,56 @@ class RetrievalSpec extends SparkSpec {
     graft.CacheScope.releaseAll()
   }
 
+  test("superseded segments cannot resurrect across compactions; vacuum reclaims them") {
+    val df = randomCorpus(31, 60).toDF("doc_id", "text")
+    val queries = Seq(1 -> "alpha", 1 -> "beta", 2 -> "kappa")
+      .toDF("query_id", "term")
+    val dir = java.nio.file.Files.createTempDirectory("bm25resur").toString
+    (0 until 2).foreach { b =>
+      Retrieval.writeIndexSegment(df.filter(col("doc_id") % 2 === b),
+        "doc_id", "text", dir, s"batch=$b")
+    }
+    // first compaction defers reclaim: sources 0/1 stay on disk WITH
+    // their own markers, tombstoned only by the merged segment's marker
+    assert(Retrieval.compactIndexSegments(spark, dir, reclaimSources = false) == 1)
+    assert(new java.io.File(s"$dir/norms/batch=0/_GRAFT_COMMIT").exists)
+    val extra = Seq((900L, "alpha beta beta"), (901L, "kappa alpha"))
+      .toDF("doc_id", "text")
+    Retrieval.writeIndexSegment(extra, "doc_id", "text", dir, "batch=5")
+    // second compaction supersedes the FIRST merged segment — the one
+    // whose marker named {0,1}. Its marker must copy those tombstones
+    // forward (their dirs still exist)
+    assert(Retrieval.compactIndexSegments(spark, dir, reclaimSources = false) == 1)
+    // simulate the partial reclaim the advice describes: the first
+    // merged segment's dirs (and with them its marker = the only
+    // non-transitive tombstone for 0/1) are destroyed; orphans 0/1
+    // survive with their own markers intact
+    val firstMergedId = 1000000000000L
+    def rmrf(p: java.io.File): Unit = {
+      Option(p.listFiles).foreach(_.foreach(rmrf)); p.delete(); ()
+    }
+    rmrf(new java.io.File(s"$dir/norms/batch=$firstMergedId"))
+    rmrf(new java.io.File(s"$dir/postings/batch=$firstMergedId"))
+    assert(new java.io.File(s"$dir/norms/batch=0/_GRAFT_COMMIT").exists)
+    // the orphans must NOT be served again next to their merged copy —
+    // the serve equals a from-scratch build over the full corpus
+    val expect = Retrieval.bm25TopK(df.union(extra), "doc_id", "text", queries, k = 10)
+      .orderBy("query_id", "rank").collect().toSeq
+    val got = Retrieval.searchIndex(spark, dir, queries, k = 10)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(got == expect, "superseded segment resurrected — tf/df doubled")
+    // vacuum reclaims exactly the named-and-still-present ids (0, 1, 5)
+    assert(Retrieval.vacuumIndexSegments(spark, dir) == 3)
+    assert(!new java.io.File(s"$dir/norms/batch=0").exists)
+    assert(!new java.io.File(s"$dir/postings/batch=1").exists)
+    val afterVacuum = Retrieval.searchIndex(spark, dir, queries, k = 10)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(afterVacuum == expect)
+    // idempotent: nothing left to reclaim
+    assert(Retrieval.vacuumIndexSegments(spark, dir) == 0)
+    graft.CacheScope.releaseAll()
+  }
+
   test("index serve pushes the term filter into the postings parquet scan") {
     val dir = java.nio.file.Files.createTempDirectory("bm25idx2").toString
     Retrieval.writeIndex(randomCorpus(5, 30).toDF("doc_id", "text"),

@@ -270,4 +270,45 @@ class SamplingSpec extends SparkSpec {
     assert(out == Map("a" -> 100L), s"got $out")
     graft.CacheScope.releaseAll()
   }
+
+  test("systematicSample: sum(n_picks) == k, rows <= k, weights pass through") {
+    // weights chosen so one heavy doc (w > W/k) must be drawn twice —
+    // the multiplicity contract — while zero-weight docs never appear
+    val df = Seq(
+      (1L, 10L), (2L, 0L), (3L, 5L), (4L, 50L), (5L, 5L),
+      (6L, 10L), (7L, 0L), (8L, 20L)
+    ).toDF("doc_id", "n_chars")
+    val k = 5
+    val got = Sampling.systematicSample(df, "doc_id", "n_chars", k)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    val inWeights = Map(1L -> 10L, 3L -> 5L, 4L -> 50L, 5L -> 5L,
+      6L -> 10L, 8L -> 20L)
+    // Σ n_picks = k EXACTLY — the invariant the r12 __w/__W column
+    // clobber violated (all 8 docs came back, picks summing to 5×-wrong)
+    assert(got.map(_._3).sum == k, s"sum(n_picks) != $k: ${got.toSeq}")
+    assert(got.length <= k, s"more rows than k: ${got.toSeq}")
+    // weight column must be the DOC's weight, not the grand total
+    got.foreach { case (id, w, n) =>
+      assert(inWeights(id) == w, s"doc $id weight clobbered: $w")
+      assert(n >= 1)
+      // multiplicity >1 only legal when w > W/k (W=100, W/k=20)
+      if (n > 1) assert(w > 100L / k, s"doc $id drawn $n× at weight $w")
+    }
+    // zero-weight docs occupy no interval — never drawn
+    assert(!got.exists(r => r._1 == 2L || r._1 == 7L))
+    // the heavy doc (w=50 > 20) must carry multiplicity ≥ 2
+    assert(got.find(_._1 == 4L).exists(_._3 >= 2), s"got ${got.toSeq}")
+    graft.CacheScope.releaseAll()
+  }
+
+  test("systematicSample fails loud on all-zero total weight") {
+    val df = Seq((1L, 0L), (2L, 0L)).toDF("doc_id", "n_chars")
+    val e = intercept[Exception] {
+      Sampling.systematicSample(df, "doc_id", "n_chars", 3).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("total weight")), s"unexpected: $e")
+    graft.CacheScope.releaseAll()
+  }
 }

@@ -176,4 +176,34 @@ class ScaleSpec extends SparkSpec {
       s"rangeCumsum planned a single-partition exchange:\n$plan")
     graft.CacheScope.releaseAll()
   }
+
+  test("rangeCumsum preserves every input column bit-for-bit") {
+    import spark.implicits._
+    // extra payload columns must ride through untouched — the property
+    // the r12 systematicSample clobber violated (its weight column was
+    // silently replaced by the grand total)
+    val df = Seq((1, 2L, "a", 10L), (2, 3L, "b", 20L), (3, 5L, "c", 30L))
+      .toDF("v", "cnt", "tag", "payload")
+    val out = Scale.rangeCumsum(df, "v", "cnt", "cum", "total")
+      .select("v", "cnt", "tag", "payload").orderBy("v")
+      .as[(Int, Long, String, Long)].collect().toSeq
+    assert(out == Seq((1, 2L, "a", 10L), (2, 3L, "b", 20L), (3, 5L, "c", 30L)),
+      s"input columns mutated: $out")
+    graft.CacheScope.releaseAll()
+  }
+
+  test("rangeCumsum rejects case-insensitive output-column collisions") {
+    import spark.implicits._
+    val df = Seq((1, 2L)).toDF("v", "__w")
+    // "__W" differs from input "__w" only by case — Spark's default
+    // case-insensitive resolver would make withColumn REPLACE __w
+    val e = intercept[IllegalArgumentException] {
+      Scale.rangeCumsum(df, "v", "__w", "__cum", "__W")
+    }
+    assert(e.getMessage.contains("collides"), s"unexpected: $e")
+    val e2 = intercept[IllegalArgumentException] {
+      Scale.rangeCumsum(df, "v", "__w", "CUM", "cum")
+    }
+    assert(e2.getMessage.contains("collide"), s"unexpected: $e2")
+  }
 }
