@@ -105,7 +105,16 @@ object BenchScale {
     "embed_rp_project" -> "linear",
     "lm_source_divergence" -> "linear",
     "dedup_span_removal" -> "linear",
-    "text_bm25_segment_compact" -> "linear")
+    "text_bm25_segment_compact" -> "linear",
+    // r13 probes: the CCNet tercile cut (train + score + DISTINCT-score
+    // histogram + rangeCumsum — debuted as the #5 cost leader, and its
+    // histogram band join deserves the ×10 exponent check the other
+    // leaders get) and the streaming shard-append driver row
+    // (write→restart→read-back over the scaled documents; the anomaly
+    // stream row is NOT probed — the scaled fixture carries no events
+    // table, same reason ts_anomaly has no probe)
+    "quality_lm_buckets" -> "linear",
+    "stream_shard_append" -> "linear")
 
   private def writeCorpus(
       spark: SparkSession, srcSf: String, outDir: String, copies: Int): Unit = {

@@ -453,4 +453,96 @@ object Sampling {
       .filter(col("n_picks") >= 1)
       .select(col(idCol), col("__w").as("weight"), col("n_picks"))
   }
+
+  /**
+   * Deterministic interleaved mixture schedule — the exact global order
+   * a trainer consumes a multi-source corpus in, with each source paced
+   * proportionally to its weight (the Bresenham / SSTable-merge
+   * interleave every data-mixing paper assumes but rarely pins down):
+   * source s's k-th document (k = 1-based rank by `idCol` within the
+   * source) is scheduled at the rational time (2k−1)/(2·w_s) — the
+   * midpoint of its k-th 1/w_s-wide slot — so over any prefix of the
+   * schedule each source's share converges to w_s/ΣW and no source ever
+   * bursts. The time is materialized as the exact integer
+   * `((2k−1)·10^12) div w_s` (k ≤ 10^6 and w ≥ 1 keep the product
+   * < 2·10^18, inside BIGINT), so Spark and any ANSI SQL engine compute
+   * the identical order; ties (possible across sources) break by
+   * (source, id).
+   *
+   * Scale shape: one hash exchange per source for the within-source
+   * rank (WindowGroupLimit does not apply — every row survives — but
+   * the window is partitioned, never global), a |sources|-row weight
+   * aggregate broadcast back, then ONE range-partitioned global sort on
+   * the schedule key — the same exchange any ordered write pays, and
+   * the only global structure the contract (a total order) genuinely
+   * requires. No driver-side loops; weights are in-plan columns.
+   *
+   * @param weightExpr per-row weight contribution; a source's pacing
+   *                   weight is the SUM over its rows (e.g.
+   *                   `col("n_chars")` = token-proportional pacing,
+   *                   `lit(1)` = doc-count-proportional)
+   */
+  def interleaveSchedule(
+      df: DataFrame,
+      srcCol: String,
+      idCol: String,
+      weightExpr: Column): DataFrame = {
+    val w = Window.partitionBy(col(srcCol)).orderBy(col(idCol))
+    val ranked = df
+      .withColumn("__w", weightExpr.cast("long"))
+      .withColumn("__k", row_number().over(w))
+    val weights = ranked.groupBy(col(srcCol)).agg(sum(col("__w")).as("__sw"))
+      .select(col(srcCol).as("__s"),
+        // zero/negative total weight has no pace — fail loud, like
+        // systematicSample's total-weight guard
+        when(col("__sw") > 0, col("__sw"))
+          .otherwise(expr("raise_error('interleaveSchedule: source weight <= 0')"))
+          .as("__sw"))
+    ranked.join(broadcast(weights), ranked(srcCol) <=> weights("__s"))
+      .withColumn("sched_key",
+        expr("(cast(2 * __k - 1 as bigint) * 1000000000000) div __sw"))
+      .select(col(srcCol), col(idCol), col("__k").as("src_seq"), col("sched_key"))
+      .orderBy(col("sched_key"), col(srcCol), col(idCol))
+  }
+
+  /**
+   * Proportional source capping — the RefinedWeb/CCNet-style dominance
+   * guard: no single source may exceed `capPermille`/1000 of the TOTAL
+   * corpus. An over-cap source keeps exactly
+   * `floor(total · capPermille / 1000)` documents, chosen by the
+   * deterministic content-free permutation `md5(seed # id)` (the
+   * [[groupSample]] ordering) so re-runs, repartitions and cluster
+   * resizes keep the identical subset; under-cap sources pass through
+   * untouched. All arithmetic integer (cross-multiplied comparison —
+   * no floats anywhere), so the draw replays bit-for-bit in SQL.
+   *
+   * Scale shape: a |sources|-row count aggregate + 1-row total folded
+   * into one broadcast; the keep decision is one per-source rank window
+   * (hash exchange on source, per-partition sort — the cap is a COLUMN,
+   * so WindowGroupLimit's constant-limit rewrite does not apply) and a
+   * filter directly above it. The corpus is never globally sorted; a
+   * skewed dominant source is exactly the case the operator exists for,
+   * and its single-source sort is the honest cost of a deterministic
+   * cap (callers with one pathological source can pre-salt on
+   * `md5(seed#id)` prefixes and cap per salt-slice).
+   */
+  def capSourceShare(
+      df: DataFrame,
+      srcCol: String,
+      idCol: String,
+      capPermille: Int,
+      seed: Int = 42): DataFrame = {
+    require(capPermille >= 1 && capPermille <= 1000,
+      s"capPermille must be in [1, 1000]: $capPermille")
+    val counts = df.groupBy(col(srcCol)).agg(count(lit(1)).as("__n"))
+      .withColumn("__total", sum(col("__n")).over(Window.partitionBy()))
+      .withColumn("__cap", expr(s"(__total * $capPermille) div 1000"))
+      .select(col(srcCol).as("__s"), col("__cap"))
+    val w = Window.partitionBy(col(srcCol))
+      .orderBy(md5(concat(lit(s"$seed#"), col(idCol).cast("string"))), col(idCol))
+    df.join(broadcast(counts), df(srcCol) <=> counts("__s"))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= col("__cap"))
+      .drop("__s", "__cap", "__rk")
+  }
 }

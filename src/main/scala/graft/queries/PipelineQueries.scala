@@ -127,6 +127,28 @@ object PipelineQueries extends QueryFamily {
       "n_chars", k = 100)
       .orderBy(col("doc_id"))
 
+  /** Deterministic interleaved mixture schedule: every source paced by
+    * its total n_chars (token-proportional), the exact global training
+    * order as sortable integer keys. */
+  def mixSchedule(spark: SparkSession, dir: String): DataFrame =
+    Sampling.interleaveSchedule(Tables.documents(spark, dir),
+      "source", "doc_id", col("n_chars"))
+
+  /** Proportional source capping on a deliberately skewed regrouping
+    * (8 fixture sources merged into one 40%-share "big" group): cap at
+    * 200‰ binds on the big group and passes the 5% sources through —
+    * both polarities in one draw. */
+  def sampleSourceCap(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("src_grp",
+        when(col("source").isin("src1", "src2", "src3", "src4",
+          "src5", "src6", "src7", "src8"), lit("big"))
+          .otherwise(col("source")))
+    Sampling.capSourceShare(docs, "src_grp", "doc_id", capPermille = 200)
+      .select(col("src_grp"), col("doc_id"))
+      .orderBy(col("src_grp"), col("doc_id"))
+  }
+
   /** Exact-substring REMOVAL (Lee et al. 2022's rewrite stage): delete
     * duplicated ≥4-token runs, keeping each gram's corpus-first
     * occurrence; rebuilt text + attrition telemetry per doc. */
@@ -640,6 +662,8 @@ object PipelineQueries extends QueryFamily {
     "bpe_token_count" -> (bpeTokenCount _),
     "sample_topk_quality" -> (sampleTopkQuality _),
     "sample_systematic" -> (sampleSystematic _),
+    "mix_schedule" -> (mixSchedule _),
+    "sample_source_cap" -> (sampleSourceCap _),
     "dedup_substring_pairs" -> (dedupSubstringPairs _),
     "dedup_substring_verify" -> (dedupSubstringVerify _),
     "dedup_span_removal" -> (dedupSpanRemoval _),
@@ -1218,6 +1242,34 @@ object PipelineQueries extends QueryFamily {
         |FROM gs g JOIN tot t USING (lang)
         |WHERE g.n_docs * 10 >= t.total AND g.n_docs >= 3
         |ORDER BY g.lang, g.ngram""".stripMargin,
+    // the Bresenham interleave replayed: per-source rank × exact
+    // integer slot-midpoint key, one global order
+    "mix_schedule" ->
+      """WITH r AS (
+        |  SELECT source, doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS k,
+        |    SUM(n_chars) OVER (PARTITION BY source) AS sw
+        |  FROM documents)
+        |SELECT source, doc_id, CAST(k AS INTEGER) AS src_seq,
+        |  CAST(((2 * k - 1) * 1000000000000) // sw AS BIGINT) AS sched_key
+        |FROM r ORDER BY sched_key, source, doc_id""".stripMargin,
+    // the cap draw replayed: skewed regrouping, per-group md5-ordered
+    // rank, integer floor cap off the grand total
+    "sample_source_cap" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    CASE WHEN source IN ('src1','src2','src3','src4',
+        |                         'src5','src6','src7','src8')
+        |         THEN 'big' ELSE source END AS src_grp
+        |  FROM documents),
+        |t AS (SELECT COUNT(*) AS total FROM g),
+        |r AS (SELECT src_grp, doc_id,
+        |        ROW_NUMBER() OVER (PARTITION BY src_grp
+        |          ORDER BY MD5('42#' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |      FROM g)
+        |SELECT r.src_grp, r.doc_id FROM r, t
+        |WHERE r.rk <= (t.total * 200) // 1000
+        |ORDER BY r.src_grp, r.doc_id""".stripMargin,
     // systematic PPS replayed: global cumsum in doc order, midpoint
     // selection points, per-doc pick multiplicity (2k = 200)
     "sample_systematic" ->

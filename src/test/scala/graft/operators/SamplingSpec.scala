@@ -301,6 +301,63 @@ class SamplingSpec extends SparkSpec {
     graft.CacheScope.releaseAll()
   }
 
+  test("interleaveSchedule: exact keys, no-burst pacing, loud zero-weight") {
+    // two sources, weights 3:1 (by per-row weight sum) — a must appear
+    // ~3× as often as b in any prefix
+    val df = Seq(
+      ("a", 1L, 1L), ("a", 2L, 1L), ("a", 3L, 1L),
+      ("a", 4L, 1L), ("a", 5L, 1L), ("a", 6L, 1L),
+      ("b", 7L, 1L), ("b", 8L, 1L)
+    ).toDF("source", "doc_id", "wt")
+    // pacing weights: a = 6, b = 2
+    val got = Sampling.interleaveSchedule(df, "source", "doc_id", col("wt"))
+      .as[(String, Long, Int, Long)].collect()
+    // exact key formula: source a k-th doc -> ((2k-1)*1e12) div 6
+    got.foreach { case (s, _, k, key) =>
+      val sw = if (s == "a") 6L else 2L
+      assert(key == (2L * k - 1) * 1000000000000L / sw,
+        s"key formula broken at ($s, $k): $key")
+    }
+    // the global order interleaves at slot midpoints — a: 1/12, 3/12,
+    // 5/12, 7/12, 9/12, 11/12; b: 3/12, 9/12 — with a-before-b on the
+    // 3/12 and 9/12 ties (source tie-break)
+    val order = got.map(_._1).toSeq
+    assert(order == Seq("a", "a", "b", "a", "a", "a", "b", "a"),
+      s"unexpected interleave: $order")
+    // per-source sequence is id order
+    assert(got.filter(_._1 == "a").map(_._2).toSeq == Seq(1L, 2L, 3L, 4L, 5L, 6L))
+    val zero = Seq(("a", 1L, 0L)).toDF("source", "doc_id", "wt")
+    val e = intercept[Exception] {
+      Sampling.interleaveSchedule(zero, "source", "doc_id", col("wt")).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("weight")), s"unexpected: $e")
+  }
+
+  test("capSourceShare: binding cap exact, under-cap passthrough, deterministic") {
+    // big = 12 of 16 docs (75%); cap at 500‰ -> keep 8; small (4 docs,
+    // 25%) passes untouched
+    val df = ((1L to 12L).map(i => ("big", i)) ++ (13L to 16L).map(i => ("small", i)))
+      .toDF("source", "doc_id")
+    val got = Sampling.capSourceShare(df, "source", "doc_id", capPermille = 500)
+      .as[(String, Long)].collect().toSet
+    assert(got.count(_._1 == "big") == 8, s"cap not exact: $got")
+    assert(got.filter(_._1 == "small").map(_._2) == Set(13L, 14L, 15L, 16L))
+    // deterministic: the same call returns the identical subset
+    val again = Sampling.capSourceShare(df, "source", "doc_id", capPermille = 500)
+      .as[(String, Long)].collect().toSet
+    assert(again == got)
+    // a different seed draws a different (but equally sized) subset
+    val other = Sampling.capSourceShare(df, "source", "doc_id",
+      capPermille = 500, seed = 7).as[(String, Long)].collect().toSet
+    assert(other.count(_._1 == "big") == 8)
+    assert(other != got, "seed change did not move the draw (16-doc fluke?)")
+    intercept[IllegalArgumentException] {
+      Sampling.capSourceShare(df, "source", "doc_id", capPermille = 0)
+    }
+  }
+
   test("systematicSample fails loud on all-zero total weight") {
     val df = Seq((1L, 0L), (2L, 0L)).toDF("doc_id", "n_chars")
     val e = intercept[Exception] {
