@@ -140,7 +140,7 @@ object Dedup {
         s"b -> named_struct('band', b, 'bh', xxhash64(slice(sig, b * $rowsPerBand + 1, $rowsPerBand))))"))
   }
 
-  private def bandKeys(
+  private[operators] def bandKeys(
       df: DataFrame,
       textCol: String,
       idCol: String,

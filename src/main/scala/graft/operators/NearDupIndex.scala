@@ -1,0 +1,158 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Durable LSH band index — the persisted form of
+ * [[Dedup.buildBandIndex]], and the near-dup analog of the segmented
+ * BM25 index ([[Retrieval]]) and the durable ANN index ([[AnnIndex]]):
+ * the (band, bucket-hash) keys a standing corpus occupies are written
+ * ONCE as parquet segments, so every later ingest batch is near-dup
+ * screened against 12-byte keys on disk — the standing corpus's text is
+ * never re-shingled, never re-minhashed, and at 100 TB never even
+ * co-located with the ingest cluster. This is the piece the in-memory
+ * band index deliberately leaves out (its caller recomputes the index
+ * per run): a nightly-ingest pipeline builds the index when the corpus
+ * is built, appends a segment per admitted batch, and serves admission
+ * from the index alone, forever.
+ *
+ * Layout and commit discipline (same contract as
+ * [[Retrieval.CommitMarker]]'s append half):
+ *
+ *   dir/_GRAFT_NEARDUP_META        banding params, written once at build
+ *   dir/bands/batch=<id>/…parquet  (band, bh) keys, sorted by (band, bh)
+ *   dir/bands/batch=<id>/_GRAFT_COMMIT   marker-LAST = segment committed
+ *
+ * A segment write is idempotent (per-directory overwrite, marker last),
+ * so a streaming appender replaying a micro-batch id converges; a serve
+ * racing an append sees only committed segments. Params live in ONE
+ * meta file and every reader bands through them — an admission screen
+ * that banded differently from the build would silently admit
+ * everything (zero collisions), which is why the params are not
+ * arguments on the read path.
+ *
+ * Reference semantics: same collision curve as [[Dedup.minhashPairs]]
+ * at equal (numHashes, bands); defaults tuned for recall like
+ * [[Dedup.admitNewNearDup]] (an admission screen prefers a false
+ * rejection — one lost doc — over a missed near-dup).
+ */
+object NearDupIndex {
+
+  private[operators] val CommitMarker = "_GRAFT_COMMIT"
+  private[operators] val MetaFile = "_GRAFT_NEARDUP_META"
+
+  private def fsFor(spark: SparkSession, dir: String) = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+  }
+
+  /** Meta is written by temp + ATOMIC RENAME exactly once at build; a
+    * re-build overwrites it (rename with overwrite=false fails loud on
+    * a concurrent build instead of silently crossing params). */
+  private def writeMeta(
+      spark: SparkSession, dir: String, numHashes: Int, bands: Int): Unit = {
+    import org.apache.hadoop.fs.Path
+    val (fs, _) = fsFor(spark, dir)
+    val meta = new Path(s"$dir/$MetaFile")
+    val tmp = new Path(
+      s"$dir/.$MetaFile.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    scala.util.Using.resource(fs.create(tmp, true)) { out =>
+      out.write(s"numHashes=$numHashes\nbands=$bands\n".getBytes("UTF-8"))
+    }
+    fs.delete(meta, false)
+    if (!fs.rename(tmp, meta))
+      throw new java.io.IOException(s"near-dup index meta publish failed: $meta")
+  }
+
+  private[operators] def readMeta(spark: SparkSession, dir: String): (Int, Int) = {
+    val (fs, _) = fsFor(spark, dir)
+    val meta = new org.apache.hadoop.fs.Path(s"$dir/$MetaFile")
+    require(fs.exists(meta), s"no near-dup index meta under $dir")
+    val kv = scala.util.Using.resource(fs.open(meta)) { in =>
+      scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .map(_.trim).filter(_.nonEmpty)
+        .map { l => val Array(k, v) = l.split("=", 2); (k, v.toInt) }.toMap
+    }
+    (kv("numHashes"), kv("bands"))
+  }
+
+  /** One committed band segment: the DISTINCT (band, bh) keys of `df`,
+    * re-clustered by band hash so a serve's semi-join co-locates, and
+    * idempotently replayable (overwrite + marker-last). `segment` is
+    * `batch=<id>` — the streaming foreachBatch id or 0 for a build. */
+  def writeIndexSegment(
+      df: DataFrame,
+      textCol: String,
+      dir: String,
+      segment: String,
+      numHashes: Int,
+      bands: Int): Unit = {
+    import org.apache.hadoop.fs.Path
+    val spark = df.sparkSession
+    val (fs, _) = fsFor(spark, dir)
+    val segPath = new Path(s"$dir/bands/$segment")
+    // un-commit first: a replay that fails mid-write must leave the
+    // segment invisible, not half-new-half-old under a stale marker
+    fs.delete(new Path(segPath, CommitMarker), false)
+    Dedup.buildBandIndex(df, textCol, numHashes, bands)
+      .repartition(col("band"), col("bh"))
+      .sortWithinPartitions(col("band"), col("bh"))
+      .write.mode("overwrite").parquet(segPath.toString)
+    fs.create(new Path(segPath, CommitMarker), true).close()
+  }
+
+  /** Build the index: meta + one committed segment over the corpus. */
+  def writeIndex(
+      df: DataFrame,
+      textCol: String,
+      dir: String,
+      numHashes: Int = 64,
+      bands: Int = 32): Unit = {
+    writeMeta(df.sparkSession, dir, numHashes, bands)
+    writeIndexSegment(df, textCol, dir, "batch=0", numHashes, bands)
+  }
+
+  /** Append a committed segment for an ingest batch, banding through
+    * the INDEX's OWN params (read from meta — the one place they live). */
+  def appendSegment(
+      df: DataFrame,
+      textCol: String,
+      dir: String,
+      segment: String): Unit = {
+    val (numHashes, bands) = readMeta(df.sparkSession, dir)
+    writeIndexSegment(df, textCol, dir, segment, numHashes, bands)
+  }
+
+  /** The committed segment paths a serve may read (marker present). */
+  private def committedSegments(
+      spark: SparkSession, dir: String): Seq[String] = {
+    val (fs, _) = fsFor(spark, dir)
+    fs.globStatus(
+      new org.apache.hadoop.fs.Path(s"$dir/bands/batch=*/$CommitMarker"))
+      .toSeq.map(_.getPath.getParent.toString)
+  }
+
+  /** Indexed near-dup admission — [[Dedup.admitNewNearDup]] served from
+    * the DURABLE index: an incoming doc is dropped iff any of its band
+    * buckets exists in any committed segment. The incoming batch ships
+    * (id, band, bh) — never text — into a left-semi join against the
+    * on-disk keys; survivors anti-join back by id. Duplicate keys
+    * across segments are harmless under semi-join semantics (a
+    * compaction that distinct-merges segments is pure housekeeping). */
+  def admitNewIndexed(
+      incoming: DataFrame,
+      textCol: String,
+      idCol: String,
+      dir: String): DataFrame = {
+    val spark = incoming.sparkSession
+    val (numHashes, bands) = readMeta(spark, dir)
+    val segs = committedSegments(spark, dir)
+    require(segs.nonEmpty, s"no committed near-dup index segments under $dir")
+    val index = spark.read.parquet(segs: _*).select(col("band"), col("bh"))
+    val hits = Dedup.bandKeys(incoming, textCol, idCol, numHashes, bands)
+      .join(index, Seq("band", "bh"), "left_semi")
+      .select(col("id")).distinct()
+    incoming.join(hits, incoming(idCol) === hits("id"), "left_anti")
+  }
+}

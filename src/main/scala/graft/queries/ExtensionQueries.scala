@@ -184,6 +184,44 @@ object ExtensionQueries extends QueryFamily {
       .orderBy(col("doc_id"))
   }
 
+  /**
+   * The DURABLE near-dup band index as a driver row — build on the
+   * even-id corpus, APPEND the odd-id half as a second committed
+   * segment, then screen a probe batch against the on-disk index
+   * ([[graft.operators.NearDupIndex]]): verbatim copies of every 100th
+   * even doc (prove the BUILD segment serves) and every (100k+1)-th odd
+   * doc (prove the APPENDED segment serves) must be rejected — identical
+   * text ⇒ identical band keys, all present in the index — while 20
+   * synthetic docs of unique md5-hex tokens (sharing no shingle with any
+   * natural text) must be admitted. Every probe verdict is exactly
+   * derivable, so the row is value-oracled despite LSH itself not being
+   * SQL-expressible.
+   */
+  def dedupIndexAdmit(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.NearDupIndex
+    val idx = graft.TmpCleanup.perProcessDir("graft-neardup-idx", dir)
+    graft.TmpCleanup.register(idx)
+    val docs = Tables.documents(spark, dir)
+    NearDupIndex.writeIndex(docs.filter(col("doc_id") % 2 === 0), "text", idx)
+    NearDupIndex.appendSegment(
+      docs.filter(col("doc_id") % 2 === 1), "text", idx, "batch=1")
+    val copies = docs
+      .filter(col("doc_id") % 100 === 0 || col("doc_id") % 100 === 1)
+      .select((col("doc_id") + lit(10000000L)).as("doc_id"), col("text"))
+    val synth = spark.range(1, 21)
+      .select((col("id") + lit(20000000L)).as("doc_id"),
+        expr("array_join(transform(sequence(1, 40), " +
+          "k -> md5(concat(cast(id as string), ':', cast(k as string)))), ' ')")
+          .as("text"))
+    val probe = copies.unionByName(synth)
+    val admitted = NearDupIndex.admitNewIndexed(probe, "text", "doc_id", idx)
+      .select(col("doc_id")).withColumn("__a", lit(true))
+    probe.select(col("doc_id"))
+      .join(admitted, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("__a"), lit(false)).as("admitted"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Cluster-level near-dup removal (CC over the candidate-pair graph —
     * transitive chains collapse to one survivor). Rows-only + spec, like
     * the rest of the minhash family. */
@@ -310,6 +348,95 @@ object ExtensionQueries extends QueryFamily {
           .bitwiseAND(lit(4095L)).as("zy"))
       .select(col("event_id"), Scale.zorderKey(col("zx"), col("zy")).as("zkey"))
       .orderBy(col("zkey"), col("event_id"))
+
+  /**
+   * The partitioned layout writer as a driver row — documents written
+   * hive-partitioned by `lang` ([[Scale.writePartitioned]]), then read
+   * back through a partition-column predicate. The gate column proves
+   * LIST-level pruning actually happened (the pruned scan's
+   * `selectedPartitions` touched exactly ONE directory — checked on the
+   * physical plan, AQE off for a stable scan node); the data columns
+   * prove the round trip is lossless (id-ordered digest chain DuckDB
+   * recomputes from `documents` under the same predicate). A layout
+   * that silently stopped pruning, dropped rows, or reordered text
+   * fails the hash.
+   */
+  def layoutPartitioned(spark: SparkSession, dir: String): DataFrame = {
+    val out = graft.TmpCleanup.perProcessDir("graft-layout-part", dir)
+    graft.TmpCleanup.register(out)
+    Scale.writePartitioned(
+      Tables.documents(spark, dir).select(
+        col("doc_id"), md5(col("text")).as("dg"), col("lang")),
+      "lang", out)
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val back = spark.read.parquet(out).filter(col("lang") === "de")
+      val scan = back.queryExecution.executedPlan.collectFirst {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+      val pruned = scan.exists(_.selectedPartitions.partitionCount == 1)
+      back.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          md5(concat_ws("",
+            transform(array_sort(collect_list(struct(col("doc_id"), col("dg")))),
+              x => x.getField("dg")))).as("digest_chain"))
+        .withColumn("pruned_to_one_dir", lit(pruned))
+        .orderBy(col("lang"))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  /**
+   * In-plan ingest accounting as a driver row — [[Corpus.gatedIngest]]'s
+   * `Dataset.observe` metrics (rows/chars seen, rows admitted) read off
+   * the SAME executed pass that filters, then emitted as one row next to
+   * the independently recomputed admitted count. The oracle recounts all
+   * four numbers relationally, so metrics that drift from the data plane
+   * (the exact failure observe() exists to prevent: dashboards lying
+   * about what the gate admitted) hash-fail.
+   */
+  def corpusGateMetrics(spark: SparkSession, dir: String): DataFrame = {
+    val gated = graft.operators.Corpus.gatedIngest(
+      Tables.documents(spark, dir), "text", minChars = 200)
+    val admitted = gated.count()
+    // metrics surface on the acted-upon queryExecution; count() builds
+    // its own plan, so re-execute the gated frame itself for them
+    gated.collect()
+    val m = gated.queryExecution.observedMetrics
+    val in = m("corpus_gate_in"); val out = m("corpus_gate_out")
+    import spark.implicits._
+    Seq((in.getAs[Long]("rows_in"), in.getAs[Long]("chars_in"),
+      out.getAs[Long]("rows_out"), admitted))
+      .toDF("rows_in", "chars_in", "rows_out", "admitted_count")
+  }
+
+  /**
+   * The salt-the-skew join as a driver row — [[Scale.saltedJoin]]
+   * (large side salted by a row expression, small side exploded across
+   * the salt domain) must be SEMANTICALLY identical to the plain
+   * equi-join it replaces; the oracle replays the plain join in SQL, so
+   * a salting bug that drops rows (the classic NULL-salt fumble),
+   * double-joins, or mismatches keys hash-fails. Large = events, small
+   * = the per-user event count (a genuinely bounded dim), salt = the
+   * event id, rolled into per-type digests of the joined rows.
+   */
+  def joinSalted(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.events(spark, dir)
+    val userDim = events.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("user_events"))
+    Scale.saltedJoin(
+      events.select(col("event_id"), col("event_type"), col("user_id")),
+      userDim, "user_id", saltFactor = 8, saltExpr = col("event_id"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("user_events")).as("sum_user_events"),
+        md5(concat_ws("",
+          transform(
+            array_sort(collect_list(struct(col("event_id"), col("user_events")))),
+            x => concat(x.getField("event_id").cast("string"), lit(":"),
+              x.getField("user_events").cast("string"))))).as("digest_chain"))
+      .orderBy(col("event_type"))
+  }
 
   // --- similarity search ---
 
@@ -2289,10 +2416,14 @@ object ExtensionQueries extends QueryFamily {
     "dedup_ngram_jaccard_verdict" -> (dedupNgramJaccardVerdict _),
     "dedup_jaccard_join" -> (dedupJaccardJoin _),
     "layout_zorder" -> (layoutZorder _),
+    "layout_partitioned" -> (layoutPartitioned _),
+    "corpus_gate_metrics" -> (corpusGateMetrics _),
+    "join_salted" -> (joinSalted _),
     "dedup_minhash_keep" -> (dedupMinhashKeep _),
     "dedup_minhash_cc" -> (dedupMinhashCc _),
     "corpus_increment" -> (corpusIncrement _),
     "corpus_increment_neardup" -> (corpusIncrementNearDup _),
+    "dedup_index_admit" -> (dedupIndexAdmit _),
     "sim_topk_brute" -> (simTopkBrute _),
     "sim_topk_lsh" -> (simTopkLsh _),
     "sim_topk_ivf" -> (simTopkIvf _),
@@ -2862,6 +2993,46 @@ object ExtensionQueries extends QueryFamily {
          |SELECT event_id,
          |  (${Scale.spreadBitsSql("zx")}) | ((${Scale.spreadBitsSql("zy")}) << 1) AS zkey
          |FROM b ORDER BY zkey, event_id""".stripMargin,
+    // every probe verdict is exactly derivable: planted copies (both
+    // segment parities) rejected, synthetic-hex docs admitted
+    "dedup_index_admit" ->
+      """SELECT doc_id, admitted FROM (
+        |  SELECT doc_id + 10000000 AS doc_id, FALSE AS admitted
+        |  FROM documents WHERE doc_id % 100 IN (0, 1)
+        |  UNION ALL
+        |  SELECT CAST(20000000 + i AS BIGINT), TRUE
+        |  FROM (SELECT unnest(generate_series(1, 20)) AS i))
+        |ORDER BY doc_id""".stripMargin,
+    // the partitioned round trip recomputed under the same predicate;
+    // the prune gate is constant-TRUE (checked on the physical plan)
+    "layout_partitioned" ->
+      """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  MD5(STRING_AGG(MD5(text), '' ORDER BY doc_id)) AS digest_chain,
+        |  TRUE AS pruned_to_one_dir
+        |FROM documents WHERE lang = 'de'
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    // all four numbers recounted relationally — the observe() metrics
+    // must equal the data-plane truth
+    "corpus_gate_metrics" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS rows_in,
+        |  CAST(SUM(LENGTH(text)) AS BIGINT) AS chars_in,
+        |  CAST(COUNT(*) FILTER (WHERE LENGTH(text) >= 200) AS BIGINT) AS rows_out,
+        |  CAST(COUNT(*) FILTER (WHERE LENGTH(text) >= 200) AS BIGINT) AS admitted_count
+        |FROM documents""".stripMargin,
+    // the PLAIN equi-join replayed — salting must be invisible in the
+    // result set
+    "join_salted" ->
+      """WITH dim AS (
+        |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS user_events
+        |  FROM events GROUP BY user_id),
+        |j AS (SELECT e.event_id, e.event_type, d.user_events
+        |      FROM events e JOIN dim d ON d.user_id = e.user_id)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(user_events) AS BIGINT) AS sum_user_events,
+        |  MD5(STRING_AGG(CAST(event_id AS VARCHAR) || ':' ||
+        |        CAST(user_events AS VARCHAR), '' ORDER BY event_id))
+        |    AS digest_chain
+        |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin,
     // float arithmetic IS cross-engine-reproducible when the expression
     // tree is identical and the reductions (min/max) are order-free —
     // see Quantize's scaladoc; the CASE guard mirrors the Spark side
