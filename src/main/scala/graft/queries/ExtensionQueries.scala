@@ -411,6 +411,75 @@ object ExtensionQueries extends QueryFamily {
   }
 
   /**
+   * Schema-drift ingestion as a driver row — the long-running-ingest
+   * constant: even-id documents land as an OLD-schema drop (no `lang`
+   * column), odd-id documents as the evolved drop, and one
+   * `mergeSchema` read takes both without a rewrite — old rows
+   * null-fill the new column, evolved rows keep theirs. The emitted
+   * per-lang rollup (NULL group = the old drop) with id-ordered digest
+   * chains replays exactly from `documents` by parity, so a reader that
+   * misfiled a row across schema generations, dropped the null-fill, or
+   * lost a column hash-fails.
+   */
+  def corpusSchemaDrift(spark: SparkSession, dir: String): DataFrame = {
+    val out = graft.TmpCleanup.perProcessDir("graft-schema-drift", dir)
+    graft.TmpCleanup.register(out)
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(col("text")).as("dg"), col("lang"))
+    docs.filter(col("doc_id") % 2 === 0).drop("lang")
+      .write.mode("overwrite").parquet(s"$out/drop=1")
+    docs.filter(col("doc_id") % 2 === 1)
+      .write.mode("overwrite").parquet(s"$out/drop=2")
+    spark.read.option("mergeSchema", "true").parquet(s"$out/drop=1", s"$out/drop=2")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        md5(concat_ws("",
+          transform(array_sort(collect_list(struct(col("doc_id"), col("dg")))),
+            x => x.getField("dg")))).as("digest_chain"))
+      .orderBy(col("lang"))
+  }
+
+  /**
+   * The range-shard writer as a driver row — [[graft.operators.Corpus
+   * .writeShards]] lays the corpus into `nShards` files range-partitioned
+   * on the recomputable `md5(seed#id)` key. Shard MEMBERSHIP depends on
+   * range-sampling and is deliberately not oracled; what IS exactly
+   * checkable: every id comes back exactly once (per-id-bucket digest
+   * chains DuckDB recomputes from `documents`), and the shards' key
+   * ranges are DISJOINT (recompute the key on read-back, collect ≤
+   * nShards (file, min, max) rows, check pairwise) — the property that
+   * makes a shard set mergeable-by-concatenation. A writer that
+   * duplicated, dropped, or interleaved rows across range boundaries
+   * fails.
+   */
+  def shardPrepareRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = graft.TmpCleanup.perProcessDir("graft-shards-prep", dir)
+    graft.TmpCleanup.register(out)
+    graft.operators.Corpus.writeShards(
+      Tables.documents(spark, dir).select(col("doc_id")), "doc_id", 8, out)
+    val back = spark.read.parquet(out)
+      .withColumn("__file", input_file_name())
+      .withColumn("__sk",
+        md5(concat_ws("#", lit("42"), col("doc_id").cast("string"))))
+    // ≤ nShards rows — bounded model state, not a data-path collect
+    val ranges = back.groupBy(col("__file"))
+      .agg(min(col("__sk")).as("lo"), max(col("__sk")).as("hi"))
+      .select(col("lo"), col("hi"))
+      .collect().map(r => (r.getString(0), r.getString(1))).sortBy(_._1)
+    val disjoint = ranges.sliding(2).forall {
+      case Array(a, b) => a._2 < b._1
+      case _ => true
+    }
+    back.groupBy((col("doc_id") % 8).as("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        md5(concat_ws(",",
+          transform(array_sort(collect_list(col("doc_id"))),
+            x => x.cast("string")))).as("id_digest"))
+      .withColumn("ranges_disjoint", lit(disjoint))
+      .orderBy(col("bucket"))
+  }
+
+  /**
    * The salt-the-skew join as a driver row — [[Scale.saltedJoin]]
    * (large side salted by a row expression, small side exploded across
    * the salt domain) must be SEMANTICALLY identical to the plain
@@ -2116,6 +2185,12 @@ object ExtensionQueries extends QueryFamily {
     def listing(): Set[(String, Long)] = {
       val root = new org.apache.hadoop.fs.Path(out)
       val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+      // a missing output root means the stream processed ZERO files —
+      // a silently-empty source (the pathGlobFilter failure mode), not
+      // a legitimately empty corpus; say so instead of FileNotFound
+      require(fs.exists(root),
+        s"streamShardAppend: stream wrote no batches under $out — " +
+          "the documents source matched no files")
       val it = fs.listFiles(root, true)
       val b = Set.newBuilder[(String, Long)]
       while (it.hasNext) { val f = it.next(); b += ((f.getPath.toString, f.getLen)) }
@@ -2419,6 +2494,8 @@ object ExtensionQueries extends QueryFamily {
     "layout_partitioned" -> (layoutPartitioned _),
     "corpus_gate_metrics" -> (corpusGateMetrics _),
     "join_salted" -> (joinSalted _),
+    "shard_prepare_roundtrip" -> (shardPrepareRoundtrip _),
+    "corpus_schema_drift" -> (corpusSchemaDrift _),
     "dedup_minhash_keep" -> (dedupMinhashKeep _),
     "dedup_minhash_cc" -> (dedupMinhashCc _),
     "corpus_increment" -> (corpusIncrement _),
@@ -3019,6 +3096,23 @@ object ExtensionQueries extends QueryFamily {
         |  CAST(COUNT(*) FILTER (WHERE LENGTH(text) >= 200) AS BIGINT) AS rows_out,
         |  CAST(COUNT(*) FILTER (WHERE LENGTH(text) >= 200) AS BIGINT) AS admitted_count
         |FROM documents""".stripMargin,
+    // the two-generation merge replayed by parity: even ids carry a
+    // NULL lang (the old drop), odd ids their real one
+    "corpus_schema_drift" ->
+      """WITH m AS (
+        |  SELECT doc_id, MD5(text) AS dg,
+        |    CASE WHEN doc_id % 2 = 1 THEN lang END AS lang
+        |  FROM documents)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  MD5(STRING_AGG(dg, '' ORDER BY doc_id)) AS digest_chain
+        |FROM m GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin,
+    // exactly-once ids per bucket + the constant-TRUE disjointness gate
+    "shard_prepare_roundtrip" ->
+      """SELECT doc_id % 8 AS bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  MD5(STRING_AGG(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
+        |    AS id_digest,
+        |  TRUE AS ranges_disjoint
+        |FROM documents GROUP BY 1 ORDER BY bucket""".stripMargin,
     // the PLAIN equi-join replayed — salting must be invisible in the
     // result set
     "join_salted" ->

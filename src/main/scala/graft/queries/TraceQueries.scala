@@ -52,6 +52,35 @@ object TraceQueries extends QueryFamily {
           .getField("k").as("k"))
   }
 
+  /**
+   * The DSv2 trace GENERATOR as a driver row — the V2 source's whole
+   * contract replayed structurally: a `paramIndex BETWEEN 3 AND 6`
+   * predicate is pushed into the scan (planning must prune to ≤ 2 of
+   * the 8 contiguous-layout partitions — surfaced as a gate column off
+   * [[graft.sources.v2.TraceGenScan.lastPlannedPartitions]]), the
+   * generated rows' every field is closed-form (param = rid·16 div 600
+   * + 1, one row per minute from the 2024 epoch, +5 min end, payload =
+   * rid mod 3 over three fixed JSONs), and the gzip payload round-trips
+   * through the house codegen gunzip — so DuckDB rebuilds the exact
+   * row set from `generate_series` alone. A generator layout drift, a
+   * pushdown that drops or leaks rows, or a gzip corruption hash-fails.
+   */
+  def traceGenReplay(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val rows = spark.read.format("graft.sources.v2.TraceGenSource")
+      .option("rows", "600").option("nParams", "16").option("partitions", "8")
+      .load()
+      .filter(col("paramIndex") >= 3L && col("paramIndex") <= 6L)
+      .select(col("paramIndex"), col("startTime"), col("endTime"),
+        graft.functions.gunzip_string(col("traceData")).as("payload"))
+    // force one planning pass so the pruning gate reads THIS scan
+    rows.write.format("noop").mode("overwrite").save()
+    val planned = graft.sources.v2.TraceGenScan.lastPlannedPartitions.get()
+    rows
+      .withColumn("pruned_partitions_ok", lit(planned >= 1 && planned <= 2))
+      .orderBy(col("startTime"))
+  }
+
   /** Scale-path variant: no global sort — per-partition clustering only.
     * Row order is partition-dependent, so this surface is NOT registered
     * as a standalone query (it could only ever be a rows-only check);
@@ -82,7 +111,8 @@ object TraceQueries extends QueryFamily {
     "trace_export_unordered_digest" -> (traceExportUnorderedDigest _),
     "trace_export_empty" -> (traceExportEmpty _),
     "trace_seed_golden" -> (traceSeedGolden _),
-    "trace_typed" -> (traceTyped _))
+    "trace_typed" -> (traceTyped _),
+    "trace_gen_replay" -> (traceGenReplay _))
 
   /** Shared by trace_export and trace_export_bounded — the bounded form
     * is DOCUMENTED as result-identical (the payload bound only rejects
@@ -100,6 +130,25 @@ object TraceQueries extends QueryFamily {
       |ORDER BY paramIndex, startTime""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the generator's closed forms from generate_series alone: param
+    // layout, minute cadence, +5min end, rid%3 payload ring, and the
+    // constant-TRUE pruning gate
+    "trace_gen_replay" ->
+      """WITH r AS (SELECT unnest(generate_series(0, 599)) AS rid),
+        |g AS (SELECT rid,
+        |        CAST(rid * 16 // 600 + 1 AS BIGINT) AS pidx,
+        |        TIMESTAMP '2024-01-01 00:00:00' + rid * INTERVAL 1 MINUTE AS st
+        |      FROM r)
+        |SELECT pidx AS paramIndex, st AS startTime,
+        |  st + INTERVAL 5 MINUTE AS endTime,
+        |  CASE rid % 3
+        |    WHEN 0 THEN '{"value": 100, "status": "OK"}'
+        |    WHEN 1 THEN '{"value": 250, "status": "WARN", "temp": 45.5}'
+        |    ELSE '{"value": 500, "status": "CRITICAL", "pressure": 1.5}'
+        |  END AS payload,
+        |  TRUE AS pruned_partitions_ok
+        |FROM g WHERE pidx BETWEEN 3 AND 6
+        |ORDER BY startTime""".stripMargin,
     "trace_export_bounded" -> traceExportOracleSql,
     "trace_export" -> traceExportOracleSql,
     "trace_export_empty" ->

@@ -31,13 +31,23 @@ object CorpusStream {
     StructField("source", StringType),
     StructField("n_chars", LongType)))
 
-  /** Streaming read of the documents table (file micro-batches). */
-  def readDocuments(spark: SparkSession, sfDir: String): DataFrame =
-    spark.readStream
-      .schema(docSchema)
-      .format("parquet")
-      .option("pathGlobFilter", "documents.parquet")
-      .load(sfDir)
+  /** Streaming read of the documents table (file micro-batches),
+    * robust to BOTH fixture shapes. A flat file (the driver fixtures)
+    * cannot be loaded directly — FileStreamSource requires a directory
+    * basePath — so it streams via parent-dir + basename glob; a
+    * DIRECTORY table (any Spark-written fixture, e.g. the scale probe's
+    * generated corpus) streams by its own path, because the basename
+    * glob would match ZERO of its part files and the stream would run
+    * silently empty (the r13 BenchScale crash). */
+  def readDocuments(spark: SparkSession, sfDir: String): DataFrame = {
+    val table = new org.apache.hadoop.fs.Path(s"$sfDir/documents.parquet")
+    val fs = table.getFileSystem(
+      spark.sessionState.newHadoopConf())
+    require(fs.exists(table), s"no documents table under $sfDir")
+    val base = spark.readStream.schema(docSchema).format("parquet")
+    if (fs.getFileStatus(table).isDirectory) base.load(table.toString)
+    else base.option("pathGlobFilter", "documents.parquet").load(sfDir)
+  }
 
   /**
    * Exactly-once streaming shard append — the foreachBatch recipe: each
