@@ -133,6 +133,45 @@ object NearDupIndex {
       .toSeq.map(_.getPath.getParent.toString)
   }
 
+  /** Merge all committed band segments into ONE distinct-keyed segment —
+    * the housekeeping that bounds file count and drops the duplicate
+    * (band, bh) keys append accumulates (a key two segments share is
+    * stored twice but means once). Same protocol as
+    * [[Retrieval.compactIndexSegments]]'s append half, simplified by
+    * the semi-join serve semantics: the merged segment is written
+    * UNMARKED under a fresh id, then one atomic publish step commits it
+    * and un-commits the sources (marker create, then source-marker
+    * deletes failing LOUD — an orphan with a live marker would serve
+    * duplicate keys, which is harmless for admission but re-inflates
+    * the file count the compaction exists to bound), then source data
+    * dirs are reclaimed best-effort. A crash before the new marker
+    * leaves the old set serving; after it, re-running compaction or the
+    * next one retries the reclaim. Returns the live segment count after
+    * (1, or the input count if already compact). */
+  def compactSegments(spark: SparkSession, dir: String): Int = {
+    import org.apache.hadoop.fs.Path
+    val (fs, _) = fsFor(spark, dir)
+    val segs = committedSegments(spark, dir)
+    require(segs.nonEmpty, s"no committed near-dup index segments under $dir")
+    if (segs.size <= 1) return segs.size
+    val ids = segs.map(p => new Path(p).getName.stripPrefix("batch=").toLong)
+    val newId = math.max(ids.max + 1, 1000000000000L)
+    val seg = s"$dir/bands/batch=$newId"
+    spark.read.parquet(segs: _*).select(col("band"), col("bh")).distinct()
+      .repartition(col("band"), col("bh"))
+      .sortWithinPartitions(col("band"), col("bh"))
+      .write.mode("overwrite").parquet(seg)
+    fs.create(new Path(seg, CommitMarker), true).close()
+    ids.foreach { id =>
+      val m = new Path(s"$dir/bands/batch=$id/$CommitMarker")
+      if (!fs.delete(m, false) && fs.exists(m))
+        throw new java.io.IOException(
+          s"compaction could not un-commit near-dup segment $id ($m survives)")
+      fs.delete(new Path(s"$dir/bands/batch=$id"), true)
+    }
+    1
+  }
+
   /** Indexed near-dup admission — [[Dedup.admitNewNearDup]] served from
     * the DURABLE index: an incoming doc is dropped iff any of its band
     * buckets exists in any committed segment. The incoming batch ships

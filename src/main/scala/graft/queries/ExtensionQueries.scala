@@ -193,9 +193,11 @@ object ExtensionQueries extends QueryFamily {
    * doc (prove the APPENDED segment serves) must be rejected — identical
    * text ⇒ identical band keys, all present in the index — while 20
    * synthetic docs of unique md5-hex tokens (sharing no shingle with any
-   * natural text) must be admitted. Every probe verdict is exactly
-   * derivable, so the row is value-oracled despite LSH itself not being
-   * SQL-expressible.
+   * natural text) must be admitted. The index is COMPACTED between
+   * append and screen (two segments distinct-merged into one), so the
+   * row covers the full lifecycle: build → append → compact → serve.
+   * Every probe verdict is exactly derivable, so the row is
+   * value-oracled despite LSH itself not being SQL-expressible.
    */
   def dedupIndexAdmit(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.NearDupIndex
@@ -205,6 +207,8 @@ object ExtensionQueries extends QueryFamily {
     NearDupIndex.writeIndex(docs.filter(col("doc_id") % 2 === 0), "text", idx)
     NearDupIndex.appendSegment(
       docs.filter(col("doc_id") % 2 === 1), "text", idx, "batch=1")
+    require(NearDupIndex.compactSegments(spark, idx) == 1,
+      "near-dup index compaction did not converge to one segment")
     val copies = docs
       .filter(col("doc_id") % 100 === 0 || col("doc_id") % 100 === 1)
       .select((col("doc_id") + lit(10000000L)).as("doc_id"), col("text"))

@@ -149,6 +149,33 @@ object PipelineQueries extends QueryFamily {
       .orderBy(col("src_grp"), col("doc_id"))
   }
 
+  /** Composed flagship v8 — the r13 mixing chain end to end: dominance
+    * cap (the [[sampleSourceCap]] skewed regrouping at 200‰) → the
+    * capped survivors interleaved into the deterministic training
+    * order ([[Sampling.interleaveSchedule]], paced by n_chars) →
+    * per-source rollup with the doc ids chained IN SCHEDULE ORDER, so
+    * the digest pins the exact global consumption order a trainer
+    * would see. Every stage integer-exact; one end-to-end SQL oracle
+    * composed from the same CTE families as the stage queries. */
+  def pipelineCorpusV8(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("src_grp",
+        when(col("source").isin("src1", "src2", "src3", "src4",
+          "src5", "src6", "src7", "src8"), lit("big"))
+          .otherwise(col("source")))
+    val capped = Sampling.capSourceShare(docs, "src_grp", "doc_id",
+      capPermille = 200)
+    val sched = Sampling.interleaveSchedule(capped, "src_grp", "doc_id",
+      col("n_chars"))
+    sched.groupBy(col("src_grp"))
+      .agg(count(lit(1)).as("n_docs"),
+        md5(concat_ws(",",
+          transform(
+            array_sort(collect_list(struct(col("sched_key"), col("doc_id")))),
+            x => x.getField("doc_id").cast("string")))).as("sched_digest"))
+      .orderBy(col("src_grp"))
+  }
+
   /** Exact-substring REMOVAL (Lee et al. 2022's rewrite stage): delete
     * duplicated ≥4-token runs, keeping each gram's corpus-first
     * occurrence; rebuilt text + attrition telemetry per doc. */
@@ -664,6 +691,7 @@ object PipelineQueries extends QueryFamily {
     "sample_systematic" -> (sampleSystematic _),
     "mix_schedule" -> (mixSchedule _),
     "sample_source_cap" -> (sampleSourceCap _),
+    "pipeline_corpus_v8" -> (pipelineCorpusV8 _),
     "dedup_substring_pairs" -> (dedupSubstringPairs _),
     "dedup_substring_verify" -> (dedupSubstringVerify _),
     "dedup_span_removal" -> (dedupSpanRemoval _),
@@ -1242,6 +1270,33 @@ object PipelineQueries extends QueryFamily {
         |FROM gs g JOIN tot t USING (lang)
         |WHERE g.n_docs * 10 >= t.total AND g.n_docs >= 3
         |ORDER BY g.lang, g.ngram""".stripMargin,
+    // v8: dominance cap -> deterministic interleave -> schedule-order
+    // digest per source; the stage CTE families composed end to end
+    "pipeline_corpus_v8" ->
+      """WITH g AS (
+        |  SELECT doc_id, n_chars,
+        |    CASE WHEN source IN ('src1','src2','src3','src4',
+        |                         'src5','src6','src7','src8')
+        |         THEN 'big' ELSE source END AS src_grp
+        |  FROM documents),
+        |t AS (SELECT COUNT(*) AS total FROM g),
+        |r AS (SELECT src_grp, doc_id, n_chars,
+        |        ROW_NUMBER() OVER (PARTITION BY src_grp
+        |          ORDER BY MD5('42#' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |      FROM g),
+        |capped AS (SELECT src_grp, doc_id, n_chars FROM r, t
+        |           WHERE r.rk <= (t.total * 200) // 1000),
+        |sched AS (SELECT src_grp, doc_id,
+        |            ROW_NUMBER() OVER (PARTITION BY src_grp ORDER BY doc_id) AS k,
+        |            SUM(n_chars) OVER (PARTITION BY src_grp) AS sw
+        |          FROM capped),
+        |keyed AS (SELECT src_grp, doc_id,
+        |            ((2 * k - 1) * 1000000000000) // sw AS skey
+        |          FROM sched)
+        |SELECT src_grp, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  MD5(STRING_AGG(CAST(doc_id AS VARCHAR), ',' ORDER BY skey, doc_id))
+        |    AS sched_digest
+        |FROM keyed GROUP BY src_grp ORDER BY src_grp""".stripMargin,
     // the Bresenham interleave replayed: per-source rank × exact
     // integer slot-midpoint key, one global order
     "mix_schedule" ->

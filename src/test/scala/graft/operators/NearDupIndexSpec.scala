@@ -48,6 +48,32 @@ class NearDupIndexSpec extends SparkSpec {
     assert(after == Set.empty, "replayed segment not serving")
   }
 
+  test("compactSegments distinct-merges to one segment; admission unchanged") {
+    val dir = java.nio.file.Files.createTempDirectory("neardup-cpt").toString
+    NearDupIndex.writeIndex(corpus.filter($"doc_id" <= 2), "text", dir)
+    NearDupIndex.appendSegment(corpus.filter($"doc_id" > 2), "text", dir, "batch=1")
+    // overlapping keys across segments: re-append doc 1's text as a new
+    // segment so the distinct-merge has real duplicates to drop
+    NearDupIndex.appendSegment(corpus.filter($"doc_id" === 1), "text", dir, "batch=2")
+    val probe = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog again today"),
+      (104L, "sparkling parquet files hold columnar data very efficiently"),
+      (105L, "entirely novel content nothing shares any shingle with this")
+    ).toDF("doc_id", "text")
+    val before = NearDupIndex.admitNewIndexed(probe, "text", "doc_id", dir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(NearDupIndex.compactSegments(spark, dir) == 1)
+    // sources physically reclaimed; one marked segment remains
+    val segs = new java.io.File(s"$dir/bands").listFiles()
+      .filter(_.getName.startsWith("batch=")).map(_.getName).toSeq
+    assert(segs.size == 1 && segs.head == "batch=1000000000000", s"got $segs")
+    val after = NearDupIndex.admitNewIndexed(probe, "text", "doc_id", dir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(after == before && after == Set(105L), s"before $before after $after")
+    // re-compacting a compact index is a no-op
+    assert(NearDupIndex.compactSegments(spark, dir) == 1)
+  }
+
   test("admission bands through the index's own meta params") {
     val dir = java.nio.file.Files.createTempDirectory("neardup-meta").toString
     // non-default banding at build time; admitNewIndexed takes NO params

@@ -360,4 +360,34 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"a pool-sized exchange crept into the chain:\n$p")
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$p")
   }
+
+  test("mix_schedule broadcasts the per-source weights — the corpus is never sort-merged") {
+    val p = plan("mix_schedule")
+    assert(!p.contains("CartesianProduct"), s"cartesian in the interleave:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the |sources|-row weight table must broadcast, not exchange the corpus:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"expected a broadcast weight join:\n$p")
+    // the only sorts: the per-source rank window and ONE final range
+    // sort on the schedule key — text never reaches either (pruned scan)
+    assert(!p.contains("text"), s"mix_schedule reads document text:\n$p")
+  }
+
+  test("sample_source_cap broadcasts the cap table and plans no global sort before the window") {
+    val p = plan("sample_source_cap")
+    assert(!p.contains("CartesianProduct"), s"cartesian in the cap draw:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the |sources|-row cap table must broadcast:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"expected a broadcast cap join:\n$p")
+    assert(!p.contains("text"), s"sample_source_cap reads document text:\n$p")
+  }
+
+  test("dedup_index_admit semi-joins on band keys — probe text never rides an exchange") {
+    val p = plan("dedup_index_admit")
+    assert(!p.contains("CartesianProduct"), s"cartesian in indexed admission:\n$p")
+    // the admission join is a LeftSemi on (band, bh); the survivors
+    // anti-join back by id — document text must stay out of both
+    assert(p.contains("LeftSemi"), s"expected a semi-join against the index:\n$p")
+    assert(p.contains("LeftAnti"), s"expected the survivor anti-join:\n$p")
+    graft.CacheScope.releaseAll()
+  }
 }
