@@ -200,9 +200,18 @@ object BenchScale {
     }
 
     val qs = SparkEntry.queries
+    // targeted re-probes (idle-box re-measurement of a flagged entry):
+    // probe names as one comma-separated arg, artifact redirected via
+    // SPARK_GRAFT_SCALE_OUT so a subset never clobbers the committed map
+    val only = args.headOption.map(_.split(",").toSet)
+    val selected = probes.filter { case (n, _) => only.forall(_.contains(n)) }
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "BENCH_SCALE.json")
+    require(only.isEmpty || outPath != "BENCH_SCALE.json",
+      "targeted BenchScale runs must set SPARK_GRAFT_SCALE_OUT — a probe " +
+        "subset would clobber the committed full map")
     val dirs = Seq("x1" -> s"$workDir/x1", "x10" -> s"$workDir/x10")
     // output cardinality once per (query, scale) — not part of the timing
-    val rows = probes.map { case (name, _) =>
+    val rows = selected.map { case (name, _) =>
       name -> dirs.map { case (tag, d) =>
         val n = qs(name)(spark, d).count()
         CacheScope.releaseAll()
@@ -212,13 +221,13 @@ object BenchScale {
     // min-of-N sweeps, alternating scales inside each sweep so host load
     // bursts hit both scales alike
     val cpu = scala.collection.mutable.Map.empty[(String, String), Double]
-    for (_ <- 1 to sweeps; (name, _) <- probes; (tag, d) <- dirs) {
+    for (_ <- 1 to sweeps; (name, _) <- selected; (tag, d) <- dirs) {
       val c = measure(qs(name), d)
       val key = (name, tag)
       cpu(key) = math.min(cpu.getOrElse(key, Double.MaxValue), c)
     }
 
-    val entries = probes.map { case (name, cls) =>
+    val entries = selected.map { case (name, cls) =>
       val c1 = cpu((name, "x1")); val c10 = cpu((name, "x10"))
       val r1 = rows(name)("x1"); val r10 = rows(name)("x10")
       val cpuRatio = c10 / math.max(c1, 1e-9)
@@ -239,7 +248,7 @@ object BenchScale {
     }.mkString("{\n  \"src\": \"" + srcSf + "\", \"sweeps\": " + sweeps +
       ", \"queries\": {\n", ",\n", "\n  }\n}")
     println(json)
-    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SCALE.json"),
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       json.getBytes("UTF-8"))
     val failed = entries.filterNot(_._9).map(_._1)
     if (failed.nonEmpty)

@@ -467,14 +467,40 @@ object Ngrams {
    * n-gram fraction" quality rule), kept integer-exact for cross-engine
    * determinism: emits the top bigram's occurrence count and the total
    * bigram count per doc — the caller divides (or thresholds) as needed.
+   *
+   * ROW-LOCAL since r13: the bigram multiset lives entirely inside one
+   * document, so its mode needs no token explosion, no exchange, and no
+   * window sort — bigrams are built from the in-row token array, sorted
+   * in-row, and the max run length is one `aggregate` fold. The prior
+   * `wordNgrams`-window form shuffled every token and measured ~15.5×
+   * CPU at the ×10 scale probe (an O(n log n) sort riding a "linear"
+   * budget); this form is a pure codegen projection directly above the
+   * scan — the shape a 100 TB per-doc statistic must have. Output rows
+   * and values are identical (docs with <2 tokens emit nothing, as the
+   * window form's null-gram filter did).
    */
   def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    wordNgrams(df, idCol, textCol, 2)
-      .filter(col("ngram").isNotNull)
-      .groupBy(col(idCol), col("ngram"))
-      .agg(count(lit(1)).as("__c"))
-      .groupBy(col(idCol))
-      .agg(max(col("__c")).as("top_cnt"), sum(col("__c")).as("n_bigrams"))
+    df.select(col(idCol), graft.operators.Dedup.tokens(col(textCol)).as("__t"))
+      .filter(size(col("__t")) >= 2)
+      .withColumn("__sb", array_sort(expr(
+        "transform(sequence(1, size(__t) - 1), " +
+          "i -> concat(element_at(__t, i), ' ', element_at(__t, i + 1)))")))
+      .select(col(idCol),
+        expr(
+          """aggregate(__sb,
+            |  named_struct('prev', CAST(NULL AS STRING),
+            |               'run', CAST(0 AS BIGINT), 'mx', CAST(0 AS BIGINT)),
+            |  (a, x) -> named_struct(
+            |    'prev', x,
+            |    'run', CASE WHEN a.prev IS NOT NULL AND x = a.prev
+            |                THEN a.run + CAST(1 AS BIGINT)
+            |                ELSE CAST(1 AS BIGINT) END,
+            |    'mx', greatest(a.mx,
+            |      CASE WHEN a.prev IS NOT NULL AND x = a.prev
+            |           THEN a.run + CAST(1 AS BIGINT)
+            |           ELSE CAST(1 AS BIGINT) END)),
+            |  a -> a.mx)""".stripMargin).as("top_cnt"),
+        (size(col("__t")) - 1).cast("long").as("n_bigrams"))
 
   /**
    * Rare-term extraction: top-k terms per document by an integer-exact
