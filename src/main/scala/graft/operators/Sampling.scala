@@ -464,10 +464,14 @@ object Sampling {
    * midpoint of its k-th 1/w_s-wide slot — so over any prefix of the
    * schedule each source's share converges to w_s/ΣW and no source ever
    * bursts. The time is materialized as the exact integer
-   * `((2k−1)·10^12) div w_s` (k ≤ 10^6 and w ≥ 1 keep the product
-   * < 2·10^18, inside BIGINT), so Spark and any ANSI SQL engine compute
-   * the identical order; ties (possible across sources) break by
-   * (source, id).
+   * `((2k−1)·10^12) div w_s`, with the product run in DECIMAL(38,0)
+   * (the systematicSample overflow discipline — a 100 TB source can
+   * hold billions of docs, and BIGINT wraps silently at k ≈ 4.6·10^6;
+   * exact to 10^38, matching DuckDB's HUGEINT widening) and the
+   * quotient landing back in BIGINT (≤ 2·10^12 whenever per-row
+   * weights are ≥ 1, since then w_s ≥ k). Spark and any ANSI SQL
+   * engine compute the identical order; ties (possible across sources)
+   * break by (source, id).
    *
    * Scale shape: one hash exchange per source for the within-source
    * rank (WindowGroupLimit does not apply — every row survives — but
@@ -500,7 +504,8 @@ object Sampling {
           .as("__sw"))
     ranked.join(broadcast(weights), ranked(srcCol) <=> weights("__s"))
       .withColumn("sched_key",
-        expr("(cast(2 * __k - 1 as bigint) * 1000000000000) div __sw"))
+        expr("cast((cast(2 * __k - 1 as decimal(38,0)) * 1000000000000)" +
+          " div __sw as bigint)"))
       .select(col(srcCol), col(idCol), col("__k").as("src_seq"), col("sched_key"))
       .orderBy(col("sched_key"), col(srcCol), col(idCol))
   }
