@@ -550,4 +550,53 @@ object Sampling {
       .filter(col("__rk") <= col("__cap"))
       .drop("__s", "__cap", "__rk")
   }
+
+  /**
+   * Salted proportional source capping — [[capSourceShare]]'s hot-source
+   * path: the per-source rank window there sorts one source's whole
+   * membership in one partition, which is exactly wrong when the capped
+   * source IS the pathological one (a 60%-of-corpus crawl dump at
+   * 100 TB). Here every source is split into `slices` deterministic
+   * id-hash slices ([[bucket1000]] mod slices — the same overflow-free
+   * LCG every deterministic sampler uses, so the slicing replays in
+   * SQL), the source's cap C = floor(total·cap/1000) is split EXACTLY
+   * across slices (slice s gets `C div slices`, +1 for the first
+   * `C mod slices` slices — Σ quotas = C), and each slice keeps its own
+   * md5-ordered prefix. The window partitions by (source, slice):
+   * the dominant source's sort runs `slices`-wide instead of serially.
+   *
+   * Contract difference vs the unsalted draw, stated honestly: the kept
+   * SET is a different (equally deterministic) sample, and a slice with
+   * fewer rows than its quota under-fills without rebalancing — exact-C
+   * output is guaranteed only when every slice holds ≥ its quota
+   * (uniform hashing makes a shortfall vanishingly unlikely whenever
+   * n ≥ ~2·C; callers needing exact C at any n use [[capSourceShare]]).
+   * All arithmetic integer; re-runs and resizes keep the identical set.
+   */
+  def capSourceShareSalted(
+      df: DataFrame,
+      srcCol: String,
+      idCol: String,
+      capPermille: Int,
+      slices: Int = 16,
+      seed: Int = 42): DataFrame = {
+    require(capPermille >= 1 && capPermille <= 1000,
+      s"capPermille must be in [1, 1000]: $capPermille")
+    require(slices >= 1 && slices <= 1000,
+      s"slices must be in [1, 1000]: $slices")
+    val counts = df.groupBy(col(srcCol)).agg(count(lit(1)).as("__n"))
+      .withColumn("__total", sum(col("__n")).over(Window.partitionBy()))
+      .withColumn("__cap", expr(s"(__total * $capPermille) div 1000"))
+      .select(col(srcCol).as("__s"), col("__cap"))
+    val sliced = df.withColumn("__sl", (bucket1000(col(idCol)) % slices).cast("int"))
+    val w = Window.partitionBy(col(srcCol), col("__sl"))
+      .orderBy(md5(concat(lit(s"$seed#"), col(idCol).cast("string"))), col(idCol))
+    sliced.join(broadcast(counts), sliced(srcCol) <=> counts("__s"))
+      // slice quota: C div slices, +1 for the first C mod slices slices
+      .withColumn("__q",
+        expr(s"__cap div $slices + if(__sl < __cap % $slices, 1, 0)"))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= col("__q"))
+      .drop("__s", "__cap", "__sl", "__q", "__rk")
+  }
 }

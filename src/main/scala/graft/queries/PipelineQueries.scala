@@ -149,6 +149,21 @@ object PipelineQueries extends QueryFamily {
       .orderBy(col("src_grp"), col("doc_id"))
   }
 
+  /** The salted cap draw on the same skewed regrouping — the hot-source
+    * path: the big group's rank sort runs 8 slices wide, quotas split
+    * exactly across slices. */
+  def sampleSourceCapSalted(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("src_grp",
+        when(col("source").isin("src1", "src2", "src3", "src4",
+          "src5", "src6", "src7", "src8"), lit("big"))
+          .otherwise(col("source")))
+    Sampling.capSourceShareSalted(docs, "src_grp", "doc_id",
+      capPermille = 200, slices = 8)
+      .select(col("src_grp"), col("doc_id"))
+      .orderBy(col("src_grp"), col("doc_id"))
+  }
+
   /** Composed flagship v8 — the r13 mixing chain end to end: dominance
     * cap (the [[sampleSourceCap]] skewed regrouping at 200‰) → the
     * capped survivors interleaved into the deterministic training
@@ -691,6 +706,7 @@ object PipelineQueries extends QueryFamily {
     "sample_systematic" -> (sampleSystematic _),
     "mix_schedule" -> (mixSchedule _),
     "sample_source_cap" -> (sampleSourceCap _),
+    "sample_source_cap_salted" -> (sampleSourceCapSalted _),
     "pipeline_corpus_v8" -> (pipelineCorpusV8 _),
     "dedup_substring_pairs" -> (dedupSubstringPairs _),
     "dedup_substring_verify" -> (dedupSubstringVerify _),
@@ -1270,6 +1286,25 @@ object PipelineQueries extends QueryFamily {
         |FROM gs g JOIN tot t USING (lang)
         |WHERE g.n_docs * 10 >= t.total AND g.n_docs >= 3
         |ORDER BY g.lang, g.ngram""".stripMargin,
+    // the salted draw replayed: LCG slice assignment, per-(group, slice)
+    // md5 rank, exact integer quota split across 8 slices
+    "sample_source_cap_salted" ->
+      ("""WITH g AS (
+        |  SELECT doc_id,
+        |    CASE WHEN source IN ('src1','src2','src3','src4',
+        |                         'src5','src6','src7','src8')
+        |         THEN 'big' ELSE source END AS src_grp,
+        |    (""" + graft.operators.Sampling.bucket1000Sql("doc_id") + """) % 8 AS sl
+        |  FROM documents),
+        |t AS (SELECT COUNT(*) AS total FROM g),
+        |c AS (SELECT (t.total * 200) // 1000 AS cap FROM t),
+        |r AS (SELECT src_grp, doc_id, sl,
+        |        ROW_NUMBER() OVER (PARTITION BY src_grp, sl
+        |          ORDER BY MD5('42#' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |      FROM g)
+        |SELECT r.src_grp, r.doc_id FROM r, c
+        |WHERE r.rk <= c.cap // 8 + CASE WHEN r.sl < c.cap % 8 THEN 1 ELSE 0 END
+        |ORDER BY r.src_grp, r.doc_id""").stripMargin,
     // v8: dominance cap -> deterministic interleave -> schedule-order
     // digest per source; the stage CTE families composed end to end
     "pipeline_corpus_v8" ->

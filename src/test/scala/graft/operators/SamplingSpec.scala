@@ -358,6 +358,36 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("capSourceShareSalted: exact C via slice quotas, deterministic, honest shortfall") {
+    // big = 160 of 200 docs; cap 500‰ -> C = 100, 4 slices -> quotas 25 each
+    val df = ((1L to 160L).map(i => ("big", i)) ++ (161L to 200L).map(i => ("small", i)))
+      .toDF("source", "doc_id")
+    val got = Sampling.capSourceShareSalted(df, "source", "doc_id",
+      capPermille = 500, slices = 4).as[(String, Long)].collect().toSet
+    // quotas sum to EXACTLY C when every slice holds >= its quota
+    assert(got.count(_._1 == "big") == 100, s"big kept ${got.count(_._1 == "big")}")
+    // under-cap source passes through whole
+    assert(got.count(_._1 == "small") == 40)
+    // deterministic re-draw
+    val again = Sampling.capSourceShareSalted(df, "source", "doc_id",
+      capPermille = 500, slices = 4).as[(String, Long)].collect().toSet
+    assert(again == got)
+    // a DIFFERENT (equally deterministic) sample than the unsalted draw
+    val unsalted = Sampling.capSourceShare(df, "source", "doc_id", capPermille = 500)
+      .as[(String, Long)].collect().toSet
+    assert(unsalted.count(_._1 == "big") == 100)
+    assert(unsalted != got, "salted draw coincided with unsalted (fixture fluke?)")
+    // honest shortfall: with more slices than big docs per slice can fill,
+    // a starved slice under-fills without rebalancing
+    val tiny = (1L to 6L).map(i => ("big", i)).toDF("source", "doc_id")
+    val short = Sampling.capSourceShareSalted(tiny, "source", "doc_id",
+      capPermille = 1000, slices = 4).count()
+    assert(short <= 6)
+    intercept[IllegalArgumentException] {
+      Sampling.capSourceShareSalted(df, "source", "doc_id", 500, slices = 0)
+    }
+  }
+
   test("systematicSample fails loud on all-zero total weight") {
     val df = Seq((1L, 0L), (2L, 0L)).toDF("doc_id", "n_chars")
     val e = intercept[Exception] {
