@@ -172,6 +172,49 @@ object NearDupIndex {
     1
   }
 
+  /**
+   * Continuous screen-and-grow ingest — the streaming face of the
+   * durable index: every micro-batch is near-dup screened against the
+   * STANDING index (build-time segments plus everything earlier batches
+   * admitted), the admitted rows land under `outPath/batch=<id>` with
+   * the exactly-once per-batch-overwrite recipe, and the admitted rows'
+   * OWN band keys are appended as index segment `batch=<id + idBase>`
+   * (marker-last, idempotent) so later batches screen against them.
+   * Replay safety: the batch's OWN index segment is un-committed FIRST
+   * — a replay would otherwise screen against the keys it admitted on
+   * the failed attempt and reject every one of its own rows — then the
+   * screen sees exactly the pre-batch standing set and both writes
+   * converge. Near-dups WITHIN one micro-batch are all admitted
+   * (admission screens against the standing set only, the
+   * [[graft.streaming.CorpusStream.admitEmbeddingsStream]] contract);
+   * periodic [[compactSegments]] housekeeping bounds the segment count.
+   */
+  def admitDocsStream(
+      streaming: DataFrame,
+      textCol: String,
+      idCol: String,
+      indexDir: String,
+      outPath: String,
+      checkpoint: String,
+      idBase: Long = 1000000L): org.apache.spark.sql.streaming.StreamingQuery =
+    streaming.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val sp = batch.sparkSession
+        // un-commit this batch's own segment from any prior half-run
+        // BEFORE screening (see the replay-safety contract above)
+        val own = new org.apache.hadoop.fs.Path(
+          s"$indexDir/bands/batch=${idBase + batchId}/$CommitMarker")
+        own.getFileSystem(sp.sessionState.newHadoopConf()).delete(own, false)
+        val admitted = admitNewIndexed(batch, textCol, idCol, indexDir)
+        admitted.write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+        // appending AFTER the data write: a crash between the two means
+        // the replay re-screens against the same standing set and
+        // idempotently overwrites both
+        appendSegment(admitted, textCol, indexDir, s"batch=${idBase + batchId}")
+      }
+      .start()
+
   /** Indexed near-dup admission — [[Dedup.admitNewNearDup]] served from
     * the DURABLE index: an incoming doc is dropped iff any of its band
     * buckets exists in any committed segment. The incoming batch ships

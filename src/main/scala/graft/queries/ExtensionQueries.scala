@@ -226,6 +226,68 @@ object ExtensionQueries extends QueryFamily {
       .orderBy(col("doc_id"))
   }
 
+  /**
+   * Continuous screen-and-grow near-dup ingest as a driver row — the
+   * [[graft.operators.NearDupIndex.admitDocsStream]] lifecycle actually
+   * RUNS: build the index on even docs, STREAM the odd half through it
+   * (each batch screened, admitted rows' keys appended as a new
+   * segment), then screen a derivable probe set against the grown
+   * index. Every probe verdict is exact: copies of every 100th even doc
+   * reject via the BUILD segment; copies of every (100k+1)-th odd doc
+   * reject REGARDLESS of the odd's own streaming outcome (an admitted
+   * odd contributed its identical keys; a rejected odd collided with
+   * build keys its copy shares) — but ONLY if the stream-appended
+   * segments serve, so a broken append hash-fails here; synthetic
+   * md5-hex docs admit. The stream's own admitted set is deliberately
+   * NOT part of the surface (natural odd-vs-even collisions make it
+   * non-SQL-derivable — the corpus_increment_neardup precedent).
+   */
+  def streamNeardupAdmit(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.NearDupIndex
+    val base = graft.TmpCleanup.perProcessDir("graft-neardup-stream", dir)
+    graft.TmpCleanup.register(base)
+    // re-entries (bench passes) must re-stream, not no-op on the
+    // checkpoint — the shardSinkRoundtrip discipline
+    val p = java.nio.file.Paths.get(base)
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(java.nio.file.Files.walk(p)) { st =>
+        st.iterator().asScala.toSeq.reverse
+      }.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    val in = s"$base/in"; val idx = s"$base/idx"
+    val out = s"$base/out"; val ckpt = s"$base/ckpt"
+    val docs = Tables.documents(spark, dir)
+    NearDupIndex.writeIndex(docs.filter(col("doc_id") % 2 === 0), "text", idx)
+    docs.filter(col("doc_id") % 2 === 1).select(col("doc_id"), col("text"))
+      .write.parquet(in)
+    val q = NearDupIndex.admitDocsStream(
+      spark.readStream.schema(
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("text",
+            org.apache.spark.sql.types.StringType))))
+        .parquet(in),
+      "text", "doc_id", idx, out, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    val copies = docs
+      .filter(col("doc_id") % 100 === 0 || col("doc_id") % 100 === 1)
+      .select((col("doc_id") + lit(10000000L)).as("doc_id"), col("text"))
+    val synth = spark.range(1, 21)
+      .select((col("id") + lit(30000000L)).as("doc_id"),
+        expr("array_join(transform(sequence(1, 40), " +
+          "k -> md5(concat('s', cast(id as string), ':', cast(k as string)))), ' ')")
+          .as("text"))
+    val probe = copies.unionByName(synth)
+    val admitted = NearDupIndex.admitNewIndexed(probe, "text", "doc_id", idx)
+      .select(col("doc_id")).withColumn("__a", lit(true))
+    probe.select(col("doc_id"))
+      .join(admitted, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("__a"), lit(false)).as("admitted"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Cluster-level near-dup removal (CC over the candidate-pair graph —
     * transitive chains collapse to one survivor). Rows-only + spec, like
     * the rest of the minhash family. */
@@ -2515,6 +2577,7 @@ object ExtensionQueries extends QueryFamily {
     "corpus_increment" -> (corpusIncrement _),
     "corpus_increment_neardup" -> (corpusIncrementNearDup _),
     "dedup_index_admit" -> (dedupIndexAdmit _),
+    "stream_neardup_admit" -> (streamNeardupAdmit _),
     "sim_topk_brute" -> (simTopkBrute _),
     "sim_topk_lsh" -> (simTopkLsh _),
     "sim_topk_ivf" -> (simTopkIvf _),
@@ -3084,6 +3147,16 @@ object ExtensionQueries extends QueryFamily {
          |SELECT event_id,
          |  (${Scale.spreadBitsSql("zx")}) | ((${Scale.spreadBitsSql("zy")}) << 1) AS zkey
          |FROM b ORDER BY zkey, event_id""".stripMargin,
+    // probe verdicts exact: copies of both parities reject (build seg /
+    // stream-grown seg or shared build keys), synthetic-hex docs admit
+    "stream_neardup_admit" ->
+      """SELECT doc_id, admitted FROM (
+        |  SELECT doc_id + 10000000 AS doc_id, FALSE AS admitted
+        |  FROM documents WHERE doc_id % 100 IN (0, 1)
+        |  UNION ALL
+        |  SELECT CAST(30000000 + i AS BIGINT), TRUE
+        |  FROM (SELECT unnest(generate_series(1, 20)) AS i))
+        |ORDER BY doc_id""".stripMargin,
     // every probe verdict is exactly derivable: planted copies (both
     // segment parities) rejected, synthetic-hex docs admitted
     "dedup_index_admit" ->

@@ -74,6 +74,49 @@ class NearDupIndexSpec extends SparkSpec {
     assert(NearDupIndex.compactSegments(spark, dir) == 1)
   }
 
+  test("admitDocsStream: screen-and-grow across batches, idempotent restart") {
+    val base = java.nio.file.Files.createTempDirectory("neardup-stream").toString
+    val in = s"$base/in"; val idx = s"$base/idx"
+    val out = s"$base/out"; val ckpt = s"$base/ckpt"
+    NearDupIndex.writeIndex(corpus.filter($"doc_id" <= 2), "text", idx)
+    // batch 1: a copy of indexed doc 1 (reject) + novel doc 10 (admit)
+    // batch 2: a copy of BATCH-1-admitted doc 10 (reject — only possible
+    //          if batch 1's admitted keys joined the index) + novel 11
+    val slices = Seq(
+      Seq((101L, "the quick brown fox jumps over the lazy dog again today"),
+        (10L, "novel content about streaming admission of new documents")),
+      Seq((110L, "novel content about streaming admission of new documents"),
+        (11L, "another genuinely fresh document with unshared shingles here")))
+    slices.zipWithIndex.foreach { case (rows, i) =>
+      rows.toDF("doc_id", "text").coalesce(1).write.parquet(s"$in/slice$i")
+      new java.io.File(s"$in/slice$i").listFiles()
+        .foreach(_.setLastModified(1000000L * (i + 1)))
+    }
+    def stream() = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType))))
+      .option("maxFilesPerTrigger", "1").parquet(s"$in/slice*")
+    val q = NearDupIndex.admitDocsStream(stream(), "text", "doc_id", idx, out, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    val admitted = spark.read.parquet(s"$out/batch=*")
+      .select("doc_id").as[Long].collect().toSet
+    assert(admitted == Set(10L, 11L), s"got $admitted")
+    // restart on the same checkpoint with no new input: nothing changes
+    val q2 = NearDupIndex.admitDocsStream(stream(), "text", "doc_id", idx, out, ckpt)
+    try q2.processAllAvailable() finally q2.stop()
+    val again = spark.read.parquet(s"$out/batch=*")
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == admitted, "restart changed the admitted set")
+    // the grown index serves batch admission too
+    val probe = Seq((111L, "another genuinely fresh document with unshared shingles here"))
+      .toDF("doc_id", "text")
+    assert(NearDupIndex.admitNewIndexed(probe, "text", "doc_id", idx).isEmpty,
+      "stream-appended segment not serving")
+  }
+
   test("admission bands through the index's own meta params") {
     val dir = java.nio.file.Files.createTempDirectory("neardup-meta").toString
     // non-default banding at build time; admitNewIndexed takes NO params
