@@ -54,9 +54,13 @@ object Dsir {
     * weight_micro); zero-token docs carry weight 0. */
   def importanceWeights(docs: DataFrame, target: Lm.BigramModel,
       raw: Lm.BigramModel, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text",
+      pairsOpt: Option[DataFrame] = None): DataFrame = {
     val v = sharedVocab(target, raw)
-    val pairs = Lm.docBigrams(docs, idCol, textCol)
+    // pairsOpt: the caller's (scope-cached) pre-expanded bigram frame —
+    // the shared-expansion path (see Lm.trainBigramFromPairs); None
+    // re-expands here, the standalone shape
+    val pairs = pairsOpt.getOrElse(Lm.docBigrams(docs, idCol, textCol))
     val bt = target.bigrams.select(col("prev"), col("tok"), col("c").as("c_t"))
     val xt = target.contexts.select(col("prev"), col("ctx_n").as("ctx_t"))
     val br = raw.bigrams.select(col("prev"), col("tok"), col("c").as("c_r"))
@@ -87,16 +91,18 @@ object Dsir {
     * as much as the raw model does"). */
   def select(docs: DataFrame, target: Lm.BigramModel, raw: Lm.BigramModel,
       thresholdMicro: Long, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame =
-    importanceWeights(docs, target, raw, idCol, textCol)
+      textCol: String = "text",
+      pairsOpt: Option[DataFrame] = None): DataFrame =
+    importanceWeights(docs, target, raw, idCol, textCol, pairsOpt)
       .withColumn("keep", col("weight_micro") >= lit(thresholdMicro))
 
   /** Deterministic top-k selection (the rank-by-weight analog of DSIR's
     * resampling step): orderBy+limit plans TakeOrderedAndProject —
     * per-partition heaps, never a single-partition global sort. */
   def topK(docs: DataFrame, target: Lm.BigramModel, raw: Lm.BigramModel,
-      k: Int, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    importanceWeights(docs, target, raw, idCol, textCol)
+      k: Int, idCol: String = "doc_id", textCol: String = "text",
+      pairsOpt: Option[DataFrame] = None): DataFrame =
+    importanceWeights(docs, target, raw, idCol, textCol, pairsOpt)
       .orderBy(col("weight_micro").desc, col(idCol)).limit(k)
 
   // ------------------------------------------------------------------
@@ -122,16 +128,23 @@ object Dsir {
     * size is a CONSTANT of the pipeline (buckets), not a function of the
     * corpus, so at 100 TB the two models are always broadcastable. */
   def trainHashed(ref: DataFrame, buckets: Int, idCol: String = "doc_id",
-      textCol: String = "text"): HashedModel = {
-    val pb = Lm.docBigrams(ref, idCol, textCol)
+      textCol: String = "text",
+      pairsOpt: Option[DataFrame] = None): HashedModel = {
+    val pb = pairsOpt.getOrElse(Lm.docBigrams(ref, idCol, textCol))
       .select(bigramBucket(buckets).as("b"))
     // Scope-cached (≤ `buckets` rows — trivially safe): the `total`
     // action below materializes the table once, and the serve join in
     // [[importanceWeightsHashed]] reuses it. Uncached, Catalyst would
     // re-run the full corpus tokenize + per-bigram hash aggregation for
     // each consumer — at 100 TB each redundant pass is the whole corpus.
-    val counts = graft.CacheScope.scoped(
-      pb.groupBy(col("b")).agg(count(lit(1)).as("c")))
+    // with a caller-cached pairs frame, do NOT cache the bucket table
+    // on top of it — nested pending caches break the outer cache's plan
+    // match (the r13 logit-label finding), and a ≤ buckets-row agg over
+    // CACHED pairs is cheap per consumer
+    val counts =
+      if (pairsOpt.isDefined) pb.groupBy(col("b")).agg(count(lit(1)).as("c"))
+      else graft.CacheScope.scoped(
+        pb.groupBy(col("b")).agg(count(lit(1)).as("c")))
     // bounded driver state: one long (the smoothing denominator)
     val total = counts.agg(coalesce(sum(col("c")), lit(0L))).head().getLong(0)
     HashedModel(counts, total, buckets)
@@ -146,13 +159,14 @@ object Dsir {
     * point of the hashed feature space. */
   def importanceWeightsHashed(docs: DataFrame, target: HashedModel,
       raw: HashedModel, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text",
+      pairsOpt: Option[DataFrame] = None): DataFrame = {
     require(target.buckets == raw.buckets,
       s"bucket mismatch: ${target.buckets} vs ${raw.buckets}")
     val b = target.buckets
     val ct = target.counts.select(col("b"), col("c").as("c_t"))
     val cr = raw.counts.select(col("b"), col("c").as("c_r"))
-    val perDoc = Lm.docBigrams(docs, idCol, textCol)
+    val perDoc = pairsOpt.getOrElse(Lm.docBigrams(docs, idCol, textCol))
       .select(col(idCol), bigramBucket(b).as("b"))
       .join(broadcast(ct), Seq("b"), "left")
       .join(broadcast(cr), Seq("b"), "left")
@@ -175,7 +189,8 @@ object Dsir {
   /** Hashed-model gate, same threshold convention as [[select]]. */
   def selectHashed(docs: DataFrame, target: HashedModel, raw: HashedModel,
       thresholdMicro: Long, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame =
-    importanceWeightsHashed(docs, target, raw, idCol, textCol)
+      textCol: String = "text",
+      pairsOpt: Option[DataFrame] = None): DataFrame =
+    importanceWeightsHashed(docs, target, raw, idCol, textCol, pairsOpt)
       .withColumn("keep", col("weight_micro") >= lit(thresholdMicro))
 }

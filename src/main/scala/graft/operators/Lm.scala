@@ -81,6 +81,24 @@ object Lm {
     BigramModel(big, ctx, vocab)
   }
 
+  /** Train from an ALREADY-expanded (id, prev, tok) bigram frame — the
+    * shared-expansion path for pipelines that also SCORE the corpus the
+    * model is trained on (DSIR trains its raw model on the pool it
+    * scores: ONE scope-cached expansion serves train and score, where
+    * the two-entry-point form pays two full corpus expansions). The
+    * count tables are deliberately NOT cached here: nesting a cache
+    * under the caller's cached pairs frame breaks the outer cache's
+    * plan matching (Spark's top-down cached-plan substitution never
+    * re-checks a parent after rewriting its child — measured in r13 on
+    * the logit-label variant), and re-running the count aggregation
+    * over CACHED pairs per consumer is cheap. */
+  def trainBigramFromPairs(pairs: DataFrame): BigramModel = {
+    val big = pairs.groupBy(col("prev"), col("tok")).agg(count(lit(1)).as("c"))
+    val ctx = big.groupBy(col("prev")).agg(sum(col("c")).as("ctx_n"))
+    val vocab = big.select(col("tok")).distinct().count()
+    BigramModel(big, ctx, vocab)
+  }
+
   /** Score every document by mean smoothed bigram micro-likelihood under
     * `model`. Output: (idCol, n_bigrams, sum_p_micro, score_micro) with
     * zero-token documents kept at score 0. */

@@ -1303,9 +1303,15 @@ object ExtensionQueries extends QueryFamily {
    */
   def selectDsir(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
+    // ONE scope-cached bigram expansion of the pool serves BOTH the raw
+    // model train and the scoring join (pairsOpt) — standalone they are
+    // two full corpus expansions, the query's two dominant stages
+    // (2 × ~3.5 s CPU of its 11.5 at sf0.1, profiled r13)
+    val poolPairs = graft.CacheScope.scoped(Lm.docBigrams(docs))
     val target = Lm.trainBigram(docs.filter(col("source") === "src0"))
-    val raw = Lm.trainBigram(docs)
-    graft.operators.Dsir.select(docs, target, raw, thresholdMicro = 1000000L)
+    val raw = Lm.trainBigramFromPairs(poolPairs)
+    graft.operators.Dsir.select(docs, target, raw, thresholdMicro = 1000000L,
+      pairsOpt = Some(poolPairs))
       .orderBy(col("doc_id"))
   }
 
@@ -1316,11 +1322,14 @@ object ExtensionQueries extends QueryFamily {
     * exact DuckDB replay via the shared '0x'-prefix hex parse. */
   def selectDsirHashed(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
+    // shared-expansion path — see selectDsir
+    val poolPairs = graft.CacheScope.scoped(Lm.docBigrams(docs))
     val target = graft.operators.Dsir.trainHashed(
       docs.filter(col("source") === "src0"), buckets = 4096)
-    val raw = graft.operators.Dsir.trainHashed(docs, buckets = 4096)
+    val raw = graft.operators.Dsir.trainHashed(docs, buckets = 4096,
+      pairsOpt = Some(poolPairs))
     graft.operators.Dsir.selectHashed(docs, target, raw,
-      thresholdMicro = 1000000L)
+      thresholdMicro = 1000000L, pairsOpt = Some(poolPairs))
       .orderBy(col("doc_id"))
   }
 
@@ -1330,9 +1339,12 @@ object ExtensionQueries extends QueryFamily {
     * single-partition sort), doc_id tie-break pinning a total order. */
   def selectDsirTopk(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
+    // shared-expansion path — see selectDsir
+    val poolPairs = graft.CacheScope.scoped(Lm.docBigrams(docs))
     val target = Lm.trainBigram(docs.filter(col("source") === "src0"))
-    val raw = Lm.trainBigram(docs)
-    graft.operators.Dsir.topK(docs, target, raw, k = 100)
+    val raw = Lm.trainBigramFromPairs(poolPairs)
+    graft.operators.Dsir.topK(docs, target, raw, k = 100,
+      pairsOpt = Some(poolPairs))
   }
 
   /**
