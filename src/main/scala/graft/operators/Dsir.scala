@@ -138,9 +138,9 @@ object Dsir {
     // re-run the full corpus tokenize + per-bigram hash aggregation for
     // each consumer — at 100 TB each redundant pass is the whole corpus.
     // with a caller-cached pairs frame, do NOT cache the bucket table
-    // on top of it — nested pending caches break the outer cache's plan
-    // match (the r13 logit-label finding), and a ≤ buckets-row agg over
-    // CACHED pairs is cheap per consumer
+    // on top of it — stacked pending caches measured as never-reused in
+    // the r13 logit-label experiments (see CacheScopeSpec), and a
+    // ≤ buckets-row agg over CACHED pairs is cheap per consumer
     val counts =
       if (pairsOpt.isDefined) pb.groupBy(col("b")).agg(count(lit(1)).as("c"))
       else graft.CacheScope.scoped(

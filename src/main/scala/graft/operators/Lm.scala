@@ -86,12 +86,13 @@ object Lm {
     * model is trained on (DSIR trains its raw model on the pool it
     * scores: ONE scope-cached expansion serves train and score, where
     * the two-entry-point form pays two full corpus expansions). The
-    * count tables are deliberately NOT cached here: nesting a cache
-    * under the caller's cached pairs frame breaks the outer cache's
-    * plan matching (Spark's top-down cached-plan substitution never
-    * re-checks a parent after rewriting its child — measured in r13 on
-    * the logit-label variant), and re-running the count aggregation
-    * over CACHED pairs per consumer is cheap. */
+    * count tables are deliberately NOT cached here: in the r13
+    * logit-label experiments, stacking a cache on top of another
+    * pending cache measured as if the outer entry was never reused
+    * (every consumer re-ran the derivation; minimal nested shapes DO
+    * hit, so the trigger is subtle — see CacheScopeSpec), and
+    * re-running the count aggregation over CACHED pairs per consumer
+    * is cheap, so the single-level structure side-steps the question. */
   def trainBigramFromPairs(pairs: DataFrame): BigramModel = {
     val big = pairs.groupBy(col("prev"), col("tok")).agg(count(lit(1)).as("c"))
     val ctx = big.groupBy(col("prev")).agg(sum(col("c")).as("ctx_n"))

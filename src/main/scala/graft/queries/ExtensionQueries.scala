@@ -1401,15 +1401,16 @@ object ExtensionQueries extends QueryFamily {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
     // NOTE (r13, measured): keep the label derivation a PLAIN in-plan
-    // view. Two alternatives are worse: scope-caching the label frame
-    // nests a cache under trainLogit's own feature cache, and Spark's
-    // top-down cached-plan substitution then never matches the outer
-    // key — every training iteration silently re-featurized (58 →
-    // 73-91 CPU-s at the ×10 probe scale); a parquet label artifact
-    // adds fixed write/read cost that dominates at the ×1 scale. The
-    // real cost was repetitionStats' token-window sort inside the
-    // gopher branch, fixed at the OPERATOR (row-local fold) — the
-    // in-plan derivation is now cheap everywhere.
+    // view. Two alternatives measured WORSE: scope-caching the label
+    // frame under trainLogit's own feature cache made every training
+    // iteration re-featurize as if the feature cache was never reused
+    // (58 → 73-91 CPU-s at the ×10 probe scale; minimal nested-cache
+    // shapes DO hit, so the trigger is subtle — pinned in
+    // CacheScopeSpec), and a parquet label artifact adds fixed
+    // write/read cost that dominates at the ×1 scale. The real cost was
+    // repetitionStats' token-window sort inside the gopher branch,
+    // fixed at the OPERATOR (row-local fold) — the in-plan derivation
+    // is now cheap everywhere.
     val labeled = docs.join(
       TextAnalysis.gopherFilter(docs, "doc_id", "text")
         .select(col("doc_id"), col("keep").cast("int").as("label")),

@@ -45,6 +45,46 @@ class CacheScopeSpec extends SparkSpec {
     assert(leaked.isEmpty, s"persistent RDDs leaked past release: $leaked")
   }
 
+  test("scoped-cache substitution: single-level and nested shapes both HIT today") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def hasImr(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.executedPlan.toString.contains("InMemoryTableScan")
+    // single level: a derived aggregate over a scoped cache reads the IMR
+    val base = (1L to 2000L).map(i => (i, s"tok$i word${i % 7}"))
+      .toDF("id", "text")
+    val cached = CacheScope.scoped(
+      base.withColumn("n", length(col("text"))))
+    cached.count() // materialize
+    assert(hasImr(cached.agg(sum(col("n")))),
+      "single-level scoped cache not substituted into a consumer plan")
+
+    // NESTED caches in a JOIN shape, pinned because the r13
+    // production variants (gopher labels under the logit feature cache)
+    // MEASURED as if the outer cache was not reused (58 → 73-91 CPU-s
+    // at the ×10 probe) — yet this minimal reproduction HITS, so the
+    // production trigger is narrower than nesting per se (candidates:
+    // the 30-odd distinct consumer plans, AQE replanning, or literal
+    // drift in per-iteration expressions). The engine code therefore
+    // keeps caches single-level (qualityLogitTrain,
+    // trainBigramFromPairs, trainHashed(pairsOpt)) — a structure whose
+    // reuse is unconditional — and this test records the minimal
+    // shapes' CURRENT behavior so an engine change shows up.
+    val inner = CacheScope.scoped(
+      base.filter(col("id") % 2 === 0).select(col("id"), lit(1).as("lab")))
+    val outer = CacheScope.scoped(
+      base.join(inner, Seq("id")).withColumn("n2", length(col("text")) * 2))
+    outer.count() // materialize both
+    val consumerPlan = outer.agg(sum(col("n2")))
+      .queryExecution.executedPlan.toString
+    val outerHit = "InMemoryTableScan \\[[^\\]]*n2".r
+      .findFirstIn(consumerPlan).isDefined
+    info(s"nested-join outer cache hit: $outerHit")
+    assert(consumerPlan.contains("InMemoryTableScan"),
+      s"no cache used at all:\n$consumerPlan")
+    CacheScope.releaseAll(blocking = true)
+  }
+
   test("releaseAll on an empty registry is a no-op; results stay correct after release") {
     CacheScope.releaseAll() // no registered caches — must not throw
     // correctness is cache-independent: same result before/after release
