@@ -47,20 +47,34 @@ object NearDupIndex {
     (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
   }
 
-  /** Meta is written by temp + ATOMIC RENAME exactly once at build; a
-    * re-build overwrites it (rename with overwrite=false fails loud on
-    * a concurrent build instead of silently crossing params). */
+  /** Meta is written by temp + ATOMIC RENAME exactly once at build.
+    * An EXISTING meta is never deleted first (a pre-delete would let a
+    * racing build's rename land over ours and silently band our
+    * segments under its params — the cross-banding failure the
+    * one-meta design exists to prevent, and it would also make a
+    * concurrent reader fail spuriously in the delete→rename window):
+    * a re-build with IDENTICAL params is a no-op, a re-build with
+    * DIFFERENT params fails loud — changing banding params requires a
+    * fresh index directory, because existing segments were banded
+    * under the old ones. */
   private def writeMeta(
       spark: SparkSession, dir: String, numHashes: Int, bands: Int): Unit = {
     import org.apache.hadoop.fs.Path
     val (fs, _) = fsFor(spark, dir)
     val meta = new Path(s"$dir/$MetaFile")
+    if (fs.exists(meta)) {
+      val existing = readMeta(spark, dir)
+      if (existing == ((numHashes, bands))) return
+      throw new IllegalStateException(
+        s"near-dup index at $dir already built with params $existing; " +
+          s"rebuilding with ($numHashes, $bands) would cross-band its " +
+          "segments — use a fresh directory")
+    }
     val tmp = new Path(
       s"$dir/.$MetaFile.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
     scala.util.Using.resource(fs.create(tmp, true)) { out =>
       out.write(s"numHashes=$numHashes\nbands=$bands\n".getBytes("UTF-8"))
     }
-    fs.delete(meta, false)
     if (!fs.rename(tmp, meta))
       throw new java.io.IOException(s"near-dup index meta publish failed: $meta")
   }
@@ -133,43 +147,151 @@ object NearDupIndex {
       .toSeq.map(_.getPath.getParent.toString)
   }
 
-  /** Merge all committed band segments into ONE distinct-keyed segment —
+  /** Ids a committed marker names as superseded-by-compaction (one id
+    * per line in the merged segment's marker; ordinary build/append
+    * markers are empty). These are the only ids [[vacuumIndexSegments]]
+    * may reclaim — an id never named in any marker may be an in-flight
+    * append and is untouchable. */
+  private def namedTombstones(
+      fs: org.apache.hadoop.fs.FileSystem, dir: String): Seq[Long] =
+    fs.globStatus(
+      new org.apache.hadoop.fs.Path(s"$dir/bands/batch=*/$CommitMarker"))
+      .toSeq.flatMap { st =>
+        scala.util.Using.resource(fs.open(st.getPath)) { in =>
+          scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+            .map(_.trim).filter(_.nonEmpty).map(_.toLong).toList
+        }
+      }.distinct
+
+  /**
+   * The highest streaming segment id [[compactSegments]] may safely
+   * absorb while [[admitDocsStream]] can still replay: batches at or
+   * below the checkpoint's last COMMITTED batch are never replayed, so
+   * their index segments (id = `idBase` + batch) are compactable;
+   * anything above may be re-run by a restart, and compacting a
+   * replayable batch's segment makes the replay screen against its own
+   * keys — it would reject every one of its own rows and overwrite its
+   * output with EMPTY, silent permanent data loss (the un-commit-first
+   * step in the foreachBatch can't help once the keys live in a merged
+   * segment). Reads Spark's streaming commit log (`checkpoint/commits/
+   * <batchId>`, the engine's own completed-batch record); with no
+   * committed batch yet, only pre-stream segments (`id < idBase`) are
+   * compactable.
+   */
+  def safeCompactionBound(
+      spark: SparkSession, checkpoint: String, idBase: Long = 1000000L): Long = {
+    val (fs, _) = fsFor(spark, s"$checkpoint/commits")
+    val commits = fs.globStatus(
+      new org.apache.hadoop.fs.Path(s"$checkpoint/commits/*"))
+    val ids = Option(commits).toSeq.flatten
+      .map(_.getPath.getName).filter(_.forall(_.isDigit)).map(_.toLong)
+    if (ids.isEmpty) idBase - 1 else idBase + ids.max
+  }
+
+  /** Merge committed band segments into ONE distinct-keyed segment —
     * the housekeeping that bounds file count and drops the duplicate
     * (band, bh) keys append accumulates (a key two segments share is
     * stored twice but means once). Same protocol as
     * [[Retrieval.compactIndexSegments]]'s append half, simplified by
     * the semi-join serve semantics: the merged segment is written
     * UNMARKED under a fresh id, then one atomic publish step commits it
-    * and un-commits the sources (marker create, then source-marker
-    * deletes failing LOUD — an orphan with a live marker would serve
-    * duplicate keys, which is harmless for admission but re-inflates
-    * the file count the compaction exists to bound), then source data
-    * dirs are reclaimed best-effort. A crash before the new marker
-    * leaves the old set serving; after it, re-running compaction or the
-    * next one retries the reclaim. Returns the live segment count after
-    * (1, or the input count if already compact). */
-  def compactSegments(spark: SparkSession, dir: String): Int = {
+    * (its marker NAMES the absorbed ids — the tombstone record
+    * [[vacuumIndexSegments]] reclaims from) and un-commits the sources
+    * (marker deletes failing LOUD — an orphan with a live marker serves
+    * duplicate keys, harmless for admission but re-inflating the file
+    * count compaction exists to bound). A crash before the new marker
+    * leaves the old set serving; after it, the next compaction or a
+    * vacuum retries the reclaim.
+    *
+    * Replay safety (`maxSegmentId`): NEVER absorb a segment a streaming
+    * replay could rewrite — pass
+    * `maxSegmentId = safeCompactionBound(spark, checkpoint, idBase)`
+    * whenever an [[admitDocsStream]] over this index is running or
+    * restartable; see that method's contract for the data-loss mode
+    * this prevents. The default (no bound) is only safe when every
+    * writer is stopped AND checkpoint-committed.
+    *
+    * Zero-disruption serves: with `reclaimSources = true` (default) a
+    * serve that listed segments just before the publish can race the
+    * source deletion — FileNotFound on read, or with
+    * `spark.sql.files.ignoreMissingFiles` a silently PARTIAL index,
+    * which for an admission screen means missed keys = false
+    * admissions (worse than a crash). Serving fleets that cannot retry
+    * should pass `reclaimSources = false` and run
+    * [[vacuumIndexSegments]] after a grace period longer than their
+    * longest admission query.
+    *
+    * Single-maintainer discipline: don't run two compactions of one
+    * index concurrently (both would claim `max(ids)+1`); appends race
+    * freely — an appended segment misses this merge and joins the next.
+    * Returns the live segment count after compaction. */
+  def compactSegments(
+      spark: SparkSession,
+      dir: String,
+      reclaimSources: Boolean = true,
+      maxSegmentId: Long = Long.MaxValue): Int = {
     import org.apache.hadoop.fs.Path
     val (fs, _) = fsFor(spark, dir)
     val segs = committedSegments(spark, dir)
     require(segs.nonEmpty, s"no committed near-dup index segments under $dir")
-    if (segs.size <= 1) return segs.size
     val ids = segs.map(p => new Path(p).getName.stripPrefix("batch=").toLong)
+    val (mergeIds, protectedIds) = ids.partition(_ <= maxSegmentId)
+    if (mergeIds.size <= 1) return ids.size
     val newId = math.max(ids.max + 1, 1000000000000L)
     val seg = s"$dir/bands/batch=$newId"
-    spark.read.parquet(segs: _*).select(col("band"), col("bh")).distinct()
+    val mergePaths = mergeIds.map(id => s"$dir/bands/batch=$id")
+    spark.read.parquet(mergePaths: _*).select(col("band"), col("bh")).distinct()
       .repartition(col("band"), col("bh"))
       .sortWithinPartitions(col("band"), col("bh"))
       .write.mode("overwrite").parquet(seg)
-    fs.create(new Path(seg, CommitMarker), true).close()
-    ids.foreach { id =>
+    // tombstones = the ids being absorbed + previously-named ids whose
+    // data still exists (bounded to ACTUAL orphans by the existence
+    // probe, so the marker doesn't accumulate every id ever compacted)
+    val orphansAlive = namedTombstones(fs, dir)
+      .filter(id => fs.exists(new Path(s"$dir/bands/batch=$id")))
+      .filterNot(mergeIds.contains)
+    val tombstones = (mergeIds ++ orphansAlive).distinct.sorted
+    val markerPath = new Path(seg, CommitMarker)
+    val tmp = new Path(seg,
+      s".$CommitMarker.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    scala.util.Using.resource(fs.create(tmp, true)) { out =>
+      out.write(tombstones.mkString("", "\n", "\n").getBytes("UTF-8"))
+    }
+    if (!fs.rename(tmp, markerPath))
+      throw new java.io.IOException(s"compact marker publish failed: $markerPath")
+    tombstones.foreach { id =>
       val m = new Path(s"$dir/bands/batch=$id/$CommitMarker")
       if (!fs.delete(m, false) && fs.exists(m))
         throw new java.io.IOException(
           s"compaction could not un-commit near-dup segment $id ($m survives)")
+      if (reclaimSources) fs.delete(new Path(s"$dir/bands/batch=$id"), true)
+    }
+    1 + protectedIds.size
+  }
+
+  /** Reclaim superseded segments deferred by
+    * `compactSegments(…, reclaimSources = false)`: deletes the data
+    * directories of every id NAMED in a committed marker's tombstone
+    * list. Only named ids are touched — an uncommitted, un-named
+    * directory may be an in-flight append and is left alone. Run after
+    * a grace period longer than the serving fleet's longest admission
+    * query, and under the same `maxSegmentId` discipline as compaction
+    * (a correctly-bounded compaction never names a replayable id, so a
+    * vacuum after it is replay-safe by construction). Returns the
+    * number of segment ids reclaimed. */
+  def vacuumIndexSegments(spark: SparkSession, dir: String): Int = {
+    import org.apache.hadoop.fs.Path
+    val (fs, _) = fsFor(spark, dir)
+    val dead = namedTombstones(fs, dir).sorted
+      .filter(id => fs.exists(new Path(s"$dir/bands/batch=$id")))
+    dead.foreach { id =>
+      val m = new Path(s"$dir/bands/batch=$id/$CommitMarker")
+      if (!fs.delete(m, false) && fs.exists(m))
+        throw new java.io.IOException(
+          s"vacuum could not un-commit superseded segment $id ($m survives)")
       fs.delete(new Path(s"$dir/bands/batch=$id"), true)
     }
-    1
+    dead.size
   }
 
   /**
@@ -186,8 +308,14 @@ object NearDupIndex {
    * screen sees exactly the pre-batch standing set and both writes
    * converge. Near-dups WITHIN one micro-batch are all admitted
    * (admission screens against the standing set only, the
-   * [[graft.streaming.CorpusStream.admitEmbeddingsStream]] contract);
-   * periodic [[compactSegments]] housekeeping bounds the segment count.
+   * [[graft.streaming.CorpusStream.admitEmbeddingsStream]] contract).
+   *
+   * Housekeeping: periodic [[compactSegments]] bounds the segment
+   * count, but while this stream runs (or could be restarted) it MUST
+   * be bounded by [[safeCompactionBound]] — compacting a segment whose
+   * batch is committed in the index but not yet in the streaming
+   * checkpoint hands the replay its own keys and it rejects every one
+   * of its own rows (see [[compactSegments]]'s replay-safety contract).
    */
   def admitDocsStream(
       streaming: DataFrame,
@@ -210,8 +338,12 @@ object NearDupIndex {
         admitted.write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
         // appending AFTER the data write: a crash between the two means
         // the replay re-screens against the same standing set and
-        // idempotently overwrites both
-        appendSegment(admitted, textCol, indexDir, s"batch=${idBase + batchId}")
+        // idempotently overwrites both. Band keys come from the JUST-
+        // WRITTEN parquet, not the lazy `admitted` plan — re-executing
+        // that plan would pay the whole screen (re-minhash + semi-join
+        // against every standing segment) a second time per micro-batch
+        appendSegment(sp.read.parquet(s"$outPath/batch=$batchId"),
+          textCol, indexDir, s"batch=${idBase + batchId}")
       }
       .start()
 

@@ -117,6 +117,101 @@ class NearDupIndexSpec extends SparkSpec {
       "stream-appended segment not serving")
   }
 
+  test("writeMeta: identical-params rebuild is a no-op, changed params fail loud") {
+    val dir = java.nio.file.Files.createTempDirectory("neardup-remeta").toString
+    NearDupIndex.writeIndex(corpus.filter($"doc_id" <= 2), "text", dir)
+    // same params: rebuild converges (meta untouched, batch=0 overwritten)
+    NearDupIndex.writeIndex(corpus.filter($"doc_id" <= 2), "text", dir)
+    assert(NearDupIndex.readMeta(spark, dir) == (64, 32))
+    // different params: would cross-band the existing segments — refuse
+    val e = intercept[IllegalStateException] {
+      NearDupIndex.writeIndex(corpus, "text", dir, numHashes = 32, bands = 16)
+    }
+    assert(e.getMessage.contains("cross-band"))
+    assert(NearDupIndex.readMeta(spark, dir) == (64, 32), "meta clobbered")
+  }
+
+  test("compactSegments maxSegmentId protects replayable segments") {
+    val dir = java.nio.file.Files.createTempDirectory("neardup-bound").toString
+    NearDupIndex.writeIndex(corpus.filter($"doc_id" <= 1), "text", dir)
+    NearDupIndex.appendSegment(corpus.filter($"doc_id" === 2), "text", dir, "batch=1")
+    // batch=1000005 plays the part of a streaming segment whose batch is
+    // not yet checkpoint-committed — compaction must not absorb it
+    NearDupIndex.appendSegment(corpus.filter($"doc_id" > 2), "text", dir,
+      "batch=1000005")
+    assert(NearDupIndex.compactSegments(spark, dir, maxSegmentId = 1000004L) == 2)
+    val segs = new java.io.File(s"$dir/bands").listFiles()
+      .filter(_.getName.startsWith("batch=")).map(_.getName).toSet
+    assert(segs == Set("batch=1000005", "batch=1000000000000"), s"got $segs")
+    // both the merged segment and the protected one still screen
+    val probe = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog again today"),
+      (104L, "sparkling parquet files hold columnar data very efficiently"),
+      (105L, "entirely novel content nothing shares any shingle with this")
+    ).toDF("doc_id", "text")
+    val admitted = NearDupIndex.admitNewIndexed(probe, "text", "doc_id", dir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(admitted == Set(105L), s"got $admitted")
+    // nothing compactable below the bound now (merged id > bound): no-op
+    assert(NearDupIndex.compactSegments(spark, dir, maxSegmentId = 1000004L) == 2)
+  }
+
+  test("reclaimSources=false defers deletion to vacuumIndexSegments") {
+    val dir = java.nio.file.Files.createTempDirectory("neardup-vac").toString
+    NearDupIndex.writeIndex(corpus.filter($"doc_id" <= 2), "text", dir)
+    NearDupIndex.appendSegment(corpus.filter($"doc_id" > 2), "text", dir, "batch=1")
+    assert(NearDupIndex.compactSegments(spark, dir, reclaimSources = false) == 1)
+    // superseded data dirs survive (a racing serve keeps its file list)
+    // but are un-committed (no marker → not served by a fresh listing)
+    val dirs = new java.io.File(s"$dir/bands").listFiles()
+      .filter(_.getName.startsWith("batch=")).map(_.getName).toSet
+    assert(dirs == Set("batch=0", "batch=1", "batch=1000000000000"), s"got $dirs")
+    assert(!new java.io.File(s"$dir/bands/batch=0/_GRAFT_COMMIT").exists())
+    val probe = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog again today"),
+      (105L, "entirely novel content nothing shares any shingle with this")
+    ).toDF("doc_id", "text")
+    val admitted = NearDupIndex.admitNewIndexed(probe, "text", "doc_id", dir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(admitted == Set(105L), s"got $admitted")
+    // vacuum reclaims exactly the two tombstoned ids, and only them
+    assert(NearDupIndex.vacuumIndexSegments(spark, dir) == 2)
+    val after = new java.io.File(s"$dir/bands").listFiles()
+      .filter(_.getName.startsWith("batch=")).map(_.getName).toSet
+    assert(after == Set("batch=1000000000000"), s"got $after")
+    assert(NearDupIndex.vacuumIndexSegments(spark, dir) == 0)
+  }
+
+  test("safeCompactionBound tracks the streaming checkpoint's commit log") {
+    val base = java.nio.file.Files.createTempDirectory("neardup-safe").toString
+    val in = s"$base/in"; val idx = s"$base/idx"
+    val out = s"$base/out"; val ckpt = s"$base/ckpt"
+    NearDupIndex.writeIndex(corpus.filter($"doc_id" <= 2), "text", idx)
+    // before any stream: only pre-stream segments are compactable
+    assert(NearDupIndex.safeCompactionBound(spark, ckpt) == 999999L)
+    Seq((10L, "novel content about streaming admission of new documents"))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(s"$in/slice0")
+    def stream() = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType))))
+      .option("maxFilesPerTrigger", "1").parquet(s"$in/slice*")
+    val q = NearDupIndex.admitDocsStream(stream(), "text", "doc_id", idx, out, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    // batch 0 committed → its segment (1000000 + 0) is now compactable
+    assert(NearDupIndex.safeCompactionBound(spark, ckpt) == 1000000L)
+    // a bounded compaction may absorb build + batch-0 segments: 2 → 1
+    assert(NearDupIndex.compactSegments(spark, idx,
+      maxSegmentId = NearDupIndex.safeCompactionBound(spark, ckpt)) == 1)
+    // the grown, compacted index still rejects batch-0's own content
+    val probe = Seq(
+      (110L, "novel content about streaming admission of new documents"))
+      .toDF("doc_id", "text")
+    assert(NearDupIndex.admitNewIndexed(probe, "text", "doc_id", idx).isEmpty)
+  }
+
   test("admission bands through the index's own meta params") {
     val dir = java.nio.file.Files.createTempDirectory("neardup-meta").toString
     // non-default banding at build time; admitNewIndexed takes NO params
