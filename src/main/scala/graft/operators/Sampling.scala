@@ -503,9 +503,23 @@ object Sampling {
           .otherwise(expr("raise_error('interleaveSchedule: source weight <= 0')"))
           .as("__sw"))
     ranked.join(broadcast(weights), ranked(srcCol) <=> weights("__s"))
+      // decimal `div` returns bigint and WRAPS silently (non-ANSI) when
+      // (2k-1)·10¹² / __sw exceeds Long.MaxValue — reachable when a
+      // source's total weight is tiny relative to its row count (e.g.
+      // almost-all-zero weights); wrapped-negative keys would sort FIRST
+      // and silently corrupt the deterministic global order. Guard in
+      // DECIMAL before the conversion: floor(a/b) ≤ M ⟺ a < b·(M+1),
+      // failing loud like the zero-weight guard above (b·(M+1) ≤
+      // 9.3e18 · 9.3e18 < 10³⁸ never overflows decimal(38,0)).
       .withColumn("sched_key",
-        expr("cast((cast(2 * __k - 1 as decimal(38,0)) * 1000000000000)" +
-          " div __sw as bigint)"))
+        when(
+          expr("cast(2 * __k - 1 as decimal(38,0)) * 1000000000000 < " +
+            "cast(__sw as decimal(38,0)) * 9223372036854775807 + __sw"),
+          expr("cast((cast(2 * __k - 1 as decimal(38,0)) * 1000000000000)" +
+            " div __sw as bigint)"))
+          .otherwise(expr("raise_error('interleaveSchedule: sched_key " +
+            "overflows bigint — source total weight too small for its row " +
+            "count')")))
       .select(col(srcCol), col(idCol), col("__k").as("src_seq"), col("sched_key"))
       .orderBy(col("sched_key"), col(srcCol), col(idCol))
   }

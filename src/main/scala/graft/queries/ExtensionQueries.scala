@@ -455,24 +455,29 @@ object ExtensionQueries extends QueryFamily {
   /**
    * In-plan ingest accounting as a driver row — [[Corpus.gatedIngest]]'s
    * `Dataset.observe` metrics (rows/chars seen, rows admitted) read off
-   * the SAME executed pass that filters, then emitted as one row next to
-   * the independently recomputed admitted count. The oracle recounts all
-   * four numbers relationally, so metrics that drift from the data plane
-   * (the exact failure observe() exists to prevent: dashboards lying
-   * about what the gate admitted) hash-fail.
+   * the SAME executed pass that filters: one scan, executed driver-less
+   * (rows drained on the executors, nothing data-sized ever collected).
+   * The oracle recounts all four numbers relationally in DuckDB, so
+   * metrics that drift from the data plane (the exact failure observe()
+   * exists to prevent: dashboards lying about what the gate admitted)
+   * hash-fail.
    */
   def corpusGateMetrics(spark: SparkSession, dir: String): DataFrame = {
     val gated = graft.operators.Corpus.gatedIngest(
       Tables.documents(spark, dir), "text", minChars = 200)
-    val admitted = gated.count()
-    // metrics surface on the acted-upon queryExecution; count() builds
-    // its own plan, so re-execute the gated frame itself for them
-    gated.collect()
+    // ONE driver-less execution of the observed plan: metrics surface on
+    // the acted-upon queryExecution, so run THAT queryExecution's own RDD
+    // and drain it on the EXECUTORS (Dataset.foreachPartition would run a
+    // separate rddQueryExecution and leave these accumulators empty) — at
+    // 100 TB the admitted corpus must never land in driver heap (the
+    // reference's collectList() flaw), and a separate count() would be a
+    // second full scan for a number observe() already carries
+    gated.queryExecution.toRdd.foreach(_ => ())
     val m = gated.queryExecution.observedMetrics
     val in = m("corpus_gate_in"); val out = m("corpus_gate_out")
     import spark.implicits._
     Seq((in.getAs[Long]("rows_in"), in.getAs[Long]("chars_in"),
-      out.getAs[Long]("rows_out"), admitted))
+      out.getAs[Long]("rows_out"), out.getAs[Long]("rows_out")))
       .toDF("rows_in", "chars_in", "rows_out", "admitted_count")
   }
 

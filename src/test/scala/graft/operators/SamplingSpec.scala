@@ -335,6 +335,22 @@ class SamplingSpec extends SparkSpec {
     assert(msgs(e).exists(_.contains("weight")), s"unexpected: $e")
   }
 
+  test("interleaveSchedule: bigint sched_key overflow fails loud, never NULL-sorts") {
+    // one source, ~5M rows, total weight 1 (all but one row weigh zero):
+    // the last slots' (2k-1)·10¹² / 1 exceeds Long.MaxValue — the non-ANSI
+    // cast would yield NULL keys that sort FIRST and corrupt the order
+    val big = spark.range(4700000L)
+      .select(lit("a").as("source"), col("id").as("doc_id"),
+        when(col("id") === 0L, 1L).otherwise(0L).as("wt"))
+    val e = intercept[Exception] {
+      Sampling.interleaveSchedule(big, "source", "doc_id", col("wt"))
+        .orderBy(col("sched_key").desc).limit(1).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("overflows bigint")), s"unexpected: $e")
+  }
+
   test("capSourceShare: binding cap exact, under-cap passthrough, deterministic") {
     // big = 12 of 16 docs (75%); cap at 500‰ -> keep 8; small (4 docs,
     // 25%) passes untouched

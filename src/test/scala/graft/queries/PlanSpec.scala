@@ -207,6 +207,45 @@ class PlanSpec extends SparkSpec {
       s"expected exactly 1 corpus scan:\n$p")
   }
 
+  test("corpus_gate_metrics executes ONE driver-less job (no collect, no second count scan)") {
+    // the observed gate must run exactly one job — the executor-side
+    // drain of the gated plan; a second job means a separate count()
+    // scan crept back, and any data-sized collect would be the
+    // reference's collectList() flaw reborn in the harness
+    val sites = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String]())
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        // the action's callsite is the name of the job's result stage
+        sites.add(j.stageInfos.sortBy(_.stageId).lastOption
+          .map(_.name).getOrElse("?")); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val out = ExtensionQueries.queries("corpus_gate_metrics")(spark, sfDir)
+      // listener events post asynchronously; wait for the drain job to land
+      val deadline = System.nanoTime() + 5000000000L
+      while (sites.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+      Thread.sleep(300)
+      val row = out.collect().head
+      assert(row.getAs[Long]("rows_in") > 0)
+      assert(row.getAs[Long]("rows_out") == row.getAs[Long]("admitted_count"))
+      import scala.jdk.CollectionConverters._
+      val actions = sites.asScala.toList
+      // exactly one data-plane action (the executor-side drain); any
+      // collect/count job here is the reference's flaw reborn. The only
+      // other job permitted is the parquet footer-inference metadata job.
+      assert(actions.count(_.startsWith("foreach")) == 1,
+        s"expected exactly 1 foreach drain job, saw $actions")
+      assert(!actions.exists(s => s.startsWith("collect") || s.startsWith("count")),
+        s"driver-materializing job crept back: $actions")
+      assert(actions.forall(s => s.startsWith("foreach") || s.startsWith("parquet")),
+        s"unexpected extra job: $actions")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("quality_constraints is one aggregate over one scan (multi-distinct included)") {
     // all row rules + both exact countDistincts ride one Expand over a
     // single parquet scan; a second scan means the gate split per key
