@@ -27,6 +27,42 @@ import org.apache.spark.sql.functions._
  */
 object AnnIndex {
 
+  /** The deterministic training half of [[writeIvfPq]]: sampled coarse
+    * cells + sampled PQ codebooks, plus the scope-cached cell-assigned
+    * residual frame training and encoding share. Training is a pure
+    * function of (corpus content, params) — the sample is hash-ordered
+    * and Lloyd runs on the driver — so a re-fit with the same params
+    * recovers bit-identical model state from the corpus alone: the
+    * faiss-style train/add split's recovery guarantee, driver-gated by
+    * the `ann_train_recovery` row. */
+  private[graft] def trainIvfPq(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nCells: Int,
+      m: Int,
+      codebookSize: Int,
+      trainSampleN: Int)
+      : (Seq[Seq[Float]], Seq[Seq[Seq[Float]]], DataFrame) = {
+    val cellCents = Clustering.kmeansCentroidsSampled(
+      corpus, idCol, vecCol, nCells, iters = 5, sampleN = trainSampleN)
+    val dim = cellCents.head.length
+    require(dim % m == 0, s"m ($m) must divide the vector dim ($dim)")
+    val ccLit = typedLit(cellCents)
+
+    // scope-cached: productQuantize's training-sample collect and the
+    // codes write both consume this corpus-wide assignment+residual
+    // scan — uncached it would execute twice (the ivfPqTopK precedent)
+    val withCell = graft.CacheScope.scoped(corpus
+      .select(col(idCol).cast("long").as("vec_id"), col(vecCol).as("v"))
+      .withColumn("cell", Clustering.assignCol(col("v"), ccLit))
+      .withColumn("res", graft.functions.centroid_residual(col("v"), ccLit, col("cell"))))
+    val (codebooks, _) = Quantize.productQuantize(
+      withCell, "vec_id", "res", m, codebookSize, iters = 3,
+      trainSampleN = trainSampleN)
+    (cellCents, codebooks, withCell)
+  }
+
   /** Train an IVF-PQ index over `corpus` and persist it under `dir`. */
   def writeIvfPq(
       corpus: DataFrame,
@@ -39,23 +75,9 @@ object AnnIndex {
       trainSampleN: Int = 4096): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val cellCents = Clustering.kmeansCentroidsSampled(
-      corpus, idCol, vecCol, nCells, iters = 5, sampleN = trainSampleN)
-    val dim = cellCents.head.length
-    require(dim % m == 0, s"m ($m) must divide the vector dim ($dim)")
-    val sub = dim / m
-    val ccLit = typedLit(cellCents)
-
-    // scope-cached: productQuantize's training-sample collect and the
-    // codes write below both consume this corpus-wide assignment+residual
-    // scan — uncached it would execute twice (the ivfPqTopK precedent)
-    val withCell = graft.CacheScope.scoped(corpus
-      .select(col(idCol).cast("long").as("vec_id"), col(vecCol).as("v"))
-      .withColumn("cell", Clustering.assignCol(col("v"), ccLit))
-      .withColumn("res", graft.functions.centroid_residual(col("v"), ccLit, col("cell"))))
-    val (codebooks, _) = Quantize.productQuantize(
-      withCell, "vec_id", "res", m, codebookSize, iters = 3,
-      trainSampleN = trainSampleN)
+    val (cellCents, codebooks, withCell) =
+      trainIvfPq(corpus, idCol, vecCol, nCells, m, codebookSize, trainSampleN)
+    val sub = cellCents.head.length / m
     // partitionBy("cell"): the serve path filters on the probed cell set,
     // so cell as a DIRECTORY partition turns that filter into file-listing
     // pruning — a 1000-executor serving job reads nProbe/nCells of the

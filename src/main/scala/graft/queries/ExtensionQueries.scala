@@ -482,6 +482,100 @@ object ExtensionQueries extends QueryFamily {
   }
 
   /**
+   * Live-JDBC parity as a driver row — the reference's production scan
+   * (Oracle `TD_FD_TRACE_PARAM` via hand-written SQL,
+   * repository/ParameterDataRepository.java:58-78) executed against a
+   * REAL embedded Derby database inside the registered query, on BOTH
+   * [[graft.sources.JdbcTraceSource]] read paths, and value-oracled by
+   * DuckDB replaying the same semantics from the parquet fixture twin.
+   *
+   * Seed: the first 200 `events` rows by event_id (a BOUNDED, SF-stable
+   * prefix — the Derby inserts are driver-side JDBC by nature, so the
+   * seed must be parameter-sized, never data-sized) land as
+   * (PARAM_INDEX, START_TIME, END_TIME, TRACE_DATA) = (user_id, ts,
+   * ts+60s, props). Path A runs the reference query text with DB-side
+   * IN-list + closed time range + two-key sort
+   * ([[graft.sources.JdbcTraceSource.read]]); path B is the parallel
+   * striped scan ([[graft.sources.JdbcTraceSource.readPartitioned]])
+   * with the same predicates applied by Catalyst (pushed through the
+   * JDBC dialect). Both paths reduce to per-param digest chains over
+   * (ts, props)-sorted payloads, so a dropped stripe, a filter that
+   * drifted from the reference SQL, or a timestamp mangled in the
+   * JDBC round-trip (µs survive Derby's TIMESTAMP) hash-fails against
+   * the DuckDB recomputation.
+   */
+  def jdbcTraceParity(spark: SparkSession, dir: String): DataFrame = {
+    import java.sql.Timestamp
+    import graft.sources.JdbcTraceSource
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    val t1 = Timestamp.valueOf("2024-01-01 06:00:00")
+    val ids = (1L to 40L).toSeq
+    // one in-memory DB per (process, fixture dir); re-seeding is
+    // idempotent (drop + recreate) so bench warm-up re-runs converge
+    val url = s"jdbc:derby:memory:graftparity${dir.hashCode.abs};create=true"
+    val seed = Tables.events(spark, dir)
+      .orderBy(col("event_id")).limit(200)
+      .select(col("user_id"), col("ts"), col("props"))
+      .collect()
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try st.executeUpdate("DROP TABLE TD_FD_TRACE_PARAM")
+      catch { case _: java.sql.SQLException => () }
+      st.executeUpdate(
+        """CREATE TABLE TD_FD_TRACE_PARAM (
+          |  PARAM_INDEX BIGINT NOT NULL,
+          |  START_TIME TIMESTAMP NOT NULL,
+          |  END_TIME TIMESTAMP NOT NULL,
+          |  TRACE_DATA VARCHAR(512) NOT NULL)""".stripMargin)
+      val ins = conn.prepareStatement(
+        "INSERT INTO TD_FD_TRACE_PARAM VALUES (?, ?, ?, ?)")
+      seed.foreach { r =>
+        val ts = Timestamp.valueOf(r.getAs[java.time.LocalDateTime]("ts"))
+        ins.setLong(1, r.getAs[Long]("user_id"))
+        ins.setTimestamp(2, ts)
+        ins.setTimestamp(3, Timestamp.from(ts.toInstant.plusSeconds(60)))
+        ins.setString(4, r.getAs[String]("props"))
+        ins.executeUpdate()
+      }
+      ins.close(); st.close()
+    } finally conn.close()
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    def digestAgg(df: DataFrame, digestName: String): DataFrame =
+      df.groupBy(col("param_index"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          min(col("start_time")).as("first_ts"),
+          max(col("start_time")).as("last_ts"),
+          md5(concat_ws("",
+            transform(
+              array_sort(collect_list(struct(col("start_time"), col("trace_data")))),
+              x => x.getField("trace_data")))).as(digestName))
+    // path A: the reference query text, filter + sort executed BY the DB
+    val single = JdbcTraceSource.read(spark, url, ids, t0, t1, props,
+      JdbcTraceSource.derbyTsLiteral)
+      .select(col("paramIndex").as("param_index"),
+        col("startTime").cast("timestamp_ntz").as("start_time"),
+        col("traceData").as("trace_data"))
+    // path B: 3 parallel PARAM_INDEX stripes; predicates applied by
+    // Catalyst and pushed through the JDBC dialect
+    val parted = JdbcTraceSource.readPartitioned(spark, url,
+      numPartitions = 3, lowerParamIndex = 1L, upperParamIndex = 41L,
+      props = props)
+      .filter(col("PARAM_INDEX").isin(ids: _*)
+        && col("START_TIME") >= lit(t0) && col("START_TIME") <= lit(t1))
+      .select(col("PARAM_INDEX").as("param_index"),
+        col("START_TIME").cast("timestamp_ntz").as("start_time"),
+        col("TRACE_DATA").as("trace_data"))
+    digestAgg(single, "digest_single")
+      .join(digestAgg(parted, "digest_partitioned")
+          .select(col("param_index"), col("digest_partitioned")),
+        Seq("param_index"))
+      .orderBy(col("param_index"))
+  }
+
+  /**
    * Schema-drift ingestion as a driver row — the long-running-ingest
    * constant: even-id documents land as an OLD-schema drop (no `lang`
    * column), odd-id documents as the evolved drop, and one
@@ -888,6 +982,37 @@ object ExtensionQueries extends QueryFamily {
     Seq(("same", tvSame >= 0.4, appendOk), ("skew", tvSkew >= 0.4, appendOk))
       .toDF("polarity", "drifted", "append_ok")
       .orderBy(col("polarity"))
+  }
+
+  /**
+   * ANN train/add sample-recovery verdict — the faiss train/add split's
+   * recovery guarantee as a driver row: the sampled quantizer fit is a
+   * pure function of (corpus content, params) — hash-ordered sample,
+   * driver-side Lloyd — so re-fitting from the corpus alone recovers the
+   * PERSISTED model bit-for-bit. Build the IVF-PQ artifact, load its
+   * model back from parquet, re-run [[AnnIndex.trainIvfPq]] with the
+   * same params, and gate float-exact equality of all 16 coarse cells
+   * and all 8×16 codebook centroids. A drifting sample (lost
+   * determinism, a re-ordered TakeOrdered tie, a float round-trip
+   * through the model parquet) flips `refit_equal`.
+   */
+  def annTrainRecovery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.AnnIndex
+    val emb = Tables.embeddings(spark, dir)
+    val idx = graft.TmpCleanup.perProcessDir("graft-ann-recover", dir)
+    graft.TmpCleanup.register(idx)
+    AnnIndex.writeIvfPq(emb, "vec_id", "embedding", idx,
+      nCells = 16, m = 8, codebookSize = 16)
+    val (cells, books) = AnnIndex.loadModel(spark, idx)
+    val (cells2, books2, _) = AnnIndex.trainIvfPq(
+      emb, "vec_id", "embedding", nCells = 16, m = 8, codebookSize = 16,
+      trainSampleN = 4096)
+    Seq(
+      ("cell", cells.length.toLong, cells == cells2),
+      ("codebook", books.map(_.length.toLong).sum, books == books2))
+      .toDF("kind", "n_vecs", "refit_equal")
+      .orderBy(col("kind"))
   }
 
   /** Shared scaffolding for the PQ/IVF-PQ planted-copy verdicts: plant
@@ -2563,6 +2688,7 @@ object ExtensionQueries extends QueryFamily {
     "sim_topk_pq_verdict" -> (simTopkPqVerdict _),
     "sim_topk_ivfpq_verdict" -> (simTopkIvfPqVerdict _),
     "ann_append_drift" -> (annAppendDrift _),
+    "ann_train_recovery" -> (annTrainRecovery _),
     "sim_topk_ivfpq_index_verdict" -> (simTopkIvfPqIndexVerdict _),
     "sim_topk_ivf_index_verdict" -> (simTopkIvfIndexVerdict _),
     "sim_neardup_verdict" -> (simNearDupVerdict _),
@@ -2590,6 +2716,7 @@ object ExtensionQueries extends QueryFamily {
     "join_salted" -> (joinSalted _),
     "shard_prepare_roundtrip" -> (shardPrepareRoundtrip _),
     "corpus_schema_drift" -> (corpusSchemaDrift _),
+    "jdbc_trace_parity" -> (jdbcTraceParity _),
     "dedup_minhash_keep" -> (dedupMinhashKeep _),
     "dedup_minhash_cc" -> (dedupMinhashCc _),
     "corpus_increment" -> (corpusIncrement _),
@@ -3061,6 +3188,11 @@ object ExtensionQueries extends QueryFamily {
     "ann_append_drift" ->
       """SELECT 'same' AS polarity, FALSE AS drifted, TRUE AS append_ok
         |UNION ALL SELECT 'skew', TRUE, TRUE ORDER BY polarity""".stripMargin,
+    // bounded-check verdict: deterministic sampled training must recover
+    // the persisted model bit-for-bit from the corpus alone
+    "ann_train_recovery" ->
+      """SELECT 'cell' AS kind, CAST(16 AS BIGINT) AS n_vecs, TRUE AS refit_equal
+        |UNION ALL SELECT 'codebook', 128, TRUE ORDER BY kind""".stripMargin,
     // planted-twin verdicts: the pair/survivor lists are pure SQL, the
     // boolean gates are constants the LSH/CC machinery must reproduce
     "sim_neardup_verdict" ->
@@ -3211,6 +3343,24 @@ object ExtensionQueries extends QueryFamily {
         |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
         |  MD5(STRING_AGG(dg, '' ORDER BY doc_id)) AS digest_chain
         |FROM m GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin,
+    // the reference TD_FD_TRACE_PARAM query replayed from the events
+    // fixture twin: both LIVE Derby read paths must reduce to the same
+    // per-param digest chains DuckDB computes from parquet
+    "jdbc_trace_parity" ->
+      """WITH seed AS (
+        |  SELECT user_id, ts, props FROM (
+        |    SELECT * FROM events ORDER BY event_id LIMIT 200)
+        |), flt AS (
+        |  SELECT * FROM seed
+        |  WHERE user_id BETWEEN 1 AND 40
+        |    AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+        |    AND ts <= TIMESTAMP '2024-01-01 06:00:00')
+        |SELECT user_id AS param_index,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  MIN(ts) AS first_ts, MAX(ts) AS last_ts,
+        |  MD5(STRING_AGG(props, '' ORDER BY ts, props)) AS digest_single,
+        |  MD5(STRING_AGG(props, '' ORDER BY ts, props)) AS digest_partitioned
+        |FROM flt GROUP BY 1 ORDER BY param_index""".stripMargin,
     // exactly-once ids per bucket + the constant-TRUE disjointness gate
     "shard_prepare_roundtrip" ->
       """SELECT doc_id % 8 AS bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
