@@ -153,6 +153,21 @@ package object functions {
   def bpe_token_count(text: Column, merges: Seq[(String, String)]): Column =
     col(BpeTokenCount(expr(text), merges))
 
+  /** Unigram-LM token count of a text column under a trained
+    * (piece → micro-cost) vocabulary (the apply side of
+    * Unigram.trainVocab; vocab broadcast inside the codegen'd kernel). */
+  def unigram_token_count(
+      text: Column, pieces: Seq[(String, Long)],
+      maxPieceLen: Int, unkCostMicro: Long): Column =
+    col(UnigramTokenCount(expr(text), pieces, maxPieceLen, unkCostMicro))
+
+  /** Viterbi segmentation of ONE word under a trained unigram
+    * vocabulary → array<string> (the training E-step's expansion). */
+  def unigram_segment(
+      word: Column, pieces: Seq[(String, Long)],
+      maxPieceLen: Int, unkCostMicro: Long): Column =
+    col(UnigramSegment(expr(word), pieces, maxPieceLen, unkCostMicro))
+
   /** Probe a string column against a pre-built Bloom filter (row-local,
     * codegen'd; `false` definitive, `true` at the filter's FPP). */
   def bloom_might_contain(c: Column, bloom: org.apache.spark.util.sketch.BloomFilter): Column =

@@ -463,6 +463,63 @@ object PipelineQueries extends QueryFamily {
       .orderBy(col("doc_id"))
   }
 
+  /** Unigram-LM (SentencePiece-shape) vocabulary training as a
+    * bounded-check driver row — the EM + prune loop has no SQL twin
+    * (UnigramSpec pins hand-computed segmentations and an end-to-end
+    * fit), so the oracled surface is the model's structural contract:
+    * the single-char coverage floor is EXACTLY the corpus character
+    * set (DuckDB recomputes it), the vocab respects its size budget,
+    * and the model is well-formed (positive quantized costs, rank
+    * order = (count desc, piece asc), every multi-char piece spelled
+    * from covered chars). Any EM/prune defect that loses coverage,
+    * overshoots the budget, or emits a malformed model flips a gate. */
+  def unigramVocab(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vocab = graft.operators.Unigram.trainVocab(
+      Tables.documents(spark, dir), "text", vocabSize = 64)
+    val singles = vocab.filter(_.piece.length == 1).map(_.piece).toSet
+    val corpusChars = Tables.documents(spark, dir)
+      .select(explode(graft.operators.Dedup.tokens(col("text"))).as("w"))
+      .select(explode(split(col("w"), "")).as("c"))
+      .filter(col("c") =!= "").distinct()
+      .collect().map(_.getString(0)).toSet
+    val wellformed = vocab.forall(p => p.costMicro > 0 && p.count > 0) &&
+      vocab.sortBy(p => (-p.count, p.piece)) == vocab &&
+      vocab.forall(_.piece.forall(c => singles.contains(c.toString)))
+    Seq(
+      ("char_pieces", singles.size.toLong,
+        singles == corpusChars),
+      ("max_vocab", 64L,
+        vocab.size <= 64 && vocab.size >= singles.size),
+      ("model_wellformed", 0L, wellformed))
+      .toDF("metric", "value", "ok")
+      .orderBy(col("metric"))
+  }
+
+  /** Train-then-apply the unigram tokenizer: per-doc Viterbi token
+    * counts under the trained 64-piece vocabulary — [[bpeTokenCount]]'s
+    * twin for the unigram family, same bounded-check oracle: pieces
+    * never cross word boundaries and the coverage floor guarantees a
+    * segmentation, so n_words ≤ n_unigram ≤ n_chars with both bounds
+    * DuckDB-exact. The raw counts stay available via
+    * `Unigram.encodeTokenCounts`; UnigramSpec pins hand-computed
+    * encodings. */
+  def unigramTokenCount(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val vocab = graft.operators.Unigram.trainVocab(docs, "text", vocabSize = 64)
+    val toks = graft.operators.Dedup.tokens(col("text"))
+    val bounds = docs.select(col("doc_id"),
+      size(toks).cast("long").as("n_words"),
+      coalesce(aggregate(transform(toks, t => length(t).cast("long")),
+        lit(0L), (acc, x) => acc + x), lit(0L)).as("n_chars"))
+    graft.operators.Unigram.encodeTokenCounts(docs, "doc_id", "text", vocab)
+      .join(bounds, "doc_id")
+      .select(col("doc_id"), col("n_words"), col("n_chars"),
+        (col("n_unigram_tokens") >= col("n_words") &&
+          col("n_unigram_tokens") <= col("n_chars")).as("unigram_in_bounds"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Vocabulary Zipf histogram: log2-bucketed term frequencies. */
   def vocabZipf(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.vocabZipf(Tables.documents(spark, dir), "text")
@@ -702,6 +759,8 @@ object PipelineQueries extends QueryFamily {
     "corpus_token_hist" -> (corpusTokenHist _),
     "bpe_merges" -> (bpeMerges _),
     "bpe_token_count" -> (bpeTokenCount _),
+    "unigram_vocab" -> (unigramVocab _),
+    "unigram_token_count" -> (unigramTokenCount _),
     "sample_topk_quality" -> (sampleTopkQuality _),
     "sample_systematic" -> (sampleSystematic _),
     "mix_schedule" -> (mixSchedule _),
@@ -1179,6 +1238,28 @@ object PipelineQueries extends QueryFamily {
     // bounded-check: BPE merges never cross word boundaries and every
     // word is >= 1 token, so n_words <= n_bpe <= n_chars; DuckDB
     // recomputes both bounds, the verdict is constant TRUE
+    // bounded-check oracle for the unigram trainer: the coverage floor
+    // is exactly the corpus character set (DuckDB-exact); the budget and
+    // well-formedness gates are Spark-computed constants
+    "unigram_vocab" ->
+      """WITH toks AS (
+        |  SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |    x -> len(x) > 0)) AS tok FROM documents),
+        |ch AS (SELECT DISTINCT unnest(string_split(tok, '')) AS c FROM toks)
+        |SELECT 'char_pieces' AS metric,
+        |  CAST((SELECT COUNT(*) FROM ch) AS BIGINT) AS value, TRUE AS ok
+        |UNION ALL SELECT 'max_vocab', 64, TRUE
+        |UNION ALL SELECT 'model_wellformed', 0, TRUE
+        |ORDER BY metric""".stripMargin,
+    "unigram_token_count" ->
+      """SELECT doc_id,
+        |  CAST(LEN(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |    x -> len(x) > 0)) AS BIGINT) AS n_words,
+        |  CAST(COALESCE(LIST_SUM(LIST_TRANSFORM(
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      x -> len(x) > 0), x -> LEN(x))), 0) AS BIGINT) AS n_chars,
+        |  TRUE AS unigram_in_bounds
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "bpe_token_count" ->
       """SELECT doc_id,
         |  CAST(LEN(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
