@@ -191,6 +191,101 @@ object PipelineQueries extends QueryFamily {
       .orderBy(col("src_grp"))
   }
 
+  /**
+   * Composed flagship v9 — the full pretrain recipe end to end, the
+   * chain a real 100 TB run would execute, as ONE integer-exact
+   * derivation:
+   *
+   *   dominance cap (200‰ over the skewed regrouping) →
+   *   durable-index admission screen ([[graft.operators.NearDupIndex]]
+   *   build + append + serve on FINGERPRINT tokens: classes 0/1 mod 3
+   *   are the standing corpus, class 2 is tonight's ingest — md5-hex
+   *   docs collide iff texts are identical, so every screen verdict is
+   *   SQL-derivable while the on-disk index machinery runs for real) →
+   *   Gopher gate (evaluated as row-local columns inside the base scan,
+   *   applied to screen survivors by id — text never rides an
+   *   exchange) → benchmark decontamination (3-gram overlap with the
+   *   doc_id ≡ 0 mod 97 suite, suite members excluded) → leakage-safe
+   *   split (component = duplicate-chain closure over the CLEAN set;
+   *   md5 split rule) → deterministic interleave schedule over the
+   *   train split (n_chars pacing) → per-source attrition waterfall
+   *   with the doc ids chained IN SCHEDULE ORDER.
+   *
+   * Every stage is integer/string-exact, so one composed oracle replays
+   * the whole recipe: a cap off-by-one, a segment that stopped serving,
+   * a gate threshold drift, a missed contamination hit, a component
+   * that split across train/val, or a schedule reorder all hash-fail
+   * the rollup. Scale shape: ONE scan family computes every row-local
+   * derivative (fp digest, gopher gates) before any exchange; all joins
+   * are id-keyed scalars; the only per-group sorts are the cap rank and
+   * the schedule — the same exchanges the stage queries pay alone.
+   */
+  def pipelineCorpusV9(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{NearDupIndex, Sampling}
+    val idx = graft.TmpCleanup.perProcessDir("graft-v9-idx", dir)
+    graft.TmpCleanup.register(idx)
+    // base scan: regroup + every row-local text derivative, ONCE
+    val base = graft.operators.TextAnalysis.withGopherGates(
+      Tables.documents(spark, dir), "text")
+      .withColumn("src_grp",
+        when(col("source").isin("src1", "src2", "src3", "src4",
+          "src5", "src6", "src7", "src8"), lit("big"))
+          .otherwise(col("source")))
+      .select(col("doc_id"), col("src_grp"), col("lang"), col("source"),
+        col("n_chars"), md5(col("text")).as("fp"), col("keep"))
+    // stage 1: dominance cap — scope-cached: feeds the index build, the
+    // append, the ingest probe and the waterfall rollup
+    val capped = graft.CacheScope.scoped(
+      Sampling.capSourceShare(base, "src_grp", "doc_id", capPermille = 200))
+    // stage 2: durable-index screen (build → append → serve, on disk)
+    NearDupIndex.writeIndex(capped.filter(col("doc_id") % 3 === 0), "fp", idx)
+    NearDupIndex.appendSegment(
+      capped.filter(col("doc_id") % 3 === 1), "fp", idx, "batch=1")
+    val screened = graft.CacheScope.scoped(NearDupIndex.admitNewIndexed(
+      capped.filter(col("doc_id") % 3 === 2), "fp", "doc_id", idx))
+    // stage 3: Gopher gate — the precomputed in-scan column, applied here
+    val gated = graft.CacheScope.scoped(screened.filter(col("keep")))
+    // stage 4: decontamination (its own scan family: the token stream)
+    val contaminated = graft.operators.Ngrams.decontaminate(
+      Tables.documents(spark, dir), "doc_id", "text",
+      benchmarkPred = col("doc_id") % 97 === 0, n = 3)
+      .select(col("doc_id"))
+    val clean = graft.CacheScope.scoped(
+      gated.filter(col("doc_id") % 97 =!= 0)
+        .join(contaminated, Seq("doc_id"), "left_anti"))
+    // stage 5: leakage-safe split over the clean survivors
+    val split = graft.operators.Corpus.leakageSafeSplit(
+      clean.select(col("doc_id"), col("src_grp"), col("lang"),
+        col("source"), col("n_chars")),
+      chainEdges(clean), "doc_id", valSixteenths = 2)
+    val train = graft.CacheScope.scoped(
+      split.filter(col("split") === "train"))
+    // stage 6: the deterministic global training order
+    val sched = Sampling.interleaveSchedule(train, "src_grp", "doc_id",
+      col("n_chars"))
+    // stage 7: waterfall + schedule-order digest per source group
+    def n(df: DataFrame, name: String): DataFrame =
+      df.groupBy(col("src_grp")).agg(count(lit(1)).as(name))
+    n(capped, "n_capped")
+      .join(n(screened, "n_screened"), Seq("src_grp"), "left")
+      .join(n(gated, "n_gated"), Seq("src_grp"), "left")
+      .join(n(clean, "n_clean"), Seq("src_grp"), "left")
+      .join(n(train, "n_train"), Seq("src_grp"), "left")
+      .join(sched.groupBy(col("src_grp"))
+          .agg(md5(concat_ws(",",
+            transform(
+              array_sort(collect_list(struct(col("sched_key"), col("doc_id")))),
+              x => x.getField("doc_id").cast("string")))).as("sched_digest")),
+        Seq("src_grp"), "left")
+      .select(col("src_grp"), col("n_capped"),
+        coalesce(col("n_screened"), lit(0L)).as("n_screened"),
+        coalesce(col("n_gated"), lit(0L)).as("n_gated"),
+        coalesce(col("n_clean"), lit(0L)).as("n_clean"),
+        coalesce(col("n_train"), lit(0L)).as("n_train"),
+        coalesce(col("sched_digest"), lit("")).as("sched_digest"))
+      .orderBy(col("src_grp"))
+  }
+
   /** Exact-substring REMOVAL (Lee et al. 2022's rewrite stage): delete
     * duplicated ≥4-token runs, keeping each gram's corpus-first
     * occurrence; rebuilt text + attrition telemetry per doc. */
@@ -767,6 +862,7 @@ object PipelineQueries extends QueryFamily {
     "sample_source_cap" -> (sampleSourceCap _),
     "sample_source_cap_salted" -> (sampleSourceCapSalted _),
     "pipeline_corpus_v8" -> (pipelineCorpusV8 _),
+    "pipeline_corpus_v9" -> (pipelineCorpusV9 _),
     "dedup_substring_pairs" -> (dedupSubstringPairs _),
     "dedup_substring_verify" -> (dedupSubstringVerify _),
     "dedup_span_removal" -> (dedupSpanRemoval _),
@@ -1413,6 +1509,88 @@ object PipelineQueries extends QueryFamily {
         |  MD5(STRING_AGG(CAST(doc_id AS VARCHAR), ',' ORDER BY skey, doc_id))
         |    AS sched_digest
         |FROM keyed GROUP BY src_grp ORDER BY src_grp""".stripMargin,
+    // the full pretrain recipe replayed: cap → fingerprint screen (md5
+    // identity stands in for the band-key collision — exact by
+    // construction) → gopher gates → 3-gram decontamination → component
+    // split → schedule keys → waterfall + schedule-order digests
+    "pipeline_corpus_v9" ->
+      s"""WITH ${inMargin(toksCte)},
+         |g AS (
+         |  SELECT doc_id, n_chars, lang, source, text,
+         |    CASE WHEN source IN ('src1','src2','src3','src4',
+         |                         'src5','src6','src7','src8')
+         |         THEN 'big' ELSE source END AS src_grp
+         |  FROM documents),
+         |t AS (SELECT COUNT(*) AS total FROM g),
+         |r AS (SELECT src_grp, doc_id, lang, source, n_chars, text,
+         |        ROW_NUMBER() OVER (PARTITION BY src_grp
+         |          ORDER BY MD5('42#' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+         |      FROM g),
+         |capped AS (SELECT src_grp, doc_id, lang, source, n_chars, text
+         |           FROM r, t WHERE r.rk <= (t.total * 200) // 1000),
+         |scr AS (SELECT * FROM capped WHERE doc_id % 3 = 2
+         |        AND MD5(text) NOT IN
+         |          (SELECT MD5(text) FROM capped WHERE doc_id % 3 < 2)),
+         |m AS (
+         |  SELECT doc_id,
+         |    CAST(LENGTH(text) AS BIGINT) AS nc,
+         |    CAST(LEN($tokensSqlP) AS BIGINT) AS nt,
+         |    CAST(COALESCE(LIST_SUM(LIST_TRANSFORM($tokensSqlP, x -> LEN(x))), 0) AS BIGINT) AS stl,
+         |    CAST(LENGTH(REGEXP_REPLACE(text, '[a-zA-Z0-9\\s]', '', 'g')) AS BIGINT) AS pc,
+         |    CAST(LEN(LIST_FILTER($tokensSqlP,
+         |      x -> x IN ('the','a','an','and','or','of','to','in','is','it'))) AS BIGINT) AS sh
+         |  FROM documents),
+         |bg AS (SELECT doc_id, tok || ' ' || LEAD(tok, 1) OVER w AS ngram
+         |       FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+         |bgc AS (SELECT doc_id, ngram, COUNT(*) AS c
+         |        FROM bg WHERE ngram IS NOT NULL GROUP BY doc_id, ngram),
+         |rep AS (SELECT doc_id, MAX(c) AS top_cnt, CAST(SUM(c) AS BIGINT) AS n_bigrams
+         |        FROM bgc GROUP BY doc_id),
+         |gt AS (SELECT m.doc_id FROM m LEFT JOIN rep ON rep.doc_id = m.doc_id
+         |       WHERE (nt >= 10 AND nt <= 100000)
+         |         AND (3 * nt <= stl AND stl <= 10 * nt)
+         |         AND (4 * pc <= nc) AND (sh >= 2)
+         |         AND (COALESCE(n_bigrams, 0) = 0 OR 5 * top_cnt <= n_bigrams)),
+         |gated AS (SELECT scr.* FROM scr JOIN gt ON gt.doc_id = scr.doc_id),
+         |ng3 AS (SELECT doc_id,
+         |          tok || ' ' || LEAD(tok, 1) OVER w || ' ' || LEAD(tok, 2) OVER w AS ngram
+         |        FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+         |bench AS (SELECT DISTINCT ngram FROM ng3
+         |          WHERE doc_id % 97 = 0 AND ngram IS NOT NULL),
+         |cont AS (SELECT DISTINCT c.doc_id FROM ng3 c
+         |         JOIN bench b ON c.ngram = b.ngram WHERE c.doc_id % 97 <> 0),
+         |clean AS (SELECT * FROM gated WHERE doc_id % 97 <> 0
+         |          AND doc_id NOT IN (SELECT doc_id FROM cont)),
+         |sp AS (SELECT *, MIN(doc_id) OVER (PARTITION BY lang, source) AS component
+         |       FROM clean),
+         |train AS (SELECT * FROM sp
+         |          WHERE SUBSTR(MD5(CAST(component AS VARCHAR)), 1, 1) NOT IN ('0', '1')),
+         |sch AS (SELECT src_grp, doc_id,
+         |          ROW_NUMBER() OVER (PARTITION BY src_grp ORDER BY doc_id) AS k,
+         |          SUM(n_chars) OVER (PARTITION BY src_grp) AS sw
+         |        FROM train),
+         |keyed AS (SELECT src_grp, doc_id,
+         |            ((2 * k - 1) * 1000000000000) // sw AS skey
+         |          FROM sch),
+         |c1 AS (SELECT src_grp, CAST(COUNT(*) AS BIGINT) AS n_capped FROM capped GROUP BY 1),
+         |c2 AS (SELECT src_grp, CAST(COUNT(*) AS BIGINT) AS n_screened FROM scr GROUP BY 1),
+         |c3 AS (SELECT src_grp, CAST(COUNT(*) AS BIGINT) AS n_gated FROM gated GROUP BY 1),
+         |c4 AS (SELECT src_grp, CAST(COUNT(*) AS BIGINT) AS n_clean FROM clean GROUP BY 1),
+         |c5 AS (SELECT src_grp, CAST(COUNT(*) AS BIGINT) AS n_train FROM train GROUP BY 1),
+         |dg AS (SELECT src_grp,
+         |         MD5(STRING_AGG(CAST(doc_id AS VARCHAR), ',' ORDER BY skey, doc_id))
+         |           AS sched_digest
+         |       FROM keyed GROUP BY 1)
+         |SELECT c1.src_grp, n_capped,
+         |  CAST(COALESCE(n_screened, 0) AS BIGINT) AS n_screened,
+         |  CAST(COALESCE(n_gated, 0) AS BIGINT) AS n_gated,
+         |  CAST(COALESCE(n_clean, 0) AS BIGINT) AS n_clean,
+         |  CAST(COALESCE(n_train, 0) AS BIGINT) AS n_train,
+         |  COALESCE(sched_digest, '') AS sched_digest
+         |FROM c1 LEFT JOIN c2 USING (src_grp) LEFT JOIN c3 USING (src_grp)
+         |LEFT JOIN c4 USING (src_grp) LEFT JOIN c5 USING (src_grp)
+         |LEFT JOIN dg USING (src_grp)
+         |ORDER BY src_grp""".stripMargin,
     // the Bresenham interleave replayed: per-source rank × exact
     // integer slot-midpoint key, one global order
     "mix_schedule" ->

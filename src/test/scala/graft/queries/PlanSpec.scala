@@ -420,6 +420,34 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("text"), s"sample_source_cap reads document text:\n$p")
   }
 
+  test("pipeline_corpus_v9: no cartesian, screen joins present, text off every exchange") {
+    val p = plan("pipeline_corpus_v9")
+    assert(!p.contains("CartesianProduct"), s"cartesian in v9:\n$p")
+    // the durable-index screen: semi-join on band keys, survivor anti-join
+    assert(p.contains("LeftSemi"), s"expected the index semi-join:\n$p")
+    assert(p.contains("LeftAnti"), s"expected the survivor anti-join:\n$p")
+    // every exchange (including those inside scoped-cache subplans the
+    // formatted mode prints) must ship scalars/digests, never document
+    // text — parse the detail blocks and check their attribute lists
+    val blocks = scala.collection.mutable.ArrayBuffer[Vector[String]]()
+    var cur = Vector.empty[String]
+    p.linesIterator.foreach { l =>
+      if (l.matches("""\(\d+\) \S+.*""")) {
+        if (cur.nonEmpty) { blocks += cur; () }
+        cur = Vector(l)
+      } else if (cur.nonEmpty) cur :+= l
+    }
+    if (cur.nonEmpty) { blocks += cur; () }
+    val exchanges = blocks.filter(
+      _.head.matches("""\(\d+\) (Exchange|BroadcastExchange).*"""))
+    assert(exchanges.nonEmpty, s"no exchange blocks parsed — format drift?\n$p")
+    val textCarrying = exchanges.filter(_.exists(_.contains("text#")))
+    assert(textCarrying.isEmpty,
+      s"document text rides ${textCarrying.size} exchange(s):\n" +
+        textCarrying.map(_.take(4).mkString("\n")).mkString("\n---\n"))
+    graft.CacheScope.releaseAll()
+  }
+
   test("dedup_index_admit semi-joins on band keys — probe text never rides an exchange") {
     val p = plan("dedup_index_admit")
     assert(!p.contains("CartesianProduct"), s"cartesian in indexed admission:\n$p")
