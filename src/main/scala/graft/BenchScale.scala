@@ -114,7 +114,21 @@ object BenchScale {
     // stream row is NOT probed — the scaled fixture carries no events
     // table, same reason ts_anomaly has no probe)
     "quality_lm_buckets" -> "linear",
-    "stream_shard_append" -> "linear")
+    "stream_shard_append" -> "linear",
+    // r14 probes: the newest composed/streaming/index surfaces — the
+    // durable near-dup index lifecycle (build → append → compact →
+    // serve; the build/serve asymmetry only shows at scale), the
+    // streaming screen-and-grow ingest, both mixing flagships (cap +
+    // schedule v8; the full recipe v9), and the unigram tokenizer's
+    // train+encode pass (vocab-sized EM, corpus-sized Viterbi encode).
+    // jdbc_trace_parity is NOT probed — its Derby seed is a bounded
+    // 200-row prefix by contract, so a ×10 corpus changes nothing.
+    "dedup_index_admit" -> "linear",
+    "stream_neardup_admit" -> "linear",
+    "pipeline_corpus_v8" -> "linear",
+    "pipeline_corpus_v9" -> "linear",
+    "unigram_token_count" -> "linear",
+    "ann_train_recovery" -> "linear")
 
   private def writeCorpus(
       spark: SparkSession, srcSf: String, outDir: String, copies: Int): Unit = {
