@@ -53,6 +53,13 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // let AQE re-optimize CACHED plan output partitioning: a cached
+      // model-state frame built under a broadcast join otherwise keeps
+      // the full shuffle width (e.g. 32 one-row partitions), and every
+      // one of an iterative consumer's passes pays per-task overhead x
+      // width for parameter-sized data; at real scale the coalesce
+      // target keeps wide plans wide (advisory-size based)
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .withExtensions(new GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -93,22 +93,54 @@ object TextAnalysis {
    * only the repetition rule joins the doc-keyed bigram aggregate
    * ([[Ngrams.repetitionStats]], one exchange on the doc id).
    */
-  def gopherFilter(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    withGopherGates(df.select(col(idCol), col(textCol)), textCol)
-      .select(col(idCol), col("keep_tokens"), col("keep_word_len"),
-        col("keep_punct"), col("keep_stopwords"), col("keep_repetition"),
-        col("keep"))
+  /** The five Gopher gate predicates, ONE definition shared by both
+    * gopher shapes ([[gopherFilter]]'s join form and
+    * [[withGopherGates]]'s in-scan form) so thresholds cannot drift:
+    * inputs are the metric COLUMNS (names differ per shape). */
+  private def gopherGateCols(
+      nc: Column, nt: Column, stl: Column, pc: Column, sh: Column,
+      topCnt: Column, nBigrams: Column): Seq[(String, Column)] = {
+    val gates = Seq(
+      "keep_tokens" -> (nt >= 10 && nt <= 100000L),
+      "keep_word_len" -> (lit(3L) * nt <= stl && stl <= lit(10L) * nt),
+      "keep_punct" -> (lit(4L) * pc <= nc),
+      "keep_stopwords" -> (sh >= 2),
+      "keep_repetition" ->
+        (nBigrams === 0 || lit(5L) * topCnt <= nBigrams))
+    gates :+ ("keep" -> gates.map(_._2).reduce(_ && _))
+  }
+
+  def gopherFilter(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val st = col("__st")
+    val metrics = df.withColumn("__st", text_stats(col(textCol), stopwords))
+      .select(col(idCol),
+        st.getField("n_chars").as("__nc"),
+        st.getField("n_tokens").as("__nt"),
+        st.getField("sum_token_len").as("__stl"),
+        st.getField("punct_chars").as("__pc"),
+        st.getField("stopword_hits").as("__sh"))
+    val rep = Ngrams.repetitionStats(df, idCol, textCol)
+    val gates = gopherGateCols(col("__nc"), col("__nt"), col("__stl"),
+      col("__pc"), col("__sh"), col("top_cnt"),
+      coalesce(col("n_bigrams"), lit(0L)))
+    metrics.join(rep, Seq(idCol), "left")
+      .select(col(idCol) +: gates.map { case (n, c) => c.as(n) }: _*)
+  }
 
   /**
    * Append the five Gopher gate booleans + composite `keep` to `df` as
-   * ONE row-local codegen projection over `textCol`: the fused
-   * `text_stats` kernel plus the run-length repetition fold
+   * ONE row-local projection over `textCol`: the fused `text_stats`
+   * kernel plus the run-length repetition fold
    * ([[Ngrams.repetitionStats]]'s row-local form) — no join, no
-   * exchange, so a composed pipeline evaluates the gate inside the SAME
-   * scan that feeds its other stages. Bit-identical gates to the
-   * historical join-shaped [[gopherFilter]]: a doc with fewer than two
-   * tokens has zero bigrams and passes `keep_repetition`, exactly the
-   * old LEFT-join + coalesce semantics.
+   * exchange, so a composed pipeline (the v9 flagship) evaluates the
+   * gate inside the SAME scan that feeds its other stages and no
+   * exchange ever carries text. Bit-identical gates to the join-shaped
+   * [[gopherFilter]] (the predicates are literally shared): a doc with
+   * fewer than two tokens has zero bigrams and passes
+   * `keep_repetition`, exactly the LEFT-join + coalesce semantics.
+   * Standalone gate queries keep the join shape — its per-branch
+   * projections cost less than carrying the repetition fold through a
+   * cached frame's every consumer.
    */
   def withGopherGates(df: DataFrame, textCol: String): DataFrame = {
     val out = Seq("keep_tokens", "keep_word_len", "keep_punct",
@@ -118,43 +150,36 @@ object TextAnalysis {
         s"input already has a '$c' column")
     }
     val st = col("__gg_st")
-    df.withColumn("__gg_st", text_stats(col(textCol), stopwords))
-      .withColumn("__gg_t", Dedup.tokens(col(textCol)))
-      // guard size < 2 BEFORE sequence(): sequence(1, size-1) with
-      // size < 2 generates a DESCENDING range, not an empty one
-      .withColumn("__gg_top", expr(
-        """CASE WHEN size(__gg_t) < 2 THEN CAST(0 AS BIGINT) ELSE
-          |aggregate(
-          |  array_sort(transform(sequence(1, size(__gg_t) - 1),
-          |    i -> concat(element_at(__gg_t, i), ' ', element_at(__gg_t, i + 1)))),
-          |  named_struct('prev', CAST(NULL AS STRING),
-          |               'run', CAST(0 AS BIGINT), 'mx', CAST(0 AS BIGINT)),
-          |  (a, x) -> named_struct(
-          |    'prev', x,
-          |    'run', CASE WHEN a.prev IS NOT NULL AND x = a.prev
-          |                THEN a.run + CAST(1 AS BIGINT)
-          |                ELSE CAST(1 AS BIGINT) END,
-          |    'mx', greatest(a.mx,
-          |      CASE WHEN a.prev IS NOT NULL AND x = a.prev
-          |           THEN a.run + CAST(1 AS BIGINT)
-          |           ELSE CAST(1 AS BIGINT) END)),
-          |  a -> a.mx) END""".stripMargin))
-      .withColumn("__gg_nb",
-        when(size(col("__gg_t")) < 2, lit(0L))
-          .otherwise((size(col("__gg_t")) - 1).cast("long")))
-      .withColumn("keep_tokens",
-        st.getField("n_tokens") >= 10 && st.getField("n_tokens") <= 100000L)
-      .withColumn("keep_word_len",
-        lit(3L) * st.getField("n_tokens") <= st.getField("sum_token_len") &&
-          st.getField("sum_token_len") <= lit(10L) * st.getField("n_tokens"))
-      .withColumn("keep_punct",
-        lit(4L) * st.getField("punct_chars") <= st.getField("n_chars"))
-      .withColumn("keep_stopwords", st.getField("stopword_hits") >= 2)
-      .withColumn("keep_repetition",
-        col("__gg_nb") === 0 || lit(5L) * col("__gg_top") <= col("__gg_nb"))
-      .withColumn("keep",
-        col("keep_tokens") && col("keep_word_len") && col("keep_punct") &&
-          col("keep_stopwords") && col("keep_repetition"))
+    val gates = gopherGateCols(
+      st.getField("n_chars"), st.getField("n_tokens"),
+      st.getField("sum_token_len"), st.getField("punct_chars"),
+      st.getField("stopword_hits"), col("__gg_top"), col("__gg_nb"))
+    gates.foldLeft(
+      df.withColumn("__gg_st", text_stats(col(textCol), stopwords))
+        .withColumn("__gg_t", Dedup.tokens(col(textCol)))
+        // guard size < 2 BEFORE sequence(): sequence(1, size-1) with
+        // size < 2 generates a DESCENDING range, not an empty one
+        .withColumn("__gg_top", expr(
+          """CASE WHEN size(__gg_t) < 2 THEN CAST(0 AS BIGINT) ELSE
+            |aggregate(
+            |  array_sort(transform(sequence(1, size(__gg_t) - 1),
+            |    i -> concat(element_at(__gg_t, i), ' ', element_at(__gg_t, i + 1)))),
+            |  named_struct('prev', CAST(NULL AS STRING),
+            |               'run', CAST(0 AS BIGINT), 'mx', CAST(0 AS BIGINT)),
+            |  (a, x) -> named_struct(
+            |    'prev', x,
+            |    'run', CASE WHEN a.prev IS NOT NULL AND x = a.prev
+            |                THEN a.run + CAST(1 AS BIGINT)
+            |                ELSE CAST(1 AS BIGINT) END,
+            |    'mx', greatest(a.mx,
+            |      CASE WHEN a.prev IS NOT NULL AND x = a.prev
+            |           THEN a.run + CAST(1 AS BIGINT)
+            |           ELSE CAST(1 AS BIGINT) END)),
+            |  a -> a.mx) END""".stripMargin))
+        .withColumn("__gg_nb",
+          when(size(col("__gg_t")) < 2, lit(0L))
+            .otherwise((size(col("__gg_t")) - 1).cast("long")))
+    ) { case (d, (n, c)) => d.withColumn(n, c) }
       .drop("__gg_st", "__gg_t", "__gg_top", "__gg_nb")
   }
 

@@ -15,6 +15,13 @@ object SparkTestSession {
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft-wh").toString)
       .config("spark.ui.enabled", "false")
+      // let AQE re-optimize CACHED plan output partitioning: a cached
+      // model-state frame built under a broadcast join otherwise keeps
+      // the full shuffle width (e.g. 32 one-row partitions), and every
+      // one of an iterative consumer's passes pays per-task overhead x
+      // width for parameter-sized data; at real scale the coalesce
+      // target keeps wide plans wide (advisory-size based)
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .withExtensions(new graft.GraftExtensions)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
