@@ -27,4 +27,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // a multi-hundred-query session compiles thousands of generated
+  // (whole-stage-codegen) classes; the JVM default 240 MB code cache
+  // cycles under that load and UseCodeCacheFlushing evicts still-hot
+  // kernels — a query re-measured later in the session then runs its
+  // codegen interpreted/re-JITting at 2-4x CPU (measured on the scale
+  // probe: ann_train_recovery x10 1.5 -> 4.9 CPU-s purely by session
+  // position). 1 GiB keeps every session's kernels resident.
+  "-XX:ReservedCodeCacheSize=1g",
 )

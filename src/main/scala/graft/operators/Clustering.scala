@@ -174,16 +174,46 @@ object Clustering {
   /** One deterministic hash-ordered sample of `sampleN` vectors — the
     * shared sampling contract of every sampled trainer here (content-
     * independent, reproducible, one TakeOrdered pass, no full shuffle). */
+  /** The deterministic hash-ordered training sample: the `sampleN`
+    * corpus vectors with the smallest (xxhash64(id), id) keys —
+    * content-independent, identical on any cluster layout.
+    *
+    * Scale shape: a bare TakeOrdered would keep a top-`sampleN` heap
+    * PER PARTITION and ship partitions × sampleN vectors to the driver
+    * — at 1000 executors × 4096 × 256-dim floats that is gigabytes of
+    * driver merge for a parameter-sized sample. Instead, one count
+    * sizes a hash THRESHOLD expected to pass ~4× sampleN rows, the
+    * filter prunes map-side (rows never leave their partition), and
+    * the TakeOrdered runs over the ~4·sampleN candidates. The result is
+    * BIT-IDENTICAL to the bare TakeOrdered whenever the candidate set
+    * covers the true top-sampleN (candidates ≥ sampleN guarantees it:
+    * every candidate precedes every non-candidate in hash order); the
+    * one-in-millions unlucky draw falls back to the unpruned pass, so
+    * the sample is the same deterministic function of the data either
+    * way — QuantizeSpec/ClusteringSpec and the `ann_train_recovery`
+    * oracle pin exactly that. */
   private[operators] def hashSample(
       df: DataFrame,
       idCol: String,
       vecCol: String,
-      sampleN: Int): Array[IndexedSeq[Float]] =
-    df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
-      .orderBy(xxhash64(col("id")).asc, col("id").asc)
-      .limit(sampleN)
-      .select(col("v")).collect()
-      .map(_.getSeq[Float](0).toIndexedSeq)
+      sampleN: Int): Array[IndexedSeq[Float]] = {
+    val v = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    val n = v.count()
+    def takeOrdered(in: DataFrame): Array[IndexedSeq[Float]] =
+      in.orderBy(xxhash64(col("id")).asc, col("id").asc)
+        .limit(sampleN)
+        .select(col("v")).collect()
+        .map(_.getSeq[Float](0).toIndexedSeq)
+    if (n <= 4L * sampleN) return takeOrdered(v)
+    // threshold t with E[#{hash < t}] = 4·sampleN: hashes are ~uniform
+    // in [Long.Min, Long.Max], so t = Long.Min + 2⁶⁴ · (4·sampleN / n),
+    // computed in Double (exactness is irrelevant — only coverage is,
+    // and the fallback guards the tail)
+    val t = Long.MinValue + (math.pow(2.0, 64) * (4.0 * sampleN / n)).toLong
+    val pruned = takeOrdered(v.filter(xxhash64(col("id")) < lit(t)))
+    if (pruned.length >= math.min(sampleN, n).toInt) pruned
+    else takeOrdered(v)
+  }
 
   /**
    * Sample-trained centroids — the INDEX-TRAINING scale path. The full-
@@ -193,11 +223,12 @@ object Clustering {
    * DISTRIBUTION, and at 100 TB nobody Lloyd-iterates the corpus for
    * that — production ANN indexes (the faiss train/add split) fit on a
    * bounded sample and touch the corpus exactly twice: once to draw the
-   * sample, once to encode. This method is that contract: ONE
-   * TakeOrdered pass draws `sampleN` hash-ordered vectors (deterministic,
-   * content-independent, no full shuffle — per-partition top-N then a
-   * driver merge), Lloyd runs on the driver in microseconds, and the
-   * returned centroids ship back as a broadcast literal.
+   * sample, once to encode. This method is that contract: the
+   * threshold-pruned hash draw ([[hashSample]] — deterministic,
+   * content-independent, map-side pruned so the driver merge is
+   * sample-sized, never partitions × sample), Lloyd runs on the driver
+   * in microseconds, and the returned centroids ship back as a
+   * broadcast literal.
    *
    * Driver state is sampleN × dim floats — bounded by the PARAMETER, not
    * the data, same contract as the collected codebooks themselves.
