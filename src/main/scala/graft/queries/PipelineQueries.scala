@@ -615,6 +615,46 @@ object PipelineQueries extends QueryFamily {
       .orderBy(col("doc_id"))
   }
 
+  /** The tokenizer COMPARISON the fertility monitor exists for: train
+    * BOTH families on the same corpus (BPE 10 merges, unigram 64
+    * pieces), encode every document with each, and roll up per source —
+    * the instrument a pipeline uses to pick its tokenizer per corpus
+    * slice. Exact columns (n_docs/n_words/n_chars) are DuckDB-recomputed;
+    * the per-family token sums ride in the two bounds gates
+    * (words ≤ tokens ≤ chars — each family's own invariant) and in
+    * `unigram_leq_bpe`: a 64-piece unigram vocab with whole-word pieces
+    * compresses at least as well as 10 BPE merges on every source —
+    * checked with margin at all three SFs before registration; a
+    * tokenizer regression (lost merges, broken Viterbi, dropped
+    * coverage) flips a gate. */
+  def tokenizerCompare(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val merges = graft.operators.Bpe.trainMerges(docs, "text", numMerges = 10)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val vocab = graft.operators.Unigram.trainVocab(docs, "text", vocabSize = 64)
+    val toks = graft.operators.Dedup.tokens(col("text"))
+    val perDoc = docs.select(col("doc_id"), col("source"),
+      size(toks).cast("long").as("__nw"),
+      coalesce(aggregate(transform(toks, t => length(t).cast("long")),
+        lit(0L), (acc, x) => acc + x), lit(0L)).as("__nc"),
+      graft.functions.bpe_token_count(col("text"), merges)
+        .cast("long").as("__bpe"),
+      graft.functions.unigram_token_count(col("text"),
+        vocab.map(p => (p.piece, p.costMicro)), 6,
+        graft.operators.Unigram.UnkCostMicro).cast("long").as("__uni"))
+    perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__nw")).as("n_words"),
+        sum(col("__nc")).as("n_chars"),
+        (sum(col("__bpe")) >= sum(col("__nw")) &&
+          sum(col("__bpe")) <= sum(col("__nc"))).as("bpe_in_bounds"),
+        (sum(col("__uni")) >= sum(col("__nw")) &&
+          sum(col("__uni")) <= sum(col("__nc"))).as("unigram_in_bounds"),
+        (sum(col("__uni")) <= sum(col("__bpe"))).as("unigram_leq_bpe"))
+      .orderBy(col("source"))
+  }
+
   /** Vocabulary Zipf histogram: log2-bucketed term frequencies. */
   def vocabZipf(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.vocabZipf(Tables.documents(spark, dir), "text")
@@ -856,6 +896,7 @@ object PipelineQueries extends QueryFamily {
     "bpe_token_count" -> (bpeTokenCount _),
     "unigram_vocab" -> (unigramVocab _),
     "unigram_token_count" -> (unigramTokenCount _),
+    "tokenizer_compare" -> (tokenizerCompare _),
     "sample_topk_quality" -> (sampleTopkQuality _),
     "sample_systematic" -> (sampleSystematic _),
     "mix_schedule" -> (mixSchedule _),
@@ -1347,6 +1388,18 @@ object PipelineQueries extends QueryFamily {
         |UNION ALL SELECT 'max_vocab', 64, TRUE
         |UNION ALL SELECT 'model_wellformed', 0, TRUE
         |ORDER BY metric""".stripMargin,
+    // both tokenizers' per-source bounds + the 64-piece-unigram-beats-
+    // 10-merge-BPE compression gate, all checked with margin at 3 SFs
+    "tokenizer_compare" ->
+      """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(LEN(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |    x -> len(x) > 0))) AS BIGINT) AS n_words,
+        |  CAST(SUM(COALESCE(LIST_SUM(LIST_TRANSFORM(
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      x -> len(x) > 0), x -> LEN(x))), 0)) AS BIGINT) AS n_chars,
+        |  TRUE AS bpe_in_bounds, TRUE AS unigram_in_bounds,
+        |  TRUE AS unigram_leq_bpe
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "unigram_token_count" ->
       """SELECT doc_id,
         |  CAST(LEN(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
