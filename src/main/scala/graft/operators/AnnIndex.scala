@@ -44,8 +44,13 @@ object AnnIndex {
       codebookSize: Int,
       trainSampleN: Int)
       : (Seq[Seq[Float]], Seq[Seq[Seq[Float]]], DataFrame) = {
+    // ONE count per build: both samplers (coarse cells over `corpus`,
+    // PQ over the 1:1-derived `withCell`) need the row count to size
+    // their hash-prune threshold, and the frames have identical counts
+    val n = corpus.count()
     val cellCents = Clustering.kmeansCentroidsSampled(
-      corpus, idCol, vecCol, nCells, iters = 5, sampleN = trainSampleN)
+      corpus, idCol, vecCol, nCells, iters = 5, sampleN = trainSampleN,
+      knownN = n)
     val dim = cellCents.head.length
     require(dim % m == 0, s"m ($m) must divide the vector dim ($dim)")
     val ccLit = typedLit(cellCents)
@@ -59,7 +64,7 @@ object AnnIndex {
       .withColumn("res", graft.functions.centroid_residual(col("v"), ccLit, col("cell"))))
     val (codebooks, _) = Quantize.productQuantize(
       withCell, "vec_id", "res", m, codebookSize, iters = 3,
-      trainSampleN = trainSampleN)
+      trainSampleN = trainSampleN, knownN = n)
     (cellCents, codebooks, withCell)
   }
 

@@ -196,9 +196,14 @@ object Clustering {
       df: DataFrame,
       idCol: String,
       vecCol: String,
-      sampleN: Int): Array[IndexedSeq[Float]] = {
+      sampleN: Int,
+      knownN: Long = -1L): Array[IndexedSeq[Float]] = {
     val v = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
-    val n = v.count()
+    // `knownN` lets a caller that already counted the frame (or a 1:1
+    // derivation of it) skip this scan — an IVF-PQ build samples twice
+    // (coarse cells, then PQ residuals of the SAME rows) and would
+    // otherwise pay two full counts per build
+    val n = if (knownN >= 0L) knownN else v.count()
     def takeOrdered(in: DataFrame): Array[IndexedSeq[Float]] =
       in.orderBy(xxhash64(col("id")).asc, col("id").asc)
         .limit(sampleN)
@@ -239,10 +244,11 @@ object Clustering {
       vecCol: String,
       k: Int,
       iters: Int = 10,
-      sampleN: Int = 4096): Seq[Seq[Float]] = {
+      sampleN: Int = 4096,
+      knownN: Long = -1L): Seq[Seq[Float]] = {
     require(k >= 1, s"k must be positive: $k")
     require(sampleN >= k, s"sampleN ($sampleN) must be >= k ($k)")
-    lloydOnPoints(hashSample(df, idCol, vecCol, sampleN), k, iters)
+    lloydOnPoints(hashSample(df, idCol, vecCol, sampleN, knownN), k, iters)
   }
 
   /**

@@ -42,27 +42,42 @@ object NearDupIndex {
   private[operators] val CommitMarker = "_GRAFT_COMMIT"
   private[operators] val MetaFile = "_GRAFT_NEARDUP_META"
 
+  /** Id floor for compaction-merged segments. Streaming segments are
+    * `idBase + batchId` (~10⁶ + batch) and build segments are 0, so
+    * merged ids never collide with replayable ones — which is also why
+    * [[compactSegments]] may ALWAYS re-absorb a merged segment
+    * regardless of `maxSegmentId`: a merged segment is compaction
+    * output, never a streaming batch, so no replay can rewrite it.
+    * Without that carve-out each bounded compaction under an always-on
+    * stream would add one more permanently-protected merged segment and
+    * the file count compaction exists to bound would grow forever. */
+  private[operators] val MergedIdFloor = 1000000000000L
+
   private def fsFor(spark: SparkSession, dir: String) = {
     val p = new org.apache.hadoop.fs.Path(dir)
     (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
   }
 
-  /** Meta is written by temp + ATOMIC RENAME exactly once at build.
-    * An EXISTING meta is never deleted first (a pre-delete would let a
-    * racing build's rename land over ours and silently band our
-    * segments under its params — the cross-banding failure the
-    * one-meta design exists to prevent, and it would also make a
-    * concurrent reader fail spuriously in the delete→rename window):
+  /** Meta is published by EXCLUSIVE CREATE of the final path exactly
+    * once at build (`fs.create(…, overwrite = false)` — fails loud when
+    * the file exists on every filesystem; a temp + rename publish is
+    * NOT safe here because RawLocalFileSystem delegates rename to POSIX
+    * rename, which silently overwrites, so two racing builds with
+    * different params could both pass an exists() check and the loser's
+    * rename would clobber the winner — banding the winner's segments
+    * under the loser's params, the cross-banding failure the one-meta
+    * design exists to prevent). An EXISTING meta is never deleted:
     * a re-build with IDENTICAL params is a no-op, a re-build with
     * DIFFERENT params fails loud — changing banding params requires a
     * fresh index directory, because existing segments were banded
-    * under the old ones. */
+    * under the old ones. A build that loses the create race re-reads
+    * the winner's meta and applies the same identical/different rule. */
   private def writeMeta(
       spark: SparkSession, dir: String, numHashes: Int, bands: Int): Unit = {
     import org.apache.hadoop.fs.Path
     val (fs, _) = fsFor(spark, dir)
     val meta = new Path(s"$dir/$MetaFile")
-    if (fs.exists(meta)) {
+    def checkExisting(): Unit = {
       val existing = readMeta(spark, dir)
       if (existing == ((numHashes, bands))) return
       throw new IllegalStateException(
@@ -70,13 +85,14 @@ object NearDupIndex {
           s"rebuilding with ($numHashes, $bands) would cross-band its " +
           "segments — use a fresh directory")
     }
-    val tmp = new Path(
-      s"$dir/.$MetaFile.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
-    scala.util.Using.resource(fs.create(tmp, true)) { out =>
-      out.write(s"numHashes=$numHashes\nbands=$bands\n".getBytes("UTF-8"))
+    if (fs.exists(meta)) { checkExisting(); return }
+    val out = try fs.create(meta, false) catch {
+      // lost the create race — the winner's params decide, same rule
+      case _: java.io.IOException => checkExisting(); return
     }
-    if (!fs.rename(tmp, meta))
-      throw new java.io.IOException(s"near-dup index meta publish failed: $meta")
+    scala.util.Using.resource(out) { o =>
+      o.write(s"numHashes=$numHashes\nbands=$bands\n".getBytes("UTF-8"))
+    }
   }
 
   private[operators] def readMeta(spark: SparkSession, dir: String): (Int, Int) = {
@@ -235,9 +251,14 @@ object NearDupIndex {
     val segs = committedSegments(spark, dir)
     require(segs.nonEmpty, s"no committed near-dup index segments under $dir")
     val ids = segs.map(p => new Path(p).getName.stripPrefix("batch=").toLong)
-    val (mergeIds, protectedIds) = ids.partition(_ <= maxSegmentId)
+    // merged segments (id >= MergedIdFloor) are compaction output, never
+    // streaming-replayable, so they join the merge set regardless of the
+    // bound — otherwise every bounded compaction cycle under an always-on
+    // stream would strand one more permanently-protected merged segment
+    val (mergeIds, protectedIds) =
+      ids.partition(id => id <= maxSegmentId || id >= MergedIdFloor)
     if (mergeIds.size <= 1) return ids.size
-    val newId = math.max(ids.max + 1, 1000000000000L)
+    val newId = math.max(ids.max + 1, MergedIdFloor)
     val seg = s"$dir/bands/batch=$newId"
     val mergePaths = mergeIds.map(id => s"$dir/bands/batch=$id")
     spark.read.parquet(mergePaths: _*).select(col("band"), col("bh")).distinct()

@@ -84,13 +84,14 @@ object Quantize {
       m: Int,
       codebookSize: Int = 16,
       iters: Int = 3,
-      trainSampleN: Int = 0): (Seq[Seq[Seq[Float]]], DataFrame) = {
+      trainSampleN: Int = 0,
+      knownN: Long = -1L): (Seq[Seq[Seq[Float]]], DataFrame) = {
     require(m >= 1, s"m must be positive: $m")
     require(codebookSize >= 2, s"codebookSize must be >= 2: $codebookSize")
     require(iters >= 1, s"iters must be positive: $iters")
 
     if (trainSampleN > 0) {
-      val sample = Clustering.hashSample(df, idCol, vecCol, trainSampleN)
+      val sample = Clustering.hashSample(df, idCol, vecCol, trainSampleN, knownN)
       require(sample.nonEmpty, "input is empty — nothing to quantize")
       val dim = sample.head.length
       require(dim % m == 0, s"m ($m) must divide the vector dim ($dim)")

@@ -315,10 +315,14 @@ object Similarity {
     // driver-side; the corpus is touched once to draw the sample and
     // once to encode. 0 falls back to distributed k-means||+Lloyd, for
     // corpora that are themselves sample-sized.
+    // one count serves both samplers (cells here, PQ below — withCell is
+    // a 1:1 derivation of corpus, so the counts are equal by construction)
+    val n = if (trainSampleN > 0) corpus.count() else -1L
     val cellCents =
       if (trainSampleN > 0)
         Clustering.kmeansCentroidsSampled(
-          corpus, idCol, vecCol, nCells, iters = 5, sampleN = trainSampleN)
+          corpus, idCol, vecCol, nCells, iters = 5, sampleN = trainSampleN,
+          knownN = n)
       else Clustering.kmeansCentroids(
         corpus, idCol, vecCol, nCells, iters = 3, init = "parallel")
     val dim = cellCents.head.length
@@ -346,7 +350,7 @@ object Similarity {
       .withColumn("res", residual(col("v"), col("cell"))))
     val (codebooks, _) = Quantize.productQuantize(
       withCell, "vec_id", "res", m, codebookSize, iters = 3,
-      trainSampleN = trainSampleN)
+      trainSampleN = trainSampleN, knownN = n)
     val codes = (0 until m).map { j =>
       Clustering.assignCol(slice(col("res"), j * sub + 1, sub),
         typedLit(codebooks(j)))

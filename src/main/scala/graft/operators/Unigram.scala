@@ -51,8 +51,13 @@ object Unigram {
   private def quantize(counts: Seq[(String, Long)]): Seq[Piece] = {
     val total = counts.map(_._2).sum.toDouble
     counts.map { case (p, c) =>
+      // clamp to >= 1: a piece holding the whole mass (degenerate
+      // one-token corpus) has ln(1) = 0, and a zero micro-cost would
+      // both violate the positive-cost contract (unigram_vocab's
+      // model_wellformed gate) and make Viterbi insertion of the piece
+      // free; 1 micro-nat keeps it strictly positive and cheapest
       Piece(p, c,
-        -Math.round(1e6 * StrictMath.log(c.toDouble / total)))
+        math.max(1L, -Math.round(1e6 * StrictMath.log(c.toDouble / total))))
     }
   }
 

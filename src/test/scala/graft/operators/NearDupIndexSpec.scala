@@ -156,6 +156,36 @@ class NearDupIndexSpec extends SparkSpec {
     assert(NearDupIndex.compactSegments(spark, dir, maxSegmentId = 1000004L) == 2)
   }
 
+  test("bounded compaction cycles converge back to ONE merged segment") {
+    // an always-on stream means every compaction is bounded; merged
+    // segments are never replayable, so each cycle must re-absorb the
+    // previous cycle's output instead of stranding it forever
+    val dir = java.nio.file.Files.createTempDirectory("neardup-cycles").toString
+    NearDupIndex.writeIndex(corpus.filter($"doc_id" <= 1), "text", dir)
+    NearDupIndex.appendSegment(corpus.filter($"doc_id" === 2), "text", dir, "batch=1")
+    // cycle 1: bounded merge of {0, 1} → one merged segment
+    assert(NearDupIndex.compactSegments(spark, dir, maxSegmentId = 1000000L) == 1)
+    // new committed batches arrive, then cycle 2 under the same bound:
+    // the merge set must include the cycle-1 merged segment
+    NearDupIndex.appendSegment(corpus.filter($"doc_id" === 3), "text", dir, "batch=2")
+    NearDupIndex.appendSegment(corpus.filter($"doc_id" === 4), "text", dir,
+      "batch=1000005") // not yet checkpoint-committed — stays protected
+    assert(NearDupIndex.compactSegments(spark, dir, maxSegmentId = 1000000L) == 2)
+    val segs = new java.io.File(s"$dir/bands").listFiles()
+      .filter(_.getName.startsWith("batch=")).map(_.getName).toSet
+    assert(segs == Set("batch=1000005", "batch=1000000000001"), s"got $segs")
+    // everything merged or protected still screens
+    val probe = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog again today"),
+      (103L, "yet another unrelated text about distributed query engines"),
+      (104L, "sparkling parquet files hold columnar data very efficiently"),
+      (105L, "entirely novel content nothing shares any shingle with this")
+    ).toDF("doc_id", "text")
+    val admitted = NearDupIndex.admitNewIndexed(probe, "text", "doc_id", dir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(admitted == Set(105L), s"got $admitted")
+  }
+
   test("reclaimSources=false defers deletion to vacuumIndexSegments") {
     val dir = java.nio.file.Files.createTempDirectory("neardup-vac").toString
     NearDupIndex.writeIndex(corpus.filter($"doc_id" <= 2), "text", dir)

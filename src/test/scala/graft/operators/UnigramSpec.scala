@@ -70,6 +70,20 @@ class UnigramSpec extends SparkSpec {
     assert(vocab.sortBy(p => (-p.count, p.piece)) == vocab)
   }
 
+  test("degenerate one-token corpus: costs clamp to >= 1, never 0") {
+    // a single repeated char makes one piece hold the whole mass —
+    // ln(1) = 0 would quantize to a zero (free-insertion) cost without
+    // the clamp, flipping unigram_vocab's positive-cost gate
+    val docs = Seq.tabulate(5)(i => (i.toLong, "aaaa")).toDF("doc_id", "text")
+    val vocab = Unigram.trainVocab(docs, "text", vocabSize = 2)
+    assert(vocab.nonEmpty)
+    assert(vocab.forall(_.costMicro >= 1L), s"zero-cost piece: $vocab")
+    // the degenerate model still segments (bounded by chars)
+    val n = Unigram.encodeTokenCounts(docs, "doc_id", "text", vocab)
+      .select("n_unigram_tokens").as[Int].head()
+    assert(n >= 1 && n <= 4, s"got $n")
+  }
+
   test("trainVocab is deterministic and EM prunes unused seed pieces") {
     val docs = Seq.tabulate(20)(i => (i.toLong, "banana bandana"))
       .toDF("doc_id", "text")
