@@ -2325,6 +2325,27 @@ object ExtensionQueries extends QueryFamily {
       .orderBy(col("click_id"), col("purchase_ts"), col("purchase_value"))
   }
 
+  /** [[graft.streaming.EventStreams.clickPurchaseJoin]] at its API
+    * DEFAULTS (10-minute lookback, 1-hour watermark) under the value
+    * oracle — the sibling row `stream_click_attribution` exercises the
+    * same join at a 4-hour lookback, but the default-parameter surface
+    * (the one a caller gets without thinking about windows) deserves its
+    * own row: a boundary error that only bites at short lookbacks (e.g.
+    * an off-by-one on `purchase_ts >= click_ts - lookback`) changes THIS
+    * match set while leaving the 4-hour one statistically unmoved.
+    * DuckDB replays the identical inequality join over `events`. */
+  def streamClickPurchase(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.EventStreams
+    val streamed = EventStreams.runToBatch(spark,
+      EventStreams.clickPurchaseJoin(EventStreams.readEvents(spark, dir)),
+      "graft_click_purchase_q", outputMode = "append")
+    streamed.select(col("click_id"), col("user_id"),
+      col("click_ts").cast("timestamp_ntz").as("click_ts"),
+      col("purchase_ts").cast("timestamp_ntz").as("purchase_ts"),
+      col("purchase_value"))
+      .orderBy(col("click_id"), col("purchase_ts"), col("purchase_value"))
+  }
+
   /** `mapGroupsWithState` under the value oracle: per-user running
     * totals ([[graft.streaming.EventStreams.runningTotals]] — the custom
     * state-store API, exact-cents state so accumulation order cannot
@@ -2809,6 +2830,7 @@ object ExtensionQueries extends QueryFamily {
     "session_stream_stats" -> (sessionStreamStats _),
     "stream_tumbling_counts" -> (streamTumblingCounts _),
     "stream_click_attribution" -> (streamClickAttribution _),
+    "stream_click_purchase" -> (streamClickPurchase _),
     "stream_running_totals" -> (streamRunningTotals _),
     "stream_clean_ingest" -> (streamCleanIngest _),
     "stream_eventlog_replay" -> (streamEventlogReplay _),
@@ -4316,6 +4338,15 @@ object ExtensionQueries extends QueryFamily {
         |  ON c.event_type = 'click' AND p.event_type = 'purchase'
         |  AND p.user_id = c.user_id
         |  AND p.ts >= c.ts - INTERVAL 4 HOUR AND p.ts <= c.ts
+        |ORDER BY click_id, purchase_ts, purchase_value""".stripMargin,
+    // the same join at the API-default 10-minute lookback
+    "stream_click_purchase" ->
+      """SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
+        |  p.ts AS purchase_ts, p.value AS purchase_value
+        |FROM events c JOIN events p
+        |  ON c.event_type = 'click' AND p.event_type = 'purchase'
+        |  AND p.user_id = c.user_id
+        |  AND p.ts >= c.ts - INTERVAL 10 MINUTE AND p.ts <= c.ts
         |ORDER BY click_id, purchase_ts, purchase_value""".stripMargin,
     // final mapGroupsWithState state per user = the plain aggregate
     "stream_running_totals" ->
