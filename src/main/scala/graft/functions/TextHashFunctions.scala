@@ -111,6 +111,62 @@ object TextHash extends Serializable {
     (buf, bounds, nTok)
   }
 
+  /** Unicode-mode tokenize — the multilingual lexical contract
+    * (`Dedup.tokensUnicode`): lowercase with the SAME case mapping the
+    * `lower()` expression applies (`UTF8String.toLowerCase`), then
+    * maximal runs of Unicode letters/marks/decimal digits
+    * (`[\p{L}\p{M}\p{Nd}]` — marks keep Indic clusters like देवनागरी
+    * whole), with Han/Hiragana/Katakana code points emitted as
+    * SINGLE-CHARACTER tokens (scriptio continua carries no separators;
+    * per-char fallback is the SentencePiece-style degradation that keeps
+    * CJK near-dup/shingle semantics meaningful without a dictionary).
+    * Same (lowercased UTF-8 buffer, byte-bound pairs) output shape as
+    * [[tokenize]], so the shingle/minhash machinery is shared.
+    * Replayable in the Java∩RE2∩DuckDB regex subset: space-pad
+    * `[\p{Han}\p{Hiragana}\p{Katakana}]`, lower, split on
+    * `[^\p{L}\p{M}\p{Nd}]+` (the langIdPick twin recipe). */
+  private def tokenizeUnicode(s: UTF8String): (Array[Byte], Array[Int], Int) = {
+    val low = s.toLowerCase.toString
+    val buf = low.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val bounds = new Array[Int](2 * low.length + 2)
+    var nTok = 0
+    var tokStart = -1
+    var i = 0   // char index into low
+    var off = 0 // byte offset into buf
+    @inline def endTok(at: Int): Unit = if (tokStart >= 0) {
+      bounds(2 * nTok) = tokStart; bounds(2 * nTok + 1) = at
+      nTok += 1; tokStart = -1
+    }
+    while (i < low.length) {
+      val cp = low.codePointAt(i)
+      val nBytes =
+        if (cp < 0x80) 1 else if (cp < 0x800) 2 else if (cp < 0x10000) 3 else 4
+      val script =
+        if (cp >= 0x2E80) Character.UnicodeScript.of(cp) else null // all 3 scripts sit above U+2E80
+      val cjk = script == Character.UnicodeScript.HAN ||
+        script == Character.UnicodeScript.HIRAGANA ||
+        script == Character.UnicodeScript.KATAKANA
+      if (cjk) {
+        endTok(off)
+        bounds(2 * nTok) = off; bounds(2 * nTok + 1) = off + nBytes; nTok += 1
+      } else if (Character.isLetter(cp) || Character.isDigit(cp) ||
+          isCombiningMark(cp)) {
+        if (tokStart < 0) tokStart = off
+      } else endTok(off)
+      off += nBytes
+      i += Character.charCount(cp)
+    }
+    endTok(off)
+    (buf, bounds, nTok)
+  }
+
+  /** `\p{M}` (Mn | Mc | Me) — identical in Java regex and RE2. */
+  @inline private[functions] def isCombiningMark(cp: Int): Boolean = {
+    val t = Character.getType(cp)
+    t == Character.NON_SPACING_MARK || t == Character.COMBINING_SPACING_MARK ||
+      t == Character.ENCLOSING_MARK
+  }
+
   /** FNV-1a over the bytes of tokens [from, until) joined by ' ' — equals
     * baseHash(concat_ws(" ", tokens)) without building the string. */
   @inline private def shingleHash(
@@ -138,8 +194,15 @@ object TextHash extends Serializable {
     * separators either way). This is the 100 TB hot path: the HOF chain
     * is interpreted (no codegen) and allocates ~tokens×w string bytes per
     * row; this kernel is codegen-called, allocation-free per shingle. */
-  def minhashText(s: UTF8String, w: Int, k: Int, seed: Long): ArrayData = {
-    val (buf, bounds, nTok) = tokenize(s)
+  def minhashText(s: UTF8String, w: Int, k: Int, seed: Long): ArrayData =
+    minhashText(s, w, k, seed, unicode = false)
+
+  /** `unicode = true` swaps the ASCII tokenizer for [[tokenizeUnicode]] —
+    * the multilingual near-dup mode; everything after tokenization
+    * (shingling, lane hashing) is byte-identical machinery. */
+  def minhashText(
+      s: UTF8String, w: Int, k: Int, seed: Long, unicode: Boolean): ArrayData = {
+    val (buf, bounds, nTok) = if (unicode) tokenizeUnicode(s) else tokenize(s)
     val laneSeed = new Array[Long](k)
     var i = 0
     while (i < k) { laneSeed(i) = mix64(seed + i); i += 1 }
@@ -164,8 +227,13 @@ object TextHash extends Serializable {
     * shingles changes |A∩B|/|A∪B| only on 64-bit collisions (~2⁻⁶⁴),
     * while shrinking the shuffled set payload from shingle strings
     * (~w×word bytes each) to 8 bytes per element. */
-  def shingleHashSet(s: UTF8String, w: Int): ArrayData = {
-    val (buf, bounds, nTok) = tokenize(s)
+  def shingleHashSet(s: UTF8String, w: Int): ArrayData =
+    shingleHashSet(s, w, unicode = false)
+
+  /** Unicode-tokenized variant (must match [[minhashText]]'s mode when
+    * verifying its candidates — mixed-mode Jaccard is meaningless). */
+  def shingleHashSet(s: UTF8String, w: Int, unicode: Boolean): ArrayData = {
+    val (buf, bounds, nTok) = if (unicode) tokenizeUnicode(s) else tokenize(s)
     val nShingles = if (nTok < w) 1 else nTok - w + 1
     val hs = new Array[Long](nShingles)
     var j = 0
@@ -317,30 +385,33 @@ case class SimHash64(child: Expression) extends UnaryExpression with ImplicitCas
 
 /** minhash_text(text, w, k, seed): string → array<long> — fused
   * tokenize/shingle/minhash kernel (see [[TextHash.minhashText]]). */
-case class MinHashText(child: Expression, w: Int, k: Int, seed: Long)
+case class MinHashText(
+    child: Expression, w: Int, k: Int, seed: Long, unicode: Boolean = false)
     extends UnaryExpression with ImplicitCastInputTypes {
   override def nullIntolerant: Boolean = true
   override def inputTypes: Seq[org.apache.spark.sql.graftbridge.CatalystBridge.AbstractType] = Seq(StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override protected def nullSafeEval(v: Any): Any =
-    TextHash.minhashText(v.asInstanceOf[UTF8String], w, k, seed)
+    TextHash.minhashText(v.asInstanceOf[UTF8String], w, k, seed, unicode)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.minhashText($c, $w, $k, ${seed}L)")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextHash.minhashText($c, $w, $k, ${seed}L, $unicode)")
   override def prettyName: String = "minhash_text"
   override protected def withNewChildInternal(c: Expression): MinHashText = copy(child = c)
 }
 
 /** shingle_hash_set(text, w): string → array<long> — sorted distinct
   * w-shingle hashes (for exact Jaccard verification joins). */
-case class ShingleHashSet(child: Expression, w: Int)
+case class ShingleHashSet(child: Expression, w: Int, unicode: Boolean = false)
     extends UnaryExpression with ImplicitCastInputTypes {
   override def nullIntolerant: Boolean = true
   override def inputTypes: Seq[org.apache.spark.sql.graftbridge.CatalystBridge.AbstractType] = Seq(StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override protected def nullSafeEval(v: Any): Any =
-    TextHash.shingleHashSet(v.asInstanceOf[UTF8String], w)
+    TextHash.shingleHashSet(v.asInstanceOf[UTF8String], w, unicode)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.shingleHashSet($c, $w)")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextHash.shingleHashSet($c, $w, $unicode)")
   override def prettyName: String = "shingle_hash_set"
   override protected def withNewChildInternal(c: Expression): ShingleHashSet = copy(child = c)
 }

@@ -91,6 +91,88 @@ object TextStatsKernel extends Serializable {
     new GenericInternalRow(Array[Any](nChars, wsToks, nToks, sumLen, punct, stopHits))
   }
 
+  /** Unicode-mode [[statsRow]] — the multilingual lexical contract
+    * (same token rule as `TextHash.tokenizeUnicode` / `Dedup
+    * .tokensUnicode`): tokens are maximal `[\p{L}\p{M}\p{Nd}]` runs of
+    * the LOWERCASED text, Han/Hiragana/Katakana code points count as
+    * single-character tokens. Every counter is computed over the
+    * lowercased string (case mapping = `lower()`'s, so the SQL twin is
+    * `lower(text)`-based): n_chars/ws_tokens are case-invariant for
+    * every script without special casing, and the fixture stays clear
+    * of the three context-sensitive case mappings (İ, ß, final sigma).
+    * Whitespace stays the pinned ASCII class (house contract — RE2's
+    * `\s` is ASCII); U+3000-style Unicode spaces count as punct in both
+    * modes, documented. token chars (letters/marks/digits/CJK) are
+    * excluded from punct, so CJK prose no longer reads as 100%
+    * punctuation — the fix that lets the Gopher/fertility family see
+    * non-Latin text at all (ASCII mode maps it to zero tokens). */
+  def statsRowUnicode(s: UTF8String, stopwords: Array[Array[Byte]]): InternalRow = {
+    val low = s.toLowerCase.toString
+    val bytes = low.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var nChars = 0L; var wsToks = 0L; var nToks = 0L; var sumLen = 0L
+    var tokChars = 0L; var wsChars = 0L; var stopHits = 0L
+    var inWsRun = false
+    var tokStartByte = -1
+    var tokLenCp = 0L
+    var i = 0   // char index
+    var off = 0 // byte offset
+    @inline def endTok(at: Int): Unit = if (tokStartByte >= 0) {
+      nToks += 1; sumLen += tokLenCp
+      if (TextStatsKernel.isStopwordBytes(bytes, tokStartByte, at - tokStartByte,
+          stopwords)) stopHits += 1
+      tokStartByte = -1; tokLenCp = 0L
+    }
+    while (i < low.length) {
+      val cp = low.codePointAt(i)
+      val nBytes =
+        if (cp < 0x80) 1 else if (cp < 0x800) 2 else if (cp < 0x10000) 3 else 4
+      nChars += 1
+      val ws = cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0B ||
+        cp == '\f' || cp == '\r'
+      if (ws) wsChars += 1
+      if (!ws && !inWsRun) wsToks += 1
+      inWsRun = !ws
+      val script =
+        if (cp >= 0x2E80) Character.UnicodeScript.of(cp) else null
+      val cjk = script == Character.UnicodeScript.HAN ||
+        script == Character.UnicodeScript.HIRAGANA ||
+        script == Character.UnicodeScript.KATAKANA
+      if (cjk) {
+        endTok(off)
+        nToks += 1; sumLen += 1; tokChars += 1
+        // ASCII stopwords can never byte-match a >= 2-byte CJK char
+      } else if (Character.isLetter(cp) || Character.isDigit(cp) ||
+          TextHash.isCombiningMark(cp)) {
+        tokChars += 1
+        if (tokStartByte < 0) tokStartByte = off
+        tokLenCp += 1
+      } else endTok(off)
+      off += nBytes
+      i += Character.charCount(cp)
+    }
+    endTok(off)
+    val punct = nChars - tokChars - wsChars
+    new GenericInternalRow(Array[Any](nChars, wsToks, nToks, sumLen, punct, stopHits))
+  }
+
+  /** Byte-exact stopword test (tokens are already lowercased here,
+    * unlike [[isStopword]]'s inline ASCII lowering). */
+  private[functions] def isStopwordBytes(
+      bytes: Array[Byte], start: Int, len: Int, sws: Array[Array[Byte]]): Boolean = {
+    var k = 0
+    while (k < sws.length) {
+      val sw = sws(k)
+      if (sw.length == len) {
+        var j = 0
+        var ok = true
+        while (ok && j < len) { if (bytes(start + j) != sw(j)) ok = false; j += 1 }
+        if (ok) return true
+      }
+      k += 1
+    }
+    false
+  }
+
   /** Language pick: marker-word hit count per language over [\p{L}0-9]
     * tokens of the lowercased text — with Han codepoints segmented as
     * single-character tokens (CJK fallback segmentation: Han text has no
@@ -153,7 +235,8 @@ object LangIdModel {
 }
 
 /** text_stats(text): string → struct of one-pass corpus statistics. */
-case class TextStats(child: Expression, stopwords: Seq[String])
+case class TextStats(
+    child: Expression, stopwords: Seq[String], unicode: Boolean = false)
     extends UnaryExpression with ImplicitCastInputTypes {
   override def nullIntolerant: Boolean = true
   override def inputTypes: Seq[org.apache.spark.sql.graftbridge.CatalystBridge.AbstractType] =
@@ -168,10 +251,12 @@ case class TextStats(child: Expression, stopwords: Seq[String])
   @transient private lazy val stopwordBytes: Array[Array[Byte]] =
     stopwords.map(_.getBytes("UTF-8")).toArray
   override protected def nullSafeEval(v: Any): Any =
-    TextStatsKernel.statsRow(v.asInstanceOf[UTF8String], stopwordBytes)
+    if (unicode) TextStatsKernel.statsRowUnicode(v.asInstanceOf[UTF8String], stopwordBytes)
+    else TextStatsKernel.statsRow(v.asInstanceOf[UTF8String], stopwordBytes)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("graftStopwords", stopwordBytes, "byte[][]")
-    defineCodeGen(ctx, ev, c => s"graft.functions.TextStatsKernel.statsRow($c, $ref)")
+    val m = if (unicode) "statsRowUnicode" else "statsRow"
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextStatsKernel.$m($c, $ref)")
   }
   override def prettyName: String = "text_stats"
   override protected def withNewChildInternal(c: Expression): TextStats = copy(child = c)

@@ -77,15 +77,17 @@ package object functions {
 
   /** Fused tokenize→w-shingle→k-lane minhash over raw text (the scale
     * path: no token/shingle materialization; see TextHash.minhashText). */
-  def minhash_text(text: Column, w: Int = 3, k: Int = 64, seed: Long = 42L): Column =
-    col(MinHashText(expr(text), w, k, seed))
+  def minhash_text(
+      text: Column, w: Int = 3, k: Int = 64, seed: Long = 42L,
+      unicode: Boolean = false): Column =
+    col(MinHashText(expr(text), w, k, seed, unicode))
 
   /** Fused tokenize→simhash over raw text. */
   def simhash_text(text: Column): Column = col(SimHashText(expr(text)))
 
   /** Sorted distinct w-shingle hash set of raw text (Jaccard verification). */
-  def shingle_hash_set(text: Column, w: Int = 3): Column =
-    col(ShingleHashSet(expr(text), w))
+  def shingle_hash_set(text: Column, w: Int = 3, unicode: Boolean = false): Column =
+    col(ShingleHashSet(expr(text), w, unicode))
 
   /** |a ∩ b| for two ascending-sorted array<long> columns. */
   def sorted_intersect_size(a: Column, b: Column): Column =
@@ -119,8 +121,10 @@ package object functions {
   /** one-pass text statistics struct (chars, ws/alnum tokens, token-length
     * sum, punctuation chars, stopword hits) — the fused kernel behind the
     * quality/token-count operators. */
-  def text_stats(text: Column, stopwords: Seq[String] = Seq.empty): Column =
-    col(TextStats(expr(text), stopwords))
+  def text_stats(
+      text: Column, stopwords: Seq[String] = Seq.empty,
+      unicode: Boolean = false): Column =
+    col(TextStats(expr(text), stopwords, unicode))
 
   /** language pick by marker-word profile (fused langId kernel). */
   def lang_id_pick(text: Column, markers: Seq[(String, Seq[String])]): Column =

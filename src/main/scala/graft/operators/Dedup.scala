@@ -27,9 +27,34 @@ import graft.functions.{doc_fingerprint, hamming_qualifying_pairs, minhash_quali
  */
 object Dedup {
 
-  /** Tokenize: lowercase, split on non-alphanumerics, drop empties. */
+  /** Tokenize: lowercase, split on non-alphanumerics, drop empties.
+    * This is the ASCII-Latin lexical contract — non-Latin scripts map to
+    * ZERO tokens by design (pinned in DedupSpec); multilingual corpora
+    * use [[tokensUnicode]] / the `unicode = true` mode every consumer
+    * family exposes. */
   def tokens(text: Column): Column =
     filter(split(lower(text), "[^a-z0-9]+"), t => length(t) > 0)
+
+  /** Unicode-mode tokenize — the multilingual lexical contract: space-pad
+    * Han/Hiragana/Katakana code points (scriptio continua has no
+    * separators; each char becomes its own token — the dictionary-free
+    * fallback), lowercase, split on anything outside
+    * `[\p{L}\p{M}\p{Nd}]` (marks keep Indic grapheme clusters whole),
+    * drop empties. The regex subset is Java∩RE2∩DuckDB-replayable (the
+    * langIdPick twin recipe), so oracle rows can recompute these tokens
+    * exactly; the fused kernels (`minhash_text(…, unicode = true)`,
+    * `text_stats(…, unicode = true)`) implement the IDENTICAL rule over
+    * code points, spec-pinned against this HOF form. ASCII-only text
+    * tokenizes identically under both contracts. */
+  def tokensUnicode(text: Column): Column =
+    filter(split(lower(regexp_replace(text,
+      "([\\p{IsHan}\\p{IsHiragana}\\p{IsKatakana}])", " $1 ")),
+      "[^\\p{L}\\p{M}\\p{Nd}]+"), t => length(t) > 0)
+
+  /** The mode switch consumers thread: `unicode = false` is the ASCII
+    * contract (bit-unchanged), `true` the multilingual one. */
+  def tokensMode(text: Column, unicode: Boolean): Column =
+    if (unicode) tokensUnicode(text) else tokens(text)
 
   /** Word-order-insensitive content fingerprint: md5 of the SORTED token
     * MULTISET (duplicates kept — "a a b" ≠ "a b b"). Catches the dup
@@ -145,9 +170,10 @@ object Dedup {
       textCol: String,
       idCol: String,
       numHashes: Int,
-      bands: Int): DataFrame =
+      bands: Int,
+      unicode: Boolean = false): DataFrame =
     df.select(col(idCol).as("id"),
-      minhash_text(col(textCol), w = 3, k = numHashes).as("sig"))
+      minhash_text(col(textCol), w = 3, k = numHashes, unicode = unicode).as("sig"))
       .select(col("id"), bandExplode(numHashes, bands).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
 
@@ -163,11 +189,12 @@ object Dedup {
       df: DataFrame,
       textCol: String,
       numHashes: Int = 64,
-      bands: Int = 32): DataFrame =
+      bands: Int = 32,
+      unicode: Boolean = false): DataFrame =
     // the synthetic id never reaches the output — only (band, bh) does,
     // and those are pure functions of the text
     bandKeys(df.withColumn("__bid", monotonically_increasing_id()),
-      textCol, "__bid", numHashes, bands)
+      textCol, "__bid", numHashes, bands, unicode)
       .select(col("band"), col("bh")).distinct()
 
   /**
@@ -190,8 +217,9 @@ object Dedup {
       idCol: String,
       bandIndex: DataFrame,
       numHashes: Int = 64,
-      bands: Int = 32): DataFrame = {
-    val hits = bandKeys(incoming, textCol, idCol, numHashes, bands)
+      bands: Int = 32,
+      unicode: Boolean = false): DataFrame = {
+    val hits = bandKeys(incoming, textCol, idCol, numHashes, bands, unicode)
       .join(bandIndex.select(col("band"), col("bh")), Seq("band", "bh"), "left_semi")
       .select(col("id")).distinct()
     incoming.join(hits, incoming(idCol) === hits("id"), "left_anti")
@@ -222,8 +250,10 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 16,
       threshold: Double = 0.7,
-      maxBucket: Int = 1000): DataFrame =
-    minhashCandidates(df, textCol, idCol, numHashes, bands, threshold, maxBucket)
+      maxBucket: Int = 1000,
+      unicode: Boolean = false): DataFrame =
+    minhashCandidates(df, textCol, idCol, numHashes, bands, threshold, maxBucket,
+      unicode)
       .dropDuplicates("id_a", "id_b")
       .orderBy(col("id_a"), col("id_b"))
 
@@ -239,10 +269,11 @@ object Dedup {
       numHashes: Int,
       bands: Int,
       threshold: Double,
-      maxBucket: Int): DataFrame = {
+      maxBucket: Int,
+      unicode: Boolean = false): DataFrame = {
     val sigs = df.select(
       col(idCol).as("id"),
-      minhash_text(col(textCol), w = 3, k = numHashes).as("sig"))
+      minhash_text(col(textCol), w = 3, k = numHashes, unicode = unicode).as("sig"))
 
     // explode into (band, bandHash, id); bandHash = hash of the band's lanes
     val banded = sigs.select(

@@ -479,8 +479,11 @@ object Ngrams {
    * and values are identical (docs with <2 tokens emit nothing, as the
    * window form's null-gram filter did).
    */
-  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol), graft.operators.Dedup.tokens(col(textCol)).as("__t"))
+  def repetitionStats(
+      df: DataFrame, idCol: String, textCol: String,
+      unicode: Boolean = false): DataFrame =
+    df.select(col(idCol),
+      graft.operators.Dedup.tokensMode(col(textCol), unicode).as("__t"))
       .filter(size(col("__t")) >= 2)
       .withColumn("__sb", array_sort(expr(
         "transform(sequence(1, size(__t) - 1), " +

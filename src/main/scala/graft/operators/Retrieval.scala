@@ -62,11 +62,13 @@ object Retrieval {
     * string/UUID id would NULL every id and collapse the whole corpus
     * into one doc_id=NULL posting group — garbage scores with no error
     * anywhere downstream. */
-  private def base(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  private def base(
+      docs: DataFrame, idCol: String, textCol: String,
+      unicode: Boolean = false): DataFrame = {
     requireIntegralId(docs, idCol)
     docs.select(
       col(idCol).cast("long").as("doc_id"),
-      Dedup.tokens(col(textCol)).as("__toks"))
+      Dedup.tokensMode(col(textCol), unicode).as("__toks"))
       .withColumn("len", size(col("__toks")).cast("long"))
   }
 
@@ -147,8 +149,9 @@ object Retrieval {
       idCol: String,
       textCol: String,
       queries: DataFrame,
-      k: Int = 10): DataFrame = {
-    val b = base(docs, idCol, textCol)
+      k: Int = 10,
+      unicode: Boolean = false): DataFrame = {
+    val b = base(docs, idCol, textCol, unicode)
     val terms = queryTerms(queries)
     bm25Serve(postingsFor(b, Some(terms)), stats(b),
       queries.dropDuplicates("query_id", "term"), k)

@@ -110,16 +110,24 @@ object TextAnalysis {
     gates :+ ("keep" -> gates.map(_._2).reduce(_ && _))
   }
 
-  def gopherFilter(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  /** `unicode = true` evaluates the SAME five gates over the
+    * multilingual lexical contract (`text_stats`/`tokensMode` unicode
+    * modes) — the metrics become honest for non-Latin text (ASCII mode
+    * counts zero tokens there, auto-rejecting every CJK/Cyrillic doc at
+    * `keep_tokens`); the THRESHOLDS stay caller policy. */
+  def gopherFilter(
+      df: DataFrame, idCol: String, textCol: String,
+      unicode: Boolean = false): DataFrame = {
     val st = col("__st")
-    val metrics = df.withColumn("__st", text_stats(col(textCol), stopwords))
+    val metrics = df.withColumn("__st",
+      text_stats(col(textCol), stopwords, unicode))
       .select(col(idCol),
         st.getField("n_chars").as("__nc"),
         st.getField("n_tokens").as("__nt"),
         st.getField("sum_token_len").as("__stl"),
         st.getField("punct_chars").as("__pc"),
         st.getField("stopword_hits").as("__sh"))
-    val rep = Ngrams.repetitionStats(df, idCol, textCol)
+    val rep = Ngrams.repetitionStats(df, idCol, textCol, unicode)
     val gates = gopherGateCols(col("__nc"), col("__nt"), col("__stl"),
       col("__pc"), col("__sh"), col("top_cnt"),
       coalesce(col("n_bigrams"), lit(0L)))
@@ -142,7 +150,8 @@ object TextAnalysis {
    * projections cost less than carrying the repetition fold through a
    * cached frame's every consumer.
    */
-  def withGopherGates(df: DataFrame, textCol: String): DataFrame = {
+  def withGopherGates(
+      df: DataFrame, textCol: String, unicode: Boolean = false): DataFrame = {
     val out = Seq("keep_tokens", "keep_word_len", "keep_punct",
       "keep_stopwords", "keep_repetition", "keep")
     out.foreach { c =>
@@ -155,8 +164,8 @@ object TextAnalysis {
       st.getField("sum_token_len"), st.getField("punct_chars"),
       st.getField("stopword_hits"), col("__gg_top"), col("__gg_nb"))
     gates.foldLeft(
-      df.withColumn("__gg_st", text_stats(col(textCol), stopwords))
-        .withColumn("__gg_t", Dedup.tokens(col(textCol)))
+      df.withColumn("__gg_st", text_stats(col(textCol), stopwords, unicode))
+        .withColumn("__gg_t", Dedup.tokensMode(col(textCol), unicode))
         // guard size < 2 BEFORE sequence(): sequence(1, size-1) with
         // size < 2 generates a DESCENDING range, not an empty one
         .withColumn("__gg_top", expr(
@@ -324,9 +333,11 @@ object TextAnalysis {
     * Scale shape: one fused `text_stats` pass over the scan, then a
     * group-keyed partial aggregate — the exchange carries |groups| rows
     * of counters, never text. */
-  def tokenFertility(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
+  def tokenFertility(
+      df: DataFrame, groupCol: String, textCol: String,
+      unicode: Boolean = false): DataFrame = {
     val st = col("__st")
-    df.withColumn("__st", text_stats(col(textCol), stopwords))
+    df.withColumn("__st", text_stats(col(textCol), stopwords, unicode))
       .select(col(groupCol),
         (st.getField("n_tokens") + st.getField("punct_chars")).as("__sub"),
         st.getField("ws_tokens").as("__ws"),

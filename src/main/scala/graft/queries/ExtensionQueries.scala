@@ -1645,6 +1645,103 @@ object ExtensionQueries extends QueryFamily {
       .orderBy(col("doc_id"))
   }
 
+  // --- unicode lexical contract ---
+
+  /** Mixed-script derivation shared by the unicode-contract rows: each
+    * doc carries (a slice of) its fixture text plus a per-id non-Latin
+    * phrase — Han (no separators → per-char fallback), Cyrillic with
+    * an UPPERCASE word (Unicode lowercasing), Japanese kana, Devanagari
+    * with combining vowel marks and Devanagari digits (`\p{M}`,
+    * `\p{Nd}` beyond ASCII), Arabic. Deliberately clear of the three
+    * context-sensitive case mappings (İ, ß, final sigma) where Java and
+    * utf8proc may disagree. Derived IN-QUERY so DuckDB rebuilds the
+    * same column from the same parquet. */
+  private val mixedPhrases = Seq(
+    "中文网页的质量很高值得收录",
+    "Русский Текст Москва 123",
+    "日本語のテキストです",
+    "मराठी भाषा देवनागरी १२३",
+    "مرحبا بالعالم الكبير")
+
+  private def withMixedText(df: DataFrame, full: Boolean): DataFrame =
+    df.withColumn("mtext", concat(
+      if (full) col("text") else substring(col("text"), 1, 120),
+      lit(" "),
+      element_at(array(mixedPhrases.map(lit): _*),
+        (col("doc_id") % 5 + 1).cast("int"))))
+
+  /** The per-doc stats of the UNICODE lexical contract next to the
+    * ASCII one, plus an md5 of the exact unicode token sequence — the
+    * row that pins `tokensUnicode`/`statsRowUnicode` (and so every
+    * `unicode = true` consumer mode) against DuckDB's independent RE2
+    * replay, mixed scripts included. The ASCII column doubles as the
+    * documented old-contract behavior: non-Latin text contributes zero
+    * tokens there. */
+  def textTokenCountUnicode(spark: SparkSession, dir: String): DataFrame = {
+    val st = graft.functions.text_stats(col("mtext"),
+      TextAnalysis.stopwords, unicode = true)
+    withMixedText(Tables.documents(spark, dir), full = false)
+      .select(col("doc_id"),
+        size(Dedup.tokens(col("mtext"))).cast("long").as("n_tokens_ascii"),
+        st.getField("n_tokens").as("n_tokens_unicode"),
+        st.getField("sum_token_len").as("sum_token_len"),
+        st.getField("punct_chars").as("punct_chars"),
+        st.getField("ws_tokens").as("ws_tokens"),
+        st.getField("stopword_hits").as("stopword_hits"),
+        md5(array_join(Dedup.tokensUnicode(col("mtext")), " ")).as("tok_digest"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The five Gopher gates evaluated under the unicode contract over
+    * the mixed-script column — CJK/Cyrillic/Indic content now counts
+    * toward every metric instead of reading as 100% punctuation with
+    * zero tokens (the ASCII mode's documented auto-reject). */
+  def qualityGopherUnicode(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.gopherFilter(
+      withMixedText(Tables.documents(spark, dir), full = false),
+      "doc_id", "mtext", unicode = true)
+      .orderBy(col("doc_id"))
+
+  /** Fertility/compression telemetry under the unicode contract — the
+    * multilingual tokenizer-health metric computed the way it must be
+    * on a multilingual corpus (ASCII mode counts a CJK char as
+    * punctuation-subword but its word as zero ws-tokens… and a pure-CJK
+    * doc as fertility 0). */
+  def tokenFertilityUnicode(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenFertility(
+      withMixedText(Tables.documents(spark, dir), full = false),
+      "source", "mtext", unicode = true)
+
+  /** [[dedupMinhashRecall]] under the unicode contract over the
+    * mixed-script column: exact unicode-shingle Jaccard ≥ 0.85 pairs
+    * (both engines recompute them independently — Spark through the
+    * fused unicode kernel, DuckDB through the RE2 replay) flagged with
+    * whether unicode-mode LSH banding surfaced them. */
+  def dedupMinhashUnicodeRecall(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.shingle_hash_set
+    val docs = withMixedText(Tables.documents(spark, dir), full = true)
+    val sh = docs.select(col("doc_id").as("id"),
+      shingle_hash_set(col("mtext"), 3, unicode = true).as("sh"))
+      .withColumn("len", size(col("sh")))
+    val tok = graft.CacheScope.scoped(
+      sh.select(col("id"), col("len"), explode(col("sh")).as("g")))
+    val exact = tok.as("a").join(tok.as("b"), "g")
+      .filter(col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.len").as("len_a"), col("b.len").as("len_b"))
+      .agg(count(lit(1)).as("__i"))
+      .withColumn("jaccard_w3",
+        col("__i") / (col("len_a") + col("len_b") - col("__i")).cast("double"))
+      .filter(col("jaccard_w3") >= 0.85)
+    val lsh = Dedup.minhashPairs(docs, "mtext", "doc_id",
+      numHashes = 64, bands = 16, threshold = 0.5, unicode = true)
+      .select(col("id_a"), col("id_b")).withColumn("__f", lit(true))
+    exact.join(lsh, Seq("id_a", "id_b"), "left")
+      .select(col("id_a"), col("id_b"), col("jaccard_w3"),
+        coalesce(col("__f"), lit(false)).as("lsh_found"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   // --- multimodal ---
 
   /** Binary-column metadata pass: byte length + content digest computed on
@@ -2783,6 +2880,10 @@ object ExtensionQueries extends QueryFamily {
     "lang_confusion" -> (langConfusion _),
     "lang_mixed" -> (langMixed _),
     "text_token_count" -> (textTokenCount _),
+    "text_token_count_unicode" -> (textTokenCountUnicode _),
+    "quality_gopher_unicode" -> (qualityGopherUnicode _),
+    "token_fertility_unicode" -> (tokenFertilityUnicode _),
+    "dedup_minhash_unicode_recall" -> (dedupMinhashUnicodeRecall _),
     "text_fingerprint" -> (textFingerprint _),
     "multimodal_meta" -> (multimodalMeta _),
     "multimodal_dedup_exact" -> (multimodalDedupExact _),
@@ -2843,6 +2944,36 @@ object ExtensionQueries extends QueryFamily {
 
   private val tokensSql =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)"
+
+  /** DuckDB replay of the UNICODE lexical contract over column `c`
+    * (same recipe as the langid twins): space-pad Han/Hiragana/Katakana,
+    * lower, split on `[^\p{L}\p{M}\p{Nd}]+`, drop empties — RE2 and
+    * Java interpret every class here identically. */
+  private def tokensUniSql(c: String): String =
+    s"list_filter(regexp_split_to_array(lower(regexp_replace($c, " +
+      "'([\\p{Han}\\p{Hiragana}\\p{Katakana}])', ' \\1 ', 'g')), " +
+      "'[^\\p{L}\\p{M}\\p{Nd}]+'), x -> len(x) > 0)"
+
+  /** The mixed-script column of the unicode-contract rows, rebuilt in
+    * SQL (must mirror `withMixedText` exactly). */
+  private def mixedSqlExpr(full: Boolean): String = {
+    val base = if (full) "text" else "SUBSTRING(text, 1, 120)"
+    s"$base || ' ' || (['${mixedPhrases.mkString("', '")}'])" +
+      "[CAST(doc_id % 5 AS INT) + 1]"
+  }
+
+  /** Unicode-mode punct count of a LOWERCASED string expr: code points
+    * that are neither token-class (`\p{L}\p{M}\p{Nd}`) nor the pinned
+    * ASCII whitespace class — `statsRowUnicode`'s third counter. */
+  private def punctUniSql(lt: String): String =
+    s"CAST(LENGTH(REGEXP_REPLACE($lt, " +
+      "'[\\p{L}\\p{M}\\p{Nd} \\t\\n\\x0B\\f\\r]', '', 'g')) AS BIGINT)"
+
+  /** Unicode-mode ws_tokens of a LOWERCASED string expr (maximal
+    * non-ASCII-whitespace runs). */
+  private def wsToksUniSql(lt: String): String =
+    s"CAST(LEN(LIST_FILTER(STRING_SPLIT_REGEX($lt, " +
+      "'[ \\t\\n\\x0B\\f\\r]+'), x -> LEN(x) > 0)) AS BIGINT)"
 
   /** Shared CTE block for the DSIR pair (`select_dsir`, `select_dsir_topk`):
     * target bigram model on the trusted `src0` slice, raw model on the
@@ -3955,6 +4086,116 @@ object ExtensionQueries extends QueryFamily {
          |  CAST(LEN($tokensSql) AS BIGINT)
          |    + CAST(LENGTH(REGEXP_REPLACE(text, '[a-zA-Z0-9\\s]', '', 'g')) AS BIGINT) AS subword_tokens
          |FROM documents ORDER BY doc_id""".stripMargin,
+    // the unicode lexical contract replayed end-to-end in RE2: padded
+    // CJK, \p{L}\p{M}\p{Nd} token class, lowercased counters, exact
+    // token-sequence digest
+    "text_token_count_unicode" ->
+      s"""WITH mx AS (
+         |  SELECT doc_id, ${mixedSqlExpr(full = false)} AS mtext FROM documents),
+         |m AS (
+         |  SELECT doc_id, mtext, lower(mtext) AS lt,
+         |    ${tokensUniSql("mtext")} AS tk
+         |  FROM mx)
+         |SELECT doc_id,
+         |  CAST(LEN(list_filter(string_split_regex(lower(mtext), '[^a-z0-9]+'),
+         |    x -> len(x) > 0)) AS BIGINT) AS n_tokens_ascii,
+         |  CAST(LEN(tk) AS BIGINT) AS n_tokens_unicode,
+         |  CAST(COALESCE(LIST_SUM(LIST_TRANSFORM(tk, x -> LEN(x))), 0) AS BIGINT) AS sum_token_len,
+         |  ${punctUniSql("lt")} AS punct_chars,
+         |  ${wsToksUniSql("lt")} AS ws_tokens,
+         |  CAST(LEN(LIST_FILTER(tk,
+         |    x -> x IN ('the','a','an','and','or','of','to','in','is','it'))) AS BIGINT) AS stopword_hits,
+         |  MD5(ARRAY_TO_STRING(tk, ' ')) AS tok_digest
+         |FROM m ORDER BY doc_id""".stripMargin,
+    // the five Gopher gates under the unicode contract (mixed column)
+    "quality_gopher_unicode" ->
+      s"""WITH mx AS (
+         |  SELECT doc_id, ${mixedSqlExpr(full = false)} AS mtext FROM documents),
+         |m AS (
+         |  SELECT doc_id,
+         |    CAST(LENGTH(lower(mtext)) AS BIGINT) AS nc,
+         |    CAST(LEN(${tokensUniSql("mtext")}) AS BIGINT) AS nt,
+         |    CAST(COALESCE(LIST_SUM(LIST_TRANSFORM(${tokensUniSql("mtext")},
+         |      x -> LEN(x))), 0) AS BIGINT) AS stl,
+         |    ${punctUniSql("lower(mtext)")} AS pc,
+         |    CAST(LEN(LIST_FILTER(${tokensUniSql("mtext")},
+         |      x -> x IN ('the','a','an','and','or','of','to','in','is','it'))) AS BIGINT) AS sh
+         |  FROM mx),
+         |tk AS (
+         |  SELECT doc_id,
+         |    unnest(${tokensUniSql("mtext")}) AS tok,
+         |    unnest(range(1, len(${tokensUniSql("mtext")}) + 1)) AS pos
+         |  FROM mx),
+         |ng AS (
+         |  SELECT doc_id, tok || ' ' || LEAD(tok, 1) OVER w AS ngram
+         |  FROM tk WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+         |cnt AS (SELECT doc_id, ngram, COUNT(*) AS c
+         |        FROM ng WHERE ngram IS NOT NULL GROUP BY doc_id, ngram),
+         |rep AS (SELECT doc_id, MAX(c) AS top_cnt, CAST(SUM(c) AS BIGINT) AS n_bigrams
+         |        FROM cnt GROUP BY doc_id)
+         |SELECT m.doc_id,
+         |  (nt >= 10 AND nt <= 100000) AS keep_tokens,
+         |  (3 * nt <= stl AND stl <= 10 * nt) AS keep_word_len,
+         |  (4 * pc <= nc) AS keep_punct,
+         |  (sh >= 2) AS keep_stopwords,
+         |  (COALESCE(n_bigrams, 0) = 0 OR 5 * top_cnt <= n_bigrams) AS keep_repetition,
+         |  ((nt >= 10 AND nt <= 100000) AND (3 * nt <= stl AND stl <= 10 * nt)
+         |    AND (4 * pc <= nc) AND (sh >= 2)
+         |    AND (COALESCE(n_bigrams, 0) = 0 OR 5 * top_cnt <= n_bigrams)) AS keep
+         |FROM m LEFT JOIN rep ON rep.doc_id = m.doc_id
+         |ORDER BY m.doc_id""".stripMargin,
+    // fertility under the unicode contract (sub = n_tokens + punct,
+    // both unicode-mode; counters over the lowercased mixed column)
+    "token_fertility_unicode" ->
+      s"""WITH mx AS (
+         |  SELECT doc_id, source, ${mixedSqlExpr(full = false)} AS mtext FROM documents),
+         |m AS (
+         |  SELECT source,
+         |    CAST(LEN(${tokensUniSql("mtext")}) AS BIGINT)
+         |      + ${punctUniSql("lower(mtext)")} AS sub,
+         |    ${wsToksUniSql("lower(mtext)")} AS ws,
+         |    CAST(LENGTH(lower(mtext)) AS BIGINT) AS nc
+         |  FROM mx),
+         |g AS (
+         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(sub) AS BIGINT) AS subword_tokens,
+         |    CAST(SUM(ws) AS BIGINT) AS ws_tokens,
+         |    CAST(SUM(nc) AS BIGINT) AS n_chars
+         |  FROM m GROUP BY source)
+         |SELECT source, n_docs, subword_tokens, ws_tokens, n_chars,
+         |  CASE WHEN ws_tokens > 0
+         |    THEN CAST(subword_tokens * 1000000 // ws_tokens AS BIGINT) ELSE 0 END AS fertility_micro,
+         |  CASE WHEN subword_tokens > 0
+         |    THEN CAST(n_chars * 1000000 // subword_tokens AS BIGINT) ELSE 0 END AS chars_per_subword_micro
+         |FROM g ORDER BY source""".stripMargin,
+    // exact unicode-shingle Jaccard recomputed in RE2, LSH verdict from
+    // the unicode-mode banding (the dedup_minhash_recall pattern)
+    "dedup_minhash_unicode_recall" ->
+      s"""WITH mx AS (
+         |  SELECT doc_id, ${mixedSqlExpr(full = true)} AS mtext FROM documents),
+         |toks AS (
+         |  SELECT doc_id,
+         |    unnest(${tokensUniSql("mtext")}) AS tok,
+         |    unnest(range(1, len(${tokensUniSql("mtext")}) + 1)) AS pos
+         |  FROM mx),
+         |ng AS (
+         |  SELECT DISTINCT doc_id,
+         |    tok || ' ' || LEAD(tok, 1) OVER w || ' ' || LEAD(tok, 2) OVER w AS g
+         |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+         |ngf AS (SELECT doc_id, g FROM ng WHERE g IS NOT NULL),
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM ngf GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+         |  FROM ngf a JOIN ngf b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b,
+         |  i / CAST(sa.n + sb.n - i AS DOUBLE) AS jaccard_w3,
+         |  TRUE AS lsh_found
+         |FROM inter
+         |JOIN sz sa ON sa.doc_id = inter.id_a
+         |JOIN sz sb ON sb.doc_id = inter.id_b
+         |WHERE i / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.85
+         |ORDER BY id_a, id_b""".stripMargin,
     "multimodal_meta" ->
       """SELECT doc_id AS asset_id,
         |  (['image', 'audio', 'video'])[CAST(doc_id % 3 AS INT) + 1] AS modality,

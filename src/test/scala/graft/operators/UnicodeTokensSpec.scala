@@ -1,0 +1,152 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The two lexical contracts, pinned against each other:
+  *  - ASCII mode (`Dedup.tokens`) maps non-Latin scripts to ZERO tokens —
+  *    the documented legacy behavior, now an explicit mode;
+  *  - Unicode mode (`Dedup.tokensUnicode` + the `unicode = true` kernel
+  *    modes) tokenizes every script, with Han/Hiragana/Katakana as
+  *    single-character tokens.
+  * The fused kernels must agree bit-for-bit with the HOF column forms —
+  * same discipline as the ASCII minhash/text_stats parity specs. */
+class UnicodeTokensSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val mixed = Seq(
+    (1L, "Hello 世界 WORLD 123"),
+    (2L, "中文网页的质量很高"),
+    (3L, "Русский Текст Москва"),
+    (4L, "日本語のテキストです"),
+    (5L, "मराठी भाषा देवनागरी १२३"),
+    (6L, "مرحبا بالعالم الكبير"),
+    (7L, "mixed中文inside한국어"),
+    (8L, "Ångström café naïve"),
+    (9L, "the quick brown fox and a dog in it"),
+    (10L, "")
+  ).toDF("doc_id", "text")
+
+  test("ASCII contract pinned: non-Latin scripts tokenize to ZERO tokens") {
+    val n = mixed.select(col("doc_id"),
+      size(Dedup.tokens(col("text"))).as("n")).as[(Long, Int)].collect().toMap
+    // pure CJK / Cyrillic / Devanagari / Arabic: zero ASCII tokens — the
+    // documented auto-no-op this mode has on multilingual corpora
+    assert(n(2L) == 0 && n(3L) == 0 && n(4L) == 0 && n(6L) == 0, s"got $n")
+    assert(n(5L) == 0)
+    // mixed docs keep only their Latin runs
+    assert(n(1L) == 3) // hello, world, 123
+    assert(n(7L) == 2) // mixed, inside
+    assert(n(9L) == 9)
+  }
+
+  test("tokensUnicode: per-script expectations (the tri-engine-verified set)") {
+    val t = mixed.select(col("doc_id"), Dedup.tokensUnicode(col("text")).as("t"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(t(1L) == Seq("hello", "世", "界", "world", "123"))
+    assert(t(2L) == "中文网页的质量很高".map(_.toString))
+    assert(t(3L) == Seq("русский", "текст", "москва"))
+    assert(t(4L) == Seq("日", "本", "語", "の", "テ", "キ", "ス", "ト", "で", "す"))
+    assert(t(5L) == Seq("मराठी", "भाषा", "देवनागरी", "१२३")) // marks + Nd digits
+    assert(t(6L) == Seq("مرحبا", "بالعالم", "الكبير"))
+    assert(t(7L) == Seq("mixed", "中", "文", "inside한국어")) // Hangul: run, not per-char
+    assert(t(8L) == Seq("ångström", "café", "naïve"))
+    assert(t(10L) == Seq.empty)
+    // ASCII text tokenizes identically under both contracts
+    val both = mixed.filter(col("doc_id") === 9L).select(
+      Dedup.tokens(col("text")).as("a"), Dedup.tokensUnicode(col("text")).as("u"))
+      .as[(Seq[String], Seq[String])].head()
+    assert(both._1 == both._2)
+  }
+
+  test("fused unicode kernels == HOF forms (minhash, shingle set size, text_stats)") {
+    import graft.functions.{minhash_signature, minhash_text, shingle_hash_set, text_stats}
+    val rows = mixed.filter(length(col("text")) > 0).select(
+      minhash_text(col("text"), 3, 64, 42L, unicode = true).as("fast"),
+      minhash_signature(
+        Dedup.shingles(Dedup.tokensUnicode(col("text")), 3), 64, 42L).as("slow"),
+      size(shingle_hash_set(col("text"), 3, unicode = true)).as("nsh"),
+      size(array_distinct(
+        Dedup.shingles(Dedup.tokensUnicode(col("text")), 3))).as("nsh_hof"),
+      text_stats(col("text"), TextAnalysis.stopwords, unicode = true).as("st"),
+      size(Dedup.tokensUnicode(col("text"))).as("nt_hof"),
+      aggregate(Dedup.tokensUnicode(col("text")), lit(0L),
+        (acc, x) => acc + length(x).cast("long")).as("stl_hof")
+    ).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1), "minhash kernel != HOF")
+      assert(r.getInt(2) == r.getInt(3), "shingle set size kernel != HOF")
+      val st = r.getStruct(4)
+      assert(st.getLong(st.fieldIndex("n_tokens")) == r.getInt(5).toLong,
+        "text_stats n_tokens != tokensUnicode size")
+      assert(st.getLong(st.fieldIndex("sum_token_len")) == r.getLong(6),
+        "text_stats sum_token_len != HOF codepoint sum")
+    }
+  }
+
+  test("statsRowUnicode counters: CJK is tokens, not punctuation") {
+    import graft.functions.text_stats
+    val st = Seq(("中文 hello!", 1)).toDF("text", "i")
+      .select(text_stats(col("text"), TextAnalysis.stopwords, unicode = true).as("st"))
+      .head().getStruct(0)
+    assert(st.getLong(st.fieldIndex("n_chars")) == 9L)       // codepoints
+    assert(st.getLong(st.fieldIndex("n_tokens")) == 3L)      // 中, 文, hello
+    assert(st.getLong(st.fieldIndex("sum_token_len")) == 7L) // 1 + 1 + 5
+    assert(st.getLong(st.fieldIndex("punct_chars")) == 1L)   // just '!'
+    assert(st.getLong(st.fieldIndex("ws_tokens")) == 2L)
+  }
+
+  test("unicode LSH finds a planted CJK near-dup; ASCII mode cannot even tell CJK docs apart") {
+    import graft.functions.minhash_text
+    // two long CJK docs differing in ONE char (near-dups), plus an
+    // unrelated CJK doc
+    val a = "机器学习模型的训练数据质量决定了下游任务的表现和泛化能力水平"
+    val b = a.dropRight(1) + "极" // last char changed
+    val c = "今天天气晴朗适合出门散步晒太阳呼吸新鲜空气放松心情看看风景"
+    val docs = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    val pairs = Dedup.minhashPairs(docs, "text", "doc_id",
+      numHashes = 64, bands = 16, threshold = 0.5, unicode = true)
+      .select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), s"planted CJK near-dup missed: $pairs")
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)),
+      s"unrelated CJK docs collided in unicode mode: $pairs")
+    // ASCII mode: every pure-CJK doc tokenizes to zero tokens, so ALL
+    // of them share one degenerate signature — unrelated docs included.
+    // This is the documented failure unicode mode exists to fix.
+    val sigs = docs.select(minhash_text(col("text"), 3, 64, 42L).as("s"))
+      .as[Seq[Long]].collect()
+    assert(sigs.distinct.size == 1, "expected one degenerate ASCII signature")
+  }
+
+  test("BM25 unicode mode retrieves by CJK character terms; ASCII mode returns nothing") {
+    val docs = Seq(
+      (1L, "机器学习模型训练 machine learning models"),
+      (2L, "天气晴朗出门散步 sunny weather walking"),
+      (3L, "plain english document about nothing else")
+    ).toDF("doc_id", "text")
+    val queries = Seq((1L, "学"), (1L, "习")).toDF("query_id", "term")
+    val uni = Retrieval.bm25TopK(docs, "doc_id", "text", queries, k = 3,
+      unicode = true)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(uni == Seq(1L), s"got $uni") // only doc 1 contains 学/习
+    val ascii = Retrieval.bm25TopK(docs, "doc_id", "text", queries, k = 3)
+    assert(ascii.isEmpty, "ASCII mode should have no CJK postings at all")
+  }
+
+  test("gopher gates + fertility become meaningful for CJK under unicode mode") {
+    // 30 CJK chars + enough latin stopwords to pass keep_stopwords: the
+    // point is keep_tokens/keep_punct flip from auto-reject to honest
+    val doc = Seq((1L, "机器学习模型的训练数据质量决定了下游任务的表现和泛化能力水平 the of in it is")).toDF("doc_id", "text")
+    val ascii = TextAnalysis.gopherFilter(doc, "doc_id", "text")
+      .select("keep_tokens", "keep_punct").head()
+    val uni = TextAnalysis.gopherFilter(doc, "doc_id", "text", unicode = true)
+      .select("keep_tokens", "keep_punct").head()
+    assert(!ascii.getBoolean(0), "ascii mode saw >= 10 tokens in CJK?")
+    assert(!ascii.getBoolean(1), "ascii mode should count CJK as punct")
+    assert(uni.getBoolean(0) && uni.getBoolean(1))
+    val fert = TextAnalysis.tokenFertility(doc, "doc_id", "text", unicode = true)
+      .select("subword_tokens").as[Long].head()
+    assert(fert >= 30L, s"unicode fertility missed CJK tokens: $fert")
+  }
+}
