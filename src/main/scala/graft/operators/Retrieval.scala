@@ -244,7 +244,10 @@ object Retrieval {
     // — per-segment overwrite only replaces batch=0.
     val spark = docs.sparkSession
     val conf = spark.sessionState.newHadoopConf()
-    Seq(s"$dir/postings", s"$dir/norms").foreach { p =>
+    // tombstones cleared too: a full rebuild indexes exactly what the
+    // caller passes — a stale takedown tombstone would silently
+    // suppress a doc the rebuild deliberately re-ingested
+    Seq(s"$dir/postings", s"$dir/norms", s"$dir/tombstones").foreach { p =>
       val path = new org.apache.hadoop.fs.Path(p)
       path.getFileSystem(conf).delete(path, true)
     }
@@ -370,6 +373,71 @@ object Retrieval {
   }
 
   /**
+   * Doc-keyed DELETE on the durable index — the takedown operation
+   * ([[graft.sources.v2.ShardDelete]] is the corpus-table half; this is
+   * the index half, natural here because postings ARE doc-keyed).
+   * Publishes a committed TOMBSTONE segment
+   * (`<dir>/tombstones/batch=<n>/` — a parquet of `doc_id` plus the
+   * marker-last commit, the same segment discipline as the index
+   * itself): [[searchIndex]] anti-joins live tombstones out of BOTH
+   * postings and norms, so a deleted doc leaves the results, the
+   * per-term df, AND the corpus stats (N, L) in one serve —
+   * score-identical to an index that never ingested it.
+   * [[compactIndexSegments]] MATERIALIZES the deletes (the merged
+   * segment is written without the tombstoned docs) and reclaims the
+   * absorbed tombstones.
+   *
+   * Contract notes: a tombstone suppresses its `doc_id` across ALL
+   * segments — re-using a deleted id for new content is undefined until
+   * a compaction has materialized and reclaimed the tombstone (same
+   * global-key semantics as any keyed table; Lucene's per-segment
+   * delete bitmaps don't apply to a key-addressed corpus). The id frame
+   * is takedown-sized and is JOINED, never collected. Same
+   * single-maintainer discipline as compaction: don't run deletes
+   * concurrently with a compaction of the same index.
+   */
+  def deleteDocsFromIndex(
+      spark: SparkSession, dir: String, docIds: DataFrame): Unit = {
+    import org.apache.hadoop.fs.Path
+    require(docIds.columns.length == 1,
+      s"docIds must be a one-column frame, got ${docIds.columns.mkString(",")}")
+    val conf = spark.sessionState.newHadoopConf()
+    val tombs = new Path(s"$dir/tombstones")
+    val fs = tombs.getFileSystem(conf)
+    // fresh id past every existing dir (committed or not — an
+    // uncommitted leftover must not be overwritten by an unrelated
+    // delete, it may be a concurrent writer's in-flight segment)
+    val existing = Option(fs.globStatus(new Path(tombs, "batch=*"))).toSeq.flatten
+      .map(_.getPath.getName.stripPrefix("batch=")).filter(_.forall(_.isDigit))
+      .map(_.toLong)
+    val seg = new Path(tombs, s"batch=${existing.maxOption.getOrElse(-1L) + 1L}")
+    docIds.select(col(docIds.columns.head).cast("long").as("doc_id")).distinct()
+      .coalesce(1)
+      .write.mode("overwrite").parquet(seg.toString)
+    fs.create(new Path(seg, CommitMarker), true).close()
+  }
+
+  /** Committed tombstone segment paths under `dir` (marker present). */
+  private def committedTombstones(
+      fs: org.apache.hadoop.fs.FileSystem, dir: String): Seq[String] =
+    Option(fs.globStatus(new org.apache.hadoop.fs.Path(
+      s"$dir/tombstones/batch=*/$CommitMarker"))).toSeq.flatten
+      .map(_.getPath.getParent.toString)
+
+  /** Anti-join `df` against the committed tombstones, if any. */
+  private def minusTombstones(
+      spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      dir: String,
+      df: DataFrame): DataFrame = {
+    val t = committedTombstones(fs, dir)
+    if (t.isEmpty) df
+    else df.join(
+      spark.read.parquet(t: _*).select(col("doc_id")).distinct(),
+      Seq("doc_id"), "left_anti")
+  }
+
+  /**
    * Merge all live index segments into ONE — the Lucene-merge analog
    * the continuous-index path ([[graft.streaming.CorpusStream
    * .indexDocsStream]], one segment per micro-batch) needs: without it
@@ -432,16 +500,22 @@ object Retrieval {
 
     val newId = math.max(live.max + 1, CompactIdBase)
     val seg = s"batch=$newId"
+    // snapshot the tombstones this merge MATERIALIZES (deletes landing
+    // after this listing simply miss the merge and keep filtering at
+    // serve time until the next compaction — same race contract as a
+    // racing append)
+    val appliedTombstones = committedTombstones(fs, dir)
     // (1) merged data, unmarked — postings re-clustered by term so the
-    // serve scan's row-group skipping survives the merge
-    val postings = spark.read.parquet(s"$dir/postings")
-      .filter(col("batch").isin(live: _*))
+    // serve scan's row-group skipping survives the merge; tombstoned
+    // docs are dropped here, so the merged segment never carries them
+    val postings = minusTombstones(spark, fs, dir,
+      spark.read.parquet(s"$dir/postings").filter(col("batch").isin(live: _*)))
     postings.repartition(col("tok"))
       .sortWithinPartitions(col("tok"), col("doc_id"))
       .select(col("tok"), col("doc_id"), col("tf"), col("len"))
       .write.mode("overwrite").parquet(s"$dir/postings/$seg")
-    spark.read.parquet(s"$dir/norms")
-      .filter(col("batch").isin(live: _*))
+    minusTombstones(spark, fs, dir,
+      spark.read.parquet(s"$dir/norms").filter(col("batch").isin(live: _*)))
       .select(col("doc_id"), col("len"))
       .write.mode("overwrite").parquet(s"$dir/norms/$seg")
     // (2) atomic publish. Tombstones = the sources being merged +
@@ -475,6 +549,12 @@ object Retrieval {
       fs.delete(new Path(s"$dir/postings/batch=$id"), true)
       fs.delete(new Path(s"$dir/norms/batch=$id"), true)
     }
+    // reclaim the MATERIALIZED tombstones (snapshot from before the
+    // merge — ones that landed since keep serving). Best-effort and
+    // safe in this direction: a surviving tombstone can only re-filter
+    // ids the merged segment no longer contains (a no-op), never
+    // resurrect anything.
+    appliedTombstones.foreach(p => fs.delete(new Path(p), true))
     1
   }
 
@@ -535,11 +615,16 @@ object Retrieval {
     // content contract
     val committed = liveSegments(fs, normsPath)
     require(committed.nonEmpty, s"no committed index segments under $dir")
-    val postings = spark.read.parquet(s"$dir/postings")
-      .filter(col("batch").isin(committed: _*))
-      .filter(col("tok").isin(terms: _*))
-    val norms = spark.read.parquet(s"$dir/norms")
-      .filter(col("batch").isin(committed: _*))
+    // tombstones filter BOTH sides: postings (results + df) and norms
+    // (N, L) — a deleted doc must score-vanish exactly as if it had
+    // never been indexed, not merely drop out of the hit list
+    val postings = minusTombstones(spark, fs, dir,
+      spark.read.parquet(s"$dir/postings")
+        .filter(col("batch").isin(committed: _*))
+        .filter(col("tok").isin(terms: _*)))
+    val norms = minusTombstones(spark, fs, dir,
+      spark.read.parquet(s"$dir/norms")
+        .filter(col("batch").isin(committed: _*)))
     bm25Serve(postings, norms.agg(count(lit(1)).as("n"), sum(col("len")).as("l")),
       queries.dropDuplicates("query_id", "term"), k)
   }

@@ -2729,6 +2729,56 @@ object ExtensionQueries extends QueryFamily {
       .orderBy(col("bucket"))
   }
 
+  /**
+   * Keyed-delete round trip — [[shardSinkRoundtrip]]'s takedown twin
+   * ([[graft.sources.v2.ShardDelete]]): two appends build the table,
+   * `deleteByKey` removes the planted id set (`doc_id % 11 == 3`, plus
+   * a key matching nothing), and the read-back digest chains must equal
+   * DuckDB's NEVER-INGESTED derivation — copy-on-write applied, no
+   * survivor lost, no deleted row leaking back through the manifest.
+   * `delete_ok` additionally gates the exact deleted-row count, the
+   * manifest row-count truth, and re-run convergence (same keys → 0).
+   */
+  def shardDeleteRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.v2.{ShardDelete, ShardReader}
+    val out = graft.TmpCleanup.perProcessDir("graft-shard-del", dir)
+    graft.TmpCleanup.register(out)
+    val p = java.nio.file.Paths.get(out)
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(java.nio.file.Files.walk(p)) { st =>
+        st.iterator().asScala.toSeq.reverse
+      }.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(col("text")).as("ld"))
+    def append(half: DataFrame): Unit =
+      half.write.format("graft.sources.v2.ShardSink")
+        .option("path", out).mode("append").save()
+    append(docs.filter(col("doc_id") % 2 === 0))
+    append(docs.filter(col("doc_id") % 2 === 1))
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("ld", StringType)))
+    val keys = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 11 === 3).select(col("doc_id"))
+      .union(spark.range(1).select(lit(-999L).as("doc_id")))
+    val deleted = ShardDelete.deleteByKey(spark, out, schema, "doc_id", keys)
+    val rerun = ShardDelete.deleteByKey(spark, out, schema, "doc_id", keys)
+    val expected = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 11 === 3).count()
+    val back = ShardReader.read(spark, out, schema)
+    val deleteOk = deleted == expected && rerun == 0L &&
+      graft.sources.v2.ShardReader.manifestRowCount(spark, out) == back.count()
+    back.groupBy((col("doc_id") % 8).as("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        md5(concat_ws("",
+          transform(array_sort(collect_list(struct(col("doc_id"), col("ld")))),
+            x => x.getField("ld")))).as("digest"))
+      .withColumn("delete_ok", lit(deleteOk))
+      .orderBy(col("bucket"))
+  }
+
   def corpusIngestJsonl(spark: SparkSession, dir: String): DataFrame = {
     val in = graft.sources.JsonlCorpus.readQuarantined(spark,
       jsonlFixture(spark, dir, "graft-jsonl"))
@@ -2926,6 +2976,7 @@ object ExtensionQueries extends QueryFamily {
     "corpus_ingest_jsonl" -> (corpusIngestJsonl _),
     "shard_sink_roundtrip" -> (shardSinkRoundtrip _),
     "shard_compact_roundtrip" -> (shardCompactRoundtrip _),
+    "shard_delete_roundtrip" -> (shardDeleteRoundtrip _),
     "ts_twap" -> (tsTwap _),
     "session_stats" -> (sessionStats _),
     "session_stream_stats" -> (sessionStreamStats _),
@@ -4756,6 +4807,13 @@ object ExtensionQueries extends QueryFamily {
         |  MD5(STRING_AGG(MD5(text), '' ORDER BY doc_id)) AS digest,
         |  TRUE AS compacted_ok
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the takedown twin: digest chains over documents that NEVER had
+    // the deleted ids, plus the constant-TRUE delete gates
+    "shard_delete_roundtrip" ->
+      """SELECT doc_id % 8 AS bucket, COUNT(1) AS n_docs,
+        |  MD5(STRING_AGG(MD5(text), '' ORDER BY doc_id)) AS digest,
+        |  TRUE AS delete_ok
+        |FROM documents WHERE doc_id % 11 <> 3 GROUP BY 1 ORDER BY 1""".stripMargin,
     // the HLL twin: exact side recomputed, estimate gated by the
     // constant-TRUE bounded verdict (the agg_hll_* oracle pattern)
     "rolling_active_hll" ->

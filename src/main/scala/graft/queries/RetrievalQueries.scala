@@ -105,6 +105,49 @@ object RetrievalQueries extends QueryFamily {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /**
+   * Doc-keyed takedown on the durable index
+   * ([[Retrieval.deleteDocsFromIndex]]): the index is built as TWO
+   * committed segments, every `doc_id % 7 == 0` is tombstoned, and the
+   * serve must be score-identical to an index that NEVER ingested those
+   * docs (results, df, and corpus stats all forget them — the DuckDB
+   * twin recomputes BM25 over the filtered corpus). Then compaction
+   * MATERIALIZES the deletes; `served_equal` gates bit-equality of the
+   * tombstone-filtered and materialized serves, `tombstones_cleared`
+   * that compaction reclaimed the absorbed tombstone segments.
+   */
+  def textBm25Delete(spark: SparkSession, dir: String): DataFrame = {
+    val idx = graft.TmpCleanup.perProcessDir("graft-bm25-del", dir)
+    graft.TmpCleanup.register(idx)
+    // rebuild per invocation: deletes mutate the layout
+    val p = java.nio.file.Paths.get(idx)
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(java.nio.file.Files.walk(p)) { st =>
+        st.iterator().asScala.toSeq.reverse
+      }.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    val docs = Tables.documents(spark, dir)
+    Retrieval.writeIndexSegment(docs.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", idx, "batch=0")
+    Retrieval.writeIndexSegment(docs.filter(col("doc_id") % 2 === 1),
+      "doc_id", "text", idx, "batch=1")
+    Retrieval.deleteDocsFromIndex(spark, idx,
+      docs.filter(col("doc_id") % 7 === 0).select(col("doc_id")))
+    def serve() = Retrieval.searchIndex(spark, idx, workloadDf(spark), k = 10)
+      .orderBy(col("query_id"), col("rank"))
+    val before = serve().collect().toSeq
+    Retrieval.compactIndexSegments(spark, idx)
+    val after = serve()
+    val servedEqual = after.collect().toSeq == before
+    val tombstonesCleared = !new java.io.File(s"$idx/tombstones").exists() ||
+      new java.io.File(s"$idx/tombstones").listFiles().isEmpty
+    after
+      .withColumn("served_equal", lit(servedEqual))
+      .withColumn("tombstones_cleared", lit(tombstonesCleared))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Quoted-phrase workload: a trigram with hits at ALL three fixture
     * SFs (5 / 1 / 7 occurrences at sf0.001/0.01/0.1), so no SF's
     * verification degenerates to an empty result. Multiplicity within
@@ -120,6 +163,7 @@ object RetrievalQueries extends QueryFamily {
     "text_bm25_topk" -> (textBm25TopK _),
     "text_bm25_index" -> (textBm25Index _),
     "text_bm25_segment_compact" -> (textBm25SegmentCompact _),
+    "text_bm25_delete" -> (textBm25Delete _),
     "text_phrase_search" -> (textPhraseSearch _))
 
   /** Shared SQL fragments: the house tokenizer twin and the BM25 CTE
@@ -130,17 +174,22 @@ object RetrievalQueries extends QueryFamily {
     * would vanish from an unnest-derived count (the lens CTE is only
     * ever joined for docs that carry a query term, so its derivation
     * from toks is safe). */
-  private val toksCte =
-    """toks AS (SELECT doc_id,
+  private def toksCte(docsRel: String) =
+    s"""toks AS (SELECT doc_id,
       |  unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)) AS tok
-      |  FROM documents)""".stripMargin
+      |  FROM $docsRel)""".stripMargin
 
-  private def bm25Sql: String =
-    s"""WITH $toksCte,
+  private def bm25Sql: String = bm25SqlOver("documents")
+
+  /** The BM25 CTE chain over an arbitrary docs relation — `documents`
+    * for the standing rows, a filtered subquery for the takedown twin
+    * (the oracle's corpus must NEVER have contained the deleted ids). */
+  private def bm25SqlOver(docsRel: String): String =
+    s"""WITH ${toksCte(docsRel)},
        |lens AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS len FROM toks GROUP BY doc_id),
        |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
        |    CAST(SUM(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0))) AS BIGINT) AS l
-       |  FROM documents),
+       |  FROM $docsRel),
        |a AS (SELECT n, l // n AS avgdl FROM stats),
        |q(query_id, term) AS (VALUES $workloadSqlValues),
        |tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM toks
@@ -172,6 +221,13 @@ object RetrievalQueries extends QueryFamily {
       .replace("SELECT query_id, doc_id, score_ppm, rank FROM (",
         "SELECT query_id, doc_id, score_ppm, rank, " +
           "TRUE AS served_equal, TRUE AS compacted_ok FROM ("),
+    // the takedown twin: BM25 recomputed over a corpus that never
+    // contained the deleted ids, plus the two constant-TRUE gates
+    "text_bm25_delete" -> bm25SqlOver(
+      "(SELECT * FROM documents WHERE doc_id % 7 <> 0)")
+      .replace("SELECT query_id, doc_id, score_ppm, rank FROM (",
+        "SELECT query_id, doc_id, score_ppm, rank, " +
+          "TRUE AS served_equal, TRUE AS tombstones_cleared FROM ("),
     "text_phrase_search" -> {
       val joins = phrase.zipWithIndex.drop(1).map { case (t, i) =>
         s"JOIN t t$i ON t$i.doc_id = t0.doc_id AND t$i.pos = t0.pos + $i AND t$i.tok = '$t'"

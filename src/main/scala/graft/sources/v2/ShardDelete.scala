@@ -1,0 +1,126 @@
+package graft.sources.v2
+
+import java.util.UUID
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/**
+ * Copy-on-write keyed delete for [[ShardSink]] tables — the takedown /
+ * right-to-be-forgotten operation a training-corpus store must support
+ * (reference has no analog; this is the durable-table increment the
+ * append ([[ShardSink]]) + compaction ([[ShardCompact]]) pair leaves
+ * out: removing a document by id without rewriting the table).
+ *
+ * Only the shards that actually CONTAIN a matching key are rewritten —
+ * at 100 TB a takedown touches a handful of ids, and rewriting the
+ * whole table for them is the failure mode this operator exists to
+ * avoid. One manifest-scoped scan finds the hit shards (per-shard match
+ * counts — a bounded, ≤-shard-count collect, the house model-state
+ * contract); untouched shards keep their manifest entries and are
+ * never read again.
+ *
+ * Crash safety is ENTIRELY the manifest contract, same four steps as
+ * [[ShardCompact.compact]]:
+ *
+ *  1. survivors of the hit shards are rewritten through the sink's own
+ *     two-phase commit into a scratch subdirectory (invisible);
+ *  2. the new shards are renamed into the table directory (UUID names
+ *     cannot collide) — still orphans;
+ *  3. ONE atomic manifest publish switches readers from (all old
+ *     shards) to (untouched old shards + rewritten shards);
+ *  4. the replaced shards and scratch are deleted — best-effort
+ *     cleanup of what are now orphans.
+ *
+ * A crash before (3) leaves the table untouched (the delete simply has
+ * not happened; re-run to converge — scratch dirs are UUID-fresh, and
+ * stale ones are invisible orphans). A crash after (3) leaves the
+ * delete APPLIED with orphan data files at worst; a re-run then
+ * matches nothing and is a no-op. Deleted rows remain on disk until
+ * step (4) (and until a physical `fs.delete` completes) — a compliance
+ * pipeline should verify cleanup, as with any copy-on-write store.
+ *
+ * Same SEQUENTIAL single-writer discipline as append/compaction: do
+ * not run a delete concurrently with either (manifest read-merge-write
+ * races). The NEAR-DUP index deliberately has no delete counterpart:
+ * an admission screen treats a takedown as "never re-admit this
+ * content", which is exactly what the retained band keys express.
+ * The BM25 index handles deletes via doc-keyed tombstones
+ * ([[graft.operators.Retrieval]]), since postings ARE doc-keyed.
+ */
+object ShardDelete {
+
+  /**
+   * Delete every row of the table at `path` whose `keyCol` appears in
+   * `keys` (a one-column DataFrame — joined, never collected, so a
+   * large takedown list is fine). Returns the number of rows deleted
+   * (0 = no-op, manifest untouched).
+   */
+  def deleteByKey(
+      spark: SparkSession,
+      path: String,
+      schema: StructType,
+      keyCol: String,
+      keys: DataFrame): Long = {
+    require(schema.fieldNames.contains(keyCol),
+      s"key column '$keyCol' not in table schema ${schema.fieldNames.mkString(",")}")
+    require(keys.columns.length == 1,
+      s"keys must be a one-column frame, got ${keys.columns.mkString(",")}")
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val mfPath = new Path(dir, ShardManifest.FileName)
+    require(fs.exists(mfPath),
+      s"no ${ShardManifest.FileName} under $path — nothing committed there")
+    val old = ShardManifest.read(fs, mfPath)
+    if (old.isEmpty) return 0L
+
+    val files = old.map { case (name, _) => new Path(dir, name).toString }
+    val keyDf = keys.select(keys.columns.head).distinct()
+      .withColumnRenamed(keys.columns.head, "__k")
+    val tagged = spark.read.schema(schema).json(files: _*)
+      .withColumn("__shard", element_at(split(input_file_name(), "/"), -1))
+
+    // ONE pass finds the hit shards and their per-shard match counts —
+    // ≤ shard-count rows on the driver, bounded by the table's file
+    // count, never its data
+    val hitCounts = tagged
+      .join(keyDf, tagged(keyCol) === col("__k"), "left_semi")
+      .groupBy(col("__shard")).agg(count(lit(1)).as("__n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    if (hitCounts.isEmpty) return 0L
+    val deleted = hitCounts.values.sum
+
+    // (1) rewrite ONLY the hit shards' survivors, invisible scratch
+    val scratch = new Path(dir, s"_delete-${UUID.randomUUID().toString.take(8)}")
+    tagged.filter(col("__shard").isin(hitCounts.keys.toSeq: _*))
+      .join(keyDf, tagged(keyCol) === col("__k"), "left_anti")
+      .drop("__shard")
+      .write.format("graft.sources.v2.ShardSink")
+      .option("path", scratch.toString).mode("append").save()
+    val fresh = ShardManifest.read(fs, new Path(scratch, ShardManifest.FileName))
+      .filter(_._2 > 0L) // fully-deleted partitions leave empty shards behind
+
+    // (2) orphan-in the rewritten shards
+    fresh.foreach { case (name, _) =>
+      val src = new Path(scratch, name)
+      val dst = new Path(dir, name)
+      if (!fs.rename(src, dst) && !(fs.exists(dst) && !fs.exists(src)))
+        throw new java.io.IOException(s"delete rename failed: $src -> $dst")
+    }
+
+    // (3) the atomic switch: untouched shards keep their entries
+    val kept = old.filterNot { case (name, _) => hitCounts.contains(name) }
+    ShardManifest.writeAtomic(
+      spark.sessionState.newHadoopConf(), fs, mfPath, kept ++ fresh)
+
+    // (4) replaced shards are orphans now — best-effort cleanup
+    val freshNames = fresh.map(_._1).toSet
+    hitCounts.keys.foreach { name =>
+      if (!freshNames.contains(name)) fs.delete(new Path(dir, name), false)
+    }
+    fs.delete(scratch, true)
+    deleted
+  }
+}

@@ -302,4 +302,54 @@ class RetrievalSpec extends SparkSpec {
     assert(once == twice)
     graft.CacheScope.releaseAll()
   }
+
+  test("deleteDocsFromIndex: tombstoned docs score-vanish; compaction materializes and reclaims") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bm25-del").toString
+    val corpus = randomCorpus(77, 40)
+    val docs = corpus.toDF("doc_id", "text")
+    // two segments, deletes spanning both
+    Retrieval.writeIndexSegment(docs.filter($"doc_id" % 2 === 0),
+      "doc_id", "text", dir, "batch=0")
+    Retrieval.writeIndexSegment(docs.filter($"doc_id" % 2 === 1),
+      "doc_id", "text", dir, "batch=1")
+    val queries = Seq(1 -> "rare", 1 -> "alpha", 2 -> "beta").toDF("query_id", "term")
+    val dead = Set(0L, 1L, 7L, 18L)
+    Retrieval.deleteDocsFromIndex(spark, dir, dead.toSeq.toDF("doc_id"))
+
+    def collectServe() = Retrieval.searchIndex(spark, dir, queries, k = 10)
+      .orderBy($"query_id", $"rank").collect().toSeq
+    val served = collectServe()
+    // score-identical to an index that NEVER ingested the deleted docs
+    // (df and corpus stats must forget them, not just the hit list)
+    val expect = Retrieval.bm25TopK(
+      docs.filter(!$"doc_id".isin(dead.toSeq: _*)), "doc_id", "text", queries, k = 10)
+      .orderBy($"query_id", $"rank").collect().toSeq
+    assert(served == expect, s"tombstoned serve != never-ingested:\n$served\nvs\n$expect")
+    assert(!served.exists(r => dead.contains(r.getLong(1))))
+
+    // compaction materializes the deletes and reclaims the tombstones
+    assert(Retrieval.compactIndexSegments(spark, dir) == 1)
+    assert(collectServe() == served, "materialized serve moved a score")
+    val tombDir = new java.io.File(s"$dir/tombstones")
+    assert(!tombDir.exists() || tombDir.listFiles().isEmpty,
+      "compaction left absorbed tombstones behind")
+    // the merged segment physically lacks the deleted docs
+    val normIds = spark.read.parquet(s"$dir/norms")
+      .select("doc_id").as[Long].collect().toSet
+    assert(dead.forall(!normIds.contains(_)), "deleted doc survived the merge")
+
+    // a delete AFTER compaction keeps serving through the filter path
+    Retrieval.deleteDocsFromIndex(spark, dir, Seq(2L).toDF("doc_id"))
+    val expect2 = Retrieval.bm25TopK(
+      docs.filter(!$"doc_id".isin((dead + 2L).toSeq: _*)), "doc_id", "text", queries, k = 10)
+      .orderBy($"query_id", $"rank").collect().toSeq
+    assert(collectServe() == expect2)
+    // full rebuild clears tombstones: doc 2 is deliberately back
+    Retrieval.writeIndex(docs, "doc_id", "text", dir)
+    val rebuilt = Retrieval.searchIndex(spark, dir, queries, k = 10)
+      .orderBy($"query_id", $"rank").collect().toSeq
+    val expectAll = Retrieval.bm25TopK(docs, "doc_id", "text", queries, k = 10)
+      .orderBy($"query_id", $"rank").collect().toSeq
+    assert(rebuilt == expectAll, "rebuild did not clear stale tombstones")
+  }
 }

@@ -183,4 +183,80 @@ class ShardSinkSpec extends SparkSpec {
     assert(e.getMessage.contains("unsupported type") ||
       Option(e.getCause).exists(_.getMessage.contains("unsupported type")))
   }
+
+  test("ShardDelete: copy-on-write keyed delete rewrites ONLY hit shards") {
+    import graft.sources.v2.ShardDelete
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val dir = java.nio.file.Files.createTempDirectory("graft-shard-del").toString
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    def append(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.format("graft.sources.v2.ShardSink")
+        .option("path", dir).mode("append").save()
+    append(Seq((1L, "one"), (2L, "two"), (3L, "three")))   // shard A
+    append(Seq((10L, "ten"), (11L, "eleven")))             // shard B (untouched)
+    append(Seq((20L, "twenty"), (21L, "twentyone")))       // shard C
+    val mfBefore = scala.io.Source.fromFile(s"$dir/_MANIFEST").getLines().toSeq
+    val untouched = mfBefore.map(_.split("\t")(0)).find { n =>
+      scala.io.Source.fromFile(s"$dir/$n").getLines().exists(_.contains("eleven"))
+    }.get
+
+    // delete keys hitting shards A and C (key 999 matches nothing)
+    val deleted = ShardDelete.deleteByKey(spark, dir, schema, "doc_id",
+      Seq(2L, 21L, 999L).toDF("k"))
+    assert(deleted == 2L, s"got $deleted")
+    val back = ShardReader.read(spark, dir, schema)
+      .select("doc_id").as[Long].collect().toSet
+    assert(back == Set(1L, 3L, 10L, 11L, 20L), s"got $back")
+    // the untouched shard kept its manifest entry (same file, not rewritten)
+    val mfAfter = scala.io.Source.fromFile(s"$dir/_MANIFEST").getLines().toSeq
+    assert(mfAfter.exists(_.startsWith(untouched + "\t")),
+      s"untouched shard $untouched was rewritten: $mfAfter")
+    // manifest row counts stay truthful
+    assert(ShardReader.manifestRowCount(spark, dir) == 5L)
+    // no scratch residue
+    assert(!new java.io.File(dir).listFiles().exists(_.getName.startsWith("_delete-")))
+
+    // re-run with the same keys: converged, a no-op
+    assert(ShardDelete.deleteByKey(spark, dir, schema, "doc_id",
+      Seq(2L, 21L, 999L).toDF("k")) == 0L)
+    // no-match delete: manifest byte-identical
+    val mf1 = scala.io.Source.fromFile(s"$dir/_MANIFEST").mkString
+    assert(ShardDelete.deleteByKey(spark, dir, schema, "doc_id",
+      Seq(12345L).toDF("k")) == 0L)
+    assert(scala.io.Source.fromFile(s"$dir/_MANIFEST").mkString == mf1)
+  }
+
+  test("ShardDelete: whole-shard deletion drops the shard; orphans stay invisible") {
+    import graft.sources.v2.ShardDelete
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val dir = java.nio.file.Files.createTempDirectory("graft-shard-del2").toString
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    def append(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.format("graft.sources.v2.ShardSink")
+        .option("path", dir).mode("append").save()
+    append(Seq((1L, "a"), (2L, "b")))
+    append(Seq((3L, "c")))
+    // crash-between-phases stand-in: an orphan data file (renamed in but
+    // never manifested — the state a crash between steps 2 and 3 leaves)
+    // must stay invisible before, during, and after the delete
+    val orphan = new java.io.File(dir, "part-99999-orphan.jsonl")
+    val w = new java.io.PrintWriter(orphan)
+    w.println("""{"doc_id":777,"text":"ghost"}"""); w.close()
+    assert(!ShardReader.read(spark, dir, schema)
+      .select("doc_id").as[Long].collect().contains(777L))
+
+    // deleting every row of shard 2 removes it from the manifest entirely
+    assert(ShardDelete.deleteByKey(spark, dir, schema, "doc_id",
+      Seq(3L).toDF("k")) == 1L)
+    val back = ShardReader.read(spark, dir, schema)
+      .select("doc_id").as[Long].collect().toSet
+    assert(back == Set(1L, 2L), s"got $back")
+    assert(ShardReader.manifestShardCount(spark, dir) == 1)
+    assert(!ShardReader.read(spark, dir, schema)
+      .select("doc_id").as[Long].collect().contains(777L), "orphan served")
+  }
 }
