@@ -128,6 +128,13 @@ object Bench {
       case Some(v) => v.trim.toIntOption.filter(_ >= 1).getOrElse(
         sys.error(s"SPARK_GRAFT_BENCH_PASSES must be a positive int, got: '$v'"))
     }
+    // box-state record for the artifact (r14 verdict: the JSON must carry
+    // the measurement's box state so cross-round comparisons can tell an
+    // idle-box run from a loaded one — the minhash family is bimodal
+    // under concurrent load and the mode was being re-litigated every
+    // round from protocol notes instead of read off the artifact)
+    val loadStart = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       // (wall_s, executor_cpu_s, process_cpu_s, ok)
       def once(): (Double, Double, Double, Boolean) = {
@@ -210,8 +217,16 @@ object Bench {
     val failed = failedNames.map(jstr).mkString("[", ",", "]")
     val total = results.collect { case (_, w, _, true) => w }.sum
     val cpuTotal = results.collect { case (_, _, c, true) => c }.sum
+    val loadEnd = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val nCores = Runtime.getRuntime.availableProcessors
+    // loaded-box flag: load average already near/above the core count at
+    // sweep start means another process was competing — the documented
+    // high-mode trigger for the minhash family
+    val protocol =
+      s"""{"isolation":"dedicated-jvm","estimator":"min-of-$passes per metric","load_avg_start":${num3(loadStart)},"load_avg_end":${num3(loadEnd)},"host_cores":$nCores,"concurrent_load":${loadStart > 0.5 * nCores}}"""
     val fullLine =
-      s"""{"metric":"total","value":${num3(total)},"unit":"sec","cpu_total":${num3(cpuTotal)},"passes":$passes,"queries":$qs,"cpu":$cpus_,"sf":${jstr(sfDir)},"failed":$failed}"""
+      s"""{"metric":"total","value":${num3(total)},"unit":"sec","cpu_total":${num3(cpuTotal)},"passes":$passes,"protocol":$protocol,"queries":$qs,"cpu":$cpus_,"sf":${jstr(sfDir)},"failed":$failed}"""
     // The harness keeps only the LAST ~2000 characters of stdout; the
     // full per-query line is ~8 KB, so on its own it is always truncated
     // mid-map and unparseable (BENCH_r01..r05 all carry "parsed": null).

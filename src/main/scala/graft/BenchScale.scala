@@ -128,7 +128,17 @@ object BenchScale {
     "pipeline_corpus_v8" -> "linear",
     "pipeline_corpus_v9" -> "linear",
     "unigram_token_count" -> "linear",
-    "ann_train_recovery" -> "linear")
+    "ann_train_recovery" -> "linear",
+    // r15 probes: the unigram TRAIN path (the corpus-sized substring
+    // seed + Viterbi recounts; encode is probed via unigram_token_count),
+    // the unicode-contract token row (the multilingual kernel's per-
+    // codepoint walk must stay linear), and the two takedown surfaces
+    // (hit-shard-only rewrite; tombstone-filtered serve + materializing
+    // compaction — both must scale with the corpus, not the table)
+    "unigram_vocab" -> "linear",
+    "text_token_count_unicode" -> "linear",
+    "shard_delete_roundtrip" -> "linear",
+    "text_bm25_delete" -> "linear")
 
   private def writeCorpus(
       spark: SparkSession, srcSf: String, outDir: String, copies: Int): Unit = {
@@ -211,13 +221,30 @@ object BenchScale {
     // artifacts (BENCH_FULL vs BENCH_SCALE) cannot be measured under
     // silently-diverged harness semantics
     val meter = new TaskCpuMeter(spark.sparkContext)
-    def measure(fn: (SparkSession, String) => DataFrame, dir: String): Double = {
+    // `reps` back-to-back runs measured as ONE window, reported per-run:
+    // a probe whose single-run x1 CPU sits at the session-noise floor
+    // (~0.2 s on this harness) cannot produce a meaningful ×10 ratio —
+    // r14's one red row (ann_train_recovery, ratio 18 on a 0.23 s base)
+    // was the probe failing to measure its subject, not a plan defect.
+    // Repetition amortizes the noise the same way at both scales, so the
+    // ratio regains meaning without changing the probed code's params.
+    def measure(
+        fn: (SparkSession, String) => DataFrame, dir: String,
+        reps: Int = 1): Double = {
       meter.drainTaskEvents()
       val c0 = meter.snapshotNs
-      fn(spark, dir).write.format("noop").mode("overwrite").save()
-      meter.drainTaskEvents()
+      var i = 0
+      while (i < reps) {
+        fn(spark, dir).write.format("noop").mode("overwrite").save()
+        meter.drainTaskEvents()
+        // per-rep cache release: every repetition rebuilds its scoped
+        // caches, so reps time the same work (not 1 cold + n-1 warm)
+        if (i < reps - 1) CacheScope.releaseAll()
+        i += 1
+      }
+      val c = (meter.snapshotNs - c0) / 1e9 / reps
       CacheScope.releaseAll()
-      (meter.snapshotNs - c0) / 1e9
+      c
     }
 
     val qs = SparkEntry.queries
@@ -239,14 +266,27 @@ object BenchScale {
         tag -> n
       }.toMap
     }.toMap
+    // adaptive repetition counts from ONE estimate pass at x1 (the rows
+    // pass above already served as warm-up): sub-floor probes repeat
+    // until their measured window clears the floor, capped at 8
+    val floorSec = 1.0
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val loadStart = osBean.getSystemLoadAverage
+    val repeats: Map[String, Int] = selected.map { case (name, _) =>
+      val c1 = measure(qs(name), dirs.head._2)
+      name -> (if (c1 >= floorSec) 1
+               else math.min(8, math.ceil(floorSec / math.max(c1, floorSec / 8)).toInt))
+    }.toMap
+
     // min-of-N sweeps, alternating scales inside each sweep so host load
     // bursts hit both scales alike
     val cpu = scala.collection.mutable.Map.empty[(String, String), Double]
     for (_ <- 1 to sweeps; (name, _) <- selected; (tag, d) <- dirs) {
-      val c = measure(qs(name), d)
+      val c = measure(qs(name), d, repeats(name))
       val key = (name, tag)
       cpu(key) = math.min(cpu.getOrElse(key, Double.MaxValue), c)
     }
+    val loadEnd = osBean.getSystemLoadAverage
 
     val entries = selected.map { case (name, cls) =>
       val c1 = cpu((name, "x1")); val c10 = cpu((name, "x10"))
@@ -264,9 +304,20 @@ object BenchScale {
       String.format(java.util.Locale.ROOT,
         "    \"%s\": {\"class\": \"%s\", \"cpu_x1\": %.3f, \"cpu_x10\": %.3f, " +
           "\"rows_x1\": %d, \"rows_x10\": %d, \"cpu_ratio\": %.2f, " +
-          "\"exponent\": %.3f, \"pass\": %b}",
-        name, cls, c1, c10, r1, r10, ratio, exp, pass)
+          "\"exponent\": %.3f, \"repeats\": %d, \"pass\": %b}",
+        name, cls, c1, c10, r1, r10, ratio, exp,
+        Int.box(repeats(name)), pass)
     }.mkString("{\n  \"src\": \"" + srcSf + "\", \"sweeps\": " + sweeps +
+      // measurement-protocol record (r14 verdict: the artifact must say
+      // which box state it was measured in, so cross-round comparisons
+      // stop re-litigating session-noise swings): min-of-sweeps per-rep
+      // CPU in a dedicated JVM, sub-floor probes repeated to the floor,
+      // system load average at sweep start/end as the concurrent-load flag
+      ", \"protocol\": " + String.format(java.util.Locale.ROOT,
+        "{\"isolation\": \"dedicated-jvm\", \"estimator\": " +
+          "\"min-of-sweeps per-rep cpu\", \"floor_sec\": %.1f, " +
+          "\"load_avg_start\": %.2f, \"load_avg_end\": %.2f}",
+        Double.box(floorSec), Double.box(loadStart), Double.box(loadEnd)) +
       ", \"queries\": {\n", ",\n", "\n  }\n}")
     println(json)
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
