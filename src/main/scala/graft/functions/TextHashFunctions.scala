@@ -160,6 +160,38 @@ object TextHash extends Serializable {
     (buf, bounds, nTok)
   }
 
+  /** Walk the unicode-contract WORDS of `text` (the [[tokenizeUnicode]]
+    * rule: lowercase via the `lower()` case mapping, `\p{L}\p{M}\p{Nd}`
+    * runs, Han/Hiragana/Katakana per-char) invoking `f` once per word
+    * in order — the shared tokenize step of the BPE/unigram APPLY
+    * kernels' unicode modes, so the subword encoders and the token
+    * contract cannot drift. Supplementary CJK (4-byte ext planes) walks
+    * correctly; inside a word the downstream Viterbi/merge encoders
+    * index by Java char, so a supplementary char may segment as two
+    * unk pieces — count-safe, documented. */
+  def foreachUnicodeWord(text: UTF8String, f: String => Unit): Unit = {
+    val s = text.toLowerCase.toString
+    val word = new java.lang.StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      val script =
+        if (cp >= 0x2E80) Character.UnicodeScript.of(cp) else null
+      val cjk = script == Character.UnicodeScript.HAN ||
+        script == Character.UnicodeScript.HIRAGANA ||
+        script == Character.UnicodeScript.KATAKANA
+      if (cjk) {
+        if (word.length > 0) { f(word.toString); word.setLength(0) }
+        f(new String(Character.toChars(cp)))
+      } else if (Character.isLetter(cp) || Character.isDigit(cp) ||
+          isCombiningMark(cp)) {
+        word.appendCodePoint(cp)
+      } else if (word.length > 0) { f(word.toString); word.setLength(0) }
+      i += Character.charCount(cp)
+    }
+    if (word.length > 0) f(word.toString)
+  }
+
   /** `\p{M}` (Mn | Mc | Me) — identical in Java regex and RE2. */
   @inline private[functions] def isCombiningMark(cp: Int): Boolean = {
     val t = Character.getType(cp)

@@ -115,7 +115,18 @@ object UnigramKernel extends Serializable {
     * runs — the [[BpeKernel.tokenCount]] contract, including the
     * whole-string lowercase for 1:N Unicode case mappings), Viterbi each
     * word, sum. */
-  def tokenCount(text: UTF8String, model: UnigramModel): Int = {
+  def tokenCount(text: UTF8String, model: UnigramModel): Int =
+    tokenCount(text, model, unicode = false)
+
+  /** `unicode = true` tokenizes words through the multilingual lexical
+    * contract ([[TextHash.foreachUnicodeWord]]); Viterbi per word is
+    * unchanged. */
+  def tokenCount(text: UTF8String, model: UnigramModel, unicode: Boolean): Int = {
+    if (unicode) {
+      var total = 0
+      TextHash.foreachUnicodeWord(text, w => total += encodeWordCount(w, model))
+      return total
+    }
     val s = text.toString.toLowerCase(java.util.Locale.ROOT)
     val n = s.length
     var total = 0
@@ -140,7 +151,8 @@ case class UnigramTokenCount(
     child: Expression,
     pieces: Seq[(String, Long)],
     maxPieceLen: Int,
-    unkCostMicro: Long)
+    unkCostMicro: Long,
+    unicode: Boolean = false)
     extends UnaryExpression with ImplicitCastInputTypes {
   override def nullIntolerant: Boolean = true
   override def inputTypes: Seq[org.apache.spark.sql.graftbridge.CatalystBridge.AbstractType] =
@@ -149,10 +161,11 @@ case class UnigramTokenCount(
   @transient private lazy val model: UnigramModel =
     new UnigramModel(pieces, maxPieceLen, unkCostMicro)
   override protected def nullSafeEval(v: Any): Any =
-    UnigramKernel.tokenCount(v.asInstanceOf[UTF8String], model)
+    UnigramKernel.tokenCount(v.asInstanceOf[UTF8String], model, unicode)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("graftUnigramModel", model, classOf[UnigramModel].getName)
-    defineCodeGen(ctx, ev, c => s"graft.functions.UnigramKernel.tokenCount($c, $ref)")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.UnigramKernel.tokenCount($c, $ref, $unicode)")
   }
   override def prettyName: String = "unigram_token_count"
   override protected def withNewChildInternal(c: Expression): UnigramTokenCount =

@@ -154,16 +154,19 @@ package object functions {
   /** BPE token count of a text column under a trained rank-ordered merge
     * table (the apply side of Bpe.trainMerges; merges broadcast inside
     * the codegen'd expression). */
-  def bpe_token_count(text: Column, merges: Seq[(String, String)]): Column =
-    col(BpeTokenCount(expr(text), merges))
+  def bpe_token_count(
+      text: Column, merges: Seq[(String, String)],
+      unicode: Boolean = false): Column =
+    col(BpeTokenCount(expr(text), merges, unicode))
 
   /** Unigram-LM token count of a text column under a trained
     * (piece → micro-cost) vocabulary (the apply side of
     * Unigram.trainVocab; vocab broadcast inside the codegen'd kernel). */
   def unigram_token_count(
       text: Column, pieces: Seq[(String, Long)],
-      maxPieceLen: Int, unkCostMicro: Long): Column =
-    col(UnigramTokenCount(expr(text), pieces, maxPieceLen, unkCostMicro))
+      maxPieceLen: Int, unkCostMicro: Long,
+      unicode: Boolean = false): Column =
+    col(UnigramTokenCount(expr(text), pieces, maxPieceLen, unkCostMicro, unicode))
 
   /** Viterbi segmentation of ONE word under a trained unigram
     * vocabulary → array<string> (the training E-step's expansion). */

@@ -33,7 +33,8 @@ object Bpe {
   def trainMerges(
       df: DataFrame,
       textCol: String,
-      numMerges: Int): DataFrame = {
+      numMerges: Int,
+      unicode: Boolean = false): DataFrame = {
     require(numMerges >= 1, s"numMerges must be positive: $numMerges")
     val spark = df.sparkSession
     import spark.implicits._
@@ -43,7 +44,7 @@ object Bpe {
 
     // corpus → (syms: array<string> of characters, cnt) — vocabulary-sized
     var words = materialize(
-      df.select(explode(Dedup.tokens(col(textCol))).as("w"))
+      df.select(explode(Dedup.tokensMode(col(textCol), unicode)).as("w"))
         .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
         .select(split(col("w"), "").as("syms"), col("cnt")))
 
@@ -107,7 +108,9 @@ object Bpe {
       df: DataFrame,
       idCol: String,
       textCol: String,
-      merges: Seq[(String, String)]): DataFrame =
+      merges: Seq[(String, String)],
+      unicode: Boolean = false): DataFrame =
     df.select(col(idCol),
-      graft.functions.bpe_token_count(col(textCol), merges).as("n_bpe_tokens"))
+      graft.functions.bpe_token_count(col(textCol), merges, unicode)
+        .as("n_bpe_tokens"))
 }

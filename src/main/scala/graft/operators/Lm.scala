@@ -52,8 +52,10 @@ object Lm {
 
   /** Per-row bigram pairs (BOS-prefixed) as one HOF chain — codegen'd,
     * zero shuffle, and the token array is not duplicated per output row. */
-  private def pairArray(textCol: Column): Column = {
-    val toks = Dedup.tokens(textCol)
+  private def pairArray(textCol: Column, unicode: Boolean): Column = {
+    // BOS stays collision-free under BOTH contracts: '<'/'>' are
+    // separators in each, so no real token contains them
+    val toks = Dedup.tokensMode(textCol, unicode)
     transform(toks, (t, i) =>
       struct(when(i === 0, lit(Bos))
         .otherwise(element_at(toks, i)).as("prev"), t.as("tok")))
@@ -62,8 +64,8 @@ object Lm {
   /** Explode `docs` to (idCol, prev, tok) bigram rows. Zero-token
     * documents contribute no rows (callers left-join them back). */
   def docBigrams(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame =
-    docs.select(col(idCol), explode(pairArray(col(textCol))).as("p"))
+      textCol: String = "text", unicode: Boolean = false): DataFrame =
+    docs.select(col(idCol), explode(pairArray(col(textCol), unicode)).as("p"))
       .select(col(idCol), col("p.prev").as("prev"), col("p.tok").as("tok"))
 
   /** Train the Laplace-smoothed bigram model on `ref`. The bigram-count
@@ -71,8 +73,8 @@ object Lm {
     * the caller's score join all reuse it, and Catalyst would otherwise
     * re-run the corpus scan + shuffle per consumer. */
   def trainBigram(ref: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text"): BigramModel = {
-    val pairs = docBigrams(ref, idCol, textCol)
+      textCol: String = "text", unicode: Boolean = false): BigramModel = {
+    val pairs = docBigrams(ref, idCol, textCol, unicode)
     val big = CacheScope.scoped(
       pairs.groupBy(col("prev"), col("tok")).agg(count(lit(1)).as("c")))
     val ctx = big.groupBy(col("prev")).agg(sum(col("c")).as("ctx_n"))
@@ -104,8 +106,8 @@ object Lm {
     * `model`. Output: (idCol, n_bigrams, sum_p_micro, score_micro) with
     * zero-token documents kept at score 0. */
   def scoreDocs(docs: DataFrame, model: BigramModel, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
-    val pairs = docBigrams(docs, idCol, textCol)
+      textCol: String = "text", unicode: Boolean = false): DataFrame = {
+    val pairs = docBigrams(docs, idCol, textCol, unicode)
     val perDoc = pairs
       .join(model.bigrams, Seq("prev", "tok"), "left")
       .join(model.contexts, Seq("prev"), "left")
@@ -125,8 +127,10 @@ object Lm {
   /** The full CCNet-shaped gate: train on `ref`, score `docs`, keep
     * documents whose mean micro-likelihood clears `thresholdMicro`. */
   def likelihoodFilter(docs: DataFrame, ref: DataFrame, thresholdMicro: Long,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    scoreDocs(docs, trainBigram(ref, idCol, textCol), idCol, textCol)
+      idCol: String = "doc_id", textCol: String = "text",
+      unicode: Boolean = false): DataFrame =
+    scoreDocs(docs, trainBigram(ref, idCol, textCol, unicode), idCol, textCol,
+      unicode)
       .withColumn("keep", col("score_micro") >= lit(thresholdMicro))
 
   /**

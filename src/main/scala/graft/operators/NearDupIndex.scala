@@ -73,17 +73,18 @@ object NearDupIndex {
     * under the old ones. A build that loses the create race re-reads
     * the winner's meta and applies the same identical/different rule. */
   private def writeMeta(
-      spark: SparkSession, dir: String, numHashes: Int, bands: Int): Unit = {
+      spark: SparkSession, dir: String, numHashes: Int, bands: Int,
+      unicode: Boolean): Unit = {
     import org.apache.hadoop.fs.Path
     val (fs, _) = fsFor(spark, dir)
     val meta = new Path(s"$dir/$MetaFile")
     def checkExisting(): Unit = {
       val existing = readMeta(spark, dir)
-      if (existing == ((numHashes, bands))) return
+      if (existing == ((numHashes, bands, unicode))) return
       throw new IllegalStateException(
         s"near-dup index at $dir already built with params $existing; " +
-          s"rebuilding with ($numHashes, $bands) would cross-band its " +
-          "segments — use a fresh directory")
+          s"rebuilding with ($numHashes, $bands, unicode=$unicode) would " +
+          "cross-band its segments — use a fresh directory")
     }
     if (fs.exists(meta)) { checkExisting(); return }
     val out = try fs.create(meta, false) catch {
@@ -91,11 +92,15 @@ object NearDupIndex {
       case _: java.io.IOException => checkExisting(); return
     }
     scala.util.Using.resource(out) { o =>
-      o.write(s"numHashes=$numHashes\nbands=$bands\n".getBytes("UTF-8"))
+      o.write((s"numHashes=$numHashes\nbands=$bands\n" +
+        s"unicode=${if (unicode) 1 else 0}\n").getBytes("UTF-8"))
     }
   }
 
-  private[operators] def readMeta(spark: SparkSession, dir: String): (Int, Int) = {
+  /** (numHashes, bands, unicode). `unicode` defaults to false when the
+    * key is absent — pre-r15 indexes on disk were all ASCII-banded. */
+  private[operators] def readMeta(
+      spark: SparkSession, dir: String): (Int, Int, Boolean) = {
     val (fs, _) = fsFor(spark, dir)
     val meta = new org.apache.hadoop.fs.Path(s"$dir/$MetaFile")
     require(fs.exists(meta), s"no near-dup index meta under $dir")
@@ -104,7 +109,7 @@ object NearDupIndex {
         .map(_.trim).filter(_.nonEmpty)
         .map { l => val Array(k, v) = l.split("=", 2); (k, v.toInt) }.toMap
     }
-    (kv("numHashes"), kv("bands"))
+    (kv("numHashes"), kv("bands"), kv.getOrElse("unicode", 0) == 1)
   }
 
   /** One committed band segment: the DISTINCT (band, bh) keys of `df`,
@@ -117,7 +122,8 @@ object NearDupIndex {
       dir: String,
       segment: String,
       numHashes: Int,
-      bands: Int): Unit = {
+      bands: Int,
+      unicode: Boolean = false): Unit = {
     import org.apache.hadoop.fs.Path
     val spark = df.sparkSession
     val (fs, _) = fsFor(spark, dir)
@@ -125,7 +131,7 @@ object NearDupIndex {
     // un-commit first: a replay that fails mid-write must leave the
     // segment invisible, not half-new-half-old under a stale marker
     fs.delete(new Path(segPath, CommitMarker), false)
-    Dedup.buildBandIndex(df, textCol, numHashes, bands)
+    Dedup.buildBandIndex(df, textCol, numHashes, bands, unicode)
       .repartition(col("band"), col("bh"))
       .sortWithinPartitions(col("band"), col("bh"))
       .write.mode("overwrite").parquet(segPath.toString)
@@ -138,9 +144,10 @@ object NearDupIndex {
       textCol: String,
       dir: String,
       numHashes: Int = 64,
-      bands: Int = 32): Unit = {
-    writeMeta(df.sparkSession, dir, numHashes, bands)
-    writeIndexSegment(df, textCol, dir, "batch=0", numHashes, bands)
+      bands: Int = 32,
+      unicode: Boolean = false): Unit = {
+    writeMeta(df.sparkSession, dir, numHashes, bands, unicode)
+    writeIndexSegment(df, textCol, dir, "batch=0", numHashes, bands, unicode)
   }
 
   /** Append a committed segment for an ingest batch, banding through
@@ -150,8 +157,8 @@ object NearDupIndex {
       textCol: String,
       dir: String,
       segment: String): Unit = {
-    val (numHashes, bands) = readMeta(df.sparkSession, dir)
-    writeIndexSegment(df, textCol, dir, segment, numHashes, bands)
+    val (numHashes, bands, unicode) = readMeta(df.sparkSession, dir)
+    writeIndexSegment(df, textCol, dir, segment, numHashes, bands, unicode)
   }
 
   /** The committed segment paths a serve may read (marker present). */
@@ -381,11 +388,11 @@ object NearDupIndex {
       idCol: String,
       dir: String): DataFrame = {
     val spark = incoming.sparkSession
-    val (numHashes, bands) = readMeta(spark, dir)
+    val (numHashes, bands, unicode) = readMeta(spark, dir)
     val segs = committedSegments(spark, dir)
     require(segs.nonEmpty, s"no committed near-dup index segments under $dir")
     val index = spark.read.parquet(segs: _*).select(col("band"), col("bh"))
-    val hits = Dedup.bandKeys(incoming, textCol, idCol, numHashes, bands)
+    val hits = Dedup.bandKeys(incoming, textCol, idCol, numHashes, bands, unicode)
       .join(index, Seq("band", "bh"), "left_semi")
       .select(col("id")).distinct()
     incoming.join(hits, incoming(idCol) === hits("id"), "left_anti")

@@ -73,12 +73,13 @@ object Unigram {
       vocabSize: Int,
       maxPieceLen: Int = 6,
       emIters: Int = 2,
-      seedMultiplier: Int = 4): Seq[Piece] = {
+      seedMultiplier: Int = 4,
+      unicode: Boolean = false): Seq[Piece] = {
     require(vocabSize >= 2, s"vocabSize must be >= 2: $vocabSize")
     require(maxPieceLen >= 2, s"maxPieceLen must be >= 2: $maxPieceLen")
     require(emIters >= 1, s"emIters must be >= 1: $emIters")
     val words = org.apache.spark.sql.graftbridge.CatalystBridge.flattenPlan(
-      df.select(explode(Dedup.tokens(col(textCol))).as("w"))
+      df.select(explode(Dedup.tokensMode(col(textCol), unicode)).as("w"))
         .groupBy(col("w")).agg(count(lit(1)).as("cnt"))).persist()
     try {
       // seed: every substring of every word up to maxPieceLen, frequency-
@@ -137,9 +138,11 @@ object Unigram {
       idCol: String,
       textCol: String,
       vocab: Seq[Piece],
-      maxPieceLen: Int = 6): DataFrame =
+      maxPieceLen: Int = 6,
+      unicode: Boolean = false): DataFrame =
     df.select(col(idCol),
       graft.functions.unigram_token_count(col(textCol),
-        vocab.map(p => (p.piece, p.costMicro)), maxPieceLen, UnkCostMicro)
+        vocab.map(p => (p.piece, p.costMicro)), maxPieceLen, UnkCostMicro,
+        unicode)
         .as("n_unigram_tokens"))
 }

@@ -122,13 +122,13 @@ class NearDupIndexSpec extends SparkSpec {
     NearDupIndex.writeIndex(corpus.filter($"doc_id" <= 2), "text", dir)
     // same params: rebuild converges (meta untouched, batch=0 overwritten)
     NearDupIndex.writeIndex(corpus.filter($"doc_id" <= 2), "text", dir)
-    assert(NearDupIndex.readMeta(spark, dir) == (64, 32))
+    assert(NearDupIndex.readMeta(spark, dir) == ((64, 32, false)))
     // different params: would cross-band the existing segments — refuse
     val e = intercept[IllegalStateException] {
       NearDupIndex.writeIndex(corpus, "text", dir, numHashes = 32, bands = 16)
     }
     assert(e.getMessage.contains("cross-band"))
-    assert(NearDupIndex.readMeta(spark, dir) == (64, 32), "meta clobbered")
+    assert(NearDupIndex.readMeta(spark, dir) == ((64, 32, false)), "meta clobbered")
   }
 
   test("compactSegments maxSegmentId protects replayable segments") {
@@ -246,7 +246,7 @@ class NearDupIndexSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("neardup-meta").toString
     // non-default banding at build time; admitNewIndexed takes NO params
     NearDupIndex.writeIndex(corpus, "text", dir, numHashes = 32, bands = 16)
-    assert(NearDupIndex.readMeta(spark, dir) == (32, 16))
+    assert(NearDupIndex.readMeta(spark, dir) == ((32, 16, false)))
     val probe = Seq(
       (101L, "the quick brown fox jumps over the lazy dog again today"))
       .toDF("doc_id", "text")

@@ -134,6 +134,68 @@ class UnicodeTokensSpec extends SparkSpec {
     assert(ascii.isEmpty, "ASCII mode should have no CJK postings at all")
   }
 
+  test("LM gate unicode mode: non-Latin docs score instead of auto-rejecting at 0") {
+    // ref slice and scored docs are Cyrillic; under the ASCII contract
+    // every doc has zero tokens -> zero bigrams -> score 0 (auto-reject)
+    val ref = Seq.tabulate(20)(i =>
+      (i.toLong, "русский текст для обучения модели качества"))
+      .toDF("doc_id", "text")
+    val probe = Seq(
+      (100L, "русский текст для обучения модели качества"), // reference-like
+      (101L, "совсем другие слова никак не похожие на корпус")
+    ).toDF("doc_id", "text")
+    val ascii = Lm.scoreDocs(probe, Lm.trainBigram(ref), "doc_id", "text")
+      .select("score_micro").as[Long].collect()
+    assert(ascii.forall(_ == 0L), "ASCII mode should zero-score Cyrillic")
+    val uni = Lm.scoreDocs(probe,
+      Lm.trainBigram(ref, unicode = true), "doc_id", "text", unicode = true)
+      .select(col("doc_id"), col("score_micro")).as[(Long, Long)].collect().toMap
+    assert(uni(100L) > uni(101L) && uni(100L) > 0L,
+      s"reference-like doc must outscore the off-corpus one: $uni")
+  }
+
+  test("BPE + unigram training and encoding work on Cyrillic under unicode mode") {
+    val docs = Seq.tabulate(30)(i => (i.toLong, "привет мир привет спарк"))
+      .toDF("doc_id", "text")
+    // ASCII contract: zero words -> loud failure or empty model
+    assertThrows[Exception](Unigram.trainVocab(docs, "text", vocabSize = 16))
+    val vocab = Unigram.trainVocab(docs, "text", vocabSize = 32, unicode = true)
+    assert(vocab.map(_.piece).toSet.contains("привет"), s"got ${vocab.map(_.piece)}")
+    val n = Unigram.encodeTokenCounts(docs, "doc_id", "text", vocab,
+      unicode = true).select("n_unigram_tokens").as[Int].head()
+    assert(n == 4, s"4 whole-word tokens expected, got $n")
+    val merges = Bpe.trainMerges(docs, "text", numMerges = 12, unicode = true)
+      .select("left", "right").as[(String, String)].collect()
+    assert(merges.nonEmpty, "no Cyrillic merges learned")
+    val bpeN = Bpe.encodeTokenCounts(docs, "doc_id", "text",
+      merges.toSeq, unicode = true).select("n_bpe_tokens").as[Int].head()
+    // 4 words, 21 chars: merges must compress below per-char count
+    assert(bpeN >= 4 && bpeN < 21, s"got $bpeN")
+  }
+
+  test("durable near-dup index: unicode banding pinned in meta, CJK copies rejected") {
+    val dir = java.nio.file.Files.createTempDirectory("neardup-uni").toString
+    val cjk = Seq(
+      (1L, "机器学习模型的训练数据质量决定了下游任务的表现和泛化能力水平"),
+      (2L, "今天天气晴朗适合出门散步晒太阳呼吸新鲜空气放松心情看看风景")
+    ).toDF("doc_id", "text")
+    NearDupIndex.writeIndex(cjk.filter($"doc_id" === 1), "text", dir, unicode = true)
+    // append bands through the META's unicode flag — no param on the call
+    NearDupIndex.appendSegment(cjk.filter($"doc_id" === 2), "text", dir, "batch=1")
+    val probe = Seq(
+      (101L, "机器学习模型的训练数据质量决定了下游任务的表现和泛化能力水平"), // copy of build seg
+      (102L, "今天天气晴朗适合出门散步晒太阳呼吸新鲜空气放松心情看看风景"), // copy of appended seg
+      (103L, "完全无关的内容和任何已有文档都没有共同的字符序列片段出现")
+    ).toDF("doc_id", "text")
+    val admitted = NearDupIndex.admitNewIndexed(probe, "text", "doc_id", dir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(admitted == Set(103L), s"got $admitted")
+    // the unicode flag is a banding param: an ASCII rebuild must refuse
+    val e = intercept[IllegalStateException](
+      NearDupIndex.writeIndex(cjk, "text", dir))
+    assert(e.getMessage.contains("cross-band"))
+  }
+
   test("gopher gates + fertility become meaningful for CJK under unicode mode") {
     // 30 CJK chars + enough latin stopwords to pass keep_stopwords: the
     // point is keep_tokens/keep_punct flip from auto-reject to honest
