@@ -138,7 +138,8 @@ object BenchScale {
     "unigram_vocab" -> "linear",
     "text_token_count_unicode" -> "linear",
     "shard_delete_roundtrip" -> "linear",
-    "text_bm25_delete" -> "linear")
+    "text_bm25_delete" -> "linear",
+    "sim_topk_ann_delete_verdict" -> "linear")
 
   private def writeCorpus(
       spark: SparkSession, srcSf: String, outDir: String, copies: Int): Unit = {

@@ -68,6 +68,25 @@ object AnnIndex {
     (cellCents, codebooks, withCell)
   }
 
+  /**
+   * Keyed DELETE on a durable ANN artifact (PQ or flat) — the takedown
+   * operation, completing the story across all three durable indexes
+   * ([[graft.sources.v2.ShardDelete]] for the corpus table,
+   * [[Retrieval.deleteDocsFromIndex]] for BM25): publishes a committed
+   * [[KeyTombstones]] segment of `vec_id`s that [[searchIvfPq]]/
+   * [[searchIvf]] anti-join out of the codes/vectors scan and
+   * [[occupancyDrift]] out of its stored histogram — a deleted vector
+   * stops serving immediately, exactly as faiss `remove_ids` (the
+   * quantizer model keeps its training, the payload rows go).
+   * Materialization is the artifact's EXISTING maintenance pass: the
+   * periodic [[writeIvfPq]]/[[writeIvf]] rebuild IS this index's
+   * compaction, and a rebuild clears the tombstones (it indexes exactly
+   * what the caller passes). Re-using a deleted vec_id before a rebuild
+   * is undefined, same contract as the BM25 tombstones.
+   */
+  def deleteVecs(spark: SparkSession, dir: String, vecIds: DataFrame): Unit =
+    KeyTombstones.publish(spark, dir, vecIds, "vec_id")
+
   /** Train an IVF-PQ index over `corpus` and persist it under `dir`. */
   def writeIvfPq(
       corpus: DataFrame,
@@ -80,6 +99,10 @@ object AnnIndex {
       trainSampleN: Int = 4096): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    // a rebuild indexes exactly what the caller passes: stale takedown
+    // tombstones must not suppress deliberately re-ingested vectors
+    KeyTombstones.clear(new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf()), dir)
     val (cellCents, codebooks, withCell) =
       trainIvfPq(corpus, idCol, vecCol, nCells, m, codebookSize, trainSampleN)
     val sub = cellCents.head.length / m
@@ -184,7 +207,10 @@ object AnnIndex {
     val codesPath = new org.apache.hadoop.fs.Path(s"$dir/codes")
     val fs = codesPath.getFileSystem(spark.sessionState.newHadoopConf())
     val stored = if (fs.exists(codesPath)) "codes" else "vectors"
-    val base = spark.read.parquet(s"$dir/$stored")
+    // tombstoned vectors are no longer part of the standing index's
+    // occupancy — drift must compare against what actually serves
+    val base = KeyTombstones.minus(spark, fs, dir,
+        spark.read.parquet(s"$dir/$stored"), "vec_id")
       .groupBy(col("cell")).agg(count(lit(1)).as("__nb"))
     val b = assignFrozen(batch, idCol, vecCol, cells)
       .groupBy(col("cell")).agg(count(lit(1)).as("__nn"))
@@ -232,6 +258,8 @@ object AnnIndex {
       trainSampleN: Int = 4096): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    KeyTombstones.clear(new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf()), dir)
     val cells = Clustering.kmeansCentroidsSampled(
       corpus, idCol, vecCol, nCells, iters = 5, sampleN = trainSampleN)
     corpus.select(col(idCol).cast("long").as("vec_id"), col(vecCol).as("v"))
@@ -278,8 +306,11 @@ object AnnIndex {
     val q = graft.CacheScope.scoped(
       Similarity.probeCells(queries, idCol, vecCol, cells, nProbe))
     val probed = q.select(col("cell")).distinct().collect().map(_.getInt(0))
-    val vectors = spark.read.parquet(s"$dir/vectors")
-      .filter(col("cell").isin(probed.map(Int.box): _*))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val vectors = KeyTombstones.minus(spark, fs, dir,
+      spark.read.parquet(s"$dir/vectors")
+        .filter(col("cell").isin(probed.map(Int.box): _*)), "vec_id")
     val scored = vectors.join(broadcast(q), Seq("cell"))
       .filter(col("query_id") =!= col("vec_id"))
       .withColumn("score", graft.functions.cosine_similarity(col("qv"), col("v")))
@@ -342,8 +373,11 @@ object AnnIndex {
     val q = graft.CacheScope.scoped(
       Similarity.ivfPqProbes(queries, idCol, vecCol, cells, nProbe))
     val probed = q.select(col("cell")).distinct().collect().map(_.getInt(0))
-    val index = spark.read.parquet(s"$dir/codes")
-      .filter(col("cell").isin(probed.map(Int.box): _*))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val index = KeyTombstones.minus(spark, fs, dir,
+      spark.read.parquet(s"$dir/codes")
+        .filter(col("cell").isin(probed.map(Int.box): _*)), "vec_id")
     Similarity.ivfPqServeProbed(index, q, books, k)
   }
 }

@@ -249,7 +249,7 @@ object Retrieval {
     // suppress a doc the rebuild deliberately re-ingested
     Seq(s"$dir/postings", s"$dir/norms", s"$dir/tombstones").foreach { p =>
       val path = new org.apache.hadoop.fs.Path(p)
-      path.getFileSystem(conf).delete(path, true)
+      path.getFileSystem(conf).delete(path, true) // incl. KeyTombstones.clear semantics
     }
     writeIndexSegment(docs, idCol, textCol, dir, "batch=0", numPartitions)
   }
@@ -397,45 +397,16 @@ object Retrieval {
    * concurrently with a compaction of the same index.
    */
   def deleteDocsFromIndex(
-      spark: SparkSession, dir: String, docIds: DataFrame): Unit = {
-    import org.apache.hadoop.fs.Path
-    require(docIds.columns.length == 1,
-      s"docIds must be a one-column frame, got ${docIds.columns.mkString(",")}")
-    val conf = spark.sessionState.newHadoopConf()
-    val tombs = new Path(s"$dir/tombstones")
-    val fs = tombs.getFileSystem(conf)
-    // fresh id past every existing dir (committed or not — an
-    // uncommitted leftover must not be overwritten by an unrelated
-    // delete, it may be a concurrent writer's in-flight segment)
-    val existing = Option(fs.globStatus(new Path(tombs, "batch=*"))).toSeq.flatten
-      .map(_.getPath.getName.stripPrefix("batch=")).filter(_.forall(_.isDigit))
-      .map(_.toLong)
-    val seg = new Path(tombs, s"batch=${existing.maxOption.getOrElse(-1L) + 1L}")
-    docIds.select(col(docIds.columns.head).cast("long").as("doc_id")).distinct()
-      .coalesce(1)
-      .write.mode("overwrite").parquet(seg.toString)
-    fs.create(new Path(seg, CommitMarker), true).close()
-  }
-
-  /** Committed tombstone segment paths under `dir` (marker present). */
-  private def committedTombstones(
-      fs: org.apache.hadoop.fs.FileSystem, dir: String): Seq[String] =
-    Option(fs.globStatus(new org.apache.hadoop.fs.Path(
-      s"$dir/tombstones/batch=*/$CommitMarker"))).toSeq.flatten
-      .map(_.getPath.getParent.toString)
+      spark: SparkSession, dir: String, docIds: DataFrame): Unit =
+    KeyTombstones.publish(spark, dir, docIds, "doc_id")
 
   /** Anti-join `df` against the committed tombstones, if any. */
   private def minusTombstones(
       spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem,
       dir: String,
-      df: DataFrame): DataFrame = {
-    val t = committedTombstones(fs, dir)
-    if (t.isEmpty) df
-    else df.join(
-      spark.read.parquet(t: _*).select(col("doc_id")).distinct(),
-      Seq("doc_id"), "left_anti")
-  }
+      df: DataFrame): DataFrame =
+    KeyTombstones.minus(spark, fs, dir, df, "doc_id")
 
   /**
    * Merge all live index segments into ONE — the Lucene-merge analog
@@ -504,7 +475,7 @@ object Retrieval {
     // after this listing simply miss the merge and keep filtering at
     // serve time until the next compaction — same race contract as a
     // racing append)
-    val appliedTombstones = committedTombstones(fs, dir)
+    val appliedTombstones = KeyTombstones.committed(fs, dir)
     // (1) merged data, unmarked — postings re-clustered by term so the
     // serve scan's row-group skipping survives the merge; tombstoned
     // docs are dropped here, so the merged segment never carries them
@@ -554,7 +525,7 @@ object Retrieval {
     // safe in this direction: a surviving tombstone can only re-filter
     // ids the merged segment no longer contains (a no-op), never
     // resurrect anything.
-    appliedTombstones.foreach(p => fs.delete(new Path(p), true))
+    KeyTombstones.reclaim(fs, appliedTombstones)
     1
   }
 

@@ -1015,6 +1015,55 @@ object ExtensionQueries extends QueryFamily {
       .orderBy(col("kind"))
   }
 
+  /**
+   * Keyed delete on the durable ANN artifact
+   * ([[graft.operators.AnnIndex.deleteVecs]] — faiss `remove_ids`
+   * semantics), full-lifecycle verdict: build over the corpus and serve
+   * (`expect`), append an exact copy of every query at `vec_id + 10⁷`
+   * and serve (each copy must surface — append-path + copy-ranking
+   * evidence), tombstone exactly the copies and serve again — the
+   * result must equal `expect` RANK-FOR-RANK (the appended files still
+   * exist on disk; only the anti-join removes them, so bit-equality
+   * here is the tombstone filter working, not a rebuild), then a
+   * rebuild clears the tombstone layout. Every gate is exactly
+   * derivable, so DuckDB's twin is the constant-TRUE verdict over the
+   * query ids.
+   */
+  def simTopkAnnDeleteVerdict(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.AnnIndex
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < 5)
+    val idx = graft.TmpCleanup.perProcessDir("graft-ann-del", dir)
+    graft.TmpCleanup.register(idx)
+    AnnIndex.writeIvfPq(emb, "vec_id", "embedding", idx,
+      nCells = 16, m = 8, codebookSize = 16)
+    def serve() = AnnIndex.searchIvfPq(
+      spark, idx, queries, "vec_id", "embedding", k = 10, nProbe = 4)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+      .orderBy(col("query_id"), col("rank")).collect().toSeq
+    val expect = serve()
+    val copies = queries.withColumn("vec_id", col("vec_id") + lit(10000000L))
+    AnnIndex.appendIvfPq(spark, idx, copies, "vec_id", "embedding")
+    val withCopies = serve()
+    val copyFound = withCopies.groupBy(_.getLong(0)).view.mapValues(
+      _.exists(r => r.getLong(2) == r.getLong(0) + 10000000L)).toMap
+    AnnIndex.deleteVecs(spark, idx,
+      copies.select(col("vec_id")))
+    val restored = serve() == expect
+    // the rebuild (this artifact's compaction) clears the tombstones
+    AnnIndex.writeIvfPq(emb, "vec_id", "embedding", idx,
+      nCells = 16, m = 8, codebookSize = 16)
+    val cleared = {
+      val t = new java.io.File(s"$idx/tombstones")
+      !t.exists() || t.listFiles().isEmpty
+    }
+    import spark.implicits._
+    copyFound.toSeq.sortBy(_._1).map { case (q, found) =>
+      (q, found, restored, cleared)
+    }.toDF("query_id", "copy_found", "restored_equal", "tombstones_cleared")
+      .orderBy(col("query_id"))
+  }
+
   /** Shared scaffolding for the PQ/IVF-PQ planted-copy verdicts: plant
     * an exact copy of every query vector at `vec_id + 10⁷`, run the
     * given serve path over the planted corpus, and flag per query
@@ -2857,6 +2906,7 @@ object ExtensionQueries extends QueryFamily {
     "sim_topk_ivfpq_verdict" -> (simTopkIvfPqVerdict _),
     "ann_append_drift" -> (annAppendDrift _),
     "ann_train_recovery" -> (annTrainRecovery _),
+    "sim_topk_ann_delete_verdict" -> (simTopkAnnDeleteVerdict _),
     "sim_topk_ivfpq_index_verdict" -> (simTopkIvfPqIndexVerdict _),
     "sim_topk_ivf_index_verdict" -> (simTopkIvfIndexVerdict _),
     "sim_neardup_verdict" -> (simNearDupVerdict _),
@@ -4807,6 +4857,12 @@ object ExtensionQueries extends QueryFamily {
         |  MD5(STRING_AGG(MD5(text), '' ORDER BY doc_id)) AS digest,
         |  TRUE AS compacted_ok
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // ANN takedown: every lifecycle gate exactly derivable -> constant-
+    // TRUE verdict over the query ids (the sim_topk_*_verdict pattern)
+    "sim_topk_ann_delete_verdict" ->
+      """SELECT vec_id AS query_id, TRUE AS copy_found,
+        |  TRUE AS restored_equal, TRUE AS tombstones_cleared
+        |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin,
     // the takedown twin: digest chains over documents that NEVER had
     // the deleted ids, plus the constant-TRUE delete gates
     "shard_delete_roundtrip" ->

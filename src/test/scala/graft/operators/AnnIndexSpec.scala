@@ -198,4 +198,46 @@ class AnnIndexSpec extends SparkSpec {
       "vec_id", "embedding", k = 2, nProbe = 2).collect()
     assert(out.nonEmpty && out.forall(_.getLong(2) != 0L))
   }
+
+  test("deleteVecs: tombstoned vectors stop serving immediately; rebuild clears") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val queries = emb.filter($"vec_id" < 3)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ann-del").toString
+    AnnIndex.writeIvfPq(emb, "vec_id", "embedding", dir,
+      nCells = 8, m = 8, codebookSize = 16, trainSampleN = 512)
+    def serve() = AnnIndex.searchIvfPq(spark, dir, queries, "vec_id", "embedding",
+      k = 5, nProbe = 4)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Long, Long)]
+      .collect().toSeq
+    val expect = serve()
+    // append exact copies, then tombstone them: the appended FILES stay
+    // on disk, so restored equality proves the anti-join, not a rewrite
+    val copies = queries.withColumn("vec_id", $"vec_id" + lit(10000000L))
+    AnnIndex.appendIvfPq(spark, dir, copies, "vec_id", "embedding")
+    val withCopies = serve()
+    assert(withCopies != expect, "appended copies did not surface at all")
+    AnnIndex.deleteVecs(spark, dir, copies.select($"vec_id"))
+    assert(serve() == expect, "tombstoned vectors still serving (or over-deleted)")
+    // drift now reads the standing (filtered) occupancy without error
+    val tv = AnnIndex.occupancyDrift(spark, dir, emb, "vec_id", "embedding")
+      .as[Double].head()
+    assert(tv >= 0.0 && tv <= 1.0)
+    // flat artifact honors the same tombstones
+    val flat = java.nio.file.Files.createTempDirectory("graft-ivf-del").toString
+    AnnIndex.writeIvf(emb, "vec_id", "embedding", flat, nCells = 8, trainSampleN = 512)
+    val flatExpect = AnnIndex.searchIvf(spark, flat, queries, "vec_id", "embedding",
+      k = 5, nProbe = 4).select("query_id", "rank", "neighbor_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    AnnIndex.appendIvf(spark, flat, copies, "vec_id", "embedding")
+    AnnIndex.deleteVecs(spark, flat, copies.select($"vec_id"))
+    val flatAfter = AnnIndex.searchIvf(spark, flat, queries, "vec_id", "embedding",
+      k = 5, nProbe = 4).select("query_id", "rank", "neighbor_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(flatAfter == flatExpect, "flat artifact ignored the tombstones")
+    // rebuild = this artifact's compaction: tombstone layout cleared
+    AnnIndex.writeIvfPq(emb, "vec_id", "embedding", dir,
+      nCells = 8, m = 8, codebookSize = 16, trainSampleN = 512)
+    val t = new java.io.File(s"$dir/tombstones")
+    assert(!t.exists() || t.listFiles().isEmpty, "rebuild left tombstones")
+  }
 }
