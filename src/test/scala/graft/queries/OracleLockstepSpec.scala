@@ -15,33 +15,42 @@ import org.scalatest.funsuite.AnyFunSuite
 class OracleLockstepSpec extends AnyFunSuite {
 
   test("every oracle tokenizer split uses a sanctioned pattern") {
-    val splitCall = "(?i)string_split_regex".r
-    // the two sanctioned split character classes, as they appear inline
+    val splitCall = "(?i)string_split_regex|regexp_split_to_array".r
+    // the sanctioned split character classes, as they appear inline
     // (the house class also appears in REGEXP_REPLACE normalizations —
     // only SPLIT calls are checked, by inspecting the text that follows
     // each call site)
     val housePat = "'[^a-z0-9]+'"
     val langidPat = "'[^\\p{L}0-9]+'"
     val wsPat = "'\\s+'" // text_stats' whitespace-token count (own contract)
+    // the r15 unicode lexical contract (Dedup.tokensUnicode): token class
+    // incl. marks + Nd, and statsRowUnicode's pinned ASCII ws class
+    val uniPat = "'[^\\p{L}\\p{M}\\p{Nd}]+'"
+    val wsUniPat = "'[ \\t\\n\\x0B\\f\\r]+'"
     graft.Queries.oracles.foreach { case (name, sql) =>
       splitCall.findAllMatchIn(sql).foreach { m =>
-        val window = sql.substring(m.start, math.min(sql.length, m.start + 160))
+        val window = sql.substring(m.start, math.min(sql.length, m.start + 200))
         assert(window.contains(housePat) || window.contains(langidPat) ||
-          window.contains(wsPat),
-          s"$name: a string_split_regex call drifted from the house/langid " +
-            s"tokenizer contract (see Dedup.tokens / langIdPick): $window")
+          window.contains(wsPat) || window.contains(uniPat) ||
+          window.contains(wsUniPat),
+          s"$name: a tokenizer split call drifted from the house/langid/" +
+            s"unicode contract (see Dedup.tokens/tokensUnicode, langIdPick): $window")
       }
     }
   }
 
-  test("langid oracles carry the Han-padding preprocessor next to the \\p{L} split") {
+  test("langid/unicode oracles carry the Han-padding preprocessor next to each \\p{L} split") {
     graft.Queries.oracles.foreach { case (name, sql) =>
-      val nWide = sliding(sql, "'[^\\p{L}0-9]+'")
+      // every \p{L}-class split (the langid tokenizer AND the r15
+      // unicode contract) must ride with exactly one Han-padding
+      // preprocessor — CJK single-char segmentation is part of both rules
+      val nWide = sliding(sql, "'[^\\p{L}0-9]+'") +
+        sliding(sql, "'[^\\p{L}\\p{M}\\p{Nd}]+'")
       val nHan = sliding(sql, "\\p{Han}")
       assert(nWide == nHan,
-        s"$name: ${nWide} \\p{L} split(s) but $nHan Han-padding " +
+        s"$name: ${nWide} \\p{L}-class split(s) but $nHan Han-padding " +
           "preprocessor(s) — the CJK single-char segmentation must ride " +
-          "with every language-ID tokenizer copy (langIdPick's rule)")
+          "with every copy of the langid/unicode tokenizers")
     }
   }
 
@@ -103,7 +112,9 @@ class OracleLockstepSpec extends AnyFunSuite {
     "quality_compress_verdict" -> Seq("STRLEN(text)",
       "TRUE AS roundtrip_ok", "TRUE AS double_better", "TRUE AS ratio_bounded"),
     "embed_rp_verdict" -> Seq("a.vec_id % 10 = 0", "TRUE AS mean_ratio_ok",
-      "TRUE AS frac_ok", "TRUE AS norm_ok"))
+      "TRUE AS frac_ok", "TRUE AS norm_ok"),
+    "sim_topk_ann_delete_verdict" -> Seq("vec_id < 5", "TRUE AS copy_found",
+      "TRUE AS restored_equal", "TRUE AS tombstones_cleared"))
 
   test("every verdict-twin oracle carries its sanctioned planted-fixture constants") {
     val oracles = graft.Queries.oracles
