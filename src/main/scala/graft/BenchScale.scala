@@ -139,7 +139,16 @@ object BenchScale {
     "text_token_count_unicode" -> "linear",
     "shard_delete_roundtrip" -> "linear",
     "text_bm25_delete" -> "linear",
-    "sim_topk_ann_delete_verdict" -> "linear")
+    "sim_topk_ann_delete_verdict" -> "linear",
+    // hybrid retrieval: sparse side is the pushed-term posting build,
+    // dense side a queries×N brute scan, fusion O(queries×depth) —
+    // the whole row must track the corpus linearly
+    "text_hybrid_topk" -> "linear",
+    // flagship v10: unicode dedup + both durable artifacts + takedown +
+    // hybrid serve + the never-ingested twin — every stage linear
+    "pipeline_corpus_v10" -> "linear",
+    // keyed upsert: hit-shard-only rewrite, same contract as delete
+    "shard_upsert_roundtrip" -> "linear")
 
   private def writeCorpus(
       spark: SparkSession, srcSf: String, outDir: String, copies: Int): Unit = {

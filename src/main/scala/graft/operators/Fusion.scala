@@ -53,4 +53,50 @@ object Fusion {
         Window.partitionBy(partCols.map(col): _*)
           .orderBy(col("rrf_micro").desc, col(idCol))).cast("long"))
       .filter(col("rank_final") <= n)
+
+  /**
+   * Hybrid retrieval fusion — the RRF form every hybrid search stack
+   * runs (sparse BM25 list ⊕ dense embedding list; the standard recipe
+   * popularized by Elasticsearch/Vespa/Weaviate hybrid modes, same
+   * Cormack et al. arithmetic as [[rrf]]): fuse TWO per-query candidate
+   * RANKINGS — `sparse` as (`query_id`, `doc_id`, `rank`), `dense` as
+   * (`query_id`, `neighbor_id`, `rank`) — into one top-`n` per query.
+   *
+   * Unlike [[rrf]] (many signals on ONE row set), the two lists here
+   * cover DIFFERENT candidate sets: a doc may appear in either or both.
+   * RRF's contract for a missing entry is "contributes nothing", so each
+   * side's contribution is `1_000_000 DIV (k0 + rank)` when present and
+   * 0 when absent — kept as separate `sparse_micro` / `dense_micro`
+   * columns (never NULL) so the fused score decomposes exactly and the
+   * whole row replays in DuckDB integer arithmetic.
+   *
+   * Scale design: both inputs are ALREADY per-query top-k lists (≤ k
+   * rows per query each — the expensive corpus-sized work lives in the
+   * rankers, which carry their own scale contracts), so the full-outer
+   * join and the final window touch O(queries × k) rows total; one hash
+   * exchange on (`query_id`, `doc_id`), one on `query_id`, and the
+   * rank-≤-n filter rewrites to WindowGroupLimit.
+   */
+  def hybridTopK(
+      sparse: DataFrame, dense: DataFrame, n: Int, k0: Int = 60): DataFrame = {
+    require(n >= 1, s"n must be >= 1: $n")
+    require(k0 >= 0, s"k0 must be >= 0: $k0")
+    val s = sparse.select(
+      col("query_id").cast("long").as("query_id"),
+      col("doc_id").cast("long").as("doc_id"),
+      expr(s"1000000L DIV (${k0}L + CAST(rank AS BIGINT))").as("sparse_micro"))
+    val d = dense.select(
+      col("query_id").cast("long").as("query_id"),
+      col("neighbor_id").cast("long").as("doc_id"),
+      expr(s"1000000L DIV (${k0}L + CAST(rank AS BIGINT))").as("dense_micro"))
+    s.join(d, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+        coalesce(col("sparse_micro"), lit(0L)).as("sparse_micro"),
+        coalesce(col("dense_micro"), lit(0L)).as("dense_micro"))
+      .withColumn("rrf_micro", col("sparse_micro") + col("dense_micro"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("rrf_micro").desc, col("doc_id"))).cast("long"))
+      .filter(col("rank") <= n)
+  }
 }

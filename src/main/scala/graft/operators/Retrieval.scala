@@ -237,7 +237,8 @@ object Retrieval {
       idCol: String,
       textCol: String,
       dir: String,
-      numPartitions: Int = 0): Unit = {
+      numPartitions: Int = 0,
+      unicode: Boolean = false): Unit = {
     // writeIndex means THE WHOLE index: clear any prior segment layout
     // first, or a rebuild over an incrementally-maintained (or
     // differently-segmented) index would leave stale segments mixed in
@@ -246,12 +247,77 @@ object Retrieval {
     val conf = spark.sessionState.newHadoopConf()
     // tombstones cleared too: a full rebuild indexes exactly what the
     // caller passes — a stale takedown tombstone would silently
-    // suppress a doc the rebuild deliberately re-ingested
-    Seq(s"$dir/postings", s"$dir/norms", s"$dir/tombstones").foreach { p =>
+    // suppress a doc the rebuild deliberately re-ingested. The
+    // tokenizer-mode meta goes with them: a full rebuild re-tokenizes
+    // everything, so (unlike an append) it MAY legitimately change mode.
+    Seq(s"$dir/postings", s"$dir/norms", s"$dir/tombstones",
+        s"$dir/$ModeMetaFile").foreach { p =>
       val path = new org.apache.hadoop.fs.Path(p)
       path.getFileSystem(conf).delete(path, true) // incl. KeyTombstones.clear semantics
     }
-    writeIndexSegment(docs, idCol, textCol, dir, "batch=0", numPartitions)
+    writeIndexSegment(docs, idCol, textCol, dir, "batch=0", numPartitions,
+      unicode)
+  }
+
+  /** Tokenizer-mode meta for the segmented index. Postings carry no
+    * trace of the tokenizer that produced them, so an append tokenized
+    * under a DIFFERENT lexical contract than the standing segments
+    * would silently merge two incompatible vocabularies (the same
+    * cross-banding failure [[NearDupIndex]]'s one-meta design
+    * prevents). Same publish discipline as NearDupIndex.writeMeta:
+    * EXCLUSIVE CREATE of the final path (fails loud on every
+    * filesystem — a temp+rename publish is unsafe on RawLocalFileSystem,
+    * whose POSIX rename silently overwrites), existing meta never
+    * deleted outside a full [[writeIndex]] rebuild; a writer losing the
+    * create race re-reads the winner's mode and applies the same
+    * identical/different rule. */
+  private[operators] val ModeMetaFile = "_GRAFT_BM25_META"
+
+  /** Pin `unicode` as THE index's tokenizer mode, or fail loud on a
+    * mismatch. A meta-less layout with committed segments is a pre-r15
+    * index — those were all ASCII-tokenized, so claiming it for unicode
+    * appends is refused (ASCII appends adopt it and pin the mode). */
+  private def pinMode(
+      spark: SparkSession, dir: String, unicode: Boolean): Unit = {
+    import org.apache.hadoop.fs.Path
+    val meta = new Path(s"$dir/$ModeMetaFile")
+    val fs = meta.getFileSystem(spark.sessionState.newHadoopConf())
+    def checkExisting(): Unit = {
+      val existing = readMode(spark, dir)
+      require(existing == unicode,
+        s"index at $dir was tokenized with unicode=$existing; appending " +
+          s"unicode=$unicode segments would merge two incompatible " +
+          "vocabularies — rebuild via writeIndex or use a fresh directory")
+    }
+    if (fs.exists(meta)) { checkExisting(); return }
+    if (unicode) {
+      val committed = fs.globStatus(
+        new Path(s"$dir/norms", s"batch=*/$CommitMarker"))
+      require(committed == null || committed.isEmpty,
+        s"index at $dir has committed segments but no tokenizer-mode " +
+          "meta (a pre-unicode ASCII index) — unicode appends would " +
+          "merge incompatible vocabularies; rebuild via writeIndex")
+    }
+    val out = try fs.create(meta, false) catch {
+      // lost the create race — the winner's mode decides, same rule
+      case _: java.io.IOException => checkExisting(); return
+    }
+    scala.util.Using.resource(out) { o =>
+      o.write(s"unicode=${if (unicode) 1 else 0}\n".getBytes("UTF-8"))
+    }
+  }
+
+  /** The pinned tokenizer mode; absent meta = ASCII (pre-r15 layouts). */
+  private[operators] def readMode(spark: SparkSession, dir: String): Boolean = {
+    import org.apache.hadoop.fs.Path
+    val meta = new Path(s"$dir/$ModeMetaFile")
+    val fs = meta.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(meta)) return false
+    scala.util.Using.resource(fs.open(meta)) { in =>
+      scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .map(_.trim).filter(_.nonEmpty)
+        .exists(_ == "unicode=1")
+    }
   }
 
   /**
@@ -279,9 +345,13 @@ object Retrieval {
       textCol: String,
       dir: String,
       segment: String,
-      numPartitions: Int = 0): Unit = {
+      numPartitions: Int = 0,
+      unicode: Boolean = false): Unit = {
     require(segment.matches("batch=\\d+"),
       s"segment must be hive-style batch=<id> for partition discovery: $segment")
+    // pin (or validate against) the index's tokenizer mode BEFORE any
+    // data write: a mismatched append must fail with the layout intact
+    pinMode(docs.sparkSession, dir, unicode)
     // two writes = two jobs; persist the tokenized base across them so
     // the text is scanned once. Index writes are eager, so unlike the
     // query paths they can own the cache lifetime directly.
@@ -306,7 +376,7 @@ object Retrieval {
     // until then means a replay that fails mid-rewrite has merely
     // unmarked the segment, not destroyed its committed data
     fs.delete(new org.apache.hadoop.fs.Path(normSeg, CommitMarker), false)
-    val b = base(docs, idCol, textCol).persist()
+    val b = base(docs, idCol, textCol, unicode).persist()
     try {
       val full = postingsFor(b, None)
       val parts = if (numPartitions > 0) full.repartition(numPartitions, col("tok"))

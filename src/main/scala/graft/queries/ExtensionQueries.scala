@@ -1705,14 +1705,14 @@ object ExtensionQueries extends QueryFamily {
     * context-sensitive case mappings (İ, ß, final sigma) where Java and
     * utf8proc may disagree. Derived IN-QUERY so DuckDB rebuilds the
     * same column from the same parquet. */
-  private val mixedPhrases = Seq(
+  private[queries] val mixedPhrases = Seq(
     "中文网页的质量很高值得收录",
     "Русский Текст Москва 123",
     "日本語のテキストです",
     "मराठी भाषा देवनागरी १२३",
     "مرحبا بالعالم الكبير")
 
-  private def withMixedText(df: DataFrame, full: Boolean): DataFrame =
+  private[queries] def withMixedText(df: DataFrame, full: Boolean): DataFrame =
     df.withColumn("mtext", concat(
       if (full) col("text") else substring(col("text"), 1, 120),
       lit(" "),
@@ -2828,6 +2828,63 @@ object ExtensionQueries extends QueryFamily {
       .orderBy(col("bucket"))
   }
 
+  /**
+   * Keyed UPSERT round trip on the durable shard table — the MERGE INTO
+   * twin of [[shardDeleteRoundtrip]] ([[graft.sources.v2.ShardDelete
+   * .upsertByKey]]): build the table as two appended halves, upsert a
+   * planted UPDATE set (every doc_id % 11 == 3 gets a new payload) plus
+   * a planted INSERT set (synthetic doc_id + 10⁷ keys for doc_id % 101
+   * == 0), re-run the SAME upsert (convergence: every key now matches
+   * its own prior value, nothing inserts), and digest-chain the final
+   * table against DuckDB's direct derivation — which never saw the
+   * durable store at all. `upsert_ok` gates the (replaced, inserted)
+   * counts of BOTH runs and manifest-count truth.
+   */
+  def shardUpsertRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.v2.{ShardDelete, ShardReader}
+    val out = graft.TmpCleanup.perProcessDir("graft-shard-up", dir)
+    graft.TmpCleanup.register(out)
+    val p = java.nio.file.Paths.get(out)
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(java.nio.file.Files.walk(p)) { st =>
+        st.iterator().asScala.toSeq.reverse
+      }.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(col("text")).as("ld"))
+    def append(half: DataFrame): Unit =
+      half.write.format("graft.sources.v2.ShardSink")
+        .option("path", out).mode("append").save()
+    append(docs.filter(col("doc_id") % 2 === 0))
+    append(docs.filter(col("doc_id") % 2 === 1))
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("ld", StringType)))
+    val src = Tables.documents(spark, dir)
+    val updates = src.filter(col("doc_id") % 11 === 3)
+      .select(col("doc_id"),
+        md5(concat(lit("UPD"), col("text"))).as("ld"))
+      .union(src.filter(col("doc_id") % 101 === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"),
+          md5(concat(lit("NEW"), col("text"))).as("ld")))
+    val nUpd = src.filter(col("doc_id") % 11 === 3).count()
+    val nIns = src.filter(col("doc_id") % 101 === 0).count()
+    val (r1, i1) = ShardDelete.upsertByKey(spark, out, schema, "doc_id", updates)
+    val (r2, i2) = ShardDelete.upsertByKey(spark, out, schema, "doc_id", updates)
+    val back = ShardReader.read(spark, out, schema)
+    val upsertOk = r1 == nUpd && i1 == nIns &&
+      r2 == nUpd + nIns && i2 == 0L &&
+      ShardReader.manifestRowCount(spark, out) == back.count()
+    back.groupBy((col("doc_id") % 8).as("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        md5(concat_ws("",
+          transform(array_sort(collect_list(struct(col("doc_id"), col("ld")))),
+            x => x.getField("ld")))).as("digest"))
+      .withColumn("upsert_ok", lit(upsertOk))
+      .orderBy(col("bucket"))
+  }
+
   def corpusIngestJsonl(spark: SparkSession, dir: String): DataFrame = {
     val in = graft.sources.JsonlCorpus.readQuarantined(spark,
       jsonlFixture(spark, dir, "graft-jsonl"))
@@ -3027,6 +3084,7 @@ object ExtensionQueries extends QueryFamily {
     "shard_sink_roundtrip" -> (shardSinkRoundtrip _),
     "shard_compact_roundtrip" -> (shardCompactRoundtrip _),
     "shard_delete_roundtrip" -> (shardDeleteRoundtrip _),
+    "shard_upsert_roundtrip" -> (shardUpsertRoundtrip _),
     "ts_twap" -> (tsTwap _),
     "session_stats" -> (sessionStats _),
     "session_stream_stats" -> (sessionStreamStats _),
@@ -3050,14 +3108,14 @@ object ExtensionQueries extends QueryFamily {
     * (same recipe as the langid twins): space-pad Han/Hiragana/Katakana,
     * lower, split on `[^\p{L}\p{M}\p{Nd}]+`, drop empties — RE2 and
     * Java interpret every class here identically. */
-  private def tokensUniSql(c: String): String =
+  private[queries] def tokensUniSql(c: String): String =
     s"list_filter(regexp_split_to_array(lower(regexp_replace($c, " +
       "'([\\p{Han}\\p{Hiragana}\\p{Katakana}])', ' \\1 ', 'g')), " +
       "'[^\\p{L}\\p{M}\\p{Nd}]+'), x -> len(x) > 0)"
 
   /** The mixed-script column of the unicode-contract rows, rebuilt in
     * SQL (must mirror `withMixedText` exactly). */
-  private def mixedSqlExpr(full: Boolean): String = {
+  private[queries] def mixedSqlExpr(full: Boolean): String = {
     val base = if (full) "text" else "SUBSTRING(text, 1, 120)"
     s"$base || ' ' || (['${mixedPhrases.mkString("', '")}'])" +
       "[CAST(doc_id % 5 AS INT) + 1]"
@@ -4870,6 +4928,22 @@ object ExtensionQueries extends QueryFamily {
         |  MD5(STRING_AGG(MD5(text), '' ORDER BY doc_id)) AS digest,
         |  TRUE AS delete_ok
         |FROM documents WHERE doc_id % 11 <> 3 GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the MERGE twin: the post-upsert table derived directly — updated
+    // payloads for the % 11 keys, the standing payloads elsewhere, the
+    // synthetic + 10⁷ inserts appended; the durable store never seen
+    "shard_upsert_roundtrip" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 11 = 3 THEN MD5('UPD' || text)
+        |         ELSE MD5(text) END AS ld
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000000 AS doc_id, MD5('NEW' || text) AS ld
+        |  FROM documents WHERE doc_id % 101 = 0)
+        |SELECT doc_id % 8 AS bucket, COUNT(1) AS n_docs,
+        |  MD5(STRING_AGG(ld, '' ORDER BY doc_id)) AS digest,
+        |  TRUE AS upsert_ok
+        |FROM base GROUP BY 1 ORDER BY 1""".stripMargin,
     // the HLL twin: exact side recomputed, estimate gated by the
     // constant-TRUE bounded verdict (the agg_hll_* oracle pattern)
     "rolling_active_hll" ->

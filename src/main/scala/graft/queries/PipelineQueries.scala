@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Components, Corpus, Dedup, Ngrams, Sampling, TextAnalysis}
+import graft.operators.{AnnIndex, Components, Corpus, Dedup, Fusion, Ngrams,
+  Retrieval, Sampling, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /**
@@ -284,6 +285,92 @@ object PipelineQueries extends QueryFamily {
         coalesce(col("n_train"), lit(0L)).as("n_train"),
         coalesce(col("sched_digest"), lit("")).as("sched_digest"))
       .orderBy(col("src_grp"))
+  }
+
+  /** The v10 retrieval workload: ASCII terms plus one Han character —
+    * under the unicode contract '中' is a per-char token, so the CJK
+    * phrase docs (doc_id % 5 == 0 carry the Han phrase) are genuinely
+    * retrievable; under the ASCII contract this term matches nothing. */
+  private val v10Workload: Seq[(Int, String)] = Seq(
+    1 -> "dup", 1 -> "join",
+    2 -> "spark", 2 -> "中",
+    3 -> "fast", 3 -> "key")
+
+  private def v10WorkloadValues: String =
+    v10Workload.map { case (q, t) => s"($q, '$t')" }.mkString(", ")
+
+  /**
+   * Composed flagship v10 — the round-15 surfaces end-to-end, one
+   * oracle: a MULTILINGUAL corpus (the unicode-contract mixed-script
+   * column), unicode exact dedup (min-id survivor per unicode
+   * token-sequence fingerprint), BOTH durable retrieval artifacts built
+   * over the survivors — the inverted index in unicode mode (tokenizer
+   * pinned in the index meta) and the IVF-flat ANN artifact — then a
+   * planted TAKEDOWN (doc-keyed tombstones published on both artifacts,
+   * no rewrite) and a hybrid RRF serve whose results must be identical
+   * to artifacts that NEVER ingested the deleted docs. Dense probing is
+   * exhaustive here (nProbe = nCells) so every output value is
+   * SQL-derivable — DuckDB re-derives the survivor set, the BM25 chain
+   * under the unicode tokenizer over the never-ingested corpus, the
+   * exact cosine ranks, and the integer RRF fusion; pruned-probe
+   * serving is `text_hybrid_index_verdict`'s claim, and the
+   * `forget_equal` gate additionally pins the artifact serve bit-equal
+   * to the in-memory never-ingested twin (a tombstone missed by either
+   * artifact's serve path flips it AND hash-fails the row values).
+   */
+  def pipelineCorpusV10(spark: SparkSession, dir: String): DataFrame = {
+    val bmIdx = graft.TmpCleanup.perProcessDir("graft-v10-bm25", dir)
+    val annIdx = graft.TmpCleanup.perProcessDir("graft-v10-ivf", dir)
+    graft.TmpCleanup.register(bmIdx)
+    graft.TmpCleanup.register(annIdx)
+    // stage 0: the multilingual column (the unicode fixture recipe,
+    // derived in-query so DuckDB rebuilds the identical corpus)
+    val mdocs = ExtensionQueries.withMixedText(
+      Tables.documents(spark, dir), full = false)
+      .select(col("doc_id"), col("mtext"))
+    // stage 1: unicode exact dedup — min-id survivor per fingerprint of
+    // the EXACT unicode token sequence (the tok_digest contract)
+    val survivors = graft.CacheScope.scoped(Dedup.exactByKey(
+      mdocs.withColumn("fp",
+        md5(concat_ws(" ", Dedup.tokensUnicode(col("mtext"))))),
+      Seq("fp"), "doc_id").select(col("doc_id"), col("mtext")))
+    // stage 2: both durable artifacts over the survivors (writeIndex /
+    // writeIvf clear prior layouts, so bench re-entries rebuild in place)
+    Retrieval.writeIndex(survivors, "doc_id", "mtext", bmIdx, unicode = true)
+    val vecs = Tables.embeddings(spark, dir)
+      .join(survivors.select(col("doc_id").as("vec_id")), Seq("vec_id"))
+    AnnIndex.writeIvf(vecs, "vec_id", "embedding", annIdx, nCells = 16)
+    // stage 3: planted takedown — tombstones on BOTH artifacts
+    val takedown = survivors.filter(col("doc_id") % 13 === 0)
+      .select(col("doc_id"))
+    Retrieval.deleteDocsFromIndex(spark, bmIdx, takedown)
+    AnnIndex.deleteVecs(spark, annIdx,
+      takedown.select(col("doc_id").as("vec_id")))
+    // stage 4: hybrid serve from the tombstone-filtered artifacts
+    import spark.implicits._
+    val qTerms = v10Workload.toDF("query_id", "term")
+    val qVecs = Tables.embeddings(spark, dir)
+      .filter(col("vec_id").between(1, 3))
+    val sparse = Retrieval.searchIndex(spark, bmIdx, qTerms, k = 20)
+    val dense = AnnIndex.searchIvf(spark, annIdx, qVecs,
+      "vec_id", "embedding", k = 20, nProbe = 16)
+    val served = Fusion.hybridTopK(sparse, dense, n = 10)
+    // stage 5: forget-equality — the in-memory twin over a corpus that
+    // never contained the deleted docs (workload-bounded collects)
+    val standing = survivors.filter(col("doc_id") % 13 =!= 0)
+    val memSparse = Retrieval.bm25TopK(standing, "doc_id", "mtext",
+      qTerms, k = 20, unicode = true)
+    val memDense = Similarity.bruteForceTopK(
+      vecs.filter(col("vec_id") % 13 =!= 0), qVecs,
+      "vec_id", "embedding", k = 20)
+    val mem = Fusion.hybridTopK(memSparse, memDense, n = 10)
+    val servedRows = served.orderBy(col("query_id"), col("rank"))
+      .collect().toSeq
+    val forgetEqual = servedRows ==
+      mem.orderBy(col("query_id"), col("rank")).collect().toSeq
+    served
+      .withColumn("forget_equal", lit(forgetEqual))
+      .orderBy(col("query_id"), col("rank"))
   }
 
   /** Exact-substring REMOVAL (Lee et al. 2022's rewrite stage): delete
@@ -904,6 +991,7 @@ object PipelineQueries extends QueryFamily {
     "sample_source_cap_salted" -> (sampleSourceCapSalted _),
     "pipeline_corpus_v8" -> (pipelineCorpusV8 _),
     "pipeline_corpus_v9" -> (pipelineCorpusV9 _),
+    "pipeline_corpus_v10" -> (pipelineCorpusV10 _),
     "dedup_substring_pairs" -> (dedupSubstringPairs _),
     "dedup_substring_verify" -> (dedupSubstringVerify _),
     "dedup_span_removal" -> (dedupSpanRemoval _),
@@ -1562,6 +1650,29 @@ object PipelineQueries extends QueryFamily {
         |  MD5(STRING_AGG(CAST(doc_id AS VARCHAR), ',' ORDER BY skey, doc_id))
         |    AS sched_digest
         |FROM keyed GROUP BY src_grp ORDER BY src_grp""".stripMargin,
+    // the round-15 recipe replayed end-to-end: multilingual column →
+    // unicode token-sequence fingerprint dedup (min-id survivor) →
+    // never-ingested corpus (takedown ids excluded at derivation — the
+    // oracle's corpus never contained them) → unicode BM25 chain +
+    // exact cosine ranks → integer RRF fusion; every fragment shared
+    // with its proven owner (mixedSqlExpr/tokensUniSql from the unicode
+    // rows, bm25ScoredCtes/rank CTEs/fuse tail from the retrieval
+    // family) so no copy can drift
+    "pipeline_corpus_v10" ->
+      s"""WITH mx AS (
+         |  SELECT doc_id, ${ExtensionQueries.mixedSqlExpr(full = false)} AS mtext FROM documents),
+         |fpt AS (SELECT doc_id,
+         |    MD5(ARRAY_TO_STRING(${ExtensionQueries.tokensUniSql("mtext")}, ' ')) AS fp
+         |  FROM mx),
+         |surv AS (SELECT MIN(doc_id) AS doc_id FROM fpt GROUP BY fp),
+         |corpus AS (SELECT mx.doc_id, mx.mtext AS text FROM mx
+         |  JOIN surv USING (doc_id) WHERE mx.doc_id % 13 <> 0),
+         |${inMargin(RetrievalQueries.bm25ScoredCtes("corpus",
+              c => ExtensionQueries.tokensUniSql(c), v10WorkloadValues))},
+         |${inMargin(RetrievalQueries.sparseRankCte())},
+         |${inMargin(RetrievalQueries.denseRankCte(
+              " AND ec.vec_id IN (SELECT doc_id FROM corpus)"))},
+         |${inMargin(RetrievalQueries.hybridFuseTail(", TRUE AS forget_equal"))}""".stripMargin,
     // the full pretrain recipe replayed: cap → fingerprint screen (md5
     // identity stands in for the band-key collision — exact by
     // construction) → gopher gates → 3-gram decontamination → component

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.Retrieval
+import graft.operators.{AnnIndex, Fusion, Retrieval, Similarity}
 import graft.sources.Tables
 
 /**
@@ -148,6 +148,90 @@ object RetrievalQueries extends QueryFamily {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Hybrid candidate depth: each ranker contributes its top-20 list,
+    * deep enough that the fused top-10 is never truncation-starved
+    * (dense alone yields 20 candidates per query at every fixture SF). */
+  private val hybridDepth = 20
+
+  /** Dense-side query vectors: the embeddings whose vec_id matches the
+    * sparse workload's query_ids 1..3, so one fused ranking carries both
+    * modalities per query. */
+  private def hybridQueryVecs(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir).filter(col("vec_id").between(1, 3))
+
+  /**
+   * Hybrid retrieval ([[Fusion.hybridTopK]]): BM25 sparse top-20 ⊕ exact
+   * cosine dense top-20, fused by reciprocal-rank in integer micro units
+   * — the standard two-tower hybrid search every retrieval-augmented
+   * pipeline serves. Both rankers are exact here, so the ENTIRE fused
+   * ranking (per-side contributions included) replays in DuckDB: the
+   * BM25 CTE chain for the sparse list, `list_cosine_similarity` ranks
+   * for the dense list, `//` integer RRF for the fusion. The ANN-served
+   * variant is [[textHybridIndexVerdict]].
+   */
+  def textHybridTopK(spark: SparkSession, dir: String): DataFrame = {
+    val sparse = Retrieval.bm25TopK(Tables.documents(spark, dir),
+      "doc_id", "text", workloadDf(spark), k = hybridDepth)
+    val dense = Similarity.bruteForceTopK(Tables.embeddings(spark, dir),
+      hybridQueryVecs(spark, dir), "vec_id", "embedding", k = hybridDepth)
+    Fusion.hybridTopK(sparse, dense, n = 10)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /**
+   * Hybrid serve from BOTH durable artifacts — the production shape:
+   * sparse list from the inverted-index segments ([[Retrieval
+   * .searchIndex]]), dense list from the IVF-flat artifact
+   * ([[AnnIndex.searchIvf]], nProbe = 4 — genuinely pruned probing, not
+   * the exhaustive fallback), fused by the same [[Fusion.hybridTopK]].
+   * The IVF list is approximate, so the fused ids are not
+   * SQL-derivable; the verdict gates instead pin the two serve paths to
+   * their in-memory twins under IDENTICAL parameters — both twins are
+   * deterministic, and each equality covers the whole artifact
+   * lifecycle (build → commit → prune → serve): `sparse_equal` ⇔
+   * bit-equality with [[Retrieval.bm25TopK]] (scores included — integer
+   * ppm), `dense_equal` ⇔ rank-for-rank identity with
+   * [[Similarity.ivfTopK]] (ids + ranks; scores are float, compared by
+   * the ordering they induce). Collects are workload-bounded
+   * (queries × depth rows). Oracle: the exact (query_id, rank 1..10)
+   * grid with TRUE gates — a missing fused row, an extra one, or either
+   * twin diverging flips the compare.
+   */
+  def textHybridIndexVerdict(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val emb = Tables.embeddings(spark, dir)
+    val bmIdx = graft.TmpCleanup.perProcessDir("graft-hyb-bm25", dir)
+    val annIdx = graft.TmpCleanup.perProcessDir("graft-hyb-ivf", dir)
+    graft.TmpCleanup.register(bmIdx)
+    graft.TmpCleanup.register(annIdx)
+    Retrieval.writeIndex(docs, "doc_id", "text", bmIdx)
+    AnnIndex.writeIvf(emb, "vec_id", "embedding", annIdx,
+      nCells = 16, trainSampleN = 4096)
+    val qTerms = workloadDf(spark)
+    val qVecs = hybridQueryVecs(spark, dir)
+    val sparseIdx = Retrieval.searchIndex(spark, bmIdx, qTerms, k = hybridDepth)
+    val denseIdx = AnnIndex.searchIvf(spark, annIdx, qVecs,
+      "vec_id", "embedding", k = hybridDepth, nProbe = 4)
+    val sparseMem = Retrieval.bm25TopK(docs, "doc_id", "text",
+      qTerms, k = hybridDepth)
+    val denseMem = Similarity.ivfTopK(emb, qVecs, "vec_id", "embedding",
+      k = hybridDepth, nCells = 16, nProbe = 4, trainSampleN = 4096)
+    def grid(df: DataFrame, cols: String*): Set[Seq[Any]] =
+      df.select(cols.map(col): _*).collect()
+        .map(r => cols.indices.map(r.get)).toSet
+    val sparseEqual =
+      grid(sparseIdx, "query_id", "doc_id", "score_ppm", "rank") ==
+        grid(sparseMem, "query_id", "doc_id", "score_ppm", "rank")
+    val denseEqual =
+      grid(denseIdx, "query_id", "rank", "neighbor_id") ==
+        grid(denseMem, "query_id", "rank", "neighbor_id")
+    Fusion.hybridTopK(sparseIdx, denseIdx, n = 10)
+      .select(col("query_id"), col("rank"))
+      .withColumn("sparse_equal", lit(sparseEqual))
+      .withColumn("dense_equal", lit(denseEqual))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Quoted-phrase workload: a trigram with hits at ALL three fixture
     * SFs (5 / 1 / 7 occurrences at sf0.001/0.01/0.1), so no SF's
     * verification degenerates to an empty result. Multiplicity within
@@ -164,34 +248,41 @@ object RetrievalQueries extends QueryFamily {
     "text_bm25_index" -> (textBm25Index _),
     "text_bm25_segment_compact" -> (textBm25SegmentCompact _),
     "text_bm25_delete" -> (textBm25Delete _),
+    "text_hybrid_topk" -> (textHybridTopK _),
+    "text_hybrid_index_verdict" -> (textHybridIndexVerdict _),
     "text_phrase_search" -> (textPhraseSearch _))
 
   /** Shared SQL fragments: the house tokenizer twin and the BM25 CTE
     * chain (used by both bm25 oracles — the index query is defined to
     * be bit-equal to the direct one). Note the stats CTE aggregates
-    * over `documents` directly, NOT over the unnested token stream:
-    * Spark's corpus stats count every doc row, and a zero-token doc
-    * would vanish from an unnest-derived count (the lens CTE is only
-    * ever joined for docs that carry a query term, so its derivation
-    * from toks is safe). */
-  private def toksCte(docsRel: String) =
-    s"""toks AS (SELECT doc_id,
-      |  unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)) AS tok
-      |  FROM $docsRel)""".stripMargin
-
+    * over the docs relation directly, NOT over the unnested token
+    * stream: Spark's corpus stats count every doc row, and a zero-token
+    * doc would vanish from an unnest-derived count (the lens CTE is
+    * only ever joined for docs that carry a query term, so its
+    * derivation from toks is safe). */
   private def bm25Sql: String = bm25SqlOver("documents")
 
-  /** The BM25 CTE chain over an arbitrary docs relation — `documents`
-    * for the standing rows, a filtered subquery for the takedown twin
-    * (the oracle's corpus must NEVER have contained the deleted ids). */
-  private def bm25SqlOver(docsRel: String): String =
-    s"""WITH ${toksCte(docsRel)},
+  /** The BM25 CTE body through `scored` (per-(query, doc) integer ppm
+    * scores, unranked) — shared by the ranked bm25 oracles, the hybrid
+    * oracle, and pipeline_corpus_v10 (which scores a derived corpus CTE
+    * under the UNICODE tokenizer): ONE definition of the scoring chain,
+    * so no oracle carries a driftable copy. `toksOf` maps a text-column
+    * expr to its token-list SQL (default: the ASCII house tokenizer);
+    * `workloadValues` is the (query_id, term) VALUES list. */
+  private[queries] def bm25ScoredCtes(
+      docsRel: String,
+      toksOf: String => String = c =>
+        s"list_filter(string_split_regex(lower($c), '[^a-z0-9]+'), x -> len(x) > 0)",
+      workloadValues: String = workloadSqlValues): String =
+    s"""toks AS (SELECT doc_id,
+       |  unnest(${toksOf("text")}) AS tok
+       |  FROM $docsRel),
        |lens AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS len FROM toks GROUP BY doc_id),
        |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
-       |    CAST(SUM(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0))) AS BIGINT) AS l
+       |    CAST(SUM(len(${toksOf("text")})) AS BIGINT) AS l
        |  FROM $docsRel),
        |a AS (SELECT n, l // n AS avgdl FROM stats),
-       |q(query_id, term) AS (VALUES $workloadSqlValues),
+       |q(query_id, term) AS (VALUES $workloadValues),
        |tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM toks
        |       WHERE tok IN (SELECT term FROM q) GROUP BY doc_id, tok),
        |dfs AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok),
@@ -205,13 +296,86 @@ object RetrievalQueries extends QueryFamily {
        |  JOIN lens l ON l.doc_id = tf.doc_id
        |  JOIN q ON q.term = tf.tok
        |  CROSS JOIN a
-       |  GROUP BY q.query_id, tf.doc_id)
+       |  GROUP BY q.query_id, tf.doc_id)""".stripMargin
+
+  /** The BM25 CTE chain over an arbitrary docs relation — `documents`
+    * for the standing rows, a filtered subquery for the takedown twin
+    * (the oracle's corpus must NEVER have contained the deleted ids). */
+  private def bm25SqlOver(docsRel: String): String =
+    s"""WITH ${bm25ScoredCtes(docsRel)}
        |SELECT query_id, doc_id, score_ppm, rank FROM (
        |  SELECT query_id, doc_id, score_ppm,
        |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score_ppm DESC, doc_id) AS INT) AS rank
        |  FROM scored)
        |WHERE rank <= 10
        |ORDER BY query_id, rank""".stripMargin
+
+  /** The sparse candidate CTE: ranks `scored` (from [[bm25ScoredCtes]])
+    * at the hybrid depth. */
+  private[queries] def sparseRankCte(depth: Int = hybridDepth): String =
+    s"""sparse AS (SELECT * FROM (
+       |    SELECT CAST(query_id AS BIGINT) AS query_id, CAST(doc_id AS BIGINT) AS doc_id,
+       |      CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score_ppm DESC, doc_id) AS BIGINT) AS rank
+       |    FROM scored)
+       |  WHERE rank <= $depth)""".stripMargin
+
+  /** The dense candidate CTE: exact cosine ranks of query vectors 1..3
+    * against the embeddings corpus, optionally restricted by
+    * `corpusFilter` (an `AND …` clause on the corpus side `ec`). */
+  private[queries] def denseRankCte(
+      corpusFilter: String = "", depth: Int = hybridDepth): String =
+    s"""dense AS (SELECT * FROM (
+       |    SELECT CAST(eq.vec_id AS BIGINT) AS query_id, CAST(ec.vec_id AS BIGINT) AS doc_id,
+       |      CAST(ROW_NUMBER() OVER (PARTITION BY eq.vec_id
+       |        ORDER BY list_cosine_similarity(eq.embedding, ec.embedding) DESC, ec.vec_id) AS BIGINT) AS rank
+       |    FROM embeddings eq JOIN embeddings ec ON eq.vec_id <> ec.vec_id
+       |    WHERE eq.vec_id BETWEEN 1 AND 3$corpusFilter)
+       |  WHERE rank <= $depth)""".stripMargin
+
+  /** The RRF fusion tail over the `sparse`/`dense` CTEs: the exact
+    * integer micro arithmetic of [[Fusion.hybridTopK]]; `extraCols`
+    * appends constant gate columns (", TRUE AS …") to the final
+    * select. */
+  private[queries] def hybridFuseTail(
+      extraCols: String = "", n: Int = 10): String =
+    s"""f AS (SELECT COALESCE(s.query_id, d.query_id) AS query_id,
+       |    COALESCE(s.doc_id, d.doc_id) AS doc_id,
+       |    COALESCE(CAST(1000000 AS BIGINT) // (60 + s.rank), CAST(0 AS BIGINT)) AS sparse_micro,
+       |    COALESCE(CAST(1000000 AS BIGINT) // (60 + d.rank), CAST(0 AS BIGINT)) AS dense_micro
+       |  FROM sparse s FULL OUTER JOIN dense d
+       |    ON s.query_id = d.query_id AND s.doc_id = d.doc_id)
+       |SELECT query_id, doc_id, sparse_micro, dense_micro,
+       |  sparse_micro + dense_micro AS rrf_micro, rank$extraCols FROM (
+       |  SELECT f.*, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY sparse_micro + dense_micro DESC, doc_id) AS BIGINT) AS rank FROM f)
+       |WHERE rank <= $n
+       |ORDER BY query_id, rank""".stripMargin
+
+  /** Hybrid oracle: the same BM25 `scored` chain ranked at depth 20,
+    * the exact cosine ranking at depth 20, and the integer RRF fusion —
+    * every output column (per-side micro contributions included)
+    * derived in DuckDB integer arithmetic; the one float-ordering
+    * dependency (cosine rank order) is the same one `sim_topk_brute`
+    * has hash-matched since r2. */
+  private def hybridSql: String =
+    s"""WITH ${bm25ScoredCtes("documents")},
+       |${sparseRankCte()},
+       |${denseRankCte()},
+       |${hybridFuseTail()}""".stripMargin
+
+  /** The verdict grid for [[textHybridIndexVerdict]]: exact (query_id,
+    * rank 1..10) rows with constant-TRUE gates. */
+  private def hybridVerdictSql: String = {
+    val qids = workload.map(_._1).distinct.sorted
+      .map(q => s"($q)").mkString(", ")
+    val ranks = (1 to 10).map(r => s"($r)").mkString(", ")
+    s"""WITH q(query_id) AS (VALUES $qids), r(rank) AS (VALUES $ranks)
+       |SELECT CAST(q.query_id AS BIGINT) AS query_id,
+       |  CAST(r.rank AS BIGINT) AS rank,
+       |  TRUE AS sparse_equal, TRUE AS dense_equal
+       |FROM q CROSS JOIN r
+       |ORDER BY query_id, rank""".stripMargin
+  }
 
   override def oracles: Map[String, String] = Map(
     "text_bm25_topk" -> bm25Sql,
@@ -228,6 +392,8 @@ object RetrievalQueries extends QueryFamily {
       .replace("SELECT query_id, doc_id, score_ppm, rank FROM (",
         "SELECT query_id, doc_id, score_ppm, rank, " +
           "TRUE AS served_equal, TRUE AS tombstones_cleared FROM ("),
+    "text_hybrid_topk" -> hybridSql,
+    "text_hybrid_index_verdict" -> hybridVerdictSql,
     "text_phrase_search" -> {
       val joins = phrase.zipWithIndex.drop(1).map { case (t, i) =>
         s"JOIN t t$i ON t$i.doc_id = t0.doc_id AND t$i.pos = t0.pos + $i AND t$i.tok = '$t'"

@@ -123,4 +123,110 @@ object ShardDelete {
     fs.delete(scratch, true)
     deleted
   }
+
+  /**
+   * Copy-on-write keyed UPSERT — the other half of the keyed-maintenance
+   * pair ([[deleteByKey]]): every existing row whose `keyCol` matches an
+   * update row's key is replaced, update rows with a new key are
+   * inserted, and ONE atomic manifest publish switches readers to the
+   * post-upsert table — the MERGE INTO of the shard store, under the
+   * same four-step crash contract (a crash before the publish leaves the
+   * table untouched; after it, the upsert is applied with orphan files
+   * at worst, and a re-run converges: the same updates then replace
+   * their own prior values).
+   *
+   * `updates` carries the FULL table schema and must be key-unique
+   * (checked — two update rows for one key have no deterministic
+   * outcome). Historical multi-copies of a key (the same id appended
+   * twice) are healed by construction: every old copy lives in a hit
+   * shard and is anti-joined out, exactly one update row lands. Only
+   * hit shards are rewritten — an upsert touching a handful of keys
+   * reads and rewrites a handful of shards, never the table.
+   *
+   * Returns (replaced, inserted): old rows removed, update keys that
+   * matched no existing row. Same sequential single-writer discipline
+   * as append/compaction/delete.
+   */
+  def upsertByKey(
+      spark: SparkSession,
+      path: String,
+      schema: StructType,
+      keyCol: String,
+      updates: DataFrame): (Long, Long) = {
+    require(updates.columns.toSeq == schema.fieldNames.toSeq,
+      s"updates must carry the table schema ${schema.fieldNames.mkString(",")}" +
+        s" in order, got ${updates.columns.mkString(",")}")
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val mfPath = new Path(dir, ShardManifest.FileName)
+    require(fs.exists(mfPath),
+      s"no ${ShardManifest.FileName} under $path — nothing committed there")
+    val old = ShardManifest.read(fs, mfPath)
+
+    // updates feed four consumers (uniqueness gate, count, hit scan,
+    // write) — scope-cached so the caller's plan runs once
+    val up = graft.CacheScope.scoped(updates)
+    val nUpdates = up.count()
+    if (nUpdates == 0L) return (0L, 0L)
+    val dup = up.groupBy(col(keyCol)).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"updates are not key-unique on '$keyCol' (e.g. ${dup.head.get(0)}) — " +
+        "an upsert with two rows for one key has no deterministic outcome")
+    val keyDf = up.select(col(keyCol).as("__k"))
+
+    // ONE corpus pass builds the (shard, key) hit set — bounded by the
+    // update list × historical copies, so caching it is model-state
+    // sized; both the per-shard counts and the matched-key count read it
+    val files = old.map { case (name, _) => new Path(dir, name).toString }
+    val tagged = if (files.isEmpty) null
+      else spark.read.schema(schema).json(files: _*)
+        .withColumn("__shard", element_at(split(input_file_name(), "/"), -1))
+    val hits = if (files.isEmpty) null
+      else graft.CacheScope.scoped(
+        tagged.join(keyDf, tagged(keyCol) === col("__k"), "left_semi")
+          .select(col("__shard"), col(keyCol).as("__key")))
+    val hitCounts = if (hits == null) Map.empty[String, Long]
+      else hits.groupBy(col("__shard")).agg(count(lit(1)).as("__n"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val replaced = hitCounts.values.sum
+    val matchedKeys = if (hits == null) 0L
+      else hits.select(col("__key")).distinct().count()
+
+    // (1) survivors of the hit shards + ALL update rows, rewritten
+    // through the sink's own two-phase commit into invisible scratch
+    // (two appends — the sink's manifest read-merge-write unions them)
+    val scratch = new Path(dir, s"_upsert-${UUID.randomUUID().toString.take(8)}")
+    if (hitCounts.nonEmpty)
+      tagged.filter(col("__shard").isin(hitCounts.keys.toSeq: _*))
+        .join(keyDf, tagged(keyCol) === col("__k"), "left_anti")
+        .drop("__shard")
+        .write.format("graft.sources.v2.ShardSink")
+        .option("path", scratch.toString).mode("append").save()
+    up.write.format("graft.sources.v2.ShardSink")
+      .option("path", scratch.toString).mode("append").save()
+    val fresh = ShardManifest.read(fs, new Path(scratch, ShardManifest.FileName))
+      .filter(_._2 > 0L)
+
+    // (2) orphan-in the rewritten + inserted shards
+    fresh.foreach { case (name, _) =>
+      val src = new Path(scratch, name)
+      val dst = new Path(dir, name)
+      if (!fs.rename(src, dst) && !(fs.exists(dst) && !fs.exists(src)))
+        throw new java.io.IOException(s"upsert rename failed: $src -> $dst")
+    }
+
+    // (3) the atomic switch: untouched shards keep their entries
+    val kept = old.filterNot { case (name, _) => hitCounts.contains(name) }
+    ShardManifest.writeAtomic(
+      spark.sessionState.newHadoopConf(), fs, mfPath, kept ++ fresh)
+
+    // (4) replaced shards are orphans now — best-effort cleanup
+    val freshNames = fresh.map(_._1).toSet
+    hitCounts.keys.foreach { name =>
+      if (!freshNames.contains(name)) fs.delete(new Path(dir, name), false)
+    }
+    fs.delete(scratch, true)
+    (replaced, nUpdates - matchedKeys)
+  }
 }

@@ -158,12 +158,13 @@ object CorpusStream {
       idCol: String,
       textCol: String,
       dir: String,
-      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+      checkpoint: String,
+      unicode: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery =
     streaming.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         graft.operators.Retrieval.writeIndexSegment(
-          batch, idCol, textCol, dir, s"batch=$batchId")
+          batch, idCol, textCol, dir, s"batch=$batchId", unicode = unicode)
       }
       .start()
 

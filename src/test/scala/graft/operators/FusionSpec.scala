@@ -31,6 +31,37 @@ class FusionSpec extends SparkSpec {
     assert(out(4L) == ((1L, 1L, f(1) + f(1))), s"singleton partition: $out")
   }
 
+  test("hybridTopK fuses two candidate lists with absent-side zero contribution") {
+    // query 1: sparse list (10,20,30), dense list (20,40) — doc 20 in both
+    val sparse = Seq((1L, 10L, 1L), (1L, 20L, 2L), (1L, 30L, 3L))
+      .toDF("query_id", "doc_id", "rank")
+    val dense = Seq((1L, 20L, 1L), (1L, 40L, 2L))
+      .toDF("query_id", "neighbor_id", "rank")
+    val out = Fusion.hybridTopK(sparse, dense, n = 10)
+      .select(col("doc_id"), col("sparse_micro"), col("dense_micro"),
+        col("rrf_micro"), col("rank"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    def f(r: Long) = 1000000L / (60L + r)
+    // doc 20 fuses both lists (sparse rank 2 + dense rank 1) and wins
+    assert(out(20L) == ((f(2), f(1), f(2) + f(1), 1L)), s"$out")
+    assert(out(10L) == ((f(1), 0L, f(1), 2L)), s"$out")
+    assert(out(40L) == ((0L, f(2), f(2), 3L)), s"$out")
+    assert(out(30L) == ((f(3), 0L, f(3), 4L)), s"$out")
+  }
+
+  test("hybridTopK ties break by doc_id and n bounds each query") {
+    // both docs get identical single-side rank-1 contributions
+    val sparse = Seq((1L, 7L, 1L)).toDF("query_id", "doc_id", "rank")
+    val dense = Seq((1L, 3L, 1L), (2L, 9L, 1L))
+      .toDF("query_id", "neighbor_id", "rank")
+    val out = Fusion.hybridTopK(sparse, dense, n = 1)
+      .select(col("query_id"), col("doc_id"), col("rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // query 1: docs 3 and 7 tie at f(1) — lower doc_id takes rank 1, n=1 cuts 7
+    assert(out == Set((1L, 3L, 1L), (2L, 9L, 1L)), s"$out")
+  }
+
   test("equal fused scores break by id; topK bounds per partition; plan prunes") {
     val out = Fusion.rrfTopK(frame, Seq("part"), "id",
       Seq(("one", "s1", true), ("two", "s2", false)), n = 2)

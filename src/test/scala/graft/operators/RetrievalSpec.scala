@@ -97,6 +97,63 @@ class RetrievalSpec extends SparkSpec {
     graft.CacheScope.releaseAll()
   }
 
+  test("unicode index: serve bit-equal to direct unicode bm25; CJK terms retrievable") {
+    val corpus = Seq(
+      (1L, "中文网页的质量很高"), (2L, "日本語のテキスト 中文"),
+      (3L, "alpha beta gamma"), (4L, "Русский Текст alpha"))
+      .toDF("doc_id", "text")
+    // per-char CJK fallback: '中' and '文' are single-char tokens
+    val queries = Seq(1 -> "中", 1 -> "文", 2 -> "alpha").toDF("query_id", "term")
+    val dir = java.nio.file.Files.createTempDirectory("bm25uni").toString
+    Retrieval.writeIndex(corpus, "doc_id", "text", dir, unicode = true)
+    val direct = Retrieval.bm25TopK(corpus, "doc_id", "text", queries,
+      k = 10, unicode = true).orderBy("query_id", "rank").collect().toSeq
+    val served = Retrieval.searchIndex(spark, dir, queries, k = 10)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(served == direct)
+    assert(direct.exists(_.getLong(1) == 1L),
+      s"CJK doc not retrieved under unicode mode: $direct")
+    graft.CacheScope.releaseAll()
+  }
+
+  test("tokenizer-mode meta: mismatched append fails loud, layout intact; rebuild may change mode") {
+    val a = Seq((1L, "alpha beta")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("bm25mode").toString
+    Retrieval.writeIndexSegment(a, "doc_id", "text", dir, "batch=0",
+      unicode = true)
+    val q = Seq(1 -> "alpha").toDF("query_id", "term")
+    val before = Retrieval.searchIndex(spark, dir, q, k = 5).collect().toSeq
+    val e = intercept[IllegalArgumentException] {
+      Retrieval.writeIndexSegment(a, "doc_id", "text", dir, "batch=1")
+    }
+    assert(e.getMessage.contains("unicode"), e.getMessage)
+    // the refused append must not have touched the standing layout
+    val after = Retrieval.searchIndex(spark, dir, q, k = 5).collect().toSeq
+    assert(after == before)
+    // a full rebuild re-tokenizes everything — mode change is legal there
+    Retrieval.writeIndex(a, "doc_id", "text", dir)
+    assert(!Retrieval.readMode(spark, dir))
+    Retrieval.writeIndexSegment(a, "doc_id", "text", dir, "batch=1")
+    graft.CacheScope.releaseAll()
+  }
+
+  test("pre-meta ASCII layout: unicode append refused, ASCII append adopts and pins") {
+    val a = Seq((1L, "alpha beta")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("bm25premeta").toString
+    Retrieval.writeIndexSegment(a, "doc_id", "text", dir, "batch=0")
+    // simulate a pre-r15 index: committed segments, no mode meta
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(dir, Retrieval.ModeMetaFile))
+    val e = intercept[IllegalArgumentException] {
+      Retrieval.writeIndexSegment(a, "doc_id", "text", dir, "batch=1",
+        unicode = true)
+    }
+    assert(e.getMessage.contains("pre-unicode"), e.getMessage)
+    Retrieval.writeIndexSegment(a, "doc_id", "text", dir, "batch=1")
+    assert(!Retrieval.readMode(spark, dir))
+    graft.CacheScope.releaseAll()
+  }
+
   test("serve ignores uncommitted segments (postings written, norms marker absent)") {
     val corpus = randomCorpus(11, 40)
     val df = corpus.toDF("doc_id", "text")

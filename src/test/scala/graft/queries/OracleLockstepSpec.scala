@@ -105,6 +105,10 @@ class OracleLockstepSpec extends AnyFunSuite {
       "SELECT 'skew', TRUE, TRUE"),
     "sim_topk_ivfpq_index_verdict" -> Seq("vec_id < 5", "TRUE AS served_equal"),
     "sim_topk_ivf_index_verdict" -> Seq("vec_id < 5", "TRUE AS served_equal"),
+    // hybrid-from-artifacts: the (query 1..3 × rank 1..10) grid with both
+    // serve paths pinned to their deterministic in-memory twins
+    "text_hybrid_index_verdict" -> Seq("(1), (2), (3)", "(10)",
+      "TRUE AS sparse_equal", "TRUE AS dense_equal"),
     "quality_logit_train" -> Seq("RANGE(1, 31)", "TRUE AS loss_non_increasing",
       "TRUE AS agreement_ok"),
     "embed_pca_verdict" -> Seq("range(0, 8)", "TRUE AS eig_nonneg",

@@ -228,6 +228,59 @@ class ShardSinkSpec extends SparkSpec {
     assert(scala.io.Source.fromFile(s"$dir/_MANIFEST").mkString == mf1)
   }
 
+  test("ShardDelete.upsertByKey: replaces matches, inserts new keys, heals multi-copies, only hit shards rewritten") {
+    import graft.sources.v2.ShardDelete
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val dir = java.nio.file.Files.createTempDirectory("graft-shard-up").toString
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    def append(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.format("graft.sources.v2.ShardSink")
+        .option("path", dir).mode("append").save()
+    append(Seq((1L, "one"), (2L, "two")))      // shard A (hit via 2)
+    append(Seq((10L, "ten"), (11L, "eleven"))) // shard B (untouched)
+    append(Seq((2L, "two-again"), (20L, "twenty"))) // shard C — historical copy of 2
+    val mfBefore = scala.io.Source.fromFile(s"$dir/_MANIFEST").getLines().toSeq
+    val untouched = mfBefore.map(_.split("\t")(0)).find { n =>
+      scala.io.Source.fromFile(s"$dir/$n").getLines().exists(_.contains("eleven"))
+    }.get
+
+    // update key 2 (2 historical copies → healed to ONE row), insert key 30
+    val (replaced, inserted) = ShardDelete.upsertByKey(spark, dir, schema,
+      "doc_id", Seq((2L, "TWO"), (30L, "thirty")).toDF("doc_id", "text"))
+    assert((replaced, inserted) == ((2L, 1L)), s"got ($replaced, $inserted)")
+    val back = ShardReader.read(spark, dir, schema)
+      .as[(Long, String)].collect().toSet
+    assert(back == Set((1L, "one"), (2L, "TWO"), (10L, "ten"),
+      (11L, "eleven"), (20L, "twenty"), (30L, "thirty")), s"got $back")
+    // the untouched shard kept its manifest entry
+    val mfAfter = scala.io.Source.fromFile(s"$dir/_MANIFEST").getLines().toSeq
+    assert(mfAfter.exists(_.startsWith(untouched + "\t")),
+      s"untouched shard $untouched was rewritten: $mfAfter")
+    assert(ShardReader.manifestRowCount(spark, dir) == 6L)
+    assert(!new java.io.File(dir).listFiles().exists(_.getName.startsWith("_upsert-")))
+
+    // re-run converges: same updates replace their own prior values
+    val (r2, i2) = ShardDelete.upsertByKey(spark, dir, schema, "doc_id",
+      Seq((2L, "TWO"), (30L, "thirty")).toDF("doc_id", "text"))
+    assert((r2, i2) == ((2L, 0L)), s"got ($r2, $i2)")
+    assert(ShardReader.read(spark, dir, schema)
+      .as[(Long, String)].collect().toSet == back)
+
+    // key-duplicate updates fail loud with the table intact
+    val mf1 = scala.io.Source.fromFile(s"$dir/_MANIFEST").mkString
+    intercept[IllegalArgumentException] {
+      ShardDelete.upsertByKey(spark, dir, schema, "doc_id",
+        Seq((5L, "x"), (5L, "y")).toDF("doc_id", "text"))
+    }
+    assert(scala.io.Source.fromFile(s"$dir/_MANIFEST").mkString == mf1)
+    // empty updates: a (0, 0) no-op
+    assert(ShardDelete.upsertByKey(spark, dir, schema, "doc_id",
+      Seq.empty[(Long, String)].toDF("doc_id", "text")) == ((0L, 0L)))
+    graft.CacheScope.releaseAll()
+  }
+
   test("ShardDelete: whole-shard deletion drops the shard; orphans stay invisible") {
     import graft.sources.v2.ShardDelete
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
