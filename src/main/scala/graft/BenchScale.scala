@@ -148,7 +148,10 @@ object BenchScale {
     // hybrid serve + the never-ingested twin — every stage linear
     "pipeline_corpus_v10" -> "linear",
     // keyed upsert: hit-shard-only rewrite, same contract as delete
-    "shard_upsert_roundtrip" -> "linear")
+    "shard_upsert_roundtrip" -> "linear",
+    // snapshot lifecycle: three metadata-only snapshots + keyed diffs
+    // (two full-outer joins on the key) + a pin-respecting vacuum
+    "shard_snapshot_diff" -> "linear")
 
   private def writeCorpus(
       spark: SparkSession, srcSf: String, outDir: String, copies: Int): Unit = {

@@ -2885,6 +2885,90 @@ object ExtensionQueries extends QueryFamily {
       .orderBy(col("bucket"))
   }
 
+  /**
+   * Snapshot time travel + keyed version diff on the durable shard
+   * table ([[graft.sources.v2.ShardSnapshot]]): v1 = the pristine
+   * table, v2 = after the planted upsert ([[shardUpsertRoundtrip]]'s
+   * update/insert sets), v3 = after a keyed delete — then, AFTER all
+   * mutations and a pin-respecting vacuum, the v1 view is read back
+   * and digest-chained against DuckDB's derivation of the ORIGINAL
+   * table (the time-travel claim: copy-on-write maintenance must not
+   * reclaim what a live snapshot pins), and the v1→v2 / v2→v3 diffs
+   * are classified per key. `vacuum_ok` gates that the vacuum run
+   * under live pins left the v1 view bit-identical.
+   */
+  def shardSnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.v2.{ShardDelete, ShardSnapshot}
+    val out = graft.TmpCleanup.perProcessDir("graft-shard-snap", dir)
+    graft.TmpCleanup.register(out)
+    val p = java.nio.file.Paths.get(out)
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(java.nio.file.Files.walk(p)) { st =>
+        st.iterator().asScala.toSeq.reverse
+      }.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(col("text")).as("ld"))
+    def append(half: DataFrame): Unit =
+      half.write.format("graft.sources.v2.ShardSink")
+        .option("path", out).mode("append").save()
+    append(docs.filter(col("doc_id") % 2 === 0))
+    append(docs.filter(col("doc_id") % 2 === 1))
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("ld", StringType)))
+    val v1 = ShardSnapshot.create(spark, out)
+    val src = Tables.documents(spark, dir)
+    ShardDelete.upsertByKey(spark, out, schema, "doc_id",
+      src.filter(col("doc_id") % 11 === 3)
+        .select(col("doc_id"), md5(concat(lit("UPD"), col("text"))).as("ld"))
+        .union(src.filter(col("doc_id") % 101 === 0)
+          .select((col("doc_id") + 10000000L).as("doc_id"),
+            md5(concat(lit("NEW"), col("text"))).as("ld"))))
+    val v2 = ShardSnapshot.create(spark, out)
+    ShardDelete.deleteByKey(spark, out, schema, "doc_id",
+      ShardSnapshot.read(spark, out, schema, v2)
+        .filter(col("doc_id") % 7 === 1).select(col("doc_id")))
+    ShardSnapshot.create(spark, out) // v3 ≡ the current table
+
+    def tableDigest(df: DataFrame): (Long, String) = {
+      val r = df.agg(count(lit(1)),
+        md5(concat_ws("",
+          transform(array_sort(collect_list(struct(col("doc_id"), col("ld")))),
+            x => x.getField("ld"))))).collect().head
+      (r.getLong(0), r.getString(1))
+    }
+    // the v1 view BEFORE vacuum, then a vacuum under live pins, then
+    // the v1 view again — bit-equality is the pin contract
+    val before = tableDigest(ShardSnapshot.read(spark, out, schema, v1))
+    ShardSnapshot.vacuum(spark, out)
+    val after = tableDigest(ShardSnapshot.read(spark, out, schema, v1))
+    val vacuumOk = before == after
+
+    def grouped(d: DataFrame, tag: String): DataFrame =
+      d.groupBy(col("change"))
+        .agg(count(lit(1)).as("n"),
+          md5(concat_ws(",",
+            transform(array_sort(collect_list(col("doc_id"))),
+              x => x.cast("string")))).as("digest"))
+        .select(lit(tag).as("tag"), col("change"), col("n"), col("digest"))
+    val asof = ShardSnapshot.read(spark, out, schema, v1)
+      .agg(count(lit(1)).as("n"),
+        md5(concat_ws("",
+          transform(array_sort(collect_list(struct(col("doc_id"), col("ld")))),
+            x => x.getField("ld")))).as("digest"))
+      .select(lit("v1_asof").as("tag"), lit("table").as("change"),
+        col("n"), col("digest"))
+    asof
+      .union(grouped(
+        ShardSnapshot.diffByKey(spark, out, schema, "doc_id", 1, 2), "v1_v2"))
+      .union(grouped(
+        ShardSnapshot.diffByKey(spark, out, schema, "doc_id", 2, 3), "v2_v3"))
+      .withColumn("vacuum_ok", lit(vacuumOk))
+      .orderBy(col("tag"), col("change"))
+  }
+
   def corpusIngestJsonl(spark: SparkSession, dir: String): DataFrame = {
     val in = graft.sources.JsonlCorpus.readQuarantined(spark,
       jsonlFixture(spark, dir, "graft-jsonl"))
@@ -3085,6 +3169,7 @@ object ExtensionQueries extends QueryFamily {
     "shard_compact_roundtrip" -> (shardCompactRoundtrip _),
     "shard_delete_roundtrip" -> (shardDeleteRoundtrip _),
     "shard_upsert_roundtrip" -> (shardUpsertRoundtrip _),
+    "shard_snapshot_diff" -> (shardSnapshotDiff _),
     "ts_twap" -> (tsTwap _),
     "session_stats" -> (sessionStats _),
     "session_stream_stats" -> (sessionStreamStats _),
@@ -4928,6 +5013,40 @@ object ExtensionQueries extends QueryFamily {
         |  MD5(STRING_AGG(MD5(text), '' ORDER BY doc_id)) AS digest,
         |  TRUE AS delete_ok
         |FROM documents WHERE doc_id % 11 <> 3 GROUP BY 1 ORDER BY 1""".stripMargin,
+    // time travel + version diff: the three snapshot views derived
+    // directly from documents (v1 pristine, v2 post-upsert, v2-minus-
+    // %7-keys is v3); the v1 digest is what the POST-mutation,
+    // POST-vacuum snapshot read must still produce
+    "shard_snapshot_diff" ->
+      """WITH v1 AS (SELECT doc_id, MD5(text) AS ld FROM documents),
+        |v2 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 11 = 3 THEN MD5('UPD' || text)
+        |         ELSE MD5(text) END AS ld
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000000 AS doc_id, MD5('NEW' || text) AS ld
+        |  FROM documents WHERE doc_id % 101 = 0),
+        |tv AS (SELECT 'v1_asof' AS tag, 'table' AS change,
+        |    CAST(COUNT(1) AS BIGINT) AS n,
+        |    MD5(STRING_AGG(ld, '' ORDER BY doc_id)) AS digest FROM v1),
+        |d12 AS (
+        |  SELECT CASE WHEN a.doc_id IS NULL THEN 'added'
+        |              WHEN b.doc_id IS NULL THEN 'removed'
+        |              WHEN a.ld <> b.ld THEN 'changed' END AS change,
+        |    COALESCE(a.doc_id, b.doc_id) AS k
+        |  FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id),
+        |g12 AS (SELECT 'v1_v2' AS tag, change, CAST(COUNT(1) AS BIGINT) AS n,
+        |    MD5(STRING_AGG(CAST(k AS VARCHAR), ',' ORDER BY k)) AS digest
+        |  FROM d12 WHERE change IS NOT NULL GROUP BY change),
+        |g23 AS (SELECT 'v2_v3' AS tag, 'removed' AS change,
+        |    CAST(COUNT(1) AS BIGINT) AS n,
+        |    MD5(STRING_AGG(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS digest
+        |  FROM v2 WHERE doc_id % 7 = 1)
+        |SELECT tag, change, n, digest, TRUE AS vacuum_ok FROM tv
+        |UNION ALL SELECT tag, change, n, digest, TRUE FROM g12
+        |UNION ALL SELECT tag, change, n, digest, TRUE FROM g23
+        |ORDER BY tag, change""".stripMargin,
     // the MERGE twin: the post-upsert table derived directly — updated
     // payloads for the % 11 keys, the standing payloads elsewhere, the
     // synthetic + 10⁷ inserts appended; the durable store never seen

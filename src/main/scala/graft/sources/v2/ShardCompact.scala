@@ -77,7 +77,10 @@ object ShardCompact {
     // delete a name the fresh manifest also claims: shard names are
     // UUID-unique in practice, but deleting a just-published shard on
     // a name collision would leave the manifest pointing at nothing.
-    val keep = fresh.map(_._1).toSet
+    // Shards a live snapshot pins stay on disk (invisible orphans to
+    // current readers, the time-travel view for [[ShardSnapshot.read]])
+    // until their pins lapse and a vacuum reclaims them.
+    val keep = fresh.map(_._1).toSet ++ ShardSnapshot.pinned(spark, path)
     old.foreach { case (name, _) =>
       if (!keep.contains(name)) fs.delete(new Path(dir, name), false)
     }

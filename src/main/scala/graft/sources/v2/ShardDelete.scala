@@ -115,10 +115,13 @@ object ShardDelete {
     ShardManifest.writeAtomic(
       spark.sessionState.newHadoopConf(), fs, mfPath, kept ++ fresh)
 
-    // (4) replaced shards are orphans now — best-effort cleanup
-    val freshNames = fresh.map(_._1).toSet
+    // (4) replaced shards are orphans now — best-effort cleanup, except
+    // shards a live snapshot pins (the [[ShardSnapshot]] time-travel
+    // view; compliance note there — a takedown's bytes survive until
+    // the pinning snapshots are dropped and vacuumed)
+    val keepDel = fresh.map(_._1).toSet ++ ShardSnapshot.pinned(spark, path)
     hitCounts.keys.foreach { name =>
-      if (!freshNames.contains(name)) fs.delete(new Path(dir, name), false)
+      if (!keepDel.contains(name)) fs.delete(new Path(dir, name), false)
     }
     fs.delete(scratch, true)
     deleted
@@ -221,10 +224,11 @@ object ShardDelete {
     ShardManifest.writeAtomic(
       spark.sessionState.newHadoopConf(), fs, mfPath, kept ++ fresh)
 
-    // (4) replaced shards are orphans now — best-effort cleanup
-    val freshNames = fresh.map(_._1).toSet
+    // (4) replaced shards are orphans now — best-effort cleanup, except
+    // snapshot-pinned shards (see [[ShardSnapshot]])
+    val keepUp = fresh.map(_._1).toSet ++ ShardSnapshot.pinned(spark, path)
     hitCounts.keys.foreach { name =>
-      if (!freshNames.contains(name)) fs.delete(new Path(dir, name), false)
+      if (!keepUp.contains(name)) fs.delete(new Path(dir, name), false)
     }
     fs.delete(scratch, true)
     (replaced, nUpdates - matchedKeys)

@@ -1,0 +1,174 @@
+package graft.sources.v2
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/**
+ * Snapshot isolation + time travel for [[ShardSink]] tables — the
+ * versioned-read increment on the durable corpus store (the capability
+ * a training-data pipeline leans on daily: "train against corpus v12
+ * while v13 is being built; diff v12→v13 to see exactly what changed";
+ * the lakehouse-table shape of Delta/Iceberg snapshots, re-expressed on
+ * the house manifest contract).
+ *
+ * A snapshot is simply the CURRENT `_MANIFEST`, archived as
+ * `_SNAPSHOT.v<N>` (same `name\trows` format, staged then renamed into
+ * place so a crash never publishes a torn file). Snapshots are
+ * metadata-only — zero data copied — and they make the copy-on-write
+ * maintenance operators time-travel-safe by PINNING: the cleanup step
+ * of [[ShardDelete.deleteByKey]] / [[ShardDelete.upsertByKey]] /
+ * [[ShardCompact.compact]] skips any shard a live snapshot still
+ * names, so [[read]] of an old version keeps working after deletes,
+ * upserts and compactions. A pinned ex-shard is an invisible orphan to
+ * CURRENT readers (the manifest contract already guarantees that) but
+ * stays on disk for snapshot readers — the exact deferred-reclaim
+ * pattern the BM25/near-dup indexes use for serving fleets.
+ *
+ * [[drop]] + [[vacuum]] reclaim pinned ex-shards. COMPLIANCE NOTE: a
+ * takedown ([[ShardDelete.deleteByKey]]) removes rows from the CURRENT
+ * table, but a snapshot that predates it still pins the old bytes —
+ * right-to-be-forgotten therefore requires dropping (or re-creating)
+ * every snapshot that pins the deleted rows and then [[vacuum]]ing;
+ * vacuum returns what it reclaimed so the pipeline can verify, never
+ * silently.
+ *
+ * Same SEQUENTIAL single-writer discipline as every other manifest
+ * writer here (create/drop/vacuum race appends the same way append
+ * races compaction); snapshot files are immutable once published.
+ */
+object ShardSnapshot {
+
+  private val Prefix = "_SNAPSHOT.v"
+
+  private def fsFor(spark: SparkSession, path: String): (FileSystem, Path) = {
+    val dir = new Path(path)
+    (dir.getFileSystem(spark.sessionState.newHadoopConf()), dir)
+  }
+
+  /** Archive the current manifest as the next snapshot version (max
+    * live version + 1); returns the new version number. */
+  def create(spark: SparkSession, path: String): Int = {
+    val (fs, dir) = fsFor(spark, path)
+    val mfPath = new Path(dir, ShardManifest.FileName)
+    require(fs.exists(mfPath),
+      s"no ${ShardManifest.FileName} under $path — nothing committed there")
+    val entries = ShardManifest.read(fs, mfPath)
+    val v = (0 +: list(spark, path)).max + 1
+    val tmp = new Path(dir, s"$Prefix$v.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(ShardManifest.serialize(entries).getBytes("UTF-8"))
+    finally out.close()
+    val dst = new Path(dir, s"$Prefix$v")
+    if (!fs.rename(tmp, dst))
+      throw new java.io.IOException(s"snapshot publish failed: $tmp -> $dst")
+    v
+  }
+
+  /** Live snapshot versions, ascending. */
+  def list(spark: SparkSession, path: String): Seq[Int] = {
+    val (fs, dir) = fsFor(spark, path)
+    val st = fs.globStatus(new Path(dir, s"$Prefix*"))
+    if (st == null) Seq.empty
+    else st.toSeq.map(_.getPath.getName.stripPrefix(Prefix))
+      .filter(_.matches("\\d+")).map(_.toInt).sorted
+  }
+
+  /** The shard entries snapshot `v` names. */
+  def entries(spark: SparkSession, path: String, v: Int): Seq[(String, Long)] = {
+    val (fs, dir) = fsFor(spark, path)
+    val p = new Path(dir, s"$Prefix$v")
+    require(fs.exists(p), s"no snapshot v$v under $path")
+    ShardManifest.read(fs, p)
+  }
+
+  /** Every shard name some live snapshot pins — the set the
+    * copy-on-write cleanup steps must not reclaim. Bounded by
+    * snapshots × shards-per-snapshot manifest LINES, never data. */
+  def pinned(spark: SparkSession, path: String): Set[String] =
+    list(spark, path).iterator
+      .flatMap(v => entries(spark, path, v).iterator.map(_._1)).toSet
+
+  /** Read the table AS OF snapshot `v`. Fails loud — not empty — when a
+    * pinned shard has been vacuumed away (only possible after the
+    * snapshot itself was dropped and re-created with a colliding
+    * number, or an external deletion). */
+  def read(
+      spark: SparkSession, path: String, schema: StructType, v: Int): DataFrame = {
+    val (fs, dir) = fsFor(spark, path)
+    val es = entries(spark, path, v)
+    es.foreach { case (name, _) =>
+      require(fs.exists(new Path(dir, name)),
+        s"snapshot v$v of $path names shard $name which no longer exists " +
+          "— it was vacuumed or externally deleted; the snapshot is gone")
+    }
+    if (es.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema)
+      .json(es.map { case (name, _) => new Path(dir, name).toString }: _*)
+  }
+
+  /** Delete snapshot `v` (its pins lapse; [[vacuum]] reclaims). */
+  def drop(spark: SparkSession, path: String, v: Int): Unit = {
+    val (fs, dir) = fsFor(spark, path)
+    val p = new Path(dir, s"$Prefix$v")
+    require(fs.exists(p), s"no snapshot v$v under $path")
+    fs.delete(p, false)
+  }
+
+  /** Reclaim every top-level shard data file that neither the current
+    * manifest nor any live snapshot names — pinned ex-shards whose pins
+    * lapsed, and crash orphans from torn maintenance runs. Returns the
+    * reclaimed file names (verify, don't trust). */
+  def vacuum(spark: SparkSession, path: String): Seq[String] = {
+    val (fs, dir) = fsFor(spark, path)
+    val mfPath = new Path(dir, ShardManifest.FileName)
+    require(fs.exists(mfPath),
+      s"no ${ShardManifest.FileName} under $path — nothing committed there")
+    val live = ShardManifest.read(fs, mfPath).map(_._1).toSet ++
+      pinned(spark, path)
+    val candidates = fs.listStatus(dir).toSeq
+      .filter(st => st.isFile)
+      .map(_.getPath.getName)
+      .filter(n => n.startsWith("part-") && n.endsWith(".jsonl"))
+    val orphans = candidates.filterNot(live.contains)
+    orphans.foreach(n => fs.delete(new Path(dir, n), false))
+    orphans.sorted
+  }
+
+  /** Per-key content digest of one snapshot view: md5 of the
+    * schema-ordered row json, multi-copy keys folded order-free (sorted
+    * digest list) so historical duplicate keys diff deterministically. */
+  private def keyedDigest(
+      df: DataFrame, schema: StructType, keyCol: String, out: String): DataFrame =
+    df.withColumn("__d",
+        md5(to_json(struct(schema.fieldNames.map(col).toSeq: _*))))
+      .groupBy(col(keyCol).as("__k"))
+      .agg(md5(concat_ws(",", array_sort(collect_list(col("__d"))))).as(out))
+
+  /** Keyed diff between two snapshot versions: one row per key whose
+    * content differs — `change` ∈ added | removed | changed (vOld →
+    * vNew). One hash exchange per side on the key; output is
+    * change-set-sized. */
+  def diffByKey(
+      spark: SparkSession,
+      path: String,
+      schema: StructType,
+      keyCol: String,
+      vOld: Int,
+      vNew: Int): DataFrame = {
+    require(schema.fieldNames.contains(keyCol),
+      s"key column '$keyCol' not in table schema ${schema.fieldNames.mkString(",")}")
+    val a = keyedDigest(read(spark, path, schema, vOld), schema, keyCol, "__da")
+    val b = keyedDigest(read(spark, path, schema, vNew), schema, keyCol, "__db")
+    a.join(b, Seq("__k"), "full_outer")
+      .withColumn("change",
+        when(col("__da").isNull, lit("added"))
+          .when(col("__db").isNull, lit("removed"))
+          .when(col("__da") =!= col("__db"), lit("changed")))
+      .filter(col("change").isNotNull)
+      .select(col("__k").as(keyCol), col("change"))
+  }
+}

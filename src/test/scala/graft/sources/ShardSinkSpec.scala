@@ -281,6 +281,66 @@ class ShardSinkSpec extends SparkSpec {
     graft.CacheScope.releaseAll()
   }
 
+  test("ShardSnapshot: time travel survives delete/upsert/compact; pins gate vacuum; diff classifies") {
+    import graft.sources.v2.{ShardCompact, ShardDelete, ShardSnapshot}
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val dir = java.nio.file.Files.createTempDirectory("graft-shard-snap").toString
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    def append(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.format("graft.sources.v2.ShardSink")
+        .option("path", dir).mode("append").save()
+    append(Seq((1L, "one"), (2L, "two")))
+    append(Seq((3L, "three"), (4L, "four")))
+    val v1 = ShardSnapshot.create(spark, dir)
+    assert(v1 == 1)
+    val v1Rows = Set((1L, "one"), (2L, "two"), (3L, "three"), (4L, "four"))
+
+    // mutate through every copy-on-write operator
+    ShardDelete.upsertByKey(spark, dir, schema, "doc_id",
+      Seq((2L, "TWO"), (5L, "five")).toDF("doc_id", "text"))
+    val v2 = ShardSnapshot.create(spark, dir)
+    ShardDelete.deleteByKey(spark, dir, schema, "doc_id", Seq(3L).toDF("k"))
+    ShardCompact.compact(spark, dir, schema, targetShards = 1)
+
+    // v1 still reads the ORIGINAL table — its shards were pinned
+    // through an upsert, a delete, and a compaction
+    assert(ShardSnapshot.read(spark, dir, schema, v1)
+      .as[(Long, String)].collect().toSet == v1Rows)
+    assert(ShardSnapshot.read(spark, dir, schema, v2)
+      .as[(Long, String)].collect().toSet ==
+      Set((1L, "one"), (2L, "TWO"), (3L, "three"), (4L, "four"), (5L, "five")))
+    // current readers see the post-everything table
+    assert(ShardReader.read(spark, dir, schema)
+      .as[(Long, String)].collect().toSet ==
+      Set((1L, "one"), (2L, "TWO"), (4L, "four"), (5L, "five")))
+
+    // diff v1 → v2: 5 added, 2 changed, nothing removed
+    val d = ShardSnapshot.diffByKey(spark, dir, schema, "doc_id", v1, v2)
+      .as[(Long, String)].collect().toSet
+    assert(d == Set((5L, "added"), (2L, "changed")), s"got $d")
+
+    // vacuum with live pins reclaims nothing a snapshot needs
+    ShardSnapshot.vacuum(spark, dir)
+    assert(ShardSnapshot.read(spark, dir, schema, v1)
+      .as[(Long, String)].collect().toSet == v1Rows)
+
+    // drop both snapshots → vacuum reclaims the ex-shards; current
+    // table is untouched; the dropped snapshot is gone loud
+    ShardSnapshot.drop(spark, dir, v1)
+    ShardSnapshot.drop(spark, dir, v2)
+    val reclaimed = ShardSnapshot.vacuum(spark, dir)
+    assert(reclaimed.nonEmpty, "expected pinned ex-shards to be reclaimed")
+    assert(ShardReader.read(spark, dir, schema)
+      .as[(Long, String)].collect().toSet ==
+      Set((1L, "one"), (2L, "TWO"), (4L, "four"), (5L, "five")))
+    intercept[IllegalArgumentException] {
+      ShardSnapshot.read(spark, dir, schema, v1)
+    }
+    graft.CacheScope.releaseAll()
+  }
+
   test("ShardDelete: whole-shard deletion drops the shard; orphans stay invisible") {
     import graft.sources.v2.ShardDelete
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
