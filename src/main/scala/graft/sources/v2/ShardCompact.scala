@@ -45,6 +45,7 @@ object ShardCompact {
       schema: StructType,
       targetShards: Int = 1): Int = {
     require(targetShards >= 1, s"targetShards must be >= 1: $targetShards")
+    ShardLock.withLock(spark, path) {
     val dir = new Path(path)
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
     val mfPath = new Path(dir, ShardManifest.FileName)
@@ -86,5 +87,6 @@ object ShardCompact {
     }
     fs.delete(scratch, true)
     fresh.size
+    }
   }
 }

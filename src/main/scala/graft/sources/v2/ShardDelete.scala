@@ -68,6 +68,7 @@ object ShardDelete {
       s"key column '$keyCol' not in table schema ${schema.fieldNames.mkString(",")}")
     require(keys.columns.length == 1,
       s"keys must be a one-column frame, got ${keys.columns.mkString(",")}")
+    ShardLock.withLock(spark, path) {
     val dir = new Path(path)
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
     val mfPath = new Path(dir, ShardManifest.FileName)
@@ -125,6 +126,7 @@ object ShardDelete {
     }
     fs.delete(scratch, true)
     deleted
+    }
   }
 
   /**
@@ -159,6 +161,7 @@ object ShardDelete {
     require(updates.columns.toSeq == schema.fieldNames.toSeq,
       s"updates must carry the table schema ${schema.fieldNames.mkString(",")}" +
         s" in order, got ${updates.columns.mkString(",")}")
+    ShardLock.withLock(spark, path) {
     val dir = new Path(path)
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
     val mfPath = new Path(dir, ShardManifest.FileName)
@@ -232,5 +235,6 @@ object ShardDelete {
     }
     fs.delete(scratch, true)
     (replaced, nUpdates - matchedKeys)
+    }
   }
 }

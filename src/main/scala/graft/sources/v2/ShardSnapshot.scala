@@ -48,8 +48,13 @@ object ShardSnapshot {
   }
 
   /** Archive the current manifest as the next snapshot version (max
-    * live version + 1); returns the new version number. */
-  def create(spark: SparkSession, path: String): Int = {
+    * live version + 1); returns the new version number. Takes the
+    * maintenance lock: a create racing a mutator could otherwise
+    * archive a manifest whose shards the mutator is about to reclaim
+    * (the snapshot must either pin pre-mutation shards BEFORE cleanup
+    * sees it, or see the post-mutation manifest — never the gap). */
+  def create(spark: SparkSession, path: String): Int =
+    ShardLock.withLock(spark, path) {
     val (fs, dir) = fsFor(spark, path)
     val mfPath = new Path(dir, ShardManifest.FileName)
     require(fs.exists(mfPath),
@@ -64,7 +69,7 @@ object ShardSnapshot {
     if (!fs.rename(tmp, dst))
       throw new java.io.IOException(s"snapshot publish failed: $tmp -> $dst")
     v
-  }
+    }
 
   /** Live snapshot versions, ascending. */
   def list(spark: SparkSession, path: String): Seq[Int] = {
@@ -110,7 +115,10 @@ object ShardSnapshot {
       .json(es.map { case (name, _) => new Path(dir, name).toString }: _*)
   }
 
-  /** Delete snapshot `v` (its pins lapse; [[vacuum]] reclaims). */
+  /** Delete snapshot `v` (its pins lapse; [[vacuum]] reclaims).
+    * Deliberately lock-free: a concurrent mutator/vacuum that already
+    * read the pins keeps v's shards (the conservative direction); one
+    * that reads after the drop reclaims them — both are correct. */
   def drop(spark: SparkSession, path: String, v: Int): Unit = {
     val (fs, dir) = fsFor(spark, path)
     val p = new Path(dir, s"$Prefix$v")
@@ -121,8 +129,12 @@ object ShardSnapshot {
   /** Reclaim every top-level shard data file that neither the current
     * manifest nor any live snapshot names — pinned ex-shards whose pins
     * lapsed, and crash orphans from torn maintenance runs. Returns the
-    * reclaimed file names (verify, don't trust). */
-  def vacuum(spark: SparkSession, path: String): Seq[String] = {
+    * reclaimed file names (verify, don't trust). Takes the maintenance
+    * lock: a vacuum racing a mutator's orphan-in step would otherwise
+    * see the just-renamed, not-yet-manifested shards as reclaimable and
+    * delete data the imminent publish is about to name. */
+  def vacuum(spark: SparkSession, path: String): Seq[String] =
+    ShardLock.withLock(spark, path) {
     val (fs, dir) = fsFor(spark, path)
     val mfPath = new Path(dir, ShardManifest.FileName)
     require(fs.exists(mfPath),
@@ -136,7 +148,7 @@ object ShardSnapshot {
     val orphans = candidates.filterNot(live.contains)
     orphans.foreach(n => fs.delete(new Path(dir, n), false))
     orphans.sorted
-  }
+    }
 
   /** Per-key content digest of one snapshot view: md5 of the
     * schema-ordered row json, multi-copy keys folded order-free (sorted

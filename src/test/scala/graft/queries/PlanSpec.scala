@@ -420,15 +420,11 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("text"), s"sample_source_cap reads document text:\n$p")
   }
 
-  test("pipeline_corpus_v9: no cartesian, screen joins present, text off every exchange") {
-    val p = plan("pipeline_corpus_v9")
-    assert(!p.contains("CartesianProduct"), s"cartesian in v9:\n$p")
-    // the durable-index screen: semi-join on band keys, survivor anti-join
-    assert(p.contains("LeftSemi"), s"expected the index semi-join:\n$p")
-    assert(p.contains("LeftAnti"), s"expected the survivor anti-join:\n$p")
-    // every exchange (including those inside scoped-cache subplans the
-    // formatted mode prints) must ship scalars/digests, never document
-    // text — parse the detail blocks and check their attribute lists
+  /** Parse the formatted plan's detail blocks and assert no exchange
+    * (shuffle or broadcast) ships a document-text attribute — the
+    * shared contract of the composed flagships and the retrieval rows:
+    * exchanges carry scalars/tokens/digests, never corpus text. */
+  private def assertTextOffExchanges(p: String, textAttr: String = "text#"): Unit = {
     val blocks = scala.collection.mutable.ArrayBuffer[Vector[String]]()
     var cur = Vector.empty[String]
     p.linesIterator.foreach { l =>
@@ -441,10 +437,35 @@ class PlanSpec extends SparkSpec {
     val exchanges = blocks.filter(
       _.head.matches("""\(\d+\) (Exchange|BroadcastExchange).*"""))
     assert(exchanges.nonEmpty, s"no exchange blocks parsed — format drift?\n$p")
-    val textCarrying = exchanges.filter(_.exists(_.contains("text#")))
+    val textCarrying = exchanges.filter(_.exists(_.contains(textAttr)))
     assert(textCarrying.isEmpty,
       s"document text rides ${textCarrying.size} exchange(s):\n" +
         textCarrying.map(_.take(4).mkString("\n")).mkString("\n---\n"))
+  }
+
+  test("pipeline_corpus_v9: no cartesian, screen joins present, text off every exchange") {
+    val p = plan("pipeline_corpus_v9")
+    assert(!p.contains("CartesianProduct"), s"cartesian in v9:\n$p")
+    // the durable-index screen: semi-join on band keys, survivor anti-join
+    assert(p.contains("LeftSemi"), s"expected the index semi-join:\n$p")
+    assert(p.contains("LeftAnti"), s"expected the survivor anti-join:\n$p")
+    // every exchange (including those inside scoped-cache subplans the
+    // formatted mode prints) must ship scalars/digests, never document
+    // text — parse the detail blocks and check their attribute lists
+    assertTextOffExchanges(p)
+    graft.CacheScope.releaseAll()
+  }
+
+  test("text_hybrid_topk: no cartesian beyond the 1-row stats, fusion is WindowGroupLimit, text off every exchange") {
+    val p = plan("text_hybrid_topk")
+    assert(!p.contains("CartesianProduct"), s"cartesian in the hybrid:\n$p")
+    // both rankers' top-k filters and the fused top-n rewrite to
+    // WindowGroupLimit — the candidate lists never materialize past k
+    assert(p.contains("WindowGroupLimit"), s"expected rank pushdown:\n$p")
+    // the sparse side shuffles (doc_id, tok)-level postings and the
+    // dense side broadcasts the query vectors; corpus text must stay
+    // out of every exchange
+    assertTextOffExchanges(p)
     graft.CacheScope.releaseAll()
   }
 

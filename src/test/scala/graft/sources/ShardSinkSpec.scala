@@ -341,6 +341,48 @@ class ShardSinkSpec extends SparkSpec {
     graft.CacheScope.releaseAll()
   }
 
+  test("ShardLock: mutators fail fast under a held lock; stale lease breaks; release restores") {
+    import graft.sources.v2.{ShardDelete, ShardLock, ShardSnapshot}
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val dir = java.nio.file.Files.createTempDirectory("graft-shard-lock").toString
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    Seq((1L, "one"), (2L, "two")).toDF("doc_id", "text").coalesce(1)
+      .write.format("graft.sources.v2.ShardSink")
+      .option("path", dir).mode("append").save()
+
+    // a held (fresh) lock: every mutator fails LOUD, table untouched
+    val lockFile = new java.io.File(dir, ShardLock.FileName)
+    val w = new java.io.PrintWriter(lockFile)
+    w.println(s"other-writer\t${System.currentTimeMillis()}"); w.close()
+    val mfBefore = scala.io.Source.fromFile(s"$dir/_MANIFEST").mkString
+    intercept[ShardLock.LockHeldException] {
+      ShardDelete.deleteByKey(spark, dir, schema, "doc_id", Seq(1L).toDF("k"))
+    }
+    intercept[ShardLock.LockHeldException] {
+      ShardDelete.upsertByKey(spark, dir, schema, "doc_id",
+        Seq((9L, "nine")).toDF("doc_id", "text"))
+    }
+    intercept[ShardLock.LockHeldException] {
+      ShardSnapshot.create(spark, dir)
+    }
+    assert(scala.io.Source.fromFile(s"$dir/_MANIFEST").mkString == mfBefore)
+    // the foreign lock survives the failed attempts
+    assert(lockFile.exists())
+
+    // an EXPIRED lease (crashed holder) is broken and the run proceeds
+    val w2 = new java.io.PrintWriter(lockFile)
+    w2.println(s"crashed-writer\t${System.currentTimeMillis() - 3600000L}")
+    w2.close()
+    assert(ShardDelete.deleteByKey(spark, dir, schema, "doc_id",
+      Seq(2L).toDF("k")) == 1L)
+    // the lock was released after the successful run
+    assert(!lockFile.exists())
+    assert(ShardReader.read(spark, dir, schema)
+      .select("doc_id").as[Long].collect().toSet == Set(1L))
+    graft.CacheScope.releaseAll()
+  }
+
   test("ShardDelete: whole-shard deletion drops the shard; orphans stay invisible") {
     import graft.sources.v2.ShardDelete
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
