@@ -103,8 +103,12 @@ object ShardSnapshot {
       spark: SparkSession, path: String, schema: StructType, v: Int): DataFrame = {
     val (fs, dir) = fsFor(spark, path)
     val es = entries(spark, path, v)
+    // ONE directory listing, not one exists() RPC per shard — a
+    // thousand-shard snapshot costs one metadata call to validate
+    val present = fs.listStatus(dir).iterator
+      .filter(_.isFile).map(_.getPath.getName).toSet
     es.foreach { case (name, _) =>
-      require(fs.exists(new Path(dir, name)),
+      require(present.contains(name),
         s"snapshot v$v of $path names shard $name which no longer exists " +
           "— it was vacuumed or externally deleted; the snapshot is gone")
     }
