@@ -53,6 +53,16 @@ import org.apache.spark.sql.functions._
  *    flagging the cache-regime transition the fixture cannot avoid.
  *    The exponent is recorded unchanged for every row — the artifact,
  *    not the gate, is the primary output.
+ *
+ * Ratio estimator: the gated quantity is the ×10/×1 RATIO, so it is
+ * estimated per sweep (scales alternate inside a sweep — both
+ * measurements share the box state) and the MEDIAN across sweeps is
+ * gated. The previous per-scale min-of-sweeps composed two minima of
+ * noisy quantities; the x1 floor is fixed-cost-dominated (higher
+ * relative variance), so its min drops faster as sweeps grow and the
+ * ratio INFLATES on unchanged code (measured r15: dedup_exact 8.9 →
+ * 19.3 going from 3 to 6 sweeps purely from the x1 min falling
+ * 0.05 → 0.03). Per-scale minima are still reported for cost tracking.
  */
 object BenchScale {
 
@@ -130,7 +140,8 @@ object BenchScale {
     // stream row is NOT probed — the scaled fixture carries no events
     // table, same reason ts_anomaly has no probe)
     "quality_lm_buckets" -> "linear",
-    "stream_shard_append" -> "linear",
+    // composite: write → stream-restart → read-back store lifecycle
+    "stream_shard_append" -> "composite",
     // r14 probes: the newest composed/streaming/index surfaces — the
     // durable near-dup index lifecycle (build → append → compact →
     // serve; the build/serve asymmetry only shows at scale), the
@@ -142,7 +153,9 @@ object BenchScale {
     "dedup_index_admit" -> "linear",
     "stream_neardup_admit" -> "linear",
     "pipeline_corpus_v8" -> "linear",
-    "pipeline_corpus_v9" -> "linear",
+    // composite: builds, appends and serves the durable near-dup index
+    // on disk inside the row — the store-lifecycle shape
+    "pipeline_corpus_v9" -> "composite",
     "unigram_token_count" -> "linear",
     "ann_train_recovery" -> "linear",
     // r15 probes: the unigram TRAIN path (the corpus-sized substring
@@ -307,20 +320,38 @@ object BenchScale {
                else math.min(8, math.ceil(floorSec / math.max(c1, floorSec / 8)).toInt))
     }.toMap
 
-    // min-of-N sweeps, alternating scales inside each sweep so host load
-    // bursts hit both scales alike
+    // N sweeps, alternating scales inside each sweep so host load
+    // bursts hit both scales alike. The gated quantity is the RATIO, so
+    // it is estimated per sweep (both scales measured back-to-back under
+    // the same box state) and the MEDIAN across sweeps is gated —
+    // min-per-scale composed two minima of noisy quantities, and since
+    // the x1 floor is fixed-cost-dominated (higher relative variance)
+    // its min drops faster with more sweeps, systematically INFLATING
+    // the ratio (measured r15: dedup_exact's x1 min fell 0.05 → 0.03
+    // from 3 to 6 sweeps and the ratio rose 8.9 → 19.3 on unchanged
+    // code). Per-scale minima are still reported for cost tracking.
     val cpu = scala.collection.mutable.Map.empty[(String, String), Double]
+    val sweepCpu = scala.collection.mutable.Map
+      .empty[(String, String), Vector[Double]].withDefaultValue(Vector.empty)
     for (_ <- 1 to sweeps; (name, _) <- selected; (tag, d) <- dirs) {
       val c = measure(qs(name), d, repeats(name))
       val key = (name, tag)
       cpu(key) = math.min(cpu.getOrElse(key, Double.MaxValue), c)
+      sweepCpu(key) = sweepCpu(key) :+ c
     }
     val loadEnd = osBean.getSystemLoadAverage
+    def medianRatio(name: String): Double = {
+      val rs = sweepCpu((name, "x1")).zip(sweepCpu((name, "x10")))
+        .map { case (c1, c10) => c10 / math.max(c1, 1e-9) }.sorted
+      if (rs.isEmpty) 0.0
+      else if (rs.size % 2 == 1) rs(rs.size / 2)
+      else (rs(rs.size / 2 - 1) + rs(rs.size / 2)) / 2.0
+    }
 
     val entries = selected.map { case (name, cls) =>
       val c1 = cpu((name, "x1")); val c10 = cpu((name, "x10"))
       val r1 = rows(name)("x1"); val r10 = rows(name)("x10")
-      val cpuRatio = c10 / math.max(c1, 1e-9)
+      val cpuRatio = medianRatio(name)
       val exponent = math.log(math.max(cpuRatio, 1e-9)) / math.log(10.0)
       val budgetRatio =
         if (cls == "answer") math.max(r10.toDouble / math.max(r1, 1L), 10.0)
@@ -346,7 +377,7 @@ object BenchScale {
       // system load average at sweep start/end as the concurrent-load flag
       ", \"protocol\": " + String.format(java.util.Locale.ROOT,
         "{\"isolation\": \"dedicated-jvm\", \"estimator\": " +
-          "\"min-of-sweeps per-rep cpu\", \"floor_sec\": %.1f, " +
+          "\"median-of-sweep-ratios; per-scale min-of-sweeps per-rep cpu\", \"floor_sec\": %.1f, " +
           "\"load_avg_start\": %.2f, \"load_avg_end\": %.2f}",
         Double.box(floorSec), Double.box(loadStart), Double.box(loadEnd)) +
       ", \"queries\": {\n", ",\n", "\n  }\n}")
