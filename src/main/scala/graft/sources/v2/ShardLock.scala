@@ -17,10 +17,14 @@ import org.apache.spark.sql.SparkSession
  * Mechanics: EXCLUSIVE CREATE of `_LOCK` (fails on every filesystem
  * when the file exists — the same primitive the index meta publishes
  * use; a temp+rename would silently overwrite on RawLocalFileSystem).
- * The file carries `token\tepochMillis`. A holder that crashed leaves
- * the file behind; a later writer breaks it once the LEASE has expired
- * (delete + one retry — two breakers racing both delete idempotently,
- * exclusive create picks the single winner). Release deletes the file
+ * The file carries `token\tepochMillis` (the token is the release
+ * identity; the timestamp is informational — lease EXPIRY is judged by
+ * the file's MTIME, which exists from the exclusive create itself, so
+ * a reader landing between another writer's create and its content
+ * write sees "held, identity unknown", never a breakable lock). A
+ * holder that crashed leaves the file behind; a later writer breaks it
+ * once the LEASE has expired (delete + one retry — two breakers racing
+ * both delete idempotently, exclusive create picks the single winner). Release deletes the file
  * only if it still carries OUR token; finding someone else's token
  * means the lease expired mid-run and another writer took over — the
  * release throws so the overlap is surfaced, never silent (the work
@@ -82,9 +86,16 @@ object ShardLock {
     var acquired = tryAcquire(fs, p, token)
     if (!acquired) {
       val holder = readLock(fs, p)
-      val expired = holder.forall { case (_, ts) =>
-        System.currentTimeMillis() - ts > leaseMs
-      }
+      // lease expiry is judged by the lock FILE's mtime, not its content:
+      // a reader can land in the tiny window between another writer's
+      // exclusive create and its content write — an empty/torn read must
+      // mean "held, identity unknown", never "expired" (content-based
+      // expiry would break a just-created live lock there). mtime exists
+      // from the create itself; a vanished file means the holder released
+      // — retry the acquire.
+      val expired = try {
+        System.currentTimeMillis() - fs.getFileStatus(p).getModificationTime > leaseMs
+      } catch { case _: java.io.FileNotFoundException => true }
       if (!expired)
         throw new LockHeldException(
           s"maintenance lock on $path held by ${holder.map(_._1).getOrElse("?")} " +

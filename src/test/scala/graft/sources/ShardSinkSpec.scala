@@ -351,8 +351,16 @@ class ShardSinkSpec extends SparkSpec {
       .write.format("graft.sources.v2.ShardSink")
       .option("path", dir).mode("append").save()
 
-    // a held (fresh) lock: every mutator fails LOUD, table untouched
+    // a held (fresh) lock: every mutator fails LOUD, table untouched.
+    // Written EMPTY first — the mid-create window another writer's
+    // reader can land in — then with content: both must read as held
     val lockFile = new java.io.File(dir, ShardLock.FileName)
+    lockFile.createNewFile()
+    val mfBefore0 = scala.io.Source.fromFile(s"$dir/_MANIFEST").mkString
+    intercept[ShardLock.LockHeldException] {
+      ShardDelete.deleteByKey(spark, dir, schema, "doc_id", Seq(1L).toDF("k"))
+    }
+    assert(scala.io.Source.fromFile(s"$dir/_MANIFEST").mkString == mfBefore0)
     val w = new java.io.PrintWriter(lockFile)
     w.println(s"other-writer\t${System.currentTimeMillis()}"); w.close()
     val mfBefore = scala.io.Source.fromFile(s"$dir/_MANIFEST").mkString
@@ -370,10 +378,13 @@ class ShardSinkSpec extends SparkSpec {
     // the foreign lock survives the failed attempts
     assert(lockFile.exists())
 
-    // an EXPIRED lease (crashed holder) is broken and the run proceeds
+    // an EXPIRED lease (crashed holder) is broken and the run proceeds —
+    // expiry is judged by the lock file's MTIME (content timestamps are
+    // informational: a fresh empty file mid-create must read as held)
     val w2 = new java.io.PrintWriter(lockFile)
     w2.println(s"crashed-writer\t${System.currentTimeMillis() - 3600000L}")
     w2.close()
+    assert(lockFile.setLastModified(System.currentTimeMillis() - 3600000L))
     assert(ShardDelete.deleteByKey(spark, dir, schema, "doc_id",
       Seq(2L).toDF("k")) == 1L)
     // the lock was released after the successful run
