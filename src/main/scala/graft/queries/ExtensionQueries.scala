@@ -2780,13 +2780,18 @@ object ExtensionQueries extends QueryFamily {
 
   /**
    * Keyed-delete round trip — [[shardSinkRoundtrip]]'s takedown twin
-   * ([[graft.sources.v2.ShardDelete]]): two appends build the table,
-   * `deleteByKey` removes the planted id set (`doc_id % 11 == 3`, plus
-   * a key matching nothing), and the read-back digest chains must equal
-   * DuckDB's NEVER-INGESTED derivation — copy-on-write applied, no
-   * survivor lost, no deleted row leaking back through the manifest.
+   * ([[graft.sources.v2.ShardDelete]]): two RANGE-split appends (ids ≤
+   * max/2 and above) build the table with `_STATS` key ranges, then
+   * `deleteByKey` removes a planted id set confined to the LOW half
+   * (`doc_id % 11 == 3 AND doc_id <= max/2`, plus a key matching
+   * nothing) — so hit DISCOVERY must prune to the low-range shards at
+   * metadata level. The read-back digest chains must equal DuckDB's
+   * NEVER-INGESTED derivation — copy-on-write applied, no survivor
+   * lost, no deleted row leaking back through the manifest.
    * `delete_ok` additionally gates the exact deleted-row count, the
-   * manifest row-count truth, and re-run convergence (same keys → 0).
+   * manifest row-count truth, re-run convergence (same keys → 0), AND
+   * the prune itself: every candidate shard's stats range sits inside
+   * the low half, with the high-range shards never read.
    */
   def shardDeleteRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     import graft.sources.v2.{ShardDelete, ShardReader}
@@ -2801,23 +2806,36 @@ object ExtensionQueries extends QueryFamily {
     }
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), md5(col("text")).as("ld"))
+    val mid = Tables.documents(spark, dir)
+      .agg(max(col("doc_id"))).collect().head.getLong(0) / 2L
     def append(half: DataFrame): Unit =
       half.write.format("graft.sources.v2.ShardSink")
-        .option("path", out).mode("append").save()
-    append(docs.filter(col("doc_id") % 2 === 0))
-    append(docs.filter(col("doc_id") % 2 === 1))
+        .option("path", out).option("statsColumn", "doc_id")
+        .mode("append").save()
+    append(docs.filter(col("doc_id") <= mid))
+    append(docs.filter(col("doc_id") > mid))
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("ld", StringType)))
     val keys = Tables.documents(spark, dir)
-      .filter(col("doc_id") % 11 === 3).select(col("doc_id"))
+      .filter(col("doc_id") % 11 === 3 && col("doc_id") <= mid)
+      .select(col("doc_id"))
       .union(spark.range(1).select(lit(-999L).as("doc_id")))
+    // the manifest-stats prune: discovery may only READ low-half shards
+    val cands = ShardDelete.candidateShards(spark, out, schema, "doc_id", keys)
+    val hadoopDir = new org.apache.hadoop.fs.Path(out)
+    val statsRanges = graft.sources.v2.ShardStats.readIfExists(
+      hadoopDir.getFileSystem(spark.sessionState.newHadoopConf()),
+      hadoopDir).get.ranges
+    val total = ShardReader.manifestShardCount(spark, out)
+    val pruneOk = cands.nonEmpty && cands.size < total &&
+      cands.forall(n => statsRanges(n).exists(_._2.toLong <= mid))
     val deleted = ShardDelete.deleteByKey(spark, out, schema, "doc_id", keys)
     val rerun = ShardDelete.deleteByKey(spark, out, schema, "doc_id", keys)
     val expected = Tables.documents(spark, dir)
-      .filter(col("doc_id") % 11 === 3).count()
+      .filter(col("doc_id") % 11 === 3 && col("doc_id") <= mid).count()
     val back = ShardReader.read(spark, out, schema)
-    val deleteOk = deleted == expected && rerun == 0L &&
+    val deleteOk = pruneOk && deleted == expected && rerun == 0L &&
       graft.sources.v2.ShardReader.manifestRowCount(spark, out) == back.count()
     back.groupBy((col("doc_id") % 8).as("bucket"))
       .agg(count(lit(1)).as("n_docs"),
@@ -2855,7 +2873,8 @@ object ExtensionQueries extends QueryFamily {
       .select(col("doc_id"), md5(col("text")).as("ld"))
     def append(half: DataFrame): Unit =
       half.write.format("graft.sources.v2.ShardSink")
-        .option("path", out).mode("append").save()
+        .option("path", out).option("statsColumn", "doc_id")
+        .mode("append").save()
     append(docs.filter(col("doc_id") % 2 === 0))
     append(docs.filter(col("doc_id") % 2 === 1))
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
@@ -2912,7 +2931,8 @@ object ExtensionQueries extends QueryFamily {
       .select(col("doc_id"), md5(col("text")).as("ld"))
     def append(half: DataFrame): Unit =
       half.write.format("graft.sources.v2.ShardSink")
-        .option("path", out).mode("append").save()
+        .option("path", out).option("statsColumn", "doc_id")
+        .mode("append").save()
     append(docs.filter(col("doc_id") % 2 === 0))
     append(docs.filter(col("doc_id") % 2 === 1))
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
@@ -2930,7 +2950,7 @@ object ExtensionQueries extends QueryFamily {
     ShardDelete.deleteByKey(spark, out, schema, "doc_id",
       ShardSnapshot.read(spark, out, schema, v2)
         .filter(col("doc_id") % 7 === 1).select(col("doc_id")))
-    ShardSnapshot.create(spark, out) // v3 ≡ the current table
+    val v3 = ShardSnapshot.create(spark, out) // v3 ≡ the current table
 
     def tableDigest(df: DataFrame): (Long, String) = {
       val r = df.agg(count(lit(1)),
@@ -2960,12 +2980,38 @@ object ExtensionQueries extends QueryFamily {
             x => x.getField("ld")))).as("digest"))
       .select(lit("v1_asof").as("tag"), lit("table").as("change"),
         col("n"), col("digest"))
-    asof
+    // materialize BEFORE retention — the rows below read snapshot views
+    // whose files the retention pass reclaims
+    val resultRows = asof
       .union(grouped(
         ShardSnapshot.diffByKey(spark, out, schema, "doc_id", 1, 2), "v1_v2"))
       .union(grouped(
         ShardSnapshot.diffByKey(spark, out, schema, "doc_id", 2, 3), "v2_v3"))
+      .collect().toSeq
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getString(3)))
+
+    // retention compliance, ONE audited call: retain(keepLast = 1) must
+    // drop exactly v1+v2, reclaim their pinned ex-shards, leave the
+    // current table and the kept snapshot bit-identical, make the
+    // dropped versions fail LOUD, and never reuse a dropped number
+    val ts = Seq(v1, v2, v3).map(v => ShardSnapshot.createdAt(spark, out, v))
+    val current0 = tableDigest(
+      graft.sources.v2.ShardReader.read(spark, out, schema))
+    val keptV3 = tableDigest(ShardSnapshot.read(spark, out, schema, v3))
+    val (dropped, reclaimed) = ShardSnapshot.retain(spark, out, keepLast = 1)
+    val retainOk = ts.forall(_ > 0L) && ts == ts.sorted &&
+      dropped == Seq(v1, v2) && reclaimed.nonEmpty &&
+      tableDigest(ShardSnapshot.read(spark, out, schema, v3)) == keptV3 &&
+      tableDigest(
+        graft.sources.v2.ShardReader.read(spark, out, schema)) == current0 &&
+      scala.util.Try(
+        ShardSnapshot.read(spark, out, schema, v1).count()).isFailure &&
+      ShardSnapshot.create(spark, out) == v3 + 1
+
+    import spark.implicits._
+    resultRows.toDF("tag", "change", "n", "digest")
       .withColumn("vacuum_ok", lit(vacuumOk))
+      .withColumn("retain_ok", lit(retainOk))
       .orderBy(col("tag"), col("change"))
   }
 
@@ -5007,12 +5053,16 @@ object ExtensionQueries extends QueryFamily {
         |  TRUE AS restored_equal, TRUE AS tombstones_cleared
         |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin,
     // the takedown twin: digest chains over documents that NEVER had
-    // the deleted ids, plus the constant-TRUE delete gates
+    // the deleted ids (the planted set confined to the low id half so
+    // the stats prune is observable), plus the constant-TRUE delete gates
     "shard_delete_roundtrip" ->
       """SELECT doc_id % 8 AS bucket, COUNT(1) AS n_docs,
         |  MD5(STRING_AGG(MD5(text), '' ORDER BY doc_id)) AS digest,
         |  TRUE AS delete_ok
-        |FROM documents WHERE doc_id % 11 <> 3 GROUP BY 1 ORDER BY 1""".stripMargin,
+        |FROM documents
+        |WHERE NOT (doc_id % 11 = 3
+        |  AND doc_id <= (SELECT MAX(doc_id) // 2 FROM documents))
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // time travel + version diff: the three snapshot views derived
     // directly from documents (v1 pristine, v2 post-upsert, v2-minus-
     // %7-keys is v3); the v1 digest is what the POST-mutation,
@@ -5043,9 +5093,10 @@ object ExtensionQueries extends QueryFamily {
         |    CAST(COUNT(1) AS BIGINT) AS n,
         |    MD5(STRING_AGG(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS digest
         |  FROM v2 WHERE doc_id % 7 = 1)
-        |SELECT tag, change, n, digest, TRUE AS vacuum_ok FROM tv
-        |UNION ALL SELECT tag, change, n, digest, TRUE FROM g12
-        |UNION ALL SELECT tag, change, n, digest, TRUE FROM g23
+        |SELECT tag, change, n, digest, TRUE AS vacuum_ok, TRUE AS retain_ok
+        |FROM tv
+        |UNION ALL SELECT tag, change, n, digest, TRUE, TRUE FROM g12
+        |UNION ALL SELECT tag, change, n, digest, TRUE, TRUE FROM g23
         |ORDER BY tag, change""".stripMargin,
     // the MERGE twin: the post-upsert table derived directly — updated
     // payloads for the % 11 keys, the standing payloads elsewhere, the

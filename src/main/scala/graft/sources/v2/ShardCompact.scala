@@ -29,23 +29,26 @@ import org.apache.spark.sql.types.StructType
  *     what are now orphans; a crash anywhere before (3) leaves the old
  *     table intact, after (3) the new one, never a mix.
  *
- * Same SEQUENTIAL single-writer discipline as append ([[ShardSink]]'s
- * scaladoc): don't compact concurrently with an append — the manifest
- * read-merge-write races. Re-running after any crash is safe and
+ * Concurrency is the [[ShardLock]] structural guarantee — the sink's
+ * job commit takes the same lock, so a compaction cannot interleave
+ * with an append's publish. Re-running after any crash is safe and
  * converges (compacting an already-compact table is a no-op).
  */
 object ShardCompact {
 
   /** Rewrite the manifested shards of `path` into `targetShards` files.
     * No-op when the table already has ≤ `targetShards` shards. Returns
-    * the number of shards after compaction. */
+    * the number of shards after compaction. A table carrying `_STATS`
+    * key ranges keeps them: the rewrite re-collects stats on the same
+    * column, so compaction never costs the keyed-maintenance prune. */
   def compact(
       spark: SparkSession,
       path: String,
       schema: StructType,
-      targetShards: Int = 1): Int = {
+      targetShards: Int = 1,
+      leaseMs: Long = ShardLock.DefaultLeaseMs): Int = {
     require(targetShards >= 1, s"targetShards must be >= 1: $targetShards")
-    ShardLock.withLock(spark, path) {
+    ShardLock.withLock(spark, path, leaseMs) {
     val dir = new Path(path)
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
     val mfPath = new Path(dir, ShardManifest.FileName)
@@ -53,14 +56,16 @@ object ShardCompact {
       s"no ${ShardManifest.FileName} under $path — nothing to compact")
     val old = ShardManifest.read(fs, mfPath)
     if (old.size <= targetShards) return old.size
+    val statsCol = ShardStats.readIfExists(fs, dir).map(_.column)
 
     // (1) consolidate through the sink's own two-phase commit, into a
     // scratch dir whose content is invisible to readers of `path`
     val scratch = new Path(dir, s"_compact-${UUID.randomUUID().toString.take(8)}")
-    ShardReader.read(spark, path, schema)
+    val w = ShardReader.read(spark, path, schema)
       .repartition(targetShards)
       .write.format("graft.sources.v2.ShardSink")
-      .option("path", scratch.toString).mode("append").save()
+      .option("path", scratch.toString).mode("append")
+    statsCol.fold(w)(c => w.option(ShardStats.OptionKey, c)).save()
     val fresh = ShardManifest.read(fs, new Path(scratch, ShardManifest.FileName))
 
     // (2) orphan-in the new shards
@@ -73,6 +78,15 @@ object ShardCompact {
 
     // (3) the atomic switch
     ShardManifest.writeAtomic(spark.sessionState.newHadoopConf(), fs, mfPath, fresh)
+    // every old shard is replaced — the fresh stats (collected by the
+    // scratch write) become the whole `_STATS`
+    statsCol.foreach { c =>
+      val freshNames = fresh.map(_._1).toSet
+      ShardStats.readIfExists(fs, scratch).foreach { s =>
+        ShardStats.writeAtomic(spark.sessionState.newHadoopConf(), fs, dir,
+          s.copy(ranges = s.ranges.view.filterKeys(freshNames.contains).toMap))
+      }
+    }
 
     // (4) old shards are orphans now — best-effort cleanup. Never
     // delete a name the fresh manifest also claims: shard names are

@@ -14,13 +14,18 @@ import org.apache.spark.sql.types.StructType
  * append ([[ShardSink]]) + compaction ([[ShardCompact]]) pair leaves
  * out: removing a document by id without rewriting the table).
  *
- * Only the shards that actually CONTAIN a matching key are rewritten —
- * at 100 TB a takedown touches a handful of ids, and rewriting the
- * whole table for them is the failure mode this operator exists to
- * avoid. One manifest-scoped scan finds the hit shards (per-shard match
- * counts — a bounded, ≤-shard-count collect, the house model-state
- * contract); untouched shards keep their manifest entries and are
- * never read again.
+ * Only the shards that actually CONTAIN a matching key are rewritten,
+ * and — when the table carries `_STATS` key ranges ([[ShardStats]],
+ * written by appends with the `statsColumn` option) — only the shards
+ * whose [min,max] can contain a key are even READ: hit discovery is a
+ * broadcast range-join of the key set against the ≤-file-count shard
+ * range table, then one scan of the surviving candidates for per-shard
+ * match counts (a bounded, ≤-shard-count collect, the house model-state
+ * contract). At 100 TB a 5-id takedown reads the handful of shards the
+ * manifest stats cannot rule out, not the table. Without stats (or
+ * stats on a different column) discovery degrades to one manifest-scoped
+ * scan of every shard — correct, just un-pruned. Untouched shards keep
+ * their manifest entries and are never read again.
  *
  * Crash safety is ENTIRELY the manifest contract, same four steps as
  * [[ShardCompact.compact]]:
@@ -42,15 +47,66 @@ import org.apache.spark.sql.types.StructType
  * step (4) (and until a physical `fs.delete` completes) — a compliance
  * pipeline should verify cleanup, as with any copy-on-write store.
  *
- * Same SEQUENTIAL single-writer discipline as append/compaction: do
- * not run a delete concurrently with either (manifest read-merge-write
- * races). The NEAR-DUP index deliberately has no delete counterpart:
- * an admission screen treats a takedown as "never re-admit this
- * content", which is exactly what the retained band keys express.
+ * Concurrency is the [[ShardLock]] structural guarantee (the sink's
+ * commit takes the same lock, so even an append cannot interleave with
+ * the publish). The NEAR-DUP index deliberately has no delete
+ * counterpart: an admission screen treats a takedown as "never re-admit
+ * this content", which is exactly what the retained band keys express.
  * The BM25 index handles deletes via doc-keyed tombstones
  * ([[graft.operators.Retrieval]]), since postings ARE doc-keyed.
  */
 object ShardDelete {
+
+  /** Hit-discovery prune, exposed for spec-level file-list asserts and
+    * the stage-timed scale probes: the shard names a delete/upsert of
+    * `keys` must read, given the table's `_STATS` (all manifested shards
+    * when stats are absent or keyed differently). */
+  def candidateShards(
+      spark: SparkSession,
+      path: String,
+      schema: StructType,
+      keyCol: String,
+      keys: DataFrame): Seq[String] = {
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val mfPath = new Path(dir, ShardManifest.FileName)
+    require(fs.exists(mfPath),
+      s"no ${ShardManifest.FileName} under $path — nothing committed there")
+    val old = ShardManifest.read(fs, mfPath)
+    val keyDf = keys.select(keys.columns.head).distinct()
+      .withColumnRenamed(keys.columns.head, "__k")
+    ShardStats.candidateShards(spark, fs, dir,
+      schema(keyCol).dataType, keyCol, keyDf, old.map(_._1))
+  }
+
+  /** Rewrite the table's `_STATS` after a copy-on-write publish: entries
+    * of replaced shards dropped, entries of fresh shards merged in from
+    * the scratch write's own stats. No-op when the table has no stats. */
+  private def mergeStats(
+      spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      dir: Path,
+      scratch: Path,
+      replaced: Set[String],
+      fresh: Seq[(String, Long)]): Unit = {
+    ShardStats.readIfExists(fs, dir).foreach { s =>
+      val freshNames = fresh.map(_._1).toSet
+      val scratchRanges = ShardStats.readIfExists(fs, scratch)
+        .map(_.ranges.view.filterKeys(freshNames.contains).toMap)
+        .getOrElse(Map.empty)
+      ShardStats.writeAtomic(spark.sessionState.newHadoopConf(), fs, dir,
+        s.copy(ranges = (s.ranges -- replaced) ++ scratchRanges))
+    }
+  }
+
+  /** The scratch write, carrying the table's stats option through so
+    * rewritten shards stay prunable. */
+  private def writeScratch(
+      df: DataFrame, scratch: Path, statsCol: Option[String]): Unit = {
+    val w = df.write.format("graft.sources.v2.ShardSink")
+      .option("path", scratch.toString).mode("append")
+    statsCol.fold(w)(c => w.option(ShardStats.OptionKey, c)).save()
+  }
 
   /**
    * Delete every row of the table at `path` whose `keyCol` appears in
@@ -63,12 +119,13 @@ object ShardDelete {
       path: String,
       schema: StructType,
       keyCol: String,
-      keys: DataFrame): Long = {
+      keys: DataFrame,
+      leaseMs: Long = ShardLock.DefaultLeaseMs): Long = {
     require(schema.fieldNames.contains(keyCol),
       s"key column '$keyCol' not in table schema ${schema.fieldNames.mkString(",")}")
     require(keys.columns.length == 1,
       s"keys must be a one-column frame, got ${keys.columns.mkString(",")}")
-    ShardLock.withLock(spark, path) {
+    ShardLock.withLock(spark, path, leaseMs) {
     val dir = new Path(path)
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
     val mfPath = new Path(dir, ShardManifest.FileName)
@@ -77,29 +134,35 @@ object ShardDelete {
     val old = ShardManifest.read(fs, mfPath)
     if (old.isEmpty) return 0L
 
-    val files = old.map { case (name, _) => new Path(dir, name).toString }
     val keyDf = keys.select(keys.columns.head).distinct()
       .withColumnRenamed(keys.columns.head, "__k")
+    // manifest-level prune FIRST: shards whose stats range cannot hold
+    // any key are never read (zero data I/O for them)
+    val candidates = ShardStats.candidateShards(spark, fs, dir,
+      schema(keyCol).dataType, keyCol, keyDf, old.map(_._1))
+    if (candidates.isEmpty) return 0L
+    val files = candidates.map(n => new Path(dir, n).toString)
     val tagged = spark.read.schema(schema).json(files: _*)
       .withColumn("__shard", element_at(split(input_file_name(), "/"), -1))
 
-    // ONE pass finds the hit shards and their per-shard match counts —
-    // ≤ shard-count rows on the driver, bounded by the table's file
-    // count, never its data
+    // ONE pass over the CANDIDATES finds the hit shards and their
+    // per-shard match counts — ≤ shard-count rows on the driver, bounded
+    // by the table's file count, never its data
     val hitCounts = tagged
       .join(keyDf, tagged(keyCol) === col("__k"), "left_semi")
       .groupBy(col("__shard")).agg(count(lit(1)).as("__n"))
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
     if (hitCounts.isEmpty) return 0L
     val deleted = hitCounts.values.sum
+    val statsCol = ShardStats.readIfExists(fs, dir).map(_.column)
 
     // (1) rewrite ONLY the hit shards' survivors, invisible scratch
     val scratch = new Path(dir, s"_delete-${UUID.randomUUID().toString.take(8)}")
-    tagged.filter(col("__shard").isin(hitCounts.keys.toSeq: _*))
-      .join(keyDf, tagged(keyCol) === col("__k"), "left_anti")
-      .drop("__shard")
-      .write.format("graft.sources.v2.ShardSink")
-      .option("path", scratch.toString).mode("append").save()
+    writeScratch(
+      tagged.filter(col("__shard").isin(hitCounts.keys.toSeq: _*))
+        .join(keyDf, tagged(keyCol) === col("__k"), "left_anti")
+        .drop("__shard"),
+      scratch, statsCol)
     val fresh = ShardManifest.read(fs, new Path(scratch, ShardManifest.FileName))
       .filter(_._2 > 0L) // fully-deleted partitions leave empty shards behind
 
@@ -115,6 +178,7 @@ object ShardDelete {
     val kept = old.filterNot { case (name, _) => hitCounts.contains(name) }
     ShardManifest.writeAtomic(
       spark.sessionState.newHadoopConf(), fs, mfPath, kept ++ fresh)
+    mergeStats(spark, fs, dir, scratch, hitCounts.keySet, fresh)
 
     // (4) replaced shards are orphans now — best-effort cleanup, except
     // shards a live snapshot pins (the [[ShardSnapshot]] time-travel
@@ -144,24 +208,28 @@ object ShardDelete {
    * (checked — two update rows for one key have no deterministic
    * outcome). Historical multi-copies of a key (the same id appended
    * twice) are healed by construction: every old copy lives in a hit
-   * shard and is anti-joined out, exactly one update row lands. Only
-   * hit shards are rewritten — an upsert touching a handful of keys
-   * reads and rewrites a handful of shards, never the table.
+   * shard and is anti-joined out, exactly one update row lands. Only hit
+   * shards are rewritten; hit DISCOVERY reads only the shards the
+   * `_STATS` key ranges cannot rule out — with stats, an upsert touching
+   * a handful of keys reads and rewrites a handful of shards; without
+   * them it falls back to one manifest-scoped scan of every shard to
+   * find the hits (still rewriting only hits).
    *
    * Returns (replaced, inserted): old rows removed, update keys that
-   * matched no existing row. Same sequential single-writer discipline
-   * as append/compaction/delete.
+   * matched no existing row. Concurrency is the [[ShardLock]] structural
+   * guarantee, as in [[deleteByKey]].
    */
   def upsertByKey(
       spark: SparkSession,
       path: String,
       schema: StructType,
       keyCol: String,
-      updates: DataFrame): (Long, Long) = {
+      updates: DataFrame,
+      leaseMs: Long = ShardLock.DefaultLeaseMs): (Long, Long) = {
     require(updates.columns.toSeq == schema.fieldNames.toSeq,
       s"updates must carry the table schema ${schema.fieldNames.mkString(",")}" +
         s" in order, got ${updates.columns.mkString(",")}")
-    ShardLock.withLock(spark, path) {
+    ShardLock.withLock(spark, path, leaseMs) {
     val dir = new Path(path)
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
     val mfPath = new Path(dir, ShardManifest.FileName)
@@ -181,10 +249,13 @@ object ShardDelete {
         "an upsert with two rows for one key has no deterministic outcome")
     val keyDf = up.select(col(keyCol).as("__k"))
 
-    // ONE corpus pass builds the (shard, key) hit set — bounded by the
-    // update list × historical copies, so caching it is model-state
-    // sized; both the per-shard counts and the matched-key count read it
-    val files = old.map { case (name, _) => new Path(dir, name).toString }
+    // manifest-level prune, then ONE pass over the candidates builds the
+    // (shard, key) hit set — bounded by the update list × historical
+    // copies, so caching it is model-state sized; both the per-shard
+    // counts and the matched-key count read it
+    val candidates = ShardStats.candidateShards(spark, fs, dir,
+      schema(keyCol).dataType, keyCol, keyDf, old.map(_._1))
+    val files = candidates.map(n => new Path(dir, n).toString)
     val tagged = if (files.isEmpty) null
       else spark.read.schema(schema).json(files: _*)
         .withColumn("__shard", element_at(split(input_file_name(), "/"), -1))
@@ -198,19 +269,19 @@ object ShardDelete {
     val replaced = hitCounts.values.sum
     val matchedKeys = if (hits == null) 0L
       else hits.select(col("__key")).distinct().count()
+    val statsCol = ShardStats.readIfExists(fs, dir).map(_.column)
 
     // (1) survivors of the hit shards + ALL update rows, rewritten
     // through the sink's own two-phase commit into invisible scratch
     // (two appends — the sink's manifest read-merge-write unions them)
     val scratch = new Path(dir, s"_upsert-${UUID.randomUUID().toString.take(8)}")
     if (hitCounts.nonEmpty)
-      tagged.filter(col("__shard").isin(hitCounts.keys.toSeq: _*))
-        .join(keyDf, tagged(keyCol) === col("__k"), "left_anti")
-        .drop("__shard")
-        .write.format("graft.sources.v2.ShardSink")
-        .option("path", scratch.toString).mode("append").save()
-    up.write.format("graft.sources.v2.ShardSink")
-      .option("path", scratch.toString).mode("append").save()
+      writeScratch(
+        tagged.filter(col("__shard").isin(hitCounts.keys.toSeq: _*))
+          .join(keyDf, tagged(keyCol) === col("__k"), "left_anti")
+          .drop("__shard"),
+        scratch, statsCol)
+    writeScratch(up, scratch, statsCol)
     val fresh = ShardManifest.read(fs, new Path(scratch, ShardManifest.FileName))
       .filter(_._2 > 0L)
 
@@ -226,6 +297,7 @@ object ShardDelete {
     val kept = old.filterNot { case (name, _) => hitCounts.contains(name) }
     ShardManifest.writeAtomic(
       spark.sessionState.newHadoopConf(), fs, mfPath, kept ++ fresh)
+    mergeStats(spark, fs, dir, scratch, hitCounts.keySet, fresh)
 
     // (4) replaced shards are orphans now — best-effort cleanup, except
     // snapshot-pinned shards (see [[ShardSnapshot]])

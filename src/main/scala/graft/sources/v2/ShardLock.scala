@@ -6,13 +6,18 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.SparkSession
 
 /**
- * Advisory single-writer lock for [[ShardSink]] table MAINTENANCE —
- * upgrades the documented "sequential single-writer discipline" of
- * [[ShardDelete]]/[[ShardCompact]]/[[ShardSnapshot]] from a caller
- * promise to a structural guarantee: two concurrent maintenance runs on
- * one table race the manifest read-merge-write, and the loser's publish
- * silently un-publishes the winner's shards. With the lock, the loser
- * fails LOUD before touching anything.
+ * Advisory single-writer lock for [[ShardSink]] table writes — upgrades
+ * the documented "sequential single-writer discipline" of
+ * [[ShardDelete]]/[[ShardCompact]]/[[ShardSnapshot]] AND the sink's own
+ * job-level commit from a caller promise to a structural guarantee: two
+ * concurrent manifest writers on one table race the read-merge-write,
+ * and the loser's publish silently un-publishes the winner's shards.
+ * With the lock, the loser fails LOUD before touching anything. The
+ * sink's commit taking the lock also closes the vacuum-vs-append race:
+ * an append's rename-then-manifest window can never interleave with a
+ * [[ShardSnapshot.vacuum]] listing, because both hold the same lock.
+ * (Task-level writes need no lock — they live under `_staging-*`, which
+ * no maintenance pass touches.)
  *
  * Mechanics: EXCLUSIVE CREATE of `_LOCK` (fails on every filesystem
  * when the file exists — the same primitive the index meta publishes
@@ -21,26 +26,36 @@ import org.apache.spark.sql.SparkSession
  * identity; the timestamp is informational — lease EXPIRY is judged by
  * the file's MTIME, which exists from the exclusive create itself, so
  * a reader landing between another writer's create and its content
- * write sees "held, identity unknown", never a breakable lock). A
- * holder that crashed leaves the file behind; a later writer breaks it
- * once the LEASE has expired (delete + one retry — two breakers racing
- * both delete idempotently, exclusive create picks the single winner). Release deletes the file
- * only if it still carries OUR token; finding someone else's token
- * means the lease expired mid-run and another writer took over — the
- * release throws so the overlap is surfaced, never silent (the work
- * already published is manifest-consistent; what is lost is the
- * single-writer guarantee for the overlap window, which the operator
- * must report).
+ * write sees "held, identity unknown", never a breakable lock). While
+ * the body runs, a HEARTBEAT daemon refreshes the lock file's mtime
+ * every leaseMs/3, so lease expiry genuinely means a CRASHED holder —
+ * a long-running maintenance pass on a huge table keeps its lock for
+ * as long as it is alive, not for as long as the lease guessed.
  *
- * The lease default (10 min) bounds maintenance-run length, not data
- * size: a longer run on a huge table should pass a longer lease. The
- * lock is ADVISORY — appends via the sink keep their lock-free
- * contract (concurrent appends merge manifests by design); only the
- * copy-on-write mutators and snapshot publication take it.
+ * Breaking a stale lock is ATOMIC via rename: the breaker renames
+ * `_LOCK` to a breaker-unique name — of N racing breakers exactly one
+ * rename succeeds — then re-checks the renamed file's mtime. Finding it
+ * FRESH means the rename stole a live lock that another breaker had
+ * just re-created in the check-to-rename window; the breaker restores
+ * it (rename back, mtime preserved) and fails loud instead of
+ * acquiring. (Residual three-writer corner: if a third writer created a
+ * new `_LOCK` before the restore, the restore fails, the stolen file is
+ * dropped, and the robbed holder's RELEASE throws the overlap report —
+ * degraded to loud detection, never to silent concurrent mutation.)
+ *
+ * Release deletes the file only if it still carries OUR token; finding
+ * someone else's token means the lease expired mid-run (heartbeat died
+ * or the process stalled past the lease) and another writer took over —
+ * the release throws so the overlap is surfaced, never silent.
  */
 object ShardLock {
 
   val FileName = "_LOCK"
+
+  /** Default lease. Thanks to the heartbeat this bounds crash DETECTION
+    * latency, not run length — pass a longer lease only to tolerate
+    * longer heartbeat gaps (GC pauses, slow object stores). */
+  val DefaultLeaseMs = 600000L
 
   final class LockHeldException(msg: String) extends IllegalStateException(msg)
 
@@ -64,23 +79,46 @@ object ShardLock {
     val out = try fs.create(p, false) catch {
       case _: java.io.IOException => return false
     }
-    scala.util.Using.resource(out) { o =>
-      o.write(s"$token\t${System.currentTimeMillis()}\n".getBytes("UTF-8"))
+    // a token write that fails midway must not leave a token-less _LOCK
+    // behind: its creator could never release it (readLock sees no
+    // token), and every other writer would wait out the full lease
+    try {
+      scala.util.Using.resource(out) { o =>
+        o.write(s"$token\t${System.currentTimeMillis()}\n".getBytes("UTF-8"))
+      }
+    } catch {
+      case t: Throwable =>
+        try fs.delete(p, false) catch { case _: Throwable => () }
+        throw t
     }
     true
   }
 
+  private def mtimeExpired(fs: FileSystem, p: Path, leaseMs: Long): Boolean =
+    try {
+      System.currentTimeMillis() - fs.getFileStatus(p).getModificationTime > leaseMs
+    } catch { case _: java.io.FileNotFoundException => true }
+
   /**
-   * Run `body` holding the table's maintenance lock. Throws
+   * Run `body` holding the table's write lock. Throws
    * [[LockHeldException]] (fail-fast, nothing touched) when another
    * writer holds an unexpired lock; breaks an EXPIRED lock (holder
-   * crashed or exceeded its lease) with one retry.
+   * crashed) atomically via rename, with one acquire retry.
    */
   def withLock[T](
-      spark: SparkSession, path: String, leaseMs: Long = 600000L)(body: => T): T = {
+      spark: SparkSession, path: String,
+      leaseMs: Long = DefaultLeaseMs)(body: => T): T = {
+    val dir = new Path(path)
+    withLock(dir.getFileSystem(spark.sessionState.newHadoopConf()),
+      path, leaseMs)(body)
+  }
+
+  /** Same contract, for callers that already hold a FileSystem (the
+    * sink's job commit runs on the driver with its serialized conf). */
+  def withLock[T](
+      fs: FileSystem, path: String, leaseMs: Long)(body: => T): T = {
     require(leaseMs > 0, s"leaseMs must be positive: $leaseMs")
     val dir = new Path(path)
-    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
     val p = lockPath(dir)
     val token = UUID.randomUUID().toString
     var acquired = tryAcquire(fs, p, token)
@@ -93,22 +131,55 @@ object ShardLock {
       // expiry would break a just-created live lock there). mtime exists
       // from the create itself; a vanished file means the holder released
       // — retry the acquire.
-      val expired = try {
-        System.currentTimeMillis() - fs.getFileStatus(p).getModificationTime > leaseMs
-      } catch { case _: java.io.FileNotFoundException => true }
-      if (!expired)
+      if (!mtimeExpired(fs, p, leaseMs))
         throw new LockHeldException(
           s"maintenance lock on $path held by ${holder.map(_._1).getOrElse("?")} " +
-            s"since ${holder.map(_._2).getOrElse(0L)} — another delete/upsert/" +
-            "compact/snapshot is running; retry after it finishes (or after " +
-            s"its ${leaseMs}ms lease expires if it crashed)")
-      fs.delete(p, false) // break the stale lock; idempotent across racers
+            s"since ${holder.map(_._2).getOrElse(0L)} — another writer is " +
+            "running; retry after it finishes (or after its " +
+            s"${leaseMs}ms lease expires if it crashed)")
+      // ATOMIC break: rename the stale lock to a breaker-unique name.
+      // Exactly one racing breaker's rename succeeds; a plain delete here
+      // could remove ANOTHER breaker's freshly re-created live lock.
+      val broken = new Path(dir, s"$FileName.breaking-$token")
+      val renamed = try fs.rename(p, broken) catch {
+        case _: java.io.IOException => false
+      }
+      if (renamed) {
+        if (!mtimeExpired(fs, broken, leaseMs)) {
+          // we stole a LIVE lock (re-created between our expiry check and
+          // our rename) — put it back, mtime intact, and fail loud
+          val restored = try fs.rename(broken, p) catch {
+            case _: java.io.IOException => false
+          }
+          if (!restored) try fs.delete(broken, false) catch {
+            case _: Throwable => ()
+          }
+          throw new LockHeldException(
+            s"maintenance lock on $path was re-taken while we broke a " +
+              "stale one — another writer won the race; retry" +
+              (if (restored) "" else " (the robbed holder will report the overlap at release)"))
+        }
+        try fs.delete(broken, false) catch { case _: Throwable => () }
+      }
       acquired = tryAcquire(fs, p, token)
       if (!acquired)
         throw new LockHeldException(
           s"maintenance lock on $path re-taken while breaking a stale one — " +
             "another writer won the race; retry")
     }
+    // heartbeat: refresh the lock's mtime while the body runs, so only a
+    // CRASHED holder ever expires. Failures degrade silently to the old
+    // lease-bounded behavior (release still detects any takeover loud).
+    val hb = new Thread(() => {
+      try {
+        while (!Thread.interrupted()) {
+          Thread.sleep(math.max(1000L, leaseMs / 3))
+          fs.setTimes(p, System.currentTimeMillis(), -1)
+        }
+      } catch { case _: Throwable => () }
+    }, s"graft-shardlock-heartbeat-${dir.getName}")
+    hb.setDaemon(true)
+    hb.start()
     var bodyError: Throwable = null
     try body
     catch {
@@ -118,6 +189,8 @@ object ShardLock {
       case t: Throwable => bodyError = t; throw t
     }
     finally {
+      hb.interrupt()
+      try hb.join(2000) catch { case _: InterruptedException => () }
       def overlap(msg: String): Unit = {
         val e = new LockHeldException(msg)
         // never mask the body's own failure — attach the overlap report

@@ -31,19 +31,20 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
  *    and reports the file in its [[WriterCommitMessage]]; a task that
  *    fails or is speculatively duplicated leaves only staging garbage,
  *    never a visible file (its abort deletes even that);
- *  - the driver's job-level `commit` MOVES every reported file into the
- *    target directory and then writes a `_MANIFEST` (file → row count)
- *    MERGED with the manifest of any prior append job to the same
- *    directory — readers that require atomicity read the manifest
- *    ([[ShardReader]] is that reader), so a crash between renames
- *    exposes at worst unreferenced files, never a half-written or
- *    double-counted shard, and a second append never un-publishes the
- *    first job's shards. SEQUENTIAL appends only: two jobs committing
- *    to the same directory at the same instant race on the
- *    read-merge-write of the manifest (last writer wins) — same
- *    single-writer-per-table discipline as every file-format committer
- *    without a locking catalog; serialize appends or write to separate
- *    directories and union manifests at read time;
+ *  - the driver's job-level `commit` takes the table's [[ShardLock]],
+ *    MOVES every reported file into the target directory and then
+ *    writes a `_MANIFEST` (file → row count) MERGED with the manifest
+ *    of any prior append job to the same directory — readers that
+ *    require atomicity read the manifest ([[ShardReader]] is that
+ *    reader), so a crash between renames exposes at worst unreferenced
+ *    files, never a half-written or double-counted shard, and a second
+ *    append never un-publishes the first job's shards. The lock makes
+ *    the old "sequential appends only" discipline STRUCTURAL: a second
+ *    job committing at the same instant fails loud instead of racing
+ *    the manifest read-merge-write, and an append's rename-then-publish
+ *    window can never interleave with a [[ShardSnapshot.vacuum]]
+ *    listing (the commit is bounded metadata work — renames plus one
+ *    manifest write — so the lock hold is short);
  *  - job-level `abort` deletes the staging directory wholesale.
  *
  * Supported row schema: primitive columns only (string / integral /
@@ -51,6 +52,14 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
  * JSON-escaped. ShardSinkSpec asserts round-trip equality through
  * `spark.read.json`, manifest counts, and that staging never leaks into
  * a listing of the committed directory.
+ *
+ * Option `statsColumn=<col>` activates per-shard min/max statistics for
+ * that column, published to the `_STATS` sidecar ([[ShardStats]]) in
+ * the same commit — the data-skipping metadata that lets
+ * [[ShardDelete.deleteByKey]]/[[ShardDelete.upsertByKey]] find their
+ * hit shards without scanning the table. Stats are a pruning hint, not
+ * a correctness dependency: appends without the option leave their
+ * shards un-pruned (always scanned), never wrong.
  *
  * Append-heavy tables accumulate small shards (one per micro-batch);
  * [[ShardCompact]] is the matching maintenance pass — it consolidates
@@ -78,6 +87,20 @@ private[v2] class ShardTable(schema: StructType, props: Map[String, String])
     val path = info.options.get("path")
     require(path != null, "ShardSink requires a 'path' option")
     ShardSink.validate(info.schema())
+    // stats column, validated at plan time: present and of a rangeable
+    // type — a typo here must fail the write, not silently skip stats
+    val statsCol = Option(info.options.get(ShardStats.OptionKey)).map { c =>
+      val idx = info.schema().fieldNames.indexOf(c)
+      require(idx >= 0,
+        s"${ShardStats.OptionKey} '$c' is not a column of the written " +
+          s"schema ${info.schema().fieldNames.mkString(",")}")
+      val tag = ShardStats.dtypeTag(info.schema()(idx).dataType).getOrElse(
+        throw new IllegalArgumentException(
+          s"${ShardStats.OptionKey} '$c' has type " +
+            s"${info.schema()(idx).dataType} — stats need an ordered " +
+            "primitive (integral / floating / string)"))
+      (c, idx, tag)
+    }
     // Capture the SESSION's Hadoop configuration at write-build time (we
     // are on the driver here) — a bare `new Configuration()` would drop
     // any configured filesystem settings (s3a/abfs credentials,
@@ -88,7 +111,8 @@ private[v2] class ShardTable(schema: StructType, props: Map[String, String])
     new WriteBuilder {
       override def build(): Write = new Write {
         override def toBatch: BatchWrite =
-          new ShardBatchWrite(path, info.queryId(), info.schema(), hadoopConf)
+          new ShardBatchWrite(
+            path, info.queryId(), info.schema(), hadoopConf, statsCol)
       }
     }
   }
@@ -164,23 +188,33 @@ private[v2] object ShardSink {
   }
 }
 
-private[v2] case class ShardCommit(stagedPath: String, rows: Long)
+private[v2] case class ShardCommit(
+    stagedPath: String, rows: Long,
+    statsRange: Option[(String, String)] = None)
     extends WriterCommitMessage
 
 private[v2] class ShardBatchWrite(
     path: String, queryId: String, schema: StructType,
-    conf: SerializableHadoopConf)
+    conf: SerializableHadoopConf,
+    statsCol: Option[(String, Int, String)])
     extends BatchWrite with Serializable {
   private def fs(p: Path) = p.getFileSystem(conf.value)
   private val stagingDir = new Path(path, s"_staging-$queryId")
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new ShardWriterFactory(stagingDir.toString, schema, conf)
+    new ShardWriterFactory(stagingDir.toString, schema, conf,
+      statsCol.map { case (_, idx, tag) => (idx, tag) })
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val target = new Path(path)
     val f = fs(target)
     f.mkdirs(target)
+    // The whole publish — renames plus the manifest (and stats)
+    // read-merge-write — holds the table's maintenance lock: a second
+    // job committing at the same instant fails loud instead of silently
+    // un-publishing this job's shards, and a concurrent vacuum can never
+    // list the window where renamed shards are not yet manifested.
+    ShardLock.withLock(f, path, ShardLock.DefaultLeaseMs) {
     // MERGE with any existing manifest: the documented usage is
     // mode("append"), and atomicity-sensitive readers read only the
     // manifest — an overwrite here would make previously committed
@@ -195,7 +229,7 @@ private[v2] class ShardBatchWrite(
     val prior: Seq[(String, Long)] =
       if (f.exists(mfPath)) ShardManifest.read(f, mfPath) else Nil
     val existing = prior.map(_._1).toSet
-    val fresh = messages.toSeq.flatMap { case ShardCommit(staged, rows) =>
+    val fresh = messages.toSeq.flatMap { case ShardCommit(staged, rows, _) =>
       val src = new Path(staged)
       val dst = new Path(target, src.getName)
       // A retried commit (or one resumed after a crash between the
@@ -209,7 +243,29 @@ private[v2] class ShardBatchWrite(
       if (existing.contains(src.getName)) None else Some((src.getName, rows))
     }
     ShardManifest.writeAtomic(conf.value, f, mfPath, prior ++ fresh)
+    // stats AFTER the manifest: a crash between the two leaves fresh
+    // shards manifested but stats-less — they degrade to un-pruned scan
+    // candidates, never to a wrong prune
+    statsCol.foreach { case (colName, _, tag) =>
+      val priorStats = ShardStats.readIfExists(f, target)
+      priorStats.foreach { s =>
+        require(s.column == colName && s.dtype == tag,
+          s"table at $path already carries stats on '${s.column}' " +
+            s"(${s.dtype}); an append cannot switch them to '$colName' " +
+            s"($tag) — stats are a table-level property")
+      }
+      val freshNames = fresh.map(_._1).toSet
+      val freshStats = messages.toSeq.flatMap {
+        case ShardCommit(staged, _, range) =>
+          val name = new Path(staged).getName
+          if (freshNames.contains(name)) Some(name -> range) else None
+      }.toMap
+      ShardStats.writeAtomic(conf.value, f, target, ShardStats.Stats(
+        colName, tag,
+        priorStats.map(_.ranges).getOrElse(Map.empty) ++ freshStats))
+    }
     f.delete(stagingDir, true)
+    }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -217,7 +273,8 @@ private[v2] class ShardBatchWrite(
 }
 
 private[v2] class ShardWriterFactory(
-    stagingDir: String, schema: StructType, conf: SerializableHadoopConf)
+    stagingDir: String, schema: StructType, conf: SerializableHadoopConf,
+    stats: Option[(Int, String)])
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
     val file = new Path(stagingDir,
@@ -225,26 +282,46 @@ private[v2] class ShardWriterFactory(
       // micro-batch shards (mostly part-00000-*) would make a truncated
       // suffix collide across appends/compactions
       f"part-$partitionId%05d-${UUID.randomUUID().toString}.jsonl")
-    new ShardDataWriter(file, schema, conf)
+    new ShardDataWriter(file, schema, conf, stats)
   }
 }
 
 private[v2] class ShardDataWriter(
-    file: Path, schema: StructType, conf: SerializableHadoopConf)
+    file: Path, schema: StructType, conf: SerializableHadoopConf,
+    stats: Option[(Int, String)])
     extends DataWriter[InternalRow] {
   private val f = file.getFileSystem(conf.value)
   private val out = new BufferedWriter(new OutputStreamWriter(
     f.create(file, false), StandardCharsets.UTF_8))
   private var rows = 0L
+  private val tracker = stats.map { case (_, tag) => new ShardStatsTracker(tag) }
 
   override def write(record: InternalRow): Unit = {
     out.write(ShardSink.jsonLine(schema, record))
     out.write('\n')
     rows += 1
+    stats.foreach { case (idx, tag) =>
+      if (!record.isNullAt(idx)) {
+        val t = tracker.get
+        tag match {
+          case "long" => schema(idx).dataType match {
+            case LongType => t.updateLong(record.getLong(idx))
+            case IntegerType => t.updateLong(record.getInt(idx).toLong)
+            case ShortType => t.updateLong(record.getShort(idx).toLong)
+            case _ => t.updateLong(record.getByte(idx).toLong)
+          }
+          case "double" => schema(idx).dataType match {
+            case DoubleType => t.updateDouble(record.getDouble(idx))
+            case _ => t.updateDouble(record.getFloat(idx).toDouble)
+          }
+          case _ => t.updateString(record.getUTF8String(idx))
+        }
+      }
+    }
   }
   override def commit(): WriterCommitMessage = {
     out.close()
-    ShardCommit(file.toString, rows)
+    ShardCommit(file.toString, rows, tracker.flatMap(_.result))
   }
   override def abort(): Unit = {
     try out.close() catch { case _: Throwable => () }

@@ -34,36 +34,71 @@ import org.apache.spark.sql.types.StructType
  * vacuum returns what it reclaimed so the pipeline can verify, never
  * silently.
  *
- * Same SEQUENTIAL single-writer discipline as every other manifest
- * writer here (create/drop/vacuum race appends the same way append
- * races compaction); snapshot files are immutable once published.
+ * Concurrency: create and vacuum take the [[ShardLock]] — and so does
+ * the sink's own job commit, so a vacuum can never list the window
+ * where an append has renamed shards in but not yet manifested them
+ * (the just-committed-data deletion race is structurally closed).
+ * Snapshot files are immutable once published; version numbers are
+ * never reused (persistent high-water mark, see [[create]]).
  */
 object ShardSnapshot {
 
   private val Prefix = "_SNAPSHOT.v"
+  private val HwmFile = "_SNAPSHOT.last"
 
   private def fsFor(spark: SparkSession, path: String): (FileSystem, Path) = {
     val dir = new Path(path)
     (dir.getFileSystem(spark.sessionState.newHadoopConf()), dir)
   }
 
-  /** Archive the current manifest as the next snapshot version (max
-    * live version + 1); returns the new version number. Takes the
-    * maintenance lock: a create racing a mutator could otherwise
-    * archive a manifest whose shards the mutator is about to reclaim
-    * (the snapshot must either pin pre-mutation shards BEFORE cleanup
-    * sees it, or see the post-mutation manifest — never the gap). */
-  def create(spark: SparkSession, path: String): Int =
-    ShardLock.withLock(spark, path) {
+  private def readHwm(fs: FileSystem, dir: Path): Int = {
+    val p = new Path(dir, HwmFile)
+    if (!fs.exists(p)) 0
+    else scala.util.Using.resource(fs.open(p)) { in =>
+      scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
+    }
+  }
+
+  /** Archive the current manifest as the next snapshot version; returns
+    * the new version number. Numbering comes from a persistent
+    * high-water mark (`_SNAPSHOT.last`, updated under the lock), not
+    * from the live files: dropping the latest snapshot and creating a
+    * new one must NEVER reuse the dropped number — a reader holding the
+    * old version id would silently read different content (max(live)+1
+    * alone has exactly that collision). Takes the maintenance lock: a
+    * create racing a mutator could otherwise archive a manifest whose
+    * shards the mutator is about to reclaim (the snapshot must either
+    * pin pre-mutation shards BEFORE cleanup sees it, or see the
+    * post-mutation manifest — never the gap). The snapshot file opens
+    * with a `#ts\t<epochMillis>` header (creation time, the retention
+    * clock for [[expireOlderThan]]); [[ShardManifest]]-format entry
+    * lines follow. */
+  def create(spark: SparkSession, path: String,
+      leaseMs: Long = ShardLock.DefaultLeaseMs): Int =
+    ShardLock.withLock(spark, path, leaseMs) {
     val (fs, dir) = fsFor(spark, path)
     val mfPath = new Path(dir, ShardManifest.FileName)
     require(fs.exists(mfPath),
       s"no ${ShardManifest.FileName} under $path — nothing committed there")
     val entries = ShardManifest.read(fs, mfPath)
-    val v = (0 +: list(spark, path)).max + 1
+    // max(live) still participates: a pre-hwm table (or a hand-restored
+    // snapshot file) must never be overwritten by a lower-counted hwm
+    val v = (readHwm(fs, dir) +: 0 +: list(spark, path)).max + 1
+    // hwm FIRST (staged rename, crash-safe): a crash between the two
+    // writes burns a version number, never reuses one
+    val hwmTmp = new Path(dir, s"$HwmFile.tmp")
+    val hout = fs.create(hwmTmp, true)
+    try hout.write(v.toString.getBytes("UTF-8"))
+    finally hout.close()
+    org.apache.hadoop.fs.FileContext
+      .getFileContext(dir.toUri, spark.sessionState.newHadoopConf())
+      .rename(hwmTmp, new Path(dir, HwmFile),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     val tmp = new Path(dir, s"$Prefix$v.tmp")
     val out = fs.create(tmp, true)
-    try out.write(ShardManifest.serialize(entries).getBytes("UTF-8"))
+    try out.write(
+      (s"#ts\t${System.currentTimeMillis()}\n" +
+        ShardManifest.serialize(entries)).getBytes("UTF-8"))
     finally out.close()
     val dst = new Path(dir, s"$Prefix$v")
     if (!fs.rename(tmp, dst))
@@ -80,12 +115,36 @@ object ShardSnapshot {
       .filter(_.matches("\\d+")).map(_.toInt).sorted
   }
 
+  private def readSnapshotFile(
+      fs: FileSystem, p: Path): (Option[Long], Seq[(String, Long)]) = {
+    val in = fs.open(p)
+    val text = try {
+      new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+    } finally in.close()
+    val (headers, body) = text.linesIterator.toSeq.partition(_.startsWith("#"))
+    val ts = headers.collectFirst {
+      case h if h.startsWith("#ts\t") => h.stripPrefix("#ts\t").trim.toLong
+    }
+    (ts, ShardManifest.parse(body.mkString("\n"), p))
+  }
+
   /** The shard entries snapshot `v` names. */
   def entries(spark: SparkSession, path: String, v: Int): Seq[(String, Long)] = {
     val (fs, dir) = fsFor(spark, path)
     val p = new Path(dir, s"$Prefix$v")
     require(fs.exists(p), s"no snapshot v$v under $path")
-    ShardManifest.read(fs, p)
+    readSnapshotFile(fs, p)._2
+  }
+
+  /** Snapshot `v`'s creation time (epoch millis): the `#ts` header, or —
+    * for a pre-header snapshot — the file's mtime (immutable once
+    * published, so the mtime IS the creation time). */
+  def createdAt(spark: SparkSession, path: String, v: Int): Long = {
+    val (fs, dir) = fsFor(spark, path)
+    val p = new Path(dir, s"$Prefix$v")
+    require(fs.exists(p), s"no snapshot v$v under $path")
+    readSnapshotFile(fs, p)._1
+      .getOrElse(fs.getFileStatus(p).getModificationTime)
   }
 
   /** Every shard name some live snapshot pins — the set the
@@ -137,8 +196,9 @@ object ShardSnapshot {
     * lock: a vacuum racing a mutator's orphan-in step would otherwise
     * see the just-renamed, not-yet-manifested shards as reclaimable and
     * delete data the imminent publish is about to name. */
-  def vacuum(spark: SparkSession, path: String): Seq[String] =
-    ShardLock.withLock(spark, path) {
+  def vacuum(spark: SparkSession, path: String,
+      leaseMs: Long = ShardLock.DefaultLeaseMs): Seq[String] =
+    ShardLock.withLock(spark, path, leaseMs) {
     val (fs, dir) = fsFor(spark, path)
     val mfPath = new Path(dir, ShardManifest.FileName)
     require(fs.exists(mfPath),
@@ -153,6 +213,32 @@ object ShardSnapshot {
     orphans.foreach(n => fs.delete(new Path(dir, n), false))
     orphans.sorted
     }
+
+  /** Retention: drop every snapshot except the newest `keepLast`, then
+    * vacuum — the audited compliance sequence ("drop every snapshot
+    * pinning the deleted rows, then reclaim") as ONE call instead of a
+    * manual loop. Returns (dropped versions, reclaimed file names) so
+    * the pipeline can verify both halves, never trust them. */
+  def retain(spark: SparkSession, path: String, keepLast: Int,
+      leaseMs: Long = ShardLock.DefaultLeaseMs): (Seq[Int], Seq[String]) = {
+    require(keepLast >= 0, s"keepLast must be >= 0: $keepLast")
+    val versions = list(spark, path)
+    val dropped = versions.dropRight(keepLast)
+    dropped.foreach(v => drop(spark, path, v))
+    (dropped, vacuum(spark, path, leaseMs))
+  }
+
+  /** Retention by age: drop every snapshot created strictly before
+    * `cutoffMillis` (the `#ts` header clock; pre-header snapshots use
+    * their immutable file mtime), then vacuum. Returns (dropped
+    * versions, reclaimed file names). */
+  def expireOlderThan(spark: SparkSession, path: String, cutoffMillis: Long,
+      leaseMs: Long = ShardLock.DefaultLeaseMs): (Seq[Int], Seq[String]) = {
+    val dropped = list(spark, path)
+      .filter(v => createdAt(spark, path, v) < cutoffMillis)
+    dropped.foreach(v => drop(spark, path, v))
+    (dropped, vacuum(spark, path, leaseMs))
+  }
 
   /** Per-key content digest of one snapshot view: md5 of the
     * schema-ordered row json, multi-copy keys folded order-free (sorted

@@ -1,0 +1,276 @@
+package graft.sources.v2
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+import graft.SparkSpec
+
+/**
+ * The keyed-maintenance data-skipping contract: `_STATS` per-shard key
+ * ranges prune hit DISCOVERY to the shards that can possibly contain a
+ * key — verified not just by inspecting [[ShardDelete.candidateShards]]
+ * but by a physical impossibility argument: the non-intersecting
+ * shard's data file is REMOVED from disk before the delete, so if the
+ * delete read it the scan would throw. Plus: stats survive every
+ * copy-on-write mutator, degrade safely when absent or mixed, and
+ * never change an answer.
+ */
+class ShardStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType)))
+
+  private def append(dir: String, rows: Seq[(Long, String)]): Unit =
+    rows.toDF("doc_id", "text").coalesce(1)
+      .write.format("graft.sources.v2.ShardSink")
+      .option("path", dir).option("statsColumn", "doc_id")
+      .mode("append").save()
+
+  private def statsOf(dir: String): ShardStats.Stats = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    ShardStats.readIfExists(
+      p.getFileSystem(spark.sessionState.newHadoopConf()), p).get
+  }
+
+  private def manifestNames(dir: String): Seq[String] =
+    scala.io.Source.fromFile(s"$dir/_MANIFEST").getLines()
+      .filter(_.nonEmpty).map(_.split("\t")(0)).toSeq
+
+  test("statsColumn append publishes per-shard min/max; candidateShards prunes by range") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stats-basic").toString
+    append(dir, Seq((1L, "a"), (5L, "b")))      // shard A: [1, 5]
+    append(dir, Seq((100L, "c"), (150L, "d")))  // shard B: [100, 150]
+    append(dir, Seq((1000L, "e")))              // shard C: [1000, 1000]
+
+    val s = statsOf(dir)
+    assert(s.column == "doc_id" && s.dtype == "long")
+    assert(s.ranges.size == 3)
+    assert(s.ranges.values.toSet ==
+      Set(Some(("1", "5")), Some(("100", "150")), Some(("1000", "1000"))))
+
+    // a key set entirely inside shard B's range selects ONLY shard B
+    val cands = ShardDelete.candidateShards(
+      spark, dir, schema, "doc_id", Seq(120L, 130L).toDF("k"))
+    val bName = s.ranges.collectFirst {
+      case (n, Some(("100", "150"))) => n }.get
+    assert(cands == Seq(bName), s"expected only $bName, got $cands")
+    // a key matching nothing anywhere selects NO shard
+    assert(ShardDelete.candidateShards(
+      spark, dir, schema, "doc_id", Seq(9999L).toDF("k")).isEmpty)
+    // boundary keys are inclusive
+    assert(ShardDelete.candidateShards(
+      spark, dir, schema, "doc_id", Seq(5L).toDF("k")).nonEmpty)
+  }
+
+  test("pruned delete physically cannot read non-intersecting shards (file removed from disk)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stats-prune").toString
+    append(dir, Seq((1L, "a"), (5L, "b")))
+    append(dir, Seq((100L, "c"), (150L, "d")))
+    append(dir, Seq((1000L, "e")))
+    val s = statsOf(dir)
+    val aName = s.ranges.collectFirst { case (n, Some(("1", "5"))) => n }.get
+    val cName = s.ranges.collectFirst { case (n, Some(("1000", "1000"))) => n }.get
+
+    // the impossibility assert: shards A and C are REMOVED from disk.
+    // Any read of them throws FileNotFound — a delete of keys hitting
+    // only shard B succeeds iff discovery pruned A and C at metadata
+    // level and never opened a byte of either.
+    assert(new java.io.File(dir, aName).delete())
+    assert(new java.io.File(dir, cName).delete())
+    val deleted = ShardDelete.deleteByKey(
+      spark, dir, schema, "doc_id", Seq(100L).toDF("k"))
+    assert(deleted == 1L)
+    // manifest still names the (gone) untouched shards — only B rewritten
+    val mf = manifestNames(dir)
+    assert(mf.contains(aName) && mf.contains(cName), mf.toString)
+    assert(!mf.exists(_ == s.ranges.collectFirst {
+      case (n, Some(("100", "150"))) => n }.get))
+    // and the same physical argument for upsert: only shard B's
+    // replacement intersects key 150
+    val (r, i) = ShardDelete.upsertByKey(spark, dir, schema, "doc_id",
+      Seq((150L, "D2"), (5000L, "new")).toDF("doc_id", "text"))
+    assert((r, i) == ((1L, 1L)), s"got ($r, $i)")
+    graft.CacheScope.releaseAll()
+  }
+
+  test("stats follow every mutator: delete/upsert rewrite entries, compact re-collects, answers unchanged") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stats-maint").toString
+    append(dir, Seq((1L, "a"), (5L, "b")))
+    append(dir, Seq((100L, "c"), (150L, "d")))
+
+    ShardDelete.deleteByKey(spark, dir, schema, "doc_id", Seq(5L).toDF("k"))
+    val afterDel = statsOf(dir)
+    assert(afterDel.ranges.size == 2)
+    assert(afterDel.ranges.values.toSet ==
+      Set(Some(("1", "1")), Some(("100", "150"))),
+      afterDel.ranges.toString) // rewritten shard's range shrank to [1,1]
+
+    ShardDelete.upsertByKey(spark, dir, schema, "doc_id",
+      Seq((150L, "D2"), (7L, "g")).toDF("doc_id", "text"))
+    val afterUp = statsOf(dir)
+    // every manifested shard still carries a stats entry
+    assert(manifestNames(dir).forall(afterUp.ranges.contains))
+
+    assert(ShardCompact.compact(spark, dir, schema, targetShards = 1) == 1)
+    val afterCompact = statsOf(dir)
+    assert(afterCompact.ranges.keySet == manifestNames(dir).toSet)
+    assert(afterCompact.ranges.values.toSeq == Seq(Some(("1", "150"))))
+    // and the data is exactly what an unpruned store would hold
+    assert(ShardReader.read(spark, dir, schema)
+      .as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (7L, "g"), (100L, "c"), (150L, "D2")))
+    graft.CacheScope.releaseAll()
+  }
+
+  test("safe degradation: stats-less appends stay candidates; different key column scans all; string keys prune") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stats-mixed").toString
+    append(dir, Seq((1L, "a")))
+    // an append WITHOUT the option: its shard must never be pruned
+    Seq((500L, "legacy")).toDF("doc_id", "text").coalesce(1)
+      .write.format("graft.sources.v2.ShardSink")
+      .option("path", dir).mode("append").save()
+    val cands = ShardDelete.candidateShards(
+      spark, dir, schema, "doc_id", Seq(500L).toDF("k"))
+    assert(cands.size == 1 && !statsOf(dir).ranges.contains(cands.head),
+      s"stats-less shard must be its own candidate: $cands")
+    // delete through the mixed table still answers correctly
+    assert(ShardDelete.deleteByKey(
+      spark, dir, schema, "doc_id", Seq(500L).toDF("k")) == 1L)
+
+    // keyed on a DIFFERENT column than the stats: no prune, full scan
+    val all = ShardDelete.candidateShards(
+      spark, dir, schema, "text", Seq("zzz").toDF("k"))
+    assert(all.toSet == manifestNames(dir).toSet)
+
+    // string-keyed table prunes with Spark's own string ordering
+    val sdir = java.nio.file.Files.createTempDirectory("graft-stats-str").toString
+    def sappend(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.format("graft.sources.v2.ShardSink")
+        .option("path", sdir).option("statsColumn", "text")
+        .mode("append").save()
+    sappend(Seq((1L, "apple"), (2L, "banana")))
+    sappend(Seq((3L, "zebra")))
+    val sc = ShardDelete.candidateShards(
+      spark, sdir, schema, "text", Seq("avocado").toDF("k"))
+    assert(sc.size == 1, s"got $sc")
+    assert(statsOf(sdir).ranges(sc.head) == Some(("apple", "banana")))
+    graft.CacheScope.releaseAll()
+  }
+
+  test("stats column is a table property: switching it on append fails loud; bad column/type fail at plan time") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stats-prop").toString
+    append(dir, Seq((1L, "a")))
+    val e = intercept[Exception] {
+      Seq((2L, "b")).toDF("doc_id", "text").coalesce(1)
+        .write.format("graft.sources.v2.ShardSink")
+        .option("path", dir).option("statsColumn", "text")
+        .mode("append").save()
+    }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    assert(chain(e).exists(_.contains("table-level property")), chain(e))
+    intercept[Exception] {
+      Seq((1L, "a")).toDF("doc_id", "text")
+        .write.format("graft.sources.v2.ShardSink")
+        .option("path", dir + "-x").option("statsColumn", "nope")
+        .mode("append").save()
+    }
+    // all-null key shard: marked, and never a candidate for any key
+    val ndir = java.nio.file.Files.createTempDirectory("graft-stats-null").toString
+    Seq((null.asInstanceOf[java.lang.Long], "n"))
+      .toDF("doc_id", "text").coalesce(1)
+      .write.format("graft.sources.v2.ShardSink")
+      .option("path", ndir).option("statsColumn", "doc_id")
+      .mode("append").save()
+    assert(statsOf(ndir).ranges.values.toSeq == Seq(None))
+    assert(ShardDelete.candidateShards(
+      spark, ndir, schema, "doc_id", Seq(1L).toDF("k")).isEmpty)
+  }
+
+  test("snapshot versions are never reused after dropping the latest (persistent high-water mark)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-snap-hwm").toString
+    append(dir, Seq((1L, "a")))
+    val v1 = ShardSnapshot.create(spark, dir)
+    val v2 = ShardSnapshot.create(spark, dir)
+    assert((v1, v2) == ((1, 2)))
+    ShardSnapshot.drop(spark, dir, v2)
+    val v3 = ShardSnapshot.create(spark, dir)
+    assert(v3 == 3, s"dropped version number was reused: $v3")
+    // creation timestamps are persisted and ordered
+    assert(ShardSnapshot.createdAt(spark, dir, v1) <=
+      ShardSnapshot.createdAt(spark, dir, v3))
+  }
+
+  test("retain(keepLast) and expireOlderThan compose drop+vacuum and report both halves") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-snap-retain").toString
+    append(dir, Seq((1L, "a"), (2L, "b")))
+    val v1 = ShardSnapshot.create(spark, dir)
+    ShardDelete.deleteByKey(spark, dir, schema, "doc_id", Seq(1L).toDF("k"))
+    val v2 = ShardSnapshot.create(spark, dir)
+    ShardDelete.upsertByKey(spark, dir, schema, "doc_id",
+      Seq((2L, "B2")).toDF("doc_id", "text"))
+    val v3 = ShardSnapshot.create(spark, dir)
+
+    val (dropped, reclaimed) = ShardSnapshot.retain(spark, dir, keepLast = 1)
+    assert(dropped == Seq(v1, v2), s"got $dropped")
+    assert(reclaimed.nonEmpty, "v1/v2 ex-shards should have been reclaimed")
+    // the kept snapshot still reads; the dropped ones are gone loud
+    assert(ShardSnapshot.read(spark, dir, schema, v3)
+      .as[(Long, String)].collect().toSet == Set((2L, "B2")))
+    intercept[IllegalArgumentException] {
+      ShardSnapshot.read(spark, dir, schema, v1)
+    }
+    // current table untouched by retention
+    assert(ShardReader.read(spark, dir, schema)
+      .as[(Long, String)].collect().toSet == Set((2L, "B2")))
+
+    // expireOlderThan with a future cutoff drops the remaining snapshot
+    val (d2, _) = ShardSnapshot.expireOlderThan(
+      spark, dir, System.currentTimeMillis() + 60000L)
+    assert(d2 == Seq(v3))
+    assert(ShardSnapshot.list(spark, dir).isEmpty)
+    graft.CacheScope.releaseAll()
+  }
+
+  test("append commit takes the lock: concurrent maintenance cannot interleave; live holder survives its lease (heartbeat)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-lock-append").toString
+    append(dir, Seq((1L, "a")))
+    // a held foreign lock blocks even a plain append — the vacuum-vs-
+    // append race is closed structurally, not by convention
+    val lockFile = new java.io.File(dir, ShardLock.FileName)
+    val w = new java.io.PrintWriter(lockFile)
+    w.println(s"other-writer\t${System.currentTimeMillis()}"); w.close()
+    val e = intercept[Exception] { append(dir, Seq((2L, "b"))) }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8).toSeq
+    assert(chain(e).exists(_.isInstanceOf[ShardLock.LockHeldException]),
+      chain(e).map(_.getClass.getName).toString)
+    assert(lockFile.delete())
+
+    // heartbeat: a LIVE holder with a short lease is not broken by a
+    // waiting writer — the mtime refresh makes expiry mean "crashed"
+    val holderDone = new java.util.concurrent.CountDownLatch(1)
+    val holderStarted = new java.util.concurrent.CountDownLatch(1)
+    val holder = new Thread(() => {
+      ShardLock.withLock(spark, dir, leaseMs = 2000L) {
+        holderStarted.countDown()
+        holderDone.await(20, java.util.concurrent.TimeUnit.SECONDS)
+      }
+    })
+    holder.start()
+    holderStarted.await(10, java.util.concurrent.TimeUnit.SECONDS)
+    Thread.sleep(3000L) // well past the 2 s lease; heartbeat at ~1 s cadence
+    val e2 = intercept[ShardLock.LockHeldException] {
+      ShardLock.withLock(spark, dir, leaseMs = 2000L) { () }
+    }
+    assert(e2.getMessage.contains("another writer is running"), e2.getMessage)
+    holderDone.countDown()
+    holder.join(10000)
+    // and after a clean release the lock is free
+    ShardLock.withLock(spark, dir, leaseMs = 2000L) { () }
+    assert(!lockFile.exists())
+  }
+}
