@@ -225,12 +225,13 @@ object Corpus {
       textCol: String,
       window: Int,
       overlap: Int,
-      carryCols: Seq[String] = Nil): DataFrame = {
+      carryCols: Seq[String] = Nil,
+      unicode: Boolean = false): DataFrame = {
     require(window > 0, s"window must be positive: $window")
     require(overlap >= 0 && overlap < window,
       s"overlap must be in [0, window): $overlap")
     val s = window - overlap
-    val toks = Dedup.tokens(col(textCol))
+    val toks = Dedup.tokensMode(col(textCol), unicode)
     val keep = (idCol +: carryCols).map(col)
     // last grid start covering the tail: 1 + s·⌈(n−window)/s⌉ (n > window)
     val lastStart = when(col("__n") <= window, lit(1))

@@ -56,6 +56,20 @@ object Dedup {
   def tokensMode(text: Column, unicode: Boolean): Column =
     if (unicode) tokensUnicode(text) else tokens(text)
 
+  /** Driver-side twin of [[tokensMode]] for query-string tokenization
+    * (phrase-term validation, quoted-query parsing) — a plain-Scala
+    * replica of the SAME two rules, spec-pinned against the HOF forms
+    * over the mixed-script fixture (UnicodeTokensSpec) so the three
+    * implementations (HOF, fused kernel, local) cannot drift apart. */
+  def tokensLocal(text: String, unicode: Boolean): Seq[String] =
+    if (unicode)
+      text.replaceAll("([\\p{IsHan}\\p{IsHiragana}\\p{IsKatakana}])", " $1 ")
+        .toLowerCase(java.util.Locale.ROOT)
+        .split("[^\\p{L}\\p{M}\\p{Nd}]+").toSeq.filter(_.nonEmpty)
+    else
+      text.toLowerCase(java.util.Locale.ROOT)
+        .split("[^a-z0-9]+").toSeq.filter(_.nonEmpty)
+
   /** Word-order-insensitive content fingerprint: md5 of the SORTED token
     * MULTISET (duplicates kept — "a a b" ≠ "a b b"). Catches the dup
     * class between exact dedup and minhash: same words, permuted order
@@ -474,7 +488,9 @@ object Dedup {
       df: DataFrame,
       textCol: String,
       idCol: String,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      w: Int = 1,
+      unicode: Boolean = false): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       s"threshold must be in (0, 1], got $threshold")
     // zero-token docs (punctuation-only) tokenize to an empty set — no
@@ -488,9 +504,9 @@ object Dedup {
     // precedent, and the cheaper side at 100 TB where a re-scan is a
     // second 100 TB read plus a second rank exchange.
     val base = graft.CacheScope.scoped(df
-      .filter(size(tokens(col(textCol))) > 0)
+      .filter(size(tokensMode(col(textCol), unicode)) > 0)
       .select(col(idCol).as("id"),
-        shingle_hash_set(col(textCol), w = 1).as("ts"))
+        shingle_hash_set(col(textCol), w, unicode).as("ts"))
       .withColumn("len", size(col("ts"))))
     val tok = base.select(col("id"), col("len"), explode(col("ts")).as("th"))
     val dfreq = tok.groupBy(col("th")).agg(count(lit(1)).as("df"))

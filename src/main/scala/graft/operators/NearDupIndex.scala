@@ -244,15 +244,19 @@ object NearDupIndex {
     * [[vacuumIndexSegments]] after a grace period longer than their
     * longest admission query.
     *
-    * Single-maintainer discipline: don't run two compactions of one
-    * index concurrently (both would claim `max(ids)+1`); appends race
-    * freely — an appended segment misses this merge and joins the next.
-    * Returns the live segment count after compaction. */
+    * Single-maintainer discipline is STRUCTURAL: compaction and vacuum
+    * take the index directory's [[graft.sources.v2.ShardLock]], so two
+    * compactions (both claiming `max(ids)+1`) or a compaction racing a
+    * vacuum fail loud with the layout intact. Appends stay lock-free
+    * and race freely — an appended segment misses this merge and joins
+    * the next. Returns the live segment count after compaction. */
   def compactSegments(
       spark: SparkSession,
       dir: String,
       reclaimSources: Boolean = true,
-      maxSegmentId: Long = Long.MaxValue): Int = {
+      maxSegmentId: Long = Long.MaxValue,
+      leaseMs: Long = graft.sources.v2.ShardLock.DefaultLeaseMs): Int =
+    graft.sources.v2.ShardLock.withLock(spark, dir, leaseMs) {
     import org.apache.hadoop.fs.Path
     val (fs, _) = fsFor(spark, dir)
     val segs = committedSegments(spark, dir)
@@ -295,7 +299,7 @@ object NearDupIndex {
       if (reclaimSources) fs.delete(new Path(s"$dir/bands/batch=$id"), true)
     }
     1 + protectedIds.size
-  }
+    }
 
   /** Reclaim superseded segments deferred by
     * `compactSegments(…, reclaimSources = false)`: deletes the data
@@ -305,9 +309,12 @@ object NearDupIndex {
     * a grace period longer than the serving fleet's longest admission
     * query, and under the same `maxSegmentId` discipline as compaction
     * (a correctly-bounded compaction never names a replayable id, so a
-    * vacuum after it is replay-safe by construction). Returns the
+    * vacuum after it is replay-safe by construction). Takes the
+    * index's maintenance lock, like compaction. Returns the
     * number of segment ids reclaimed. */
-  def vacuumIndexSegments(spark: SparkSession, dir: String): Int = {
+  def vacuumIndexSegments(spark: SparkSession, dir: String,
+      leaseMs: Long = graft.sources.v2.ShardLock.DefaultLeaseMs): Int =
+    graft.sources.v2.ShardLock.withLock(spark, dir, leaseMs) {
     import org.apache.hadoop.fs.Path
     val (fs, _) = fsFor(spark, dir)
     val dead = namedTombstones(fs, dir).sorted
@@ -320,7 +327,7 @@ object NearDupIndex {
       fs.delete(new Path(s"$dir/bands/batch=$id"), true)
     }
     dead.size
-  }
+    }
 
   /**
    * Continuous screen-and-grow ingest — the streaming face of the

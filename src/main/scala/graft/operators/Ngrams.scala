@@ -10,13 +10,15 @@ import org.apache.spark.sql.functions._
  * scoring, and rare-term extraction — the n-gram-shaped trio of a
  * pretraining data pipeline.
  *
- * Tokenization matches the house rule everywhere (lowercase, split on
- * `[^a-z0-9]+`, drop empties — the same expression
- * [[TextAnalysis.tokenFrequency]] uses), and n-grams are built with
- * `lead()` windows rather than array HOFs: windows are whole-stage
- * codegen'd, while Spark's lambda HOFs are interpreted (the documented
- * round-1 35× lesson). Every operator here is ANSI-SQL-expressible and
- * carries a DuckDB oracle.
+ * Tokenization follows the shared lexical contract everywhere
+ * ([[Dedup.tokensMode]]: the ASCII rule by default, the multilingual
+ * `unicode = true` rule on demand — every operator here threads the
+ * mode, so CJK/Cyrillic/Indic corpora get real decontamination and
+ * span removal instead of the ASCII mode's silent zero-token no-op),
+ * and n-grams are built with `lead()` windows rather than array HOFs:
+ * windows are whole-stage codegen'd, while Spark's lambda HOFs are
+ * interpreted (the documented round-1 35× lesson). Every operator here
+ * is ANSI-SQL-expressible and carries a DuckDB oracle.
  */
 object Ngrams {
 
@@ -26,11 +28,12 @@ object Ngrams {
       df: DataFrame,
       idCol: String,
       textCol: String,
-      carryCols: Seq[String] = Nil): DataFrame = {
+      carryCols: Seq[String] = Nil,
+      unicode: Boolean = false): DataFrame = {
     val keep = (idCol +: carryCols).map(col)
-    // Dedup.tokens is THE house tokenizer — every tokenizing operator
-    // and every SQL oracle twin must stay in lockstep with it
-    df.select(keep :+ posexplode(Dedup.tokens(col(textCol))): _*)
+    // Dedup.tokensMode is THE house tokenizer pair — every tokenizing
+    // operator and every SQL oracle twin must stay in lockstep with it
+    df.select(keep :+ posexplode(Dedup.tokensMode(col(textCol), unicode)): _*)
       .select(keep ++ Seq((col("pos") + 1).as("pos"), col("col").as("tok")): _*)
   }
 
@@ -53,13 +56,14 @@ object Ngrams {
       idCol: String,
       textCol: String,
       n: Int,
-      carryCols: Seq[String] = Nil): DataFrame = {
+      carryCols: Seq[String] = Nil,
+      unicode: Boolean = false): DataFrame = {
     require(n >= 2, s"n-gram size must be >= 2: $n")
     val w = Window.partitionBy((idCol +: carryCols).map(col): _*).orderBy(col("pos"))
     val parts: Seq[Column] =
       col("tok") +: (1 until n).map(i => lead(col("tok"), i).over(w))
     val gram = parts.reduce((a, b) => concat(a, lit(" "), b))
-    tokens(df, idCol, textCol, carryCols).withColumn("ngram", gram)
+    tokens(df, idCol, textCol, carryCols, unicode).withColumn("ngram", gram)
   }
 
   /**
@@ -82,16 +86,17 @@ object Ngrams {
       idCol: String,
       textCol: String,
       benchmarkPred: Column,
-      n: Int = 3): DataFrame = {
+      n: Int = 3,
+      unicode: Boolean = false): DataFrame = {
     // NULL-pred rows are CORPUS rows (screened): filter(pred) and
     // filter(!pred) both drop a NULL-evaluating row, so without the
     // coalesce a document with e.g. a NULL subset tag would be neither
     // benchmark nor screened — an unreported recall hole in the scrub
     val isBench = coalesce(benchmarkPred, lit(false))
-    val bench = wordNgrams(df.filter(isBench), idCol, textCol, n)
+    val bench = wordNgrams(df.filter(isBench), idCol, textCol, n, Nil, unicode)
       .filter(col("ngram").isNotNull)
       .select(col("ngram")).distinct()
-    wordNgrams(df.filter(!isBench), idCol, textCol, n)
+    wordNgrams(df.filter(!isBench), idCol, textCol, n, Nil, unicode)
       .filter(col("ngram").isNotNull)
       .join(broadcast(bench), "ngram")
       .groupBy(col(idCol))
@@ -117,8 +122,10 @@ object Ngrams {
       groupCol: String,
       idCol: String,
       textCol: String,
-      n: Int = 5): DataFrame = {
-    val sg = wordNgrams(df, idCol, textCol, n, carryCols = Seq(groupCol))
+      n: Int = 5,
+      unicode: Boolean = false): DataFrame = {
+    val sg = wordNgrams(df, idCol, textCol, n, carryCols = Seq(groupCol),
+      unicode = unicode)
       .filter(col("ngram").isNotNull)
       .select(col(groupCol).as("source"), col("ngram"))
       .distinct()
@@ -163,8 +170,9 @@ object Ngrams {
       df: DataFrame,
       textCol: String,
       minCount: Long = 5,
-      topK: Int = 50): DataFrame = {
-    val toks = df.select(Dedup.tokens(col(textCol)).as("__a"))
+      topK: Int = 50,
+      unicode: Boolean = false): DataFrame = {
+    val toks = df.select(Dedup.tokensMode(col(textCol), unicode).as("__a"))
     val pairs = toks
       .filter(size(col("__a")) > 1)
       .select(col("__a"),
@@ -220,7 +228,8 @@ object Ngrams {
       textCol: String,
       benchmarkPred: Column,
       n: Int = 3,
-      fpp: Double = 0.001): DataFrame = {
+      fpp: Double = 0.001,
+      unicode: Boolean = false): DataFrame = {
     require(fpp > 0.0 && fpp < 1.0, s"fpp must be in (0,1): $fpp")
     // persisted for the two actions below: the sizing count and the
     // filter build both consume the distinct gram set, and without the
@@ -236,14 +245,14 @@ object Ngrams {
     // the gram scan.
     // NULL-pred rows are corpus rows — see decontaminate
     val isBench = coalesce(benchmarkPred, lit(false))
-    val bench = wordNgrams(df.filter(isBench), idCol, textCol, n)
+    val bench = wordNgrams(df.filter(isBench), idCol, textCol, n, Nil, unicode)
       .filter(col("ngram").isNotNull)
       .select(col("ngram")).distinct().persist()
     // sizing pass on the (small) benchmark side only; never the corpus
     val nGrams = math.max(bench.count(), 1L)
     val bloom = bench.stat.bloomFilter("ngram", nGrams, fpp)
     bench.unpersist()
-    wordNgrams(df.filter(!isBench), idCol, textCol, n)
+    wordNgrams(df.filter(!isBench), idCol, textCol, n, Nil, unicode)
       .filter(col("ngram").isNotNull &&
         graft.functions.bloom_might_contain(col("ngram"), bloom))
       .groupBy(col(idCol))
@@ -269,8 +278,9 @@ object Ngrams {
       idCol: String,
       textCol: String,
       n: Int,
-      maxDocsPerGram: Int = 1000): DataFrame = {
-    val dg = wordNgrams(df, idCol, textCol, n)
+      maxDocsPerGram: Int = 1000,
+      unicode: Boolean = false): DataFrame = {
+    val dg = wordNgrams(df, idCol, textCol, n, Nil, unicode)
       .filter(col("ngram").isNotNull)
       .select(col(idCol).as("id"), col("ngram"))
       .distinct()
@@ -309,9 +319,10 @@ object Ngrams {
       textCol: String,
       n: Int,
       minTokens: Int,
-      maxDocsPerGram: Int = 1000): DataFrame = {
+      maxDocsPerGram: Int = 1000,
+      unicode: Boolean = false): DataFrame = {
     require(minTokens >= n, s"minTokens ($minTokens) must be >= n ($n)")
-    val occ = wordNgrams(df, idCol, textCol, n)
+    val occ = wordNgrams(df, idCol, textCol, n, Nil, unicode)
       .filter(col("ngram").isNotNull)
       .select(col(idCol).as("id"), col("pos"), col("ngram"))
     // oversized-gram guard on DOCUMENT count — the same semantics the
@@ -386,8 +397,9 @@ object Ngrams {
       df: DataFrame,
       idCol: String,
       textCol: String,
-      n: Int): DataFrame = {
-    val occ = wordNgrams(df, idCol, textCol, n)
+      n: Int,
+      unicode: Boolean = false): DataFrame = {
+    val occ = wordNgrams(df, idCol, textCol, n, Nil, unicode)
       .filter(col("ngram").isNotNull)
       .select(col(idCol).as("id"), col("pos"), md5(col("ngram")).as("__g"))
     // duplicated grams only: (count, lexicographic-first occurrence)
@@ -416,7 +428,7 @@ object Ngrams {
       .agg(collect_list(struct(col("s0"), col("e0"))).as("__ivs"))
     // rebuild: pure per-row HOFs against the doc's own interval list
     df.join(ivs, df(idCol) === ivs("id"), "left")
-      .withColumn("__toks", Dedup.tokens(col(textCol)))
+      .withColumn("__toks", Dedup.tokensMode(col(textCol), unicode))
       .withColumn("__iv", coalesce(col("__ivs"),
         array().cast("array<struct<s0:int,e0:int>>")))
       .withColumn("__kept",
@@ -445,9 +457,11 @@ object Ngrams {
       n: Int = 2,
       fracNum: Int = 1,
       fracDen: Int = 10,
-      minDocs: Int = 3): DataFrame = {
+      minDocs: Int = 3,
+      unicode: Boolean = false): DataFrame = {
     require(fracNum > 0 && fracDen > 0, "fraction must be positive")
-    val grams = wordNgrams(df, idCol, textCol, n, carryCols = Seq(groupCol))
+    val grams = wordNgrams(df, idCol, textCol, n, carryCols = Seq(groupCol),
+      unicode = unicode)
       .filter(col("ngram").isNotNull)
       .select(col(groupCol), col(idCol), col("ngram"))
       .distinct()

@@ -192,17 +192,28 @@ object Retrieval {
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      phrase: Seq[String]): DataFrame = {
+      phrase: Seq[String],
+      unicode: Boolean = false): DataFrame = {
     require(phrase.size >= 2 && phrase.size <= 8,
       s"phrase must have 2..8 tokens: $phrase")
-    require(phrase.forall(t => t.nonEmpty && t.matches("[a-z0-9]+")),
-      s"phrase terms must be house-tokenizer tokens (lowercase alnum): $phrase")
+    // each term must be exactly ONE token of the ACTIVE lexical contract
+    // — under the unicode rule a multi-char Han term would split into
+    // per-char tokens and silently never match; reject it here and point
+    // at the tokenizer (callers quote a raw CJK phrase through
+    // [[phraseSearchText]], which tokenizes it for them)
+    phrase.foreach { t =>
+      require(Dedup.tokensLocal(t, unicode) == Seq(t),
+        s"phrase term '$t' is not a single token of the " +
+          s"${if (unicode) "unicode" else "ascii"} lexical contract — " +
+          "pass tokens produced by Dedup.tokensLocal/tokensMode " +
+          "(phraseSearchText does this for raw text)")
+    }
     requireIntegralId(docs, idCol)
     // positional token stream via the house projection (Ngrams.tokens —
     // one definition of (doc, 1-based pos, tok) for every tokenizing
     // operator), filtered to the phrase's terms before any shuffle
     val toks = graft.CacheScope.scoped(
-      Ngrams.tokens(docs, idCol, textCol)
+      Ngrams.tokens(docs, idCol, textCol, Nil, unicode)
         .select(col(idCol).cast("long").as("doc_id"), col("pos"), col("tok"))
         .filter(col("tok").isin(phrase.distinct: _*)))
     val anchor = toks.filter(col("tok") === phrase.head)
@@ -217,6 +228,19 @@ object Retrieval {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_occurrences"))
   }
+
+  /** Quoted-query convenience over [[phraseSearch]]: tokenize the raw
+    * phrase with the active lexical contract (driver-side twin
+    * [[Dedup.tokensLocal]] — a CJK phrase becomes its per-char token
+    * sequence, exactly how the corpus side tokenized) and search it. */
+  def phraseSearchText(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      rawPhrase: String,
+      unicode: Boolean = false): DataFrame =
+    phraseSearch(docs, idCol, textCol,
+      Dedup.tokensLocal(rawPhrase, unicode), unicode)
 
   /**
    * Persist the inverted index under `dir` — the Lucene-segment analog
@@ -519,16 +543,22 @@ object Retrieval {
    * [[vacuumIndexSegments]] after a grace period longer than their
    * longest query.
    *
-   * Single-maintainer discipline: don't run two compactions of one
-   * index concurrently (they'd both claim `max(live)+1`); appends may
-   * race freely — an appended segment simply misses this merge and
-   * joins the next one. Returns the live-segment count after
-   * compaction (1, or the input count when already compact).
+   * Single-maintainer discipline is STRUCTURAL: compaction and vacuum
+   * take the index directory's [[graft.sources.v2.ShardLock]] (the
+   * shard store's lock, keyed here on the index dir), so two
+   * compactions — or a compaction racing a vacuum — fail loud instead
+   * of both claiming `max(live)+1` / deleting under each other.
+   * Appends stay lock-free and race freely — an appended segment
+   * simply misses this merge and joins the next one. Returns the
+   * live-segment count after compaction (1, or the input count when
+   * already compact).
    */
   def compactIndexSegments(
       spark: SparkSession,
       dir: String,
-      reclaimSources: Boolean = true): Int = {
+      reclaimSources: Boolean = true,
+      leaseMs: Long = graft.sources.v2.ShardLock.DefaultLeaseMs): Int =
+    graft.sources.v2.ShardLock.withLock(spark, dir, leaseMs) {
     import org.apache.hadoop.fs.Path
     val conf = spark.sessionState.newHadoopConf()
     val normsPath = new Path(s"$dir/norms")
@@ -597,7 +627,7 @@ object Retrieval {
     // resurrect anything.
     KeyTombstones.reclaim(fs, appliedTombstones)
     1
-  }
+    }
 
   /** Reclaim superseded index segments deferred by
     * `compactIndexSegments(…, reclaimSources = false)`: deletes the
@@ -606,8 +636,12 @@ object Retrieval {
     * an in-flight append and is left alone. Run it after a grace
     * period longer than the serving fleet's longest query so no scan
     * started before the compaction's publish still holds the old file
-    * list. Returns the number of segment ids reclaimed. */
-  def vacuumIndexSegments(spark: SparkSession, dir: String): Int = {
+    * list. Takes the index's maintenance lock — a vacuum racing a
+    * compaction fails loud with the layout intact. Returns the number
+    * of segment ids reclaimed. */
+  def vacuumIndexSegments(spark: SparkSession, dir: String,
+      leaseMs: Long = graft.sources.v2.ShardLock.DefaultLeaseMs): Int =
+    graft.sources.v2.ShardLock.withLock(spark, dir, leaseMs) {
     import org.apache.hadoop.fs.Path
     val conf = spark.sessionState.newHadoopConf()
     val normsPath = new Path(s"$dir/norms")
@@ -623,7 +657,7 @@ object Retrieval {
       fs.delete(new Path(s"$dir/norms/batch=$id"), true)
     }
     dead.size
-  }
+    }
 
   /** Serve BM25 top-`k` from a persisted index: the term filter lands
     * in `PushedFilters` on the postings scan (RetrievalSpec asserts

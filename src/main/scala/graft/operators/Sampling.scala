@@ -370,13 +370,15 @@ object Sampling {
       target: DataFrame,
       idCol: String,
       textCol: String,
-      topN: Int): DataFrame = {
+      topN: Int,
+      unicode: Boolean = false): DataFrame = {
     require(topN > 0, s"topN must be positive: $topN")
     val targetCnt = target
-      .select(explode(Dedup.tokens(col(textCol))).as("tok"))
+      .select(explode(Dedup.tokensMode(col(textCol), unicode)).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("target_cnt"))
     val tf = pool
-      .select(col(idCol), explode(Dedup.tokens(col(textCol))).as("tok"))
+      .select(col(idCol),
+        explode(Dedup.tokensMode(col(textCol), unicode)).as("tok"))
       .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
     // Overflow discipline: affinity = Σ tf·cnt_target is a BIGINT sum of
     // BIGINT products — at 100 TB a hot target token (cnt_target ~ 1e9)

@@ -240,8 +240,10 @@ object TextAnalysis {
     * back; the final per-doc aggregate shuffles doc keys only.
     *
     * @return (`<idCol>`, `n_tokens`, `sum_tok_freq`, `min_tok_freq`) */
-  def tokenRarity(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tf = df.select(col(idCol), explode(Dedup.tokens(col(textCol))).as("term"))
+  def tokenRarity(df: DataFrame, idCol: String, textCol: String,
+      unicode: Boolean = false): DataFrame = {
+    val tf = df.select(col(idCol),
+      explode(Dedup.tokensMode(col(textCol), unicode)).as("term"))
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
     val freq = tf.groupBy(col("term")).agg(sum(col("tf")).as("freq"))
     tf.join(broadcast(freq), "term")
@@ -574,8 +576,9 @@ object TextAnalysis {
     * (`length(bin(cnt))` — no float log whose ulp could flip a
     * power-of-two boundary between engines). Two hash aggregates; the
     * second input is vocabulary-sized. */
-  def vocabZipf(df: DataFrame, textCol: String): DataFrame =
-    df.select(explode(Dedup.tokens(col(textCol))).as("token"))
+  def vocabZipf(df: DataFrame, textCol: String,
+      unicode: Boolean = false): DataFrame =
+    df.select(explode(Dedup.tokensMode(col(textCol), unicode)).as("token"))
       .groupBy(col("token"))
       .agg(count(lit(1)).as("__cnt"))
       .groupBy(length(bin(col("__cnt"))).cast("long").as("bucket"))

@@ -1765,23 +1765,17 @@ object ExtensionQueries extends QueryFamily {
     * mixed-script column: exact unicode-shingle Jaccard ≥ 0.85 pairs
     * (both engines recompute them independently — Spark through the
     * fused unicode kernel, DuckDB through the RE2 replay) flagged with
-    * whether unicode-mode LSH banding surfaced them. */
+    * whether unicode-mode LSH banding surfaced them. The exact side
+    * runs through [[Dedup.jaccardJoin]]'s PPJoin prefix filter (w = 3
+    * unicode shingles) instead of the full shared-gram pair join — the
+    * r15-flagged most-expensive-row fix: the prefix/positional bounds
+    * are lossless at the 0.85 threshold, so the pair set and Jaccard
+    * values are IDENTICAL, at a fraction of the collision rows. */
   def dedupMinhashUnicodeRecall(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.shingle_hash_set
     val docs = withMixedText(Tables.documents(spark, dir), full = true)
-    val sh = docs.select(col("doc_id").as("id"),
-      shingle_hash_set(col("mtext"), 3, unicode = true).as("sh"))
-      .withColumn("len", size(col("sh")))
-    val tok = graft.CacheScope.scoped(
-      sh.select(col("id"), col("len"), explode(col("sh")).as("g")))
-    val exact = tok.as("a").join(tok.as("b"), "g")
-      .filter(col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.len").as("len_a"), col("b.len").as("len_b"))
-      .agg(count(lit(1)).as("__i"))
-      .withColumn("jaccard_w3",
-        col("__i") / (col("len_a") + col("len_b") - col("__i")).cast("double"))
-      .filter(col("jaccard_w3") >= 0.85)
+    val exact = Dedup.jaccardJoin(docs, "mtext", "doc_id",
+      threshold = 0.85, w = 3, unicode = true)
+      .withColumnRenamed("jaccard", "jaccard_w3")
     val lsh = Dedup.minhashPairs(docs, "mtext", "doc_id",
       numHashes = 64, bands = 16, threshold = 0.5, unicode = true)
       .select(col("id_a"), col("id_b")).withColumn("__f", lit(true))

@@ -243,6 +243,18 @@ object RetrievalQueries extends QueryFamily {
     Retrieval.phraseSearch(Tables.documents(spark, dir), "doc_id", "text", phrase)
       .orderBy(col("doc_id"))
 
+  /** Quoted CJK phrase under the UNICODE contract: "质量很高" is a
+    * contiguous run inside mixed phrase 1 (docs with doc_id % 5 == 0);
+    * [[Retrieval.phraseSearchText]] tokenizes the raw quote per-char
+    * with the driver-side tokenizer twin — the query the old
+    * `[a-z0-9]` term gate could not even EXPRESS (the r15-verdict
+    * phrase-search gap). Full RE2 positional replay in DuckDB. */
+  def textPhraseSearchUnicode(spark: SparkSession, dir: String): DataFrame =
+    Retrieval.phraseSearchText(
+      ExtensionQueries.withMixedText(Tables.documents(spark, dir), full = false),
+      "doc_id", "mtext", "质量很高", unicode = true)
+      .orderBy(col("doc_id"))
+
   override def queries: Map[String, QueryFn] = Map(
     "text_bm25_topk" -> (textBm25TopK _),
     "text_bm25_index" -> (textBm25Index _),
@@ -250,7 +262,8 @@ object RetrievalQueries extends QueryFamily {
     "text_bm25_delete" -> (textBm25Delete _),
     "text_hybrid_topk" -> (textHybridTopK _),
     "text_hybrid_index_verdict" -> (textHybridIndexVerdict _),
-    "text_phrase_search" -> (textPhraseSearch _))
+    "text_phrase_search" -> (textPhraseSearch _),
+    "text_phrase_search_unicode" -> (textPhraseSearchUnicode _))
 
   /** Shared SQL fragments: the house tokenizer twin and the BM25 CTE
     * chain (used by both bm25 oracles — the index query is defined to
@@ -394,6 +407,23 @@ object RetrievalQueries extends QueryFamily {
           "TRUE AS served_equal, TRUE AS tombstones_cleared FROM ("),
     "text_hybrid_topk" -> hybridSql,
     "text_hybrid_index_verdict" -> hybridVerdictSql,
+    "text_phrase_search_unicode" -> {
+      val terms = Seq("质", "量", "很", "高")
+      val joins = terms.zipWithIndex.drop(1).map { case (t, i) =>
+        s"JOIN t t$i ON t$i.doc_id = t0.doc_id AND t$i.pos = t0.pos + $i AND t$i.tok = '$t'"
+      }.mkString("\n")
+      s"""WITH mx AS (SELECT doc_id, ${ExtensionQueries.mixedSqlExpr(full = false)} AS mtext
+         |  FROM documents),
+         |t AS (SELECT doc_id,
+         |    unnest(${ExtensionQueries.tokensUniSql("mtext")}) AS tok,
+         |    unnest(range(1, len(${ExtensionQueries.tokensUniSql("mtext")}) + 1)) AS pos
+         |  FROM mx)
+         |SELECT t0.doc_id, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+         |FROM t t0
+         |$joins
+         |WHERE t0.tok = '${terms.head}'
+         |GROUP BY t0.doc_id ORDER BY t0.doc_id""".stripMargin
+    },
     "text_phrase_search" -> {
       val joins = phrase.zipWithIndex.drop(1).map { case (t, i) =>
         s"JOIN t t$i ON t$i.doc_id = t0.doc_id AND t$i.pos = t0.pos + $i AND t$i.tok = '$t'"

@@ -256,4 +256,29 @@ class NearDupIndexSpec extends SparkSpec {
       .collect()
     assert(admitted.isEmpty, "copy admitted: build/screen banding drifted")
   }
+  test("near-dup index maintenance lock: compaction racing a vacuum fails loud with the layout intact") {
+    import graft.sources.v2.ShardLock
+    val dir = java.nio.file.Files.createTempDirectory("neardup-lock").toString
+    NearDupIndex.writeIndex(corpus.filter($"doc_id" <= 2), "text", dir)
+    NearDupIndex.appendSegment(corpus.filter($"doc_id" > 2), "text", dir, "batch=1")
+    val segsBefore = new java.io.File(s"$dir/bands").listFiles().map(_.getName).toSet
+
+    val lockFile = new java.io.File(dir, ShardLock.FileName)
+    val w = new java.io.PrintWriter(lockFile)
+    w.println(s"vacuum-holder\t${System.currentTimeMillis()}"); w.close()
+    intercept[ShardLock.LockHeldException] {
+      NearDupIndex.compactSegments(spark, dir)
+    }
+    intercept[ShardLock.LockHeldException] {
+      NearDupIndex.vacuumIndexSegments(spark, dir)
+    }
+    assert(new java.io.File(s"$dir/bands").listFiles().map(_.getName).toSet == segsBefore,
+      "refused maintenance must not touch the segment layout")
+    assert(lockFile.delete())
+
+    // with the lock free, compaction proceeds and releases cleanly
+    assert(NearDupIndex.compactSegments(spark, dir) == 1)
+    assert(!lockFile.exists())
+    graft.CacheScope.releaseAll()
+  }
 }

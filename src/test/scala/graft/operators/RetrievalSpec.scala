@@ -409,4 +409,35 @@ class RetrievalSpec extends SparkSpec {
       .orderBy($"query_id", $"rank").collect().toSeq
     assert(rebuilt == expectAll, "rebuild did not clear stale tombstones")
   }
+  test("index maintenance lock: compaction/vacuum fail fast under a held lock; expired lease breaks") {
+    import graft.sources.v2.ShardLock
+    val a = Seq((1L, "alpha beta"), (2L, "beta gamma")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("bm25lock").toString
+    Retrieval.writeIndexSegment(a.filter($"doc_id" === 1), "doc_id", "text", dir, "batch=0")
+    Retrieval.writeIndexSegment(a.filter($"doc_id" === 2), "doc_id", "text", dir, "batch=1")
+    val q = Seq(1 -> "beta").toDF("query_id", "term")
+    val before = Retrieval.searchIndex(spark, dir, q, k = 5).collect().toSeq
+
+    // a held foreign lock: both maintenance paths fail LOUD, layout intact
+    val lockFile = new java.io.File(dir, ShardLock.FileName)
+    val w = new java.io.PrintWriter(lockFile)
+    w.println(s"other-writer\t${System.currentTimeMillis()}"); w.close()
+    intercept[ShardLock.LockHeldException] {
+      Retrieval.compactIndexSegments(spark, dir)
+    }
+    intercept[ShardLock.LockHeldException] {
+      Retrieval.vacuumIndexSegments(spark, dir)
+    }
+    assert(Retrieval.searchIndex(spark, dir, q, k = 5).collect().toSeq == before,
+      "a refused maintenance run must leave the index untouched")
+    assert(lockFile.exists())
+
+    // an EXPIRED lease (crashed holder) is broken and compaction proceeds
+    assert(lockFile.setLastModified(System.currentTimeMillis() - 3600000L))
+    assert(Retrieval.compactIndexSegments(spark, dir) == 1)
+    assert(!lockFile.exists(), "lock must be released after the run")
+    assert(Retrieval.searchIndex(spark, dir, q, k = 5).collect().toSeq == before,
+      "compaction under a broken stale lock must preserve served results")
+    graft.CacheScope.releaseAll()
+  }
 }

@@ -211,4 +211,100 @@ class UnicodeTokensSpec extends SparkSpec {
       .select("subword_tokens").as[Long].head()
     assert(fert >= 30L, s"unicode fertility missed CJK tokens: $fert")
   }
+  test("tokensLocal (driver-side twin) == HOF forms over the mixed fixture, both modes") {
+    val rows = mixed.select(col("doc_id"), col("text"),
+      Dedup.tokens(col("text")).as("ta"),
+      Dedup.tokensUnicode(col("text")).as("tu"))
+      .collect()
+    rows.foreach { r =>
+      val text = r.getString(1)
+      assert(Dedup.tokensLocal(text, unicode = false) ==
+        r.getSeq[String](2), s"ascii drift on doc ${r.getLong(0)}")
+      assert(Dedup.tokensLocal(text, unicode = true) ==
+        r.getSeq[String](3), s"unicode drift on doc ${r.getLong(0)}")
+    }
+  }
+
+  test("decontaminate unicode mode catches planted CJK benchmark leakage; ASCII mode is blind to it") {
+    // doc 100 is the benchmark; docs 101/102 copy its CJK phrase, 103 is clean
+    val corpus = Seq(
+      (100L, "机器学习的基准测试题目在这里"),
+      (101L, "前言 机器学习的基准测试题目在这里 结语"),
+      (102L, "机器学习的基准测试 不同后缀"),
+      (103L, "完全不同的内容没有重叠部分")
+    ).toDF("doc_id", "text")
+    val uni = graft.operators.Ngrams.decontaminate(
+      corpus, "doc_id", "text", col("doc_id") === 100L, n = 3, unicode = true)
+      .as[(Long, Long)].collect().toMap
+    assert(uni.contains(101L) && uni.contains(102L) && !uni.contains(103L),
+      s"got $uni")
+    // ASCII mode: zero tokens anywhere -> zero hits -> silent pass-through
+    val ascii = graft.operators.Ngrams.decontaminate(
+      corpus, "doc_id", "text", col("doc_id") === 100L, n = 3)
+      .collect()
+    assert(ascii.isEmpty, s"ascii mode should see nothing: ${ascii.toSeq}")
+  }
+
+  test("removeDuplicateSpans unicode mode rewrites duplicated CJK runs keep-first; ASCII mode no-ops") {
+    val corpus = Seq(
+      (1L, "这是重复的模板句子 其余甲"),
+      (2L, "这是重复的模板句子 其余乙")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Ngrams.removeDuplicateSpans(
+      corpus, "doc_id", "text", n = 4, unicode = true)
+      .select(col("doc_id"), col("n_removed")).as[(Long, Long)].collect().toMap
+    assert(out(1L) == 0L, s"first occurrence must be kept: $out")
+    assert(out(2L) >= 9L, s"doc 2's duplicated 9-char run must be removed: $out")
+    val ascii = graft.operators.Ngrams.removeDuplicateSpans(
+      corpus, "doc_id", "text", n = 4)
+      .select(col("doc_id"), col("n_removed")).as[(Long, Long)].collect().toMap
+    assert(ascii.values.forall(_ == 0L), s"ascii mode must no-op here: $ascii")
+  }
+
+  test("phraseSearch: unicode terms accepted per-char, raw quotes tokenized, wrong-mode terms rejected loud") {
+    val docs = Seq(
+      (1L, "网页的质量很高值得收录"),
+      (2L, "质量一般 很高的山"),
+      (3L, "无关内容")
+    ).toDF("doc_id", "text")
+    val hits = graft.operators.Retrieval.phraseSearchText(
+      docs, "doc_id", "text", "质量很高", unicode = true)
+      .as[(Long, Long)].collect().toMap
+    assert(hits == Map(1L -> 1L), s"got $hits")
+    // a multi-char Han term is NOT one unicode token - fail loud, not no-match
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Retrieval.phraseSearch(
+        docs, "doc_id", "text", Seq("质量", "很高"), unicode = true)
+    }
+    assert(e.getMessage.contains("not a single token"), e.getMessage)
+    graft.CacheScope.releaseAll()
+  }
+
+  test("unicode mode threads through affinity/rarity/zipf/chunking (nonzero where ASCII reads zero)") {
+    val docs = Seq(
+      (1L, "目标领域的专业文本内容"),
+      (2L, "目标领域的相关文章材料"),
+      (3L, "完全无关的随机句子")
+    ).toDF("doc_id", "text")
+    val aff = graft.operators.Sampling.targetAffinity(
+      docs, docs.filter(col("doc_id") === 1L), "doc_id", "text",
+      topN = 3, unicode = true)
+      .select(col("doc_id"), col("affinity_micro")).as[(Long, Long)]
+      .collect().toMap
+    assert(aff(2L) > aff(3L), s"in-domain doc must outrank: $aff")
+    val rar = graft.operators.TextAnalysis.tokenRarity(
+      docs, "doc_id", "text", unicode = true).count()
+    assert(rar == 3L)
+    val zipf = graft.operators.TextAnalysis.vocabZipf(
+      docs, "text", unicode = true)
+      .agg(sum(col("n_terms"))).as[Long].collect().head
+    assert(zipf > 0L)
+    val chunks = graft.operators.Corpus.chunkWindows(
+      docs, "doc_id", "text", window = 4, overlap = 0, unicode = true)
+    assert(chunks.count() >= 6L) // ~10 single-char tokens per doc / 4
+    // ASCII mode on the same corpus: zero tokens, zero chunks
+    assert(graft.operators.Corpus.chunkWindows(
+      docs, "doc_id", "text", window = 4, overlap = 0).count() == 0L)
+    graft.CacheScope.releaseAll()
+  }
 }
