@@ -114,7 +114,10 @@ object BenchScale {
     "sim_topk_ivfpq_index_verdict" -> "linear",
     "sim_topk_ivf_index_verdict" -> "linear",
     "shard_sink_roundtrip" -> "linear",
-    "shard_compact_roundtrip" -> "linear",
+    // r16: gained a range re-layout pass + a planted takedown over it —
+    // a multi-materialization lifecycle row now (build -> compact ->
+    // re-append -> range-compact -> delete -> read-back)
+    "shard_compact_roundtrip" -> "composite",
     "quality_logit_train" -> "linear",
     // late-r10 surfaces: bigram-LM train+score (model counts grow with
     // the disjoint-ring union but the score joins stay Θ(tokens)), the
@@ -203,7 +206,10 @@ object BenchScale {
     // r16: the bounded recall row (was the most expensive bench row at
     // 15.8 CPU-s with an unprobed shared-gram pair join; now planted-
     // pair-scoped — the probe guards the bound)
-    "dedup_minhash_unicode_recall" -> "answer")
+    "dedup_minhash_unicode_recall" -> "answer",
+    // r16: the pruned point lookup (build dominates; the lookup itself
+    // is the constant-cost stage shard_keyed_discovery isolates)
+    "shard_read_by_key" -> "linear")
 
   /**
    * Probe-only stage surfaces (not in [[SparkEntry.queries]] — they

@@ -2753,7 +2753,8 @@ object ExtensionQueries extends QueryFamily {
       .select(col("doc_id"), md5(col("text")).as("ld"))
     def append(half: DataFrame): Unit =
       half.write.format("graft.sources.v2.ShardSink")
-        .option("path", out).mode("append").save()
+        .option("path", out).option("statsColumn", "doc_id")
+        .mode("append").save()
     append(docs.filter(col("doc_id") % 2 === 0))
     append(docs.filter(col("doc_id") % 2 === 1))
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
@@ -2761,7 +2762,29 @@ object ExtensionQueries extends QueryFamily {
       StructField("doc_id", LongType), StructField("ld", StringType)))
     val before = ShardReader.manifestShardCount(spark, out)
     val after = ShardCompact.compact(spark, out, schema, targetShards = 1)
-    val compactedOk = before >= 2 && after == 1
+    // layout gate: re-split to 4 RANGE-laid-out shards — each output
+    // shard must cover a disjoint key range, so a single-key lookup
+    // prunes to ≤ 1 shard (a hash repartition here would leave every
+    // shard spanning the whole domain and silently kill the stats
+    // prune); planted +2·10⁷ rows are then takedown'd over that layout
+    // and the digest chain must read back the pristine derivation
+    val planted = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + 20000000L).as("doc_id"),
+        md5(col("text")).as("ld"))
+    append(planted.repartition(6)) // > targetShards, so the re-layout runs
+    val nPlanted = planted.count()
+    val relaid =
+      ShardCompact.compact(spark, out, schema, targetShards = 4,
+        sortBy = Some("doc_id")) == 4 && {
+        val oneKey = spark.range(1).select(lit(0L).as("k"))
+        graft.sources.v2.ShardDelete
+          .candidateShards(spark, out, schema, "doc_id", oneKey).size <= 1
+      }
+    val removed = graft.sources.v2.ShardDelete.deleteByKey(
+      spark, out, schema, "doc_id", planted.select(col("doc_id")))
+    val compactedOk = before >= 2 && after == 1 && relaid &&
+      removed == nPlanted
     val back = ShardReader.read(spark, out, schema)
     back.groupBy((col("doc_id") % 8).as("bucket"))
       .agg(count(lit(1)).as("n_docs"),
@@ -2770,6 +2793,59 @@ object ExtensionQueries extends QueryFamily {
             x => x.getField("ld")))).as("digest"))
       .withColumn("compacted_ok", lit(compactedOk))
       .orderBy(col("bucket"))
+  }
+
+  /**
+   * Manifest-pruned keyed point lookup on the durable shard store
+   * ([[graft.sources.v2.ShardReader.readByKey]]) — the serving-side
+   * payoff of the `_STATS` ranges: two RANGE-split appends build the
+   * table, then a lookup of a key set confined to the LOW id half
+   * (`doc_id % 7 == 0 AND doc_id <= max/2`, plus a key matching
+   * nothing) must return exactly those rows while READING only
+   * low-range shards — `read_pruned` gates that every candidate
+   * shard's stats range sits inside the low half and that high-range
+   * shards were never opened. DuckDB derives the same rows straight
+   * from the documents table.
+   */
+  def shardReadByKey(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.v2.{ShardDelete, ShardReader}
+    val out = graft.TmpCleanup.perProcessDir("graft-shard-rbk", dir)
+    graft.TmpCleanup.register(out)
+    val p = java.nio.file.Paths.get(out)
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(java.nio.file.Files.walk(p)) { st =>
+        st.iterator().asScala.toSeq.reverse
+      }.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(col("text")).as("ld"))
+    val mid = Tables.documents(spark, dir)
+      .agg(max(col("doc_id"))).collect().head.getLong(0) / 2L
+    def append(half: DataFrame): Unit =
+      half.write.format("graft.sources.v2.ShardSink")
+        .option("path", out).option("statsColumn", "doc_id")
+        .mode("append").save()
+    append(docs.filter(col("doc_id") <= mid))
+    append(docs.filter(col("doc_id") > mid))
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("ld", StringType)))
+    val keys = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 7 === 0 && col("doc_id") <= mid)
+      .select(col("doc_id"))
+      .union(spark.range(1).select(lit(-77L).as("doc_id")))
+    val cands = ShardDelete.candidateShards(spark, out, schema, "doc_id", keys)
+    val hadoopDir = new org.apache.hadoop.fs.Path(out)
+    val statsRanges = graft.sources.v2.ShardStats.readIfExists(
+      hadoopDir.getFileSystem(spark.sessionState.newHadoopConf()),
+      hadoopDir).get.ranges
+    val total = ShardReader.manifestShardCount(spark, out)
+    val pruned = cands.nonEmpty && cands.size < total &&
+      cands.forall(n => statsRanges(n).exists(_._2.toLong <= mid))
+    ShardReader.readByKey(spark, out, schema, "doc_id", keys)
+      .withColumn("read_pruned", lit(pruned))
+      .orderBy(col("doc_id"))
   }
 
   /**
@@ -3207,6 +3283,7 @@ object ExtensionQueries extends QueryFamily {
     "corpus_ingest_jsonl" -> (corpusIngestJsonl _),
     "shard_sink_roundtrip" -> (shardSinkRoundtrip _),
     "shard_compact_roundtrip" -> (shardCompactRoundtrip _),
+    "shard_read_by_key" -> (shardReadByKey _),
     "shard_delete_roundtrip" -> (shardDeleteRoundtrip _),
     "shard_upsert_roundtrip" -> (shardUpsertRoundtrip _),
     "shard_snapshot_diff" -> (shardSnapshotDiff _),
@@ -5046,6 +5123,14 @@ object ExtensionQueries extends QueryFamily {
       """SELECT vec_id AS query_id, TRUE AS copy_found,
         |  TRUE AS restored_equal, TRUE AS tombstones_cleared
         |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin,
+    // the pruned point lookup: the planted low-half key rows derived
+    // straight from documents, with the constant-TRUE prune gate
+    "shard_read_by_key" ->
+      """SELECT doc_id, MD5(text) AS ld, TRUE AS read_pruned
+        |FROM documents
+        |WHERE doc_id % 7 = 0
+        |  AND doc_id <= (SELECT MAX(doc_id) // 2 FROM documents)
+        |ORDER BY doc_id""".stripMargin,
     // the takedown twin: digest chains over documents that NEVER had
     // the deleted ids (the planted set confined to the low id half so
     // the stats prune is observable), plus the constant-TRUE delete gates

@@ -40,14 +40,25 @@ object ShardCompact {
     * No-op when the table already has ≤ `targetShards` shards. Returns
     * the number of shards after compaction. A table carrying `_STATS`
     * key ranges keeps them: the rewrite re-collects stats on the same
-    * column, so compaction never costs the keyed-maintenance prune. */
+    * column, so compaction never costs the keyed-maintenance prune.
+    *
+    * Layout: by default (and always when the table carries `_STATS`)
+    * the rewrite is RANGE-partitioned on the stats/`sortBy` column, so
+    * each output shard covers a disjoint key range — a hash/round-robin
+    * repartition would leave every output shard spanning the whole key
+    * domain and silently destroy the min/max prune the stats exist for
+    * (every future takedown back to a full-table read). Pass
+    * `sortBy = Some(col)` to range-lay-out a stats-less table too. */
   def compact(
       spark: SparkSession,
       path: String,
       schema: StructType,
       targetShards: Int = 1,
-      leaseMs: Long = ShardLock.DefaultLeaseMs): Int = {
+      leaseMs: Long = ShardLock.DefaultLeaseMs,
+      sortBy: Option[String] = None): Int = {
     require(targetShards >= 1, s"targetShards must be >= 1: $targetShards")
+    sortBy.foreach(c => require(schema.fieldNames.contains(c),
+      s"sortBy column '$c' not in table schema ${schema.fieldNames.mkString(",")}"))
     ShardLock.withLock(spark, path, leaseMs) {
     val dir = new Path(path)
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
@@ -57,12 +68,20 @@ object ShardCompact {
     val old = ShardManifest.read(fs, mfPath)
     if (old.size <= targetShards) return old.size
     val statsCol = ShardStats.readIfExists(fs, dir).map(_.column)
+    val layoutCol = sortBy.orElse(statsCol)
 
     // (1) consolidate through the sink's own two-phase commit, into a
     // scratch dir whose content is invisible to readers of `path`
     val scratch = new Path(dir, s"_compact-${UUID.randomUUID().toString.take(8)}")
-    val w = ShardReader.read(spark, path, schema)
-      .repartition(targetShards)
+    val in = ShardReader.read(spark, path, schema)
+    val shaped = layoutCol match {
+      case Some(c) if targetShards > 1 =>
+        in.repartitionByRange(targetShards, org.apache.spark.sql.functions.col(c))
+      case Some(c) =>
+        in.coalesce(1).sortWithinPartitions(org.apache.spark.sql.functions.col(c))
+      case None => in.repartition(targetShards)
+    }
+    val w = shaped
       .write.format("graft.sources.v2.ShardSink")
       .option("path", scratch.toString).mode("append")
     statsCol.fold(w)(c => w.option(ShardStats.OptionKey, c)).save()

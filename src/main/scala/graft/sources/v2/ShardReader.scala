@@ -49,6 +49,42 @@ object ShardReader {
     } else spark.read.schema(schema).json(files: _*)
   }
 
+  /** Keyed point lookup — the read-side payoff of the `_STATS` manifest
+    * ranges ([[ShardStats]]): return exactly the rows whose `keyCol` is
+    * in `keys` (one-column DataFrame, joined never collected), READING
+    * only the shards whose [min,max] range can contain a key. On a
+    * range-laid-out table ([[ShardCompact.compact]] keeps that layout)
+    * a handful-of-ids lookup opens a handful of shards regardless of
+    * table size; without stats it degrades to a manifest-scoped scan +
+    * semi-join — correct, just un-pruned. */
+  def readByKey(
+      spark: SparkSession,
+      path: String,
+      schema: StructType,
+      keyCol: String,
+      keys: DataFrame): DataFrame = {
+    require(schema.fieldNames.contains(keyCol),
+      s"key column '$keyCol' not in table schema ${schema.fieldNames.mkString(",")}")
+    require(keys.columns.length == 1,
+      s"keys must be a one-column frame, got ${keys.columns.mkString(",")}")
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val keyDf = keys.select(keys.columns.head).distinct()
+      .withColumnRenamed(keys.columns.head, "__k")
+    val names = manifestEntries(spark, path).map(_._1)
+    val candidates = ShardStats.candidateShards(spark, fs, dir,
+      schema(keyCol).dataType, keyCol, keyDf, names)
+    if (candidates.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else {
+      val files = candidates.map(n => new Path(dir, n).toString)
+      val df = spark.read.schema(schema).json(files: _*)
+      df.join(keyDf, df(keyCol) === org.apache.spark.sql.functions.col("__k"),
+        "left_semi")
+    }
+  }
+
   /** Total row count the manifest promises — compare with an actual
     * count to detect shard corruption without trusting the shards. */
   def manifestRowCount(spark: SparkSession, path: String): Long =

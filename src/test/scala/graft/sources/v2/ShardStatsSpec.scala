@@ -190,6 +190,36 @@ class ShardStatsSpec extends SparkSpec {
       spark, ndir, schema, "doc_id", Seq(1L).toDF("k")).isEmpty)
   }
 
+  test("range-layout compaction keeps disjoint shard ranges; readByKey physically skips non-intersecting shards") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stats-layout").toString
+    // interleaved appends: every input shard spans nearly the whole domain
+    append(dir, Seq((1L, "a"), (900L, "b")))
+    append(dir, Seq((5L, "c"), (950L, "d")))
+    append(dir, Seq((500L, "e"), (999L, "f")))
+    // a stats-carrying table re-lays out by RANGE even without sortBy —
+    // the default that keeps compaction from destroying the prune
+    assert(ShardCompact.compact(spark, dir, schema, targetShards = 2) == 2)
+    val s = statsOf(dir)
+    val ranges = s.ranges.values.flatten.toSeq
+      .map { case (mn, mx) => (mn.toLong, mx.toLong) }.sortBy(_._1)
+    assert(ranges.size == 2 && ranges(0)._2 < ranges(1)._1,
+      s"compacted shards must cover disjoint key ranges: $ranges")
+
+    // readByKey: remove the high-range shard from disk — a lookup of
+    // low keys succeeds iff the read never opened it
+    val hi = s.ranges.collectFirst {
+      case (n, Some((mn, _))) if mn.toLong == ranges(1)._1 => n }.get
+    assert(new java.io.File(dir, hi).delete())
+    val got = ShardReader.readByKey(spark, dir, schema, "doc_id",
+      Seq(1L, 5L, 12345L).toDF("k"))
+      .as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "a"), (5L, "c")), s"got $got")
+    // no-candidate lookup: empty frame, zero shards opened
+    assert(ShardReader.readByKey(spark, dir, schema, "doc_id",
+      Seq(-1L).toDF("k")).count() == 0L)
+    graft.CacheScope.releaseAll()
+  }
+
   test("snapshot versions are never reused after dropping the latest (persistent high-water mark)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-snap-hwm").toString
     append(dir, Seq((1L, "a")))
