@@ -209,7 +209,11 @@ object BenchScale {
     "dedup_minhash_unicode_recall" -> "answer",
     // r16: the pruned point lookup (build dominates; the lookup itself
     // is the constant-cost stage shard_keyed_discovery isolates)
-    "shard_read_by_key" -> "linear")
+    "shard_read_by_key" -> "linear",
+    // r16 flagship: span rewrite + dedup + the store's full compliance
+    // lifecycle (build -> compact -> snapshot -> takedown -> retention
+    // -> pruned serve) — the store-lifecycle composite shape
+    "pipeline_corpus_v11" -> "composite")
 
   /**
    * Probe-only stage surfaces (not in [[SparkEntry.queries]] — they

@@ -387,6 +387,83 @@ object PipelineQueries extends QueryFamily {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /**
+   * Composed flagship v11 — the r16 surfaces as ONE pipeline, ending in
+   * the durable store's full compliance lifecycle:
+   *
+   *  1. multilingual column (the unicode fixture recipe, in-query);
+   *  2. UNICODE exact-substring span removal (keep-first — duplicated
+   *     CJK runs rewritten out, the r16 spread);
+   *  3. minimum-content gate on the SURVIVING tokens;
+   *  4. exact dedup of the cleaned text (min-id survivor);
+   *  5. survivors land in a durable [[graft.sources.v2.ShardSink]]
+   *     table: RANGE-split stats-carrying appends, range-layout
+   *     compaction to 4 disjoint-range shards;
+   *  6. snapshot v1, keyed TAKEDOWN of the `% 13 == 1` survivors
+   *     (pruned hit discovery over the range layout), then the ONE-call
+   *     retention compliance: `retain(keepLast = 0)` drops the pinning
+   *     snapshot and vacuums the pinned ex-shards — `forget_ok` gates
+   *     that a pruned [[graft.sources.v2.ShardReader.readByKey]] of the
+   *     deleted ids serves ZERO ghosts, the drop list is exactly v1,
+   *     and the vacuum verifiably reclaimed bytes;
+   *  7. read-back rollup whose digest chain must equal DuckDB's direct
+   *     derivation (span CTEs → gate → dedup → minus the takedown set)
+   *     — a corpus that never saw the store at all.
+   */
+  def pipelineCorpusV11(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.v2.{ShardCompact, ShardDelete, ShardReader, ShardSnapshot}
+    val out = graft.TmpCleanup.perProcessDir("graft-v11-store", dir)
+    graft.TmpCleanup.register(out)
+    val p = java.nio.file.Paths.get(out)
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(java.nio.file.Files.walk(p)) { st =>
+        st.iterator().asScala.toSeq.reverse
+      }.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    val mdocs = ExtensionQueries.withMixedText(
+      Tables.documents(spark, dir), full = false)
+    val span = Ngrams.removeDuplicateSpans(
+      mdocs, "doc_id", "mtext", n = 4, unicode = true)
+    val gated = span.filter(col("n_tokens") - col("n_removed") >= 5)
+      .select(col("doc_id"), md5(col("text_clean")).as("ld"))
+    val sur = graft.CacheScope.scoped(Dedup.exactByKey(gated, Seq("ld"), "doc_id"))
+    // durable store: range-split stats appends + range-layout compaction
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("ld", StringType)))
+    val mid = Tables.documents(spark, dir)
+      .agg(max(col("doc_id"))).collect().head.getLong(0) / 2L
+    def append(half: DataFrame): Unit =
+      half.write.format("graft.sources.v2.ShardSink")
+        .option("path", out).option("statsColumn", "doc_id")
+        .mode("append").save()
+    append(sur.filter(col("doc_id") <= mid).repartition(3))
+    append(sur.filter(col("doc_id") > mid).repartition(3))
+    ShardCompact.compact(spark, out, schema, targetShards = 4,
+      sortBy = Some("doc_id"))
+    // snapshot → takedown → one-call retention compliance
+    val v1 = ShardSnapshot.create(spark, out)
+    val delKeys = sur.filter(col("doc_id") % 13 === 1).select(col("doc_id"))
+    val nDel = delKeys.count()
+    val removed = ShardDelete.deleteByKey(spark, out, schema, "doc_id", delKeys)
+    val (dropped, reclaimed) = ShardSnapshot.retain(spark, out, keepLast = 0)
+    val ghosts = ShardReader.readByKey(spark, out, schema, "doc_id", delKeys)
+      .count()
+    val back = ShardReader.read(spark, out, schema)
+    val storeOk = nDel > 0 && removed == nDel &&
+      ShardReader.manifestRowCount(spark, out) == back.count()
+    val forgetOk = ghosts == 0L && dropped == Seq(v1) && reclaimed.nonEmpty
+    back.groupBy((col("doc_id") % 8).as("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        md5(concat_ws("",
+          transform(array_sort(collect_list(struct(col("doc_id"), col("ld")))),
+            x => x.getField("ld")))).as("digest"))
+      .withColumn("store_ok", lit(storeOk))
+      .withColumn("forget_ok", lit(forgetOk))
+      .orderBy(col("bucket"))
+  }
+
   /** Exact-substring REMOVAL (Lee et al. 2022's rewrite stage): delete
     * duplicated ≥4-token runs, keeping each gram's corpus-first
     * occurrence; rebuilt text + attrition telemetry per doc. */
@@ -1019,6 +1096,7 @@ object PipelineQueries extends QueryFamily {
     "pipeline_corpus_v8" -> (pipelineCorpusV8 _),
     "pipeline_corpus_v9" -> (pipelineCorpusV9 _),
     "pipeline_corpus_v10" -> (pipelineCorpusV10 _),
+    "pipeline_corpus_v11" -> (pipelineCorpusV11 _),
     "dedup_substring_pairs" -> (dedupSubstringPairs _),
     "dedup_substring_verify" -> (dedupSubstringVerify _),
     "dedup_span_removal" -> (dedupSpanRemoval _),
@@ -1629,6 +1707,21 @@ object PipelineQueries extends QueryFamily {
          |${inMargin(spanRemovalCtes)}
          |SELECT doc_id, text_clean, n_tokens, n_removed
          |FROM spanout ORDER BY doc_id""".stripMargin,
+    // v11: unicode span removal -> content gate -> min-id dedup ->
+    // (durable store lifecycle runs Spark-side; the gates are constants)
+    // -> minus the % 13 takedown set -> bucket digest chain
+    "pipeline_corpus_v11" ->
+      s"""WITH ${inMargin(toksUniCte)},
+         |${inMargin(spanRemovalCtes)},
+         |gated AS (SELECT doc_id, MD5(text_clean) AS ld FROM spanout
+         |          WHERE n_tokens - n_removed >= 5),
+         |sur AS (SELECT doc_id, ld FROM gated
+         |        QUALIFY ROW_NUMBER() OVER (PARTITION BY ld ORDER BY doc_id) = 1),
+         |fin AS (SELECT doc_id, ld FROM sur WHERE doc_id % 13 <> 1)
+         |SELECT doc_id % 8 AS bucket, CAST(COUNT(1) AS BIGINT) AS n_docs,
+         |  MD5(STRING_AGG(ld, '' ORDER BY doc_id)) AS digest,
+         |  TRUE AS store_ok, TRUE AS forget_ok
+         |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin,
     // the unicode-contract span-removal replay: the SAME rewrite CTE
     // chain over the unicode token stream of the mixed column
     "dedup_span_removal_unicode" ->
