@@ -213,7 +213,10 @@ object BenchScale {
     // r16 flagship: span rewrite + dedup + the store's full compliance
     // lifecycle (build -> compact -> snapshot -> takedown -> retention
     // -> pruned serve) — the store-lifecycle composite shape
-    "pipeline_corpus_v11" -> "composite")
+    "pipeline_corpus_v11" -> "composite",
+    // r16: widen-only schema evolution round trip (two appends + a
+    // refused type change + schema-less read-back)
+    "shard_schema_evolution" -> "composite")
 
   /**
    * Probe-only stage surfaces (not in [[SparkEntry.queries]] — they

@@ -2796,6 +2796,61 @@ object ExtensionQueries extends QueryFamily {
   }
 
   /**
+   * Widen-only schema evolution on the durable shard store
+   * ([[graft.sources.v2.ShardSchema]]): the first append publishes the
+   * table's authoritative `_SCHEMA`, a second appends rows carrying an
+   * EXTRA column (the table widens in place, generation +1, zero rows
+   * rewritten), and a schema-less [[graft.sources.v2.ShardReader
+   * .readEvolved]] returns every row with the pre-widening shards
+   * null-filled in the added column — exactly what DuckDB derives from
+   * the documents table directly. `evolve_ok` additionally gates the
+   * refusal side: an append that changes a known column's TYPE (the
+   * JSONL silent-NULL corruption class) fails loud with the manifest
+   * AND schema byte-identical.
+   */
+  def shardSchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.v2.ShardReader
+    val out = graft.TmpCleanup.perProcessDir("graft-shard-ev", dir)
+    graft.TmpCleanup.register(out)
+    val p = java.nio.file.Paths.get(out)
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(java.nio.file.Files.walk(p)) { st =>
+        st.iterator().asScala.toSeq.reverse
+      }.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    val docs = Tables.documents(spark, dir)
+    def append(df: DataFrame): Unit =
+      df.write.format("graft.sources.v2.ShardSink")
+        .option("path", out).mode("append").save()
+    // generation 1: two columns
+    append(docs.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), md5(col("text")).as("ld")))
+    // generation 2: the odd half arrives with a NEW column
+    append(docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), md5(col("text")).as("ld"),
+        col("n_chars").cast("long").as("n_chars")))
+    val ts = ShardReader.tableSchema(spark, out)
+    val widened = ts.fieldNames.toSeq == Seq("doc_id", "ld", "n_chars")
+    // refusal gate: a type-changing append fails loud, layout intact
+    val mfBefore = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(out, "_MANIFEST")), "UTF-8")
+    val scBefore = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(out, "_SCHEMA")), "UTF-8")
+    val refused = scala.util.Try(
+      append(docs.limit(1).select(col("doc_id").cast("string").as("doc_id"),
+        md5(col("text")).as("ld")))).isFailure
+    val intact = refused &&
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(out, "_MANIFEST")), "UTF-8") == mfBefore &&
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(out, "_SCHEMA")), "UTF-8") == scBefore
+    ShardReader.readEvolved(spark, out)
+      .withColumn("evolve_ok", lit(widened && intact))
+      .orderBy(col("doc_id"))
+  }
+
+  /**
    * Manifest-pruned keyed point lookup on the durable shard store
    * ([[graft.sources.v2.ShardReader.readByKey]]) — the serving-side
    * payoff of the `_STATS` ranges: two RANGE-split appends build the
@@ -3284,6 +3339,7 @@ object ExtensionQueries extends QueryFamily {
     "shard_sink_roundtrip" -> (shardSinkRoundtrip _),
     "shard_compact_roundtrip" -> (shardCompactRoundtrip _),
     "shard_read_by_key" -> (shardReadByKey _),
+    "shard_schema_evolution" -> (shardSchemaEvolution _),
     "shard_delete_roundtrip" -> (shardDeleteRoundtrip _),
     "shard_upsert_roundtrip" -> (shardUpsertRoundtrip _),
     "shard_snapshot_diff" -> (shardSnapshotDiff _),
@@ -5123,6 +5179,14 @@ object ExtensionQueries extends QueryFamily {
       """SELECT vec_id AS query_id, TRUE AS copy_found,
         |  TRUE AS restored_equal, TRUE AS tombstones_cleared
         |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin,
+    // schema evolution: the evolved table derived straight from
+    // documents — n_chars only where the widened append carried it
+    "shard_schema_evolution" ->
+      """SELECT doc_id, MD5(text) AS ld,
+        |  CASE WHEN doc_id % 2 = 1 THEN CAST(n_chars AS BIGINT)
+        |       ELSE NULL END AS n_chars,
+        |  TRUE AS evolve_ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // the pruned point lookup: the planted low-half key rows derived
     // straight from documents, with the constant-TRUE prune gate
     "shard_read_by_key" ->

@@ -66,6 +66,7 @@ object ShardCompact {
     require(fs.exists(mfPath),
       s"no ${ShardManifest.FileName} under $path — nothing to compact")
     val old = ShardManifest.read(fs, mfPath)
+    ShardSchema.requireCovers(fs, dir, schema, "compact")
     if (old.size <= targetShards) return old.size
     val statsCol = ShardStats.readIfExists(fs, dir).map(_.column)
     val layoutCol = sortBy.orElse(statsCol)

@@ -132,6 +132,7 @@ object ShardDelete {
     require(fs.exists(mfPath),
       s"no ${ShardManifest.FileName} under $path — nothing committed there")
     val old = ShardManifest.read(fs, mfPath)
+    ShardSchema.requireCovers(fs, dir, schema, "deleteByKey")
     if (old.isEmpty) return 0L
 
     val keyDf = keys.select(keys.columns.head).distinct()
@@ -236,6 +237,7 @@ object ShardDelete {
     require(fs.exists(mfPath),
       s"no ${ShardManifest.FileName} under $path — nothing committed there")
     val old = ShardManifest.read(fs, mfPath)
+    ShardSchema.requireCovers(fs, dir, schema, "upsertByKey")
 
     // updates feed four consumers (uniqueness gate, count, hit scan,
     // write) — scope-cached so the caller's plan runs once

@@ -49,6 +49,27 @@ object ShardReader {
     } else spark.read.schema(schema).json(files: _*)
   }
 
+  /** The table's own authoritative schema (`_SCHEMA` sidecar, written
+    * by every sink commit since r16): all columns ever appended, in
+    * first-appearance order, every one nullable — the out-of-band
+    * schema argument of [[read]] made unnecessary. Fails loud on a
+    * pre-schema table (pass the schema explicitly there). */
+  def tableSchema(spark: SparkSession, path: String): StructType = {
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    ShardSchema.readIfExists(fs, dir).getOrElse(throw new
+        IllegalArgumentException(
+          s"no ${ShardSchema.FileName} under $path — a pre-evolution " +
+            "table; pass the schema explicitly to read()"))
+      .toStructType
+  }
+
+  /** Schema-less read of an evolved table: the manifested shards under
+    * the table's OWN `_SCHEMA` — shards written before a column was
+    * added read back NULL there, the widen-only evolution contract. */
+  def readEvolved(spark: SparkSession, path: String): DataFrame =
+    read(spark, path, tableSchema(spark, path))
+
   /** Keyed point lookup — the read-side payoff of the `_STATS` manifest
     * ranges ([[ShardStats]]): return exactly the rows whose `keyCol` is
     * in `keys` (one-column DataFrame, joined never collected), READING

@@ -108,6 +108,16 @@ private[v2] class ShardTable(schema: StructType, props: Map[String, String])
     // default-config filesystems.
     val hadoopConf = new SerializableHadoopConf(
       SparkSession.active.sessionState.newHadoopConf())
+    // best-effort EARLY schema-evolution check (plan time, before any
+    // task runs): a type-changing append fails here with a clean error;
+    // the authoritative re-check runs inside the locked commit
+    locally {
+      val dir = new Path(path)
+      val fs = dir.getFileSystem(hadoopConf.value)
+      ShardSchema.readIfExists(fs, dir).foreach { prior =>
+        ShardSchema.validateAndMerge(prior, info.schema(), path)
+      }
+    }
     new WriteBuilder {
       override def build(): Write = new Write {
         override def toBatch: BatchWrite =
@@ -225,6 +235,20 @@ private[v2] class ShardBatchWrite(
     // corrupt line into every future manifest), and publication is its
     // atomic staged-rename, so a crash mid-publish leaves the previous
     // manifest — and with it every previously committed shard — intact.
+    // `_SCHEMA` FIRST (authoritative evolution check + merge, under the
+    // lock): a crash between the schema write and the manifest write
+    // leaves known-but-dataless columns (harmless NULLs), never
+    // manifested shards carrying columns the schema file does not know
+    ShardSchema.readIfExists(f, target) match {
+      case Some(prior) =>
+        ShardSchema.validateAndMerge(prior, schema, path).foreach(merged =>
+          ShardSchema.writeAtomic(conf.value, f, target, merged))
+      case None =>
+        ShardSchema.writeAtomic(conf.value, f, target,
+          ShardSchema.TableSchema(1,
+            schema.fields.toSeq.map(fd =>
+              (fd.name, ShardSchema.tagOf(fd.dataType)))))
+    }
     val mfPath = new Path(target, ShardManifest.FileName)
     val prior: Seq[(String, Long)] =
       if (f.exists(mfPath)) ShardManifest.read(f, mfPath) else Nil
