@@ -265,6 +265,51 @@ class ShardStatsSpec extends SparkSpec {
     graft.CacheScope.releaseAll()
   }
 
+  test("double-typed stats prune with IEEE ordering; strict sidecar parsers fail loud on corruption") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stats-dbl").toString
+    val dschema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("w", org.apache.spark.sql.types.DoubleType)))
+    def dappend(rows: Seq[(Long, Double)]): Unit =
+      rows.toDF("doc_id", "w").coalesce(1)
+        .write.format("graft.sources.v2.ShardSink")
+        .option("path", dir).option("statsColumn", "w")
+        .mode("append").save()
+    dappend(Seq((1L, 0.1), (2L, 0.5)))
+    dappend(Seq((3L, 10.25), (4L, 99.5)))
+    val s = statsOf(dir)
+    assert(s.dtype == "double")
+    assert(s.ranges.values.toSet ==
+      Set(Some(("0.1", "0.5")), Some(("10.25", "99.5"))), s.ranges.toString)
+    // a double key set inside the first range prunes to one shard —
+    // note "10.0" < "2.0" lexicographically: only a TYPED compare prunes
+    // this correctly
+    val c = ShardDelete.candidateShards(spark, dir, dschema, "w",
+      Seq(0.3).toDF("k"))
+    assert(c.size == 1 && s.ranges(c.head) == Some(("0.1", "0.5")), c.toString)
+
+    // strict parsers: a torn _STATS line fails at first sight (never
+    // laundered into a wrong prune), and a torn _SCHEMA header likewise
+    val statsFile = new java.io.File(dir, "_STATS")
+    val orig = scala.io.Source.fromFile(statsFile).mkString
+    java.nio.file.Files.writeString(statsFile.toPath, orig + "torn-no-tabs\n")
+    new java.io.File(dir, "._STATS.crc").delete()
+    val e = intercept[IllegalArgumentException] {
+      ShardDelete.candidateShards(spark, dir, dschema, "w", Seq(0.3).toDF("k"))
+    }
+    assert(e.getMessage.contains("malformed stats line"), e.getMessage)
+    java.nio.file.Files.writeString(statsFile.toPath, orig)
+    new java.io.File(dir, "._STATS.crc").delete()
+
+    val schemaFile = new java.io.File(dir, "_SCHEMA")
+    java.nio.file.Files.writeString(schemaFile.toPath, "no-header\n")
+    new java.io.File(dir, "._SCHEMA.crc").delete()
+    val e2 = intercept[IllegalArgumentException] {
+      ShardReader.tableSchema(spark, dir)
+    }
+    assert(e2.getMessage.contains("malformed schema header"), e2.getMessage)
+  }
+
   test("append commit takes the lock: concurrent maintenance cannot interleave; live holder survives its lease (heartbeat)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-lock-append").toString
     append(dir, Seq((1L, "a")))
