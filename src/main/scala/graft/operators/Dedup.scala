@@ -60,14 +60,23 @@ object Dedup {
     * (phrase-term validation, quoted-query parsing) — a plain-Scala
     * replica of the SAME two rules, spec-pinned against the HOF forms
     * over the mixed-script fixture (UnicodeTokensSpec) so the three
-    * implementations (HOF, fused kernel, local) cannot drift apart. */
+    * implementations (HOF, fused kernel, local) cannot drift apart.
+    * Lowercasing goes through UTF8String.toLowerCase — the EXACT code
+    * path Spark's `lower()` runs — not `String.toLowerCase(ROOT)`: on a
+    * tr/az-locale JVM the column side falls back to the DEFAULT-locale
+    * String.toLowerCase for non-ASCII text (dotted/dotless I), and a
+    * ROOT-pinned twin would build query terms the corpus-side token
+    * stream never produces. One implementation on both sides instead of
+    * two "equivalent" ones. */
+  private def lowerLikeSpark(s: String): String =
+    org.apache.spark.unsafe.types.UTF8String.fromString(s).toLowerCase.toString
   def tokensLocal(text: String, unicode: Boolean): Seq[String] =
     if (unicode)
-      text.replaceAll("([\\p{IsHan}\\p{IsHiragana}\\p{IsKatakana}])", " $1 ")
-        .toLowerCase(java.util.Locale.ROOT)
+      lowerLikeSpark(
+        text.replaceAll("([\\p{IsHan}\\p{IsHiragana}\\p{IsKatakana}])", " $1 "))
         .split("[^\\p{L}\\p{M}\\p{Nd}]+").toSeq.filter(_.nonEmpty)
     else
-      text.toLowerCase(java.util.Locale.ROOT)
+      lowerLikeSpark(text)
         .split("[^a-z0-9]+").toSeq.filter(_.nonEmpty)
 
   /** Word-order-insensitive content fingerprint: md5 of the SORTED token

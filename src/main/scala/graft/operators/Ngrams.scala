@@ -529,7 +529,9 @@ object Ngrams {
    *
    * Scale shape: tf is one (doc, term) hash aggregate; df aggregates tf
    * again on term (vocabulary-sized — Zipf keeps this far smaller than
-   * the corpus, broadcast when it fits, as here); the final top-k is a
+   * the corpus, so AQE broadcasts it when it measures small; no FORCED
+   * hint, because a 100 TB multilingual vocabulary can outgrow any
+   * broadcast budget — the house `Lm` discipline); the final top-k is a
    * window over the doc-id partitioning tf already has.
    */
   def topTermsByTfDf(
@@ -543,7 +545,7 @@ object Ngrams {
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("score").desc, col("term").asc)
-    tf.join(broadcast(dfreq), "term")
+    tf.join(dfreq, "term")
       .withColumn("score", expr("(tf * 1000000) div df"))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)

@@ -245,8 +245,12 @@ object TextAnalysis {
     val tf = df.select(col(idCol),
       explode(Dedup.tokensMode(col(textCol), unicode)).as("term"))
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    // no broadcast hint on the vocabulary-sized frequency table: a 100 TB
+    // multilingual pool's vocabulary can outgrow any broadcast budget, and
+    // a forced hint would OOM the driver there — AQE still broadcasts it
+    // when it measures small (the house `Lm` discipline)
     val freq = tf.groupBy(col("term")).agg(sum(col("tf")).as("freq"))
-    tf.join(broadcast(freq), "term")
+    tf.join(freq, "term")
       .groupBy(col(idCol))
       .agg(sum(col("tf")).as("n_tokens"),
         sum(col("tf") * col("freq")).as("sum_tok_freq"),
@@ -255,9 +259,14 @@ object TextAnalysis {
 
   /** Corpus token frequency: top-n tokens by count (explode + hash agg —
     * the one shuffling operator here; partial aggregation makes the
-    * exchange carry only (token, count) pairs). */
-  def tokenFrequency(df: DataFrame, textCol: String, topN: Int = 20): DataFrame =
-    df.select(explode(Dedup.tokens(col(textCol))).as("token"))
+    * exchange carry only (token, count) pairs). `unicode` threads the
+    * lexical contract ([[Dedup.tokensMode]]) — the last consumer to join
+    * it: without it, token telemetry and the Count-Min sketch row read
+    * zero for pure-CJK corpora while every neighboring operator counts
+    * them. */
+  def tokenFrequency(df: DataFrame, textCol: String, topN: Int = 20,
+      unicode: Boolean = false): DataFrame =
+    df.select(explode(Dedup.tokensMode(col(textCol), unicode)).as("token"))
       .groupBy(col("token"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("token").asc)

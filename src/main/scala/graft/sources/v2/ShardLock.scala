@@ -170,11 +170,24 @@ object ShardLock {
     // heartbeat: refresh the lock's mtime while the body runs, so only a
     // CRASHED holder ever expires. Failures degrade silently to the old
     // lease-bounded behavior (release still detects any takeover loud).
+    // The refresh re-reads the token FIRST and touches the file only
+    // when it is still ours: after a mid-run takeover (our lease expired,
+    // another writer broke and re-created the lock) a blind setTimes
+    // would keep the USURPER's lock perpetually fresh — if that new
+    // holder then crashed, its lock could not expire until our body
+    // finished, delaying recovery. On a foreign token the daemon stops
+    // itself (release still reports the overlap loud; stopping here just
+    // surfaces the takeover to recovery earlier than release time).
     val hb = new Thread(() => {
       try {
-        while (!Thread.interrupted()) {
+        var mine = true
+        while (mine && !Thread.interrupted()) {
           Thread.sleep(math.max(1000L, leaseMs / 3))
-          fs.setTimes(p, System.currentTimeMillis(), -1)
+          readLock(fs, p) match {
+            case Some((t, _)) if t == token =>
+              fs.setTimes(p, System.currentTimeMillis(), -1)
+            case _ => mine = false // taken over (or vanished) — stop
+          }
         }
       } catch { case _: Throwable => () }
     }, s"graft-shardlock-heartbeat-${dir.getName}")

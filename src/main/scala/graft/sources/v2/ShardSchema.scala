@@ -142,6 +142,33 @@ private[graft] object ShardSchema {
       }
     }
 
+  /** Explicit one-time adoption of a PRE-SCHEMA table (pre-evolution
+    * `_MANIFEST`, no `_SCHEMA`) into the schema contract. The sink
+    * refuses to bootstrap `_SCHEMA` on a table with committed shards —
+    * an append's write schema alone is not the table schema, and
+    * deriving it from one would silently drop every historical column
+    * the append does not carry. This call is the audited migration step
+    * that supplies the FULL historical schema; after it, appends evolve
+    * normally. Takes the maintenance lock (it is a metadata publish);
+    * refuses to overwrite an existing `_SCHEMA` (that table is already
+    * adopted — evolution, not migration, changes it from there). */
+  def migrate(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      full: StructType,
+      leaseMs: Long = ShardLock.DefaultLeaseMs): Unit = {
+    val dir = new Path(path)
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = dir.getFileSystem(conf)
+    ShardLock.withLock(fs, path, leaseMs) {
+      require(!fs.exists(schemaPath(dir)),
+        s"table at $path already carries ${FileName} — it is adopted; " +
+          "appends evolve the schema from here (migrate is one-time)")
+      writeAtomic(conf, fs, dir, TableSchema(1,
+        full.fields.toSeq.map(f => (f.name, tagOf(f.dataType)))))
+    }
+  }
+
   /** Validate a write schema against the table schema and return the
     * merged table schema — None when nothing changed. Throws on a type
     * conflict (the refusal this file exists for). */

@@ -117,6 +117,18 @@ private[v2] class ShardTable(schema: StructType, props: Map[String, String])
       ShardSchema.readIfExists(fs, dir).foreach { prior =>
         ShardSchema.validateAndMerge(prior, info.schema(), path)
       }
+      // same best-effort early check for the stats-column table property:
+      // a mismatched statsColumn append should die here with a clean
+      // error before any task runs (authoritative re-check inside the
+      // locked commit, BEFORE any rename)
+      statsCol.foreach { case (colName, _, tag) =>
+        ShardStats.readIfExists(fs, dir).foreach { s =>
+          require(s.column == colName && s.dtype == tag,
+            s"table at $path already carries stats on '${s.column}' " +
+              s"(${s.dtype}); an append cannot switch them to '$colName' " +
+              s"($tag) — stats are a table-level property")
+        }
+      }
     }
     new WriteBuilder {
       override def build(): Write = new Write {
@@ -225,6 +237,25 @@ private[v2] class ShardBatchWrite(
     // un-publishing this job's shards, and a concurrent vacuum can never
     // list the window where renamed shards are not yet manifested.
     ShardLock.withLock(f, path, ShardLock.DefaultLeaseMs) {
+    // EVERY compatibility refusal fires BEFORE the first rename: a
+    // refused append must fail with NOTHING published — a check that ran
+    // after the renames and the manifest write would report failure with
+    // the rows already durably committed and visible to readers (the
+    // worst of both worlds).
+    val mfPath = new Path(target, ShardManifest.FileName)
+    val prior: Seq[(String, Long)] =
+      if (f.exists(mfPath)) ShardManifest.read(f, mfPath) else Nil
+    // stats-column compatibility (authoritative; plan time re-checks
+    // best-effort): a table's statsColumn/dtype is a table-level property
+    val priorStats = ShardStats.readIfExists(f, target)
+    statsCol.foreach { case (colName, _, tag) =>
+      priorStats.foreach { s =>
+        require(s.column == colName && s.dtype == tag,
+          s"table at $path already carries stats on '${s.column}' " +
+            s"(${s.dtype}); an append cannot switch them to '$colName' " +
+            s"($tag) — stats are a table-level property")
+      }
+    }
     // MERGE with any existing manifest: the documented usage is
     // mode("append"), and atomicity-sensitive readers read only the
     // manifest — an overwrite here would make previously committed
@@ -240,18 +271,30 @@ private[v2] class ShardBatchWrite(
     // leaves known-but-dataless columns (harmless NULLs), never
     // manifested shards carrying columns the schema file does not know
     ShardSchema.readIfExists(f, target) match {
-      case Some(prior) =>
-        ShardSchema.validateAndMerge(prior, schema, path).foreach(merged =>
+      case Some(priorTs) =>
+        ShardSchema.validateAndMerge(priorTs, schema, path).foreach(merged =>
           ShardSchema.writeAtomic(conf.value, f, target, merged))
       case None =>
+        // bootstrap ONLY a table with no committed shards: on a
+        // pre-schema table (pre-r16 `_MANIFEST`, no `_SCHEMA`) the
+        // append's write schema alone is NOT the table schema —
+        // historical shards' extra columns would be silently dropped by
+        // readEvolved and a historical type difference silently
+        // null-filled, exactly the corruption class `_SCHEMA` exists to
+        // refuse. Adoption is an explicit, audited step that supplies
+        // the full historical schema: [[ShardSchema.migrate]].
+        require(prior.isEmpty,
+          s"table at $path has ${prior.size} committed shards but no " +
+            s"${ShardSchema.FileName} (a pre-schema table) — bootstrapping " +
+            "the schema from this append alone would silently drop any " +
+            "historical column it does not carry; run " +
+            "ShardSchema.migrate(spark, path, fullHistoricalSchema) once, " +
+            "then append")
         ShardSchema.writeAtomic(conf.value, f, target,
           ShardSchema.TableSchema(1,
             schema.fields.toSeq.map(fd =>
               (fd.name, ShardSchema.tagOf(fd.dataType)))))
     }
-    val mfPath = new Path(target, ShardManifest.FileName)
-    val prior: Seq[(String, Long)] =
-      if (f.exists(mfPath)) ShardManifest.read(f, mfPath) else Nil
     val existing = prior.map(_._1).toSet
     val fresh = messages.toSeq.flatMap { case ShardCommit(staged, rows, _) =>
       val src = new Path(staged)
@@ -271,13 +314,7 @@ private[v2] class ShardBatchWrite(
     // shards manifested but stats-less — they degrade to un-pruned scan
     // candidates, never to a wrong prune
     statsCol.foreach { case (colName, _, tag) =>
-      val priorStats = ShardStats.readIfExists(f, target)
-      priorStats.foreach { s =>
-        require(s.column == colName && s.dtype == tag,
-          s"table at $path already carries stats on '${s.column}' " +
-            s"(${s.dtype}); an append cannot switch them to '$colName' " +
-            s"($tag) — stats are a table-level property")
-      }
+      // compatibility already required above, before the renames
       val freshNames = fresh.map(_._1).toSet
       val freshStats = messages.toSeq.flatMap {
         case ShardCommit(staged, _, range) =>

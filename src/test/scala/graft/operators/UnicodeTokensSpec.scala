@@ -225,6 +225,24 @@ class UnicodeTokensSpec extends SparkSpec {
     }
   }
 
+  test("tokensLocal matches lower() on dotted/dotless I regardless of JVM locale") {
+    // 'İ' (U+0130) and 'I': String.toLowerCase is locale-sensitive here
+    // (tr/az JVMs lower 'I' to dotless 'ı'), while Spark's lower() runs
+    // UTF8String.toLowerCase — tokensLocal must follow the UTF8String
+    // path so a quoted query builds the same terms the corpus-side token
+    // stream produces, whatever the JVM default locale
+    val texts = Seq("İstanbul IŞIK TITLE", "İİII ıı")
+    val rows = texts.toDF("text")
+      .select(col("text"), Dedup.tokensUnicode(col("text")).as("tu"))
+      .collect()
+    rows.foreach { r =>
+      assert(Dedup.tokensLocal(r.getString(0), unicode = true) ==
+        r.getSeq[String](1),
+        s"dotted-I drift on '${r.getString(0)}': local=" +
+          s"${Dedup.tokensLocal(r.getString(0), unicode = true)} hof=${r.getSeq[String](1)}")
+    }
+  }
+
   test("decontaminate unicode mode catches planted CJK benchmark leakage; ASCII mode is blind to it") {
     // doc 100 is the benchmark; docs 101/102 copy its CJK phrase, 103 is clean
     val corpus = Seq(

@@ -151,7 +151,26 @@ class ShardSchemaSpec extends SparkSpec {
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType)))
     assert(ShardReader.read(spark, dir, schema).count() == 1L)
-    // the NEXT append adopts the table into the schema contract
+    // an append to a pre-schema table with committed shards is REFUSED
+    // (bootstrapping _SCHEMA from the append alone would silently drop
+    // any historical column the append does not carry) — and the refusal
+    // publishes NOTHING: manifest byte-identical, no new shards
+    val mfBefore = scala.io.Source.fromFile(s"$dir/_MANIFEST").mkString
+    val thrown = intercept[Exception] {
+      Seq((2L, "y")).toDF("doc_id", "text").coalesce(1)
+        .write.format("graft.sources.v2.ShardSink")
+        .option("path", dir).mode("append").save()
+    }
+    assert(thrown.getMessage != null)
+    assert(scala.io.Source.fromFile(s"$dir/_MANIFEST").mkString == mfBefore)
+    assert(!new java.io.File(dir, "_SCHEMA").exists())
+    // the audited adoption step supplies the FULL historical schema…
+    ShardSchema.migrate(spark, dir, schema)
+    assert(ShardReader.tableSchema(spark, dir) == StructType(schema.map(
+      f => StructField(f.name, f.dataType, nullable = true))))
+    // …migrate is one-time: a second call on an adopted table is refused
+    intercept[IllegalArgumentException] { ShardSchema.migrate(spark, dir, schema) }
+    // …after which appends evolve normally
     Seq((2L, "y")).toDF("doc_id", "text").coalesce(1)
       .write.format("graft.sources.v2.ShardSink")
       .option("path", dir).mode("append").save()

@@ -348,4 +348,43 @@ class ShardStatsSpec extends SparkSpec {
     ShardLock.withLock(spark, dir, leaseMs = 2000L) { () }
     assert(!lockFile.exists())
   }
+
+  test("heartbeat is token-checked: a takeover is never life-extended by its victim; release reports the overlap") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-lock-takeover").toString
+    val lockFile = new java.io.File(dir, ShardLock.FileName)
+    val holderDone = new java.util.concurrent.CountDownLatch(1)
+    val holderStarted = new java.util.concurrent.CountDownLatch(1)
+    @volatile var releaseError: Throwable = null
+    val holder = new Thread(() => {
+      try ShardLock.withLock(spark, dir, leaseMs = 2000L) {
+        holderStarted.countDown()
+        holderDone.await(30, java.util.concurrent.TimeUnit.SECONDS)
+      } catch { case t: Throwable => releaseError = t }
+    })
+    holder.start()
+    assert(holderStarted.await(10, java.util.concurrent.TimeUnit.SECONDS))
+    // simulate a mid-run takeover: another writer broke our (stalled)
+    // lease and re-created the lock with ITS token
+    val w = new java.io.PrintWriter(lockFile)
+    w.println(s"usurper-token\t${System.currentTimeMillis()}"); w.close()
+    new java.io.File(dir, "._LOCK.crc").delete() // raw overwrite: drop stale crc
+    val pinned = System.currentTimeMillis() - 5000L
+    assert(lockFile.setLastModified(pinned))
+    // ≥2 heartbeat periods (leaseMs/3 clamped to 1 s): a blind mtime
+    // refresh would advance the usurper's clock; the token-checked
+    // heartbeat must leave it untouched so the usurper can still expire
+    Thread.sleep(2500L)
+    assert(lockFile.lastModified() == pinned,
+      "heartbeat refreshed a lock that no longer carries our token")
+    // our release must surface the overlap LOUD, and must not delete the
+    // usurper's live lock
+    holderDone.countDown()
+    holder.join(10000)
+    assert(releaseError != null, "release swallowed the takeover")
+    assert(releaseError.isInstanceOf[ShardLock.LockHeldException] &&
+      releaseError.getMessage.contains("another writer took over"),
+      s"$releaseError")
+    assert(lockFile.exists(), "release deleted a lock that is not ours")
+    assert(lockFile.delete())
+  }
 }
