@@ -216,7 +216,25 @@ object BenchScale {
     "pipeline_corpus_v11" -> "composite",
     // r16: widen-only schema evolution round trip (two appends + a
     // refused type change + schema-less read-back)
-    "shard_schema_evolution" -> "composite")
+    "shard_schema_evolution" -> "composite",
+    // r17: the digest-keyed takedown lifecycle row (bloom-pruned hit
+    // discovery + hit-shard-only rewrite — the r16 verdict's top item)
+    "shard_delete_digest" -> "composite",
+    // r17: hit discovery on a DIGEST-keyed table — the key class where
+    // min/max ranges prune nothing; with the `_BLOOM` sidecar a fixed
+    // 5-digest set must read the same few shards at x1 and x10 (the
+    // per-shard data stage is flat; the sidecar-parse stage grows with
+    // the shard count, which shard_metadata_plane measures separately)
+    "shard_bloom_discovery" -> "stage",
+    // r17: the metadata plane itself at x10 SHARD COUNT with CONSTANT
+    // data (the r16 verdict's missing #3): one self-restoring 1-row
+    // append+takedown (manifest/stats read-merge-write at N entries,
+    // twice) + candidateShards + a pruned 5-key readByKey. The commit
+    // and discovery are O(#shards) single-file parses BY DESIGN — the
+    // probe's budget is the stage slack (ratio ≤ 13 at 10x shards);
+    // the artifact records where on that line the cost actually sits,
+    // so manifest paging lands when measured, not when felt
+    "shard_metadata_plane" -> "stage")
 
   /**
    * Probe-only stage surfaces (not in [[SparkEntry.queries]] — they
@@ -265,6 +283,99 @@ object BenchScale {
             tagged("doc_id") === col("__k"), "left_semi")
           .groupBy(col("__shard")).agg(count(lit(1)).as("n"))
       }
+    }),
+    // the digest-keyed twin of shard_keyed_discovery: the table is keyed
+    // by md5(text) (uniform — ranges prune nothing) and carries the
+    // `_BLOOM` sidecar; the timed stage is candidate pruning + the
+    // candidate hit scan for a FIXED five-digest key set (the realistic
+    // takedown shape). The x10 table has ~10x the shards; the bloom must
+    // keep the shards READ constant.
+    "shard_bloom_discovery" -> ((spark: SparkSession, dir: String) => {
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      val table = s"$dir/bloom_stage_table"
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("ld", StringType)))
+      val mf = new org.apache.hadoop.fs.Path(table, "_MANIFEST")
+      val fs = mf.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.exists(mf)) {
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), md5(col("text")).as("ld"))
+        val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+        // ~1000-row shards at EVERY scale (ids are dense), sliced on the
+        // id so shard membership is deterministic — the KEY column (the
+        // digest) is uniform across all of them, the worst case for
+        // range stats and the exact case the bloom exists for
+        val nShards = math.max(4, (maxId / 1000L).toInt + 1)
+        docs.repartitionByRange(nShards, col("doc_id"))
+          .write.format("graft.sources.v2.ShardSink")
+          .option("path", table)
+          .option("bloomColumn", "ld")
+          .option("bloomBits", "65536") // ~1e-5 FP at 1000 keys/shard
+          .mode("append").save()
+      }
+      // five digests of the five lowest-id docs (present at both scales
+      // — copy 0 is unremapped), derived from the corpus, never the table
+      val keys = spark.read.parquet(s"$dir/documents.parquet")
+        .orderBy(col("doc_id")).limit(5).select(md5(col("text")).as("ld"))
+      val cands = graft.sources.v2.ShardDelete.candidateShards(
+        spark, table, schema, "ld", keys)
+      if (cands.isEmpty) {
+        import spark.implicits._
+        Seq.empty[(String, Long)].toDF("shard", "n")
+      } else {
+        val files = cands.map(n => s"$table/$n")
+        val tagged = spark.read.schema(schema).json(files: _*)
+          .withColumn("__shard",
+            element_at(split(input_file_name(), "/"), -1))
+        tagged.join(keys.withColumnRenamed("ld", "__k"),
+            tagged("ld") === col("__k"), "left_semi")
+          .groupBy(col("__shard")).agg(count(lit(1)).as("n"))
+      }
+    }),
+    // x10 SHARD COUNT at CONSTANT data: the table always holds the same
+    // synthetic 10k rows, but its shard count tracks the scale dir's
+    // corpus size (x1 -> N, x10 -> 10N shards of a tenth the rows each).
+    // The timed stage is pure metadata-plane work: a self-restoring
+    // 1-row append + takedown (two manifest/stats read-merge-writes at N
+    // entries each) and a pruned 5-key point lookup (manifest + stats
+    // parse, candidate join, <= 5 shards of constant data read). This is
+    // the probe for the single-driver-parsed-sidecar design: its cost is
+    // O(#shards) BY DESIGN, and the artifact records the measured slope.
+    "shard_metadata_plane" -> ((spark: SparkSession, dir: String) => {
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      val table = s"$dir/meta_stage_table"
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("ld", StringType)))
+      val mf = new org.apache.hadoop.fs.Path(table, "_MANIFEST")
+      val fs = mf.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.exists(mf)) {
+        val docCount = spark.read.parquet(s"$dir/documents.parquet").count()
+        val nShards = math.max(20, (docCount / 250L).toInt)
+        spark.range(10000)
+          .select(col("id").as("doc_id"), md5(col("id").cast("string")).as("ld"))
+          .repartitionByRange(nShards, col("doc_id"))
+          .write.format("graft.sources.v2.ShardSink")
+          .option("path", table).option("statsColumn", "doc_id")
+          .mode("append").save()
+      }
+      import spark.implicits._
+      // (a) commit cost at N manifest entries: append one row...
+      Seq((-1L, "takedown-me")).toDF("doc_id", "ld").coalesce(1)
+        .write.format("graft.sources.v2.ShardSink")
+        .option("path", table).option("statsColumn", "doc_id")
+        .mode("append").save()
+      // ...and take it down again (discovery prunes to the [-1,-1]
+      // shard; the fully-deleted shard leaves the manifest) — the table
+      // is byte-identical across runs, so sweeps measure the same state
+      val took = graft.sources.v2.ShardDelete.deleteByKey(
+        spark, table, schema, "doc_id", Seq(-1L).toDF("k"))
+      require(took == 1L, s"self-restoring append/takedown broke: $took")
+      // (b) pruned point lookup: manifest+stats parse and the candidate
+      // join dominate; the data read is <= 5 constant-size shards
+      val keys = spark.range(5).select((col("id") * 2000L).as("doc_id"))
+      graft.sources.v2.ShardReader.readByKey(spark, table, schema,
+        "doc_id", keys)
+        .groupBy(lit(1).as("g")).agg(count(lit(1)).as("n"))
     }))
 
   private def writeCorpus(
@@ -380,8 +491,9 @@ object BenchScale {
     // stage probes build their per-scale tables lazily on first call;
     // a STALE table from a previous run's fixture must never survive a
     // corpus rewrite
-    for (t <- Seq("x1", "x10")) {
-      val p = new org.apache.hadoop.fs.Path(s"$workDir/$t/keyed_stage_table")
+    for (t <- Seq("x1", "x10");
+         tbl <- Seq("keyed_stage_table", "bloom_stage_table", "meta_stage_table")) {
+      val p = new org.apache.hadoop.fs.Path(s"$workDir/$t/$tbl")
       p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
     }
     // targeted re-probes (idle-box re-measurement of a flagged entry):

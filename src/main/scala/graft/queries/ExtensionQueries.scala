@@ -2972,6 +2972,80 @@ object ExtensionQueries extends QueryFamily {
   }
 
   /**
+   * DIGEST-keyed takedown on the durable shard table — the `_BLOOM`
+   * sidecar's driver row ([[graft.sources.v2.ShardBloom]]): the r16
+   * verdict's top item. The table is keyed by `md5(text)` — a content
+   * digest, uniformly distributed, so every shard's `_STATS` [min,max]
+   * spans the whole domain and the RANGE prune passes everything; only
+   * the per-shard bloom can shrink hit discovery. Four residue-split
+   * appends build the table with `bloomColumn=ld`; the takedown list is
+   * a BOUNDED five-digest set planted in the residue-2 shard (plus one
+   * never-written ghost digest), the realistic GDPR shape. `delete_ok`
+   * gates: the bloom prune held (candidates strictly fewer than the
+   * manifest, and within +1 false-positive of the shards that truly
+   * contain a key — computed relationally from the source, not from the
+   * store), the deleted count equals the source-side digest-match
+   * count (duplicate texts delete EVERYWHERE — keyed semantics), the
+   * re-run converges to 0, and the manifest row count stays truthful.
+   * Read-back digest chains must equal DuckDB's store-less derivation.
+   */
+  def shardDeleteDigest(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.v2.{ShardDelete, ShardReader}
+    val out = graft.TmpCleanup.perProcessDir("graft-shard-bloom", dir)
+    graft.TmpCleanup.register(out)
+    val p = java.nio.file.Paths.get(out)
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(java.nio.file.Files.walk(p)) { st =>
+        st.iterator().asScala.toSeq.reverse
+      }.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(col("text")).as("ld"))
+    def append(part: DataFrame): Unit =
+      part.write.format("graft.sources.v2.ShardSink")
+        .option("path", out)
+        .option("bloomColumn", "ld")
+        // 2^20 bits: ~4.8e-6 per-key FP at the sf0.1 shard size, so a
+        // five-key takedown stays sharp at every fixture SF
+        .option("bloomBits", (1 << 20).toString)
+        .mode("append").save()
+    (0 until 4).foreach(s => append(docs.filter(col("doc_id") % 4 === s)))
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("ld", StringType)))
+    // the bounded takedown list: five digests planted in residue 2, one
+    // ghost — deterministic (lowest ids), SF-independent size
+    val keyIds = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 17 === 5 && col("doc_id") % 4 === 2)
+      .orderBy(col("doc_id")).limit(5).select(col("doc_id"))
+    val keys = Tables.documents(spark, dir)
+      .join(keyIds, "doc_id").select(md5(col("text")).as("ld"))
+      .union(spark.range(1).select(md5(lit("never-written-ghost")).as("ld")))
+    // how many shards TRULY contain a key (duplicate texts can plant a
+    // digest outside residue 2) — derived from the source, not the store
+    val expectedHit = docs.join(keys, "ld")
+      .select((col("doc_id") % 4).as("r")).distinct().count()
+    val cands = ShardDelete.candidateShards(spark, out, schema, "ld", keys)
+    val total = ShardReader.manifestShardCount(spark, out)
+    val pruneOk = cands.nonEmpty && cands.size < total &&
+      cands.size <= expectedHit + 1
+    val expectedDel = docs.join(keys, "ld").count()
+    val deleted = ShardDelete.deleteByKey(spark, out, schema, "ld", keys)
+    val rerun = ShardDelete.deleteByKey(spark, out, schema, "ld", keys)
+    val back = ShardReader.read(spark, out, schema)
+    val deleteOk = pruneOk && deleted == expectedDel && rerun == 0L &&
+      ShardReader.manifestRowCount(spark, out) == back.count()
+    back.groupBy((col("doc_id") % 8).as("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        md5(concat_ws("",
+          transform(array_sort(collect_list(struct(col("doc_id"), col("ld")))),
+            x => x.getField("ld")))).as("digest"))
+      .withColumn("delete_ok", lit(deleteOk))
+      .orderBy(col("bucket"))
+  }
+
+  /**
    * Keyed UPSERT round trip on the durable shard table — the MERGE INTO
    * twin of [[shardDeleteRoundtrip]] ([[graft.sources.v2.ShardDelete
    * .upsertByKey]]): build the table as two appended halves, upsert a
@@ -3341,6 +3415,7 @@ object ExtensionQueries extends QueryFamily {
     "shard_read_by_key" -> (shardReadByKey _),
     "shard_schema_evolution" -> (shardSchemaEvolution _),
     "shard_delete_roundtrip" -> (shardDeleteRoundtrip _),
+    "shard_delete_digest" -> (shardDeleteDigest _),
     "shard_upsert_roundtrip" -> (shardUpsertRoundtrip _),
     "shard_snapshot_diff" -> (shardSnapshotDiff _),
     "ts_twap" -> (tsTwap _),
@@ -5205,6 +5280,22 @@ object ExtensionQueries extends QueryFamily {
         |FROM documents
         |WHERE NOT (doc_id % 11 = 3
         |  AND doc_id <= (SELECT MAX(doc_id) // 2 FROM documents))
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the digest-keyed takedown: rows whose CONTENT DIGEST matches one
+    // of the five planted keys are gone everywhere (duplicate texts
+    // delete in every shard they landed in); the bloom prune gate is
+    // constant-TRUE
+    "shard_delete_digest" ->
+      """SELECT doc_id % 8 AS bucket, COUNT(1) AS n_docs,
+        |  MD5(STRING_AGG(MD5(text), '' ORDER BY doc_id)) AS digest,
+        |  TRUE AS delete_ok
+        |FROM documents
+        |WHERE MD5(text) NOT IN (
+        |  SELECT MD5(text) FROM documents
+        |  WHERE doc_id IN (
+        |    SELECT doc_id FROM documents
+        |    WHERE doc_id % 17 = 5 AND doc_id % 4 = 2
+        |    ORDER BY doc_id LIMIT 5))
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // time travel + version diff: the three snapshot views derived
     // directly from documents (v1 pristine, v2 post-upsert, v2-minus-

@@ -1,0 +1,355 @@
+package graft.sources.v2
+
+import java.nio.charset.StandardCharsets
+import java.util.Base64
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Per-shard key BLOOM sidecar (`_BLOOM`) for [[ShardSink]] tables — the
+ * data-skipping increment for HASH-DISTRIBUTED keys, the class the
+ * `_STATS` min/max ranges ([[ShardStats]]) cannot prune: the store's own
+ * dedup/admission machinery keys rows by content digest
+ * ([[graft.operators.Dedup.exactByFingerprint]] — md5, uniformly
+ * distributed), so every shard's [min,max] spans the whole key domain
+ * and a digest-keyed takedown silently degrades to a full-table scan.
+ * With a per-shard bloom, hit discovery asks each shard "could this
+ * digest be in you?" and reads only the shards that answer maybe — the
+ * Delta/Parquet bloom-filter-index shape, re-expressed on the house
+ * sidecar contract.
+ *
+ * Activated by the [[ShardSink]] write option `bloomColumn=<col>`
+ * (independent of `statsColumn`; a table can carry both — ranges prune
+ * sequential keys, blooms prune hashed ones, and the candidate set is
+ * the intersection of the two hints). `bloomBits` sizes the per-shard
+ * filter (default 65536 = 8 KiB; ~10 bits per expected keys-per-shard
+ * gives ~1% false-positive rate — an UNDERSIZED bloom saturates and
+ * degrades to "every shard is a candidate", never to a wrong prune).
+ *
+ * Format (strict, like [[ShardManifest]]/[[ShardStats]] — malformed
+ * lines fail at first sight, never laundered forward):
+ *
+ *   #key\t<column>\t<tag>\t<mBits>\t<kHashes>   one header line
+ *   <shard>\t<b64 filter bytes>                 one line per shard;
+ *                                               the literal `-` marks an
+ *                                               all-null-key shard (can
+ *                                               never satisfy an
+ *                                               equality join — always
+ *                                               pruned)
+ *
+ * Publication is the same atomic staged-rename as the manifest, written
+ * AFTER it in the sink's commit: a crash between the two leaves fresh
+ * shards manifested but bloom-less — un-pruned scan candidates, never a
+ * wrong prune.
+ *
+ * CORRECTNESS INVARIANT (same as `_STATS`): the bloom is a PRUNING HINT
+ * only. A shard in `_MANIFEST` but absent from `_BLOOM` is ALWAYS a
+ * candidate; a `_BLOOM` entry for an un-manifested shard is dead
+ * weight, never an error; a sidecar keyed on a different column / type
+ * / geometry than the query is ignored wholesale. Every degradation
+ * direction is "scan more", never "miss a row".
+ *
+ * Hashing contract: ONE implementation on both sides. The writer hashes
+ * each key with [[org.apache.spark.sql.catalyst.expressions.XxHash64Function]]
+ * (seed 42 — the exact function and seed behind Spark's `xxhash64()`
+ * column), derives a second hash by chaining the [[Salt]] constant, and
+ * sets k=[[KHashes]] bits at `(h1 + i*(h2|1)) mod m` (Kirsch-
+ * Mitzenmacher). The read side computes the SAME positions with the
+ * `xxhash64` column function — writer and prober cannot drift because
+ * they run the same code. Floats are normalized (-0.0 → 0.0, NaN →
+ * canonical) on both sides before hashing, matching the join equality
+ * the prune must be conservative against. Position arithmetic stays
+ * below 2^32 (`(h1 mod m) + i*((h2|1) mod m)`), so it is
+ * overflow-free under ANSI evaluation.
+ */
+private[graft] object ShardBloom {
+
+  val FileName = "_BLOOM"
+
+  /** Write option on [[ShardSink]] that activates bloom collection. */
+  val OptionKey = "bloomColumn"
+
+  /** Write option sizing the per-shard filter in bits. */
+  val BitsOptionKey = "bloomBits"
+
+  val DefaultBits = 65536
+  val KHashes = 4
+
+  /** Seed link for the second hash: h2 = xxhash64(Salt, seed = h1) —
+    * expressible on the column side as `xxhash64(key, lit(Salt))`. */
+  val Salt = 0x5f4a7c15L
+
+  private val NullMarker = "-"
+
+  final case class Bloom(
+      column: String,
+      tag: String,
+      mBits: Int,
+      kHashes: Int,
+      filters: Map[String, Option[Array[Byte]]])
+
+  /** The bloom tag for a column type; None = unsupported (boolean has a
+    * two-value domain — a bloom is meaningless). Tags are the EXACT
+    * [[ShardSchema]] tags, not the stats-collapsed ones: xxhash64 of an
+    * int and of the same value as long differ, so the prober must cast
+    * the key column to the precise written type. */
+  def tagFor(dt: DataType): Option[String] = dt match {
+    case StringType | LongType | IntegerType | ShortType | ByteType |
+        DoubleType | FloatType => Some(ShardSchema.tagOf(dt))
+    case _ => None
+  }
+
+  // ---- hashing (the writer half; the prober builds the same values
+  // ---- with Spark columns — see positionsCol)
+
+  private val xx = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+
+  /** h1 for one key value (Catalyst-internal representation: UTF8String
+    * for strings, primitives otherwise), normalized floats. Seed 42 =
+    * the `xxhash64()` column default. */
+  def hash1(value: Any, dt: DataType): Long = {
+    val norm: Any = value match {
+      case d: java.lang.Double =>
+        if (d.isNaN) java.lang.Double.valueOf(Double.NaN)
+        else if (d.doubleValue() == 0.0d) java.lang.Double.valueOf(0.0d)
+        else d
+      case f: java.lang.Float =>
+        if (f.isNaN) java.lang.Float.valueOf(Float.NaN)
+        else if (f.floatValue() == 0.0f) java.lang.Float.valueOf(0.0f)
+        else f
+      case other => other
+    }
+    xx.hash(norm, dt, 42L)
+  }
+
+  /** h2 chains the salt: identical to `xxhash64(key, lit(Salt))`
+    * (the expression folds left: hash(Salt: long, seed = h1)). */
+  def hash2(h1: Long): Long =
+    xx.hash(java.lang.Long.valueOf(Salt), LongType, h1)
+
+  /** The k bit positions for one key — overflow-free arithmetic. */
+  def positions(h1: Long, mBits: Int): Array[Int] = {
+    val h2odd = hash2(h1) | 1L
+    val a = java.lang.Math.floorMod(h1, mBits.toLong)
+    val b = java.lang.Math.floorMod(h2odd, mBits.toLong)
+    Array.tabulate(KHashes)(i =>
+      java.lang.Math.floorMod(a + i.toLong * b, mBits.toLong).toInt)
+  }
+
+  /** The SAME k positions as a column expression over a key column of
+    * the written type — the prober's half of the hashing contract. */
+  def positionsCol(key: Column, dt: DataType, mBits: Int): Seq[Column] = {
+    val normed = dt match {
+      case DoubleType =>
+        when(isnan(key), lit(Double.NaN))
+          .when(key === lit(0.0d), lit(0.0d)).otherwise(key)
+      case FloatType =>
+        when(isnan(key), lit(Float.NaN))
+          .when(key === lit(0.0f), lit(0.0f)).otherwise(key)
+      case _ => key
+    }
+    val h1 = xxhash64(normed)
+    val h2odd = xxhash64(normed, lit(Salt)).bitwiseOR(lit(1L))
+    val a = pmod(h1, lit(mBits.toLong))
+    val b = pmod(h2odd, lit(mBits.toLong))
+    (0 until KHashes).map(i => pmod(a + lit(i.toLong) * b, lit(mBits.toLong)))
+  }
+
+  def setBit(bits: Array[Byte], pos: Int): Unit =
+    bits(pos >>> 3) = (bits(pos >>> 3) | (1 << (pos & 7))).toByte
+
+  def getBit(bits: Array[Byte], pos: Int): Boolean =
+    (bits(pos >>> 3) & (1 << (pos & 7))) != 0
+
+  // ---- sidecar (de)serialization — strict, staged-rename publish
+
+  def serialize(b: Bloom): String = {
+    val sb = new StringBuilder
+    sb.append(s"#key\t${b.column}\t${b.tag}\t${b.mBits}\t${b.kHashes}\n")
+    b.filters.toSeq.sortBy(_._1).foreach {
+      case (name, Some(bytes)) =>
+        sb.append(s"$name\t${Base64.getEncoder.encodeToString(bytes)}\n")
+      case (name, None) =>
+        sb.append(s"$name\t$NullMarker\n")
+    }
+    sb.toString
+  }
+
+  def parse(text: String, where: Path): Bloom = {
+    val lines = text.linesIterator.filter(_.nonEmpty).toSeq
+    require(lines.nonEmpty && lines.head.startsWith("#key\t"),
+      s"malformed bloom header in $where: ${lines.headOption.getOrElse("<empty>")}")
+    val h = lines.head.split('\t')
+    require(h.length == 5, s"malformed bloom header in $where: ${lines.head}")
+    val (m, k) = try (h(3).toInt, h(4).toInt) catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"malformed bloom geometry in $where: ${lines.head}")
+    }
+    require(m > 0 && m % 8 == 0 && k > 0,
+      s"malformed bloom geometry in $where: m=$m k=$k")
+    val filters = lines.tail.map { line =>
+      val tab = line.indexOf('\t')
+      require(tab > 0 && line.indexOf('\t', tab + 1) < 0,
+        s"malformed bloom line in $where: $line")
+      val payload = line.substring(tab + 1)
+      val filter =
+        if (payload == NullMarker) None
+        else {
+          val bytes = try Base64.getDecoder.decode(payload) catch {
+            case _: IllegalArgumentException =>
+              throw new IllegalArgumentException(
+                s"malformed bloom payload in $where: $line")
+          }
+          require(bytes.length == m / 8,
+            s"bloom payload of ${bytes.length} bytes does not match " +
+              s"m=$m bits in $where: ${line.substring(0, tab)}")
+          Some(bytes)
+        }
+      (line.substring(0, tab), filter)
+    }.toMap
+    Bloom(h(1), h(2), m, k, filters)
+  }
+
+  def bloomPath(dir: Path): Path = new Path(dir, FileName)
+
+  def readIfExists(fs: FileSystem, dir: Path): Option[Bloom] = {
+    val p = bloomPath(dir)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val text = try {
+        new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+          StandardCharsets.UTF_8)
+      } finally in.close()
+      Some(parse(text, p))
+    }
+  }
+
+  def writeAtomic(
+      conf: Configuration, fs: FileSystem, dir: Path, b: Bloom): Unit = {
+    val p = bloomPath(dir)
+    val tmp = new Path(dir, s"$FileName.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(serialize(b).getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    FileContext.getFileContext(p.toUri, conf)
+      .rename(tmp, p, Options.Rename.OVERWRITE)
+  }
+
+  /**
+   * Bloom-prune `manifested` down to the shards that might contain a
+   * key. Fully relational — the key frame is joined, never collected:
+   *
+   *  1. each key explodes into its (distinct) bit positions — k rows;
+   *  2. the driver-parsed filters explode into their SET-bit positions
+   *     (bounded by shards × min(m, k·keys-per-shard) — sidecar-sized,
+   *     already driver memory by the single-file metadata design);
+   *  3. an equi-join on position + a per-(key, shard) count: a shard is
+   *     a HIT for a key iff every one of the key's positions is set;
+   *  4. distinct hit shards collect (≤ shard count, never data).
+   *
+   * Shards without a `_BLOOM` entry stay candidates; all-null-key
+   * shards (`-`) can never satisfy an equality join and are pruned; an
+   * absent / differently-keyed / differently-typed sidecar returns
+   * `manifested` unchanged (the safe fallback direction).
+   */
+  def candidateShards(
+      spark: SparkSession,
+      fs: FileSystem,
+      dir: Path,
+      keyType: DataType,
+      keyCol: String,
+      keys: DataFrame, // one column named __k
+      manifested: Seq[String]): Seq[String] = {
+    val usable = readIfExists(fs, dir).filter(b =>
+      b.column == keyCol && tagFor(keyType).contains(b.tag) &&
+        b.kHashes == KHashes)
+    usable match {
+      case None => manifested
+      case Some(b) =>
+        val (withBloom, without) = manifested.partition(b.filters.contains)
+        val present = withBloom.flatMap(n => b.filters(n).map(f => (n, f)))
+        if (present.isEmpty) without
+        else {
+          import spark.implicits._
+          // (2) set-bit table, built from the already-parsed sidecar
+          val setBits = present.flatMap { case (name, bytes) =>
+            (0 until b.mBits).iterator
+              .filter(p => getBit(bytes, p)).map(p => (name, p.toLong))
+          }.toDF("__shard", "__pos")
+          // (1) per-key distinct positions + how many a full hit needs —
+          // computed BEFORE the explode (no window, no extra exchange);
+          // distinct positions because two of the k hashes can collide
+          // on one bit, and a hit must then need one fewer match
+          val posCols = positionsCol(col("__k").cast(keyType), keyType, b.mBits)
+          val keyPos = keys
+            .select(col("__k").cast(keyType).as("__k"))
+            .na.drop()
+            .withColumn("__parr", array_distinct(array(posCols: _*)))
+            .withColumn("__need", size(col("__parr")).cast("long"))
+            .withColumn("__pos", explode(col("__parr")))
+            .drop("__parr")
+          val hit = keyPos
+            .join(broadcast(setBits), "__pos")
+            .groupBy(col("__k"), col("__shard"), col("__need"))
+            .agg(count(lit(1)).as("__got"))
+            .filter(col("__got") === col("__need"))
+            .select(col("__shard")).distinct()
+            .collect().map(_.getString(0)).toSeq // ≤ shard count
+          hit ++ without
+        }
+    }
+  }
+}
+
+/**
+ * Composition of the two pruning hints for keyed maintenance and point
+ * lookup: range prune (`_STATS`) first, bloom prune (`_BLOOM`) on the
+ * survivors. The intersection of hints is still a hint — each absent /
+ * unusable / differently-keyed sidecar passes its input through
+ * unchanged, so every degradation direction is "scan more", never
+ * "miss a row". On a sequential-id table the ranges do the work; on a
+ * digest-keyed table the ranges pass everything and the bloom does.
+ */
+private[graft] object ShardPrune {
+  def candidateShards(
+      spark: SparkSession,
+      fs: FileSystem,
+      dir: Path,
+      keyType: DataType,
+      keyCol: String,
+      keys: DataFrame, // one column named __k
+      manifested: Seq[String]): Seq[String] = {
+    val ranged = ShardStats.candidateShards(
+      spark, fs, dir, keyType, keyCol, keys, manifested)
+    ShardBloom.candidateShards(
+      spark, fs, dir, keyType, keyCol, keys, ranged)
+  }
+}
+
+/**
+ * Executor-side bloom builder for one shard's key column — lives in
+ * [[ShardDataWriter]], one per task (the [[ShardStatsTracker]] twin).
+ * Values are hashed immediately ([[ShardBloom.hash1]] — the exact
+ * `xxhash64()` code path), nothing retained, so no UTF8String buffer
+ * cloning is needed. [[result]] is None when every key was null (the
+ * `-` sidecar marker — such a shard can never satisfy an equality join
+ * and is always pruned).
+ */
+private[v2] final class ShardBloomTracker(dt: DataType, mBits: Int)
+    extends Serializable {
+  private val bits = new Array[Byte](mBits / 8)
+  private var seen = false
+
+  def update(value: Any): Unit = {
+    seen = true
+    val h1 = ShardBloom.hash1(value, dt)
+    ShardBloom.positions(h1, mBits).foreach(p => ShardBloom.setBit(bits, p))
+  }
+
+  def result: Option[Array[Byte]] = if (seen) Some(bits) else None
+}

@@ -69,6 +69,7 @@ object ShardCompact {
     ShardSchema.requireCovers(fs, dir, schema, "compact")
     if (old.size <= targetShards) return old.size
     val statsCol = ShardStats.readIfExists(fs, dir).map(_.column)
+    val bloomMeta = ShardBloom.readIfExists(fs, dir).map(b => (b.column, b.mBits))
     val layoutCol = sortBy.orElse(statsCol)
 
     // (1) consolidate through the sink's own two-phase commit, into a
@@ -82,10 +83,14 @@ object ShardCompact {
         in.coalesce(1).sortWithinPartitions(org.apache.spark.sql.functions.col(c))
       case None => in.repartition(targetShards)
     }
-    val w = shaped
+    val w0 = shaped
       .write.format("graft.sources.v2.ShardSink")
       .option("path", scratch.toString).mode("append")
-    statsCol.fold(w)(c => w.option(ShardStats.OptionKey, c)).save()
+    val w1 = statsCol.fold(w0)(c => w0.option(ShardStats.OptionKey, c))
+    bloomMeta.fold(w1) { case (c, m) =>
+      w1.option(ShardBloom.OptionKey, c)
+        .option(ShardBloom.BitsOptionKey, m.toString)
+    }.save()
     val fresh = ShardManifest.read(fs, new Path(scratch, ShardManifest.FileName))
 
     // (2) orphan-in the new shards
@@ -105,6 +110,15 @@ object ShardCompact {
       ShardStats.readIfExists(fs, scratch).foreach { s =>
         ShardStats.writeAtomic(spark.sessionState.newHadoopConf(), fs, dir,
           s.copy(ranges = s.ranges.view.filterKeys(freshNames.contains).toMap))
+      }
+    }
+    // same wholesale replacement for the bloom sidecar: the scratch
+    // write re-collected per-shard filters on the same column/geometry
+    bloomMeta.foreach { _ =>
+      val freshNames = fresh.map(_._1).toSet
+      ShardBloom.readIfExists(fs, scratch).foreach { b =>
+        ShardBloom.writeAtomic(spark.sessionState.newHadoopConf(), fs, dir,
+          b.copy(filters = b.filters.view.filterKeys(freshNames.contains).toMap))
       }
     }
 

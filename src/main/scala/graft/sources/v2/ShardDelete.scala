@@ -75,7 +75,7 @@ object ShardDelete {
     val old = ShardManifest.read(fs, mfPath)
     val keyDf = keys.select(keys.columns.head).distinct()
       .withColumnRenamed(keys.columns.head, "__k")
-    ShardStats.candidateShards(spark, fs, dir,
+    ShardPrune.candidateShards(spark, fs, dir,
       schema(keyCol).dataType, keyCol, keyDf, old.map(_._1))
   }
 
@@ -99,13 +99,39 @@ object ShardDelete {
     }
   }
 
-  /** The scratch write, carrying the table's stats option through so
-    * rewritten shards stay prunable. */
+  /** Rewrite the table's `_BLOOM` after a copy-on-write publish —
+    * [[mergeStats]]'s twin: entries of replaced shards dropped, entries
+    * of fresh shards merged in from the scratch write's own bloom.
+    * No-op when the table has no bloom. */
+  private def mergeBloom(
+      spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      dir: Path,
+      scratch: Path,
+      replaced: Set[String],
+      fresh: Seq[(String, Long)]): Unit = {
+    ShardBloom.readIfExists(fs, dir).foreach { b =>
+      val freshNames = fresh.map(_._1).toSet
+      val scratchFilters = ShardBloom.readIfExists(fs, scratch)
+        .map(_.filters.view.filterKeys(freshNames.contains).toMap)
+        .getOrElse(Map.empty)
+      ShardBloom.writeAtomic(spark.sessionState.newHadoopConf(), fs, dir,
+        b.copy(filters = (b.filters -- replaced) ++ scratchFilters))
+    }
+  }
+
+  /** The scratch write, carrying the table's stats and bloom options
+    * through so rewritten shards stay prunable. */
   private def writeScratch(
-      df: DataFrame, scratch: Path, statsCol: Option[String]): Unit = {
-    val w = df.write.format("graft.sources.v2.ShardSink")
+      df: DataFrame, scratch: Path, statsCol: Option[String],
+      bloomMeta: Option[(String, Int)] = None): Unit = {
+    val w0 = df.write.format("graft.sources.v2.ShardSink")
       .option("path", scratch.toString).mode("append")
-    statsCol.fold(w)(c => w.option(ShardStats.OptionKey, c)).save()
+    val w1 = statsCol.fold(w0)(c => w0.option(ShardStats.OptionKey, c))
+    bloomMeta.fold(w1) { case (c, m) =>
+      w1.option(ShardBloom.OptionKey, c)
+        .option(ShardBloom.BitsOptionKey, m.toString)
+    }.save()
   }
 
   /**
@@ -139,7 +165,7 @@ object ShardDelete {
       .withColumnRenamed(keys.columns.head, "__k")
     // manifest-level prune FIRST: shards whose stats range cannot hold
     // any key are never read (zero data I/O for them)
-    val candidates = ShardStats.candidateShards(spark, fs, dir,
+    val candidates = ShardPrune.candidateShards(spark, fs, dir,
       schema(keyCol).dataType, keyCol, keyDf, old.map(_._1))
     if (candidates.isEmpty) return 0L
     val files = candidates.map(n => new Path(dir, n).toString)
@@ -156,6 +182,7 @@ object ShardDelete {
     if (hitCounts.isEmpty) return 0L
     val deleted = hitCounts.values.sum
     val statsCol = ShardStats.readIfExists(fs, dir).map(_.column)
+    val bloomMeta = ShardBloom.readIfExists(fs, dir).map(b => (b.column, b.mBits))
 
     // (1) rewrite ONLY the hit shards' survivors, invisible scratch
     val scratch = new Path(dir, s"_delete-${UUID.randomUUID().toString.take(8)}")
@@ -163,7 +190,7 @@ object ShardDelete {
       tagged.filter(col("__shard").isin(hitCounts.keys.toSeq: _*))
         .join(keyDf, tagged(keyCol) === col("__k"), "left_anti")
         .drop("__shard"),
-      scratch, statsCol)
+      scratch, statsCol, bloomMeta)
     val fresh = ShardManifest.read(fs, new Path(scratch, ShardManifest.FileName))
       .filter(_._2 > 0L) // fully-deleted partitions leave empty shards behind
 
@@ -180,6 +207,7 @@ object ShardDelete {
     ShardManifest.writeAtomic(
       spark.sessionState.newHadoopConf(), fs, mfPath, kept ++ fresh)
     mergeStats(spark, fs, dir, scratch, hitCounts.keySet, fresh)
+    mergeBloom(spark, fs, dir, scratch, hitCounts.keySet, fresh)
 
     // (4) replaced shards are orphans now — best-effort cleanup, except
     // shards a live snapshot pins (the [[ShardSnapshot]] time-travel
@@ -255,7 +283,7 @@ object ShardDelete {
     // (shard, key) hit set — bounded by the update list × historical
     // copies, so caching it is model-state sized; both the per-shard
     // counts and the matched-key count read it
-    val candidates = ShardStats.candidateShards(spark, fs, dir,
+    val candidates = ShardPrune.candidateShards(spark, fs, dir,
       schema(keyCol).dataType, keyCol, keyDf, old.map(_._1))
     val files = candidates.map(n => new Path(dir, n).toString)
     val tagged = if (files.isEmpty) null
@@ -272,6 +300,7 @@ object ShardDelete {
     val matchedKeys = if (hits == null) 0L
       else hits.select(col("__key")).distinct().count()
     val statsCol = ShardStats.readIfExists(fs, dir).map(_.column)
+    val bloomMeta = ShardBloom.readIfExists(fs, dir).map(b => (b.column, b.mBits))
 
     // (1) survivors of the hit shards + ALL update rows, rewritten
     // through the sink's own two-phase commit into invisible scratch
@@ -282,8 +311,8 @@ object ShardDelete {
         tagged.filter(col("__shard").isin(hitCounts.keys.toSeq: _*))
           .join(keyDf, tagged(keyCol) === col("__k"), "left_anti")
           .drop("__shard"),
-        scratch, statsCol)
-    writeScratch(up, scratch, statsCol)
+        scratch, statsCol, bloomMeta)
+    writeScratch(up, scratch, statsCol, bloomMeta)
     val fresh = ShardManifest.read(fs, new Path(scratch, ShardManifest.FileName))
       .filter(_._2 > 0L)
 
@@ -300,6 +329,7 @@ object ShardDelete {
     ShardManifest.writeAtomic(
       spark.sessionState.newHadoopConf(), fs, mfPath, kept ++ fresh)
     mergeStats(spark, fs, dir, scratch, hitCounts.keySet, fresh)
+    mergeBloom(spark, fs, dir, scratch, hitCounts.keySet, fresh)
 
     // (4) replaced shards are orphans now — best-effort cleanup, except
     // snapshot-pinned shards (see [[ShardSnapshot]])

@@ -93,7 +93,7 @@ object ShardReader {
     val keyDf = keys.select(keys.columns.head).distinct()
       .withColumnRenamed(keys.columns.head, "__k")
     val names = manifestEntries(spark, path).map(_._1)
-    val candidates = ShardStats.candidateShards(spark, fs, dir,
+    val candidates = ShardPrune.candidateShards(spark, fs, dir,
       schema(keyCol).dataType, keyCol, keyDf, names)
     if (candidates.isEmpty)
       spark.createDataFrame(

@@ -101,6 +101,26 @@ private[v2] class ShardTable(schema: StructType, props: Map[String, String])
             "primitive (integral / floating / string)"))
       (c, idx, tag)
     }
+    // bloom column, validated at plan time like the stats column: the
+    // `_BLOOM` sidecar is the prune for HASH-distributed keys (content
+    // digests) that min/max ranges cannot touch — see [[ShardBloom]]
+    val bloomCol = Option(info.options.get(ShardBloom.OptionKey)).map { c =>
+      val idx = info.schema().fieldNames.indexOf(c)
+      require(idx >= 0,
+        s"${ShardBloom.OptionKey} '$c' is not a column of the written " +
+          s"schema ${info.schema().fieldNames.mkString(",")}")
+      val tag = ShardBloom.tagFor(info.schema()(idx).dataType).getOrElse(
+        throw new IllegalArgumentException(
+          s"${ShardBloom.OptionKey} '$c' has type " +
+            s"${info.schema()(idx).dataType} — a bloom needs a hashable " +
+            "primitive (integral / floating / string)"))
+      val mBits = Option(info.options.get(ShardBloom.BitsOptionKey))
+        .map(_.toInt).getOrElse(ShardBloom.DefaultBits)
+      require(mBits >= 64 && mBits % 8 == 0 && mBits <= (1 << 26),
+        s"${ShardBloom.BitsOptionKey} must be a multiple of 8 in " +
+          s"[64, ${1 << 26}]: $mBits")
+      (c, idx, tag, mBits)
+    }
     // Capture the SESSION's Hadoop configuration at write-build time (we
     // are on the driver here) — a bare `new Configuration()` would drop
     // any configured filesystem settings (s3a/abfs credentials,
@@ -129,12 +149,22 @@ private[v2] class ShardTable(schema: StructType, props: Map[String, String])
               s"($tag) — stats are a table-level property")
         }
       }
+      bloomCol.foreach { case (colName, _, tag, mBits) =>
+        ShardBloom.readIfExists(fs, dir).foreach { b =>
+          require(b.column == colName && b.tag == tag && b.mBits == mBits,
+            s"table at $path already carries a bloom on '${b.column}' " +
+              s"(${b.tag}, m=${b.mBits}); an append cannot switch it to " +
+              s"'$colName' ($tag, m=$mBits) — the bloom column and " +
+              "geometry are table-level properties")
+        }
+      }
     }
     new WriteBuilder {
       override def build(): Write = new Write {
         override def toBatch: BatchWrite =
           new ShardBatchWrite(
-            path, info.queryId(), info.schema(), hadoopConf, statsCol)
+            path, info.queryId(), info.schema(), hadoopConf, statsCol,
+            bloomCol)
       }
     }
   }
@@ -212,20 +242,23 @@ private[v2] object ShardSink {
 
 private[v2] case class ShardCommit(
     stagedPath: String, rows: Long,
-    statsRange: Option[(String, String)] = None)
+    statsRange: Option[(String, String)] = None,
+    bloom: Option[Array[Byte]] = None)
     extends WriterCommitMessage
 
 private[v2] class ShardBatchWrite(
     path: String, queryId: String, schema: StructType,
     conf: SerializableHadoopConf,
-    statsCol: Option[(String, Int, String)])
+    statsCol: Option[(String, Int, String)],
+    bloomCol: Option[(String, Int, String, Int)] = None)
     extends BatchWrite with Serializable {
   private def fs(p: Path) = p.getFileSystem(conf.value)
   private val stagingDir = new Path(path, s"_staging-$queryId")
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new ShardWriterFactory(stagingDir.toString, schema, conf,
-      statsCol.map { case (_, idx, tag) => (idx, tag) })
+      statsCol.map { case (_, idx, tag) => (idx, tag) },
+      bloomCol.map { case (_, idx, _, mBits) => (idx, mBits) })
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val target = new Path(path)
@@ -254,6 +287,16 @@ private[v2] class ShardBatchWrite(
           s"table at $path already carries stats on '${s.column}' " +
             s"(${s.dtype}); an append cannot switch them to '$colName' " +
             s"($tag) — stats are a table-level property")
+      }
+    }
+    val priorBloom = ShardBloom.readIfExists(f, target)
+    bloomCol.foreach { case (colName, _, tag, mBits) =>
+      priorBloom.foreach { b =>
+        require(b.column == colName && b.tag == tag && b.mBits == mBits,
+          s"table at $path already carries a bloom on '${b.column}' " +
+            s"(${b.tag}, m=${b.mBits}); an append cannot switch it to " +
+            s"'$colName' ($tag, m=$mBits) — the bloom column and " +
+            "geometry are table-level properties")
       }
     }
     // MERGE with any existing manifest: the documented usage is
@@ -296,7 +339,7 @@ private[v2] class ShardBatchWrite(
               (fd.name, ShardSchema.tagOf(fd.dataType)))))
     }
     val existing = prior.map(_._1).toSet
-    val fresh = messages.toSeq.flatMap { case ShardCommit(staged, rows, _) =>
+    val fresh = messages.toSeq.flatMap { case ShardCommit(staged, rows, _, _) =>
       val src = new Path(staged)
       val dst = new Path(target, src.getName)
       // A retried commit (or one resumed after a crash between the
@@ -317,13 +360,31 @@ private[v2] class ShardBatchWrite(
       // compatibility already required above, before the renames
       val freshNames = fresh.map(_._1).toSet
       val freshStats = messages.toSeq.flatMap {
-        case ShardCommit(staged, _, range) =>
+        case ShardCommit(staged, _, range, _) =>
           val name = new Path(staged).getName
           if (freshNames.contains(name)) Some(name -> range) else None
       }.toMap
       ShardStats.writeAtomic(conf.value, f, target, ShardStats.Stats(
         colName, tag,
         priorStats.map(_.ranges).getOrElse(Map.empty) ++ freshStats))
+    }
+    // bloom LAST, same hint-only crash ordering as the stats: a crash
+    // anywhere before this write leaves fresh shards manifested but
+    // bloom-less — un-pruned scan candidates, never a wrong prune
+    bloomCol.foreach { case (colName, _, tag, mBits) =>
+      val freshNames = fresh.map(_._1).toSet
+      val freshBlooms = messages.toSeq.flatMap {
+        case ShardCommit(staged, _, _, bloomBits) =>
+          val name = new Path(staged).getName
+          if (freshNames.contains(name))
+            // empty = the writer's all-null-keys sentinel -> `-` marker
+            Some(name -> bloomBits.flatMap(b =>
+              if (b.isEmpty) None else Some(b)))
+          else None
+      }.toMap
+      ShardBloom.writeAtomic(conf.value, f, target, ShardBloom.Bloom(
+        colName, tag, mBits, ShardBloom.KHashes,
+        priorBloom.map(_.filters).getOrElse(Map.empty) ++ freshBlooms))
     }
     f.delete(stagingDir, true)
     }
@@ -335,7 +396,8 @@ private[v2] class ShardBatchWrite(
 
 private[v2] class ShardWriterFactory(
     stagingDir: String, schema: StructType, conf: SerializableHadoopConf,
-    stats: Option[(Int, String)])
+    stats: Option[(Int, String)],
+    bloom: Option[(Int, Int)] = None)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
     val file = new Path(stagingDir,
@@ -343,19 +405,22 @@ private[v2] class ShardWriterFactory(
       // micro-batch shards (mostly part-00000-*) would make a truncated
       // suffix collide across appends/compactions
       f"part-$partitionId%05d-${UUID.randomUUID().toString}.jsonl")
-    new ShardDataWriter(file, schema, conf, stats)
+    new ShardDataWriter(file, schema, conf, stats, bloom)
   }
 }
 
 private[v2] class ShardDataWriter(
     file: Path, schema: StructType, conf: SerializableHadoopConf,
-    stats: Option[(Int, String)])
+    stats: Option[(Int, String)],
+    bloom: Option[(Int, Int)] = None)
     extends DataWriter[InternalRow] {
   private val f = file.getFileSystem(conf.value)
   private val out = new BufferedWriter(new OutputStreamWriter(
     f.create(file, false), StandardCharsets.UTF_8))
   private var rows = 0L
   private val tracker = stats.map { case (_, tag) => new ShardStatsTracker(tag) }
+  private val bloomTracker = bloom.map { case (idx, mBits) =>
+    new ShardBloomTracker(schema(idx).dataType, mBits) }
 
   override def write(record: InternalRow): Unit = {
     out.write(ShardSink.jsonLine(schema, record))
@@ -379,10 +444,30 @@ private[v2] class ShardDataWriter(
         }
       }
     }
+    bloom.foreach { case (idx, _) =>
+      if (!record.isNullAt(idx)) {
+        // hash by the column's EXACT type — the prober casts the key
+        // frame to the same type, so the xxhash64 values agree
+        val v: Any = schema(idx).dataType match {
+          case StringType => record.getUTF8String(idx)
+          case LongType => java.lang.Long.valueOf(record.getLong(idx))
+          case IntegerType => java.lang.Integer.valueOf(record.getInt(idx))
+          case ShortType => java.lang.Short.valueOf(record.getShort(idx))
+          case ByteType => java.lang.Byte.valueOf(record.getByte(idx))
+          case DoubleType => java.lang.Double.valueOf(record.getDouble(idx))
+          case _ => java.lang.Float.valueOf(record.getFloat(idx))
+        }
+        bloomTracker.get.update(v)
+      }
+    }
   }
   override def commit(): WriterCommitMessage = {
     out.close()
-    ShardCommit(file.toString, rows, tracker.flatMap(_.result))
+    // bloom encoding in the message: None = bloom disabled; Some(empty)
+    // = enabled but every key was null (the sidecar's `-` marker — a
+    // real filter is never empty, m/8 >= 8 bytes); Some(bytes) = filter
+    ShardCommit(file.toString, rows, tracker.flatMap(_.result),
+      bloomTracker.map(_.result.getOrElse(Array.emptyByteArray)))
   }
   override def abort(): Unit = {
     try out.close() catch { case _: Throwable => () }
