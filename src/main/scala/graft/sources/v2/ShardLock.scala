@@ -57,7 +57,14 @@ object ShardLock {
     * longer heartbeat gaps (GC pauses, slow object stores). */
   val DefaultLeaseMs = 600000L
 
-  final class LockHeldException(msg: String) extends IllegalStateException(msg)
+  /** `retryable` distinguishes the two failure classes: an ACQUIRE
+    * failure (someone else is running — waiting and retrying is sound,
+    * and the sink's commit does exactly that for mergeable appends)
+    * from a RELEASE overlap report (our lease expired mid-run and
+    * another writer's run interleaved — retrying would re-publish over
+    * a table whose state we can no longer vouch for; stay loud). */
+  final class LockHeldException(msg: String, val retryable: Boolean = false)
+      extends IllegalStateException(msg)
 
   private def lockPath(dir: Path) = new Path(dir, FileName)
 
@@ -136,7 +143,7 @@ object ShardLock {
           s"maintenance lock on $path held by ${holder.map(_._1).getOrElse("?")} " +
             s"since ${holder.map(_._2).getOrElse(0L)} — another writer is " +
             "running; retry after it finishes (or after its " +
-            s"${leaseMs}ms lease expires if it crashed)")
+            s"${leaseMs}ms lease expires if it crashed)", retryable = true)
       // ATOMIC break: rename the stale lock to a breaker-unique name.
       // Exactly one racing breaker's rename succeeds; a plain delete here
       // could remove ANOTHER breaker's freshly re-created live lock.
@@ -157,7 +164,8 @@ object ShardLock {
           throw new LockHeldException(
             s"maintenance lock on $path was re-taken while we broke a " +
               "stale one — another writer won the race; retry" +
-              (if (restored) "" else " (the robbed holder will report the overlap at release)"))
+              (if (restored) "" else " (the robbed holder will report the overlap at release)"),
+            retryable = true)
         }
         try fs.delete(broken, false) catch { case _: Throwable => () }
       }
@@ -165,7 +173,7 @@ object ShardLock {
       if (!acquired)
         throw new LockHeldException(
           s"maintenance lock on $path re-taken while breaking a stale one — " +
-            "another writer won the race; retry")
+            "another writer won the race; retry", retryable = true)
     }
     // heartbeat: refresh the lock's mtime while the body runs, so only a
     // CRASHED holder ever expires. Failures degrade silently to the old

@@ -39,12 +39,19 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
  *    reader), so a crash between renames exposes at worst unreferenced
  *    files, never a half-written or double-counted shard, and a second
  *    append never un-publishes the first job's shards. The lock makes
- *    the old "sequential appends only" discipline STRUCTURAL: a second
- *    job committing at the same instant fails loud instead of racing
- *    the manifest read-merge-write, and an append's rename-then-publish
- *    window can never interleave with a [[ShardSnapshot.vacuum]]
- *    listing (the commit is bounded metadata work — renames plus one
- *    manifest write — so the lock hold is short);
+ *    the old "sequential appends only" discipline STRUCTURAL: racing
+ *    commits serialize on it instead of racing the manifest
+ *    read-merge-write, and an append's rename-then-publish window can
+ *    never interleave with a [[ShardSnapshot.vacuum]] listing (the
+ *    commit is bounded metadata work — renames plus one manifest write
+ *    — so the lock hold is short). Under CONTENTION a commit retries
+ *    with jittered backoff for up to `commitRetryMs` (default 60 s,
+ *    0 = fail-fast): appends are mergeable by construction — every
+ *    attempt re-reads and re-merges — so an N-job append fleet landing
+ *    on one table makes progress in some serial order, each job landing
+ *    exactly once (the optimistic-commit shape of Delta-class stores);
+ *    the copy-on-write mutators keep fail-fast, their conflicts are not
+ *    mergeable;
  *  - job-level `abort` deletes the staging directory wholesale.
  *
  * Supported row schema: primitive columns only (string / integral /
@@ -121,6 +128,16 @@ private[v2] class ShardTable(schema: StructType, props: Map[String, String])
           s"[64, ${1 << 26}]: $mBits")
       (c, idx, tag, mBits)
     }
+    // commit-contention budget: how long a lock-held COMMIT retries
+    // before failing loud. Appends are mergeable by construction (the
+    // locked commit re-reads and re-merges manifest/stats/bloom on every
+    // attempt), so an N-job append fleet landing on one table serializes
+    // with progress instead of failing — the optimistic-commit shape of
+    // Delta-class stores, expressed as retry-under-one-lock because the
+    // lock hold is bounded metadata work. 0 disables (fail-fast).
+    val retryMs = Option(info.options.get(ShardSink.RetryOptionKey))
+      .map(_.toLong).getOrElse(ShardSink.DefaultCommitRetryMs)
+    require(retryMs >= 0, s"${ShardSink.RetryOptionKey} must be >= 0: $retryMs")
     // Capture the SESSION's Hadoop configuration at write-build time (we
     // are on the driver here) — a bare `new Configuration()` would drop
     // any configured filesystem settings (s3a/abfs credentials,
@@ -164,7 +181,7 @@ private[v2] class ShardTable(schema: StructType, props: Map[String, String])
         override def toBatch: BatchWrite =
           new ShardBatchWrite(
             path, info.queryId(), info.schema(), hadoopConf, statsCol,
-            bloomCol)
+            bloomCol, retryMs)
       }
     }
   }
@@ -189,6 +206,11 @@ private[v2] class SerializableHadoopConf(@transient var value: Configuration)
 }
 
 private[v2] object ShardSink {
+  /** Write option: total milliseconds a lock-held commit keeps retrying
+    * before failing loud (0 = fail-fast). */
+  val RetryOptionKey = "commitRetryMs"
+  val DefaultCommitRetryMs = 60000L
+
   def validate(schema: StructType): Unit = schema.fields.foreach { f =>
     f.dataType match {
       case StringType | LongType | IntegerType | ShortType | ByteType |
@@ -250,7 +272,8 @@ private[v2] class ShardBatchWrite(
     path: String, queryId: String, schema: StructType,
     conf: SerializableHadoopConf,
     statsCol: Option[(String, Int, String)],
-    bloomCol: Option[(String, Int, String, Int)] = None)
+    bloomCol: Option[(String, Int, String, Int)] = None,
+    commitRetryMs: Long = 0L)
     extends BatchWrite with Serializable {
   private def fs(p: Path) = p.getFileSystem(conf.value)
   private val stagingDir = new Path(path, s"_staging-$queryId")
@@ -261,6 +284,32 @@ private[v2] class ShardBatchWrite(
       bloomCol.map { case (_, idx, _, mBits) => (idx, mBits) })
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    // Bounded retry on a HELD lock (acquire-path only — a release-side
+    // overlap report is never retried): every attempt re-runs the full
+    // read-merge-write under the lock, so N racing append jobs each
+    // land exactly once, in some serial order. Deterministic per-query
+    // jitter (queryId hash) de-synchronizes a fleet that started in
+    // lockstep; the backoff is capped so a short commit behind a long
+    // queue is not punished quadratically.
+    val deadline = System.currentTimeMillis() + commitRetryMs
+    var attempt = 0
+    var done = false
+    while (!done) {
+      try { commitOnce(messages); done = true }
+      catch {
+        case e: ShardLock.LockHeldException
+            if e.retryable && System.currentTimeMillis() < deadline =>
+          attempt += 1
+          val base = math.min(2000L, 100L * attempt)
+          val jitter = math.floorMod(
+            queryId.hashCode.toLong * 2654435761L + attempt, base + 1L)
+          Thread.sleep(math.min(base + jitter,
+            math.max(0L, deadline - System.currentTimeMillis())))
+      }
+    }
+  }
+
+  private def commitOnce(messages: Array[WriterCommitMessage]): Unit = {
     val target = new Path(path)
     val f = fs(target)
     f.mkdirs(target)

@@ -318,7 +318,15 @@ class ShardStatsSpec extends SparkSpec {
     val lockFile = new java.io.File(dir, ShardLock.FileName)
     val w = new java.io.PrintWriter(lockFile)
     w.println(s"other-writer\t${System.currentTimeMillis()}"); w.close()
-    val e = intercept[Exception] { append(dir, Seq((2L, "b"))) }
+    // commitRetryMs=0: this test pins the LOCK mechanics (fail-fast,
+    // nothing published); the retry policy has its own racing-appends spec
+    val e = intercept[Exception] {
+      Seq((2L, "b")).toDF("doc_id", "text").coalesce(1)
+        .write.format("graft.sources.v2.ShardSink")
+        .option("path", dir).option("statsColumn", "doc_id")
+        .option("commitRetryMs", "0")
+        .mode("append").save()
+    }
     def chain(t: Throwable): Seq[Throwable] =
       Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8).toSeq
     assert(chain(e).exists(_.isInstanceOf[ShardLock.LockHeldException]),
