@@ -220,6 +220,11 @@ object BenchScale {
     // r17: the digest-keyed takedown lifecycle row (bloom-pruned hit
     // discovery + hit-shard-only rewrite — the r16 verdict's top item)
     "shard_delete_digest" -> "composite",
+    // r17: the columnar payload rows — the parquet write path (custom
+    // WriteSupport over InternalRow) and the pruned lookup over it must
+    // both track the corpus linearly
+    "shard_sink_parquet" -> "linear",
+    "shard_read_by_key_parquet" -> "linear",
     // r17: hit discovery on a DIGEST-keyed table — the key class where
     // min/max ranges prune nothing; with the `_BLOOM` sidecar a fixed
     // 5-digest set must read the same few shards at x1 and x10 (the

@@ -86,6 +86,7 @@ object ShardCompact {
     val w0 = shaped
       .write.format("graft.sources.v2.ShardSink")
       .option("path", scratch.toString).mode("append")
+      .option(ShardPayload.OptionKey, ShardPayload.of(fs, dir))
     val w1 = statsCol.fold(w0)(c => w0.option(ShardStats.OptionKey, c))
     bloomMeta.fold(w1) { case (c, m) =>
       w1.option(ShardBloom.OptionKey, c)

@@ -120,13 +120,16 @@ object ShardDelete {
     }
   }
 
-  /** The scratch write, carrying the table's stats and bloom options
-    * through so rewritten shards stay prunable. */
+  /** The scratch write, carrying the table's stats/bloom options and
+    * payload format through so rewritten shards stay prunable and the
+    * table stays format-homogeneous. */
   private def writeScratch(
       df: DataFrame, scratch: Path, statsCol: Option[String],
-      bloomMeta: Option[(String, Int)] = None): Unit = {
+      bloomMeta: Option[(String, Int)] = None,
+      fmt: String = ShardPayload.Jsonl): Unit = {
     val w0 = df.write.format("graft.sources.v2.ShardSink")
       .option("path", scratch.toString).mode("append")
+      .option(ShardPayload.OptionKey, fmt)
     val w1 = statsCol.fold(w0)(c => w0.option(ShardStats.OptionKey, c))
     bloomMeta.fold(w1) { case (c, m) =>
       w1.option(ShardBloom.OptionKey, c)
@@ -169,7 +172,7 @@ object ShardDelete {
       schema(keyCol).dataType, keyCol, keyDf, old.map(_._1))
     if (candidates.isEmpty) return 0L
     val files = candidates.map(n => new Path(dir, n).toString)
-    val tagged = spark.read.schema(schema).json(files: _*)
+    val tagged = ShardPayload.read(spark, schema, ShardPayload.of(fs, dir), files)
       .withColumn("__shard", element_at(split(input_file_name(), "/"), -1))
 
     // ONE pass over the CANDIDATES finds the hit shards and their
@@ -183,6 +186,7 @@ object ShardDelete {
     val deleted = hitCounts.values.sum
     val statsCol = ShardStats.readIfExists(fs, dir).map(_.column)
     val bloomMeta = ShardBloom.readIfExists(fs, dir).map(b => (b.column, b.mBits))
+    val fmt = ShardPayload.of(fs, dir)
 
     // (1) rewrite ONLY the hit shards' survivors, invisible scratch
     val scratch = new Path(dir, s"_delete-${UUID.randomUUID().toString.take(8)}")
@@ -190,7 +194,7 @@ object ShardDelete {
       tagged.filter(col("__shard").isin(hitCounts.keys.toSeq: _*))
         .join(keyDf, tagged(keyCol) === col("__k"), "left_anti")
         .drop("__shard"),
-      scratch, statsCol, bloomMeta)
+      scratch, statsCol, bloomMeta, fmt)
     val fresh = ShardManifest.read(fs, new Path(scratch, ShardManifest.FileName))
       .filter(_._2 > 0L) // fully-deleted partitions leave empty shards behind
 
@@ -287,7 +291,7 @@ object ShardDelete {
       schema(keyCol).dataType, keyCol, keyDf, old.map(_._1))
     val files = candidates.map(n => new Path(dir, n).toString)
     val tagged = if (files.isEmpty) null
-      else spark.read.schema(schema).json(files: _*)
+      else ShardPayload.read(spark, schema, ShardPayload.of(fs, dir), files)
         .withColumn("__shard", element_at(split(input_file_name(), "/"), -1))
     val hits = if (files.isEmpty) null
       else graft.CacheScope.scoped(
@@ -301,6 +305,7 @@ object ShardDelete {
       else hits.select(col("__key")).distinct().count()
     val statsCol = ShardStats.readIfExists(fs, dir).map(_.column)
     val bloomMeta = ShardBloom.readIfExists(fs, dir).map(b => (b.column, b.mBits))
+    val fmt = ShardPayload.of(fs, dir)
 
     // (1) survivors of the hit shards + ALL update rows, rewritten
     // through the sink's own two-phase commit into invisible scratch
@@ -311,8 +316,8 @@ object ShardDelete {
         tagged.filter(col("__shard").isin(hitCounts.keys.toSeq: _*))
           .join(keyDf, tagged(keyCol) === col("__k"), "left_anti")
           .drop("__shard"),
-        scratch, statsCol, bloomMeta)
-    writeScratch(up, scratch, statsCol, bloomMeta)
+        scratch, statsCol, bloomMeta, fmt)
+    writeScratch(up, scratch, statsCol, bloomMeta, fmt)
     val fresh = ShardManifest.read(fs, new Path(scratch, ShardManifest.FileName))
       .filter(_._2 > 0L)
 

@@ -41,12 +41,11 @@ object ShardReader {
     * schema (JSONL shards carry no embedded schema; the writer's schema
     * is the contract, same as any warehouse table). */
   def read(spark: SparkSession, path: String, schema: StructType): DataFrame = {
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
     val files = manifestEntries(spark, path)
-      .map { case (name, _) => new Path(new Path(path), name).toString }
-    if (files.isEmpty) {
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    } else spark.read.schema(schema).json(files: _*)
+      .map { case (name, _) => new Path(dir, name).toString }
+    ShardPayload.read(spark, schema, ShardPayload.of(fs, dir), files)
   }
 
   /** The table's own authoritative schema (`_SCHEMA` sidecar, written
@@ -100,7 +99,7 @@ object ShardReader {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else {
       val files = candidates.map(n => new Path(dir, n).toString)
-      val df = spark.read.schema(schema).json(files: _*)
+      val df = ShardPayload.read(spark, schema, ShardPayload.of(fs, dir), files)
       df.join(keyDf, df(keyCol) === org.apache.spark.sql.functions.col("__k"),
         "left_semi")
     }

@@ -42,7 +42,10 @@ private[graft] object ShardSchema {
 
   val FileName = "_SCHEMA"
 
-  final case class TableSchema(generation: Int, fields: Seq[(String, String)]) {
+  final case class TableSchema(
+      generation: Int,
+      fields: Seq[(String, String)],
+      format: String = ShardPayload.Jsonl) {
     def toStructType: StructType =
       StructType(fields.map { case (n, t) =>
         StructField(n, ShardSchema.dataTypeOf(t), nullable = true)
@@ -76,7 +79,7 @@ private[graft] object ShardSchema {
   }
 
   def serialize(ts: TableSchema): String =
-    (s"#v\t${ts.generation}" +:
+    (s"#v\t${ts.generation}" +: s"#format\t${ts.format}" +:
       ts.fields.map { case (n, t) => s"$n\t$t" }).mkString("", "\n", "\n")
 
   def parse(text: String, where: Path): TableSchema = {
@@ -84,7 +87,14 @@ private[graft] object ShardSchema {
     require(lines.nonEmpty && lines.head.startsWith("#v\t"),
       s"malformed schema header in $where: ${lines.headOption.getOrElse("<empty>")}")
     val gen = lines.head.stripPrefix("#v\t").trim.toInt
-    val fields = lines.tail.map { line =>
+    // `#format` pins the payload format (r17); a pre-pin file reads as
+    // jsonl — bit-compatible with every existing table
+    val (headerTail, format) = lines.tail match {
+      case f +: rest if f.startsWith("#format\t") =>
+        (rest, ShardPayload.validate(f.stripPrefix("#format\t").trim))
+      case rest => (rest, ShardPayload.Jsonl)
+    }
+    val fields = headerTail.map { line =>
       val a = line.split('\t')
       require(a.length == 2 && a(0).nonEmpty,
         s"malformed schema line in $where: $line")
@@ -93,7 +103,7 @@ private[graft] object ShardSchema {
     }
     require(fields.map(_._1).distinct.size == fields.size,
       s"duplicate column in $where")
-    TableSchema(gen, fields)
+    TableSchema(gen, fields, format)
   }
 
   def schemaPath(dir: Path): Path = new Path(dir, FileName)
@@ -164,8 +174,10 @@ private[graft] object ShardSchema {
       require(!fs.exists(schemaPath(dir)),
         s"table at $path already carries ${FileName} — it is adopted; " +
           "appends evolve the schema from here (migrate is one-time)")
+      // pre-schema tables are pre-format by definition: jsonl
       writeAtomic(conf, fs, dir, TableSchema(1,
-        full.fields.toSeq.map(f => (f.name, tagOf(f.dataType)))))
+        full.fields.toSeq.map(f => (f.name, tagOf(f.dataType))),
+        ShardPayload.Jsonl))
     }
   }
 
@@ -188,6 +200,7 @@ private[graft] object ShardSchema {
       .filterNot(f => known.contains(f.name))
       .map(f => (f.name, tagOf(f.dataType)))
     if (added.isEmpty) None
-    else Some(TableSchema(prior.generation + 1, prior.fields ++ added))
+    else Some(TableSchema(prior.generation + 1, prior.fields ++ added,
+      prior.format))
   }
 }

@@ -138,6 +138,11 @@ private[v2] class ShardTable(schema: StructType, props: Map[String, String])
     val retryMs = Option(info.options.get(ShardSink.RetryOptionKey))
       .map(_.toLong).getOrElse(ShardSink.DefaultCommitRetryMs)
     require(retryMs >= 0, s"${ShardSink.RetryOptionKey} must be >= 0: $retryMs")
+    // payload format (jsonl default, parquet for columnar tables) — a
+    // TABLE-LEVEL property pinned in `_SCHEMA`; see [[ShardPayload]]
+    val fmt = ShardPayload.validate(
+      Option(info.options.get(ShardPayload.OptionKey))
+        .getOrElse(ShardPayload.Jsonl))
     // Capture the SESSION's Hadoop configuration at write-build time (we
     // are on the driver here) — a bare `new Configuration()` would drop
     // any configured filesystem settings (s3a/abfs credentials,
@@ -153,6 +158,10 @@ private[v2] class ShardTable(schema: StructType, props: Map[String, String])
       val fs = dir.getFileSystem(hadoopConf.value)
       ShardSchema.readIfExists(fs, dir).foreach { prior =>
         ShardSchema.validateAndMerge(prior, info.schema(), path)
+        require(prior.format == fmt,
+          s"table at $path stores ${prior.format} shards; an append " +
+            s"cannot switch it to $fmt — the payload format is a " +
+            "table-level property (rewrite the table to change it)")
       }
       // same best-effort early check for the stats-column table property:
       // a mismatched statsColumn append should die here with a clean
@@ -181,7 +190,7 @@ private[v2] class ShardTable(schema: StructType, props: Map[String, String])
         override def toBatch: BatchWrite =
           new ShardBatchWrite(
             path, info.queryId(), info.schema(), hadoopConf, statsCol,
-            bloomCol, retryMs)
+            bloomCol, retryMs, fmt)
       }
     }
   }
@@ -273,7 +282,8 @@ private[v2] class ShardBatchWrite(
     conf: SerializableHadoopConf,
     statsCol: Option[(String, Int, String)],
     bloomCol: Option[(String, Int, String, Int)] = None,
-    commitRetryMs: Long = 0L)
+    commitRetryMs: Long = 0L,
+    fmt: String = ShardPayload.Jsonl)
     extends BatchWrite with Serializable {
   private def fs(p: Path) = p.getFileSystem(conf.value)
   private val stagingDir = new Path(path, s"_staging-$queryId")
@@ -281,7 +291,8 @@ private[v2] class ShardBatchWrite(
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new ShardWriterFactory(stagingDir.toString, schema, conf,
       statsCol.map { case (_, idx, tag) => (idx, tag) },
-      bloomCol.map { case (_, idx, _, mBits) => (idx, mBits) })
+      bloomCol.map { case (_, idx, _, mBits) => (idx, mBits) },
+      fmt)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     // Bounded retry on a HELD lock (acquire-path only — a release-side
@@ -364,6 +375,10 @@ private[v2] class ShardBatchWrite(
     // manifested shards carrying columns the schema file does not know
     ShardSchema.readIfExists(f, target) match {
       case Some(priorTs) =>
+        require(priorTs.format == fmt,
+          s"table at $path stores ${priorTs.format} shards; an append " +
+            s"cannot switch it to $fmt — the payload format is a " +
+            "table-level property (rewrite the table to change it)")
         ShardSchema.validateAndMerge(priorTs, schema, path).foreach(merged =>
           ShardSchema.writeAtomic(conf.value, f, target, merged))
       case None =>
@@ -385,7 +400,7 @@ private[v2] class ShardBatchWrite(
         ShardSchema.writeAtomic(conf.value, f, target,
           ShardSchema.TableSchema(1,
             schema.fields.toSeq.map(fd =>
-              (fd.name, ShardSchema.tagOf(fd.dataType)))))
+              (fd.name, ShardSchema.tagOf(fd.dataType))), fmt))
     }
     val existing = prior.map(_._1).toSet
     val fresh = messages.toSeq.flatMap { case ShardCommit(staged, rows, _, _) =>
@@ -446,34 +461,35 @@ private[v2] class ShardBatchWrite(
 private[v2] class ShardWriterFactory(
     stagingDir: String, schema: StructType, conf: SerializableHadoopConf,
     stats: Option[(Int, String)],
-    bloom: Option[(Int, Int)] = None)
+    bloom: Option[(Int, Int)] = None,
+    fmt: String = ShardPayload.Jsonl)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
     val file = new Path(stagingDir,
       // full UUID: a table accumulating hundreds of thousands of
       // micro-batch shards (mostly part-00000-*) would make a truncated
       // suffix collide across appends/compactions
-      f"part-$partitionId%05d-${UUID.randomUUID().toString}.jsonl")
-    new ShardDataWriter(file, schema, conf, stats, bloom)
+      f"part-$partitionId%05d-${UUID.randomUUID().toString}" +
+        ShardPayload.extensionOf(fmt))
+    new ShardDataWriter(file, schema, conf, stats, bloom, fmt)
   }
 }
 
 private[v2] class ShardDataWriter(
     file: Path, schema: StructType, conf: SerializableHadoopConf,
     stats: Option[(Int, String)],
-    bloom: Option[(Int, Int)] = None)
+    bloom: Option[(Int, Int)] = None,
+    fmt: String = ShardPayload.Jsonl)
     extends DataWriter[InternalRow] {
   private val f = file.getFileSystem(conf.value)
-  private val out = new BufferedWriter(new OutputStreamWriter(
-    f.create(file, false), StandardCharsets.UTF_8))
+  private val out = ShardPayload.newWriter(fmt, file, schema, conf.value)
   private var rows = 0L
   private val tracker = stats.map { case (_, tag) => new ShardStatsTracker(tag) }
   private val bloomTracker = bloom.map { case (idx, mBits) =>
     new ShardBloomTracker(schema(idx).dataType, mBits) }
 
   override def write(record: InternalRow): Unit = {
-    out.write(ShardSink.jsonLine(schema, record))
-    out.write('\n')
+    out.write(record)
     rows += 1
     stats.foreach { case (idx, tag) =>
       if (!record.isNullAt(idx)) {

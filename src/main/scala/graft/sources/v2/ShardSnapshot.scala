@@ -171,11 +171,8 @@ object ShardSnapshot {
         s"snapshot v$v of $path names shard $name which no longer exists " +
           "— it was vacuumed or externally deleted; the snapshot is gone")
     }
-    if (es.isEmpty)
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else spark.read.schema(schema)
-      .json(es.map { case (name, _) => new Path(dir, name).toString }: _*)
+    ShardPayload.read(spark, schema, ShardPayload.of(fs, dir),
+      es.map { case (name, _) => new Path(dir, name).toString })
   }
 
   /** Delete snapshot `v` (its pins lapse; [[vacuum]] reclaims).
@@ -208,7 +205,8 @@ object ShardSnapshot {
     val candidates = fs.listStatus(dir).toSeq
       .filter(st => st.isFile)
       .map(_.getPath.getName)
-      .filter(n => n.startsWith("part-") && n.endsWith(".jsonl"))
+      .filter(n => n.startsWith("part-") &&
+        (n.endsWith(".jsonl") || n.endsWith(".parquet")))
     val orphans = candidates.filterNot(live.contains)
     orphans.foreach(n => fs.delete(new Path(dir, n), false))
     orphans.sorted

@@ -23,7 +23,8 @@ class ShardSchemaSpec extends SparkSpec {
     Seq((1L, "one")).toDF("doc_id", "text").coalesce(1)
       .write.format("graft.sources.v2.ShardSink")
       .option("path", dir).mode("append").save()
-    assert(schemaFile(dir) == "#v\t1\ndoc_id\tlong\ntext\tstring\n")
+    assert(schemaFile(dir) ==
+      "#v\t1\n#format\tjsonl\ndoc_id\tlong\ntext\tstring\n")
 
     // same-schema append: generation unchanged
     Seq((2L, "two")).toDF("doc_id", "text").coalesce(1)
@@ -36,7 +37,7 @@ class ShardSchemaSpec extends SparkSpec {
       .write.format("graft.sources.v2.ShardSink")
       .option("path", dir).mode("append").save()
     assert(schemaFile(dir) ==
-      "#v\t2\ndoc_id\tlong\ntext\tstring\nscore\tdouble\n")
+      "#v\t2\n#format\tjsonl\ndoc_id\tlong\ntext\tstring\nscore\tdouble\n")
 
     // schema-less read: the table knows its own columns; pre-widening
     // shards read back NULL in the added column
