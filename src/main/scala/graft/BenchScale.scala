@@ -225,6 +225,10 @@ object BenchScale {
     // both track the corpus linearly
     "shard_sink_parquet" -> "linear",
     "shard_read_by_key_parquet" -> "linear",
+    // r17: the change-feed read (build -> snapshot -> upsert -> delete
+    // -> CDC catch-up) — store-lifecycle composite; the feed itself is
+    // change-set-sized by construction
+    "shard_changes_since" -> "composite",
     // r17: hit discovery on a DIGEST-keyed table — the key class where
     // min/max ranges prune nothing; with the `_BLOOM` sidecar a fixed
     // 5-digest set must read the same few shards at x1 and x10 (the

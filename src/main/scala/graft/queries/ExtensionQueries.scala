@@ -3218,6 +3218,54 @@ object ExtensionQueries extends QueryFamily {
    * are classified per key. `vacuum_ok` gates that the vacuum run
    * under live pins left the v1 view bit-identical.
    */
+  /**
+   * Change-feed read on the durable store
+   * ([[graft.sources.v2.ShardSnapshot.readChangesSince]]) — the CDC
+   * increment (r16 verdict #8): build the table, snapshot v1, apply one
+   * upsert wave (UPD payloads for %11==3, NEW inserts at +10⁷ for
+   * %101==0) and one takedown wave (%13==1 of the ORIGINAL ids), then
+   * ask for everything a downstream consumer must reprocess to catch up
+   * from v1 — full current rows for added/changed keys, null-filled
+   * tombstones for removed ones. DuckDB replays the same change set
+   * relationally, never touching the store: a key both updated and
+   * deleted must surface as removed, not changed.
+   */
+  def shardChangesSince(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.v2.{ShardDelete, ShardSnapshot}
+    val out = graft.TmpCleanup.perProcessDir("graft-shard-cdc", dir)
+    graft.TmpCleanup.register(out)
+    val p = java.nio.file.Paths.get(out)
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(java.nio.file.Files.walk(p)) { st =>
+        st.iterator().asScala.toSeq.reverse
+      }.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(col("text")).as("ld"))
+    def append(half: DataFrame): Unit =
+      half.write.format("graft.sources.v2.ShardSink")
+        .option("path", out).option("statsColumn", "doc_id")
+        .mode("append").save()
+    append(docs.filter(col("doc_id") % 2 === 0))
+    append(docs.filter(col("doc_id") % 2 === 1))
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("ld", StringType)))
+    val v1 = ShardSnapshot.create(spark, out)
+    val src = Tables.documents(spark, dir)
+    ShardDelete.upsertByKey(spark, out, schema, "doc_id",
+      src.filter(col("doc_id") % 11 === 3)
+        .select(col("doc_id"), md5(concat(lit("UPD"), col("text"))).as("ld"))
+        .union(src.filter(col("doc_id") % 101 === 0)
+          .select((col("doc_id") + 10000000L).as("doc_id"),
+            md5(concat(lit("NEW"), col("text"))).as("ld"))))
+    ShardDelete.deleteByKey(spark, out, schema, "doc_id",
+      src.filter(col("doc_id") % 13 === 1).select(col("doc_id")))
+    ShardSnapshot.readChangesSince(spark, out, schema, "doc_id", v1)
+      .orderBy(col("doc_id"))
+  }
+
   def shardSnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
     import graft.sources.v2.{ShardDelete, ShardSnapshot}
     val out = graft.TmpCleanup.perProcessDir("graft-shard-snap", dir)
@@ -3523,6 +3571,7 @@ object ExtensionQueries extends QueryFamily {
     "shard_delete_digest" -> (shardDeleteDigest _),
     "shard_upsert_roundtrip" -> (shardUpsertRoundtrip _),
     "shard_snapshot_diff" -> (shardSnapshotDiff _),
+    "shard_changes_since" -> (shardChangesSince _),
     "ts_twap" -> (tsTwap _),
     "session_stats" -> (sessionStats _),
     "session_stream_stats" -> (sessionStreamStats _),
@@ -5417,6 +5466,21 @@ object ExtensionQueries extends QueryFamily {
         |    WHERE doc_id % 17 = 5 AND doc_id % 4 = 2
         |    ORDER BY doc_id LIMIT 5))
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the change feed replayed relationally: added = the +10^7 inserts,
+    // changed = updated-and-not-deleted, removed = null-filled
+    // tombstones of the takedown ids (updated-then-deleted keys land
+    // here, not in changed)
+    "shard_changes_since" ->
+      """SELECT doc_id + 10000000 AS doc_id, MD5('NEW' || text) AS ld,
+        |  'added' AS change
+        |FROM documents WHERE doc_id % 101 = 0
+        |UNION ALL
+        |SELECT doc_id, MD5('UPD' || text) AS ld, 'changed' AS change
+        |FROM documents WHERE doc_id % 11 = 3 AND doc_id % 13 <> 1
+        |UNION ALL
+        |SELECT doc_id, CAST(NULL AS VARCHAR) AS ld, 'removed' AS change
+        |FROM documents WHERE doc_id % 13 = 1
+        |ORDER BY doc_id""".stripMargin,
     // time travel + version diff: the three snapshot views derived
     // directly from documents (v1 pristine, v2 post-upsert, v2-minus-
     // %7-keys is v3); the v1 digest is what the POST-mutation,

@@ -271,4 +271,49 @@ object ShardSnapshot {
       .filter(col("change").isNotNull)
       .select(col("__k").as(keyCol), col("change"))
   }
+
+  /**
+   * Change-feed read — the CDC increment on the durable store: every
+   * row a downstream pipeline must (re)process to catch up from
+   * snapshot `vSince` to the CURRENT table, as (full row, `change`)
+   * with `change` ∈ added | changed | removed. `added`/`changed` keys
+   * return their CURRENT rows (every copy, for historical multi-copy
+   * keys); `removed` keys return one tombstone row — key set, every
+   * other column NULL. An incremental consumer applies the feed as
+   * upserts + deletes instead of re-reading the table; the feed is
+   * change-set-sized, never table-sized, and costs one keyed-digest
+   * exchange per side ([[diffByKey]]'s shape) plus one semi-join of the
+   * current table against the changed-key set.
+   */
+  def readChangesSince(
+      spark: SparkSession,
+      path: String,
+      schema: StructType,
+      keyCol: String,
+      vSince: Int): DataFrame = {
+    require(schema.fieldNames.contains(keyCol),
+      s"key column '$keyCol' not in table schema ${schema.fieldNames.mkString(",")}")
+    val old = read(spark, path, schema, vSince)
+    val cur = ShardReader.read(spark, path, schema)
+    val a = keyedDigest(old, schema, keyCol, "__da")
+    val b = keyedDigest(cur, schema, keyCol, "__db")
+    val changes = a.join(b, Seq("__k"), "full_outer")
+      .withColumn("change",
+        when(col("__da").isNull, lit("added"))
+          .when(col("__db").isNull, lit("removed"))
+          .when(col("__da") =!= col("__db"), lit("changed")))
+      .filter(col("change").isNotNull)
+      .select(col("__k"), col("change"))
+    // added/changed: the CURRENT rows of the changed keys (inner join on
+    // the key — change-set-sized); removed: one null-filled tombstone
+    val live = cur.join(changes.filter(col("change") =!= "removed"),
+        cur(keyCol) === col("__k"))
+      .select(schema.fieldNames.map(cur(_)) :+ col("change"): _*)
+    val tombstones = changes.filter(col("change") === "removed")
+      .select(schema.fields.map { f =>
+        if (f.name == keyCol) col("__k").cast(f.dataType).as(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      } :+ col("change"): _*)
+    live.unionByName(tombstones)
+  }
 }

@@ -357,6 +357,33 @@ class ShardStatsSpec extends SparkSpec {
     assert(!lockFile.exists())
   }
 
+  test("readChangesSince: empty feed on no changes; tombstone shape; multi-copy keys return every current copy") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdc").toString
+    append(dir, Seq((1L, "a"), (2L, "b")))
+    val v1 = ShardSnapshot.create(spark, dir)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    // nothing changed yet -> empty feed
+    assert(ShardSnapshot.readChangesSince(
+      spark, dir, schema, "doc_id", v1).count() == 0L)
+    // a historical MULTI-COPY append (same key twice) + a delete
+    append(dir, Seq((3L, "c1"), (3L, "c2")))
+    assert(ShardDelete.deleteByKey(
+      spark, dir, schema, "doc_id", Seq(2L).toDF("k")) == 1L)
+    val feed = ShardSnapshot.readChangesSince(
+      spark, dir, schema, "doc_id", v1).collect()
+    // added key 3 returns BOTH current copies; removed key 2 is one
+    // null-filled tombstone; key 1 (unchanged) is absent
+    val added = feed.filter(_.getString(2) == "added")
+    assert(added.length == 2 && added.forall(_.getLong(0) == 3L))
+    assert(added.map(_.getString(1)).toSet == Set("c1", "c2"))
+    val removed = feed.filter(_.getString(2) == "removed")
+    assert(removed.length == 1 && removed.head.getLong(0) == 2L &&
+      removed.head.isNullAt(1))
+    assert(!feed.exists(_.getLong(0) == 1L))
+    graft.CacheScope.releaseAll()
+  }
+
   test("heartbeat is token-checked: a takeover is never life-extended by its victim; release reports the overlap") {
     val dir = java.nio.file.Files.createTempDirectory("graft-lock-takeover").toString
     val lockFile = new java.io.File(dir, ShardLock.FileName)
