@@ -1395,6 +1395,19 @@ object ExtensionQueries extends QueryFamily {
   def textTokensTop(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.tokenFrequency(Tables.documents(spark, dir), "text", topN = 20)
 
+  /** Corpus token-frequency telemetry under the unicode contract over
+    * the mixed-script column — the LAST lexical consumer to join the
+    * contract (r16 verdict #5): without it, token telemetry and the
+    * Count-Min sketch's backing stream read zero for pure-CJK corpora
+    * while every neighboring operator counts them. Top-40 so the board
+    * provably carries BOTH scripts (the CJK chars tokenize one-per-char
+    * and crowd the head; a 20-row board could be all-CJK and the ASCII
+    * half untested). */
+  def textTokensTopUnicode(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenFrequency(
+      withMixedText(Tables.documents(spark, dir), full = false),
+      "mtext", topN = 40, unicode = true)
+
   /** CCNet-shaped LM quality gate ([[graft.operators.Lm]]): train a
     * Laplace-smoothed bigram model on the trusted slice (source='src0'),
     * score every document by mean smoothed bigram micro-likelihood,
@@ -3513,6 +3526,7 @@ object ExtensionQueries extends QueryFamily {
     "sim_recall_hardneg" -> (simRecallHardneg _),
     "hardneg_shortfall" -> (hardnegShortfall _),
     "text_tokens_top" -> (textTokensTop _),
+    "text_tokens_top_unicode" -> (textTokensTopUnicode _),
     "text_langid" -> (textLangId _),
     "lang_confusion" -> (langConfusion _),
     "lang_mixed" -> (langMixed _),
@@ -4720,6 +4734,13 @@ object ExtensionQueries extends QueryFamily {
       s"""SELECT token, COUNT(1) AS n FROM (
          |  SELECT UNNEST($tokensSql) AS token FROM documents
          |) GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
+    // token frequency under the unicode contract: the RE2-replayed
+    // unicode tokenizer over the mixed-script column
+    "text_tokens_top_unicode" ->
+      s"""SELECT token, COUNT(1) AS n FROM (
+         |  SELECT UNNEST(${tokensUniSql(mixedSqlExpr(full = false))}) AS token
+         |  FROM documents
+         |) GROUP BY token ORDER BY n DESC, token LIMIT 40""".stripMargin,
     "text_langid" -> s"$langPredSql\nORDER BY doc_id",
     "lang_mixed" -> s"${langMixedSqlFrom("documents")}\nORDER BY doc_id",
     "lang_confusion" ->
