@@ -229,6 +229,10 @@ object BenchScale {
     // -> CDC catch-up) — store-lifecycle composite; the feed itself is
     // change-set-sized by construction
     "shard_changes_since" -> "composite",
+    // r17 flagship: span rewrite + dedup + the PARQUET digest-keyed
+    // store lifecycle (bloom takedown -> CDC -> retention -> pushed
+    // lookup) — the store-lifecycle composite shape
+    "pipeline_corpus_v12" -> "composite",
     // r17: hit discovery on a DIGEST-keyed table — the key class where
     // min/max ranges prune nothing; with the `_BLOOM` sidecar a fixed
     // 5-digest set must read the same few shards at x1 and x10 (the

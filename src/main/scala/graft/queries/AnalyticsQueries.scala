@@ -269,6 +269,36 @@ object AnalyticsQueries extends QueryFamily {
       .orderBy(col("token"))
   }
 
+  /** [[sketchCmsTokens]] under the unicode lexical contract over the
+    * mixed-script column — CMS point queries on a multilingual corpus
+    * must count CJK tokens, not read zero (the last consumer of the r16
+    * ASCII-only telemetry note). Same one-pass sketch + exact-top-20
+    * bounded-check shape; the probe targets now carry both scripts. */
+  def sketchCmsTokensUnicode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = graft.CacheScope.scoped(
+      ExtensionQueries.withMixedText(Tables.documents(spark, dir), full = false)
+        .select(explode(
+          graft.operators.Dedup.tokensMode(col("mtext"), unicode = true))
+          .as("token")))
+    val row = toks
+      .agg(count_min_sketch(col("token"), lit(0.001d), lit(0.99d), lit(42)).as("s"),
+        count(lit(1)).as("n"))
+      .head
+    val (sketchBytes, total) = (row.getAs[Array[Byte]](0), row.getLong(1))
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(sketchBytes))
+    val slack = math.max(1L, (0.002 * total).toLong)
+    val top = toks.groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc).limit(20)
+      .as[(String, Long)].collect()
+    top.map { case (tok, exact) =>
+      val est = cms.estimateCount(tok)
+      (tok, exact, est >= exact, est <= exact + slack)
+    }.toSeq.toDF("token", "n_exact", "no_underestimate", "within_2eps")
+      .orderBy(col("token"))
+  }
+
   /** The mergeable-state half of the HLL story: per-group binary sketches
     * are UNIONED into a global cardinality without rescanning rows — the
     * incremental 100 TB pattern (store per-day/partition sketches, merge
@@ -394,6 +424,7 @@ object AnalyticsQueries extends QueryFamily {
     "window_moving" -> (windowMoving _),
     "window_range_hour" -> (windowRangeHour _),
     "sketch_cms_tokens" -> (sketchCmsTokens _),
+    "sketch_cms_tokens_unicode" -> (sketchCmsTokensUnicode _),
     "window_ntile" -> (windowNtile _))
 
   val oracles: Map[String, String] = Map(
@@ -454,6 +485,19 @@ object AnalyticsQueries extends QueryFamily {
         |      string_split_regex(lower(text), '[^a-z0-9]+'),
         |      x -> len(x) > 0)) AS token
         |    FROM documents)
+        |  GROUP BY token ORDER BY n DESC, token LIMIT 20
+        |) ORDER BY token""".stripMargin,
+    // the unicode twin: exact top-20 of the RE2-replayed unicode
+    // tokenizer over the mixed-script column, same constant-TRUE bounds
+    "sketch_cms_tokens_unicode" ->
+      s"""SELECT token, n AS n_exact,
+        |  TRUE AS no_underestimate, TRUE AS within_2eps
+        |FROM (
+        |  SELECT token, COUNT(1) AS n FROM (
+        |    SELECT UNNEST(${ExtensionQueries.tokensUniSql("mtext")}) AS token
+        |    FROM (SELECT doc_id,
+        |            ${ExtensionQueries.mixedSqlExpr(full = false)} AS mtext
+        |          FROM documents))
         |  GROUP BY token ORDER BY n DESC, token LIMIT 20
         |) ORDER BY token""".stripMargin,
     "agg_approx_distinct" ->

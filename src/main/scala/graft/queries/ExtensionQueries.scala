@@ -4738,8 +4738,9 @@ object ExtensionQueries extends QueryFamily {
     // unicode tokenizer over the mixed-script column
     "text_tokens_top_unicode" ->
       s"""SELECT token, COUNT(1) AS n FROM (
-         |  SELECT UNNEST(${tokensUniSql(mixedSqlExpr(full = false))}) AS token
-         |  FROM documents
+         |  SELECT UNNEST(${tokensUniSql("mtext")}) AS token
+         |  FROM (SELECT doc_id, ${mixedSqlExpr(full = false)} AS mtext
+         |        FROM documents)
          |) GROUP BY token ORDER BY n DESC, token LIMIT 40""".stripMargin,
     "text_langid" -> s"$langPredSql\nORDER BY doc_id",
     "lang_mixed" -> s"${langMixedSqlFrom("documents")}\nORDER BY doc_id",

@@ -464,6 +464,98 @@ object PipelineQueries extends QueryFamily {
       .orderBy(col("bucket"))
   }
 
+  /**
+   * Composed flagship v12 — the r17 store surface end-to-end, on a
+   * COLUMNAR DIGEST-KEYED table: unicode span removal → content gate →
+   * min-id exact dedup (v11's front), then a PARQUET-payload store
+   * keyed by content digest with the `_BLOOM` sidecar (the key class
+   * min/max ranges cannot prune) built as two residue appends →
+   * snapshot → DIGEST-keyed takedown planted in the EVEN shards only
+   * (the bloom prune gate: candidates must exclude the odd shards) →
+   * CDC catch-up feed from the pre-takedown snapshot (all-removed,
+   * exactly the takedown set) → one-call retention compliance →
+   * zero-ghost pruned lookup of the deleted digests → a PUSHED
+   * point lookup of three surviving digests (the IN-list must reach
+   * the parquet scan: `pushed_ok` reads the executed plan) → bucket
+   * digest rollup against DuckDB's store-less derivation.
+   */
+  def pipelineCorpusV12(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.v2.{ShardDelete, ShardReader, ShardSnapshot}
+    val out = graft.TmpCleanup.perProcessDir("graft-v12-store", dir)
+    graft.TmpCleanup.register(out)
+    val p = java.nio.file.Paths.get(out)
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(java.nio.file.Files.walk(p)) { st =>
+        st.iterator().asScala.toSeq.reverse
+      }.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    val mdocs = ExtensionQueries.withMixedText(
+      Tables.documents(spark, dir), full = false)
+    val span = Ngrams.removeDuplicateSpans(
+      mdocs, "doc_id", "mtext", n = 4, unicode = true)
+    val gated = span.filter(col("n_tokens") - col("n_removed") >= 5)
+      .select(col("doc_id"), md5(col("text_clean")).as("ld"))
+    val sur = graft.CacheScope.scoped(Dedup.exactByKey(gated, Seq("ld"), "doc_id"))
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("ld", StringType)))
+    def append(half: DataFrame): Unit =
+      half.write.format("graft.sources.v2.ShardSink")
+        .option("path", out)
+        .option(graft.sources.v2.ShardPayload.OptionKey, "parquet")
+        .option("bloomColumn", "ld")
+        .option("bloomBits", (1 << 20).toString)
+        .mode("append").save()
+    append(sur.filter(col("doc_id") % 2 === 0).repartition(3))
+    append(sur.filter(col("doc_id") % 2 === 1).repartition(3))
+    val v1 = ShardSnapshot.create(spark, out)
+
+    // digest-keyed takedown, planted in the EVEN half only so the bloom
+    // prune is observable (the odd shards must not be candidates)
+    val delKeys = sur.filter(col("doc_id") % 17 === 2 && col("doc_id") % 2 === 0)
+      .select(col("ld"))
+    val nDel = delKeys.count()
+    val cands = ShardDelete.candidateShards(spark, out, schema, "ld", delKeys)
+    val total = ShardReader.manifestShardCount(spark, out)
+    val pruneOk = cands.nonEmpty && cands.size < total
+    val removed = ShardDelete.deleteByKey(spark, out, schema, "ld", delKeys)
+
+    // CDC catch-up from the pre-takedown snapshot: exactly the takedown
+    // set, every row a removed-tombstone. Materialized eagerly — the
+    // retention pass below reclaims the snapshot the feed reads.
+    val feed = graft.CacheScope.scoped(
+      ShardSnapshot.readChangesSince(spark, out, schema, "ld", v1))
+    val cdcOk = feed.count() == nDel &&
+      feed.filter(col("change") =!= "removed").count() == 0L
+
+    // one-call retention compliance + zero-ghost pruned lookup
+    val (dropped, reclaimed) = ShardSnapshot.retain(spark, out, keepLast = 0)
+    val ghosts = ShardReader.readByKey(spark, out, schema, "ld", delKeys).count()
+    // pushed point lookup: three surviving digests -> the IN-list must
+    // reach the parquet scan (bounded 3-row collect of a LIMIT 3)
+    val probeKeys = sur.join(delKeys.withColumnRenamed("ld", "__d"),
+        col("ld") === col("__d"), "left_anti")
+      .orderBy(col("doc_id")).limit(3).select(col("ld"))
+    val lookup = ShardReader.readByKey(spark, out, schema, "ld", probeKeys)
+    val pushedOk = lookup.queryExecution.executedPlan.toString
+      .contains("PushedFilters: [In(ld") && lookup.count() == 3L
+    val back = ShardReader.read(spark, out, schema)
+    val storeOk = nDel > 0 && removed == nDel && pruneOk &&
+      ShardReader.manifestRowCount(spark, out) == back.count()
+    val forgetOk = ghosts == 0L && dropped == Seq(v1) && reclaimed.nonEmpty
+    back.groupBy((col("doc_id") % 8).as("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        md5(concat_ws("",
+          transform(array_sort(collect_list(struct(col("doc_id"), col("ld")))),
+            x => x.getField("ld")))).as("digest"))
+      .withColumn("store_ok", lit(storeOk))
+      .withColumn("forget_ok", lit(forgetOk))
+      .withColumn("cdc_ok", lit(cdcOk))
+      .withColumn("pushed_ok", lit(pushedOk))
+      .orderBy(col("bucket"))
+  }
+
   /** Exact-substring REMOVAL (Lee et al. 2022's rewrite stage): delete
     * duplicated ≥4-token runs, keeping each gram's corpus-first
     * occurrence; rebuilt text + attrition telemetry per doc. */
@@ -1097,6 +1189,7 @@ object PipelineQueries extends QueryFamily {
     "pipeline_corpus_v9" -> (pipelineCorpusV9 _),
     "pipeline_corpus_v10" -> (pipelineCorpusV10 _),
     "pipeline_corpus_v11" -> (pipelineCorpusV11 _),
+    "pipeline_corpus_v12" -> (pipelineCorpusV12 _),
     "dedup_substring_pairs" -> (dedupSubstringPairs _),
     "dedup_substring_verify" -> (dedupSubstringVerify _),
     "dedup_span_removal" -> (dedupSpanRemoval _),
@@ -1721,6 +1814,23 @@ object PipelineQueries extends QueryFamily {
          |SELECT doc_id % 8 AS bucket, CAST(COUNT(1) AS BIGINT) AS n_docs,
          |  MD5(STRING_AGG(ld, '' ORDER BY doc_id)) AS digest,
          |  TRUE AS store_ok, TRUE AS forget_ok
+         |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin,
+    // v12: the same front as v11 but the store is PARQUET and keyed by
+    // the content DIGEST (bloom-pruned takedown, %17-of-the-even-half
+    // set); CDC/retention/pushed-lookup gates are constants
+    "pipeline_corpus_v12" ->
+      s"""WITH ${inMargin(toksUniCte)},
+         |${inMargin(spanRemovalCtes)},
+         |gated AS (SELECT doc_id, MD5(text_clean) AS ld FROM spanout
+         |          WHERE n_tokens - n_removed >= 5),
+         |sur AS (SELECT doc_id, ld FROM gated
+         |        QUALIFY ROW_NUMBER() OVER (PARTITION BY ld ORDER BY doc_id) = 1),
+         |fin AS (SELECT doc_id, ld FROM sur
+         |        WHERE NOT (doc_id % 17 = 2 AND doc_id % 2 = 0))
+         |SELECT doc_id % 8 AS bucket, CAST(COUNT(1) AS BIGINT) AS n_docs,
+         |  MD5(STRING_AGG(ld, '' ORDER BY doc_id)) AS digest,
+         |  TRUE AS store_ok, TRUE AS forget_ok,
+         |  TRUE AS cdc_ok, TRUE AS pushed_ok
          |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin,
     // the unicode-contract span-removal replay: the SAME rewrite CTE
     // chain over the unicode token stream of the mixed column

@@ -69,20 +69,30 @@ object ShardReader {
   def readEvolved(spark: SparkSession, path: String): DataFrame =
     read(spark, path, tableSchema(spark, path))
 
-  /** Keyed point lookup — the read-side payoff of the `_STATS` manifest
-    * ranges ([[ShardStats]]): return exactly the rows whose `keyCol` is
-    * in `keys` (one-column DataFrame, joined never collected), READING
-    * only the shards whose [min,max] range can contain a key. On a
-    * range-laid-out table ([[ShardCompact.compact]] keeps that layout)
-    * a handful-of-ids lookup opens a handful of shards regardless of
-    * table size; without stats it degrades to a manifest-scoped scan +
-    * semi-join — correct, just un-pruned. */
+  /** Keyed point lookup — the read-side payoff of the `_STATS` ranges
+    * and `_BLOOM` filters ([[ShardPrune]]): return exactly the rows
+    * whose `keyCol` is in `keys` (one-column DataFrame), READING only
+    * the shards the sidecars cannot rule out. On a range-laid-out table
+    * ([[ShardCompact.compact]] keeps that layout) a handful-of-ids
+    * lookup opens a handful of shards regardless of table size; without
+    * sidecars it degrades to a manifest-scoped scan + semi-join —
+    * correct, just un-pruned.
+    *
+    * Key-set handling: a PROVABLY SMALL key set (≤ `maxPushKeys`
+    * distinct keys, checked with a limit-bounded count — the collect is
+    * bounded by the constant, never the data) becomes an `IN`-list
+    * FILTER instead of a join. That filter reaches the scan
+    * (`PushedFilters: [In(key, ...)]`): on a parquet-format table the
+    * row groups whose column stats exclude every key are skipped
+    * without decoding — the in-shard prune on top of the shard-level
+    * one. Larger key sets keep the join (never collected). */
   def readByKey(
       spark: SparkSession,
       path: String,
       schema: StructType,
       keyCol: String,
-      keys: DataFrame): DataFrame = {
+      keys: DataFrame,
+      maxPushKeys: Int = 128): DataFrame = {
     require(schema.fieldNames.contains(keyCol),
       s"key column '$keyCol' not in table schema ${schema.fieldNames.mkString(",")}")
     require(keys.columns.length == 1,
@@ -100,8 +110,19 @@ object ShardReader {
     else {
       val files = candidates.map(n => new Path(dir, n).toString)
       val df = ShardPayload.read(spark, schema, ShardPayload.of(fs, dir), files)
-      df.join(keyDf, df(keyCol) === org.apache.spark.sql.functions.col("__k"),
-        "left_semi")
+      val few =
+        if (maxPushKeys <= 0) null
+        else keyDf.limit(maxPushKeys + 1).collect() // bounded by the constant
+      if (few != null && few.length <= maxPushKeys) {
+        val lits = few.map(_.get(0)).filter(_ != null) // null never equals
+        if (lits.isEmpty)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        else df.filter(df(keyCol).isin(lits.toSeq: _*))
+      } else {
+        df.join(keyDf, df(keyCol) === org.apache.spark.sql.functions.col("__k"),
+          "left_semi")
+      }
     }
   }
 

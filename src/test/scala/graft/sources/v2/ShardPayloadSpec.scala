@@ -100,6 +100,31 @@ class ShardPayloadSpec extends SparkSpec {
     assert(ShardReader.read(spark, dir, schema).count() == 99L)
   }
 
+  test("readByKey pushes small key sets into the scan; large sets keep the join; results agree") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq-push").toString
+    append(dir, (1L to 100L).map(i => (i, s"doc $i")), "parquet")
+    // small key set -> IN-list filter pushed to the parquet scan
+    val pushed = ShardReader.readByKey(spark, dir, schema, "doc_id",
+      Seq(3L, 7L).toDF("k"))
+    val plan = pushed.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [In(doc_id"),
+      s"IN-list did not reach the scan:\n$plan")
+    assert(pushed.select("doc_id").as[Long].collect().toSet == Set(3L, 7L))
+    // a key set over the threshold keeps the join path, same answer
+    val manyKeys = (1L to 60L).toDF("k")
+    val joined = ShardReader.readByKey(
+      spark, dir, schema, "doc_id", manyKeys, maxPushKeys = 10)
+    assert(!joined.queryExecution.executedPlan.toString
+      .contains("PushedFilters: [In(doc_id"))
+    assert(joined.count() == 60L)
+    assert(joined.select("doc_id").as[Long].collect().toSet ==
+      ShardReader.readByKey(spark, dir, schema, "doc_id", manyKeys)
+        .select("doc_id").as[Long].collect().toSet)
+    // an all-null key set matches nothing (IN semantics = join equality)
+    assert(ShardReader.readByKey(spark, dir, schema, "doc_id",
+      Seq(null.asInstanceOf[java.lang.Long]).toDF("k")).count() == 0L)
+  }
+
   test("columnar payoff: a 1-column projection reads a 1-column schema") {
     val dir = java.nio.file.Files.createTempDirectory("graft-pq-prune").toString
     append(dir, (1L to 20L).map(i => (i, s"wide text payload $i")), "parquet")
