@@ -181,9 +181,16 @@ object Bench {
       mins.foreach { case (w, c, p) =>
         if (w > 3.0 || (w > 1.0 && w > 3.0 * math.max(c, p))) runs += once()
       }
+      // per-pass raw (wall, cpu) pairs ride into the artifact: two
+      // rounds running, wall and CPU told different stories and the
+      // wait-dominated rows had to be re-litigated from protocol notes —
+      // with every pass recorded, a row whose EVERY pass shows wall >>
+      // cpu is self-evidently wait-bound (fs lifecycle, micro-batch
+      // timers), while a single inflated pass is self-evidently steal
+      val raw = runs.toSeq.map(r => (r._1, r._2, r._4))
       mins match {
-        case Some((w, c, _)) => (name, w, c, true)
-        case None            => (name, runs.head._1, runs.head._2, false)
+        case Some((w, c, _)) => (name, w, c, true, raw)
+        case None            => (name, runs.head._1, runs.head._2, false, raw)
       }
     }
     // minimal JSON string escaper for anything not builder-controlled
@@ -207,16 +214,23 @@ object Bench {
     def jstr(s: String): String = "\"" + jesc(s) + "\""
     // failed queries report -1 (not their near-zero abort time) and are
     // listed in "failed", so a regression can't silently shrink the total
-    val qs = results.map { case (k, w, _, ok) =>
+    val qs = results.map { case (k, w, _, ok, _) =>
       jstr(k) + ":" + (if (ok) num3(w) else "-1")
     }.mkString("{", ",", "}")
-    val cpus_ = results.map { case (k, _, c, ok) =>
+    val cpus_ = results.map { case (k, _, c, ok, _) =>
       jstr(k) + ":" + (if (ok) num3(c) else "-1")
     }.mkString("{", ",", "}")
-    val failedNames = results.collect { case (k, _, _, false) => k }
+    // every pass's (wall, cpu), failed passes as -1 — the full artifact
+    // only (the compact tail line stays headline-sized)
+    val raws = results.map { case (k, _, _, _, raw) =>
+      jstr(k) + ":" + raw.map { case (w, c, ok) =>
+        if (ok) s"[${num3(w)},${num3(c)}]" else "[-1,-1]"
+      }.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val failedNames = results.collect { case (k, _, _, false, _) => k }
     val failed = failedNames.map(jstr).mkString("[", ",", "]")
-    val total = results.collect { case (_, w, _, true) => w }.sum
-    val cpuTotal = results.collect { case (_, _, c, true) => c }.sum
+    val total = results.collect { case (_, w, _, true, _) => w }.sum
+    val cpuTotal = results.collect { case (_, _, c, true, _) => c }.sum
     val loadEnd = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
     val nCores = Runtime.getRuntime.availableProcessors
@@ -226,7 +240,7 @@ object Bench {
     val protocol =
       s"""{"isolation":"dedicated-jvm","estimator":"min-of-$passes per metric","load_avg_start":${num3(loadStart)},"load_avg_end":${num3(loadEnd)},"host_cores":$nCores,"concurrent_load":${loadStart > 0.5 * nCores}}"""
     val fullLine =
-      s"""{"metric":"total","value":${num3(total)},"unit":"sec","cpu_total":${num3(cpuTotal)},"passes":$passes,"protocol":$protocol,"queries":$qs,"cpu":$cpus_,"sf":${jstr(sfDir)},"failed":$failed}"""
+      s"""{"metric":"total","value":${num3(total)},"unit":"sec","cpu_total":${num3(cpuTotal)},"passes":$passes,"protocol":$protocol,"queries":$qs,"cpu":$cpus_,"raw":$raws,"sf":${jstr(sfDir)},"failed":$failed}"""
     // The harness keeps only the LAST ~2000 characters of stdout; the
     // full per-query line is ~8 KB, so on its own it is always truncated
     // mid-map and unparseable (BENCH_r01..r05 all carry "parsed": null).
@@ -240,9 +254,9 @@ object Bench {
     catch { case e: Throwable => System.err.println(s"[bench] full-dump write failed: $e") }
     println(fullLine)
     val slow = results.filter(_._4).sortBy(-_._2).take(20)
-    val slowQs = slow.map { case (k, w, _, _) => jstr(k) + ":" + num3(w) }
+    val slowQs = slow.map { case (k, w, _, _, _) => jstr(k) + ":" + num3(w) }
       .mkString("{", ",", "}")
-    val slowCpu = slow.map { case (k, _, c, _) => jstr(k) + ":" + num3(c) }
+    val slowCpu = slow.map { case (k, _, c, _, _) => jstr(k) + ":" + num3(c) }
       .mkString("{", ",", "}")
     // Compact line must survive a ~2000-char tail window even on a
     // worst-case run: cap the failed list at 10 names + a count (the full
