@@ -229,6 +229,9 @@ object BenchScale {
     // -> CDC catch-up) — store-lifecycle composite; the feed itself is
     // change-set-sized by construction
     "shard_changes_since" -> "composite",
+    // r17: the consumer half — downstream copy catches up from the feed
+    // alone (delete touched keys + append live rows), equality-gated
+    "shard_changes_apply" -> "composite",
     // r17 flagship: span rewrite + dedup + the PARQUET digest-keyed
     // store lifecycle (bloom takedown -> CDC -> retention -> pushed
     // lookup) — the store-lifecycle composite shape

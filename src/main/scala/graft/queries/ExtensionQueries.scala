@@ -3118,15 +3118,19 @@ object ExtensionQueries extends QueryFamily {
     }
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), md5(col("text")).as("ld"))
-    def append(part: DataFrame): Unit =
-      part.write.format("graft.sources.v2.ShardSink")
-        .option("path", out)
-        .option("bloomColumn", "ld")
-        // 2^20 bits: ~4.8e-6 per-key FP at the sf0.1 shard size, so a
-        // five-key takedown stays sharp at every fixture SF
-        .option("bloomBits", (1 << 20).toString)
-        .mode("append").save()
-    (0 until 4).foreach(s => append(docs.filter(col("doc_id") % 4 === s)))
+    // ONE append job writing four residue shards (range partitioner on
+    // the residue — deterministic boundaries on 4 distinct values), not
+    // four jobs re-scanning the corpus: same shard-membership-by-residue
+    // construction for the prune gate at a quarter of the lifecycle cost
+    docs.withColumn("__r", col("doc_id") % 4)
+      .repartitionByRange(4, col("__r")).drop("__r")
+      .write.format("graft.sources.v2.ShardSink")
+      .option("path", out)
+      .option("bloomColumn", "ld")
+      // 2^20 bits: ~4.8e-6 per-key FP at the sf0.1 shard size, so a
+      // five-key takedown stays sharp at every fixture SF
+      .option("bloomBits", (1 << 20).toString)
+      .mode("append").save()
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("ld", StringType)))
@@ -3277,6 +3281,81 @@ object ExtensionQueries extends QueryFamily {
       src.filter(col("doc_id") % 13 === 1).select(col("doc_id")))
     ShardSnapshot.readChangesSince(spark, out, schema, "doc_id", v1)
       .orderBy(col("doc_id"))
+  }
+
+  /**
+   * CDC APPLY — the consumer half of [[shardChangesSince]]: a downstream
+   * table materialized at snapshot v1 catches up to the evolved
+   * upstream by applying ONLY the change feed (delete every touched
+   * key, append the live rows) — no upstream re-read. `apply_ok` gates
+   * bit-equality of the two tables' keyed digests afterwards: the feed
+   * is SUFFICIENT to reconstruct the table, which is the whole CDC
+   * contract (a feed that dropped a multi-copy twin, mis-classified an
+   * updated-then-deleted key, or leaked a tombstone row would fail the
+   * gate, and the digest chain against DuckDB's derivation would
+   * hash-fail on top).
+   */
+  def shardChangesApply(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.v2.{ShardDelete, ShardReader, ShardSnapshot}
+    val src = graft.TmpCleanup.perProcessDir("graft-cdc-src", dir)
+    val dst = graft.TmpCleanup.perProcessDir("graft-cdc-dst", dir)
+    Seq(src, dst).foreach { out =>
+      graft.TmpCleanup.register(out)
+      val p = java.nio.file.Paths.get(out)
+      if (java.nio.file.Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        scala.util.Using.resource(java.nio.file.Files.walk(p)) { st =>
+          st.iterator().asScala.toSeq.reverse
+        }.foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(col("text")).as("ld"))
+    def append(out: String, df: DataFrame): Unit =
+      df.write.format("graft.sources.v2.ShardSink")
+        .option("path", out).option("statsColumn", "doc_id")
+        .mode("append").save()
+    append(src, docs.filter(col("doc_id") % 2 === 0))
+    append(src, docs.filter(col("doc_id") % 2 === 1))
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("ld", StringType)))
+    val v1 = ShardSnapshot.create(spark, src)
+    // the downstream copy, materialized at v1 (its one full read)
+    append(dst, ShardSnapshot.read(spark, src, schema, v1))
+    // upstream evolves: one upsert wave, one takedown wave
+    val s = Tables.documents(spark, dir)
+    ShardDelete.upsertByKey(spark, src, schema, "doc_id",
+      s.filter(col("doc_id") % 11 === 3)
+        .select(col("doc_id"), md5(concat(lit("UPD"), col("text"))).as("ld"))
+        .union(s.filter(col("doc_id") % 101 === 0)
+          .select((col("doc_id") + 10000000L).as("doc_id"),
+            md5(concat(lit("NEW"), col("text"))).as("ld"))))
+    ShardDelete.deleteByKey(spark, src, schema, "doc_id",
+      s.filter(col("doc_id") % 13 === 1).select(col("doc_id")))
+    // catch-up: the feed is the ONLY upstream data the consumer touches
+    val feed = graft.CacheScope.scoped(
+      ShardSnapshot.readChangesSince(spark, src, schema, "doc_id", v1))
+    ShardDelete.deleteByKey(spark, dst, schema, "doc_id",
+      feed.select(col("doc_id")))
+    append(dst, feed.filter(col("change") =!= "removed")
+      .select(col("doc_id"), col("ld")))
+    // feed sufficiency: the two tables' keyed digests must now agree
+    def tableDigest(path: String): String =
+      ShardReader.read(spark, path, schema)
+        .agg(md5(concat_ws("",
+          transform(array_sort(collect_list(struct(col("doc_id"), col("ld")))),
+            x => x.getField("ld")))))
+        .collect().head.getString(0)
+    val applyOk = tableDigest(dst) == tableDigest(src)
+    ShardReader.read(spark, dst, schema)
+      .groupBy((col("doc_id") % 8).as("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        md5(concat_ws("",
+          transform(array_sort(collect_list(struct(col("doc_id"), col("ld")))),
+            x => x.getField("ld")))).as("digest"))
+      .withColumn("apply_ok", lit(applyOk))
+      .orderBy(col("bucket"))
   }
 
   def shardSnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
@@ -3586,6 +3665,7 @@ object ExtensionQueries extends QueryFamily {
     "shard_upsert_roundtrip" -> (shardUpsertRoundtrip _),
     "shard_snapshot_diff" -> (shardSnapshotDiff _),
     "shard_changes_since" -> (shardChangesSince _),
+    "shard_changes_apply" -> (shardChangesApply _),
     "ts_twap" -> (tsTwap _),
     "session_stats" -> (sessionStats _),
     "session_stream_stats" -> (sessionStreamStats _),
@@ -5503,6 +5583,21 @@ object ExtensionQueries extends QueryFamily {
         |SELECT doc_id, CAST(NULL AS VARCHAR) AS ld, 'removed' AS change
         |FROM documents WHERE doc_id % 13 = 1
         |ORDER BY doc_id""".stripMargin,
+    // CDC apply: the downstream table after replaying the feed = the
+    // evolved upstream, derived store-lessly; apply_ok is constant-TRUE
+    "shard_changes_apply" ->
+      """SELECT doc_id % 8 AS bucket, CAST(COUNT(1) AS BIGINT) AS n_docs,
+        |  MD5(STRING_AGG(ld, '' ORDER BY doc_id)) AS digest,
+        |  TRUE AS apply_ok
+        |FROM (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 11 = 3 THEN MD5('UPD' || text)
+        |         ELSE MD5(text) END AS ld
+        |  FROM documents WHERE doc_id % 13 <> 1
+        |  UNION ALL
+        |  SELECT doc_id + 10000000 AS doc_id, MD5('NEW' || text) AS ld
+        |  FROM documents WHERE doc_id % 101 = 0)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // time travel + version diff: the three snapshot views derived
     // directly from documents (v1 pristine, v2 post-upsert, v2-minus-
     // %7-keys is v3); the v1 digest is what the POST-mutation,
