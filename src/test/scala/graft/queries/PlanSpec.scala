@@ -106,10 +106,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
-  test("text_tfidf_top broadcasts the vocabulary-sized df table") {
+  test("text_tfidf_top joins the df table without a FORCED broadcast hint") {
+    // r17: the broadcast HINT was dropped (a 100 TB multilingual
+    // vocabulary can outgrow any broadcast budget — the house Lm
+    // discipline says let AQE/statistics decide). At fixture scale the
+    // planner still broadcasts from size statistics; the contract this
+    // spec pins is that EITHER hash-join shape is acceptable and no
+    // cartesian ever appears — not that a hint forces one shape.
     val p = plan("text_tfidf_top")
-    assert(p.contains("BroadcastHashJoin"), p)
-    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
   }
 
   test("sample_topk_quality pushes the rank limit into WindowGroupLimit") {
