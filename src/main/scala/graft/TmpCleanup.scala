@@ -26,6 +26,21 @@ object TmpCleanup {
     paths.add(path)
   }
 
+  /** Recursive delete of a temp artifact dir NOW (query surfaces rebuild
+    * their per-process dirs on re-entry — bench warm-up + timed passes
+    * must not re-append). One implementation instead of a copy per call
+    * site; `Files.walk` is closed via Using (it holds DirectoryStream
+    * fds — materialize inside, delete after). */
+  def wipe(path: String): Unit = {
+    val p = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(java.nio.file.Files.walk(p)) { st =>
+        st.iterator().asScala.toSeq.reverse
+      }.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   /** Per-(process, key) temp dir path — the pid suffix keeps concurrent
     * graft processes on the same fixture from deleting each other's
     * artifacts mid-read; the fixed key-hash suffix makes repeated runs

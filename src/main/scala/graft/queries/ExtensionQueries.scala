@@ -248,13 +248,7 @@ object ExtensionQueries extends QueryFamily {
     graft.TmpCleanup.register(base)
     // re-entries (bench passes) must re-stream, not no-op on the
     // checkpoint — the shardSinkRoundtrip discipline
-    val p = java.nio.file.Paths.get(base)
-    if (java.nio.file.Files.exists(p)) {
-      import scala.jdk.CollectionConverters._
-      scala.util.Using.resource(java.nio.file.Files.walk(p)) { st =>
-        st.iterator().asScala.toSeq.reverse
-      }.foreach(java.nio.file.Files.deleteIfExists(_))
-    }
+    graft.TmpCleanup.wipe(base)
     val in = s"$base/in"; val idx = s"$base/idx"
     val out = s"$base/out"; val ckpt = s"$base/ckpt"
     val docs = Tables.documents(spark, dir)
@@ -2561,13 +2555,7 @@ object ExtensionQueries extends QueryFamily {
     // re-entries within one process (bench warm-up + timed passes) must
     // re-stream, not no-op against the prior pass's checkpoint — same
     // discipline as shardSinkRoundtrip
-    val p = java.nio.file.Paths.get(base)
-    if (java.nio.file.Files.exists(p)) {
-      import scala.jdk.CollectionConverters._
-      scala.util.Using.resource(java.nio.file.Files.walk(p)) { st =>
-        st.iterator().asScala.toSeq.reverse
-      }.foreach(java.nio.file.Files.deleteIfExists(_))
-    }
+    graft.TmpCleanup.wipe(base)
     val out = s"$base/out"; val ckpt = s"$base/ckpt"
     def projected = CorpusStream.readDocuments(spark, dir)
       .select(col("doc_id"), col("source"), md5(col("text")).as("dg"))
@@ -2709,15 +2697,7 @@ object ExtensionQueries extends QueryFamily {
     graft.TmpCleanup.register(out)
     // the sink is append-only by contract; re-entries within one process
     // (bench warm-up + timed passes) must rebuild, not re-append
-    val p = java.nio.file.Paths.get(out)
-    if (java.nio.file.Files.exists(p)) {
-      import scala.jdk.CollectionConverters._
-      // Files.walk must be closed (it holds DirectoryStream fds) —
-      // materialize inside Using, delete after
-      scala.util.Using.resource(java.nio.file.Files.walk(p)) { st =>
-        st.iterator().asScala.toSeq.reverse
-      }.foreach(java.nio.file.Files.deleteIfExists(_))
-    }
+    graft.TmpCleanup.wipe(out)
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), md5(col("text")).as("ld"))
     def append(half: DataFrame): Unit =
@@ -2753,13 +2733,7 @@ object ExtensionQueries extends QueryFamily {
   def shardSinkParquet(spark: SparkSession, dir: String): DataFrame = {
     val out = graft.TmpCleanup.perProcessDir("graft-shard-pq", dir)
     graft.TmpCleanup.register(out)
-    val p = java.nio.file.Paths.get(out)
-    if (java.nio.file.Files.exists(p)) {
-      import scala.jdk.CollectionConverters._
-      scala.util.Using.resource(java.nio.file.Files.walk(p)) { st =>
-        st.iterator().asScala.toSeq.reverse
-      }.foreach(java.nio.file.Files.deleteIfExists(_))
-    }
+    graft.TmpCleanup.wipe(out)
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), md5(col("text")).as("ld"))
     def append(half: DataFrame): Unit =
@@ -2804,13 +2778,7 @@ object ExtensionQueries extends QueryFamily {
     import graft.sources.v2.{ShardDelete, ShardReader}
     val out = graft.TmpCleanup.perProcessDir("graft-shard-rbkpq", dir)
     graft.TmpCleanup.register(out)
-    val p = java.nio.file.Paths.get(out)
-    if (java.nio.file.Files.exists(p)) {
-      import scala.jdk.CollectionConverters._
-      scala.util.Using.resource(java.nio.file.Files.walk(p)) { st =>
-        st.iterator().asScala.toSeq.reverse
-      }.foreach(java.nio.file.Files.deleteIfExists(_))
-    }
+    graft.TmpCleanup.wipe(out)
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), md5(col("text")).as("ld"))
     val mid = Tables.documents(spark, dir)
@@ -2858,13 +2826,7 @@ object ExtensionQueries extends QueryFamily {
     import graft.sources.v2.{ShardCompact, ShardReader}
     val out = graft.TmpCleanup.perProcessDir("graft-shard-cp", dir)
     graft.TmpCleanup.register(out)
-    val p = java.nio.file.Paths.get(out)
-    if (java.nio.file.Files.exists(p)) {
-      import scala.jdk.CollectionConverters._
-      scala.util.Using.resource(java.nio.file.Files.walk(p)) { st =>
-        st.iterator().asScala.toSeq.reverse
-      }.foreach(java.nio.file.Files.deleteIfExists(_))
-    }
+    graft.TmpCleanup.wipe(out)
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), md5(col("text")).as("ld"))
     def append(half: DataFrame): Unit =
@@ -2928,13 +2890,7 @@ object ExtensionQueries extends QueryFamily {
     import graft.sources.v2.ShardReader
     val out = graft.TmpCleanup.perProcessDir("graft-shard-ev", dir)
     graft.TmpCleanup.register(out)
-    val p = java.nio.file.Paths.get(out)
-    if (java.nio.file.Files.exists(p)) {
-      import scala.jdk.CollectionConverters._
-      scala.util.Using.resource(java.nio.file.Files.walk(p)) { st =>
-        st.iterator().asScala.toSeq.reverse
-      }.foreach(java.nio.file.Files.deleteIfExists(_))
-    }
+    graft.TmpCleanup.wipe(out)
     val docs = Tables.documents(spark, dir)
     def append(df: DataFrame): Unit =
       df.write.format("graft.sources.v2.ShardSink")
@@ -2982,13 +2938,7 @@ object ExtensionQueries extends QueryFamily {
     import graft.sources.v2.{ShardDelete, ShardReader}
     val out = graft.TmpCleanup.perProcessDir("graft-shard-rbk", dir)
     graft.TmpCleanup.register(out)
-    val p = java.nio.file.Paths.get(out)
-    if (java.nio.file.Files.exists(p)) {
-      import scala.jdk.CollectionConverters._
-      scala.util.Using.resource(java.nio.file.Files.walk(p)) { st =>
-        st.iterator().asScala.toSeq.reverse
-      }.foreach(java.nio.file.Files.deleteIfExists(_))
-    }
+    graft.TmpCleanup.wipe(out)
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), md5(col("text")).as("ld"))
     val mid = Tables.documents(spark, dir)
@@ -3038,13 +2988,7 @@ object ExtensionQueries extends QueryFamily {
     import graft.sources.v2.{ShardDelete, ShardReader}
     val out = graft.TmpCleanup.perProcessDir("graft-shard-del", dir)
     graft.TmpCleanup.register(out)
-    val p = java.nio.file.Paths.get(out)
-    if (java.nio.file.Files.exists(p)) {
-      import scala.jdk.CollectionConverters._
-      scala.util.Using.resource(java.nio.file.Files.walk(p)) { st =>
-        st.iterator().asScala.toSeq.reverse
-      }.foreach(java.nio.file.Files.deleteIfExists(_))
-    }
+    graft.TmpCleanup.wipe(out)
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), md5(col("text")).as("ld"))
     val mid = Tables.documents(spark, dir)
@@ -3109,13 +3053,7 @@ object ExtensionQueries extends QueryFamily {
     import graft.sources.v2.{ShardDelete, ShardReader}
     val out = graft.TmpCleanup.perProcessDir("graft-shard-bloom", dir)
     graft.TmpCleanup.register(out)
-    val p = java.nio.file.Paths.get(out)
-    if (java.nio.file.Files.exists(p)) {
-      import scala.jdk.CollectionConverters._
-      scala.util.Using.resource(java.nio.file.Files.walk(p)) { st =>
-        st.iterator().asScala.toSeq.reverse
-      }.foreach(java.nio.file.Files.deleteIfExists(_))
-    }
+    graft.TmpCleanup.wipe(out)
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), md5(col("text")).as("ld"))
     // ONE append job writing four residue shards (range partitioner on
@@ -3181,13 +3119,7 @@ object ExtensionQueries extends QueryFamily {
     import graft.sources.v2.{ShardDelete, ShardReader}
     val out = graft.TmpCleanup.perProcessDir("graft-shard-up", dir)
     graft.TmpCleanup.register(out)
-    val p = java.nio.file.Paths.get(out)
-    if (java.nio.file.Files.exists(p)) {
-      import scala.jdk.CollectionConverters._
-      scala.util.Using.resource(java.nio.file.Files.walk(p)) { st =>
-        st.iterator().asScala.toSeq.reverse
-      }.foreach(java.nio.file.Files.deleteIfExists(_))
-    }
+    graft.TmpCleanup.wipe(out)
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), md5(col("text")).as("ld"))
     def append(half: DataFrame): Unit =
@@ -3251,13 +3183,7 @@ object ExtensionQueries extends QueryFamily {
     import graft.sources.v2.{ShardDelete, ShardSnapshot}
     val out = graft.TmpCleanup.perProcessDir("graft-shard-cdc", dir)
     graft.TmpCleanup.register(out)
-    val p = java.nio.file.Paths.get(out)
-    if (java.nio.file.Files.exists(p)) {
-      import scala.jdk.CollectionConverters._
-      scala.util.Using.resource(java.nio.file.Files.walk(p)) { st =>
-        st.iterator().asScala.toSeq.reverse
-      }.foreach(java.nio.file.Files.deleteIfExists(_))
-    }
+    graft.TmpCleanup.wipe(out)
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), md5(col("text")).as("ld"))
     def append(half: DataFrame): Unit =
@@ -3301,13 +3227,7 @@ object ExtensionQueries extends QueryFamily {
     val dst = graft.TmpCleanup.perProcessDir("graft-cdc-dst", dir)
     Seq(src, dst).foreach { out =>
       graft.TmpCleanup.register(out)
-      val p = java.nio.file.Paths.get(out)
-      if (java.nio.file.Files.exists(p)) {
-        import scala.jdk.CollectionConverters._
-        scala.util.Using.resource(java.nio.file.Files.walk(p)) { st =>
-          st.iterator().asScala.toSeq.reverse
-        }.foreach(java.nio.file.Files.deleteIfExists(_))
-      }
+      graft.TmpCleanup.wipe(out)
     }
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), md5(col("text")).as("ld"))
@@ -3362,13 +3282,7 @@ object ExtensionQueries extends QueryFamily {
     import graft.sources.v2.{ShardDelete, ShardSnapshot}
     val out = graft.TmpCleanup.perProcessDir("graft-shard-snap", dir)
     graft.TmpCleanup.register(out)
-    val p = java.nio.file.Paths.get(out)
-    if (java.nio.file.Files.exists(p)) {
-      import scala.jdk.CollectionConverters._
-      scala.util.Using.resource(java.nio.file.Files.walk(p)) { st =>
-        st.iterator().asScala.toSeq.reverse
-      }.foreach(java.nio.file.Files.deleteIfExists(_))
-    }
+    graft.TmpCleanup.wipe(out)
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), md5(col("text")).as("ld"))
     def append(half: DataFrame): Unit =

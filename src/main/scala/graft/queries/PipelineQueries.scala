@@ -414,13 +414,7 @@ object PipelineQueries extends QueryFamily {
     import graft.sources.v2.{ShardCompact, ShardDelete, ShardReader, ShardSnapshot}
     val out = graft.TmpCleanup.perProcessDir("graft-v11-store", dir)
     graft.TmpCleanup.register(out)
-    val p = java.nio.file.Paths.get(out)
-    if (java.nio.file.Files.exists(p)) {
-      import scala.jdk.CollectionConverters._
-      scala.util.Using.resource(java.nio.file.Files.walk(p)) { st =>
-        st.iterator().asScala.toSeq.reverse
-      }.foreach(java.nio.file.Files.deleteIfExists(_))
-    }
+    graft.TmpCleanup.wipe(out)
     val mdocs = ExtensionQueries.withMixedText(
       Tables.documents(spark, dir), full = false)
     val span = Ngrams.removeDuplicateSpans(
@@ -483,13 +477,7 @@ object PipelineQueries extends QueryFamily {
     import graft.sources.v2.{ShardDelete, ShardReader, ShardSnapshot}
     val out = graft.TmpCleanup.perProcessDir("graft-v12-store", dir)
     graft.TmpCleanup.register(out)
-    val p = java.nio.file.Paths.get(out)
-    if (java.nio.file.Files.exists(p)) {
-      import scala.jdk.CollectionConverters._
-      scala.util.Using.resource(java.nio.file.Files.walk(p)) { st =>
-        st.iterator().asScala.toSeq.reverse
-      }.foreach(java.nio.file.Files.deleteIfExists(_))
-    }
+    graft.TmpCleanup.wipe(out)
     val mdocs = ExtensionQueries.withMixedText(
       Tables.documents(spark, dir), full = false)
     val span = Ngrams.removeDuplicateSpans(

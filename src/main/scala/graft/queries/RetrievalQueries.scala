@@ -78,13 +78,7 @@ object RetrievalQueries extends QueryFamily {
     // rebuild per invocation: compaction mutates the layout, so a bench
     // re-entry over last run's single segment would gate compacted_ok
     // vacuously red
-    val p = java.nio.file.Paths.get(idx)
-    if (java.nio.file.Files.exists(p)) {
-      import scala.jdk.CollectionConverters._
-      scala.util.Using.resource(java.nio.file.Files.walk(p)) { st =>
-        st.iterator().asScala.toSeq.reverse
-      }.foreach(java.nio.file.Files.deleteIfExists(_))
-    }
+    graft.TmpCleanup.wipe(idx)
     val docs = Tables.documents(spark, dir)
     Retrieval.writeIndexSegment(docs.filter(col("doc_id") % 2 === 0),
       "doc_id", "text", idx, "batch=0")
@@ -120,13 +114,7 @@ object RetrievalQueries extends QueryFamily {
     val idx = graft.TmpCleanup.perProcessDir("graft-bm25-del", dir)
     graft.TmpCleanup.register(idx)
     // rebuild per invocation: deletes mutate the layout
-    val p = java.nio.file.Paths.get(idx)
-    if (java.nio.file.Files.exists(p)) {
-      import scala.jdk.CollectionConverters._
-      scala.util.Using.resource(java.nio.file.Files.walk(p)) { st =>
-        st.iterator().asScala.toSeq.reverse
-      }.foreach(java.nio.file.Files.deleteIfExists(_))
-    }
+    graft.TmpCleanup.wipe(idx)
     val docs = Tables.documents(spark, dir)
     Retrieval.writeIndexSegment(docs.filter(col("doc_id") % 2 === 0),
       "doc_id", "text", idx, "batch=0")

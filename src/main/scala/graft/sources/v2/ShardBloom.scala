@@ -264,15 +264,39 @@ private[graft] object ShardBloom {
       keyType: DataType,
       keyCol: String,
       keys: DataFrame, // one column named __k
+      manifested: Seq[String]): Seq[String] =
+    candidateShards(spark, readIfExists(fs, dir), keyType, keyCol, keys,
+      manifested)
+
+  /** Same prune over a PRE-PARSED sidecar (see [[ShardStats]]'s twin). */
+  def candidateShards(
+      spark: SparkSession,
+      bloom: Option[Bloom],
+      keyType: DataType,
+      keyCol: String,
+      keys: DataFrame,
       manifested: Seq[String]): Seq[String] = {
-    val usable = readIfExists(fs, dir).filter(b =>
+    val usable = bloom.filter(b =>
       b.column == keyCol && tagFor(keyType).contains(b.tag) &&
         b.kHashes == KHashes)
     usable match {
       case None => manifested
       case Some(b) =>
-        val (withBloom, without) = manifested.partition(b.filters.contains)
-        val present = withBloom.flatMap(n => b.filters(n).map(f => (n, f)))
+        val (withBloom, without0) = manifested.partition(b.filters.contains)
+        // SATURATION short-circuit: a filter with most bits set can
+        // almost never prune (FP per key ≥ density^k), and exploding its
+        // set bits would cost O(m) driver rows for nothing — an
+        // undersized bloom must degrade to "this shard is a candidate",
+        // never to driver-memory blowup. Density is one popcount pass
+        // over the already-parsed bytes.
+        def density(bytes: Array[Byte]): Double =
+          bytes.iterator.map(x => java.lang.Integer.bitCount(x & 0xff)).sum
+            .toDouble / b.mBits
+        val (usableF, saturated) = withBloom
+          .map(n => (n, b.filters(n)))
+          .partition { case (_, f) => f.forall(density(_) <= 0.5) }
+        val without = without0 ++ saturated.map(_._1)
+        val present = usableF.flatMap { case (n, f) => f.map((n, _)) }
         if (present.isEmpty) without
         else {
           import spark.implicits._
@@ -289,6 +313,13 @@ private[graft] object ShardBloom {
           val keyPos = keys
             .select(col("__k").cast(keyType).as("__k"))
             .na.drop()
+            // distinct AFTER the cast: two distinct input keys that
+            // collapse to one value under the cast (string "5"/"05"
+            // against a long column) would otherwise double __got and
+            // make a TRUE hit shard fail the __got === __need equality —
+            // a silently pruned shard, the one failure direction this
+            // file must never take
+            .distinct()
             .withColumn("__parr", array_distinct(array(posCols: _*)))
             .withColumn("__need", size(col("__parr")).cast("long"))
             .withColumn("__pos", explode(col("__parr")))
@@ -323,11 +354,24 @@ private[graft] object ShardPrune {
       keyType: DataType,
       keyCol: String,
       keys: DataFrame, // one column named __k
+      manifested: Seq[String]): Seq[String] =
+    candidateShards(spark, ShardStats.readIfExists(fs, dir),
+      ShardBloom.readIfExists(fs, dir), keyType, keyCol, keys, manifested)
+
+  /** Pre-parsed-sidecar form: one metadata read per mutation, not one
+    * per consumer. */
+  def candidateShards(
+      spark: SparkSession,
+      stats: Option[ShardStats.Stats],
+      bloom: Option[ShardBloom.Bloom],
+      keyType: DataType,
+      keyCol: String,
+      keys: DataFrame,
       manifested: Seq[String]): Seq[String] = {
     val ranged = ShardStats.candidateShards(
-      spark, fs, dir, keyType, keyCol, keys, manifested)
+      spark, stats, keyType, keyCol, keys, manifested)
     ShardBloom.candidateShards(
-      spark, fs, dir, keyType, keyCol, keys, ranged)
+      spark, bloom, keyType, keyCol, keys, ranged)
   }
 }
 

@@ -88,8 +88,9 @@ object ShardDelete {
       dir: Path,
       scratch: Path,
       replaced: Set[String],
-      fresh: Seq[(String, Long)]): Unit = {
-    ShardStats.readIfExists(fs, dir).foreach { s =>
+      fresh: Seq[(String, Long)],
+      tableStats: Option[ShardStats.Stats]): Unit = {
+    tableStats.foreach { s =>
       val freshNames = fresh.map(_._1).toSet
       val scratchRanges = ShardStats.readIfExists(fs, scratch)
         .map(_.ranges.view.filterKeys(freshNames.contains).toMap)
@@ -109,8 +110,9 @@ object ShardDelete {
       dir: Path,
       scratch: Path,
       replaced: Set[String],
-      fresh: Seq[(String, Long)]): Unit = {
-    ShardBloom.readIfExists(fs, dir).foreach { b =>
+      fresh: Seq[(String, Long)],
+      tableBloom: Option[ShardBloom.Bloom]): Unit = {
+    tableBloom.foreach { b =>
       val freshNames = fresh.map(_._1).toSet
       val scratchFilters = ShardBloom.readIfExists(fs, scratch)
         .map(_.filters.view.filterKeys(freshNames.contains).toMap)
@@ -161,18 +163,25 @@ object ShardDelete {
     require(fs.exists(mfPath),
       s"no ${ShardManifest.FileName} under $path — nothing committed there")
     val old = ShardManifest.read(fs, mfPath)
-    ShardSchema.requireCovers(fs, dir, schema, "deleteByKey")
+    // ONE read per sidecar per operation (each readIfExists is a
+    // metadata round trip on an object store), threaded to every
+    // consumer below
+    val tableSchema = ShardSchema.readIfExists(fs, dir)
+    val tableStats = ShardStats.readIfExists(fs, dir)
+    val tableBloom = ShardBloom.readIfExists(fs, dir)
+    ShardSchema.requireCovers(tableSchema, dir, schema, "deleteByKey")
     if (old.isEmpty) return 0L
 
     val keyDf = keys.select(keys.columns.head).distinct()
       .withColumnRenamed(keys.columns.head, "__k")
     // manifest-level prune FIRST: shards whose stats range cannot hold
     // any key are never read (zero data I/O for them)
-    val candidates = ShardPrune.candidateShards(spark, fs, dir,
+    val candidates = ShardPrune.candidateShards(spark, tableStats, tableBloom,
       schema(keyCol).dataType, keyCol, keyDf, old.map(_._1))
     if (candidates.isEmpty) return 0L
     val files = candidates.map(n => new Path(dir, n).toString)
-    val tagged = ShardPayload.read(spark, schema, ShardPayload.of(fs, dir), files)
+    val fmtD = tableSchema.map(_.format).getOrElse(ShardPayload.Jsonl)
+    val tagged = ShardPayload.read(spark, schema, fmtD, files)
       .withColumn("__shard", element_at(split(input_file_name(), "/"), -1))
 
     // ONE pass over the CANDIDATES finds the hit shards and their
@@ -184,9 +193,8 @@ object ShardDelete {
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
     if (hitCounts.isEmpty) return 0L
     val deleted = hitCounts.values.sum
-    val statsCol = ShardStats.readIfExists(fs, dir).map(_.column)
-    val bloomMeta = ShardBloom.readIfExists(fs, dir).map(b => (b.column, b.mBits))
-    val fmt = ShardPayload.of(fs, dir)
+    val statsCol = tableStats.map(_.column)
+    val bloomMeta = tableBloom.map(b => (b.column, b.mBits))
 
     // (1) rewrite ONLY the hit shards' survivors, invisible scratch
     val scratch = new Path(dir, s"_delete-${UUID.randomUUID().toString.take(8)}")
@@ -194,7 +202,7 @@ object ShardDelete {
       tagged.filter(col("__shard").isin(hitCounts.keys.toSeq: _*))
         .join(keyDf, tagged(keyCol) === col("__k"), "left_anti")
         .drop("__shard"),
-      scratch, statsCol, bloomMeta, fmt)
+      scratch, statsCol, bloomMeta, fmtD)
     val fresh = ShardManifest.read(fs, new Path(scratch, ShardManifest.FileName))
       .filter(_._2 > 0L) // fully-deleted partitions leave empty shards behind
 
@@ -210,8 +218,8 @@ object ShardDelete {
     val kept = old.filterNot { case (name, _) => hitCounts.contains(name) }
     ShardManifest.writeAtomic(
       spark.sessionState.newHadoopConf(), fs, mfPath, kept ++ fresh)
-    mergeStats(spark, fs, dir, scratch, hitCounts.keySet, fresh)
-    mergeBloom(spark, fs, dir, scratch, hitCounts.keySet, fresh)
+    mergeStats(spark, fs, dir, scratch, hitCounts.keySet, fresh, tableStats)
+    mergeBloom(spark, fs, dir, scratch, hitCounts.keySet, fresh, tableBloom)
 
     // (4) replaced shards are orphans now — best-effort cleanup, except
     // shards a live snapshot pins (the [[ShardSnapshot]] time-travel
@@ -269,7 +277,10 @@ object ShardDelete {
     require(fs.exists(mfPath),
       s"no ${ShardManifest.FileName} under $path — nothing committed there")
     val old = ShardManifest.read(fs, mfPath)
-    ShardSchema.requireCovers(fs, dir, schema, "upsertByKey")
+    val tableSchema = ShardSchema.readIfExists(fs, dir)
+    val tableStats = ShardStats.readIfExists(fs, dir)
+    val tableBloom = ShardBloom.readIfExists(fs, dir)
+    ShardSchema.requireCovers(tableSchema, dir, schema, "upsertByKey")
 
     // updates feed four consumers (uniqueness gate, count, hit scan,
     // write) — scope-cached so the caller's plan runs once
@@ -287,11 +298,12 @@ object ShardDelete {
     // (shard, key) hit set — bounded by the update list × historical
     // copies, so caching it is model-state sized; both the per-shard
     // counts and the matched-key count read it
-    val candidates = ShardPrune.candidateShards(spark, fs, dir,
+    val candidates = ShardPrune.candidateShards(spark, tableStats, tableBloom,
       schema(keyCol).dataType, keyCol, keyDf, old.map(_._1))
     val files = candidates.map(n => new Path(dir, n).toString)
+    val fmtU = tableSchema.map(_.format).getOrElse(ShardPayload.Jsonl)
     val tagged = if (files.isEmpty) null
-      else ShardPayload.read(spark, schema, ShardPayload.of(fs, dir), files)
+      else ShardPayload.read(spark, schema, fmtU, files)
         .withColumn("__shard", element_at(split(input_file_name(), "/"), -1))
     val hits = if (files.isEmpty) null
       else graft.CacheScope.scoped(
@@ -303,9 +315,8 @@ object ShardDelete {
     val replaced = hitCounts.values.sum
     val matchedKeys = if (hits == null) 0L
       else hits.select(col("__key")).distinct().count()
-    val statsCol = ShardStats.readIfExists(fs, dir).map(_.column)
-    val bloomMeta = ShardBloom.readIfExists(fs, dir).map(b => (b.column, b.mBits))
-    val fmt = ShardPayload.of(fs, dir)
+    val statsCol = tableStats.map(_.column)
+    val bloomMeta = tableBloom.map(b => (b.column, b.mBits))
 
     // (1) survivors of the hit shards + ALL update rows, rewritten
     // through the sink's own two-phase commit into invisible scratch
@@ -316,8 +327,8 @@ object ShardDelete {
         tagged.filter(col("__shard").isin(hitCounts.keys.toSeq: _*))
           .join(keyDf, tagged(keyCol) === col("__k"), "left_anti")
           .drop("__shard"),
-        scratch, statsCol, bloomMeta, fmt)
-    writeScratch(up, scratch, statsCol, bloomMeta, fmt)
+        scratch, statsCol, bloomMeta, fmtU)
+    writeScratch(up, scratch, statsCol, bloomMeta, fmtU)
     val fresh = ShardManifest.read(fs, new Path(scratch, ShardManifest.FileName))
       .filter(_._2 > 0L)
 
@@ -333,8 +344,8 @@ object ShardDelete {
     val kept = old.filterNot { case (name, _) => hitCounts.contains(name) }
     ShardManifest.writeAtomic(
       spark.sessionState.newHadoopConf(), fs, mfPath, kept ++ fresh)
-    mergeStats(spark, fs, dir, scratch, hitCounts.keySet, fresh)
-    mergeBloom(spark, fs, dir, scratch, hitCounts.keySet, fresh)
+    mergeStats(spark, fs, dir, scratch, hitCounts.keySet, fresh, tableStats)
+    mergeBloom(spark, fs, dir, scratch, hitCounts.keySet, fresh, tableBloom)
 
     // (4) replaced shards are orphans now — best-effort cleanup, except
     // snapshot-pinned shards (see [[ShardSnapshot]])

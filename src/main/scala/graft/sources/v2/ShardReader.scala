@@ -99,8 +99,23 @@ object ShardReader {
       s"keys must be a one-column frame, got ${keys.columns.mkString(",")}")
     val dir = new Path(path)
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
-    val keyDf = keys.select(keys.columns.head).distinct()
+    val rawKeys = keys.select(keys.columns.head).distinct()
       .withColumnRenamed(keys.columns.head, "__k")
+    // size check FIRST, so a small key set is evaluated exactly ONCE:
+    // the collected literals feed the stats prune, the bloom prune AND
+    // the final filter as a local frame — the caller's (possibly
+    // expensive) key pipeline is never re-run per consumer. The collect
+    // is bounded by the constant, never the data; a large key set keeps
+    // the original frame and the join path (never collected).
+    val few =
+      if (maxPushKeys <= 0) null
+      else rawKeys.limit(maxPushKeys + 1).collect()
+    val small = few != null && few.length <= maxPushKeys
+    val keyDf =
+      if (small)
+        spark.createDataFrame(
+          java.util.Arrays.asList(few: _*), rawKeys.schema)
+      else rawKeys
     val names = manifestEntries(spark, path).map(_._1)
     val candidates = ShardPrune.candidateShards(spark, fs, dir,
       schema(keyCol).dataType, keyCol, keyDf, names)
@@ -110,10 +125,7 @@ object ShardReader {
     else {
       val files = candidates.map(n => new Path(dir, n).toString)
       val df = ShardPayload.read(spark, schema, ShardPayload.of(fs, dir), files)
-      val few =
-        if (maxPushKeys <= 0) null
-        else keyDf.limit(maxPushKeys + 1).collect() // bounded by the constant
-      if (few != null && few.length <= maxPushKeys) {
+      if (small) {
         val lits = few.map(_.get(0)).filter(_ != null) // null never equals
         if (lits.isEmpty)
           spark.createDataFrame(

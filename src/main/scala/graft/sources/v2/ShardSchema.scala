@@ -142,7 +142,13 @@ private[graft] object ShardSchema {
     * tables; pre-schema tables are unguarded (nothing to cover). */
   def requireCovers(
       fs: FileSystem, dir: Path, caller: StructType, op: String): Unit =
-    readIfExists(fs, dir).foreach { ts =>
+    requireCovers(readIfExists(fs, dir), dir, caller, op)
+
+  /** Pre-parsed form — mutators read `_SCHEMA` once per operation. */
+  def requireCovers(
+      schema: Option[TableSchema], dir: Path, caller: StructType,
+      op: String): Unit =
+    schema.foreach { ts =>
       val have = caller.fields.map(f => (f.name, tagOf(f.dataType))).toMap
       ts.fields.foreach { case (n, t) =>
         require(have.get(n).contains(t),

@@ -138,11 +138,14 @@ private[v2] class ShardTable(schema: StructType, props: Map[String, String])
     val retryMs = Option(info.options.get(ShardSink.RetryOptionKey))
       .map(_.toLong).getOrElse(ShardSink.DefaultCommitRetryMs)
     require(retryMs >= 0, s"${ShardSink.RetryOptionKey} must be >= 0: $retryMs")
-    // payload format (jsonl default, parquet for columnar tables) — a
-    // TABLE-LEVEL property pinned in `_SCHEMA`; see [[ShardPayload]]
-    val fmt = ShardPayload.validate(
-      Option(info.options.get(ShardPayload.OptionKey))
-        .getOrElse(ShardPayload.Jsonl))
+    // payload format — a TABLE-LEVEL property pinned in `_SCHEMA`; see
+    // [[ShardPayload]]. Resolved below: an EXPLICIT option must match an
+    // existing pin; an absent option ADOPTS the pin (the natural append
+    // call on a parquet table carries no option — defaulting it to jsonl
+    // and then refusing the "switch" would reject every such append),
+    // falling back to jsonl only on a fresh table.
+    val explicitFmt = Option(info.options.get(ShardPayload.OptionKey))
+      .map(ShardPayload.validate)
     // Capture the SESSION's Hadoop configuration at write-build time (we
     // are on the driver here) — a bare `new Configuration()` would drop
     // any configured filesystem settings (s3a/abfs credentials,
@@ -153,15 +156,16 @@ private[v2] class ShardTable(schema: StructType, props: Map[String, String])
     // best-effort EARLY schema-evolution check (plan time, before any
     // task runs): a type-changing append fails here with a clean error;
     // the authoritative re-check runs inside the locked commit
-    locally {
+    val fmt = locally {
       val dir = new Path(path)
       val fs = dir.getFileSystem(hadoopConf.value)
-      ShardSchema.readIfExists(fs, dir).foreach { prior =>
-        ShardSchema.validateAndMerge(prior, info.schema(), path)
-        require(prior.format == fmt,
-          s"table at $path stores ${prior.format} shards; an append " +
-            s"cannot switch it to $fmt — the payload format is a " +
-            "table-level property (rewrite the table to change it)")
+      val prior = ShardSchema.readIfExists(fs, dir)
+      prior.foreach { p =>
+        ShardSchema.validateAndMerge(p, info.schema(), path)
+        explicitFmt.foreach(f => require(p.format == f,
+          s"table at $path stores ${p.format} shards; an append " +
+            s"cannot switch it to $f — the payload format is a " +
+            "table-level property (rewrite the table to change it)"))
       }
       // same best-effort early check for the stats-column table property:
       // a mismatched statsColumn append should die here with a clean
@@ -184,6 +188,7 @@ private[v2] class ShardTable(schema: StructType, props: Map[String, String])
               "geometry are table-level properties")
         }
       }
+      explicitFmt.orElse(prior.map(_.format)).getOrElse(ShardPayload.Jsonl)
     }
     new WriteBuilder {
       override def build(): Write = new Write {

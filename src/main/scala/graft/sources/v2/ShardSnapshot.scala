@@ -262,14 +262,20 @@ object ShardSnapshot {
     require(schema.fieldNames.contains(keyCol),
       s"key column '$keyCol' not in table schema ${schema.fieldNames.mkString(",")}")
     val a = keyedDigest(read(spark, path, schema, vOld), schema, keyCol, "__da")
+      .withColumnRenamed("__k", "__ka")
     val b = keyedDigest(read(spark, path, schema, vNew), schema, keyCol, "__db")
-    a.join(b, Seq("__k"), "full_outer")
+      .withColumnRenamed("__k", "__kb")
+    // NULL-SAFE join: null-key rows form ONE group per side (keyedDigest
+    // groups them), and an equi-join would never match the two — the
+    // null group would surface as a spurious removed + added pair even
+    // when its content is identical
+    a.join(b, col("__ka") <=> col("__kb"), "full_outer")
       .withColumn("change",
         when(col("__da").isNull, lit("added"))
           .when(col("__db").isNull, lit("removed"))
           .when(col("__da") =!= col("__db"), lit("changed")))
       .filter(col("change").isNotNull)
-      .select(col("__k").as(keyCol), col("change"))
+      .select(coalesce(col("__ka"), col("__kb")).as(keyCol), col("change"))
   }
 
   /**
@@ -296,18 +302,25 @@ object ShardSnapshot {
     val old = read(spark, path, schema, vSince)
     val cur = ShardReader.read(spark, path, schema)
     val a = keyedDigest(old, schema, keyCol, "__da")
+      .withColumnRenamed("__k", "__ka")
     val b = keyedDigest(cur, schema, keyCol, "__db")
-    val changes = a.join(b, Seq("__k"), "full_outer")
+      .withColumnRenamed("__k", "__kb")
+    // NULL-SAFE joins throughout ([[diffByKey]]'s rationale): null-key
+    // rows are one group — classified added/changed/removed like any
+    // other, their live rows delivered below. (APPLYING a null-key
+    // tombstone needs a null-aware consumer: keyed equality deletes
+    // cannot match null — the feed is honest, the consumer must be too.)
+    val changes = a.join(b, col("__ka") <=> col("__kb"), "full_outer")
       .withColumn("change",
         when(col("__da").isNull, lit("added"))
           .when(col("__db").isNull, lit("removed"))
           .when(col("__da") =!= col("__db"), lit("changed")))
       .filter(col("change").isNotNull)
-      .select(col("__k"), col("change"))
-    // added/changed: the CURRENT rows of the changed keys (inner join on
-    // the key — change-set-sized); removed: one null-filled tombstone
+      .select(coalesce(col("__ka"), col("__kb")).as("__k"), col("change"))
+    // added/changed: the CURRENT rows of the changed keys (null-safe
+    // key join — change-set-sized); removed: one null-filled tombstone
     val live = cur.join(changes.filter(col("change") =!= "removed"),
-        cur(keyCol) === col("__k"))
+        cur(keyCol) <=> col("__k"))
       .select(schema.fieldNames.map(cur(_)) :+ col("change"): _*)
     val tombstones = changes.filter(col("change") === "removed")
       .select(schema.fields.map { f =>

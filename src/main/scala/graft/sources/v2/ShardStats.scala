@@ -148,8 +148,21 @@ private[graft] object ShardStats {
       keyType: DataType,
       keyCol: String,
       keys: DataFrame, // one column named __k
+      manifested: Seq[String]): Seq[String] =
+    candidateShards(spark, readIfExists(fs, dir), keyType, keyCol, keys,
+      manifested)
+
+  /** Same prune over PRE-PARSED stats — mutators that already read the
+    * sidecar (one read per operation, not one per consumer: each
+    * readIfExists is a metadata round trip on an object store). */
+  def candidateShards(
+      spark: SparkSession,
+      stats: Option[Stats],
+      keyType: DataType,
+      keyCol: String,
+      keys: DataFrame,
       manifested: Seq[String]): Seq[String] = {
-    val usable = readIfExists(fs, dir)
+    val usable = stats
       .filter(s => s.column == keyCol && dtypeTag(keyType).contains(s.dtype))
     usable match {
       case None => manifested

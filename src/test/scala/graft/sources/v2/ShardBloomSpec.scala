@@ -160,6 +160,28 @@ class ShardBloomSpec extends SparkSpec {
     assert(ShardReader.readEvolved(spark, dir2).count() == 499L)
   }
 
+  test("keys that collapse under the cast cannot fail a true hit shard (distinct AFTER cast)") {
+    // long-keyed bloom table, STRING key frame with "5" and "05": both
+    // cast to 5L — before the fix the duplicate doubled __got past
+    // __need and the true hit shard was silently pruned (missed rows)
+    val dir = java.nio.file.Files.createTempDirectory("graft-bloom-cast").toString
+    val longSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    (0 until 3).foreach { s =>
+      (s * 10 until (s + 1) * 10).map(i => (i.toLong, s"doc $i"))
+        .toDF("doc_id", "text").coalesce(1)
+        .write.format("graft.sources.v2.ShardSink")
+        .option("path", dir).option("bloomColumn", "doc_id")
+        .option("bloomBits", "8192").mode("append").save()
+    }
+    val cands = ShardDelete.candidateShards(
+      spark, dir, longSchema, "doc_id", Seq("5", "05").toDF("k"))
+    assert(cands.size == 1, s"collapsed-duplicate keys broke the hit: $cands")
+    assert(ShardDelete.deleteByKey(
+      spark, dir, longSchema, "doc_id", Seq("5", "05").toDF("k")) == 1L)
+    assert(ShardReader.readEvolved(spark, dir).count() == 29L)
+  }
+
   test("all-null keys serialize as `-` and are always pruned") {
     val dir = java.nio.file.Files.createTempDirectory("graft-bloom-null").toString
     Seq((null.asInstanceOf[String], "n1"), (null.asInstanceOf[String], "n2"))

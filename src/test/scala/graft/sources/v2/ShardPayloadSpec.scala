@@ -67,6 +67,16 @@ class ShardPayloadSpec extends SparkSpec {
     intercept[IllegalArgumentException] { append(dir2, Seq((2L, "b")), "parquet") }
     // a bogus format name is refused outright
     intercept[IllegalArgumentException] { append(dir2, Seq((3L, "c")), "orc") }
+    // an append WITHOUT the option ADOPTS the table's pin (the natural
+    // call — defaulting it to jsonl and refusing would reject every
+    // plain append on a parquet table)
+    Seq((2L, "adopted")).toDF("doc_id", "text").coalesce(1)
+      .write.format("graft.sources.v2.ShardSink")
+      .option("path", dir).mode("append").save()
+    assert(ShardReader.readEvolved(spark, dir).count() == 2L)
+    val names2 = scala.io.Source.fromFile(s"$dir/_MANIFEST").getLines()
+      .filter(_.nonEmpty).map(_.split("\t")(0)).toSeq
+    assert(names2.forall(_.endsWith(".parquet")), names2)
   }
 
   test("maintenance suite over a parquet table: delete, upsert, compact, snapshot, readByKey, vacuum") {

@@ -384,6 +384,30 @@ class ShardStatsSpec extends SparkSpec {
     graft.CacheScope.releaseAll()
   }
 
+  test("readChangesSince is null-safe: a null-key group classifies once, its live rows are delivered") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdc-null").toString
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    def appendRows(rows: Seq[(java.lang.Long, String)]): Unit =
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.format("graft.sources.v2.ShardSink")
+        .option("path", dir).mode("append").save()
+    appendRows(Seq((1L, "a"), (null, "n1")))
+    val v1 = ShardSnapshot.create(spark, dir)
+    // identical null-key content -> NO change row at all (an equi-join
+    // would fabricate a removed + added pair for the null group)
+    assert(ShardSnapshot.readChangesSince(
+      spark, dir, schema, "doc_id", v1).count() == 0L)
+    // new null-key rows: ONE changed group, BOTH live copies delivered
+    appendRows(Seq((null, "n2")))
+    val feed = ShardSnapshot.readChangesSince(
+      spark, dir, schema, "doc_id", v1).collect()
+    assert(feed.length == 2, feed.mkString(","))
+    assert(feed.forall(r => r.isNullAt(0) && r.getString(2) == "changed"))
+    assert(feed.map(_.getString(1)).toSet == Set("n1", "n2"))
+    graft.CacheScope.releaseAll()
+  }
+
   test("heartbeat is token-checked: a takeover is never life-extended by its victim; release reports the overlap") {
     val dir = java.nio.file.Files.createTempDirectory("graft-lock-takeover").toString
     val lockFile = new java.io.File(dir, ShardLock.FileName)
