@@ -268,6 +268,63 @@ private[graft] object ShardBloom {
     candidateShards(spark, readIfExists(fs, dir), keyType, keyCol, keys,
       manifested)
 
+  /** Absolute driver budget for the relational prune's exploded set-bit
+    * rows (≈ tens of MB of (name, pos) pairs): the saturation cutoff
+    * bounds per-shard DENSITY, not total VOLUME — at 2^26-bit filters ×
+    * tens of thousands of shards the explode would be driver-memory
+    * bound. Shards past the budget stay scan candidates (the safe
+    * direction); the never-collected large key sets that reach this
+    * path still get a partial prune from the shards within budget. */
+  private[v2] val MaxExplodedSetBits = 1 << 22
+
+  /**
+   * Driver-local bloom probe for an ALREADY-BOUNDED key set — the prune
+   * [[graft.sources.v2.ShardReader.readByKey]]'s small-key path uses:
+   * the keys were collected under the `maxPushKeys` bound, so each is
+   * hashed with the writer's own [[hash1]]/[[positions]] code (one
+   * implementation, zero drift by construction) and tested against the
+   * parsed filter bytes directly — O(#shards × keys × k) bit tests,
+   * ZERO Spark jobs, zero per-set-bit row materialization (the
+   * relational path's explode is O(#shards × mBits) driver work that a
+   * 128-key lookup never needs). `keyVals` are EXTERNAL values already
+   * cast to `keyType` (strings as [[String]] — converted to UTF8String
+   * here); nulls must be pre-filtered (null never equals). Same hint
+   * contract: unusable sidecar → `manifested` unchanged; no entry →
+   * candidate; `-` (all-null-key shard) → pruned; saturation needs no
+   * special case (probing a dense filter is O(k) and simply answers
+   * "maybe").
+   */
+  def candidateShardsLocal(
+      bloom: Option[Bloom],
+      keyType: DataType,
+      keyCol: String,
+      keyVals: Seq[Any],
+      manifested: Seq[String]): Seq[String] = {
+    val usable = bloom.filter(b =>
+      b.column == keyCol && tagFor(keyType).contains(b.tag) &&
+        b.kHashes == KHashes)
+    usable match {
+      case None => manifested
+      case Some(b) =>
+        val keyPos: Seq[Array[Int]] = keyVals.map { v =>
+          val internal: Any = keyType match {
+            case StringType =>
+              org.apache.spark.unsafe.types.UTF8String.fromString(v.toString)
+            case _ => v
+          }
+          positions(hash1(internal, keyType), b.mBits)
+        }
+        manifested.filter { n =>
+          b.filters.get(n) match {
+            case None => true        // no sidecar entry: always a candidate
+            case Some(None) => false // all-null-key shard: never a hit
+            case Some(Some(bytes)) =>
+              keyPos.exists(ps => ps.forall(p => getBit(bytes, p)))
+          }
+        }
+    }
+  }
+
   /** Same prune over a PRE-PARSED sidecar (see [[ShardStats]]'s twin). */
   def candidateShards(
       spark: SparkSession,
@@ -289,14 +346,26 @@ private[graft] object ShardBloom {
         // undersized bloom must degrade to "this shard is a candidate",
         // never to driver-memory blowup. Density is one popcount pass
         // over the already-parsed bytes.
-        def density(bytes: Array[Byte]): Double =
-          bytes.iterator.map(x => java.lang.Integer.bitCount(x & 0xff)).sum
-            .toDouble / b.mBits
-        val (usableF, saturated) = withBloom
-          .map(n => (n, b.filters(n)))
-          .partition { case (_, f) => f.forall(density(_) <= 0.5) }
-        val without = without0 ++ saturated.map(_._1)
-        val present = usableF.flatMap { case (n, f) => f.map((n, _)) }
+        val scored = withBloom.map { n =>
+          val f = b.filters(n)
+          val pop = f.fold(0)(bytes =>
+            bytes.iterator.map(x => java.lang.Integer.bitCount(x & 0xff)).sum)
+          (n, f, pop)
+        }
+        val (unsat, saturated) = scored.partition { case (_, f, pop) =>
+          f.forall(_ => pop.toDouble / b.mBits <= 0.5) }
+        // ABSOLUTE volume budget on top of the density cutoff: explode
+        // shards first-come until [[MaxExplodedSetBits]] total set bits,
+        // the rest stay candidates — the prune degrades partially, the
+        // driver heap never scales with #shards × mBits
+        var budget = MaxExplodedSetBits
+        val (usableF, overBudget) = unsat.partition { case (_, f, pop) =>
+          if (f.isEmpty) true // all-null shard: zero rows, prunes below
+          else if (pop <= budget) { budget -= pop; true }
+          else false
+        }
+        val without = without0 ++ saturated.map(_._1) ++ overBudget.map(_._1)
+        val present = usableF.flatMap { case (n, f, _) => f.map((n, _)) }
         if (present.isEmpty) without
         else {
           import spark.implicits._
@@ -372,6 +441,23 @@ private[graft] object ShardPrune {
       spark, stats, keyType, keyCol, keys, manifested)
     ShardBloom.candidateShards(
       spark, bloom, keyType, keyCol, keys, ranged)
+  }
+
+  /** Driver-local twin for an ALREADY-BOUNDED, already-cast key set:
+    * both prunes probe the parsed sidecars directly — ZERO Spark jobs
+    * for the whole prune (see [[ShardStats.candidateShardsLocal]] /
+    * [[ShardBloom.candidateShardsLocal]]). */
+  def candidateShardsLocal(
+      fs: FileSystem,
+      dir: Path,
+      keyType: DataType,
+      keyCol: String,
+      keyVals: Seq[Any],
+      manifested: Seq[String]): Seq[String] = {
+    val ranged = ShardStats.candidateShardsLocal(
+      ShardStats.readIfExists(fs, dir), keyType, keyCol, keyVals, manifested)
+    ShardBloom.candidateShardsLocal(
+      ShardBloom.readIfExists(fs, dir), keyType, keyCol, keyVals, ranged)
   }
 }
 

@@ -159,7 +159,14 @@ private[graft] object ShardPayload {
           consumer.startField(f.name, i)
           f.dataType match {
             case StringType => consumer.addBinary(
-              Binary.fromConstantByteArray(row.getUTF8String(i).getBytes))
+              // fromREUSEDByteArray: getBytes is zero-copy when the
+              // UTF8String exactly owns its backing array, and the
+              // ParquetWriter retains the Binary until page flush — a
+              // "constant" wrapper over a caller-owned buffer would
+              // corrupt the page if a producer ever hands over reused
+              // non-Unsafe rows. The reused marker makes parquet copy
+              // on retention; safe for every row source.
+              Binary.fromReusedByteArray(row.getUTF8String(i).getBytes))
             case LongType => consumer.addLong(row.getLong(i))
             case IntegerType => consumer.addInteger(row.getInt(i))
             case ShortType => consumer.addInteger(row.getShort(i).toInt)

@@ -85,7 +85,15 @@ object ShardReader {
     * (`PushedFilters: [In(key, ...)]`): on a parquet-format table the
     * row groups whose column stats exclude every key are skipped
     * without decoding — the in-shard prune on top of the shard-level
-    * one. Larger key sets keep the join (never collected). */
+    * one. The collected keys also probe the `_STATS`/`_BLOOM` sidecars
+    * DRIVER-LOCALLY ([[ShardPrune.candidateShardsLocal]]) — the whole
+    * shard-level prune costs zero Spark jobs and never materializes a
+    * per-set-bit row. Larger key sets keep the join path (never
+    * collected) with the caller's key pipeline SCOPE-CACHED
+    * ([[graft.CacheScope]]) so its three consumers — stats prune, bloom
+    * prune, final semi-join — evaluate it once, not three times; pass
+    * `maxPushKeys = 0` to skip the size probe entirely when the key
+    * pipeline is known-expensive and known-large. */
   def readByKey(
       spark: SparkSession,
       path: String,
@@ -99,39 +107,47 @@ object ShardReader {
       s"keys must be a one-column frame, got ${keys.columns.mkString(",")}")
     val dir = new Path(path)
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val keyType = schema(keyCol).dataType
     val rawKeys = keys.select(keys.columns.head).distinct()
       .withColumnRenamed(keys.columns.head, "__k")
     // size check FIRST, so a small key set is evaluated exactly ONCE:
-    // the collected literals feed the stats prune, the bloom prune AND
-    // the final filter as a local frame — the caller's (possibly
-    // expensive) key pipeline is never re-run per consumer. The collect
-    // is bounded by the constant, never the data; a large key set keeps
-    // the original frame and the join path (never collected).
+    // one bounded collect yields (original, cast-to-table-type) pairs —
+    // the original literals keep the final filter's semantics identical
+    // to the join path's equality, the cast values feed the LOCAL
+    // sidecar probes (which hash/compare in the table key type, the
+    // r17 cast-collapse discipline). The collect is bounded by the
+    // constant, never the data.
     val few =
       if (maxPushKeys <= 0) null
-      else rawKeys.limit(maxPushKeys + 1).collect()
-    val small = few != null && few.length <= maxPushKeys
-    val keyDf =
-      if (small)
-        spark.createDataFrame(
-          java.util.Arrays.asList(few: _*), rawKeys.schema)
       else rawKeys
+        .select(org.apache.spark.sql.functions.col("__k"),
+          org.apache.spark.sql.functions.col("__k").cast(keyType).as("__kc"))
+        .limit(maxPushKeys + 1).collect()
+    val small = few != null && few.length <= maxPushKeys
     val names = manifestEntries(spark, path).map(_._1)
-    val candidates = ShardPrune.candidateShards(spark, fs, dir,
-      schema(keyCol).dataType, keyCol, keyDf, names)
-    if (candidates.isEmpty)
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else {
-      val files = candidates.map(n => new Path(dir, n).toString)
-      val df = ShardPayload.read(spark, schema, ShardPayload.of(fs, dir), files)
-      if (small) {
-        val lits = few.map(_.get(0)).filter(_ != null) // null never equals
-        if (lits.isEmpty)
-          spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-        else df.filter(df(keyCol).isin(lits.toSeq: _*))
-      } else {
+    if (small) {
+      val castVals = few.map(_.get(1)).filter(_ != null).distinct.toSeq
+      val candidates = ShardPrune.candidateShardsLocal(
+        fs, dir, keyType, keyCol, castVals, names)
+      val lits = few.map(_.get(0)).filter(_ != null) // null never equals
+      if (candidates.isEmpty || lits.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else {
+        val files = candidates.map(n => new Path(dir, n).toString)
+        val df = ShardPayload.read(spark, schema, ShardPayload.of(fs, dir), files)
+        df.filter(df(keyCol).isin(lits.toSeq: _*))
+      }
+    } else {
+      val keyDf = graft.CacheScope.scoped(rawKeys)
+      val candidates = ShardPrune.candidateShards(spark, fs, dir,
+        keyType, keyCol, keyDf, names)
+      if (candidates.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else {
+        val files = candidates.map(n => new Path(dir, n).toString)
+        val df = ShardPayload.read(spark, schema, ShardPayload.of(fs, dir), files)
         df.join(keyDf, df(keyCol) === org.apache.spark.sql.functions.col("__k"),
           "left_semi")
       }

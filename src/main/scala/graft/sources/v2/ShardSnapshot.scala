@@ -290,17 +290,71 @@ object ShardSnapshot {
    * change-set-sized, never table-sized, and costs one keyed-digest
    * exchange per side ([[diffByKey]]'s shape) plus one semi-join of the
    * current table against the changed-key set.
+   *
+   * Consistency under concurrency: the CURRENT side's file list is
+   * PINNED at call time (one eager manifest read; both the digest scan
+   * and the live-row scan read that exact list, and shard files are
+   * immutable once published), so the feed is always self-consistent —
+   * a key can never be classified against one table state and have its
+   * rows delivered from another. A concurrent copy-on-write mutation
+   * can still physically DELETE a listed file between the call and the
+   * scans; that fails the read LOUD (missing input file), never
+   * silently inconsistent. A consumer that must be robust to concurrent
+   * mutators should snapshot first and diff two snapshots
+   * ([[readChanges]]) — those file lists are pin-protected from
+   * reclaim.
    */
   def readChangesSince(
       spark: SparkSession,
       path: String,
       schema: StructType,
       keyCol: String,
-      vSince: Int): DataFrame = {
+      vSince: Int): DataFrame =
+    changesBetween(spark, path, schema, keyCol,
+      read(spark, path, schema, vSince),
+      ShardReader.read(spark, path, schema))
+
+  /**
+   * VERSION-WINDOWED change feed — the `table_changes(v1, v2)` shape a
+   * backfilling consumer wants: every row to (re)process to move a
+   * downstream copy from snapshot `vFrom` to snapshot `vTo`, with the
+   * same (full row, `change`) delivery contract as
+   * [[readChangesSince]]. Feeds over consecutive windows COMPOSE:
+   * applying the v1→v2 feed then the v2→v3 feed reconstructs exactly
+   * the v1→v3 state (each feed's `added`/`changed` rows are the vTo
+   * view's own rows), and windows are DISJOINT — a key that changed in
+   * (v1,v2] and was untouched in (v2,v3] appears only in the first
+   * feed. Both sides read snapshot-pinned file lists, so the windowed
+   * form is fully isolated from concurrent mutators (the pins protect
+   * every listed shard from reclaim). `vFrom` older than `vTo` is the
+   * forward feed; reversed arguments produce the UNDO feed (what to
+   * reapply to roll a copy back), which is occasionally exactly what an
+   * operator wants and costs nothing to allow.
+   */
+  def readChanges(
+      spark: SparkSession,
+      path: String,
+      schema: StructType,
+      keyCol: String,
+      vFrom: Int,
+      vTo: Int): DataFrame =
+    changesBetween(spark, path, schema, keyCol,
+      read(spark, path, schema, vFrom),
+      read(spark, path, schema, vTo))
+
+  /** Shared diff-and-deliver kernel of [[readChangesSince]] /
+    * [[readChanges]]: classify per-key digests old→new, deliver the NEW
+    * side's rows for added/changed keys and null-filled tombstones for
+    * removed ones. */
+  private def changesBetween(
+      spark: SparkSession,
+      path: String,
+      schema: StructType,
+      keyCol: String,
+      old: DataFrame,
+      cur: DataFrame): DataFrame = {
     require(schema.fieldNames.contains(keyCol),
       s"key column '$keyCol' not in table schema ${schema.fieldNames.mkString(",")}")
-    val old = read(spark, path, schema, vSince)
-    val cur = ShardReader.read(spark, path, schema)
     val a = keyedDigest(old, schema, keyCol, "__da")
       .withColumnRenamed("__k", "__ka")
     val b = keyedDigest(cur, schema, keyCol, "__db")

@@ -152,6 +152,63 @@ private[graft] object ShardStats {
     candidateShards(spark, readIfExists(fs, dir), keyType, keyCol, keys,
       manifested)
 
+  /**
+   * Driver-local range probe for an ALREADY-BOUNDED key set — the
+   * [[ShardBloom.candidateShardsLocal]] twin for
+   * [[graft.sources.v2.ShardReader.readByKey]]'s small-key path: keys
+   * collected under the `maxPushKeys` bound are compared against the
+   * parsed ranges directly (O(#shards × keys), ZERO Spark jobs) with the
+   * SAME orderings the relational prune's Spark comparisons use — signed
+   * integral, IEEE-with-NaN-greatest ([[java.lang.Double.compare]], what
+   * Spark's ordering is), UTF8String binary — so the two paths cannot
+   * disagree on a hit. `keyVals` are EXTERNAL values already cast to
+   * `keyType`; nulls must be pre-filtered (null never equals). Same hint
+   * contract as the relational form in every degradation direction.
+   */
+  def candidateShardsLocal(
+      stats: Option[Stats],
+      keyType: DataType,
+      keyCol: String,
+      keyVals: Seq[Any],
+      manifested: Seq[String]): Seq[String] = {
+    val usable = stats
+      .filter(s => s.column == keyCol && dtypeTag(keyType).contains(s.dtype))
+    usable match {
+      case None => manifested
+      case Some(s) =>
+        val (withStats, without) = manifested.partition(s.ranges.contains)
+        val hits = withStats.filter { n =>
+          s.ranges(n) match {
+            case None => false // all-null-key shard: never an equality hit
+            case Some((mn, mx)) => s.dtype match {
+              case "long" =>
+                val lo = mn.toLong; val hi = mx.toLong
+                keyVals.exists { v =>
+                  val k = v.asInstanceOf[Number].longValue
+                  k >= lo && k <= hi
+                }
+              case "double" =>
+                val lo = mn.toDouble; val hi = mx.toDouble
+                keyVals.exists { v =>
+                  val k = v.asInstanceOf[Number].doubleValue
+                  java.lang.Double.compare(k, lo) >= 0 &&
+                    java.lang.Double.compare(k, hi) <= 0
+                }
+              case _ =>
+                val lo = org.apache.spark.unsafe.types.UTF8String.fromString(mn)
+                val hi = org.apache.spark.unsafe.types.UTF8String.fromString(mx)
+                keyVals.exists { v =>
+                  val k = org.apache.spark.unsafe.types.UTF8String
+                    .fromString(v.toString)
+                  k.compareTo(lo) >= 0 && k.compareTo(hi) <= 0
+                }
+            }
+          }
+        }
+        hits ++ without
+    }
+  }
+
   /** Same prune over PRE-PARSED stats — mutators that already read the
     * sidecar (one read per operation, not one per consumer: each
     * readIfExists is a metadata round trip on an object store). */

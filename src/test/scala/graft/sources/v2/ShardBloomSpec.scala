@@ -308,4 +308,118 @@ class ShardBloomSpec extends SparkSpec {
     assert(ShardDelete.candidateShards(
       spark, dir, both, "doc_id", Seq(9999L).toDF("k")).isEmpty)
   }
+
+  test("local probe == relational prune, and the local path runs ZERO Spark jobs") {
+    // string digests (bloom) AND long ids (stats + bloom): the two paths
+    // must agree shard-for-shard, and the local one must never submit a
+    // job — the r17 relational prune cost O(#shards × mBits) driver rows
+    // plus a Spark join for a 3-key lookup; the local probe is the fix
+    val dirS = java.nio.file.Files.createTempDirectory("graft-bloom-locS").toString
+    (0 until 8).foreach(s =>
+      append(dirS, (s * 50 until (s + 1) * 50).map(i => row(i.toLong))))
+    val (fsS, pS) = fsDir(dirS)
+    val namesS = scala.io.Source.fromFile(s"$dirS/_MANIFEST").getLines()
+      .filter(_.nonEmpty).map(_.split("\t")(0)).toSeq
+    val keysS = Seq(row(60L)._1, row(310L)._1,
+      org.apache.commons.codec.digest.DigestUtils.md5Hex("never-written"))
+    val rel = ShardPrune.candidateShards(spark, fsS, pS, StringType, "digest",
+      keysS.toDF("__k"), namesS)
+
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val loc = try {
+      val r = ShardPrune.candidateShardsLocal(
+        fsS, pS, StringType, "digest", keysS, namesS)
+      Thread.sleep(500) // listener bus is async; no-submission means no event
+      r
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(loc.toSet == rel.toSet, s"local=$loc relational=$rel")
+    assert(jobs.get() == 0, s"local probe submitted ${jobs.get()} Spark jobs")
+
+    // long keys through stats + bloom intersection — same agreement
+    val dirL = java.nio.file.Files.createTempDirectory("graft-bloom-locL").toString
+    def appendBoth(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.format("graft.sources.v2.ShardSink")
+        .option("path", dirL).option("statsColumn", "doc_id")
+        .option("bloomColumn", "doc_id").option("bloomBits", "8192")
+        .mode("append").save()
+    appendBoth((0L until 100L by 2).map(i => (i, s"even $i")))
+    appendBoth((1L until 100L by 2).map(i => (i, s"odd $i")))
+    appendBoth((1000L until 1050L).map(i => (i, s"far $i")))
+    val (fsL, pL) = fsDir(dirL)
+    val namesL = scala.io.Source.fromFile(s"$dirL/_MANIFEST").getLines()
+      .filter(_.nonEmpty).map(_.split("\t")(0)).toSeq
+    val keysL: Seq[Any] = Seq(42L, 9999L)
+    val relL = ShardPrune.candidateShards(spark, fsL, pL, LongType, "doc_id",
+      Seq(42L, 9999L).toDF("__k"), namesL)
+    val locL = ShardPrune.candidateShardsLocal(
+      fsL, pL, LongType, "doc_id", keysL, namesL)
+    assert(locL.toSet == relL.toSet && locL.size == 1)
+  }
+
+  test("relational explode is volume-capped: over-budget shards stay candidates, hits never lost") {
+    // Synthetic sidecar: shardA's filter is sparse and CONTAINS the key
+    // (must stay a hit); shardB is half-dense (passes the density
+    // cutoff) but its popcount exceeds what is left of the absolute
+    // set-bit budget — it must become a CANDIDATE, not be exploded into
+    // ~4M driver rows, and never be pruned; shardC is sparse without
+    // the key and fits the remaining budget — genuinely pruned.
+    val m = 1 << 23
+    val key = "capped-key"
+    val pos = ShardBloom.positions(ShardBloom.hash1(
+      org.apache.spark.unsafe.types.UTF8String.fromString(key), StringType), m)
+    val aBytes = new Array[Byte](m / 8)
+    pos.foreach(p => ShardBloom.setBit(aBytes, p))
+    val bBytes = Array.fill[Byte](m / 8)(0x33.toByte) // density exactly 0.5
+    pos.foreach { p => // clear the key's bits: B is provably not a hit
+      bBytes(p >>> 3) = (bBytes(p >>> 3) & ~(1 << (p & 7))).toByte
+    }
+    val cBytes = new Array[Byte](m / 8)
+    ShardBloom.setBit(cBytes, (pos(0) + 1) % m) // one stray bit, no key
+    val bloom = ShardBloom.Bloom("k", "string", m, ShardBloom.KHashes,
+      Map("A" -> Some(aBytes), "B" -> Some(bBytes), "C" -> Some(cBytes)))
+    // popcount(A)=4 fits; popcount(B)=2^22-4 > budget-4 → candidate;
+    // popcount(C)=1 fits the remainder → exploded and pruned
+    import spark.implicits._
+    val cands = ShardBloom.candidateShards(spark, Some(bloom), StringType,
+      "k", Seq(key).toDF("__k"), Seq("A", "B", "C"))
+    assert(cands.toSet == Set("A", "B"), s"got $cands")
+    // the local probe needs no cap at all and prunes B exactly
+    val local = ShardBloom.candidateShardsLocal(Some(bloom), StringType,
+      "k", Seq(key), Seq("A", "B", "C"))
+    assert(local == Seq("A"), s"got $local")
+  }
+
+  test("readByKey large-key path evaluates the caller's key pipeline exactly once") {
+    // maxPushKeys=0 forces the join path with stats AND bloom prunes
+    // live — three relational consumers of the key frame. Scope-caching
+    // must make the (possibly expensive) caller pipeline run once: the
+    // accumulator counts UDF invocations, one per key row.
+    val dir = java.nio.file.Files.createTempDirectory("graft-read-once").toString
+    (0 until 4).foreach { s =>
+      (s * 100L until (s + 1) * 100L).map(i => (i, s"text $i"))
+        .toDF("doc_id", "text").coalesce(1)
+        .write.format("graft.sources.v2.ShardSink")
+        .option("path", dir).option("statsColumn", "doc_id")
+        .option("bloomColumn", "doc_id").option("bloomBits", "8192")
+        .mode("append").save()
+    }
+    val tbl = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val acc = spark.sparkContext.longAccumulator("keyPipelineEvals")
+    val counted = udf((x: Long) => { acc.add(1L); x })
+    val keys = spark.range(0L, 200L).select(counted(col("id")).as("k"))
+    val out = ShardReader.readByKey(spark, dir, tbl, "doc_id", keys,
+      maxPushKeys = 0)
+    assert(out.count() == 200L)
+    assert(acc.value == 200L,
+      s"key pipeline ran ${acc.value / 200.0}× (want exactly 1×)")
+    graft.CacheScope.releaseAll()
+  }
 }
