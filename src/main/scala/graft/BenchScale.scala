@@ -242,6 +242,18 @@ object BenchScale {
     // per-shard data stage is flat; the sidecar-parse stage grows with
     // the shard count, which shard_metadata_plane measures separately)
     "shard_bloom_discovery" -> "stage",
+    // r18: the merge-on-read takedown lifecycle row (deferred delete →
+    // re-add append → materializing compaction → read-back; the compact
+    // stage is table-sized, hence composite)
+    "shard_delete_deferred" -> "composite",
+    // r18: the deferred takedown ITSELF, isolated — one segment write +
+    // one sidecar publish + a merge-on-read pruned lookup, zero shard
+    // rewrites. Cost is O(keys) data + O(#shards) sidecar scope lines
+    // (the metadata plane's own class, measured by shard_metadata_plane)
+    // — the probe shows a fixed takedown near-flat while the table and
+    // its shard count grow 10×, where the copy-on-write path pays a
+    // hit-shard rewrite that tracks shard SIZE
+    "shard_tombstone_delete" -> "stage",
     // r17: the metadata plane itself at x10 SHARD COUNT with CONSTANT
     // data (the r16 verdict's missing #3): one self-restoring 1-row
     // append+takedown (manifest/stats read-merge-write at N entries,
@@ -347,6 +359,56 @@ object BenchScale {
             tagged("ld") === col("__k"), "left_semi")
           .groupBy(col("__shard")).agg(count(lit(1)).as("n"))
       }
+    }),
+    // the merge-on-read takedown stage: a FIXED 5-key deferred delete +
+    // one pruned serve on a table whose size (and shard count) tracks
+    // the corpus — then the probe's tombstone state retires (metadata
+    // files only) so every sweep measures the same table. The timed
+    // work is one takedown-sized segment write, one sidecar publish
+    // under the lock, and a 2-key merge-on-read lookup; NO shard is
+    // read beyond the lookup's own 1-2 candidates, so the cost stays
+    // near-flat at 10× data (the sidecar's O(#shards) scope line is the
+    // only growing term — the metadata-plane class)
+    "shard_tombstone_delete" -> ((spark: SparkSession, dir: String) => {
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      val table = s"$dir/tomb_stage_table"
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("ld", StringType)))
+      val mf = new org.apache.hadoop.fs.Path(table, "_MANIFEST")
+      val fs = mf.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.exists(mf)) {
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), md5(col("text")).as("ld"))
+        val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+        val nShards = math.max(4, (maxId / 1000L).toInt + 1)
+        docs.repartitionByRange(nShards, col("doc_id"))
+          .write.format("graft.sources.v2.ShardSink")
+          .option("path", table).option("statsColumn", "doc_id")
+          .mode("append").save()
+      }
+      import spark.implicits._
+      // the timed stage: metadata-sized deferred takedown of 5 fixed
+      // keys (low ids — present at every fixture SF and both scales)
+      val keys = spark.range(5).select((col("id") * 100L + 1L).as("doc_id"))
+      val n = graft.sources.v2.ShardDelete.deleteByKeyDeferred(
+        spark, table, schema, "doc_id", keys)
+      require(n == 5L, s"deferred takedown recorded $n of 5 keys")
+      // merge-on-read serve: one deleted + one kept key, pruned lookup
+      // (collected EAGERLY — the cleanup below unlinks the segment the
+      // lazy plan would otherwise read at evaluation time)
+      val served = graft.sources.v2.ShardReader.readByKey(
+        spark, table, schema, "doc_id", Seq(101L, 102L).toDF("k"))
+        .count()
+      require(served == 1L, s"merge-on-read lookup served $served of 1")
+      // self-restore: retire the probe's tombstone state so every sweep
+      // measures the same table (metadata files only — no shard I/O)
+      val tdir = new org.apache.hadoop.fs.Path(table)
+      fs.delete(new org.apache.hadoop.fs.Path(tdir, "_TOMBSTONES"), false)
+      fs.listStatus(tdir).foreach { st =>
+        if (st.isFile && st.getPath.getName.startsWith("tomb-"))
+          fs.delete(st.getPath, false)
+      }
+      Seq((n, served)).toDF("n_keys", "served")
     }),
     // x10 SHARD COUNT at CONSTANT data: the table always holds the same
     // synthetic 10k rows, but its shard count tracks the scale dir's
@@ -508,7 +570,8 @@ object BenchScale {
     // a STALE table from a previous run's fixture must never survive a
     // corpus rewrite
     for (t <- Seq("x1", "x10");
-         tbl <- Seq("keyed_stage_table", "bloom_stage_table", "meta_stage_table")) {
+         tbl <- Seq("keyed_stage_table", "bloom_stage_table",
+           "meta_stage_table", "tomb_stage_table")) {
       val p = new org.apache.hadoop.fs.Path(s"$workDir/$t/$tbl")
       p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
     }

@@ -3104,6 +3104,77 @@ object ExtensionQueries extends QueryFamily {
   }
 
   /**
+   * MERGE-ON-READ takedown on the durable shard table
+   * ([[graft.sources.v2.ShardDelete.deleteByKeyDeferred]] /
+   * [[graft.sources.v2.ShardTombstones]]) — the metadata-sized delete
+   * (r17 verdict #1): every %13==1 doc is tombstoned WITHOUT touching a
+   * single data shard, half of them are re-added by a fresh append (the
+   * shard-scoped segments must keep the re-inserts visible), and a
+   * compaction materializes the tombstones. `forget_ok` gates the
+   * PHYSICAL NO-REWRITE claim — manifest bytes and the (name, size)
+   * set of every data file identical across the deferred delete — plus
+   * the recorded-key count, the post-delete served count, segment
+   * retirement after compaction, and restored manifest-count truth.
+   * Read-back digest chains must equal DuckDB's store-less derivation
+   * of "documents minus the takedown plus the re-adds".
+   */
+  def shardDeleteDeferred(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.v2.{ShardCompact, ShardDelete, ShardReader}
+    val out = graft.TmpCleanup.perProcessDir("graft-shard-mor", dir)
+    graft.TmpCleanup.register(out)
+    graft.TmpCleanup.wipe(out)
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(col("text")).as("ld"))
+    docs.withColumn("__r", col("doc_id") % 4)
+      .repartitionByRange(4, col("__r")).drop("__r")
+      .write.format("graft.sources.v2.ShardSink")
+      .option("path", out).option("statsColumn", "doc_id")
+      .mode("append").save()
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("ld", StringType)))
+    def physicalState(): (String, Set[(String, Long)]) = {
+      val d = new java.io.File(out)
+      (scala.io.Source.fromFile(new java.io.File(d, "_MANIFEST")).mkString,
+        d.listFiles().toSeq
+          .filter(f => f.isFile && f.getName.startsWith("part-"))
+          .map(f => (f.getName, f.length())).toSet)
+    }
+    val src = Tables.documents(spark, dir)
+    val delKeys = src.filter(col("doc_id") % 13 === 1).select(col("doc_id"))
+    val nKeys = delKeys.count()
+    val total = docs.count()
+    val before = physicalState()
+    val recorded = ShardDelete.deleteByKeyDeferred(
+      spark, out, schema, "doc_id", delKeys)
+    // THE merge-on-read claim: the takedown rewrote nothing — identical
+    // manifest bytes, identical (name, size) data-file set
+    val noRewrite = physicalState() == before
+    val servedOk =
+      ShardReader.read(spark, out, schema).count() == total - nKeys
+    // fresh append re-adds the ODD takedown keys with a new payload:
+    // shard-scoped segments must serve them immediately
+    src.filter(col("doc_id") % 13 === 1 && col("doc_id") % 2 === 1)
+      .select(col("doc_id"), md5(concat(lit("RE"), col("text"))).as("ld"))
+      .write.format("graft.sources.v2.ShardSink")
+      .option("path", out).option("statsColumn", "doc_id")
+      .mode("append").save()
+    // compaction materializes: segments retire, count truth restored
+    ShardCompact.compact(spark, out, schema, targetShards = 4)
+    val tombGone = !new java.io.File(out, "_TOMBSTONES").exists()
+    val back = ShardReader.read(spark, out, schema)
+    val forgetOk = noRewrite && recorded == nKeys && servedOk && tombGone &&
+      ShardReader.manifestRowCount(spark, out) == back.count()
+    back.groupBy((col("doc_id") % 8).as("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        md5(concat_ws("",
+          transform(array_sort(collect_list(struct(col("doc_id"), col("ld")))),
+            x => x.getField("ld")))).as("digest"))
+      .withColumn("forget_ok", lit(forgetOk))
+      .orderBy(col("bucket"))
+  }
+
+  /**
    * Keyed UPSERT round trip on the durable shard table — the MERGE INTO
    * twin of [[shardDeleteRoundtrip]] ([[graft.sources.v2.ShardDelete
    * .upsertByKey]]): build the table as two appended halves, upsert a
@@ -3576,6 +3647,7 @@ object ExtensionQueries extends QueryFamily {
     "shard_schema_evolution" -> (shardSchemaEvolution _),
     "shard_delete_roundtrip" -> (shardDeleteRoundtrip _),
     "shard_delete_digest" -> (shardDeleteDigest _),
+    "shard_delete_deferred" -> (shardDeleteDeferred _),
     "shard_upsert_roundtrip" -> (shardUpsertRoundtrip _),
     "shard_snapshot_diff" -> (shardSnapshotDiff _),
     "shard_changes_since" -> (shardChangesSince _),
@@ -5482,6 +5554,20 @@ object ExtensionQueries extends QueryFamily {
         |    WHERE doc_id % 17 = 5 AND doc_id % 4 = 2
         |    ORDER BY doc_id LIMIT 5))
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the merge-on-read takedown twin: documents minus the %13 keys plus
+    // the odd-key re-adds with the RE payload; every physical gate
+    // (no-rewrite, segment retirement, count truth) is constant-TRUE
+    "shard_delete_deferred" ->
+      """WITH base AS (
+        |  SELECT doc_id, MD5(text) AS ld FROM documents
+        |  WHERE doc_id % 13 <> 1
+        |  UNION ALL
+        |  SELECT doc_id, MD5('RE' || text) AS ld FROM documents
+        |  WHERE doc_id % 13 = 1 AND doc_id % 2 = 1)
+        |SELECT doc_id % 8 AS bucket, COUNT(1) AS n_docs,
+        |  MD5(STRING_AGG(ld, '' ORDER BY doc_id)) AS digest,
+        |  TRUE AS forget_ok
+        |FROM base GROUP BY 1 ORDER BY 1""".stripMargin,
     // the change feed replayed relationally: added = the +10^7 inserts,
     // changed = updated-and-not-deleted, removed = null-filled
     // tombstones of the takedown ids (updated-then-deleted keys land

@@ -67,7 +67,12 @@ object ShardCompact {
       s"no ${ShardManifest.FileName} under $path — nothing to compact")
     val old = ShardManifest.read(fs, mfPath)
     ShardSchema.requireCovers(fs, dir, schema, "compact")
-    if (old.size <= targetShards) return old.size
+    // live merge-on-read tombstones force the rewrite even on an
+    // already-compact table: compaction IS their materialization step
+    // ([[ShardTombstones]]) — early-returning would leave a 1-shard
+    // table's deferred deletes logical forever
+    val liveTombs = ShardTombstones.readIfExists(fs, dir).isDefined
+    if (old.size <= targetShards && !liveTombs) return old.size
     val statsCol = ShardStats.readIfExists(fs, dir).map(_.column)
     val bloomMeta = ShardBloom.readIfExists(fs, dir).map(b => (b.column, b.mBits))
     val layoutCol = sortBy.orElse(statsCol)
@@ -104,6 +109,10 @@ object ShardCompact {
 
     // (3) the atomic switch
     ShardManifest.writeAtomic(spark.sessionState.newHadoopConf(), fs, mfPath, fresh)
+    // the rewrite consumed [[ShardReader.read]], which applied every
+    // live tombstone — ALL segments are materialized now and retire;
+    // their files stay on disk for snapshot readers until vacuum
+    ShardTombstones.clearAll(spark.sessionState.newHadoopConf(), fs, dir)
     // every old shard is replaced — the fresh stats (collected by the
     // scratch write) become the whole `_STATS`
     statsCol.foreach { c =>

@@ -181,8 +181,14 @@ object ShardDelete {
     if (candidates.isEmpty) return 0L
     val files = candidates.map(n => new Path(dir, n).toString)
     val fmtD = tableSchema.map(_.format).getOrElse(ShardPayload.Jsonl)
-    val tagged = ShardPayload.read(spark, schema, fmtD, files)
+    val tombs = ShardTombstones.readIfExists(fs, dir)
+    val tagged0 = ShardPayload.read(spark, schema, fmtD, files)
       .withColumn("__shard", element_at(split(input_file_name(), "/"), -1))
+    // live merge-on-read tombstones apply BEFORE hit counting: rows a
+    // deferred delete already removed logically must neither count as
+    // deleted here nor be resurrected by the rewrite
+    val tagged = tombs.fold(tagged0)(t =>
+      ShardTombstones.minus(spark, dir, tagged0, t, Some("__shard")))
 
     // ONE pass over the CANDIDATES finds the hit shards and their
     // per-shard match counts — ≤ shard-count rows on the driver, bounded
@@ -220,6 +226,10 @@ object ShardDelete {
       spark.sessionState.newHadoopConf(), fs, mfPath, kept ++ fresh)
     mergeStats(spark, fs, dir, scratch, hitCounts.keySet, fresh, tableStats)
     mergeBloom(spark, fs, dir, scratch, hitCounts.keySet, fresh, tableBloom)
+    // rewritten shards had the live tombstones applied — their names
+    // leave every segment's scope (segments that empty are retired)
+    ShardTombstones.dropShards(
+      spark.sessionState.newHadoopConf(), fs, dir, hitCounts.keySet)
 
     // (4) replaced shards are orphans now — best-effort cleanup, except
     // shards a live snapshot pins (the [[ShardSnapshot]] time-travel
@@ -231,6 +241,73 @@ object ShardDelete {
     }
     fs.delete(scratch, true)
     deleted
+    }
+  }
+
+  /**
+   * MERGE-ON-READ keyed delete — the metadata-sized takedown
+   * ([[ShardTombstones]] has the full design): publish the key set as
+   * one tombstone segment scoped to the currently-manifested shards,
+   * WITHOUT reading or rewriting any data file. Every read path
+   * ([[ShardReader.read]]/[[ShardReader.readByKey]],
+   * [[ShardSnapshot.read]], the CDC feeds, and the copy-on-write
+   * mutators' own scans) anti-joins live tombstones out;
+   * [[ShardCompact.compact]] materializes them and retires the
+   * segments. On a 100 TB table a 5-key takedown costs one
+   * takedown-sized parquet write plus one sidecar rename under the
+   * lock — no shard I/O at all — where [[deleteByKey]] pays a full
+   * rewrite of every hit shard.
+   *
+   * Returns the number of DISTINCT non-null keys recorded (a deferred
+   * delete never scans, so it cannot count matched rows — keys absent
+   * from the table are recorded and harmlessly never match). Nulls are
+   * dropped (null never equals — keyed deletes cannot remove null-key
+   * rows, same as [[deleteByKey]]). The tombstone key column is a
+   * table-level property while segments are live: deferring deletes on
+   * a second column is refused loud (compact to materialize first).
+   * Re-running the same deferred delete is idempotent in effect (the
+   * second segment's keys filter nothing new) and converges physically
+   * at the next compaction.
+   */
+  def deleteByKeyDeferred(
+      spark: SparkSession,
+      path: String,
+      schema: StructType,
+      keyCol: String,
+      keys: DataFrame,
+      leaseMs: Long = ShardLock.DefaultLeaseMs): Long = {
+    require(schema.fieldNames.contains(keyCol),
+      s"key column '$keyCol' not in table schema ${schema.fieldNames.mkString(",")}")
+    require(keys.columns.length == 1,
+      s"keys must be a one-column frame, got ${keys.columns.mkString(",")}")
+    ShardLock.withLock(spark, path, leaseMs) {
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val mfPath = new Path(dir, ShardManifest.FileName)
+    require(fs.exists(mfPath),
+      s"no ${ShardManifest.FileName} under $path — nothing has been committed there")
+    val old = ShardManifest.read(fs, mfPath)
+    ShardSchema.requireCovers(
+      ShardSchema.readIfExists(fs, dir), dir, schema, "deleteByKeyDeferred")
+    if (old.isEmpty) return 0L
+    val keyType = schema(keyCol).dataType
+    val tag = ShardSchema.tagOf(keyType)
+    val prior = ShardTombstones.readIfExists(fs, dir)
+    prior.foreach(t => require(t.column == keyCol && t.tag == tag,
+      s"table at $path already carries tombstones on '${t.column}' " +
+        s"(${t.tag}); compact to materialize them before deferring " +
+        s"deletes on '$keyCol' ($tag)"))
+    ShardTombstones.writeSegment(spark, fs, dir, keyCol, keyType, keys) match {
+      case None => 0L
+      case Some((file, n)) =>
+        val seg = ShardTombstones.Segment(file, n, old.map(_._1).toSet)
+        val merged = prior
+          .map(t => t.copy(segments = t.segments :+ seg))
+          .getOrElse(ShardTombstones.Tombstones(keyCol, tag, Seq(seg)))
+        ShardTombstones.writeAtomic(
+          spark.sessionState.newHadoopConf(), fs, dir, merged)
+        n
+    }
     }
   }
 
@@ -302,9 +379,17 @@ object ShardDelete {
       schema(keyCol).dataType, keyCol, keyDf, old.map(_._1))
     val files = candidates.map(n => new Path(dir, n).toString)
     val fmtU = tableSchema.map(_.format).getOrElse(ShardPayload.Jsonl)
+    val tombsU = ShardTombstones.readIfExists(fs, dir)
     val tagged = if (files.isEmpty) null
-      else ShardPayload.read(spark, schema, fmtU, files)
-        .withColumn("__shard", element_at(split(input_file_name(), "/"), -1))
+      else {
+        val t0 = ShardPayload.read(spark, schema, fmtU, files)
+          .withColumn("__shard", element_at(split(input_file_name(), "/"), -1))
+        // tombstones apply before hit counting (deleteByKey's rationale);
+        // the upsert's own NEW rows land in fresh shards outside every
+        // segment's scope, so re-inserting a tombstoned key just works
+        tombsU.fold(t0)(t =>
+          ShardTombstones.minus(spark, dir, t0, t, Some("__shard")))
+      }
     val hits = if (files.isEmpty) null
       else graft.CacheScope.scoped(
         tagged.join(keyDf, tagged(keyCol) === col("__k"), "left_semi")
@@ -346,6 +431,8 @@ object ShardDelete {
       spark.sessionState.newHadoopConf(), fs, mfPath, kept ++ fresh)
     mergeStats(spark, fs, dir, scratch, hitCounts.keySet, fresh, tableStats)
     mergeBloom(spark, fs, dir, scratch, hitCounts.keySet, fresh, tableBloom)
+    ShardTombstones.dropShards(
+      spark.sessionState.newHadoopConf(), fs, dir, hitCounts.keySet)
 
     // (4) replaced shards are orphans now — best-effort cleanup, except
     // snapshot-pinned shards (see [[ShardSnapshot]])

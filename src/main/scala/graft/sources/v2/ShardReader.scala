@@ -39,13 +39,17 @@ object ShardReader {
 
   /** Read exactly the manifested shards under `path` with the given
     * schema (JSONL shards carry no embedded schema; the writer's schema
-    * is the contract, same as any warehouse table). */
+    * is the contract, same as any warehouse table). Live merge-on-read
+    * tombstones ([[ShardTombstones]], published by
+    * [[ShardDelete.deleteByKeyDeferred]]) are anti-joined out — zero
+    * overhead when none are live. */
   def read(spark: SparkSession, path: String, schema: StructType): DataFrame = {
     val dir = new Path(path)
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
     val files = manifestEntries(spark, path)
       .map { case (name, _) => new Path(dir, name).toString }
-    ShardPayload.read(spark, schema, ShardPayload.of(fs, dir), files)
+    ShardTombstones.minus(spark, fs, dir,
+      ShardPayload.read(spark, schema, ShardPayload.of(fs, dir), files))
   }
 
   /** The table's own authoritative schema (`_SCHEMA` sidecar, written
@@ -135,7 +139,11 @@ object ShardReader {
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       else {
         val files = candidates.map(n => new Path(dir, n).toString)
-        val df = ShardPayload.read(spark, schema, ShardPayload.of(fs, dir), files)
+        // tombstones FIRST, directly over the scan: the shard tag is
+        // derived from input_file_name(), which only resolves below the
+        // first exchange
+        val df = ShardTombstones.minus(spark, fs, dir,
+          ShardPayload.read(spark, schema, ShardPayload.of(fs, dir), files))
         df.filter(df(keyCol).isin(lits.toSeq: _*))
       }
     } else {
@@ -147,8 +155,11 @@ object ShardReader {
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       else {
         val files = candidates.map(n => new Path(dir, n).toString)
-        val df = ShardPayload.read(spark, schema, ShardPayload.of(fs, dir), files)
-        df.join(keyDf, df(keyCol) === org.apache.spark.sql.functions.col("__k"),
+        // tombstones FIRST, over the scan (input_file_name contract)
+        val df = ShardTombstones.minus(spark, fs, dir,
+          ShardPayload.read(spark, schema, ShardPayload.of(fs, dir), files))
+        df.join(keyDf,
+          df(keyCol) === org.apache.spark.sql.functions.col("__k"),
           "left_semi")
       }
     }

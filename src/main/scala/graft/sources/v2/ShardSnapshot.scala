@@ -94,10 +94,19 @@ object ShardSnapshot {
       .getFileContext(dir.toUri, spark.sessionState.newHadoopConf())
       .rename(hwmTmp, new Path(dir, HwmFile),
         org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    // live merge-on-read tombstones are PART of the snapshot's logical
+    // content: record them (name + scope) as headers so this version
+    // keeps excluding the deferred-deleted keys even after a compaction
+    // has materialized and retired the segments ([[ShardTombstones]])
+    val tombHeader = ShardTombstones.readIfExists(fs, dir).map { t =>
+      s"#tombkey\t${t.column}\t${t.tag}\n" + t.segments.map(s =>
+        s"#tomb\t${s.file}\t${s.nKeys}\t${s.shards.toSeq.sorted.mkString(",")}\n")
+        .mkString
+    }.getOrElse("")
     val tmp = new Path(dir, s"$Prefix$v.tmp")
     val out = fs.create(tmp, true)
     try out.write(
-      (s"#ts\t${System.currentTimeMillis()}\n" +
+      (s"#ts\t${System.currentTimeMillis()}\n" + tombHeader +
         ShardManifest.serialize(entries)).getBytes("UTF-8"))
     finally out.close()
     val dst = new Path(dir, s"$Prefix$v")
@@ -115,8 +124,9 @@ object ShardSnapshot {
       .filter(_.matches("\\d+")).map(_.toInt).sorted
   }
 
-  private def readSnapshotFile(
-      fs: FileSystem, p: Path): (Option[Long], Seq[(String, Long)]) = {
+  private def readSnapshotFile(fs: FileSystem, p: Path): (
+      Option[Long], Seq[(String, Long)],
+      Option[ShardTombstones.Tombstones]) = {
     val in = fs.open(p)
     val text = try {
       new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
@@ -125,7 +135,22 @@ object ShardSnapshot {
     val ts = headers.collectFirst {
       case h if h.startsWith("#ts\t") => h.stripPrefix("#ts\t").trim.toLong
     }
-    (ts, ShardManifest.parse(body.mkString("\n"), p))
+    // `#tombkey` + `#tomb` lines reconstruct the tombstone state live at
+    // create time (note the trailing tab: "#tombkey" must not match the
+    // "#tomb\t" filter)
+    val tombs = headers.collectFirst {
+      case h if h.startsWith("#tombkey\t") =>
+        val k = h.stripPrefix("#tombkey\t").split('\t')
+        require(k.length == 2, s"malformed #tombkey header in $p: $h")
+        ShardTombstones.Tombstones(k(0), k(1),
+          headers.filter(_.startsWith("#tomb\t")).map { line =>
+            val a = line.stripPrefix("#tomb\t").split('\t')
+            require(a.length == 3, s"malformed #tomb header in $p: $line")
+            ShardTombstones.Segment(a(0), a(1).toLong,
+              a(2).split(',').filter(_.nonEmpty).toSet)
+          })
+    }
+    (ts, ShardManifest.parse(body.mkString("\n"), p), tombs)
   }
 
   /** The shard entries snapshot `v` names. */
@@ -147,6 +172,16 @@ object ShardSnapshot {
       .getOrElse(fs.getFileStatus(p).getModificationTime)
   }
 
+  /** Every tombstone segment FILE some live snapshot records — the set
+    * [[vacuum]] must not reclaim (snapshot reads re-apply them). */
+  private def pinnedTombFiles(spark: SparkSession, path: String): Set[String] = {
+    val (fs, dir) = fsFor(spark, path)
+    list(spark, path).iterator.flatMap { v =>
+      readSnapshotFile(fs, new Path(dir, s"$Prefix$v"))._3
+        .toSeq.flatMap(_.segments.map(_.file))
+    }.toSet
+  }
+
   /** Every shard name some live snapshot pins — the set the
     * copy-on-write cleanup steps must not reclaim. Bounded by
     * snapshots × shards-per-snapshot manifest LINES, never data. */
@@ -161,7 +196,9 @@ object ShardSnapshot {
   def read(
       spark: SparkSession, path: String, schema: StructType, v: Int): DataFrame = {
     val (fs, dir) = fsFor(spark, path)
-    val es = entries(spark, path, v)
+    val p = new Path(dir, s"$Prefix$v")
+    require(fs.exists(p), s"no snapshot v$v under $path")
+    val (_, es, tombs) = readSnapshotFile(fs, p)
     // ONE directory listing, not one exists() RPC per shard — a
     // thousand-shard snapshot costs one metadata call to validate
     val present = fs.listStatus(dir).iterator
@@ -171,8 +208,17 @@ object ShardSnapshot {
         s"snapshot v$v of $path names shard $name which no longer exists " +
           "— it was vacuumed or externally deleted; the snapshot is gone")
     }
-    ShardPayload.read(spark, schema, ShardPayload.of(fs, dir),
+    tombs.foreach(_.segments.foreach(s =>
+      require(present.contains(s.file),
+        s"snapshot v$v of $path records tombstone segment ${s.file} which " +
+          "no longer exists — it was vacuumed or externally deleted; " +
+          "the snapshot is gone")))
+    val df = ShardPayload.read(spark, schema, ShardPayload.of(fs, dir),
       es.map { case (name, _) => new Path(dir, name).toString })
+    // the tombstones recorded AT CREATE TIME apply — not the live ones:
+    // this is what keeps a post-delete snapshot honest after compaction
+    // retired the segments, and a pre-delete snapshot serving the keys
+    tombs.fold(df)(t => ShardTombstones.minus(spark, dir, df, t, None))
   }
 
   /** Delete snapshot `v` (its pins lapse; [[vacuum]] reclaims).
@@ -201,12 +247,18 @@ object ShardSnapshot {
     require(fs.exists(mfPath),
       s"no ${ShardManifest.FileName} under $path — nothing committed there")
     val live = ShardManifest.read(fs, mfPath).map(_._1).toSet ++
-      pinned(spark, path)
+      pinned(spark, path) ++
+      // tombstone segments stay while the live sidecar names them or a
+      // snapshot records them (snapshot reads re-apply; see
+      // [[ShardTombstones]]); retired, unrecorded ones reclaim here
+      ShardTombstones.liveSegmentFiles(fs, dir) ++
+      pinnedTombFiles(spark, path)
     val candidates = fs.listStatus(dir).toSeq
       .filter(st => st.isFile)
       .map(_.getPath.getName)
-      .filter(n => n.startsWith("part-") &&
-        (n.endsWith(".jsonl") || n.endsWith(".parquet")))
+      .filter(n => (n.startsWith("part-") &&
+        (n.endsWith(".jsonl") || n.endsWith(".parquet"))) ||
+        (n.startsWith("tomb-") && n.endsWith(".parquet")))
     val orphans = candidates.filterNot(live.contains)
     orphans.foreach(n => fs.delete(new Path(dir, n), false))
     orphans.sorted
