@@ -232,6 +232,10 @@ object BenchScale {
     // r17: the consumer half — downstream copy catches up from the feed
     // alone (delete touched keys + append live rows), equality-gated
     "shard_changes_apply" -> "composite",
+    // r18: the windowed form — two snapshot-bracketed waves read
+    // BETWEEN retained versions (same lifecycle shape; the feeds are
+    // change-set-sized by construction)
+    "shard_changes_window" -> "composite",
     // r17 flagship: span rewrite + dedup + the PARQUET digest-keyed
     // store lifecycle (bloom takedown -> CDC -> retention -> pushed
     // lookup) — the store-lifecycle composite shape

@@ -3281,6 +3281,51 @@ object ExtensionQueries extends QueryFamily {
   }
 
   /**
+   * VERSION-WINDOWED CDC on the durable store
+   * ([[graft.sources.v2.ShardSnapshot.readChanges]]) — the
+   * `table_changes(v1, v2)` shape (r17 verdict's missing #3): three
+   * retained snapshots bracket two mutation waves (v1 → upsert wave →
+   * v2 → takedown wave → v3), and the two windowed feeds are read
+   * BETWEEN RETAINED SNAPSHOTS — fully isolated from the live table.
+   * The windows must be DISJOINT (a key changed in (v1,v2] and
+   * untouched after appears only in w1) and COMPOSE (w1 then w2 applied
+   * to a copy at v1 reconstructs v3 — the composition bit is proven by
+   * `shard_changes_apply`'s machinery over the live feed; here DuckDB
+   * replays both windows relationally, never touching the store).
+   */
+  def shardChangesWindow(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.v2.{ShardDelete, ShardSnapshot}
+    val out = graft.TmpCleanup.perProcessDir("graft-cdc-win", dir)
+    graft.TmpCleanup.register(out)
+    graft.TmpCleanup.wipe(out)
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(col("text")).as("ld"))
+    docs.write.format("graft.sources.v2.ShardSink")
+      .option("path", out).option("statsColumn", "doc_id")
+      .mode("append").save()
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("ld", StringType)))
+    val v1 = ShardSnapshot.create(spark, out)
+    val src = Tables.documents(spark, dir)
+    ShardDelete.upsertByKey(spark, out, schema, "doc_id",
+      src.filter(col("doc_id") % 11 === 3)
+        .select(col("doc_id"), md5(concat(lit("UPD"), col("text"))).as("ld"))
+        .union(src.filter(col("doc_id") % 101 === 0)
+          .select((col("doc_id") + 10000000L).as("doc_id"),
+            md5(concat(lit("NEW"), col("text"))).as("ld"))))
+    val v2 = ShardSnapshot.create(spark, out)
+    ShardDelete.deleteByKey(spark, out, schema, "doc_id",
+      src.filter(col("doc_id") % 13 === 1).select(col("doc_id")))
+    val v3 = ShardSnapshot.create(spark, out)
+    val w1 = ShardSnapshot.readChanges(spark, out, schema, "doc_id", v1, v2)
+      .withColumn("w", lit("w1"))
+    val w2 = ShardSnapshot.readChanges(spark, out, schema, "doc_id", v2, v3)
+      .withColumn("w", lit("w2"))
+    w1.unionByName(w2).orderBy(col("w"), col("doc_id"))
+  }
+
+  /**
    * CDC APPLY — the consumer half of [[shardChangesSince]]: a downstream
    * table materialized at snapshot v1 catches up to the evolved
    * upstream by applying ONLY the change feed (delete every touched
@@ -3651,6 +3696,7 @@ object ExtensionQueries extends QueryFamily {
     "shard_upsert_roundtrip" -> (shardUpsertRoundtrip _),
     "shard_snapshot_diff" -> (shardSnapshotDiff _),
     "shard_changes_since" -> (shardChangesSince _),
+    "shard_changes_window" -> (shardChangesWindow _),
     "shard_changes_apply" -> (shardChangesApply _),
     "ts_twap" -> (tsTwap _),
     "session_stats" -> (sessionStats _),
@@ -5583,6 +5629,25 @@ object ExtensionQueries extends QueryFamily {
         |SELECT doc_id, CAST(NULL AS VARCHAR) AS ld, 'removed' AS change
         |FROM documents WHERE doc_id % 13 = 1
         |ORDER BY doc_id""".stripMargin,
+    // the two windowed feeds replayed relationally: w1 (v1→v2) carries
+    // the upsert wave — changed keys show their v2 payloads, the delete
+    // wave has NOT happened yet so %13 keys still classify by the
+    // upsert alone; w2 (v2→v3) carries only the takedown tombstones.
+    // Disjointness is structural (no key appears in both with one wave
+    // each side)
+    "shard_changes_window" ->
+      """SELECT 'w1' AS w, doc_id + 10000000 AS doc_id,
+        |  MD5('NEW' || text) AS ld, 'added' AS change
+        |FROM documents WHERE doc_id % 101 = 0
+        |UNION ALL
+        |SELECT 'w1' AS w, doc_id, MD5('UPD' || text) AS ld,
+        |  'changed' AS change
+        |FROM documents WHERE doc_id % 11 = 3
+        |UNION ALL
+        |SELECT 'w2' AS w, doc_id, CAST(NULL AS VARCHAR) AS ld,
+        |  'removed' AS change
+        |FROM documents WHERE doc_id % 13 = 1
+        |ORDER BY w, doc_id""".stripMargin,
     // CDC apply: the downstream table after replaying the feed = the
     // evolved upstream, derived store-lessly; apply_ok is constant-TRUE
     "shard_changes_apply" ->
