@@ -225,6 +225,10 @@ object BenchScale {
     // both track the corpus linearly
     "shard_sink_parquet" -> "linear",
     "shard_read_by_key_parquet" -> "linear",
+    // r18: the V2 read relation — build + full relational scan through
+    // the row-at-a-time readers + a pruned SQL point query; the scan is
+    // corpus-linear, the point query partition-constant
+    "shard_v2_read" -> "linear",
     // r17: the change-feed read (build -> snapshot -> upsert -> delete
     // -> CDC catch-up) — store-lifecycle composite; the feed itself is
     // change-set-sized by construction

@@ -74,8 +74,16 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
  * manifest contract.
  */
 class ShardSink extends TableProvider {
+  /** Reads infer the table's own `_SCHEMA` (every column ever appended,
+    * widen-only evolution); writes supply the DataFrame schema through
+    * external metadata, so a fresh (schema-less) table infers empty. */
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    StructType(Nil) // write-only source: schema comes from the DataFrame
+    Option(options.get("path")).flatMap { p =>
+      val dir = new Path(p)
+      val fs = dir.getFileSystem(
+        SparkSession.active.sessionState.newHadoopConf())
+      ShardSchema.readIfExists(fs, dir).map(_.toStructType)
+    }.getOrElse(StructType(Nil))
   override def supportsExternalMetadata(): Boolean = true
   override def getTable(
       schema: StructType,
@@ -85,11 +93,25 @@ class ShardSink extends TableProvider {
 }
 
 private[v2] class ShardTable(schema: StructType, props: Map[String, String])
-    extends Table with SupportsWrite {
+    extends Table with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsRead {
   override def name(): String = s"shards(${props.getOrElse("path", "?")})"
   override def schema(): StructType = schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_WRITE)
+    java.util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.BATCH_READ)
+  /** The V2 READ relation ([[ShardScanBuilder]]): manifest-scoped,
+    * sidecar-pruned, tombstone-screened — what `spark.read`/SQL gets. */
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): org.apache.spark.sql.connector.read.ScanBuilder = {
+    val path = Option(options.get("path"))
+      .orElse(props.get("path"))
+      .getOrElse(throw new IllegalArgumentException(
+        "ShardSink reads require a 'path' option"))
+    require(schema.nonEmpty,
+      s"table at $path has no ${ShardSchema.FileName} (a pre-evolution " +
+        "table) — pass the historical schema explicitly with .schema(...)")
+    new ShardScanBuilder(path, schema)
+  }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val path = info.options.get("path")
     require(path != null, "ShardSink requires a 'path' option")
