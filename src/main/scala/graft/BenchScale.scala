@@ -229,6 +229,9 @@ object BenchScale {
     // the row-at-a-time readers + a pruned SQL point query; the scan is
     // corpus-linear, the point query partition-constant
     "shard_v2_read" -> "linear",
+    // r18: two-class pruning (id ranges + digest blooms) on one table,
+    // with a digest-keyed CoW delete in the middle — lifecycle shape
+    "shard_multicol_prune" -> "composite",
     // r17: the change-feed read (build -> snapshot -> upsert -> delete
     // -> CDC catch-up) — store-lifecycle composite; the feed itself is
     // change-set-sized by construction

@@ -3281,6 +3281,65 @@ object ExtensionQueries extends QueryFamily {
   }
 
   /**
+   * MULTI-COLUMN sidecars on one table (r17 verdict's missing #4): the
+   * store carries `_STATS` on the sequential id AND `_BLOOM` sections
+   * on BOTH the id and the content digest (per-column geometry), so
+   * point lookups prune by range∩bloom on `doc_id` while takedowns
+   * prune by bloom on `ld` — the two realistic key classes served by
+   * ONE table. `multicol_ok` gates both prunes observed (id lookup → 1
+   * candidate of 4; digest takedown → ≤2 with a planted key + a
+   * ghost), section survival through a digest-keyed copy-on-write
+   * delete, and the id prune still sharp afterwards. Read-back digest
+   * chains must equal DuckDB's derivation of documents minus the one
+   * deleted digest.
+   */
+  def shardMulticolPrune(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.v2.{ShardDelete, ShardReader}
+    val out = graft.TmpCleanup.perProcessDir("graft-multicol", dir)
+    graft.TmpCleanup.register(out)
+    graft.TmpCleanup.wipe(out)
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(col("text")).as("ld"))
+    docs.repartitionByRange(4, col("doc_id"))
+      .write.format("graft.sources.v2.ShardSink")
+      .option("path", out)
+      .option("statsColumn", "doc_id")
+      .option("bloomColumn", "doc_id,ld")
+      .option("bloomBits", ((1 << 17).toString) + "," + ((1 << 20).toString))
+      .mode("append").save()
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("ld", StringType)))
+    // the id class: range ∩ bloom → exactly the one low-range shard
+    val byId = ShardDelete.candidateShards(spark, out, schema, "doc_id",
+      spark.range(3).select((col("id") * 2L + 1L).as("k")))
+    // the digest class: one planted key (lowest doc), one ghost
+    val src = Tables.documents(spark, dir)
+    val planted = src.orderBy(col("doc_id")).limit(1)
+      .select(md5(col("text")).as("ld"))
+    val keys = planted
+      .union(spark.range(1).select(md5(lit("multicol-ghost")).as("ld")))
+    val byDigest = ShardDelete.candidateShards(spark, out, schema, "ld", keys)
+    val pruneOk = byId.size == 1 && byDigest.nonEmpty && byDigest.size <= 2
+    // digest-keyed CoW delete: every section must survive the merge and
+    // the id prune stay sharp
+    val expectedDel = docs.join(planted, "ld").count()
+    val deleted = ShardDelete.deleteByKey(spark, out, schema, "ld", keys)
+    val afterOk = deleted == expectedDel &&
+      ShardDelete.candidateShards(spark, out, schema, "doc_id",
+        spark.range(3).select((col("id") * 2L + 1L).as("k"))).size == 1
+    val multicolOk = pruneOk && afterOk
+    ShardReader.read(spark, out, schema)
+      .groupBy((col("doc_id") % 8).as("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        md5(concat_ws("",
+          transform(array_sort(collect_list(struct(col("doc_id"), col("ld")))),
+            x => x.getField("ld")))).as("digest"))
+      .withColumn("multicol_ok", lit(multicolOk))
+      .orderBy(col("bucket"))
+  }
+
+  /**
    * The V2 READ relation as a driver row ([[graft.sources.v2
    * .ShardScanBuilder]], r17 verdict's missing #2): the parquet-format
    * store is served through `spark.read.format(...).load` and SQL over
@@ -3736,6 +3795,7 @@ object ExtensionQueries extends QueryFamily {
     "shard_sink_parquet" -> (shardSinkParquet _),
     "shard_read_by_key_parquet" -> (shardReadByKeyParquet _),
     "shard_v2_read" -> (shardV2Read _),
+    "shard_multicol_prune" -> (shardMulticolPrune _),
     "shard_compact_roundtrip" -> (shardCompactRoundtrip _),
     "shard_read_by_key" -> (shardReadByKey _),
     "shard_schema_evolution" -> (shardSchemaEvolution _),
@@ -5648,6 +5708,18 @@ object ExtensionQueries extends QueryFamily {
         |    SELECT doc_id FROM documents
         |    WHERE doc_id % 17 = 5 AND doc_id % 4 = 2
         |    ORDER BY doc_id LIMIT 5))
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the multi-column sidecar twin: documents minus the rows sharing
+    // the LOWEST doc's digest (duplicate texts delete everywhere —
+    // keyed semantics); the two-class prune gate is constant-TRUE
+    "shard_multicol_prune" ->
+      """SELECT doc_id % 8 AS bucket, COUNT(1) AS n_docs,
+        |  MD5(STRING_AGG(MD5(text), '' ORDER BY doc_id)) AS digest,
+        |  TRUE AS multicol_ok
+        |FROM documents
+        |WHERE MD5(text) NOT IN (
+        |  SELECT MD5(text) FROM documents
+        |  ORDER BY doc_id LIMIT 1)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // the V2 relation twin: the full table digest-chained per bucket
     // (the store is a lossless re-encoding of documents' digests); the

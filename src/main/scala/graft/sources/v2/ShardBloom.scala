@@ -179,62 +179,103 @@ private[graft] object ShardBloom {
     sb.toString
   }
 
+  /** Multi-column form (r18): one SECTION per column, each with its
+    * own header and geometry — a single-section file is byte-identical
+    * to the pre-r18 format. */
+  def serializeAll(sections: Seq[Bloom]): String = {
+    require(sections.map(_.column).distinct.size == sections.size,
+      s"duplicate bloom sections: ${sections.map(_.column).mkString(",")}")
+    sections.sortBy(_.column).map(serialize).mkString
+  }
+
   def parse(text: String, where: Path): Bloom = {
+    val all = parseAll(text, where)
+    require(all.size == 1,
+      s"expected a single bloom section in $where, found ${all.size}")
+    all.head
+  }
+
+  def parseAll(text: String, where: Path): Seq[Bloom] = {
     val lines = text.linesIterator.filter(_.nonEmpty).toSeq
     require(lines.nonEmpty && lines.head.startsWith("#key\t"),
       s"malformed bloom header in $where: ${lines.headOption.getOrElse("<empty>")}")
-    val h = lines.head.split('\t')
-    require(h.length == 5, s"malformed bloom header in $where: ${lines.head}")
-    val (m, k) = try (h(3).toInt, h(4).toInt) catch {
-      case _: NumberFormatException => throw new IllegalArgumentException(
-        s"malformed bloom geometry in $where: ${lines.head}")
+    val sections = Seq.newBuilder[Bloom]
+    var header: Array[String] = null
+    var m = 0; var k = 0
+    var filters = Map.newBuilder[String, Option[Array[Byte]]]
+    def flush(): Unit = if (header != null) {
+      sections += Bloom(header(1), header(2), m, k, filters.result())
+      filters = Map.newBuilder
     }
-    require(m > 0 && m % 8 == 0 && k > 0,
-      s"malformed bloom geometry in $where: m=$m k=$k")
-    val filters = lines.tail.map { line =>
-      val tab = line.indexOf('\t')
-      require(tab > 0 && line.indexOf('\t', tab + 1) < 0,
-        s"malformed bloom line in $where: $line")
-      val payload = line.substring(tab + 1)
-      val filter =
-        if (payload == NullMarker) None
-        else {
-          val bytes = try Base64.getDecoder.decode(payload) catch {
-            case _: IllegalArgumentException =>
-              throw new IllegalArgumentException(
-                s"malformed bloom payload in $where: $line")
-          }
-          require(bytes.length == m / 8,
-            s"bloom payload of ${bytes.length} bytes does not match " +
-              s"m=$m bits in $where: ${line.substring(0, tab)}")
-          Some(bytes)
+    lines.foreach { line =>
+      if (line.startsWith("#key\t")) {
+        flush()
+        header = line.split('\t')
+        require(header.length == 5, s"malformed bloom header in $where: $line")
+        val mk = try (header(3).toInt, header(4).toInt) catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"malformed bloom geometry in $where: $line")
         }
-      (line.substring(0, tab), filter)
-    }.toMap
-    Bloom(h(1), h(2), m, k, filters)
+        m = mk._1; k = mk._2
+        require(m > 0 && m % 8 == 0 && k > 0,
+          s"malformed bloom geometry in $where: m=$m k=$k")
+      } else {
+        val tab = line.indexOf('\t')
+        require(tab > 0 && line.indexOf('\t', tab + 1) < 0,
+          s"malformed bloom line in $where: $line")
+        val payload = line.substring(tab + 1)
+        val filter =
+          if (payload == NullMarker) None
+          else {
+            val bytes = try Base64.getDecoder.decode(payload) catch {
+              case _: IllegalArgumentException =>
+                throw new IllegalArgumentException(
+                  s"malformed bloom payload in $where: $line")
+            }
+            require(bytes.length == m / 8,
+              s"bloom payload of ${bytes.length} bytes does not match " +
+                s"m=$m bits in $where: ${line.substring(0, tab)}")
+            Some(bytes)
+          }
+        filters += ((line.substring(0, tab), filter))
+      }
+    }
+    flush()
+    sections.result()
   }
 
   def bloomPath(dir: Path): Path = new Path(dir, FileName)
 
-  def readIfExists(fs: FileSystem, dir: Path): Option[Bloom] = {
+  /** All sections of the sidecar (empty when absent). */
+  def readAll(fs: FileSystem, dir: Path): Seq[Bloom] = {
     val p = bloomPath(dir)
-    if (!fs.exists(p)) None
+    if (!fs.exists(p)) Seq.empty
     else {
       val in = fs.open(p)
       val text = try {
         new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
           StandardCharsets.UTF_8)
       } finally in.close()
-      Some(parse(text, p))
+      parseAll(text, p)
     }
   }
 
+  /** The FIRST section — the whole sidecar on a single-column table.
+    * Multi-column-aware prune paths use [[readAll]] + a column find. */
+  def readIfExists(fs: FileSystem, dir: Path): Option[Bloom] =
+    readAll(fs, dir).headOption
+
   def writeAtomic(
-      conf: Configuration, fs: FileSystem, dir: Path, b: Bloom): Unit = {
+      conf: Configuration, fs: FileSystem, dir: Path, b: Bloom): Unit =
+    writeAllAtomic(conf, fs, dir, Seq(b))
+
+  def writeAllAtomic(
+      conf: Configuration, fs: FileSystem, dir: Path,
+      sections: Seq[Bloom]): Unit = {
     val p = bloomPath(dir)
     val tmp = new Path(dir, s"$FileName.tmp")
     val out = fs.create(tmp, true)
-    try out.write(serialize(b).getBytes(StandardCharsets.UTF_8))
+    try out.write(serializeAll(sections).getBytes(StandardCharsets.UTF_8))
     finally out.close()
     FileContext.getFileContext(p.toUri, conf)
       .rename(tmp, p, Options.Rename.OVERWRITE)
@@ -424,8 +465,10 @@ private[graft] object ShardPrune {
       keyCol: String,
       keys: DataFrame, // one column named __k
       manifested: Seq[String]): Seq[String] =
-    candidateShards(spark, ShardStats.readIfExists(fs, dir),
-      ShardBloom.readIfExists(fs, dir), keyType, keyCol, keys, manifested)
+    candidateShards(spark,
+      ShardStats.readAll(fs, dir).find(_.column == keyCol),
+      ShardBloom.readAll(fs, dir).find(_.column == keyCol),
+      keyType, keyCol, keys, manifested)
 
   /** Pre-parsed-sidecar form: one metadata read per mutation, not one
     * per consumer. */
@@ -455,9 +498,11 @@ private[graft] object ShardPrune {
       keyVals: Seq[Any],
       manifested: Seq[String]): Seq[String] = {
     val ranged = ShardStats.candidateShardsLocal(
-      ShardStats.readIfExists(fs, dir), keyType, keyCol, keyVals, manifested)
+      ShardStats.readAll(fs, dir).find(_.column == keyCol),
+      keyType, keyCol, keyVals, manifested)
     ShardBloom.candidateShardsLocal(
-      ShardBloom.readIfExists(fs, dir), keyType, keyCol, keyVals, ranged)
+      ShardBloom.readAll(fs, dir).find(_.column == keyCol),
+      keyType, keyCol, keyVals, ranged)
   }
 }
 

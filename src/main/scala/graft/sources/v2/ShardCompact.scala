@@ -73,9 +73,14 @@ object ShardCompact {
     // table's deferred deletes logical forever
     val liveTombs = ShardTombstones.readIfExists(fs, dir).isDefined
     if (old.size <= targetShards && !liveTombs) return old.size
-    val statsCol = ShardStats.readIfExists(fs, dir).map(_.column)
-    val bloomMeta = ShardBloom.readIfExists(fs, dir).map(b => (b.column, b.mBits))
-    val layoutCol = sortBy.orElse(statsCol)
+    val statsSections = ShardStats.readAll(fs, dir)
+    val bloomSections = ShardBloom.readAll(fs, dir)
+    val statsCols = statsSections.map(_.column)
+    val bloomMeta = bloomSections.map(b => (b.column, b.mBits))
+    // range layout keys on the FIRST stats column (the table's primary
+    // prune axis by convention); secondary sidecars re-collect on the
+    // new layout like any append
+    val layoutCol = sortBy.orElse(statsCols.headOption)
 
     // (1) consolidate through the sink's own two-phase commit, into a
     // scratch dir whose content is invisible to readers of `path`
@@ -92,11 +97,13 @@ object ShardCompact {
       .write.format("graft.sources.v2.ShardSink")
       .option("path", scratch.toString).mode("append")
       .option(ShardPayload.OptionKey, ShardPayload.of(fs, dir))
-    val w1 = statsCol.fold(w0)(c => w0.option(ShardStats.OptionKey, c))
-    bloomMeta.fold(w1) { case (c, m) =>
-      w1.option(ShardBloom.OptionKey, c)
-        .option(ShardBloom.BitsOptionKey, m.toString)
-    }.save()
+    val w1 =
+      if (statsCols.isEmpty) w0
+      else w0.option(ShardStats.OptionKey, statsCols.mkString(","))
+    (if (bloomMeta.isEmpty) w1
+     else w1.option(ShardBloom.OptionKey, bloomMeta.map(_._1).mkString(","))
+       .option(ShardBloom.BitsOptionKey,
+         bloomMeta.map(_._2.toString).mkString(","))).save()
     val fresh = ShardManifest.read(fs, new Path(scratch, ShardManifest.FileName))
 
     // (2) orphan-in the new shards
@@ -114,22 +121,24 @@ object ShardCompact {
     // their files stay on disk for snapshot readers until vacuum
     ShardTombstones.clearAll(spark.sessionState.newHadoopConf(), fs, dir)
     // every old shard is replaced — the fresh stats (collected by the
-    // scratch write) become the whole `_STATS`
-    statsCol.foreach { c =>
+    // scratch write, every section) become the whole `_STATS`
+    if (statsCols.nonEmpty) {
       val freshNames = fresh.map(_._1).toSet
-      ShardStats.readIfExists(fs, scratch).foreach { s =>
-        ShardStats.writeAtomic(spark.sessionState.newHadoopConf(), fs, dir,
-          s.copy(ranges = s.ranges.view.filterKeys(freshNames.contains).toMap))
-      }
+      val scratchSections = ShardStats.readAll(fs, scratch)
+      if (scratchSections.nonEmpty)
+        ShardStats.writeAllAtomic(spark.sessionState.newHadoopConf(), fs, dir,
+          scratchSections.map(s => s.copy(
+            ranges = s.ranges.view.filterKeys(freshNames.contains).toMap)))
     }
     // same wholesale replacement for the bloom sidecar: the scratch
-    // write re-collected per-shard filters on the same column/geometry
-    bloomMeta.foreach { _ =>
+    // write re-collected per-shard filters on the same columns/geometry
+    if (bloomMeta.nonEmpty) {
       val freshNames = fresh.map(_._1).toSet
-      ShardBloom.readIfExists(fs, scratch).foreach { b =>
-        ShardBloom.writeAtomic(spark.sessionState.newHadoopConf(), fs, dir,
-          b.copy(filters = b.filters.view.filterKeys(freshNames.contains).toMap))
-      }
+      val scratchSections = ShardBloom.readAll(fs, scratch)
+      if (scratchSections.nonEmpty)
+        ShardBloom.writeAllAtomic(spark.sessionState.newHadoopConf(), fs, dir,
+          scratchSections.map(b => b.copy(
+            filters = b.filters.view.filterKeys(freshNames.contains).toMap)))
     }
 
     // (4) old shards are orphans now — best-effort cleanup. Never

@@ -79,9 +79,10 @@ object ShardDelete {
       schema(keyCol).dataType, keyCol, keyDf, old.map(_._1))
   }
 
-  /** Rewrite the table's `_STATS` after a copy-on-write publish: entries
-    * of replaced shards dropped, entries of fresh shards merged in from
-    * the scratch write's own stats. No-op when the table has no stats. */
+  /** Rewrite the table's `_STATS` after a copy-on-write publish: every
+    * SECTION drops the replaced shards' entries and merges the fresh
+    * shards' from the scratch write's matching section. No-op when the
+    * table has no stats. */
   private def mergeStats(
       spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem,
@@ -89,21 +90,22 @@ object ShardDelete {
       scratch: Path,
       replaced: Set[String],
       fresh: Seq[(String, Long)],
-      tableStats: Option[ShardStats.Stats]): Unit = {
-    tableStats.foreach { s =>
-      val freshNames = fresh.map(_._1).toSet
-      val scratchRanges = ShardStats.readIfExists(fs, scratch)
+      tableStats: Seq[ShardStats.Stats]): Unit = {
+    if (tableStats.isEmpty) return
+    val freshNames = fresh.map(_._1).toSet
+    val scratchSections = ShardStats.readAll(fs, scratch)
+    val merged = tableStats.map { s =>
+      val scratchRanges = scratchSections.find(_.column == s.column)
         .map(_.ranges.view.filterKeys(freshNames.contains).toMap)
         .getOrElse(Map.empty)
-      ShardStats.writeAtomic(spark.sessionState.newHadoopConf(), fs, dir,
-        s.copy(ranges = (s.ranges -- replaced) ++ scratchRanges))
+      s.copy(ranges = (s.ranges -- replaced) ++ scratchRanges)
     }
+    ShardStats.writeAllAtomic(
+      spark.sessionState.newHadoopConf(), fs, dir, merged)
   }
 
   /** Rewrite the table's `_BLOOM` after a copy-on-write publish —
-    * [[mergeStats]]'s twin: entries of replaced shards dropped, entries
-    * of fresh shards merged in from the scratch write's own bloom.
-    * No-op when the table has no bloom. */
+    * [[mergeStats]]'s twin, section for section. */
   private def mergeBloom(
       spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem,
@@ -111,32 +113,38 @@ object ShardDelete {
       scratch: Path,
       replaced: Set[String],
       fresh: Seq[(String, Long)],
-      tableBloom: Option[ShardBloom.Bloom]): Unit = {
-    tableBloom.foreach { b =>
-      val freshNames = fresh.map(_._1).toSet
-      val scratchFilters = ShardBloom.readIfExists(fs, scratch)
+      tableBloom: Seq[ShardBloom.Bloom]): Unit = {
+    if (tableBloom.isEmpty) return
+    val freshNames = fresh.map(_._1).toSet
+    val scratchSections = ShardBloom.readAll(fs, scratch)
+    val merged = tableBloom.map { b =>
+      val scratchFilters = scratchSections.find(_.column == b.column)
         .map(_.filters.view.filterKeys(freshNames.contains).toMap)
         .getOrElse(Map.empty)
-      ShardBloom.writeAtomic(spark.sessionState.newHadoopConf(), fs, dir,
-        b.copy(filters = (b.filters -- replaced) ++ scratchFilters))
+      b.copy(filters = (b.filters -- replaced) ++ scratchFilters)
     }
+    ShardBloom.writeAllAtomic(
+      spark.sessionState.newHadoopConf(), fs, dir, merged)
   }
 
-  /** The scratch write, carrying the table's stats/bloom options and
-    * payload format through so rewritten shards stay prunable and the
-    * table stays format-homogeneous. */
+  /** The scratch write, carrying the table's stats/bloom options (ALL
+    * sections — comma lists) and payload format through so rewritten
+    * shards stay prunable on every column and the table stays
+    * format-homogeneous. */
   private def writeScratch(
-      df: DataFrame, scratch: Path, statsCol: Option[String],
-      bloomMeta: Option[(String, Int)] = None,
+      df: DataFrame, scratch: Path, statsCols: Seq[String],
+      bloomMeta: Seq[(String, Int)] = Nil,
       fmt: String = ShardPayload.Jsonl): Unit = {
     val w0 = df.write.format("graft.sources.v2.ShardSink")
       .option("path", scratch.toString).mode("append")
       .option(ShardPayload.OptionKey, fmt)
-    val w1 = statsCol.fold(w0)(c => w0.option(ShardStats.OptionKey, c))
-    bloomMeta.fold(w1) { case (c, m) =>
-      w1.option(ShardBloom.OptionKey, c)
-        .option(ShardBloom.BitsOptionKey, m.toString)
-    }.save()
+    val w1 =
+      if (statsCols.isEmpty) w0
+      else w0.option(ShardStats.OptionKey, statsCols.mkString(","))
+    (if (bloomMeta.isEmpty) w1
+     else w1.option(ShardBloom.OptionKey, bloomMeta.map(_._1).mkString(","))
+       .option(ShardBloom.BitsOptionKey,
+         bloomMeta.map(_._2.toString).mkString(","))).save()
   }
 
   /**
@@ -167,8 +175,8 @@ object ShardDelete {
     // metadata round trip on an object store), threaded to every
     // consumer below
     val tableSchema = ShardSchema.readIfExists(fs, dir)
-    val tableStats = ShardStats.readIfExists(fs, dir)
-    val tableBloom = ShardBloom.readIfExists(fs, dir)
+    val tableStats = ShardStats.readAll(fs, dir)
+    val tableBloom = ShardBloom.readAll(fs, dir)
     ShardSchema.requireCovers(tableSchema, dir, schema, "deleteByKey")
     if (old.isEmpty) return 0L
 
@@ -176,7 +184,8 @@ object ShardDelete {
       .withColumnRenamed(keys.columns.head, "__k")
     // manifest-level prune FIRST: shards whose stats range cannot hold
     // any key are never read (zero data I/O for them)
-    val candidates = ShardPrune.candidateShards(spark, tableStats, tableBloom,
+    val candidates = ShardPrune.candidateShards(spark,
+      tableStats.find(_.column == keyCol), tableBloom.find(_.column == keyCol),
       schema(keyCol).dataType, keyCol, keyDf, old.map(_._1))
     if (candidates.isEmpty) return 0L
     val files = candidates.map(n => new Path(dir, n).toString)
@@ -355,8 +364,8 @@ object ShardDelete {
       s"no ${ShardManifest.FileName} under $path — nothing committed there")
     val old = ShardManifest.read(fs, mfPath)
     val tableSchema = ShardSchema.readIfExists(fs, dir)
-    val tableStats = ShardStats.readIfExists(fs, dir)
-    val tableBloom = ShardBloom.readIfExists(fs, dir)
+    val tableStats = ShardStats.readAll(fs, dir)
+    val tableBloom = ShardBloom.readAll(fs, dir)
     ShardSchema.requireCovers(tableSchema, dir, schema, "upsertByKey")
 
     // updates feed four consumers (uniqueness gate, count, hit scan,
@@ -375,7 +384,8 @@ object ShardDelete {
     // (shard, key) hit set — bounded by the update list × historical
     // copies, so caching it is model-state sized; both the per-shard
     // counts and the matched-key count read it
-    val candidates = ShardPrune.candidateShards(spark, tableStats, tableBloom,
+    val candidates = ShardPrune.candidateShards(spark,
+      tableStats.find(_.column == keyCol), tableBloom.find(_.column == keyCol),
       schema(keyCol).dataType, keyCol, keyDf, old.map(_._1))
     val files = candidates.map(n => new Path(dir, n).toString)
     val fmtU = tableSchema.map(_.format).getOrElse(ShardPayload.Jsonl)

@@ -91,8 +91,8 @@ private[v2] class ShardScanBuilder(path: String, tableSchema: StructType)
     val fs = dir.getFileSystem(
       SparkSession.active.sessionState.newHadoopConf())
     val prunable =
-      ShardStats.readIfExists(fs, dir).map(_.column).toSet ++
-        ShardBloom.readIfExists(fs, dir).map(_.column).toSet
+      ShardStats.readAll(fs, dir).map(_.column).toSet ++
+        ShardBloom.readAll(fs, dir).map(_.column).toSet
     pushed = filters.filter {
       case EqualTo(c, _) => prunable.contains(c)
       case EqualNullSafe(c, _) => prunable.contains(c)
@@ -135,8 +135,8 @@ private[v2] class ShardScanImpl(
     val dir = new Path(path)
     val fs = dir.getFileSystem(
       SparkSession.active.sessionState.newHadoopConf())
-    (ShardStats.readIfExists(fs, dir).map(_.column).toSeq ++
-      ShardBloom.readIfExists(fs, dir).map(_.column).toSeq)
+    (ShardStats.readAll(fs, dir).map(_.column) ++
+      ShardBloom.readAll(fs, dir).map(_.column))
       .distinct.filter(tableSchema.fieldNames.contains(_))
       .map(Expressions.column).toArray
   }
@@ -152,16 +152,18 @@ private[v2] class ShardScanImpl(
     val manifested = ShardManifest.read(fs, mfPath).map(_._1)
     // plan-time + runtime equality sets prune via the LOCAL probes —
     // zero jobs, the scan's partition list IS the candidate list
-    val stats = ShardStats.readIfExists(fs, dir)
-    val bloom = ShardBloom.readIfExists(fs, dir)
+    val stats = ShardStats.readAll(fs, dir)
+    val bloom = ShardBloom.readAll(fs, dir)
     var candidates = manifested
     ShardScan.equalityValues((pushed ++ runtime).toSeq).foreach {
       case (colName, vals) =>
         tableSchema.fields.find(_.name == colName).foreach { f =>
           candidates = ShardStats.candidateShardsLocal(
-            stats, f.dataType, colName, vals, candidates)
+            stats.find(_.column == colName), f.dataType, colName, vals,
+            candidates)
           candidates = ShardBloom.candidateShardsLocal(
-            bloom, f.dataType, colName, vals, candidates)
+            bloom.find(_.column == colName), f.dataType, colName, vals,
+            candidates)
         }
     }
     val fmt = ShardPayload.of(fs, dir)

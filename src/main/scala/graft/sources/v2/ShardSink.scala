@@ -116,40 +116,62 @@ private[v2] class ShardTable(schema: StructType, props: Map[String, String])
     val path = info.options.get("path")
     require(path != null, "ShardSink requires a 'path' option")
     ShardSink.validate(info.schema())
-    // stats column, validated at plan time: present and of a rangeable
-    // type — a typo here must fail the write, not silently skip stats
-    val statsCol = Option(info.options.get(ShardStats.OptionKey)).map { c =>
-      val idx = info.schema().fieldNames.indexOf(c)
-      require(idx >= 0,
-        s"${ShardStats.OptionKey} '$c' is not a column of the written " +
-          s"schema ${info.schema().fieldNames.mkString(",")}")
-      val tag = ShardStats.dtypeTag(info.schema()(idx).dataType).getOrElse(
-        throw new IllegalArgumentException(
-          s"${ShardStats.OptionKey} '$c' has type " +
-            s"${info.schema()(idx).dataType} — stats need an ordered " +
-            "primitive (integral / floating / string)"))
-      (c, idx, tag)
-    }
-    // bloom column, validated at plan time like the stats column: the
+    // stats columns (comma-separated list since r18 — a real table
+    // prunes point lookups on its id AND takedowns on its digest),
+    // validated at plan time: present and of a rangeable type — a typo
+    // here must fail the write, not silently skip stats
+    val statsCols: Seq[(String, Int, String)] =
+      Option(info.options.get(ShardStats.OptionKey)).toSeq
+        .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty).map { c =>
+          val idx = info.schema().fieldNames.indexOf(c)
+          require(idx >= 0,
+            s"${ShardStats.OptionKey} '$c' is not a column of the written " +
+              s"schema ${info.schema().fieldNames.mkString(",")}")
+          val tag = ShardStats.dtypeTag(info.schema()(idx).dataType).getOrElse(
+            throw new IllegalArgumentException(
+              s"${ShardStats.OptionKey} '$c' has type " +
+                s"${info.schema()(idx).dataType} — stats need an ordered " +
+                "primitive (integral / floating / string)"))
+          (c, idx, tag)
+        }
+    require(statsCols.map(_._1).distinct.size == statsCols.size,
+      s"duplicate ${ShardStats.OptionKey} entries: " +
+        statsCols.map(_._1).mkString(","))
+    // bloom columns, validated at plan time like the stats columns; the
     // `_BLOOM` sidecar is the prune for HASH-distributed keys (content
-    // digests) that min/max ranges cannot touch — see [[ShardBloom]]
-    val bloomCol = Option(info.options.get(ShardBloom.OptionKey)).map { c =>
-      val idx = info.schema().fieldNames.indexOf(c)
-      require(idx >= 0,
-        s"${ShardBloom.OptionKey} '$c' is not a column of the written " +
-          s"schema ${info.schema().fieldNames.mkString(",")}")
-      val tag = ShardBloom.tagFor(info.schema()(idx).dataType).getOrElse(
-        throw new IllegalArgumentException(
-          s"${ShardBloom.OptionKey} '$c' has type " +
-            s"${info.schema()(idx).dataType} — a bloom needs a hashable " +
-            "primitive (integral / floating / string)"))
-      val mBits = Option(info.options.get(ShardBloom.BitsOptionKey))
-        .map(_.toInt).getOrElse(ShardBloom.DefaultBits)
-      require(mBits >= 64 && mBits % 8 == 0 && mBits <= (1 << 26),
-        s"${ShardBloom.BitsOptionKey} must be a multiple of 8 in " +
-          s"[64, ${1 << 26}]: $mBits")
-      (c, idx, tag, mBits)
-    }
+    // digests) that min/max ranges cannot touch — see [[ShardBloom]].
+    // `bloomBits` is one value for all listed columns or a matching
+    // comma list.
+    val bloomColNames = Option(info.options.get(ShardBloom.OptionKey)).toSeq
+      .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+    val bloomBitsList: Seq[Int] = Option(info.options.get(ShardBloom.BitsOptionKey))
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).map(_.toInt).toSeq)
+      .getOrElse(Seq(ShardBloom.DefaultBits))
+    require(bloomColNames.isEmpty || bloomBitsList.size == 1 ||
+      bloomBitsList.size == bloomColNames.size,
+      s"${ShardBloom.BitsOptionKey} must be one value or one per " +
+        s"${ShardBloom.OptionKey} column")
+    val bloomCols: Seq[(String, Int, String, Int)] =
+      bloomColNames.zipWithIndex.map { case (c, i) =>
+        val idx = info.schema().fieldNames.indexOf(c)
+        require(idx >= 0,
+          s"${ShardBloom.OptionKey} '$c' is not a column of the written " +
+            s"schema ${info.schema().fieldNames.mkString(",")}")
+        val tag = ShardBloom.tagFor(info.schema()(idx).dataType).getOrElse(
+          throw new IllegalArgumentException(
+            s"${ShardBloom.OptionKey} '$c' has type " +
+              s"${info.schema()(idx).dataType} — a bloom needs a hashable " +
+              "primitive (integral / floating / string)"))
+        val mBits =
+          if (bloomBitsList.size == 1) bloomBitsList.head else bloomBitsList(i)
+        require(mBits >= 64 && mBits % 8 == 0 && mBits <= (1 << 26),
+          s"${ShardBloom.BitsOptionKey} must be a multiple of 8 in " +
+            s"[64, ${1 << 26}]: $mBits")
+        (c, idx, tag, mBits)
+      }
+    require(bloomCols.map(_._1).distinct.size == bloomCols.size,
+      s"duplicate ${ShardBloom.OptionKey} entries: " +
+        bloomCols.map(_._1).mkString(","))
     // commit-contention budget: how long a lock-held COMMIT retries
     // before failing loud. Appends are mergeable by construction (the
     // locked commit re-reads and re-merges manifest/stats/bloom on every
@@ -189,25 +211,29 @@ private[v2] class ShardTable(schema: StructType, props: Map[String, String])
             s"cannot switch it to $f — the payload format is a " +
             "table-level property (rewrite the table to change it)"))
       }
-      // same best-effort early check for the stats-column table property:
-      // a mismatched statsColumn append should die here with a clean
-      // error before any task runs (authoritative re-check inside the
-      // locked commit, BEFORE any rename)
-      statsCol.foreach { case (colName, _, tag) =>
-        ShardStats.readIfExists(fs, dir).foreach { s =>
-          require(s.column == colName && s.dtype == tag,
-            s"table at $path already carries stats on '${s.column}' " +
-              s"(${s.dtype}); an append cannot switch them to '$colName' " +
-              s"($tag) — stats are a table-level property")
+      // same best-effort early check for the PER-COLUMN sidecar
+      // properties: a column's stats dtype / bloom geometry can never
+      // change (authoritative re-check inside the locked commit, BEFORE
+      // any rename). Appending stats/blooms on an ADDITIONAL column
+      // opens a new section — prior shards simply lack entries there
+      // (the hint-only degradation).
+      locally {
+        val prevStats = ShardStats.readAll(fs, dir)
+        statsCols.foreach { case (colName, _, tag) =>
+          prevStats.find(_.column == colName).foreach(s => require(
+            s.dtype == tag,
+            s"table at $path already carries stats on '$colName' " +
+              s"(${s.dtype}); an append cannot retype them to $tag — a " +
+              "column's stats dtype is a table-level property"))
         }
-      }
-      bloomCol.foreach { case (colName, _, tag, mBits) =>
-        ShardBloom.readIfExists(fs, dir).foreach { b =>
-          require(b.column == colName && b.tag == tag && b.mBits == mBits,
-            s"table at $path already carries a bloom on '${b.column}' " +
+        val prevBloom = ShardBloom.readAll(fs, dir)
+        bloomCols.foreach { case (colName, _, tag, mBits) =>
+          prevBloom.find(_.column == colName).foreach(b => require(
+            b.tag == tag && b.mBits == mBits,
+            s"table at $path already carries a bloom on '$colName' " +
               s"(${b.tag}, m=${b.mBits}); an append cannot switch it to " +
-              s"'$colName' ($tag, m=$mBits) — the bloom column and " +
-              "geometry are table-level properties")
+              s"($tag, m=$mBits) — a column's bloom geometry is a " +
+              "table-level property"))
         }
       }
       explicitFmt.orElse(prior.map(_.format)).getOrElse(ShardPayload.Jsonl)
@@ -216,8 +242,8 @@ private[v2] class ShardTable(schema: StructType, props: Map[String, String])
       override def build(): Write = new Write {
         override def toBatch: BatchWrite =
           new ShardBatchWrite(
-            path, info.queryId(), info.schema(), hadoopConf, statsCol,
-            bloomCol, retryMs, fmt)
+            path, info.queryId(), info.schema(), hadoopConf, statsCols,
+            bloomCols, retryMs, fmt)
       }
     }
   }
@@ -300,15 +326,16 @@ private[v2] object ShardSink {
 
 private[v2] case class ShardCommit(
     stagedPath: String, rows: Long,
-    statsRange: Option[(String, String)] = None,
-    bloom: Option[Array[Byte]] = None)
+    // positional, aligned with the write's statsCols / bloomCols order
+    statsRanges: Seq[Option[(String, String)]] = Nil,
+    blooms: Seq[Option[Array[Byte]]] = Nil)
     extends WriterCommitMessage
 
 private[v2] class ShardBatchWrite(
     path: String, queryId: String, schema: StructType,
     conf: SerializableHadoopConf,
-    statsCol: Option[(String, Int, String)],
-    bloomCol: Option[(String, Int, String, Int)] = None,
+    statsCols: Seq[(String, Int, String)],
+    bloomCols: Seq[(String, Int, String, Int)] = Nil,
     commitRetryMs: Long = 0L,
     fmt: String = ShardPayload.Jsonl)
     extends BatchWrite with Serializable {
@@ -317,8 +344,8 @@ private[v2] class ShardBatchWrite(
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new ShardWriterFactory(stagingDir.toString, schema, conf,
-      statsCol.map { case (_, idx, tag) => (idx, tag) },
-      bloomCol.map { case (_, idx, _, mBits) => (idx, mBits) },
+      statsCols.map { case (_, idx, tag) => (idx, tag) },
+      bloomCols.map { case (_, idx, _, mBits) => (idx, mBits) },
       fmt)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -365,26 +392,25 @@ private[v2] class ShardBatchWrite(
     val mfPath = new Path(target, ShardManifest.FileName)
     val prior: Seq[(String, Long)] =
       if (f.exists(mfPath)) ShardManifest.read(f, mfPath) else Nil
-    // stats-column compatibility (authoritative; plan time re-checks
-    // best-effort): a table's statsColumn/dtype is a table-level property
-    val priorStats = ShardStats.readIfExists(f, target)
-    statsCol.foreach { case (colName, _, tag) =>
-      priorStats.foreach { s =>
-        require(s.column == colName && s.dtype == tag,
-          s"table at $path already carries stats on '${s.column}' " +
-            s"(${s.dtype}); an append cannot switch them to '$colName' " +
-            s"($tag) — stats are a table-level property")
-      }
+    // per-column sidecar compatibility (authoritative; plan time
+    // re-checks best-effort): a column's stats dtype / bloom geometry
+    // can never change; additional columns open new sections
+    val priorStats = ShardStats.readAll(f, target)
+    statsCols.foreach { case (colName, _, tag) =>
+      priorStats.find(_.column == colName).foreach(s => require(
+        s.dtype == tag,
+        s"table at $path already carries stats on '$colName' " +
+          s"(${s.dtype}); an append cannot retype them to $tag — a " +
+          "column's stats dtype is a table-level property"))
     }
-    val priorBloom = ShardBloom.readIfExists(f, target)
-    bloomCol.foreach { case (colName, _, tag, mBits) =>
-      priorBloom.foreach { b =>
-        require(b.column == colName && b.tag == tag && b.mBits == mBits,
-          s"table at $path already carries a bloom on '${b.column}' " +
-            s"(${b.tag}, m=${b.mBits}); an append cannot switch it to " +
-            s"'$colName' ($tag, m=$mBits) — the bloom column and " +
-            "geometry are table-level properties")
-      }
+    val priorBloom = ShardBloom.readAll(f, target)
+    bloomCols.foreach { case (colName, _, tag, mBits) =>
+      priorBloom.find(_.column == colName).foreach(b => require(
+        b.tag == tag && b.mBits == mBits,
+        s"table at $path already carries a bloom on '$colName' " +
+          s"(${b.tag}, m=${b.mBits}); an append cannot switch it to " +
+          s"($tag, m=$mBits) — a column's bloom geometry is a " +
+          "table-level property"))
     }
     // MERGE with any existing manifest: the documented usage is
     // mode("append"), and atomicity-sensitive readers read only the
@@ -446,36 +472,48 @@ private[v2] class ShardBatchWrite(
     ShardManifest.writeAtomic(conf.value, f, mfPath, prior ++ fresh)
     // stats AFTER the manifest: a crash between the two leaves fresh
     // shards manifested but stats-less — they degrade to un-pruned scan
-    // candidates, never to a wrong prune
-    statsCol.foreach { case (colName, _, tag) =>
-      // compatibility already required above, before the renames
+    // candidates, never to a wrong prune. Per-COLUMN section merge:
+    // this append's columns merge their fresh entries into their own
+    // sections (created if new); every other section passes unchanged.
+    if (statsCols.nonEmpty) {
       val freshNames = fresh.map(_._1).toSet
-      val freshStats = messages.toSeq.flatMap {
-        case ShardCommit(staged, _, range, _) =>
-          val name = new Path(staged).getName
-          if (freshNames.contains(name)) Some(name -> range) else None
-      }.toMap
-      ShardStats.writeAtomic(conf.value, f, target, ShardStats.Stats(
-        colName, tag,
-        priorStats.map(_.ranges).getOrElse(Map.empty) ++ freshStats))
+      val merged = statsCols.zipWithIndex.foldLeft(priorStats) {
+        case (sections, ((colName, _, tag), i)) =>
+          val freshStats = messages.toSeq.flatMap {
+            case ShardCommit(staged, _, ranges, _) =>
+              val name = new Path(staged).getName
+              if (freshNames.contains(name)) Some(name -> ranges(i)) else None
+          }.toMap
+          val prev = sections.find(_.column == colName)
+            .map(_.ranges).getOrElse(Map.empty[String, Option[(String, String)]])
+          sections.filterNot(_.column == colName) :+
+            ShardStats.Stats(colName, tag, prev ++ freshStats)
+      }
+      ShardStats.writeAllAtomic(conf.value, f, target, merged)
     }
     // bloom LAST, same hint-only crash ordering as the stats: a crash
     // anywhere before this write leaves fresh shards manifested but
     // bloom-less — un-pruned scan candidates, never a wrong prune
-    bloomCol.foreach { case (colName, _, tag, mBits) =>
+    if (bloomCols.nonEmpty) {
       val freshNames = fresh.map(_._1).toSet
-      val freshBlooms = messages.toSeq.flatMap {
-        case ShardCommit(staged, _, _, bloomBits) =>
-          val name = new Path(staged).getName
-          if (freshNames.contains(name))
-            // empty = the writer's all-null-keys sentinel -> `-` marker
-            Some(name -> bloomBits.flatMap(b =>
-              if (b.isEmpty) None else Some(b)))
-          else None
-      }.toMap
-      ShardBloom.writeAtomic(conf.value, f, target, ShardBloom.Bloom(
-        colName, tag, mBits, ShardBloom.KHashes,
-        priorBloom.map(_.filters).getOrElse(Map.empty) ++ freshBlooms))
+      val merged = bloomCols.zipWithIndex.foldLeft(priorBloom) {
+        case (sections, ((colName, _, tag, mBits), i)) =>
+          val freshBlooms = messages.toSeq.flatMap {
+            case ShardCommit(staged, _, _, blooms) =>
+              val name = new Path(staged).getName
+              if (freshNames.contains(name))
+                // empty = the writer's all-null-keys sentinel -> `-`
+                Some(name -> blooms(i).flatMap(b =>
+                  if (b.isEmpty) None else Some(b)))
+              else None
+          }.toMap
+          val prev = sections.find(_.column == colName)
+            .map(_.filters).getOrElse(Map.empty[String, Option[Array[Byte]]])
+          sections.filterNot(_.column == colName) :+
+            ShardBloom.Bloom(colName, tag, mBits, ShardBloom.KHashes,
+              prev ++ freshBlooms)
+      }
+      ShardBloom.writeAllAtomic(conf.value, f, target, merged)
     }
     f.delete(stagingDir, true)
     }
@@ -487,8 +525,8 @@ private[v2] class ShardBatchWrite(
 
 private[v2] class ShardWriterFactory(
     stagingDir: String, schema: StructType, conf: SerializableHadoopConf,
-    stats: Option[(Int, String)],
-    bloom: Option[(Int, Int)] = None,
+    stats: Seq[(Int, String)],
+    bloom: Seq[(Int, Int)] = Nil,
     fmt: String = ShardPayload.Jsonl)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
@@ -504,23 +542,27 @@ private[v2] class ShardWriterFactory(
 
 private[v2] class ShardDataWriter(
     file: Path, schema: StructType, conf: SerializableHadoopConf,
-    stats: Option[(Int, String)],
-    bloom: Option[(Int, Int)] = None,
+    stats: Seq[(Int, String)],
+    bloom: Seq[(Int, Int)] = Nil,
     fmt: String = ShardPayload.Jsonl)
     extends DataWriter[InternalRow] {
   private val f = file.getFileSystem(conf.value)
   private val out = ShardPayload.newWriter(fmt, file, schema, conf.value)
   private var rows = 0L
-  private val tracker = stats.map { case (_, tag) => new ShardStatsTracker(tag) }
-  private val bloomTracker = bloom.map { case (idx, mBits) =>
+  // one tracker per configured column, positional (the commit message
+  // carries the results in the same order)
+  private val trackers = stats.map { case (_, tag) => new ShardStatsTracker(tag) }
+  private val bloomTrackers = bloom.map { case (idx, mBits) =>
     new ShardBloomTracker(schema(idx).dataType, mBits) }
 
   override def write(record: InternalRow): Unit = {
     out.write(record)
     rows += 1
-    stats.foreach { case (idx, tag) =>
+    var s = 0
+    while (s < stats.length) {
+      val (idx, tag) = stats(s)
       if (!record.isNullAt(idx)) {
-        val t = tracker.get
+        val t = trackers(s)
         tag match {
           case "long" => schema(idx).dataType match {
             case LongType => t.updateLong(record.getLong(idx))
@@ -535,8 +577,11 @@ private[v2] class ShardDataWriter(
           case _ => t.updateString(record.getUTF8String(idx))
         }
       }
+      s += 1
     }
-    bloom.foreach { case (idx, _) =>
+    var b = 0
+    while (b < bloom.length) {
+      val (idx, _) = bloom(b)
       if (!record.isNullAt(idx)) {
         // hash by the column's EXACT type — the prober casts the key
         // frame to the same type, so the xxhash64 values agree
@@ -549,17 +594,18 @@ private[v2] class ShardDataWriter(
           case DoubleType => java.lang.Double.valueOf(record.getDouble(idx))
           case _ => java.lang.Float.valueOf(record.getFloat(idx))
         }
-        bloomTracker.get.update(v)
+        bloomTrackers(b).update(v)
       }
+      b += 1
     }
   }
   override def commit(): WriterCommitMessage = {
     out.close()
-    // bloom encoding in the message: None = bloom disabled; Some(empty)
-    // = enabled but every key was null (the sidecar's `-` marker — a
-    // real filter is never empty, m/8 >= 8 bytes); Some(bytes) = filter
-    ShardCommit(file.toString, rows, tracker.flatMap(_.result),
-      bloomTracker.map(_.result.getOrElse(Array.emptyByteArray)))
+    // bloom encoding in the message: None = every key was null (the
+    // sidecar's `-` marker — a real filter is never empty, m/8 >= 8
+    // bytes); the Seq is positional per configured column
+    ShardCommit(file.toString, rows, trackers.map(_.result),
+      bloomTrackers.map(t => Some(t.result.getOrElse(Array.emptyByteArray))))
   }
   override def abort(): Unit = {
     try out.close() catch { case _: Throwable => () }

@@ -85,45 +85,86 @@ private[graft] object ShardStats {
     sb.toString
   }
 
+  /** Multi-column form (r18): one SECTION per column, each opened by
+    * its own `#key` header — a single-section file is byte-identical
+    * to the pre-r18 format, so every existing table reads unchanged. */
+  def serializeAll(sections: Seq[Stats]): String = {
+    require(sections.map(_.column).distinct.size == sections.size,
+      s"duplicate stats sections: ${sections.map(_.column).mkString(",")}")
+    sections.sortBy(_.column).map(serialize).mkString
+  }
+
   def parse(text: String, where: Path): Stats = {
+    val all = parseAll(text, where)
+    require(all.size == 1,
+      s"expected a single stats section in $where, found ${all.size}")
+    all.head
+  }
+
+  def parseAll(text: String, where: Path): Seq[Stats] = {
     val lines = text.linesIterator.filter(_.nonEmpty).toSeq
     require(lines.nonEmpty && lines.head.startsWith("#key\t"),
       s"malformed stats header in $where: ${lines.headOption.getOrElse("<empty>")}")
-    val h = lines.head.split('\t')
-    require(h.length == 3, s"malformed stats header in $where: ${lines.head}")
-    val ranges = lines.tail.map { line =>
-      val a = line.split('\t').padTo(3, "")
-      require(a(0).nonEmpty && line.count(_ == '\t') == 2,
-        s"malformed stats line in $where: $line")
-      val range =
-        if (a(1) == NullMarker && a(2) == NullMarker) None
-        else Some((unb64(a(1)), unb64(a(2))))
-      (a(0), range)
-    }.toMap
-    Stats(h(1), h(2), ranges)
+    val sections = Seq.newBuilder[Stats]
+    var header: Array[String] = null
+    var ranges = Map.newBuilder[String, Option[(String, String)]]
+    def flush(): Unit = if (header != null) {
+      sections += Stats(header(1), header(2), ranges.result())
+      ranges = Map.newBuilder
+    }
+    lines.foreach { line =>
+      if (line.startsWith("#key\t")) {
+        flush()
+        header = line.split('\t')
+        require(header.length == 3, s"malformed stats header in $where: $line")
+      } else {
+        val a = line.split('\t').padTo(3, "")
+        require(a(0).nonEmpty && line.count(_ == '\t') == 2,
+          s"malformed stats line in $where: $line")
+        val range =
+          if (a(1) == NullMarker && a(2) == NullMarker) None
+          else Some((unb64(a(1)), unb64(a(2))))
+        ranges += ((a(0), range))
+      }
+    }
+    flush()
+    sections.result()
   }
 
   def statsPath(dir: Path): Path = new Path(dir, FileName)
 
-  def readIfExists(fs: FileSystem, dir: Path): Option[Stats] = {
+  /** All sections of the sidecar (empty when absent). */
+  def readAll(fs: FileSystem, dir: Path): Seq[Stats] = {
     val p = statsPath(dir)
-    if (!fs.exists(p)) None
+    if (!fs.exists(p)) Seq.empty
     else {
       val in = fs.open(p)
       val text = try {
         new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
           StandardCharsets.UTF_8)
       } finally in.close()
-      Some(parse(text, p))
+      parseAll(text, p)
     }
   }
 
+  /** The FIRST section — the whole sidecar on a single-column table
+    * (every pre-r18 table). Prune paths that must pick the right
+    * section of a multi-column sidecar use [[readAll]] + a column
+    * `find`, never this. */
+  def readIfExists(fs: FileSystem, dir: Path): Option[Stats] =
+    readAll(fs, dir).headOption
+
   def writeAtomic(
-      conf: Configuration, fs: FileSystem, dir: Path, stats: Stats): Unit = {
+      conf: Configuration, fs: FileSystem, dir: Path, stats: Stats): Unit =
+    writeAllAtomic(conf, fs, dir, Seq(stats))
+
+  def writeAllAtomic(
+      conf: Configuration, fs: FileSystem, dir: Path,
+      sections: Seq[Stats]): Unit = {
     val p = statsPath(dir)
     val tmp = new Path(dir, s"$FileName.tmp")
     val out = fs.create(tmp, true)
-    try out.write(serialize(stats).getBytes(StandardCharsets.UTF_8))
+    try out.write(serializeAll(sections).getBytes(StandardCharsets.UTF_8))
     finally out.close()
     FileContext.getFileContext(p.toUri, conf)
       .rename(tmp, p, Options.Rename.OVERWRITE)

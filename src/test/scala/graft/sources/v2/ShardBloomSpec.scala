@@ -201,16 +201,24 @@ class ShardBloomSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("graft-bloom-compat").toString
     append(dir, Seq(row(1L)))
     val mfBefore = scala.io.Source.fromFile(s"$dir/_MANIFEST").mkString
-    intercept[IllegalArgumentException] {
-      Seq(row(2L)).toDF("digest", "text").coalesce(1)
-        .write.format("graft.sources.v2.ShardSink")
-        .option("path", dir).option("bloomColumn", "text")
-        .option("bloomBits", "8192").mode("append").save()
+    // r18 (multi-column sidecars): a bloom on ANOTHER column opens a
+    // new SECTION — allowed; the per-COLUMN geometry stays immutable
+    Seq(row(2L)).toDF("digest", "text").coalesce(1)
+      .write.format("graft.sources.v2.ShardSink")
+      .option("path", dir).option("bloomColumn", "text")
+      .option("bloomBits", "8192").mode("append").save()
+    locally {
+      val (fs, p) = fsDir(dir)
+      val sections = ShardBloom.readAll(fs, p)
+      assert(sections.map(_.column).toSet == Set("digest", "text"))
+      // the pre-existing digest section did not lose its entry
+      assert(sections.find(_.column == "digest").get.filters.size == 1)
     }
+    val mfMid = scala.io.Source.fromFile(s"$dir/_MANIFEST").mkString
     intercept[IllegalArgumentException] {
-      append(dir, Seq(row(2L)), bits = 4096)
+      append(dir, Seq(row(2L)), bits = 4096) // geometry change: refused
     }
-    assert(scala.io.Source.fromFile(s"$dir/_MANIFEST").mkString == mfBefore)
+    assert(scala.io.Source.fromFile(s"$dir/_MANIFEST").mkString == mfMid)
     // and a bogus geometry/column is refused at plan time
     intercept[IllegalArgumentException] {
       append(dir, Seq(row(2L)), bits = 63)
@@ -394,6 +402,55 @@ class ShardBloomSpec extends SparkSpec {
     val local = ShardBloom.candidateShardsLocal(Some(bloom), StringType,
       "k", Seq(key), Seq("A", "B", "C"))
     assert(local == Seq("A"), s"got $local")
+  }
+
+  test("multi-column sidecars: one table prunes on id ranges AND digest blooms; mutators keep every section") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-multicol").toString
+    val both = StructType(Seq(
+      StructField("doc_id", LongType), StructField("ld", StringType)))
+    def md5s(i: Long): String =
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(s"doc-$i")
+    def appendM(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "ld").coalesce(1)
+        .write.format("graft.sources.v2.ShardSink")
+        .option("path", dir)
+        .option("statsColumn", "doc_id")
+        .option("bloomColumn", "doc_id,ld") // TWO bloom sections
+        .option("bloomBits", "8192,16384")  // per-column geometry
+        .mode("append").save()
+    (0 until 4).foreach(s =>
+      appendM((s * 50 until (s + 1) * 50).map(i => (i.toLong, md5s(i.toLong)))))
+    val (fs, p) = fsDir(dir)
+    assert(ShardBloom.readAll(fs, p).map(b => (b.column, b.mBits)).toSet ==
+      Set(("doc_id", 8192), ("ld", 16384)))
+    // range+bloom prune on the id; bloom prune on the digest — SAME table
+    val byId = ShardDelete.candidateShards(
+      spark, dir, both, "doc_id", Seq(5L, 7L).toDF("k"))
+    assert(byId.size == 1, s"id prune failed: $byId")
+    val byDigest = ShardDelete.candidateShards(
+      spark, dir, both, "ld", Seq(md5s(60L), md5s(999999L)).toDF("k"))
+    assert(byDigest.size <= 2 && byDigest.nonEmpty, s"digest prune failed: $byDigest")
+    // a digest-keyed copy-on-write delete merges EVERY section; the id
+    // prune survives it
+    assert(ShardDelete.deleteByKey(spark, dir, both, "ld",
+      Seq(md5s(60L)).toDF("k")) == 1L)
+    assert(ShardBloom.readAll(fs, p).map(_.column).toSet == Set("doc_id", "ld"))
+    assert(ShardDelete.candidateShards(
+      spark, dir, both, "doc_id", Seq(5L).toDF("k")).size == 1)
+    // compaction re-collects every section on the new layout
+    assert(ShardCompact.compact(spark, dir, both, targetShards = 2) == 2)
+    val after = ShardBloom.readAll(fs, p)
+    assert(after.map(_.column).toSet == Set("doc_id", "ld") &&
+      after.forall(_.filters.size == 2))
+    assert(ShardReader.readByKey(spark, dir, both, "ld",
+      Seq(md5s(61L)).toDF("k")).count() == 1L)
+    // degradation: a column with NO section anywhere scans everything
+    val noSection = ShardDelete.candidateShards(
+      spark, dir, both, "ld", Seq("x").toDF("k"))
+    assert(noSection.size <= 2) // ld HAS a section; ghost prunes to 0..FP
+    val statsOnly = ShardStats.candidateShardsLocal(
+      None, LongType, "doc_id", Seq(5L), Seq("a", "b"))
+    assert(statsOnly == Seq("a", "b")) // absent sidecar: all candidates
   }
 
   test("readByKey large-key path evaluates the caller's key pipeline exactly once") {

@@ -38,7 +38,7 @@ class ShardCommitRetrySpec extends SparkSpec {
     val staged = stage(dir, "q1", "part-00000-aaaaaaaa.jsonl",
       "{\"doc_id\":1,\"text\":\"a\"}\n")
     val write = new ShardBatchWrite(dir.toString, "q1", schema,
-      new SerializableHadoopConf(new Configuration()), None)
+      new SerializableHadoopConf(new Configuration()), Nil)
     val msgs: Array[org.apache.spark.sql.connector.write.WriterCommitMessage] =
       Array(ShardCommit(staged, 1L))
 
@@ -59,7 +59,7 @@ class ShardCommitRetrySpec extends SparkSpec {
     // simulate the crash: the rename happened, the manifest write did not
     Files.move(JPath.of(staged), dir.resolve("part-00000-bbbbbbbb.jsonl"))
     val write = new ShardBatchWrite(dir.toString, "q2", schema,
-      new SerializableHadoopConf(new Configuration()), None)
+      new SerializableHadoopConf(new Configuration()), Nil)
 
     write.commit(Array(ShardCommit(staged, 1L)))
 
@@ -71,7 +71,7 @@ class ShardCommitRetrySpec extends SparkSpec {
   test("a rename that truly failed (src and dst both missing) still throws") {
     val dir = Files.createTempDirectory("graft-shard-fail")
     val write = new ShardBatchWrite(dir.toString, "q3", schema,
-      new SerializableHadoopConf(new Configuration()), None)
+      new SerializableHadoopConf(new Configuration()), Nil)
     intercept[java.io.IOException] {
       write.commit(Array(ShardCommit(
         dir.resolve("_staging-q3/part-00000-cccccccc.jsonl").toString, 1L)))

@@ -162,11 +162,26 @@ class ShardStatsSpec extends SparkSpec {
   test("stats column is a table property: switching it on append fails loud; bad column/type fail at plan time") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stats-prop").toString
     append(dir, Seq((1L, "a")))
+    // r18 (multi-column sidecars): stats on ANOTHER column open a new
+    // SECTION — allowed; a column's DTYPE stays immutable (simulate a
+    // drifted sidecar by rewriting the doc_id section as string-typed:
+    // the next doc_id append must refuse)
+    Seq((2L, "b")).toDF("doc_id", "text").coalesce(1)
+      .write.format("graft.sources.v2.ShardSink")
+      .option("path", dir).option("statsColumn", "text")
+      .mode("append").save()
+    locally {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      val sections = ShardStats.readAll(fs, p)
+      assert(sections.map(_.column).toSet == Set("doc_id", "text"))
+      assert(sections.find(_.column == "doc_id").get.ranges.size == 1)
+      ShardStats.writeAllAtomic(spark.sessionState.newHadoopConf(), fs, p,
+        sections.filterNot(_.column == "doc_id") :+
+          ShardStats.Stats("doc_id", "string", Map.empty))
+    }
     val e = intercept[Exception] {
-      Seq((2L, "b")).toDF("doc_id", "text").coalesce(1)
-        .write.format("graft.sources.v2.ShardSink")
-        .option("path", dir).option("statsColumn", "text")
-        .mode("append").save()
+      append(dir, Seq((3L, "c")))
     }
     def chain(t: Throwable): Seq[String] =
       Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
