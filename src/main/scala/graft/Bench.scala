@@ -237,8 +237,20 @@ object Bench {
     // loaded-box flag: load average already near/above the core count at
     // sweep start means another process was competing — the documented
     // high-mode trigger for the minhash family
+    // Streaming rows are a SEPARATE CPU-accounting class, declared in
+    // the artifact: their executor CPU includes micro-batch scheduler
+    // task-spin (threads parked/polled between batches still accrue
+    // small task slices), which bounces across runs of UNCHANGED code —
+    // r16/r17 both flagged stream_eventlog_replay on exactly this with
+    // wall flat. Regression reads of this artifact should trend
+    // streaming rows on WALL (their raw pairs make spin self-evident:
+    // every pass shows cpu >> wall variance) and apply the CPU flag
+    // only to the non-streaming rows.
+    val streamClass = results.collect {
+      case (k, _, _, _, _) if k.startsWith("stream_") => jstr(k)
+    }.mkString("[", ",", "]")
     val protocol =
-      s"""{"isolation":"dedicated-jvm","estimator":"min-of-$passes per metric","load_avg_start":${num3(loadStart)},"load_avg_end":${num3(loadEnd)},"host_cores":$nCores,"concurrent_load":${loadStart > 0.5 * nCores}}"""
+      s"""{"isolation":"dedicated-jvm","estimator":"min-of-$passes per metric","load_avg_start":${num3(loadStart)},"load_avg_end":${num3(loadEnd)},"host_cores":$nCores,"concurrent_load":${loadStart > 0.5 * nCores},"cpu_noise_class":{"rows":$streamClass,"note":"micro-batch scheduler task-spin pollutes executor-CPU on streaming rows; trend these on wall, flag CPU only for non-streaming rows"}}"""
     val fullLine =
       s"""{"metric":"total","value":${num3(total)},"unit":"sec","cpu_total":${num3(cpuTotal)},"passes":$passes,"protocol":$protocol,"queries":$qs,"cpu":$cpus_,"raw":$raws,"sf":${jstr(sfDir)},"failed":$failed}"""
     // The harness keeps only the LAST ~2000 characters of stdout; the

@@ -35,6 +35,21 @@ import org.apache.spark.sql.types._
  * pre-r17 `_SCHEMA` with no `#format` line reads as jsonl — bit-
  * compatible with every existing table.
  *
+ * DEFAULT-FORMAT DECISION (r18, deliberate): fresh tables still default
+ * to JSONL; parquet is one explicit `format=parquet` at table creation
+ * and pinned forever after. Rationale: (1) the default governs what a
+ * pipeline gets when it DIDN'T choose — for an interchange-first ingest
+ * store, line-JSON debuggability and tool-chain universality are the
+ * safer surprise, while a 100 TB ANALYTICAL table is always a
+ * deliberate creation whose author should (and, in every oracled
+ * lifecycle row here, does) choose parquet for the columnar prunes;
+ * (2) flipping the default silently changes the physical payload of
+ * every EXISTING pipeline's next fresh table — the pin protects old
+ * tables, not old code paths; (3) both formats ride identical sidecar /
+ * manifest / tombstone / V2-scan machinery, so the columnar path's
+ * coverage does not depend on the default. Revisit if the store ever
+ * grows a CREATE TABLE surface where the format is always explicit.
+ *
  * The parquet writer is parquet-hadoop's [[ParquetWriter]] under a
  * purpose-built [[WriteSupport]] over Catalyst [[InternalRow]]s —
  * NOT a Spark-internal class (those are private API): the sink's row

@@ -385,7 +385,14 @@ class PlanSpec extends SparkSpec {
       "quality_lm_score", "lm_source_divergence", "pipeline_corpus_v6",
       "quality_rrf_topk",
       // r10 embedding reductions (now exploded scalar surfaces)
-      "embed_pca_project", "embed_rp_project")
+      "embed_pca_project", "embed_rp_project",
+      // r18: the planted-twin verdict rows share the minhash DAG but
+      // add the twin-plant union + the kept-set join — the r17 bench
+      // artifact showed a cold-pass CPU swing on the cc twin, so its
+      // plan shape is pinned here too (no cartesian, pruned scans);
+      // the swing itself reproduced as warm-up, not plan instability
+      // (6 consecutive idle-box passes within 2× after pass 1)
+      "dedup_minhash_cc_verdict", "dedup_minhash_keep_verdict")
     val fullWidth = graft.sources.Tables.documents(spark, sfDir).schema.size
     for (q <- hot) {
       val p = plan(q)
