@@ -247,6 +247,10 @@ object BenchScale {
     // store lifecycle (bloom takedown -> CDC -> retention -> pushed
     // lookup) — the store-lifecycle composite shape
     "pipeline_corpus_v12" -> "composite",
+    // r18 flagship: merge-on-read takedown + windowed/streamed CDC +
+    // V2 SQL read + multi-column prunes + materializing compaction —
+    // the store-lifecycle composite shape
+    "pipeline_corpus_v13" -> "composite",
     // r17: hit discovery on a DIGEST-keyed table — the key class where
     // min/max ranges prune nothing; with the `_BLOOM` sidecar a fixed
     // 5-digest set must read the same few shards at x1 and x10 (the

@@ -544,6 +544,145 @@ object PipelineQueries extends QueryFamily {
       .orderBy(col("bucket"))
   }
 
+  /**
+   * Composed flagship v13 — the r18 store surface end-to-end: v12's
+   * front (unicode span removal → content gate → min-id exact dedup),
+   * then a PARQUET table with MULTI-COLUMN sidecars (`_STATS` on the
+   * id; `_BLOOM` on id AND digest) built as two range-split appends;
+   * a MERGE-ON-READ digest takedown ([[graft.sources.v2.ShardDelete
+   * .deleteByKeyDeferred]]) whose physical no-rewrite is gated
+   * byte-for-byte; a fresh append RE-ADDING the lowest deleted digest
+   * at `doc_id + 10⁷` (shard-scoped tombstones must serve it);
+   * snapshot-bracketed WINDOWED CDC (v1→v2 all-removed ≡ the takedown,
+   * v2→v3 exactly the one re-add) plus the STREAMED replay of the same
+   * windows through [[graft.sources.v2.ShardChangesStream]] (window
+   * set + counts must agree); SQL over the V2 READ relation (a 3-id
+   * IN-query plans ONE partition of five, the old copy of the re-added
+   * digest stays hidden while the fresh copy serves — the tombstone
+   * screen and its scoping observed THROUGH Catalyst); then the
+   * materializing compaction + one-call retention, with zero ghosts
+   * and the tombstone segments verifiably reclaimed. Bucket digest
+   * rollup against DuckDB's store-less derivation (survivors minus the
+   * takedown plus the re-add).
+   */
+  def pipelineCorpusV13(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.v2.{ShardCompact, ShardDelete, ShardReader, ShardSnapshot}
+    val out = graft.TmpCleanup.perProcessDir("graft-v13-store", dir)
+    graft.TmpCleanup.register(out)
+    graft.TmpCleanup.wipe(out)
+    val mdocs = ExtensionQueries.withMixedText(
+      Tables.documents(spark, dir), full = false)
+    val span = Ngrams.removeDuplicateSpans(
+      mdocs, "doc_id", "mtext", n = 4, unicode = true)
+    val gated = span.filter(col("n_tokens") - col("n_removed") >= 5)
+      .select(col("doc_id"), md5(col("text_clean")).as("ld"))
+    val sur = graft.CacheScope.scoped(Dedup.exactByKey(gated, Seq("ld"), "doc_id"))
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("ld", StringType)))
+    val mid = Tables.documents(spark, dir)
+      .agg(max(col("doc_id"))).collect().head.getLong(0) / 2L
+    def append(half: DataFrame): Unit =
+      half.write.format("graft.sources.v2.ShardSink")
+        .option("path", out)
+        .option(graft.sources.v2.ShardPayload.OptionKey, "parquet")
+        .option("statsColumn", "doc_id")
+        .option("bloomColumn", "doc_id,ld")
+        .option("bloomBits", ((1 << 17).toString) + "," + ((1 << 20).toString))
+        .mode("append").save()
+    append(sur.filter(col("doc_id") <= mid)
+      .repartitionByRange(2, col("doc_id")))
+    append(sur.filter(col("doc_id") > mid)
+      .repartitionByRange(2, col("doc_id")))
+    val v1 = ShardSnapshot.create(spark, out)
+
+    // MERGE-ON-READ digest takedown: physically writes NOTHING but one
+    // segment + one sidecar line
+    val delKeys = sur.filter(col("doc_id") % 17 === 2).select(col("ld"))
+    val nDel = delKeys.count()
+    def physical(): (String, Set[(String, Long)]) = {
+      val d = new java.io.File(out)
+      (scala.io.Source.fromFile(new java.io.File(d, "_MANIFEST")).mkString,
+        d.listFiles().toSeq
+          .filter(f => f.isFile && f.getName.startsWith("part-"))
+          .map(f => (f.getName, f.length())).toSet)
+    }
+    val before = physical()
+    val recorded = ShardDelete.deleteByKeyDeferred(
+      spark, out, schema, "ld", delKeys)
+    val storeOk = recorded == nDel && nDel > 0 && physical() == before
+    val v2 = ShardSnapshot.create(spark, out)
+
+    // re-add the LOWEST deleted digest at doc_id + 10⁷: a fresh shard
+    // outside every segment's scope — visible immediately
+    val readd = sur.filter(col("doc_id") % 17 === 2)
+      .orderBy(col("doc_id")).limit(1).collect().head
+    val readdId = readd.getLong(0) + 10000000L
+    val readdLd = readd.getString(1)
+    append(sur.filter(col("doc_id") % 17 === 2)
+      .orderBy(col("doc_id")).limit(1)
+      .select((col("doc_id") + 10000000L).as("doc_id"), col("ld")))
+    val v3 = ShardSnapshot.create(spark, out)
+
+    // WINDOWED CDC: disjoint, composable snapshot-bracketed feeds
+    val w1 = ShardSnapshot.readChanges(spark, out, schema, "ld", v1, v2)
+    val w2 = ShardSnapshot.readChanges(spark, out, schema, "ld", v2, v3)
+    val w2rows = w2.collect()
+    val windowOk = w1.count() == nDel &&
+      w1.filter(col("change") =!= "removed").count() == 0L &&
+      w2rows.length == 1 && w2rows.head.getAs[String]("change") == "added" &&
+      w2rows.head.getAs[Long]("doc_id") == readdId
+
+    // STREAMED replay of the same windows, exactly-once
+    val feedDir = s"$out/_v13feed"; val ckpt = s"$out/_v13ckpt"
+    val q = graft.sources.v2.ShardChangesStream.replay(
+      spark, out, schema, "ld", feedDir, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    val wins = new java.io.File(feedDir).listFiles()
+      .map(_.getName).filter(_.startsWith("window=")).toSet
+    val streamOk = wins == Set(s"window=${v1}_$v2", s"window=${v2}_$v3") &&
+      spark.read.parquet(s"$feedDir/window=${v1}_$v2").count() == nDel &&
+      spark.read.parquet(s"$feedDir/window=${v2}_$v3").count() == 1L
+
+    // SQL over the V2 relation: pruned planning + the tombstone screen
+    // (old copy hidden, re-added copy served) through Catalyst
+    spark.read.format("graft.sources.v2.ShardSink").load(out)
+      .createOrReplaceTempView("graft_v13_tbl")
+    val lowIds = sur.filter(col("doc_id") % 17 =!= 2)
+      .orderBy(col("doc_id")).limit(3).collect().map(_.getLong(0))
+    val sqlPoint = spark.sql("SELECT doc_id FROM graft_v13_tbl WHERE " +
+      s"doc_id IN (${lowIds.mkString(",")})")
+    val readdServed = spark.sql(
+      s"SELECT doc_id FROM graft_v13_tbl WHERE ld = '$readdLd'").collect()
+    val sqlOk = sqlPoint.rdd.getNumPartitions == 1 &&
+      sqlPoint.count() == 3L &&
+      readdServed.map(_.getLong(0)).toSeq == Seq(readdId)
+
+    // materialize + one-call retention compliance; segments reclaimed
+    ShardCompact.compact(spark, out, schema, targetShards = 4)
+    val (dropped, _) = ShardSnapshot.retain(spark, out, keepLast = 0)
+    val ghostKeys = delKeys.filter(col("ld") =!= readdLd)
+    val ghosts = ShardReader.readByKey(spark, out, schema, "ld", ghostKeys)
+      .count()
+    val tombsGone = !new java.io.File(out, "_TOMBSTONES").exists() &&
+      !new java.io.File(out).listFiles().exists(_.getName.startsWith("tomb-"))
+    val back = ShardReader.read(spark, out, schema)
+    val forgetOk = ghosts == 0L && tombsGone &&
+      dropped == Seq(v1, v2, v3) &&
+      ShardReader.manifestRowCount(spark, out) == back.count()
+    back.groupBy((col("doc_id") % 8).as("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        md5(concat_ws("",
+          transform(array_sort(collect_list(struct(col("doc_id"), col("ld")))),
+            x => x.getField("ld")))).as("digest"))
+      .withColumn("store_ok", lit(storeOk))
+      .withColumn("window_ok", lit(windowOk))
+      .withColumn("stream_ok", lit(streamOk))
+      .withColumn("sql_ok", lit(sqlOk))
+      .withColumn("forget_ok", lit(forgetOk))
+      .orderBy(col("bucket"))
+  }
+
   /** Exact-substring REMOVAL (Lee et al. 2022's rewrite stage): delete
     * duplicated ≥4-token runs, keeping each gram's corpus-first
     * occurrence; rebuilt text + attrition telemetry per doc. */
@@ -1178,6 +1317,7 @@ object PipelineQueries extends QueryFamily {
     "pipeline_corpus_v10" -> (pipelineCorpusV10 _),
     "pipeline_corpus_v11" -> (pipelineCorpusV11 _),
     "pipeline_corpus_v12" -> (pipelineCorpusV12 _),
+    "pipeline_corpus_v13" -> (pipelineCorpusV13 _),
     "dedup_substring_pairs" -> (dedupSubstringPairs _),
     "dedup_substring_verify" -> (dedupSubstringVerify _),
     "dedup_span_removal" -> (dedupSpanRemoval _),
@@ -1819,6 +1959,28 @@ object PipelineQueries extends QueryFamily {
          |  MD5(STRING_AGG(ld, '' ORDER BY doc_id)) AS digest,
          |  TRUE AS store_ok, TRUE AS forget_ok,
          |  TRUE AS cdc_ok, TRUE AS pushed_ok
+         |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin,
+    // v13: the same front as v12; the store carries multi-column
+    // sidecars and the takedown is MERGE-ON-READ with one digest
+    // re-added at +10⁷ — final table = survivors minus the %17 set
+    // plus the lowest deleted digest's re-add; every lifecycle gate
+    // (no-rewrite, windows, streamed replay, SQL screen, retention)
+    // is a constant
+    "pipeline_corpus_v13" ->
+      s"""WITH ${inMargin(toksUniCte)},
+         |${inMargin(spanRemovalCtes)},
+         |gated AS (SELECT doc_id, MD5(text_clean) AS ld FROM spanout
+         |          WHERE n_tokens - n_removed >= 5),
+         |sur AS (SELECT doc_id, ld FROM gated
+         |        QUALIFY ROW_NUMBER() OVER (PARTITION BY ld ORDER BY doc_id) = 1),
+         |readd AS (SELECT doc_id + 10000000 AS doc_id, ld FROM sur
+         |          WHERE doc_id % 17 = 2 ORDER BY doc_id LIMIT 1),
+         |fin AS (SELECT doc_id, ld FROM sur WHERE doc_id % 17 <> 2
+         |        UNION ALL SELECT doc_id, ld FROM readd)
+         |SELECT doc_id % 8 AS bucket, CAST(COUNT(1) AS BIGINT) AS n_docs,
+         |  MD5(STRING_AGG(ld, '' ORDER BY doc_id)) AS digest,
+         |  TRUE AS store_ok, TRUE AS window_ok, TRUE AS stream_ok,
+         |  TRUE AS sql_ok, TRUE AS forget_ok
          |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin,
     // the unicode-contract span-removal replay: the SAME rewrite CTE
     // chain over the unicode token stream of the mixed column
