@@ -232,6 +232,9 @@ object BenchScale {
     // r18: two-class pruning (id ranges + digest blooms) on one table,
     // with a digest-keyed CoW delete in the middle — lifecycle shape
     "shard_multicol_prune" -> "composite",
+    // r18: build + the metadata-answered aggregate; the build is the
+    // linear term, the aggregate itself is O(#shards) sidecar parse
+    "shard_agg_pushdown" -> "linear",
     // r17: the change-feed read (build -> snapshot -> upsert -> delete
     // -> CDC catch-up) — store-lifecycle composite; the feed itself is
     // change-set-sized by construction

@@ -3281,6 +3281,45 @@ object ExtensionQueries extends QueryFamily {
   }
 
   /**
+   * Metadata-plane aggregate pushdown on the V2 relation
+   * ([[graft.sources.v2.ShardScanBuilder]], r18): an unfiltered
+   * `COUNT(*) / MIN(id) / MAX(id)` over the store answers from ONE
+   * `_MANIFEST`/`_STATS` read — at 100 TB the difference between a
+   * metadata RPC and a cluster-hour. `agg_ok` gates that the executed
+   * plan is the metadata scan (`ShardAggScan`), that a FILTERED count
+   * refuses the shortcut (exactness first), and that both agree with
+   * each other. Values oracle against DuckDB's direct aggregate.
+   */
+  def shardAggPushdown(spark: SparkSession, dir: String): DataFrame = {
+    val out = graft.TmpCleanup.perProcessDir("graft-v2-agg", dir)
+    graft.TmpCleanup.register(out)
+    graft.TmpCleanup.wipe(out)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(col("text")).as("ld"))
+      .repartitionByRange(4, col("doc_id"))
+      .write.format("graft.sources.v2.ShardSink")
+      .option("path", out).option("statsColumn", "doc_id")
+      .option("format", "parquet")
+      .mode("append").save()
+    spark.read.format("graft.sources.v2.ShardSink").load(out)
+      .createOrReplaceTempView("graft_agg_tbl")
+    val meta = spark.sql(
+      "SELECT COUNT(*) AS n, MIN(doc_id) AS lo, MAX(doc_id) AS hi " +
+        "FROM graft_agg_tbl")
+    val metaPushed = meta.queryExecution.executedPlan.toString
+      .contains("graft.ShardAggScan")
+    val filtered = spark.sql(
+      "SELECT COUNT(*) AS n FROM graft_agg_tbl WHERE doc_id >= 0")
+    val filteredFellBack = !filtered.queryExecution.executedPlan.toString
+      .contains("graft.ShardAggScan")
+    val r = meta.collect().head
+    val aggOk = metaPushed && filteredFellBack &&
+      r.getLong(0) == filtered.collect().head.getLong(0)
+    meta.select(col("n"), col("lo"), col("hi"))
+      .withColumn("agg_ok", lit(aggOk))
+  }
+
+  /**
    * MULTI-COLUMN sidecars on one table (r17 verdict's missing #4): the
    * store carries `_STATS` on the sequential id AND `_BLOOM` sections
    * on BOTH the id and the content digest (per-column geometry), so
@@ -3796,6 +3835,7 @@ object ExtensionQueries extends QueryFamily {
     "shard_read_by_key_parquet" -> (shardReadByKeyParquet _),
     "shard_v2_read" -> (shardV2Read _),
     "shard_multicol_prune" -> (shardMulticolPrune _),
+    "shard_agg_pushdown" -> (shardAggPushdown _),
     "shard_compact_roundtrip" -> (shardCompactRoundtrip _),
     "shard_read_by_key" -> (shardReadByKey _),
     "shard_schema_evolution" -> (shardSchemaEvolution _),
@@ -5709,6 +5749,12 @@ object ExtensionQueries extends QueryFamily {
         |    WHERE doc_id % 17 = 5 AND doc_id % 4 = 2
         |    ORDER BY doc_id LIMIT 5))
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the metadata-aggregate twin: DuckDB computes the same aggregate
+    // directly; the plan gates are constant-TRUE
+    "shard_agg_pushdown" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  MIN(doc_id) AS lo, MAX(doc_id) AS hi, TRUE AS agg_ok
+        |FROM documents""".stripMargin,
     // the multi-column sidecar twin: documents minus the rows sharing
     // the LOWEST doc's digest (duplicate texts delete everywhere —
     // keyed semantics); the two-class prune gate is constant-TRUE

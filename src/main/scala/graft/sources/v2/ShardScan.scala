@@ -77,10 +77,108 @@ private[v2] object ShardScan {
 
 private[v2] class ShardScanBuilder(path: String, tableSchema: StructType)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = tableSchema
+  // COMPLETE aggregate pushdown answered from the METADATA PLANE: an
+  // unfiltered, ungrouped COUNT(*) is the manifest's row-count sum and
+  // MIN/MAX over a stats column folds the `_STATS` ranges — one sidecar
+  // read instead of a table scan (at 100 TB, the difference between a
+  // metadata RPC and a cluster-hour). Only exact answers push: any
+  // pushed filter, grouping, live tombstones (manifest counts become
+  // upper bounds), a shard missing its stats entry, or a non-stats
+  // column refuses — the scan falls back to rows, never approximates.
+  private var aggAnswer: Option[Seq[Any]] = None
+  private var aggSchema: StructType = _
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = metadataAnswer(agg).isDefined
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean =
+    metadataAnswer(agg) match {
+      case Some((vals, schema)) =>
+        aggAnswer = Some(vals); aggSchema = schema; true
+      case None => false
+    }
+
+  /** The exact metadata answer for `agg`, or None when any element
+    * cannot be answered exactly from `_MANIFEST`/`_STATS`. */
+  private def metadataAnswer(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[(Seq[Any], StructType)] = {
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    if (pushed.nonEmpty || agg.groupByExpressions().nonEmpty) return None
+    val spark = SparkSession.active
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val mfPath = new Path(dir, ShardManifest.FileName)
+    if (!fs.exists(mfPath)) return None
+    if (ShardTombstones.readIfExists(fs, dir).isDefined) return None
+    val entries = ShardManifest.read(fs, mfPath)
+    lazy val statsSections = ShardStats.readAll(fs, dir)
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case n: NamedReference if n.fieldNames.length == 1 =>
+        Some(n.fieldNames.head)
+      case _ => None
+    }
+    // fold one stats section end-to-end: every manifested shard must
+    // carry an entry (None = all-null shard, skipped like SQL min/max
+    // skips nulls); the fold stays in the column's own ordering
+    def foldStats(colName: String, wantMin: Boolean): Option[(Any, DataType)] =
+      tableSchema.fields.find(_.name == colName).flatMap { f =>
+        statsSections.find(s => s.column == colName &&
+          ShardStats.dtypeTag(f.dataType).contains(s.dtype)).flatMap { s =>
+          if (!entries.forall { case (n, _) => s.ranges.contains(n) }) None
+          else {
+            val bounds = entries.flatMap { case (n, _) =>
+              s.ranges(n).map(r => if (wantMin) r._1 else r._2) }
+            if (bounds.isEmpty) Some((null, f.dataType)) // all-null column
+            else s.dtype match {
+              case "long" =>
+                val v = if (wantMin) bounds.map(_.toLong).min
+                        else bounds.map(_.toLong).max
+                Some((f.dataType match {
+                  case LongType => v
+                  case IntegerType => v.toInt
+                  case ShortType => v.toShort
+                  case _ => v.toByte
+                }, f.dataType))
+              case "double" =>
+                val ds = bounds.map(_.toDouble)
+                val v = if (wantMin) ds.reduce((a, b) =>
+                    if (java.lang.Double.compare(a, b) <= 0) a else b)
+                  else ds.reduce((a, b) =>
+                    if (java.lang.Double.compare(a, b) >= 0) a else b)
+                Some((f.dataType match {
+                  case DoubleType => v
+                  case _ => v.toFloat
+                }, f.dataType))
+              case _ =>
+                val us = bounds.map(UTF8String.fromString)
+                Some((if (wantMin) us.min else us.max, f.dataType))
+            }
+          }
+        }
+      }
+    val answered = agg.aggregateExpressions().toSeq.map {
+      case _: CountStar =>
+        Some((entries.map(_._2).sum: Any, LongType: DataType))
+      case m: Min => colOf(m.column).flatMap(foldStats(_, wantMin = true))
+      case m: Max => colOf(m.column).flatMap(foldStats(_, wantMin = false))
+      case _ => None
+    }
+    if (answered.exists(_.isEmpty)) None
+    else Some((answered.map(_.get._1),
+      StructType(answered.zipWithIndex.map { case (a, i) =>
+        StructField(s"agg_$i", a.get._2, nullable = true) })))
+  }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     // keep the equality shapes on sidecar-prunable columns for shard
@@ -110,9 +208,46 @@ private[v2] class ShardScanBuilder(path: String, tableSchema: StructType)
     required = StructType(
       tableSchema.fields.filter(f => requiredSchema.fieldNames.contains(f.name)))
 
-  override def build(): Scan =
-    new ShardScanImpl(path, tableSchema, required, pushed)
+  override def build(): Scan = aggAnswer match {
+    case Some(vals) => new ShardAggScan(path, aggSchema, vals)
+    case None => new ShardScanImpl(path, tableSchema, required, pushed)
+  }
 }
+
+/** The metadata-plane answer as a one-row scan: COUNT(*)/MIN/MAX folded
+  * on the driver from `_MANIFEST`/`_STATS` at build time — zero data
+  * files opened. */
+private[v2] class ShardAggScan(
+    path: String, schema: StructType, values: Seq[Any])
+    extends Scan with Batch {
+  override def readSchema(): StructType = schema
+  override def description(): String =
+    s"graft.ShardAggScan($path, metadata-answered aggregate)"
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(ShardAggPartition(values.map {
+      case s: String => UTF8String.fromString(s)
+      case other => other
+    }))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(
+          p: InputPartition): PartitionReader[InternalRow] = {
+        val vals = p.asInstanceOf[ShardAggPartition].values
+        new PartitionReader[InternalRow] {
+          private var emitted = false
+          override def next(): Boolean =
+            if (emitted) false else { emitted = true; true }
+          override def get(): InternalRow =
+            new GenericInternalRow(vals.toArray)
+          override def close(): Unit = ()
+        }
+      }
+    }
+}
+
+private[v2] case class ShardAggPartition(values: Seq[Any])
+    extends InputPartition
 
 private[v2] class ShardScanImpl(
     path: String,

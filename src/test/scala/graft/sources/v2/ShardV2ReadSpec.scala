@@ -113,6 +113,51 @@ class ShardV2ReadSpec extends SparkSpec {
     }
   }
 
+  test("COUNT(*)/MIN/MAX answer from the metadata plane: zero shard files opened") {
+    val dir = build(ShardPayload.Parquet)
+    spark.read.format("graft.sources.v2.ShardSink").load(dir)
+      .createOrReplaceTempView("v2_agg_tbl")
+    val q = spark.sql(
+      "SELECT COUNT(*), MIN(doc_id), MAX(doc_id) FROM v2_agg_tbl")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("graft.ShardAggScan"),
+      s"aggregate did not push to the metadata plane:\n$plan")
+    val r = q.collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == (300L, 0L, 299L))
+    // PHYSICAL impossibility: every data shard removed from disk — the
+    // metadata answer must not open one
+    val names = scala.io.Source.fromFile(s"$dir/_MANIFEST").getLines()
+      .filter(_.nonEmpty).map(_.split("\t")(0)).toSeq
+    names.foreach(n => assert(new java.io.File(dir, n).delete()))
+    assert(spark.sql("SELECT COUNT(*) FROM v2_agg_tbl").collect()
+      .head.getLong(0) == 300L)
+
+    // refusal directions fall back to the row scan (exactness first):
+    // a WHERE clause, a grouped aggregate, and live tombstones
+    val dir2 = build(ShardPayload.Jsonl)
+    spark.read.format("graft.sources.v2.ShardSink").load(dir2)
+      .createOrReplaceTempView("v2_agg_tbl2")
+    val filtered = spark.sql(
+      "SELECT COUNT(*) FROM v2_agg_tbl2 WHERE doc_id < 100")
+    assert(!filtered.queryExecution.executedPlan.toString
+      .contains("ShardAggScan"))
+    assert(filtered.collect().head.getLong(0) == 100L)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    ShardDelete.deleteByKeyDeferred(spark, dir2, schema, "doc_id",
+      Seq(5L).toDF("k"))
+    val tombed = spark.sql("SELECT COUNT(*) FROM v2_agg_tbl2")
+    assert(!tombed.queryExecution.executedPlan.toString
+      .contains("ShardAggScan"),
+      "manifest counts are an upper bound under live tombstones")
+    assert(tombed.collect().head.getLong(0) == 299L)
+    // MIN/MAX on a column with no stats section: falls back, stays right
+    val minText = spark.sql("SELECT MAX(text) FROM v2_agg_tbl2")
+    assert(!minText.queryExecution.executedPlan.toString
+      .contains("ShardAggScan"))
+    assert(minText.collect().head.getString(0) == "текст 99")
+  }
+
   test("runtime filtering re-prunes the partition list with join-key IN-sets") {
     val dir = build(ShardPayload.Jsonl)
     val builder = new ShardScanBuilder(dir,
