@@ -3118,6 +3118,20 @@ object ExtensionQueries extends QueryFamily {
    * Read-back digest chains must equal DuckDB's store-less derivation
    * of "documents minus the takedown plus the re-adds".
    */
+  /** The merge-on-read no-rewrite fingerprint, shared by every row
+    * gating the physical claim ([[shardDeleteDeferred]],
+    * [[PipelineQueries.pipelineCorpusV13]]): manifest bytes + the
+    * (name, size) set of every data shard — identical across a
+    * deferred delete iff zero shard I/O happened. */
+  private[queries] def storePhysicalState(
+      out: String): (String, Set[(String, Long)]) = {
+    val d = new java.io.File(out)
+    (scala.io.Source.fromFile(new java.io.File(d, "_MANIFEST")).mkString,
+      d.listFiles().toSeq
+        .filter(f => f.isFile && f.getName.startsWith("part-"))
+        .map(f => (f.getName, f.length())).toSet)
+  }
+
   def shardDeleteDeferred(spark: SparkSession, dir: String): DataFrame = {
     import graft.sources.v2.{ShardCompact, ShardDelete, ShardReader}
     val out = graft.TmpCleanup.perProcessDir("graft-shard-mor", dir)
@@ -3133,13 +3147,8 @@ object ExtensionQueries extends QueryFamily {
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("ld", StringType)))
-    def physicalState(): (String, Set[(String, Long)]) = {
-      val d = new java.io.File(out)
-      (scala.io.Source.fromFile(new java.io.File(d, "_MANIFEST")).mkString,
-        d.listFiles().toSeq
-          .filter(f => f.isFile && f.getName.startsWith("part-"))
-          .map(f => (f.getName, f.length())).toSet)
-    }
+    def physicalState(): (String, Set[(String, Long)]) =
+      storePhysicalState(out)
     val src = Tables.documents(spark, dir)
     val delKeys = src.filter(col("doc_id") % 13 === 1).select(col("doc_id"))
     val nKeys = delKeys.count()

@@ -600,13 +600,8 @@ object PipelineQueries extends QueryFamily {
     // segment + one sidecar line
     val delKeys = sur.filter(col("doc_id") % 17 === 2).select(col("ld"))
     val nDel = delKeys.count()
-    def physical(): (String, Set[(String, Long)]) = {
-      val d = new java.io.File(out)
-      (scala.io.Source.fromFile(new java.io.File(d, "_MANIFEST")).mkString,
-        d.listFiles().toSeq
-          .filter(f => f.isFile && f.getName.startsWith("part-"))
-          .map(f => (f.getName, f.length())).toSet)
-    }
+    def physical(): (String, Set[(String, Long)]) =
+      ExtensionQueries.storePhysicalState(out)
     val before = physical()
     val recorded = ShardDelete.deleteByKeyDeferred(
       spark, out, schema, "ld", delKeys)

@@ -181,11 +181,12 @@ private[graft] object ShardBloom {
 
   /** Multi-column form (r18): one SECTION per column, each with its
     * own header and geometry — a single-section file is byte-identical
-    * to the pre-r18 format. */
+    * to the pre-r18 format. Section order preserved as given
+    * ([[ShardStats.serializeAll]]'s first-configured-column rationale). */
   def serializeAll(sections: Seq[Bloom]): String = {
     require(sections.map(_.column).distinct.size == sections.size,
       s"duplicate bloom sections: ${sections.map(_.column).mkString(",")}")
-    sections.sortBy(_.column).map(serialize).mkString
+    sections.map(serialize).mkString
   }
 
   def parse(text: String, where: Path): Bloom = {

@@ -82,6 +82,13 @@ private[v2] class ShardScanBuilder(path: String, tableSchema: StructType)
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = tableSchema
+
+  // ONE metadata read per planned query: the sidecars are parsed here
+  // lazily and threaded through every consumer (pushFilters, the
+  // aggregate answer, the scan's planning and runtime re-pruning) —
+  // on an object store each re-read is a metadata RPC, and planning
+  // previously paid up to six of them
+  private lazy val meta: ShardScanMeta = ShardScanMeta.load(path)
   // COMPLETE aggregate pushdown answered from the METADATA PLANE: an
   // unfiltered, ungrouped COUNT(*) is the manifest's row-count sum and
   // MIN/MAX over a stats column folds the `_STATS` ranges — one sidecar
@@ -114,14 +121,10 @@ private[v2] class ShardScanBuilder(path: String, tableSchema: StructType)
     import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
     import org.apache.spark.sql.connector.expressions.NamedReference
     if (pushed.nonEmpty || agg.groupByExpressions().nonEmpty) return None
-    val spark = SparkSession.active
-    val dir = new Path(path)
-    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
-    val mfPath = new Path(dir, ShardManifest.FileName)
-    if (!fs.exists(mfPath)) return None
-    if (ShardTombstones.readIfExists(fs, dir).isDefined) return None
-    val entries = ShardManifest.read(fs, mfPath)
-    lazy val statsSections = ShardStats.readAll(fs, dir)
+    if (!meta.manifestExists) return None
+    if (meta.tombstones.isDefined) return None
+    val entries = meta.entries
+    val statsSections = meta.stats
     def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
         : Option[String] = e match {
       case n: NamedReference if n.fieldNames.length == 1 =>
@@ -185,12 +188,8 @@ private[v2] class ShardScanBuilder(path: String, tableSchema: StructType)
     // pruning; EVERY filter is returned as residual — the prune is
     // shard-level, rows still filter above the scan (a bloom false
     // positive must never leak a row)
-    val dir = new Path(path)
-    val fs = dir.getFileSystem(
-      SparkSession.active.sessionState.newHadoopConf())
     val prunable =
-      ShardStats.readAll(fs, dir).map(_.column).toSet ++
-        ShardBloom.readAll(fs, dir).map(_.column).toSet
+      meta.stats.map(_.column).toSet ++ meta.bloom.map(_.column).toSet
     pushed = filters.filter {
       case EqualTo(c, _) => prunable.contains(c)
       case EqualNullSafe(c, _) => prunable.contains(c)
@@ -210,7 +209,34 @@ private[v2] class ShardScanBuilder(path: String, tableSchema: StructType)
 
   override def build(): Scan = aggAnswer match {
     case Some(vals) => new ShardAggScan(path, aggSchema, vals)
-    case None => new ShardScanImpl(path, tableSchema, required, pushed)
+    case None => new ShardScanImpl(path, tableSchema, required, pushed, meta)
+  }
+}
+
+/** One parsed snapshot of the table's metadata plane, shared by every
+  * planning consumer of one query (driver-only, never serialized). */
+private[v2] final case class ShardScanMeta(
+    manifestExists: Boolean,
+    entries: Seq[(String, Long)],
+    stats: Seq[ShardStats.Stats],
+    bloom: Seq[ShardBloom.Bloom],
+    tombstones: Option[ShardTombstones.Tombstones],
+    fmt: String)
+
+private[v2] object ShardScanMeta {
+  def load(path: String): ShardScanMeta = {
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(
+      SparkSession.active.sessionState.newHadoopConf())
+    val mfPath = new Path(dir, ShardManifest.FileName)
+    val exists = fs.exists(mfPath)
+    ShardScanMeta(
+      manifestExists = exists,
+      entries = if (exists) ShardManifest.read(fs, mfPath) else Nil,
+      stats = ShardStats.readAll(fs, dir),
+      bloom = ShardBloom.readAll(fs, dir),
+      tombstones = ShardTombstones.readIfExists(fs, dir),
+      fmt = ShardPayload.of(fs, dir))
   }
 }
 
@@ -253,7 +279,8 @@ private[v2] class ShardScanImpl(
     path: String,
     tableSchema: StructType,
     required: StructType,
-    pushed: Array[Filter])
+    pushed: Array[Filter],
+    @transient meta: ShardScanMeta)
     extends Scan with Batch with SupportsRuntimeFiltering {
 
   @volatile private var runtime: Array[Filter] = Array.empty
@@ -266,45 +293,36 @@ private[v2] class ShardScanImpl(
 
   // runtime filtering: join-key IN-sets re-prune the partition list at
   // execution time with the same driver-local sidecar probes
-  override def filterAttributes(): Array[NamedReference] = {
-    val dir = new Path(path)
-    val fs = dir.getFileSystem(
-      SparkSession.active.sessionState.newHadoopConf())
-    (ShardStats.readAll(fs, dir).map(_.column) ++
-      ShardBloom.readAll(fs, dir).map(_.column))
+  override def filterAttributes(): Array[NamedReference] =
+    (meta.stats.map(_.column) ++ meta.bloom.map(_.column))
       .distinct.filter(tableSchema.fieldNames.contains(_))
       .map(Expressions.column).toArray
-  }
   override def filter(filters: Array[Filter]): Unit = runtime = filters
 
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = SparkSession.active
     val dir = new Path(path)
-    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
-    val mfPath = new Path(dir, ShardManifest.FileName)
-    require(fs.exists(mfPath),
+    require(meta.manifestExists,
       s"no ${ShardManifest.FileName} under $path — nothing has been committed there")
-    val manifested = ShardManifest.read(fs, mfPath).map(_._1)
+    val manifested = meta.entries.map(_._1)
     // plan-time + runtime equality sets prune via the LOCAL probes —
     // zero jobs, the scan's partition list IS the candidate list
-    val stats = ShardStats.readAll(fs, dir)
-    val bloom = ShardBloom.readAll(fs, dir)
     var candidates = manifested
     ShardScan.equalityValues((pushed ++ runtime).toSeq).foreach {
       case (colName, vals) =>
         tableSchema.fields.find(_.name == colName).foreach { f =>
           candidates = ShardStats.candidateShardsLocal(
-            stats.find(_.column == colName), f.dataType, colName, vals,
+            meta.stats.find(_.column == colName), f.dataType, colName, vals,
             candidates)
           candidates = ShardBloom.candidateShardsLocal(
-            bloom.find(_.column == colName), f.dataType, colName, vals,
+            meta.bloom.find(_.column == colName), f.dataType, colName, vals,
             candidates)
         }
     }
-    val fmt = ShardPayload.of(fs, dir)
+    val fmt = meta.fmt
     // merge-on-read tombstones ride into the readers as per-segment
     // (scope, keys) pairs — loaded once on the driver, takedown-sized
-    val tombs = ShardTombstones.readIfExists(fs, dir).map { t =>
+    val tombs = meta.tombstones.map { t =>
       val totalKeys = t.segments.map(_.nKeys).sum
       require(totalKeys <= ShardScan.MaxInlineTombstoneKeys,
         s"table at $path carries $totalKeys pending tombstone keys — " +

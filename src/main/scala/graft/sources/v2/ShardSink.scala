@@ -484,10 +484,17 @@ private[v2] class ShardBatchWrite(
               val name = new Path(staged).getName
               if (freshNames.contains(name)) Some(name -> ranges(i)) else None
           }.toMap
-          val prev = sections.find(_.column == colName)
-            .map(_.ranges).getOrElse(Map.empty[String, Option[(String, String)]])
-          sections.filterNot(_.column == colName) :+
-            ShardStats.Stats(colName, tag, prev ++ freshStats)
+          // update IN PLACE — the first-ever-configured column must
+          // stay the FIRST section (the compaction layout axis); new
+          // sections append at the end
+          sections.find(_.column == colName) match {
+            case Some(prev) => sections.map(s =>
+              if (s.column == colName)
+                s.copy(ranges = prev.ranges ++ freshStats)
+              else s)
+            case None =>
+              sections :+ ShardStats.Stats(colName, tag, freshStats)
+          }
       }
       ShardStats.writeAllAtomic(conf.value, f, target, merged)
     }
@@ -507,11 +514,15 @@ private[v2] class ShardBatchWrite(
                   if (b.isEmpty) None else Some(b)))
               else None
           }.toMap
-          val prev = sections.find(_.column == colName)
-            .map(_.filters).getOrElse(Map.empty[String, Option[Array[Byte]]])
-          sections.filterNot(_.column == colName) :+
-            ShardBloom.Bloom(colName, tag, mBits, ShardBloom.KHashes,
-              prev ++ freshBlooms)
+          // in-place update, same section-order rationale as the stats
+          sections.find(_.column == colName) match {
+            case Some(prev) => sections.map(s =>
+              if (s.column == colName)
+                s.copy(filters = prev.filters ++ freshBlooms)
+              else s)
+            case None => sections :+ ShardBloom.Bloom(
+              colName, tag, mBits, ShardBloom.KHashes, freshBlooms)
+          }
       }
       ShardBloom.writeAllAtomic(conf.value, f, target, merged)
     }

@@ -172,14 +172,20 @@ object ShardSnapshot {
       .getOrElse(fs.getFileStatus(p).getModificationTime)
   }
 
-  /** Every tombstone segment FILE some live snapshot records — the set
-    * [[vacuum]] must not reclaim (snapshot reads re-apply them). */
-  private def pinnedTombFiles(spark: SparkSession, path: String): Set[String] = {
+  /** Every (shard, tombstone-segment) file some live snapshot pins —
+    * ONE pass over the snapshot files for both sets (vacuum needs both;
+    * reading them separately would parse every snapshot twice). */
+  private def pinnedAll(
+      spark: SparkSession, path: String): (Set[String], Set[String]) = {
     val (fs, dir) = fsFor(spark, path)
-    list(spark, path).iterator.flatMap { v =>
-      readSnapshotFile(fs, new Path(dir, s"$Prefix$v"))._3
-        .toSeq.flatMap(_.segments.map(_.file))
-    }.toSet
+    val shards = Set.newBuilder[String]
+    val tombs = Set.newBuilder[String]
+    list(spark, path).foreach { v =>
+      val (_, es, t) = readSnapshotFile(fs, new Path(dir, s"$Prefix$v"))
+      es.foreach { case (name, _) => shards += name }
+      t.foreach(_.segments.foreach(s => tombs += s.file))
+    }
+    (shards.result(), tombs.result())
   }
 
   /** Every shard name some live snapshot pins — the set the
@@ -246,13 +252,14 @@ object ShardSnapshot {
     val mfPath = new Path(dir, ShardManifest.FileName)
     require(fs.exists(mfPath),
       s"no ${ShardManifest.FileName} under $path — nothing committed there")
+    val (pinnedShards, pinnedTombs) = pinnedAll(spark, path)
     val live = ShardManifest.read(fs, mfPath).map(_._1).toSet ++
-      pinned(spark, path) ++
+      pinnedShards ++
       // tombstone segments stay while the live sidecar names them or a
       // snapshot records them (snapshot reads re-apply; see
       // [[ShardTombstones]]); retired, unrecorded ones reclaim here
       ShardTombstones.liveSegmentFiles(fs, dir) ++
-      pinnedTombFiles(spark, path)
+      pinnedTombs
     val candidates = fs.listStatus(dir).toSeq
       .filter(st => st.isFile)
       .map(_.getPath.getName)

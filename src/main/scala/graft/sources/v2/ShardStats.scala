@@ -87,11 +87,16 @@ private[graft] object ShardStats {
 
   /** Multi-column form (r18): one SECTION per column, each opened by
     * its own `#key` header — a single-section file is byte-identical
-    * to the pre-r18 format, so every existing table reads unchanged. */
+    * to the pre-r18 format, so every existing table reads unchanged.
+    * Section ORDER is preserved as given (never sorted): the FIRST
+    * section is the table's first-configured column — the primary
+    * prune axis [[ShardCompact.compact]]'s default range layout keys
+    * on, which an alphabetical sort would silently repoint at
+    * whichever column sorts first. */
   def serializeAll(sections: Seq[Stats]): String = {
     require(sections.map(_.column).distinct.size == sections.size,
       s"duplicate stats sections: ${sections.map(_.column).mkString(",")}")
-    sections.sortBy(_.column).map(serialize).mkString
+    sections.map(serialize).mkString
   }
 
   def parse(text: String, where: Path): Stats = {

@@ -170,7 +170,14 @@ object ShardTombstones {
       val dst = new Path(dir, name)
       if (!fs.rename(src, dst))
         throw new java.io.IOException(s"tombstone rename failed: $src -> $dst")
-      val n = spark.read.parquet(dst.toString).count() // takedown-sized
+      // key count from the parquet FOOTER — one metadata read, no Spark
+      // job, no re-scan of the file inside the lock's critical section
+      val n = locally {
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            dst, spark.sessionState.newHadoopConf()))
+        try r.getRecordCount finally r.close()
+      }
       if (n == 0L) { fs.delete(dst, false); None } else Some((name, n))
     }
     fs.delete(scratch, true)

@@ -93,7 +93,8 @@ class ShardVersionsTable(props: Map[String, String])
 }
 
 class ShardVersionsStream(path: String, startVersion: Int)
-    extends MicroBatchStream {
+    extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
 
   private def liveVersions(): Seq[Int] = {
     val spark = SparkSession.active
@@ -113,10 +114,34 @@ class ShardVersionsStream(path: String, startVersion: Int)
   override def deserializeOffset(json: String): Offset =
     ShardVersionOffset(json.trim.toInt)
 
-  override def latestOffset(): Offset = {
+  /** Next end derived FROM the checkpointed start and never below it:
+    * with every snapshot dropped (a retention sweep during downtime)
+    * the naive max(live) would be 0, REGRESSING the offset — Spark
+    * would commit 0, and a later snapshot-recreate would resume from
+    * the fresh base with the missed catch-up windows silently skipped,
+    * bypassing the loud retention check below. Monotone offsets make
+    * that state reach [[planInputPartitions]] with the checkpointed
+    * base intact, where a dropped base fails LOUD as contracted. */
+  override def latestOffset(
+      start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
+    val s = start.asInstanceOf[ShardVersionOffset].v
+    val live = liveVersions()
+    ShardVersionOffset(math.max(s, if (live.isEmpty) 0 else live.max))
+  }
+
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+
+  override def reportLatestOffset(): Offset = {
     val live = liveVersions()
     ShardVersionOffset(if (live.isEmpty) 0 else live.max)
   }
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(start, limit) is used via SupportsAdmissionControl")
 
   override def planInputPartitions(
       start: Offset, end: Offset): Array[InputPartition] = {

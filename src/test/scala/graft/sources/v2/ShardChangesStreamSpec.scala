@@ -110,5 +110,18 @@ class ShardChangesStreamSpec extends SparkSpec {
     q3.stop()
     assert(err.getMessage.contains("no longer retained") ||
       Option(err.getCause).exists(_.getMessage.contains("no longer retained")))
+
+    // offsets are MONOTONE: with every snapshot dropped (a retention
+    // sweep during consumer downtime), the next end must stay at the
+    // checkpointed base — a regressed 0 would later resume from a fresh
+    // snapshot base and silently skip the missed catch-up windows,
+    // bypassing the loud retention check above
+    val empty = java.nio.file.Files
+      .createTempDirectory("graft-cdc-empty").toString
+    val stream = new ShardVersionsStream(empty, 0)
+    val limit = org.apache.spark.sql.connector.read.streaming
+      .ReadLimit.allAvailable()
+    assert(stream.latestOffset(ShardVersionOffset(99), limit)
+      .asInstanceOf[ShardVersionOffset].v == 99)
   }
 }
