@@ -82,6 +82,20 @@ object ShardLock {
       case _: NumberFormatException => None // torn write — treat as breakable
     }
 
+  /** Per-path in-JVM acquire guard: `create(overwrite = false)` is
+    * atomic on HDFS and precondition-capable object stores (the
+    * deployment targets), but on the LOCAL filesystem it is
+    * check-then-act — two threads of ONE process can both pass the
+    * exists check and both believe they hold the lock (observed as a
+    * double-held commit under a loaded full-suite run: both bootstrap
+    * `_SCHEMA`, one collides, the other reports a release overlap).
+    * Same-process racers — exactly the local-mode case — serialize
+    * here; cross-process atomicity stays the filesystem's contract. */
+  private val acquireGuards =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def acquireGuard(p: Path): Object =
+    acquireGuards.computeIfAbsent(p.toString, _ => new Object)
+
   private def tryAcquire(fs: FileSystem, p: Path, token: String): Boolean = {
     val out = try fs.create(p, false) catch {
       case _: java.io.IOException => return false
@@ -128,8 +142,11 @@ object ShardLock {
     val dir = new Path(path)
     val p = lockPath(dir)
     val token = UUID.randomUUID().toString
-    var acquired = tryAcquire(fs, p, token)
-    if (!acquired) {
+    // the whole acquire-or-break sequence runs under the per-path
+    // in-JVM guard (see [[acquireGuard]]); the BODY runs outside it
+    val acquired = acquireGuard(p).synchronized {
+    var ok = tryAcquire(fs, p, token)
+    if (!ok) {
       val holder = readLock(fs, p)
       // lease expiry is judged by the lock FILE's mtime, not its content:
       // a reader can land in the tiny window between another writer's
@@ -169,12 +186,15 @@ object ShardLock {
         }
         try fs.delete(broken, false) catch { case _: Throwable => () }
       }
-      acquired = tryAcquire(fs, p, token)
-      if (!acquired)
+      ok = tryAcquire(fs, p, token)
+      if (!ok)
         throw new LockHeldException(
           s"maintenance lock on $path re-taken while breaking a stale one — " +
             "another writer won the race; retry", retryable = true)
     }
+    ok
+    }
+    assert(acquired) // every !ok path above threw
     // heartbeat: refresh the lock's mtime while the body runs, so only a
     // CRASHED holder ever expires. Failures degrade silently to the old
     // lease-bounded behavior (release still detects any takeover loud).
