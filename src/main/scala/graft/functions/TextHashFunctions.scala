@@ -90,7 +90,7 @@ object TextHash extends Serializable {
   /** Tokenize raw text the way `Dedup.tokens` does (ASCII-lowercase, split
     * on non-[a-z0-9]) directly over UTF-8 bytes, returning token slices as
     * (start, end) offsets into the lowercased copy. Single allocation. */
-  private def tokenize(s: UTF8String): (Array[Byte], Array[Int], Int) = {
+  private[functions] def tokenize(s: UTF8String): (Array[Byte], Array[Int], Int) = {
     val src = s.getBytes
     val buf = new Array[Byte](src.length)
     // token boundaries: starts(i), ends(i) — packed into one array as pairs
@@ -125,7 +125,7 @@ object TextHash extends Serializable {
     * Replayable in the Java∩RE2∩DuckDB regex subset: space-pad
     * `[\p{Han}\p{Hiragana}\p{Katakana}]`, lower, split on
     * `[^\p{L}\p{M}\p{Nd}]+` (the langIdPick twin recipe). */
-  private def tokenizeUnicode(s: UTF8String): (Array[Byte], Array[Int], Int) = {
+  private[functions] def tokenizeUnicode(s: UTF8String): (Array[Byte], Array[Int], Int) = {
     val low = s.toLowerCase.toString
     val buf = low.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val bounds = new Array[Int](2 * low.length + 2)

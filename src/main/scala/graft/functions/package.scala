@@ -179,4 +179,18 @@ package object functions {
     * codegen'd; `false` definitive, `true` at the filter's FPP). */
   def bloom_might_contain(c: Column, bloom: org.apache.spark.util.sketch.BloomFilter): Column =
     col(BloomMightContain(expr(c), bloom))
+
+  /** Generator: one (pos, tok) row per token of `text` under the house
+    * lexical contract — the fused twin of
+    * `posexplode(Dedup.tokensMode(text, unicode))` (no regex, no
+    * intermediate token array; see [[TokenRows]]). */
+  def token_rows(text: Column, unicode: Boolean = false): Column =
+    col(TokenRows(expr(text), unicode))
+
+  /** Generator: one (prev, tok) bigram row per token of `text`, `bos`
+    * as the first prev — the fused twin of Lm.docBigrams' per-row
+    * transform+explode chain (see [[BigramRows]]). */
+  def bigram_rows(text: Column, unicode: Boolean = false,
+      bos: String = "<s>"): Column =
+    col(BigramRows(expr(text), unicode, bos))
 }

@@ -564,6 +564,19 @@ object Dedup {
     // exchange (moving it after the groupBy measured 3× the CPU).
     val ubound = lit(1) +
       least(col("len_a") - col("__pa"), col("len_b") - col("__pb"))
+    // The SAME positional bound applied PER COLLISION ROW, map-side,
+    // before the pair aggregation (r19): for the first shared token the
+    // row test is exactly the pair's post-agg test, and for every later
+    // shared token both positions are strictly larger, so the row bound
+    // only TIGHTENS — a pair whose first row fails has every row fail
+    // (dropped pre-shuffle instead of post-agg: identical survivor set),
+    // and a pair whose first row passes keeps that row, so min(__ra)/
+    // min(__rb) still name the first shared token. The pair hash
+    // aggregation was the profiled top CPU of the whole bench
+    // (BytesToBytesMap probe/grow on Θ(collision) rows); this prunes its
+    // input to near the qualifying set.
+    val rowUbound = lit(1) +
+      least(col("len_a") - col("__ra"), col("len_b") - col("__rb"))
     val cand = pref.as("a").join(prefIdx.as("b"), "th")
       // the b side is the SHORTER doc (id-tiebreak on equal length), so
       // each unordered pair joins in exactly one orientation
@@ -575,8 +588,14 @@ object Dedup {
         greatest(col("a.id"), col("b.id")).as("id_b"),
         col("a.len").as("len_a"), col("b.len").as("len_b"),
         col("a.__rn").as("__ra"), col("b.__rn").as("__rb"))
-      .groupBy(col("id_a"), col("id_b"), col("len_a"), col("len_b"))
-      .agg(min(col("__ra")).as("__pa"), min(col("__rb")).as("__pb"))
+      .filter(rowUbound.cast("double") >=
+        lit(threshold) * (col("len_a") + col("len_b") - rowUbound).cast("double"))
+      // (id_a, id_b) alone keys the aggregation — len_a/len_b are
+      // constant per pair (one join orientation), so min() carries them
+      // and the hash-map key shrinks from 32 to 16 bytes
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(min(col("__ra")).as("__pa"), min(col("__rb")).as("__pb"),
+        min(col("len_a")).as("len_a"), min(col("len_b")).as("len_b"))
       .filter(ubound.cast("double") >=
         lit(threshold) * (col("len_a") + col("len_b") - ubound).cast("double"))
       .select(col("id_a"), col("id_b"))

@@ -50,23 +50,23 @@ object Lm {
     * reference slice. */
   case class BigramModel(bigrams: DataFrame, contexts: DataFrame, vocab: Long)
 
-  /** Per-row bigram pairs (BOS-prefixed) as one HOF chain — codegen'd,
-    * zero shuffle, and the token array is not duplicated per output row. */
-  private def pairArray(textCol: Column, unicode: Boolean): Column = {
-    // BOS stays collision-free under BOTH contracts: '<'/'>' are
-    // separators in each, so no real token contains them
-    val toks = Dedup.tokensMode(textCol, unicode)
-    transform(toks, (t, i) =>
-      struct(when(i === 0, lit(Bos))
-        .otherwise(element_at(toks, i)).as("prev"), t.as("tok")))
-  }
-
   /** Explode `docs` to (idCol, prev, tok) bigram rows. Zero-token
-    * documents contribute no rows (callers left-join them back). */
+    * documents contribute no rows (callers left-join them back).
+    *
+    * One fused generator ([[graft.functions.BigramRows]]) walks the
+    * lowercased UTF-8 buffer and emits the BOS-prefixed pairs directly
+    * — the prior HOF chain (`split` → `transform` → `explode`) paid
+    * java.util.regex plus interpreted lambda evaluation plus an
+    * intermediate struct array per row, profiled at >50% of the LM/DSIR
+    * family's executor CPU (r19). Token values/order are spec-pinned
+    * identical to `Dedup.tokensMode` (UnicodeTokensSpec); BOS stays
+    * collision-free under both contracts ('<'/'>' are separators in
+    * each, so no real token contains them). */
   def docBigrams(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", unicode: Boolean = false): DataFrame =
-    docs.select(col(idCol), explode(pairArray(col(textCol), unicode)).as("p"))
-      .select(col(idCol), col("p.prev").as("prev"), col("p.tok").as("tok"))
+    docs.select(col(idCol),
+      graft.functions.bigram_rows(col(textCol), unicode, Bos)
+        .as(Seq("prev", "tok")))
 
   /** Train the Laplace-smoothed bigram model on `ref`. The bigram-count
     * aggregation is scope-cached: the context table, the vocab count and

@@ -31,10 +31,13 @@ object Ngrams {
       carryCols: Seq[String] = Nil,
       unicode: Boolean = false): DataFrame = {
     val keep = (idCol +: carryCols).map(col)
-    // Dedup.tokensMode is THE house tokenizer pair — every tokenizing
-    // operator and every SQL oracle twin must stay in lockstep with it
-    df.select(keep :+ posexplode(Dedup.tokensMode(col(textCol), unicode)): _*)
-      .select(keep ++ Seq((col("pos") + 1).as("pos"), col("col").as("tok")): _*)
+    // graft.functions.token_rows is the fused twin of
+    // `posexplode(Dedup.tokensMode(...))` — Dedup.tokensMode stays THE
+    // house tokenizer contract and UnicodeTokensSpec pins the generator
+    // to it; the fused walk drops the per-row regex + interpreted-HOF
+    // cost the composed form paid (r19 profile: >50% of family CPU)
+    df.select(keep :+
+      graft.functions.token_rows(col(textCol), unicode).as(Seq("pos", "tok")): _*)
   }
 
   /**

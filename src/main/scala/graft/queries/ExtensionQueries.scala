@@ -90,22 +90,18 @@ object ExtensionQueries extends QueryFamily {
    * constant, verified green at all three SFs before registration.
    */
   def dedupMinhashRecall(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.shingle_hash_set
+    // Exact side rides the generalized prefix-filtered jaccardJoin —
+    // the same swap the unicode twin made in r16: the prior gram-keyed
+    // self-join aggregated EVERY shared gram of EVERY pair (Θ(Σ shared
+    // grams) hash-agg rows — the profiled top CPU shape of the family),
+    // where the PPJoin form prunes to near the qualifying set before
+    // any aggregation. Same pair set, same one-division jaccard double
+    // (sorted_intersect_ge returns the exact |A∩B| for survivors), same
+    // order — oracle-identical at all three SFs.
     val docs = Tables.documents(spark, dir)
-    val sh = docs.select(col("doc_id").as("id"), shingle_hash_set(col("text"), 3).as("sh"))
-      .withColumn("len", size(col("sh")))
-    // gram-keyed exact join: ~|shared grams| collision rows per true
-    // pair, counted to the exact |A∩B| (sh is a DISTINCT hash set)
-    val tok = graft.CacheScope.scoped(
-      sh.select(col("id"), col("len"), explode(col("sh")).as("g")))
-    val exact = tok.as("a").join(tok.as("b"), "g")
-      .filter(col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.len").as("len_a"), col("b.len").as("len_b"))
-      .agg(count(lit(1)).as("__i"))
-      .withColumn("jaccard_w3",
-        col("__i") / (col("len_a") + col("len_b") - col("__i")).cast("double"))
-      .filter(col("jaccard_w3") >= 0.85)
+    val exact = Dedup.jaccardJoin(docs, "text", "doc_id",
+      threshold = 0.85, w = 3)
+      .withColumnRenamed("jaccard", "jaccard_w3")
     val lsh = Dedup.minhashPairs(docs, "text", "doc_id",
       numHashes = 64, bands = 16, threshold = 0.5)
       .select(col("id_a"), col("id_b")).withColumn("__f", lit(true))

@@ -46,10 +46,16 @@ object ShardReader {
   def read(spark: SparkSession, path: String, schema: StructType): DataFrame = {
     val dir = new Path(path)
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    // _TOMBSTONES BEFORE _MANIFEST (r18 ADVICE): the non-atomic pair
+    // must never capture a pre-rewrite manifest with a post-dropShards
+    // sidecar (a pinned replaced shard would serve without its scope —
+    // silent key resurrection). Scopes only shrink, so the inverted
+    // skew is the safe direction. Same ordering as ShardScanMeta.load.
+    val tomb = ShardTombstones.readIfExists(fs, dir)
     val files = manifestEntries(spark, path)
       .map { case (name, _) => new Path(dir, name).toString }
-    ShardTombstones.minus(spark, fs, dir,
-      ShardPayload.read(spark, schema, ShardPayload.of(fs, dir), files))
+    val base = ShardPayload.read(spark, schema, ShardPayload.of(fs, dir), files)
+    tomb.fold(base)(t => ShardTombstones.minus(spark, dir, base, t, None))
   }
 
   /** The table's own authoritative schema (`_SCHEMA` sidecar, written
@@ -128,6 +134,15 @@ object ShardReader {
           org.apache.spark.sql.functions.col("__k").cast(keyType).as("__kc"))
         .limit(maxPushKeys + 1).collect()
     val small = few != null && few.length <= maxPushKeys
+    // _TOMBSTONES before _MANIFEST — see read() for the skew argument
+    val tomb = ShardTombstones.readIfExists(fs, dir)
+    def screened(files: Seq[String]): DataFrame = {
+      val base = ShardPayload.read(
+        spark, schema, ShardPayload.of(fs, dir), files)
+      // tombstones directly over the scan: the shard tag derives from
+      // input_file_name(), which only resolves below the first exchange
+      tomb.fold(base)(t => ShardTombstones.minus(spark, dir, base, t, None))
+    }
     val names = manifestEntries(spark, path).map(_._1)
     if (small) {
       val castVals = few.map(_.get(1)).filter(_ != null).distinct.toSeq
@@ -139,11 +154,7 @@ object ShardReader {
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       else {
         val files = candidates.map(n => new Path(dir, n).toString)
-        // tombstones FIRST, directly over the scan: the shard tag is
-        // derived from input_file_name(), which only resolves below the
-        // first exchange
-        val df = ShardTombstones.minus(spark, fs, dir,
-          ShardPayload.read(spark, schema, ShardPayload.of(fs, dir), files))
+        val df = screened(files)
         df.filter(df(keyCol).isin(lits.toSeq: _*))
       }
     } else {
@@ -155,9 +166,7 @@ object ShardReader {
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       else {
         val files = candidates.map(n => new Path(dir, n).toString)
-        // tombstones FIRST, over the scan (input_file_name contract)
-        val df = ShardTombstones.minus(spark, fs, dir,
-          ShardPayload.read(spark, schema, ShardPayload.of(fs, dir), files))
+        val df = screened(files)
         df.join(keyDf,
           df(keyCol) === org.apache.spark.sql.functions.col("__k"),
           "left_semi")

@@ -229,13 +229,22 @@ private[v2] object ShardScanMeta {
     val fs = dir.getFileSystem(
       SparkSession.active.sessionState.newHadoopConf())
     val mfPath = new Path(dir, ShardManifest.FileName)
+    // _TOMBSTONES is read BEFORE _MANIFEST (r18 ADVICE): the two reads
+    // are not atomic, and a reader racing a copy-on-write mutator that
+    // captured the PRE-rewrite manifest with the POST-dropShards
+    // sidecar could serve a snapshot-pinned replaced shard WITHOUT its
+    // tombstone scope — silently resurrecting deleted keys. Scopes only
+    // ever SHRINK, so the inverted skew (stale tombstones + fresh
+    // manifest) is safe: at worst a scope names a shard the manifest no
+    // longer lists, and the anti-join predicate matches nothing.
+    val tombstones = ShardTombstones.readIfExists(fs, dir)
     val exists = fs.exists(mfPath)
     ShardScanMeta(
       manifestExists = exists,
       entries = if (exists) ShardManifest.read(fs, mfPath) else Nil,
       stats = ShardStats.readAll(fs, dir),
       bloom = ShardBloom.readAll(fs, dir),
-      tombstones = ShardTombstones.readIfExists(fs, dir),
+      tombstones = tombstones,
       fmt = ShardPayload.of(fs, dir))
   }
 }
@@ -492,11 +501,21 @@ private[v2] class ParquetShardPartitionReader(
     conf: SerializableHadoopConf)
     extends ScreenedReader(sp, tableSchema, required) {
   // read schema = required ∪ the tombstone key column (appended when
-  // missing — parsed for the screen, not emitted)
-  private val readCols: StructType =
-    if (sp.tombColumn == null || required.fieldNames.contains(sp.tombColumn))
-      required
-    else StructType(required.fields :+ tableSchema(sp.tombColumn))
+  // missing — parsed for the screen, not emitted). A ZERO-column plan
+  // (SELECT 1, df.isEmpty — possible only with no live tombstones, else
+  // the key column is appended) must still read ONE arbitrary table
+  // column: parquet rejects an empty group schema outright
+  // (InvalidSchemaException), so an empty projection would fail loud on
+  // a legitimate row-count query (r18 ADVICE, low). jsonl tolerates
+  // zero columns, so only this reader pads.
+  private val readCols: StructType = {
+    val withTomb =
+      if (sp.tombColumn == null || required.fieldNames.contains(sp.tombColumn))
+        required
+      else StructType(required.fields :+ tableSchema(sp.tombColumn))
+    if (withTomb.isEmpty) StructType(Array(tableSchema.fields.head))
+    else withTomb
+  }
   private val keyIdx =
     if (sp.tombColumn == null) -1 else readCols.fieldNames.indexOf(sp.tombColumn)
   private val reader: ParquetReader[InternalRow] =

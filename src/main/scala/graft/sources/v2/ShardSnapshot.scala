@@ -59,6 +59,16 @@ object ShardSnapshot {
     }
   }
 
+  /** The persistent version high-water mark (0 before the first
+    * snapshot) — the "versions ≤ this existed before now" marker
+    * [[ShardVersionsStream]] pins into a fresh stream's offset so that
+    * create-then-drop churn during downtime fails the retention check
+    * loud instead of silently skipping windows (r18 ADVICE). */
+  private[v2] def versionHwm(spark: SparkSession, path: String): Int = {
+    val (fs, dir) = fsFor(spark, path)
+    readHwm(fs, dir)
+  }
+
   /** Archive the current manifest as the next snapshot version; returns
     * the new version number. Numbering comes from a persistent
     * high-water mark (`_SNAPSHOT.last`, updated under the lock), not

@@ -224,20 +224,29 @@ object ShardTombstones {
     val tagged = tagCol.fold(
       df.withColumn(dfTag, element_at(split(input_file_name(), "/"), -1)))(
       _ => df)
-    // (shard, key) scope pairs: segment keys × that segment's shard
-    // scope — takedown-sized × scoped-shard-count, broadcastable by
-    // construction (segments are retired at compaction, scopes only
-    // shrink)
-    val scoped = t.segments.map { s =>
-      import spark.implicits._
+    // One anti-join per live segment, keyed on the KEY COLUMN ONLY,
+    // with the segment's shard scope as a row-local isInCollection
+    // predicate on the tag. The prior form cross-joined each segment's
+    // keys against its scope (nKeys × nShards rows) and force-broadcast
+    // the product — on a many-shard table a large deferred delete
+    // exploded that broadcast quadratically (r18 ADVICE, medium). Here
+    // each join ships only the takedown-sized key set; the broadcast
+    // hint applies only while the sidecar-recorded key count stays
+    // under the same bound the V2 scan's inline path uses — past it the
+    // planner/AQE picks the strategy (the ngramJaccard guarded-hint
+    // discipline). Segments are few by construction (one per pending
+    // delete, retired at compaction), so the chain stays shallow.
+    val out = t.segments.foldLeft(tagged) { (acc, s) =>
       val keys = spark.read.parquet(new Path(dir, s.file).toString)
         .select(col(t.column).as("__tk"))
-      keys.crossJoin(s.shards.toSeq.toDF("__tomb_shard2"))
-    }.reduce(_ unionByName _)
-    val out = tagged.join(broadcast(scoped),
-      tagged(t.column) === col("__tk") &&
-        tagged(dfTag) === col("__tomb_shard2"),
-      "left_anti")
+      val hinted =
+        if (s.nKeys <= ShardScan.MaxInlineTombstoneKeys) broadcast(keys)
+        else keys
+      acc.join(hinted,
+        acc(t.column) === col("__tk") &&
+          acc(dfTag).isInCollection(s.shards.toSeq.sorted),
+        "left_anti")
+    }
     tagCol.fold(out.drop(dfTag))(_ => out)
   }
 

@@ -103,11 +103,17 @@ class ShardVersionsStream(path: String, startVersion: Int)
 
   override def initialOffset(): Offset = {
     // base of the first window: the caller's startVersion, or the
-    // oldest live snapshot for a full-history replay (0 when the table
-    // has no snapshots yet — the first created version becomes the base)
+    // oldest live snapshot for a full-history replay. With NO live
+    // snapshot the base is the NEGATED version high-water mark (0 when
+    // the table never had one): a plain 0 forgot that versions ≤ hwm
+    // existed before the stream started, so create-then-drop churn
+    // during downtime silently skipped the dropped windows instead of
+    // failing the retention check (r18 ADVICE). A negative offset means
+    // "watermark base: my first window must anchor at version −v + 1".
     val base =
       if (startVersion > 0) startVersion
-      else liveVersions().headOption.getOrElse(0)
+      else liveVersions().headOption.getOrElse(
+        -ShardSnapshot.versionHwm(SparkSession.active, path))
     ShardVersionOffset(base)
   }
 
@@ -127,7 +133,9 @@ class ShardVersionsStream(path: String, startVersion: Int)
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
     val s = start.asInstanceOf[ShardVersionOffset].v
     val live = liveVersions()
-    ShardVersionOffset(math.max(s, if (live.isEmpty) 0 else live.max))
+    // no live snapshots ⇒ HOLD the offset (a watermark base s ≤ 0 must
+    // not collapse to 0 — it carries the pre-stream hwm)
+    ShardVersionOffset(if (live.isEmpty) s else math.max(s, live.max))
   }
 
   override def getDefaultReadLimit
@@ -150,12 +158,21 @@ class ShardVersionsStream(path: String, startVersion: Int)
     if (e <= s) return Array.empty
     val live = liveVersions()
     // the pending windows' base must still be retained — a dropped base
-    // would silently skip a window and break feed composition
-    require(s == 0 || live.contains(s),
-      s"shard_versions($path): checkpointed base version v$s is no longer " +
+    // would silently skip a window and break feed composition. A
+    // NON-POSITIVE base is the watermark form (−hwm at stream start, 0
+    // for pre-r19 checkpoints): the stream has delivered nothing yet,
+    // so its anchor is the first version created AFTER the watermark
+    // (−s + 1 — version numbers are assigned hwm+1, so that number is
+    // exact); if that anchor was created and dropped while the query
+    // was down, fail the same loud retention require instead of
+    // silently pairing only the survivors (r18 ADVICE).
+    val anchor = if (s <= 0) -s + 1 else s
+    require(live.contains(anchor),
+      s"shard_versions($path): ${if (s <= 0) s"first post-start version v$anchor"
+        else s"checkpointed base version v$s"} is no longer " +
         "retained — the CDC retention contract requires keeping versions " +
         "at or above the consumer's offset while the stream lives")
-    val window = (if (s == 0) live else s +: live.filter(_ > s))
+    val window = (anchor +: live.filter(_ > anchor))
       .filter(_ <= e).distinct.sorted
     val pairs = window.zip(window.drop(1))
     if (pairs.isEmpty) Array.empty

@@ -85,6 +85,33 @@ class UnicodeTokensSpec extends SparkSpec {
     }
   }
 
+  test("token_rows / bigram_rows generators == HOF forms, both contracts") {
+    import graft.functions.{bigram_rows, token_rows}
+    // the r19 fused tokenize-and-explode generators must emit exactly
+    // the rows of the composed forms they replaced, token for token,
+    // under BOTH lexical contracts (incl. the empty doc -> zero rows)
+    Seq(false, true).foreach { uni =>
+      val viaGen = mixed.select(col("doc_id"),
+        token_rows(col("text"), uni).as(Seq("pos", "tok")))
+        .as[(Long, Int, String)].collect().toSeq.sorted
+      val viaHof = mixed.select((col("doc_id") +:
+        Seq(posexplode(Dedup.tokensMode(col("text"), uni)))): _*)
+        .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("tok"))
+        .as[(Long, Int, String)].collect().toSeq.sorted
+      assert(viaGen == viaHof, s"token_rows(unicode=$uni) drifted from HOF")
+      val bgGen = mixed.select(col("doc_id"),
+        bigram_rows(col("text"), uni, Lm.Bos).as(Seq("prev", "tok")))
+        .as[(Long, String, String)].collect().toSeq.sorted
+      val toks = Dedup.tokensMode(col("text"), uni)
+      val bgHof = mixed.select(col("doc_id"), explode(transform(toks, (t, i) =>
+        struct(when(i === 0, lit(Lm.Bos)).otherwise(element_at(toks, i)).as("prev"),
+          t.as("tok")))).as("p"))
+        .select(col("doc_id"), col("p.prev"), col("p.tok"))
+        .as[(Long, String, String)].collect().toSeq.sorted
+      assert(bgGen == bgHof, s"bigram_rows(unicode=$uni) drifted from HOF")
+    }
+  }
+
   test("statsRowUnicode counters: CJK is tokens, not punctuation") {
     import graft.functions.text_stats
     val st = Seq(("中文 hello!", 1)).toDF("text", "i")

@@ -124,4 +124,66 @@ class ShardChangesStreamSpec extends SparkSpec {
     assert(stream.latestOffset(ShardVersionOffset(99), limit)
       .asInstanceOf[ShardVersionOffset].v == 99)
   }
+
+  test("watermark base: create-then-drop churn before first delivery fails loud") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val limit = ReadLimit.allAvailable()
+    def mkTable(): String = {
+      val t = java.nio.file.Files
+        .createTempDirectory("graft-cdc-wm").toString + "/t"
+      (0L until 20L).map(i => (i, s"v$i")).toDF("doc_id", "ld")
+        .write.format("graft.sources.v2.ShardSink")
+        .option("path", t).mode("append").save()
+      t
+    }
+
+    // (1) stream starts before ANY snapshot: offset is the 0 watermark;
+    // v1, v2 created and v1 DROPPED during downtime — the r18 ADVICE
+    // hole was s == 0 bypassing the retention require and silently
+    // pairing only the survivors. Must fail loud now.
+    val t1 = mkTable()
+    val s1 = new ShardVersionsStream(t1, 0)
+    val off0 = s1.initialOffset().asInstanceOf[ShardVersionOffset]
+    assert(off0.v == 0, "fresh table watermark base should be -hwm = 0")
+    assert(ShardSnapshot.create(spark, t1) == 1)
+    assert(ShardSnapshot.create(spark, t1) == 2)
+    ShardSnapshot.drop(spark, t1, 1)
+    val e1 = s1.latestOffset(off0, limit).asInstanceOf[ShardVersionOffset]
+    assert(e1.v == 2)
+    val err = intercept[IllegalArgumentException] {
+      s1.planInputPartitions(off0, e1)
+    }
+    assert(err.getMessage.contains("no longer retained"))
+
+    // (2) same churn with the anchor retained: windows pair from v1
+    val t2 = mkTable()
+    val s2 = new ShardVersionsStream(t2, 0)
+    val off2 = s2.initialOffset().asInstanceOf[ShardVersionOffset]
+    assert(ShardSnapshot.create(spark, t2) == 1)
+    assert(ShardSnapshot.create(spark, t2) == 2)
+    val e2 = s2.latestOffset(off2, limit).asInstanceOf[ShardVersionOffset]
+    val parts = s2.planInputPartitions(off2, e2)
+    assert(parts.length == 1 &&
+      parts.head.asInstanceOf[ShardVersionsPartition].pairs == Seq((1, 2)))
+
+    // (3) versions created AND dropped before the stream ever started
+    // are NOT its concern: the watermark pins the pre-start hwm, the
+    // anchor is the first post-start version, and the feed begins there
+    val t3 = mkTable()
+    assert(ShardSnapshot.create(spark, t3) == 1)
+    ShardSnapshot.drop(spark, t3, 1)
+    val s3 = new ShardVersionsStream(t3, 0)
+    val off3 = s3.initialOffset().asInstanceOf[ShardVersionOffset]
+    assert(off3.v == -1, "pre-start hwm must ride the offset as -hwm")
+    // no live snapshots: the offset must HOLD (not collapse to 0)
+    assert(s3.latestOffset(off3, limit)
+      .asInstanceOf[ShardVersionOffset].v == -1)
+    assert(ShardSnapshot.create(spark, t3) == 2)
+    assert(ShardSnapshot.create(spark, t3) == 3)
+    val e3 = s3.latestOffset(off3, limit).asInstanceOf[ShardVersionOffset]
+    val parts3 = s3.planInputPartitions(off3, e3)
+    assert(parts3.length == 1 &&
+      parts3.head.asInstanceOf[ShardVersionsPartition].pairs == Seq((2, 3)),
+      "anchor must be the first post-start version (hwm+1), not min(live)")
+  }
 }

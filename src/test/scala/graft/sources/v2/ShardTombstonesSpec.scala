@@ -208,4 +208,32 @@ class ShardTombstonesSpec extends SparkSpec {
       ShardTombstones.Segment("tomb-a.parquet", 3L, Set("s1", "s2"))))
     assert(ShardTombstones.parse(ShardTombstones.serialize(t), null) == t)
   }
+
+  test("minus is key-only anti-joins with scope predicates: no key x shard cross product") {
+    // r18 ADVICE (medium): the old form cross-joined each segment's
+    // keys against its shard scope and force-broadcast nKeys x nShards
+    // rows. Pin the fixed shape: with TWO live segments over a 4-shard
+    // table, the read plan carries one anti-join per segment, no
+    // CartesianProduct/cross join, and still serves the exact survivor
+    // set (including a key deleted in one segment and re-added later --
+    // the scope predicate, not the join key, decides shard membership).
+    val dir = newTable("graft-tomb-shape")
+    assert(ShardDelete.deleteByKeyDeferred(spark, dir, schema, "doc_id",
+      Seq(10L, 60L).toDF("k")) == 2L)
+    // re-add key 10 (fresh shard, outside the first segment's scope),
+    // then a SECOND deferred delete creates a second segment scoping it
+    append(dir, Seq((10L, "re-added")))
+    assert(ShardDelete.deleteByKeyDeferred(spark, dir, schema, "doc_id",
+      Seq(110L).toDF("k")) == 1L)
+    val df = ShardReader.read(spark, dir, schema)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"tombstone minus must not cross-join keys with scopes:\n$plan")
+    assert(plan.toLowerCase.contains("leftanti"),
+      s"tombstone minus must anti-join the segments:\n$plan")
+    val served = df.select("doc_id").as[Long].collect().toSeq
+    assert(served.count(_ == 10L) == 1, "re-added key must serve exactly once")
+    assert(!served.contains(60L) && !served.contains(110L))
+    assert(served.size == 198) // 200 - 3 deleted + 1 re-add
+  }
 }

@@ -171,4 +171,18 @@ class ShardV2ReadSpec extends SparkSpec {
     assert(scan.planInputPartitions().length == 1,
       "runtime IN-set did not re-prune the partitions")
   }
+
+  test("zero-column plans work on parquet tables: count/isEmpty pad one read column") {
+    // SELECT 1 / df.isEmpty build an EMPTY required-column set; parquet
+    // rejects an empty projection group outright (InvalidSchemaException)
+    // so the reader pads one arbitrary table column (r18 ADVICE, low).
+    // jsonl tolerated zero columns all along — cover both.
+    Seq(ShardPayload.Jsonl, ShardPayload.Parquet).foreach { fmt =>
+      val dir = build(fmt)
+      assert(v2(dir).select(lit(1)).count() == 300, s"$fmt zero-col count")
+      assert(!v2(dir).isEmpty, s"$fmt isEmpty")
+      v2(dir).createOrReplaceTempView("v2_zero_col_tbl")
+      assert(spark.sql("SELECT 1 FROM v2_zero_col_tbl").count() == 300)
+    }
+  }
 }
