@@ -360,6 +360,97 @@ object TextHash extends Serializable {
     out
   }
 
+  /** Token ARRAY under the house lexical contract — the fused twin of
+    * the `Dedup.tokens` / `Dedup.tokensUnicode` HOF columns (r19): one
+    * byte-walk, token strings sliced from the shared lowercased buffer
+    * (zero per-token copies), no java.util.regex, no interpreted
+    * `filter` lambda. Values/order/multiplicity are spec-pinned
+    * identical to the HOF forms (UnicodeTokensSpec). */
+  def tokensArray(s: UTF8String, unicode: Boolean): ArrayData = {
+    val (buf, bounds, nTok) = if (unicode) tokenizeUnicode(s) else tokenize(s)
+    val arr = new Array[Any](nTok)
+    var i = 0
+    while (i < nTok) {
+      arr(i) = UTF8String.fromBytes(buf, bounds(2 * i), bounds(2 * i + 1) - bounds(2 * i))
+      i += 1
+    }
+    new GenericArrayData(arr)
+  }
+
+  /** Token COUNT under the house contract — `size(tokens(text))` without
+    * materializing the token strings (for count-only consumers: content
+    * gates, zero-token filters, length telemetry). */
+  def tokenCount(s: UTF8String, unicode: Boolean): Int = {
+    val (_, _, nTok) = if (unicode) tokenizeUnicode(s) else tokenize(s)
+    nTok
+  }
+
+  /** Fused span-removal rebuild (r19) — the kernel form of
+    * `Ngrams.removeDuplicateSpans`' per-row HOF chain:
+    *
+    *   kept = filter(tokens(text), (t, i) ->
+    *            !exists(ivs, iv -> i+1 between iv.s0 and iv.e0))
+    *   (array_join(kept, " "), size(tokens), size(kept))
+    *
+    * The HOF chain re-tokenized with java.util.regex and evaluated the
+    * interpreted exists() lambda per (token × interval); this walks the
+    * text once and sweeps the intervals sorted-by-start with a running
+    * max end — O(n + k log k) and codegen-called. The keep set is
+    * EXACTLY exists()'s (cover test per 1-based token position; input
+    * intervals may overlap or arrive unordered — collect_list order is
+    * not relied on). Returns (text_clean, n_tokens, n_kept). */
+  def removeSpans(s: UTF8String, ivs: ArrayData, unicode: Boolean)
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    val (buf, bounds, nTok) = if (unicode) tokenizeUnicode(s) else tokenize(s)
+    val k = ivs.numElements()
+    // pack (s0, e0) into one long each and sort by start; both are
+    // non-negative token positions so the unsigned pack orders by s0
+    val packed = new Array[Long](k)
+    var i = 0
+    while (i < k) {
+      val r = ivs.getStruct(i, 2)
+      packed(i) = (r.getInt(0).toLong << 32) | (r.getInt(1).toLong & 0xffffffffL)
+      i += 1
+    }
+    java.util.Arrays.sort(packed)
+    // sweep: token (1-based) p is covered iff some interval has
+    // s0 <= p <= e0 ⇔ running max end over intervals with s0 <= p is >= p
+    val kept = new Array[Boolean](nTok)
+    var nKept = 0
+    var outBytes = 0
+    var j = 0
+    var curEnd = Long.MinValue
+    var p = 1
+    while (p <= nTok) {
+      while (j < k && (packed(j) >>> 32) <= p) {
+        val e = packed(j) & 0xffffffffL
+        if (e > curEnd) curEnd = e
+        j += 1
+      }
+      if (curEnd < p) {
+        kept(p - 1) = true
+        nKept += 1
+        outBytes += bounds(2 * (p - 1) + 1) - bounds(2 * (p - 1))
+      }
+      p += 1
+    }
+    val out = new Array[Byte](if (nKept == 0) 0 else outBytes + nKept - 1)
+    var off = 0
+    i = 0
+    while (i < nTok) {
+      if (kept(i)) {
+        if (off > 0) { out(off) = ' '; off += 1 }
+        val from = bounds(2 * i)
+        val len = bounds(2 * i + 1) - from
+        System.arraycopy(buf, from, out, off, len)
+        off += len
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](UTF8String.fromBytes(out), nTok, nKept))
+  }
+
   /** Polynomial rolling-hash fingerprint of whitespace-normalized text —
     * the document-fingerprint primitive (content-defined identity). */
   def fingerprint(s: UTF8String): Long = {
@@ -524,4 +615,58 @@ case class DocFingerprint(child: Expression) extends UnaryExpression with Implic
     defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.fingerprint($c)")
   override def prettyName: String = "doc_fingerprint"
   override protected def withNewChildInternal(c: Expression): DocFingerprint = copy(child = c)
+}
+
+/** tokens_array(text): string → array<string> — fused twin of the
+  * `Dedup.tokens`/`tokensUnicode` HOF columns (one byte-walk, no regex). */
+case class TokensArray(child: Expression, unicode: Boolean)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[org.apache.spark.sql.graftbridge.CatalystBridge.AbstractType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    TextHash.tokensArray(v.asInstanceOf[UTF8String], unicode)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.tokensArray($c, $unicode)")
+  override def prettyName: String = "tokens_array"
+  override protected def withNewChildInternal(c: Expression): TokensArray = copy(child = c)
+}
+
+/** token_count(text): string → int — `size(tokens(text))` without
+  * materializing token strings. */
+case class TokenCount(child: Expression, unicode: Boolean)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[org.apache.spark.sql.graftbridge.CatalystBridge.AbstractType] = Seq(StringType)
+  override def dataType: DataType = IntegerType
+  override protected def nullSafeEval(v: Any): Any =
+    TextHash.tokenCount(v.asInstanceOf[UTF8String], unicode)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.tokenCount($c, $unicode)")
+  override def prettyName: String = "token_count"
+  override protected def withNewChildInternal(c: Expression): TokenCount = copy(child = c)
+}
+
+/** remove_spans(text, ivs): (string, array<struct<s0:int,e0:int>>) →
+  * struct<text_clean:string, n_tokens:int, n_kept:int> — the fused
+  * span-removal rebuild (see [[TextHash.removeSpans]]). */
+case class RemoveSpans(left: Expression, right: Expression, unicode: Boolean)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with ImplicitCastInputTypes {
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[org.apache.spark.sql.graftbridge.CatalystBridge.AbstractType] =
+    Seq(StringType, ArrayType(new StructType()
+      .add("s0", IntegerType).add("e0", IntegerType)))
+  override def dataType: DataType = new StructType()
+    .add("text_clean", StringType, nullable = false)
+    .add("n_tokens", IntegerType, nullable = false)
+    .add("n_kept", IntegerType, nullable = false)
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextHash.removeSpans(a.asInstanceOf[UTF8String], b.asInstanceOf[ArrayData], unicode)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.TextHash.removeSpans($a, $b, $unicode)")
+  override def prettyName: String = "remove_spans"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): RemoveSpans =
+    copy(left = l, right = r)
 }

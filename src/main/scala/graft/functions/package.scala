@@ -180,6 +180,24 @@ package object functions {
   def bloom_might_contain(c: Column, bloom: org.apache.spark.util.sketch.BloomFilter): Column =
     col(BloomMightContain(expr(c), bloom))
 
+  /** Token array of `text` under the house lexical contract — the fused
+    * twin of the `Dedup.tokens`/`tokensUnicode` HOF columns (one
+    * byte-walk, no regex, no interpreted filter; see [[TokensArray]]). */
+  def tokens_array(text: Column, unicode: Boolean = false): Column =
+    col(TokensArray(expr(text), unicode))
+
+  /** `size(tokens(text))` without materializing the token strings —
+    * for count-only consumers (content gates, zero-token filters). */
+  def token_count(text: Column, unicode: Boolean = false): Column =
+    col(TokenCount(expr(text), unicode))
+
+  /** Fused span-removal rebuild: tokens of `text` outside every
+    * `[s0, e0]` 1-based token interval of `ivs`, joined by ' ', plus the
+    * total/kept token counts — struct<text_clean, n_tokens, n_kept>
+    * (see [[RemoveSpans]]). */
+  def remove_spans(text: Column, ivs: Column, unicode: Boolean = false): Column =
+    col(RemoveSpans(expr(text), expr(ivs), unicode))
+
   /** Generator: one (pos, tok) row per token of `text` under the house
     * lexical contract — the fused twin of
     * `posexplode(Dedup.tokensMode(text, unicode))` (no regex, no

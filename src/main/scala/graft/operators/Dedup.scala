@@ -31,8 +31,20 @@ object Dedup {
     * This is the ASCII-Latin lexical contract — non-Latin scripts map to
     * ZERO tokens by design (pinned in DedupSpec); multilingual corpora
     * use [[tokensUnicode]] / the `unicode = true` mode every consumer
-    * family exposes. */
+    * family exposes.
+    *
+    * Implementation (r19): the fused `tokens_array` kernel — one
+    * byte-walk over the lowercased buffer, no java.util.regex, no
+    * interpreted HOF lambda (the composed `filter(split(lower(...)))`
+    * form profiled as the dominant per-row cost across every tokenizing
+    * family). [[tokensHof]] keeps the definitional HOF form; the two are
+    * spec-pinned bit-identical (UnicodeTokensSpec), so the CONTRACT is
+    * unchanged — only the evaluation path. */
   def tokens(text: Column): Column =
+    graft.functions.tokens_array(text, unicode = false)
+
+  /** The definitional HOF form of [[tokens]] — spec-pinning twin only. */
+  private[graft] def tokensHof(text: Column): Column =
     filter(split(lower(text), "[^a-z0-9]+"), t => length(t) > 0)
 
   /** Unicode-mode tokenize — the multilingual lexical contract: space-pad
@@ -47,6 +59,11 @@ object Dedup {
     * code points, spec-pinned against this HOF form. ASCII-only text
     * tokenizes identically under both contracts. */
   def tokensUnicode(text: Column): Column =
+    graft.functions.tokens_array(text, unicode = true)
+
+  /** The definitional HOF form of [[tokensUnicode]] (the
+    * Java∩RE2∩DuckDB-replayable recipe) — spec-pinning twin only. */
+  private[graft] def tokensUnicodeHof(text: Column): Column =
     filter(split(lower(regexp_replace(text,
       "([\\p{IsHan}\\p{IsHiragana}\\p{IsKatakana}])", " $1 ")),
       "[^\\p{L}\\p{M}\\p{Nd}]+"), t => length(t) > 0)
@@ -55,6 +72,10 @@ object Dedup {
     * contract (bit-unchanged), `true` the multilingual one. */
   def tokensMode(text: Column, unicode: Boolean): Column =
     if (unicode) tokensUnicode(text) else tokens(text)
+
+  /** HOF-form mode switch — spec-pinning twin of [[tokensMode]]. */
+  private[graft] def tokensModeHof(text: Column, unicode: Boolean): Column =
+    if (unicode) tokensUnicodeHof(text) else tokensHof(text)
 
   /** Driver-side twin of [[tokensMode]] for query-string tokenization
     * (phrase-term validation, quoted-query parsing) — a plain-Scala
@@ -513,7 +534,9 @@ object Dedup {
     // precedent, and the cheaper side at 100 TB where a re-scan is a
     // second 100 TB read plus a second rank exchange.
     val base = graft.CacheScope.scoped(df
-      .filter(size(tokensMode(col(textCol), unicode)) > 0)
+      // token_count: the count-only kernel — the size(tokens(...)) form
+      // built the token array just to test emptiness
+      .filter(graft.functions.token_count(col(textCol), unicode) > 0)
       .select(col(idCol).as("id"),
         shingle_hash_set(col(textCol), w, unicode).as("ts"))
       .withColumn("len", size(col("ts"))))

@@ -429,19 +429,20 @@ object Ngrams {
       .agg(min(col("s")).as("s0"), max(col("e")).as("e0"))
     val ivs = merged.groupBy(col("id"))
       .agg(collect_list(struct(col("s0"), col("e0"))).as("__ivs"))
-    // rebuild: pure per-row HOFs against the doc's own interval list
+    // rebuild: the fused remove_spans kernel (r19) — one byte-walk +
+    // sorted interval sweep per row; the prior HOF chain re-tokenized
+    // with java.util.regex and evaluated the interpreted exists() per
+    // (token × interval). Output spec-pinned identical (RemoveSpansSpec:
+    // kernel == HOF form, overlapping/unordered/empty interval lists).
     df.join(ivs, df(idCol) === ivs("id"), "left")
-      .withColumn("__toks", Dedup.tokensMode(col(textCol), unicode))
       .withColumn("__iv", coalesce(col("__ivs"),
         array().cast("array<struct<s0:int,e0:int>>")))
-      .withColumn("__kept",
-        filter(col("__toks"), (t, i) =>
-          !exists(col("__iv"), iv =>
-            (i + 1) >= iv.getField("s0") && (i + 1) <= iv.getField("e0"))))
+      .withColumn("__rs",
+        graft.functions.remove_spans(col(textCol), col("__iv"), unicode))
       .select(col(idCol),
-        array_join(col("__kept"), " ").as("text_clean"),
-        size(col("__toks")).cast("long").as("n_tokens"),
-        (size(col("__toks")) - size(col("__kept"))).cast("long").as("n_removed"))
+        col("__rs.text_clean").as("text_clean"),
+        col("__rs.n_tokens").cast("long").as("n_tokens"),
+        (col("__rs.n_tokens") - col("__rs.n_kept")).cast("long").as("n_removed"))
   }
 
   /**

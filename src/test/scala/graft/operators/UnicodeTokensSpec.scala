@@ -65,13 +65,13 @@ class UnicodeTokensSpec extends SparkSpec {
     val rows = mixed.filter(length(col("text")) > 0).select(
       minhash_text(col("text"), 3, 64, 42L, unicode = true).as("fast"),
       minhash_signature(
-        Dedup.shingles(Dedup.tokensUnicode(col("text")), 3), 64, 42L).as("slow"),
+        Dedup.shingles(Dedup.tokensUnicodeHof(col("text")), 3), 64, 42L).as("slow"),
       size(shingle_hash_set(col("text"), 3, unicode = true)).as("nsh"),
       size(array_distinct(
-        Dedup.shingles(Dedup.tokensUnicode(col("text")), 3))).as("nsh_hof"),
+        Dedup.shingles(Dedup.tokensUnicodeHof(col("text")), 3))).as("nsh_hof"),
       text_stats(col("text"), TextAnalysis.stopwords, unicode = true).as("st"),
-      size(Dedup.tokensUnicode(col("text"))).as("nt_hof"),
-      aggregate(Dedup.tokensUnicode(col("text")), lit(0L),
+      size(Dedup.tokensUnicodeHof(col("text"))).as("nt_hof"),
+      aggregate(Dedup.tokensUnicodeHof(col("text")), lit(0L),
         (acc, x) => acc + length(x).cast("long")).as("stl_hof")
     ).collect()
     rows.foreach { r =>
@@ -95,20 +95,79 @@ class UnicodeTokensSpec extends SparkSpec {
         token_rows(col("text"), uni).as(Seq("pos", "tok")))
         .as[(Long, Int, String)].collect().toSeq.sorted
       val viaHof = mixed.select((col("doc_id") +:
-        Seq(posexplode(Dedup.tokensMode(col("text"), uni)))): _*)
+        Seq(posexplode(Dedup.tokensModeHof(col("text"), uni)))): _*)
         .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("tok"))
         .as[(Long, Int, String)].collect().toSeq.sorted
       assert(viaGen == viaHof, s"token_rows(unicode=$uni) drifted from HOF")
       val bgGen = mixed.select(col("doc_id"),
         bigram_rows(col("text"), uni, Lm.Bos).as(Seq("prev", "tok")))
         .as[(Long, String, String)].collect().toSeq.sorted
-      val toks = Dedup.tokensMode(col("text"), uni)
+      val toks = Dedup.tokensModeHof(col("text"), uni)
       val bgHof = mixed.select(col("doc_id"), explode(transform(toks, (t, i) =>
         struct(when(i === 0, lit(Lm.Bos)).otherwise(element_at(toks, i)).as("prev"),
           t.as("tok")))).as("p"))
         .select(col("doc_id"), col("p.prev"), col("p.tok"))
         .as[(Long, String, String)].collect().toSeq.sorted
       assert(bgGen == bgHof, s"bigram_rows(unicode=$uni) drifted from HOF")
+    }
+  }
+
+  test("tokens_array / token_count kernels == HOF forms, both contracts") {
+    import graft.functions.token_count
+    // r19: Dedup.tokens/tokensUnicode now EVALUATE through the fused
+    // tokens_array kernel; the definitional HOF recipes survive as the
+    // *Hof twins. This is the direct bit-for-bit pin between the two,
+    // values AND order AND multiplicity, over the mixed-script fixture.
+    Seq(false, true).foreach { uni =>
+      val rows = mixed.select(col("doc_id"),
+        Dedup.tokensMode(col("text"), uni).as("fast"),
+        Dedup.tokensModeHof(col("text"), uni).as("slow"),
+        token_count(col("text"), uni).as("nc"))
+        .as[(Long, Seq[String], Seq[String], Int)].collect()
+      rows.foreach { case (id, fast, slow, nc) =>
+        assert(fast == slow, s"tokens_array(unicode=$uni) drifted on doc $id")
+        assert(nc == slow.size, s"token_count(unicode=$uni) drifted on doc $id")
+      }
+    }
+  }
+
+  test("remove_spans kernel == HOF exists() chain (overlapping/unordered/empty intervals)") {
+    // interval lists per doc: unordered, overlapping, touching, empty,
+    // out-of-range — the kernel's sorted sweep must keep EXACTLY the
+    // tokens the interpreted exists() form kept, and join them the same
+    val ivCases: Map[Long, Seq[(Int, Int)]] = Map(
+      1L -> Seq((2, 3), (1, 1)),            // unordered, adjacent
+      2L -> Seq((3, 6), (5, 8), (1, 2)),    // overlapping
+      3L -> Seq((1, 50)),                   // covers everything
+      4L -> Seq.empty,                      // no-op
+      5L -> Seq((2, 2), (2, 2), (4, 4)),    // duplicates
+      7L -> Seq((40, 60)),                  // fully out of range
+      9L -> Seq((2, 4), (7, 7), (3, 5))
+    )
+    val ivsDf = ivCases.toSeq.flatMap { case (id, ivs) => ivs.map(iv => (id, iv._1, iv._2)) }
+      .toDF("doc_id", "s0", "e0")
+      .groupBy("doc_id").agg(collect_list(struct(col("s0"), col("e0"))).as("__ivs"))
+    Seq(false, true).foreach { uni =>
+      val joined = mixed.join(ivsDf, Seq("doc_id"), "left")
+        .withColumn("__iv", coalesce(col("__ivs"),
+          array().cast("array<struct<s0:int,e0:int>>")))
+      val toks = Dedup.tokensModeHof(col("text"), uni)
+      val kept = filter(toks, (t, i) =>
+        !exists(col("__iv"), iv =>
+          (i + 1) >= iv.getField("s0") && (i + 1) <= iv.getField("e0")))
+      val rows = joined.select(col("doc_id"),
+        graft.functions.remove_spans(col("text"), col("__iv"), uni).as("rs"),
+        array_join(kept, " ").as("clean_hof"),
+        size(toks).as("nt_hof"), size(kept).as("nk_hof"))
+        .collect()
+      rows.foreach { r =>
+        val rs = r.getStruct(1)
+        assert(rs.getString(0) == r.getString(2),
+          s"remove_spans(unicode=$uni) text drifted on doc ${r.getLong(0)}: " +
+            s"'${rs.getString(0)}' vs '${r.getString(2)}'")
+        assert(rs.getInt(1) == r.getInt(3) && rs.getInt(2) == r.getInt(4),
+          s"remove_spans(unicode=$uni) counts drifted on doc ${r.getLong(0)}")
+      }
     }
   }
 
