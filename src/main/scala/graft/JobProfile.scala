@@ -30,7 +30,9 @@ object JobProfile {
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit = {
         val d = Option(e.properties)
-          .flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse("?")
+          .flatMap(p => Option(p.getProperty("callSite.short")))
+          .orElse(e.stageInfos.lastOption.map(_.name.takeWhile(_ != '\n')))
+          .getOrElse("?")
         val j = J(e.jobId, d, e.time)
         jobs.put(e.jobId, j)
         e.stageIds.foreach(s => stageToJob.put(s, e.jobId))

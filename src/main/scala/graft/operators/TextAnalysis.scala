@@ -511,25 +511,58 @@ object TextAnalysis {
     }
     val xs = (0 to 4).map(j =>
       if (j == 0) col("__x0") else (col(s"__x$j") - lit(mu(j))) / lit(sd(j)))
+    // The descent iterates OFF Catalyst (r19, guide §1.2/§7.3): the prior
+    // form ran one DataFrame aggregate per iteration, and because each
+    // pass embedded that iteration's weight literals the driver paid a
+    // full analyze+optimize+AQE+codegen round per step — measured 3.6 s
+    // of driver-side gaps for 0.3 s of task time at sf0.1 (JobProfile).
+    // Here the standardized feature vectors are materialized ONCE into a
+    // cached RDD of primitive arrays (columns produced by the exact xs
+    // expressions the aggregate consumed) and each iteration is a single
+    // treeAggregate — the classic distributed-GD shape: map-side partial
+    // (loss, gradient) per partition, tree-combined, six doubles to the
+    // driver. No per-iteration planning, no per-iteration codegen; at
+    // scale the per-pass cost is the same one cached-data scan the
+    // aggregate form paid. Per-row math is bit-identical (same
+    // standardization, same left-fold z, same stable log-loss; Spark's
+    // EXP/LOG1P are java.lang.Math); only the cross-partition combine
+    // order can differ, which moves loss/weights by ulps — the contract
+    // (monotone loss under lr < 2/L, agreement, and the bounded-check
+    // oracle) is insensitive to that, and TextAnalysisSpec pins it.
+    val stdProj = feats.select((col("__y") +: xs): _*)
+    val stdRdd = stdProj.queryExecution.toRdd.map { ir =>
+      Array(ir.getDouble(0), ir.getDouble(1), ir.getDouble(2),
+        ir.getDouble(3), ir.getDouble(4), ir.getDouble(5))
+    }.persist()
     var w = Array.fill(5)(0.0)
-    def z = xs.zipWithIndex.map { case (x, j) => x * lit(w(j)) }.reduce(_ + _)
-    def lossGradOnce(): (Double, Array[Double]) = {
-      val zc = z
-      val p = lit(1.0) / (lit(1.0) + exp(-zc))
-      // stable log-loss: ln(1+e^z) − y·z = max(z,0) + log1p(e^−|z|) − y·z
-      val lossCol = sum(greatest(zc, lit(0.0)) + log1p(exp(-abs(zc)))
-        - col("__y") * zc)
-      val gradCols = xs.map(x => sum((p - col("__y")) * x))
-      val row = feats.agg(lossCol.as("__loss"),
-        gradCols.zipWithIndex.map { case (c, j) => c.as(s"__g$j") }: _*).head()
-      (row.getDouble(0) / n, Array.tabulate(5)(j => row.getDouble(j + 1) / n))
+    def lossGradOnce(wNow: Array[Double]): (Double, Array[Double]) = {
+      val (lSum, gSum) = stdRdd.treeAggregate((0.0, new Array[Double](5)))(
+        seqOp = { case ((l, g), a) =>
+          var z = 0.0
+          var j = 0
+          while (j < 5) { z += a(j + 1) * wNow(j); j += 1 }
+          val p = 1.0 / (1.0 + math.exp(-z))
+          // stable log-loss: ln(1+e^z) − y·z = max(z,0) + log1p(e^−|z|) − y·z
+          val li = math.max(z, 0.0) + math.log1p(math.exp(-math.abs(z))) -
+            a(0) * z
+          var k = 0
+          while (k < 5) { g(k) += (p - a(0)) * a(k + 1); k += 1 }
+          (l + li, g)
+        },
+        combOp = { case ((l1, g1), (l2, g2)) =>
+          var k = 0
+          while (k < 5) { g1(k) += g2(k); k += 1 }
+          (l1 + l2, g1)
+        })
+      (lSum / n, gSum.map(_ / n))
     }
     val losses = scala.collection.mutable.ArrayBuffer.empty[Double]
     (0 to iters).foreach { it =>
-      val (l, g) = lossGradOnce()
+      val (l, g) = lossGradOnce(w)
       losses += l
       if (it < iters) w = Array.tabulate(5)(j => w(j) - lr * g(j))
     }
+    stdRdd.unpersist(blocking = false)
     // un-standardize: z = Σⱼ wⱼ(xⱼ−μⱼ)/σⱼ + w0
     //                   = (w0 − Σⱼ (wⱼ/σⱼ)μⱼ) + Σⱼ (wⱼ/σⱼ)xⱼ
     val wRaw = (1 to 4).map(j => w(j) / sd(j))
