@@ -205,3 +205,47 @@ case class HammingQualifyingPairs(child: Expression, maxHamming: Int)
   override protected def withNewChildInternal(c: Expression): HammingQualifyingPairs =
     copy(child = c)
 }
+
+/** id_pairs(ids): array<long> → rows (id_a, id_b) — the lazy i<j
+  * triangle over a bucket's member ids, (min, max)-oriented, no
+  * scoring. The r19 minhash-candidate shape separates pair ENUMERATION
+  * from pair SCORING: buckets aggregate bare ids (12-byte banded rows
+  * instead of id+signature structs — the collect_list of 512-byte
+  * signature payloads was the measured CPU burner at 5.2 of the 7
+  * CPU-s of `dedup_minhash_keep`), the enumerated pairs are deduped
+  * across bands, and only then are signatures attached by key join and
+  * scored ONCE per distinct pair ([[TextHash.laneMatchCount]]). Lazy
+  * iterator: an oversized-but-capped bucket's triangle never
+  * materializes as a JVM array. */
+case class IdPairs(child: Expression)
+    extends UnaryExpression with Generator with CodegenFallback {
+
+  override def elementSchema: StructType = new StructType()
+    .add("id_a", LongType, nullable = false)
+    .add("id_b", LongType, nullable = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"expected array<long>, got $other")
+  }
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val arr = child.eval(input).asInstanceOf[ArrayData]
+    if (arr == null) return Iterator.empty
+    val n = arr.numElements()
+    if (n < 2) return Iterator.empty
+    val ids = arr.toLongArray()
+    (0 until n - 1).iterator.flatMap { i =>
+      (i + 1 until n).iterator.map { j =>
+        val a = ids(i); val b = ids(j)
+        new GenericInternalRow(
+          Array[Any](math.min(a, b), math.max(a, b)))
+      }
+    }
+  }
+
+  override def prettyName: String = "id_pairs"
+  override protected def withNewChildInternal(c: Expression): IdPairs =
+    copy(child = c)
+}

@@ -110,6 +110,11 @@ package object functions {
   def minhash_qualifying_pairs(items: Column, threshold: Double, numHashes: Int): Column =
     col(MinhashQualifyingPairs(expr(items), threshold, numHashes))
 
+  /** Generator: the lazy i<j (min, max)-oriented id triangle of a
+    * bucket's member-id array — pair enumeration without scoring
+    * (see [[IdPairs]]). */
+  def id_pairs(ids: Column): Column = col(IdPairs(expr(ids)))
+
   /** Generator: all in-bucket pairs with hamming ≤ maxHamming, from an
     * array<struct<id, sh>> bucket (simhash counterpart). */
   def hamming_qualifying_pairs(items: Column, maxHamming: Int): Column =

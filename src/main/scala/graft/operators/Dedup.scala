@@ -298,14 +298,12 @@ object Dedup {
       unicode: Boolean = false): DataFrame =
     minhashCandidates(df, textCol, idCol, numHashes, bands, threshold, maxBucket,
       unicode)
-      .dropDuplicates("id_a", "id_b")
       .orderBy(col("id_a"), col("id_b"))
 
-  /** Qualifying candidate pairs WITHOUT the edge sort/dedup — a pair that
-    * collides in several bands appears once per band. [[minhashPairs]] is
-    * the user-facing ordered/distinct view; [[minhashDedup]] consumes this
-    * raw form (its id_b-distinct makes pair-dedup redundant, and a global
-    * pair sort would be pure waste in that plan). */
+  /** Qualifying candidate pairs WITHOUT the global sort — already
+    * distinct per (id_a, id_b) since r19 (pairs are deduped across
+    * bands BEFORE scoring; see the enumerate-then-score note inside).
+    * [[minhashPairs]] is the user-facing ordered view. */
   private def minhashCandidates(
       df: DataFrame,
       textCol: String,
@@ -315,35 +313,54 @@ object Dedup {
       threshold: Double,
       maxBucket: Int,
       unicode: Boolean = false): DataFrame = {
-    val sigs = df.select(
+    // Enumerate-then-score (r19, guide §2.3 "shuffle keys and metadata
+    // instead of payloads"): signatures stay OUT of the banding
+    // exchange and the bucket aggregate. The r18 form collect_list'd
+    // struct(id, sig) per bucket — 16 copies of each 512-byte signature
+    // through one exchange, and the aggregate itself (per-row deep
+    // copies of array payloads into grow-as-you-go buffers) measured
+    // 5.2 of `dedup_minhash_keep`'s 7.1 CPU-s at sf0.1, dwarfing both
+    // the kernel and the scoring. Now:
+    //  1. buckets aggregate bare member ids (banded rows are 20 bytes);
+    //  2. the in-bucket i<j triangle is enumerated lazily
+    //     ([[graft.functions.IdPairs]]) WITHOUT scoring;
+    //  3. pairs are deduped across bands BEFORE scoring — a pair
+    //     colliding in several bands is scored once, not once per band;
+    //  4. signatures are attached to the surviving distinct pairs by
+    //     key join against the scoped-persisted signature frame (one
+    //     512-byte copy per join side, not 16 through the aggregate)
+    //     and scored with the codegen'd lane-match kernel.
+    // est_jaccard is the same matches/k double on the same signatures,
+    // and pair orientation is the same (min, max) — the output SET is
+    // exactly the generator form's post-distinct set (every consumer
+    // was already distinct-ing: minhashPairs dropDuplicates, dedup's
+    // id_b distinct, CC's edge distinct). DedupSpec's randomized
+    // brute-force parity pins it.
+    val sigs = graft.CacheScope.scoped(df.select(
       col(idCol).as("id"),
-      minhash_text(col(textCol), w = 3, k = numHashes, unicode = unicode).as("sig"))
+      minhash_text(col(textCol), w = 3, k = numHashes, unicode = unicode).as("sig")))
 
     // explode into (band, bandHash, id); bandHash = hash of the band's lanes
     val banded = sigs.select(
       col("id"), col("sig"), bandExplode(numHashes, bands).as("bb"))
-      .select(col("id"), col("sig"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
 
     // Oversized buckets (degenerate content — the skew/OOM guard) are
-    // filtered out BEFORE aggregation (see dropOversizedBuckets); then
-    // ONE shuffle builds the buckets, singleton buckets (no pairs) drop
-    // with a plain size filter, and the i<j triangle is enumerated,
-    // scored, and threshold-filtered inside ONE per-bucket generator
-    // eval ([[graft.functions.MinhashQualifyingPairs]]) — only the
-    // qualifying pairs materialize as rows, so the pair-dedup exchange
-    // carries 24-byte (id, id, est) rows and the up-to-maxBucket²/2
-    // losing pairs never leave the scoring loop. (The prior double-
-    // posexplode formulation materialized every candidate row with two
-    // full 512-byte signature copies before the filter — BENCH_r07's
-    // top CPU burner.)
-    val buckets = dropOversizedBuckets(banded, Seq("band", "bh"), maxBucket)
+    // filtered out BEFORE aggregation (see dropOversizedBuckets)
+    val idBuckets = dropOversizedBuckets(banded, Seq("band", "bh"), maxBucket)
       .groupBy(col("band"), col("bh"))
-      .agg(collect_list(struct(col("id"), col("sig"))).as("items"))
-      .filter(size(col("items")) >= 2)
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")) >= 2)
 
-    buckets.select(
-      minhash_qualifying_pairs(col("items"), threshold, numHashes)
-        .as(Seq("id_a", "id_b", "est_jaccard")))
+    idBuckets
+      .select(graft.functions.id_pairs(col("ids")).as(Seq("id_a", "id_b")))
+      .dropDuplicates("id_a", "id_b")
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("__sa")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("__sb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (graft.functions.lane_match_count(col("__sa"), col("__sb")) /
+          lit(numHashes.toDouble)).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
   }
 
   /** Connected-component-free dedup from candidate pairs: every doc that
