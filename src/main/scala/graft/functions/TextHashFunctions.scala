@@ -201,7 +201,7 @@ object TextHash extends Serializable {
 
   /** FNV-1a over the bytes of tokens [from, until) joined by ' ' — equals
     * baseHash(concat_ws(" ", tokens)) without building the string. */
-  @inline private def shingleHash(
+  @inline private[functions] def shingleHash(
       buf: Array[Byte], bounds: Array[Int], from: Int, until: Int): Long = {
     var h = 0xcbf29ce484222325L
     var t = from

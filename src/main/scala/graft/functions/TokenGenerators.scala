@@ -103,3 +103,51 @@ case class BigramRows(child: Expression, unicode: Boolean, bos: String)
   override protected def withNewChildInternal(c: Expression): BigramRows =
     copy(child = c)
 }
+
+/** gram_hash_rows(text, n): one (pos, gh) row per FULL word n-gram of
+  * `text` under the house lexical contract, pos 1-based (the position
+  * of the gram's first token; positions past nTok − n + 1 carry no full
+  * gram and emit nothing — exactly the `ngram IS NOT NULL` filter of
+  * the window form). `gh` is [[TextHash.shingleHash]] over the gram's
+  * token bytes joined by ' ' — collision-equivalent to the gram string
+  * (two rows share `gh` iff they share the gram, up to a 64-bit hash
+  * collision, the same contract the shingle-set machinery already
+  * carries). The fused twin of `Ngrams.wordNgrams`' lead()-window +
+  * string-concat form for consumers that use grams only as join/count
+  * KEYS: no per-token window sort, no gram-string materialization, no
+  * token rows through an exchange. */
+case class GramHashRows(child: Expression, n: Int, unicode: Boolean)
+    extends UnaryExpression with Generator with CodegenFallback {
+  require(n >= 2, s"n-gram size must be >= 2: $n")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"expected string, got $other")
+  }
+  override def elementSchema: StructType = new StructType()
+    .add("pos", IntegerType, nullable = false)
+    .add("gh", LongType, nullable = false)
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val text = child.eval(input).asInstanceOf[UTF8String]
+    if (text == null) return Iterator.empty
+    val (buf, bounds, nTok) =
+      if (unicode) TextHash.tokenizeUnicode(text) else TextHash.tokenize(text)
+    val nGrams = nTok - n + 1
+    if (nGrams <= 0) return Iterator.empty
+    new Iterator[InternalRow] {
+      private var i = 0
+      override def hasNext: Boolean = i < nGrams
+      override def next(): InternalRow = {
+        val r = new GenericInternalRow(Array[Any](
+          i + 1, TextHash.shingleHash(buf, bounds, i, i + n)))
+        i += 1
+        r
+      }
+    }
+  }
+
+  override def prettyName: String = "gram_hash_rows"
+  override protected def withNewChildInternal(c: Expression): GramHashRows =
+    copy(child = c)
+}

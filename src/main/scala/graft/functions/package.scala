@@ -216,4 +216,11 @@ package object functions {
   def bigram_rows(text: Column, unicode: Boolean = false,
       bos: String = "<s>"): Column =
     col(BigramRows(expr(text), unicode, bos))
+
+  /** Generator: one (pos, gh) row per full word n-gram of `text` —
+    * gram-hash keys without the lead()-window/string-concat form, for
+    * consumers that use grams only as join/count keys
+    * (see [[GramHashRows]]). */
+  def gram_hash_rows(text: Column, n: Int, unicode: Boolean = false): Column =
+    col(GramHashRows(expr(text), n, unicode))
 }

@@ -127,10 +127,12 @@ object Ngrams {
       textCol: String,
       n: Int = 5,
       unicode: Boolean = false): DataFrame = {
-    val sg = wordNgrams(df, idCol, textCol, n, carryCols = Seq(groupCol),
-      unicode = unicode)
-      .filter(col("ngram").isNotNull)
-      .select(col(groupCol).as("source"), col("ngram"))
+    // r19: gram-hash keys (the substringPairs rationale — grams are
+    // join/count keys only here; counts move only on a 64-bit collision,
+    // which the string-replaying DuckDB oracle would catch loud)
+    val sg = df.select(col(groupCol).as("source"),
+      graft.functions.gram_hash_rows(col(textCol), n, unicode).as(Seq("pos", "gh")))
+      .select(col("source"), col("gh").as("ngram"))
       .distinct()
     // unordered pairs via ONE codegen'd HOF + a single explode (the
     // Assoc.pairRules pattern): the double-posexplode form generated
@@ -283,18 +285,25 @@ object Ngrams {
       n: Int,
       maxDocsPerGram: Int = 1000,
       unicode: Boolean = false): DataFrame = {
-    val dg = wordNgrams(df, idCol, textCol, n, Nil, unicode)
-      .filter(col("ngram").isNotNull)
-      .select(col(idCol).as("id"), col("ngram"))
+    // r19: grams travel as 8-byte [[graft.functions.gram_hash_rows]]
+    // keys, not strings — this operator uses grams ONLY as join/count
+    // keys, so the lead()-window + string-concat form paid a per-token
+    // window sort plus gram-string shuffles for nothing. Counts change
+    // only on a 64-bit gram-hash collision — the same contract the
+    // shingle-set machinery documents (and the DuckDB oracle replays
+    // string grams, so a collision would fail loud, not silently).
+    val dg = df.select(col(idCol).as("id"),
+      graft.functions.gram_hash_rows(col(textCol), n, unicode).as(Seq("pos", "gh")))
+      .select(col("id"), col("gh"))
       .distinct()
     // rows are distinct (id, gram), so the per-gram row count IS the
     // document count; the guard is the house single-pass window
-    val guarded = Dedup.dropOversizedBuckets(dg, Seq("ngram"), maxDocsPerGram)
-    guarded.select(col("ngram"), col("id").as("id_a"))
-      .join(guarded.select(col("ngram"), col("id").as("id_b")), Seq("ngram"))
+    val guarded = Dedup.dropOversizedBuckets(dg, Seq("gh"), maxDocsPerGram)
+    guarded.select(col("gh"), col("id").as("id_a"))
+      .join(guarded.select(col("gh"), col("id").as("id_b")), Seq("gh"))
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
-      .agg(countDistinct(col("ngram")).as("n_shared"))
+      .agg(countDistinct(col("gh")).as("n_shared"))
       .orderBy(col("id_a"), col("id_b"))
   }
 
@@ -325,23 +334,24 @@ object Ngrams {
       maxDocsPerGram: Int = 1000,
       unicode: Boolean = false): DataFrame = {
     require(minTokens >= n, s"minTokens ($minTokens) must be >= n ($n)")
-    val occ = wordNgrams(df, idCol, textCol, n, Nil, unicode)
-      .filter(col("ngram").isNotNull)
-      .select(col(idCol).as("id"), col("pos"), col("ngram"))
+    // r19: gram-hash keys (see substringPairs) — grams here are join
+    // keys only; positions, islands, and run lengths are untouched.
+    val occ = df.select(col(idCol).as("id"),
+      graft.functions.gram_hash_rows(col(textCol), n, unicode).as(Seq("pos", "gh")))
     // oversized-gram guard on DOCUMENT count — the same semantics the
     // parameter name carries in substringPairs. Counting occurrence ROWS
     // here would let a gram repeated many times WITHIN few documents
     // (the exact boilerplate this stage certifies) trip the cap and
     // silently understate max_run_tokens. The oversized-gram set is
     // tiny, so it broadcasts as an anti-join filter.
-    val bigGrams = occ.select(col("id"), col("ngram")).distinct()
-      .groupBy(col("ngram")).agg(count(lit(1)).as("__gd"))
-      .filter(col("__gd") > maxDocsPerGram).select(col("ngram"))
-    val guarded = occ.join(broadcast(bigGrams), Seq("ngram"), "left_anti")
+    val bigGrams = occ.select(col("id"), col("gh")).distinct()
+      .groupBy(col("gh")).agg(count(lit(1)).as("__gd"))
+      .filter(col("__gd") > maxDocsPerGram).select(col("gh"))
+    val guarded = occ.join(broadcast(bigGrams), Seq("gh"), "left_anti")
     val joined = guarded
-      .select(col("ngram"), col("id").as("id_a"), col("pos").as("pa"))
-      .join(guarded.select(col("ngram"), col("id").as("id_b"), col("pos").as("pb")),
-        Seq("ngram"))
+      .select(col("gh"), col("id").as("id_a"), col("pos").as("pa"))
+      .join(guarded.select(col("gh"), col("id").as("id_b"), col("pos").as("pb")),
+        Seq("gh"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("diag", col("pa") - col("pb"))
     // within one (pair, diag) each pa appears once (pb is determined),
