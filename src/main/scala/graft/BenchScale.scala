@@ -40,8 +40,15 @@ import org.apache.spark.sql.functions._
  *    the shapes the gate exists to catch measure far above it: a pair
  *    blowup ≥ 30×, the r14 ANN writer defect well above 20×).
  *  - `answer` class (exact joins, CC, LSH pairs): cost is Θ(output +
- *    collisions), so the honest check is CPU growth against OUTPUT
- *    growth, same 1.3 slack on the output ratio (≥ 10× by construction).
+ *    collisions), so the honest gated quantity is CPU PER OUTPUT ROW,
+ *    which is scale-invariant by the class's own cost contract:
+ *    per-row ×10/×1 ≤ 1.6 (r19, verdict #3 — the old total-CPU vs
+ *    max(output-ratio, 10) form had a hard cliff exactly where the x1
+ *    fixed-cost floor inflates the ratio, and flagged UNTOUCHED,
+ *    absolutely-faster code two rounds running; calibration: the six
+ *    answer rows measure per-row ratios 0.22–1.25 on the committed r18
+ *    artifact — amortizing fixed costs push it BELOW 1 — while a
+ *    quadratic candidate blowup measures ≥ 3).
  *  - `composite` class: the linear expectation with 2.0 slack, for
  *    multi-materialization lifecycle rows (store build → mutate →
  *    re-read; decode → pair over re-encoded assets). Evidence from the
@@ -656,6 +663,18 @@ object BenchScale {
       val r1 = rows(name)("x1"); val r10 = rows(name)("x10")
       val cpuRatio = medianRatio(name)
       val exponent = math.log(math.max(cpuRatio, 1e-9)) / math.log(10.0)
+      // CPU per OUTPUT row at each scale — the r19 gate quantity for
+      // `answer`-class rows (r18 verdict #3): an answer-class row's cost
+      // contract is Θ(qualifying output), so per-output-row CPU is
+      // scale-INVARIANT by design, and the x1 fixed-cost floor that made
+      // the old total-CPU-ratio gate flap (13.31 vs a hard 13.0 cliff on
+      // UNTOUCHED, absolutely-faster code, two rounds running) inflates
+      // the x1 BASELINE here — i.e. pushes the gated ratio DOWN, never
+      // up, while a genuine pair blowup (candidates superlinear in
+      // output) still measures ≥ 3×.
+      val perRow1 = c1 / math.max(r1, 1L)
+      val perRow10 = c10 / math.max(r10, 1L)
+      val perRowRatio = perRow10 / math.max(perRow1, 1e-12)
       val budgetRatio =
         if (cls == "answer") math.max(r10.toDouble / math.max(r1, 1L), 10.0)
         else 10.0
@@ -665,21 +684,29 @@ object BenchScale {
       // dedup_exact at 12.8, which has no superlinear term to express —
       // so 1.3 (calibrated for the old best-case min estimator) flags
       // verified-linear shapes. 1.6 fits the measured baseline and still
-      // fails exponent ≥ 1.20 (a pair blowup measures ≥ 30×); `answer`
-      // keeps 1.3 (its budget already scales with output).
+      // fails exponent ≥ 1.20 (a pair blowup measures ≥ 30×).
+      //
+      // `answer` rows gate on per-output-row CPU at slack 1.6
+      // (calibrated r19 against the committed r18 artifact: the six
+      // answer rows measured per-row ratios 0.22–1.25 — fixed costs
+      // amortize with scale, so most sit BELOW 1 — while a quadratic
+      // candidate blowup measures ≥ 3; 1.6 clears the family's observed
+      // max by 28% with no cliff at the rows-budget floor).
       val slack =
-        if (cls == "composite") 2.0 else if (cls == "linear") 1.6 else 1.3 // answer + stage
-      val pass = cpuRatio <= slack * budgetRatio
-      (name, cls, c1, c10, r1, r10, cpuRatio, exponent, pass)
+        if (cls == "composite") 2.0 else if (cls == "linear") 1.6 else 1.3 // stage
+      val pass =
+        if (cls == "answer") perRowRatio <= 1.6
+        else cpuRatio <= slack * budgetRatio
+      (name, cls, c1, c10, r1, r10, cpuRatio, exponent, perRowRatio, pass)
     }
     // ROOT-locale rendering (the f interpolator honors the JVM default
     // locale, which could emit ',' decimals — same guard as Bench)
-    val json = entries.map { case (name, cls, c1, c10, r1, r10, ratio, exp, pass) =>
+    val json = entries.map { case (name, cls, c1, c10, r1, r10, ratio, exp, prr, pass) =>
       String.format(java.util.Locale.ROOT,
         "    \"%s\": {\"class\": \"%s\", \"cpu_x1\": %.3f, \"cpu_x10\": %.3f, " +
           "\"rows_x1\": %d, \"rows_x10\": %d, \"cpu_ratio\": %.2f, " +
-          "\"exponent\": %.3f, \"repeats\": %d, \"pass\": %b}",
-        name, cls, c1, c10, r1, r10, ratio, exp,
+          "\"exponent\": %.3f, \"per_row_ratio\": %.3f, \"repeats\": %d, \"pass\": %b}",
+        name, cls, c1, c10, r1, r10, ratio, exp, prr,
         Int.box(repeats(name)), pass)
     }.mkString("{\n  \"src\": \"" + srcSf + "\", \"sweeps\": " + sweeps +
       // measurement-protocol record (r14 verdict: the artifact must say
@@ -696,7 +723,7 @@ object BenchScale {
     println(json)
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       json.getBytes("UTF-8"))
-    val failed = entries.filterNot(_._9).map(_._1)
+    val failed = entries.filterNot(_._10).map(_._1)
     if (failed.nonEmpty)
       System.err.println(s"[bench-scale] budget exceeded: ${failed.mkString(", ")}")
     spark.stop()

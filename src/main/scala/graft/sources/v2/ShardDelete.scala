@@ -371,19 +371,24 @@ object ShardDelete {
     // updates feed four consumers (uniqueness gate, count, hit scan,
     // write) — scope-cached so the caller's plan runs once
     val up = graft.CacheScope.scoped(updates)
-    val nUpdates = up.count()
+    // row count + key-uniqueness gate in ONE action (r19 — the separate
+    // count + limit(1) gate was two full plans over the cached frame;
+    // each lifecycle row pays the mutator's action count in driver
+    // planning, which JobProfile measured dominating these rows)
+    val gate = up.groupBy(col(keyCol)).agg(count(lit(1)).as("__n"))
+      .agg(coalesce(sum(col("__n")), lit(0L)),
+        coalesce(max(col("__n")), lit(0L)),
+        first(when(col("__n") > 1, col(keyCol)), ignoreNulls = true)).head()
+    val nUpdates = gate.getLong(0)
     if (nUpdates == 0L) return (0L, 0L)
-    val dup = up.groupBy(col(keyCol)).agg(count(lit(1)).as("__n"))
-      .filter(col("__n") > 1).limit(1).collect()
-    require(dup.isEmpty,
-      s"updates are not key-unique on '$keyCol' (e.g. ${dup.head.get(0)}) — " +
+    require(gate.getLong(1) <= 1L,
+      s"updates are not key-unique on '$keyCol' (e.g. ${gate.get(2)}) — " +
         "an upsert with two rows for one key has no deterministic outcome")
     val keyDf = up.select(col(keyCol).as("__k"))
 
-    // manifest-level prune, then ONE pass over the candidates builds the
-    // (shard, key) hit set — bounded by the update list × historical
-    // copies, so caching it is model-state sized; both the per-shard
-    // counts and the matched-key count read it
+    // manifest-level prune, then ONE pass over the candidates feeds the
+    // rollup below — per-shard hit counts and the matched-key count come
+    // out of the same action
     val candidates = ShardPrune.candidateShards(spark,
       tableStats.find(_.column == keyCol), tableBloom.find(_.column == keyCol),
       schema(keyCol).dataType, keyCol, keyDf, old.map(_._1))
@@ -400,16 +405,20 @@ object ShardDelete {
         tombsU.fold(t0)(t =>
           ShardTombstones.minus(spark, dir, t0, t, Some("__shard")))
       }
-    val hits = if (files.isEmpty) null
-      else graft.CacheScope.scoped(
-        tagged.join(keyDf, tagged(keyCol) === col("__k"), "left_semi")
-          .select(col("__shard"), col(keyCol).as("__key")))
-    val hitCounts = if (hits == null) Map.empty[String, Long]
-      else hits.groupBy(col("__shard")).agg(count(lit(1)).as("__n"))
-        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    // per-shard hit counts AND the global matched-key count in ONE
+    // rollup action (r19): the grand-total row carries the global
+    // countDistinct, the per-shard rows the counts — replacing two
+    // actions over a scope-cached hit set with one uncached pass
+    val hitAgg = if (files.isEmpty) Array.empty[org.apache.spark.sql.Row]
+      else tagged.join(keyDf, tagged(keyCol) === col("__k"), "left_semi")
+        .select(col("__shard"), col(keyCol).as("__key"))
+        .rollup(col("__shard"))
+        .agg(count(lit(1)).as("__n"), countDistinct(col("__key")).as("__d"))
+        .collect()
+    val hitCounts = hitAgg.filter(!_.isNullAt(0))
+      .map(r => (r.getString(0), r.getLong(1))).toMap
     val replaced = hitCounts.values.sum
-    val matchedKeys = if (hits == null) 0L
-      else hits.select(col("__key")).distinct().count()
+    val matchedKeys = hitAgg.find(_.isNullAt(0)).map(_.getLong(2)).getOrElse(0L)
     val statsCol = tableStats.map(_.column)
     val bloomMeta = tableBloom.map(b => (b.column, b.mBits))
 
