@@ -136,10 +136,11 @@ object Bench {
     val loadStart = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // (wall_s, executor_cpu_s, process_cpu_s, ok)
-      def once(): (Double, Double, Double, Boolean) = {
+      // (wall_s, executor_cpu_s, process_cpu_s, task_run_s, ok)
+      def once(): (Double, Double, Double, Double, Boolean) = {
         drainTaskEvents()
         val c0 = meter.snapshotNs
+        val r0 = meter.snapshotRunMs
         val p0 = osBean.map(_.getProcessCpuTime).getOrElse(0L)
         val t0 = System.nanoTime()
         val ok =
@@ -156,7 +157,8 @@ object Bench {
         // flat across the sweep AND makes re-measure passes fair (a
         // second pass must rebuild the cache, not reuse the first's)
         CacheScope.releaseAll()
-        (wall, (meter.snapshotNs - c0) / 1e9, proc, ok)
+        (wall, (meter.snapshotNs - c0) / 1e9,
+          (meter.snapshotRunMs - r0) / 1e3, proc, ok)
       }
       // EVERY query runs `passes` times (default 2) and reports the min
       // PER METRIC across ok passes — the least-noise estimator for each
@@ -166,19 +168,20 @@ object Bench {
       // under visible host load and read as a 1.88× wall regression with
       // zero code cause — the idle-min protocol must live in the
       // artifact, not in a SURVEY footnote.
-      val runs = scala.collection.mutable.ArrayBuffer.empty[(Double, Double, Double, Boolean)]
+      val runs = scala.collection.mutable.ArrayBuffer.empty[(Double, Double, Double, Double, Boolean)]
       (1 to passes).foreach(_ => runs += once())
       // stall-suspect top-up on the min (transient CPU-steal stalls have
       // inflated single measurements 10-30×; a stalled pass accrues wall
       // but neither executor-task nor process CPU, so: absolutely slow
       // (> 3 s wall) OR wall > 3× all JVM cpu with a 1 s floor that
       // keeps tiny planning-bound queries out of the re-run set)
-      def mins: Option[(Double, Double, Double)] = {
-        val ok = runs.filter(_._4)
+      def mins: Option[(Double, Double, Double, Double)] = {
+        val ok = runs.filter(_._5)
         if (ok.isEmpty) None
-        else Some((ok.map(_._1).min, ok.map(_._2).min, ok.map(_._3).min))
+        else Some((ok.map(_._1).min, ok.map(_._2).min,
+          ok.map(_._3).min, ok.map(_._4).min))
       }
-      mins.foreach { case (w, c, p) =>
+      mins.foreach { case (w, c, _, p) =>
         if (w > 3.0 || (w > 1.0 && w > 3.0 * math.max(c, p))) runs += once()
       }
       // per-pass raw (wall, cpu) pairs ride into the artifact: two
@@ -187,10 +190,10 @@ object Bench {
       // with every pass recorded, a row whose EVERY pass shows wall >>
       // cpu is self-evidently wait-bound (fs lifecycle, micro-batch
       // timers), while a single inflated pass is self-evidently steal
-      val raw = runs.toSeq.map(r => (r._1, r._2, r._4))
+      val raw = runs.toSeq.map(r => (r._1, r._2, r._5))
       mins match {
-        case Some((w, c, _)) => (name, w, c, true, raw)
-        case None            => (name, runs.head._1, runs.head._2, false, raw)
+        case Some((w, c, r, _)) => (name, w, c, r, true, raw)
+        case None => (name, runs.head._1, runs.head._2, runs.head._3, false, raw)
       }
     }
     // minimal JSON string escaper for anything not builder-controlled
@@ -214,23 +217,30 @@ object Bench {
     def jstr(s: String): String = "\"" + jesc(s) + "\""
     // failed queries report -1 (not their near-zero abort time) and are
     // listed in "failed", so a regression can't silently shrink the total
-    val qs = results.map { case (k, w, _, ok, _) =>
+    val qs = results.map { case (k, w, _, _, ok, _) =>
       jstr(k) + ":" + (if (ok) num3(w) else "-1")
     }.mkString("{", ",", "}")
-    val cpus_ = results.map { case (k, _, c, ok, _) =>
+    val cpus_ = results.map { case (k, _, c, _, ok, _) =>
       jstr(k) + ":" + (if (ok) num3(c) else "-1")
+    }.mkString("{", ",", "}")
+    // per-query executor task RUN time (r20, PERF_r19 scaling item):
+    // the data-work wall that should track the core count — fixed
+    // driver/planning cost is excluded by construction, so the low-core
+    // probe can read scaling off task/cpu instead of end-to-end wall
+    val tasks_ = results.map { case (k, _, _, r, ok, _) =>
+      jstr(k) + ":" + (if (ok) num3(r) else "-1")
     }.mkString("{", ",", "}")
     // every pass's (wall, cpu), failed passes as -1 — the full artifact
     // only (the compact tail line stays headline-sized)
-    val raws = results.map { case (k, _, _, _, raw) =>
+    val raws = results.map { case (k, _, _, _, _, raw) =>
       jstr(k) + ":" + raw.map { case (w, c, ok) =>
         if (ok) s"[${num3(w)},${num3(c)}]" else "[-1,-1]"
       }.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val failedNames = results.collect { case (k, _, _, false, _) => k }
+    val failedNames = results.collect { case (k, _, _, _, false, _) => k }
     val failed = failedNames.map(jstr).mkString("[", ",", "]")
-    val total = results.collect { case (_, w, _, true, _) => w }.sum
-    val cpuTotal = results.collect { case (_, _, c, true, _) => c }.sum
+    val total = results.collect { case (_, w, _, _, true, _) => w }.sum
+    val cpuTotal = results.collect { case (_, _, c, _, true, _) => c }.sum
     val loadEnd = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
     val nCores = Runtime.getRuntime.availableProcessors
@@ -247,12 +257,12 @@ object Bench {
     // every pass shows cpu >> wall variance) and apply the CPU flag
     // only to the non-streaming rows.
     val streamClass = results.collect {
-      case (k, _, _, _, _) if k.startsWith("stream_") => jstr(k)
+      case (k, _, _, _, _, _) if k.startsWith("stream_") => jstr(k)
     }.mkString("[", ",", "]")
     val protocol =
       s"""{"isolation":"dedicated-jvm","estimator":"min-of-$passes per metric","load_avg_start":${num3(loadStart)},"load_avg_end":${num3(loadEnd)},"host_cores":$nCores,"concurrent_load":${loadStart > 0.5 * nCores},"cpu_noise_class":{"rows":$streamClass,"note":"micro-batch scheduler task-spin pollutes executor-CPU on streaming rows; trend these on wall, flag CPU only for non-streaming rows"}}"""
     val fullLine =
-      s"""{"metric":"total","value":${num3(total)},"unit":"sec","cpu_total":${num3(cpuTotal)},"passes":$passes,"protocol":$protocol,"queries":$qs,"cpu":$cpus_,"raw":$raws,"sf":${jstr(sfDir)},"failed":$failed}"""
+      s"""{"metric":"total","value":${num3(total)},"unit":"sec","cpu_total":${num3(cpuTotal)},"cpus":${cpus.trim.toIntOption.getOrElse(-1)},"passes":$passes,"protocol":$protocol,"queries":$qs,"cpu":$cpus_,"task":$tasks_,"raw":$raws,"sf":${jstr(sfDir)},"failed":$failed}"""
     // The harness keeps only the LAST ~2000 characters of stdout; the
     // full per-query line is ~8 KB, so on its own it is always truncated
     // mid-map and unparseable (BENCH_r01..r05 all carry "parsed": null).
@@ -265,16 +275,16 @@ object Bench {
       (fullLine + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] full-dump write failed: $e") }
     println(fullLine)
-    val slow = results.filter(_._4).sortBy(-_._2).take(20)
-    val slowQs = slow.map { case (k, w, _, _, _) => jstr(k) + ":" + num3(w) }
+    val slow = results.filter(_._5).sortBy(-_._2).take(20)
+    val slowQs = slow.map { case (k, w, _, _, _, _) => jstr(k) + ":" + num3(w) }
       .mkString("{", ",", "}")
-    val slowCpu = slow.map { case (k, _, c, _, _) => jstr(k) + ":" + num3(c) }
+    val slowCpu = slow.map { case (k, _, c, _, _, _) => jstr(k) + ":" + num3(c) }
       .mkString("{", ",", "}")
     // Compact line must survive a ~2000-char tail window even on a
     // worst-case run: cap the failed list at 10 names + a count (the full
     // list is always in the full-line artifact above).
     val failedCompact = failedNames.take(10).map(jstr).mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${num3(total)},"unit":"sec","cpu_total":${num3(cpuTotal)},"passes":$passes,"n_queries":${results.size},"n_failed":${failedNames.size},"queries":$slowQs,"cpu":$slowCpu,"note":"20 slowest; full map in ${jesc(outPath)}","sf":${jstr(sfDir)},"failed":$failedCompact}""")
+    println(s"""{"metric":"total","value":${num3(total)},"unit":"sec","cpu_total":${num3(cpuTotal)},"cpus":${cpus.trim.toIntOption.getOrElse(-1)},"passes":$passes,"n_queries":${results.size},"n_failed":${failedNames.size},"queries":$slowQs,"cpu":$slowCpu,"note":"20 slowest; full map in ${jesc(outPath)}","sf":${jstr(sfDir)},"failed":$failedCompact}""")
     spark.stop()
   }
 }

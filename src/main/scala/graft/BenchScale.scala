@@ -672,9 +672,14 @@ object BenchScale {
       // the x1 BASELINE here — i.e. pushes the gated ratio DOWN, never
       // up, while a genuine pair blowup (candidates superlinear in
       // output) still measures ≥ 3×.
-      val perRow1 = c1 / math.max(r1, 1L)
-      val perRow10 = c10 / math.max(r10, 1L)
-      val perRowRatio = perRow10 / math.max(perRow1, 1e-12)
+      // SAME estimator as cpu_ratio (r20, r19 advice): per-row ratio =
+      // (c10/r10)/(c1/r1) = (c10/c1) · (r1/r10), and rows are
+      // deterministic per scale, so the median-of-sweep-ratios cpu
+      // estimate composes directly. The earlier min/min composition
+      // re-imported exactly the bias the r15 note documents (the x1
+      // fixed-cost-dominated min drops faster as sweeps grow,
+      // systematically inflating the ratio).
+      val perRowRatio = cpuRatio * (r1.toDouble / math.max(r10, 1L))
       val budgetRatio =
         if (cls == "answer") math.max(r10.toDouble / math.max(r1, 1L), 10.0)
         else 10.0

@@ -18,6 +18,7 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd, SparkLis
  */
 private[graft] final class TaskCpuMeter(sc: SparkContext) {
   private val cpuNs = new AtomicLong(0L)
+  private val runMs = new AtomicLong(0L)
   private val started = new AtomicLong(0L)
   private val ended = new AtomicLong(0L)
 
@@ -25,13 +26,24 @@ private[graft] final class TaskCpuMeter(sc: SparkContext) {
     override def onTaskStart(e: SparkListenerTaskStart): Unit =
       started.incrementAndGet()
     override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
-      if (e.taskMetrics != null) cpuNs.addAndGet(e.taskMetrics.executorCpuTime)
+      if (e.taskMetrics != null) {
+        cpuNs.addAndGet(e.taskMetrics.executorCpuTime)
+        runMs.addAndGet(e.taskMetrics.executorRunTime)
+      }
       ended.incrementAndGet()
     }
   })
 
   /** Cumulative executor CPU ns observed so far (drain first). */
   def snapshotNs: Long = cpuNs.get
+
+  /** Cumulative executor task RUN time ms (drain first) — wall the
+    * tasks spent on executors, CPU or not. The r19 scaling probe read
+    * flat wall ratios at sf0.1 because per-query driver fixed cost
+    * swamps data work there; task run-time is the quantity that should
+    * track the core count on data-bound rows, so the bench artifact
+    * carries it per query (r20, PERF_r19 "restore scaling legibility"). */
+  def snapshotRunMs: Long = runMs.get
 
   /** Wait until the listener bus has delivered an end event for every
     * started task. Generous timeout: if a stalled task outlives the

@@ -47,11 +47,6 @@ import org.apache.spark.sql.types._
  * decode.
  */
 private[graft] object PairGen {
-  val minhashSchema: StructType = new StructType()
-    .add("id_a", LongType, nullable = false)
-    .add("id_b", LongType, nullable = false)
-    .add("est_jaccard", DoubleType, nullable = false)
-
   val hammingSchema: StructType = new StructType()
     .add("id_a", LongType, nullable = false)
     .add("id_b", LongType, nullable = false)
@@ -113,62 +108,6 @@ private[graft] abstract class BucketPairGenerator
       }
     }
   }
-}
-
-/** minhash_qualifying_pairs(items, threshold, k):
-  * array<struct<id: long, sig: array<long>>> →
-  * rows (id_a, id_b, est_jaccard) for every unordered in-bucket pair
-  * with lane-agreement/k ≥ threshold. */
-case class MinhashQualifyingPairs(
-    child: Expression, threshold: Double, numHashes: Int)
-    extends BucketPairGenerator {
-
-  override def elementSchema: StructType = PairGen.minhashSchema
-
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(s: StructType, _) if s.length == 2 &&
-        s(0).dataType == LongType &&
-        (s(1).dataType match {
-          case ArrayType(LongType, _) => true
-          case _ => false
-        }) =>
-      TypeCheckResult.TypeCheckSuccess
-    case other => TypeCheckResult.TypeCheckFailure(
-      s"expected array<struct<id: long, sig: array<long>>>, got $other")
-  }
-
-  override protected def scorer(arr: ArrayData, n: Int): (Int, Int) => Any = {
-    val sigs = new Array[Array[Long]](n)
-    var i = 0
-    while (i < n) {
-      sigs(i) = arr.getStruct(i, 2).getArray(1).toLongArray()
-      i += 1
-    }
-    val kd = numHashes.toDouble
-    // exact est = matches/k (double), or -1 once the remaining lanes
-    // cannot reach threshold — the exit compares best/k < threshold
-    // with the same float ops as the final test, and best/k ≥ est
-    // always, so no qualifying pair is ever dropped
-    def score(a: Array[Long], b: Array[Long]): Double = {
-      val len = math.min(a.length, b.length)
-      var c = 0
-      var t = 0
-      while (t < len) {
-        if (a(t) == b(t)) c += 1
-        else if ((c + (len - t - 1)).toDouble / kd < threshold) return -1.0
-        t += 1
-      }
-      c.toDouble / kd
-    }
-    (i, j) => {
-      val est = score(sigs(i), sigs(j))
-      if (est >= threshold) Double.box(est) else null
-    }
-  }
-
-  override def prettyName: String = "minhash_qualifying_pairs"
-  override protected def withNewChildInternal(c: Expression): MinhashQualifyingPairs =
-    copy(child = c)
 }
 
 /** hamming_qualifying_pairs(items, maxHamming):

@@ -402,17 +402,32 @@ object TextHash extends Serializable {
   def removeSpans(s: UTF8String, ivs: ArrayData, unicode: Boolean)
       : org.apache.spark.sql.catalyst.InternalRow = {
     val (buf, bounds, nTok) = if (unicode) tokenizeUnicode(s) else tokenize(s)
-    val k = ivs.numElements()
-    // pack (s0, e0) into one long each and sort by start; both are
-    // non-negative token positions so the unsigned pack orders by s0
-    val packed = new Array[Long](k)
+    val nIvs = ivs.numElements()
+    // pack (s0, e0) into one long each and sort by start. Intervals are
+    // 1-based token positions by contract, but this is a public column
+    // API (r19 advice): out-of-contract inputs normalize to the pinned
+    // HOF exists() semantics instead of silently diverging through the
+    // unsigned pack — s0 < 1 clamps to 1 (p >= 1 > s0 makes the lower
+    // bound vacuous in `s0 <= p <= e0`), e0 < 1 can never cover any
+    // token so the interval is dropped, and a NULL interval element
+    // (possible from a hand-built array literal; the collect_list
+    // producer never emits one) is skipped as a no-op.
+    val packed = new Array[Long](nIvs)
+    var k = 0
     var i = 0
-    while (i < k) {
-      val r = ivs.getStruct(i, 2)
-      packed(i) = (r.getInt(0).toLong << 32) | (r.getInt(1).toLong & 0xffffffffL)
+    while (i < nIvs) {
+      if (!ivs.isNullAt(i)) {
+        val r = ivs.getStruct(i, 2)
+        val s0 = math.max(r.getInt(0), 1)
+        val e0 = r.getInt(1)
+        if (e0 >= 1) {
+          packed(k) = (s0.toLong << 32) | (e0.toLong & 0xffffffffL)
+          k += 1
+        }
+      }
       i += 1
     }
-    java.util.Arrays.sort(packed)
+    java.util.Arrays.sort(packed, 0, k)
     // sweep: token (1-based) p is covered iff some interval has
     // s0 <= p <= e0 ⇔ running max end over intervals with s0 <= p is >= p
     val kept = new Array[Boolean](nTok)

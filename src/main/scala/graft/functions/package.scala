@@ -103,13 +103,6 @@ package object functions {
   def lane_match_count(a: Column, b: Column): Column =
     col(LaneMatchCount(expr(a), expr(b)))
 
-  /** Generator: all in-bucket pairs with lane-agreement/k ≥ threshold,
-    * from an array<struct<id, sig>> bucket — enumerate/score/filter in
-    * one per-bucket eval, emitting only qualifying rows (the LSH
-    * scoring hot path; see [[MinhashQualifyingPairs]]). */
-  def minhash_qualifying_pairs(items: Column, threshold: Double, numHashes: Int): Column =
-    col(MinhashQualifyingPairs(expr(items), threshold, numHashes))
-
   /** Generator: the lazy i<j (min, max)-oriented id triangle of a
     * bucket's member-id array — pair enumeration without scoring
     * (see [[IdPairs]]). */

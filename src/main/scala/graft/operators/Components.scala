@@ -231,6 +231,19 @@ object Components {
         .collect().head
       (r.getLong(0), r.getLong(1))
     }
+    // Round shape (r20, guide §2.4 "remove shuffles outright"): each
+    // star phase needs min-over-the-c-partition attached back to every
+    // row of that partition — a groupBy-min + self-join on c shuffles
+    // the edge set TWICE per phase; an unbounded window min over
+    // `partition by c` attaches it in ONE exchange (+ a per-partition
+    // sort, group size = node degree, spillable — the same skew bound
+    // the aggregate had). smallStar's two output branches additionally
+    // fused into one explode, so the round DAG (including largeStar's
+    // window) executes once instead of once per union branch —
+    // 5 exchanges/round → 3 (numbers in OPTIMIZATION_r20.md). Emitted
+    // row multiset is IDENTICAL per phase (ComponentsSpec cross-checks
+    // against label propagation).
+    val byC = org.apache.spark.sql.expressions.Window.partitionBy("c")
     // large-star(c): hang every neighbour n > c onto m = min(Γ(c) ∪ {c}).
     // Each undirected edge is seen from both endpoints; only the smaller
     // center emits it, so the output stays one row per edge pre-distinct.
@@ -238,26 +251,28 @@ object Components {
     def largeStar(ed: DataFrame): DataFrame = {
       val sym = ed.select(col("u").as("c"), col("v").as("n"))
         .union(ed.select(col("v").as("c"), col("u").as("n")))
-      val mins = sym.groupBy(col("c")).agg(min(col("n")).as("__mn"))
-        .select(col("c"), least(col("__mn"), col("c")).as("m"))
       // no distinct here: duplicate (m, n) rows (two centers sharing a
       // minimum and a neighbour) are degree-bounded and harmless to
       // small-star's min-aggregate; the round's ONE dedup happens at
       // small-star's closing distinct, saving a full shuffle per round
-      sym.join(mins, "c")
+      sym.withColumn("m", least(min(col("n")).over(byC), col("c")))
         .filter(col("n") > col("c"))
         .select(col("m").as("u"), col("n").as("v"))
     }
     // small-star(c): neighbours smaller than c (plus c itself) all hang
     // onto their minimum. Directing every edge at its larger endpoint
     // makes Γ⁻(c) exactly the incoming list — no symmetric doubling.
+    // Every row (c, n, m) emits (m, c), plus (m, n) when n ≠ m — the
+    // exact multiset of the former filter∪project pair, in one pass.
     def smallStar(ed: DataFrame): DataFrame = {
-      val directed = ed.select(col("v").as("c"), col("u").as("n")) // n < c
-      val mins = directed.groupBy(col("c")).agg(min(col("n")).as("m"))
-      val j = directed.join(mins, "c")
-      j.filter(col("n") =!= col("m"))
-        .select(col("m").as("u"), col("n").as("v"))
-        .union(j.select(col("m").as("u"), col("c").as("v")))
+      ed.select(col("v").as("c"), col("u").as("n")) // n < c
+        .withColumn("m", min(col("n")).over(byC))
+        .select(explode(when(col("n") =!= col("m"),
+            array(struct(col("m").as("u"), col("n").as("v")),
+              struct(col("m").as("u"), col("c").as("v"))))
+          .otherwise(array(
+            struct(col("m").as("u"), col("c").as("v"))))).as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v"))
         .distinct()
     }
     // e0 holds the canonical distinct edges INCLUDING self-loops: the

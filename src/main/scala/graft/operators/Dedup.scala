@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.functions.{doc_fingerprint, hamming_qualifying_pairs, minhash_qualifying_pairs, minhash_text, shingle_hash_set, simhash_text, sorted_intersect_ge, sorted_intersect_size}
+import graft.functions.{doc_fingerprint, hamming_qualifying_pairs, minhash_text, shingle_hash_set, simhash_text, sorted_intersect_ge, sorted_intersect_size}
 
 /**
  * Deduplication operators for document corpora (SURVEY §2.3; the
@@ -352,13 +352,37 @@ object Dedup {
       .agg(collect_list(col("id")).as("ids"))
       .filter(size(col("ids")) >= 2)
 
+    // Scale trade-off, stated where the r18 comment claimed the
+    // opposite (r19 advice): this shape DOES materialize every
+    // in-bucket candidate pair — sub-threshold losers included, up to
+    // maxBucket²/2 per degenerate bucket — through the pair-dedup
+    // exchange, and scope-persists the corpus-sized signature frame
+    // (MEMORY_AND_DISK, |docs| × ~520 B), where the pre-r19 in-bucket
+    // scorer dropped losers inside the generator and cached nothing.
+    // The pair rows are 16 bytes against the ~1 KB-per-pair signature
+    // copies the old bucket aggregate shuffled, so the exchange-bytes
+    // trade stays favorable until the candidate-pair count approaches
+    // the corpus size × 64 — i.e. it inverts only in the low-threshold
+    // / large-maxBucket regime (τ well under the banding design point,
+    // where in-bucket triangles explode); a consumer living there
+    // should score cheaply in-bucket per band and dedupe only winners,
+    // as before. At the operator's τ ≥ 0.7 design point, measured:
+    // family CPU 51.4 → 10.8 s at sf0.1.
+    //
+    // Both signature attaches join the IDENTICAL projection of the
+    // persisted sigs frame (r20): with one subtree, the second
+    // broadcast build canonicalizes equal to the first and runs as a
+    // ReusedExchange — one signature broadcast per query instead of
+    // two (the r19 shape projected/renamed per side, defeating reuse;
+    // PERF_r19 flagged the recall row's wall on exactly these builds).
+    val sigAttach = sigs.select(col("id"), col("sig"))
     idBuckets
       .select(graft.functions.id_pairs(col("ids")).as(Seq("id_a", "id_b")))
       .dropDuplicates("id_a", "id_b")
-      .join(sigs.select(col("id").as("id_a"), col("sig").as("__sa")), "id_a")
-      .join(sigs.select(col("id").as("id_b"), col("sig").as("__sb")), "id_b")
+      .join(sigAttach.as("__sa"), col("id_a") === col("__sa.id"))
+      .join(sigAttach.as("__sb"), col("id_b") === col("__sb.id"))
       .select(col("id_a"), col("id_b"),
-        (graft.functions.lane_match_count(col("__sa"), col("__sb")) /
+        (graft.functions.lane_match_count(col("__sa.sig"), col("__sb.sig")) /
           lit(numHashes.toDouble)).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
   }

@@ -530,10 +530,14 @@ object TextAnalysis {
     // (monotone loss under lr < 2/L, agreement, and the bounded-check
     // oracle) is insensitive to that, and TextAnalysisSpec pins it.
     val stdProj = feats.select((col("__y") +: xs): _*)
+    // MEMORY_AND_DISK (r20, guide §5): the bare persist() default is
+    // MEMORY_ONLY, under which an evicted partition silently recomputes
+    // the full upstream projection once per REMAINING iteration at real
+    // scale — spill-to-disk keeps each partition's cost paid once
     val stdRdd = stdProj.queryExecution.toRdd.map { ir =>
       Array(ir.getDouble(0), ir.getDouble(1), ir.getDouble(2),
         ir.getDouble(3), ir.getDouble(4), ir.getDouble(5))
-    }.persist()
+    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var w = Array.fill(5)(0.0)
     def lossGradOnce(wNow: Array[Double]): (Double, Array[Double]) = {
       val (lSum, gSum) = stdRdd.treeAggregate((0.0, new Array[Double](5)))(

@@ -368,7 +368,11 @@ object PipelineQueries extends QueryFamily {
     val sparse = Retrieval.searchIndex(spark, bmIdx, qTerms, k = 20)
     val dense = AnnIndex.searchIvf(spark, annIdx, qVecs,
       "vec_id", "embedding", k = 20, nProbe = 16)
-    val served = Fusion.hybridTopK(sparse, dense, n = 10)
+    // scope-cached (r20): the serve feeds TWO actions — the forget-equal
+    // collect below and the returned frame's own materialization — and
+    // re-running the artifact serve (index reads + fusion, a dozen-job
+    // plan) for the second was the row's single biggest driver cost
+    val served = graft.CacheScope.scoped(Fusion.hybridTopK(sparse, dense, n = 10))
     // stage 5: forget-equality — the in-memory twin over a corpus that
     // never contained the deleted docs (workload-bounded collects)
     val standing = survivors.filter(col("doc_id") % 13 =!= 0)
@@ -445,14 +449,22 @@ object PipelineQueries extends QueryFamily {
     val ghosts = ShardReader.readByKey(spark, out, schema, "doc_id", delKeys)
       .count()
     val back = ShardReader.read(spark, out, schema)
+    // bucket rollup computed ONCE (r20): its n_docs sums to the exact
+    // table row count, so the storeOk gate reads that off the scoped-
+    // cached rollup instead of paying a second full-table count action
+    // (every extra action on a lifecycle row is a full plan+AQE round)
+    val roll = graft.CacheScope.scoped(
+      back.groupBy((col("doc_id") % 8).as("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          md5(concat_ws("",
+            transform(array_sort(collect_list(struct(col("doc_id"), col("ld")))),
+              x => x.getField("ld")))).as("digest")))
+    val backCount = roll.agg(coalesce(sum(col("n_docs")), lit(0L)))
+      .head().getLong(0)
     val storeOk = nDel > 0 && removed == nDel &&
-      ShardReader.manifestRowCount(spark, out) == back.count()
+      ShardReader.manifestRowCount(spark, out) == backCount
     val forgetOk = ghosts == 0L && dropped == Seq(v1) && reclaimed.nonEmpty
-    back.groupBy((col("doc_id") % 8).as("bucket"))
-      .agg(count(lit(1)).as("n_docs"),
-        md5(concat_ws("",
-          transform(array_sort(collect_list(struct(col("doc_id"), col("ld")))),
-            x => x.getField("ld")))).as("digest"))
+    roll
       .withColumn("store_ok", lit(storeOk))
       .withColumn("forget_ok", lit(forgetOk))
       .orderBy(col("bucket"))
@@ -514,8 +526,11 @@ object PipelineQueries extends QueryFamily {
     // retention pass below reclaims the snapshot the feed reads.
     val feed = graft.CacheScope.scoped(
       ShardSnapshot.readChangesSince(spark, out, schema, "ld", v1))
-    val cdcOk = feed.count() == nDel &&
-      feed.filter(col("change") =!= "removed").count() == 0L
+    // total + non-removed counts in ONE action over the cached feed
+    // (r20 — two separate counts were two full plan+AQE rounds)
+    val feedAgg = feed.agg(count(lit(1)),
+      count(when(col("change") =!= "removed", lit(1)))).head()
+    val cdcOk = feedAgg.getLong(0) == nDel && feedAgg.getLong(1) == 0L
 
     // one-call retention compliance + zero-ghost pruned lookup
     val (dropped, reclaimed) = ShardSnapshot.retain(spark, out, keepLast = 0)
@@ -529,14 +544,20 @@ object PipelineQueries extends QueryFamily {
     val pushedOk = lookup.queryExecution.executedPlan.toString
       .contains("PushedFilters: [In(ld") && lookup.count() == 3L
     val back = ShardReader.read(spark, out, schema)
+    // bucket rollup computed ONCE — v11's rationale: n_docs sums to the
+    // table count, so storeOk skips the separate full-table count action
+    val roll = graft.CacheScope.scoped(
+      back.groupBy((col("doc_id") % 8).as("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          md5(concat_ws("",
+            transform(array_sort(collect_list(struct(col("doc_id"), col("ld")))),
+              x => x.getField("ld")))).as("digest")))
+    val backCount = roll.agg(coalesce(sum(col("n_docs")), lit(0L)))
+      .head().getLong(0)
     val storeOk = nDel > 0 && removed == nDel && pruneOk &&
-      ShardReader.manifestRowCount(spark, out) == back.count()
+      ShardReader.manifestRowCount(spark, out) == backCount
     val forgetOk = ghosts == 0L && dropped == Seq(v1) && reclaimed.nonEmpty
-    back.groupBy((col("doc_id") % 8).as("bucket"))
-      .agg(count(lit(1)).as("n_docs"),
-        md5(concat_ws("",
-          transform(array_sort(collect_list(struct(col("doc_id"), col("ld")))),
-            x => x.getField("ld")))).as("digest"))
+    roll
       .withColumn("store_ok", lit(storeOk))
       .withColumn("forget_ok", lit(forgetOk))
       .withColumn("cdc_ok", lit(cdcOk))
@@ -609,22 +630,27 @@ object PipelineQueries extends QueryFamily {
     val v2 = ShardSnapshot.create(spark, out)
 
     // re-add the LOWEST deleted digest at doc_id + 10⁷: a fresh shard
-    // outside every segment's scope — visible immediately
+    // outside every segment's scope — visible immediately. The appended
+    // row is BUILT from the already-collected row (r20) — the prior
+    // form re-ran the sort+limit plan over sur a second time just to
+    // recompute the same single row inside the append
     val readd = sur.filter(col("doc_id") % 17 === 2)
       .orderBy(col("doc_id")).limit(1).collect().head
     val readdId = readd.getLong(0) + 10000000L
     val readdLd = readd.getString(1)
-    append(sur.filter(col("doc_id") % 17 === 2)
-      .orderBy(col("doc_id")).limit(1)
-      .select((col("doc_id") + 10000000L).as("doc_id"), col("ld")))
+    append(spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(readdId, readdLd)), schema))
     val v3 = ShardSnapshot.create(spark, out)
 
-    // WINDOWED CDC: disjoint, composable snapshot-bracketed feeds
+    // WINDOWED CDC: disjoint, composable snapshot-bracketed feeds.
+    // w1's total + non-removed counts come out of ONE action (r20 —
+    // they were two separate full plan+AQE rounds over the same feed)
     val w1 = ShardSnapshot.readChanges(spark, out, schema, "ld", v1, v2)
     val w2 = ShardSnapshot.readChanges(spark, out, schema, "ld", v2, v3)
     val w2rows = w2.collect()
-    val windowOk = w1.count() == nDel &&
-      w1.filter(col("change") =!= "removed").count() == 0L &&
+    val w1Agg = w1.agg(count(lit(1)),
+      count(when(col("change") =!= "removed", lit(1)))).head()
+    val windowOk = w1Agg.getLong(0) == nDel && w1Agg.getLong(1) == 0L &&
       w2rows.length == 1 && w2rows.head.getAs[String]("change") == "added" &&
       w2rows.head.getAs[Long]("doc_id") == readdId
 
@@ -649,8 +675,11 @@ object PipelineQueries extends QueryFamily {
       s"doc_id IN (${lowIds.mkString(",")})")
     val readdServed = spark.sql(
       s"SELECT doc_id FROM graft_v13_tbl WHERE ld = '$readdLd'").collect()
-    val sqlOk = sqlPoint.rdd.getNumPartitions == 1 &&
-      sqlPoint.count() == 3L &&
+    // one RDD handle serves both the partition-count probe and the count
+    // (r20 — `.rdd` then a separate Dataset.count planned the query twice)
+    val sqlPointRdd = sqlPoint.rdd
+    val sqlOk = sqlPointRdd.getNumPartitions == 1 &&
+      sqlPointRdd.count() == 3L &&
       readdServed.map(_.getLong(0)).toSeq == Seq(readdId)
 
     // materialize + one-call retention compliance; segments reclaimed
@@ -662,14 +691,20 @@ object PipelineQueries extends QueryFamily {
     val tombsGone = !new java.io.File(out, "_TOMBSTONES").exists() &&
       !new java.io.File(out).listFiles().exists(_.getName.startsWith("tomb-"))
     val back = ShardReader.read(spark, out, schema)
+    // bucket rollup computed ONCE — v11's rationale: n_docs sums to the
+    // table count, so forgetOk skips the separate full-table count action
+    val roll = graft.CacheScope.scoped(
+      back.groupBy((col("doc_id") % 8).as("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          md5(concat_ws("",
+            transform(array_sort(collect_list(struct(col("doc_id"), col("ld")))),
+              x => x.getField("ld")))).as("digest")))
+    val backCount = roll.agg(coalesce(sum(col("n_docs")), lit(0L)))
+      .head().getLong(0)
     val forgetOk = ghosts == 0L && tombsGone &&
       dropped == Seq(v1, v2, v3) &&
-      ShardReader.manifestRowCount(spark, out) == back.count()
-    back.groupBy((col("doc_id") % 8).as("bucket"))
-      .agg(count(lit(1)).as("n_docs"),
-        md5(concat_ws("",
-          transform(array_sort(collect_list(struct(col("doc_id"), col("ld")))),
-            x => x.getField("ld")))).as("digest"))
+      ShardReader.manifestRowCount(spark, out) == backCount
+    roll
       .withColumn("store_ok", lit(storeOk))
       .withColumn("window_ok", lit(windowOk))
       .withColumn("stream_ok", lit(streamOk))

@@ -343,8 +343,12 @@ private[v2] class ShardScanImpl(
         s"tombstones at $path are keyed on '${t.column}' (${t.tag}) which " +
           "the table schema does not carry compatibly")
       val keyDt = tableSchema(t.column).dataType
+      // explicit one-column schema: the type was just verified against
+      // the sidecar tag, so the read skips footer inference (r20)
+      val segSchema = StructType(Seq(StructField(t.column, keyDt)))
       (t.column, t.segments.map { s =>
-        val keys = spark.read.parquet(new Path(dir, s.file).toString)
+        val keys = spark.read.schema(segSchema)
+          .parquet(new Path(dir, s.file).toString)
           .collect().map(_.get(0)).filter(_ != null)
           .map(ShardRowReader.toComparable(_, keyDt))
         (s.shards, keys)

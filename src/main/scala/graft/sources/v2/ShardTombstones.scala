@@ -236,8 +236,16 @@ object ShardTombstones {
     // planner/AQE picks the strategy (the ngramJaccard guarded-hint
     // discipline). Segments are few by construction (one per pending
     // delete, retired at compaction), so the chain stays shallow.
+    // segment schema is KNOWN (one column, the sidecar-tagged key type
+    // the requires above just verified) — pass it explicitly so each
+    // read skips the driver-side footer-inference job (r20; the
+    // lifecycle rows pay this read once per segment per scan)
+    val segSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(
+        t.column, df.schema(t.column).dataType)))
     val out = t.segments.foldLeft(tagged) { (acc, s) =>
-      val keys = spark.read.parquet(new Path(dir, s.file).toString)
+      val keys = spark.read.schema(segSchema)
+        .parquet(new Path(dir, s.file).toString)
         .select(col(t.column).as("__tk"))
       val hinted =
         if (s.nKeys <= ShardScan.MaxInlineTombstoneKeys) broadcast(keys)

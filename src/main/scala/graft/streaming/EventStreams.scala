@@ -46,7 +46,10 @@ object EventStreams extends Serializable {
     // deliberate narrow session side effect — see Tables.events: the flag
     // only affects NANOS parquet, which is otherwise unreadable outright
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val fileSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    // schema via Tables' resolved-schema cache (footer read once per
+    // process, not once per streaming query construction) — the conf
+    // above is set before the first inference, same as the batch path
+    val fileSchema = graft.sources.Tables.table(spark, sfDir, "events").schema
     // file-stream sources need a directory; glob-filter the events table
     val stream = spark.readStream
       .schema(fileSchema)

@@ -141,7 +141,9 @@ class UnicodeTokensSpec extends SparkSpec {
       3L -> Seq((1, 50)),                   // covers everything
       4L -> Seq.empty,                      // no-op
       5L -> Seq((2, 2), (2, 2), (4, 4)),    // duplicates
+      6L -> Seq((-3, 2), (3, 3)),           // negative s0: covers 1..2 (r20)
       7L -> Seq((40, 60)),                  // fully out of range
+      8L -> Seq((2, -1), (-5, -2)),         // negative e0: both no-ops (r20)
       9L -> Seq((2, 4), (7, 7), (3, 5))
     )
     val ivsDf = ivCases.toSeq.flatMap { case (id, ivs) => ivs.map(iv => (id, iv._1, iv._2)) }
@@ -168,6 +170,22 @@ class UnicodeTokensSpec extends SparkSpec {
         assert(rs.getInt(1) == r.getInt(3) && rs.getInt(2) == r.getInt(4),
           s"remove_spans(unicode=$uni) counts drifted on doc ${r.getLong(0)}")
       }
+    }
+  }
+
+  test("remove_spans: NULL interval element is skipped as a no-op (r20)") {
+    // a hand-built array literal can carry a null interval (the
+    // collect_list producer never emits one); the kernel skips it
+    // instead of throwing — the result equals the same list without it
+    val iv = struct(lit(2).as("s0"), lit(3).as("e0"))
+    val nullIv = lit(null).cast("struct<s0:int,e0:int>")
+    Seq(false, true).foreach { uni =>
+      val r = mixed.filter(col("doc_id") === 9L).select(
+        graft.functions.remove_spans(col("text"), array(iv, nullIv), uni).as("a"),
+        graft.functions.remove_spans(col("text"), array(iv), uni).as("b"))
+        .head()
+      assert(r.getStruct(0) == r.getStruct(1),
+        s"null interval element (unicode=$uni) was not a no-op")
     }
   }
 
