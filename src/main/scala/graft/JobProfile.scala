@@ -24,7 +24,9 @@ object JobProfile {
     spark.sparkContext.setLogLevel("ERROR")
 
     case class J(id: Int, var desc: String, var t0: Long = 0L, var t1: Long = 0L,
-      var tasks: Int = 0, var cpuNs: Long = 0L)
+      var tasks: Int = 0, var cpuNs: Long = 0L, var runMs: Long = 0L,
+      var deserMs: Long = 0L, var gcMs: Long = 0L, var fetchMs: Long = 0L,
+      var shufWriteNs: Long = 0L)
     val jobs = new java.util.concurrent.ConcurrentHashMap[Int, J]()
     val stageToJob = new java.util.concurrent.ConcurrentHashMap[Int, Int]()
     spark.sparkContext.addSparkListener(new SparkListener {
@@ -44,7 +46,14 @@ object JobProfile {
         val jid = stageToJob.get(e.stageId)
         val j = jobs.get(jid)
         if (j != null && e.taskMetrics != null) {
-          j.synchronized { j.tasks += 1; j.cpuNs += e.taskMetrics.executorCpuTime }
+          val m = e.taskMetrics
+          j.synchronized {
+            j.tasks += 1; j.cpuNs += m.executorCpuTime
+            j.runMs += m.executorRunTime; j.deserMs += m.executorDeserializeTime
+            j.gcMs += m.jvmGCTime
+            j.fetchMs += m.shuffleReadMetrics.fetchWaitTime
+            j.shufWriteNs += m.shuffleWriteMetrics.writeTime
+          }
         }
       }
     })
@@ -70,7 +79,7 @@ object JobProfile {
         val gap = if (prevEnd == 0) 0.0 else (j.t0 - prevEnd) / 1e3
         prevEnd = math.max(prevEnd, j.t1)
         val w = (j.t1 - j.t0) / 1e3
-        println(f"job ${j.id}%3d  wall=$w%7.3f  gap=$gap%7.3f  tasks=${j.tasks}%4d  cpu=${j.cpuNs / 1e9}%7.3f  ${j.desc.take(90)}")
+        println(f"job ${j.id}%3d  wall=$w%7.3f  gap=$gap%7.3f  tasks=${j.tasks}%4d  cpu=${j.cpuNs / 1e9}%7.3f  trun=${j.runMs / 1e3}%8.3f  deser=${j.deserMs / 1e3}%6.3f  gc=${j.gcMs / 1e3}%6.3f  fetch=${j.fetchMs / 1e3}%6.3f  swrite=${j.shufWriteNs / 1e9}%6.3f  ${j.desc.take(70)}")
       }
       val jw = js.map(j => (j.t1 - j.t0)).sum / 1e3
       println(f"sum(job walls)=$jw%.3f s; driver/other=${wall - jw}%.3f s")

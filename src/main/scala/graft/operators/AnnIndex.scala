@@ -210,7 +210,7 @@ object AnnIndex {
     // tombstoned vectors are no longer part of the standing index's
     // occupancy — drift must compare against what actually serves
     val base = KeyTombstones.minus(spark, fs, dir,
-        spark.read.parquet(s"$dir/$stored"), "vec_id")
+        graft.sources.ParquetSchemaCache.read(spark, s"$dir/$stored"), "vec_id")
       .groupBy(col("cell")).agg(count(lit(1)).as("__nb"))
     val b = assignFrozen(batch, idCol, vecCol, cells)
       .groupBy(col("cell")).agg(count(lit(1)).as("__nn"))
@@ -309,7 +309,7 @@ object AnnIndex {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sessionState.newHadoopConf())
     val vectors = KeyTombstones.minus(spark, fs, dir,
-      spark.read.parquet(s"$dir/vectors")
+      graft.sources.ParquetSchemaCache.read(spark, s"$dir/vectors")
         .filter(col("cell").isin(probed.map(Int.box): _*)), "vec_id")
     val scored = vectors.join(broadcast(q), Seq("cell"))
       .filter(col("query_id") =!= col("vec_id"))
@@ -327,7 +327,7 @@ object AnnIndex {
   /** Load a cells-only model (the IVF-flat artifact — [[loadModel]]
     * demands codebooks too and is the PQ artifact's loader). */
   private def loadCellsOnly(spark: SparkSession, dir: String): Seq[Seq[Float]] = {
-    val rows = spark.read.parquet(s"$dir/model")
+    val rows = graft.sources.ParquetSchemaCache.read(spark, s"$dir/model")
       .filter(col("kind") === "cell")
       .select(col("i"), col("vec")).collect()
     val cells = rows.sortBy(_.getInt(0))
@@ -338,7 +338,7 @@ object AnnIndex {
 
   /** Load the bounded model state written by [[writeIvfPq]]. */
   def loadModel(spark: SparkSession, dir: String): (Seq[Seq[Float]], Seq[Seq[Seq[Float]]]) = {
-    val rows = spark.read.parquet(s"$dir/model")
+    val rows = graft.sources.ParquetSchemaCache.read(spark, s"$dir/model")
       .select(col("kind"), col("i"), col("j"), col("vec")).collect()
     val cells = rows.filter(_.getString(0) == "cell")
       .sortBy(_.getInt(1)).map(_.getSeq[Float](3).toIndexedSeq: Seq[Float]).toSeq
@@ -376,7 +376,7 @@ object AnnIndex {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sessionState.newHadoopConf())
     val index = KeyTombstones.minus(spark, fs, dir,
-      spark.read.parquet(s"$dir/codes")
+      graft.sources.ParquetSchemaCache.read(spark, s"$dir/codes")
         .filter(col("cell").isin(probed.map(Int.box): _*)), "vec_id")
     Similarity.ivfPqServeProbed(index, q, books, k)
   }

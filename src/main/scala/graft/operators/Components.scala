@@ -137,9 +137,17 @@ object Components {
     // sym and all O(log d) rounds of joins — one 16-byte-row exchange
     // up front beats `bands`× heavier rounds.
     val e0 = materialize(edges.select(col("src"), col("dst")).distinct())
-    val sym = materialize(
-      e0.select(col("src").as("id"), col("dst").as("nbr"))
-        .union(e0.select(col("dst").as("id"), col("src").as("nbr"))))
+    // sym is PRE-PARTITIONED on nbr — the key every round's neighbour
+    // join uses — and materialized through the partitioning-preserving
+    // flatten (r20, guide §2.4): the per-round join then shuffles only
+    // the label side; the (larger) edge list crosses an exchange once
+    // per CALL instead of once per round.
+    val sym = org.apache.spark.sql.graftbridge.CatalystBridge
+      .flattenPlanKeepPartitioning(
+        e0.select(col("src").as("id"), col("dst").as("nbr"))
+          .union(e0.select(col("dst").as("id"), col("src").as("nbr")))
+          .repartition(col("nbr")))
+      .persist()
     // labelsM is the persisted handle (unpersist must target the exact
     // cached Dataset — calling it on a derived projection is a no-op);
     // labels is the (id, component) view the joins consume
@@ -155,10 +163,16 @@ object Components {
       val nbrLabels = sym.join(
         labels.select(col("id").as("nbr"), col("component").as("__nc")), "nbr")
         .groupBy(col("id")).agg(min(col("__nc")).as("__nmin"))
-      val lowered = labels.join(nbrLabels, Seq("id"), "left")
+      // lowered feeds BOTH sides of the pointer-jump self-join below —
+      // unpersisted, Catalyst executed the whole lowering chain (the
+      // sym⋈labels join + groupBy included) once per branch, doubling
+      // every round (r20; the union-branch lesson at the top of this
+      // method, applied to the round body). Persisted flat, released
+      // right after the round's count materializes `next`.
+      val lowered = materialize(labels.join(nbrLabels, Seq("id"), "left")
         .select(col("id"), col("component").as("__old"),
           least(col("component"), coalesce(col("__nmin"), col("component")))
-            .as("component"))
+            .as("component")))
       // pointer jump: component ← component(component). Every label is a
       // node id inside the same component, so the lookup always hits.
       val jump = lowered.select(col("id").as("__jid"), col("component").as("__jc"))
@@ -171,6 +185,7 @@ object Components {
       // (counted off the just-materialized round — no further join; this
       // count is also what forces the round's persist)
       val changed = next.filter(col("component") < col("__old")).count()
+      lowered.unpersist()
       // the first round's count is the action that materializes the
       // persisted sym; e0 (consumed only by sym's two union branches) is
       // dead weight from then on — release it instead of holding a full

@@ -57,7 +57,8 @@ private[operators] object KeyTombstones {
     val t = committed(fs, dir)
     if (t.isEmpty) df
     else df.join(
-      spark.read.parquet(t: _*).select(col(keyCol)).distinct(),
+      graft.sources.ParquetSchemaCache.read(spark, t: _*)
+        .select(col(keyCol)).distinct(),
       Seq(keyCol), "left_anti")
   }
 

@@ -272,7 +272,8 @@ object NearDupIndex {
     val newId = math.max(ids.max + 1, MergedIdFloor)
     val seg = s"$dir/bands/batch=$newId"
     val mergePaths = mergeIds.map(id => s"$dir/bands/batch=$id")
-    spark.read.parquet(mergePaths: _*).select(col("band"), col("bh")).distinct()
+    graft.sources.ParquetSchemaCache.read(spark, mergePaths: _*)
+      .select(col("band"), col("bh")).distinct()
       .repartition(col("band"), col("bh"))
       .sortWithinPartitions(col("band"), col("bh"))
       .write.mode("overwrite").parquet(seg)
@@ -398,7 +399,8 @@ object NearDupIndex {
     val (numHashes, bands, unicode) = readMeta(spark, dir)
     val segs = committedSegments(spark, dir)
     require(segs.nonEmpty, s"no committed near-dup index segments under $dir")
-    val index = spark.read.parquet(segs: _*).select(col("band"), col("bh"))
+    val index = graft.sources.ParquetSchemaCache.read(spark, segs: _*)
+      .select(col("band"), col("bh"))
     val hits = Dedup.bandKeys(incoming, textCol, idCol, numHashes, bands, unicode)
       .join(index, Seq("band", "bh"), "left_semi")
       .select(col("id")).distinct()

@@ -580,13 +580,15 @@ object Retrieval {
     // serve scan's row-group skipping survives the merge; tombstoned
     // docs are dropped here, so the merged segment never carries them
     val postings = minusTombstones(spark, fs, dir,
-      spark.read.parquet(s"$dir/postings").filter(col("batch").isin(live: _*)))
+      graft.sources.ParquetSchemaCache.read(spark, s"$dir/postings")
+        .filter(col("batch").isin(live: _*)))
     postings.repartition(col("tok"))
       .sortWithinPartitions(col("tok"), col("doc_id"))
       .select(col("tok"), col("doc_id"), col("tf"), col("len"))
       .write.mode("overwrite").parquet(s"$dir/postings/$seg")
     minusTombstones(spark, fs, dir,
-      spark.read.parquet(s"$dir/norms").filter(col("batch").isin(live: _*)))
+      graft.sources.ParquetSchemaCache.read(spark, s"$dir/norms")
+        .filter(col("batch").isin(live: _*)))
       .select(col("doc_id"), col("len"))
       .write.mode("overwrite").parquet(s"$dir/norms/$seg")
     // (2) atomic publish. Tombstones = the sources being merged +
@@ -694,11 +696,11 @@ object Retrieval {
     // (N, L) — a deleted doc must score-vanish exactly as if it had
     // never been indexed, not merely drop out of the hit list
     val postings = minusTombstones(spark, fs, dir,
-      spark.read.parquet(s"$dir/postings")
+      graft.sources.ParquetSchemaCache.read(spark, s"$dir/postings")
         .filter(col("batch").isin(committed: _*))
         .filter(col("tok").isin(terms: _*)))
     val norms = minusTombstones(spark, fs, dir,
-      spark.read.parquet(s"$dir/norms")
+      graft.sources.ParquetSchemaCache.read(spark, s"$dir/norms")
         .filter(col("batch").isin(committed: _*)))
     bm25Serve(postings, norms.agg(count(lit(1)).as("n"), sum(col("len")).as("l")),
       queries.dropDuplicates("query_id", "term"), k)

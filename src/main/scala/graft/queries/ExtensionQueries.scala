@@ -2455,10 +2455,15 @@ object ExtensionQueries extends QueryFamily {
     // 4h lookback (vs the 10-minute API default): the fixture's click→
     // purchase co-occurrence is sparse, and the oracle should exercise
     // hundreds of matches, not a handful
+    // skipNoDataBatches: an inner stream-stream join's matches all emit
+    // in the data batch; the trailing no-data batch only evicts state a
+    // run-to-completion replay is about to discard — and re-opens every
+    // state store to do it (the measured local-mode cost is in
+    // runToBatch's doc). Output rows are identical; oracle-checked.
     val streamed = EventStreams.runToBatch(spark,
       EventStreams.clickPurchaseJoin(EventStreams.readEvents(spark, dir),
         lookback = "4 hours", watermark = "5 hours"),
-      "graft_click_join_q", outputMode = "append")
+      "graft_click_join_q", outputMode = "append", skipNoDataBatches = true)
     streamed.select(col("click_id"), col("user_id"),
       col("click_ts").cast("timestamp_ntz").as("click_ts"),
       col("purchase_ts").cast("timestamp_ntz").as("purchase_ts"),
@@ -2481,7 +2486,8 @@ object ExtensionQueries extends QueryFamily {
     import graft.streaming.EventStreams
     val streamed = EventStreams.runToBatch(spark,
       EventStreams.clickPurchaseJoin(EventStreams.readEvents(spark, dir)),
-      "graft_click_purchase_q", outputMode = "append")
+      "graft_click_purchase_q", outputMode = "append",
+      skipNoDataBatches = true) // inner join: see streamClickAttribution
     streamed.select(col("click_id"), col("user_id"),
       col("click_ts").cast("timestamp_ntz").as("click_ts"),
       col("purchase_ts").cast("timestamp_ntz").as("purchase_ts"),
@@ -3527,20 +3533,27 @@ object ExtensionQueries extends QueryFamily {
       feed.select(col("doc_id")))
     append(dst, feed.filter(col("change") =!= "removed")
       .select(col("doc_id"), col("ld")))
-    // feed sufficiency: the two tables' keyed digests must now agree
-    def tableDigest(path: String): String =
-      ShardReader.read(spark, path, schema)
-        .agg(md5(concat_ws("",
-          transform(array_sort(collect_list(struct(col("doc_id"), col("ld")))),
-            x => x.getField("ld")))))
-        .collect().head.getString(0)
-    val applyOk = tableDigest(dst) == tableDigest(src)
-    ShardReader.read(spark, dst, schema)
+    // feed sufficiency: the two tables' keyed digests must now agree.
+    // BOTH digests come out of ONE action over a union of tagged reads
+    // (r20 — they were two separate full plan+action rounds), and the
+    // dst read is scope-cached: the digest pass materializes it once and
+    // the returned rollup reads the cache instead of scanning dst again.
+    // An empty side contributes no group row: None == None keeps two
+    // empty tables equal, one-sided emptiness stays unequal — the same
+    // outcomes as the old md5-of-empty-concat comparison.
+    val dstRows = graft.CacheScope.scoped(ShardReader.read(spark, dst, schema))
+    val digest = md5(concat_ws("",
+      transform(array_sort(collect_list(struct(col("doc_id"), col("ld")))),
+        x => x.getField("ld"))))
+    val digests = dstRows.withColumn("__t", lit("dst"))
+      .unionByName(ShardReader.read(spark, src, schema)
+        .withColumn("__t", lit("src")))
+      .groupBy(col("__t")).agg(digest.as("__d"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    val applyOk = digests.get("dst") == digests.get("src")
+    dstRows
       .groupBy((col("doc_id") % 8).as("bucket"))
-      .agg(count(lit(1)).as("n_docs"),
-        md5(concat_ws("",
-          transform(array_sort(collect_list(struct(col("doc_id"), col("ld")))),
-            x => x.getField("ld")))).as("digest"))
+      .agg(count(lit(1)).as("n_docs"), digest.as("digest"))
       .withColumn("apply_ok", lit(applyOk))
       .orderBy(col("bucket"))
   }

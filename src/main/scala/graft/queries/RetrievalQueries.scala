@@ -197,9 +197,13 @@ object RetrievalQueries extends QueryFamily {
       nCells = 16, trainSampleN = 4096)
     val qTerms = workloadDf(spark)
     val qVecs = hybridQueryVecs(spark, dir)
-    val sparseIdx = Retrieval.searchIndex(spark, bmIdx, qTerms, k = hybridDepth)
-    val denseIdx = AnnIndex.searchIvf(spark, annIdx, qVecs,
-      "vec_id", "embedding", k = hybridDepth, nProbe = 4)
+    // both served lists feed TWO actions (the verdict grid collect and
+    // the returned fusion) — scope-cached so the artifact serve (segment
+    // reads + scoring, a dozen-job plan each) runs once, not twice (r20)
+    val sparseIdx = graft.CacheScope.scoped(
+      Retrieval.searchIndex(spark, bmIdx, qTerms, k = hybridDepth))
+    val denseIdx = graft.CacheScope.scoped(AnnIndex.searchIvf(spark, annIdx, qVecs,
+      "vec_id", "embedding", k = hybridDepth, nProbe = 4))
     val sparseMem = Retrieval.bm25TopK(docs, "doc_id", "text",
       qTerms, k = hybridDepth)
     val denseMem = Similarity.ivfTopK(emb, qVecs, "vec_id", "embedding",

@@ -301,14 +301,49 @@ object EventStreams extends Serializable {
 
   /** Run any of the above to completion against the (bounded) fixture and
     * return the materialized result — used by tests to assert batch
-    * parity. */
+    * parity.
+    *
+    * `skipNoDataBatches = true` disables the engine's trailing NO-DATA
+    * micro-batch (`spark.sql.streaming.noDataMicroBatches.enabled`) for
+    * the query — correct ONLY for queries whose output is complete
+    * without it (stream-stream INNER joins emit matches in the batch
+    * both sides arrive; the no-data batch exists to advance the
+    * watermark for state EVICTION and append-mode window FLUSH). A
+    * bounded run-to-completion replay stops right after, so eviction is
+    * pure waste — and it is not cheap waste: every stateful no-data
+    * batch re-opens all state stores, and in one-JVM local mode
+    * provider init serializes behind the global registry lock (measured
+    * r20: per-task block time ∝ partition count — 7.6/32/133 task-s at
+    * 8/16/32 partitions for the SAME click join, ~60 ms × N_partitions
+    * each). Append-mode AGGREGATIONS must keep the default (their final
+    * windows only emit when the watermark advances past them). */
   def runToBatch(spark: SparkSession, streaming: DataFrame, name: String,
-      outputMode: String = "append"): DataFrame = {
-    val q = streaming.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(outputMode)
-      .start()
+      outputMode: String = "append",
+      skipNoDataBatches: Boolean = false): DataFrame = {
+    // The conf flip is session-shared and harnesses (Verify) run queries
+    // from a thread pool, so the flip-start-restore window is serialized
+    // on this object: StreamExecution CLONES the session at start() (the
+    // conf is captured there, not per batch), so restoring right after
+    // start is sound, and every no-data-DEPENDENT query (the append-mode
+    // windowed aggs) also starts through this method, i.e. inside the
+    // same lock. The non-runToBatch stream sites (foreachBatch feeds)
+    // are stateless — no-data batches never fire for them — so a
+    // concurrent start there is conf-indifferent.
+    val key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val q = EventStreams.synchronized {
+      val prev = spark.conf.getOption(key)
+      if (skipNoDataBatches) spark.conf.set(key, "false")
+      try {
+        streaming.writeStream
+          .format("memory")
+          .queryName(name)
+          .outputMode(outputMode)
+          .start()
+      } finally if (skipNoDataBatches) prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
     try {
       q.processAllAvailable()
     } finally q.stop()

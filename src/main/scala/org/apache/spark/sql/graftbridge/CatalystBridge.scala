@@ -36,6 +36,22 @@ object CatalystBridge {
       df.queryExecution.toRdd, df.schema, isStreaming = false)
   }
 
+  /** [[flattenPlan]] that additionally CARRIES the source plan's output
+    * partitioning/ordering into the flat `LogicalRDD` (what
+    * `Dataset.localCheckpoint` does via `LogicalRDD.fromDataset`).
+    * `internalCreateDataFrame` drops that metadata, so a round input
+    * deliberately pre-partitioned on its per-round join key was
+    * re-shuffled every round anyway (r20; guide §2.4 "two operations
+    * keyed the same way can share one exchange"). */
+  def flattenPlanKeepPartitioning(
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val classic = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+    org.apache.spark.sql.classic.Dataset.ofRows(classic,
+      org.apache.spark.sql.execution.LogicalRDD.fromDataset(
+        df.queryExecution.toRdd, ds, isStreaming = false))
+  }
+
   /** The reliable-checkpoint file backing a `Dataset.checkpoint()`
     * result (its analyzed plan is a `LogicalRDD` over the checkpointed
     * RDD), or None for any other plan. Lets iterative operators delete
