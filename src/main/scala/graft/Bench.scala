@@ -136,7 +136,7 @@ object Bench {
     val loadStart = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // (wall_s, executor_cpu_s, process_cpu_s, task_run_s, ok)
+      // (wall_s, executor_cpu_s, task_run_s, process_cpu_s, ok)
       def once(): (Double, Double, Double, Double, Boolean) = {
         drainTaskEvents()
         val c0 = meter.snapshotNs

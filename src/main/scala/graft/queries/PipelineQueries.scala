@@ -235,6 +235,22 @@ object PipelineQueries extends QueryFamily {
    * are id-keyed scalars; the only per-group sorts are the cap rank and
    * the schedule — the same exchanges the stage queries pay alone.
    */
+  /** Scoped bucket rollup over a (doc_id, ld) store read plus its exact
+    * row count (the sum of bucket counts) — the ONE digest/count shape
+    * the v11/v12/v13 compliance gates share. Reading the count off the
+    * cached rollup replaces a separate full-table count action (r20),
+    * and one definition keeps the three gates' digest recipe from
+    * drifting apart. */
+  private def bucketRollupWithCount(back: DataFrame): (DataFrame, Long) = {
+    val roll = graft.CacheScope.scoped(
+      back.groupBy((col("doc_id") % 8).as("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          md5(concat_ws("",
+            transform(array_sort(collect_list(struct(col("doc_id"), col("ld")))),
+              x => x.getField("ld")))).as("digest")))
+    (roll, roll.agg(coalesce(sum(col("n_docs")), lit(0L))).head().getLong(0))
+  }
+
   def pipelineCorpusV9(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.{NearDupIndex, Sampling}
     val idx = graft.TmpCleanup.perProcessDir("graft-v9-idx", dir)
@@ -453,14 +469,7 @@ object PipelineQueries extends QueryFamily {
     // table row count, so the storeOk gate reads that off the scoped-
     // cached rollup instead of paying a second full-table count action
     // (every extra action on a lifecycle row is a full plan+AQE round)
-    val roll = graft.CacheScope.scoped(
-      back.groupBy((col("doc_id") % 8).as("bucket"))
-        .agg(count(lit(1)).as("n_docs"),
-          md5(concat_ws("",
-            transform(array_sort(collect_list(struct(col("doc_id"), col("ld")))),
-              x => x.getField("ld")))).as("digest")))
-    val backCount = roll.agg(coalesce(sum(col("n_docs")), lit(0L)))
-      .head().getLong(0)
+    val (roll, backCount) = bucketRollupWithCount(back)
     val storeOk = nDel > 0 && removed == nDel &&
       ShardReader.manifestRowCount(spark, out) == backCount
     val forgetOk = ghosts == 0L && dropped == Seq(v1) && reclaimed.nonEmpty
@@ -546,14 +555,7 @@ object PipelineQueries extends QueryFamily {
     val back = ShardReader.read(spark, out, schema)
     // bucket rollup computed ONCE — v11's rationale: n_docs sums to the
     // table count, so storeOk skips the separate full-table count action
-    val roll = graft.CacheScope.scoped(
-      back.groupBy((col("doc_id") % 8).as("bucket"))
-        .agg(count(lit(1)).as("n_docs"),
-          md5(concat_ws("",
-            transform(array_sort(collect_list(struct(col("doc_id"), col("ld")))),
-              x => x.getField("ld")))).as("digest")))
-    val backCount = roll.agg(coalesce(sum(col("n_docs")), lit(0L)))
-      .head().getLong(0)
+    val (roll, backCount) = bucketRollupWithCount(back)
     val storeOk = nDel > 0 && removed == nDel && pruneOk &&
       ShardReader.manifestRowCount(spark, out) == backCount
     val forgetOk = ghosts == 0L && dropped == Seq(v1) && reclaimed.nonEmpty
@@ -693,14 +695,7 @@ object PipelineQueries extends QueryFamily {
     val back = ShardReader.read(spark, out, schema)
     // bucket rollup computed ONCE — v11's rationale: n_docs sums to the
     // table count, so forgetOk skips the separate full-table count action
-    val roll = graft.CacheScope.scoped(
-      back.groupBy((col("doc_id") % 8).as("bucket"))
-        .agg(count(lit(1)).as("n_docs"),
-          md5(concat_ws("",
-            transform(array_sort(collect_list(struct(col("doc_id"), col("ld")))),
-              x => x.getField("ld")))).as("digest")))
-    val backCount = roll.agg(coalesce(sum(col("n_docs")), lit(0L)))
-      .head().getLong(0)
+    val (roll, backCount) = bucketRollupWithCount(back)
     val forgetOk = ghosts == 0L && tombsGone &&
       dropped == Seq(v1, v2, v3) &&
       ShardReader.manifestRowCount(spark, out) == backCount

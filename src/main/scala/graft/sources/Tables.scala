@@ -1,7 +1,6 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.types.StructType
 
 /**
  * Fixture-table catalog over the driver-generated parquet directories
@@ -19,31 +18,14 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Resolved-schema cache (r20, guide §6 "file listing"/§7.3): without
-    * it every `spark.read.parquet` call pays a driver-side footer read
-    * for schema inference, and the 282-query harnesses call `table()`
-    * 1-3× per query per pass — measured ~15-40 ms each, a pure
-    * planning-tail tax. Fixture files are immutable for the life of a
-    * run, so the schema per (dir, table) is a constant: infer once,
-    * then construct every subsequent read with the explicit schema
-    * (`spark.read.schema(s).parquet(path)` skips inference entirely).
-    * Deliberately NOT a DataFrame cache: returning the same resolved
-    * plan to every caller would turn the queries' repeated reads into
-    * self-joins of one relation (ambiguous-attribute analysis hazards);
-    * a fresh read per call keeps attribute ids fresh while paying zero
-    * I/O for schema. Keyed by path only — schemas are session-invariant
-    * (no session state feeds inference here), and a regen between
-    * PROCESSES is the supported fixture lifecycle (the cache dies with
-    * the JVM). */
-  private val schemaCache =
-    new java.util.concurrent.ConcurrentHashMap[String, StructType]()
-
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    val path = s"$sfDir/$name.parquet"
-    val schema = schemaCache.computeIfAbsent(path,
-      p => spark.read.parquet(p).schema)
-    spark.read.schema(schema).parquet(path)
-  }
+  /** Reads go through the process-level resolved-schema cache (r20,
+    * guide §6/§7.3 — [[ParquetSchemaCache]] has the full rationale):
+    * every bare `spark.read.parquet` call paid a driver-side
+    * footer-inference job, and the 282-query harnesses call `table()`
+    * 1-3× per query per pass. Fixture files are immutable for the life
+    * of a process, the exact lifecycle the cache contracts for. */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    ParquetSchemaCache.read(spark, s"$sfDir/$name.parquet")
 
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
